@@ -1,0 +1,146 @@
+"""Client — the reference's user-facing API
+(``/root/reference/mortar-parquet-client/client.py:14-109``), Spark-native.
+
+Holds the two abstractions together: the RDF metadata graphs (TTL -> triples
+DataFrame -> SPARQL-subset engine) and the Parquet timeseries lake, bridged
+by the composite graph->data semi-join (SURVEY.md §2.5): SPARQL finds stream
+UUIDs, the UUIDs + a time range become a pruned scan of the lake.
+
+Scale notes (local behavior identical, cluster behavior deliberate):
+
+- The UUID bridge auto-switches between a driver-collected IN-list (prunes
+  ``uuid=`` partition directories / row-group stats — best while the id set
+  is small, reference behavior ``client.py:69-70``) and a broadcast
+  ``LEFT SEMI`` join (no driver round-trip, best for huge id sets).
+- ``limit`` is EXACT (``df.limit``) — documented upgrade over the
+  reference's batch-granularity approximate limit (``client.py:101-104``,
+  SURVEY.md §7 R4).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.plans.sparql import SparqlEngine
+from mortar_parquet_support_spark.sources import sinks
+from mortar_parquet_support_spark.sources.ingest import UUID_RE
+from mortar_parquet_support_spark.sources.lake import TimeseriesLake
+from mortar_parquet_support_spark.sources.ttl import load_graph_dir
+
+#: Above this many ids, skip the IN-list and use a broadcast semi-join.
+IN_LIST_MAX = 10_000
+
+
+class Client:
+    """Parity constructor: ``Client(graph_dir, lake_root)`` mirrors
+    ``Client(db_dir, bucket)`` (client.py:15). S3 lakes: pass an
+    ``s3a://`` root and set fs.s3a confs on the session (S6)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        graph_dir: str | None = None,
+        lake_root: str | None = None,
+        *,
+        triples: DataFrame | None = None,
+    ):
+        self.spark = spark
+        if triples is None and graph_dir is not None:
+            triples = load_graph_dir(spark, graph_dir)
+        self.triples = triples
+        self.engine = SparqlEngine(triples) if triples is not None else None
+        self.lake = TimeseriesLake.open(spark, lake_root) if lake_root else None
+
+    # ------------------------------------------------------------------
+    # Graph queries (client.py:40-63)
+    # ------------------------------------------------------------------
+    def sparql(self, query: str, sites: Iterable[str] | None = None) -> DataFrame:
+        """Run SPARQL; un-scoped queries span the union of all site graphs
+        (default_union, setup-graphs.py:14); with ``sites`` the query runs
+        per named graph and results carry a ``site`` provenance column
+        (G5-G7, client.py:49-63). All columns are strings (client.py:43,53).
+        """
+        if self.engine is None:
+            raise RuntimeError("no graphs loaded")
+        if sites is None:
+            return self.engine.sql(query)
+        frames = [
+            self.engine.sql(query, site=site).withColumn("site", F.lit(site))
+            for site in sites
+        ]
+        return reduce(DataFrame.unionByName, frames)  # O4 (client.py:63)
+
+    # ------------------------------------------------------------------
+    # Composite graph->data queries (client.py:65-109)
+    # ------------------------------------------------------------------
+    def _uuid_filter_ids(self, sparql_result: DataFrame) -> list[str]:
+        """O3 quirk parity: harvest the UUID candidates from EVERY result
+        column, not just the id variable (client.py:69), then keep only
+        UUID-shaped strings (P9 filters what the reference would pass as
+        garbage into the isin)."""
+        cols = [c for c in sparql_result.columns if c != "site"]
+        stacked = sparql_result.select(
+            F.explode(F.array(*[F.col(c).cast("string") for c in cols])).alias("uuid")
+        )
+        ids = (
+            stacked.filter(F.col("uuid").rlike(f"^{UUID_RE}$"))
+            .distinct()
+            .collect()
+        )
+        return sorted(row.uuid for row in ids)
+
+    def data_sparql_df(
+        self,
+        sparql: str,
+        sites: Iterable[str] | None = None,
+        start=None,
+        end=None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """The composite operator as a lazy DataFrame (the native shape; the
+        pandas/CSV/DuckDB methods below are sinks over this)."""
+        if self.lake is None:
+            raise RuntimeError("no lake opened")
+        res = self.sparql(sparql, sites=sites)
+        ids = self._uuid_filter_ids(res)
+        if len(ids) <= IN_LIST_MAX:
+            out = self.lake.scan(uuids=ids, start=start, end=end)
+        else:
+            ids_df = self.spark.createDataFrame([(i,) for i in ids], ["uuid"])
+            out = self.lake.scan_ids(ids_df, start=start, end=end)
+        if limit:
+            out = out.limit(int(limit))
+        return out
+
+    def data_sparql(self, sparql, sites=None, start=None, end=None, limit=None):
+        """client.py:95 — returns pandas."""
+        return sinks.to_pandas(self.data_sparql_df(sparql, sites, start, end, limit))
+
+    def data_sparql_to_csv(self, sparql, filename, sites=None, start=None, end=None, limit=None) -> int:
+        """client.py:74 — appends to one local CSV, returns the row count."""
+        return sinks.to_local_csv(self.data_sparql_df(sparql, sites, start, end, limit), filename)
+
+    def data_sparql_to_duckdb(self, sparql, database, table, sites=None, start=None, end=None, limit=None):
+        """client.py:82 — lands the result in a DuckDB table; the open
+        connection persists as ``self.data_cache`` (parity with client.py:84)
+        and the relation is returned."""
+        self.data_cache = sinks.to_duckdb(
+            self.data_sparql_df(sparql, sites, start, end, limit),
+            database,
+            table,
+            connection=getattr(self, "data_cache", None),
+        )
+        return self.data_cache.table(table)
+
+    # ------------------------------------------------------------------
+    # id -> data (the reference's own TODO at client.py:13)
+    # ------------------------------------------------------------------
+    def data_uuids(self, uuids: Iterable[str], start=None, end=None) -> DataFrame:
+        if self.lake is None:
+            raise RuntimeError("no lake opened")
+        return self.lake.scan(uuids=list(uuids), start=start, end=end)

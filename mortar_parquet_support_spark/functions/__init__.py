@@ -1,0 +1,51 @@
+"""Reusable Column expression helpers (all JVM-side built-ins — no Python
+UDFs in the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.sources.ingest import UUID_RE
+
+
+def is_uuid(col) -> Column:
+    """P9 (transform.py:11-16): UUID-shaped string predicate."""
+    return F.col(col).rlike(f"^{UUID_RE}$") if isinstance(col, str) else col.rlike(f"^{UUID_RE}$")
+
+
+def cosine_similarity(a, b) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed JVM-side
+    with a left-to-right fold (deterministic summation order, so results are
+    reproducible bit-for-bit across engines that fold the same way).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def char_ngrams(col, n: int = 3) -> Column:
+    """Distinct character n-grams of a string column as array<string>,
+    via sequence+transform (no explode, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def word_shingles(col, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) as array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    count = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.when(count > 0, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )).otherwise(F.array().cast("array<string>"))

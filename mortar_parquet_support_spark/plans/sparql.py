@@ -1,0 +1,536 @@
+"""SPARQL-subset parser + compiler to Spark DataFrame plans.
+
+The reference delegates SPARQL to Oxigraph's Rust engine
+(``/root/reference/mortar-parquet-client/client.py:42,52``). This module
+implements, natively on DataFrames, exactly the surface the Mortar corpus
+exercises (SURVEY.md §2.4 G1-G8 — verified against the embedded queries at
+``client.py:116-140``):
+
+- basic graph patterns (conjunctive triple patterns, shared variables)
+- ``a`` / ``rdf:type``
+- property paths: sequences ``p1/p2`` and closures ``p*``/``p+``/``p?``
+  (``rdf:type/rdfs:subClassOf*``), compiled against a precomputed
+  transitive-closure table (plans/closure.py)
+- blank-node property lists ``[ brick:hasTimeseriesId ?id ]``
+- object lists ``?vav brick:hasPoint ?sen_point, ?sp_point``
+- ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT``
+
+Compilation: each triple pattern is a filtered scan of the (tiny, cached,
+broadcastable) triples DataFrame with its variable positions renamed to the
+variable names; shared variables become multi-way equi-joins. Patterns are
+greedily ordered most-selective-first (more constants first, literal-object
+patterns like ``hasTimeseriesId`` ahead of wildcards) and each new pattern
+must share a variable with the bound set when possible, so the plan is a
+chain of broadcast hash joins, never an accidental cartesian product — the
+same join-ordering job Oxigraph does internally (SURVEY.md §4 'SPARQL join
+ordering' row).
+
+Unsupported constructs (FILTER, OPTIONAL, UNION, GRAPH, ORDER BY, aggregates)
+raise ``SparqlUnsupported`` — the corpus does not use them; declared rather
+than silently wrong.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.plans.closure import transitive_closure
+from mortar_parquet_support_spark.sources.ttl import RDF_TYPE
+
+
+class SparqlUnsupported(NotImplementedError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Term:
+    kind: str  # var | iri | literal
+    value: str
+
+
+@dataclass(frozen=True)
+class PathStep:
+    predicate: str  # IRI
+    modifier: str = ""  # '' | '*' | '+' | '?'
+
+
+@dataclass(frozen=True)
+class Pattern:
+    """One atomic triple pattern; predicate is a single path step (sequences
+    are expanded with fresh intermediate variables at parse time)."""
+
+    subject: Term
+    step: PathStep
+    obj: Term
+
+
+@dataclass
+class Query:
+    select: list[str]  # variable names, or ['*']
+    distinct: bool
+    patterns: list[Pattern]
+    var_order: list[str]  # first-appearance order, for SELECT *
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+_SPARQL_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<iriref><[^<>"{}|^`\\\s]*>)
+    | (?P<string>"(?:[^"\\\n]|\\.)*")
+    | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<punct>[;,.{}\[\]()/|^])
+    | (?P<mod>[*+?](?=[\s;,.}\]/]|$))
+    | (?P<word>[^\s;,.{}\[\]()/|^?*+"#]+)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"select", "where", "distinct", "prefix"}
+_UNSUPPORTED_RE = re.compile(
+    r"\b(filter|optional|union|graph|order\s+by|group\s+by|limit|offset|values|bind|minus|service)\b",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class _SparqlParser:
+    text: str
+    pos: int = 0
+    tokens: list[tuple[str, str]] = field(default_factory=list)
+    prefixes: dict[str, str] = field(default_factory=dict)
+    patterns: list[Pattern] = field(default_factory=list)
+    var_order: list[str] = field(default_factory=list)
+    _fresh_n: int = 0
+
+    def parse(self) -> Query:
+        for m in _SPARQL_TOKEN_RE.finditer(self.text):
+            if m.lastgroup in ("ws", "comment"):
+                continue
+            self.tokens.append((m.lastgroup, m.group()))
+
+        while self._peek_word_lower() == "prefix":
+            self._next()
+            _, pfx = self._expect("word")
+            _, iri = self._expect("iriref")
+            self.prefixes[pfx.rstrip(":")] = iri[1:-1]
+
+        if self._peek_word_lower() != "select":
+            raise SparqlUnsupported(f"only SELECT queries are supported: {self.text[:80]}")
+        self._next()
+        distinct = False
+        if self._peek_word_lower() == "distinct":
+            distinct = True
+            self._next()
+        select: list[str] = []
+        while True:
+            kind, tok = self._peek()
+            if kind == "var":
+                select.append(tok[1:])
+                self._next()
+            elif kind == "mod" and tok == "*" and not select:
+                select = ["*"]
+                self._next()
+                break
+            else:
+                break
+        if self._peek_word_lower() == "where":
+            self._next()
+        self._expect_punct("{")
+        self._parse_group()
+        self._expect_punct("}")
+        return Query(select=select, distinct=distinct, patterns=self.patterns, var_order=self.var_order)
+
+    # -- token plumbing --
+    def _peek(self):
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else ("eof", "")
+
+    def _peek_word_lower(self):
+        kind, tok = self._peek()
+        return tok.lower() if kind == "word" else None
+
+    def _next(self):
+        tok = self._peek()
+        self.pos += 1
+        return tok
+
+    def _expect(self, kind):
+        tok = self._next()
+        if tok[0] != kind:
+            raise ValueError(f"SPARQL parse: expected {kind}, got {tok}")
+        return tok
+
+    def _expect_punct(self, want):
+        kind, tok = self._next()
+        if kind != "punct" or tok != want:
+            raise ValueError(f"SPARQL parse: expected {want!r}, got {tok!r}")
+
+    def _fresh_var(self) -> str:
+        self._fresh_n += 1
+        return f"__anon{self._fresh_n}"
+
+    def _note_var(self, name: str) -> None:
+        if name not in self.var_order and not name.startswith("__anon"):
+            self.var_order.append(name)
+
+    # -- grammar --
+    def _parse_group(self) -> None:
+        while True:
+            kind, tok = self._peek()
+            if kind == "punct" and tok == "}":
+                return
+            if kind == "eof":
+                raise ValueError("SPARQL parse: unterminated group")
+            if kind == "word" and _UNSUPPORTED_RE.fullmatch(tok):
+                raise SparqlUnsupported(f"unsupported SPARQL construct: {tok}")
+            subject = self._parse_term(position="subject")
+            self._parse_predicate_object_list(subject)
+            while self._peek() == ("punct", "."):
+                self._next()
+
+    def _parse_predicate_object_list(self, subject: Term) -> None:
+        while True:
+            path = self._parse_path()
+            self._parse_object_list(subject, path)
+            if self._peek() == ("punct", ";"):
+                while self._peek() == ("punct", ";"):
+                    self._next()
+                kind, tok = self._peek()
+                if (kind == "punct" and tok in (".", "}", "]")) or kind == "eof":
+                    return
+                continue
+            return
+
+    def _parse_object_list(self, subject: Term, path: list[PathStep]) -> None:
+        while True:
+            obj = self._parse_term(position="object")
+            self._emit_path(subject, path, obj)
+            if self._peek() == ("punct", ","):
+                self._next()
+                continue
+            return
+
+    def _parse_path(self) -> list[PathStep]:
+        steps: list[PathStep] = []
+        while True:
+            kind, tok = self._next()
+            if kind == "word" and tok == "a":
+                iri = RDF_TYPE
+            elif kind == "iriref":
+                iri = tok[1:-1]
+            elif kind == "word":
+                iri = self._expand(tok)
+            elif kind == "var":
+                raise SparqlUnsupported("variable predicates are not supported")
+            elif kind == "punct" and tok in ("|", "^"):
+                raise SparqlUnsupported(f"path operator {tok!r} not supported")
+            else:
+                raise ValueError(f"SPARQL parse: bad predicate token {tok!r}")
+            modifier = ""
+            if self._peek()[0] == "mod":
+                modifier = self._next()[1]
+            steps.append(PathStep(iri, modifier))
+            if self._peek() == ("punct", "/"):
+                self._next()
+                continue
+            return steps
+
+    def _parse_term(self, position: str) -> Term:
+        kind, tok = self._next()
+        if kind == "var":
+            self._note_var(tok[1:])
+            return Term("var", tok[1:])
+        if kind == "iriref":
+            return Term("iri", tok[1:-1])
+        if kind == "string":
+            value = tok[1:-1]
+            nkind, ntok = self._peek()
+            if nkind == "punct" and ntok == "^":  # "x"^^<dt> — drop datatype
+                self._next()
+                self._expect_punct("^")
+                self._next()
+            return Term("literal", re.sub(r"\\(.)", r"\1", value))
+        if kind == "word":
+            if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?|true|false", tok):
+                return Term("literal", tok)
+            return Term("iri", self._expand(tok))
+        if kind == "punct" and tok == "[":
+            node = Term("var", self._fresh_var())
+            if self._peek() != ("punct", "]"):
+                self._parse_predicate_object_list(node)
+            self._expect_punct("]")
+            return node
+        raise ValueError(f"SPARQL parse: bad {position} token {kind} {tok!r}")
+
+    def _expand(self, tok: str) -> str:
+        if ":" not in tok:
+            raise ValueError(f"SPARQL parse: not a prefixed name: {tok!r}")
+        pfx, local = tok.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(f"SPARQL parse: unknown prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    def _emit_path(self, subject: Term, steps: list[PathStep], obj: Term) -> None:
+        """Expand a sequence path into atomic patterns with fresh middles."""
+        current = subject
+        for i, step in enumerate(steps):
+            is_last = i == len(steps) - 1
+            nxt = obj if is_last else Term("var", self._fresh_var())
+            self.patterns.append(Pattern(current, step, nxt))
+            current = nxt
+
+
+def parse_sparql(query: str) -> Query:
+    return _SparqlParser(text=query).parse()
+
+
+# --------------------------------------------------------------------------
+# Compiler
+# --------------------------------------------------------------------------
+
+class SparqlEngine:
+    """Compile + run parsed SPARQL over a triples DataFrame.
+
+    ``triples`` must have columns (site, subject, predicate, object); extra
+    columns are ignored. The DataFrame is deduplicated (RDF set semantics),
+    cached, and every pattern scan is broadcast-hinted: building-model graphs
+    are ≤ a few MB, so the whole multi-join plan stays shuffle-free. Closure
+    tables for ``*``/``+`` paths are computed once per predicate and reused
+    across queries (SURVEY.md §4).
+    """
+
+    def __init__(self, triples: DataFrame):
+        self.triples = (
+            triples.select("site", "subject", "predicate", "object")
+            .dropDuplicates(["site", "subject", "predicate", "object"])
+            .cache()
+        )
+        self._union = self.triples.select("subject", "predicate", "object").distinct().cache()
+        self._closures: dict[str, DataFrame] = {}
+
+    # -- public API --
+    def sql(self, query: str, *, site: str | None = None) -> DataFrame:
+        """Run a SPARQL query; all result columns are strings (parity with
+        the reference's stringified bindings, client.py:43,53)."""
+        parsed = parse_sparql(query)
+        scope = (
+            self._union
+            if site is None
+            else self.triples.filter(F.col("site") == site).select(
+                "subject", "predicate", "object"
+            )
+        )
+        return self._compile(parsed, scope)
+
+    def closure(self, predicate: str) -> DataFrame:
+        if predicate not in self._closures:
+            self._closures[predicate] = transitive_closure(self.triples, predicate).cache()
+        return self._closures[predicate]
+
+    # -- compilation --
+    def _compile(self, q: Query, scope: DataFrame) -> DataFrame:
+        if not q.patterns:
+            raise SparqlUnsupported("empty WHERE group")
+        ordered = self._order_patterns(q.patterns)
+        acc: DataFrame | None = None
+        bound: set[str] = set()
+        for pat in ordered:
+            acc, bound = self._apply_pattern(acc, bound, pat, scope)
+        assert acc is not None
+        if q.select == ["*"]:
+            out_vars = [v for v in q.var_order if v in bound]
+        else:
+            missing = [v for v in q.select if v not in bound]
+            if missing:
+                raise ValueError(f"SELECT variable(s) not bound by WHERE: {missing}")
+            out_vars = q.select
+        out = acc.select(*[F.col(v).cast("string").alias(v) for v in out_vars])
+        if q.distinct:
+            out = out.dropDuplicates()
+        return out
+
+    @staticmethod
+    def _selectivity(pat: Pattern) -> tuple:
+        const = sum(1 for t in (pat.subject, pat.obj) if t.kind != "var")
+        literal_obj = 1 if pat.obj.kind == "literal" else 0
+        closure_pat = 1 if pat.step.modifier else 0
+        # more constants first; literal objects first among equals; closure
+        # steps last among equals (their standalone form can be large)
+        return (-const, -literal_obj, closure_pat)
+
+    def _order_patterns(self, patterns: list[Pattern]) -> list[Pattern]:
+        remaining = sorted(patterns, key=self._selectivity)
+        ordered: list[Pattern] = []
+        bound: set[str] = set()
+        while remaining:
+            pick = None
+            for pat in remaining:
+                if not bound or (self._pattern_vars(pat) & bound):
+                    pick = pat
+                    break
+            if pick is None:  # disjoint component: cartesian, rare but legal
+                pick = remaining[0]
+            remaining.remove(pick)
+            ordered.append(pick)
+            bound |= self._pattern_vars(pick)
+        return ordered
+
+    @staticmethod
+    def _pattern_vars(pat: Pattern) -> set[str]:
+        return {t.value for t in (pat.subject, pat.obj) if t.kind == "var"}
+
+    def _apply_pattern(
+        self,
+        acc: DataFrame | None,
+        bound: set[str],
+        pat: Pattern,
+        scope: DataFrame,
+    ) -> tuple[DataFrame, set[str]]:
+        if pat.step.modifier:
+            return self._apply_closure_pattern(acc, bound, pat, scope)
+        if pat.subject.kind != "var" and pat.obj.kind != "var":
+            # fully-ground pattern: an existence gate on the whole query
+            hit = (
+                scope.filter(
+                    (F.col("predicate") == pat.step.predicate)
+                    & (F.col("subject") == pat.subject.value)
+                    & (F.col("object") == pat.obj.value)
+                ).limit(1).count()
+                > 0
+            )
+            return self._gate(acc, scope, hit), bound
+        pdf = self._scan_pattern(pat, scope)
+        return self._join(acc, bound, pdf)
+
+    @staticmethod
+    def _gate(acc: DataFrame | None, scope: DataFrame, hit: bool) -> DataFrame:
+        """Resolve a ground pattern: keep `acc` if the triple exists, else
+        empty it. With no acc yet, produce a 1-row (or 0-row) placeholder."""
+        if acc is None:
+            acc = scope.sparkSession.range(1).select(F.lit(1).alias("__one")).drop("__one")
+        return acc if hit else acc.limit(0)
+
+    def _scan_pattern(self, pat: Pattern, scope: DataFrame) -> DataFrame:
+        """One triple pattern -> filtered scan with var positions renamed."""
+        df = scope.filter(F.col("predicate") == pat.step.predicate)
+        cols: list = []
+        if pat.subject.kind == "var":
+            cols.append(F.col("subject").alias(pat.subject.value))
+        else:
+            df = df.filter(F.col("subject") == pat.subject.value)
+        if pat.obj.kind == "var":
+            if pat.subject.kind == "var" and pat.obj.value == pat.subject.value:
+                df = df.filter(F.col("subject") == F.col("object"))
+            else:
+                cols.append(F.col("object").alias(pat.obj.value))
+        else:
+            df = df.filter(F.col("object") == pat.obj.value)
+        if not cols:  # fully-ground pattern: boolean gate, keep as 0/1 rows
+            return df.select(F.lit(1).alias("__exists")).limit(1).drop("__exists").crossJoin(
+                df.sparkSession.range(1).drop("id")
+            )
+        return df.select(*cols).dropDuplicates()
+
+    def _join(
+        self, acc: DataFrame | None, bound: set[str], pdf: DataFrame
+    ) -> tuple[DataFrame, set[str]]:
+        new_vars = set(pdf.columns)
+        if acc is None:
+            return pdf, new_vars
+        shared = sorted(bound & new_vars)
+        if shared:
+            acc = acc.join(F.broadcast(pdf), on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(F.broadcast(pdf))
+        return acc, bound | new_vars
+
+    def _apply_closure_pattern(
+        self,
+        acc: DataFrame | None,
+        bound: set[str],
+        pat: Pattern,
+        scope: DataFrame,
+    ) -> tuple[DataFrame, set[str]]:
+        """``x p* y`` / ``p+`` / ``p?`` via the closure table.
+
+        - strict pairs come from the precomputed closure (``+``; for ``?``
+          the single-hop edge set);
+        - the zero-length case (``*``, ``?``) is handled structurally:
+          if one side is a constant, zero-length pins the other side to that
+          constant; if the subject var is already bound, zero-length simply
+          copies it — no "all terms" enumeration ever materializes unless
+          both sides are unbound variables.
+        """
+        mod = pat.step.modifier
+        pairs = (
+            self.closure(pat.step.predicate)
+            if mod in ("*", "+")
+            else scope.filter(F.col("predicate") == pat.step.predicate)
+            .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+            .distinct()
+        )
+        s, o = pat.subject, pat.obj
+        zero = mod in ("*", "?")
+
+        if s.kind != "var" and o.kind != "var":
+            if zero and s.value == o.value:
+                return self._gate(acc, scope, True), bound
+            hit = (
+                pairs.filter((F.col("src") == s.value) & (F.col("dst") == o.value))
+                .limit(1)
+                .count()
+                > 0
+            )
+            return self._gate(acc, scope, hit), bound
+
+        if s.kind == "var" and o.kind != "var":
+            reach = pairs.filter(F.col("dst") == o.value).select(F.col("src").alias(s.value))
+            if zero:
+                one = reach.sparkSession.createDataFrame([(o.value,)], [s.value])
+                reach = reach.union(one)
+            return self._join(acc, bound, reach.dropDuplicates())
+
+        if s.kind != "var" and o.kind == "var":
+            reach = pairs.filter(F.col("src") == s.value).select(F.col("dst").alias(o.value))
+            if zero:
+                one = reach.sparkSession.createDataFrame([(s.value,)], [o.value])
+                reach = reach.union(one)
+            return self._join(acc, bound, reach.dropDuplicates())
+
+        # both vars
+        svar, ovar = s.value, o.value
+        if acc is not None and svar in bound:
+            step_pairs = pairs.select(F.col("src").alias(svar), F.col("dst").alias(ovar))
+            out = acc.join(F.broadcast(step_pairs), on=svar, how="inner")
+            if zero:
+                out = out.unionByName(acc.withColumn(ovar, F.col(svar)))
+            return out.dropDuplicates(), bound | {ovar}
+        if acc is not None and ovar in bound:
+            step_pairs = pairs.select(F.col("src").alias(svar), F.col("dst").alias(ovar))
+            out = acc.join(F.broadcast(step_pairs), on=ovar, how="inner")
+            if zero:
+                out = out.unionByName(acc.withColumn(svar, F.col(ovar)))
+            return out.dropDuplicates(), bound | {svar}
+        # neither bound: enumerate terms for the reflexive part (rare; legal)
+        step_pairs = pairs.select(F.col("src").alias(svar), F.col("dst").alias(ovar))
+        if zero:
+            terms = (
+                scope.select(F.col("subject").alias(svar))
+                .union(scope.select(F.col("object").alias(svar)))
+                .distinct()
+                .withColumn(ovar, F.col(svar))
+            )
+            step_pairs = step_pairs.unionByName(terms).dropDuplicates()
+        return self._join(acc, bound, step_pairs)

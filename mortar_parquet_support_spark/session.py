@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-minded defaults.
+
+Single place where execution knobs live so every entry point (tests, bench,
+driver contract) runs with the same, deliberately chosen configuration.
+
+Defaults are tuned for the harness (local[N], single JVM) but chosen to be
+the settings we would also ship on a 1000-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join re-planning)
+- shuffle partitions ~ cores locally; on a real cluster AQE's
+  ``advisoryPartitionSizeInBytes`` takes over sizing.
+- UTC session timezone (parity with the reference's tz-aware RFC3339
+  timestamps, ``/root/reference/transform.py:25``, and with DuckDB oracles).
+- Arrow enabled for any pandas interchange (the slow path, used sparingly).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mortar-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism; shuffle
+    partitions default to that so a local run doesn't over-parallelize tiny
+    shuffles (the 200 default) nor starve big ones.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # µs timestamps at rest — parity with the reference's
+        # coerce_timestamps='us' (/root/reference/transform.py:39)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("MORTAR_SPARK_DRIVER_MEM", "16g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,166 @@
+"""Ingest per-stream sensor CSVs into the partitioned, time-sorted Parquet
+lake.
+
+Capability parity with ``/root/reference/transform.py:8-41`` (operators S1-S3,
+P1-P4, P9, O1 in SURVEY.md §2), re-designed for Spark's execution model:
+
+- The reference ingests ONE file per process invocation (driven by a bash
+  loop, ``/root/reference/run-example.sh:1-3``). Here a whole directory is a
+  single distributed job: every line of every CSV is read by ``spark.read
+  .text`` with ``input_file_name()`` attached, headers are separated from
+  data rows *inside* the plan, and the per-file stream label (the header's
+  second column, ``transform.py:28``) is recovered with one broadcast join.
+  No driver-side per-file loop, so 1M files ingest as one job.
+
+- Partition layout at scale: the reference partitions by
+  ``collection/uuid`` (``transform.py:39``), which at 100 TB and millions of
+  streams is a small-file catastrophe (one leaf directory per stream).
+  Default here: partition by ``collection`` only, range-repartition by
+  ``(collection, uuid)`` and sort rows within files by ``(uuid, time)`` so
+  Parquet row-group min/max stats on ``uuid`` recover stream pruning with
+  far fewer files (SURVEY.md §7.1). ``partition_uuid=True`` reproduces the
+  reference's exact two-level layout for byte-compatible parity.
+
+- Time-sorted files (``transform.py:26``) are preserved via
+  ``sortWithinPartitions`` so footer min/max stats stay tight and time-range
+  scans skip row groups (``/root/reference/README.md:70``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# P9 (transform.py:11-16): filename must parse as a UUID, else the file is
+# rejected. Hex-with-dashes form, case-insensitive.
+UUID_RE = r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+
+#: Lake schema — README.md:14-24; column order per transform.py:36 plus time.
+LAKE_COLUMNS = ["collection", "uuid", "time", "value", "label", "uri"]
+
+
+def _parse_stream_lines(
+    spark: SparkSession,
+    paths: list[str] | str,
+    collection: str,
+    time_col: str,
+) -> DataFrame:
+    """Read raw CSV lines from many single-stream files in one distributed
+    scan and reassemble the lake schema.
+
+    Each input file is ``<uuid>.csv`` with header ``<time_col>,<label>``
+    (FIXTURES.md F1). Header rows are filtered out of the data path and used
+    (as a tiny one-row-per-file DataFrame) to recover each file's label via a
+    broadcast join — the distributed replacement for pandas' per-file
+    ``df.columns[0]`` (transform.py:28).
+    """
+    lines = (
+        spark.read.text(paths)
+        .withColumnRenamed("value", "_line")
+        .withColumn("_file", F.input_file_name())
+        .withColumn("_base", F.element_at(F.split(F.col("_file"), "/"), -1))
+        .withColumn("uuid", F.lower(F.regexp_extract(F.col("_base"), f"^({UUID_RE})\\.", 1)))
+    )
+    # P9: files whose basename is not a UUID are rejected wholesale.
+    lines = lines.filter(F.col("uuid") != "")
+
+    is_header = F.col("_line").startswith(time_col + ",")
+    header = (
+        lines.filter(is_header)
+        .select(
+            F.col("uuid").alias("h_uuid"),
+            F.expr(f"substring(_line, {len(time_col) + 2})").alias("label"),
+        )
+        .dropDuplicates(["h_uuid"])
+    )
+
+    ts_text = F.substring_index(F.col("_line"), ",", 1)
+    val_text = F.expr("substring(_line, length(substring_index(_line, ',', 1)) + 2)")
+    data = lines.filter(~is_header).select(
+        "uuid",
+        F.to_timestamp(ts_text).alias("time"),  # P2 (transform.py:25)
+        val_text.cast("double").alias("value"),
+    )
+
+    return (
+        data.join(F.broadcast(header), data["uuid"] == header["h_uuid"], "left")
+        .withColumn("collection", F.lit(collection))  # P3 (transform.py:31-35)
+        .withColumn("uri", F.concat(F.lit(f"urn:{collection}/"), F.col("label")))
+        .select(*LAKE_COLUMNS)  # P4 (transform.py:36)
+    )
+
+
+def ingest_directory(
+    spark: SparkSession,
+    collection: str,
+    csv_dir: str,
+    destination: str,
+    *,
+    time_col: str = "datetime",
+    partition_uuid: bool = False,
+    mode: str = "append",
+) -> DataFrame:
+    """Ingest every ``*.csv`` in ``csv_dir`` into the lake at ``destination``.
+
+    Returns the DataFrame that was written (lazily re-readable). Replaces the
+    reference's per-file CLI + bash loop (transform.py:44-50,
+    run-example.sh:1-3) with one distributed job.
+    """
+    df = _parse_stream_lines(spark, csv_dir + "/*.csv", collection, time_col)
+    write_lake(df, destination, partition_uuid=partition_uuid, mode=mode)
+    return df
+
+
+def ingest_csv(
+    spark: SparkSession,
+    collection: str,
+    csv_path: str,
+    destination: str,
+    *,
+    time_col: str = "datetime",
+    partition_uuid: bool = False,
+    mode: str = "append",
+) -> DataFrame | None:
+    """Single-file parity entry point (transform.py:8 signature).
+
+    Returns ``None`` (and writes nothing) if the filename is not a UUID
+    (transform.py:11-16) or the time column is absent (transform.py:20-23).
+    """
+    import os
+    import re
+
+    base = os.path.splitext(os.path.basename(csv_path))[0]
+    if not re.fullmatch(UUID_RE, base):
+        return None
+    head = spark.read.text(csv_path).limit(1).collect()
+    if not head or not head[0][0].startswith(time_col + ","):
+        return None
+    df = _parse_stream_lines(spark, csv_path, collection, time_col)
+    write_lake(df, destination, partition_uuid=partition_uuid, mode=mode)
+    return df
+
+
+def write_lake(
+    df: DataFrame,
+    destination: str,
+    *,
+    partition_uuid: bool = False,
+    mode: str = "append",
+) -> None:
+    """Write lake rows with the layout/sort discipline of SURVEY.md §4.
+
+    - ``partition_uuid=True``: reference layout ``collection=/uuid=/``
+      (transform.py:39), rows time-sorted within files (transform.py:26).
+    - default: Hive-partition by ``collection`` only; range-repartition on
+      ``(collection, uuid)`` so each stream's rows land contiguously in few
+      files, then sort by ``(uuid, time)`` within files. Row-group stats on
+      the sorted ``uuid``/``time`` columns prune stream + time predicates
+      without one directory per stream.
+    """
+    if partition_uuid:
+        out = df.repartition("collection", "uuid").sortWithinPartitions("time")
+        partition_cols = ["collection", "uuid"]
+    else:
+        out = df.repartitionByRange("collection", "uuid").sortWithinPartitions("uuid", "time")
+        partition_cols = ["collection"]
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(destination)

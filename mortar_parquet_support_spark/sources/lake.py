@@ -1,0 +1,149 @@
+"""The Parquet timeseries lake: open, scan with pruning, stats, and the
+``_metadata`` summary index.
+
+Capability parity with the reference's dataset layer (SURVEY.md §2.1 S4-S7,
+§2.2 P5-P7):
+
+- ``TimeseriesLake.open``      <- ``ds.parquet_dataset(f'{bucket}/_metadata',
+  partitioning='hive')`` (``/root/reference/mortar-parquet-client/client.py:27``)
+- ``TimeseriesLake.scan``      <- the pushed filter ``uuid isin &
+  start <= time <= end`` (``client.py:65-72``); Catalyst turns the ``isin``
+  on a partition column into directory pruning and the time range into
+  row-group stat skipping, the exact optimizations the reference gets from
+  the PyArrow scanner (SURVEY.md §4).
+- ``write_metadata_summary``   <- ``make-metadata.py:8-22``. Spark itself
+  ignores ``_metadata`` on read (and doesn't need it locally: its
+  InMemoryFileIndex lists + reads footers in parallel), but the summary file
+  keeps the dataset openable by PyArrow/reference clients and kills the
+  cold-open footer-fetch storm on object stores at 100 TB (SURVEY §7 R3).
+
+Remote object stores: pass an ``s3a://`` root and set
+``spark.hadoop.fs.s3a.endpoint`` / ``...region`` on the session — the S6
+connector (``client.py:26``) is configuration, not code, on Spark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Default scan bounds, parity with client.py:67-68.
+DEFAULT_START = "2000-01-01T00:00:00Z"
+DEFAULT_END = "2100-01-01T00:00:00Z"
+
+
+def time_range(start=None, end=None) -> Column:
+    """P6: inclusive time-range predicate with the reference's defaults
+    (client.py:67-70)."""
+    start = start or DEFAULT_START
+    end = end or DEFAULT_END
+    ts = F.col("time")
+    return (ts >= F.to_timestamp(F.lit(start))) & (ts <= F.to_timestamp(F.lit(end)))
+
+
+@dataclass
+class TimeseriesLake:
+    """A handle on the partitioned Parquet lake (FIXTURES.md F2 schema)."""
+
+    spark: SparkSession
+    root: str
+    df: DataFrame
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "TimeseriesLake":
+        """S5: open the whole lake; Hive partition discovery is automatic."""
+        return cls(spark=spark, root=root, df=spark.read.parquet(root))
+
+    def scan(
+        self,
+        *,
+        uuids: Iterable[str] | None = None,
+        start=None,
+        end=None,
+        collections: Iterable[str] | None = None,
+    ) -> DataFrame:
+        """P5 ∧ P6 ∧ P7: the reference's one pushed scan filter
+        (client.py:70), expressed as Catalyst predicates.
+
+        ``uuids`` as a driver-side list keeps partition pruning / stat
+        skipping (IN-list pushes to the scan); for huge id sets use
+        :meth:`scan_ids` (broadcast semi-join) instead.
+        """
+        out = self.df.filter(time_range(start, end))
+        if uuids is not None:
+            out = out.filter(F.col("uuid").isin(list(uuids)))
+        if collections is not None:
+            out = out.filter(F.col("collection").isin(list(collections)))
+        return out
+
+    def scan_ids(self, ids: DataFrame, *, start=None, end=None) -> DataFrame:
+        """§2.5 composite at scale: ``left_semi`` against an id DataFrame.
+
+        Broadcast when small keeps it shuffle-free; if ``ids`` is itself the
+        result of a join on the lake's partition column, Spark's Dynamic
+        Partition Pruning still prunes directories.
+        """
+        ids = ids.select(F.col(ids.columns[0]).alias("uuid")).distinct()
+        return self.df.filter(time_range(start, end)).join(
+            F.broadcast(ids), on="uuid", how="left_semi"
+        )
+
+    def to_batches(self, predicate: Column | None = None, *, max_rows: int = 1 << 16) -> Iterator:
+        """S7 parity: bounded-memory iteration (client.py:65-72's
+        ``to_batches``). Spark-side this is ``toLocalIterator`` over Arrow
+        batches; prefer distributed sinks for anything large."""
+        df = self.df if predicate is None else self.df.filter(predicate)
+        return df.toLocalIterator(prefetchPartitions=True)
+
+    def register(self, name: str, *, analyze: bool = True) -> None:
+        """S4/O6 stand-in: register as a catalog table + collect stats so
+        repeated opens skip file listing and CBO sees row counts
+        (SURVEY.md §4 '_metadata' row)."""
+        self.df.createOrReplaceTempView(name)
+        if analyze:
+            try:
+                self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+            except Exception:
+                pass  # temp views can't always be analyzed; stats are advisory
+
+
+def write_metadata_summary(root: str) -> dict:
+    """S4: write ``_metadata`` + ``_common_metadata`` summary files for the
+    dataset at ``root`` so one footer read opens the whole lake.
+
+    Functional equivalent of ``/root/reference/make-metadata.py:8-22``,
+    written against the public PyArrow dataset API. Differences: skips
+    Spark's ``_SUCCESS``/checksum droppings, returns a stats dict instead of
+    printing, and validates by re-opening the index it just wrote.
+    """
+    from pathlib import Path
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    root_path = Path(root)
+    dataset = pads.dataset(str(root_path), format="parquet", partitioning="hive")
+    collector = []
+    for fragment in dataset.get_fragments():
+        meta = fragment.metadata
+        meta.set_file_path(str(Path(fragment.path).relative_to(root_path)))
+        collector.append(meta)
+    if not collector:
+        raise ValueError(f"no parquet fragments under {root}")
+    # full (partition-augmented) schema for _common_metadata; for _metadata
+    # merge the real footers directly (regenerating a parquet schema from the
+    # arrow schema can flip physical encodings, e.g. timestamp INT64 -> INT96)
+    pq.write_metadata(dataset.schema, root_path / "_common_metadata")
+    merged = collector[0]
+    for meta in collector[1:]:
+        merged.append_row_groups(meta)
+    merged.write_metadata_file(root_path / "_metadata")
+    reopened = pads.parquet_dataset(root_path / "_metadata", partitioning="hive")
+    return {
+        "fragments": len(collector),
+        "rows": sum(m.num_rows for m in collector),
+        "columns": reopened.schema.names,
+    }

@@ -1,0 +1,89 @@
+"""Export sinks: CSV, DuckDB, pandas (SURVEY.md §2.1 S9-S11).
+
+The reference streams Arrow batches into each sink one at a time on a single
+machine (``/root/reference/mortar-parquet-client/client.py:74-109``). Here
+each sink is a distributed write where possible, with a local-file parity
+mode where the reference's contract is "one local file/database".
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def to_csv(df: DataFrame, path: str, *, header: bool = False, mode: str = "append") -> int:
+    """S9: distributed CSV export; returns the row count (client.py:74-80
+    returns the number of exported rows).
+
+    Writes a directory of part files (the scalable shape). Counting is an
+    extra action; cache first if the plan upstream is expensive.
+    """
+    df.write.mode(mode).option("header", header).csv(path)
+    return df.count()
+
+
+def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
+    """S9 parity mode: append everything to ONE local CSV file, exactly the
+    reference's ``data_sparql_to_csv`` shape (client.py:74-80). Funnels
+    through a single task — only for result sets that fit one machine."""
+    tmp = tempfile.mkdtemp(prefix="mortar_csv_")
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", header).csv(tmp)
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        n = 0
+        with open(filename, "ab") as out:
+            for p in parts:
+                with open(p, "rb") as f:
+                    shutil.copyfileobj(f, out)
+        n = df.count()
+        return n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def to_duckdb(df: DataFrame, database: str, table: str, *, connection=None):
+    """S10: land the result in a DuckDB table (client.py:82-93).
+
+    The reference round-trips one temp parquet file per Arrow batch; here
+    one distributed parquet write stages the whole result, then DuckDB
+    ingests the directory in a single ``parquet_scan`` — same contract,
+    one job. Returns the OPEN connection (the caller owns its lifetime —
+    a relation alone dies with a garbage-collected connection); read the
+    result via ``con.table(table)``.
+    """
+    import duckdb
+
+    staging = tempfile.mkdtemp(prefix="mortar_duck_")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        con = connection or duckdb.connect(database)
+        pattern = os.path.join(staging, "*.parquet")
+        exists = (
+            con.execute(
+                "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
+                [table],
+            ).fetchone()[0]
+            > 0
+        )
+        if exists:
+            con.execute(f"INSERT INTO {table} SELECT * FROM parquet_scan('{pattern}')")
+        else:
+            con.execute(f"CREATE TABLE {table} AS SELECT * FROM parquet_scan('{pattern}')")
+        con.commit()
+        return con
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def to_pandas(df: DataFrame, *, limit: int | None = None):
+    """S11: collect to pandas (client.py:95-109). ``limit`` is EXACT here —
+    a documented upgrade over the reference's batch-granularity
+    approximation (client.py:101-104, SURVEY.md §7 R4)."""
+    if limit is not None:
+        df = df.limit(int(limit))
+    return df.toPandas()

@@ -1,0 +1,116 @@
+"""Ingest round-trip + lake scan semantics (SURVEY.md §2.1-2.3, FIXTURES F1/F2/F5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.sources.ingest import (
+    LAKE_COLUMNS,
+    ingest_csv,
+    ingest_directory,
+)
+from mortar_parquet_support_spark.sources.lake import TimeseriesLake, write_metadata_summary
+from tests.conftest import make_stream_csv
+
+U1 = "a0dd74ce-05ee-5fee-8335-2d9856bd52be"
+U2 = "f3b61918-afa9-596d-bef5-40fe1e96454f"
+
+ROWS_1 = [
+    ("2016-11-30 19:33:37+00:00", 0.3),  # deliberately unsorted
+    ("2016-11-30 19:31:37+00:00", 0.1),
+    ("2016-11-30 19:32:37+00:00", 0.2),
+]
+ROWS_2 = [
+    ("2017-09-29 18:10:15+00:00", 1.5),
+    ("2017-09-29 18:11:13+00:00", 2.5),
+]
+
+
+@pytest.fixture(scope="module")
+def lake_dir(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("csvs")
+    dest = tmp_path_factory.mktemp("lake")
+    make_stream_csv(src, U1, "/delta/m5/c12", ROWS_1)
+    make_stream_csv(src, U2, "/delta/m9/c10", ROWS_2)
+    with open(os.path.join(src, "not-a-uuid.csv"), "w") as fh:  # P9 reject
+        fh.write("datetime,x\n2020-01-01 00:00:00+00:00,9.9\n")
+    ingest_directory(spark, "bldg1", str(src), str(dest))
+    return str(dest)
+
+
+def test_roundtrip_schema_and_rows(spark, lake_dir):
+    lake = TimeseriesLake.open(spark, lake_dir)
+    df = lake.df
+    assert sorted(df.columns) == sorted(LAKE_COLUMNS)
+    assert df.count() == 5  # non-uuid file rejected
+    got = {r["uuid"] for r in df.select("uuid").distinct().collect()}
+    assert got == {U1, U2}
+
+
+def test_values_and_derived_columns(spark, lake_dir):
+    lake = TimeseriesLake.open(spark, lake_dir)
+    rows = lake.scan(uuids=[U1]).orderBy("time").collect()
+    assert [r.value for r in rows] == [0.1, 0.2, 0.3]  # sorted on ingest (O1)
+    assert rows[0].label == "/delta/m5/c12"
+    assert rows[0].uri == "urn:bldg1//delta/m5/c12"  # P3: urn:{collection}/{label}
+    assert rows[0].collection == "bldg1"
+    assert str(rows[0].time) == "2016-11-30 19:31:37"  # UTC session, µs truncation
+
+
+def test_scan_time_range_defaults_and_bounds(spark, lake_dir):
+    lake = TimeseriesLake.open(spark, lake_dir)
+    assert lake.scan().count() == 5  # defaults 2000..2100 (client.py:67-68)
+    assert lake.scan(start="2017-01-01").count() == 2
+    assert lake.scan(end="2017-01-01").count() == 3
+    assert (
+        lake.scan(uuids=[U1], start="2016-11-30 19:32:00", end="2016-11-30 19:33:00").count()
+        == 1
+    )
+
+
+def test_scan_ids_semi_join(spark, lake_dir):
+    lake = TimeseriesLake.open(spark, lake_dir)
+    ids = spark.createDataFrame([(U2,)], ["uuid"])
+    out = lake.scan_ids(ids)
+    assert out.count() == 2
+    assert {r.uuid for r in out.select("uuid").collect()} == {U2}
+
+
+def test_single_file_parity_and_rejects(spark, tmp_path):
+    dest = tmp_path / "lake2"
+    good = make_stream_csv(tmp_path, U1, "sensor-a", ROWS_1)
+    assert ingest_csv(spark, "c1", good, str(dest)) is not None
+    bad_name = os.path.join(tmp_path, "nope.csv")
+    with open(bad_name, "w") as fh:
+        fh.write("datetime,x\n2020-01-01 00:00:00+00:00,1\n")
+    assert ingest_csv(spark, "c1", bad_name, str(dest)) is None  # transform.py:11-16
+    bad_col = make_stream_csv(tmp_path, U2, "y", [("2020-01-01 00:00:00+00:00", 1.0)])
+    assert ingest_csv(spark, "c1", bad_col, str(dest), time_col="ts") is None  # :20-23
+
+
+def test_partition_uuid_layout_parity(spark, tmp_path):
+    src = tmp_path / "csvs"
+    src.mkdir()
+    dest = tmp_path / "lake3"
+    make_stream_csv(src, U1, "a", ROWS_1)
+    ingest_directory(spark, "bldg9", str(src), str(dest), partition_uuid=True)
+    leaf = dest / "collection=bldg9" / f"uuid={U1}"
+    assert leaf.is_dir()  # reference layout (transform.py:39, README.md:25-52)
+    # partition pruning: an isin filter on uuid must reach PartitionFilters
+    lake = TimeseriesLake.open(spark, str(dest))
+    plan = lake.scan(uuids=[U1])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and U1 in plan
+
+
+def test_pushed_filters_time_range(spark, lake_dir):
+    lake = TimeseriesLake.open(spark, lake_dir)
+    plan = lake.scan(start="2017-01-01")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(time" in plan
+
+
+def test_metadata_summary(spark, lake_dir):
+    info = write_metadata_summary(lake_dir)
+    assert info["rows"] == 5
+    assert os.path.exists(os.path.join(lake_dir, "_metadata"))
+    assert os.path.exists(os.path.join(lake_dir, "_common_metadata"))

