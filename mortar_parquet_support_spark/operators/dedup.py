@@ -1,0 +1,332 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (SURVEY.md §2.6 declares the absence); required by the
+driver north star (BASELINE.json:6). Five families, each with a distinct
+scale/recall tradeoff, all pure DataFrame ops (no Python in the hot path):
+
+- exact:            hash-groupBy. One shuffle on the digest.
+- minhash + LSH:    shingle -> minhash signature -> banded buckets ->
+                    candidate pairs -> exact-Jaccard verify. The 100 TB
+                    fuzzy-dedup workhorse: candidate generation is an
+                    equi-join on (band, bucket-hash), never all-pairs.
+- simhash:          64-bit bit-vote fingerprint; near-dups collide on
+                    Hamming-adjacent fingerprints (checked via bands).
+- n-gram Jaccard:   exact pairwise similarity, for verification / small
+                    candidate sets (quadratic within a candidate group ONLY).
+- embedding cosine: random-hyperplane LSH buckets + within-bucket cosine.
+
+Determinism: every hash is either md5 (via a fixed-width hex slice) or
+xxhash64 with a fixed seed; permutation parameters derive from a seeded
+linear congruence — reruns and other engines can reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.functions import cosine_similarity, word_shingles
+
+# Mersenne prime 2^31-1: modulus for minhash permutations. 31-bit keeps
+# a*h+b under 2^63 (no ANSI long overflow) while giving minhash plenty of
+# hash resolution.
+_MERSENNE = (1 << 31) - 1
+
+
+def md5_int(col: Column, *, bits: int = 60, salt: str = "") -> Column:
+    """Deterministic non-negative int from md5 hex (engine-portable:
+    DuckDB reproduces it with the same hex-slice arithmetic)."""
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt), col)), 1, bits // 4)
+    return F.conv(hexpart, 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    id_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Exact dedup: one digest-groupBy shuffle. Returns one row per distinct
+    content: (keep_id = min id, digest, dup count). ``normalize`` lowercases
+    and collapses whitespace/punctuation first (catches trivial variants)."""
+    parts = [F.col(c).cast("string") for c in cols]
+    if normalize:
+        parts = [
+            F.trim(F.regexp_replace(F.lower(p), r"[^a-z0-9]+", " ")) for p in parts
+        ]
+    digest = F.md5(F.concat_ws("", *parts))
+    return (
+        df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Seeded LCG-derived (a, b) pairs for h_i(x) = (a*x + b) mod M."""
+    params = []
+    state = seed & 0xFFFFFFFFFFFF
+    for _ in range(num_perm):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column,
+    *,
+    shingle_words: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> Column:
+    """array<long> minhash signature of a text column, fully JVM-side:
+    word shingles -> xxhash64 per shingle -> per-permutation array_min.
+
+    No explode: the signature is computed with higher-order functions inside
+    one projection, so a 100 TB corpus streams through map tasks with zero
+    shuffle until the LSH bucket join.
+    """
+    shingles = word_shingles(text)
+    hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MERSENNE)))
+    sigs = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+                )
+            ),
+            F.lit(_MERSENNE),
+        )
+        for (a, b) in _minhash_params(num_perm, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band of
+    their minhash signature. Returns (id_a, id_b) with id_a < id_b.
+
+    Scale shape: explode to (band, band_hash, id) — num_perm/bands rows per
+    doc — then a self-equi-join per bucket. Buckets with a single member
+    never join; hot buckets are split by AQE skew handling.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(
+        F.col(text_col), shingle_words=shingle_words, num_perm=num_perm, seed=seed
+    )
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        F.lit(seed),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs.
+    Joins the (small) candidate set against per-doc shingle arrays twice;
+    intersection/union via array functions — no explode, no UDF."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_words).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
+        "double"
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(1.0)).alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Full fuzzy-dedup pipeline: LSH candidates -> exact-Jaccard verify ->
+    pairs >= threshold. The returned pair list feeds connected-components /
+    keep-min-id policies downstream."""
+    cands = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands, seed=seed
+    )
+    scored = jaccard_pairs(df, cands, id_col=id_col, text_col=text_col)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    text: Column,
+    *,
+    bits: int = 64,
+    seed: int = 42,
+) -> Column:
+    """64-bit SimHash fingerprint, fully JVM-side.
+
+    Tokens -> xxhash64 -> per-bit weighted vote via higher-order functions:
+    for each bit position the vote is Σ tokens (+1 if bit set else -1);
+    fingerprint bit = vote > 0. Zero shuffle (pure projection)."""
+    tokens = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    bit_exprs = []
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    band_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: split the 64-bit fingerprint
+    into 4 16-bit bands; docs sharing any band are candidates (covers all
+    pairs within Hamming distance 3). Returns (id_a, id_b, simhash_a/b)."""
+    n_bands = 64 // band_bits
+    fp = simhash(F.col(text_col), seed=seed)
+    with_fp = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    banded = with_fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("simhash_a"),
+            F.col("b.fp").alias("simhash_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH bucket (n_planes sign
+    bits -> one of 2^n buckets), pairwise cosine WITHIN buckets only.
+
+    The hyperplanes are pseudo-random but seed-deterministic, generated
+    JVM-side from xxhash64(dimension_index, plane, seed) — no driver-side
+    numpy state shipped to executors. Quadratic cost is confined to bucket
+    population (expected n/2^planes), and AQE splits skewed buckets."""
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    plane_bits = []
+    for p in range(n_planes):
+        # pseudo-random ±1 weights per dimension; dot(vec, plane) sign
+        signed = F.zip_with(
+            F.col(vec_col),
+            dim_idx,
+            lambda v, i: F.when(
+                F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2)) == 1, v.cast("double")
+            ).otherwise(-v.cast("double")),
+        )
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        plane_bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = plane_bits[0]
+    for e in plane_bits[1:]:
+        bucket = bucket + e
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,144 @@
+"""Text-analysis operators over a documents table (BASELINE.json:6).
+
+All pure built-in expressions (regex + string + array functions), so every
+operator is a zero-shuffle projection that rides along with any scan —
+exactly what a 100 TB filter-and-score pass needs. Each helper returns a
+Column so operators compose into one projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deliberately small + hardcoded: deterministic and cheap.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "en", "que", "por", "con", "para"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "on", "with", "as", "at", "by", "be"]
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
+# the pre-tokenization regex family used by byte-pair encoders.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Tokens by whitespace split (0 for empty/blank strings)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens via regexp_count — an upper-bound
+    estimate of encoded token count without shipping a tokenizer."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def upper_ratio(text: Column) -> Column:
+    n = F.regexp_count(text, F.lit(r"[A-Za-z]"))
+    u = F.regexp_count(text, F.lit(r"[A-Z]"))
+    return F.when(n > 0, u.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    d = F.regexp_count(text, F.lit(r"[0-9]"))
+    return F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords,
+    computed with array ops — no explode."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    total = F.size(words)
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, low punct/digit
+    noise, healthy stopword presence. Weights are fixed and documented so
+    the score is stable across releases."""
+    n = F.length(text)
+    len_score = F.when(n < 20, n / F.lit(20.0)).when(n > 10000, F.lit(0.5)).otherwise(F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(text) * 4)
+    sw = stopword_ratio(text)
+    sw_score = F.when(sw > 0.05, F.lit(1.0)).otherwise(sw * 20)
+    return F.round(
+        len_score * 0.3 + punct_pen * 0.25 + digit_pen * 0.2 + sw_score * 0.25, 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: count marker-stopword hits per language,
+    pick the max (ties broken by language code order); 'und' when nothing
+    matches. Pure array expressions."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    scores = []
+    for code in sorted(_LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[code]])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the casefolded, punctuation/whitespace-
+    normalized text — robust to formatting-only edits. (Content-defined
+    rolling-hash chunking belongs at the file layer; for document-granular
+    dedup the normalized digest is the standard key.)"""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    return F.md5(normalized)
+
+
+def rolling_hash(text: Column, *, window: int = 16, mod: int = 1 << 31) -> Column:
+    """Karp-Rabin style rolling fingerprint set: polynomial hash of every
+    ``window``-gram, keep the minimum (a 1-element winnowing sketch).
+    Deterministic; JVM-side via higher-order functions."""
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+
+    def gram_hash(i):
+        chars = F.transform(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            lambda j: F.coalesce(F.ascii(text.substr(i + j, F.lit(1))), F.lit(0)),
+        )
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(acc * 131 + c, F.lit(mod)),
+        )
+
+    return F.array_min(F.transform(idx, gram_hash))
+
+
+def analyze(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """One-projection text-analysis pass attaching all metrics."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        whitespace_token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(upper_ratio(t), 6).alias("upper_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,243 @@
+"""Timeseries operators over the lake (and any (key, time, value) table).
+
+The reference has NO aggregation/window layer (SURVEY.md §2.6) — typical
+Mortar analyses do resampling/rollups client-side in pandas. These operators
+provide that layer engine-side, Spark-first, each designed so its shuffle
+structure survives a 100 TB lake:
+
+- every operator shuffles AT MOST ONCE, on the stream key (plus coarse time
+  bucket where noted), never on raw rows twice;
+- as-of join is a union + one window, not a per-row range probe — the classic
+  distributed formulation (one shuffle of both sides together, no skewed
+  range-join explosion);
+- gap-fill generates grids with ``sequence``/``explode`` JVM-side — no
+  driver loops, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def interval_seconds(spec: str) -> int:
+    """'15 minutes' -> 900. Spark can't extract(epoch FROM interval); parse
+    the small duration grammar driver-side instead."""
+    amount, unit = spec.strip().split()
+    return int(amount) * _UNIT_SECONDS[unit.lower()]
+
+
+def _epoch(c: Column) -> Column:
+    """Epoch seconds for both TIMESTAMP and TIMESTAMP_NTZ columns (NTZ can't
+    cast to numeric). Second granularity — gap/tolerance/bucket arithmetic
+    here is whole-second."""
+    return F.unix_timestamp(c)
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    *,
+    ts: str = "time",
+    keys: Sequence[str] = ("uuid",),
+    bucket: str = "15 minutes",
+    aggs: dict[str, str] | None = None,
+    value: str = "value",
+) -> DataFrame:
+    """Hypertable-style rollup: per key, per fixed time bucket, aggregate.
+
+    One shuffle on (keys, bucket); partial aggregation is map-side because
+    ``groupBy`` over built-in aggs compiles to hash-aggregate with a partial
+    phase. Output bucket column is the window start (epoch-aligned).
+    """
+    aggs = aggs or {"avg": "avg", "min": "min", "max": "max", "count": "count"}
+    win = F.window(F.col(ts), bucket)
+    exprs = [getattr(F, fn)(value).alias(name) for name, fn in aggs.items()]
+    return (
+        df.groupBy(*keys, win.alias("w"))
+        .agg(*exprs)
+        .withColumn("bucket", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    ts: str = "time",
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` (direction='backward'; 'forward' mirrors it),
+    per ``on`` key.
+
+    Distributed formulation: tag both sides, union, ONE window sorted by
+    (ts, side) per key, and carry the last non-null right value forward with
+    ``last(..., ignorenulls=True)``. Exactly one shuffle (the window's),
+    both sides co-partitioned by the same key — no range-join blowup, no
+    per-key pandas. Ties (equal ts): the right row sorts first, so a
+    same-timestamp right row IS visible to the left row, matching
+    ``pd.merge_asof``'s default.
+
+    ``tolerance`` (e.g. ``'1 hour'``) drops matches older than the window.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    on = list(on)
+    right_cols = list(right_cols or [c for c in right.columns if c not in (*on, ts)])
+
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(
+        *on,
+        F.col(ts),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in (*on, ts) and c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in right_cols:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    cols = [*on, ts, *[c for c in left.columns if c not in (*on, ts)], *right_cols, "__side"]
+    unioned = lhs.select(*cols).unionByName(rhs.select(*cols))
+
+    if direction == "backward":
+        w = Window.partitionBy(*on).orderBy(F.col(ts).asc(), F.col("__side").asc())
+    else:
+        w = Window.partitionBy(*on).orderBy(F.col(ts).desc(), F.col("__side").asc())
+    picked = [
+        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(f"__r_{c}")
+        for c in right_cols
+    ]
+    match_ts = (
+        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("__r_ts")
+    )
+    out = unioned.select("*", *picked, match_ts).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        delta = _epoch(F.col(ts)) - _epoch(F.col("__r_ts"))
+        if direction == "forward":
+            delta = -delta
+        # tolerance via seconds arithmetic (portable; interval casts differ)
+        tol_secs = F.lit(interval_seconds(tolerance))
+        keep = F.col("__r_ts").isNotNull() & (delta <= tol_secs) & (delta >= 0)
+        out = out.withColumn("__keep", keep)
+        for c in right_cols:
+            out = out.withColumn(f"__r_{c}", F.when(F.col("__keep"), F.col(f"__r_{c}")))
+        out = out.withColumn("__r_ts", F.when(F.col("__keep"), F.col("__r_ts"))).drop("__keep")
+    # drop the NULL placeholders that only existed to align the union, then
+    # surface the windowed right values under their real names
+    for c in right_cols:
+        if c not in left.columns:
+            out = out.drop(c)
+    renames = {f"__r_{c}": f"right_{c}" if c in left.columns else c for c in right_cols}
+    for src, dst in renames.items():
+        out = out.withColumnRenamed(src, dst)
+    return out.withColumnRenamed("__r_ts", "matched_ts").drop("__side")
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    ts: str = "time",
+    keys: Sequence[str] = ("uuid",),
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap from
+    the previous event exceeds ``gap``. One shuffle (the per-key window);
+    session id = cumulative count of gap-breaks, deterministic."""
+    w = Window.partitionBy(*keys).orderBy(ts)
+    gap_secs = F.lit(interval_seconds(gap))
+    prev = F.lag(F.col(ts)).over(w)
+    is_break = (
+        prev.isNull() | ((_epoch(F.col(ts)) - _epoch(prev)) > gap_secs)
+    ).cast("long")
+    return df.withColumn("session_id", F.sum(is_break).over(w))
+
+
+def topk_per_group(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group via row_number over a per-key window — one
+    shuffle; AQE handles skewed keys. Callers must make ``order_by``
+    deterministic (include a tiebreaker column)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def resample(
+    df: DataFrame,
+    *,
+    ts: str = "time",
+    keys: Sequence[str] = ("uuid",),
+    step: str = "15 minutes",
+    value: str = "value",
+    how: str = "last",
+    fill: str | None = "ffill",
+) -> DataFrame:
+    """Regularize each stream onto a fixed grid:
+
+    1. bucket-aggregate to the grid (one shuffle),
+    2. per key, generate the full dense grid with ``sequence()`` between the
+       stream's min/max bucket (JVM-side; no driver loop),
+    3. left-join observations back onto the grid (co-partitioned: same key,
+       same shuffle layout),
+    4. optional forward-fill through a per-key window.
+
+    Scale: the grid explode is proportional to output size (bounded by
+    range/step), never quadratic; forward-fill is one more window over the
+    same partitioning, which AQE keeps co-located.
+    """
+    if how not in ("last", "first", "avg", "min", "max"):
+        raise ValueError(f"unsupported how={how!r}")
+    step_secs = F.lit(interval_seconds(step))
+    bucket = F.to_timestamp(
+        F.from_unixtime((_epoch(F.col(ts)) / step_secs).cast("long") * step_secs)
+    )
+    agg_fn = {
+        "last": lambda c: F.last(c, ignorenulls=True),
+        "first": lambda c: F.first(c, ignorenulls=True),
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+    }[how]
+    obs = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*keys, "__bucket")
+        .agg(agg_fn(F.col(value)).alias(value))
+    )
+    grid = (
+        obs.groupBy(*keys)
+        .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval '{step}'"))
+            ).alias("__bucket"),
+        )
+    )
+    out = grid.join(obs, on=[*keys, "__bucket"], how="left")
+    if fill == "ffill":
+        w = Window.partitionBy(*keys).orderBy("__bucket")
+        out = out.withColumn(value, F.last(F.col(value), ignorenulls=True).over(w))
+    elif fill not in (None, "none"):
+        raise ValueError(f"unsupported fill={fill!r}")
+    return out.withColumnRenamed("__bucket", ts)

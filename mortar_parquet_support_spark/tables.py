@@ -1,0 +1,42 @@
+"""Loaders for the driver-provided relational tables (TESTDATA.md,
+FIXTURES.md F4) with type normalization quirks handled in one place.
+
+The notable quirk: ``events.ts`` is Parquet INT64 TIMESTAMP(NANOS) —
+Spark has no nanosecond timestamp and refuses the column outright
+(PARQUET_TYPE_ILLEGAL). We read it via the documented escape hatch
+(``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
+TIMESTAMP_NTZ with integer division — the same floor-truncation DuckDB
+applies when it reads the file, so oracle comparisons agree (SURVEY.md §7
+R5). The NTZ reconstruction uses ``timestampadd`` on an NTZ literal, which
+is session-timezone-independent by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_ntz = F.expr(
+            "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return raw.withColumn("ts", ts_ntz)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *, suffix: str = "") -> None:
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name + suffix)

@@ -1,0 +1,259 @@
+"""Operator-layer tests: timeseries, dedup, similarity, text, multimodal."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.operators import dedup, multimodal, similarity, text, timeseries
+
+
+from mortar_parquet_support_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------- timeseries
+def test_time_bucket_rollup(events):
+    out = timeseries.time_bucket_rollup(
+        events, ts="ts", keys=["event_type"], bucket="1 hour", value="value"
+    )
+    total = out.agg(F.sum("count")).collect()[0][0]
+    assert total == events.count()
+    one = out.filter(F.col("event_type") == "click").orderBy("bucket").first()
+    assert one["min"] <= one["avg"] <= one["max"]
+
+
+def test_asof_join_matches_pandas(spark):
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 20.0, 2), ("a", 5.0, 3), ("b", 7.0, 4)],
+        ["k", "t", "lid"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "lid")
+    right = spark.createDataFrame(
+        [("a", 9.0, 100.0), ("a", 15.0, 200.0), ("b", 8.0, 300.0)],
+        ["k", "t", "rv"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "rv")
+    out = timeseries.asof_join(left, right, on=["k"], ts="t").orderBy("lid")
+    got = [(r.lid, r.rv) for r in out.collect()]
+    # pandas merge_asof oracle
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="k").sort_values("lid")
+    assert got == [
+        (int(r.lid), None if pd.isna(r.rv) else float(r.rv)) for r in exp.itertuples()
+    ]
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([("a", 100.0, 1)], ["k", "t", "lid"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "lid"
+    )
+    right = spark.createDataFrame([("a", 10.0, 5.0)], ["k", "t", "rv"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "rv"
+    )
+    hit = timeseries.asof_join(left, right, on=["k"], ts="t", tolerance="2 minutes")
+    assert hit.first().rv == 5.0
+    miss = timeseries.asof_join(left, right, on=["k"], ts="t", tolerance="30 seconds")
+    assert miss.first().rv is None
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [("u", 0.0), ("u", 60.0), ("u", 4000.0), ("u", 4100.0), ("v", 0.0)],
+        ["k", "t"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    out = timeseries.sessionize(df, ts="t", keys=["k"], gap="30 minutes")
+    sess = {(r.k, int(r.t.timestamp())): r.session_id for r in out.collect()}
+    assert sess[("u", 0)] == sess[("u", 60)] == 1
+    assert sess[("u", 4000)] == sess[("u", 4100)] == 2
+    assert sess[("v", 0)] == 1
+
+
+def test_resample_ffill(spark):
+    df = spark.createDataFrame(
+        [("s", 0.0, 1.0), ("s", 1800.0, None), ("s", 3600.0, 3.0)],
+        ["uuid", "t", "value"],
+    ).select("uuid", F.col("t").cast("timestamp").alias("time"), "value")
+    out = timeseries.resample(df, step="15 minutes", how="last", fill="ffill")
+    vals = [r.value for r in out.orderBy("time").collect()]
+    assert vals == [1.0, 1.0, 1.0, 1.0, 3.0]  # 0,900,1800(ffill),2700,3600
+
+
+def test_topk_per_group(events):
+    out = timeseries.topk_per_group(
+        events, keys=["event_type"], order_by=[F.col("value").desc(), "event_id"], k=3
+    )
+    counts = {r.event_type: r.n for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 3 for v in counts.values())
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "Hello, WORLD!"), (4, "other")],
+        ["doc_id", "text"],
+    )
+    plain = dedup.exact_dedup(df, ["text"], id_col="doc_id")
+    assert plain.count() == 3  # 1+2 collide
+    norm = dedup.exact_dedup(df, ["text"], id_col="doc_id", normalize=True)
+    assert norm.count() == 2  # 1+2+3 collide
+    keep = {r.keep_id for r in norm.collect()}
+    assert keep == {1, 4}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark dataframes and parquet files here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_dedup(df, id_col="doc_id", text_col="text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got  # identical
+    assert (1, 2) in got or (2, 4) in got  # near-dup caught
+    assert all(3 not in p for p in got)
+
+
+def test_minhash_jaccard_exact_on_identical(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g"), (2, "a b c d e f g")], ["doc_id", "text"])
+    pairs = dedup.minhash_dedup(df, id_col="doc_id", text_col="text", threshold=0.99)
+    rows = pairs.collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_simhash_dedup(spark):
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, "zzz totally other yyy xxx qqq")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_dedup(df, id_col="doc_id", text_col="text")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical fingerprints always band-collide
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", dedup.simhash(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2]
+    ham_near = bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((fps[1] ^ fps[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < 16 < ham_far  # near-dup close in Hamming space, unrelated far
+
+
+def test_embedding_dedup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dedup.embedding_dedup(df, id_col="vec_id", vec_col="embedding", threshold=0.99, n_planes=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------- similarity
+def test_cosine_topk_exact(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(embeddings, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 3 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine, r.neighbor_id))
+    for q, lst in by_q.items():
+        lst.sort()
+        sims = [c for _, c, _ in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n != q for _, _, n in lst)
+
+
+def test_lsh_topk_planted_neighbors(spark, embeddings):
+    # On uniformly random vectors (near-orthogonal) bucket LSH has near-zero
+    # recall BY DESIGN; plant true near-duplicates and verify those are found.
+    base = embeddings.limit(20).collect()
+    planted = [
+        (r.vec_id + 100000, [v * 0.999 + 0.001 for v in r.embedding], r.label)
+        for r in base
+    ]
+    corpus = embeddings.unionByName(
+        spark.createDataFrame(planted, embeddings.schema.names)
+    )
+    queries = spark.createDataFrame(base, embeddings.schema.names)
+    approx = similarity.lsh_topk(corpus, queries, k=1, n_planes=8)
+    a = {r.query_id: (r.neighbor_id, r.cosine) for r in approx.collect()}
+    hits = sum(1 for q, (n, c) in a.items() if n == q + 100000)
+    assert hits >= len(base) * 0.7  # planted twin lands in the same bucket
+    exact = similarity.cosine_topk(corpus, queries, k=1)
+    e = {r.query_id: r.neighbor_id for r in exact.collect()}
+    assert all(e[q] == q + 100000 for q in e)  # exact search always finds it
+
+
+# ---------------------------------------------------------------- text
+def test_text_analyze(documents):
+    out = text.analyze(documents.limit(50))
+    row = out.first()
+    assert row.n_tokens > 0 and row.n_bpe_tokens >= row.n_tokens
+    assert 0.0 <= row.punct_ratio <= 1.0
+    assert 0.0 <= row.quality <= 1.0
+    assert len(row.fingerprint) == 32
+    en = out.filter(F.col("lang") == "en")
+    if en.count() > 0:
+        guesses = [r.lang_guess for r in en.collect()]
+        assert guesses.count("en") >= len(guesses) // 2
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "goodbye")], ["id", "t"]
+    )
+    fps = {r.id: r.fp for r in df.select("id", text.fingerprint(F.col("t")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_rolling_hash_deterministic(spark):
+    df = spark.createDataFrame([(1, "abcdefghijklmnopqrstuvwxyz")], ["id", "t"])
+    a = df.select(text.rolling_hash(F.col("t")).alias("h")).first().h
+    b = df.select(text.rolling_hash(F.col("t")).alias("h")).first().h
+    assert a == b and a >= 0
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_pipeline(spark, tmp_path):
+    for name, content in [("a.jpg", b"x" * 10000), ("b.wav", b"y" * 3000)]:
+        (tmp_path / name).write_bytes(content)
+    df = multimodal.ingest_binary_dir(spark, str(tmp_path))
+    rows = {r.meta.format: r for r in df.collect()}
+    assert rows["jpg"].meta.modality == "image" and rows["jpg"].meta.n_bytes == 10000
+    assert rows["wav"].meta.modality == "audio"
+
+    feats = multimodal.extract_features(df, n_features=8)
+    frows = feats.collect()
+    assert all(len(r.features) == 8 for r in frows)
+    # deterministic: same bytes -> same features
+    feats2 = {r.media_id: r.features for r in multimodal.extract_features(df, n_features=8).collect()}
+    assert all(feats2[r.media_id] == r.features for r in frows)
+
+    frames = multimodal.frame_sample(df)
+    per = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
+    assert any(v >= 2 for v in per.values())  # 10000 bytes -> 2 pseudo-frames
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(df, decode_fn="real").collect()
