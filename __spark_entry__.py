@@ -1,38 +1,1001 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship composite query on sf0.001;
+``queries()`` exposes one DataFrame callable per implemented operator from
+SURVEY.md §2 (+ the LLM-pipeline extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry. Column aliases match
+exactly on both sides; every float aggregate is rounded identically on both
+sides so value hashes are comparable.
+
+Implementation notes:
+- Spark queries go through ``mortar_parquet_support_spark`` (the engine under
+  test), not ad-hoc code: scans/filters via the lake idioms, operators via
+  ``operators/*``.
+- ``events.ts`` is Parquet INT64 TIMESTAMP(NANOS); both engines truncate to
+  microseconds (ours via tables.load_table, DuckDB natively) so values agree.
+- Non-SQL-expressible entries (SPARQL compiler, ingest round-trip, streaming,
+  xxhash-based LSH ops) intentionally have no oracle — the driver records a
+  rows-only check for them (see oracle_sql docstring).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+_SPARK_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        _SPARK_FNS[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mortar_parquet_support_spark.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Reference-surface operators (SURVEY.md §2.1-2.3) on the events "stream"
+# ===========================================================================
+
+@_register(
+    "flagship_scan",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def _flagship_scan(spark, sf_dir):
+    """P5∧P6∧P7 (client.py:65-72): IN-set + inclusive time range, pushed to
+    the scan (PushedFilters on both columns)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@_register(
+    "semi_join_ids",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id IN (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    )
+    """,
+)
+def _semi_join_ids(spark, sf_dir):
+    """§2.5 composite at scale: broadcast LEFT SEMI join of the stream
+    against a derived id set (the graph->data bridge shape)."""
+    ev = _t(spark, sf_dir, "events")
+    ids = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)).select(
+        "user_id"
+    ).distinct()
+    return ev.join(F.broadcast(ids), "user_id", "left_semi").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@_register(
+    "anti_join",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def _anti_join(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS) — declared-absent in the reference
+    (SURVEY §2.6), table stakes for an engine."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@_register(
+    "union_sites",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+    """,
+)
+def _union_sites(spark, sf_dir):
+    """O4 (client.py:63): vertical union of per-'site' result frames."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.filter(F.col("event_type") == "click").unionByName(
+        ev.filter(F.col("event_type") == "error")
+    )
+
+
+@_register("distinct_types", "SELECT DISTINCT event_type FROM events")
+def _distinct_types(spark, sf_dir):
+    """O3 (client.py:69): distinct value harvest."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@_register("row_count", "SELECT CAST(count(*) AS BIGINT) AS n FROM events")
+def _row_count(spark, sf_dir):
+    """O5 (client.py:75-80): row-count aggregate."""
+    return _t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "limit_exact",
+    "SELECT event_id, user_id, value FROM events ORDER BY event_id LIMIT 100",
+)
+def _limit_exact(spark, sf_dir):
+    """O2 with the documented upgrade: EXACT limit (SURVEY §7 R4) over a
+    deterministic order."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+@_register(
+    "stringify_cast",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS event_id_str,
+           CAST(user_id AS VARCHAR) AS user_id_str,
+           'urn:site0/' || event_type AS uri
+    FROM events
+    """,
+)
+def _stringify_cast(spark, sf_dir):
+    """P8 (client.py:43,53) stringified bindings + P3 computed uri."""
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("event_id_str"),
+        F.col("user_id").cast("string").alias("user_id_str"),
+        F.concat(F.lit("urn:site0/"), F.col("event_type")).alias("uri"),
+    )
+
+
+@_register(
+    "regex_extract_filter",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+    FROM events
+    WHERE regexp_matches(props, '"k": \\d+')
+    """,
+)
+def _regex_extract_filter(spark, sf_dir):
+    """P9/S2 analog: regex validity filter + extraction (transform.py:10-16
+    filename-UUID parse re-expressed as a column op)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("props").rlike('"k": \\d+')).select(
+        "event_id",
+        F.regexp_extract("props", '"k": (\\d+)', 1).cast("long").alias("k"),
+    )
+
+
+# ===========================================================================
+# Relational / aggregation coverage (TPC-H-shaped; SURVEY §2.6 extensions)
+# ===========================================================================
+
+@_register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def _tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def _tpch_q3(spark, sf_dir):
+    """Shipping priority: broadcast the small dims, shuffle lineitem once."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_register(
+    "tpch_q5",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def _tpch_q5(spark, sf_dir):
+    """Local supplier volume: five joins; every dim side broadcast, the one
+    fact shuffle keyed on l_orderkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "tpch_q6",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def _tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@_register(
+    "group_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _group_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@_register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def _rollup_agg(spark, sf_dir):
+    """Hierarchical grouping-sets aggregate (declared-absent in the
+    reference; SURVEY §2.6)."""
+    return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@_register(
+    "window_topk",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def _window_topk(spark, sf_dir):
+    """Top-k per group via ranking window (operators/timeseries.py
+    topk_per_group)."""
+    from mortar_parquet_support_spark.operators.timeseries import topk_per_group
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return topk_per_group(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+@_register(
+    "window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+)
+def _window_running(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@_register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def _pivot_status(spark, sf_dir):
+    """Pivot (explicit value list -> stable schema at any scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+@_register(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def _intersect_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select("user_id").intersect(
+        ev.filter(F.col("event_type") == "purchase").select("user_id")
+    )
+
+
+@_register(
+    "except_users",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    """,
+)
+def _except_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-03 00:00:00")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .subtract(ev.filter(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+@_register(
+    "scalar_battery",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_type) AS type_len,
+           abs(p_size - 25) AS size_dist,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           ROUND(sqrt(p_retailprice), 4) AS price_sqrt,
+           coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+           CASE WHEN p_size >= 30 THEN 'large' WHEN p_size >= 10 THEN 'mid' ELSE 'small' END AS size_class,
+           greatest(p_size, 20) AS size_floor20
+    FROM part
+    """,
+)
+def _scalar_battery(spark, sf_dir):
+    """String/math/conditional scalar-function coverage (SURVEY §2.6 —
+    absent in the reference, required of an engine)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_type").alias("type_len"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#13")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.when(F.col("p_size") >= 30, "large")
+        .when(F.col("p_size") >= 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.greatest("p_size", F.lit(20)).alias("size_floor20"),
+    )
+
+
+# ===========================================================================
+# Timeseries operators (SURVEY §2.6 quality-of-life + north-star)
+# ===========================================================================
+
+@_register(
+    "time_bucket_rollup",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def _time_bucket_rollup(spark, sf_dir):
+    """Hypertable rollup (operators/timeseries.py time_bucket_rollup):
+    per-type 15-minute buckets."""
+    from mortar_parquet_support_spark.operators.timeseries import time_bucket_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_bucket_rollup(
+        ev,
+        ts="ts",
+        keys=["event_type"],
+        bucket="15 minutes",
+        value="value",
+        aggs={"n": "count", "sum_value": "sum", "min_value": "min", "max_value": "max"},
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@_register(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def _sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/timeseries.py sessionize):
+    30-minute gap, events per (user, session)."""
+    from mortar_parquet_support_spark.operators.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ts="ts", keys=["user_id"], gap="30 minutes")
+    return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@_register(
+    "asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, NULL::DOUBLE AS r_value, 1 AS side
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, NULL::BIGINT, value, 0
+      FROM events WHERE event_type = 'click'
+    ), matched AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN r_value END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click_value
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, last_click_value
+    FROM matched WHERE side = 1
+    """,
+)
+def _asof_join(spark, sf_dir):
+    """As-of join (operators/timeseries.py asof_join): each purchase joined
+    to the user's latest preceding-or-simultaneous click value. The oracle
+    states the identical union+window algorithm in SQL, pinning the exact
+    tie semantics on both engines."""
+    from mortar_parquet_support_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("value").alias("r_value")
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], ts="ts", right_cols=["r_value"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("last_click_value")
+    )
+
+
+# ===========================================================================
+# LLM-pipeline extensions (BASELINE.json:6)
+# ===========================================================================
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def _dedup_exact(spark, sf_dir):
+    from mortar_parquet_support_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], id_col="doc_id").select(
+        "digest", F.col("keep_id").cast("long").alias("keep_id"), "n_copies"
+    )
+
+
+@_register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def _dedup_fingerprint(spark, sf_dir):
+    """Normalized-fingerprint dedup (operators/text.py fingerprint)."""
+    from mortar_parquet_support_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+    WITH sample AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6
+           ) AS jaccard
+    FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+)
+def _ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-3-gram Jaccard near-dup pairs on a deterministic
+    sample (all-pairs is the VERIFY stage; candidate generation at scale is
+    minhash_lsh — see dedup_minhash entry)."""
+    from mortar_parquet_support_spark.functions import char_ngrams
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
+    jac = inter / union.cast("double")
+    return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        jac >= 0.5
+    )
+
+
+@_register("dedup_minhash")
+def _dedup_minhash(spark, sf_dir):
+    """MinHash+LSH fuzzy dedup (operators/dedup.py minhash_dedup). Uses
+    xxhash64 signatures (no DuckDB equivalent) -> rows-only check; its
+    verify stage (exact Jaccard) is oracle-checked via ngram_jaccard_pairs."""
+    from mortar_parquet_support_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, id_col="doc_id", text_col="text", threshold=0.5)
+
+
+@_register("dedup_simhash")
+def _dedup_simhash(spark, sf_dir):
+    """SimHash banded near-dup candidates (xxhash64-based -> rows-only)."""
+    from mortar_parquet_support_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, id_col="doc_id", text_col="text")
+
+
+@_register(
+    "knn_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(
+               list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6
+             ) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def _knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (operators/similarity.py cosine_topk),
+    scores rounded to 6 dp on both sides; rank ties broken by neighbor id."""
+    from mortar_parquet_support_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, queries, k=5)
+    # re-rank on the ROUNDED score so both engines order identical values
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    rounded = out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@_register("knn_lsh")
+def _knn_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (operators/similarity.py lsh_topk;
+    xxhash64 hyperplanes -> rows-only)."""
+    from mortar_parquet_support_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6)
+
+
+@_register("embedding_dedup")
+def _embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (xxhash64 LSH buckets -> rows-only)."""
+    from mortar_parquet_support_spark.operators.dedup import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup(emb, id_col="vec_id", vec_col="embedding", threshold=0.8)
+
+
+@_register(
+    "text_metrics",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           CASE WHEN length(text) > 0
+                THEN ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text), 6)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6)
+                ELSE 0.0 END AS digit_ratio
+    FROM documents
+    """,
+)
+def _text_metrics(spark, sf_dir):
+    """Token counting + ratio metrics (operators/text.py)."""
+    from mortar_parquet_support_spark.operators import text as T_
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T_.whitespace_token_count(t).alias("n_tokens"),
+        T_.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(T_.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T_.digit_ratio(t), 6).alias("digit_ratio"),
+    )
+
+
+@_register(
+    "text_langid",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+    ), hits AS (
+      SELECT doc_id,
+        len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','for','was'], x))) AS h_en,
+        len(list_filter(w, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','sich'], x))) AS h_de,
+        len(list_filter(w, x -> list_contains(['le','la','les','et','est','pas','des','une','dans','que'], x))) AS h_es_fr_fr,
+        len(list_filter(w, x -> list_contains(['el','la','los','y','es','en','que','por','con','para'], x))) AS h_es
+      FROM words
+    )
+    SELECT doc_id,
+           CASE
+             WHEN greatest(h_en, h_de, h_es_fr_fr, h_es) = 0 THEN 'und'
+             WHEN h_es >= h_en AND h_es >= h_de AND h_es >= h_es_fr_fr THEN 'es'
+             WHEN h_es_fr_fr >= h_en AND h_es_fr_fr >= h_de THEN 'fr'
+             WHEN h_en >= h_de THEN 'en'
+             ELSE 'de'
+           END AS lang_guess
+    FROM hits
+    """,
+)
+def _text_langid(spark, sf_dir):
+    """Stopword-marker language ID (operators/text.py lang_id). Tie policy:
+    max hits, later language code wins ties (array_max on (hits, code))."""
+    from mortar_parquet_support_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@_register(
+    "text_quality",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS dr,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+                  THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> list_contains(['the','and','of','to','is','in','that','it','for','was',
+                                           'a','an','on','with','as','at','by','be'], x))) AS DOUBLE)
+                       / len(string_split_regex(trim(lower(text)), '\\s+'))
+                  ELSE 0.0 END AS sw
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             (CASE WHEN n < 20 THEN n / 20.0 WHEN n > 10000 THEN 0.5 ELSE 1.0 END) * 0.3
+             + greatest(0.0, 1.0 - pr * 4) * 0.25
+             + greatest(0.0, 1.0 - dr * 4) * 0.2
+             + (CASE WHEN sw > 0.05 THEN 1.0 ELSE sw * 20 END) * 0.25, 6) AS quality
+    FROM m
+    """,
+)
+def _text_quality(spark, sf_dir):
+    """Composite quality heuristic (operators/text.py quality_score); the
+    oracle restates the documented fixed-weight formula."""
+    from mortar_parquet_support_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# ===========================================================================
+# Non-SQL-expressible engine entries (rows-only checks)
+# ===========================================================================
+
+@_register("sparql_bridges")
+def _sparql_bridges(spark, sf_dir):
+    """SPARQL-subset compiler (plans/sparql.py) over an embedded Brick-shaped
+    graph: the timeseries-bridge blank-node query (client.py:123). Graph
+    data is independent of sf_dir (the corpus ships with the engine)."""
+    from mortar_parquet_support_spark.plans.sparql import SparqlEngine
+    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA, parse_ttl
+
+    ttl = """
+    @prefix brick: <https://brickschema.org/schema/Brick#> .
+    @prefix b: <urn:fixture#> .
+    b:p1 a brick:Temperature_Sensor ; brick:timeseries [ brick:hasTimeseriesId "11111111-1111-1111-1111-111111111111" ] .
+    b:p2 a brick:Temperature_Setpoint ; brick:timeseries [ brick:hasTimeseriesId "22222222-2222-2222-2222-222222222222" ] .
+    b:vav a brick:VAV ; brick:hasPoint b:p1, b:p2 .
+    """
+    triples = spark.createDataFrame(parse_ttl(ttl, "site0"), schema=TRIPLES_SCHEMA)
+    engine = SparqlEngine(triples)
+    return engine.sql(
+        """
+        PREFIX brick: <https://brickschema.org/schema/Brick#>
+        SELECT ?vav ?sen ?sp WHERE {
+          ?sen_point a brick:Temperature_Sensor ;
+              brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+          ?sp_point a brick:Temperature_Setpoint ;
+              brick:timeseries [ brick:hasTimeseriesId ?sp ] .
+          ?vav a brick:VAV ; brick:hasPoint ?sen_point, ?sp_point .
+        }
+        """
+    )
+
+
+@_register("ingest_roundtrip")
+def _ingest_roundtrip(spark, sf_dir):
+    """CSV->lake ingest round-trip (sources/ingest.py, transform.py parity):
+    write a small single-stream CSV, ingest, scan back sorted."""
+    import os
+    import tempfile
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.lake import TimeseriesLake
+
+    work = tempfile.mkdtemp(prefix="mortar_entry_")
+    src = os.path.join(work, "csv")
+    os.makedirs(src)
+    uuid = "a0dd74ce-05ee-5fee-8335-2d9856bd52be"
+    with open(os.path.join(src, f"{uuid}.csv"), "w") as fh:
+        fh.write("datetime,test/stream\n")
+        for i in range(500):
+            fh.write(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}+00:00,{i / 10.0}\n")
+    lake_dir = os.path.join(work, "lake")
+    ingest_directory(spark, "site0", src, lake_dir)
+    lake = TimeseriesLake.open(spark, lake_dir)
+    return lake.scan(uuids=[uuid]).select("uuid", "time", "value", "label", "uri")
+
+
+@_register("streaming_rollup")
+def _streaming_rollup(spark, sf_dir):
+    """Structured Streaming windowed rollup (streaming/rollup.py) driven to
+    completion with availableNow over the events parquet; returns the final
+    aggregate as a batch DataFrame."""
+    from mortar_parquet_support_spark.streaming.rollup import stream_rollup_once
+
+    return stream_rollup_once(spark, sf_dir)
+
+
+# ===========================================================================
+# Contract functions
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship composite on sf0.001: pruned stream scan (IN-set + time
+    range) -> 15-minute rollup — the reference's query path (client.py:65-72)
+    plus the engine's rollup layer."""
+    sf_dir = "/root/testdata/sf0.001"
+    from mortar_parquet_support_spark.operators.timeseries import time_bucket_rollup
+    from mortar_parquet_support_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    scanned = ev.filter(
+        F.col("event_type").isin("click", "purchase", "view")
+        & F.col("ts").between("2024-01-01 00:00:00", "2024-01-20 00:00:00")
+    )
+    return time_bucket_rollup(
+        scanned, ts="ts", keys=["event_type"], bucket="15 minutes", value="value"
+    ).select(
+        "event_type",
+        "bucket",
+        F.col("count").cast("long").alias("n"),
+        F.round("avg", 6).alias("avg_value"),
+        F.round("min", 6).alias("min_value"),
+        F.round("max", 6).alias("max_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_SPARK_FNS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents. Omitted on purpose (rows-only checks, with why):
+    dedup_minhash / dedup_simhash / knn_lsh / embedding_dedup (xxhash64
+    signatures have no DuckDB equivalent; their verify stages ARE oracle-
+    checked via ngram_jaccard_pairs / knn_cosine), sparql_bridges (SPARQL
+    engine, no SQL equivalent without the triples loaded), ingest_roundtrip
+    (filesystem side effects), streaming_rollup (Structured Streaming)."""
+    return dict(_ORACLES)
