@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query is materialized through the ``noop`` sink — full plan execution,
+zero driver-collect overhead — so timings measure engine throughput, not
+row serialization to Python. A warmup action amortizes JVM/codegen startup
+out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: every family SURVEY §2 + north-star covers, weighted
+# toward the plans whose physical shape matters at scale (shuffles, joins,
+# windows, LSH self-joins).
+HEADLINE = [
+    "flagship_scan",
+    "semi_join_ids",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "group_distinct",
+    "window_topk",
+    "time_bucket_rollup",
+    "sessionize",
+    "asof_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "knn_cosine",
+    "text_metrics",
+    "text_quality",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from mortar_parquet_support_spark.session import get_spark
+
+    spark = get_spark("mortar-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

