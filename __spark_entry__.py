@@ -889,6 +889,203 @@ def _text_quality(spark, sf_dir):
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+@_register(
+    "stats_per_stream",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           ROUND(min(value), 6) AS min_v, ROUND(max(value), 6) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def _stats_per_stream(spark, sf_dir):
+    """O6 (make-metadata.py:13-18): per-stream min/max/count statistics —
+    the footer-stats aggregation as a first-class query."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
+@_register(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders
+    """,
+)
+def _date_parts(spark, sf_dir):
+    """Date/time scalar functions (SURVEY §2.6 scalar library)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+@_register(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def _json_extract(spark, sf_dir):
+    """Semi-structured JSON column access (props is a JSON string)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@_register(
+    "having_filter",
+    """
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY l_partkey HAVING count(*) > 35
+    """,
+)
+def _having_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .filter(F.col("n") > 35)
+    )
+
+
+@_register(
+    "percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def _percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines: linear interpolation
+    over the sorted set; approx variants exist engine-side but aren't
+    cross-checkable)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@_register(
+    "resample_gapfill",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket_s,
+             ROUND(MAX(value), 6) AS v
+      FROM events GROUP BY user_id, bucket_s
+    ), bounds AS (
+      SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT b.user_id, CAST(gs.g AS BIGINT) AS bucket_s
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.lo, b.hi, 86400)) AS g
+      ) gs
+    )
+    SELECT g.user_id, g.bucket_s AS t_s,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.bucket_s = g.bucket_s
+    """,
+)
+def _resample_gapfill(spark, sf_dir):
+    """Per-stream resample to a 1-day grid + forward fill
+    (operators/timeseries.py resample, how='max' for cross-engine
+    determinism). Times exported as epoch seconds (timezone-proof)."""
+    from mortar_parquet_support_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("time"), "value"
+    )
+    out = resample(ev, keys=["user_id"], step="1 day", how="max", fill="ffill")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("time").alias("t_s"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@_register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE sample AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id % 10 = 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT DISTINCT u, u AS label FROM edges
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT CAST(u AS BIGINT) AS id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY u
+    """,
+)
+def _dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs
+    (operators/dedup.py connected_components): cluster_id = min reachable
+    doc id. Oracle states the same reachability min-label via a recursive
+    CTE."""
+    from mortar_parquet_support_spark.functions import char_ngrams
+    from mortar_parquet_support_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast("double")
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).filter(inter / union >= 0.5).select(
+        "id_a", "id_b"
+    )
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 # ===========================================================================
 # Non-SQL-expressible engine entries (rows-only checks)
 # ===========================================================================

@@ -48,12 +48,28 @@ class Client:
         lake_root: str | None = None,
         *,
         triples: DataFrame | None = None,
+        ontology_path: str | None = None,
     ):
         self.spark = spark
         if triples is None and graph_dir is not None:
             triples = load_graph_dir(spark, graph_dir)
+        if ontology_path is not None and triples is not None:
+            # the reference parses the Brick ontology into EVERY named graph
+            # (setup-graphs.py:22); one shared copy with site='__ontology__'
+            # unioned into every scope is equivalent for BGP matching and
+            # avoids 45 duplicate copies of an 800k-triple ontology.
+            from mortar_parquet_support_spark.sources.ttl import parse_ttl
+
+            with open(ontology_path, encoding="utf-8") as fh:
+                onto_rows = parse_ttl(fh.read(), "__ontology__")
+            onto = spark.createDataFrame(onto_rows, schema=triples.schema)
+            triples = triples.unionByName(onto)
         self.triples = triples
-        self.engine = SparqlEngine(triples) if triples is not None else None
+        self.engine = (
+            SparqlEngine(triples, shared_sites=["__ontology__"])
+            if triples is not None
+            else None
+        )
         self.lake = TimeseriesLake.open(spark, lake_root) if lake_root else None
 
     # ------------------------------------------------------------------

@@ -340,3 +340,54 @@ def embedding_dedup(
         cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster duplicate pairs into components: (id, cluster_id) where
+    cluster_id = min node id reachable in the undirected pair graph — the
+    step that turns near-dup PAIRS into keep-one-per-cluster decisions.
+
+    Iterative min-label propagation to fixpoint; each round is one join +
+    one aggregate on the (small, pairs-sized) label frontier, lineage cut
+    with localCheckpoint. O(diameter) rounds — near-dup clusters are
+    shallow (dup clusters have tiny diameters), so this converges in a few
+    rounds even on billion-edge pair sets.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))

@@ -2,9 +2,10 @@
 
 The reference delegates SPARQL to Oxigraph's Rust engine
 (``/root/reference/mortar-parquet-client/client.py:42,52``). This module
-implements, natively on DataFrames, exactly the surface the Mortar corpus
-exercises (SURVEY.md §2.4 G1-G8 — verified against the embedded queries at
-``client.py:116-140``):
+implements, natively on DataFrames, the surface the Mortar corpus exercises
+(SURVEY.md §2.4 G1-G8 — verified against the embedded queries at
+``client.py:116-140``) plus the common constructs a user migrating from a
+full SPARQL engine expects:
 
 - basic graph patterns (conjunctive triple patterns, shared variables)
 - ``a`` / ``rdf:type``
@@ -13,7 +14,12 @@ exercises (SURVEY.md §2.4 G1-G8 — verified against the embedded queries at
   transitive-closure table (plans/closure.py)
 - blank-node property lists ``[ brick:hasTimeseriesId ?id ]``
 - object lists ``?vav brick:hasPoint ?sen_point, ?sp_point``
-- ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT``
+- ``FILTER`` (comparisons, ``&&``/``||``/``!``, ``regex``, ``strstarts``,
+  ``contains``, ``bound``) — compiled to Column predicates
+- ``OPTIONAL { ... }`` — left outer join on the shared variables
+- ``{ ... } UNION { ... }`` — aligned unionByName with null-fill
+- ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT`` /
+  ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
 
 Compilation: each triple pattern is a filtered scan of the (tiny, cached,
 broadcastable) triples DataFrame with its variable positions renamed to the
@@ -25,9 +31,13 @@ chain of broadcast hash joins, never an accidental cartesian product — the
 same join-ordering job Oxigraph does internally (SURVEY.md §4 'SPARQL join
 ordering' row).
 
-Unsupported constructs (FILTER, OPTIONAL, UNION, GRAPH, ORDER BY, aggregates)
-raise ``SparqlUnsupported`` — the corpus does not use them; declared rather
-than silently wrong.
+Values are untyped lexical strings (parity with the reference's stringified
+bindings, client.py:43,53): FILTER comparisons against numeric literals
+coerce both sides with try_cast(double), everything else compares lexically.
+
+Still unsupported (raise ``SparqlUnsupported``): GRAPH, aggregates,
+subqueries, VALUES/BIND/MINUS/SERVICE, variable predicates, path
+alternatives ``|`` and inverses ``^``.
 """
 
 from __future__ import annotations
@@ -72,12 +82,35 @@ class Pattern:
     obj: Term
 
 
+# filter expression AST: ('cmp', op, a, b) | ('and'|'or', a, b) |
+# ('not', a) | ('call', name, [args]) | Term
+FilterExpr = tuple
+
+
+@dataclass
+class Group:
+    """One group graph pattern: triples + filters + optional groups +
+    union blocks (each a list of alternative sub-groups)."""
+
+    triples: list[Pattern] = field(default_factory=list)
+    filters: list[FilterExpr] = field(default_factory=list)
+    optionals: list["Group"] = field(default_factory=list)
+    unions: list[list["Group"]] = field(default_factory=list)
+
+
 @dataclass
 class Query:
     select: list[str]  # variable names, or ['*']
     distinct: bool
-    patterns: list[Pattern]
+    group: Group
     var_order: list[str]  # first-appearance order, for SELECT *
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: int | None = None
+    offset: int | None = None
+
+    @property
+    def patterns(self) -> list[Pattern]:  # back-compat accessor
+        return self.group.triples
 
 
 # --------------------------------------------------------------------------
@@ -91,18 +124,20 @@ _SPARQL_TOKEN_RE = re.compile(
     | (?P<iriref><[^<>"{}|^`\\\s]*>)
     | (?P<string>"(?:[^"\\\n]|\\.)*")
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>&&|\|\||!=|<=|>=|[=<>!])
     | (?P<punct>[;,.{}\[\]()/|^])
     | (?P<mod>[*+?](?=[\s;,.}\]/]|$))
-    | (?P<word>[^\s;,.{}\[\]()/|^?*+"#]+)
+    | (?P<word>[^\s;,.{}\[\]()/|^?*+"#=<>!&]+)
     """,
     re.VERBOSE,
 )
 
-_KEYWORDS = {"select", "where", "distinct", "prefix"}
 _UNSUPPORTED_RE = re.compile(
-    r"\b(filter|optional|union|graph|order\s+by|group\s+by|limit|offset|values|bind|minus|service)\b",
+    r"^(graph|values|bind|minus|service|group|having|exists)$",
     re.IGNORECASE,
 )
+
+_FILTER_FUNCS = {"regex", "strstarts", "contains", "bound", "str", "lcase", "ucase"}
 
 
 @dataclass
@@ -111,7 +146,6 @@ class _SparqlParser:
     pos: int = 0
     tokens: list[tuple[str, str]] = field(default_factory=list)
     prefixes: dict[str, str] = field(default_factory=dict)
-    patterns: list[Pattern] = field(default_factory=list)
     var_order: list[str] = field(default_factory=list)
     _fresh_n: int = 0
 
@@ -149,9 +183,53 @@ class _SparqlParser:
         if self._peek_word_lower() == "where":
             self._next()
         self._expect_punct("{")
-        self._parse_group()
+        group = self._parse_group()
         self._expect_punct("}")
-        return Query(select=select, distinct=distinct, patterns=self.patterns, var_order=self.var_order)
+
+        order_by: list[tuple[str, bool]] = []
+        limit = offset = None
+        while True:
+            w = self._peek_word_lower()
+            if w == "order":
+                self._next()
+                if self._peek_word_lower() != "by":
+                    raise ValueError("SPARQL parse: ORDER must be followed by BY")
+                self._next()
+                while True:
+                    kind, tok = self._peek()
+                    if kind == "var":
+                        self._next()
+                        order_by.append((tok[1:], True))
+                    elif kind == "word" and tok.lower() in ("asc", "desc"):
+                        asc = tok.lower() == "asc"
+                        self._next()
+                        self._expect_punct("(")
+                        _, v = self._expect("var")
+                        self._expect_punct(")")
+                        order_by.append((v[1:], asc))
+                    else:
+                        break
+            elif w == "limit":
+                self._next()
+                limit = int(self._expect("word")[1])
+            elif w == "offset":
+                self._next()
+                offset = int(self._expect("word")[1])
+            else:
+                break
+        if self._peek()[0] != "eof":
+            raise SparqlUnsupported(
+                f"unsupported trailing SPARQL clause at: {self._peek()[1]!r}"
+            )
+        return Query(
+            select=select,
+            distinct=distinct,
+            group=group,
+            var_order=self.var_order,
+            order_by=order_by,
+            limit=limit,
+            offset=offset,
+        )
 
     # -- token plumbing --
     def _peek(self):
@@ -185,25 +263,63 @@ class _SparqlParser:
         if name not in self.var_order and not name.startswith("__anon"):
             self.var_order.append(name)
 
-    # -- grammar --
-    def _parse_group(self) -> None:
+    # -- group grammar --
+    def _parse_group(self) -> Group:
+        group = Group()
         while True:
             kind, tok = self._peek()
             if kind == "punct" and tok == "}":
-                return
+                return group
             if kind == "eof":
                 raise ValueError("SPARQL parse: unterminated group")
+            if kind == "word" and tok.lower() == "filter":
+                self._next()
+                self._expect_punct("(")
+                group.filters.append(self._parse_filter_expr())
+                self._expect_punct(")")
+                while self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if kind == "word" and tok.lower() == "optional":
+                self._next()
+                self._expect_punct("{")
+                group.optionals.append(self._parse_group())
+                self._expect_punct("}")
+                while self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if kind == "punct" and tok == "{":
+                self._next()
+                alternatives = [self._parse_group()]
+                self._expect_punct("}")
+                while self._peek_word_lower() == "union":
+                    self._next()
+                    self._expect_punct("{")
+                    alternatives.append(self._parse_group())
+                    self._expect_punct("}")
+                if len(alternatives) == 1:
+                    # plain nested group: flatten into the parent
+                    inner = alternatives[0]
+                    group.triples.extend(inner.triples)
+                    group.filters.extend(inner.filters)
+                    group.optionals.extend(inner.optionals)
+                    group.unions.extend(inner.unions)
+                else:
+                    group.unions.append(alternatives)
+                while self._peek() == ("punct", "."):
+                    self._next()
+                continue
             if kind == "word" and _UNSUPPORTED_RE.fullmatch(tok):
                 raise SparqlUnsupported(f"unsupported SPARQL construct: {tok}")
-            subject = self._parse_term(position="subject")
-            self._parse_predicate_object_list(subject)
+            subject = self._parse_term(position="subject", group=group)
+            self._parse_predicate_object_list(subject, group)
             while self._peek() == ("punct", "."):
                 self._next()
 
-    def _parse_predicate_object_list(self, subject: Term) -> None:
+    def _parse_predicate_object_list(self, subject: Term, group: Group) -> None:
         while True:
             path = self._parse_path()
-            self._parse_object_list(subject, path)
+            self._parse_object_list(subject, path, group)
             if self._peek() == ("punct", ";"):
                 while self._peek() == ("punct", ";"):
                     self._next()
@@ -213,10 +329,10 @@ class _SparqlParser:
                 continue
             return
 
-    def _parse_object_list(self, subject: Term, path: list[PathStep]) -> None:
+    def _parse_object_list(self, subject: Term, path: list[PathStep], group: Group) -> None:
         while True:
-            obj = self._parse_term(position="object")
-            self._emit_path(subject, path, obj)
+            obj = self._parse_term(position="object", group=group)
+            self._emit_path(subject, path, obj, group)
             if self._peek() == ("punct", ","):
                 self._next()
                 continue
@@ -247,7 +363,7 @@ class _SparqlParser:
                 continue
             return steps
 
-    def _parse_term(self, position: str) -> Term:
+    def _parse_term(self, position: str, group: Group) -> Term:
         kind, tok = self._next()
         if kind == "var":
             self._note_var(tok[1:])
@@ -269,7 +385,7 @@ class _SparqlParser:
         if kind == "punct" and tok == "[":
             node = Term("var", self._fresh_var())
             if self._peek() != ("punct", "]"):
-                self._parse_predicate_object_list(node)
+                self._parse_predicate_object_list(node, group)
             self._expect_punct("]")
             return node
         raise ValueError(f"SPARQL parse: bad {position} token {kind} {tok!r}")
@@ -282,14 +398,82 @@ class _SparqlParser:
             raise ValueError(f"SPARQL parse: unknown prefix {pfx!r}")
         return self.prefixes[pfx] + local
 
-    def _emit_path(self, subject: Term, steps: list[PathStep], obj: Term) -> None:
+    def _emit_path(self, subject: Term, steps: list[PathStep], obj: Term, group: Group) -> None:
         """Expand a sequence path into atomic patterns with fresh middles."""
         current = subject
         for i, step in enumerate(steps):
             is_last = i == len(steps) - 1
             nxt = obj if is_last else Term("var", self._fresh_var())
-            self.patterns.append(Pattern(current, step, nxt))
+            group.triples.append(Pattern(current, step, nxt))
             current = nxt
+
+    # -- FILTER expressions (precedence: || < && < ! < cmp < primary) --
+    def _parse_filter_expr(self) -> FilterExpr:
+        return self._parse_or()
+
+    def _parse_or(self) -> FilterExpr:
+        left = self._parse_and()
+        while self._peek() == ("op", "||"):
+            self._next()
+            left = ("or", left, self._parse_and())
+        return left
+
+    def _parse_and(self) -> FilterExpr:
+        left = self._parse_not()
+        while self._peek() == ("op", "&&"):
+            self._next()
+            left = ("and", left, self._parse_not())
+        return left
+
+    def _parse_not(self) -> FilterExpr:
+        if self._peek() == ("op", "!"):
+            self._next()
+            return ("not", self._parse_not())
+        return self._parse_cmp()
+
+    def _parse_cmp(self) -> FilterExpr:
+        left = self._parse_primary()
+        kind, tok = self._peek()
+        if kind == "op" and tok in ("=", "!=", "<", ">", "<=", ">="):
+            self._next()
+            right = self._parse_primary()
+            return ("cmp", tok, left, right)
+        return left
+
+    def _parse_primary(self) -> FilterExpr:
+        kind, tok = self._peek()
+        if kind == "punct" and tok == "(":
+            self._next()
+            inner = self._parse_filter_expr()
+            self._expect_punct(")")
+            return inner
+        if kind == "var":
+            self._next()
+            return Term("var", tok[1:])
+        if kind == "string":
+            self._next()
+            return Term("literal", re.sub(r"\\(.)", r"\1", tok[1:-1]))
+        if kind == "iriref":
+            self._next()
+            return Term("iri", tok[1:-1])
+        if kind == "word":
+            if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", tok):
+                self._next()
+                return Term("literal", tok)
+            if tok.lower() in _FILTER_FUNCS:
+                self._next()
+                self._expect_punct("(")
+                args = []
+                while self._peek() != ("punct", ")"):
+                    args.append(self._parse_filter_expr())
+                    if self._peek() == ("punct", ","):
+                        self._next()
+                self._expect_punct(")")
+                return ("call", tok.lower(), args)
+            if ":" in tok:  # prefixed IRI in a filter
+                self._next()
+                return Term("iri", self._expand(tok))
+        raise SparqlUnsupported(f"unsupported FILTER term: {kind} {tok!r}")
 
 
 def parse_sparql(query: str) -> Query:
@@ -311,12 +495,17 @@ class SparqlEngine:
     across queries (SURVEY.md §4).
     """
 
-    def __init__(self, triples: DataFrame):
+    def __init__(self, triples: DataFrame, *, shared_sites: list[str] | None = None):
+        """``shared_sites`` are pseudo-sites (e.g. a loaded ontology under
+        '__ontology__') whose triples are visible in EVERY per-site scope —
+        the reference's per-graph Brick ontology load (setup-graphs.py:22)
+        without 45 duplicate copies."""
         self.triples = (
             triples.select("site", "subject", "predicate", "object")
             .dropDuplicates(["site", "subject", "predicate", "object"])
             .cache()
         )
+        self.shared_sites = list(shared_sites or [])
         self._union = self.triples.select("subject", "predicate", "object").distinct().cache()
         self._closures: dict[str, DataFrame] = {}
 
@@ -328,11 +517,11 @@ class SparqlEngine:
         scope = (
             self._union
             if site is None
-            else self.triples.filter(F.col("site") == site).select(
-                "subject", "predicate", "object"
-            )
+            else self.triples.filter(
+                F.col("site").isin([site, *self.shared_sites])
+            ).select("subject", "predicate", "object")
         )
-        return self._compile(parsed, scope)
+        return self._compile_query(parsed, scope)
 
     def closure(self, predicate: str) -> DataFrame:
         if predicate not in self._closures:
@@ -340,15 +529,10 @@ class SparqlEngine:
         return self._closures[predicate]
 
     # -- compilation --
-    def _compile(self, q: Query, scope: DataFrame) -> DataFrame:
-        if not q.patterns:
+    def _compile_query(self, q: Query, scope: DataFrame) -> DataFrame:
+        acc, bound = self._compile_group(q.group, scope)
+        if acc is None:
             raise SparqlUnsupported("empty WHERE group")
-        ordered = self._order_patterns(q.patterns)
-        acc: DataFrame | None = None
-        bound: set[str] = set()
-        for pat in ordered:
-            acc, bound = self._apply_pattern(acc, bound, pat, scope)
-        assert acc is not None
         if q.select == ["*"]:
             out_vars = [v for v in q.var_order if v in bound]
         else:
@@ -359,7 +543,124 @@ class SparqlEngine:
         out = acc.select(*[F.col(v).cast("string").alias(v) for v in out_vars])
         if q.distinct:
             out = out.dropDuplicates()
+        if q.order_by:
+            exprs = []
+            for var, asc in q.order_by:
+                if var not in out_vars:
+                    raise ValueError(f"ORDER BY variable ?{var} not in SELECT")
+                exprs.append(F.col(var).asc() if asc else F.col(var).desc())
+            out = out.orderBy(*exprs)
+        if q.offset:
+            out = out.offset(int(q.offset))
+        if q.limit is not None:
+            out = out.limit(int(q.limit))
         return out
+
+    def _compile_group(
+        self, group: Group, scope: DataFrame
+    ) -> tuple[DataFrame | None, set[str]]:
+        acc: DataFrame | None = None
+        bound: set[str] = set()
+        for pat in self._order_patterns(group.triples):
+            acc, bound = self._apply_pattern(acc, bound, pat, scope)
+        for alternatives in group.unions:
+            udf, uvars = self._compile_union(alternatives, scope)
+            acc, bound = self._join(acc, bound, udf) if acc is not None else (udf, uvars)
+        for opt in group.optionals:
+            odf, ovars = self._compile_group(opt, scope)
+            if odf is None:
+                continue
+            if acc is None:
+                acc, bound = odf, ovars
+                continue
+            shared = sorted(bound & ovars)
+            if shared:
+                acc = acc.join(F.broadcast(odf), on=shared, how="left")
+            else:
+                acc = acc.crossJoin(F.broadcast(odf))
+            bound |= ovars
+        for fexpr in group.filters:
+            if acc is None:
+                raise SparqlUnsupported("FILTER without preceding patterns")
+            acc = acc.filter(self._compile_filter(fexpr, bound))
+        return acc, bound
+
+    def _compile_union(
+        self, alternatives: list[Group], scope: DataFrame
+    ) -> tuple[DataFrame, set[str]]:
+        frames: list[tuple[DataFrame, set[str]]] = []
+        for alt in alternatives:
+            df, vars_ = self._compile_group(alt, scope)
+            if df is None:
+                raise SparqlUnsupported("empty UNION branch")
+            frames.append((df, vars_))
+        all_vars = sorted(set().union(*[v for _, v in frames]))
+        aligned = []
+        for df, vars_ in frames:
+            missing = [v for v in all_vars if v not in vars_]
+            for v in missing:
+                df = df.withColumn(v, F.lit(None).cast("string"))
+            aligned.append(df.select(*all_vars))
+        out = aligned[0]
+        for df in aligned[1:]:
+            out = out.unionByName(df)
+        return out, set(all_vars)
+
+    def _compile_filter(self, expr: FilterExpr, bound: set[str]):
+        if isinstance(expr, Term):
+            if expr.kind == "var":
+                if expr.value not in bound:
+                    raise ValueError(f"FILTER references unbound variable ?{expr.value}")
+                return F.col(expr.value)
+            return F.lit(expr.value)
+        tag = expr[0]
+        if tag == "and":
+            return self._compile_filter(expr[1], bound) & self._compile_filter(expr[2], bound)
+        if tag == "or":
+            return self._compile_filter(expr[1], bound) | self._compile_filter(expr[2], bound)
+        if tag == "not":
+            return ~self._compile_filter(expr[1], bound)
+        if tag == "cmp":
+            op, lhs, rhs = expr[1], expr[2], expr[3]
+            numeric = any(
+                isinstance(t, Term)
+                and t.kind == "literal"
+                and re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", t.value)
+                for t in (lhs, rhs)
+            )
+            lc = self._compile_filter(lhs, bound)
+            rc = self._compile_filter(rhs, bound)
+            if numeric:
+                lc = lc.try_cast("double")
+                rc = rc.try_cast("double")
+            return {
+                "=": lc == rc,
+                "!=": lc != rc,
+                "<": lc < rc,
+                ">": lc > rc,
+                "<=": lc <= rc,
+                ">=": lc >= rc,
+            }[op]
+        if tag == "call":
+            name, args = expr[1], expr[2]
+            cargs = [self._compile_filter(a, bound) for a in args]
+            if name == "regex":
+                if not (isinstance(args[1], Term) and args[1].kind == "literal"):
+                    raise SparqlUnsupported("regex() pattern must be a string literal")
+                return cargs[0].rlike(args[1].value)
+            if name == "strstarts":
+                return cargs[0].startswith(cargs[1])
+            if name == "contains":
+                return cargs[0].contains(cargs[1])
+            if name == "bound":
+                return cargs[0].isNotNull()
+            if name == "str":
+                return cargs[0].cast("string")
+            if name == "lcase":
+                return F.lower(cargs[0])
+            if name == "ucase":
+                return F.upper(cargs[0])
+        raise SparqlUnsupported(f"unsupported FILTER expression: {expr!r}")
 
     @staticmethod
     def _selectivity(pat: Pattern) -> tuple:
@@ -437,10 +738,6 @@ class SparqlEngine:
                 cols.append(F.col("object").alias(pat.obj.value))
         else:
             df = df.filter(F.col("object") == pat.obj.value)
-        if not cols:  # fully-ground pattern: boolean gate, keep as 0/1 rows
-            return df.select(F.lit(1).alias("__exists")).limit(1).drop("__exists").crossJoin(
-                df.sparkSession.range(1).drop("id")
-            )
         return df.select(*cols).dropDuplicates()
 
     def _join(

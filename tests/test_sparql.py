@@ -141,7 +141,65 @@ def test_select_star_and_distinct(engine):
 
 def test_unsupported_raises(engine):
     with pytest.raises(SparqlUnsupported):
-        engine.sql(PREFIXES + "SELECT ?v WHERE { ?v a brick:VAV . FILTER(?v > 1) }")
+        engine.sql(PREFIXES + "SELECT ?v WHERE { BIND(1 AS ?v) }")
+    with pytest.raises(SparqlUnsupported):
+        engine.sql(PREFIXES + "SELECT ?v WHERE { ?v a brick:VAV } GROUP BY ?v")
+
+
+def test_filter_comparisons(engine):
+    df = engine.sql(
+        PREFIXES
+        + """SELECT ?p ?id WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             FILTER(strstarts(?id, "1") || strstarts(?id, "3"))
+           }"""
+    )
+    assert {r.id[:8] for r in df.collect()} == {"11111111", "33333333"}
+    df2 = engine.sql(
+        PREFIXES
+        + """SELECT ?p ?id WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             FILTER(?id != "44444444-4444-4444-4444-444444444444")
+             FILTER(regex(?p, "urn:b#p[12]"))
+           }"""
+    )
+    assert {r.p.split("#")[-1] for r in df2.collect()} == {"p1", "p2"}
+
+
+def test_optional(engine):
+    # vav2's point p3 has a timeseries id; b:weird has no hasPoint at all —
+    # OPTIONAL keeps vavs even if a sub-pattern is absent
+    df = engine.sql(
+        PREFIXES
+        + """SELECT ?v ?id WHERE {
+             ?v a brick:VAV .
+             OPTIONAL { ?v brick:hasPoint ?p . ?p a b:TS .
+                        ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }
+           }"""
+    )
+    got = {(r.v.split("#")[-1], None if r.id is None else r.id[:8]) for r in df.collect()}
+    assert got == {("vav1", None), ("vav2", "33333333")}
+
+
+def test_union(engine):
+    df = engine.sql(
+        PREFIXES
+        + """SELECT ?x WHERE {
+             { ?x a brick:VAV . } UNION { ?x a brick:Point . }
+           }"""
+    )
+    got = {r.x.split("#")[-1] for r in df.collect()}
+    assert got == {"vav1", "vav2", "weird", "pX"}
+
+
+def test_order_limit(engine):
+    df = engine.sql(
+        PREFIXES
+        + """SELECT ?id WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+           } ORDER BY DESC(?id) LIMIT 2"""
+    )
+    assert [r.id[:8] for r in df.collect()] == ["44444444", "33333333"]
 
 
 def test_real_bldg1_queries(spark):
@@ -162,3 +220,63 @@ def test_real_bldg1_queries(spark):
     assert bridges.count() == 82  # 82 hasTimeseriesId triples in bldg1.ttl
     vavs = engine.sql(PREFIXES + "SELECT DISTINCT ?vav WHERE { ?vav a brick:VAV . }")
     assert vavs.count() > 0
+
+
+def test_client_with_ontology(spark, tmp_path):
+    """setup-graphs.py:22 parity: an ontology file supplies the subclass
+    edges so rdf:type/rdfs:subClassOf* resolves concrete point classes."""
+    from mortar_parquet_support_spark.client import Client
+
+    graphs = tmp_path / "graphs"
+    graphs.mkdir()
+    (graphs / "siteA.ttl").write_text(
+        """
+@prefix brick: <https://brickschema.org/schema/Brick#> .
+@prefix b: <urn:siteA#> .
+b:p1 a brick:Zone_Air_Temperature_Sensor ;
+    brick:timeseries [ brick:hasTimeseriesId "aaaaaaaa-1111-1111-1111-111111111111" ] .
+b:sp1 a brick:Zone_Air_Temperature_Setpoint ;
+    brick:timeseries [ brick:hasTimeseriesId "bbbbbbbb-2222-2222-2222-222222222222" ] .
+b:vav a brick:VAV ; brick:hasPoint b:p1, b:sp1 .
+"""
+    )
+    onto = tmp_path / "Brick.ttl"
+    onto.write_text(
+        """
+@prefix brick: <https://brickschema.org/schema/Brick#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+brick:Zone_Air_Temperature_Sensor rdfs:subClassOf brick:Air_Temperature_Sensor .
+brick:Air_Temperature_Sensor rdfs:subClassOf brick:Temperature_Sensor .
+brick:Zone_Air_Temperature_Setpoint rdfs:subClassOf brick:Temperature_Setpoint .
+brick:Temperature_Sensor rdfs:subClassOf brick:Sensor .
+brick:Sensor rdfs:subClassOf brick:Point .
+"""
+    )
+    c = Client(spark, graph_dir=str(graphs), ontology_path=str(onto))
+    q1 = """
+        PREFIX brick: <https://brickschema.org/schema/Brick#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?vav ?sen ?sp  WHERE {
+        ?sen_point rdf:type/rdfs:subClassOf* brick:Temperature_Sensor ;
+            brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+        ?sp_point rdf:type/rdfs:subClassOf* brick:Temperature_Setpoint ;
+            brick:timeseries [ brick:hasTimeseriesId ?sp ] .
+        ?vav a brick:VAV .
+        ?vav brick:hasPoint ?sen_point, ?sp_point .
+    }"""
+    rows = c.sparql(q1, sites=["siteA"]).collect()
+    assert len(rows) == 1
+    assert rows[0].sen.startswith("aaaaaaaa") and rows[0].sp.startswith("bbbbbbbb")
+    assert rows[0].site == "siteA"
+    # all-points query (client.py:116-124) now matches through the closure
+    pts = c.sparql(
+        """PREFIX brick: <https://brickschema.org/schema/Brick#>
+           PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+           PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?point ?id WHERE {
+             ?point rdf:type/rdfs:subClassOf* brick:Point .
+             ?point brick:timeseries [ brick:hasTimeseriesId ?id ] .
+           }"""
+    )
+    assert {r.id[:8] for r in pts.collect()} == {"aaaaaaaa"}  # setpoint isn't under Point here
