@@ -1,0 +1,63 @@
+"""Skew-handling join utilities for hot keys at scale.
+
+AQE's skew-join splitting (on by default in session.py) covers sort-merge
+joins at runtime; this module adds the explicit technique for the cases AQE
+can't fix — e.g. a broadcast-ineligible dimension joined on a key where a
+handful of values dominate (the classic 'null key' / 'default id' hot spot):
+
+- ``salted_join``: replicate the small side R times and scatter the big
+  side's hot keys across R salt buckets, so one hot key fans out over R
+  tasks instead of one straggler.
+- ``key_histogram``: cheap approximate frequency probe (sample + count) to
+  decide WHETHER to salt and with what factor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_histogram(df: DataFrame, key: str, *, top: int = 20, fraction: float = 0.01) -> list:
+    """Approximate top-N key frequencies from a sample — a planning probe,
+    not an exact count (one small job over ~fraction of the data)."""
+    return (
+        df.sample(fraction=fraction, seed=42)
+        .groupBy(key)
+        .count()
+        .orderBy(F.col("count").desc())
+        .limit(top)
+        .collect()
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | str,
+    *,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Join with the small side replicated ``salt_buckets`` times and the
+    big side salted pseudo-randomly, eliminating single-task stragglers on
+    hot keys.
+
+    Shuffle volume: big side unchanged (each row gets ONE salt), small side
+    × salt_buckets (it must stay small-ish — that's the point of the
+    technique). Works for inner and left joins on equi-keys.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_col = "__salt"
+    big_salted = big.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    small_salted = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt_buckets).select(F.col("id").cast("long").alias(salt_col))
+        )
+    )
+    out = big_salted.join(small_salted, on=[*keys, salt_col], how=how)
+    return out.drop(salt_col)
