@@ -20,6 +20,23 @@ def sf_dir():
     return os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+def plan_str(df) -> str:
+    """Executed physical plan as a string (one place for the private-API
+    incantation, shared by all plan-assertion tests)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_meta(plan: str, key: str) -> str | None:
+    """Content of a FileScan metadata section (e.g. 'PartitionFilters',
+    'PushedFilters'). Spark truncates long lists with '...' and NO closing
+    bracket, so bounding on the next 'Key:' marker (not ']') is the only
+    reliable parse."""
+    import re
+
+    m = re.search(rf"{key}: \[(.*?)(?=, [A-Z][A-Za-z]+: |\n|$)", plan)
+    return m.group(1) if m else None
+
+
 def make_stream_csv(dirpath, uuid, label, rows):
     """FIXTURES.md F1: single-stream CSV whose filename is the uuid."""
     path = os.path.join(dirpath, f"{uuid}.csv")

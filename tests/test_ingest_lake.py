@@ -97,16 +97,23 @@ def test_partition_uuid_layout_parity(spark, tmp_path):
     ingest_directory(spark, "bldg9", str(src), str(dest), partition_uuid=True)
     leaf = dest / "collection=bldg9" / f"uuid={U1}"
     assert leaf.is_dir()  # reference layout (transform.py:39, README.md:25-52)
-    # partition pruning: an isin filter on uuid must reach PartitionFilters
+    # partition pruning: the isin filter on uuid must land INSIDE the
+    # PartitionFilters section (the key prints even when the list is empty)
+    from tests.conftest import plan_str, scan_meta
+
     lake = TimeseriesLake.open(spark, str(dest))
-    plan = lake.scan(uuids=[U1])._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and U1 in plan
+    plan = plan_str(lake.scan(uuids=[U1]))
+    section = scan_meta(plan, "PartitionFilters")
+    assert section is not None and U1 in section, plan
 
 
 def test_pushed_filters_time_range(spark, lake_dir):
+    from tests.conftest import plan_str, scan_meta
+
     lake = TimeseriesLake.open(spark, lake_dir)
-    plan = lake.scan(start="2017-01-01")._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan and "GreaterThanOrEqual(time" in plan
+    plan = plan_str(lake.scan(start="2017-01-01"))
+    section = scan_meta(plan, "PushedFilters")
+    assert section is not None and "GreaterThanOrEqual(time" in section, plan
 
 
 def test_metadata_summary(spark, lake_dir):

@@ -4,57 +4,52 @@ dimension joins staying broadcast, no accidental sort-merge or cartesian.
 
 These assert on plan STRUCTURE, not timing, so they're stable across
 machines while still failing loudly if a refactor silently de-optimizes a
-query (e.g. a filter stops being pushable, a join loses its broadcast)."""
-
-import re
-
-import pytest
+query (e.g. a filter stops being pushable, a join loses its broadcast).
+Bracket-content matching matters: Spark prints ``PartitionFilters: []`` /
+``PushedFilters: []`` even when nothing is pushed, so substring checks on
+the key alone are vacuous."""
 
 import __spark_entry__ as entrymod
+from tests.conftest import plan_str, scan_meta
 
 
 def _plan(spark, name, sf_dir):
-    df = entrymod.queries()[name](spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_str(entrymod.queries()[name](spark, sf_dir))
 
 
-@pytest.fixture(scope="module")
-def sf(sf_dir):
-    return sf_dir
-
-
-def test_flagship_pushdown_and_pruning(spark, sf):
-    p = _plan(spark, "flagship_scan", sf)
-    assert "PushedFilters" in p
-    assert "In(event_type" in p  # IN-set pushed to parquet
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, "flagship_scan", sf_dir)
+    pushed = scan_meta(p, "PushedFilters")
+    assert pushed is not None and "In(event_type" in pushed, p
     # column pruning: props (unused) must not be read
-    read_schema = re.search(r"ReadSchema: ([^\n]+)", p).group(1)
-    assert "props" not in read_schema
+    assert "ReadSchema:" in p, p
+    read_schema_line = p.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "props" not in read_schema_line
 
 
-def test_dim_joins_broadcast_not_sortmerge(spark, sf):
+def test_dim_joins_broadcast_not_sortmerge(spark, sf_dir):
     for name in ["tpch_q3", "tpch_q5"]:
-        p = _plan(spark, name, sf)
+        p = _plan(spark, name, sf_dir)
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
         assert "CartesianProduct" not in p
 
 
-def test_semi_join_is_broadcast(spark, sf):
-    p = _plan(spark, "semi_join_ids", sf)
+def test_semi_join_is_broadcast(spark, sf_dir):
+    p = _plan(spark, "semi_join_ids", sf_dir)
     assert "LeftSemi" in p and "BroadcastHashJoin" in p
 
 
-def test_rollup_has_partial_aggregation(spark, sf):
-    p = _plan(spark, "time_bucket_rollup", sf)
+def test_rollup_has_partial_aggregation(spark, sf_dir):
+    p = _plan(spark, "time_bucket_rollup", sf_dir)
     # two-phase hash aggregate: map-side partial + final after one shuffle
     assert p.count("HashAggregate") >= 2
     assert p.count("Exchange") <= 2
 
 
-def test_single_window_shuffle(spark, sf):
+def test_single_window_shuffle(spark, sf_dir):
     # sessionize: exactly one exchange for the per-user window chain
-    p = _plan(spark, "sessionize", sf)
+    p = _plan(spark, "sessionize", sf_dir)
     assert p.count("Exchange") <= 2  # window partition + final agg
 
 
@@ -70,10 +65,8 @@ def test_lake_partition_pruning(spark, tmp_path):
     root = str(tmp_path / "lake")
     df.write.partitionBy("collection").parquet(root)
     lake = TimeseriesLake.open(spark, root)
-    p = (
-        lake.scan(collections=["c1"], start="1970-01-01", end="1970-01-02")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "PartitionFilters" in p and "c1" in p
+    p = plan_str(lake.scan(collections=["c1"], start="1970-01-01", end="1970-01-02"))
+    # the collection filter must appear INSIDE the PartitionFilters section
+    # (an empty bracket + residual Filter also contains the substrings)
+    section = scan_meta(p, "PartitionFilters")
+    assert section is not None and "c1" in section, p
