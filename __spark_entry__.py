@@ -1086,6 +1086,52 @@ def _dedup_clusters(spark, sf_dir):
     )
 
 
+@_register(
+    "train_test_split",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000
+               THEN 'train'
+             WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def _train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 split keyed on a content hash of the id
+    (operators/sampling.py hash_split) — stable across runs, partitionings,
+    and engines, unlike seed-based df.sample()."""
+    from mortar_parquet_support_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@_register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END
+    """,
+)
+def _stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling (operators/sampling.py):
+    'en' docs kept at 20%, everything else kept whole."""
+    from mortar_parquet_support_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2}, default_fraction=1.0
+    ).select("doc_id", "lang")
+
+
 # ===========================================================================
 # Non-SQL-expressible engine entries (rows-only checks)
 # ===========================================================================

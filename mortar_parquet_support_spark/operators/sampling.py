@@ -1,0 +1,86 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+``df.sample()`` is seed-dependent but NOT stable under repartitioning or
+input reordering — a re-run on re-bucketed data yields a different sample,
+which is unacceptable for train/test splits of a 100 TB corpus. These
+operators key every decision on a content hash of a stable id column
+(md5 hex slice -> integer, also reproducible in any other engine), so:
+
+- membership is a pure function of (id, salt) — stable across runs,
+  partitionings, Spark versions, and engines;
+- splits are disjoint and exhaustive by construction (bucket ranges);
+- downstream joins can re-derive membership instead of persisting it.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: buckets for split arithmetic — 1e-4 granularity on fractions
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, *, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000) from md5 of the stringified id.
+    Engine-portable: DuckDB gets the same value via
+    ``('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 10000``."""
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+    return F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    *,
+    salt: str = "",
+    label_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name ('train'/'val'/'test'/...) from
+    consecutive hash-bucket ranges. Weights must sum to <= 1; any remainder
+    is labelled NULL (dropped data, explicit)."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    bucket = hash_bucket(F.col(id_col), salt=salt)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    cases = []
+    for name, w in weights.items():
+        lo, hi = hi, hi + int(round(w * _BUCKETS))
+        cases.append((lo, hi, name))
+    for lo, hi, name in reversed(cases):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(label_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, *, salt: str = ""
+) -> DataFrame:
+    """Content-keyed Bernoulli sample: row kept iff its hash bucket falls
+    under ``fraction``. Stable under any re-partitioning/re-run."""
+    return df.filter(hash_bucket(F.col(id_col), salt=salt) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%,
+    keep all 'de'). Unlisted strata get ``default_fraction``. One
+    projection + filter — no shuffle, no driver-side stratum loop."""
+    bucket = hash_bucket(F.col(id_col), salt=salt)
+    threshold = F.lit(int(round(default_fraction * _BUCKETS)))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * _BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

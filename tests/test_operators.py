@@ -257,3 +257,25 @@ def test_multimodal_pipeline(spark, tmp_path):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.extract_features(df, decode_fn="real").collect()
+
+
+# ---------------------------------------------------------------- sampling
+def test_hash_split_stable_and_exhaustive(spark, documents):
+    from mortar_parquet_support_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    out = hash_split(documents, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert None not in counts  # weights sum to 1 -> exhaustive
+    total = documents.count()
+    assert abs(counts.get("train", 0) / total - 0.8) < 0.1
+    # stability: identical assignment after violent repartitioning
+    again = hash_split(documents.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+    s1 = {r.doc_id for r in deterministic_sample(documents, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(documents.repartition(3), "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < documents.count()
