@@ -10,19 +10,28 @@ from mortar_parquet_support_spark.operators import dedup, multimodal, similarity
 from mortar_parquet_support_spark.tables import load_table
 
 
+# Cached fixtures must unpersist on teardown: Spark cache-matches by analyzed
+# plan, so a lingering InMemoryRelation would hijack identical scans in later
+# test modules and hide the FileScan that test_plans.py asserts on.
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events").cache()
+    df = load_table(spark, sf_dir, "events").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def documents(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def embeddings(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 # ---------------------------------------------------------------- timeseries
