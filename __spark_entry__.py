@@ -325,6 +325,209 @@ def _tpch_q6(spark, sf_dir):
 
 
 @_register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def _tpch_q10(spark, sf_dir):
+    """Returned-item report (TPC-H Q10 shape on the available columns):
+    fact shuffle on l_orderkey, every dim broadcast, deterministic top-20
+    (c_custkey tiebreak so both engines agree on the cut line)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q14",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def _tpch_q14(spark, sf_dir):
+    """Promotion effect (TPC-H Q14 shape; testdata p_type is categorical so
+    equality replaces LIKE 'PROMO%'): conditional aggregate over a
+    broadcast dim join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q18",
+    """
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def _tpch_q18(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18 shape): self-aggregation of the
+    fact drives a broadcast semi-join back onto it — the aggregate result is
+    tiny even at 100 TB because the HAVING is selective."""
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@_register(
+    "tpch_q19",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 16 AND 40
+           AND l_quantity BETWEEN 10 AND 35)
+    """,
+)
+def _tpch_q19(spark, sf_dir):
+    """Disjunctive-predicate join (TPC-H Q19 shape): the OR spans both
+    sides, so it stays a post-join filter; the join itself remains a pure
+    broadcast equi-join on partkey (no nested-loop fallback)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(16, 40)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@_register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def _cube_agg(spark, sf_dir):
+    """Full CUBE grouping sets (complements rollup_agg's hierarchy):
+    2^2 grouping sets computed in one pass + one shuffle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@_register(
+    "range_join",
+    """
+    SELECT p.event_id AS purchase_id, e.event_id AS event_id,
+           e.event_type AS event_type
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def _range_join(spark, sf_dir):
+    """Interval/range join (declared-absent in the reference, SURVEY §2.6):
+    follow-on events within 1h of each purchase. Equi on user_id carries the
+    shuffle; the range lands as a post-join band predicate, so the plan is a
+    hash join, not a nested loop over the cross product."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select("event_id", "user_id", "ts", "event_type")
+    return (
+        p.join(
+            e,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("ts") > F.col("p_ts"))
+            & (F.col("ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "event_id", "event_type")
+    )
+
+
+@_register(
     "group_distinct",
     """
     SELECT l_returnflag,

@@ -139,6 +139,18 @@ _UNSUPPORTED_RE = re.compile(
 
 _FILTER_FUNCS = {"regex", "strstarts", "contains", "bound", "str", "lcase", "ucase"}
 
+# Well-known prefixes bound by default, mirroring the reference's rdflib
+# namespace monkey-patch (reference client.py:17-23) which makes store-bound
+# namespaces resolvable without per-query PREFIX declarations. Explicit
+# PREFIX declarations in the query override these.
+_DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "brick": "https://brickschema.org/schema/Brick#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
 
 @dataclass
 class _SparqlParser:
@@ -155,6 +167,7 @@ class _SparqlParser:
                 continue
             self.tokens.append((m.lastgroup, m.group()))
 
+        self.prefixes = {**_DEFAULT_PREFIXES, **self.prefixes}
         while self._peek_word_lower() == "prefix":
             self._next()
             _, pfx = self._expect("word")
