@@ -981,6 +981,35 @@ def _knn_lsh(spark, sf_dir):
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6)
 
 
+@_register("knn_ivf")
+def _knn_ivf(spark, sf_dir):
+    """IVF-flat approximate top-k (operators/similarity.py ivf_topk):
+    hash-seeded Lloyd-refined centroids, nprobe-cell probing. xxhash64
+    seeding -> rows-only; exactness at nprobe=n_list is covered by
+    tests/test_operators.py equivalence against cosine_topk."""
+    from mortar_parquet_support_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_list=8, nprobe=2
+    )
+
+
+@_register("approx_stats")
+def _approx_stats(spark, sf_dir):
+    """Sketch aggregates for 100 TB profiling passes: HyperLogLog++ distinct
+    and approximate percentile — one pass, fixed memory, mergeable across
+    partitions (the reason they exist; exact variants are oracle-checked by
+    group_distinct / percentiles). Approximation is engine-specific ->
+    rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("nd_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @_register("embedding_dedup")
 def _embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (xxhash64 LSH buckets -> rows-only)."""

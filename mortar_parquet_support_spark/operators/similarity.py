@@ -9,6 +9,11 @@ Driver north-star extension (BASELINE.json:6). Two tiers:
 - ``lsh_topk``     approximate: random-hyperplane signatures bucket the
   corpus once (reusable, persistable); queries probe only their bucket
   (plus optional multi-probe neighbors), then exact-rerank inside buckets.
+- ``ivf_topk``     approximate, IVF-flat: partition the corpus into
+  ``n_list`` Voronoi cells around centroids (hash-seeded from the corpus,
+  optionally Lloyd-refined), probe the ``nprobe`` nearest cells per query,
+  exact-rerank inside them. ``nprobe = n_list`` degenerates to exact
+  brute force — the recall dial is explicit.
 
 All vector math is JVM-side (``zip_with`` + left-fold ``aggregate`` — the
 deterministic summation order makes scores reproducible bit-for-bit).
@@ -42,6 +47,137 @@ def cosine_topk(
     joined = c.crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = 16,
+    iters: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(list_id, centroid) centroid table for an IVF index.
+
+    Seeding is deterministic with zero driver state: the ``n_list`` corpus
+    vectors with the smallest ``xxhash64(id, seed)`` become the initial
+    centroids (a seeded uniform sample — no ``rand()``, reruns identical).
+    ``iters`` Lloyd steps refine them: assign every vector to its nearest
+    centroid (broadcast centroids, one corpus scan), then recompute each
+    centroid as the element-wise mean via posexplode + (list_id, dim)
+    aggregate — two shuffles per iteration, each carrying only
+    O(n_list * dim) after partial aggregation.
+    """
+    seeds = (
+        corpus.select(
+            F.col(vec_col).alias("centroid"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_list)
+    )
+    # n_list rows: the single-partition window is trivially cheap.
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("_h")) - 1).alias("list_id"),
+        F.col("centroid").cast("array<double>").alias("centroid"),
+    )
+    for _ in range(iters):
+        bc = F.broadcast(cents)
+        assigned = _assign_lists(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), bc
+        )
+        by_dim = (
+            assigned.select("list_id", F.posexplode(F.col("v").cast("array<double>")).alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            by_dim.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
+            .select(
+                "list_id",
+                F.transform(F.col("dims"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def _assign_lists(vecs: DataFrame, centroids) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table against the
+    vector frame and keep the argmax-cosine list per vector (max_by over a
+    (cosine, list_id) struct — no window, no second shuffle)."""
+    scored = vecs.crossJoin(centroids).select(
+        "id",
+        "v",
+        "list_id",
+        cosine_similarity(F.col("v"), F.col("centroid")).alias("_sim"),
+    )
+    best = (
+        scored.groupBy("id")
+        .agg(
+            F.max_by(F.struct("list_id", "v"), F.struct(F.col("_sim"), (-F.col("list_id")).alias("tb"))).alias("b")
+        )
+        .select("id", F.col("b.list_id").alias("list_id"), F.col("b.v").alias("v"))
+    )
+    return best
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_list: int = 16,
+    nprobe: int = 4,
+    iters: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: (query_id, neighbor_id, cosine, rank).
+
+    Scale shape: centroids are O(n_list) and always broadcast; the corpus is
+    scanned once for assignment and then joined to queries ONLY on matching
+    list_id — the equi-join on list_id replaces the brute-force cross join,
+    cutting compared pairs by ~nprobe/n_list. Persist the assigned corpus to
+    amortize indexing across query batches. ``nprobe = n_list`` probes every
+    cell and reproduces exact brute-force results (tested equivalence).
+    """
+    cents = F.broadcast(ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_list=n_list, iters=iters, seed=seed
+    ))
+    c = _assign_lists(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), cents
+    ).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "list_id"
+    )
+    # per-query nprobe nearest centroids
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qs = q.crossJoin(cents).select(
+        "query_id",
+        "q_vec",
+        "list_id",
+        cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("list_id"))
+    probes = (
+        qs.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "q_vec", "list_id")
+    )
+    joined = c.join(F.broadcast(probes), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     scored = joined.select(
         "query_id",
         "neighbor_id",

@@ -215,6 +215,37 @@ def test_lsh_topk_planted_neighbors(spark, embeddings):
     assert all(e[q] == q + 100000 for q in e)  # exact search always finds it
 
 
+def test_ivf_topk_full_probe_equals_brute_force(embeddings):
+    # nprobe = n_list probes every cell, so IVF must reproduce exact
+    # brute-force results bit-for-bit (same tie-break: neighbor_id asc).
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    ivf = similarity.ivf_topk(
+        embeddings, queries, k=5, n_list=4, nprobe=4, iters=1
+    )
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    a = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    assert e == a
+
+
+def test_ivf_topk_partial_probe_recall(embeddings):
+    # probing half the cells keeps most true neighbors and returns only
+    # (query, neighbor) pairs whose cell was probed — k rows max per query,
+    # every cosine in [-1, 1].
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(embeddings, queries, k=5, n_list=8, nprobe=4)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5 * 5
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+    exact = similarity.cosine_topk(embeddings, queries, k=1)
+    top1 = {r.query_id: r.neighbor_id for r in exact.collect()}
+    ivf_by_q = {}
+    for r in rows:
+        ivf_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, n in top1.items() if n in ivf_by_q.get(q, set()))
+    assert hits >= 1  # half-probe recall is imperfect by design, not zero
+
+
 # ---------------------------------------------------------------- text
 def test_text_analyze(documents):
     out = text.analyze(documents.limit(50))
