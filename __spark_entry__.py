@@ -1423,6 +1423,40 @@ def _ingest_roundtrip(spark, sf_dir):
     return lake.scan(uuids=[uuid]).select("uuid", "time", "value", "label", "uri")
 
 
+@_register(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def _streaming_dedup(spark, sf_dir):
+    """Watermark-bounded streaming exact dedup
+    (streaming/rollup.py streaming_dedup_stream,
+    dropDuplicatesWithinWatermark): with the watermark wider than the data's
+    time span, one availableNow pass equals batch DISTINCT — so this
+    streaming operator is fully oracle-checked, unlike most."""
+    from mortar_parquet_support_spark.streaming.rollup import stream_dedup_once
+
+    return stream_dedup_once(spark, sf_dir)
+
+
+@_register("streaming_sessionize")
+def _streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization with event-time state timeout
+    (streaming/rollup.py stateful_sessionize_stream). Emission depends on
+    watermark progression (open sessions stay in state) -> rows-only."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        _events_stream,
+        _run_to_memory,
+        stateful_sessionize_stream,
+    )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts")
+    sess = stateful_sessionize_stream(
+        ev, key="user_id", ts="ts", gap="6 hours", watermark="1 hour"
+    )
+    return _run_to_memory(sess, output_mode="append")
+
+
 @_register("streaming_rollup")
 def _streaming_rollup(spark, sf_dir):
     """Structured Streaming windowed rollup (streaming/rollup.py) driven to
@@ -1468,9 +1502,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted on purpose (rows-only checks, with why):
-    dedup_minhash / dedup_simhash / knn_lsh / embedding_dedup (xxhash64
-    signatures have no DuckDB equivalent; their verify stages ARE oracle-
-    checked via ngram_jaccard_pairs / knn_cosine), sparql_bridges (SPARQL
-    engine, no SQL equivalent without the triples loaded), ingest_roundtrip
-    (filesystem side effects), streaming_rollup (Structured Streaming)."""
+    dedup_minhash / dedup_simhash / knn_lsh / knn_ivf / embedding_dedup
+    (xxhash64 signatures/seeding have no DuckDB equivalent; their verify
+    stages ARE oracle-checked via ngram_jaccard_pairs / knn_cosine, and
+    knn_ivf's full-probe mode is tested equal to the oracle-checked brute
+    force), approx_stats (sketch results are engine-specific by definition;
+    exact counterparts oracle-checked via group_distinct / percentiles),
+    sparql_bridges (SPARQL engine, no SQL equivalent without the triples
+    loaded), ingest_roundtrip (filesystem side effects), streaming_rollup /
+    streaming_sessionize (Structured Streaming; emission depends on
+    watermark progression — but note streaming_dedup IS oracle-checked)."""
     return dict(_ORACLES)

@@ -36,6 +36,169 @@ def windowed_rollup_stream(
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File stream over the events parquet with the same ns->µs timestamp
+    rebuild as the batch loader (tables.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # raw: ts as long
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_memory(stream_df, *, output_mode: str) -> DataFrame:
+    """Drive a streaming frame to completion (availableNow) into a uniquely
+    named memory sink; return the sink contents as a batch frame."""
+    name = "mortar_stream_" + next(tempfile._get_candidate_names())
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_dedup_stream(
+    events, *, keys: list[str], ts: str = "ts", watermark: str = "365 days"
+):
+    """Streaming exact dedup with BOUNDED state: keep the first event per
+    key, where 'duplicate' means same key within the watermark horizon.
+    State per key is dropped once the watermark passes it — the property
+    that makes exact dedup runnable forever on an unbounded stream (a plain
+    dropDuplicates would grow state without bound). Emits the key columns
+    plus the event time so output is deterministic under stream reordering
+    only up to the key set — project to keys for engine-comparable output.
+    """
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def stream_dedup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming dedup over the events parquet; with a watermark
+    wider than the dataset's time span a single availableNow pass removes
+    every duplicate, so the distinct key set equals batch/SQL
+    ``SELECT DISTINCT keys`` — which is exactly how the oracle checks it."""
+    ev = _events_stream(spark, sf_dir)
+    out = _run_to_memory(
+        streaming_dedup_stream(ev, keys=["user_id", "event_type"]),
+        output_mode="append",
+    )
+    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+def stateful_sessionize_stream(
+    events,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    gap sessionization. State = the open session (start, last_seen, count);
+    each micro-batch folds its events into the state in timestamp order and
+    EMITS sessions it closes (gap exceeded); the still-open session stays in
+    state, emitted when the state times out past the watermark.
+
+    This is the shape Spark's built-in session_window aggregate can't
+    express when per-session custom logic is needed (e.g. emitting
+    first/last event ids, per-session sketches) — the north-star 'custom
+    stateful operator' path.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    gap_s = _interval_seconds(gap)
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fold(key_tuple, pdf_iter, state: GroupState):
+        import pandas as pd  # executor-side
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key_tuple[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        times = []
+        for pdf in pdf_iter:
+            times.append(pdf["ts"])
+        ts_all = pd.concat(times).sort_values()
+        us = (ts_all.astype("int64") // 1000).tolist()  # ns -> µs
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed = []
+        gap_us = gap_s * 1_000_000
+        for t in us:
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key_tuple[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(key))
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _interval_seconds(spec: str) -> int:
+    n, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(n) * mult
+
+
 def stream_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming rollup to completion over the events parquet with
     availableNow + a memory sink; returns the final aggregate as a batch

@@ -31,6 +31,51 @@ def test_bench_headline_names_exist():
     assert set(HEADLINE) <= set(qs)
 
 
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    from mortar_parquet_support_spark.streaming.rollup import stream_dedup_once
+    from mortar_parquet_support_spark.tables import load_table
+
+    got = {(r.user_id, r.event_type) for r in stream_dedup_once(spark, sf_dir).collect()}
+    exp = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    # user 1: events at 0/5/10 min then 120/125 -> first session closes when
+    # the 2h event arrives (gap path); user 2: one session at 0/10 min ->
+    # closed via event-time timeout once the global watermark passes it; the
+    # still-open user-1 session (120-125) must stay in state, unemitted.
+    import datetime
+
+    from mortar_parquet_support_spark.streaming.rollup import (
+        _run_to_memory,
+        stateful_sessionize_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, base + datetime.timedelta(minutes=m), 1.0) for m in [0, 5, 10, 120, 125]]
+    rows += [(2, base + datetime.timedelta(minutes=m), 1.0) for m in [0, 10]]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = stateful_sessionize_stream(stream, key="user_id", ts="ts", gap="30 minutes")
+    got = sorted(
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in _run_to_memory(sess, output_mode="append").collect()
+    )
+    assert got == [
+        (1, base, base + datetime.timedelta(minutes=10), 3),
+        (2, base, base + datetime.timedelta(minutes=10), 2),
+    ]
+
+
 def test_streaming_rollup_matches_batch(spark, sf_dir):
     from mortar_parquet_support_spark.operators.timeseries import time_bucket_rollup
     from mortar_parquet_support_spark.streaming.rollup import stream_rollup_once
