@@ -34,8 +34,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "knn_cosine",
+    "knn_ivf",
     "text_metrics",
     "text_quality",
+    "tpch_q10",
+    "tpch_q18",
+    "range_join",
 ]
 
 

@@ -40,6 +40,22 @@ def test_semi_join_is_broadcast(spark, sf_dir):
     assert "LeftSemi" in p and "BroadcastHashJoin" in p
 
 
+def test_new_tpch_joins_stay_broadcast(spark, sf_dir):
+    for name in ["tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19"]:
+        p = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    # equi on user_id must carry the join; the time band is a post-join
+    # filter. A BroadcastNestedLoopJoin here would be quadratic at scale.
+    p = _plan(spark, "range_join", sf_dir)
+    assert "HashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
 def test_rollup_has_partial_aggregation(spark, sf_dir):
     p = _plan(spark, "time_bucket_rollup", sf_dir)
     # two-phase hash aggregate: map-side partial + final after one shuffle
