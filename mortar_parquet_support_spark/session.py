@@ -26,6 +26,8 @@ def get_spark(
     *,
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    s3_endpoint: str | None = None,
+    s3_region: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
@@ -33,6 +35,12 @@ def get_spark(
     ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism; shuffle
     partitions default to that so a local run doesn't over-parallelize tiny
     shuffles (the 200 default) nor starve big ones.
+
+    ``s3_endpoint``/``s3_region`` mirror the reference's S3 connector knobs
+    (reference client.py:26 ``fs.S3FileSystem(endpoint_override=…,
+    region=…)``) as ``fs.s3a.*`` Hadoop conf; with them set, any
+    ``s3a://bucket/...`` lake root works wherever the s3a jars are present
+    (they ship on real clusters; this harness only asserts the conf wiring).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
@@ -59,6 +67,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("MORTAR_SPARK_DRIVER_MEM", "16g"))
     )
+    if s3_endpoint is not None:
+        builder = builder.config("spark.hadoop.fs.s3a.endpoint", s3_endpoint).config(
+            "spark.hadoop.fs.s3a.path.style.access", "true"
+        )
+    if s3_region is not None:
+        builder = builder.config("spark.hadoop.fs.s3a.endpoint.region", s3_region)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -92,11 +92,29 @@ class TimeseriesLake:
         )
 
     def to_batches(self, predicate: Column | None = None, *, max_rows: int = 1 << 16) -> Iterator:
-        """S7 parity: bounded-memory iteration (client.py:65-72's
-        ``to_batches``). Spark-side this is ``toLocalIterator`` over Arrow
-        batches; prefer distributed sinks for anything large."""
+        """S7 parity: bounded-memory Arrow RecordBatch iteration
+        (client.py:65-72's ``to_batches``). ``toLocalIterator`` streams one
+        partition at a time to the driver; rows are re-batched into Arrow
+        RecordBatches of at most ``max_rows`` under the dataset's fixed
+        schema (per-batch inference would let an all-null column drift).
+        Prefer distributed sinks for anything large."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         df = self.df if predicate is None else self.df.filter(predicate)
-        return df.toLocalIterator(prefetchPartitions=True)
+        schema = to_arrow_schema(df.schema)
+
+        def gen() -> Iterator:
+            buf: list[dict] = []
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                buf.append(row.asDict())
+                if len(buf) >= max_rows:
+                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                    buf = []
+            if buf:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+
+        return gen()
 
     def register(self, name: str, *, analyze: bool = True) -> None:
         """S4/O6 stand-in: register as a catalog table + collect stats so
