@@ -981,6 +981,34 @@ def _knn_lsh(spark, sf_dir):
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6)
 
 
+@_register("multimodal_features")
+def _multimodal_features(spark, sf_dir):
+    """Arrow-batched media feature extraction (operators/multimodal.py
+    extract_features over mapInPandas): documents' text bytes stand in for
+    media content (no codec libs in env — decode stub is deterministic
+    md5-seeded expansion), so the schema/partitioning/batch plumbing runs
+    for real. Python decode loop -> rows-only."""
+    from mortar_parquet_support_spark.operators.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.lit("txt").alias("format"),
+            F.length("text").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    out = extract_features(media, n_features=8)
+    return out.select(
+        "media_id", "modality", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 @_register("knn_ivf")
 def _knn_ivf(spark, sf_dir):
     """IVF-flat approximate top-k (operators/similarity.py ivf_topk):
@@ -1508,8 +1536,10 @@ def oracle_sql() -> dict[str, str]:
     knn_ivf's full-probe mode is tested equal to the oracle-checked brute
     force), approx_stats (sketch results are engine-specific by definition;
     exact counterparts oracle-checked via group_distinct / percentiles),
-    sparql_bridges (SPARQL engine, no SQL equivalent without the triples
-    loaded), ingest_roundtrip (filesystem side effects), streaming_rollup /
+    multimodal_features (Python decode stub in mapInPandas — the one
+    intentionally-Python op), sparql_bridges (SPARQL engine, no SQL
+    equivalent without the triples loaded), ingest_roundtrip (filesystem
+    side effects), streaming_rollup /
     streaming_sessionize (Structured Streaming; emission depends on
     watermark progression — but note streaming_dedup IS oracle-checked)."""
     return dict(_ORACLES)
