@@ -52,6 +52,15 @@ def main() -> int:
 
     spark = get_spark("mortar-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+    # Warm the OS page cache over the inputs: timings should measure the
+    # engine, not whether the VM's virtual disk happens to have the files
+    # cached (observed 3-4x whole-suite swings from cold page cache alone).
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
