@@ -1,0 +1,69 @@
+"""Bucketed-table support: co-located joins with NO shuffle at query time.
+
+At 100 TB the dominant cost of a fact-to-fact join (e.g. lineitem ⨝ orders
+on orderkey, or a self-join of the event stream) is the shuffle of both
+sides. Hive-style bucketing pre-shuffles ONCE at write time: both tables
+are written with ``bucketBy(n, key)``, so a later equi-join on the bucket
+key reads matching buckets pairwise and joins them in place — the physical
+plan has SortMergeJoin/ShuffledHashJoin with ZERO Exchange operators
+(asserted in tests/test_bucketed.py).
+
+Sizing rule of thumb for 100 TB: pick ``n_buckets`` so one bucket of the
+bigger table is ~128-512 MB compressed (e.g. ~50 TB side → 131072 buckets);
+both join sides MUST use the same n_buckets (or a divisor) for co-location.
+
+This is the "pre-partitioned lake" leg of the scale strategy; the Hive
+partition-pruning leg lives in sources/lake.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    Sorting within buckets on the join key upgrades the later join to a
+    sort-merge over pre-sorted runs (no Sort operator either) and keeps
+    min/max row-group stats tight for point lookups on the key.
+    """
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    *,
+    on: list[str],
+    how: str = "inner",
+    prefer_merge: bool = True,
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+
+    Declarative on purpose: Catalyst recognizes both sides' bucket spec and
+    plans the join without any ShuffleExchange. ``prefer_merge`` (default)
+    adds a merge-join hint — the honest model of the target workload, where
+    BOTH sides are fact-scale and broadcasting is impossible; without it, a
+    side small enough to broadcast makes the planner pick a broadcast join
+    and mark the scans ``Bucketed: false (disabled by query planner)``.
+    Callers should NOT repartition here — that would throw away the
+    co-location.
+    """
+    left = spark.table(left_table)
+    if prefer_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on=on, how=how)
