@@ -528,6 +528,46 @@ def _range_join(spark, sf_dir):
 
 
 @_register(
+    "window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_30d,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ), 4) AS ma4
+    FROM orders
+    """,
+)
+def _window_frames(spark, sf_dir):
+    """Value-based RANGE frame (30-day trailing sum over epoch seconds —
+    peer rows included by value, not position) + bounded sliding ROWS frame
+    (4-row moving average, unique-key ordering so both engines agree on row
+    position). Completes the frame-type coverage next to window_running's
+    unbounded ROWS frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("trailing_30d"),
+        F.round(F.avg("o_totalprice").over(w_rows), 4).alias("ma4"),
+    )
+
+
+@_register(
     "group_distinct",
     """
     SELECT l_returnflag,
