@@ -1049,17 +1049,56 @@ def _multimodal_features(spark, sf_dir):
     )
 
 
-@_register("knn_ivf")
+@_register(
+    "knn_ivf",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(
+               list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6
+             ) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def _knn_ivf(spark, sf_dir):
-    """IVF-flat approximate top-k (operators/similarity.py ivf_topk):
-    hash-seeded Lloyd-refined centroids, nprobe-cell probing. xxhash64
-    seeding -> rows-only; exactness at nprobe=n_list is covered by
-    tests/test_operators.py equivalence against cosine_topk."""
+    """IVF-flat top-k (operators/similarity.py ivf_topk) run at full probe
+    (nprobe = n_list = 8): the index machinery — hash-seeded Lloyd-refined
+    centroids, nearest-cell assignment, probe equi-join — all executes, and
+    full probe makes the result exact, so it is oracle-checked against
+    DuckDB brute-force top-k. Partial-probe recall is covered by
+    tests/test_operators.py. Re-ranked on the rounded score so both engines
+    order identical values the same way."""
     from mortar_parquet_support_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_list=8, nprobe=2
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_list=8, nprobe=8
+    )
+    rounded = out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
     )
 
 
@@ -1078,13 +1117,36 @@ def _approx_stats(spark, sf_dir):
     )
 
 
-@_register("embedding_dedup")
+@_register(
+    "embedding_dedup",
+    """
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6
+             ) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
 def _embedding_dedup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (xxhash64 LSH buckets -> rows-only)."""
+    """Embedding-cosine near-dup pairs in exact mode (n_planes=0 ->
+    all-pairs within the single bucket), oracle-checked against DuckDB
+    brute-force pairwise cosine. The LSH-bucketed scale path (n_planes>0)
+    keeps its recall guarantee tested in tests/test_operators.py; the
+    threshold 0.4 is chosen so the fixture emits rows (max pairwise cosine
+    in the synthetic embeddings is ~0.51 — 0.8 validated nothing)."""
     from mortar_parquet_support_spark.operators.dedup import embedding_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_dedup(emb, id_col="vec_id", vec_col="embedding", threshold=0.8)
+    pairs = embedding_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.0, n_planes=0
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.4)
 
 
 @_register(
@@ -1565,7 +1627,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_SPARK_FNS)
+    """Oracle-backed entries first: the driver evaluates a bounded prefix of
+    this dict, so every entry with an ``oracle_sql()`` counterpart must land
+    inside that window; rows-only entries (no SQL equivalent) follow."""
+    ordered = {k: fn for k, fn in _SPARK_FNS.items() if k in _ORACLES}
+    ordered.update({k: fn for k, fn in _SPARK_FNS.items() if k not in _ORACLES})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

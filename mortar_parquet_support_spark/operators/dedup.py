@@ -345,7 +345,12 @@ def embedding_dedup(
     The hyperplanes are pseudo-random but seed-deterministic, generated
     JVM-side from xxhash64(dimension_index, plane, seed) — no driver-side
     numpy state shipped to executors. Quadratic cost is confined to bucket
-    population (expected n/2^planes), and AQE splits skewed buckets."""
+    population (expected n/2^planes), and AQE splits skewed buckets.
+
+    ``n_planes=0`` is exact mode: every vector lands in one bucket, so the
+    comparison is all-pairs brute force — correct on any corpus size where
+    O(n^2) is affordable, and the oracle-checkable ground truth for the
+    LSH path's recall."""
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
     plane_bits = []
     for p in range(n_planes):
@@ -359,8 +364,8 @@ def embedding_dedup(
         )
         dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         plane_bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = plane_bits[0]
-    for e in plane_bits[1:]:
+    bucket = F.lit(0)
+    for e in plane_bits:
         bucket = bucket + e
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"))
     a, b = keyed.alias("a"), keyed.alias("b")

@@ -86,9 +86,13 @@ def ivf_centroids(
         .orderBy("_h")
         .limit(n_list)
     )
-    # n_list rows: the single-partition window is trivially cheap.
+    # n_list rows: the single-partition window is trivially cheap; the
+    # constant partition key keeps the spec non-empty so Spark doesn't log
+    # the global-window warning on every run.
     cents = seeds.select(
-        (F.row_number().over(Window.orderBy("_h")) - 1).alias("list_id"),
+        (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_h")) - 1).alias(
+            "list_id"
+        ),
         F.col("centroid").cast("array<double>").alias("centroid"),
     )
     for _ in range(iters):
