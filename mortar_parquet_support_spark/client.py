@@ -94,21 +94,25 @@ class Client:
     # ------------------------------------------------------------------
     # Composite graph->data queries (client.py:65-109)
     # ------------------------------------------------------------------
-    def _uuid_filter_ids(self, sparql_result: DataFrame) -> list[str]:
-        """O3 quirk parity: harvest the UUID candidates from EVERY result
-        column, not just the id variable (client.py:69), then keep only
+    def _uuid_ids_df(self, sparql_result: DataFrame) -> DataFrame:
+        """O3 quirk parity, kept LAZY: harvest the UUID candidates from EVERY
+        result column, not just the id variable (client.py:69), then keep only
         UUID-shaped strings (P9 filters what the reference would pass as
-        garbage into the isin)."""
+        garbage into the isin). Returns an unexecuted single-column ``uuid``
+        DataFrame so the huge-id-set path never round-trips ids through the
+        driver."""
         cols = [c for c in sparql_result.columns if c != "site"]
         stacked = sparql_result.select(
             F.explode(F.array(*[F.col(c).cast("string") for c in cols])).alias("uuid")
         )
-        ids = (
-            stacked.filter(F.col("uuid").rlike(f"^{UUID_RE}$"))
-            .distinct()
-            .collect()
+        return stacked.filter(F.col("uuid").rlike(f"^{UUID_RE}$")).distinct()
+
+    def _uuid_filter_ids(self, sparql_result: DataFrame) -> list[str]:
+        """Driver-side id list (IN-list path only — partition pruning needs
+        literal values)."""
+        return sorted(
+            row.uuid for row in self._uuid_ids_df(sparql_result).collect()
         )
-        return sorted(row.uuid for row in ids)
 
     def data_sparql_df(
         self,
@@ -123,11 +127,18 @@ class Client:
         if self.lake is None:
             raise RuntimeError("no lake opened")
         res = self.sparql(sparql, sites=sites)
-        ids = self._uuid_filter_ids(res)
-        if len(ids) <= IN_LIST_MAX:
-            out = self.lake.scan(uuids=ids, start=start, end=end)
+        ids_df = self._uuid_ids_df(res)
+        # One bounded job picks the branch: materialize at most IN_LIST_MAX+1
+        # ids. Small sets (the common case) are fully in hand already — reuse
+        # them as the pruning IN-list with no second execution. Larger sets
+        # stay distributed: the lazy ids frame goes straight into the
+        # broadcast LEFT SEMI join and the driver never holds the id list.
+        sample = ids_df.limit(IN_LIST_MAX + 1).collect()
+        if len(sample) <= IN_LIST_MAX:
+            out = self.lake.scan(
+                uuids=sorted(row.uuid for row in sample), start=start, end=end
+            )
         else:
-            ids_df = self.spark.createDataFrame([(i,) for i in ids], ["uuid"])
             out = self.lake.scan_ids(ids_df, start=start, end=end)
         if limit:
             out = out.limit(int(limit))

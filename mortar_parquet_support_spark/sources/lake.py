@@ -93,26 +93,31 @@ class TimeseriesLake:
 
     def to_batches(self, predicate: Column | None = None, *, max_rows: int = 1 << 16) -> Iterator:
         """S7 parity: bounded-memory Arrow RecordBatch iteration
-        (client.py:65-72's ``to_batches``). ``toLocalIterator`` streams one
-        partition at a time to the driver; rows are re-batched into Arrow
-        RecordBatches of at most ``max_rows`` under the dataset's fixed
-        schema (per-batch inference would let an all-null column drift).
-        Prefer distributed sinks for anything large."""
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+        (client.py:65-72's ``to_batches``), columnar end-to-end.
+
+        The predicate is applied by Spark (distributed, pushed down), the
+        result is spilled once to a temporary Parquet directory by the
+        cluster, and the driver then STREAMS RecordBatches from that spill
+        with the PyArrow dataset scanner — the same columnar
+        parquet->batches path the reference uses, with zero per-row Python
+        anywhere. Driver memory stays bounded by ``max_rows`` regardless of
+        result size; the spill is deleted when the iterator is exhausted or
+        closed."""
+        import shutil
+        import tempfile
+
+        import pyarrow.dataset as pads
 
         df = self.df if predicate is None else self.df.filter(predicate)
-        schema = to_arrow_schema(df.schema)
 
         def gen() -> Iterator:
-            buf: list[dict] = []
-            for row in df.toLocalIterator(prefetchPartitions=True):
-                buf.append(row.asDict())
-                if len(buf) >= max_rows:
-                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
-                    buf = []
-            if buf:
-                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            spill = tempfile.mkdtemp(prefix="lake_batches_")
+            try:
+                df.write.mode("overwrite").parquet(spill)
+                dataset = pads.dataset(spill, format="parquet")
+                yield from dataset.to_batches(batch_size=max_rows)
+            finally:
+                shutil.rmtree(spill, ignore_errors=True)
 
         return gen()
 

@@ -121,3 +121,56 @@ def test_metadata_summary(spark, lake_dir):
     assert info["rows"] == 5
     assert os.path.exists(os.path.join(lake_dir, "_metadata"))
     assert os.path.exists(os.path.join(lake_dir, "_common_metadata"))
+
+
+def test_composite_large_id_set_stays_distributed(spark, lake_dir, monkeypatch):
+    """VERDICT r1 #2: above IN_LIST_MAX the bridge must not round-trip ids
+    through the driver — the lazy ids frame feeds a broadcast LEFT SEMI join
+    and the driver materializes at most IN_LIST_MAX+1 probe rows."""
+    import mortar_parquet_support_spark.client as client_mod
+    from mortar_parquet_support_spark.client import Client
+    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA
+    from tests.conftest import plan_str
+
+    uuids = [U1, U2] + [f"{i:08d}-0000-4000-8000-{i:012d}" for i in range(4)]
+    has_id = "https://brickschema.org/schema/Brick#hasTimeseriesId"
+    rows = [
+        ("bldg1", f"urn:bldg1#p{i}", has_id, u, "literal")
+        for i, u in enumerate(uuids)
+    ]
+    triples = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    c = Client(spark, triples=triples, lake_root=lake_dir)
+    monkeypatch.setattr(client_mod, "IN_LIST_MAX", 3)
+
+    collected = []
+    orig = type(triples).collect
+
+    def spy(self):
+        collected.append(self)
+        return orig(self)
+
+    monkeypatch.setattr(type(triples), "collect", spy)
+    out = c.data_sparql_df(
+        "PREFIX brick: <https://brickschema.org/schema/Brick#> "
+        "SELECT ?id WHERE { ?p brick:hasTimeseriesId ?id . }"
+    )
+    # branch probe is the ONLY driver materialization, and it is bounded
+    assert len(collected) == 1
+    probe_plan = collected[0]._jdf.queryExecution().analyzed().toString()
+    assert "GlobalLimit 4" in probe_plan, probe_plan
+    # the scan itself is a broadcast left-semi join, not an IN-list
+    plan = plan_str(out)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    assert out.count() == 5  # only the two real streams have lake rows
+    # small sets still take the pruning IN-list path with one bounded job
+    monkeypatch.setattr(client_mod, "IN_LIST_MAX", 100)
+    collected.clear()
+    out_small = c.data_sparql_df(
+        "PREFIX brick: <https://brickschema.org/schema/Brick#> "
+        "SELECT ?id WHERE { ?p brick:hasTimeseriesId ?id . }"
+    )
+    assert len(collected) == 1
+    small_plan = plan_str(out_small)
+    assert "LeftSemi" not in small_plan, small_plan
+    assert out_small.count() == 5
