@@ -155,13 +155,18 @@ class Client:
     def data_sparql_to_duckdb(self, sparql, database, table, sites=None, start=None, end=None, limit=None):
         """client.py:82 — lands the result in a DuckDB table; the open
         connection persists as ``self.data_cache`` (parity with client.py:84)
-        and the relation is returned."""
+        and the relation is returned. The cached connection is keyed by the
+        database path: a call with a DIFFERENT path opens that database
+        fresh (reference behavior — client.py:84 reconnects per call)
+        instead of silently writing the table into the previous one."""
+        cached_db, cached_con = getattr(self, "_duck_cache", (None, None))
         self.data_cache = sinks.to_duckdb(
             self.data_sparql_df(sparql, sites, start, end, limit),
             database,
             table,
-            connection=getattr(self, "data_cache", None),
+            connection=cached_con if cached_db == database else None,
         )
+        self._duck_cache = (database, self.data_cache)
         return self.data_cache.table(table)
 
     # ------------------------------------------------------------------

@@ -41,11 +41,16 @@ def char_ngrams(col, n: int = 3) -> Column:
 
 
 def word_shingles(col, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) as array<string>."""
+    """Distinct k-word shingles (space-joined) as array<string>.
+
+    Documents shorter than ``k`` words fall back to ONE whole-document
+    shingle (matching minhash_signatures' short-doc fallback) so identical
+    short documents still compare at Jaccard 1.0 instead of silently
+    vanishing from the shingle space."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.trim(c), r"\s+")
     count = F.greatest(F.size(words) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     return F.when(count > 0, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    )).otherwise(F.array().cast("array<string>"))
+    )).otherwise(F.array(F.concat_ws(" ", words)))

@@ -109,8 +109,13 @@ def minhash_signatures(
     )
     win = Window.partitionBy("id").orderBy("pos")
     lead_cols = [F.lead("w", j).over(win).alias(f"_w{j}") for j in range(1, shingle_words)]
-    sh = words.select("id", F.col("w").alias("_w0"), *lead_cols).filter(
-        F.col(f"_w{shingle_words - 1}").isNotNull()
+    # Documents with fewer than shingle_words tokens produce no complete
+    # shingle; keep their pos==0 row as a single whole-document shingle
+    # (trailing leads NULL — xxhash64 skips nulls deterministically) so
+    # identical short docs still collide instead of vanishing from the
+    # signature set.
+    sh = words.select("id", "pos", F.col("w").alias("_w0"), *lead_cols).filter(
+        (F.col(f"_w{shingle_words - 1}").isNotNull()) | (F.col("pos") == 0)
         if shingle_words > 1
         else F.lit(True)
     )

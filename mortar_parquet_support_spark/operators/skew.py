@@ -40,19 +40,30 @@ def salted_join(
     *,
     how: str = "inner",
     salt_buckets: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Join with the small side replicated ``salt_buckets`` times and the
-    big side salted pseudo-randomly, eliminating single-task stragglers on
+    big side salted deterministically, eliminating single-task stragglers on
     hot keys.
 
     Shuffle volume: big side unchanged (each row gets ONE salt), small side
     × salt_buckets (it must stay small-ish — that's the point of the
     technique). Works for inner and left joins on equi-keys.
+
+    The salt hashes the ROW CONTENT (all big-side columns + seed), never a
+    nondeterministic expression: if a map task is recomputed after a fetch
+    failure every row lands in the same salt bucket again, so retries can't
+    duplicate or drop join rows. Full-duplicate rows share a bucket — same
+    join result, marginally less spread on duplicate-heavy data.
     """
     keys = [on] if isinstance(on, str) else list(on)
     salt_col = "__salt"
     big_salted = big.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        salt_col,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.lit(seed)),
+            F.lit(salt_buckets),
+        ),
     )
     small_salted = small.crossJoin(
         F.broadcast(

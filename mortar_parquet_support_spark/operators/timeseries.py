@@ -97,19 +97,30 @@ def asof_join(
     on = list(on)
     right_cols = list(right_cols or [c for c in right.columns if c not in (*on, ts)])
 
+    # right columns travel under collision-proof internal names so a right
+    # column that also exists on the left (supported; surfaced as right_<c>)
+    # can't duplicate a name inside the union frame
+    rc = {c: f"__rc_{c}" if c in left.columns else c for c in right_cols}
+
     lhs = left.withColumn("__side", F.lit(1))
     rhs = right.select(
         *on,
         F.col(ts),
-        *[F.col(c) for c in right_cols],
+        *[F.col(c).alias(rc[c]) for c in right_cols],
     ).withColumn("__side", F.lit(0))
     for c in left.columns:
         if c not in (*on, ts) and c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     for c in right_cols:
-        if c not in lhs.columns:
-            lhs = lhs.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    cols = [*on, ts, *[c for c in left.columns if c not in (*on, ts)], *right_cols, "__side"]
+        if rc[c] not in lhs.columns:
+            lhs = lhs.withColumn(rc[c], F.lit(None).cast(right.schema[c].dataType))
+    cols = [
+        *on,
+        ts,
+        *[c for c in left.columns if c not in (*on, ts)],
+        *[rc[c] for c in right_cols],
+        "__side",
+    ]
     unioned = lhs.select(*cols).unionByName(rhs.select(*cols))
 
     if direction == "backward":
@@ -117,7 +128,7 @@ def asof_join(
     else:
         w = Window.partitionBy(*on).orderBy(F.col(ts).desc(), F.col("__side").asc())
     picked = [
-        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        F.last(F.when(F.col("__side") == 0, F.col(rc[c])), ignorenulls=True)
         .over(w)
         .alias(f"__r_{c}")
         for c in right_cols
@@ -142,8 +153,7 @@ def asof_join(
     # drop the NULL placeholders that only existed to align the union, then
     # surface the windowed right values under their real names
     for c in right_cols:
-        if c not in left.columns:
-            out = out.drop(c)
+        out = out.drop(rc[c])
     renames = {f"__r_{c}": f"right_{c}" if c in left.columns else c for c in right_cols}
     for src, dst in renames.items():
         out = out.withColumnRenamed(src, dst)

@@ -13,35 +13,40 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 
 def to_csv(df: DataFrame, path: str, *, header: bool = False, mode: str = "append") -> int:
     """S9: distributed CSV export; returns the row count (client.py:74-80
     returns the number of exported rows).
 
-    Writes a directory of part files (the scalable shape). Counting is an
-    extra action; cache first if the plan upstream is expensive.
-    """
-    df.write.mode(mode).option("header", header).csv(path)
-    return df.count()
+    Writes a directory of part files (the scalable shape). The count comes
+    from an ``Observation`` on the writing job itself — one execution, and
+    the number reported is the number of rows actually written even when
+    the plan is nondeterministic (unordered limit, sampling)."""
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode(mode).option("header", header).csv(path)
+    return int(obs.get["n"])
 
 
 def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
     """S9 parity mode: append everything to ONE local CSV file, exactly the
     reference's ``data_sparql_to_csv`` shape (client.py:74-80). Funnels
-    through a single task — only for result sets that fit one machine."""
+    through a single task — only for result sets that fit one machine.
+    Single execution: the row count is observed on the writing job."""
     tmp = tempfile.mkdtemp(prefix="mortar_csv_")
     try:
-        df.coalesce(1).write.mode("overwrite").option("header", header).csv(tmp)
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        observed.coalesce(1).write.mode("overwrite").option("header", header).csv(tmp)
         parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
-        n = 0
         with open(filename, "ab") as out:
             for p in parts:
                 with open(p, "rb") as f:
                     shutil.copyfileobj(f, out)
-        n = df.count()
-        return n
+        return int(obs.get["n"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -174,3 +174,37 @@ def test_composite_large_id_set_stays_distributed(spark, lake_dir, monkeypatch):
     small_plan = plan_str(out_small)
     assert "LeftSemi" not in small_plan, small_plan
     assert out_small.count() == 5
+
+
+def test_duckdb_sink_reopens_on_new_database_path(spark, lake_dir, tmp_path):
+    """ADVICE r1: a second data_sparql_to_duckdb call with a DIFFERENT
+    database path must write into that database, not the cached one."""
+    from mortar_parquet_support_spark.client import Client
+    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA
+
+    has_id = "https://brickschema.org/schema/Brick#hasTimeseriesId"
+    triples = spark.createDataFrame(
+        [("bldg1", "urn:bldg1#p0", has_id, U1, "literal")], schema=TRIPLES_SCHEMA
+    )
+    c = Client(spark, triples=triples, lake_root=lake_dir)
+    q = (
+        "PREFIX brick: <https://brickschema.org/schema/Brick#> "
+        "SELECT ?id WHERE { ?p brick:hasTimeseriesId ?id . }"
+    )
+    db1, db2 = str(tmp_path / "a.duckdb"), str(tmp_path / "b.duckdb")
+    rel1 = c.data_sparql_to_duckdb(q, db1, "t")
+    assert rel1.count("*").fetchone()[0] == 3
+    con1 = c.data_cache
+    rel2 = c.data_sparql_to_duckdb(q, db2, "t")  # new path -> new database
+    assert c.data_cache is not con1
+    assert rel2.count("*").fetchone()[0] == 3
+    import duckdb
+
+    con1.close(); c.data_cache.close()
+    assert duckdb.connect(db2).execute("SELECT count(*) FROM t").fetchone()[0] == 3
+    # same path reuses the connection and INSERTs (reference append contract)
+    c2 = Client(spark, triples=triples, lake_root=lake_dir)
+    c2.data_sparql_to_duckdb(q, db1, "t")
+    rel = c2.data_sparql_to_duckdb(q, db1, "t")
+    assert rel.count("*").fetchone()[0] == 9  # 3 from the first client + 3 + 3
+    c2.data_cache.close()

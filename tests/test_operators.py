@@ -319,3 +319,47 @@ def test_hash_split_stable_and_exhaustive(spark, documents):
     s1 = {r.doc_id for r in deterministic_sample(documents, "doc_id", 0.3).collect()}
     s2 = {r.doc_id for r in deterministic_sample(documents.repartition(3), "doc_id", 0.3).collect()}
     assert s1 == s2 and 0 < len(s1) < documents.count()
+
+
+def test_asof_join_overlapping_right_column(spark):
+    """ADVICE r1: a right column named like a left column must surface as
+    right_<c>, not blow up the union with a duplicate name."""
+    from mortar_parquet_support_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10.0, 100.0), ("k", 20.0, 200.0)], ["key", "time", "value"]
+    )
+    right = spark.createDataFrame(
+        [("k", 5.0, 1.0), ("k", 15.0, 2.0)], ["key", "time", "value"]
+    )
+    out = asof_join(left, right, on=["key"], ts="time", right_cols=["value"])
+    rows = {r.time: r for r in out.collect()}
+    assert rows[10.0].value == 100.0 and rows[10.0].right_value == 1.0
+    assert rows[20.0].value == 200.0 and rows[20.0].right_value == 2.0
+    assert out.columns.count("value") == 1
+
+
+def test_minhash_short_documents_not_dropped(spark):
+    """ADVICE r1: docs shorter than shingle_words fall back to one
+    whole-document shingle, so identical 2-word docs are flagged."""
+    from mortar_parquet_support_spark.operators.dedup import minhash_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "hello world"),
+            (3, "totally different text that is long enough for shingles"),
+            (4, "totally different text that is long enough for shingles"),
+            (5, "bye"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup(
+            docs, id_col="doc_id", text_col="text", threshold=0.9
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # short docs found with exact jaccard
+    assert pairs.get((3, 4)) == 1.0
+    assert (1, 5) not in pairs and (2, 5) not in pairs
