@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
 _SPARK_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -239,13 +241,14 @@ def _tpch_q1(spark, sf_dir):
     """,
 )
 def _tpch_q3(spark, sf_dir):
-    """Shipping priority: broadcast the small dims, shuffle lineitem once."""
+    """Shipping priority: size-guarded broadcasts — guaranteed at bench SF,
+    deferred to AQE when the filtered fact side outgrows the threshold."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(maybe_broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -286,10 +289,10 @@ def _tpch_q5(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(maybe_broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            maybe_broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -352,8 +355,8 @@ def _tpch_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(maybe_broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -389,7 +392,7 @@ def _tpch_q14(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -429,9 +432,9 @@ def _tpch_q18(spark, sf_dir):
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(maybe_broadcast(big), "l_orderkey", "left_semi")
+        .join(maybe_broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
@@ -454,7 +457,7 @@ def _tpch_q19(spark, sf_dir):
     broadcast equi-join on partkey (no nested-loop fallback)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    j = li.join(maybe_broadcast(part), part.p_partkey == li.l_partkey)
     cond = (
         (F.col("p_brand") == "Brand#11")
         & F.col("p_size").between(1, 15)

@@ -14,6 +14,31 @@ def is_uuid(col) -> Column:
     return F.col(col).rlike(f"^{UUID_RE}$") if isinstance(col, str) else col.rlike(f"^{UUID_RE}$")
 
 
+def materialize(df, *, checkpoint_dir: str | None = None):
+    """Eager materialization barrier for iterative pipelines (lineage cut +
+    AQE double-execution guard — rationale in operators/dedup.py's
+    minhash_lsh_candidates docstring).
+
+    Storage tier:
+    - ``checkpoint_dir`` given: set it on the context and use a RELIABLE
+      ``checkpoint()`` — survives executor loss, the right choice on a real
+      cluster where a lost executor would otherwise recompute the whole
+      upstream pipeline mid-iteration.
+    - a checkpoint dir is already configured on the SparkContext: reliable
+      ``checkpoint()`` there.
+    - otherwise: ``localCheckpoint()`` (executor-local blocks) — fastest,
+      fine for local mode and for clusters that accept recompute-on-loss.
+    """
+    sc = df.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def cosine_similarity(a, b) -> Column:
     """Cosine similarity of two array<numeric> columns, computed JVM-side
     with a left-to-right fold (deterministic summation order, so results are

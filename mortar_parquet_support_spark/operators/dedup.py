@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mortar_parquet_support_spark.functions import cosine_similarity, word_shingles
+from mortar_parquet_support_spark.functions import materialize, cosine_similarity, word_shingles
 
 # Mersenne prime 2^31-1: modulus for minhash permutations. 31-bit keeps
 # a*h+b under 2^63 (no ANSI long overflow) while giving minhash plenty of
@@ -140,6 +140,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_words: int = 3,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band of
     their minhash signature. Returns (id_a, id_b) with id_a < id_b.
@@ -157,8 +158,10 @@ def minhash_lsh_candidates(
     ``persist()`` here: CacheManager plan-matching under AQE gave erratic
     2-20× slowdowns (measured), while a checkpoint is a hard barrier with
     stable cost. The frame is num_perm longs/doc (~0.5 KB) — orders of
-    magnitude smaller than the corpus, safe to materialize even at 100 TB
-    (on a real cluster, swap for ``checkpoint()`` on reliable storage).
+    magnitude smaller than the corpus, safe to materialize even at 100 TB.
+    Pass ``checkpoint_dir`` (or preconfigure ``sc.setCheckpointDir``) to
+    upgrade every barrier to a reliable ``checkpoint()`` on shared storage
+    — the right mode on a real cluster (functions.materialize).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
@@ -176,9 +179,10 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
-        "id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
-    ).localCheckpoint(eager=True)
+    banded = materialize(
+        sigs.select("id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")),
+        checkpoint_dir=checkpoint_dir,
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -246,6 +250,7 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: LSH candidates -> exact-Jaccard verify ->
     pairs >= threshold. The returned pair list feeds connected-components /
@@ -254,9 +259,18 @@ def minhash_dedup(
     # times (both legs of the id union + the scoring join); without the cut,
     # each reference re-executes the whole LSH candidate generation. The
     # pair set is the smallest frame in the pipeline — always safe to cache.
-    cands = minhash_lsh_candidates(
-        df, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands, seed=seed
-    ).localCheckpoint(eager=True)
+    cands = materialize(
+        minhash_lsh_candidates(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            seed=seed,
+            checkpoint_dir=checkpoint_dir,
+        ),
+        checkpoint_dir=checkpoint_dir,
+    )
     scored = jaccard_pairs(df, cands, id_col=id_col, text_col=text_col)
     return scored.filter(F.col("jaccard") >= threshold)
 
@@ -391,6 +405,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster duplicate pairs into components: (id, cluster_id) where
     cluster_id = min node id reachable in the undirected pair graph — the
@@ -402,11 +417,11 @@ def connected_components(
     shallow (dup clusters have tiny diameters), so this converges in a few
     rounds even on billion-edge pair sets.
     """
-    edges = (
+    edges = materialize(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir=checkpoint_dir,
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iterations):
@@ -423,8 +438,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        new_labels = materialize(new_labels, checkpoint_dir=checkpoint_dir)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "u")
             .filter(F.col("label") != F.col("old"))

@@ -43,6 +43,7 @@ def transitive_closure(
     *,
     strategy: str = "auto",
     max_iterations: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Strict (1+ hop) transitive closure of ``predicate``'s edges.
 
@@ -59,7 +60,7 @@ def transitive_closure(
         strategy = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "spark"
     if strategy == "driver":
         return _closure_driver(edges)
-    return _closure_spark(edges, max_iterations)
+    return _closure_spark(edges, max_iterations, checkpoint_dir)
 
 
 def _closure_driver(edges: DataFrame) -> DataFrame:
@@ -84,8 +85,12 @@ def _closure_driver(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(pairs, schema=PAIR_SCHEMA)
 
 
-def _closure_spark(edges: DataFrame, max_iterations: int) -> DataFrame:
-    edges = edges.localCheckpoint()
+def _closure_spark(
+    edges: DataFrame, max_iterations: int, checkpoint_dir: str | None = None
+) -> DataFrame:
+    from mortar_parquet_support_spark.functions import materialize
+
+    edges = materialize(edges, checkpoint_dir=checkpoint_dir)
     closure = edges
     frontier = edges
     for _ in range(max_iterations):
@@ -95,9 +100,9 @@ def _closure_spark(edges: DataFrame, max_iterations: int) -> DataFrame:
             .select("src", "dst")
             .distinct()
         )
-        new = grown.subtract(closure).localCheckpoint()
+        new = materialize(grown.subtract(closure), checkpoint_dir=checkpoint_dir)
         if new.isEmpty():
             return closure
-        closure = closure.union(new).localCheckpoint()
+        closure = materialize(closure.union(new), checkpoint_dir=checkpoint_dir)
         frontier = new
     raise RuntimeError(f"closure did not converge in {max_iterations} iterations")

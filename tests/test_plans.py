@@ -86,3 +86,22 @@ def test_lake_partition_pruning(spark, tmp_path):
     # (an empty bracket + residual Filter also contains the substrings)
     section = scan_meta(p, "PartitionFilters")
     assert section is not None and "c1" in section, p
+
+
+def test_maybe_broadcast_size_guard(spark, sf_dir):
+    """Hint only when the Catalyst estimate fits: big side passes through
+    unhinted (AQE decides at runtime), small side gets the guaranteed hint."""
+    from mortar_parquet_support_spark.plans.hints import _parse_bytes, maybe_broadcast
+
+    assert _parse_bytes("10485760") == 10485760
+    assert _parse_bytes("10m") == 10 * 1024 * 1024
+    assert _parse_bytes("64MB") == 64 * 1024 * 1024
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("-1") == -1
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert maybe_broadcast(li, threshold=1) is li  # too big: no hint forced
+    hinted = maybe_broadcast(li, threshold=1 << 40)
+    assert hinted is not li
+    p = plan_str(hinted.join(li.select("l_orderkey").distinct(), "l_orderkey"))
+    assert "BroadcastHashJoin" in p
