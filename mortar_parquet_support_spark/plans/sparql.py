@@ -15,9 +15,16 @@ full SPARQL engine expects:
 - blank-node property lists ``[ brick:hasTimeseriesId ?id ]``
 - object lists ``?vav brick:hasPoint ?sen_point, ?sp_point``
 - ``FILTER`` (comparisons, ``&&``/``||``/``!``, ``regex``, ``strstarts``,
-  ``contains``, ``bound``) — compiled to Column predicates
+  ``contains``, ``bound``, ``concat``, ``strlen``, ``replace``) — compiled
+  to Column predicates/expressions
 - ``OPTIONAL { ... }`` — left outer join on the shared variables
 - ``{ ... } UNION { ... }`` — aligned unionByName with null-fill
+- ``BIND(expr AS ?v)`` — ``withColumn`` over the compiled expression
+  (applied after the group's patterns; expression grammar = the FILTER
+  grammar, so string functions and comparisons work, arithmetic doesn't)
+- ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }`` — inline
+  broadcast frame joined into the group; ``UNDEF`` is a wildcard on shared
+  variables and a null binding on new ones
 - ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT`` /
   ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
 
@@ -36,8 +43,8 @@ bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
 Still unsupported (raise ``SparqlUnsupported``): GRAPH, aggregates,
-subqueries, VALUES/BIND/MINUS/SERVICE, variable predicates, path
-alternatives ``|`` and inverses ``^``.
+subqueries, MINUS/SERVICE, variable predicates, path alternatives ``|``
+and inverses ``^``, arithmetic in BIND/FILTER expressions.
 """
 
 from __future__ import annotations
@@ -96,6 +103,9 @@ class Group:
     filters: list[FilterExpr] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
+    binds: list[tuple[str, FilterExpr]] = field(default_factory=list)
+    #: (variables, rows) — row entries are strings or None for UNDEF
+    values: list[tuple[list[str], list[list[str | None]]]] = field(default_factory=list)
 
 
 @dataclass
@@ -133,11 +143,22 @@ _SPARQL_TOKEN_RE = re.compile(
 )
 
 _UNSUPPORTED_RE = re.compile(
-    r"^(graph|values|bind|minus|service|group|having|exists)$",
+    r"^(graph|minus|service|group|having|exists)$",
     re.IGNORECASE,
 )
 
-_FILTER_FUNCS = {"regex", "strstarts", "contains", "bound", "str", "lcase", "ucase"}
+_FILTER_FUNCS = {
+    "regex",
+    "strstarts",
+    "contains",
+    "bound",
+    "str",
+    "lcase",
+    "ucase",
+    "concat",
+    "strlen",
+    "replace",
+}
 
 # Well-known prefixes bound by default, mirroring the reference's rdflib
 # namespace monkey-patch (reference client.py:17-23) which makes store-bound
@@ -301,6 +322,26 @@ class _SparqlParser:
                 while self._peek() == ("punct", "."):
                     self._next()
                 continue
+            if kind == "word" and tok.lower() == "bind":
+                self._next()
+                self._expect_punct("(")
+                expr = self._parse_filter_expr()
+                if self._peek_word_lower() != "as":
+                    raise ValueError("SPARQL parse: BIND needs 'AS ?var'")
+                self._next()
+                _, v = self._expect("var")
+                self._expect_punct(")")
+                group.binds.append((v[1:], expr))
+                self._note_var(v[1:])
+                while self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if kind == "word" and tok.lower() == "values":
+                self._next()
+                group.values.append(self._parse_values_block())
+                while self._peek() == ("punct", "."):
+                    self._next()
+                continue
             if kind == "punct" and tok == "{":
                 self._next()
                 alternatives = [self._parse_group()]
@@ -328,6 +369,48 @@ class _SparqlParser:
             self._parse_predicate_object_list(subject, group)
             while self._peek() == ("punct", "."):
                 self._next()
+
+    def _parse_values_block(self) -> tuple[list[str], list[list[str | None]]]:
+        """``VALUES ?x { t1 t2 }`` or ``VALUES (?x ?y) { (t t) (t UNDEF) }``."""
+        kind, tok = self._peek()
+        parenthesized = kind == "punct" and tok == "("
+        vars_: list[str] = []
+        if parenthesized:
+            self._next()
+            while self._peek()[0] == "var":
+                vars_.append(self._next()[1][1:])
+            self._expect_punct(")")
+        else:
+            vars_.append(self._expect("var")[1][1:])
+        if not vars_:
+            raise ValueError("SPARQL parse: VALUES needs at least one variable")
+        for v in vars_:
+            self._note_var(v)
+        self._expect_punct("{")
+        rows: list[list[str | None]] = []
+        while self._peek() != ("punct", "}"):
+            if self._peek()[0] == "eof":
+                raise ValueError("SPARQL parse: unterminated VALUES block")
+            if parenthesized:
+                self._expect_punct("(")
+                row = [self._parse_values_entry() for _ in vars_]
+                self._expect_punct(")")
+            else:
+                row = [self._parse_values_entry()]
+            rows.append(row)
+        self._expect_punct("}")
+        return vars_, rows
+
+    def _parse_values_entry(self) -> str | None:
+        if self._peek() == ("word", "UNDEF") or (
+            self._peek()[0] == "word" and self._peek()[1].lower() == "undef"
+        ):
+            self._next()
+            return None
+        term = self._parse_term(position="values", group=Group())
+        if term.kind == "var":
+            raise ValueError("SPARQL parse: variables are not legal inside VALUES data")
+        return term.value
 
     def _parse_predicate_object_list(self, subject: Term, group: Group) -> None:
         while True:
@@ -592,11 +675,56 @@ class SparqlEngine:
             else:
                 acc = acc.crossJoin(F.broadcast(odf))
             bound |= ovars
+        for vars_, rows in group.values:
+            acc, bound = self._apply_values(acc, bound, vars_, rows, scope)
+        for var, bexpr in group.binds:
+            if acc is None:
+                # BIND with no preceding patterns: a one-row unit frame
+                acc = scope.sparkSession.range(1).select()
+            if var in bound:
+                raise SparqlUnsupported(f"BIND to already-bound variable ?{var}")
+            acc = acc.withColumn(var, self._compile_filter(bexpr, bound).cast("string"))
+            bound = bound | {var}
         for fexpr in group.filters:
             if acc is None:
                 raise SparqlUnsupported("FILTER without preceding patterns")
             acc = acc.filter(self._compile_filter(fexpr, bound))
         return acc, bound
+
+    def _apply_values(
+        self,
+        acc: DataFrame | None,
+        bound: set[str],
+        vars_: list[str],
+        rows: list[list[str | None]],
+        scope: DataFrame,
+    ) -> tuple[DataFrame, set[str]]:
+        """Join an inline VALUES table into the group (SPARQL 1.1 §10.2).
+
+        The table is tiny by construction, so it is always broadcast. Shared
+        variables join with UNDEF acting as a wildcard (NULL matches any
+        binding); fresh variables attach their column directly, with UNDEF
+        becoming an unbound (null) binding."""
+        from pyspark.sql import types as T
+
+        spark = scope.sparkSession
+        schema = T.StructType([T.StructField(v, T.StringType(), True) for v in vars_])
+        vdf = spark.createDataFrame([tuple(r) for r in rows], schema=schema)
+        if acc is None:
+            return vdf, set(vars_)
+        shared = sorted(bound & set(vars_))
+        if not shared:
+            return acc.crossJoin(F.broadcast(vdf)), bound | set(vars_)
+        renamed = vdf
+        for v in shared:
+            renamed = renamed.withColumnRenamed(v, f"__val_{v}")
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & (F.col(f"__val_{v}").isNull() | (F.col(f"__val_{v}") == F.col(v)))
+        out = acc.join(F.broadcast(renamed), on=cond, how="inner").drop(
+            *[f"__val_{v}" for v in shared]
+        )
+        return out, bound | set(vars_)
 
     def _compile_union(
         self, alternatives: list[Group], scope: DataFrame
@@ -673,6 +801,16 @@ class SparqlEngine:
                 return F.lower(cargs[0])
             if name == "ucase":
                 return F.upper(cargs[0])
+            if name == "concat":
+                return F.concat(*[c.cast("string") for c in cargs])
+            if name == "strlen":
+                return F.length(cargs[0])
+            if name == "replace":
+                if not (isinstance(args[1], Term) and args[1].kind == "literal"):
+                    raise SparqlUnsupported("replace() pattern must be a string literal")
+                if not (isinstance(args[2], Term) and args[2].kind == "literal"):
+                    raise SparqlUnsupported("replace() replacement must be a string literal")
+                return F.regexp_replace(cargs[0], args[1].value, args[2].value)
         raise SparqlUnsupported(f"unsupported FILTER expression: {expr!r}")
 
     @staticmethod
