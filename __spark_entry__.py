@@ -1028,9 +1028,12 @@ def _knn_lsh(spark, sf_dir):
 def _multimodal_features(spark, sf_dir):
     """Arrow-batched media feature extraction (operators/multimodal.py
     extract_features over mapInPandas): documents' text bytes stand in for
-    media content (no codec libs in env — decode stub is deterministic
-    md5-seeded expansion), so the schema/partitioning/batch plumbing runs
-    for real. Python decode loop -> rows-only."""
+    media content with the deterministic 'fake' tier, so the
+    schema/partitioning/batch plumbing runs for real on the fixture. REAL
+    image decode exists too — decode_fn='image' decodes PNGs via the
+    pure-stdlib codec in operators/imaging.py (pytest-verified pixel
+    features) — but the synthetic documents aren't images. Python decode
+    loop -> rows-only."""
     from mortar_parquet_support_spark.operators.multimodal import extract_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)

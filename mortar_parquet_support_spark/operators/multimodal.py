@@ -11,11 +11,17 @@ Design for 100 TB of mixed media:
   ``mapInPandas`` operators so the (C-library) work is vectorized per batch
   and bytes never round-trip through the driver.
 
-The actual codec work needs PIL/ffmpeg-class libraries that are not in this
-container: ``decode_fn='real'`` raises ``NotImplementedError`` at the
-clearly marked stub, while ``decode_fn='fake'`` (default for tests) derives
-deterministic pseudo-features from the bytes' md5 so the full Spark plumbing
-(schemas, batching, partitioning) is exercised end-to-end.
+Decode tiers (``decode_fn``):
+
+- ``'fake'`` (default): deterministic md5-seeded pseudo-features — exercises
+  the full Spark plumbing (schemas, batching, partitioning) with zero codec
+  dependencies.
+- ``'image'``: REAL decode for PNG content via the pure-stdlib codec in
+  ``operators/imaging.py`` (zlib scanlines, all five predictor filters) —
+  actual width/height/channel-statistics features from actual pixels.
+- ``'real'``: PIL if importable, else falls back to the built-in PNG codec;
+  raises ``NotImplementedError`` only for formats that genuinely need
+  native libraries (JPEG without PIL, audio, video).
 """
 
 from __future__ import annotations
@@ -96,6 +102,41 @@ def _fake_decode(content: bytes | None, n_features: int) -> list[float]:
     return out[:n_features]
 
 
+def _image_decode(content: bytes | None, n_features: int) -> list[float]:
+    """Real image features. PIL when available (any format it knows); the
+    pure-stdlib PNG codec otherwise (operators/imaging.py)."""
+    if content is None:
+        return [0.0] * n_features
+    content = bytes(content)
+    try:
+        import io
+
+        from PIL import Image  # optional extra — absent in this container
+
+        img = Image.open(io.BytesIO(content))
+        img.load()
+        channels = len(img.getbands())
+        stats = [0.0] * 4
+        import numpy as np
+
+        arr = np.asarray(img, dtype="float64").reshape(-1, channels)
+        for c in range(min(channels, 4)):
+            stats[c] = float(arr[:, c].mean()) / 255.0
+        feats = [
+            float(img.width),
+            float(img.height),
+            float(channels),
+            *stats,
+            float(arr[:, 0].std()) / 255.0,
+        ]
+        feats = feats[:n_features]
+        return feats + [0.0] * (n_features - len(feats))
+    except ImportError:
+        from mortar_parquet_support_spark.operators.imaging import png_features
+
+        return png_features(content, n_features)
+
+
 def extract_features(
     df: DataFrame,
     *,
@@ -103,8 +144,9 @@ def extract_features(
     decode_fn: str = "fake",
 ) -> DataFrame:
     """Decode + feature-extract as an Arrow-batched ``mapInPandas`` pass:
-    (media_id, meta, features array<double>). The real decoder is the
-    clearly marked stub below."""
+    (media_id, meta, features array<double>). See the module docstring for
+    the decode tiers; only non-PNG 'real' decode without PIL remains a
+    stub."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -113,17 +155,29 @@ def extract_features(
             T.StructField("features", T.ArrayType(T.DoubleType()), False),
         ]
     )
+    if decode_fn not in ("fake", "image", "real"):
+        raise ValueError(f"unknown decode_fn {decode_fn!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode_fn == "real":
-                # STUB: real decode needs PIL / torchaudio / pyav — not in
-                # this container. The Arrow plumbing around it is real.
-                raise NotImplementedError(
-                    "real media decode requires image/audio libraries; "
-                    "use decode_fn='fake' for deterministic pseudo-features"
-                )
-            feats = [ _fake_decode(c, n_features) for c in pdf["content"] ]
+            if decode_fn in ("image", "real"):
+                feats = []
+                for content, meta in zip(pdf["content"], pdf["meta"]):
+                    modality = meta["modality"]
+                    if modality == "image":
+                        feats.append(_image_decode(content, n_features))
+                    elif decode_fn == "real":
+                        # STUB: audio/video decode needs torchaudio / pyav —
+                        # not in this container. Arrow plumbing is real.
+                        raise NotImplementedError(
+                            f"real {modality} decode requires native codec "
+                            "libraries; images decode for real via the "
+                            "stdlib PNG codec or PIL"
+                        )
+                    else:
+                        feats.append(_fake_decode(content, n_features))
+            else:
+                feats = [_fake_decode(c, n_features) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

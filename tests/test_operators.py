@@ -295,8 +295,13 @@ def test_multimodal_pipeline(spark, tmp_path):
     per = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
     assert any(v >= 2 for v in per.values())  # 10000 bytes -> 2 pseudo-frames
 
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    # 'real' now decodes images for real: garbage .jpg bytes fail the codec,
+    # and audio still hits the documented NotImplementedError stub
+    with pytest.raises(Exception, match="PNG|decode"):
         multimodal.extract_features(df, decode_fn="real").collect()
+    audio_only = df.filter(df.meta.modality == "audio")
+    with pytest.raises(Exception, match="real audio decode"):
+        multimodal.extract_features(audio_only, decode_fn="real").collect()
 
 
 # ---------------------------------------------------------------- sampling
@@ -391,3 +396,66 @@ def test_reliable_checkpoint_branch(spark, tmp_path):
     # the reliable branch actually wrote checkpoint files
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "no reliable checkpoint files written"
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-stdlib PNG codec: encode with each predictor filter, decode must
+    invert it exactly (forward and inverse are independent code paths)."""
+    import random
+
+    from mortar_parquet_support_spark.operators.imaging import decode_png, encode_png
+
+    rng = random.Random(7)
+    for channels in (1, 2, 3, 4):
+        w, h = 13, 9
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        for ftype in range(5):
+            blob = encode_png(pixels, w, h, channels, filter_type=ftype)
+            assert decode_png(blob) == (w, h, channels, pixels), (channels, ftype)
+
+
+def test_png_codec_rejects_garbage():
+    import pytest as _pytest
+
+    from mortar_parquet_support_spark.operators.imaging import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_multimodal_real_image_decode(spark):
+    """decode_fn='image': real pixels -> real features through mapInPandas."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.operators.imaging import encode_png
+    from mortar_parquet_support_spark.operators.multimodal import extract_features
+
+    # 4x2 RGB: solid red row + solid half-gray row -> known channel means
+    red = b"\xff\x00\x00" * 4
+    gray = b"\x80\x80\x80" * 4
+    png1 = encode_png(red + gray, 4, 2, 3, filter_type=4)
+    # 3x3 grayscale gradient
+    png2 = encode_png(bytes(range(0, 90, 10)), 3, 3, 1, filter_type=1)
+    rows = [("img1", bytearray(png1), len(png1)), ("img2", bytearray(png2), len(png2))]
+    media = spark.createDataFrame(rows, ["media_id", "content", "n"]).select(
+        "media_id",
+        F.col("content").cast("binary").alias("content"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("png").alias("format"),
+            F.col("n").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    out = {r.media_id: r.features for r in extract_features(media, n_features=8, decode_fn="image").collect()}
+    w1, h1, c1, r_mean, g_mean, b_mean, _pad, std0 = out["img1"]
+    assert (w1, h1, c1) == (4.0, 2.0, 3.0)
+    assert abs(r_mean - (0xFF + 0x80) / 2 / 255.0) < 1e-9
+    assert abs(g_mean - 0x80 / 2 / 255.0) < 1e-9
+    assert abs(b_mean - 0x80 / 2 / 255.0) < 1e-9
+    assert std0 > 0
+    w2, h2, c2, m2, *_ = out["img2"]
+    assert (w2, h2, c2) == (3.0, 3.0, 1.0)
+    assert abs(m2 - (sum(range(0, 90, 10)) / 9) / 255.0) < 1e-9
