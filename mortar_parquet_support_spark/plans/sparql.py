@@ -9,9 +9,11 @@ full SPARQL engine expects:
 
 - basic graph patterns (conjunctive triple patterns, shared variables)
 - ``a`` / ``rdf:type``
-- property paths: sequences ``p1/p2`` and closures ``p*``/``p+``/``p?``
-  (``rdf:type/rdfs:subClassOf*``), compiled against a precomputed
-  transitive-closure table (plans/closure.py)
+- property paths: sequences ``p1/p2``, closures ``p*``/``p+``/``p?``
+  (``rdf:type/rdfs:subClassOf*``) compiled against a precomputed
+  transitive-closure table (plans/closure.py), inverses ``^p`` (also of
+  closures: ``^p*``), and alternation ``p1|p2`` of simple steps
+- ``MINUS { ... }`` — left anti join on the shared variables
 - blank-node property lists ``[ brick:hasTimeseriesId ?id ]``
 - object lists ``?vav brick:hasPoint ?sen_point, ?sp_point``
 - ``FILTER`` (comparisons, ``&&``/``||``/``!``, ``regex``, ``strstarts``,
@@ -43,8 +45,8 @@ bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
 Still unsupported (raise ``SparqlUnsupported``): GRAPH, aggregates,
-subqueries, MINUS/SERVICE, variable predicates, path alternatives ``|``
-and inverses ``^``, arithmetic in BIND/FILTER expressions.
+subqueries, SERVICE, variable predicates, closure over an alternation
+``(a|b)*``, arithmetic in BIND/FILTER expressions.
 """
 
 from __future__ import annotations
@@ -77,15 +79,29 @@ class Term:
 class PathStep:
     predicate: str  # IRI
     modifier: str = ""  # '' | '*' | '+' | '?'
+    inverse: bool = False  # ^p — subject/object roles swapped
+
+
+@dataclass(frozen=True)
+class AltStep:
+    """Path alternation ``p1|p2|...`` of modifier-free (possibly inverse)
+    simple steps; matches if ANY alternative matches."""
+
+    steps: tuple  # tuple[PathStep, ...]
+
+    @property
+    def modifier(self) -> str:  # selectivity ordering treats alts as simple
+        return ""
 
 
 @dataclass(frozen=True)
 class Pattern:
     """One atomic triple pattern; predicate is a single path step (sequences
-    are expanded with fresh intermediate variables at parse time)."""
+    are expanded with fresh intermediate variables at parse time) or an
+    alternation of simple steps."""
 
     subject: Term
-    step: PathStep
+    step: PathStep | AltStep
     obj: Term
 
 
@@ -103,6 +119,7 @@ class Group:
     filters: list[FilterExpr] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
+    minuses: list["Group"] = field(default_factory=list)
     binds: list[tuple[str, FilterExpr]] = field(default_factory=list)
     #: (variables, rows) — row entries are strings or None for UNDEF
     values: list[tuple[list[str], list[list[str | None]]]] = field(default_factory=list)
@@ -136,14 +153,14 @@ _SPARQL_TOKEN_RE = re.compile(
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op>&&|\|\||!=|<=|>=|[=<>!])
     | (?P<punct>[;,.{}\[\]()/|^])
-    | (?P<mod>[*+?](?=[\s;,.}\]/]|$))
+    | (?P<mod>[*+?](?=[\s;,.}\])|/]|$))
     | (?P<word>[^\s;,.{}\[\]()/|^?*+"#=<>!&]+)
     """,
     re.VERBOSE,
 )
 
 _UNSUPPORTED_RE = re.compile(
-    r"^(graph|minus|service|group|having|exists)$",
+    r"^(graph|service|group|having|exists)$",
     re.IGNORECASE,
 )
 
@@ -322,6 +339,14 @@ class _SparqlParser:
                 while self._peek() == ("punct", "."):
                     self._next()
                 continue
+            if kind == "word" and tok.lower() == "minus":
+                self._next()
+                self._expect_punct("{")
+                group.minuses.append(self._parse_group())
+                self._expect_punct("}")
+                while self._peek() == ("punct", "."):
+                    self._next()
+                continue
             if kind == "word" and tok.lower() == "bind":
                 self._next()
                 self._expect_punct("(")
@@ -434,30 +459,76 @@ class _SparqlParser:
                 continue
             return
 
-    def _parse_path(self) -> list[PathStep]:
-        steps: list[PathStep] = []
+    def _parse_path(self) -> list[PathStep | AltStep]:
+        steps: list[PathStep | AltStep] = []
         while True:
-            kind, tok = self._next()
-            if kind == "word" and tok == "a":
-                iri = RDF_TYPE
-            elif kind == "iriref":
-                iri = tok[1:-1]
-            elif kind == "word":
-                iri = self._expand(tok)
-            elif kind == "var":
-                raise SparqlUnsupported("variable predicates are not supported")
-            elif kind == "punct" and tok in ("|", "^"):
-                raise SparqlUnsupported(f"path operator {tok!r} not supported")
-            else:
-                raise ValueError(f"SPARQL parse: bad predicate token {tok!r}")
-            modifier = ""
-            if self._peek()[0] == "mod":
-                modifier = self._next()[1]
-            steps.append(PathStep(iri, modifier))
+            steps.append(self._parse_path_step())
             if self._peek() == ("punct", "/"):
                 self._next()
                 continue
             return steps
+
+    def _parse_path_step(self) -> PathStep | AltStep:
+        """One sequence element: a simple (possibly inverse, possibly
+        modified) step, or an alternation ``p1|p2|...`` of simple steps."""
+        alts = [self._parse_path_atom()]
+        while self._peek() == ("punct", "|"):
+            self._next()
+            alts.append(self._parse_path_atom())
+        if len(alts) == 1:
+            return alts[0]
+        if any(a.modifier for a in alts):
+            raise SparqlUnsupported("closure modifiers inside path alternation")
+        return AltStep(tuple(alts))
+
+    def _parse_path_atom(self) -> PathStep:
+        inverse = False
+        if self._peek() == ("punct", "^"):
+            self._next()
+            inverse = True
+        kind, tok = self._peek()
+        if kind == "punct" and tok == "(":
+            self._next()
+            inner = self._parse_path_step()
+            self._expect_punct(")")
+            if isinstance(inner, AltStep):
+                if self._peek()[0] == "mod":
+                    raise SparqlUnsupported("closure over a path alternation")
+                if inverse:  # ^(a|b) == (^a|^b)
+                    inner = AltStep(
+                        tuple(
+                            PathStep(s.predicate, s.modifier, not s.inverse)
+                            for s in inner.steps
+                        )
+                    )
+                # a parenthesized alternation parses as a step; re-wrap and
+                # treat as the atom (caller may extend with more |)
+                if self._peek() == ("punct", "|"):
+                    raise SparqlUnsupported("nested path alternation")
+                return inner  # type: ignore[return-value]
+            step = inner
+            if self._peek()[0] == "mod":
+                if step.modifier:
+                    raise SparqlUnsupported("double path modifier")
+                step = PathStep(step.predicate, self._next()[1], step.inverse)
+            if inverse:
+                step = PathStep(step.predicate, step.modifier, not step.inverse)
+            return step
+        kind, tok = self._next()
+        if kind == "word" and tok == "a":
+            iri = RDF_TYPE
+        elif kind == "iriref":
+            iri = tok[1:-1]
+        elif kind == "word":
+            iri = self._expand(tok)
+        elif kind == "var":
+            raise SparqlUnsupported("variable predicates are not supported")
+        else:
+            raise ValueError(f"SPARQL parse: bad predicate token {tok!r}")
+        modifier = ""
+        if self._peek()[0] == "mod":
+            modifier = self._next()[1]
+        return PathStep(iri, modifier, inverse)
 
     def _parse_term(self, position: str, group: Group) -> Term:
         kind, tok = self._next()
@@ -675,6 +746,19 @@ class SparqlEngine:
             else:
                 acc = acc.crossJoin(F.broadcast(odf))
             bound |= ovars
+        for m in group.minuses:
+            mdf, mvars = self._compile_group(m, scope)
+            if mdf is None or acc is None:
+                continue
+            shared = sorted(bound & mvars)
+            if not shared:
+                # SPARQL MINUS with disjoint domains removes nothing
+                continue
+            acc = acc.join(
+                F.broadcast(mdf.select(*shared).dropDuplicates()),
+                on=shared,
+                how="left_anti",
+            )
         for vars_, rows in group.values:
             acc, bound = self._apply_values(acc, bound, vars_, rows, scope)
         for var, bexpr in group.binds:
@@ -850,21 +934,48 @@ class SparqlEngine:
         pat: Pattern,
         scope: DataFrame,
     ) -> tuple[DataFrame, set[str]]:
+        if isinstance(pat.step, AltStep):
+            return self._apply_alt_pattern(acc, bound, pat, scope)
         if pat.step.modifier:
             return self._apply_closure_pattern(acc, bound, pat, scope)
         if pat.subject.kind != "var" and pat.obj.kind != "var":
             # fully-ground pattern: an existence gate on the whole query
-            hit = (
-                scope.filter(
-                    (F.col("predicate") == pat.step.predicate)
-                    & (F.col("subject") == pat.subject.value)
-                    & (F.col("object") == pat.obj.value)
-                ).limit(1).count()
-                > 0
-            )
-            return self._gate(acc, scope, hit), bound
+            return self._gate(acc, scope, self._ground_hit(pat, pat.step, scope)), bound
         pdf = self._scan_pattern(pat, scope)
         return self._join(acc, bound, pdf)
+
+    @staticmethod
+    def _ground_hit(pat: Pattern, step: PathStep, scope: DataFrame) -> bool:
+        s_col, o_col = ("object", "subject") if step.inverse else ("subject", "object")
+        return (
+            scope.filter(
+                (F.col("predicate") == step.predicate)
+                & (F.col(s_col) == pat.subject.value)
+                & (F.col(o_col) == pat.obj.value)
+            ).limit(1).count()
+            > 0
+        )
+
+    def _apply_alt_pattern(
+        self,
+        acc: DataFrame | None,
+        bound: set[str],
+        pat: Pattern,
+        scope: DataFrame,
+    ) -> tuple[DataFrame, set[str]]:
+        """``p1|p2`` — union of the alternatives' scans over the same
+        (subject, object) positions, deduplicated (set semantics)."""
+        steps = pat.step.steps
+        if pat.subject.kind != "var" and pat.obj.kind != "var":
+            hit = any(self._ground_hit(pat, s, scope) for s in steps)
+            return self._gate(acc, scope, hit), bound
+        frames = [
+            self._scan_pattern(Pattern(pat.subject, s, pat.obj), scope) for s in steps
+        ]
+        pdf = frames[0]
+        for f in frames[1:]:
+            pdf = pdf.unionByName(f)
+        return self._join(acc, bound, pdf.dropDuplicates())
 
     @staticmethod
     def _gate(acc: DataFrame | None, scope: DataFrame, hit: bool) -> DataFrame:
@@ -875,20 +986,24 @@ class SparqlEngine:
         return acc if hit else acc.limit(0)
 
     def _scan_pattern(self, pat: Pattern, scope: DataFrame) -> DataFrame:
-        """One triple pattern -> filtered scan with var positions renamed."""
+        """One triple pattern -> filtered scan with var positions renamed.
+        ``^p`` swaps the subject/object roles of the scan columns."""
+        s_col, o_col = (
+            ("object", "subject") if pat.step.inverse else ("subject", "object")
+        )
         df = scope.filter(F.col("predicate") == pat.step.predicate)
         cols: list = []
         if pat.subject.kind == "var":
-            cols.append(F.col("subject").alias(pat.subject.value))
+            cols.append(F.col(s_col).alias(pat.subject.value))
         else:
-            df = df.filter(F.col("subject") == pat.subject.value)
+            df = df.filter(F.col(s_col) == pat.subject.value)
         if pat.obj.kind == "var":
             if pat.subject.kind == "var" and pat.obj.value == pat.subject.value:
-                df = df.filter(F.col("subject") == F.col("object"))
+                df = df.filter(F.col(s_col) == F.col(o_col))
             else:
-                cols.append(F.col("object").alias(pat.obj.value))
+                cols.append(F.col(o_col).alias(pat.obj.value))
         else:
-            df = df.filter(F.col("object") == pat.obj.value)
+            df = df.filter(F.col(o_col) == pat.obj.value)
         return df.select(*cols).dropDuplicates()
 
     def _join(
@@ -929,6 +1044,8 @@ class SparqlEngine:
             .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
             .distinct()
         )
+        if pat.step.inverse:  # ^p* == (^p)* — the closure of reversed edges
+            pairs = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         s, o = pat.subject, pat.obj
         zero = mod in ("*", "?")
 

@@ -382,9 +382,69 @@ def test_bind_rejects_rebinding(engine):
         )
 
 
-def test_minus_still_unsupported(engine):
+def test_minus_removes_matching_bindings(engine):
+    # all bridged points MINUS those typed as (transitive) setpoints
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?p WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             MINUS { ?p rdf:type/rdfs:subClassOf* b:Setpoint . }
+           }"""
+    ).collect()
+    assert {r.p.split("#")[-1] for r in rows} == {"p1", "p3", "pX"}  # p2 is a TSP
+
+
+def test_minus_disjoint_domain_removes_nothing(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav WHERE {
+             ?vav a brick:VAV .
+             MINUS { ?other a brick:Point . }
+           }"""
+    ).collect()
+    assert {r.vav.split("#")[-1] for r in rows} == {"vav1", "vav2"}
+
+
+def test_inverse_path(engine):
+    got = engine.sql(
+        PREFIXES + "SELECT ?p ?vav WHERE { ?p ^brick:hasPoint ?vav . }"
+    ).collect()
+    fwd = engine.sql(
+        PREFIXES + "SELECT ?p ?vav WHERE { ?vav brick:hasPoint ?p . }"
+    ).collect()
+    assert {(r.p, r.vav) for r in got} == {(r.p, r.vav) for r in fwd}
+    assert len(got) == 3
+
+
+def test_inverse_closure_descendants(engine):
+    rows = engine.sql(
+        PREFIXES + "SELECT ?desc WHERE { b:Sensor ^rdfs:subClassOf* ?desc . }"
+    ).collect()
+    assert {r.desc.split("#")[-1] for r in rows} == {"Sensor", "TS", "ZTS"}
+
+
+def test_path_alternation(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?x WHERE {
+             b:p1 brick:timeseries|rdf:type ?x .
+           }"""
+    ).collect()
+    vals = {r.x.split("#")[-1] for r in rows}
+    assert "ZTS" in vals and len(vals) == 2  # the type + the ts bnode
+
+
+def test_alternation_with_inverse_leg(engine):
+    # points reachable from vav1 by hasPoint, plus whatever points at vav1
+    rows = engine.sql(
+        PREFIXES
+        + "SELECT ?x WHERE { b:vav1 brick:hasPoint|^brick:hasPoint ?x . }"
+    ).collect()
+    assert {r.x.split("#")[-1] for r in rows} == {"p1", "p2"}
+
+
+def test_closure_over_alternation_unsupported(engine):
     with pytest.raises(SparqlUnsupported):
         engine.sql(
-            PREFIXES
-            + """SELECT ?p WHERE { ?p a brick:VAV . MINUS { ?p a brick:Point . } }"""
+            PREFIXES + "SELECT ?x WHERE { b:p1 (brick:a|brick:b)* ?x . }"
         )
