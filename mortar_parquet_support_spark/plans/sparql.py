@@ -29,6 +29,8 @@ full SPARQL engine expects:
   variables and a null binding on new ones
 - ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT`` /
   ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
+- aggregates: ``(COUNT(?v|*) AS ?n)`` (incl. ``DISTINCT``), ``SUM``,
+  ``AVG``, ``MIN``, ``MAX`` with ``GROUP BY`` — one hash aggregate
 
 Compilation: each triple pattern is a filtered scan of the (tiny, cached,
 broadcastable) triples DataFrame with its variable positions renamed to the
@@ -44,8 +46,8 @@ Values are untyped lexical strings (parity with the reference's stringified
 bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
-Still unsupported (raise ``SparqlUnsupported``): GRAPH, aggregates,
-subqueries, SERVICE, variable predicates, closure over an alternation
+Still unsupported (raise ``SparqlUnsupported``): GRAPH, subqueries,
+SERVICE, HAVING, variable predicates, closure over an alternation
 ``(a|b)*``, arithmetic in BIND/FILTER expressions.
 """
 
@@ -127,13 +129,16 @@ class Group:
 
 @dataclass
 class Query:
-    select: list[str]  # variable names, or ['*']
+    select: list[str]  # output column names in order, or ['*']
     distinct: bool
     group: Group
     var_order: list[str]  # first-appearance order, for SELECT *
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
+    #: alias -> (fn, target var or '*', distinct) for (AGG(?v) AS ?alias)
+    aggregates: dict[str, tuple[str, str, bool]] = field(default_factory=dict)
+    group_by: list[str] = field(default_factory=list)
 
     @property
     def patterns(self) -> list[Pattern]:  # back-compat accessor
@@ -220,6 +225,7 @@ class _SparqlParser:
             distinct = True
             self._next()
         select: list[str] = []
+        aggregates: dict[str, tuple[str, str, bool]] = {}
         while True:
             kind, tok = self._peek()
             if kind == "var":
@@ -229,6 +235,10 @@ class _SparqlParser:
                 select = ["*"]
                 self._next()
                 break
+            elif kind == "punct" and tok == "(":
+                alias, spec = self._parse_select_aggregate()
+                select.append(alias)
+                aggregates[alias] = spec
             else:
                 break
         if self._peek_word_lower() == "where":
@@ -238,10 +248,20 @@ class _SparqlParser:
         self._expect_punct("}")
 
         order_by: list[tuple[str, bool]] = []
+        group_by: list[str] = []
         limit = offset = None
         while True:
             w = self._peek_word_lower()
-            if w == "order":
+            if w == "group":
+                self._next()
+                if self._peek_word_lower() != "by":
+                    raise ValueError("SPARQL parse: GROUP must be followed by BY")
+                self._next()
+                while self._peek()[0] == "var":
+                    group_by.append(self._next()[1][1:])
+                if not group_by:
+                    raise ValueError("SPARQL parse: empty GROUP BY")
+            elif w == "order":
                 self._next()
                 if self._peek_word_lower() != "by":
                     raise ValueError("SPARQL parse: ORDER must be followed by BY")
@@ -280,7 +300,40 @@ class _SparqlParser:
             order_by=order_by,
             limit=limit,
             offset=offset,
+            aggregates=aggregates,
+            group_by=group_by,
         )
+
+    _AGG_FNS = {"count", "sum", "avg", "min", "max"}
+
+    def _parse_select_aggregate(self) -> tuple[str, tuple[str, str, bool]]:
+        """``(COUNT(DISTINCT ?x) AS ?n)`` / ``(COUNT(*) AS ?n)`` /
+        ``(SUM(?v) AS ?s)`` in a SELECT clause."""
+        self._expect_punct("(")
+        kind, fn_tok = self._next()
+        fn = fn_tok.lower() if kind == "word" else ""
+        if fn not in self._AGG_FNS:
+            raise SparqlUnsupported(f"unsupported SELECT expression: {fn_tok!r}")
+        self._expect_punct("(")
+        distinct = False
+        if self._peek_word_lower() == "distinct":
+            distinct = True
+            self._next()
+        kind, tok = self._peek()
+        if kind == "mod" and tok == "*":
+            if fn != "count":
+                raise ValueError(f"SPARQL parse: {fn.upper()}(*) is not legal")
+            target = "*"
+            self._next()
+        else:
+            target = self._expect("var")[1][1:]
+        self._expect_punct(")")
+        if self._peek_word_lower() != "as":
+            raise ValueError("SPARQL parse: aggregate needs 'AS ?alias'")
+        self._next()
+        alias = self._expect("var")[1][1:]
+        self._expect_punct(")")
+        return alias, (fn, target, distinct)
 
     # -- token plumbing --
     def _peek(self):
@@ -700,7 +753,12 @@ class SparqlEngine:
         acc, bound = self._compile_group(q.group, scope)
         if acc is None:
             raise SparqlUnsupported("empty WHERE group")
-        if q.select == ["*"]:
+        if q.aggregates:
+            acc = self._apply_aggregates(q, acc, bound)
+            out_vars = q.select
+        elif q.group_by:
+            raise SparqlUnsupported("GROUP BY without aggregates in SELECT")
+        elif q.select == ["*"]:
             out_vars = [v for v in q.var_order if v in bound]
         else:
             missing = [v for v in q.select if v not in bound]
@@ -722,6 +780,45 @@ class SparqlEngine:
         if q.limit is not None:
             out = out.limit(int(q.limit))
         return out
+
+    def _apply_aggregates(self, q: Query, acc: DataFrame, bound: set[str]) -> DataFrame:
+        """``(AGG(?v) AS ?alias)`` + ``GROUP BY``: one hash aggregate.
+
+        SUM/AVG coerce the lexical values numerically (try_cast double —
+        non-numeric bindings become nulls, which Spark's aggregates skip,
+        matching SPARQL's error-dropping semantics); MIN/MAX compare
+        lexically (the engine's bindings are strings by contract);
+        COUNT(?v) counts non-null bindings, COUNT(*) counts rows."""
+        for v in q.group_by:
+            if v not in bound:
+                raise ValueError(f"GROUP BY variable ?{v} not bound by WHERE")
+        for name in q.select:
+            if name not in q.aggregates and name not in q.group_by:
+                raise ValueError(
+                    f"SELECT ?{name} must be aggregated or in GROUP BY"
+                )
+        aggs = []
+        for alias, (fn, target, distinct) in q.aggregates.items():
+            if target != "*" and target not in bound:
+                raise ValueError(f"aggregate over unbound variable ?{target}")
+            if fn == "count":
+                if target == "*":
+                    expr = F.count(F.lit(1))
+                elif distinct:
+                    expr = F.count_distinct(F.col(target))
+                else:
+                    expr = F.count(F.col(target))
+            else:
+                col = F.col(target)
+                if distinct:
+                    raise SparqlUnsupported(f"DISTINCT inside {fn.upper()}()")
+                if fn in ("sum", "avg"):
+                    col = col.try_cast("double")
+                expr = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](col)
+            aggs.append(expr.alias(alias))
+        if q.group_by:
+            return acc.groupBy(*[F.col(v) for v in q.group_by]).agg(*aggs)
+        return acc.agg(*aggs)
 
     def _compile_group(
         self, group: Group, scope: DataFrame

@@ -448,3 +448,43 @@ def test_closure_over_alternation_unsupported(engine):
         engine.sql(
             PREFIXES + "SELECT ?x WHERE { b:p1 (brick:a|brick:b)* ?x . }"
         )
+
+
+def test_aggregate_count_group_by(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav (COUNT(?p) AS ?n) WHERE {
+             ?vav a brick:VAV ; brick:hasPoint ?p .
+           } GROUP BY ?vav ORDER BY ?vav"""
+    ).collect()
+    assert [(r.vav.split("#")[-1], r.n) for r in rows] == [("vav1", "2"), ("vav2", "1")]
+
+
+def test_aggregate_count_star_and_distinct(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT (COUNT(*) AS ?rows) (COUNT(DISTINCT ?vav) AS ?vavs) WHERE {
+             ?vav brick:hasPoint ?p .
+           }"""
+    ).collect()
+    assert rows[0].rows == "3" and rows[0].vavs == "2"
+
+
+def test_aggregate_min_max_lexical(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT (MIN(?id) AS ?lo) (MAX(?id) AS ?hi) WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+           }"""
+    ).collect()
+    assert rows[0].lo.startswith("11111111") and rows[0].hi.startswith("44444444")
+
+
+def test_aggregate_validation(engine):
+    with pytest.raises(ValueError):
+        engine.sql(
+            PREFIXES
+            + "SELECT ?p (COUNT(?id) AS ?n) WHERE { ?vav brick:hasPoint ?p . } GROUP BY ?vav"
+        )
+    with pytest.raises(SparqlUnsupported):
+        engine.sql(PREFIXES + "SELECT ?vav WHERE { ?vav a brick:VAV . } GROUP BY ?vav")
