@@ -30,7 +30,8 @@ full SPARQL engine expects:
 - ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT`` /
   ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
 - aggregates: ``(COUNT(?v|*) AS ?n)`` (incl. ``DISTINCT``), ``SUM``,
-  ``AVG``, ``MIN``, ``MAX`` with ``GROUP BY`` — one hash aggregate
+  ``AVG``, ``MIN``, ``MAX`` with ``GROUP BY`` — one hash aggregate —
+  and ``HAVING`` over the aggregate aliases
 
 Compilation: each triple pattern is a filtered scan of the (tiny, cached,
 broadcastable) triples DataFrame with its variable positions renamed to the
@@ -47,8 +48,8 @@ bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
 Still unsupported (raise ``SparqlUnsupported``): GRAPH, subqueries,
-SERVICE, HAVING, variable predicates, closure over an alternation
-``(a|b)*``, arithmetic in BIND/FILTER expressions.
+SERVICE, variable predicates, closure over an alternation ``(a|b)*``,
+arithmetic in BIND/FILTER expressions.
 """
 
 from __future__ import annotations
@@ -139,6 +140,7 @@ class Query:
     #: alias -> (fn, target var or '*', distinct) for (AGG(?v) AS ?alias)
     aggregates: dict[str, tuple[str, str, bool]] = field(default_factory=dict)
     group_by: list[str] = field(default_factory=list)
+    having: list[FilterExpr] = field(default_factory=list)
 
     @property
     def patterns(self) -> list[Pattern]:  # back-compat accessor
@@ -249,6 +251,7 @@ class _SparqlParser:
 
         order_by: list[tuple[str, bool]] = []
         group_by: list[str] = []
+        having: list[FilterExpr] = []
         limit = offset = None
         while True:
             w = self._peek_word_lower()
@@ -261,6 +264,11 @@ class _SparqlParser:
                     group_by.append(self._next()[1][1:])
                 if not group_by:
                     raise ValueError("SPARQL parse: empty GROUP BY")
+            elif w == "having":
+                self._next()
+                self._expect_punct("(")
+                having.append(self._parse_filter_expr())
+                self._expect_punct(")")
             elif w == "order":
                 self._next()
                 if self._peek_word_lower() != "by":
@@ -302,6 +310,7 @@ class _SparqlParser:
             offset=offset,
             aggregates=aggregates,
             group_by=group_by,
+            having=having,
         )
 
     _AGG_FNS = {"count", "sum", "avg", "min", "max"}
@@ -755,9 +764,12 @@ class SparqlEngine:
             raise SparqlUnsupported("empty WHERE group")
         if q.aggregates:
             acc = self._apply_aggregates(q, acc, bound)
+            hbound = set(q.group_by) | set(q.aggregates)
+            for h in q.having:
+                acc = acc.filter(self._compile_filter(h, hbound))
             out_vars = q.select
-        elif q.group_by:
-            raise SparqlUnsupported("GROUP BY without aggregates in SELECT")
+        elif q.group_by or q.having:
+            raise SparqlUnsupported("GROUP BY/HAVING without aggregates in SELECT")
         elif q.select == ["*"]:
             out_vars = [v for v in q.var_order if v in bound]
         else:

@@ -488,3 +488,13 @@ def test_aggregate_validation(engine):
         )
     with pytest.raises(SparqlUnsupported):
         engine.sql(PREFIXES + "SELECT ?vav WHERE { ?vav a brick:VAV . } GROUP BY ?vav")
+
+
+def test_aggregate_having(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav (COUNT(?p) AS ?n) WHERE {
+             ?vav a brick:VAV ; brick:hasPoint ?p .
+           } GROUP BY ?vav HAVING(?n >= 2)"""
+    ).collect()
+    assert [(r.vav.split("#")[-1], r.n) for r in rows] == [("vav1", "2")]
