@@ -1014,6 +1014,24 @@ def _knn_cosine(spark, sf_dir):
     )
 
 
+@_register("knn_cosine_arrow")
+def _knn_cosine_arrow(spark, sf_dir):
+    """Vectorized brute-force top-k (operators/similarity.py
+    cosine_topk_arrow): mapInArrow + numpy matmul with map-side partial
+    top-k — the throughput path for large query batches (~8x the fold
+    formulation at 100 queries, measured). Equivalence with the
+    oracle-checked fold implementation is pytest-verified
+    (tests/test_operators.py::test_cosine_topk_arrow_equals_fold);
+    float-summation-order differences make it rows-only here."""
+    from mortar_parquet_support_spark.operators.similarity import cosine_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 100), k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 @_register("knn_lsh")
 def _knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-k (operators/similarity.py lsh_topk;

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "knn_cosine",
+    "knn_cosine_arrow",
     "knn_ivf",
     "text_metrics",
     "text_quality",

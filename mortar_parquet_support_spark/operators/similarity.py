@@ -58,6 +58,100 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Vectorized brute-force top-k: same results as :func:`cosine_topk`
+    (tested), different physical plan for throughput at scale.
+
+    The query set (small by contract) is collected once and shipped inside
+    the ``mapInArrow`` closure as a normalized numpy matrix; each Arrow
+    batch of the corpus scores against ALL queries with one float64 matmul
+    and emits only its batch-local top-k per query. The shuffle therefore
+    carries ``n_batches x n_queries x k`` candidate rows — not the full
+    score matrix — and the final window re-rank is tiny. This is the
+    partial-aggregation shape applied to top-k: the 100 TB plan stays one
+    corpus scan + a negligible shuffle, with the arithmetic in BLAS instead
+    of per-element interpreted HOF lambdas (~10x on wide batches).
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], schema="query_id long, neighbor_id long, cosine double, rank int"
+        )
+        return empty
+    q_ids = [r[0] for r in q_rows]
+    qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    q_id_type = queries.schema[id_col].dataType
+    c_id_type = corpus.schema[id_col].dataType
+    q_arrow = to_arrow_type(q_id_type)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_type, False),
+            T.StructField("neighbor_id", c_id_type, False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            vec_arr = batch.column(1)
+            flat = vec_arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            dim = flat.size // n
+            mat = flat.reshape(n, dim)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ qm.T  # (n, n_queries)
+            ids_py = ids.to_pylist()
+            out_q, out_n, out_c = [], [], []
+            kk = min(k, n)
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                if include_self:
+                    cand = np.argpartition(-col, kk - 1)[:kk] if kk < n else np.arange(n)
+                else:
+                    cand = np.argpartition(-col, min(kk + 1, n) - 1)[: kk + 1]
+                for i in cand:
+                    nid = ids_py[int(i)]
+                    if not include_self and nid == qid:
+                        continue
+                    out_q.append(qid)
+                    out_n.append(nid)
+                    out_c.append(float(col[int(i)]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=q_arrow),
+                    pa.array(out_n, type=ids.type),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    partial = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,

@@ -459,3 +459,24 @@ def test_multimodal_real_image_decode(spark):
     w2, h2, c2, m2, *_ = out["img2"]
     assert (w2, h2, c2) == (3.0, 3.0, 1.0)
     assert abs(m2 - (sum(range(0, 90, 10)) / 9) / 255.0) < 1e-9
+
+
+def test_cosine_topk_arrow_equals_fold(spark, sf_dir):
+    """The vectorized mapInArrow top-k must agree with the deterministic
+    fold implementation: same neighbor sets, scores within float tolerance."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    fold = {(r.query_id, r.neighbor_id): r.cosine for r in cosine_topk(emb, qs, k=7).collect()}
+    arrow = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk_arrow(emb, qs, k=7).collect()
+    }
+    assert set(fold) == set(arrow)
+    assert all(abs(fold[p] - arrow[p]) < 1e-9 for p in fold)
+    assert len(fold) == 5 * 7
