@@ -230,6 +230,83 @@ def _assign_lists(vecs: DataFrame, centroids) -> DataFrame:
     return best
 
 
+class IvfIndex:
+    """A built IVF-flat index: broadcastable centroid table + the corpus
+    assigned to its Voronoi cells. The 100 TB usage shape: ``build`` pays
+    the centroid seeding + assignment scan ONCE (optionally persisting the
+    assigned corpus in memory/disk), then every ``topk`` query batch is
+    just a probe equi-join on list_id — amortized indexing, exactly how a
+    vector store serves repeated query traffic.
+    """
+
+    def __init__(self, centroids: DataFrame, assigned: DataFrame, *, persisted: bool):
+        self.centroids = centroids
+        self.assigned = assigned
+        self._persisted = persisted
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_list: int = 16,
+        iters: int = 1,
+        seed: int = 42,
+        persist: bool = True,
+    ) -> "IvfIndex":
+        cents = ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_list=n_list, iters=iters, seed=seed
+        )
+        assigned = _assign_lists(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            F.broadcast(cents),
+        ).select(F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "list_id")
+        if persist:
+            # eager persist: materialize NOW so the first query batch
+            # doesn't pay the assignment scan (and AQE never re-plans it)
+            assigned = assigned.persist()
+            assigned.count()
+        return cls(cents, assigned, persisted=persist)
+
+    def topk(self, queries: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10, nprobe: int = 4) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank) for the nprobe nearest
+        cells per query; ``nprobe = n_list`` is exact brute force."""
+        cents = F.broadcast(self.centroids)
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        qs = q.crossJoin(cents).select(
+            "query_id",
+            "q_vec",
+            "list_id",
+            cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("_sim"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("list_id"))
+        probes = (
+            qs.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= nprobe)
+            .select("query_id", "q_vec", "list_id")
+        )
+        joined = self.assigned.join(F.broadcast(probes), "list_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            self.assigned.unpersist()
+            self._persisted = False
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -242,49 +319,27 @@ def ivf_topk(
     iters: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: (query_id, neighbor_id, cosine, rank).
+    """One-shot IVF-flat approximate top-k: (query_id, neighbor_id, cosine,
+    rank) — builds an unpersisted :class:`IvfIndex` and probes it once.
 
     Scale shape: centroids are O(n_list) and always broadcast; the corpus is
     scanned once for assignment and then joined to queries ONLY on matching
     list_id — the equi-join on list_id replaces the brute-force cross join,
-    cutting compared pairs by ~nprobe/n_list. Persist the assigned corpus to
-    amortize indexing across query batches. ``nprobe = n_list`` probes every
-    cell and reproduces exact brute-force results (tested equivalence).
+    cutting compared pairs by ~nprobe/n_list. For repeated query batches
+    use ``IvfIndex.build(..., persist=True)`` and call ``topk`` per batch.
+    ``nprobe = n_list`` probes every cell and reproduces exact brute-force
+    results (tested equivalence).
     """
-    cents = F.broadcast(ivf_centroids(
-        corpus, id_col=id_col, vec_col=vec_col, n_list=n_list, iters=iters, seed=seed
-    ))
-    c = _assign_lists(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), cents
-    ).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "list_id"
+    index = IvfIndex.build(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_list=n_list,
+        iters=iters,
+        seed=seed,
+        persist=False,
     )
-    # per-query nprobe nearest centroids
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    qs = q.crossJoin(cents).select(
-        "query_id",
-        "q_vec",
-        "list_id",
-        cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("_sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("list_id"))
-    probes = (
-        qs.withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= nprobe)
-        .select("query_id", "q_vec", "list_id")
-    )
-    joined = c.join(F.broadcast(probes), "list_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return index.topk(queries, id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe)
 
 
 def hyperplane_signature(

@@ -480,3 +480,29 @@ def test_cosine_topk_arrow_equals_fold(spark, sf_dir):
     assert set(fold) == set(arrow)
     assert all(abs(fold[p] - arrow[p]) < 1e-9 for p in fold)
     assert len(fold) == 5 * 7
+
+
+def test_ivf_index_amortized_probes(spark, sf_dir):
+    """IvfIndex: build once (persisted assignment), probe with two query
+    batches; results must match one-shot ivf_topk with identical params."""
+    from mortar_parquet_support_spark.operators.similarity import IvfIndex, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IvfIndex.build(emb, n_list=8, iters=1, persist=True)
+    assert idx.assigned.storageLevel.useMemory  # actually persisted
+    try:
+        for lo, hi in [(0, 4), (4, 8)]:
+            qs = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in idx.topk(qs, k=5, nprobe=8).collect()
+            }
+            want = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_topk(emb, qs, k=5, n_list=8, nprobe=8).collect()
+            }
+            assert got == want and len(got) == 4 * 5
+    finally:
+        idx.unpersist()
+    assert not idx.assigned.storageLevel.useMemory
