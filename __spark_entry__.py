@@ -1611,6 +1611,17 @@ def _streaming_sessionize(spark, sf_dir):
     return _run_to_memory(sess, output_mode="append")
 
 
+@_register("streaming_enrich")
+def _streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment join (streaming/rollup.py stream_enrich):
+    events stream decorated from the customer dim per micro-batch, no
+    streaming state. Equality with the batch join is pytest-verified;
+    Structured Streaming emission -> rows-only."""
+    from mortar_parquet_support_spark.streaming.rollup import stream_enrich_once
+
+    return stream_enrich_once(spark, sf_dir)
+
+
 @_register("streaming_rollup")
 def _streaming_rollup(spark, sf_dir):
     """Structured Streaming windowed rollup (streaming/rollup.py) driven to

@@ -232,3 +232,50 @@ def stream_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+def stream_enrich(
+    events,
+    dim: DataFrame,
+    *,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+):
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    against the (batch) dimension table — the standard shape for decorating
+    an event stream with slowly-changing reference data.
+
+    Scale notes: Spark re-plans the static side per micro-batch, so a small
+    dimension becomes a broadcast hash join with NO streaming state at all
+    (unlike stream-stream joins, nothing is buffered); updates to the
+    underlying dim table are picked up on the next micro-batch. ``dim`` is
+    projected to the join key + ``dim_cols`` first so only the needed
+    columns ship with the broadcast.
+    """
+    cols = dim_cols if dim_cols is not None else [c for c in dim.columns if c != on]
+    pruned = dim.select(on, *cols)
+    return events.join(pruned, on=on, how=how)
+
+
+def stream_enrich_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the enrichment over the events stream joined to the customer
+    dim on user_id -> c_custkey; equals the batch join (tested)."""
+    ev = _events_stream(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    out = _run_to_memory(
+        stream_enrich(
+            ev.select("event_id", "user_id", "event_type", "value"),
+            dim,
+            on="user_id",
+        ),
+        output_mode="append",
+    )
+    return out

@@ -36,3 +36,28 @@ def test_format_roundtrips(spark, tmp_path):
         back = open_table(spark, path, format=fmt, schema=schema)
         assert back.count() == 100
         assert {r.id for r in back.collect()} == set(range(100))
+
+
+def test_stream_enrich_equals_batch_join(spark, sf_dir):
+    """Stream-static join over availableNow == the same batch join."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.streaming.rollup import stream_enrich_once
+    from mortar_parquet_support_spark.tables import load_table
+
+    got = stream_enrich_once(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = ev.join(dim, "user_id", "left")
+    assert got.count() == want.count()
+    assert (
+        got.select("event_id", "user_name").exceptAll(
+            want.select("event_id", "user_name")
+        ).isEmpty()
+    )
