@@ -1672,16 +1672,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted on purpose (rows-only checks, with why):
-    dedup_minhash / dedup_simhash / knn_lsh / knn_ivf / embedding_dedup
-    (xxhash64 signatures/seeding have no DuckDB equivalent; their verify
-    stages ARE oracle-checked via ngram_jaccard_pairs / knn_cosine, and
-    knn_ivf's full-probe mode is tested equal to the oracle-checked brute
-    force), approx_stats (sketch results are engine-specific by definition;
-    exact counterparts oracle-checked via group_distinct / percentiles),
-    multimodal_features (Python decode stub in mapInPandas — the one
-    intentionally-Python op), sparql_bridges (SPARQL engine, no SQL
-    equivalent without the triples loaded), ingest_roundtrip (filesystem
-    side effects), streaming_rollup /
+    dedup_minhash / dedup_simhash / knn_lsh (xxhash64 signatures/seeding
+    have no DuckDB equivalent; their verify stages ARE oracle-checked via
+    ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
+    knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and
+    full-probe mode respectively), knn_cosine_arrow (float summation order
+    differs from the fold formulation; equivalence pytest-verified —
+    tests/test_operators.py), approx_stats (sketch results are
+    engine-specific by definition; exact counterparts oracle-checked via
+    group_distinct / percentiles), multimodal_features (Python decode in
+    mapInPandas — the one intentionally-Python op), sparql_bridges (SPARQL
+    engine, no SQL equivalent without the triples loaded), ingest_roundtrip
+    (filesystem side effects), streaming_enrich / streaming_rollup /
     streaming_sessionize (Structured Streaming; emission depends on
     watermark progression — but note streaming_dedup IS oracle-checked)."""
     return dict(_ORACLES)

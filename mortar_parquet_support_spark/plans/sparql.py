@@ -14,6 +14,10 @@ full SPARQL engine expects:
   transitive-closure table (plans/closure.py), inverses ``^p`` (also of
   closures: ``^p*``), and alternation ``p1|p2`` of simple steps
 - ``MINUS { ... }`` — left anti join on the shared variables
+- ``GRAPH <urn:site#> { ... }`` / ``GRAPH ?g { ... }`` — named-graph
+  scoping with the reference's ``urn:{site}#`` naming (setup-graphs.py:18);
+  a variable graph binds ``?g`` per matching graph, and shared ontology
+  triples are visible inside every named graph (setup-graphs.py:22 parity)
 - blank-node property lists ``[ brick:hasTimeseriesId ?id ]``
 - object lists ``?vav brick:hasPoint ?sen_point, ?sp_point``
 - ``FILTER`` (comparisons, ``&&``/``||``/``!``, ``regex``, ``strstarts``,
@@ -47,9 +51,9 @@ Values are untyped lexical strings (parity with the reference's stringified
 bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
-Still unsupported (raise ``SparqlUnsupported``): GRAPH, subqueries,
-SERVICE, variable predicates, closure over an alternation ``(a|b)*``,
-arithmetic in BIND/FILTER expressions.
+Still unsupported (raise ``SparqlUnsupported``): subqueries, SERVICE,
+variable predicates, closure over an alternation ``(a|b)*``, arithmetic
+in BIND/FILTER expressions.
 """
 
 from __future__ import annotations
@@ -123,6 +127,7 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
     minuses: list["Group"] = field(default_factory=list)
+    graphs: list[tuple[Term, "Group"]] = field(default_factory=list)
     binds: list[tuple[str, FilterExpr]] = field(default_factory=list)
     #: (variables, rows) — row entries are strings or None for UNDEF
     values: list[tuple[list[str], list[list[str | None]]]] = field(default_factory=list)
@@ -167,7 +172,7 @@ _SPARQL_TOKEN_RE = re.compile(
 )
 
 _UNSUPPORTED_RE = re.compile(
-    r"^(graph|service|group|having|exists)$",
+    r"^(service|group|having|exists)$",
     re.IGNORECASE,
 )
 
@@ -397,6 +402,17 @@ class _SparqlParser:
                 self._next()
                 self._expect_punct("{")
                 group.optionals.append(self._parse_group())
+                self._expect_punct("}")
+                while self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if kind == "word" and tok.lower() == "graph":
+                self._next()
+                gterm = self._parse_term(position="graph", group=group)
+                if gterm.kind == "literal":
+                    raise ValueError("SPARQL parse: GRAPH needs an IRI or variable")
+                self._expect_punct("{")
+                group.graphs.append((gterm, self._parse_group()))
                 self._expect_punct("}")
                 while self._peek() == ("punct", "."):
                     self._next()
@@ -713,6 +729,22 @@ def parse_sparql(query: str) -> Query:
 # Compiler
 # --------------------------------------------------------------------------
 
+@dataclass(frozen=True)
+class _Scope:
+    """What a group graph pattern compiles against: a triples frame with
+    columns (subject, predicate, object, *extra). ``extra`` names columns
+    that every pattern scan carries through as additional bound variables —
+    the mechanism behind ``GRAPH ?g`` (extra = the graph variable, column =
+    the site)."""
+
+    df: DataFrame
+    extra: tuple = ()
+
+    @property
+    def spark(self):
+        return self.df.sparkSession
+
+
 class SparqlEngine:
     """Compile + run parsed SPARQL over a triples DataFrame.
 
@@ -743,14 +775,40 @@ class SparqlEngine:
         """Run a SPARQL query; all result columns are strings (parity with
         the reference's stringified bindings, client.py:43,53)."""
         parsed = parse_sparql(query)
-        scope = (
+        df = (
             self._union
             if site is None
             else self.triples.filter(
                 F.col("site").isin([site, *self.shared_sites])
             ).select("subject", "predicate", "object")
         )
-        return self._compile_query(parsed, scope)
+        return self._compile_query(parsed, _Scope(df))
+
+    def _graph_scope(self, gterm: Term) -> _Scope:
+        """Scope for a GRAPH clause. Graph names follow the reference's
+        ``urn:{site}#`` convention (setup-graphs.py:18). Shared pseudo-sites
+        (the loaded ontology) are visible inside EVERY named graph, exactly
+        as the reference parses Brick into each graph (setup-graphs.py:22).
+        """
+        if gterm.kind == "iri":
+            m = re.fullmatch(r"urn:(.*)#", gterm.value)
+            site = m.group(1) if m else gterm.value
+            return _Scope(
+                self.triples.filter(
+                    F.col("site").isin([site, *self.shared_sites])
+                ).select("subject", "predicate", "object")
+            )
+        gvar = gterm.value
+        real = self.triples.filter(~F.col("site").isin(self.shared_sites))
+        out = real.select(F.col("site").alias(gvar), "subject", "predicate", "object")
+        if self.shared_sites:
+            shared = self.triples.filter(F.col("site").isin(self.shared_sites))
+            sites = real.select("site").distinct()
+            replicated = shared.drop("site").crossJoin(F.broadcast(sites)).select(
+                F.col("site").alias(gvar), "subject", "predicate", "object"
+            )
+            out = out.unionByName(replicated)
+        return _Scope(out, extra=(gvar,))
 
     def closure(self, predicate: str) -> DataFrame:
         if predicate not in self._closures:
@@ -758,7 +816,7 @@ class SparqlEngine:
         return self._closures[predicate]
 
     # -- compilation --
-    def _compile_query(self, q: Query, scope: DataFrame) -> DataFrame:
+    def _compile_query(self, q: Query, scope: _Scope) -> DataFrame:
         acc, bound = self._compile_group(q.group, scope)
         if acc is None:
             raise SparqlUnsupported("empty WHERE group")
@@ -833,12 +891,24 @@ class SparqlEngine:
         return acc.agg(*aggs)
 
     def _compile_group(
-        self, group: Group, scope: DataFrame
+        self, group: Group, scope: _Scope
     ) -> tuple[DataFrame | None, set[str]]:
         acc: DataFrame | None = None
         bound: set[str] = set()
         for pat in self._order_patterns(group.triples):
             acc, bound = self._apply_pattern(acc, bound, pat, scope)
+        for gterm, ggroup in group.graphs:
+            gscope = self._graph_scope(gterm)
+            gdf, gvars = self._compile_group(ggroup, gscope)
+            if gdf is None:
+                continue
+            if gterm.kind == "var" and gterm.value in gdf.columns:
+                # bind the graph variable as the reference's graph IRI
+                gdf = gdf.withColumn(
+                    gterm.value,
+                    F.concat(F.lit("urn:"), F.col(gterm.value), F.lit("#")),
+                )
+            acc, bound = self._join(acc, bound, gdf) if acc is not None else (gdf, gvars)
         for alternatives in group.unions:
             udf, uvars = self._compile_union(alternatives, scope)
             acc, bound = self._join(acc, bound, udf) if acc is not None else (udf, uvars)
@@ -873,7 +943,7 @@ class SparqlEngine:
         for var, bexpr in group.binds:
             if acc is None:
                 # BIND with no preceding patterns: a one-row unit frame
-                acc = scope.sparkSession.range(1).select()
+                acc = scope.spark.range(1).select()
             if var in bound:
                 raise SparqlUnsupported(f"BIND to already-bound variable ?{var}")
             acc = acc.withColumn(var, self._compile_filter(bexpr, bound).cast("string"))
@@ -890,7 +960,7 @@ class SparqlEngine:
         bound: set[str],
         vars_: list[str],
         rows: list[list[str | None]],
-        scope: DataFrame,
+        scope: _Scope,
     ) -> tuple[DataFrame, set[str]]:
         """Join an inline VALUES table into the group (SPARQL 1.1 §10.2).
 
@@ -900,7 +970,7 @@ class SparqlEngine:
         becoming an unbound (null) binding."""
         from pyspark.sql import types as T
 
-        spark = scope.sparkSession
+        spark = scope.spark
         schema = T.StructType([T.StructField(v, T.StringType(), True) for v in vars_])
         vdf = spark.createDataFrame([tuple(r) for r in rows], schema=schema)
         if acc is None:
@@ -920,7 +990,7 @@ class SparqlEngine:
         return out, bound | set(vars_)
 
     def _compile_union(
-        self, alternatives: list[Group], scope: DataFrame
+        self, alternatives: list[Group], scope: _Scope
     ) -> tuple[DataFrame, set[str]]:
         frames: list[tuple[DataFrame, set[str]]] = []
         for alt in alternatives:
@@ -1041,28 +1111,39 @@ class SparqlEngine:
         acc: DataFrame | None,
         bound: set[str],
         pat: Pattern,
-        scope: DataFrame,
+        scope: _Scope,
     ) -> tuple[DataFrame, set[str]]:
         if isinstance(pat.step, AltStep):
             return self._apply_alt_pattern(acc, bound, pat, scope)
         if pat.step.modifier:
             return self._apply_closure_pattern(acc, bound, pat, scope)
         if pat.subject.kind != "var" and pat.obj.kind != "var":
+            if scope.extra:
+                # ground pattern inside GRAPH ?g: binds the extra vars to
+                # the graphs containing the triple instead of gating
+                return self._join(acc, bound, self._ground_extra(pat, pat.step, scope))
             # fully-ground pattern: an existence gate on the whole query
             return self._gate(acc, scope, self._ground_hit(pat, pat.step, scope)), bound
         pdf = self._scan_pattern(pat, scope)
         return self._join(acc, bound, pdf)
 
     @staticmethod
-    def _ground_hit(pat: Pattern, step: PathStep, scope: DataFrame) -> bool:
+    def _ground_filter(pat: Pattern, step: PathStep, scope: _Scope) -> DataFrame:
         s_col, o_col = ("object", "subject") if step.inverse else ("subject", "object")
+        return scope.df.filter(
+            (F.col("predicate") == step.predicate)
+            & (F.col(s_col) == pat.subject.value)
+            & (F.col(o_col) == pat.obj.value)
+        )
+
+    def _ground_hit(self, pat: Pattern, step: PathStep, scope: _Scope) -> bool:
+        return self._ground_filter(pat, step, scope).limit(1).count() > 0
+
+    def _ground_extra(self, pat: Pattern, step: PathStep, scope: _Scope) -> DataFrame:
         return (
-            scope.filter(
-                (F.col("predicate") == step.predicate)
-                & (F.col(s_col) == pat.subject.value)
-                & (F.col(o_col) == pat.obj.value)
-            ).limit(1).count()
-            > 0
+            self._ground_filter(pat, step, scope)
+            .select(*[F.col(v) for v in scope.extra])
+            .dropDuplicates()
         )
 
     def _apply_alt_pattern(
@@ -1070,12 +1151,18 @@ class SparqlEngine:
         acc: DataFrame | None,
         bound: set[str],
         pat: Pattern,
-        scope: DataFrame,
+        scope: _Scope,
     ) -> tuple[DataFrame, set[str]]:
         """``p1|p2`` — union of the alternatives' scans over the same
         (subject, object) positions, deduplicated (set semantics)."""
         steps = pat.step.steps
         if pat.subject.kind != "var" and pat.obj.kind != "var":
+            if scope.extra:
+                frames = [self._ground_extra(pat, s, scope) for s in steps]
+                pdf = frames[0]
+                for f in frames[1:]:
+                    pdf = pdf.unionByName(f)
+                return self._join(acc, bound, pdf.dropDuplicates())
             hit = any(self._ground_hit(pat, s, scope) for s in steps)
             return self._gate(acc, scope, hit), bound
         frames = [
@@ -1087,21 +1174,22 @@ class SparqlEngine:
         return self._join(acc, bound, pdf.dropDuplicates())
 
     @staticmethod
-    def _gate(acc: DataFrame | None, scope: DataFrame, hit: bool) -> DataFrame:
+    def _gate(acc: DataFrame | None, scope: _Scope, hit: bool) -> DataFrame:
         """Resolve a ground pattern: keep `acc` if the triple exists, else
         empty it. With no acc yet, produce a 1-row (or 0-row) placeholder."""
         if acc is None:
-            acc = scope.sparkSession.range(1).select(F.lit(1).alias("__one")).drop("__one")
+            acc = scope.spark.range(1).select(F.lit(1).alias("__one")).drop("__one")
         return acc if hit else acc.limit(0)
 
-    def _scan_pattern(self, pat: Pattern, scope: DataFrame) -> DataFrame:
+    def _scan_pattern(self, pat: Pattern, scope: _Scope) -> DataFrame:
         """One triple pattern -> filtered scan with var positions renamed.
-        ``^p`` swaps the subject/object roles of the scan columns."""
+        ``^p`` swaps the subject/object roles of the scan columns; the
+        scope's extra columns (GRAPH variables) ride along as join keys."""
         s_col, o_col = (
             ("object", "subject") if pat.step.inverse else ("subject", "object")
         )
-        df = scope.filter(F.col("predicate") == pat.step.predicate)
-        cols: list = []
+        df = scope.df.filter(F.col("predicate") == pat.step.predicate)
+        cols: list = [F.col(v) for v in scope.extra]
         if pat.subject.kind == "var":
             cols.append(F.col(s_col).alias(pat.subject.value))
         else:
@@ -1133,9 +1221,13 @@ class SparqlEngine:
         acc: DataFrame | None,
         bound: set[str],
         pat: Pattern,
-        scope: DataFrame,
+        scope: _Scope,
     ) -> tuple[DataFrame, set[str]]:
         """``x p* y`` / ``p+`` / ``p?`` via the closure table.
+
+        Inside ``GRAPH ?g``, path patterns use the engine-global closure and
+        do not constrain or bind the graph variable (documented
+        simplification; the ontology is shared across graphs anyway).
 
         - strict pairs come from the precomputed closure (``+``; for ``?``
           the single-hop edge set);
@@ -1149,7 +1241,7 @@ class SparqlEngine:
         pairs = (
             self.closure(pat.step.predicate)
             if mod in ("*", "+")
-            else scope.filter(F.col("predicate") == pat.step.predicate)
+            else scope.df.filter(F.col("predicate") == pat.step.predicate)
             .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
             .distinct()
         )
@@ -1201,8 +1293,8 @@ class SparqlEngine:
         step_pairs = pairs.select(F.col("src").alias(svar), F.col("dst").alias(ovar))
         if zero:
             terms = (
-                scope.select(F.col("subject").alias(svar))
-                .union(scope.select(F.col("object").alias(svar)))
+                scope.df.select(F.col("subject").alias(svar))
+                .union(scope.df.select(F.col("object").alias(svar)))
                 .distinct()
                 .withColumn(ovar, F.col(svar))
             )

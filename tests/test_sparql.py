@@ -498,3 +498,77 @@ def test_aggregate_having(engine):
            } GROUP BY ?vav HAVING(?n >= 2)"""
     ).collect()
     assert [(r.vav.split("#")[-1], r.n) for r in rows] == [("vav1", "2")]
+
+
+def test_graph_scoping_by_iri(engine):
+    # site2's point is invisible inside GRAPH <urn:site1#>
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?id WHERE {
+             GRAPH <urn:site1#> { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }
+           }"""
+    ).collect()
+    assert {r.id[:8] for r in rows} == {"11111111", "22222222", "33333333"}
+    rows2 = engine.sql(
+        PREFIXES
+        + """SELECT ?id WHERE {
+             GRAPH <urn:site2#> { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }
+           }"""
+    ).collect()
+    assert {r.id[:8] for r in rows2} == {"44444444"}
+
+
+def test_graph_variable_binds_graph_iri(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?g ?id WHERE {
+             GRAPH ?g { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }
+           }"""
+    ).collect()
+    got = {(r.g, r.id[:8]) for r in rows}
+    assert got == {
+        ("urn:site1#", "11111111"),
+        ("urn:site1#", "22222222"),
+        ("urn:site1#", "33333333"),
+        ("urn:site2#", "44444444"),
+    }
+
+
+def test_graph_joined_with_outer_pattern(engine):
+    # outer pattern (union scope) joined against the graph-scoped pattern
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?g ?vav ?p WHERE {
+             ?vav brick:hasPoint ?p .
+             GRAPH ?g { ?p a b:ZTS . }
+           }"""
+    ).collect()
+    assert [(r.g, r.vav.split("#")[-1], r.p.split("#")[-1]) for r in rows] == [
+        ("urn:site1#", "vav1", "p1")
+    ]
+
+
+def test_graph_shared_ontology_visible_in_every_graph(spark, tmp_path):
+    from mortar_parquet_support_spark.client import Client
+    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA, parse_ttl
+
+    site_rows = parse_ttl(FIXTURE_TTL, "site1") + parse_ttl(FIXTURE_TTL_SITE2, "site2")
+    onto = tmp_path / "onto.ttl"
+    onto.write_text(
+        "@prefix brick: <https://brickschema.org/schema/Brick#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "brick:Sensor rdfs:subClassOf brick:Point .\n"
+    )
+    c = Client(
+        spark,
+        triples=spark.createDataFrame(site_rows, schema=TRIPLES_SCHEMA),
+        ontology_path=str(onto),
+    )
+    rows = c.sparql(
+        PREFIXES
+        + """SELECT ?g WHERE {
+             GRAPH ?g { brick:Sensor rdfs:subClassOf brick:Point . }
+           }"""
+    ).collect()
+    # the ontology triple is visible inside BOTH named graphs, not as its own
+    assert {r.g for r in rows} == {"urn:site1#", "urn:site2#"}
