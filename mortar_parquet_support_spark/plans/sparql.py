@@ -14,6 +14,10 @@ full SPARQL engine expects:
   transitive-closure table (plans/closure.py), inverses ``^p`` (also of
   closures: ``^p*``), and alternation ``p1|p2`` of simple steps
 - ``MINUS { ... }`` — left anti join on the shared variables
+- ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` — correlated
+  existence test compiled to a broadcast left semi / left anti join on the
+  shared variables (uncorrelated inner groups gate on any-match, the
+  SPARQL-spec divergence from MINUS on disjoint domains)
 - ``GRAPH <urn:site#> { ... }`` / ``GRAPH ?g { ... }`` — named-graph
   scoping with the reference's ``urn:{site}#`` naming (setup-graphs.py:18);
   a variable graph binds ``?g`` per matching graph, and shared ontology
@@ -127,6 +131,8 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
     minuses: list["Group"] = field(default_factory=list)
+    #: (positive, group) — FILTER EXISTS {…} / FILTER NOT EXISTS {…}
+    exists_filters: list[tuple[bool, "Group"]] = field(default_factory=list)
     graphs: list[tuple[Term, "Group"]] = field(default_factory=list)
     binds: list[tuple[str, FilterExpr]] = field(default_factory=list)
     #: (variables, rows) — row entries are strings or None for UNDEF
@@ -172,7 +178,7 @@ _SPARQL_TOKEN_RE = re.compile(
 )
 
 _UNSUPPORTED_RE = re.compile(
-    r"^(service|group|having|exists)$",
+    r"^(service|group|having)$",
     re.IGNORECASE,
 )
 
@@ -392,9 +398,21 @@ class _SparqlParser:
                 raise ValueError("SPARQL parse: unterminated group")
             if kind == "word" and tok.lower() == "filter":
                 self._next()
-                self._expect_punct("(")
-                group.filters.append(self._parse_filter_expr())
-                self._expect_punct(")")
+                w = self._peek_word_lower()
+                if w in ("exists", "not"):
+                    positive = w == "exists"
+                    self._next()
+                    if not positive:
+                        if self._peek_word_lower() != "exists":
+                            raise ValueError("SPARQL parse: FILTER NOT needs EXISTS")
+                        self._next()
+                    self._expect_punct("{")
+                    group.exists_filters.append((positive, self._parse_group()))
+                    self._expect_punct("}")
+                else:
+                    self._expect_punct("(")
+                    group.filters.append(self._parse_filter_expr())
+                    self._expect_punct(")")
                 while self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -461,6 +479,11 @@ class _SparqlParser:
                     group.filters.extend(inner.filters)
                     group.optionals.extend(inner.optionals)
                     group.unions.extend(inner.unions)
+                    group.minuses.extend(inner.minuses)
+                    group.exists_filters.extend(inner.exists_filters)
+                    group.graphs.extend(inner.graphs)
+                    group.binds.extend(inner.binds)
+                    group.values.extend(inner.values)
                 else:
                     group.unions.append(alternatives)
                 while self._peek() == ("punct", "."):
@@ -952,6 +975,27 @@ class SparqlEngine:
             if acc is None:
                 raise SparqlUnsupported("FILTER without preceding patterns")
             acc = acc.filter(self._compile_filter(fexpr, bound))
+        for positive, eg in group.exists_filters:
+            if acc is None:
+                raise SparqlUnsupported("FILTER EXISTS without preceding patterns")
+            edf, evars = self._compile_group(eg, scope)
+            if edf is None:
+                continue
+            how = "left_semi" if positive else "left_anti"
+            shared = sorted(bound & evars)
+            if shared:
+                # correlated existence test == semi/anti join on the
+                # variables the inner group shares with the outer bindings
+                acc = acc.join(
+                    F.broadcast(edf.select(*shared).dropDuplicates()),
+                    on=shared,
+                    how=how,
+                )
+            else:
+                # uncorrelated: keep (EXISTS) / drop (NOT EXISTS) every row
+                # iff the inner pattern has any match at all
+                probe = F.broadcast(edf.limit(1).select(F.lit(1).alias("__e")))
+                acc = acc.join(probe, on=F.lit(True), how=how)
         return acc, bound
 
     def _apply_values(

@@ -572,3 +572,60 @@ def test_graph_shared_ontology_visible_in_every_graph(spark, tmp_path):
     ).collect()
     # the ontology triple is visible inside BOTH named graphs, not as its own
     assert {r.g for r in rows} == {"urn:site1#", "urn:site2#"}
+
+
+def test_filter_exists_correlated(engine):
+    # VAVs that have at least one point typed (transitively) as a sensor
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav WHERE {
+             ?vav a brick:VAV .
+             FILTER EXISTS { ?vav brick:hasPoint ?p . ?p rdf:type/rdfs:subClassOf* b:Sensor }
+           }"""
+    ).collect()
+    assert {r.vav.split("#")[-1] for r in rows} == {"vav1", "vav2"}
+
+
+def test_filter_not_exists_correlated(engine):
+    # VAVs with NO setpoint-typed point: vav2 (its only point p3 is a TS)
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav WHERE {
+             ?vav a brick:VAV .
+             FILTER NOT EXISTS { ?vav brick:hasPoint ?p . ?p rdf:type/rdfs:subClassOf* b:Setpoint }
+           }"""
+    ).collect()
+    assert {r.vav.split("#")[-1] for r in rows} == {"vav2"}
+
+
+def test_filter_exists_uncorrelated(engine):
+    # uncorrelated NOT EXISTS drops everything iff the inner pattern matches
+    # (unlike MINUS, which removes nothing on disjoint domains)
+    kept = engine.sql(
+        PREFIXES
+        + """SELECT ?vav WHERE {
+             ?vav a brick:VAV .
+             FILTER NOT EXISTS { b:weird a brick:VAV }
+           }"""
+    ).collect()
+    assert {r.vav.split("#")[-1] for r in kept} == {"vav1", "vav2"}
+    dropped = engine.sql(
+        PREFIXES
+        + """SELECT ?vav WHERE {
+             ?vav a brick:VAV .
+             FILTER NOT EXISTS { b:weird a brick:Point }
+           }"""
+    ).collect()
+    assert dropped == []
+
+
+def test_filter_exists_inside_nested_group(engine):
+    # flatten of a plain nested group must carry the EXISTS filter along
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav WHERE {
+             { ?vav a brick:VAV .
+               FILTER EXISTS { ?vav brick:hasPoint ?p . ?p a b:ZTS } }
+           }"""
+    ).collect()
+    assert {r.vav.split("#")[-1] for r in rows} == {"vav1"}
