@@ -22,6 +22,9 @@ full SPARQL engine expects:
   scoping with the reference's ``urn:{site}#`` naming (setup-graphs.py:18);
   a variable graph binds ``?g`` per matching graph, and shared ontology
   triples are visible inside every named graph (setup-graphs.py:22 parity)
+- variable predicates ``?s ?p ?o`` (a lone variable in predicate position
+  binds the predicate column; SPARQL forbids variables inside property
+  paths, so modifiers/inverse/sequence/alternation over one still raise)
 - blank-node property lists ``[ brick:hasTimeseriesId ?id ]``
 - object lists ``?vav brick:hasPoint ?sen_point, ?sp_point``
 - ``FILTER`` (comparisons, ``&&``/``||``/``!``, ``regex``, ``strstarts``,
@@ -56,8 +59,8 @@ bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
 Still unsupported (raise ``SparqlUnsupported``): subqueries, SERVICE,
-variable predicates, closure over an alternation ``(a|b)*``, arithmetic
-in BIND/FILTER expressions.
+closure over an alternation ``(a|b)*``, arithmetic in BIND/FILTER
+expressions.
 """
 
 from __future__ import annotations
@@ -88,9 +91,10 @@ class Term:
 
 @dataclass(frozen=True)
 class PathStep:
-    predicate: str  # IRI
+    predicate: str  # IRI, or variable name when ``is_var``
     modifier: str = ""  # '' | '*' | '+' | '?'
     inverse: bool = False  # ^p — subject/object roles swapped
+    is_var: bool = False  # ?p — predicate position binds a variable
 
 
 @dataclass(frozen=True)
@@ -567,6 +571,10 @@ class _SparqlParser:
             if self._peek() == ("punct", "/"):
                 self._next()
                 continue
+            if len(steps) > 1 and any(
+                isinstance(s, PathStep) and s.is_var for s in steps
+            ):
+                raise SparqlUnsupported("variable inside a path sequence")
             return steps
 
     def _parse_path_step(self) -> PathStep | AltStep:
@@ -580,6 +588,8 @@ class _SparqlParser:
             return alts[0]
         if any(a.modifier for a in alts):
             raise SparqlUnsupported("closure modifiers inside path alternation")
+        if any(a.is_var for a in alts):
+            raise SparqlUnsupported("variable inside a path alternation")
         return AltStep(tuple(alts))
 
     def _parse_path_atom(self) -> PathStep:
@@ -623,7 +633,15 @@ class _SparqlParser:
         elif kind == "word":
             iri = self._expand(tok)
         elif kind == "var":
-            raise SparqlUnsupported("variable predicates are not supported")
+            # a lone variable in predicate position (VerbSimple); SPARQL
+            # forbids variables inside property paths, so no inverse,
+            # modifier, sequence, or alternation may apply to it
+            if inverse:
+                raise SparqlUnsupported("inverse of a variable predicate")
+            if self._peek()[0] == "mod":
+                raise SparqlUnsupported("path modifier on a variable predicate")
+            self._note_var(tok[1:])
+            return PathStep(tok[1:], "", False, is_var=True)
         else:
             raise ValueError(f"SPARQL parse: bad predicate token {tok!r}")
         modifier = ""
@@ -1125,9 +1143,10 @@ class SparqlEngine:
         const = sum(1 for t in (pat.subject, pat.obj) if t.kind != "var")
         literal_obj = 1 if pat.obj.kind == "literal" else 0
         closure_pat = 1 if pat.step.modifier else 0
+        var_pred = 1 if isinstance(pat.step, PathStep) and pat.step.is_var else 0
         # more constants first; literal objects first among equals; closure
-        # steps last among equals (their standalone form can be large)
-        return (-const, -literal_obj, closure_pat)
+        # steps and unfiltered variable-predicate scans last among equals
+        return (-const, -literal_obj, closure_pat + var_pred)
 
     def _order_patterns(self, patterns: list[Pattern]) -> list[Pattern]:
         remaining = sorted(patterns, key=self._selectivity)
@@ -1148,7 +1167,10 @@ class SparqlEngine:
 
     @staticmethod
     def _pattern_vars(pat: Pattern) -> set[str]:
-        return {t.value for t in (pat.subject, pat.obj) if t.kind == "var"}
+        out = {t.value for t in (pat.subject, pat.obj) if t.kind == "var"}
+        if isinstance(pat.step, PathStep) and pat.step.is_var:
+            out.add(pat.step.predicate)
+        return out
 
     def _apply_pattern(
         self,
@@ -1161,6 +1183,10 @@ class SparqlEngine:
             return self._apply_alt_pattern(acc, bound, pat, scope)
         if pat.step.modifier:
             return self._apply_closure_pattern(acc, bound, pat, scope)
+        if pat.step.is_var:
+            # predicate variable always binds a column; ground s/o become
+            # scan filters, so the generic scan path handles every shape
+            return self._join(acc, bound, self._scan_pattern(pat, scope))
         if pat.subject.kind != "var" and pat.obj.kind != "var":
             if scope.extra:
                 # ground pattern inside GRAPH ?g: binds the extra vars to
@@ -1232,8 +1258,18 @@ class SparqlEngine:
         s_col, o_col = (
             ("object", "subject") if pat.step.inverse else ("subject", "object")
         )
-        df = scope.df.filter(F.col("predicate") == pat.step.predicate)
         cols: list = [F.col(v) for v in scope.extra]
+        if pat.step.is_var:
+            df = scope.df
+            pvar = pat.step.predicate
+            if pat.subject.kind == "var" and pvar == pat.subject.value:
+                df = df.filter(F.col("predicate") == F.col(s_col))
+            elif pat.obj.kind == "var" and pvar == pat.obj.value:
+                df = df.filter(F.col("predicate") == F.col(o_col))
+            else:
+                cols.append(F.col("predicate").alias(pvar))
+        else:
+            df = scope.df.filter(F.col("predicate") == pat.step.predicate)
         if pat.subject.kind == "var":
             cols.append(F.col(s_col).alias(pat.subject.value))
         else:

@@ -629,3 +629,46 @@ def test_filter_exists_inside_nested_group(engine):
            }"""
     ).collect()
     assert {r.vav.split("#")[-1] for r in rows} == {"vav1"}
+
+
+def test_variable_predicate_ground_both(engine):
+    rows = engine.sql(PREFIXES + "SELECT ?p WHERE { b:vav1 ?p b:p1 . }").collect()
+    assert [r.p for r in rows] == [BRICK + "hasPoint"]
+
+
+def test_variable_predicate_enumerates_edges(engine):
+    rows = engine.sql(PREFIXES + "SELECT ?p ?o WHERE { b:p1 ?p ?o . }").collect()
+    got = {(r.p.split("#")[-1], r.o.split("#")[-1]) for r in rows}
+    assert ("type", "ZTS") in got
+    assert any(p == "timeseries" for p, _ in got)
+    assert len(rows) == 2
+
+
+def test_variable_predicate_distinct_vocabulary(engine):
+    rows = engine.sql("SELECT DISTINCT ?p WHERE { ?s ?p ?o . }").collect()
+    assert {r.p.split("#")[-1] for r in rows} == {
+        "type", "subClassOf", "hasPoint", "timeseries", "hasTimeseriesId",
+    }
+
+
+def test_variable_predicate_joins_with_pattern(engine):
+    # which predicates relate a VAV to anything typed as a (transitive) sensor?
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT DISTINCT ?p WHERE {
+             ?vav a brick:VAV . ?vav ?p ?x .
+             ?x rdf:type/rdfs:subClassOf* b:Sensor .
+           }"""
+    ).collect()
+    assert {r.p for r in rows} == {BRICK + "hasPoint"}
+
+
+def test_variable_predicate_path_restrictions(engine):
+    for q in (
+        "SELECT ?s WHERE { ?s ?p* ?o . }",
+        "SELECT ?s WHERE { ?s ^?p ?o . }",
+        "SELECT ?s WHERE { ?s ?p/rdfs:subClassOf ?o . }",
+        "SELECT ?s WHERE { ?s ?p|rdfs:subClassOf ?o . }",
+    ):
+        with pytest.raises(SparqlUnsupported):
+            engine.sql(PREFIXES + q)
