@@ -40,6 +40,11 @@ full SPARQL engine expects:
   variables and a null binding on new ones
 - ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT`` /
   ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
+- subqueries ``{ SELECT … }`` — compiled as their own solution sequence
+  (aggregates/ORDER/LIMIT included) and joined on the projected variables
+  shared with the outer group; inner non-projected variables stay hidden
+- arithmetic ``+ - * /`` in BIND/FILTER (numeric coercion via try_cast
+  double; integral BIND results stringify without a trailing ``.0``)
 - aggregates: ``(COUNT(?v|*) AS ?n)`` (incl. ``DISTINCT``), ``SUM``,
   ``AVG``, ``MIN``, ``MAX`` with ``GROUP BY`` — one hash aggregate —
   and ``HAVING`` over the aggregate aliases
@@ -58,9 +63,8 @@ Values are untyped lexical strings (parity with the reference's stringified
 bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
-Still unsupported (raise ``SparqlUnsupported``): subqueries, SERVICE,
-closure over an alternation ``(a|b)*``, arithmetic in BIND/FILTER
-expressions.
+Still unsupported (raise ``SparqlUnsupported``): SERVICE, closure over an
+alternation ``(a|b)*``, non-SELECT query forms (ASK/CONSTRUCT/DESCRIBE).
 """
 
 from __future__ import annotations
@@ -141,6 +145,8 @@ class Group:
     binds: list[tuple[str, FilterExpr]] = field(default_factory=list)
     #: (variables, rows) — row entries are strings or None for UNDEF
     values: list[tuple[list[str], list[list[str | None]]]] = field(default_factory=list)
+    #: ``{ SELECT … }`` subqueries; only their projected variables join out
+    subqueries: list["Query"] = field(default_factory=list)
 
 
 @dataclass
@@ -234,6 +240,17 @@ class _SparqlParser:
             _, iri = self._expect("iriref")
             self.prefixes[pfx.rstrip(":")] = iri[1:-1]
 
+        q = self._parse_select_query()
+        if self._peek()[0] != "eof":
+            raise SparqlUnsupported(
+                f"unsupported trailing SPARQL clause at: {self._peek()[1]!r}"
+            )
+        return q
+
+    def _parse_select_query(self) -> Query:
+        """``SELECT … WHERE { … } [solution modifiers]`` — the body shared
+        by top-level queries and ``{ SELECT … }`` subqueries; stops at the
+        first token that isn't a solution-modifier keyword."""
         if self._peek_word_lower() != "select":
             raise SparqlUnsupported(f"only SELECT queries are supported: {self.text[:80]}")
         self._next()
@@ -311,10 +328,6 @@ class _SparqlParser:
                 offset = int(self._expect("word")[1])
             else:
                 break
-        if self._peek()[0] != "eof":
-            raise SparqlUnsupported(
-                f"unsupported trailing SPARQL clause at: {self._peek()[1]!r}"
-            )
         return Query(
             select=select,
             distinct=distinct,
@@ -469,6 +482,16 @@ class _SparqlParser:
                 continue
             if kind == "punct" and tok == "{":
                 self._next()
+                if self._peek_word_lower() == "select":
+                    subq = self._parse_select_query()
+                    self._expect_punct("}")
+                    group.subqueries.append(subq)
+                    if subq.select != ["*"]:
+                        for v in subq.select:
+                            self._note_var(v)
+                    while self._peek() == ("punct", "."):
+                        self._next()
+                    continue
                 alternatives = [self._parse_group()]
                 self._expect_punct("}")
                 while self._peek_word_lower() == "union":
@@ -488,6 +511,7 @@ class _SparqlParser:
                     group.graphs.extend(inner.graphs)
                     group.binds.extend(inner.binds)
                     group.values.extend(inner.values)
+                    group.subqueries.extend(inner.subqueries)
                 else:
                     group.unions.append(alternatives)
                 while self._peek() == ("punct", "."):
@@ -718,16 +742,42 @@ class _SparqlParser:
         return self._parse_cmp()
 
     def _parse_cmp(self) -> FilterExpr:
-        left = self._parse_primary()
+        left = self._parse_add()
         kind, tok = self._peek()
         if kind == "op" and tok in ("=", "!=", "<", ">", "<=", ">="):
             self._next()
-            right = self._parse_primary()
+            right = self._parse_add()
             return ("cmp", tok, left, right)
         return left
 
+    # arithmetic: operators must be whitespace-separated (the tokenizer
+    # folds a sign into an adjacent number, so ``?x+1`` won't parse — the
+    # SPARQL spec itself flags this lexical ambiguity for ``-``)
+    def _parse_add(self) -> FilterExpr:
+        left = self._parse_mul()
+        while True:
+            kind, tok = self._peek()
+            if (kind == "mod" and tok == "+") or (kind == "word" and tok == "-"):
+                self._next()
+                left = ("arith", tok, left, self._parse_mul())
+            else:
+                return left
+
+    def _parse_mul(self) -> FilterExpr:
+        left = self._parse_primary()
+        while True:
+            kind, tok = self._peek()
+            if (kind == "mod" and tok == "*") or (kind == "punct" and tok == "/"):
+                self._next()
+                left = ("arith", tok, left, self._parse_primary())
+            else:
+                return left
+
     def _parse_primary(self) -> FilterExpr:
         kind, tok = self._peek()
+        if kind == "word" and tok == "-":  # unary minus
+            self._next()
+            return ("arith", "-", Term("literal", "0"), self._parse_primary())
         if kind == "punct" and tok == "(":
             self._next()
             inner = self._parse_filter_expr()
@@ -938,6 +988,11 @@ class SparqlEngine:
         bound: set[str] = set()
         for pat in self._order_patterns(group.triples):
             acc, bound = self._apply_pattern(acc, bound, pat, scope)
+        for subq in group.subqueries:
+            # a subquery is its own solution sequence: compile in full
+            # (aggregates/ORDER/LIMIT included), then join on whatever
+            # projected variables the outer bindings share
+            acc, bound = self._join(acc, bound, self._compile_query(subq, scope))
         for gterm, ggroup in group.graphs:
             gscope = self._graph_scope(gterm)
             gdf, gvars = self._compile_group(ggroup, gscope)
@@ -987,7 +1042,16 @@ class SparqlEngine:
                 acc = scope.spark.range(1).select()
             if var in bound:
                 raise SparqlUnsupported(f"BIND to already-bound variable ?{var}")
-            acc = acc.withColumn(var, self._compile_filter(bexpr, bound).cast("string"))
+            c = self._compile_filter(bexpr, bound)
+            if isinstance(bexpr, tuple) and not isinstance(bexpr, Term) and bexpr[0] == "arith":
+                # integral results stringify without the '.0' a double cast
+                # would add (parity with SPARQL's xsd:integer arithmetic)
+                c = F.when(c == F.floor(c), c.cast("long").cast("string")).otherwise(
+                    c.cast("string")
+                )
+            else:
+                c = c.cast("string")
+            acc = acc.withColumn(var, c)
             bound = bound | {var}
         for fexpr in group.filters:
             if acc is None:
@@ -1086,12 +1150,20 @@ class SparqlEngine:
             return self._compile_filter(expr[1], bound) | self._compile_filter(expr[2], bound)
         if tag == "not":
             return ~self._compile_filter(expr[1], bound)
+        if tag == "arith":
+            op, a, b = expr[1], expr[2], expr[3]
+            ac = self._compile_filter(a, bound).try_cast("double")
+            bc = self._compile_filter(b, bound).try_cast("double")
+            return {"+": ac + bc, "-": ac - bc, "*": ac * bc, "/": ac / bc}[op]
         if tag == "cmp":
             op, lhs, rhs = expr[1], expr[2], expr[3]
             numeric = any(
-                isinstance(t, Term)
-                and t.kind == "literal"
-                and re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", t.value)
+                (
+                    isinstance(t, Term)
+                    and t.kind == "literal"
+                    and re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", t.value)
+                )
+                or (isinstance(t, tuple) and not isinstance(t, Term) and t[0] == "arith")
                 for t in (lhs, rhs)
             )
             lc = self._compile_filter(lhs, bound)

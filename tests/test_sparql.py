@@ -141,7 +141,7 @@ def test_select_star_and_distinct(engine):
 
 def test_unsupported_raises(engine):
     with pytest.raises(SparqlUnsupported):
-        engine.sql(PREFIXES + "SELECT ?v WHERE { ?s ?v ?o }")  # var predicate
+        engine.sql(PREFIXES + "SELECT ?v WHERE { SERVICE <http://x> { ?s ?p ?v } }")
     with pytest.raises(SparqlUnsupported):
         engine.sql(PREFIXES + "SELECT ?v WHERE { ?v a brick:VAV } GROUP BY ?v")
 
@@ -672,3 +672,95 @@ def test_variable_predicate_path_restrictions(engine):
     ):
         with pytest.raises(SparqlUnsupported):
             engine.sql(PREFIXES + q)
+
+
+def test_arithmetic_in_bind(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?id ?n WHERE {
+             b:p1 brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             BIND(strlen(?id) * 2 AS ?n)
+           }"""
+    ).collect()
+    assert [(r.id[:2], r.n) for r in rows] == [("11", "72")]
+
+
+def test_arithmetic_precedence_and_division(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?a ?b ?c WHERE {
+             b:vav1 a brick:VAV .
+             BIND(2 + 3 * 4 AS ?a)
+             BIND((2 + 3) * 4 AS ?b)
+             BIND(9 / 2 AS ?c)
+           }"""
+    ).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [("14", "20", "4.5")]
+
+
+def test_arithmetic_in_filter(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?p WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             FILTER (strlen(?id) + 4 = 40)
+           }"""
+    ).collect()
+    assert {r.p.split("#")[-1] for r in rows} == {"p1", "p2", "p3", "pX"}
+    none = engine.sql(
+        PREFIXES
+        + """SELECT ?p WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             FILTER (strlen(?id) - 1 > 40)
+           }"""
+    ).collect()
+    assert none == []
+
+
+def test_arithmetic_unary_minus(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?n WHERE {
+             b:vav1 a brick:VAV .
+             BIND(- strlen("abc") AS ?n)
+           }"""
+    ).collect()
+    assert [r.n for r in rows] == ["-3"]
+
+
+def test_subquery_aggregate_joined_to_outer(engine):
+    # classic pattern: aggregate in a subquery, enrich in the outer group
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav ?n WHERE {
+             ?vav a brick:VAV .
+             { SELECT ?vav (COUNT(?p) AS ?n) WHERE { ?vav brick:hasPoint ?p }
+               GROUP BY ?vav }
+           }"""
+    ).collect()
+    assert {(r.vav.split("#")[-1], r.n) for r in rows} == {("vav1", "2"), ("vav2", "1")}
+
+
+def test_subquery_order_limit(engine):
+    # top-1 subquery restricts the outer pattern to the first VAV
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?p WHERE {
+             { SELECT ?vav WHERE { ?vav a brick:VAV } ORDER BY ?vav LIMIT 1 }
+             ?vav brick:hasPoint ?p .
+           }"""
+    ).collect()
+    assert {r.p.split("#")[-1] for r in rows} == {"p1", "p2"}
+
+
+def test_subquery_projection_hides_inner_vars(engine):
+    # ?p is projected away inside; the outer ?p is a fresh variable
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT DISTINCT ?vav ?p WHERE {
+             { SELECT ?vav WHERE { ?vav brick:hasPoint ?p } }
+             ?vav ?p ?x .
+           }"""
+    ).collect()
+    preds = {r.p.split("#")[-1] for r in rows}
+    assert preds == {"type", "hasPoint"}
