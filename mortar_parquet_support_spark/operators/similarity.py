@@ -180,11 +180,13 @@ def ivf_centroids(
         .orderBy("_h")
         .limit(n_list)
     )
-    # n_list rows: the single-partition window is trivially cheap; the
-    # constant partition key keeps the spec non-empty so Spark doesn't log
-    # the global-window warning on every run.
+    # n_list rows: the single-partition window is trivially cheap. The
+    # partition key is a constant but NON-FOLDABLE expression — Catalyst
+    # constant-folds a literal key out of the spec entirely, which re-arms
+    # Spark's global-window warning on every run.
+    one_part = F.pmod(F.col("_h"), F.lit(1))
     cents = seeds.select(
-        (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_h")) - 1).alias(
+        (F.row_number().over(Window.partitionBy(one_part).orderBy("_h")) - 1).alias(
             "list_id"
         ),
         F.col("centroid").cast("array<double>").alias("centroid"),
