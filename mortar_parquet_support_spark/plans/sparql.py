@@ -46,8 +46,9 @@ full SPARQL engine expects:
 - arithmetic ``+ - * /`` in BIND/FILTER (numeric coercion via try_cast
   double; integral BIND results stringify without a trailing ``.0``)
 - aggregates: ``(COUNT(?v|*) AS ?n)`` (incl. ``DISTINCT``), ``SUM``,
-  ``AVG``, ``MIN``, ``MAX`` with ``GROUP BY`` — one hash aggregate —
-  and ``HAVING`` over the aggregate aliases
+  ``AVG``, ``MIN``, ``MAX``, ``SAMPLE`` (deterministic: MIN), and
+  ``GROUP_CONCAT`` (``; SEPARATOR="…"``, sorted for determinism) with
+  ``GROUP BY`` — one hash aggregate — and ``HAVING`` over the aliases
 
 Compilation: each triple pattern is a filtered scan of the (tiny, cached,
 broadcastable) triples DataFrame with its variable positions renamed to the
@@ -63,8 +64,9 @@ Values are untyped lexical strings (parity with the reference's stringified
 bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
-Still unsupported (raise ``SparqlUnsupported``): SERVICE, closure over an
-alternation ``(a|b)*``, non-SELECT query forms (ASK/CONSTRUCT/DESCRIBE).
+``ASK { … }`` returns a single-row DataFrame with one boolean ``ask``
+column. Still unsupported (raise ``SparqlUnsupported``): SERVICE, closure
+over an alternation ``(a|b)*``, CONSTRUCT/DESCRIBE query forms.
 """
 
 from __future__ import annotations
@@ -158,10 +160,11 @@ class Query:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
-    #: alias -> (fn, target var or '*', distinct) for (AGG(?v) AS ?alias)
-    aggregates: dict[str, tuple[str, str, bool]] = field(default_factory=dict)
+    #: alias -> (fn, target var or '*', distinct, separator)
+    aggregates: dict[str, tuple[str, str, bool, str]] = field(default_factory=dict)
     group_by: list[str] = field(default_factory=list)
     having: list[FilterExpr] = field(default_factory=list)
+    form: str = "select"  # 'select' | 'ask'
 
     @property
     def patterns(self) -> list[Pattern]:  # back-compat accessor
@@ -240,7 +243,17 @@ class _SparqlParser:
             _, iri = self._expect("iriref")
             self.prefixes[pfx.rstrip(":")] = iri[1:-1]
 
-        q = self._parse_select_query()
+        if self._peek_word_lower() == "ask":
+            self._next()
+            if self._peek_word_lower() == "where":
+                self._next()
+            self._expect_punct("{")
+            group = self._parse_group()
+            self._expect_punct("}")
+            q = Query(select=[], distinct=False, group=group,
+                      var_order=self.var_order, form="ask")
+        else:
+            q = self._parse_select_query()
         if self._peek()[0] != "eof":
             raise SparqlUnsupported(
                 f"unsupported trailing SPARQL clause at: {self._peek()[1]!r}"
@@ -341,11 +354,12 @@ class _SparqlParser:
             having=having,
         )
 
-    _AGG_FNS = {"count", "sum", "avg", "min", "max"}
+    _AGG_FNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
 
-    def _parse_select_aggregate(self) -> tuple[str, tuple[str, str, bool]]:
+    def _parse_select_aggregate(self) -> tuple[str, tuple[str, str, bool, str]]:
         """``(COUNT(DISTINCT ?x) AS ?n)`` / ``(COUNT(*) AS ?n)`` /
-        ``(SUM(?v) AS ?s)`` in a SELECT clause."""
+        ``(SUM(?v) AS ?s)`` / ``(GROUP_CONCAT(?v; SEPARATOR=",") AS ?g)``
+        in a SELECT clause; spec = (fn, target, distinct, separator)."""
         self._expect_punct("(")
         kind, fn_tok = self._next()
         fn = fn_tok.lower() if kind == "word" else ""
@@ -364,13 +378,23 @@ class _SparqlParser:
             self._next()
         else:
             target = self._expect("var")[1][1:]
+        sep = " "  # the SPARQL-spec default GROUP_CONCAT separator
+        if self._peek() == ("punct", ";"):
+            self._next()
+            if self._peek_word_lower() != "separator":
+                raise ValueError("SPARQL parse: expected SEPARATOR after ';'")
+            self._next()
+            kind, tok = self._next()
+            if not (kind == "op" and tok == "="):
+                raise ValueError("SPARQL parse: SEPARATOR needs '='")
+            sep = re.sub(r"\\(.)", r"\1", self._expect("string")[1][1:-1])
         self._expect_punct(")")
         if self._peek_word_lower() != "as":
             raise ValueError("SPARQL parse: aggregate needs 'AS ?alias'")
         self._next()
         alias = self._expect("var")[1][1:]
         self._expect_punct(")")
-        return alias, (fn, target, distinct)
+        return alias, (fn, target, distinct, sep)
 
     # -- token plumbing --
     def _peek(self):
@@ -911,6 +935,10 @@ class SparqlEngine:
         acc, bound = self._compile_group(q.group, scope)
         if acc is None:
             raise SparqlUnsupported("empty WHERE group")
+        if q.form == "ask":
+            # one boolean row; agg over limit(1) stays lazy and evaluates
+            # no more of the pattern than existence requires
+            return acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
         if q.aggregates:
             acc = self._apply_aggregates(q, acc, bound)
             hbound = set(q.group_by) | set(q.aggregates)
@@ -959,7 +987,7 @@ class SparqlEngine:
                     f"SELECT ?{name} must be aggregated or in GROUP BY"
                 )
         aggs = []
-        for alias, (fn, target, distinct) in q.aggregates.items():
+        for alias, (fn, target, distinct, sep) in q.aggregates.items():
             if target != "*" and target not in bound:
                 raise ValueError(f"aggregate over unbound variable ?{target}")
             if fn == "count":
@@ -969,6 +997,15 @@ class SparqlEngine:
                     expr = F.count_distinct(F.col(target))
                 else:
                     expr = F.count(F.col(target))
+            elif fn == "sample":
+                # SAMPLE is any-value per spec; MIN makes it deterministic
+                expr = F.min(F.col(target))
+            elif fn == "group_concat":
+                # sorted for determinism (spec leaves the order undefined)
+                collected = (
+                    F.collect_set(F.col(target)) if distinct else F.collect_list(F.col(target))
+                )
+                expr = F.array_join(F.array_sort(collected), sep)
             else:
                 col = F.col(target)
                 if distinct:

@@ -764,3 +764,38 @@ def test_subquery_projection_hides_inner_vars(engine):
     ).collect()
     preds = {r.p.split("#")[-1] for r in rows}
     assert preds == {"type", "hasPoint"}
+
+
+def test_group_concat_and_sample(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav ?points ?one WHERE {
+             { SELECT ?vav (GROUP_CONCAT(?p; SEPARATOR=",") AS ?points)
+                      (SAMPLE(?p) AS ?one)
+               WHERE { ?vav brick:hasPoint ?p } GROUP BY ?vav }
+           }"""
+    ).collect()
+    got = {r.vav.split("#")[-1]: (r.points, r.one) for r in rows}
+    assert got["vav1"] == ("urn:b#p1,urn:b#p2", "urn:b#p1")
+    assert got["vav2"] == ("urn:b#p3", "urn:b#p3")
+
+
+def test_group_concat_default_separator_and_distinct(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?types) WHERE {
+             ?vav a ?t . ?vav brick:hasPoint ?p .
+           }"""
+    ).collect()
+    assert rows[0].types == BRICK + "VAV"
+
+
+def test_ask_queries(engine):
+    yes = engine.sql(PREFIXES + "ASK { b:vav1 brick:hasPoint b:p1 }").collect()
+    assert [r.ask for r in yes] == [True]
+    no = engine.sql(PREFIXES + "ASK WHERE { b:vav1 brick:hasPoint b:p3 }").collect()
+    assert [r.ask for r in no] == [False]
+    typed = engine.sql(
+        PREFIXES + "ASK { ?p rdf:type/rdfs:subClassOf* b:Sensor }"
+    ).collect()
+    assert [r.ask for r in typed] == [True]
