@@ -65,8 +65,12 @@ bindings, client.py:43,53): FILTER comparisons against numeric literals
 coerce both sides with try_cast(double), everything else compares lexically.
 
 ``ASK { … }`` returns a single-row DataFrame with one boolean ``ask``
-column. Still unsupported (raise ``SparqlUnsupported``): SERVICE, closure
-over an alternation ``(a|b)*``, CONSTRUCT/DESCRIBE query forms.
+column. ``CONSTRUCT { template } WHERE { … }`` returns a deduplicated
+(subject, predicate, object) DataFrame — one projection per template
+triple over the solution frame, unioned; template variables unbound in a
+solution (OPTIONAL) skip that triple per spec. Still unsupported (raise
+``SparqlUnsupported``): SERVICE, closure over an alternation ``(a|b)*``,
+the DESCRIBE query form, blank nodes/paths in CONSTRUCT templates.
 """
 
 from __future__ import annotations
@@ -164,7 +168,9 @@ class Query:
     aggregates: dict[str, tuple[str, str, bool, str]] = field(default_factory=dict)
     group_by: list[str] = field(default_factory=list)
     having: list[FilterExpr] = field(default_factory=list)
-    form: str = "select"  # 'select' | 'ask'
+    form: str = "select"  # 'select' | 'ask' | 'construct'
+    #: CONSTRUCT template triples (plain terms only — no paths/bnodes)
+    template: list[Pattern] = field(default_factory=list)
 
     @property
     def patterns(self) -> list[Pattern]:  # back-compat accessor
@@ -252,6 +258,8 @@ class _SparqlParser:
             self._expect_punct("}")
             q = Query(select=[], distinct=False, group=group,
                       var_order=self.var_order, form="ask")
+        elif self._peek_word_lower() == "construct":
+            q = self._parse_construct_query()
         else:
             q = self._parse_select_query()
         if self._peek()[0] != "eof":
@@ -352,6 +360,59 @@ class _SparqlParser:
             aggregates=aggregates,
             group_by=group_by,
             having=having,
+        )
+
+    def _parse_construct_query(self) -> Query:
+        """``CONSTRUCT { template } WHERE { … } [ORDER BY/LIMIT/OFFSET]``.
+
+        The template must be a plain BGP: IRIs, literals, and variables
+        only — SPARQL itself forbids property paths there, and blank-node
+        templates (fresh bnode per solution) are not supported."""
+        self._next()
+        self._expect_punct("{")
+        tmpl_group = self._parse_group()
+        self._expect_punct("}")
+        if (
+            tmpl_group.filters or tmpl_group.optionals or tmpl_group.unions
+            or tmpl_group.minuses or tmpl_group.exists_filters or tmpl_group.graphs
+            or tmpl_group.binds or tmpl_group.values or tmpl_group.subqueries
+        ):
+            raise ValueError("SPARQL parse: CONSTRUCT template must be triples only")
+        for pat in tmpl_group.triples:
+            if isinstance(pat.step, AltStep) or pat.step.modifier or pat.step.inverse:
+                raise SparqlUnsupported("property path in CONSTRUCT template")
+            if any(t.kind == "var" and t.value.startswith("__anon") for t in (pat.subject, pat.obj)):
+                raise SparqlUnsupported("blank node in CONSTRUCT template")
+        if self._peek_word_lower() == "where":
+            self._next()
+        self._expect_punct("{")
+        group = self._parse_group()
+        self._expect_punct("}")
+        order_by: list[tuple[str, bool]] = []
+        limit = offset = None
+        while True:
+            w = self._peek_word_lower()
+            if w == "order":
+                self._next()
+                if self._peek_word_lower() != "by":
+                    raise ValueError("SPARQL parse: ORDER must be followed by BY")
+                self._next()
+                while self._peek()[0] == "var":
+                    order_by.append((self._next()[1][1:], True))
+            elif w == "limit":
+                self._next()
+                limit = int(self._expect("word")[1])
+            elif w == "offset":
+                self._next()
+                offset = int(self._expect("word")[1])
+            else:
+                break
+        if not tmpl_group.triples:
+            raise ValueError("SPARQL parse: empty CONSTRUCT template")
+        return Query(
+            select=[], distinct=False, group=group, var_order=self.var_order,
+            order_by=order_by, limit=limit, offset=offset,
+            form="construct", template=tmpl_group.triples,
         )
 
     _AGG_FNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
@@ -939,6 +1000,8 @@ class SparqlEngine:
             # one boolean row; agg over limit(1) stays lazy and evaluates
             # no more of the pattern than existence requires
             return acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+        if q.form == "construct":
+            return self._construct(q, acc, bound)
         if q.aggregates:
             acc = self._apply_aggregates(q, acc, bound)
             hbound = set(q.group_by) | set(q.aggregates)
@@ -969,6 +1032,53 @@ class SparqlEngine:
         if q.limit is not None:
             out = out.limit(int(q.limit))
         return out
+
+    def _construct(self, q: Query, acc: DataFrame, bound: set[str]) -> DataFrame:
+        """Instantiate the CONSTRUCT template once per solution: one
+        projection per template triple over the (modifier-applied) solution
+        frame, unioned and deduplicated (RDF graphs are sets). Solutions
+        where a template variable is unbound (OPTIONAL) skip that triple,
+        per spec."""
+        if q.order_by:
+            acc = acc.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                                for v, asc in q.order_by])
+        if q.offset:
+            acc = acc.offset(int(q.offset))
+        if q.limit is not None:
+            acc = acc.limit(int(q.limit))
+
+        def col_of(term: Term):
+            if term.kind == "var":
+                if term.value not in bound:
+                    raise ValueError(
+                        f"CONSTRUCT template variable ?{term.value} not bound by WHERE"
+                    )
+                return F.col(term.value)
+            return F.lit(term.value)
+
+        frames = []
+        for pat in q.template:
+            step = pat.step
+            if step.is_var and step.predicate not in bound:
+                raise ValueError(
+                    f"CONSTRUCT template variable ?{step.predicate} not bound by WHERE"
+                )
+            p_col = F.col(step.predicate) if step.is_var else F.lit(step.predicate)
+            frames.append(
+                acc.select(
+                    col_of(pat.subject).cast("string").alias("subject"),
+                    p_col.cast("string").alias("predicate"),
+                    col_of(pat.obj).cast("string").alias("object"),
+                ).filter(
+                    F.col("subject").isNotNull()
+                    & F.col("predicate").isNotNull()
+                    & F.col("object").isNotNull()
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.dropDuplicates()
 
     def _apply_aggregates(self, q: Query, acc: DataFrame, bound: set[str]) -> DataFrame:
         """``(AGG(?v) AS ?alias)`` + ``GROUP BY``: one hash aggregate.

@@ -799,3 +799,47 @@ def test_ask_queries(engine):
         PREFIXES + "ASK { ?p rdf:type/rdfs:subClassOf* b:Sensor }"
     ).collect()
     assert [r.ask for r in typed] == [True]
+
+
+def test_construct_basic(engine):
+    # rewrite the bnode bridge into a direct edge
+    rows = engine.sql(
+        PREFIXES
+        + """CONSTRUCT { ?p b:directId ?id }
+           WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] }"""
+    ).collect()
+    assert {(r.subject.split("#")[-1], r.predicate, r.object[:8]) for r in rows} == {
+        ("p1", "urn:b#directId", "11111111"),
+        ("p2", "urn:b#directId", "22222222"),
+        ("p3", "urn:b#directId", "33333333"),
+        ("pX", "urn:b#directId", "44444444"),
+    }
+
+
+def test_construct_multi_triple_template_and_optional(engine):
+    # two template triples per solution; OPTIONAL-unbound drops its triple
+    rows = engine.sql(
+        PREFIXES
+        + """CONSTRUCT { ?v a b:Box . ?v b:tsOf ?id }
+           WHERE {
+             ?v a brick:VAV .
+             OPTIONAL { ?v brick:hasPoint ?p . ?p a b:TS .
+                        ?p brick:timeseries [ brick:hasTimeseriesId ?id ] }
+           }"""
+    ).collect()
+    got = {(r.subject.split("#")[-1], r.predicate.split("#")[-1], r.object.split("#")[-1][:8])
+           for r in rows}
+    assert got == {
+        ("vav1", "type", "Box"),
+        ("vav2", "type", "Box"),
+        ("vav2", "tsOf", "33333333"),
+    }
+
+
+def test_construct_restrictions(engine):
+    with pytest.raises(SparqlUnsupported):
+        engine.sql(PREFIXES + "CONSTRUCT { ?p rdf:type/rdfs:subClassOf ?c } WHERE { ?p a ?c }")
+    with pytest.raises(SparqlUnsupported):
+        engine.sql(PREFIXES + "CONSTRUCT { ?v brick:hasPoint [ a b:X ] } WHERE { ?v a brick:VAV }")
+    with pytest.raises(ValueError):
+        engine.sql(PREFIXES + "CONSTRUCT { ?v a b:Box . FILTER(?v > 1) } WHERE { ?v a brick:VAV }")
