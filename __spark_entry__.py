@@ -97,14 +97,18 @@ def _semi_join_ids(spark, sf_dir):
     """
     SELECT p_partkey, p_name
     FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40
+    )
     """,
 )
 def _anti_join(spark, sf_dir):
     """LEFT ANTI join (NOT EXISTS) — declared-absent in the reference
-    (SURVEY §2.6), table stakes for an engine."""
+    (SURVEY §2.6), table stakes for an engine. The quantity restriction on
+    the probe side keeps the result NON-empty (3 rows at sf0.01) so the
+    oracle match is evidence, not a vacuous 0 == 0."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
     return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
         "p_partkey", "p_name"
     )
@@ -1632,6 +1636,72 @@ def _streaming_rollup(spark, sf_dir):
     return stream_rollup_once(spark, sf_dir)
 
 
+@_register(
+    "decontaminate",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+                    range(1, len(w) - 5 + 2),
+                    i -> array_to_string(list_slice(w, i, i + 4), ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS g
+      FROM words
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 1
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 1)
+      WHERE gram IN (SELECT gram FROM eval_grams)
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id % 97 <> 1 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py): remove corpus
+    docs sharing any word 5-gram with a held-out eval slice (doc_id%97==1
+    stands in for the benchmark). Eval shingles broadcast; corpus side is
+    one scan + broadcast semi join — no corpus shuffle."""
+    from mortar_parquet_support_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 1)
+    corpus = docs.filter(F.col("doc_id") % 97 != 1)
+    return decontaminate(
+        corpus, eval_df, id_col="doc_id", text_col="text", ngram_words=5
+    )
+
+
+@_register(
+    "domain_cap",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id
+      ) AS rn FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def _domain_cap(spark, sf_dir):
+    """Per-domain quota (operators/curation.py): keep the 10 longest docs
+    per source — one shuffle on the domain column + per-group row_number,
+    the minimal plan for a grouped top-N."""
+    from mortar_parquet_support_spark.operators.curation import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(
+        docs,
+        domain_col="source",
+        max_per_domain=10,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1662,9 +1732,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-backed entries first: the driver evaluates a bounded prefix of
-    this dict, so every entry with an ``oracle_sql()`` counterpart must land
-    inside that window; rows-only entries (no SQL equivalent) follow."""
+    """Oracle-backed entries first: the driver evaluates a bounded prefix
+    (50) of this dict, so oracle-backed entries lead; rows-only entries (no
+    SQL equivalent) follow. The round-1 oracle set fills the window exactly;
+    oracle-backed entries added later (decontaminate, domain_cap) sit just
+    past it and are verified by the same compare in tests/oracle_harness.py."""
     ordered = {k: fn for k, fn in _SPARK_FNS.items() if k in _ORACLES}
     ordered.update({k: fn for k, fn in _SPARK_FNS.items() if k not in _ORACLES})
     return ordered

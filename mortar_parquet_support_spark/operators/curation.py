@@ -1,0 +1,115 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination and per-domain quota capping.
+
+These are the two filters every large-scale pretraining pipeline applies
+after dedup (the reference has no analog — it is a timeseries client; these
+extend the engine's LLM-data north star alongside operators/dedup.py):
+
+- **decontamination**: drop (or flag) corpus documents that share any
+  word n-gram with an evaluation/benchmark set, so training data can't
+  leak test answers.
+- **domain capping**: keep at most N documents per source/domain, picking
+  the best by a caller-supplied ordering — bounds any single domain's
+  share of the corpus.
+
+Scale shapes (the 100 TB plan):
+
+``contaminated_ids`` / ``decontaminate``: the eval set is small by
+construction (benchmarks are thousands of documents, not billions), so its
+distinct shingle set is broadcast. The corpus side is ONE scan: shingle
+(array transform, no UDF), posexplode, broadcast LEFT SEMI join, distinct
+ids — no shuffle of corpus data at all except the final distinct on the
+(tiny) contaminated-id set. The explode factor is bounded by tokens/doc.
+
+``domain_cap``: one hash-partition shuffle on the domain column + a
+row_number window inside each partition — the minimal plan for a per-group
+top-N. Skewed domains (a crawl dominated by one site) are exactly the
+AQE-skew-split case; the window itself only needs the group's rows sorted,
+which Spark does per-partition after the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.functions import word_shingles
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    ngram_words: int = 3,
+) -> DataFrame:
+    """Ids of corpus documents sharing >= 1 word ``ngram_words``-gram with
+    the eval set. Returns a 1-column DataFrame named ``id_col``.
+
+    The standard decontamination test (n-gram collision against the
+    benchmark); n is caller-tunable — 13 is the common choice for real
+    pipelines, small corpora test with smaller n.
+    """
+    eval_text = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(eval_text), ngram_words)).alias("_g")
+        )
+        .distinct()
+    )
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), ngram_words)).alias("_g"),
+        )
+        .join(F.broadcast(eval_grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    ngram_words: int = 3,
+) -> DataFrame:
+    """Corpus minus contaminated documents (broadcast LEFT ANTI on the
+    contaminated-id set, which is small relative to the corpus)."""
+    bad = contaminated_ids(
+        corpus,
+        eval_df,
+        id_col=id_col,
+        text_col=text_col,
+        eval_text_col=eval_text_col,
+        ngram_words=ngram_words,
+    )
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def domain_cap(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    max_per_domain: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` rows per domain, best-first by
+    ``order_by`` (callers should end the ordering with a unique id so the
+    kept set is deterministic). Output schema = input schema.
+
+    The default ordering hashes row content (NOT
+    ``monotonically_increasing_id``, which changes under task retry and
+    would silently keep a different subset after a fetch failure)."""
+    ordering = order_by if order_by else [F.xxhash64(*[F.col(c) for c in df.columns])]
+    w = Window.partitionBy(domain_col).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_domain)
+        .drop("__rn")
+    )

@@ -506,3 +506,64 @@ def test_ivf_index_amortized_probes(spark, sf_dir):
     finally:
         idx.unpersist()
     assert not idx.assigned.storageLevel.useMemory
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Docs sharing a word n-gram with the eval set are removed; others
+    survive. A doc shorter than n words matches only as a whole document."""
+    from mortar_parquet_support_spark.operators.curation import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark engines"),
+            (3, "tiny doc"),
+            (4, "another tiny doc entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday"), (101, "tiny doc")],
+        ["doc_id", "text"],
+    )
+    bad = {
+        r.doc_id
+        for r in contaminated_ids(
+            corpus, eval_df, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    # doc 1 shares "the quick brown"/"quick brown fox"; doc 3 IS "tiny doc"
+    # (whole-doc fallback); doc 4 contains "tiny doc" only as a 2-gram, and
+    # its own 3-grams ("another tiny doc", "tiny doc entirely") never occur
+    # in the eval set
+    assert bad == {1, 3}
+    kept = decontaminate(
+        corpus, eval_df, id_col="doc_id", text_col="text", ngram_words=3
+    )
+    assert {r.doc_id for r in kept.collect()} == {2, 4}
+    assert kept.columns == corpus.columns
+
+
+def test_domain_cap_keeps_best_n_per_domain(spark):
+    from mortar_parquet_support_spark.operators.curation import domain_cap
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "domain", "quality"])
+    capped = domain_cap(
+        df,
+        domain_col="domain",
+        max_per_domain=2,
+        order_by=[F.col("quality").desc(), F.col("id")],
+    )
+    got = {(r.domain, r.id) for r in capped.collect()}
+    # top-2 by quality per domain: d0 -> 27, 24; d1 -> 28, 25; d2 -> 29, 26
+    assert got == {("d0", 27), ("d0", 24), ("d1", 28), ("d1", 25), ("d2", 29), ("d2", 26)}
+    assert capped.columns == df.columns
+    # default ordering is content-hash based and deterministic across runs
+    a = {tuple(r) for r in domain_cap(df, domain_col="domain", max_per_domain=2).collect()}
+    b = {tuple(r) for r in domain_cap(df, domain_col="domain", max_per_domain=2).collect()}
+    assert a == b and len(a) == 6
