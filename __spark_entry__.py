@@ -1702,6 +1702,93 @@ def _domain_cap(spark, sf_dir):
     )
 
 
+@_register(
+    "text_repetition",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+      ROUND(CASE WHEN len(w) > 0
+        THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+        ELSE 0.0 END, 6) AS dup_word,
+      ROUND(CASE WHEN greatest(len(w) - 1, 0) > 0
+        THEN CAST(greatest(len(w) - 1, 0) - len(list_distinct(list_transform(
+               range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE)
+             / greatest(len(w) - 1, 0)
+        ELSE 0.0 END, 6) AS dup_bigram
+    FROM words
+    """,
+)
+def _text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (operators/text.py): duplicate-word
+    and duplicate-bigram fractions per doc — zero-shuffle array projection."""
+    from mortar_parquet_support_spark.operators.text import (
+        dup_ngram_ratio,
+        dup_word_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(dup_word_ratio(F.col("text")), 6).alias("dup_word"),
+        F.round(dup_ngram_ratio(F.col("text"), 2), 6).alias("dup_bigram"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@_register(
+    "pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' contact alice.smith+1@example-mail.co'
+             WHEN doc_id % 7 = 1 THEN text || ' call +1 555 867-5309 now'
+             WHEN doc_id % 7 = 2 THEN text || ' from 192.168.10.42 host'
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+      regexp_replace(regexp_replace(regexp_replace(
+        t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS masked
+    FROM injected
+    """,
+)
+def _pii_scrub(spark, sf_dir):
+    """PII audit + masking (operators/curation.py) over documents with
+    deterministically injected email/phone/ip strings (the synthetic corpus
+    has none — injection keeps the check non-vacuous). Patterns are chosen
+    to mean the same thing in Java regex and RE2 so the DuckDB oracle is
+    exact."""
+    from mortar_parquet_support_spark.operators.curation import mask_pii, pii_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact alice.smith+1@example-mail.co")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.col("text"), F.lit(" call +1 555 867-5309 now")))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.col("text"), F.lit(" from 192.168.10.42 host")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        *pii_counts(injected),
+        mask_pii(injected).alias("masked"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================

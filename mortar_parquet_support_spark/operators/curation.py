@@ -36,6 +36,33 @@ from pyspark.sql import functions as F
 from mortar_parquet_support_spark.functions import word_shingles
 
 
+# Deliberately simple patterns that mean the same thing in Java regex
+# (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern — a zero-shuffle
+    projection for audit/reporting passes."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+
+
+def mask_pii(text: Column) -> Column:
+    """Replace every PII match with a ``<KIND>`` token. Order matters:
+    emails first so the ip pattern can't eat a dotted host fragment."""
+    out = text
+    for kind in ("email", "phone", "ip"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def contaminated_ids(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -98,6 +98,31 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
+def dup_word_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are repeats of an earlier token
+    (0.0 for empty text) — the word-level leg of Gopher-style repetition
+    filtering. Pure array expressions, zero shuffle."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(words)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(words))).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats — catches boilerplate and
+    looping generations that unique-word ratios miss (a doc cycling a
+    10-word sentence has ~0 dup words per cycle but ~1.0 dup n-grams)."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.when(
+        count > 0,
+        (count - F.size(F.array_distinct(grams))).cast("double") / count.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the casefolded, punctuation/whitespace-
     normalized text — robust to formatting-only edits. (Content-defined

@@ -567,3 +567,50 @@ def test_domain_cap_keeps_best_n_per_domain(spark):
     a = {tuple(r) for r in domain_cap(df, domain_col="domain", max_per_domain=2).collect()}
     b = {tuple(r) for r in domain_cap(df, domain_col="domain", max_per_domain=2).collect()}
     assert a == b and len(a) == 6
+
+
+def test_repetition_ratios(spark):
+    from mortar_parquet_support_spark.operators.text import (
+        dup_ngram_ratio,
+        dup_word_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),                 # all unique
+            (2, "a a a a"),                 # 3 of 4 words repeat
+            (3, "x y x y x y"),             # loops: dup bigrams high
+            (4, ""),                        # empty
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r.id: (round(r.w, 6), round(r.b, 6))
+        for r in df.select(
+            "id",
+            dup_word_ratio(F.col("text")).alias("w"),
+            dup_ngram_ratio(F.col("text"), 2).alias("b"),
+        ).collect()
+    }
+    assert out[1] == (0.0, 0.0)
+    assert out[2] == (0.75, round(2 / 3, 6))  # bigrams: "a a" x3, 1 distinct
+    assert out[4] == (0.0, 0.0)
+    # doc 3: words x,y,x,y,x,y -> 4/6 dup words; bigrams "x y","y x","x y",
+    # "y x","x y" -> 5 grams, 2 distinct -> 3/5 dup
+    assert out[3] == (round(4 / 6, 6), 0.6)
+
+
+def test_pii_mask_and_counts(spark):
+    from mortar_parquet_support_spark.operators.curation import mask_pii, pii_counts
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.co or +44 123 456-7890 from 10.0.0.1 done"), (2, "clean")],
+        ["id", "text"],
+    )
+    rows = {r.id: r for r in df.select(
+        "id", *pii_counts(F.col("text")), mask_pii(F.col("text")).alias("m")
+    ).collect()}
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ip) == (1, 1, 1)
+    assert rows[1].m == "mail <EMAIL> or <PHONE> from <IP> done"
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ip) == (0, 0, 0)
+    assert rows[2].m == "clean"
