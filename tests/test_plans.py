@@ -105,3 +105,32 @@ def test_maybe_broadcast_size_guard(spark, sf_dir):
     assert hinted is not li
     p = plan_str(hinted.join(li.select("l_orderkey").distinct(), "l_orderkey"))
     assert "BroadcastHashJoin" in p
+
+
+def test_decontaminate_never_shuffles_corpus(spark, sf_dir):
+    """Eval shingles broadcast; corpus side must reach the semi join
+    without a hash exchange (the only exchanges allowed are on the tiny
+    eval-gram / contaminated-id sides, which sit under broadcasts)."""
+    p = _plan(spark, "decontaminate", sf_dir)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # every hash exchange must feed a broadcast (small side), never the
+    # corpus-side probe of a join
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-zA-Z_]+)", p):
+        assert m.group(1) in ("_g", "doc_id"), p  # gram dedup / id distinct only
+
+
+def test_domain_cap_single_shuffle(spark, sf_dir):
+    p = _plan(spark, "domain_cap", sf_dir)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" in p
+
+
+def test_pii_and_repetition_are_pure_projections(spark, sf_dir):
+    for name in ["pii_scrub", "text_repetition"]:
+        p = _plan(spark, name, sf_dir)
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name
