@@ -68,9 +68,12 @@ coerce both sides with try_cast(double), everything else compares lexically.
 column. ``CONSTRUCT { template } WHERE { … }`` returns a deduplicated
 (subject, predicate, object) DataFrame — one projection per template
 triple over the solution frame, unioned; template variables unbound in a
-solution (OPTIONAL) skip that triple per spec. Still unsupported (raise
+solution (OPTIONAL) skip that triple per spec. ``DESCRIBE <iri>`` /
+``DESCRIBE ?x WHERE { … }`` emits the outgoing triples of each described
+resource (description semantics are implementation-defined by the spec;
+skolemized bnodes need no closure). Still unsupported (raise
 ``SparqlUnsupported``): SERVICE, closure over an alternation ``(a|b)*``,
-the DESCRIBE query form, blank nodes/paths in CONSTRUCT templates.
+blank nodes/paths in CONSTRUCT templates.
 """
 
 from __future__ import annotations
@@ -260,6 +263,8 @@ class _SparqlParser:
                       var_order=self.var_order, form="ask")
         elif self._peek_word_lower() == "construct":
             q = self._parse_construct_query()
+        elif self._peek_word_lower() == "describe":
+            q = self._parse_describe_query()
         else:
             q = self._parse_select_query()
         if self._peek()[0] != "eof":
@@ -413,6 +418,47 @@ class _SparqlParser:
             select=[], distinct=False, group=group, var_order=self.var_order,
             order_by=order_by, limit=limit, offset=offset,
             form="construct", template=tmpl_group.triples,
+        )
+
+    def _parse_describe_query(self) -> Query:
+        """``DESCRIBE <iri> [<iri>…]`` / ``DESCRIBE ?x [?y…] WHERE { … }``.
+
+        Description semantics are implementation-defined by the SPARQL
+        spec; this engine emits the outgoing triples of each described
+        resource (subject-CBD without blank-node closure — skolemized
+        bnodes are stable IRIs here, so no closure is needed)."""
+        self._next()
+        vars_: list[str] = []
+        iris: list[str] = []
+        while True:
+            kind, tok = self._peek()
+            if kind == "var":
+                vars_.append(tok[1:])
+                self._next()
+            elif kind == "iriref":
+                iris.append(tok[1:-1])
+                self._next()
+            elif kind == "word" and ":" in tok and tok.lower() != "where":
+                iris.append(self._expand(tok))
+                self._next()
+            else:
+                break
+        if not vars_ and not iris:
+            raise ValueError("SPARQL parse: DESCRIBE needs at least one resource")
+        group = Group()
+        if self._peek_word_lower() == "where" or self._peek() == ("punct", "{"):
+            if self._peek_word_lower() == "where":
+                self._next()
+            self._expect_punct("{")
+            group = self._parse_group()
+            self._expect_punct("}")
+        elif vars_:
+            raise ValueError("SPARQL parse: DESCRIBE ?var needs a WHERE clause")
+        # stash the described IRIs as pseudo-select entries prefixed so the
+        # compiler can tell them from variables
+        return Query(
+            select=vars_ + [f"<{i}>" for i in iris], distinct=False, group=group,
+            var_order=self.var_order, form="describe",
         )
 
     _AGG_FNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
@@ -993,6 +1039,8 @@ class SparqlEngine:
 
     # -- compilation --
     def _compile_query(self, q: Query, scope: _Scope) -> DataFrame:
+        if q.form == "describe":
+            return self._describe(q, scope)
         acc, bound = self._compile_group(q.group, scope)
         if acc is None:
             raise SparqlUnsupported("empty WHERE group")
@@ -1032,6 +1080,42 @@ class SparqlEngine:
         if q.limit is not None:
             out = out.limit(int(q.limit))
         return out
+
+    def _describe(self, q: Query, scope: _Scope) -> DataFrame:
+        """Outgoing triples of every described resource: resources (bound
+        variables and/or literal IRIs) unioned, deduplicated, broadcast,
+        and semi-joined against the scope's subjects."""
+        vars_ = [s for s in q.select if not s.startswith("<")]
+        iris = [s[1:-1] for s in q.select if s.startswith("<")]
+        frames = []
+        if vars_:
+            acc, bound = self._compile_group(q.group, scope)
+            if acc is None:
+                raise SparqlUnsupported("DESCRIBE ?var with empty WHERE group")
+            for v in vars_:
+                if v not in bound:
+                    raise ValueError(f"DESCRIBE variable ?{v} not bound by WHERE")
+                frames.append(acc.select(F.col(v).alias("__resource")))
+        if iris:
+            frames.append(
+                scope.spark.createDataFrame([(i,) for i in iris], ["__resource"])
+            )
+        res = frames[0]
+        for f in frames[1:]:
+            res = res.unionByName(f)
+        return (
+            scope.df.join(
+                F.broadcast(res.dropDuplicates()),
+                scope.df["subject"] == F.col("__resource"),
+                "left_semi",
+            )
+            .select(
+                F.col("subject").cast("string"),
+                F.col("predicate").cast("string"),
+                F.col("object").cast("string"),
+            )
+            .dropDuplicates()
+        )
 
     def _construct(self, q: Query, acc: DataFrame, bound: set[str]) -> DataFrame:
         """Instantiate the CONSTRUCT template once per solution: one

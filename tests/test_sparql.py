@@ -843,3 +843,29 @@ def test_construct_restrictions(engine):
         engine.sql(PREFIXES + "CONSTRUCT { ?v brick:hasPoint [ a b:X ] } WHERE { ?v a brick:VAV }")
     with pytest.raises(ValueError):
         engine.sql(PREFIXES + "CONSTRUCT { ?v a b:Box . FILTER(?v > 1) } WHERE { ?v a brick:VAV }")
+
+
+def test_describe_iri(engine):
+    rows = engine.sql(PREFIXES + "DESCRIBE b:vav1").collect()
+    got = {(r.predicate.split("#")[-1], r.object.split("#")[-1]) for r in rows}
+    assert got == {("type", "VAV"), ("hasPoint", "p1"), ("hasPoint", "p2")}
+    assert all(r.subject == "urn:b#vav1" for r in rows)
+
+
+def test_describe_var_with_where(engine):
+    # describe every VAV: outgoing triples of vav1 and vav2
+    rows = engine.sql(
+        PREFIXES + "DESCRIBE ?v WHERE { ?v a brick:VAV }"
+    ).collect()
+    subs = {r.subject.split("#")[-1] for r in rows}
+    assert subs == {"vav1", "vav2"}
+    assert len(rows) == 5  # vav1: type + 2 hasPoint; vav2: type + 1 hasPoint
+
+
+def test_describe_mixed_and_errors(engine):
+    rows = engine.sql(
+        PREFIXES + "DESCRIBE ?v b:weird WHERE { ?v a brick:VAV }"
+    ).collect()
+    assert {r.subject.split("#")[-1] for r in rows} == {"vav1", "vav2", "weird"}
+    with pytest.raises(ValueError):
+        engine.sql(PREFIXES + "DESCRIBE ?v")
