@@ -1737,6 +1737,30 @@ def _text_repetition(spark, sf_dir):
     )
 
 
+@_register(
+    "chunk_text",
+    """
+    WITH c AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(CAST(len(text) - 50 AS DOUBLE) / 150) AS BIGINT), 1) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(t.i - 1 AS INT) AS chunk_id,
+           substr(text, CAST((t.i - 1) * 150 + 1 AS BIGINT), 200) AS chunk
+    FROM c, UNNEST(generate_series(1, c.n)) AS t(i)
+    """,
+)
+def _chunk_text(spark, sf_dir):
+    """Overlapping character-window chunking (operators/curation.py):
+    200-char chunks, 50-char overlap (small enough that the synthetic
+    corpus actually multi-chunks) — one scan + posexplode, no shuffle."""
+    from mortar_parquet_support_spark.operators.curation import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, id_col="doc_id", text_col="text",
+                      chunk_chars=200, overlap=50)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

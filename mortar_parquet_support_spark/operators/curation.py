@@ -119,6 +119,40 @@ def decontaminate(
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
 
 
+def chunk_text(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split documents into overlapping character windows for embedding /
+    context-window pipelines: (id_col, chunk_id, chunk) with chunk_id
+    0-based per document. Empty/short docs yield exactly one chunk.
+
+    One projection + posexplode — the explode factor is doc_len/stride, so
+    the plan is a single corpus scan with no shuffle; downstream embedding
+    UDFs see bounded-size strings.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(text) - F.lit(overlap)).cast("double") / step).cast("int"),
+        F.lit(1),
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: text.substr(i * step + 1, F.lit(chunk_chars))
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    )
+
+
 def domain_cap(
     df: DataFrame,
     *,

@@ -614,3 +614,30 @@ def test_pii_mask_and_counts(spark):
     assert rows[1].m == "mail <EMAIL> or <PHONE> from <IP> done"
     assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ip) == (0, 0, 0)
     assert rows[2].m == "clean"
+
+
+def test_chunk_text_overlap_and_reassembly(spark):
+    from mortar_parquet_support_spark.operators.curation import chunk_text
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "xy")], ["id", "text"])
+    rows = chunk_text(
+        df, id_col="id", text_col="text", chunk_chars=10, overlap=4
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, {})[r.chunk_id] = r.chunk
+    # 25 chars, step 6: ceil((25-4)/6) = 4 chunks; consecutive chunks share
+    # a 4-char overlap and cover the whole document
+    c = by_id[1]
+    assert len(c) == 4
+    assert c[0] == text[0:10] and c[1] == text[6:16] and c[3] == text[18:25]
+    assert all(c[i][-4:] == c[i + 1][:4] for i in range(2))
+    reassembled = c[0] + "".join(c[i][4:] for i in range(1, 4))
+    assert reassembled == text
+    assert by_id[2] == {0: ""} and by_id[3] == {0: "xy"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_text(df, id_col="id", text_col="text", chunk_chars=5, overlap=5)
