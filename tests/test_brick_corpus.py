@@ -173,3 +173,32 @@ def test_subclass_closure_through_ontology(corpus):
         "Sensor",
         "Point",
     } <= supers
+
+
+def test_ask_construct_describe_on_real_corpus(corpus):
+    """The three non-SELECT query forms against the real bldg1 graph, with
+    expectations pinned by the independent matcher's structural counts."""
+    client, oracles = corpus
+    ask = client.sparql(
+        """PREFIX brick: <https://brickschema.org/schema/Brick#>
+           ASK { ?vav a brick:VAV }""",
+        sites=["bldg1"],
+    ).collect()
+    assert [r.ask for r in ask] == [True]  # ASK keeps its boolean type
+
+    # CONSTRUCT the flattened point->timeseries-id edge; one edge per bridge
+    built = client.sparql(
+        """PREFIX brick: <https://brickschema.org/schema/Brick#>
+           CONSTRUCT { ?p brick:directId ?id }
+           WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] }""",
+        sites=["bldg1"],
+    ).collect()
+    assert len(built) == 82  # bldg1's 82 bridges (test_all_points pin)
+    assert all(r.predicate.endswith("directId") for r in built)
+
+    # DESCRIBE one VAV from query1's bindings: outgoing triples only
+    vav = sorted({t[0] for t in oracles["bldg1"].query1()})[0]
+    desc = client.sparql(f"DESCRIBE <{vav}>", sites=["bldg1"]).collect()
+    assert desc and all(r.subject == vav for r in desc)
+    preds = {r.predicate.split("#")[-1] for r in desc}
+    assert "type" in preds and "hasPoint" in preds
