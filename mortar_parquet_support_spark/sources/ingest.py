@@ -46,18 +46,28 @@ def _parse_stream_lines(
     time_col: str,
 ) -> DataFrame:
     """Read raw CSV lines from many single-stream files in one distributed
-    scan and reassemble the lake schema.
+    scan and reassemble the lake schema (see :func:`_parse_lines`)."""
+    lines = (
+        spark.read.text(paths)
+        .withColumnRenamed("value", "_line")
+        .withColumn("_file", F.input_file_name())
+    )
+    return _parse_lines(lines, collection, time_col)
+
+
+def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
+    """Reassemble the lake schema from raw (``_line``, ``_file``) rows.
 
     Each input file is ``<uuid>.csv`` with header ``<time_col>,<label>``
     (FIXTURES.md F1). Header rows are filtered out of the data path and used
     (as a tiny one-row-per-file DataFrame) to recover each file's label via a
     broadcast join — the distributed replacement for pandas' per-file
-    ``df.columns[0]`` (transform.py:28).
+    ``df.columns[0]`` (transform.py:28). Shared by the batch reader and the
+    streaming foreachBatch path (each micro-batch carries whole files, so
+    header/label recovery stays plain batch logic).
     """
     lines = (
-        spark.read.text(paths)
-        .withColumnRenamed("value", "_line")
-        .withColumn("_file", F.input_file_name())
+        lines
         .withColumn("_base", F.element_at(F.split(F.col("_file"), "/"), -1))
         .withColumn("uuid", F.lower(F.regexp_extract(F.col("_base"), f"^({UUID_RE})\\.", 1)))
     )
@@ -164,3 +174,60 @@ def write_lake(
         out = df.repartitionByRange("collection", "uuid").sortWithinPartitions("uuid", "time")
         partition_cols = ["collection"]
     out.write.mode(mode).partitionBy(*partition_cols).parquet(destination)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    collection: str,
+    csv_dir: str,
+    destination: str,
+    *,
+    time_col: str = "datetime",
+    checkpoint_dir: str | None = None,
+    partition_uuid: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuously ingest ``<uuid>.csv`` files arriving in ``csv_dir``
+    into the lake — the reference's batch CLI workflow (transform.py:44-50)
+    as a Structured Streaming file source.
+
+    The file source tracks seen files in the checkpoint, so every file is
+    ingested exactly once across restarts; a dropped-in file is picked up by
+    the next trigger with no driver-side bookkeeping. Because the source
+    delivers WHOLE files per micro-batch, the header/label recovery stays
+    the same batch logic as :func:`_parse_lines` inside ``foreachBatch``,
+    and the sink reuses :func:`write_lake`'s layout/sort discipline.
+
+    ``available_now=True`` drains everything currently in the directory and
+    stops (ideal for tests and catch-up runs); ``False`` keeps a live
+    micro-batch query running. ``max_files_per_trigger`` bounds per-batch
+    work for backfills over huge directories.
+
+    Returns the started StreamingQuery (callers ``awaitTermination()``).
+    """
+    reader = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "*.csv")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(csv_dir).select(
+        F.col("value").alias("_line"),
+        F.col("_metadata.file_path").alias("_file"),
+    )
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        parsed = _parse_lines(batch_df, collection, time_col)
+        write_lake(parsed, destination, partition_uuid=partition_uuid, mode="append")
+
+    writer = (
+        raw.writeStream.foreachBatch(_write_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or destination.rstrip("/") + "/_ingest_checkpoint",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -208,3 +208,50 @@ def test_duckdb_sink_reopens_on_new_database_path(spark, lake_dir, tmp_path):
     rel = c2.data_sparql_to_duckdb(q, db1, "t")
     assert rel.count("*").fetchone()[0] == 9  # 3 from the first client + 3 + 3
     c2.data_cache.close()
+
+
+def test_stream_ingest_exactly_once_and_batch_parity(spark, tmp_path):
+    """Streaming file-source ingest: drains the directory with availableNow,
+    matches batch ingest row-for-row, rejects non-UUID files, and a second
+    run with the same checkpoint picks up ONLY newly arrived files."""
+    from mortar_parquet_support_spark.sources.ingest import stream_ingest
+
+    src = tmp_path / "csvs"
+    dest = tmp_path / "lake"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    make_stream_csv(src, U1, "/delta/m5/c12", ROWS_1)
+    with open(src / "not-a-uuid.csv", "w") as fh:
+        fh.write("datetime,x\n2020-01-01 00:00:00+00:00,9.9\n")
+
+    q = stream_ingest(
+        spark, "bldg1", str(src), str(dest), checkpoint_dir=str(ckpt)
+    )
+    q.awaitTermination(120)
+    lake = TimeseriesLake.open(spark, str(dest))
+    assert lake.df.count() == 3  # U1 rows only; bad file rejected
+    first = {(r.uuid, str(r.time), r.value, r.label, r.uri)
+             for r in lake.df.collect()}
+
+    # second file arrives; same checkpoint -> only the new file is ingested
+    make_stream_csv(src, U2, "/delta/m9/c10", ROWS_2)
+    q2 = stream_ingest(
+        spark, "bldg1", str(src), str(dest), checkpoint_dir=str(ckpt)
+    )
+    q2.awaitTermination(120)
+    lake2 = TimeseriesLake.open(spark, str(dest))
+    assert lake2.df.count() == 5  # 3 + 2, U1 NOT duplicated
+    assert {r.uuid for r in lake2.df.collect()} == {U1, U2}
+
+    # row-level parity with the batch path on the same inputs
+    batch_dest = tmp_path / "batch_lake"
+    ingest_directory(spark, "bldg1", str(src), str(batch_dest))
+    batch = {
+        (r.uuid, str(r.time), r.value, r.label, r.uri)
+        for r in TimeseriesLake.open(spark, str(batch_dest)).df.collect()
+    }
+    streamed = {
+        (r.uuid, str(r.time), r.value, r.label, r.uri)
+        for r in lake2.df.collect()
+    }
+    assert streamed == batch and first < streamed
