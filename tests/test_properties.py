@@ -1,0 +1,120 @@
+"""Property-based invariants (hypothesis) for the text/curation operators.
+
+Each property batches all generated examples into ONE DataFrame per test
+run, so hypothesis explores dozens of inputs at the cost of a single Spark
+job instead of one job per example.
+"""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# printable-ish text incl. whitespace runs, unicode, and empties
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=300,
+)
+
+
+def _one_job(spark, texts, exprs):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    return df.select("i", *exprs).collect()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=24), st.integers(2, 40), st.integers(0, 39))
+def test_chunk_text_reassembles_losslessly(spark, texts, chunk_chars, overlap):
+    from mortar_parquet_support_spark.operators.curation import chunk_text
+
+    if overlap >= chunk_chars:
+        overlap = chunk_chars - 1
+    step = chunk_chars - overlap
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    rows = chunk_text(
+        df, id_col="i", text_col="text", chunk_chars=chunk_chars, overlap=overlap
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.i, {})[r.chunk_id] = r.chunk
+    for i, t in enumerate(texts):
+        chunks = [by_id[i][k] for k in sorted(by_id[i])]
+        # chunk ids are dense from 0 and every doc chunks at least once
+        assert sorted(by_id[i]) == list(range(len(chunks)))
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t
+        # every chunk except possibly the last is full-size
+        assert all(len(c) == chunk_chars for c in chunks[:-1])
+        # chunk starts advance by exactly the stride
+        for k, c in enumerate(chunks):
+            assert t[k * step : k * step + chunk_chars] == c
+
+
+ASCII_TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=300
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(ASCII_TEXTS, min_size=1, max_size=32))
+def test_ratio_bounds_and_fingerprint_invariance(spark, texts):
+    # ASCII-only: Unicode case-folding can change length (ss vs SS), which
+    # legitimately changes the fingerprint — the invariance contract is
+    # about formatting (case/whitespace/punct), not locale folding
+    from mortar_parquet_support_spark.operators.text import (
+        dup_ngram_ratio,
+        dup_word_ratio,
+        fingerprint,
+    )
+
+    rows = _one_job(
+        spark,
+        texts,
+        [
+            dup_word_ratio(F.col("text")).alias("w"),
+            dup_ngram_ratio(F.col("text"), 2).alias("b"),
+            fingerprint(F.col("text")).alias("fp"),
+            fingerprint(F.upper(F.concat(F.lit("  "), F.col("text")))).alias("fp2"),
+        ],
+    )
+    for r in rows:
+        assert 0.0 <= r.w <= 1.0 and 0.0 <= r.b <= 1.0
+        # fingerprint is invariant to case and leading whitespace
+        assert r.fp == r.fp2
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=32))
+def test_mask_pii_is_idempotent(spark, texts):
+    from mortar_parquet_support_spark.operators.curation import mask_pii
+
+    rows = _one_job(
+        spark,
+        texts,
+        [
+            mask_pii(F.col("text")).alias("m1"),
+            mask_pii(mask_pii(F.col("text"))).alias("m2"),
+        ],
+    )
+    for r in rows:
+        assert r.m1 == r.m2
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60), min_size=2, max_size=16))
+def test_exact_dedup_group_representative(spark, texts):
+    """exact_dedup keeps exactly one representative (the min id) per
+    distinct normalized text."""
+    from mortar_parquet_support_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = exact_dedup(df, ["text"], id_col="doc_id", normalize=True).collect()
+    import re
+
+    norm = {}
+    for i, t in enumerate(texts):
+        key = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        norm.setdefault(key, []).append(i)
+    want_keep = {min(v) for v in norm.values()}
+    assert {r.keep_id for r in out} == want_keep
