@@ -308,6 +308,29 @@ class IvfIndex:
             self.assigned.unpersist()
             self._persisted = False
 
+    def save(self, path: str) -> None:
+        """Persist the index to disk: ``<path>/centroids`` (tiny) and
+        ``<path>/assigned`` partitioned by ``list_id`` — so a later
+        ``load(...).topk(...)`` probe reads ONLY its nprobe cell
+        directories (partition pruning), never rescanning or re-clustering
+        the corpus. This is the build-offline / serve-online split of a
+        production vector store."""
+        self.centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+        (
+            self.assigned.write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(path.rstrip("/") + "/assigned")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Reopen a saved index. The assigned corpus stays on disk (its
+        list_id partitioning makes probes prune); persist() it explicitly
+        for hot-serving if memory allows."""
+        cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+        assigned = spark.read.parquet(path.rstrip("/") + "/assigned")
+        return cls(cents, assigned, persisted=False)
+
 
 def ivf_topk(
     corpus: DataFrame,

@@ -641,3 +641,26 @@ def test_chunk_text_overlap_and_reassembly(spark):
 
     with _pytest.raises(ValueError):
         chunk_text(df, id_col="id", text_col="text", chunk_chars=5, overlap=5)
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """A saved+reloaded index answers identically to the in-memory one,
+    and its probe plan prunes to the probed list_id partitions."""
+    from mortar_parquet_support_spark.operators.similarity import IvfIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IvfIndex.build(emb, n_list=8, iters=1, persist=False)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    reloaded = IvfIndex.load(spark, path)
+    qs = emb.filter(F.col("vec_id") < 4)
+    want = {(r.query_id, r.neighbor_id, round(r.cosine, 9))
+            for r in idx.topk(qs, k=5, nprobe=3).collect()}
+    got = {(r.query_id, r.neighbor_id, round(r.cosine, 9))
+           for r in reloaded.topk(qs, k=5, nprobe=3).collect()}
+    assert got == want and len(got) == 4 * 5
+    # partition pruning: the assigned scan must carry a list_id filter
+    from tests.conftest import plan_str
+
+    p = plan_str(reloaded.topk(qs, k=5, nprobe=3))
+    assert "PartitionFilters" in p or "dynamicpruning" in p, p
