@@ -89,6 +89,10 @@ class Client:
             self.engine.sql(query, site=site).withColumn("site", F.lit(site))
             for site in sites
         ]
+        if not frames:
+            # reference returns an empty pd.DataFrame() for sites=[]
+            # (client.py:59-60); mirror with an empty site-only frame
+            return self.spark.createDataFrame([], "site string")
         return reduce(DataFrame.unionByName, frames)  # O4 (client.py:63)
 
     # ------------------------------------------------------------------

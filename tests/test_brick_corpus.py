@@ -202,3 +202,10 @@ def test_ask_construct_describe_on_real_corpus(corpus):
     assert desc and all(r.subject == vav for r in desc)
     preds = {r.predicate.split("#")[-1] for r in desc}
     assert "type" in preds and "hasPoint" in preds
+
+
+def test_empty_sites_list_returns_empty_frame(corpus):
+    # reference parity: sparql(q, sites=[]) -> empty DataFrame, not an error
+    client, _ = corpus
+    df = client.sparql("SELECT ?s WHERE { ?s ?p ?o }", sites=[])
+    assert df.count() == 0
