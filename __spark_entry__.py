@@ -1737,6 +1737,29 @@ def _text_repetition(spark, sf_dir):
     )
 
 
+@_register("hll_rollup")
+def _hll_rollup(spark, sf_dir):
+    """Mergeable HLL sketch rollup (operators/sketches.py): hourly
+    per-event-type user sketches re-aggregated to daily WITHOUT rescanning
+    raw events. Sketch binaries are engine-specific -> rows-only; the
+    lossless-merge property (hourly-union == direct daily) and <5% error
+    vs exact are pytest-verified (tests/test_operators.py)."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        hll_reaggregate,
+        hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = hll_rollup(
+        ev, ts="ts", bucket="1 hour", keys=["event_type"], distinct_cols=["user_id"]
+    )
+    return hll_reaggregate(
+        hourly.withColumn("day", F.to_date("bucket")),
+        group_cols=["day", "event_type"],
+        sketch_cols=["user_id"],
+    )
+
+
 @_register(
     "chunk_text",
     """
@@ -1863,7 +1886,9 @@ def oracle_sql() -> dict[str, str]:
     differs from the fold formulation; equivalence pytest-verified —
     tests/test_operators.py), approx_stats (sketch results are
     engine-specific by definition; exact counterparts oracle-checked via
-    group_distinct / percentiles), multimodal_features (Python decode in
+    group_distinct / percentiles), hll_rollup (Datasketches HLL binaries
+    are engine-specific; lossless hourly->daily merge and <5% error vs
+    exact are pytest-verified), multimodal_features (Python decode in
     mapInPandas — the one intentionally-Python op), sparql_bridges (SPARQL
     engine, no SQL equivalent without the triples loaded), ingest_roundtrip
     (filesystem side effects), streaming_enrich / streaming_rollup /

@@ -664,3 +664,50 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
 
     p = plan_str(reloaded.topk(qs, k=5, nprobe=3))
     assert "PartitionFilters" in p or "dynamicpruning" in p, p
+
+
+def test_hll_rollup_reaggregation_is_lossless(spark, sf_dir):
+    """Union of hourly sketches must equal a direct daily sketch estimate
+    (HLL merges are lossless w.r.t. sketch state), and estimates must be
+    within HLL error of exact distinct counts."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        hll_reaggregate,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = hll_rollup(
+        ev, ts="ts", bucket="1 hour", keys=["event_type"],
+        distinct_cols=["user_id"],
+    )
+    daily_from_hourly = hll_reaggregate(
+        hourly.withColumn("day", F.to_date("bucket")),
+        group_cols=["day", "event_type"],
+        sketch_cols=["user_id"],
+    )
+    direct_daily = hll_rollup(
+        ev, ts="ts", bucket="1 day", keys=["event_type"],
+        distinct_cols=["user_id"],
+    ).select(
+        F.to_date("bucket").alias("day"), "event_type",
+        F.hll_sketch_estimate("user_id_sketch").alias("user_id_distinct"), "n",
+    )
+    merged = {
+        (str(r.day), r.event_type): (r.user_id_distinct, r.n)
+        for r in daily_from_hourly.collect()
+    }
+    direct = {
+        (str(r.day), r.event_type): (r.user_id_distinct, r.n)
+        for r in direct_daily.collect()
+    }
+    assert merged == direct  # lossless merge: same estimate, same counts
+
+    exact = {
+        (str(r.day), r.event_type): r.nd
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for k, (est, _n) in merged.items():
+        assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est, exact[k])
