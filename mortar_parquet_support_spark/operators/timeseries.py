@@ -79,8 +79,9 @@ def asof_join(
     tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (direction='backward'; 'forward' mirrors it),
-    per ``on`` key.
+    ``right.ts <= left.ts`` (direction='backward'; 'forward' mirrors it;
+    'nearest' takes whichever side is closer, ties backward — full
+    ``pd.merge_asof`` direction parity), per ``on`` key.
 
     Distributed formulation: tag both sides, union, ONE window sorted by
     (ts, side) per key, and carry the last non-null right value forward with
@@ -92,8 +93,8 @@ def asof_join(
 
     ``tolerance`` (e.g. ``'1 hour'``) drops matches older than the window.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     on = list(on)
     right_cols = list(right_cols or [c for c in right.columns if c not in (*on, ts)])
 
@@ -123,33 +124,72 @@ def asof_join(
     ]
     unioned = lhs.select(*cols).unionByName(rhs.select(*cols))
 
-    if direction == "backward":
-        w = Window.partitionBy(*on).orderBy(F.col(ts).asc(), F.col("__side").asc())
-    else:
-        w = Window.partitionBy(*on).orderBy(F.col(ts).desc(), F.col("__side").asc())
-    picked = [
-        F.last(F.when(F.col("__side") == 0, F.col(rc[c])), ignorenulls=True)
-        .over(w)
-        .alias(f"__r_{c}")
-        for c in right_cols
-    ]
-    match_ts = (
-        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True)
-        .over(w)
-        .alias("__r_ts")
-    )
-    out = unioned.select("*", *picked, match_ts).filter(F.col("__side") == 1)
-    if tolerance is not None:
-        delta = _epoch(F.col(ts)) - _epoch(F.col("__r_ts"))
-        if direction == "forward":
+    def _dir_cols(d: str) -> list:
+        """Carried-forward right values + matched ts for one direction,
+        suffixed __<b|f>. Both directions window over the SAME partition
+        key, so 'nearest' reuses one exchange with two sorts."""
+        if d == "backward":
+            w = Window.partitionBy(*on).orderBy(F.col(ts).asc(), F.col("__side").asc())
+        else:
+            w = Window.partitionBy(*on).orderBy(F.col(ts).desc(), F.col("__side").asc())
+        sfx = "b" if d == "backward" else "f"
+        picked = [
+            F.last(F.when(F.col("__side") == 0, F.col(rc[c])), ignorenulls=True)
+            .over(w)
+            .alias(f"__r{sfx}_{c}")
+            for c in right_cols
+        ]
+        mts = (
+            F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True)
+            .over(w)
+            .alias(f"__rts_{sfx}")
+        )
+        return [*picked, mts]
+
+    dirs = ["backward", "forward"] if direction == "nearest" else [direction]
+    sel: list = ["*"]
+    for d in dirs:
+        sel.extend(_dir_cols(d))
+    out = unioned.select(*sel).filter(F.col("__side") == 1)
+
+    # tolerance via seconds arithmetic (portable; interval casts differ)
+    tol_secs = F.lit(interval_seconds(tolerance)) if tolerance is not None else None
+    deltas = {}
+    for d in dirs:
+        sfx = "b" if d == "backward" else "f"
+        delta = _epoch(F.col(ts)) - _epoch(F.col(f"__rts_{sfx}"))
+        if d == "forward":
             delta = -delta
-        # tolerance via seconds arithmetic (portable; interval casts differ)
-        tol_secs = F.lit(interval_seconds(tolerance))
-        keep = F.col("__r_ts").isNotNull() & (delta <= tol_secs) & (delta >= 0)
-        out = out.withColumn("__keep", keep)
+        deltas[sfx] = delta
+        if tol_secs is not None:
+            keep = F.col(f"__rts_{sfx}").isNotNull() & (delta <= tol_secs) & (delta >= 0)
+            out = out.withColumn("__keep", keep)
+            for c in right_cols:
+                out = out.withColumn(
+                    f"__r{sfx}_{c}", F.when(F.col("__keep"), F.col(f"__r{sfx}_{c}"))
+                )
+            out = out.withColumn(
+                f"__rts_{sfx}", F.when(F.col("__keep"), F.col(f"__rts_{sfx}"))
+            ).drop("__keep")
+
+    if direction == "nearest":
+        # pick whichever side is closer; ties go backward (pandas default)
+        choose_b = F.col("__rts_b").isNotNull() & (
+            F.col("__rts_f").isNull() | (deltas["b"] <= deltas["f"])
+        )
         for c in right_cols:
-            out = out.withColumn(f"__r_{c}", F.when(F.col("__keep"), F.col(f"__r_{c}")))
-        out = out.withColumn("__r_ts", F.when(F.col("__keep"), F.col("__r_ts"))).drop("__keep")
+            out = out.withColumn(
+                f"__r_{c}",
+                F.when(choose_b, F.col(f"__rb_{c}")).otherwise(F.col(f"__rf_{c}")),
+            ).drop(f"__rb_{c}", f"__rf_{c}")
+        out = out.withColumn(
+            "__r_ts", F.when(choose_b, F.col("__rts_b")).otherwise(F.col("__rts_f"))
+        ).drop("__rts_b", "__rts_f")
+    else:
+        sfx = "b" if direction == "backward" else "f"
+        for c in right_cols:
+            out = out.withColumnRenamed(f"__r{sfx}_{c}", f"__r_{c}")
+        out = out.withColumnRenamed(f"__rts_{sfx}", "__r_ts")
     # drop the NULL placeholders that only existed to align the union, then
     # surface the windowed right values under their real names
     for c in right_cols:

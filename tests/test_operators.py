@@ -711,3 +711,42 @@ def test_hll_rollup_reaggregation_is_lossless(spark, sf_dir):
     assert set(merged) == set(exact)
     for k, (est, _n) in merged.items():
         assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est, exact[k])
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    """direction='nearest' (and the others) against merge_asof on a random
+    fixture, including tolerance."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [("k", float(rng.randint(0, 500)), i) for i in range(40)]
+    rrows = [("k", float(rng.randint(0, 500)), float(i)) for i in range(25)]
+    left = spark.createDataFrame(lrows, ["k", "t", "lid"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "lid"
+    )
+    right = spark.createDataFrame(rrows, ["k", "t", "rv"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "rv"
+    )
+    lp = left.toPandas().sort_values(["t", "lid"]).reset_index(drop=True)
+    rp = (
+        right.toPandas().sort_values("t")
+        .drop_duplicates(subset=["k", "t"], keep="first")
+        .reset_index(drop=True)
+    )
+    # dedupe right timestamps on the Spark side the same way pandas saw it
+    rspark = spark.createDataFrame(rp)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, "60 seconds"):
+            out = timeseries.asof_join(
+                left, rspark, on=["k"], ts="t", direction=direction, tolerance=tol
+            )
+            got = {r.lid: r.rv for r in out.collect()}
+            exp = pd.merge_asof(
+                lp, rp, on="t", by="k", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=60),
+            )
+            want = {
+                int(r.lid): None if pd.isna(r.rv) else float(r.rv)
+                for r in exp.itertuples()
+            }
+            assert got == want, (direction, tol)
