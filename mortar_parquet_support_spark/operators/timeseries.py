@@ -288,6 +288,33 @@ def resample(
     if fill == "ffill":
         w = Window.partitionBy(*keys).orderBy("__bucket")
         out = out.withColumn(value, F.last(F.col(value), ignorenulls=True).over(w))
+    elif fill == "interpolate":
+        # linear interpolation between the surrounding observations,
+        # weighted by time distance — pandas interpolate() semantics:
+        # interior gaps linear, trailing gaps carry the last value,
+        # leading gaps stay null. Two windows over the SAME partitioning
+        # (backward carry + forward carry), no extra shuffle.
+        w_back = Window.partitionBy(*keys).orderBy("__bucket")
+        w_fwd = (
+            Window.partitionBy(*keys)
+            .orderBy("__bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        v = F.col(value)
+        prev_v = F.last(v, ignorenulls=True).over(w_back)
+        prev_t = F.last(F.when(v.isNotNull(), F.col("__bucket")), ignorenulls=True).over(w_back)
+        next_v = F.first(v, ignorenulls=True).over(w_fwd)
+        next_t = F.first(F.when(v.isNotNull(), F.col("__bucket")), ignorenulls=True).over(w_fwd)
+        frac = (_epoch(F.col("__bucket")) - _epoch(prev_t)) / (
+            _epoch(next_t) - _epoch(prev_t)
+        )
+        out = out.withColumn(
+            value,
+            F.when(v.isNotNull(), v)
+            .when(prev_t.isNull(), F.lit(None))
+            .when(next_t.isNull(), prev_v)
+            .otherwise(prev_v + (next_v - prev_v) * frac),
+        )
     elif fill not in (None, "none"):
         raise ValueError(f"unsupported fill={fill!r}")
     return out.withColumnRenamed("__bucket", ts)

@@ -750,3 +750,33 @@ def test_asof_join_nearest_matches_pandas(spark):
                 for r in exp.itertuples()
             }
             assert got == want, (direction, tol)
+
+
+def test_resample_interpolate_matches_pandas(spark):
+    """fill='interpolate' against pandas interpolate() on a resampled grid:
+    interior gaps linear, trailing carries last value, leading stays null."""
+    rows = [
+        ("s", 900.0, None),     # leading gap (grid starts at first OBS bucket)
+        ("s", 1800.0, 2.0),
+        ("s", 5400.0, 10.0),    # two missing buckets between -> 2 -> 10
+        ("s", 7200.0, None),    # trailing gap
+        ("s", 8100.0, 4.0),
+        ("s", 9900.0, None),
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "t", "value"]).select(
+        "uuid", F.col("t").cast("timestamp").alias("time"), "value"
+    )
+    out = timeseries.resample(df, step="15 minutes", how="last", fill="interpolate")
+    got = [
+        (int(r.time.timestamp()), r.value)
+        for r in out.orderBy("time").collect()
+    ]
+    # rebuild the same 900..9900 grid in pandas and interpolate
+    idx = list(range(900, 9901, 900))
+    obs = {1800: 2.0, 5400: 10.0, 8100: 4.0}
+    grid = pd.Series([obs.get(t) for t in idx], index=idx, dtype="float64")
+    want = grid.interpolate(method="linear")
+    expected = [
+        (t, None if pd.isna(v) else float(v)) for t, v in want.items()
+    ]
+    assert got == expected
