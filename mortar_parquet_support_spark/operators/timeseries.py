@@ -318,3 +318,41 @@ def resample(
     elif fill not in (None, "none"):
         raise ValueError(f"unsupported fill={fill!r}")
     return out.withColumnRenamed("__bucket", ts)
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("uuid",),
+    ts: str = "time",
+    value: str = "value",
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-stream exponentially weighted moving average (pandas
+    ``ewm(alpha).mean()`` semantics: weights renormalized over observed
+    points, nulls skipped but carried).
+
+    The recurrence is inherently sequential per stream, so this is the
+    textbook ``applyInPandas`` case (SURVEY.md custom-operator rule b): one
+    shuffle groups each stream onto one executor, then a vectorized pandas
+    ewm runs per group — no state ever crosses streams, so 100 TB scales by
+    stream count, and the per-group memory is one stream's rows. For
+    unboundedly-long single streams, chunk by time range first.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    keys = list(keys)
+    fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{out_col}` double"]
+    )
+    cols = [f.name for f in fields]
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(ts)
+        pdf[out_col] = pdf[value].ewm(alpha=alpha, ignore_na=True).mean()
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(*keys).applyInPandas(_ewm, schema=out_schema)

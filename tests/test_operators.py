@@ -780,3 +780,26 @@ def test_resample_interpolate_matches_pandas(spark):
         (t, None if pd.isna(v) else float(v)) for t, v in want.items()
     ]
     assert got == expected
+
+
+def test_ewma_matches_pandas_per_stream(spark):
+    rows = [
+        ("a", float(t), v)
+        for t, v in [(0, 1.0), (60, 2.0), (120, None), (180, 10.0), (240, 3.0)]
+    ] + [("b", 0.0, 5.0), ("b", 60.0, None), ("b", 120.0, 7.0)]
+    df = spark.createDataFrame(rows, ["uuid", "t", "value"]).select(
+        "uuid", F.col("t").cast("timestamp").alias("time"), "value"
+    )
+    out = timeseries.ewma(df, alpha=0.5)
+    got = {
+        (r.uuid, int(r.time.timestamp())): None if r.ewma is None else round(r.ewma, 9)
+        for r in out.collect()
+    }
+    pdf = df.toPandas()
+    for k, grp in pdf.groupby("uuid"):
+        grp = grp.sort_values("time")
+        exp = grp["value"].ewm(alpha=0.5, ignore_na=True).mean()
+        for (_, row), e in zip(grp.iterrows(), exp):
+            key = (k, int(row.time.timestamp()))
+            want = None if pd.isna(e) else round(float(e), 9)
+            assert got[key] == want, (key, got[key], want)
