@@ -79,3 +79,62 @@ def word_shingles(col, k: int = 3) -> Column:
     return F.when(count > 0, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def interleave_bits(cols: list[Column], *, bits: int = 16) -> Column:
+    """Bit-interleave non-negative integer columns into one Z-order
+    (Morton) key: bit j of column i lands at position ``j*len(cols)+i``.
+    Pure bitwise JVM expressions — shift/mask/or, no UDF."""
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return key
+
+
+def zorder_key(
+    df,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    relative_error: float = 0.001,
+) -> Column:
+    """Z-order (Morton) sort key over ``cols`` for multi-dimensional
+    file/row-group clustering — the Delta ``OPTIMIZE ZORDER BY`` idea as a
+    plain Column: sort (or ``repartitionByRange``) by this key before
+    writing, and parquet min/max stats prune on EVERY listed column
+    instead of only the leading sort column.
+
+    Scale shape: ONE min/max aggregation over the listed columns (driver
+    gets 2 scalars per column), then a pure projection: uniform
+    ``width_bucket`` onto a ``2**bits`` grid + JVM-side bit interleave.
+    Uniform bucketing keeps the projection O(1) per value; heavily skewed
+    columns cluster less evenly (quantile grids would need per-row
+    boundary search) — normalize skewed columns first if it matters.
+    Numeric and timestamp columns supported; ``relative_error`` is unused
+    (kept for a future quantile grid) .
+    """
+    n_buckets = 1 << bits
+
+    def _numeric(c: str) -> Column:
+        col = F.col(c)
+        if df.schema[c].dataType.simpleString().startswith("timestamp"):
+            return F.unix_timestamp(col).cast("double")
+        return col.cast("double")
+
+    stats = df.agg(
+        *[F.min(_numeric(c)).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(_numeric(c)).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    bucketed = []
+    for i, c in enumerate(cols):
+        mn, mx = float(stats[f"mn_{i}"]), float(stats[f"mx_{i}"])
+        if mx <= mn:
+            bucketed.append(F.lit(0).cast("long"))
+            continue
+        b = F.width_bucket(_numeric(c), F.lit(mn), F.lit(mx), F.lit(n_buckets - 1))
+        # width_bucket is 1-based and clamps out-of-range to 0/n+1
+        bucketed.append(F.greatest(F.least(b - 1, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
+    return interleave_bits(bucketed, bits=bits)

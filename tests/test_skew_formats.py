@@ -61,3 +61,36 @@ def test_stream_enrich_equals_batch_join(spark, sf_dir):
             want.select("event_id", "user_name")
         ).isEmpty()
     )
+
+
+def test_interleave_bits_known_values(spark):
+    from mortar_parquet_support_spark.functions import interleave_bits
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 5)], ["x", "y"])  # 0b011, 0b101
+    key = df.select(
+        interleave_bits([F.col("x"), F.col("y")], bits=3).alias("z")
+    ).first().z
+    # bit j of x -> position 2j; bit j of y -> position 2j+1
+    # x=011, y=101 -> z bits: pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0,
+    # pos4=x2=0, pos5=y2=1 -> 0b100111 = 39
+    assert key == 39
+
+
+def test_zorder_key_locality(spark):
+    """Sorting by the z-key interleaves both dimensions: the first half of
+    the sorted order must stay in the low half of BOTH x and y ranges
+    (single-column sort would span the full range of the other column)."""
+    from mortar_parquet_support_spark.functions import zorder_key
+    from pyspark.sql import functions as F
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    z = zorder_key(df, ["x", "y"], bits=5)
+    ordered = df.withColumn("z", z).orderBy("z").collect()
+    first_quarter = ordered[: len(ordered) // 4]
+    xs = [r.x for r in first_quarter]
+    ys = [r.y for r in first_quarter]
+    assert max(xs) <= 16 and max(ys) <= 16  # both dims bounded, not just one
+    # and the key is a bijection on the grid (no collisions at full bits)
+    assert len({r.z for r in ordered}) == len(rows)
