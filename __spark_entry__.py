@@ -1626,6 +1626,19 @@ def _streaming_enrich(spark, sf_dir):
     return stream_enrich_once(spark, sf_dir)
 
 
+@_register("streaming_interval_join")
+def _streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/rollup.py):
+    purchases joined to same-user clicks within a 5-minute band — bounded
+    state via the time band + watermark. Streaming emission -> rows-only;
+    equality with the batch banded join is pytest-verified."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_interval_join_once,
+    )
+
+    return stream_interval_join_once(spark, sf_dir)
+
+
 @_register("streaming_rollup")
 def _streaming_rollup(spark, sf_dir):
     """Structured Streaming windowed rollup (streaming/rollup.py) driven to
@@ -1892,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
     mapInPandas — the one intentionally-Python op), sparql_bridges (SPARQL
     engine, no SQL equivalent without the triples loaded), ingest_roundtrip
     (filesystem side effects), streaming_enrich / streaming_rollup /
-    streaming_sessionize (Structured Streaming; emission depends on
+    streaming_sessionize / streaming_interval_join (Structured Streaming;
+    emission depends on
     watermark progression — but note streaming_dedup IS oracle-checked)."""
     return dict(_ORACLES)

@@ -279,3 +279,61 @@ def stream_enrich_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out
+
+
+def stream_interval_join(
+    left,
+    right,
+    *,
+    on: str,
+    ts: str = "ts",
+    watermark: str = "1 hour",
+    band: str = "5 minutes",
+    right_suffix: str = "_r",
+):
+    """Stream-stream inner join within a time band: left and right events
+    with the same key whose timestamps differ by at most ``band``.
+
+    The canonical Structured Streaming interval join: BOTH sides carry a
+    watermark and the join condition bounds right's timestamp to a window
+    around left's, so Spark can evict buffered rows once the watermark
+    passes — state stays O(events within the band per key), not unbounded.
+    Without the time bound, a stream-stream inner join would buffer each
+    side forever; the band is what makes 100 TB/day streams feasible.
+    """
+    secs = _interval_seconds(band)
+    l = left.withWatermark(ts, watermark).alias("l")
+    r_cols = [c for c in right.columns if c != on]
+    r = (
+        right.select(
+            F.col(on),
+            *[F.col(c).alias(f"{c}{right_suffix}") for c in r_cols],
+        )
+        .withWatermark(f"{ts}{right_suffix}", watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{ts}{right_suffix}") >= F.col(f"l.{ts}") - F.expr(f"interval {secs} seconds"))
+        & (F.col(f"r.{ts}{right_suffix}") <= F.col(f"l.{ts}") + F.expr(f"interval {secs} seconds"))
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{on}"))
+
+
+def stream_interval_join_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the interval join: purchases joined to clicks by the same user
+    within 5 minutes — the attribution-window query — over the events
+    stream twice; equals the batch range join (tested)."""
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id"), F.col("ts")
+    )
+    clicks = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    ).filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id"), F.col("ts")
+    )
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id", ts="ts", watermark="10 days", band="5 minutes"
+    )
+    return _run_to_memory(joined, output_mode="append")

@@ -803,3 +803,29 @@ def test_ewma_matches_pandas_per_stream(spark):
             key = (k, int(row.time.timestamp()))
             want = None if pd.isna(e) else round(float(e), 9)
             assert got[key] == want, (key, got[key], want)
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """Streaming interval join (watermarked stream-stream) must equal the
+    batch banded self-join on the finite dataset."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_interval_join_once,
+    )
+
+    got = {
+        (r.user_id, r.event_id, r.event_id_r)
+        for r in stream_interval_join_once(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    p = ev.filter(F.col("event_type") == "purchase")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("click_id"), F.col("ts").alias("ts2")
+    )
+    batch = p.join(
+        c,
+        (p.user_id == c.u2)
+        & (c.ts2 >= p.ts - F.expr("interval 300 seconds"))
+        & (c.ts2 <= p.ts + F.expr("interval 300 seconds")),
+    )
+    want = {(r.user_id, r.event_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
