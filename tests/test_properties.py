@@ -118,3 +118,42 @@ def test_exact_dedup_group_representative(spark, texts):
         norm.setdefault(key, []).append(i)
     want_keep = {min(v) for v in norm.values()}
     assert {r.keep_id for r in out} == want_keep
+
+
+_SPARQL_FRAGMENTS = st.sampled_from([
+    "SELECT", "WHERE", "{", "}", "(", ")", "?x", "?y", "a", "brick:VAV",
+    "FILTER", "OPTIONAL", "UNION", "MINUS", "BIND", "VALUES", "EXISTS", "NOT",
+    "GRAPH", "ASK", "CONSTRUCT", "DESCRIBE", "GROUP", "BY", "HAVING", "ORDER",
+    "LIMIT", "10", "*", "+", "/", "^", "|", ";", ",", ".", '"lit"', "<urn:x>",
+    "PREFIX", "rdf:", "COUNT", "AS", "SEPARATOR", "=", "-", "UNDEF",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_SPARQL_FRAGMENTS, max_size=25).map(" ".join))
+def test_sparql_parser_fails_cleanly_on_fragment_soup(q):
+    """The parser must either parse or raise its two documented error
+    types — never an internal IndexError/KeyError/AttributeError."""
+    from mortar_parquet_support_spark.plans.sparql import (
+        SparqlUnsupported,
+        parse_sparql,
+    )
+
+    try:
+        parse_sparql(q)
+    except (SparqlUnsupported, ValueError):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_sparql_parser_fails_cleanly_on_arbitrary_text(q):
+    from mortar_parquet_support_spark.plans.sparql import (
+        SparqlUnsupported,
+        parse_sparql,
+    )
+
+    try:
+        parse_sparql(q)
+    except (SparqlUnsupported, ValueError):
+        pass
