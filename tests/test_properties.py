@@ -157,3 +157,20 @@ def test_sparql_parser_fails_cleanly_on_arbitrary_text(q):
         parse_sparql(q)
     except (SparqlUnsupported, ValueError):
         pass
+
+
+_TTL_FRAGMENTS = st.sampled_from([
+    "@prefix", "b:", "<urn:x>", ".", ";", ",", "a", "[", "]", '"lit"', "(", ")",
+    "brick:VAV", "^^", "xsd:int", "@en", "#c", "\n", "_:b1", "1.5", "true",
+])
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(_TTL_FRAGMENTS, max_size=30).map(" ".join))
+def test_ttl_parser_fails_cleanly(t):
+    from mortar_parquet_support_spark.sources.ttl import parse_ttl
+
+    try:
+        parse_ttl(t, "s")
+    except ValueError:
+        pass
