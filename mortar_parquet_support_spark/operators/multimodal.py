@@ -21,7 +21,9 @@ Decode tiers (``decode_fn``):
   actual width/height/channel-statistics features from actual pixels.
 - ``'real'``: PIL if importable, else falls back to the built-in PNG codec;
   raises ``NotImplementedError`` only for formats that genuinely need
-  native libraries (JPEG without PIL, audio, video).
+  native libraries (JPEG without PIL, compressed audio, video); PNG
+  images (operators/imaging.py) and PCM WAV audio (operators/audio.py)
+  decode for REAL with the stdlib alone.
 """
 
 from __future__ import annotations
@@ -166,13 +168,21 @@ def extract_features(
                     modality = meta["modality"]
                     if modality == "image":
                         feats.append(_image_decode(content, n_features))
+                    elif modality == "audio" and decode_fn == "real":
+                        # REAL for PCM WAV via the stdlib wave module
+                        # (operators/audio.py); compressed audio raises
+                        from mortar_parquet_support_spark.operators.audio import (
+                            wav_features,
+                        )
+
+                        feats.append(wav_features(content, n_features))
                     elif decode_fn == "real":
-                        # STUB: audio/video decode needs torchaudio / pyav —
-                        # not in this container. Arrow plumbing is real.
+                        # STUB: video decode needs pyav/ffmpeg — not in
+                        # this container. Arrow plumbing is real.
                         raise NotImplementedError(
                             f"real {modality} decode requires native codec "
-                            "libraries; images decode for real via the "
-                            "stdlib PNG codec or PIL"
+                            "libraries; images decode via the stdlib PNG "
+                            "codec or PIL, audio via the stdlib WAV decoder"
                         )
                     else:
                         feats.append(_fake_decode(content, n_features))

@@ -295,12 +295,12 @@ def test_multimodal_pipeline(spark, tmp_path):
     per = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
     assert any(v >= 2 for v in per.values())  # 10000 bytes -> 2 pseudo-frames
 
-    # 'real' now decodes images for real: garbage .jpg bytes fail the codec,
-    # and audio still hits the documented NotImplementedError stub
-    with pytest.raises(Exception, match="PNG|decode"):
+    # 'real' decodes images AND wav audio for real: garbage bytes in either
+    # fail their codec with a clean, informative error
+    with pytest.raises(Exception, match="PNG|decode|WAV"):
         multimodal.extract_features(df, decode_fn="real").collect()
     audio_only = df.filter(df.meta.modality == "audio")
-    with pytest.raises(Exception, match="real audio decode"):
+    with pytest.raises(Exception, match="not a decodable PCM WAV"):
         multimodal.extract_features(audio_only, decode_fn="real").collect()
 
 
@@ -829,3 +829,53 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
     )
     want = {(r.user_id, r.event_id, r.click_id) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_wav_decode_known_signal():
+    """Stdlib WAV decoder against a synthesized sine: duration, rate, RMS
+    (1/sqrt(2) for a sine), and zero-crossing rate (2 crossings per cycle)
+    must come out right."""
+    import math
+
+    from mortar_parquet_support_spark.operators.audio import make_wav, wav_features
+
+    rate, secs, freq = 8000, 2, 100.0
+    samples = [math.sin(2 * math.pi * freq * t / rate) for t in range(rate * secs)]
+    feats = wav_features(make_wav(samples, rate=rate), 16)
+    duration, srate, ch, width, rms, peak, zcr, mean = feats[:8]
+    assert duration == pytest.approx(2.0)
+    assert (srate, ch, width) == (8000.0, 1.0, 2.0)
+    assert rms == pytest.approx(1 / math.sqrt(2), rel=1e-3)
+    assert peak == pytest.approx(1.0, rel=1e-3)
+    assert zcr == pytest.approx(2 * freq / rate, rel=0.02)
+    assert abs(mean) < 1e-3
+    with pytest.raises(ValueError):
+        wav_features(b"RIFFgarbage")
+
+
+def test_multimodal_real_audio_decode(spark):
+    """extract_features(decode_fn='real') runs the WAV decoder through the
+    Arrow/mapInPandas plumbing end to end."""
+    import math
+
+    from mortar_parquet_support_spark.operators.audio import make_wav
+    from mortar_parquet_support_spark.operators import multimodal
+
+    rate = 4000
+    wav = make_wav(
+        [math.sin(2 * math.pi * 50 * t / rate) for t in range(rate)], rate=rate
+    )
+    df = spark.createDataFrame(
+        [("a1.wav", wav)], ["media_id", "content"]
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ),
+    )
+    out = multimodal.extract_features(df, n_features=8, decode_fn="real").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.modality == "audio" and row.features[0] == pytest.approx(1.0)
+    assert row.features[1] == float(rate)
