@@ -27,9 +27,9 @@ full SPARQL engine expects:
   paths, so modifiers/inverse/sequence/alternation over one still raise)
 - blank-node property lists ``[ brick:hasTimeseriesId ?id ]``
 - object lists ``?vav brick:hasPoint ?sen_point, ?sp_point``
-- ``FILTER`` (comparisons, ``&&``/``||``/``!``, ``regex``, ``strstarts``,
-  ``contains``, ``bound``, ``concat``, ``strlen``, ``replace``) — compiled
-  to Column predicates/expressions
+- ``FILTER`` (comparisons, ``&&``/``||``/``!``, ``IN``/``NOT IN``,
+  ``regex``, ``strstarts``, ``contains``, ``bound``, ``concat``,
+  ``strlen``, ``replace``) — compiled to Column predicates/expressions
 - ``OPTIONAL { ... }`` — left outer join on the shared variables
 - ``{ ... } UNION { ... }`` — aligned unionByName with null-fill
 - ``BIND(expr AS ?v)`` — ``withColumn`` over the compiled expression
@@ -282,6 +282,12 @@ class _SparqlParser:
         self._next()
         distinct = False
         if self._peek_word_lower() == "distinct":
+            distinct = True
+            self._next()
+        elif self._peek_word_lower() == "reduced":
+            # REDUCED permits (but does not require) dedup — emitting the
+            # deduplicated solution sequence is spec-conformant and gives
+            # deterministic results
             distinct = True
             self._next()
         select: list[str] = []
@@ -879,7 +885,28 @@ class _SparqlParser:
             self._next()
             right = self._parse_add()
             return ("cmp", tok, left, right)
+        if kind == "word" and tok.lower() == "in":
+            self._next()
+            return ("in", left, self._parse_in_list(), False)
+        if kind == "word" and tok.lower() == "not":
+            save = self.pos
+            self._next()
+            if self._peek_word_lower() == "in":
+                self._next()
+                return ("in", left, self._parse_in_list(), True)
+            self.pos = save
         return left
+
+    def _parse_in_list(self) -> list:
+        """``IN (e1, e2, …)`` — any filter expressions, usually constants."""
+        self._expect_punct("(")
+        elems = []
+        while self._peek() != ("punct", ")"):
+            elems.append(self._parse_filter_expr())
+            if self._peek() == ("punct", ","):
+                self._next()
+        self._expect_punct(")")
+        return elems
 
     # arithmetic: operators must be whitespace-separated (the tokenizer
     # folds a sign into an adjacent number, so ``?x+1`` won't parse — the
@@ -1381,6 +1408,15 @@ class SparqlEngine:
             return self._compile_filter(expr[1], bound) | self._compile_filter(expr[2], bound)
         if tag == "not":
             return ~self._compile_filter(expr[1], bound)
+        if tag == "in":
+            _, subject, elems, negated = expr
+            c = self._compile_filter(subject, bound)
+            if not elems:
+                return F.lit(bool(negated))  # IN () is false, NOT IN () true
+            cond = F.lit(False)
+            for e in elems:
+                cond = cond | (c == self._compile_filter(e, bound))
+            return ~cond if negated else cond
         if tag == "arith":
             op, a, b = expr[1], expr[2], expr[3]
             ac = self._compile_filter(a, bound).try_cast("double")

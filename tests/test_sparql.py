@@ -869,3 +869,29 @@ def test_describe_mixed_and_errors(engine):
     assert {r.subject.split("#")[-1] for r in rows} == {"vav1", "vav2", "weird"}
     with pytest.raises(ValueError):
         engine.sql(PREFIXES + "DESCRIBE ?v")
+
+
+def test_filter_in_and_not_in(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?p WHERE {
+             ?p a ?t .
+             FILTER (?t IN (b:ZTS, b:TSP))
+           }"""
+    ).collect()
+    assert {r.p.split("#")[-1] for r in rows} == {"p1", "p2"}
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?p ?id WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             FILTER (?id NOT IN ("11111111-1111-1111-1111-111111111111"))
+           }"""
+    ).collect()
+    assert {r.id[:8] for r in rows} == {"22222222", "33333333", "44444444"}
+
+
+def test_select_reduced(engine):
+    rows = engine.sql(
+        PREFIXES + "SELECT REDUCED ?v WHERE { ?v a brick:VAV ; brick:hasPoint ?p . }"
+    ).collect()
+    assert sorted(r.v.split("#")[-1] for r in rows) == ["vav1", "vav2"]
