@@ -191,6 +191,7 @@ _SPARQL_TOKEN_RE = re.compile(
     | (?P<iriref><[^<>"{}|^`\\\s]*>)
     | (?P<string>"(?:[^"\\\n]|\\.)*")
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<num>[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+)
     | (?P<op>&&|\|\||!=|<=|>=|[=<>!])
     | (?P<punct>[;,.{}\[\]()/|^])
     | (?P<mod>[*+?](?=[\s;,.}\])|/]|$))
@@ -207,6 +208,7 @@ _UNSUPPORTED_RE = re.compile(
 _FILTER_FUNCS = {
     "regex",
     "strstarts",
+    "strends",
     "contains",
     "bound",
     "str",
@@ -214,8 +216,21 @@ _FILTER_FUNCS = {
     "ucase",
     "concat",
     "strlen",
+    "substr",
+    "strbefore",
+    "strafter",
     "replace",
+    "abs",
+    "ceil",
+    "floor",
+    "round",
+    "coalesce",
+    "if",
 }
+
+#: calls whose value is numeric — BIND stringifies their integral results
+#: without a trailing '.0' (same normalization as arithmetic)
+_NUMERIC_FNS = {"abs", "ceil", "floor", "round"}
 
 # Well-known prefixes bound by default, mirroring the reference's rdflib
 # namespace monkey-patch (reference client.py:17-23) which makes store-bound
@@ -825,6 +840,8 @@ class _SparqlParser:
                 self._expect_punct("^")
                 self._next()
             return Term("literal", re.sub(r"\\(.)", r"\1", value))
+        if kind == "num":
+            return Term("literal", tok)
         if kind == "word":
             if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?|true|false", tok):
                 return Term("literal", tok)
@@ -944,6 +961,9 @@ class _SparqlParser:
         if kind == "var":
             self._next()
             return Term("var", tok[1:])
+        if kind == "num":
+            self._next()
+            return Term("literal", tok)
         if kind == "string":
             self._next()
             return Term("literal", re.sub(r"\\(.)", r"\1", tok[1:-1]))
@@ -1277,7 +1297,10 @@ class SparqlEngine:
             if shared:
                 acc = acc.join(F.broadcast(odf), on=shared, how="left")
             else:
-                acc = acc.crossJoin(F.broadcast(odf))
+                # no shared variables: still a LEFT join (on TRUE), so an
+                # empty optional group null-extends instead of wiping the
+                # outer rows like a crossJoin would
+                acc = acc.join(F.broadcast(odf), on=F.lit(True), how="left")
             bound |= ovars
         for m in group.minuses:
             mdf, mvars = self._compile_group(m, scope)
@@ -1301,7 +1324,10 @@ class SparqlEngine:
             if var in bound:
                 raise SparqlUnsupported(f"BIND to already-bound variable ?{var}")
             c = self._compile_filter(bexpr, bound)
-            if isinstance(bexpr, tuple) and not isinstance(bexpr, Term) and bexpr[0] == "arith":
+            if isinstance(bexpr, tuple) and not isinstance(bexpr, Term) and (
+                bexpr[0] == "arith"
+                or (bexpr[0] == "call" and bexpr[1] in _NUMERIC_FNS)
+            ):
                 # integral results stringify without the '.0' a double cast
                 # would add (parity with SPARQL's xsd:integer arithmetic)
                 c = F.when(c == F.floor(c), c.cast("long").cast("string")).otherwise(
@@ -1455,6 +1481,42 @@ class SparqlEngine:
                 return cargs[0].rlike(args[1].value)
             if name == "strstarts":
                 return cargs[0].startswith(cargs[1])
+            if name == "strends":
+                return cargs[0].endswith(cargs[1])
+            if name == "substr":
+                # SPARQL SUBSTR is 1-based; len optional (to end of string)
+                start = cargs[1].try_cast("int")
+                length = (
+                    cargs[2].try_cast("int")
+                    if len(cargs) > 2
+                    else F.length(cargs[0].cast("string"))
+                )
+                return cargs[0].cast("string").substr(start, length)
+            if name in ("strbefore", "strafter"):
+                if not (isinstance(args[1], Term) and args[1].kind == "literal"):
+                    raise SparqlUnsupported(f"{name}() separator must be a literal")
+                sep = args[1].value
+                s = cargs[0].cast("string")
+                pos = F.instr(s, sep)
+                if name == "strbefore":
+                    hit = s.substr(F.lit(1), pos - 1)
+                else:
+                    hit = s.substr(pos + len(sep), F.length(s))
+                return F.when(pos > 0, hit).otherwise(F.lit(""))
+            if name == "abs":
+                return F.abs(cargs[0].try_cast("double"))
+            if name == "ceil":
+                return F.ceil(cargs[0].try_cast("double")).cast("double")
+            if name == "floor":
+                return F.floor(cargs[0].try_cast("double")).cast("double")
+            if name == "round":
+                return F.round(cargs[0].try_cast("double"), 0)
+            if name == "coalesce":
+                return F.coalesce(*cargs)
+            if name == "if":
+                if len(cargs) != 3:
+                    raise ValueError("IF() needs exactly three arguments")
+                return F.when(cargs[0], cargs[1]).otherwise(cargs[2])
             if name == "contains":
                 return cargs[0].contains(cargs[1])
             if name == "bound":

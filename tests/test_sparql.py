@@ -895,3 +895,53 @@ def test_select_reduced(engine):
         PREFIXES + "SELECT REDUCED ?v WHERE { ?v a brick:VAV ; brick:hasPoint ?p . }"
     ).collect()
     assert sorted(r.v.split("#")[-1] for r in rows) == ["vav1", "vav2"]
+
+
+def test_string_builtins(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?pre ?post ?sub ?e WHERE {
+             b:p1 brick:timeseries [ brick:hasTimeseriesId ?id ] .
+             BIND(strbefore(?id, "-") AS ?pre)
+             BIND(strafter(?id, "-") AS ?post)
+             BIND(substr(?id, 1, 4) AS ?sub)
+             BIND(strends(?id, "1111") AS ?e)
+           }"""
+    ).collect()
+    r = rows[0]
+    assert r.pre == "11111111"
+    assert r.post == "1111-1111-1111-111111111111"
+    assert r.sub == "1111"
+    assert r.e == "true"
+
+
+def test_numeric_builtins_and_if(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?a ?c ?f ?r ?i ?co WHERE {
+             b:vav1 a brick:VAV .
+             BIND(abs(- 3.5) AS ?a)
+             BIND(ceil(2.1) AS ?c)
+             BIND(floor(2.9) AS ?f)
+             BIND(round(2.5) AS ?r)
+             BIND(IF(1 < 2, "yes", "no") AS ?i)
+             BIND(coalesce(?missing, "fallback") AS ?co)
+             OPTIONAL { b:vav1 brick:nonexistent ?missing }
+           }"""
+    ).collect()
+    r = rows[0]
+    assert (r.a, r.c, r.f, r.r) == ("3.5", "3", "2", "3")
+    assert r.i == "yes" and r.co == "fallback"
+
+
+def test_optional_empty_group_no_shared_vars_null_extends(engine):
+    # regression: an OPTIONAL whose inner pattern matches nothing and
+    # shares no variables must null-extend, not wipe the outer rows
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?v ?m WHERE {
+             ?v a brick:VAV .
+             OPTIONAL { b:weird brick:hasPoint ?m }
+           }"""
+    ).collect()
+    assert {(r.v.split("#")[-1], r.m) for r in rows} == {("vav1", None), ("vav2", None)}
