@@ -1843,6 +1843,33 @@ def _tpch_q16(spark, sf_dir):
     )
 
 
+@_register(
+    "pack_sequences",
+    """
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(FLOOR(
+             CAST(SUM(n_chars) OVER (
+                PARTITION BY doc_id % 8 ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING
+             ) - n_chars AS DOUBLE) / 2000
+           ) AS BIGINT) AS bin
+    FROM documents
+    """,
+)
+def _pack_sequences(spark, sf_dir):
+    """Sharded contiguous sequence packing (operators/curation.py): docs
+    laid out in id order per shard, each joining the 2000-char bin its
+    running start offset falls into — per-shard window, never a global
+    single-partition cumsum."""
+    from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, id_col="doc_id", cost_col="n_chars", budget=2000, shards=8
+    )
+
+
 @_register("hll_rollup")
 def _hll_rollup(spark, sf_dir):
     """Mergeable HLL sketch rollup (operators/sketches.py): hourly

@@ -174,3 +174,45 @@ def domain_cap(
         .filter(F.col("__rn") <= max_per_domain)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    shards: int = 64,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign rows to fixed-budget packing bins: within each shard, rows
+    are laid out in ``id_col`` order and a row joins the bin its running
+    start offset falls into — the deterministic contiguous-packing scheme
+    used to fill fixed-size training batches/context windows. Output adds
+    ``shard`` and ``bin`` (0-based per shard; (shard, bin) is the global
+    bin key).
+
+    Scale shape: a GLOBAL running sum would force one partition — instead
+    rows shard by ``pmod(id, shards)`` (or a caller column: date, source),
+    and the cumulative window runs per shard. Bins are equally full in
+    expectation; cross-shard bin ids never collide because the shard is
+    part of the key.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = (
+        F.col(shard_col)
+        if shard_col
+        else F.pmod(F.col(id_col).cast("long"), F.lit(shards))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_shard = df.withColumn("shard", shard)
+    running = F.sum(F.col(cost_col)).over(w)
+    start = running - F.col(cost_col)
+    return with_shard.withColumn(
+        "bin", F.floor(start / F.lit(budget)).cast("long")
+    )

@@ -879,3 +879,29 @@ def test_multimodal_real_audio_decode(spark):
     row = out[0]
     assert row.modality == "audio" and row.features[0] == pytest.approx(1.0)
     assert row.features[1] == float(rate)
+
+
+def test_pack_sequences_contiguous_budget_bins(spark):
+    from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+    rows = [(i, 30) for i in range(20)]  # uniform cost 30, budget 100
+    df = spark.createDataFrame(rows, ["doc_id", "cost"])
+    out = pack_sequences(
+        df, id_col="doc_id", cost_col="cost", budget=100, shards=2
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.bin))
+    for shard, lst in by_shard.items():
+        lst.sort()
+        # 10 docs/shard x 30 cost: start offsets 0,30,...,270 ->
+        # bins 0,0,0,0(90<100? start 90 -> bin 0),1,1,1,2,2,2
+        bins = [b for _, b in lst]
+        assert bins == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # deterministic across runs
+    again = pack_sequences(
+        df, id_col="doc_id", cost_col="cost", budget=100, shards=2
+    ).collect()
+    assert {(r.doc_id, r.shard, r.bin) for r in out} == {
+        (r.doc_id, r.shard, r.bin) for r in again
+    }
