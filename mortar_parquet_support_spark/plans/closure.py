@@ -56,6 +56,26 @@ def transitive_closure(
         .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
         .distinct()
     )
+    return closure_of_edges(
+        edges,
+        strategy=strategy,
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def closure_of_edges(
+    edges: DataFrame,
+    *,
+    strategy: str = "auto",
+    max_iterations: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Strict transitive closure of an arbitrary ``(src, dst)`` edge frame —
+    the generalization behind closures of path ALTERNATIONS ``(a|b)*``,
+    whose edge set is the union of several (possibly inverted) predicates'
+    edges."""
+    edges = edges.distinct()
     if strategy == "auto":
         strategy = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "spark"
     if strategy == "driver":

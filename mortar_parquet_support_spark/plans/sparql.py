@@ -12,7 +12,9 @@ full SPARQL engine expects:
 - property paths: sequences ``p1/p2``, closures ``p*``/``p+``/``p?``
   (``rdf:type/rdfs:subClassOf*``) compiled against a precomputed
   transitive-closure table (plans/closure.py), inverses ``^p`` (also of
-  closures: ``^p*``), and alternation ``p1|p2`` of simple steps
+  closures: ``^p*``), alternation ``p1|p2`` of simple steps, and closure
+  over an alternation ``(a|b)*`` (transitive closure of the union edge
+  set; a modifier on a leg INSIDE an alternation still raises)
 - ``MINUS { ... }`` — left anti join on the shared variables
 - ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` — correlated
   existence test compiled to a broadcast left semi / left anti join on the
@@ -72,8 +74,8 @@ solution (OPTIONAL) skip that triple per spec. ``DESCRIBE <iri>`` /
 ``DESCRIBE ?x WHERE { … }`` emits the outgoing triples of each described
 resource (description semantics are implementation-defined by the spec;
 skolemized bnodes need no closure). Still unsupported (raise
-``SparqlUnsupported``): SERVICE, closure over an alternation ``(a|b)*``,
-blank nodes/paths in CONSTRUCT templates.
+``SparqlUnsupported``): SERVICE, modifiers on individual alternation
+legs ``(a*|b)``, blank nodes/paths in CONSTRUCT templates.
 """
 
 from __future__ import annotations
@@ -84,7 +86,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mortar_parquet_support_spark.plans.closure import transitive_closure
+from mortar_parquet_support_spark.plans.closure import (
+    closure_of_edges,
+    transitive_closure,
+)
 from mortar_parquet_support_spark.sources.ttl import RDF_TYPE
 
 
@@ -112,14 +117,12 @@ class PathStep:
 
 @dataclass(frozen=True)
 class AltStep:
-    """Path alternation ``p1|p2|...`` of modifier-free (possibly inverse)
-    simple steps; matches if ANY alternative matches."""
+    """Path alternation ``p1|p2|...`` of simple (possibly inverse) steps;
+    matches if ANY alternative matches. A modifier (``(a|b)*``) closes over
+    the UNION of the alternatives' edge sets."""
 
     steps: tuple  # tuple[PathStep, ...]
-
-    @property
-    def modifier(self) -> str:  # selectivity ordering treats alts as simple
-        return ""
+    modifier: str = ""  # '' | '*' | '+' | '?'
 
 
 @dataclass(frozen=True)
@@ -780,13 +783,15 @@ class _SparqlParser:
             self._expect_punct(")")
             if isinstance(inner, AltStep):
                 if self._peek()[0] == "mod":
-                    raise SparqlUnsupported("closure over a path alternation")
-                if inverse:  # ^(a|b) == (^a|^b)
+                    # (a|b)* — closure over the union of the legs' edges
+                    inner = AltStep(inner.steps, self._next()[1])
+                if inverse:  # ^(a|b) == (^a|^b); ^((a|b)*) == ((^a|^b))*
                     inner = AltStep(
                         tuple(
                             PathStep(s.predicate, s.modifier, not s.inverse)
                             for s in inner.steps
-                        )
+                        ),
+                        inner.modifier,
                     )
                 # a parenthesized alternation parses as a step; re-wrap and
                 # treat as the atom (caller may extend with more |)
@@ -1083,6 +1088,33 @@ class SparqlEngine:
         if predicate not in self._closures:
             self._closures[predicate] = transitive_closure(self.triples, predicate).cache()
         return self._closures[predicate]
+
+    @staticmethod
+    def _leg_edges_union(steps: tuple, df: DataFrame) -> DataFrame:
+        """Union of the (possibly inverted) single-hop edge sets of an
+        alternation's legs, as (src, dst)."""
+        frames = []
+        for s in steps:
+            s_col, o_col = ("object", "subject") if s.inverse else ("subject", "object")
+            frames.append(
+                df.filter(F.col("predicate") == s.predicate).select(
+                    F.col(s_col).alias("src"), F.col(o_col).alias("dst")
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.distinct()
+
+    def closure_alt(self, steps: tuple) -> DataFrame:
+        """Cached transitive closure of an alternation's combined edge set
+        — the engine behind ``(a|b)*`` / ``(a|b)+`` paths."""
+        key = "|".join(("^" if s.inverse else "") + s.predicate for s in steps)
+        if key not in self._closures:
+            self._closures[key] = closure_of_edges(
+                self._leg_edges_union(steps, self._union)
+            ).cache()
+        return self._closures[key]
 
     # -- compilation --
     def _compile_query(self, q: Query, scope: _Scope) -> DataFrame:
@@ -1580,7 +1612,7 @@ class SparqlEngine:
         pat: Pattern,
         scope: _Scope,
     ) -> tuple[DataFrame, set[str]]:
-        if isinstance(pat.step, AltStep):
+        if isinstance(pat.step, AltStep) and not pat.step.modifier:
             return self._apply_alt_pattern(acc, bound, pat, scope)
         if pat.step.modifier:
             return self._apply_closure_pattern(acc, bound, pat, scope)
@@ -1719,15 +1751,26 @@ class SparqlEngine:
           both sides are unbound variables.
         """
         mod = pat.step.modifier
-        pairs = (
-            self.closure(pat.step.predicate)
-            if mod in ("*", "+")
-            else scope.df.filter(F.col("predicate") == pat.step.predicate)
-            .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
-            .distinct()
-        )
-        if pat.step.inverse:  # ^p* == (^p)* — the closure of reversed edges
-            pairs = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if isinstance(pat.step, AltStep):
+            # (a|b)* — closure of the UNION of the legs' edge sets; legs
+            # already carry their own inverse flags
+            pairs = (
+                self.closure_alt(pat.step.steps)
+                if mod in ("*", "+")
+                else self._leg_edges_union(pat.step.steps, scope.df)
+            )
+        else:
+            pairs = (
+                self.closure(pat.step.predicate)
+                if mod in ("*", "+")
+                else scope.df.filter(F.col("predicate") == pat.step.predicate)
+                .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+                .distinct()
+            )
+            if pat.step.inverse:  # ^p* == (^p)* — closure of reversed edges
+                pairs = pairs.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
         s, o = pat.subject, pat.obj
         zero = mod in ("*", "?")
 

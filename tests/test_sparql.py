@@ -443,11 +443,31 @@ def test_alternation_with_inverse_leg(engine):
     assert {r.x.split("#")[-1] for r in rows} == {"p1", "p2"}
 
 
-def test_closure_over_alternation_unsupported(engine):
+def test_closure_over_alternation(engine):
+    # (hasPoint|timeseries)* from vav1: zero-length (vav1), its points,
+    # and the points' timeseries bnodes — closure over the UNION edge set
+    rows = engine.sql(
+        PREFIXES
+        + "SELECT ?x WHERE { b:vav1 (brick:hasPoint|brick:timeseries)* ?x . }"
+    ).collect()
+    got = {r.x for r in rows}
+    assert {"urn:b#vav1", "urn:b#p1", "urn:b#p2"} <= got
+    assert len(got) == 5  # + p1's and p2's skolemized timeseries bnodes
+    # strict + excludes the zero-length binding
+    plus = engine.sql(
+        PREFIXES
+        + "SELECT ?x WHERE { b:vav1 (brick:hasPoint|brick:timeseries)+ ?x . }"
+    ).collect()
+    assert {r.x for r in plus} == got - {"urn:b#vav1"}
+    # inverse legs: who reaches p1's bnode chain backwards to the VAV
+    back = engine.sql(
+        PREFIXES
+        + "SELECT ?x WHERE { b:p1 (^brick:hasPoint)+ ?x . }"
+    ).collect()
+    assert {r.x for r in back} == {"urn:b#vav1"}
+    # a modifier on a LEG inside an alternation stays unsupported
     with pytest.raises(SparqlUnsupported):
-        engine.sql(
-            PREFIXES + "SELECT ?x WHERE { b:p1 (brick:a|brick:b)* ?x . }"
-        )
+        engine.sql(PREFIXES + "SELECT ?x WHERE { b:p1 (brick:a*|brick:b) ?x . }")
 
 
 def test_aggregate_count_group_by(engine):
