@@ -14,7 +14,8 @@ full SPARQL engine expects:
   transitive-closure table (plans/closure.py), inverses ``^p`` (also of
   closures: ``^p*``), alternation ``p1|p2`` of simple steps, and closure
   over an alternation ``(a|b)*`` (transitive closure of the union edge
-  set; a modifier on a leg INSIDE an alternation still raises)
+  set; a modifier on a leg INSIDE an alternation still raises), and
+  negated property sets ``!p`` / ``!(p1|p2)`` (forward members only)
 - ``MINUS { ... }`` — left anti join on the shared variables
 - ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` — correlated
   existence test compiled to a broadcast left semi / left anti join on the
@@ -113,6 +114,17 @@ class PathStep:
     modifier: str = ""  # '' | '*' | '+' | '?'
     inverse: bool = False  # ^p — subject/object roles swapped
     is_var: bool = False  # ?p — predicate position binds a variable
+
+
+@dataclass(frozen=True)
+class NegatedStep:
+    """Negated property set ``!p`` / ``!(p1|p2)`` — matches any predicate
+    NOT in the set (forward direction only; inverse members raise)."""
+
+    predicates: tuple  # tuple[str, ...]
+    modifier: str = ""  # always '' (modifiers on NPS unsupported)
+    inverse: bool = False
+    is_var: bool = False
 
 
 @dataclass(frozen=True)
@@ -772,6 +784,8 @@ class _SparqlParser:
         return AltStep(tuple(alts))
 
     def _parse_path_atom(self) -> PathStep:
+        if self._peek() == ("op", "!"):
+            return self._parse_negated_set()
         inverse = False
         if self._peek() == ("punct", "^"):
             self._next()
@@ -829,6 +843,36 @@ class _SparqlParser:
         if self._peek()[0] == "mod":
             modifier = self._next()[1]
         return PathStep(iri, modifier, inverse)
+
+    def _parse_negated_set(self) -> "NegatedStep":
+        """``!p`` or ``!(p1|p2|…)`` — predicate IRIs only, no inverse."""
+        self._next()  # '!'
+        preds: list[str] = []
+
+        def one() -> str:
+            kind, tok = self._next()
+            if kind == "punct" and tok == "^":
+                raise SparqlUnsupported("inverse member in a negated property set")
+            if kind == "word" and tok == "a":
+                return RDF_TYPE
+            if kind == "iriref":
+                return tok[1:-1]
+            if kind == "word":
+                return self._expand(tok)
+            raise ValueError(f"SPARQL parse: bad negated-set member {tok!r}")
+
+        if self._peek() == ("punct", "("):
+            self._next()
+            preds.append(one())
+            while self._peek() == ("punct", "|"):
+                self._next()
+                preds.append(one())
+            self._expect_punct(")")
+        else:
+            preds.append(one())
+        if self._peek()[0] == "mod":
+            raise SparqlUnsupported("path modifier on a negated property set")
+        return NegatedStep(tuple(preds))
 
     def _parse_term(self, position: str, group: Group) -> Term:
         kind, tok = self._next()
@@ -1576,7 +1620,12 @@ class SparqlEngine:
         const = sum(1 for t in (pat.subject, pat.obj) if t.kind != "var")
         literal_obj = 1 if pat.obj.kind == "literal" else 0
         closure_pat = 1 if pat.step.modifier else 0
-        var_pred = 1 if isinstance(pat.step, PathStep) and pat.step.is_var else 0
+        var_pred = (
+            1
+            if (isinstance(pat.step, PathStep) and pat.step.is_var)
+            or isinstance(pat.step, NegatedStep)
+            else 0
+        )
         # more constants first; literal objects first among equals; closure
         # steps and unfiltered variable-predicate scans last among equals
         return (-const, -literal_obj, closure_pat + var_pred)
@@ -1631,10 +1680,18 @@ class SparqlEngine:
         return self._join(acc, bound, pdf)
 
     @staticmethod
+    def _pred_cond(step) -> "F.Column":
+        """Predicate condition for a scan: equality for a simple step,
+        set-exclusion for a negated property set."""
+        if isinstance(step, NegatedStep):
+            return ~F.col("predicate").isin(list(step.predicates))
+        return F.col("predicate") == step.predicate
+
+    @staticmethod
     def _ground_filter(pat: Pattern, step: PathStep, scope: _Scope) -> DataFrame:
         s_col, o_col = ("object", "subject") if step.inverse else ("subject", "object")
         return scope.df.filter(
-            (F.col("predicate") == step.predicate)
+            SparqlEngine._pred_cond(step)
             & (F.col(s_col) == pat.subject.value)
             & (F.col(o_col) == pat.obj.value)
         )
@@ -1702,7 +1759,7 @@ class SparqlEngine:
             else:
                 cols.append(F.col("predicate").alias(pvar))
         else:
-            df = scope.df.filter(F.col("predicate") == pat.step.predicate)
+            df = scope.df.filter(self._pred_cond(pat.step))
         if pat.subject.kind == "var":
             cols.append(F.col(s_col).alias(pat.subject.value))
         else:

@@ -965,3 +965,25 @@ def test_optional_empty_group_no_shared_vars_null_extends(engine):
            }"""
     ).collect()
     assert {(r.v.split("#")[-1], r.m) for r in rows} == {("vav1", None), ("vav2", None)}
+
+
+def test_negated_property_set(engine):
+    # every edge out of p1 that is NOT rdf:type: just the timeseries bnode
+    rows = engine.sql(PREFIXES + "SELECT ?o WHERE { b:p1 !rdf:type ?o . }").collect()
+    assert len(rows) == 1 and rows[0].o.startswith("_:")  # the skolemized bnode
+    # multi-member set: neither type nor timeseries leaves nothing for p1
+    none = engine.sql(
+        PREFIXES + "SELECT ?o WHERE { b:p1 !(rdf:type|brick:timeseries) ?o . }"
+    ).collect()
+    assert none == []
+    # vav1: hasPoint edges survive a !(rdf:type) set
+    pts = engine.sql(
+        PREFIXES + "SELECT ?o WHERE { b:vav1 !a ?o . }"
+    ).collect()
+    assert {r.o.split("#")[-1] for r in pts} == {"p1", "p2"}
+    for q in (
+        "SELECT ?o WHERE { b:p1 !(^rdf:type) ?o . }",
+        "SELECT ?o WHERE { b:p1 !rdf:type* ?o . }",
+    ):
+        with pytest.raises(SparqlUnsupported):
+            engine.sql(PREFIXES + q)
