@@ -1,0 +1,119 @@
+"""Lake maintenance: small-file compaction and keyed upsert.
+
+The reference's lake is write-once (transform.py appends; nothing ever
+rewrites). At 100 TB these two lifecycle operations become mandatory:
+
+- **compaction**: streaming/incremental ingest accumulates many small
+  files per partition; parquet scan cost is dominated by file count, not
+  bytes, once files are small. ``compact_collections`` rewrites chosen
+  collections back to the lake's range-clustered, time-sorted layout with
+  ~target-sized files.
+- **upsert**: late or corrected readings must replace earlier rows for
+  the same (uuid, time). ``upsert_lake`` merges updates into ONLY the
+  collections they touch, keeping the newest version per key.
+
+Both use DYNAMIC partition overwrite — only the partitions present in the
+rewritten frame are replaced, the rest of the lake is untouched — so the
+blast radius is the touched collections, never the whole table. The
+rewrite itself reuses ``write_lake``'s range-repartition + in-file sort,
+so row-group stats stay prune-tight after maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.sources.ingest import LAKE_COLUMNS
+
+
+def _dynamic_overwrite_lake(
+    df: DataFrame, destination: str, *, checkpoint_dir: str | None = None
+) -> None:
+    """Rewrite only the collections present in ``df`` (dynamic partition
+    overwrite), with the lake's clustering/sort discipline.
+
+    ``df`` is MATERIALIZED first: both maintenance ops read the very
+    partitions they are about to replace, and a lazy self-referential
+    overwrite's correctness would hinge on the commit protocol's
+    stage-then-swap ordering — behavior Spark only guarantees for catalog
+    tables (elsewhere it REFUSES with "Cannot overwrite a path that is
+    also being read from"). The barrier (localCheckpoint, or a reliable
+    checkpoint via ``checkpoint_dir`` on real clusters) severs the
+    read-path dependency before any file is touched, making the rewrite
+    well-defined everywhere."""
+    from mortar_parquet_support_spark.functions import materialize
+
+    df = materialize(df, checkpoint_dir=checkpoint_dir)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = df.repartitionByRange("collection", "uuid").sortWithinPartitions(
+            "uuid", "time"
+        )
+        out.write.mode("overwrite").partitionBy("collection").parquet(destination)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_collections(
+    spark: SparkSession,
+    lake_root: str,
+    *,
+    collections: list[str] | None = None,
+    target_rows_per_file: int | None = None,
+) -> None:
+    """Rewrite ``collections`` (default: all) into few well-sorted files.
+
+    ``target_rows_per_file`` caps file size via ``maxRecordsPerFile`` for
+    the rewrite; by default the range repartition alone decides (one file
+    per shuffle partition per collection).
+    """
+    df = spark.read.parquet(lake_root).select(*LAKE_COLUMNS)
+    if collections:
+        df = df.filter(F.col("collection").isin(collections))
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    if target_rows_per_file:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(target_rows_per_file))
+    try:
+        _dynamic_overwrite_lake(df, lake_root)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+
+
+def upsert_lake(
+    spark: SparkSession,
+    lake_root: str,
+    updates: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("collection", "uuid", "time"),
+) -> None:
+    """Merge ``updates`` (lake schema) into the lake: for each key, the
+    update wins over the existing row; unmatched updates insert. Only the
+    collections present in ``updates`` are rewritten.
+
+    Implementation: read ONLY the touched collections (partition-pruned
+    scan), union with updates tagged by recency, keep the newest row per
+    key with one window, dynamic-overwrite those collections. The shuffle
+    is bounded by the touched partitions' size, not the lake's.
+    """
+    updates = updates.select(*LAKE_COLUMNS)
+    touched = [r.collection for r in updates.select("collection").distinct().collect()]
+    if not touched:
+        return
+    existing = (
+        spark.read.parquet(lake_root)
+        .select(*LAKE_COLUMNS)
+        .filter(F.col("collection").isin(touched))
+    )
+    merged = existing.withColumn("__v", F.lit(0)).unionByName(
+        updates.withColumn("__v", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__v")
+    )
+    _dynamic_overwrite_lake(latest, lake_root)

@@ -255,3 +255,58 @@ def test_stream_ingest_exactly_once_and_batch_parity(spark, tmp_path):
         for r in lake2.df.collect()
     }
     assert streamed == batch and first < streamed
+
+
+def test_compact_and_upsert(spark, tmp_path):
+    """Compaction shrinks file count without changing rows; upsert replaces
+    matching (collection, uuid, time) keys, inserts new ones, and leaves
+    untouched collections' files alone (dynamic partition overwrite)."""
+    import glob
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.maintenance import (
+        compact_collections,
+        upsert_lake,
+    )
+
+    src = tmp_path / "csvs"
+    src.mkdir()
+    make_stream_csv(src, U1, "/delta/m5/c12", ROWS_1)
+    make_stream_csv(src, U2, "/delta/m9/c10", ROWS_2)
+    dest = str(tmp_path / "lake")
+    # many tiny appends -> many files
+    for _ in range(4):
+        ingest_directory(spark, "bldg1", str(src), dest)
+    ingest_directory(spark, "bldg2", str(src), dest)
+    before = len(glob.glob(f"{dest}/collection=bldg1/*.parquet"))
+    total_before = spark.read.parquet(dest).count()  # 4*5 + 5
+
+    compact_collections(spark, dest, collections=["bldg1"])
+    after = len(glob.glob(f"{dest}/collection=bldg1/*.parquet"))
+    assert after < before
+    assert spark.read.parquet(dest).count() == total_before
+
+    # upsert: replace U1's first reading, insert one new reading
+    bldg2_files = sorted(glob.glob(f"{dest}/collection=bldg2/*.parquet"))
+    updates = spark.createDataFrame(
+        [
+            ("bldg1", U1, "2016-11-30 19:31:37", 99.9, "/delta/m5/c12", "urn:bldg1//delta/m5/c12"),
+            ("bldg1", U1, "2020-01-01 00:00:00", 1.0, "/delta/m5/c12", "urn:bldg1//delta/m5/c12"),
+        ],
+        ["collection", "uuid", "time", "value", "label", "uri"],
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    upsert_lake(spark, dest, updates)
+
+    lake = spark.read.parquet(dest)
+    u1 = {
+        (str(r.time), r.value)
+        for r in lake.filter(
+            (F.col("uuid") == U1) & (F.col("collection") == "bldg1")
+        ).collect()
+    }
+    assert ("2016-11-30 19:31:37", 99.9) in u1  # replaced
+    assert ("2020-01-01 00:00:00", 1.0) in u1  # inserted
+    assert not any(v == 0.1 for _, v in u1)  # old version gone
+    # dedup within collection preserved; untouched collection intact
+    assert lake.filter(F.col("collection") == "bldg2").count() == 5
+    assert sorted(glob.glob(f"{dest}/collection=bldg2/*.parquet")) == bldg2_files
