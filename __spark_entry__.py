@@ -1751,6 +1751,56 @@ def _text_repetition(spark, sf_dir):
 
 
 @_register(
+    "resolve_duplicates",
+    """
+    WITH RECURSIVE sample AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id % 10 = 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT DISTINCT u, u AS label FROM edges
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u
+    ), drop_ids AS (
+      SELECT u AS doc_id FROM walk GROUP BY u HAVING u <> min(label)
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    """,
+)
+def _resolve_duplicates(spark, sf_dir):
+    """End-to-end dedup resolution (operators/dedup.py resolve_duplicates):
+    exact-Jaccard pairs -> connected components -> keep each cluster's
+    min-id doc, one broadcast anti join against the corpus."""
+    from mortar_parquet_support_spark.functions import char_ngrams
+    from mortar_parquet_support_spark.operators.dedup import resolve_duplicates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast(
+        "double"
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return resolve_duplicates(docs, pairs, id_col="doc_id")
+
+
+@_register(
     "tpch_q4",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

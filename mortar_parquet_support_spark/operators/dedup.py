@@ -449,3 +449,31 @@ def connected_components(
         if changed:
             break
     return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end dedup resolution: cluster the duplicate ``pairs``
+    (connected components), keep each cluster's min-id member, and return
+    the corpus WITHOUT the other cluster members — the final step after
+    any candidate generator (minhash/simhash/embedding) + verify.
+
+    Scale shape: components run on the pairs graph only (orders of
+    magnitude smaller than the corpus); the drop set (cluster members
+    minus representatives) broadcasts into one LEFT ANTI join against the
+    corpus — the corpus itself is scanned once and never shuffled.
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    )
+    drop = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -905,3 +905,18 @@ def test_pack_sequences_contiguous_budget_bins(spark):
     assert {(r.doc_id, r.shard, r.bin) for r in out} == {
         (r.doc_id, r.shard, r.bin) for r in again
     }
+
+
+def test_resolve_duplicates_keeps_one_per_cluster(spark):
+    from mortar_parquet_support_spark.operators.dedup import resolve_duplicates
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(7)], ["doc_id", "text"]
+    )
+    # clusters: {0,1,2} (chained), {4,5}; 3 and 6 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"]
+    )
+    kept = resolve_duplicates(df, pairs, id_col="doc_id")
+    assert {r.doc_id for r in kept.collect()} == {0, 3, 4, 6}
+    assert kept.columns == df.columns
