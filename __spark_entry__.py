@@ -1639,6 +1639,19 @@ def _streaming_interval_join(spark, sf_dir):
     return stream_interval_join_once(spark, sf_dir)
 
 
+@_register("streaming_distinct_rollup")
+def _streaming_distinct_rollup(spark, sf_dir):
+    """Windowed HLL++ approx-distinct rollup on the events stream
+    (streaming/rollup.py): fixed few-KB state per group vs unbounded
+    exact-distinct state. Streaming emission -> rows-only; equality with
+    the identical batch aggregation is pytest-verified."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_distinct_rollup_once,
+    )
+
+    return stream_distinct_rollup_once(spark, sf_dir)
+
+
 @_register("streaming_rollup")
 def _streaming_rollup(spark, sf_dir):
     """Structured Streaming windowed rollup (streaming/rollup.py) driven to
@@ -2124,7 +2137,7 @@ def oracle_sql() -> dict[str, str]:
     mapInPandas — the one intentionally-Python op), sparql_bridges (SPARQL
     engine, no SQL equivalent without the triples loaded), ingest_roundtrip
     (filesystem side effects), streaming_enrich / streaming_rollup /
-    streaming_sessionize / streaming_interval_join (Structured Streaming;
-    emission depends on
+    streaming_sessionize / streaming_interval_join /
+    streaming_distinct_rollup (Structured Streaming; emission depends on
     watermark progression — but note streaming_dedup IS oracle-checked)."""
     return dict(_ORACLES)

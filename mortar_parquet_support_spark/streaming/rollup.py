@@ -337,3 +337,59 @@ def stream_interval_join_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="user_id", ts="ts", watermark="10 days", band="5 minutes"
     )
     return _run_to_memory(joined, output_mode="append")
+
+
+def stream_distinct_rollup(
+    events,
+    *,
+    ts: str = "ts",
+    keys: list[str] | None = None,
+    bucket: str = "1 hour",
+    distinct_col: str = "user_id",
+    watermark: str = "1 day",
+    rsd: float = 0.02,
+):
+    """Windowed approximate-distinct rollup on a stream: per (bucket, keys),
+    an HLL++ approx_count_distinct of ``distinct_col``.
+
+    EXACT streaming distinct counting needs per-key distinct state (all
+    ids seen per open window); the sketch keeps state at a fixed few KB per
+    group regardless of cardinality — the only viable shape for
+    billion-user streams. HLL merges are commutative and deterministic, so
+    the availableNow result equals the same aggregation run as a batch
+    (tested), and the watermark bounds which windows stay open.
+    """
+    keys = keys or ["event_type"]
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), bucket).alias("w"), *keys)
+        .agg(F.approx_count_distinct(distinct_col, rsd).alias("nd"))
+        .select(F.col("w.start").alias("bucket"), *keys, "nd")
+    )
+
+
+def stream_distinct_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the approx-distinct rollup over the events stream to
+    completion; equals the batch formulation (pytest)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = stream_distinct_rollup(ev)
+    name = "mortar_stream_nd_" + next(tempfile._get_candidate_names())
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "bucket", "event_type", F.col("nd").cast("long").alias("nd")
+    )

@@ -920,3 +920,34 @@ def test_resolve_duplicates_keeps_one_per_cluster(spark):
     kept = resolve_duplicates(df, pairs, id_col="doc_id")
     assert {r.doc_id for r in kept.collect()} == {0, 3, 4, 6}
     assert kept.columns == df.columns
+
+
+def test_stream_distinct_rollup_equals_batch(spark, sf_dir):
+    """Streaming HLL++ distinct rollup == identical batch aggregation
+    (HLL merges are deterministic and order-independent)."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_distinct_rollup_once,
+    )
+
+    got = {
+        (str(r.bucket), r.event_type): r.nd
+        for r in stream_distinct_rollup_once(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("nd"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "nd")
+    )
+    want = {(str(r.bucket), r.event_type): r.nd for r in batch.collect()}
+    assert got == want and len(got) > 10
+    # sanity: estimates within rsd-ish of exact
+    exact = {
+        (str(r.bucket), r.event_type): r.nd
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "nd")
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / max(exact[k], 1) < 0.1, (k, est, exact[k])
