@@ -1764,6 +1764,47 @@ def _text_repetition(spark, sf_dir):
 
 
 @_register(
+    "strip_boilerplate",
+    """
+    WITH base AS (
+      SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents
+    ), exploded AS (
+      SELECT doc_id, string_split(t, chr(10)) AS ls FROM base
+    ), lines AS (
+      SELECT doc_id, CAST(g.i AS INT) AS pos, ls[g.i] AS line
+      FROM exploded, UNNEST(generate_series(1, len(ls))) AS g(i)
+    ), boiler AS (
+      SELECT lower(trim(line)) AS key FROM lines
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 25
+    ), kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE lower(trim(line)) NOT IN (SELECT key FROM boiler)
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def _strip_boilerplate(spark, sf_dir):
+    """Cross-corpus boilerplate line removal (operators/curation.py):
+    the synthetic corpus is single-line, so ' the ' deterministically
+    becomes a line break first (same rewrite in the oracle); chunks
+    repeating in >= 25 docs are stripped everywhere, order preserved."""
+    from mortar_parquet_support_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+    )
+    return strip_boilerplate_lines(
+        docs, id_col="doc_id", text_col="text", min_docs=25
+    )
+
+
+@_register(
     "resolve_duplicates",
     """
     WITH RECURSIVE sample AS (

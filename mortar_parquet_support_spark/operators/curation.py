@@ -216,3 +216,56 @@ def pack_sequences(
     return with_shard.withColumn(
         "bin", F.floor(start / F.lit(budget)).cast("long")
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove lines that occur in at least ``min_docs`` distinct documents
+    (case/whitespace-normalized match) from every document — the classic
+    crawl-cleaning step for navigation bars, cookie banners, and license
+    footers that repeat across a site. Returns (id_col, text_col) with
+    lines rejoined in their original order; fully-boilerplate documents
+    come back as empty strings rather than vanishing.
+
+    Scale shape: one posexplode scan -> line-frequency aggregate (one
+    shuffle on the normalized line; skewed hot lines are exactly what AQE
+    splits) -> the boilerplate set is small by construction (only lines
+    crossing the threshold) and broadcasts into a LEFT ANTI -> one
+    groupBy(id) to reassemble. Two shuffles total, both on bounded keys.
+    """
+    key = lambda c: F.lower(F.trim(c))  # noqa: E731
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    boiler = (
+        lines.groupBy(key(F.col("__line")).alias("__key"))
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__key")
+    )
+    kept = lines.join(
+        F.broadcast(boiler),
+        key(F.col("__line")) == F.col("__key"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

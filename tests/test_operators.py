@@ -951,3 +951,31 @@ def test_stream_distinct_rollup_equals_batch(spark, sf_dir):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) / max(exact[k], 1) < 0.1, (k, est, exact[k])
+
+
+def test_strip_boilerplate_lines(spark):
+    from mortar_parquet_support_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    banner = "Accept cookies"
+    docs = [
+        (1, f"{banner}\nreal content one\nmore text"),
+        (2, f"real content two\n{banner}\ntail"),
+        (3, f"  accept COOKIES  \nunique three"),   # normalized match
+        (4, banner),                                 # fully boilerplate
+        (5, "no banner here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, id_col="doc_id", text_col="text", min_docs=3
+        ).collect()
+    }
+    assert out[1] == "real content one\nmore text"
+    assert out[2] == "real content two\ntail"       # order preserved
+    assert out[3] == "unique three"
+    assert out[4] == ""                             # empty, not missing
+    assert out[5] == "no banner here"
+    assert len(out) == 5
