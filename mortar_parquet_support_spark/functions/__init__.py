@@ -84,8 +84,17 @@ def word_shingles(col, k: int = 3) -> Column:
 def interleave_bits(cols: list[Column], *, bits: int = 16) -> Column:
     """Bit-interleave non-negative integer columns into one Z-order
     (Morton) key: bit j of column i lands at position ``j*len(cols)+i``.
-    Pure bitwise JVM expressions — shift/mask/or, no UDF."""
+    Pure bitwise JVM expressions — shift/mask/or, no UDF.
+
+    ``bits * len(cols)`` must stay <= 63: position 63 is the long's sign
+    bit (keys would sort negative) and the JVM wraps shift counts mod 64
+    (high bits would alias low bits)."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds 63; "
+            f"use bits <= {63 // n} for {n} columns"
+        )
     key = F.lit(0).cast("long")
     for j in range(bits):
         for i, c in enumerate(cols):
@@ -114,8 +123,11 @@ def zorder_key(
     columns cluster less evenly (quantile grids would need per-row
     boundary search) — normalize skewed columns first if it matters.
     Numeric and timestamp columns supported; ``relative_error`` is unused
-    (kept for a future quantile grid) .
+    (kept for a future quantile grid). ``bits`` is clamped so the
+    interleaved key fits 63 bits regardless of column count; empty or
+    all-null columns contribute a constant 0 bucket.
     """
+    bits = min(bits, 63 // max(len(cols), 1))
     n_buckets = 1 << bits
 
     def _numeric(c: str) -> Column:
@@ -130,6 +142,9 @@ def zorder_key(
     ).first()
     bucketed = []
     for i, c in enumerate(cols):
+        if stats[f"mn_{i}"] is None or stats[f"mx_{i}"] is None:
+            bucketed.append(F.lit(0).cast("long"))  # empty frame / all-null
+            continue
         mn, mx = float(stats[f"mn_{i}"]), float(stats[f"mx_{i}"])
         if mx <= mn:
             bucketed.append(F.lit(0).cast("long"))

@@ -240,9 +240,13 @@ def strip_boilerplate_lines(
     groupBy(id) to reassemble. Two shuffles total, both on bounded keys.
     """
     key = lambda c: F.lower(F.trim(c))  # noqa: E731
+    # F.split takes a Java REGEX; \Q..\E quotes the separator so literal
+    # metacharacters ('|', '.') split the same way array_join rejoins
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "__pos", "__line"
+        ),
     )
     boiler = (
         lines.groupBy(key(F.col("__line")).alias("__key"))

@@ -420,7 +420,11 @@ class _SparqlParser:
         ):
             raise ValueError("SPARQL parse: CONSTRUCT template must be triples only")
         for pat in tmpl_group.triples:
-            if isinstance(pat.step, AltStep) or pat.step.modifier or pat.step.inverse:
+            if (
+                not isinstance(pat.step, PathStep)
+                or pat.step.modifier
+                or pat.step.inverse
+            ):
                 raise SparqlUnsupported("property path in CONSTRUCT template")
             if any(t.kind == "var" and t.value.startswith("__anon") for t in (pat.subject, pat.obj)):
                 raise SparqlUnsupported("blank node in CONSTRUCT template")
@@ -1422,6 +1426,10 @@ class SparqlEngine:
                 raise SparqlUnsupported("FILTER EXISTS without preceding patterns")
             edf, evars = self._compile_group(eg, scope)
             if edf is None:
+                # the spec evaluates {} to the unit solution: EXISTS {} is
+                # always true (keep everything), NOT EXISTS {} always false
+                if not positive:
+                    acc = acc.limit(0)
                 continue
             how = "left_semi" if positive else "left_anti"
             shared = sorted(bound & evars)

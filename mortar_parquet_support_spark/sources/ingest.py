@@ -192,12 +192,19 @@ def stream_ingest(
     into the lake — the reference's batch CLI workflow (transform.py:44-50)
     as a Structured Streaming file source.
 
-    The file source tracks seen files in the checkpoint, so every file is
-    ingested exactly once across restarts; a dropped-in file is picked up by
-    the next trigger with no driver-side bookkeeping. Because the source
-    delivers WHOLE files per micro-batch, the header/label recovery stays
-    the same batch logic as :func:`_parse_lines` inside ``foreachBatch``,
-    and the sink reuses :func:`write_lake`'s layout/sort discipline.
+    The file source tracks seen files in the checkpoint, so a completed
+    batch's files are never re-ingested and a dropped-in file is picked up
+    by the next trigger with no driver-side bookkeeping. Delivery is
+    exactly-once per file in normal operation but AT-LEAST-ONCE across a
+    crash inside a micro-batch: if the driver dies after the parquet
+    append commits but before the checkpoint records the batch, the batch
+    replays on restart and its rows duplicate (the standard
+    foreachBatch-to-append caveat — a transactional sink or a
+    batchId-keyed idempotent write like :func:`upsert_lake` upgrades it).
+    Because the source delivers WHOLE files per micro-batch, the
+    header/label recovery stays the same batch logic as
+    :func:`_parse_lines` inside ``foreachBatch``, and the sink reuses
+    :func:`write_lake`'s layout/sort discipline.
 
     ``available_now=True`` drains everything currently in the directory and
     stops (ideal for tests and catch-up runs); ``False`` keeps a live

@@ -371,25 +371,8 @@ def stream_distinct_rollup(
 def stream_distinct_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the approx-distinct rollup over the events stream to
     completion; equals the batch formulation (pytest)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    out = _run_to_memory(
+        stream_distinct_rollup(_events_stream(spark, sf_dir)),
+        output_mode="complete",
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    agg = stream_distinct_rollup(ev)
-    name = "mortar_stream_nd_" + next(tempfile._get_candidate_names())
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
-        "bucket", "event_type", F.col("nd").cast("long").alias("nd")
-    )
+    return out.select("bucket", "event_type", F.col("nd").cast("long").alias("nd"))

@@ -979,3 +979,22 @@ def test_strip_boilerplate_lines(spark):
     assert out[4] == ""                             # empty, not missing
     assert out[5] == "no banner here"
     assert len(out) == 5
+
+
+def test_strip_boilerplate_literal_separator(spark):
+    """Regex-metachar separators split literally and rejoin identically."""
+    from mortar_parquet_support_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "keep me|SPAM|also keep"), (2, "SPAM|fine"), (3, "SPAM|solo")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, id_col="doc_id", text_col="text", min_docs=3, sep="|"
+        ).collect()
+    }
+    assert out == {1: "keep me|also keep", 2: "fine", 3: "solo"}

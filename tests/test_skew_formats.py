@@ -94,3 +94,24 @@ def test_zorder_key_locality(spark):
     assert max(xs) <= 16 and max(ys) <= 16  # both dims bounded, not just one
     # and the key is a bijection on the grid (no collisions at full bits)
     assert len({r.z for r in ordered}) == len(rows)
+
+
+def test_interleave_bits_overflow_guard_and_zorder_clamp(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.functions import interleave_bits, zorder_key
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "b", "c", "d"])
+    with pytest.raises(ValueError):
+        interleave_bits([F.col(c) for c in df.columns], bits=16)
+    # zorder_key clamps to 63 // n_cols and stays non-negative
+    k = df.select(zorder_key(df, ["a", "b", "c", "d"], bits=16).alias("z")).first().z
+    assert k >= 0
+    # empty frame / all-null column: constant key, no crash
+    empty = spark.createDataFrame([], "x int, y int")
+    assert empty.select(zorder_key(empty, ["x", "y"]).alias("z")).count() == 0
+    nullcol = spark.createDataFrame([(None, 1), (None, 2)], "x int, y int")
+    ks = [r.z for r in nullcol.select(zorder_key(nullcol, ["x", "y"]).alias("z")).collect()]
+    assert all(k >= 0 for k in ks)

@@ -987,3 +987,22 @@ def test_negated_property_set(engine):
     ):
         with pytest.raises(SparqlUnsupported):
             engine.sql(PREFIXES + q)
+
+
+def test_not_exists_empty_group_drops_everything(engine):
+    # {} evaluates to the unit solution: NOT EXISTS {} is always false
+    rows = engine.sql(
+        PREFIXES + "SELECT ?v WHERE { ?v a brick:VAV . FILTER NOT EXISTS { } }"
+    ).collect()
+    assert rows == []
+    kept = engine.sql(
+        PREFIXES + "SELECT ?v WHERE { ?v a brick:VAV . FILTER EXISTS { } }"
+    ).collect()
+    assert len(kept) == 2
+
+
+def test_negated_set_in_construct_template_raises_cleanly(engine):
+    with pytest.raises(SparqlUnsupported):
+        engine.sql(
+            PREFIXES + "CONSTRUCT { ?s !rdf:type ?o } WHERE { ?s a brick:VAV . ?s ?p ?o }"
+        )
