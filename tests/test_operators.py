@@ -998,3 +998,39 @@ def test_strip_boilerplate_literal_separator(spark):
         ).collect()
     }
     assert out == {1: "keep me|also keep", 2: "fine", 3: "solo"}
+
+
+def test_curation_ops_tolerate_null_text(spark):
+    """Null text never crashes a curation op: chunking keeps the doc (one
+    null chunk), decontamination keeps it, ratios are 0, fingerprints and
+    masks stay null, boilerplate-stripping returns an empty string."""
+    from mortar_parquet_support_spark.operators.curation import (
+        chunk_text,
+        decontaminate,
+        mask_pii,
+        strip_boilerplate_lines,
+    )
+    from mortar_parquet_support_spark.operators.text import (
+        dup_ngram_ratio,
+        dup_word_ratio,
+        fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, "hello world"), (2, None)], ["doc_id", "text"])
+    assert chunk_text(df, id_col="doc_id", text_col="text").count() == 2
+    ev = spark.createDataFrame([(9, "nothing shared")], ["doc_id", "text"])
+    assert decontaminate(df, ev, id_col="doc_id", text_col="text").count() == 2
+    row = df.filter("doc_id = 2").select(
+        mask_pii(F.col("text")).alias("m"),
+        dup_word_ratio(F.col("text")).alias("w"),
+        dup_ngram_ratio(F.col("text"), 2).alias("b"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert row.m is None and row.fp is None and (row.w, row.b) == (0.0, 0.0)
+    stripped = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, id_col="doc_id", text_col="text", min_docs=5
+        ).collect()
+    }
+    assert stripped == {1: "hello world", 2: ""}
