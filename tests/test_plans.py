@@ -134,3 +134,23 @@ def test_pii_and_repetition_are_pure_projections(spark, sf_dir):
         p = _plan(spark, name, sf_dir)
         assert "Exchange" not in p, name
         assert "Join" not in p, name
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    p = _plan(spark, "pack_sequences", sf_dir)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" in p
+
+
+def test_hll_rollup_partial_aggregation(spark, sf_dir):
+    # sketch aggregates must combine map-side: partial + final per phase
+    p = _plan(spark, "hll_rollup", sf_dir)
+    assert p.count("ObjectHashAggregate") + p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_strip_boilerplate_bounded_shuffles(spark, sf_dir):
+    # line-frequency agg + reassembly agg; boilerplate set joins broadcast
+    p = _plan(spark, "strip_boilerplate", sf_dir)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
