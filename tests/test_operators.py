@@ -1034,3 +1034,64 @@ def test_curation_ops_tolerate_null_text(spark):
         ).collect()
     }
     assert stripped == {1: "hello world", 2: ""}
+
+
+def test_hll_sketches_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The point of mergeable sketches is STORING them: write hourly
+    sketch state to parquet, reload, re-aggregate — estimates must equal
+    re-aggregating the in-memory frame."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        hll_reaggregate,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = hll_rollup(
+        ev, ts="ts", bucket="1 hour", keys=["event_type"], distinct_cols=["user_id"]
+    )
+    path = str(tmp_path / "sketches")
+    hourly.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    want = {
+        (str(r.day), r.event_type): (r.user_id_distinct, r.n)
+        for r in hll_reaggregate(
+            hourly.withColumn("day", F.to_date("bucket")),
+            group_cols=["day", "event_type"], sketch_cols=["user_id"],
+        ).collect()
+    }
+    got = {
+        (str(r.day), r.event_type): (r.user_id_distinct, r.n)
+        for r in hll_reaggregate(
+            reloaded.withColumn("day", F.to_date("bucket")),
+            group_cols=["day", "event_type"], sketch_cols=["user_id"],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_capacity_property(spark):
+    """Every bin's total cost stays under budget + one item (the straddling
+    item), and bins are contiguous in id order within a shard."""
+    import random
+
+    from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 120)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "cost"])
+    out = pack_sequences(df, id_col="doc_id", cost_col="cost", budget=256, shards=4)
+    data = out.collect()
+    by_bin = {}
+    for r in data:
+        by_bin.setdefault((r.shard, r.bin), []).append((r.doc_id, r.cost))
+    for (shard, b), items in by_bin.items():
+        total = sum(c for _, c in items)
+        assert total <= 256 + 120  # budget + max item (straddle slack)
+    # contiguity: within a shard, doc ids in bin k all precede bin k+1's
+    by_shard = {}
+    for r in data:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.bin))
+    for shard, items in by_shard.items():
+        items.sort()
+        bins = [b for _, b in items]
+        assert bins == sorted(bins)
