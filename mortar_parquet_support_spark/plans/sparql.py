@@ -51,7 +51,9 @@ full SPARQL engine expects:
 - aggregates: ``(COUNT(?v|*) AS ?n)`` (incl. ``DISTINCT``), ``SUM``,
   ``AVG``, ``MIN``, ``MAX``, ``SAMPLE`` (deterministic: MIN), and
   ``GROUP_CONCAT`` (``; SEPARATOR="…"``, sorted for determinism) with
-  ``GROUP BY`` — one hash aggregate — and ``HAVING`` over the aliases
+  ``GROUP BY`` — one hash aggregate — and ``HAVING`` over the aliases or
+  over direct aggregate calls (``HAVING (COUNT(?p) > 1)``, compiled via
+  hidden aliases)
 
 Compilation: each triple pattern is a filtered scan of the (tiny, cached,
 broadcastable) triples DataFrame with its variable positions renamed to the
@@ -268,6 +270,8 @@ class _SparqlParser:
     prefixes: dict[str, str] = field(default_factory=dict)
     var_order: list[str] = field(default_factory=list)
     _fresh_n: int = 0
+    #: aggregate map of the query whose HAVING is being parsed (else None)
+    _having_aggs: dict | None = None
 
     def parse(self) -> Query:
         for m in _SPARQL_TOKEN_RE.finditer(self.text):
@@ -361,7 +365,13 @@ class _SparqlParser:
             elif w == "having":
                 self._next()
                 self._expect_punct("(")
-                having.append(self._parse_filter_expr())
+                # aggregate calls directly inside HAVING (COUNT(?p) > 1)
+                # compile via hidden aliases added to the aggregate map
+                self._having_aggs = aggregates
+                try:
+                    having.append(self._parse_filter_expr())
+                finally:
+                    self._having_aggs = None
                 self._expect_punct(")")
             elif w == "order":
                 self._next()
@@ -1027,6 +1037,28 @@ class _SparqlParser:
             if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", tok):
                 self._next()
                 return Term("literal", tok)
+            if self._having_aggs is not None and tok.lower() in self._AGG_FNS:
+                # HAVING (COUNT(?p) > 1): register a hidden aggregate and
+                # reference it like an alias
+                fn = tok.lower()
+                self._next()
+                self._expect_punct("(")
+                distinct = False
+                if self._peek_word_lower() == "distinct":
+                    distinct = True
+                    self._next()
+                nkind, ntok = self._peek()
+                if nkind == "mod" and ntok == "*":
+                    if fn != "count":
+                        raise ValueError(f"SPARQL parse: {fn.upper()}(*) is not legal")
+                    target = "*"
+                    self._next()
+                else:
+                    target = self._expect("var")[1][1:]
+                self._expect_punct(")")
+                alias = f"__hagg{len(self._having_aggs)}"
+                self._having_aggs[alias] = (fn, target, distinct, " ")
+                return Term("var", alias)
             if tok.lower() in _FILTER_FUNCS:
                 self._next()
                 self._expect_punct("(")

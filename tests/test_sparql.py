@@ -1006,3 +1006,20 @@ def test_negated_set_in_construct_template_raises_cleanly(engine):
         engine.sql(
             PREFIXES + "CONSTRUCT { ?s !rdf:type ?o } WHERE { ?s a brick:VAV . ?s ?p ?o }"
         )
+
+
+def test_having_with_direct_aggregate_call(engine):
+    # VAVs with more than one point — no alias needed in HAVING
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav WHERE { ?vav brick:hasPoint ?p }
+           GROUP BY ?vav HAVING (COUNT(?p) > 1)"""
+    ).collect()
+    assert {r.vav.split("#")[-1] for r in rows} == {"vav1"}
+    # combined with a selected aggregate and arithmetic
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav (COUNT(?p) AS ?n) WHERE { ?vav brick:hasPoint ?p }
+           GROUP BY ?vav HAVING (COUNT(?p) + 1 >= 2)"""
+    ).collect()
+    assert {(r.vav.split("#")[-1], r.n) for r in rows} == {("vav1", "2"), ("vav2", "1")}
