@@ -41,8 +41,10 @@ full SPARQL engine expects:
 - ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }`` — inline
   broadcast frame joined into the group; ``UNDEF`` is a wildcard on shared
   variables and a null binding on new ones
-- ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT`` /
-  ``ORDER BY`` / ``LIMIT`` / ``OFFSET``
+- ``SELECT ?x ?y`` / ``SELECT *`` / ``SELECT DISTINCT``/``REDUCED`` /
+  expression projections ``SELECT (expr AS ?alias)`` (over bindings, or
+  over aggregate aliases after GROUP BY) / ``ORDER BY`` / ``LIMIT`` /
+  ``OFFSET`` / trailing query-level ``VALUES``
 - subqueries ``{ SELECT … }`` — compiled as their own solution sequence
   (aggregates/ORDER/LIMIT included) and joined on the projected variables
   shared with the outer group; inner non-projected variables stay hidden
@@ -186,6 +188,8 @@ class Query:
     offset: int | None = None
     #: alias -> (fn, target var or '*', distinct, separator)
     aggregates: dict[str, tuple[str, str, bool, str]] = field(default_factory=dict)
+    #: alias -> expression for non-aggregate projections (SELECT (expr AS ?x))
+    select_exprs: dict[str, FilterExpr] = field(default_factory=dict)
     group_by: list[str] = field(default_factory=list)
     having: list[FilterExpr] = field(default_factory=list)
     form: str = "select"  # 'select' | 'ask' | 'construct'
@@ -326,6 +330,7 @@ class _SparqlParser:
             self._next()
         select: list[str] = []
         aggregates: dict[str, tuple[str, str, bool]] = {}
+        select_exprs: dict[str, FilterExpr] = {}
         while True:
             kind, tok = self._peek()
             if kind == "var":
@@ -336,9 +341,27 @@ class _SparqlParser:
                 self._next()
                 break
             elif kind == "punct" and tok == "(":
-                alias, spec = self._parse_select_aggregate()
-                select.append(alias)
-                aggregates[alias] = spec
+                nkind, ntok = (
+                    self.tokens[self.pos + 1]
+                    if self.pos + 1 < len(self.tokens)
+                    else ("eof", "")
+                )
+                if nkind == "word" and ntok.lower() in self._AGG_FNS:
+                    alias, spec = self._parse_select_aggregate()
+                    select.append(alias)
+                    aggregates[alias] = spec
+                else:
+                    # (expr AS ?alias) — non-aggregate projection
+                    self._next()
+                    expr = self._parse_filter_expr()
+                    if self._peek_word_lower() != "as":
+                        raise ValueError("SPARQL parse: projection needs 'AS ?alias'")
+                    self._next()
+                    alias = self._expect("var")[1][1:]
+                    self._expect_punct(")")
+                    select.append(alias)
+                    select_exprs[alias] = expr
+                    self._note_var(alias)
             else:
                 break
         if self._peek_word_lower() == "where":
@@ -398,6 +421,11 @@ class _SparqlParser:
             elif w == "offset":
                 self._next()
                 offset = int(self._expect("word")[1])
+            elif w == "values":
+                # query-level trailing VALUES joins the whole solution —
+                # for inner-join semantics that equals an in-group VALUES
+                self._next()
+                group.values.append(self._parse_values_block())
             else:
                 break
         return Query(
@@ -411,6 +439,7 @@ class _SparqlParser:
             aggregates=aggregates,
             group_by=group_by,
             having=having,
+            select_exprs=select_exprs,
         )
 
     def _parse_construct_query(self) -> Query:
@@ -1217,6 +1246,25 @@ class SparqlEngine:
             out_vars = q.select
         elif q.group_by or q.having:
             raise SparqlUnsupported("GROUP BY/HAVING without aggregates in SELECT")
+        if q.select_exprs:
+            # (expr AS ?alias) projections: computed over the aggregate
+            # output when aggregates exist, else over the group bindings
+            ebound = (
+                set(q.group_by) | set(q.aggregates) if q.aggregates else bound
+            )
+            for alias, bexpr in q.select_exprs.items():
+                c = self._compile_filter(bexpr, ebound)
+                if isinstance(bexpr, tuple) and not isinstance(bexpr, Term) and (
+                    bexpr[0] == "arith"
+                    or (bexpr[0] == "call" and bexpr[1] in _NUMERIC_FNS)
+                ):
+                    c = F.when(c == F.floor(c), c.cast("long").cast("string")).otherwise(
+                        c.cast("string")
+                    )
+                acc = acc.withColumn(alias, c)
+                bound = bound | {alias}
+        if q.aggregates:
+            pass  # out_vars already set above
         elif q.select == ["*"]:
             out_vars = [v for v in q.var_order if v in bound]
         else:
@@ -1335,7 +1383,11 @@ class SparqlEngine:
             if v not in bound:
                 raise ValueError(f"GROUP BY variable ?{v} not bound by WHERE")
         for name in q.select:
-            if name not in q.aggregates and name not in q.group_by:
+            if (
+                name not in q.aggregates
+                and name not in q.group_by
+                and name not in q.select_exprs
+            ):
                 raise ValueError(
                     f"SELECT ?{name} must be aggregated or in GROUP BY"
                 )

@@ -1023,3 +1023,34 @@ def test_having_with_direct_aggregate_call(engine):
            GROUP BY ?vav HAVING (COUNT(?p) + 1 >= 2)"""
     ).collect()
     assert {(r.vav.split("#")[-1], r.n) for r in rows} == {("vav1", "2"), ("vav2", "1")}
+
+
+def test_select_expression_projection(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?p (strlen(?id) AS ?len) (substr(?id, 1, 8) AS ?prefix) WHERE {
+             ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+           }"""
+    ).collect()
+    assert all(r.len == "36" for r in rows)
+    assert {r.prefix for r in rows} == {"11111111", "22222222", "33333333", "44444444"}
+
+
+def test_select_expression_over_aggregate(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav (COUNT(?p) AS ?n) (?n * 10 AS ?scaled)
+           WHERE { ?vav brick:hasPoint ?p } GROUP BY ?vav"""
+    ).collect()
+    assert {(r.vav.split("#")[-1], r.n, r.scaled) for r in rows} == {
+        ("vav1", "2", "20"), ("vav2", "1", "10"),
+    }
+
+
+def test_trailing_values_clause(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav ?p WHERE { ?vav brick:hasPoint ?p }
+           VALUES ?vav { b:vav2 }"""
+    ).collect()
+    assert {(r.vav.split("#")[-1], r.p.split("#")[-1]) for r in rows} == {("vav2", "p3")}
