@@ -20,6 +20,11 @@ distinct shingle set is broadcast. The corpus side is ONE scan: shingle
 (array transform, no UDF), posexplode, broadcast LEFT SEMI join, distinct
 ids — no shuffle of corpus data at all except the final distinct on the
 (tiny) contaminated-id set. The explode factor is bounded by tokens/doc.
+The shingle transform is an interpreted HOF (~0.5 ms/doc warm, measured);
+a window-``lead`` formulation (operators/dedup.py minhash_signatures)
+is ~3x faster per doc but costs a full corpus shuffle — for a
+scan-and-drop filter the shuffle-free projection wins at scale, so the
+HOF stays.
 
 ``domain_cap``: one hash-partition shuffle on the domain column + a
 row_number window inside each partition — the minimal plan for a per-group
