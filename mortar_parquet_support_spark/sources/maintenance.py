@@ -27,8 +27,25 @@ from pyspark.sql import functions as F
 from mortar_parquet_support_spark.sources.ingest import LAKE_COLUMNS
 
 
+def _lake_is_uuid_partitioned(spark: SparkSession, lake_root: str) -> bool:
+    """Detect the reference's two-level ``collection=/uuid=/`` layout from
+    the physical directory structure (one listing, no data read)."""
+    import glob as _glob
+    import os as _os
+
+    for coll_dir in _glob.glob(_os.path.join(lake_root, "collection=*")):
+        if _glob.glob(_os.path.join(coll_dir, "uuid=*")):
+            return True
+        return False
+    return False
+
+
 def _dynamic_overwrite_lake(
-    df: DataFrame, destination: str, *, checkpoint_dir: str | None = None
+    df: DataFrame,
+    destination: str,
+    *,
+    partition_uuid: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Rewrite only the collections present in ``df`` (dynamic partition
     overwrite), with the lake's clustering/sort discipline.
@@ -49,10 +66,15 @@ def _dynamic_overwrite_lake(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out = df.repartitionByRange("collection", "uuid").sortWithinPartitions(
-            "uuid", "time"
-        )
-        out.write.mode("overwrite").partitionBy("collection").parquet(destination)
+        if partition_uuid:
+            out = df.repartition("collection", "uuid").sortWithinPartitions("time")
+            cols = ["collection", "uuid"]
+        else:
+            out = df.repartitionByRange("collection", "uuid").sortWithinPartitions(
+                "uuid", "time"
+            )
+            cols = ["collection"]
+        out.write.mode("overwrite").partitionBy(*cols).parquet(destination)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -70,6 +92,7 @@ def compact_collections(
     the rewrite; by default the range repartition alone decides (one file
     per shuffle partition per collection).
     """
+    layout_uuid = _lake_is_uuid_partitioned(spark, lake_root)
     df = spark.read.parquet(lake_root).select(*LAKE_COLUMNS)
     if collections:
         df = df.filter(F.col("collection").isin(collections))
@@ -77,7 +100,7 @@ def compact_collections(
     if target_rows_per_file:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", str(target_rows_per_file))
     try:
-        _dynamic_overwrite_lake(df, lake_root)
+        _dynamic_overwrite_lake(df, lake_root, partition_uuid=layout_uuid)
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
 
@@ -116,4 +139,6 @@ def upsert_lake(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__v")
     )
-    _dynamic_overwrite_lake(latest, lake_root)
+    _dynamic_overwrite_lake(
+        latest, lake_root, partition_uuid=_lake_is_uuid_partitioned(spark, lake_root)
+    )

@@ -310,3 +310,38 @@ def test_compact_and_upsert(spark, tmp_path):
     # dedup within collection preserved; untouched collection intact
     assert lake.filter(F.col("collection") == "bldg2").count() == 5
     assert sorted(glob.glob(f"{dest}/collection=bldg2/*.parquet")) == bldg2_files
+
+
+def test_maintenance_preserves_uuid_layout(spark, tmp_path):
+    """On a partition_uuid=True (reference-layout) lake, compaction and
+    upsert must keep the two-level collection=/uuid=/ directory structure
+    instead of silently rewriting to collection-only."""
+    import glob
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.maintenance import (
+        compact_collections,
+        upsert_lake,
+    )
+
+    src = tmp_path / "csvs"
+    src.mkdir()
+    make_stream_csv(src, U1, "/delta/m5/c12", ROWS_1)
+    dest = str(tmp_path / "lake")
+    ingest_directory(spark, "bldg1", str(src), dest, partition_uuid=True)
+    assert glob.glob(f"{dest}/collection=bldg1/uuid=*/")
+
+    compact_collections(spark, dest)
+    assert glob.glob(f"{dest}/collection=bldg1/uuid=*/")
+    assert spark.read.parquet(dest).count() == 3
+
+    updates = spark.createDataFrame(
+        [("bldg1", U1, "2016-11-30 19:31:37", 7.7, "/delta/m5/c12",
+          "urn:bldg1//delta/m5/c12")],
+        ["collection", "uuid", "time", "value", "label", "uri"],
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    upsert_lake(spark, dest, updates)
+    assert glob.glob(f"{dest}/collection=bldg1/uuid=*/")
+    lake = spark.read.parquet(dest)
+    assert lake.count() == 3
+    assert lake.filter(F.col("value") == 7.7).count() == 1
