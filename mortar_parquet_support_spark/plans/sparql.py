@@ -1413,11 +1413,16 @@ class SparqlEngine:
                 expr = F.array_join(F.array_sort(collected), sep)
             else:
                 col = F.col(target)
-                if distinct:
-                    raise SparqlUnsupported(f"DISTINCT inside {fn.upper()}()")
                 if fn in ("sum", "avg"):
                     col = col.try_cast("double")
-                expr = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](col)
+                if distinct and fn == "sum":
+                    expr = F.sum_distinct(col)
+                elif distinct and fn == "avg":
+                    # AVG(DISTINCT) over the distinct value set
+                    expr = F.sum_distinct(col) / F.count_distinct(col)
+                else:
+                    # DISTINCT inside MIN/MAX is a semantic no-op
+                    expr = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](col)
             aggs.append(expr.alias(alias))
         if q.group_by:
             return acc.groupBy(*[F.col(v) for v in q.group_by]).agg(*aggs)

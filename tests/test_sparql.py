@@ -1054,3 +1054,16 @@ def test_trailing_values_clause(engine):
            VALUES ?vav { b:vav2 }"""
     ).collect()
     assert {(r.vav.split("#")[-1], r.p.split("#")[-1]) for r in rows} == {("vav2", "p3")}
+
+
+def test_distinct_numeric_aggregates(engine):
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT (SUM(DISTINCT ?n) AS ?s) (AVG(DISTINCT ?n) AS ?a)
+                    (MIN(DISTINCT ?n) AS ?m) WHERE {
+             ?vav brick:hasPoint ?p .
+             BIND(strlen(?p) - 7 AS ?n)
+           }"""
+    ).collect()
+    # p1,p2,p3 all have strlen 8 -> n = "1" three times; distinct = {1}
+    assert [(r.s, r.a, r.m) for r in rows] == [("1.0", "1.0", "1")]
