@@ -1067,3 +1067,16 @@ def test_distinct_numeric_aggregates(engine):
     ).collect()
     # p1,p2,p3 all have strlen 8 -> n = "1" three times; distinct = {1}
     assert [(r.s, r.a, r.m) for r in rows] == [("1.0", "1.0", "1")]
+
+
+def test_spo_roundtrip_identity(engine):
+    """SELECT ?s ?p ?o over the union graph returns exactly the distinct
+    triple set the TTL parser loaded — parse, scan, variable predicates,
+    and projection compose to the identity."""
+    rows = engine.sql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }").collect()
+    got = {(r.s, r.p, r.o) for r in rows}
+    want = {
+        (r.subject, r.predicate, r.object)
+        for r in engine.triples.select("subject", "predicate", "object").collect()
+    }
+    assert got == want and len(rows) == len(got)  # distinct union semantics
