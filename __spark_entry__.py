@@ -1764,6 +1764,30 @@ def _text_repetition(spark, sf_dir):
 
 
 @_register(
+    "top_tokens",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 50
+    """,
+)
+def _top_tokens(spark, sf_dir):
+    """Corpus vocabulary top-k (operators/text.py top_tokens): explode +
+    count with map-side partial aggregation — shuffle bounded by
+    vocabulary size, not corpus size."""
+    from mortar_parquet_support_spark.operators.text import top_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_tokens(docs, text_col="text", k=50)
+
+
+@_register(
     "strip_boilerplate",
     """
     WITH base AS (

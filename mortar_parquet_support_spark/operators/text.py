@@ -167,3 +167,33 @@ def analyze(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def top_tokens(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-wide token frequencies, top-``k`` — the vocabulary-seeding
+    pass for tokenizer training and OOV analysis. Returns (token, freq)
+    ordered by freq desc, token asc (deterministic ties).
+
+    One explode + one count aggregate: partial (map-side) aggregation
+    shrinks the shuffle to the distinct-token set per partition, so the
+    plan is scale-bound by vocabulary size, not corpus size; the final
+    top-k is a TakeOrdered over the aggregated frame.
+    """
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    words = F.split(F.trim(text), r"\s+")
+    return (
+        df.select(F.explode(words).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -1095,3 +1095,13 @@ def test_pack_sequences_capacity_property(spark):
         items.sort()
         bins = [b for _, b in items]
         assert bins == sorted(bins)
+
+
+def test_top_tokens_deterministic_order(spark):
+    from mortar_parquet_support_spark.operators.text import top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "b a a B"), (2, "c a  b")], ["doc_id", "text"]
+    )
+    rows = [(r.token, r.freq) for r in top_tokens(df, text_col="text", k=10).collect()]
+    assert rows == [("a", 3), ("b", 3), ("c", 1)]  # freq desc, token asc ties
