@@ -2175,13 +2175,51 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The driver evaluates a bounded prefix (50 entries) of queries(). With 63
+# oracle-backed entries competing for 50 slots, the window is curated for
+# FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
+# strict subsets of surviving entries (e.g. window_running ⊂ window_frames,
+# tpch_q6 ⊂ tpch_q19's predicate battery, stringify_cast / date_parts /
+# json_extract / regex_extract_filter ⊂ scalar_battery(+time_bucket_rollup),
+# row_count / limit_exact / union_sites / distinct_types ⊂ flagship_scan +
+# stats_per_stream shapes, except_users / intersect_users — one set-op kept
+# via anti_join, dedup_fingerprint ⊂ dedup_exact's digest-groupBy shape) are
+# demoted PAST the window in favor of the curation / packing / extra-TPC-H
+# families added in round 2. Demoted entries stay registered and
+# oracle-backed: they were officially witnessed green in CORRECTNESS_r02 and
+# remain covered every round by tests/oracle_harness.py, so across rounds
+# every oracle-backed entry has driver-grade evidence.
+_WINDOW_DEMOTED = [
+    "window_running",
+    "tpch_q6",
+    "stringify_cast",
+    "date_parts",
+    "json_extract",
+    "regex_extract_filter",
+    "except_users",
+    "intersect_users",
+    "row_count",
+    "union_sites",
+    "distinct_types",
+    "limit_exact",
+    "dedup_fingerprint",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-backed entries first: the driver evaluates a bounded prefix
-    (50) of this dict, so oracle-backed entries lead; rows-only entries (no
-    SQL equivalent) follow. The round-1 oracle set fills the window exactly;
-    oracle-backed entries added later (decontaminate, domain_cap) sit just
-    past it and are verified by the same compare in tests/oracle_harness.py."""
-    ordered = {k: fn for k, fn in _SPARK_FNS.items() if k in _ORACLES}
+    """Curated oracle-backed window first (see _WINDOW_DEMOTED note), then
+    the demoted oracle-backed shapes, then rows-only entries (no SQL
+    equivalent). Every entry past the driver's 50-slot prefix is verified
+    each round by the same three-way compare in tests/oracle_harness.py."""
+    demoted = set(_WINDOW_DEMOTED)
+    ordered = {
+        k: fn
+        for k, fn in _SPARK_FNS.items()
+        if k in _ORACLES and k not in demoted
+    }
+    ordered.update(
+        {k: fn for k, fn in _SPARK_FNS.items() if k in _ORACLES and k in demoted}
+    )
     ordered.update({k: fn for k, fn in _SPARK_FNS.items() if k not in _ORACLES})
     return ordered
 
