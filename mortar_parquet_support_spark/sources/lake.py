@@ -91,33 +91,84 @@ class TimeseriesLake:
             F.broadcast(ids), on="uuid", how="left_semi"
         )
 
-    def to_batches(self, predicate: Column | None = None, *, max_rows: int = 1 << 16) -> Iterator:
+    def to_batches(
+        self,
+        predicate: Column | None = None,
+        *,
+        max_rows: int = 1 << 16,
+        spill_dir: str | None = None,
+    ) -> Iterator:
         """S7 parity: bounded-memory Arrow RecordBatch iteration
         (client.py:65-72's ``to_batches``), columnar end-to-end.
 
         The predicate is applied by Spark (distributed, pushed down), the
-        result is spilled once to a temporary Parquet directory by the
-        cluster, and the driver then STREAMS RecordBatches from that spill
-        with the PyArrow dataset scanner — the same columnar
-        parquet->batches path the reference uses, with zero per-row Python
-        anywhere. Driver memory stays bounded by ``max_rows`` regardless of
-        result size; the spill is deleted when the iterator is exhausted or
-        closed."""
+        result is spilled once to a Parquet directory by the cluster, and
+        the driver then STREAMS RecordBatches from that spill with the
+        PyArrow dataset scanner — the same columnar parquet->batches path
+        the reference uses, with zero per-row Python anywhere. Driver
+        memory stays bounded by ``max_rows`` regardless of result size;
+        the spill is deleted when the iterator is exhausted or closed.
+
+        The spill location must be visible to BOTH the executors (they
+        write it) and the driver (it reads it), so it is resolved in
+        cluster-safety order:
+
+        1. ``spill_dir`` — caller-supplied shared location (HDFS / object
+           store / NFS path). ``s3a://`` is rewritten to ``s3://`` for the
+           PyArrow read side.
+        2. The session's checkpoint directory
+           (``sc.setCheckpointDir(...)``) — by Spark's own contract a
+           location every node can reach.
+        3. A driver-local tempdir, ONLY when the master is ``local*``
+           (single-process, so local disk IS shared).
+        4. Otherwise no shared filesystem is configured: fall back to
+           ``toLocalIterator`` with Arrow-serialized partitions — slower
+           (one partition at a time over the driver link) but correct and
+           still bounded-memory on any cluster.
+        """
+        df = self.df if predicate is None else self.df.filter(predicate)
+
+        if spill_dir is None:
+            spill_dir = self._checkpoint_dir()
+        if spill_dir is None:
+            if self.spark.sparkContext.master.startswith("local"):
+                return self._batches_via_spill(df, None, max_rows, local_tmp=True)
+            return _batches_via_local_iterator(df, max_rows)
+        return self._batches_via_spill(df, spill_dir, max_rows, local_tmp=False)
+
+    def _checkpoint_dir(self) -> str | None:
+        """The session's checkpoint dir, if one was configured."""
+        try:
+            opt = self.spark.sparkContext._jsc.sc().getCheckpointDir()
+            return opt.get() if opt.isDefined() else None
+        except Exception:
+            return None
+
+    def _batches_via_spill(
+        self, df: DataFrame, spill_root: str | None, max_rows: int, *, local_tmp: bool
+    ) -> Iterator:
         import shutil
         import tempfile
+        import uuid as _uuid
 
         import pyarrow.dataset as pads
 
-        df = self.df if predicate is None else self.df.filter(predicate)
-
         def gen() -> Iterator:
-            spill = tempfile.mkdtemp(prefix="lake_batches_")
+            if local_tmp:
+                spill = tempfile.mkdtemp(prefix="lake_batches_")
+            else:
+                spill = spill_root.rstrip("/") + "/lake_batches_" + _uuid.uuid4().hex
             try:
                 df.write.mode("overwrite").parquet(spill)
-                dataset = pads.dataset(spill, format="parquet")
+                # PyArrow speaks s3:// where Hadoop speaks s3a://.
+                read_path = spill.replace("s3a://", "s3://", 1)
+                dataset = pads.dataset(read_path, format="parquet")
                 yield from dataset.to_batches(batch_size=max_rows)
             finally:
-                shutil.rmtree(spill, ignore_errors=True)
+                if local_tmp:
+                    shutil.rmtree(spill, ignore_errors=True)
+                else:
+                    _rm_shared(spill)
 
         return gen()
 
