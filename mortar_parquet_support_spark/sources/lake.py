@@ -184,6 +184,60 @@ class TimeseriesLake:
                 pass  # temp views can't always be analyzed; stats are advisory
 
 
+def _batches_via_local_iterator(df: DataFrame, max_rows: int) -> Iterator:
+    """Shared-filesystem-free S7 fallback: stream the result through the
+    driver link with ``toLocalIterator`` and re-batch rows into Arrow
+    RecordBatches of at most ``max_rows``.
+
+    Slower than the spill path (partitions arrive serially over the driver
+    connection) but correct on ANY cluster topology and still bounded:
+    driver memory holds one Spark partition plus one ``max_rows`` buffer at
+    a time. Schema conversion goes through the same Spark->Arrow mapping
+    the spill path gets from parquet, so both paths yield identically-typed
+    batches."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(df.schema)
+
+    def gen() -> Iterator:
+        buf: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row)
+            if len(buf) >= max_rows:
+                yield _rows_to_batch(buf, schema, pa)
+                buf = []
+        if buf:
+            yield _rows_to_batch(buf, schema, pa)
+
+    return gen()
+
+
+def _rows_to_batch(rows: list, schema, pa):
+    """Build one Arrow RecordBatch from buffered Rows, column-wise."""
+    columns = [
+        pa.array([row[i] for row in rows], type=field.type)
+        for i, field in enumerate(schema)
+    ]
+    return pa.RecordBatch.from_arrays(columns, schema=schema)
+
+
+def _rm_shared(path: str) -> None:
+    """Delete a spill directory on whatever filesystem ``path`` lives on
+    (HDFS / s3a / NFS), via Hadoop's FileSystem so the scheme is honored."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        pass  # best-effort cleanup; an orphaned spill dir is not a correctness issue
+
+
 def write_metadata_summary(root: str) -> dict:
     """S4: write ``_metadata`` + ``_common_metadata`` summary files for the
     dataset at ``root`` so one footer read opens the whole lake.

@@ -37,17 +37,20 @@ def windowed_rollup_stream(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    """File stream over the events parquet with the same ns->µs timestamp
-    rebuild as the batch loader (tables.load_table)."""
+    """File stream over the events parquet with the same ts normalization
+    as the batch loader (tables.load_table): INT64-nanos fixtures are
+    rebuilt as µs timestamps; µs-timestamp fixtures pass through."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # raw: ts as long
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(batch.schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(batch.dtypes)["ts"] in ("bigint", "long"):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def _run_to_memory(stream_df, *, output_mode: str) -> DataFrame:

@@ -1,14 +1,16 @@
 """Loaders for the driver-provided relational tables (TESTDATA.md,
 FIXTURES.md F4) with type normalization quirks handled in one place.
 
-The notable quirk: ``events.ts`` is Parquet INT64 TIMESTAMP(NANOS) —
-Spark has no nanosecond timestamp and refuses the column outright
-(PARQUET_TYPE_ILLEGAL). We read it via the documented escape hatch
-(``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
-TIMESTAMP_NTZ with integer division — the same floor-truncation DuckDB
-applies when it reads the file, so oracle comparisons agree (SURVEY.md §7
-R5). The NTZ reconstruction uses ``timestampadd`` on an NTZ literal, which
-is session-timezone-independent by construction.
+The notable quirk: ``events.ts`` has been written by different fixture
+generations as either Parquet INT64 TIMESTAMP(NANOS) — which Spark has no
+type for and refuses outright (PARQUET_TYPE_ILLEGAL) — or as a plain
+microsecond timestamp. We detect which we got: a nanos file is read via the
+documented escape hatch (``spark.sql.legacy.parquet.nanosAsLong``) and
+rebuilt as a microsecond TIMESTAMP_NTZ with integer division — the same
+floor-truncation DuckDB applies when it reads the file, so oracle
+comparisons agree (SURVEY.md §7 R5); a microsecond file passes through
+untouched. The NTZ reconstruction uses ``timestampadd`` on an NTZ literal,
+which is session-timezone-independent by construction.
 """
 
 from __future__ import annotations
@@ -26,10 +28,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts_ntz = F.expr(
-            "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        )
-        return raw.withColumn("ts", ts_ntz)
+        if dict(raw.dtypes)["ts"] in ("bigint", "long"):
+            # INT64 TIMESTAMP(NANOS) file read via nanosAsLong: rebuild µs NTZ
+            ts_ntz = F.expr(
+                "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            )
+            raw = raw.withColumn("ts", ts_ntz)
+        return raw  # already a timestamp: current fixtures write µs directly
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -66,6 +66,91 @@ def test_lake_to_batches_bounded(spark, tmp_path):
     assert batches >= 2  # actually bounded, not one giant batch
 
 
+def _lake(spark, tmp_path, n=1000):
+    from mortar_parquet_support_spark.sources.lake import TimeseriesLake
+
+    rows = [("c0", f"u{i%4}", float(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["collection", "uuid", "value"]).withColumn(
+        "time", F.timestamp_micros((F.col("value") * 1_000_000).cast("long"))
+    )
+    root = str(tmp_path / "lake")
+    df.write.partitionBy("collection").parquet(root)
+    return TimeseriesLake.open(spark, root)
+
+
+def test_to_batches_explicit_spill_dir(spark, tmp_path):
+    """Cluster path: caller supplies a shared spill location; batches stream
+    from it and the spill is deleted on exhaustion."""
+    lake = _lake(spark, tmp_path)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    total = sum(
+        b.num_rows for b in lake.to_batches(max_rows=256, spill_dir=str(shared))
+    )
+    assert total == 1000
+    assert list(shared.iterdir()) == []  # spill cleaned up via Hadoop FS
+
+
+def test_to_batches_uses_checkpoint_dir(spark, tmp_path):
+    """With no explicit spill_dir, the session checkpoint dir (shared by
+    Spark's own contract) is used — not a driver-local tempdir."""
+    lake = _lake(spark, tmp_path)
+    ckpt = tmp_path / "ckpt"
+    sc = spark.sparkContext
+    old = lake._checkpoint_dir()
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        it = lake.to_batches(max_rows=256)
+        first = next(iter(it))
+        assert first.num_rows <= 256
+        # the spill landed under the checkpoint dir while the iterator is live
+        assert any(p.name.startswith("lake_batches_") for p in ckpt.rglob("lake_batches_*"))
+    finally:
+        if old:
+            sc.setCheckpointDir(old)
+
+
+def test_to_batches_local_iterator_fallback(spark, tmp_path):
+    """The no-shared-filesystem fallback yields the same rows, Arrow-typed,
+    in bounded batches."""
+    from mortar_parquet_support_spark.sources.lake import _batches_via_local_iterator
+
+    lake = _lake(spark, tmp_path)
+    batches = list(_batches_via_local_iterator(lake.df, 256))
+    assert all(b.num_rows <= 256 for b in batches)
+    assert sum(b.num_rows for b in batches) == 1000
+    got = sorted(v for b in batches for v in b.column(b.schema.get_field_index("value")).to_pylist())
+    assert got == [float(i) for i in range(1000)]
+
+
+def test_to_batches_nonlocal_resolution(spark, tmp_path, monkeypatch):
+    """Simulate a non-local master with no checkpoint dir: to_batches must
+    route to the toLocalIterator fallback, never a driver-local tempdir."""
+    from mortar_parquet_support_spark.sources import lake as lake_mod
+
+    lake = _lake(spark, tmp_path, n=300)
+    monkeypatch.setattr(
+        type(lake), "_checkpoint_dir", lambda self: None, raising=True
+    )
+    called = {}
+
+    def fake_fallback(df, max_rows):
+        called["hit"] = True
+        return iter(())
+
+    monkeypatch.setattr(lake_mod, "_batches_via_local_iterator", fake_fallback)
+
+    class FakeSC:
+        master = "spark://cluster:7077"
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    lake.spark = FakeSpark()
+    list(lake.to_batches(max_rows=64))
+    assert called.get("hit")
+
+
 def test_s3_conf_wiring(spark):
     from mortar_parquet_support_spark.session import get_spark
 
