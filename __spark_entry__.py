@@ -1108,13 +1108,18 @@ def _knn_ivf(spark, sf_dir):
     full probe makes the result exact, so it is oracle-checked against
     DuckDB brute-force top-k. Partial-probe recall is covered by
     tests/test_operators.py. Re-ranked on the rounded score so both engines
-    order identical values the same way."""
-    from mortar_parquet_support_spark.operators.similarity import ivf_topk
+    order identical values the same way.
+
+    Uses the amortized ``IvfIndex.build(persist=True)`` shape — the
+    assignment scan materializes once and the probe join reuses it, instead
+    of the one-shot ``ivf_topk`` recomputing it under AQE replanning. This
+    is also the documented 100 TB serving shape (build offline, probe per
+    query batch)."""
+    from mortar_parquet_support_spark.operators.similarity import IvfIndex
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_list=8, nprobe=8
-    )
+    index = IvfIndex.build(emb, n_list=8, persist=True)
+    out = index.topk(emb.filter(F.col("vec_id") < 10), k=5, nprobe=8)
     rounded = out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
@@ -1271,12 +1276,15 @@ def _text_langid(spark, sf_dir):
     """,
 )
 def _text_quality(spark, sf_dir):
-    """Composite quality heuristic (operators/text.py quality_score); the
-    oracle restates the documented fixed-weight formula."""
-    from mortar_parquet_support_spark.operators.text import quality_score
+    """Composite quality heuristic (operators/text.py score_quality — the
+    CSE form: each ratio bound once as an intermediate column, score as a
+    second tiny projection); the oracle restates the documented fixed-weight
+    formula. (least(1, sw*20) == CASE WHEN sw > 0.05 THEN 1 ELSE sw*20 END
+    for sw >= 0, so values are unchanged.)"""
+    from mortar_parquet_support_spark.operators.text import score_quality
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return score_quality(docs).select("doc_id", "quality")
 
 
 @_register(

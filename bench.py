@@ -52,7 +52,18 @@ def main() -> int:
     from mortar_parquet_support_spark.session import get_spark
 
     spark = get_spark("mortar-bench")
+    # Contention sentinel: the warmup job runs twice — the first pays
+    # session/codegen startup, the SECOND is pure fixed work (~0.1-0.3s on
+    # an idle machine). A multiple of that in the recorded JSON means the
+    # run was co-tenant-loaded and the query timings are inflated by the
+    # machine, not the plans (observed 3.6x whole-suite spread from
+    # contention).
+    t0 = time.perf_counter()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+    t1 = time.perf_counter()
+    spark.range(1_000_001).selectExpr("sum(id)").collect()  # steady-state probe
+    warmup_first_sec = round(t1 - t0, 3)
+    warmup_sec = round(time.perf_counter() - t1, 3)
     # Warm the OS page cache over the inputs: timings should measure the
     # engine, not whether the VM's virtual disk happens to have the files
     # cached (observed 3-4x whole-suite swings from cold page cache alone).
@@ -82,6 +93,8 @@ def main() -> int:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "warmup_sec": warmup_sec,
+                "warmup_first_sec": warmup_first_sec,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -163,39 +163,62 @@ def ivf_centroids(
 ) -> DataFrame:
     """(list_id, centroid) centroid table for an IVF index.
 
-    Seeding is deterministic with zero driver state: the ``n_list`` corpus
-    vectors with the smallest ``xxhash64(id, seed)`` become the initial
-    centroids (a seeded uniform sample — no ``rand()``, reruns identical).
-    ``iters`` Lloyd steps refine them: assign every vector to its nearest
-    centroid (broadcast centroids, one corpus scan), then recompute each
-    centroid as the element-wise mean via posexplode + (list_id, dim)
-    aggregate — two shuffles per iteration, each carrying only
-    O(n_list * dim) after partial aggregation.
+    Seeding is deterministic: the ``n_list`` corpus vectors with the
+    smallest ``xxhash64(id, seed)`` become the initial centroids (a seeded
+    uniform sample — no ``rand()``, reruns identical). ``iters`` Lloyd
+    steps refine them: assign every vector to its nearest centroid, then
+    recompute each centroid as the element-wise mean.
+
+    Scale shape: centroids are O(n_list * dim) and small-by-contract, so
+    within ``IvfIndex.MAX_DRIVER_CELLS`` they live on the driver — each
+    Lloyd iteration is then ONE shuffle-free Arrow-batched corpus scan
+    (closure-broadcast centroid matrix, BLAS matmul per batch) emitting
+    per-batch (list_id, n, sum) partials that the driver reduces. Above
+    the bound, the fully distributed fallback (broadcast-join assignment,
+    two-stage posexplode mean reassembly) runs instead.
     """
+    spark = corpus.sparkSession
+    schema = "list_id: int, centroid: array<double>"
     seeds = (
         corpus.select(
-            F.col(vec_col).alias("centroid"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
             F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
         )
         .orderBy("_h")
         .limit(n_list)
+        .collect()
     )
-    # n_list rows: the single-partition window is trivially cheap. The
-    # partition key is a constant but NON-FOLDABLE expression — Catalyst
-    # constant-folds a literal key out of the spec entirely, which re-arms
-    # Spark's global-window warning on every run.
-    one_part = F.pmod(F.col("_h"), F.lit(1))
-    cents = seeds.select(
-        (F.row_number().over(Window.partitionBy(one_part).orderBy("_h")) - 1).alias(
-            "list_id"
-        ),
-        F.col("centroid").cast("array<double>").alias("centroid"),
-    )
+    # (list_id, vector) on the driver — O(n_list * dim), small-by-contract
+    cent_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
+    dim = len(cent_rows[0][1]) if cent_rows else 0
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    small = cent_rows and n_list * dim <= IvfIndex.MAX_DRIVER_CELLS
+    if small:
+        # Tight Lloyd loop: each iteration is ONE shuffle-free corpus scan
+        # emitting per-batch (list_id, n, sum) partials; the driver sums the
+        # O(n_batches * n_list) partials and divides. Partials are reduced
+        # in (list_id, collect order), so reruns on the same partitioning
+        # are bit-identical.
+        import numpy as np
+
+        for _ in range(iters):
+            parts = _list_partials(vecs, cent_rows).collect()
+            acc: dict[int, tuple] = {}
+            for r in sorted(parts, key=lambda r: r["list_id"]):
+                n0, s0 = acc.get(r["list_id"], (0, 0.0))
+                acc[r["list_id"]] = (n0 + r["n"], s0 + np.array(r["s"]))
+            # lists that attracted no vectors drop out, same as the
+            # distributed groupBy formulation
+            cent_rows = [
+                (lid, (s / n).tolist()) for lid, (n, s) in sorted(acc.items())
+            ]
+        return spark.createDataFrame(cent_rows, schema)
+    # Big-centroid path (n_list * dim beyond literal/driver bounds): fully
+    # distributed — broadcast-join assignment, two-stage mean reassembly.
+    cents = spark.createDataFrame(cent_rows, schema)
     for _ in range(iters):
         bc = F.broadcast(cents)
-        assigned = _assign_lists(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), bc
-        )
+        assigned = _assign_lists(vecs, bc)
         by_dim = (
             assigned.select("list_id", F.posexplode(F.col("v").cast("array<double>")).alias("dim", "x"))
             .groupBy("list_id", "dim")
@@ -210,6 +233,109 @@ def ivf_centroids(
             )
         )
     return cents
+
+
+def _cent_matrix(cent_rows: list):
+    """(lids int32[L], normalized centroid matrix float64[L,D]) for the
+    Arrow-batched passes below."""
+    import numpy as np
+
+    lids = np.array([lid for lid, _ in cent_rows], dtype=np.int32)
+    cent = np.array([vec for _, vec in cent_rows], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0] = 1.0
+    return lids, cent / norms[:, None]
+
+
+def _best_lists(batch, lids, cent_unit):
+    """argmax-cosine list per row of an Arrow batch (numpy, BLAS matmul).
+    ``cent_rows`` are ordered by list_id, so argmax's first-max rule
+    reproduces the (cosine desc, list_id asc) tie-break of the join path."""
+    import numpy as np
+
+    V = np.array(batch.column("v").to_pylist(), dtype=np.float64)
+    vn = np.linalg.norm(V, axis=1)
+    vn[vn == 0] = 1.0
+    sims = (V / vn[:, None]) @ cent_unit.T
+    return lids[np.argmax(sims, axis=1)]
+
+
+def _assign_lists_arrow(vecs: DataFrame, cent_rows: list) -> DataFrame:
+    """Nearest-centroid assignment as a ZERO-shuffle Arrow-batched pass:
+    the corpus is scanned once and never moves, each batch matrix-multiplies
+    against the closure-broadcast centroid matrix — the 100 TB assignment
+    shape (the join+groupBy alternative shuffles the full corpus to group
+    by id, and an inlined-literal expression melts codegen once n_list*dim
+    grows). Mirrors the repo's knn_cosine_arrow pattern."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # fresh StructType: .add() would mutate the frame's own schema object
+    out_schema = StructType(
+        list(vecs.schema.fields) + [StructField("list_id", IntegerType())]
+    )
+
+    def fn(batches):
+        import pyarrow as pa_
+
+        lids, cent_unit = _cent_matrix(cent_rows)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            best = _best_lists(b, lids, cent_unit)
+            yield b.append_column("list_id", pa_.array(best, pa_.int32()))
+
+    return vecs.mapInArrow(fn, out_schema)
+
+
+def _list_partials(vecs: DataFrame, cent_rows: list) -> DataFrame:
+    """Per-Arrow-batch partial sums for the Lloyd mean update:
+    (list_id, n, s[dim]) — one corpus scan, NO shuffle; the driver sums the
+    O(n_batches * n_list) partials and divides. Replaces a
+    posexplode + two-shuffle aggregate whose result was tiny anyway."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("list_id", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa_
+
+        lids, cent_unit = _cent_matrix(cent_rows)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            V = np.array(b.column("v").to_pylist(), dtype=np.float64)
+            best = _best_lists(b, lids, cent_unit)
+            out_l, out_n, out_s = [], [], []
+            for lid in np.unique(best):
+                mask = best == lid
+                out_l.append(int(lid))
+                out_n.append(int(mask.sum()))
+                out_s.append(V[mask].sum(axis=0).tolist())
+            yield pa_.RecordBatch.from_arrays(
+                [
+                    pa_.array(out_l, pa_.int32()),
+                    pa_.array(out_n, pa_.int64()),
+                    pa_.array(out_s, pa_.list_(pa_.float64())),
+                ],
+                schema=pa_.schema(
+                    [
+                        pa_.field("list_id", pa_.int32()),
+                        pa_.field("n", pa_.int64()),
+                        pa_.field("s", pa_.list_(pa_.float64())),
+                    ]
+                ),
+            )
+
+    return vecs.mapInArrow(fn, out_schema)
 
 
 def _assign_lists(vecs: DataFrame, centroids) -> DataFrame:
@@ -241,10 +367,34 @@ class IvfIndex:
     vector store serves repeated query traffic.
     """
 
-    def __init__(self, centroids: DataFrame, assigned: DataFrame, *, persisted: bool):
+    # bound on keeping the centroid matrix driver/closure-resident
+    # (n_list * dim cells ~= 32 MB of float64) — above it the fully
+    # distributed join paths run instead
+    MAX_DRIVER_CELLS = 1 << 22
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        assigned: DataFrame,
+        *,
+        persisted: bool,
+        cent_rows: list | None = None,
+    ):
         self.centroids = centroids
         self.assigned = assigned
+        self.cent_rows = cent_rows  # driver copy when small enough to inline
         self._persisted = persisted
+
+    @staticmethod
+    def _materialize_centroids(spark, cents_lazy: DataFrame):
+        """Centroids are O(n_list) small-by-contract: run the seeding +
+        Lloyd subplan ONCE, pin the result as a driver-local literal frame.
+        Left lazy, every broadcast/probe use would re-execute that subplan
+        (a corpus scan + three shuffles per use)."""
+        rows = cents_lazy.collect()
+        cent_rows = [(r["list_id"], list(r["centroid"])) for r in rows]
+        cents = spark.createDataFrame(rows, schema=cents_lazy.schema)
+        return cents, cent_rows
 
     @classmethod
     def build(
@@ -258,38 +408,86 @@ class IvfIndex:
         seed: int = 42,
         persist: bool = True,
     ) -> "IvfIndex":
-        cents = ivf_centroids(
+        cents_lazy = ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_list=n_list, iters=iters, seed=seed
         )
-        assigned = _assign_lists(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-            F.broadcast(cents),
-        ).select(F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "list_id")
+        cents, cent_rows = cls._materialize_centroids(corpus.sparkSession, cents_lazy)
+        dim = len(cent_rows[0][1]) if cent_rows else 0
+        vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        if cent_rows and len(cent_rows) * dim <= cls.MAX_DRIVER_CELLS:
+            # zero-shuffle assignment: corpus scanned once, never moved
+            assigned = _assign_lists_arrow(vecs, cent_rows)
+        else:
+            cent_rows = None
+            assigned = _assign_lists(vecs, F.broadcast(cents))
+        assigned = assigned.select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "list_id"
+        )
         if persist:
             # eager persist: materialize NOW so the first query batch
             # doesn't pay the assignment scan (and AQE never re-plans it)
             assigned = assigned.persist()
             assigned.count()
-        return cls(cents, assigned, persisted=persist)
+        return cls(cents, assigned, persisted=persist, cent_rows=cent_rows)
 
-    def topk(self, queries: DataFrame, *, id_col: str = "vec_id",
-             vec_col: str = "embedding", k: int = 10, nprobe: int = 4) -> DataFrame:
-        """(query_id, neighbor_id, cosine, rank) for the nprobe nearest
-        cells per query; ``nprobe = n_list`` is exact brute force."""
-        cents = F.broadcast(self.centroids)
-        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        qs = q.crossJoin(cents).select(
+    def _probes(self, q: DataFrame, nprobe: int) -> DataFrame:
+        """(query_id, q_vec, list_id) for the nprobe nearest cells per
+        query. Driver-resident-centroid path: rank cells in one Arrow
+        numpy pass — no join, no window shuffle; big-centroid fallback:
+        broadcast join + row_number window (same (cosine desc, list_id
+        asc) ordering either way)."""
+        if self.cent_rows is not None:
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            cent_rows = self.cent_rows
+            out_schema = StructType(
+                list(q.schema.fields) + [StructField("list_id", IntegerType())]
+            )
+
+            def fn(batches):
+                import numpy as np
+                import pyarrow as pa_
+
+                lids, cent_unit = _cent_matrix(cent_rows)
+                for b in batches:
+                    if b.num_rows == 0:
+                        continue
+                    V = np.array(b.column("q_vec").to_pylist(), dtype=np.float64)
+                    vn = np.linalg.norm(V, axis=1)
+                    vn[vn == 0] = 1.0
+                    sims = (V / vn[:, None]) @ cent_unit.T
+                    take_rows, take_lids = [], []
+                    np_ = min(nprobe, len(lids))
+                    for i in range(b.num_rows):
+                        # stable sort of -sims: desc by sim, ties -> first
+                        # occurrence = smaller list_id (cent_rows ordered)
+                        order = np.argsort(-sims[i], kind="stable")[:np_]
+                        take_rows.extend([i] * len(order))
+                        take_lids.extend(lids[order].tolist())
+                    yield b.take(pa_.array(take_rows, pa_.int64())).append_column(
+                        "list_id", pa_.array(take_lids, pa_.int32())
+                    )
+
+            return q.mapInArrow(fn, out_schema)
+        qs = q.crossJoin(F.broadcast(self.centroids)).select(
             "query_id",
             "q_vec",
             "list_id",
             cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("_sim"),
         )
         wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("list_id"))
-        probes = (
+        return (
             qs.withColumn("_r", F.row_number().over(wq))
             .filter(F.col("_r") <= nprobe)
             .select("query_id", "q_vec", "list_id")
         )
+
+    def topk(self, queries: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10, nprobe: int = 4) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank) for the nprobe nearest
+        cells per query; ``nprobe = n_list`` is exact brute force."""
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        probes = self._probes(q, nprobe)
         joined = self.assigned.join(F.broadcast(probes), "list_id").filter(
             F.col("neighbor_id") != F.col("query_id")
         )
@@ -326,10 +524,16 @@ class IvfIndex:
     def load(cls, spark, path: str) -> "IvfIndex":
         """Reopen a saved index. The assigned corpus stays on disk (its
         list_id partitioning makes probes prune); persist() it explicitly
-        for hot-serving if memory allows."""
-        cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+        for hot-serving if memory allows. Centroids (tiny) are pulled to
+        the driver so probes take the literal no-shuffle path."""
+        cents, cent_rows = cls._materialize_centroids(
+            spark, spark.read.parquet(path.rstrip("/") + "/centroids")
+        )
         assigned = spark.read.parquet(path.rstrip("/") + "/assigned")
-        return cls(cents, assigned, persisted=False)
+        dim = len(cent_rows[0][1]) if cent_rows else 0
+        if not cent_rows or len(cent_rows) * dim > cls.MAX_DRIVER_CELLS:
+            cent_rows = None
+        return cls(cents, assigned, persisted=False, cent_rows=cent_rows)
 
 
 def ivf_topk(

@@ -59,36 +59,87 @@ def digit_ratio(text: Column) -> Column:
     return F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
-    """Fraction of whitespace tokens that are (lowercased) stopwords,
-    computed with array ops — no explode."""
-    words = F.split(F.trim(F.lower(text)), r"\s+")
+def _lower_words(text: Column) -> Column:
+    """The shared casefolded whitespace tokenization every word-level metric
+    consumes. Materialize it ONCE as an intermediate column when combining
+    metrics (see :func:`analyze` / :func:`score_quality`) — inlining it per
+    metric multiplies the generated code and the per-row work."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _stopword_ratio_from_words(
+    words: Column, stopwords: list[str] | None = None
+) -> Column:
     sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
     hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
     total = F.size(words)
     return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality heuristic: length sweet-spot, low punct/digit
-    noise, healthy stopword presence. Weights are fixed and documented so
-    the score is stable across releases."""
-    n = F.length(text)
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords,
+    computed with array ops — no explode."""
+    return _stopword_ratio_from_words(_lower_words(text), stopwords)
+
+
+def _quality_from_parts(n: Column, pr: Column, dr: Column, sw: Column) -> Column:
+    """The documented fixed-weight quality formula over precomputed parts
+    (length, punct ratio, digit ratio, stopword ratio). ``sw`` is referenced
+    exactly once — ``least(1, sw*20)`` is value-identical to the published
+    ``CASE WHEN sw > 0.05 THEN 1 ELSE sw*20 END`` for sw >= 0 — so callers
+    that bind ``sw`` to an expensive expression don't pay it twice."""
     len_score = F.when(n < 20, n / F.lit(20.0)).when(n > 10000, F.lit(0.5)).otherwise(F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
-    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(text) * 4)
-    sw = stopword_ratio(text)
-    sw_score = F.when(sw > 0.05, F.lit(1.0)).otherwise(sw * 20)
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - pr * 4)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - dr * 4)
+    sw_score = F.least(F.lit(1.0), sw * 20)
     return F.round(
         len_score * 0.3 + punct_pen * 0.25 + digit_pen * 0.2 + sw_score * 0.25, 6
     )
 
 
-def lang_id(text: Column) -> Column:
-    """Heuristic language ID: count marker-stopword hits per language,
-    pick the max (ties broken by language code order); 'und' when nothing
-    matches. Pure array expressions."""
-    words = F.split(F.trim(F.lower(text)), r"\s+")
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, low punct/digit
+    noise, healthy stopword presence. Weights are fixed and documented so
+    the score is stable across releases.
+
+    Column form for composability; when scoring a whole frame prefer
+    :func:`score_quality`, which materializes the shared subexpressions once
+    instead of inlining them into one oversized projection."""
+    return _quality_from_parts(
+        F.length(text), punct_ratio(text), digit_ratio(text), stopword_ratio(text)
+    )
+
+
+def score_quality(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "quality"
+) -> DataFrame:
+    """DataFrame-level quality scoring with explicit common-subexpression
+    reuse: length / punct / digit / stopword parts are bound as intermediate
+    columns in one projection and the score is a second, tiny projection
+    over them. Multi-referenced non-trivial aliases stop Catalyst's
+    CollapseProject from re-inlining, so the generated code stays small —
+    the column-inlined form of this same formula generated duplicated
+    regex/array subtrees big enough to thrash the JIT code cache
+    (13x slowdown observed at sf0.1 inside a long-lived session)."""
+    t = F.col(text_col)
+    parts = df.withColumns(
+        {
+            "__q_n": F.length(t),
+            "__q_pr": punct_ratio(t),
+            "__q_dr": digit_ratio(t),
+            "__q_sw": stopword_ratio(t),
+        }
+    )
+    scored = parts.withColumn(
+        out_col,
+        _quality_from_parts(
+            F.col("__q_n"), F.col("__q_pr"), F.col("__q_dr"), F.col("__q_sw")
+        ),
+    )
+    return scored.drop("__q_n", "__q_pr", "__q_dr", "__q_sw")
+
+
+def _lang_id_from_words(words: Column) -> Column:
     scores = []
     for code in sorted(_LANG_MARKERS):
         markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[code]])
@@ -96,6 +147,13 @@ def lang_id(text: Column) -> Column:
         scores.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: count marker-stopword hits per language,
+    pick the max (ties broken by language code order); 'und' when nothing
+    matches. Pure array expressions."""
+    return _lang_id_from_words(_lower_words(text))
 
 
 def dup_word_ratio(text: Column) -> Column:
@@ -154,18 +212,49 @@ def rolling_hash(text: Column, *, window: int = 16, mod: int = 1 << 31) -> Colum
 
 
 def analyze(df: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """One-projection text-analysis pass attaching all metrics."""
+    """Text-analysis pass attaching all metrics. Staged so each shared
+    subexpression — the casefolded word array, the punct/digit/stopword
+    ratios — is computed exactly once and reused by every metric that needs
+    it (the word array alone feeds stopword_ratio, quality and lang_id).
+    Still a zero-shuffle narrow pipeline: the stages are projections that
+    Catalyst keeps separate only because the shared aliases are
+    multi-referenced, which is precisely the point."""
     t = F.col(text_col)
-    return df.select(
-        "*",
-        whitespace_token_count(t).alias("n_tokens"),
-        bpe_token_count(t).alias("n_bpe_tokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(upper_ratio(t), 6).alias("upper_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_guess"),
-        fingerprint(t).alias("fingerprint"),
+    original = df.columns
+    staged = df.withColumns(
+        {
+            "__t_words": _lower_words(t),
+            "n_tokens": whitespace_token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
+            "__t_pr": punct_ratio(t),
+            "__t_dr": digit_ratio(t),
+            "__t_ur": upper_ratio(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
+    w = F.col("__t_words")
+    staged = staged.withColumns(
+        {
+            "__t_sw": _stopword_ratio_from_words(w),
+            "lang_guess": _lang_id_from_words(w),
+        }
+    )
+    staged = staged.withColumn(
+        "quality",
+        _quality_from_parts(
+            F.length(t), F.col("__t_pr"), F.col("__t_dr"), F.col("__t_sw")
+        ),
+    )
+    return staged.select(
+        *original,
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round("__t_pr", 6).alias("punct_ratio"),
+        F.round("__t_sw", 6).alias("stopword_ratio"),
+        F.round("__t_ur", 6).alias("upper_ratio"),
+        "quality",
+        "lang_guess",
+        "fingerprint",
     )
 
 

@@ -66,6 +66,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("MORTAR_SPARK_DRIVER_MEM", "16g"))
+        # Long-lived sessions compile one codegen'd class per distinct plan;
+        # the JVM default code cache (240m) fills under a wide query mix and
+        # the JIT then deoptimizes hot loops to interpreted bytecode —
+        # observed as a 13x slowdown on an expression-heavy projection late
+        # in a 20-query run. 512m keeps compiled code resident.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     if s3_endpoint is not None:
         builder = builder.config("spark.hadoop.fs.s3a.endpoint", s3_endpoint).config(

@@ -160,15 +160,20 @@ class TimeseriesLake:
                 spill = spill_root.rstrip("/") + "/lake_batches_" + _uuid.uuid4().hex
             try:
                 df.write.mode("overwrite").parquet(spill)
-                # PyArrow speaks s3:// where Hadoop speaks s3a://.
+                # PyArrow speaks s3:// where Hadoop speaks s3a://, and wants
+                # a bare path for local file:// URIs.
                 read_path = spill.replace("s3a://", "s3://", 1)
+                if read_path.startswith("file:"):
+                    # Hadoop renders local URIs as file:/p, file:///p, ...;
+                    # PyArrow wants the bare path.
+                    read_path = "/" + read_path[len("file:"):].lstrip("/")
                 dataset = pads.dataset(read_path, format="parquet")
                 yield from dataset.to_batches(batch_size=max_rows)
             finally:
                 if local_tmp:
                     shutil.rmtree(spill, ignore_errors=True)
                 else:
-                    _rm_shared(spill)
+                    _rm_shared(self.spark, spill)
 
         return gen()
 
@@ -215,20 +220,39 @@ def _batches_via_local_iterator(df: DataFrame, max_rows: int) -> Iterator:
 
 
 def _rows_to_batch(rows: list, schema, pa):
-    """Build one Arrow RecordBatch from buffered Rows, column-wise."""
-    columns = [
-        pa.array([row[i] for row in rows], type=field.type)
-        for i, field in enumerate(schema)
-    ]
+    """Build one Arrow RecordBatch from buffered Rows, column-wise.
+
+    Timestamp care: ``toLocalIterator`` yields TIMESTAMP (LTZ) values as
+    NAIVE datetimes in the DRIVER's local timezone, while the Arrow schema
+    annotates those fields ``timestamp[us, tz=UTC]`` — storing the naive
+    wall-clock as-is would shift every instant by the driver's UTC offset
+    on any non-UTC driver. ``astimezone(utc)`` on a naive datetime
+    interprets it as driver-local time and normalizes to the true UTC
+    instant, so both ``to_batches`` paths yield identical values no matter
+    where the driver runs. tz-less fields (TIMESTAMP_NTZ) pass through
+    untouched."""
+    from datetime import timezone
+
+    columns = []
+    for i, field in enumerate(schema):
+        values = [row[i] for row in rows]
+        if pa.types.is_timestamp(field.type) and field.type.tz is not None:
+            values = [
+                v.astimezone(timezone.utc)
+                if v is not None and v.tzinfo is None
+                else v
+                for v in values
+            ]
+        columns.append(pa.array(values, type=field.type))
     return pa.RecordBatch.from_arrays(columns, schema=schema)
 
 
-def _rm_shared(path: str) -> None:
+def _rm_shared(spark: SparkSession, path: str) -> None:
     """Delete a spill directory on whatever filesystem ``path`` lives on
-    (HDFS / s3a / NFS), via Hadoop's FileSystem so the scheme is honored."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        return
+    (HDFS / s3a / NFS), via Hadoop's FileSystem so the scheme is honored.
+    The owning session is passed explicitly — ``getActiveSession()`` is
+    thread-local and returns None off the creating thread, which would
+    silently leak the spill."""
     try:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -39,9 +39,16 @@ def windowed_rollup_stream(
 def _events_stream(spark: SparkSession, sf_dir: str):
     """File stream over the events parquet with the same ts normalization
     as the batch loader (tables.load_table): INT64-nanos fixtures are
-    rebuilt as µs timestamps; µs-timestamp fixtures pass through."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rebuilt as µs timestamps; µs-timestamp fixtures pass through.
+
+    Event-time REQUIREMENT: ``withWatermark`` / event-time state only accept
+    TIMESTAMP (with local tz), never TIMESTAMP_NTZ — so whatever the fixture
+    encoding, ``ts`` is cast to ``timestamp`` here. The session runs in UTC
+    (session.py), which makes the NTZ->LTZ cast value-preserving, and every
+    batch-vs-stream equivalence (and the DuckDB oracle) agrees."""
+    from ..tables import read_events_raw
+
+    batch = read_events_raw(spark, sf_dir)
     raw = (
         spark.readStream.schema(batch.schema)
         .format("parquet")
@@ -50,7 +57,9 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     )
     if dict(batch.dtypes)["ts"] in ("bigint", "long"):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw
+    # NTZ (or anything else) -> event-time-capable TIMESTAMP; no-op when the
+    # column already is one.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream_df, *, output_mode: str) -> DataFrame:
@@ -205,30 +214,11 @@ def _interval_seconds(spec: str) -> int:
 def stream_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming rollup to completion over the events parquet with
     availableNow + a memory sink; returns the final aggregate as a batch
-    DataFrame. (events.ts is ns — the streaming reader gets the same
-    nanosAsLong + rebuild treatment as the batch loader.)"""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # raw: ts as long
-    # the directory holds all tables; restrict to the events file pattern
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    # watermarks require TIMESTAMP (not NTZ): rebuild as absolute µs instants
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    agg = windowed_rollup_stream(ev)
-    name = "mortar_stream_rollup_" + next(tempfile._get_candidate_names())  # unique sink
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
+    DataFrame. Reads through ``_events_stream`` so every fixture encoding
+    (INT64-nanos or µs timestamp) gets the same normalization + the
+    event-time TIMESTAMP cast the watermark requires."""
+    ev = _events_stream(spark, sf_dir)
+    out = _run_to_memory(windowed_rollup_stream(ev), output_mode="complete")
     return out.select(
         "event_type",
         "bucket",

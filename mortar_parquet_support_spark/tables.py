@@ -24,17 +24,33 @@ TABLES = [
 ]
 
 
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events parquet as-written, handling the INT64-nanos
+    encoding. ``nanosAsLong`` is only set when the file actually needs it
+    (a plain read throws PARQUET_TYPE_ILLEGAL on a nanos column), so the
+    session conf stays honest for fixtures that don't."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw = read_events_raw(spark, sf_dir)
         if dict(raw.dtypes)["ts"] in ("bigint", "long"):
             # INT64 TIMESTAMP(NANOS) file read via nanosAsLong: rebuild µs NTZ
             ts_ntz = F.expr(
                 "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             )
-            raw = raw.withColumn("ts", ts_ntz)
-        return raw  # already a timestamp: current fixtures write µs directly
+            return raw.withColumn("ts", ts_ntz)
+        # µs-timestamp fixtures: normalize to NTZ so BOTH fixture
+        # generations yield the same session-tz-independent type for
+        # collect, window boundaries, and the DuckDB oracle (an
+        # isAdjustedToUTC file would otherwise surface as LTZ).
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
