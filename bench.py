@@ -60,6 +60,15 @@ def main() -> int:
     # contention).
     t0 = time.perf_counter()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+    # Spawn the Python/Arrow worker pool (one per core, reused afterwards):
+    # session startup cost, not part of any one query's throughput.
+    def _identity(batches):
+        yield from batches
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.range(0, 1_000, 1, cpus).mapInArrow(_identity, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
     t1 = time.perf_counter()
     spark.range(1_000_001).selectExpr("sum(id)").collect()  # steady-state probe
     warmup_first_sec = round(t1 - t0, 3)

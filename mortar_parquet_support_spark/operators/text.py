@@ -124,11 +124,14 @@ def score_quality(
     t = F.col(text_col)
     parts = df.withColumns(
         {
+            "__q_words": _lower_words(t),
             "__q_n": F.length(t),
             "__q_pr": punct_ratio(t),
             "__q_dr": digit_ratio(t),
-            "__q_sw": stopword_ratio(t),
         }
+    )
+    parts = parts.withColumn(
+        "__q_sw", _stopword_ratio_from_words(F.col("__q_words"))
     )
     scored = parts.withColumn(
         out_col,
@@ -136,7 +139,7 @@ def score_quality(
             F.col("__q_n"), F.col("__q_pr"), F.col("__q_dr"), F.col("__q_sw")
         ),
     )
-    return scored.drop("__q_n", "__q_pr", "__q_dr", "__q_sw")
+    return scored.drop("__q_words", "__q_n", "__q_pr", "__q_dr", "__q_sw")
 
 
 def _lang_id_from_words(words: Column) -> Column:

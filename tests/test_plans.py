@@ -154,3 +154,41 @@ def test_strip_boilerplate_bounded_shuffles(spark, sf_dir):
     p = _plan(spark, "strip_boilerplate", sf_dir)
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    # the 100 TB IVF property: nearest-centroid assignment is one Arrow
+    # pass over the corpus — no Exchange, no Join (the centroid matrix
+    # rides in the task closure, the corpus never moves)
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.operators.similarity import IvfIndex
+    from mortar_parquet_support_spark.tables import load_table
+    from tests.conftest import plan_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(emb, n_list=4, persist=False)
+    p = plan_str(idx.assigned)
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    # probes stay broadcast against the assigned corpus: the corpus side of
+    # the probe join must never hash-shuffle
+    pq = plan_str(idx.topk(emb.filter(F.col("vec_id") < 3), k=3, nprobe=2))
+    assert "BroadcastHashJoin" in pq, pq
+    assert "SortMergeJoin" not in pq and "CartesianProduct" not in pq, pq
+
+
+def test_score_quality_computes_shared_parts_once(spark, sf_dir):
+    # CSE guard (r6 regression: 13x from duplicated subtrees): the word
+    # split and each regexp ratio must appear exactly once in the final
+    # physical plan of the DataFrame-level quality scorer
+    from mortar_parquet_support_spark.operators.text import score_quality
+    from mortar_parquet_support_spark.tables import load_table
+    from tests.conftest import plan_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_str(score_quality(docs).select("doc_id", "quality"))
+    assert p.count("split(") == 1, p
+    # regexp_count compiles to size(regexp_extract_all(...)): punct + digit,
+    # once each
+    assert p.count("regexp_extract_all") == 2, p
