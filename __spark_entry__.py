@@ -1623,23 +1623,42 @@ def _streaming_sessionize(spark, sf_dir):
     return _run_to_memory(sess, output_mode="append")
 
 
-@_register("streaming_enrich")
+@_register(
+    "streaming_enrich",
+    """
+    SELECT e.user_id, e.event_id, e.event_type, e.value,
+           c.c_name AS user_name, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
 def _streaming_enrich(spark, sf_dir):
     """Stream-static enrichment join (streaming/rollup.py stream_enrich):
     events stream decorated from the customer dim per micro-batch, no
-    streaming state. Equality with the batch join is pytest-verified;
-    Structured Streaming emission -> rows-only."""
+    streaming state. The availableNow emission over a static fixture is
+    exactly the batch left join, so it IS oracle-checkable."""
     from mortar_parquet_support_spark.streaming.rollup import stream_enrich_once
 
     return stream_enrich_once(spark, sf_dir)
 
 
-@_register("streaming_interval_join")
+@_register(
+    "streaming_interval_join",
+    """
+    SELECT p.user_id AS user_id, p.event_id AS event_id, p.ts AS ts,
+           c.event_id AS event_id_r, c.ts AS ts_r
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '5 minutes'
+                  AND p.ts + INTERVAL '5 minutes'
+    """,
+)
 def _streaming_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join (streaming/rollup.py):
     purchases joined to same-user clicks within a 5-minute band — bounded
-    state via the time band + watermark. Streaming emission -> rows-only;
-    equality with the batch banded join is pytest-verified."""
+    state via the time band + watermark. With the watermark far wider than
+    the fixture's span, a single availableNow pass emits exactly the batch
+    banded join, so the SQL oracle applies."""
     from mortar_parquet_support_spark.streaming.rollup import (
         stream_interval_join_once,
     )
@@ -1660,11 +1679,22 @@ def _streaming_distinct_rollup(spark, sf_dir):
     return stream_distinct_rollup_once(spark, sf_dir)
 
 
-@_register("streaming_rollup")
+@_register(
+    "streaming_rollup",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def _streaming_rollup(spark, sf_dir):
     """Structured Streaming windowed rollup (streaming/rollup.py) driven to
-    completion with availableNow over the events parquet; returns the final
-    aggregate as a batch DataFrame."""
+    completion with availableNow over the events parquet; complete-mode
+    emission over the static fixture equals the batch 15-minute bucket
+    aggregate, so the SQL oracle applies (UTC session tz makes Spark's
+    window starts and DuckDB's time_bucket agree)."""
     from mortar_parquet_support_spark.streaming.rollup import stream_rollup_once
 
     return stream_rollup_once(spark, sf_dir)
@@ -2247,8 +2277,12 @@ def oracle_sql() -> dict[str, str]:
     exact are pytest-verified), multimodal_features (Python decode in
     mapInPandas — the one intentionally-Python op), sparql_bridges (SPARQL
     engine, no SQL equivalent without the triples loaded), ingest_roundtrip
-    (filesystem side effects), streaming_enrich / streaming_rollup /
-    streaming_sessionize / streaming_interval_join /
-    streaming_distinct_rollup (Structured Streaming; emission depends on
-    watermark progression — but note streaming_dedup IS oracle-checked)."""
+    (filesystem side effects), streaming_sessionize (EventTimeTimeout
+    never flushes the final open session per key, so availableNow output
+    is a strict subset of batch sessionization) and
+    streaming_distinct_rollup (HLL++ values are engine-specific). The
+    other streaming entries — streaming_dedup, streaming_enrich,
+    streaming_rollup, streaming_interval_join — ARE oracle-checked: over a
+    static fixture with a watermark wider than its time span, availableNow
+    emission equals the equivalent batch SQL."""
     return dict(_ORACLES)

