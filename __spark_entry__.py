@@ -1119,10 +1119,11 @@ def _knn_ivf(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     index = IvfIndex.build(emb, n_list=8, persist=True)
-    out = index.topk(emb.filter(F.col("vec_id") < 10), k=5, nprobe=8)
-    rounded = out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
-    )
+    # rank ONCE, directly on the rounded score (scored_candidates skips
+    # topk's internal window — ranking twice would double the window cost)
+    rounded = index.scored_candidates(
+        emb.filter(F.col("vec_id") < 10), nprobe=8
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

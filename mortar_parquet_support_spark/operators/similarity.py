@@ -482,19 +482,32 @@ class IvfIndex:
             .select("query_id", "q_vec", "list_id")
         )
 
-    def topk(self, queries: DataFrame, *, id_col: str = "vec_id",
-             vec_col: str = "embedding", k: int = 10, nprobe: int = 4) -> DataFrame:
-        """(query_id, neighbor_id, cosine, rank) for the nprobe nearest
-        cells per query; ``nprobe = n_list`` is exact brute force."""
+    def scored_candidates(
+        self, queries: DataFrame, *, id_col: str = "vec_id",
+        vec_col: str = "embedding", nprobe: int = 4,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, cosine) for every corpus vector in the
+        nprobe nearest cells of each query — the probe join + scoring
+        WITHOUT the final ranking window, for callers that apply their own
+        ranking policy (e.g. rank on a rounded score for cross-engine
+        determinism) and shouldn't pay two windows."""
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         probes = self._probes(q, nprobe)
         joined = self.assigned.join(F.broadcast(probes), "list_id").filter(
             F.col("neighbor_id") != F.col("query_id")
         )
-        scored = joined.select(
+        return joined.select(
             "query_id",
             "neighbor_id",
             cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+
+    def topk(self, queries: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10, nprobe: int = 4) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank) for the nprobe nearest
+        cells per query; ``nprobe = n_list`` is exact brute force."""
+        scored = self.scored_candidates(
+            queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
