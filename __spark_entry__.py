@@ -1077,6 +1077,45 @@ def _multimodal_features(spark, sf_dir):
     )
 
 
+@_register("multimodal_resize")
+def _multimodal_resize(spark, sf_dir):
+    """REAL image resize through the Arrow-batched resize_images operator
+    (operators/multimodal.py): deterministic 8x8 grayscale PNGs are
+    synthesized from doc ids (stdlib encoder, operators/imaging.py),
+    resized to 4x4 with vectorized nearest-neighbor resampling, and
+    re-encoded. Output is the decoded-deterministic md5 of the resized PNG
+    bytes plus updated meta dims. Binary pipeline -> rows-only."""
+    import hashlib
+
+    from mortar_parquet_support_spark.operators.imaging import encode_png
+    from mortar_parquet_support_spark.operators.multimodal import (
+        MEDIA_SCHEMA, resize_images,
+    )
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(24).collect()
+    ]
+    rows = []
+    for i in ids:
+        digest = hashlib.md5(str(i).encode()).digest()
+        pixels = (digest * 4)[:64]  # 8x8 grayscale
+        png = encode_png(pixels, 8, 8, 1, filter_type=i % 5)
+        rows.append(
+            (str(i), bytearray(png), ("image", "png", len(png), 8, 8, None))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, width=4, height=4)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("content").alias("png_md5"),
+    ).orderBy("media_id")
+
+
 @_register(
     "knn_ivf",
     """
@@ -2275,8 +2314,9 @@ def oracle_sql() -> dict[str, str]:
     engine-specific by definition; exact counterparts oracle-checked via
     group_distinct / percentiles), hll_rollup (Datasketches HLL binaries
     are engine-specific; lossless hourly->daily merge and <5% error vs
-    exact are pytest-verified), multimodal_features (Python decode in
-    mapInPandas — the one intentionally-Python op), sparql_bridges (SPARQL
+    exact are pytest-verified), multimodal_features / multimodal_resize
+    (Python decode/re-encode in mapInPandas — the intentionally-Python
+    binary ops), sparql_bridges (SPARQL
     engine, no SQL equivalent without the triples loaded), ingest_roundtrip
     (filesystem side effects), streaming_sessionize (EventTimeTimeout
     never flushes the final open session per key, so availableNow output

@@ -157,3 +157,20 @@ def png_features(content: bytes, n_features: int) -> list[float]:
     feats = [float(width), float(height), float(channels), *means, std0]
     feats = feats[:n_features]
     return feats + [0.0] * (n_features - len(feats))
+
+
+def resize_nearest(
+    pixels: bytes, width: int, height: int, channels: int,
+    new_width: int, new_height: int,
+) -> bytes:
+    """Nearest-neighbor resample of a raw 8-bit channel-interleaved pixel
+    buffer (the decode_png layout). Vectorized: one numpy fancy-index over
+    the precomputed source row/column maps — no per-pixel Python."""
+    import numpy as np
+
+    if new_width <= 0 or new_height <= 0:
+        raise ValueError("target dimensions must be positive")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ys = (np.arange(new_height) * height) // new_height
+    xs = (np.arange(new_width) * width) // new_width
+    return arr[ys][:, xs].tobytes()

@@ -238,3 +238,68 @@ def frame_sample(
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Resize every image row to ``width`` x ``height`` as an Arrow-batched
+    ``mapInPandas`` pass; non-image rows (and NULL content) pass through
+    untouched. Returns the same (media_id, content, meta) shape with the
+    image bytes re-encoded and meta dims/size updated — so the resized
+    lake is still one prunable Parquet table.
+
+    Decode/encode tiers mirror ``extract_features``: PIL when importable
+    (any format it knows, re-encoded as PNG), the pure-stdlib PNG codec +
+    vectorized nearest-neighbor resample (operators/imaging.py) otherwise;
+    non-PNG images without PIL raise ``NotImplementedError`` (native codec
+    libraries are genuinely required — the Spark plumbing is identical)."""
+
+    def _resize_one(content: bytes) -> bytes:
+        try:
+            import io
+
+            from PIL import Image  # optional extra — absent in this container
+
+            img = Image.open(io.BytesIO(content))
+            out = io.BytesIO()
+            img.resize((width, height), Image.NEAREST).save(out, format="PNG")
+            return out.getvalue()
+        except ImportError:
+            from mortar_parquet_support_spark.operators.imaging import (
+                decode_png, encode_png, resize_nearest,
+            )
+
+            try:
+                w, h, ch, pix = decode_png(content)
+            except ValueError as exc:
+                # STUB for non-PNG formats: JPEG/WebP decode needs native
+                # libraries not in this container; PNG resizes for real.
+                raise NotImplementedError(
+                    f"resize without PIL supports PNG only: {exc}"
+                ) from exc
+            return encode_png(
+                resize_nearest(pix, w, h, ch, width, height), width, height, ch
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                meta = dict(meta)
+                if meta["modality"] == "image" and content is not None:
+                    content = _resize_one(bytes(content))
+                    meta["width"], meta["height"] = width, height
+                    meta["n_bytes"] = len(content)
+                contents.append(content)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": contents, "meta": metas}
+            )
+
+    return df.select("media_id", "content", "meta").mapInPandas(
+        batches, MEDIA_SCHEMA
+    )

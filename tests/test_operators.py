@@ -1108,3 +1108,63 @@ def test_top_tokens_deterministic_order(spark):
     )
     rows = [(r.token, r.freq) for r in top_tokens(df, text_col="text", k=10).collect()]
     assert rows == [("a", 3), ("b", 3), ("c", 1)]  # freq desc, token asc ties
+
+
+def test_resize_nearest_buffer():
+    """Vectorized nearest-neighbor resample: exact index-map semantics."""
+    import numpy as np
+
+    from mortar_parquet_support_spark.operators.imaging import resize_nearest
+
+    # 2x2 RGB distinct corners
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    up = resize_nearest(px, 2, 2, 3, 4, 4)
+    arr = np.frombuffer(up, np.uint8).reshape(4, 4, 3)
+    # each source pixel becomes a 2x2 block
+    assert arr[0, 0].tolist() == [255, 0, 0] and arr[1, 1].tolist() == [255, 0, 0]
+    assert arr[0, 3].tolist() == [0, 255, 0]
+    assert arr[3, 0].tolist() == [0, 0, 255]
+    assert arr[3, 3].tolist() == [255, 255, 0]
+    # downsample back picks the block anchors -> original image
+    assert resize_nearest(up, 4, 4, 3, 2, 2) == px
+
+
+def test_multimodal_resize_images(spark):
+    """resize_images: real PNG decode -> NN resample -> re-encode through
+    mapInPandas; meta dims/size updated; non-image rows pass through."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.operators.imaging import decode_png, encode_png
+    from mortar_parquet_support_spark.operators.multimodal import resize_images
+
+    red, blue = b"\xff\x00\x00", b"\x00\x00\xff"
+    # 2x2: red top row, blue bottom row
+    png = encode_png(red * 2 + blue * 2, 2, 2, 3, filter_type=2)
+    wav = b"not an image"
+    rows = [
+        ("img", bytearray(png), "image", "png"),
+        ("aud", bytearray(wav), "audio", "wav"),
+    ]
+    media = spark.createDataFrame(
+        rows, ["media_id", "content", "modality", "fmt"]
+    ).select(
+        "media_id",
+        F.col("content").cast("binary").alias("content"),
+        F.struct(
+            F.col("modality"),
+            F.col("fmt").alias("format"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    out = {r.media_id: r for r in resize_images(media, width=4, height=4).collect()}
+    w, h, ch, pix = decode_png(bytes(out["img"].content))
+    assert (w, h, ch) == (4, 4, 3)
+    assert out["img"].meta.width == 4 and out["img"].meta.height == 4
+    assert out["img"].meta.n_bytes == len(bytes(out["img"].content))
+    # top half red, bottom half blue after 2x upsample
+    assert pix[:3] == red and pix[3 * 4 * 2 :][:3] == blue
+    # audio row untouched, byte-for-byte
+    assert bytes(out["aud"].content) == wav

@@ -192,3 +192,20 @@ def test_score_quality_computes_shared_parts_once(spark, sf_dir):
     # regexp_count compiles to size(regexp_extract_all(...)): punct + digit,
     # once each
     assert p.count("regexp_extract_all") == 2, p
+
+
+def test_minhash_signatures_single_tiny_shuffle(spark, sf_dir):
+    # the 100 TB minhash property: shingle hashes form inside the row and
+    # partially aggregate BEFORE the exchange, so the plan's only shuffle
+    # carries num_perm longs per doc — no window, no sort, no pre-agg
+    # exchange of the exploded words
+    from mortar_parquet_support_spark.operators.dedup import minhash_signatures
+    from mortar_parquet_support_spark.tables import load_table
+    from tests.conftest import plan_str
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_str(minhash_signatures(docs, id_col="doc_id", text_col="text"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" not in p and "Sort" not in p.replace("array_sort", ""), p
+    # partial aggregation present on both sides of the exchange
+    assert p.count("HashAggregate") >= 2, p
