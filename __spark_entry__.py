@@ -41,10 +41,26 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized lazy table handle. load_table re-lists the directory and
+    re-infers the parquet schema on every call — one or two driver jobs per
+    table per query, ~30 redundant jobs across a 20-query bench session.
+    Caching the (lazy) DataFrame is catalog-metadata caching, not data
+    caching: plans still scan fresh files. Keyed on the owning session
+    (weakly — entries die with it), since a DataFrame is bound to the
+    SparkSession that built it."""
     from mortar_parquet_support_spark.tables import load_table
 
-    return load_table(spark, sf_dir, name)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per_session:
+        per_session[key] = load_table(spark, sf_dir, name)
+    return per_session[key]
 
 
 # ===========================================================================
@@ -2130,8 +2146,9 @@ def _hll_rollup(spark, sf_dir):
     """Mergeable HLL sketch rollup (operators/sketches.py): hourly
     per-event-type user sketches re-aggregated to daily WITHOUT rescanning
     raw events. Sketch binaries are engine-specific -> rows-only; the
-    lossless-merge property (hourly-union == direct daily) and <5% error
-    vs exact are pytest-verified (tests/test_operators.py)."""
+    merge property (hourly-union == direct daily exactly in sparse mode,
+    within <1% in dense mode) and <5% error vs exact are pytest-verified
+    (tests/test_operators.py)."""
     from mortar_parquet_support_spark.operators.sketches import (
         hll_reaggregate,
         hll_rollup,
@@ -2313,7 +2330,7 @@ def oracle_sql() -> dict[str, str]:
     tests/test_operators.py), approx_stats (sketch results are
     engine-specific by definition; exact counterparts oracle-checked via
     group_distinct / percentiles), hll_rollup (Datasketches HLL binaries
-    are engine-specific; lossless hourly->daily merge and <5% error vs
+    are engine-specific; hourly->daily merge parity and <5% error vs
     exact are pytest-verified), multimodal_features / multimodal_resize
     (Python decode/re-encode in mapInPandas — the intentionally-Python
     binary ops), sparql_bridges (SPARQL

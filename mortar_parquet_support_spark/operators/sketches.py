@@ -6,10 +6,12 @@ trick): a nightly job computes per-(hour, key) HLL sketches of e.g.
 distinct users — one scan of the raw events. Daily / weekly / all-time
 distinct counts are then answered by UNIONING the stored sketches
 (`hll_union_agg`), which touches kilobytes of sketch state instead of
-rescanning terabytes of raw rows. HLL union is lossless with respect to
-sketch state — `sketch(A ∪ B) == union(sketch(A), sketch(B))` bit-for-bit
-at the same lgConfigK — so the re-aggregated estimate equals what a direct
-coarse-grained sketch of the raw data would have produced (tested).
+rescanning terabytes of raw rows. HLL union preserves the distinct set's
+sketch information: in sparse mode the re-aggregated estimate equals a
+direct coarse-grained sketch of the raw data exactly; in dense mode the
+Datasketches union gadget (internally HLL_8) can differ from a directly
+built HLL_4 sketch by well under ±1% — never more than the sketch's own
+~1.6% error bound at lg_k=12 (tested at both regimes).
 
 Built on Spark's native Datasketches bindings (`hll_sketch_agg`,
 `hll_union_agg`, `hll_sketch_estimate`) — JVM-side, mergeable across

@@ -667,9 +667,12 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
 
 
 def test_hll_rollup_reaggregation_is_lossless(spark, sf_dir):
-    """Union of hourly sketches must equal a direct daily sketch estimate
-    (HLL merges are lossless w.r.t. sketch state), and estimates must be
-    within HLL error of exact distinct counts."""
+    """Union of hourly sketches must match a direct daily sketch: exactly
+    in sparse mode (small cardinalities), and within a whisker in dense
+    mode — the Datasketches union gadget is HLL_8 internally, so its
+    estimate can differ by ~±0.5% from a directly built HLL_4 sketch
+    (observed ±2 on ~550 distinct at sf0.1). Row counts must always sum
+    exactly, and estimates must be within HLL error of exact counts."""
     from mortar_parquet_support_spark.operators.sketches import (
         hll_reaggregate,
         hll_rollup,
@@ -700,7 +703,12 @@ def test_hll_rollup_reaggregation_is_lossless(spark, sf_dir):
         (str(r.day), r.event_type): (r.user_id_distinct, r.n)
         for r in direct_daily.collect()
     }
-    assert merged == direct  # lossless merge: same estimate, same counts
+    assert set(merged) == set(direct)
+    for k, (est_m, n_m) in merged.items():
+        est_d, n_d = direct[k]
+        assert n_m == n_d, k  # row counts sum exactly
+        # bound: 1% (< the sketch's own ~1.6% rsd at lg_k=12), floor of 4
+        assert abs(est_m - est_d) <= max(4, 0.01 * est_d), (k, est_m, est_d)
 
     exact = {
         (str(r.day), r.event_type): r.nd
