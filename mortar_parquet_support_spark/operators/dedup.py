@@ -106,10 +106,16 @@ def minhash_signatures(
     Documents with fewer than ``shingle_words`` tokens keep one
     whole-document shingle (trailing slots NULL — xxhash64 skips nulls
     deterministically) so identical short docs still collide instead of
-    vanishing from the signature set.
+    vanishing from the signature set. NULL-text documents produce NO
+    signature row (same as the historical posexplode-of-NULL behavior) —
+    without the filter every NULL doc would share one all-NULL shingle
+    and all of them would land in the same LSH bucket, a quadratic
+    candidate blowup.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), words.alias("_w")
+    )
     w = F.col("_w")
     n_shingles = F.greatest(F.size(w) - (shingle_words - 1), F.lit(1))
 

@@ -294,6 +294,7 @@ def resize_images(
                     content = _resize_one(bytes(content))
                     meta["width"], meta["height"] = width, height
                     meta["n_bytes"] = len(content)
+                    meta["format"] = "png"  # both paths re-encode as PNG
                 contents.append(content)
                 metas.append(meta)
             yield pd.DataFrame(

@@ -152,6 +152,13 @@ def cosine_topk_arrow(
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _vec_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality probed from one row (arrays are not
+    fixed-width in Spark's type system); 0 for an empty corpus."""
+    row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else 0
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,
@@ -160,6 +167,7 @@ def ivf_centroids(
     n_list: int = 16,
     iters: int = 1,
     seed: int = 42,
+    _dim: int | None = None,
 ) -> DataFrame:
     """(list_id, centroid) centroid table for an IVF index.
 
@@ -179,21 +187,25 @@ def ivf_centroids(
     """
     spark = corpus.sparkSession
     schema = "list_id: int, centroid: array<double>"
-    seeds = (
-        corpus.select(
-            F.col(vec_col).cast("array<double>").alias("centroid"),
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
-        )
-        .orderBy("_h")
-        .limit(n_list)
-        .collect()
-    )
-    # (list_id, vector) on the driver — O(n_list * dim), small-by-contract
-    cent_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
-    dim = len(cent_rows[0][1]) if cent_rows else 0
+    if _dim is None:
+        _dim = _vec_dim(corpus, vec_col)
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    small = cent_rows and n_list * dim <= IvfIndex.MAX_DRIVER_CELLS
+    # decide the path BEFORE any driver collect — the big path must never
+    # pull n_list * dim cells into the driver
+    small = _dim and n_list * _dim <= IvfIndex.MAX_DRIVER_CELLS
     if small:
+        seeds = (
+            corpus.select(
+                F.col(vec_col).cast("array<double>").alias("centroid"),
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(n_list)
+            .collect()
+        )
+        # (list_id, vector) on the driver — O(n_list * dim) by the bound
+        cent_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
+        dim = len(cent_rows[0][1]) if cent_rows else 0
         # Tight Lloyd loop: each iteration is ONE shuffle-free corpus scan
         # emitting per-batch (list_id, n, sum) partials; the driver sums the
         # O(n_batches * n_list) partials and divides. Partials are reduced
@@ -213,9 +225,26 @@ def ivf_centroids(
                 (lid, (s / n).tolist()) for lid, (n, s) in sorted(acc.items())
             ]
         return spark.createDataFrame(cent_rows, schema)
-    # Big-centroid path (n_list * dim beyond literal/driver bounds): fully
-    # distributed — broadcast-join assignment, two-stage mean reassembly.
-    cents = spark.createDataFrame(cent_rows, schema)
+    # Big-centroid path (n_list * dim beyond the driver bound): fully
+    # distributed — window-numbered seeds, broadcast-join assignment,
+    # two-stage mean reassembly; nothing centroid-sized touches the driver.
+    seeds = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_list)
+    )
+    # n_list rows: the single-partition window is trivially cheap; pmod
+    # keeps the partition key non-foldable so Catalyst doesn't strip it.
+    one_part = F.pmod(F.col("_h"), F.lit(1))
+    cents = seeds.select(
+        (F.row_number().over(Window.partitionBy(one_part).orderBy("_h")) - 1).alias(
+            "list_id"
+        ),
+        F.col("centroid"),
+    )
     for _ in range(iters):
         bc = F.broadcast(cents)
         assigned = _assign_lists(vecs, bc)
@@ -247,13 +276,23 @@ def _cent_matrix(cent_rows: list):
     return lids, cent / norms[:, None]
 
 
+def _vec_matrix(arr, n):
+    """(n, dim) float64 matrix from an Arrow list column — flatten +
+    to_numpy, no per-element Python objects (same pattern as
+    cosine_topk_arrow; assumes equal-length non-null vectors)."""
+    import numpy as np
+
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, flat.size // n)
+
+
 def _best_lists(batch, lids, cent_unit):
     """argmax-cosine list per row of an Arrow batch (numpy, BLAS matmul).
     ``cent_rows`` are ordered by list_id, so argmax's first-max rule
     reproduces the (cosine desc, list_id asc) tie-break of the join path."""
     import numpy as np
 
-    V = np.array(batch.column("v").to_pylist(), dtype=np.float64)
+    V = _vec_matrix(batch.column("v"), batch.num_rows)
     vn = np.linalg.norm(V, axis=1)
     vn[vn == 0] = 1.0
     sims = (V / vn[:, None]) @ cent_unit.T
@@ -312,7 +351,7 @@ def _list_partials(vecs: DataFrame, cent_rows: list) -> DataFrame:
         for b in batches:
             if b.num_rows == 0:
                 continue
-            V = np.array(b.column("v").to_pylist(), dtype=np.float64)
+            V = _vec_matrix(b.column("v"), b.num_rows)
             best = _best_lists(b, lids, cent_unit)
             out_l, out_n, out_s = [], [], []
             for lid in np.unique(best):
@@ -390,8 +429,12 @@ class IvfIndex:
         """Centroids are O(n_list) small-by-contract: run the seeding +
         Lloyd subplan ONCE, pin the result as a driver-local literal frame.
         Left lazy, every broadcast/probe use would re-execute that subplan
-        (a corpus scan + three shuffles per use)."""
-        rows = cents_lazy.collect()
+        (a corpus scan + three shuffles per use). Rows are sorted by
+        list_id — _best_lists/_probes rely on that ordering for their
+        deterministic smallest-list_id tie-break, and neither a reloaded
+        multi-part parquet nor the distributed-Lloyd path guarantees
+        collect order."""
+        rows = sorted(cents_lazy.collect(), key=lambda r: r["list_id"])
         cent_rows = [(r["list_id"], list(r["centroid"])) for r in rows]
         cents = spark.createDataFrame(rows, schema=cents_lazy.schema)
         return cents, cent_rows
@@ -408,16 +451,23 @@ class IvfIndex:
         seed: int = 42,
         persist: bool = True,
     ) -> "IvfIndex":
+        dim = _vec_dim(corpus, vec_col)
         cents_lazy = ivf_centroids(
-            corpus, id_col=id_col, vec_col=vec_col, n_list=n_list, iters=iters, seed=seed
+            corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
+            iters=iters, seed=seed, _dim=dim,
         )
-        cents, cent_rows = cls._materialize_centroids(corpus.sparkSession, cents_lazy)
-        dim = len(cent_rows[0][1]) if cent_rows else 0
         vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        if cent_rows and len(cent_rows) * dim <= cls.MAX_DRIVER_CELLS:
+        if dim and n_list * dim <= cls.MAX_DRIVER_CELLS:
+            cents, cent_rows = cls._materialize_centroids(
+                corpus.sparkSession, cents_lazy
+            )
             # zero-shuffle assignment: corpus scanned once, never moved
             assigned = _assign_lists_arrow(vecs, cent_rows)
         else:
+            # big centroids stay distributed: persist cuts the subplan
+            # recompute per broadcast use without driver residence
+            cents = cents_lazy.persist()
+            cents.count()
             cent_rows = None
             assigned = _assign_lists(vecs, F.broadcast(cents))
         assigned = assigned.select(
@@ -452,7 +502,7 @@ class IvfIndex:
                 for b in batches:
                     if b.num_rows == 0:
                         continue
-                    V = np.array(b.column("q_vec").to_pylist(), dtype=np.float64)
+                    V = _vec_matrix(b.column("q_vec"), b.num_rows)
                     vn = np.linalg.norm(V, axis=1)
                     vn[vn == 0] = 1.0
                     sims = (V / vn[:, None]) @ cent_unit.T
@@ -537,14 +587,16 @@ class IvfIndex:
     def load(cls, spark, path: str) -> "IvfIndex":
         """Reopen a saved index. The assigned corpus stays on disk (its
         list_id partitioning makes probes prune); persist() it explicitly
-        for hot-serving if memory allows. Centroids (tiny) are pulled to
-        the driver so probes take the literal no-shuffle path."""
-        cents, cent_rows = cls._materialize_centroids(
-            spark, spark.read.parquet(path.rstrip("/") + "/centroids")
-        )
+        for hot-serving if memory allows. Centroids within the driver
+        bound are pulled local so probes take the no-shuffle Arrow path;
+        bigger ones stay distributed (window probe fallback)."""
+        cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+        dim = _vec_dim(cents, "centroid")
+        n = cents.count()
         assigned = spark.read.parquet(path.rstrip("/") + "/assigned")
-        dim = len(cent_rows[0][1]) if cent_rows else 0
-        if not cent_rows or len(cent_rows) * dim > cls.MAX_DRIVER_CELLS:
+        if dim and n * dim <= cls.MAX_DRIVER_CELLS:
+            cents, cent_rows = cls._materialize_centroids(spark, cents)
+        else:
             cent_rows = None
         return cls(cents, assigned, persisted=False, cent_rows=cent_rows)
 

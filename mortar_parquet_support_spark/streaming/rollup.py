@@ -219,9 +219,12 @@ def stream_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time TIMESTAMP cast the watermark requires."""
     ev = _events_stream(spark, sf_dir)
     out = _run_to_memory(windowed_rollup_stream(ev), output_mode="complete")
+    # NTZ output: collect() renders LTZ in the DRIVER's OS timezone, which
+    # would break the DuckDB-oracle comparison on any non-UTC host; under
+    # the UTC session tz the cast is value-preserving.
     return out.select(
         "event_type",
-        "bucket",
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
         F.col("n").cast("long").alias("n"),
         F.round("sum_value", 2).alias("sum_value"),
     )
@@ -329,7 +332,16 @@ def stream_interval_join_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_interval_join(
         purchases, clicks, on="user_id", ts="ts", watermark="10 days", band="5 minutes"
     )
-    return _run_to_memory(joined, output_mode="append")
+    out = _run_to_memory(joined, output_mode="append")
+    # NTZ timestamps for driver-tz-independent comparison (see
+    # stream_rollup_once); value-preserving under the UTC session tz.
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id_r",
+        F.col("ts_r").cast("timestamp_ntz").alias("ts_r"),
+    )
 
 
 def stream_distinct_rollup(
@@ -368,4 +380,8 @@ def stream_distinct_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_distinct_rollup(_events_stream(spark, sf_dir)),
         output_mode="complete",
     )
-    return out.select("bucket", "event_type", F.col("nd").cast("long").alias("nd"))
+    return out.select(
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        F.col("nd").cast("long").alias("nd"),
+    )

@@ -32,7 +32,13 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # only the nanos-type refusal earns the conf flip — re-raise
+        # anything else (missing dir, corrupt footer) without mutating
+        # session state
+        msg = str(exc).upper()
+        if "PARQUET" not in msg or ("NANO" not in msg and "ILLEGAL" not in msg):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

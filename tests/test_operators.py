@@ -1176,3 +1176,17 @@ def test_multimodal_resize_images(spark):
     assert pix[:3] == red and pix[3 * 4 * 2 :][:3] == blue
     # audio row untouched, byte-for-byte
     assert bytes(out["aud"].content) == wav
+
+
+def test_minhash_null_text_docs_have_no_signature(spark):
+    """NULL-text docs must vanish from the signature set (historical
+    posexplode-of-NULL behavior) — otherwise every NULL doc shares one
+    all-NULL shingle and they all pairwise-collide in LSH, a quadratic
+    candidate blowup."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, None)], ["doc_id", "text"]
+    )
+    sigs = dedup.minhash_signatures(df, id_col="doc_id", text_col="text")
+    assert [r.id for r in sigs.select("id").collect()] == [1]
+    pairs = dedup.minhash_dedup(df, id_col="doc_id", text_col="text", threshold=0.1)
+    assert pairs.count() == 0  # and no (2, 3) phantom pair downstream
