@@ -1190,3 +1190,30 @@ def test_minhash_null_text_docs_have_no_signature(spark):
     assert [r.id for r in sigs.select("id").collect()] == [1]
     pairs = dedup.minhash_dedup(df, id_col="doc_id", text_col="text", threshold=0.1)
     assert pairs.count() == 0  # and no (2, 3) phantom pair downstream
+
+
+def test_ivf_big_centroid_path_equals_small(spark, monkeypatch):
+    """The distributed big-centroid fallback (n_list*dim beyond the driver
+    bound: window-numbered seeds, broadcast-join assignment, window probe)
+    must produce the same full-probe results as the driver-resident path,
+    with nothing centroid-sized collected."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+
+    small_idx = similarity.IvfIndex.build(emb, n_list=4, persist=False)
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in small_idx.topk(qs, k=3, nprobe=4).collect()
+    }
+    assert small_idx.cent_rows is not None  # took the driver path
+
+    monkeypatch.setattr(similarity.IvfIndex, "MAX_DRIVER_CELLS", 8)
+    big_idx = similarity.IvfIndex.build(emb, n_list=4, persist=False)
+    assert big_idx.cent_rows is None  # took the distributed path
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in big_idx.topk(qs, k=3, nprobe=4).collect()
+    }
+    big_idx.centroids.unpersist()
+    # full probe (nprobe == n_list) is exact on both paths -> identical
+    assert got == want and len(got) == 5 * 3
