@@ -159,6 +159,21 @@ def _vec_dim(corpus: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row is not None and row["d"] is not None else 0
 
 
+# widest embedding dim we assume without probing; n_list small enough that
+# even this keeps n_list*dim under the driver bound skips the probe job
+_MAX_ASSUMED_DIM = 1 << 16
+
+
+def _centroids_fit_driver(corpus: DataFrame, vec_col: str, n_list: int) -> bool:
+    """Decide small-vs-big centroid handling BEFORE any driver collect.
+    When ``n_list`` alone guarantees the bound for any realistic dim, no
+    probe job runs at all; otherwise one limit-1 scan reads the dim."""
+    if n_list * _MAX_ASSUMED_DIM <= IvfIndex.MAX_DRIVER_CELLS:
+        return True
+    dim = _vec_dim(corpus, vec_col)
+    return bool(dim) and n_list * dim <= IvfIndex.MAX_DRIVER_CELLS
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,
@@ -167,7 +182,7 @@ def ivf_centroids(
     n_list: int = 16,
     iters: int = 1,
     seed: int = 42,
-    _dim: int | None = None,
+    _small: bool | None = None,
 ) -> DataFrame:
     """(list_id, centroid) centroid table for an IVF index.
 
@@ -187,13 +202,12 @@ def ivf_centroids(
     """
     spark = corpus.sparkSession
     schema = "list_id: int, centroid: array<double>"
-    if _dim is None:
-        _dim = _vec_dim(corpus, vec_col)
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # decide the path BEFORE any driver collect — the big path must never
     # pull n_list * dim cells into the driver
-    small = _dim and n_list * _dim <= IvfIndex.MAX_DRIVER_CELLS
-    if small:
+    if _small is None:
+        _small = _centroids_fit_driver(corpus, vec_col, n_list)
+    if _small:
         seeds = (
             corpus.select(
                 F.col(vec_col).cast("array<double>").alias("centroid"),
@@ -205,7 +219,6 @@ def ivf_centroids(
         )
         # (list_id, vector) on the driver — O(n_list * dim) by the bound
         cent_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
-        dim = len(cent_rows[0][1]) if cent_rows else 0
         # Tight Lloyd loop: each iteration is ONE shuffle-free corpus scan
         # emitting per-batch (list_id, n, sum) partials; the driver sums the
         # O(n_batches * n_list) partials and divides. Partials are reduced
@@ -451,13 +464,13 @@ class IvfIndex:
         seed: int = 42,
         persist: bool = True,
     ) -> "IvfIndex":
-        dim = _vec_dim(corpus, vec_col)
+        small = _centroids_fit_driver(corpus, vec_col, n_list)
         cents_lazy = ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
-            iters=iters, seed=seed, _dim=dim,
+            iters=iters, seed=seed, _small=small,
         )
         vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        if dim and n_list * dim <= cls.MAX_DRIVER_CELLS:
+        if small:
             cents, cent_rows = cls._materialize_centroids(
                 corpus.sparkSession, cents_lazy
             )
