@@ -211,6 +211,7 @@ def jaccard_pairs(
     id_col: str,
     text_col: str,
     shingle_words: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs.
     Shingle arrays are computed ONLY for documents that appear in a pair
@@ -227,24 +228,29 @@ def jaccard_pairs(
     # (interpreted, per-element) shingle transform runs over the whole corpus
     # instead of just candidate docs. Join-then-select keeps the expensive
     # expression above the prune — there is no rule that sinks projections
-    # into joins.
-    sh = (
+    # into joins. The shingle frame is MATERIALIZED because both join legs
+    # consume it: left lazy, the corpus semi-scan and shingle transform
+    # would execute twice — one full extra corpus scan at 100 TB.
+    sh = materialize(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
         .join(F.broadcast(cand_ids), "id", "left_semi")
-        .select("id", word_shingles(F.col("_text"), shingle_words).alias("sh"))
+        .select("id", word_shingles(F.col("_text"), shingle_words).alias("sh")),
+        checkpoint_dir=checkpoint_dir,
     )
     out = (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
-        "double"
+    # bind the (interpreted, per-element) intersection once — referenced by
+    # both the numerator and the union denominator
+    out = out.withColumn(
+        "_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     )
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("_inter")
     return out.select(
         "id_a",
         "id_b",
-        F.when(union > 0, inter / union).otherwise(F.lit(1.0)).alias("jaccard"),
+        F.when(union > 0, F.col("_inter") / union).otherwise(F.lit(1.0)).alias("jaccard"),
     )
 
 
@@ -278,7 +284,9 @@ def minhash_dedup(
         ),
         checkpoint_dir=checkpoint_dir,
     )
-    scored = jaccard_pairs(df, cands, id_col=id_col, text_col=text_col)
+    scored = jaccard_pairs(
+        df, cands, id_col=id_col, text_col=text_col, checkpoint_dir=checkpoint_dir
+    )
     return scored.filter(F.col("jaccard") >= threshold)
 
 
