@@ -651,6 +651,7 @@ def _window_topk(spark, sf_dir):
         keys=["o_custkey"],
         order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
+        rank_col="rn",
     )
 
 
@@ -1904,7 +1905,8 @@ def _top_tokens(spark, sf_dir):
       FROM exploded, UNNEST(generate_series(1, len(ls))) AS g(i)
     ), boiler AS (
       SELECT lower(trim(line)) AS key FROM lines
-      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 25
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 25 AND length(lower(trim(line))) > 0
     ), kept AS (
       SELECT doc_id, pos, line FROM lines
       WHERE lower(trim(line)) NOT IN (SELECT key FROM boiler)

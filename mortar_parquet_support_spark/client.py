@@ -144,7 +144,7 @@ class Client:
             )
         else:
             out = self.lake.scan_ids(ids_df, start=start, end=end)
-        if limit:
+        if limit is not None:  # limit=0 means 0 rows, not "no limit"
             out = out.limit(int(limit))
         return out
 

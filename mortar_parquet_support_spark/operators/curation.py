@@ -205,11 +205,17 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    shard = (
-        F.col(shard_col)
-        if shard_col
-        else F.pmod(F.col(id_col).cast("long"), F.lit(shards))
-    )
+    from pyspark.sql.types import NumericType
+
+    if shard_col:
+        shard = F.col(shard_col)
+    elif isinstance(df.schema[id_col].dataType, NumericType):
+        shard = F.pmod(F.col(id_col).cast("long"), F.lit(shards))
+    else:
+        # string/uuid ids: cast('long') would yield NULL for every row and
+        # silently collapse the whole corpus into ONE window partition —
+        # the global cumsum this function exists to avoid. Hash instead.
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
@@ -257,6 +263,10 @@ def strip_boilerplate_lines(
         lines.groupBy(key(F.col("__line")).alias("__key"))
         .agg(F.count_distinct(id_col).alias("__df"))
         .filter(F.col("__df") >= min_docs)
+        # blank/whitespace-only lines are paragraph structure, not
+        # boilerplate — without this exemption any corpus where >=min_docs
+        # documents contain an empty line loses every paragraph boundary
+        .filter(F.length("__key") > 0)
         .select("__key")
     )
     kept = lines.join(

@@ -41,16 +41,21 @@ def hash_split(
 ) -> DataFrame:
     """Label every row with a split name ('train'/'val'/'test'/...) from
     consecutive hash-bucket ranges. Weights must sum to <= 1; any remainder
-    is labelled NULL (dropped data, explicit)."""
+    is labelled NULL (dropped data, explicit). Boundaries are CUMULATIVE
+    rounds — rounding each width independently can leave trailing buckets
+    unlabelled even when the weights sum to exactly 1 (three 1/3 weights
+    would each round to 3333 and strand bucket 9999)."""
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split weights sum to {total} > 1")
     bucket = hash_bucket(F.col(id_col), salt=salt)
     expr = F.lit(None).cast("string")
-    hi = 0
+    cum, hi = 0.0, 0
     cases = []
     for name, w in weights.items():
-        lo, hi = hi, hi + int(round(w * _BUCKETS))
+        lo = hi
+        cum += w
+        hi = int(round(cum * _BUCKETS))
         cases.append((lo, hi, name))
     for lo, hi, name in reversed(cases):
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)

@@ -96,7 +96,9 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     on = list(on)
-    right_cols = list(right_cols or [c for c in right.columns if c not in (*on, ts)])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*on, ts)]
+    right_cols = list(right_cols)  # explicit [] means: only matched_ts
 
     # right columns travel under collision-proof internal names so a right
     # column that also exists on the left (supported; surfaced as right_<c>)
@@ -225,12 +227,18 @@ def topk_per_group(
     keys: Sequence[str],
     order_by: Sequence[Column | str],
     k: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Top-k rows per group via row_number over a per-key window — one
     shuffle; AQE handles skewed keys. Callers must make ``order_by``
-    deterministic (include a tiebreaker column)."""
+    deterministic (include a tiebreaker column). By default the output
+    schema equals the input's — the rank helper stays internal (a bare
+    'rn' would clobber a caller's column of that name); pass ``rank_col``
+    to surface the 1-based rank under that name."""
+    out = rank_col or "__rn"
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    ranked = df.withColumn(out, F.row_number().over(w)).filter(F.col(out) <= k)
+    return ranked if rank_col else ranked.drop(out)
 
 
 def resample(
@@ -262,9 +270,15 @@ def resample(
     bucket = F.to_timestamp(
         F.from_unixtime((_epoch(F.col(ts)) / step_secs).cast("long") * step_secs)
     )
+    # 'last'/'first' are BY TIME within the bucket, not by row arrival:
+    # F.last/F.first in a groupBy aggregate depend on partition/row order
+    # and silently flip between runs. max_by/min_by on the event time (key
+    # nulled when the value is null, so null values are skipped like
+    # ignorenulls) is deterministic up to exact-duplicate timestamps.
+    ts_if_value = F.when(F.col(value).isNotNull(), F.col(ts))
     agg_fn = {
-        "last": lambda c: F.last(c, ignorenulls=True),
-        "first": lambda c: F.first(c, ignorenulls=True),
+        "last": lambda c: F.max_by(c, ts_if_value),
+        "first": lambda c: F.min_by(c, ts_if_value),
         "avg": F.avg,
         "min": F.min,
         "max": F.max,

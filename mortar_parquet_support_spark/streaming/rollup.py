@@ -129,9 +129,12 @@ def stateful_sessionize_stream(
     )
 
     gap_s = _interval_seconds(gap)
+    # key column keeps ITS type (a string device id must not be forced
+    # through a hardcoded LongType schema)
+    key_type = events.schema[key].dataType
     out_schema = StructType(
         [
-            StructField("key", LongType()),
+            StructField("key", key_type),
             StructField("session_start", TimestampType()),
             StructField("session_end", TimestampType()),
             StructField("n_events", LongType()),
@@ -162,7 +165,7 @@ def stateful_sessionize_stream(
             return
         times = []
         for pdf in pdf_iter:
-            times.append(pdf["ts"])
+            times.append(pdf[ts])
         ts_all = pd.concat(times).sort_values()
         us = (ts_all.astype("int64") // 1000).tolist()  # ns -> µs
         if state.exists:
@@ -174,11 +177,18 @@ def stateful_sessionize_stream(
         for t in us:
             if n == 0:
                 start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
+            elif t > last_us and t - last_us > gap_us:
                 closed.append((start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
+                # in-gap event — possibly LATE (t <= last_us, delivered in a
+                # later micro-batch but inside the watermark): fold it into
+                # the open session WITHOUT regressing its high-water mark,
+                # else a following on-time event would falsely split the
+                # session on the regressed last_us
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
         state.update((start_us, last_us, n))
         state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)  # ms
         if closed:
@@ -205,10 +215,12 @@ def stateful_sessionize_stream(
 
 
 def _interval_seconds(spec: str) -> int:
-    n, unit = spec.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
-    return int(n) * mult
+    """One duration grammar for the whole engine — streaming and batch
+    specs must parse identically (this was a narrower duplicate that
+    rejected 'week'/'weeks' and leading whitespace)."""
+    from ..operators.timeseries import interval_seconds
+
+    return interval_seconds(spec)
 
 
 def stream_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1217,3 +1217,140 @@ def test_ivf_big_centroid_path_equals_small(spark, monkeypatch):
     big_idx.centroids.unpersist()
     # full probe (nprobe == n_list) is exact on both paths -> identical
     assert got == want and len(got) == 5 * 3
+
+
+# ------------------------------------------- round-7 review-fix regressions
+def test_resample_last_is_by_time_not_row_order(spark):
+    """how='last' must pick the latest-by-timestamp value in the bucket,
+    independent of partitioning (F.last in a groupBy agg was row-order
+    dependent)."""
+    rows = [("s", 60.0, 5.0), ("s", 840.0, 9.0), ("s", 300.0, None)]
+    df = (
+        spark.createDataFrame(rows, ["uuid", "t", "value"])
+        .select("uuid", F.col("t").cast("timestamp").alias("time"), "value")
+        .repartition(8)  # adversarial row order
+    )
+    out = timeseries.resample(df, step="15 minutes", how="last", fill=None)
+    assert [r.value for r in out.collect()] == [9.0]
+    first = timeseries.resample(df, step="15 minutes", how="first", fill=None)
+    assert [r.value for r in first.collect()] == [5.0]
+
+
+def test_asof_join_empty_right_cols_means_none(spark):
+    left = spark.createDataFrame([("a", 10.0, 1)], ["k", "t", "lid"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "lid"
+    )
+    right = spark.createDataFrame([("a", 9.0, 7.0)], ["k", "t", "rv"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "rv"
+    )
+    out = timeseries.asof_join(left, right, on=["k"], ts="t", right_cols=[])
+    assert "rv" not in out.columns  # explicit [] is not "all columns"
+
+
+def test_topk_per_group_schema_clean_and_rank_col(spark):
+    df = spark.createDataFrame([("a", 1, 99), ("a", 2, 98)], ["k", "v", "rn"])
+    out = timeseries.topk_per_group(df, keys=["k"], order_by=["v"], k=1)
+    assert out.columns == df.columns  # no stray helper, 'rn' data intact
+    assert out.first().rn == 99
+    ranked = timeseries.topk_per_group(
+        df.drop("rn"), keys=["k"], order_by=["v"], k=2, rank_col="r"
+    )
+    assert [r.r for r in ranked.orderBy("v").collect()] == [1, 2]
+
+
+def test_hash_split_thirds_is_exhaustive(spark):
+    from mortar_parquet_support_spark.operators import sampling
+
+    df = spark.range(3000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(df, "doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.select("split").distinct().count() == 3
+
+
+def test_pack_sequences_string_ids_shard(spark):
+    from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+    rows = [(f"uuid-{i}", 100) for i in range(200)]
+    df = spark.createDataFrame(rows, ["uuid", "tokens"])
+    out = pack_sequences(df, id_col="uuid", cost_col="tokens", budget=500, shards=8)
+    shards = [r.shard for r in out.select("shard").distinct().collect()]
+    assert None not in shards  # string ids must hash, not cast-to-NULL
+    assert len(shards) > 1  # actually distributed across shards
+
+
+def test_strip_boilerplate_keeps_blank_lines(spark):
+    from mortar_parquet_support_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    docs = [(i, f"unique {i}\n\nNAV BAR") for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, id_col="doc_id", text_col="text", min_docs=10
+        ).collect()
+    }
+    # NAV BAR (in all 12 docs) stripped; the blank line survives
+    assert out[0] == "unique 0\n"
+
+
+def test_streaming_interval_seconds_shares_batch_grammar():
+    from mortar_parquet_support_spark.streaming.rollup import _interval_seconds
+
+    assert _interval_seconds("1 week") == 604800
+    assert _interval_seconds(" 30 minutes ") == 1800
+
+
+def test_stateful_sessionize_late_event_no_regression(spark, tmp_path):
+    """A late (within-watermark) event arriving in a LATER micro-batch must
+    fold into the open session without moving its high-water mark backward
+    — the regression falsely split one continuous session. Also exercises
+    custom ts/key names and a string key (previously hardcoded)."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stateful_sessionize_stream,
+    )
+
+    schema = StructType(
+        [StructField("dev", StringType()), StructField("event_time", TimestampType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda h, m: _dt.datetime(2024, 5, 1, h, m)  # noqa: E731
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(str(src) + "/*")
+        )
+        sess = stateful_sessionize_stream(
+            stream, key="dev", ts="event_time", gap="30 minutes", watermark="2 hours"
+        )
+        emitted = []
+        q = (
+            sess.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _id: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)  # state survives across runs
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # batch 1: open session for device A at 10:00
+    assert run_batch([("devA", t(10, 0))], "b1") == []
+    # batch 2: late 09:50 + on-time 10:25 — all within 30-min gaps of the
+    # 10:00 mark, so the session must STAY OPEN (the bug emitted a split)
+    out = run_batch([("devA", t(9, 50)), ("devA", t(10, 25))], "b2")
+    assert out == [], [tuple(r) for r in out]
