@@ -59,10 +59,20 @@ def cosine_similarity(a, b) -> Column:
 
 def char_ngrams(col, n: int = 3) -> Column:
     """Distinct character n-grams of a string column as array<string>,
-    via sequence+transform (no explode, no UDF)."""
+    via sequence+transform (no explode, no UDF).
+
+    Strings shorter than ``n`` (including empty) fall back to ONE
+    whole-string gram — explicit and value-identical to the historical
+    behavior (which leaned on ``sequence(1, 0)`` being the DESCENDING
+    list [1, 0], an accident a refactor could silently change), and
+    mirrors word_shingles' short-doc fallback so identical short strings
+    still collide instead of vanishing from the gram space."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+    count = F.greatest(F.length(c) - (n - 1), F.lit(0))
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), count), lambda i: c.substr(i, F.lit(n)))
+    )
+    return F.when(count > 0, grams).otherwise(F.array(c))
 
 
 def word_shingles(col, k: int = 3) -> Column:

@@ -22,12 +22,18 @@ from pyspark.sql import functions as F
 
 def key_histogram(df: DataFrame, key: str, *, top: int = 20, fraction: float = 0.01) -> list:
     """Approximate top-N key frequencies from a sample — a planning probe,
-    not an exact count (one small job over ~fraction of the data)."""
+    not an exact count (one small job over ~fraction of the data). Sampled
+    counts are SCALED by 1/fraction, so ``est_count`` is comparable to
+    absolute hot-key thresholds ('salt when a key exceeds 1M rows'); the
+    raw ``sample_count`` rides along."""
     return (
         df.sample(fraction=fraction, seed=42)
         .groupBy(key)
-        .count()
-        .orderBy(F.col("count").desc())
+        .agg(F.count(F.lit(1)).alias("sample_count"))
+        .withColumn(
+            "est_count", F.round(F.col("sample_count") / F.lit(fraction)).cast("long")
+        )
+        .orderBy(F.col("sample_count").desc())
         .limit(top)
         .collect()
     )
@@ -57,7 +63,14 @@ def salted_join(
     join result, marginally less spread on duplicate-heavy data.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        # right/full would emit salt_buckets duplicates of every unmatched
+        # small-side key (the small side is replicated) — refuse loudly
+        # rather than silently multiply rows
+        raise ValueError(f"salted_join supports how='inner'/'left', got {how!r}")
     salt_col = "__salt"
+    while salt_col in big.columns or salt_col in small.columns:
+        salt_col = "_" + salt_col  # never clobber a caller's column
     big_salted = big.withColumn(
         salt_col,
         F.pmod(

@@ -54,7 +54,7 @@ def transitive_closure(
     edges = (
         triples.filter(F.col("predicate") == predicate)
         .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
-        .distinct()
+        # dedup happens once inside closure_of_edges
     )
     return closure_of_edges(
         edges,
@@ -75,7 +75,12 @@ def closure_of_edges(
     the generalization behind closures of path ALTERNATIONS ``(a|b)*``,
     whose edge set is the union of several (possibly inverted) predicates'
     edges."""
-    edges = edges.distinct()
+    from mortar_parquet_support_spark.functions import materialize
+
+    # one dedup, materialized once: auto-mode's count() and the chosen
+    # strategy's collect()/iteration would otherwise each re-run the
+    # upstream filter + distinct shuffle from scratch
+    edges = materialize(edges.distinct(), checkpoint_dir=checkpoint_dir)
     if strategy == "auto":
         strategy = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "spark"
     if strategy == "driver":

@@ -69,7 +69,13 @@ def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
     lines = (
         lines
         .withColumn("_base", F.element_at(F.split(F.col("_file"), "/"), -1))
-        .withColumn("uuid", F.lower(F.regexp_extract(F.col("_base"), f"^({UUID_RE})\\.", 1)))
+        # P9 anchored on the WHOLE basename: '<uuid>.csv' exactly — a stray
+        # '<uuid>.backup.csv' must be rejected like the reference's
+        # splitext-stem check (transform.py:11-16), not prefix-matched
+        .withColumn(
+            "uuid",
+            F.lower(F.regexp_extract(F.col("_base"), f"^({UUID_RE})\\.csv$", 1)),
+        )
     )
     # P9: files whose basename is not a UUID are rejected wholesale.
     lines = lines.filter(F.col("uuid") != "")
@@ -84,16 +90,29 @@ def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
         .dropDuplicates(["h_uuid"])
     )
 
+    # try_* parsing: one malformed line must null out, not abort a
+    # 1M-file job (Spark 4 runs ANSI mode by default, where to_timestamp /
+    # cast THROW on bad input). Rows without a parseable time are dropped —
+    # a timeseries row is unaddressable without one; a null value is a
+    # legitimate missing reading and is kept.
     ts_text = F.substring_index(F.col("_line"), ",", 1)
     val_text = F.expr("substring(_line, length(substring_index(_line, ',', 1)) + 2)")
-    data = lines.filter(~is_header).select(
-        "uuid",
-        F.to_timestamp(ts_text).alias("time"),  # P2 (transform.py:25)
-        val_text.cast("double").alias("value"),
+    data = (
+        lines.filter(~is_header)
+        .select(
+            "uuid",
+            F.try_to_timestamp(ts_text).alias("time"),  # P2 (transform.py:25)
+            val_text.try_cast("double").alias("value"),
+        )
+        .filter(F.col("time").isNotNull())
     )
 
+    # INNER join: a file with no valid '<time_col>,<label>' header has no
+    # row in ``header`` and its data rows are rejected wholesale — the
+    # distributed form of the reference's missing-time-column rejection
+    # (transform.py:20-23), which ingest_csv enforces driver-side.
     return (
-        data.join(F.broadcast(header), data["uuid"] == header["h_uuid"], "left")
+        data.join(F.broadcast(header), data["uuid"] == header["h_uuid"], "inner")
         .withColumn("collection", F.lit(collection))  # P3 (transform.py:31-35)
         .withColumn("uri", F.concat(F.lit(f"urn:{collection}/"), F.col("label")))
         .select(*LAKE_COLUMNS)  # P4 (transform.py:36)
@@ -114,9 +133,20 @@ def ingest_directory(
 
     Returns the DataFrame that was written (lazily re-readable). Replaces the
     reference's per-file CLI + bash loop (transform.py:44-50,
-    run-example.sh:1-3) with one distributed job.
+    run-example.sh:1-3) with one distributed job. A directory with no
+    ``*.csv`` files is a NO-OP returning an empty frame (the bash loop
+    would simply iterate zero times), not a PATH_NOT_FOUND failure.
     """
-    df = _parse_stream_lines(spark, csv_dir + "/*.csv", collection, time_col)
+    try:
+        df = _parse_stream_lines(spark, csv_dir + "/*.csv", collection, time_col)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return spark.createDataFrame(
+            [],
+            "collection string, uuid string, time timestamp, "
+            "value double, label string, uri string",
+        )
     write_lake(df, destination, partition_uuid=partition_uuid, mode=mode)
     return df
 

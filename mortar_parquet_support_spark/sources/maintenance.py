@@ -29,15 +29,27 @@ from mortar_parquet_support_spark.sources.ingest import LAKE_COLUMNS
 
 def _lake_is_uuid_partitioned(spark: SparkSession, lake_root: str) -> bool:
     """Detect the reference's two-level ``collection=/uuid=/`` layout from
-    the physical directory structure (one listing, no data read)."""
-    import glob as _glob
-    import os as _os
-
-    for coll_dir in _glob.glob(_os.path.join(lake_root, "collection=*")):
-        if _glob.glob(_os.path.join(coll_dir, "uuid=*")):
-            return True
+    the physical directory structure via Hadoop's FileSystem, so the probe
+    honors whatever scheme ``lake_root`` lives on (local, HDFS, s3a). A
+    driver-local ``glob.glob`` would silently answer False for any
+    non-local root and the maintenance rewrite would then migrate a
+    uuid-partitioned lake to the collection-only layout — destructive."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(lake_root)
+    fs = root.getFileSystem(conf)
+    colls = fs.globStatus(jvm.org.apache.hadoop.fs.Path(lake_root.rstrip("/") + "/collection=*"))
+    if colls is None or len(colls) == 0:
         return False
-    return False
+    # ALL collection dirs must be uuid-partitioned to call the lake
+    # uuid-partitioned; a mixed lake keeps the safer collection-only layout
+    for status in colls:
+        sub = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(str(status.getPath()) + "/uuid=*")
+        )
+        if sub is None or len(sub) == 0:
+            return False
+    return True
 
 
 def _dynamic_overwrite_lake(
@@ -121,7 +133,14 @@ def upsert_lake(
     key with one window, dynamic-overwrite those collections. The shuffle
     is bounded by the touched partitions' size, not the lake's.
     """
-    updates = updates.select(*LAKE_COLUMNS)
+    from mortar_parquet_support_spark.functions import materialize
+
+    # Pin the updates ONCE: the plan executes twice below (the touched-
+    # collection collect, then the merge). A nondeterministic updates
+    # source could otherwise surface a collection in the second execution
+    # that the first missed — whose existing rows would then be dropped by
+    # the dynamic overwrite.
+    updates = materialize(updates.select(*LAKE_COLUMNS))
     touched = [r.collection for r in updates.select("collection").distinct().collect()]
     if not touched:
         return

@@ -31,11 +31,40 @@ def to_csv(df: DataFrame, path: str, *, header: bool = False, mode: str = "appen
     return int(obs.get["n"])
 
 
+def _local_master(df: DataFrame) -> bool:
+    return df.sparkSession.sparkContext.master.startswith("local")
+
+
 def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
     """S9 parity mode: append everything to ONE local CSV file, exactly the
-    reference's ``data_sparql_to_csv`` shape (client.py:74-80). Funnels
-    through a single task — only for result sets that fit one machine.
-    Single execution: the row count is observed on the writing job."""
+    reference's ``data_sparql_to_csv`` shape (client.py:74-80). Only for
+    result sets that fit one machine.
+
+    Local master: one coalesced Spark CSV write into a tempdir, stitched
+    into ``filename`` (fast path; executor disk IS the driver's). Any
+    other master: executors can't see the driver's /tmp, so rows stream
+    over the driver link (``toLocalIterator``, bounded memory) and are
+    written with Python's csv module — nulls render as empty and booleans
+    as true/false, matching Spark's CSV defaults."""
+    if not _local_master(df):
+        import csv as _csv
+
+        def cell(v):
+            if v is None:
+                return ""
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return v
+
+        n = 0
+        with open(filename, "a", newline="") as out:
+            w = _csv.writer(out)
+            if header:
+                w.writerow(df.columns)
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                w.writerow([cell(v) for v in row])
+                n += 1
+        return n
     tmp = tempfile.mkdtemp(prefix="mortar_csv_")
     try:
         obs = Observation()
@@ -54,27 +83,54 @@ def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
 def to_duckdb(df: DataFrame, database: str, table: str, *, connection=None):
     """S10: land the result in a DuckDB table (client.py:82-93).
 
-    The reference round-trips one temp parquet file per Arrow batch; here
-    one distributed parquet write stages the whole result, then DuckDB
-    ingests the directory in a single ``parquet_scan`` — same contract,
-    one job. Returns the OPEN connection (the caller owns its lifetime —
-    a relation alone dies with a garbage-collected connection); read the
-    result via ``con.table(table)``.
+    The reference round-trips one temp parquet file per Arrow batch; here,
+    on a local master, one distributed parquet write stages the whole
+    result and DuckDB ingests the directory in a single ``parquet_scan``.
+    On any OTHER master the driver's tempdir is invisible to executors, so
+    the result streams over the driver link as Arrow RecordBatches
+    (bounded memory) and DuckDB consumes the reader directly — the closest
+    shape to the reference's own batch loop. Returns the OPEN connection
+    (the caller owns its lifetime — a relation alone dies with a
+    garbage-collected connection); read the result via ``con.table(table)``.
     """
     import duckdb
 
+    con = connection or duckdb.connect(database)
+    exists = (
+        con.execute(
+            "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
+            [table],
+        ).fetchone()[0]
+        > 0
+    )
+    if not _local_master(df):
+        import pyarrow as pa
+
+        from mortar_parquet_support_spark.sources.lake import (
+            _batches_via_local_iterator,
+        )
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        reader = pa.RecordBatchReader.from_batches(
+            to_arrow_schema(df.schema), _batches_via_local_iterator(df, 1 << 16)
+        )
+        con.register("__mortar_staged", reader)
+        try:
+            if exists:
+                con.execute(f"INSERT INTO {table} SELECT * FROM __mortar_staged")
+            else:
+                con.execute(
+                    f"CREATE TABLE {table} AS SELECT * FROM __mortar_staged"
+                )
+        finally:
+            con.unregister("__mortar_staged")
+        con.commit()
+        return con
     staging = tempfile.mkdtemp(prefix="mortar_duck_")
     try:
         df.write.mode("overwrite").parquet(staging)
-        con = connection or duckdb.connect(database)
         pattern = os.path.join(staging, "*.parquet")
-        exists = (
-            con.execute(
-                "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
-                [table],
-            ).fetchone()[0]
-            > 0
-        )
         if exists:
             con.execute(f"INSERT INTO {table} SELECT * FROM parquet_scan('{pattern}')")
         else:

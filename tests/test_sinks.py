@@ -228,3 +228,28 @@ def test_s3_conf_wiring(spark):
     # getOrCreate applies non-static confs onto the active session
     assert s.conf.get("spark.hadoop.fs.s3a.endpoint") == "https://example.invalid:9000"
     assert s.conf.get("spark.hadoop.fs.s3a.endpoint.region") == "us-test-1"
+
+
+def test_local_sinks_cluster_branch(spark, tmp_path, monkeypatch):
+    """The non-local-master branches must produce the same file/table as
+    the local staging paths — executors on a real cluster can't see the
+    driver's /tmp, so these stream over the driver link instead."""
+    from mortar_parquet_support_spark.sources import sinks as sinks_mod
+
+    monkeypatch.setattr(sinks_mod, "_local_master", lambda df: False)
+    df = _frame(spark, 40)
+
+    target = str(tmp_path / "remote.csv")
+    n = sinks_mod.to_local_csv(df, target)
+    assert n == 40
+    with open(target) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert len(lines) == 40 and not lines[0].startswith("id")
+
+    db = str(tmp_path / "remote.duckdb")
+    con = sinks_mod.to_duckdb(df, db, "t_remote")
+    assert con.table("t_remote").count("*").fetchone()[0] == 40
+    # append mode through the Arrow-reader path too
+    con2 = sinks_mod.to_duckdb(df, db, "t_remote", connection=con)
+    assert con2.table("t_remote").count("*").fetchone()[0] == 80
+    con.close()
