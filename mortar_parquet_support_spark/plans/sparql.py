@@ -766,9 +766,7 @@ class _SparqlParser:
         return vars_, rows
 
     def _parse_values_entry(self) -> str | None:
-        if self._peek() == ("word", "UNDEF") or (
-            self._peek()[0] == "word" and self._peek()[1].lower() == "undef"
-        ):
+        if self._peek()[0] == "word" and self._peek()[1].lower() == "undef":
             self._next()
             return None
         term = self._parse_term(position="values", group=Group())
@@ -820,6 +818,11 @@ class _SparqlParser:
             alts.append(self._parse_path_atom())
         if len(alts) == 1:
             return alts[0]
+        # members must be SIMPLE steps: AltStep/NegatedStep members lack
+        # .modifier/.is_var and would crash below with AttributeError
+        # instead of the documented unsupported-construct error
+        if any(not isinstance(a, PathStep) for a in alts):
+            raise SparqlUnsupported("nested alternation / negated set in alternation")
         if any(a.modifier for a in alts):
             raise SparqlUnsupported("closure modifiers inside path alternation")
         if any(a.is_var for a in alts):
@@ -856,6 +859,14 @@ class _SparqlParser:
                     raise SparqlUnsupported("nested path alternation")
                 return inner  # type: ignore[return-value]
             step = inner
+            if not isinstance(step, PathStep):
+                # (!p) with a modifier/inverse would crash on .predicate;
+                # bare parenthesized negated sets pass through unchanged
+                if self._peek()[0] == "mod" or inverse:
+                    raise SparqlUnsupported(
+                        "modifier/inverse on a parenthesized negated set"
+                    )
+                return step
             if self._peek()[0] == "mod":
                 if step.modifier:
                     raise SparqlUnsupported("double path modifier")
@@ -1108,6 +1119,43 @@ def parse_sparql(query: str) -> Query:
     return _SparqlParser(text=query).parse()
 
 
+def _stringify_numeric(bexpr, c):
+    """For arithmetic / numeric-builtin expressions, stringify with
+    SPARQL's xsd:integer parity — integral results print without the '.0'
+    a double cast would add. Returns None for non-numeric expressions so
+    each caller keeps its own default (BIND casts to string; SELECT
+    expressions stay raw until the final stringify-all). One helper — the
+    two paths must normalize numerics identically."""
+    if isinstance(bexpr, tuple) and not isinstance(bexpr, Term) and (
+        bexpr[0] == "arith"
+        or (bexpr[0] == "call" and bexpr[1] in _NUMERIC_FNS)
+    ):
+        return F.when(c == F.floor(c), c.cast("long").cast("string")).otherwise(
+            c.cast("string")
+        )
+    return None
+
+
+def _apply_regex_flags(pattern: str, args: list, flag_pos: int, fn: str) -> str:
+    """Translate a SPARQL regex/replace flags argument into a Java-regex
+    inline-flag prefix. Silently DROPPING flags turned case-insensitive
+    matches case-sensitive — wrong rows, no error. Supported: i s m x
+    (Java inline equivalents); 'q' (literal) via Pattern.quote semantics."""
+    if len(args) <= flag_pos:
+        return pattern
+    flags_term = args[flag_pos]
+    if not (isinstance(flags_term, Term) and flags_term.kind == "literal"):
+        raise SparqlUnsupported(f"{fn}() flags must be a string literal")
+    flags = flags_term.value
+    if flags == "":
+        return pattern
+    if flags == "q":
+        return re.escape(pattern)
+    if not set(flags) <= set("ismx"):
+        raise SparqlUnsupported(f"{fn}() flags {flags!r} not supported")
+    return f"(?{flags})" + pattern
+
+
 # --------------------------------------------------------------------------
 # Compiler
 # --------------------------------------------------------------------------
@@ -1122,6 +1170,10 @@ class _Scope:
 
     df: DataFrame
     extra: tuple = ()
+    #: cache key identifying WHICH triple set this scope sees ("union",
+    #: a site name, ...) — per-scope closures must not leak edges across
+    #: sites (a site-scoped ``p+`` must not traverse another site's edges)
+    key: str = "union"
 
     @property
     def spark(self):
@@ -1151,7 +1203,7 @@ class SparqlEngine:
         )
         self.shared_sites = list(shared_sites or [])
         self._union = self.triples.select("subject", "predicate", "object").distinct().cache()
-        self._closures: dict[str, DataFrame] = {}
+        self._closures: dict[tuple, DataFrame] = {}
 
     # -- public API --
     def sql(self, query: str, *, site: str | None = None) -> DataFrame:
@@ -1165,7 +1217,7 @@ class SparqlEngine:
                 F.col("site").isin([site, *self.shared_sites])
             ).select("subject", "predicate", "object")
         )
-        return self._compile_query(parsed, _Scope(df))
+        return self._compile_query(parsed, _Scope(df, key=site or "union"))
 
     def _graph_scope(self, gterm: Term) -> _Scope:
         """Scope for a GRAPH clause. Graph names follow the reference's
@@ -1179,7 +1231,8 @@ class SparqlEngine:
             return _Scope(
                 self.triples.filter(
                     F.col("site").isin([site, *self.shared_sites])
-                ).select("subject", "predicate", "object")
+                ).select("subject", "predicate", "object"),
+                key=site,
             )
         gvar = gterm.value
         real = self.triples.filter(~F.col("site").isin(self.shared_sites))
@@ -1193,10 +1246,17 @@ class SparqlEngine:
             out = out.unionByName(replicated)
         return _Scope(out, extra=(gvar,))
 
-    def closure(self, predicate: str) -> DataFrame:
-        if predicate not in self._closures:
-            self._closures[predicate] = transitive_closure(self.triples, predicate).cache()
-        return self._closures[predicate]
+    def closure(self, predicate: str, scope: _Scope) -> DataFrame:
+        """Transitive closure of ``predicate``'s edges WITHIN the scope's
+        triple set, cached per (scope, predicate). Computing from the
+        engine-global triples would let a site-scoped ``p+``/``p*`` path
+        traverse edges of other sites (a -> b in s1, b -> c in s2 must NOT
+        yield a -> c for a query scoped to s1)."""
+        cache_key = (scope.key, predicate)
+        if cache_key not in self._closures:
+            src = self.triples if scope.key == "union" else scope.df
+            self._closures[cache_key] = transitive_closure(src, predicate).cache()
+        return self._closures[cache_key]
 
     @staticmethod
     def _leg_edges_union(steps: tuple, df: DataFrame) -> DataFrame:
@@ -1215,13 +1275,18 @@ class SparqlEngine:
             out = out.unionByName(f)
         return out.distinct()
 
-    def closure_alt(self, steps: tuple) -> DataFrame:
+    def closure_alt(self, steps: tuple, scope: _Scope) -> DataFrame:
         """Cached transitive closure of an alternation's combined edge set
-        — the engine behind ``(a|b)*`` / ``(a|b)+`` paths."""
-        key = "|".join(("^" if s.inverse else "") + s.predicate for s in steps)
+        — the engine behind ``(a|b)*`` / ``(a|b)+`` paths — computed
+        within the scope's triple set (see :meth:`closure`)."""
+        key = (
+            scope.key,
+            "|".join(("^" if s.inverse else "") + s.predicate for s in steps),
+        )
         if key not in self._closures:
+            edges = self._union if scope.key == "union" else scope.df
             self._closures[key] = closure_of_edges(
-                self._leg_edges_union(steps, self._union)
+                self._leg_edges_union(steps, edges)
             ).cache()
         return self._closures[key]
 
@@ -1254,14 +1319,8 @@ class SparqlEngine:
             )
             for alias, bexpr in q.select_exprs.items():
                 c = self._compile_filter(bexpr, ebound)
-                if isinstance(bexpr, tuple) and not isinstance(bexpr, Term) and (
-                    bexpr[0] == "arith"
-                    or (bexpr[0] == "call" and bexpr[1] in _NUMERIC_FNS)
-                ):
-                    c = F.when(c == F.floor(c), c.cast("long").cast("string")).otherwise(
-                        c.cast("string")
-                    )
-                acc = acc.withColumn(alias, c)
+                sn = _stringify_numeric(bexpr, c)
+                acc = acc.withColumn(alias, sn if sn is not None else c)
                 bound = bound | {alias}
         if q.aggregates:
             pass  # out_vars already set above
@@ -1428,11 +1487,48 @@ class SparqlEngine:
             return acc.groupBy(*[F.col(v) for v in q.group_by]).agg(*aggs)
         return acc.agg(*aggs)
 
+    @staticmethod
+    def _null_compat_join(
+        acc: DataFrame, other: DataFrame, shared: list[str], *, how: str
+    ) -> DataFrame:
+        """Join under SPARQL compatibility semantics: two solutions are
+        compatible on a shared variable when either side is UNBOUND (null)
+        or the values are equal. A plain equi-join treats null as
+        incompatible — a row whose ?x the first OPTIONAL left unbound
+        could then never be filled by a second OPTIONAL. For 'left' the
+        shared columns merge via coalesce; for 'left_anti' (MINUS) the
+        spec additionally requires the solutions' domains to OVERLAP (at
+        least one shared var bound on BOTH sides), else nothing is
+        removed."""
+        left = acc.alias("__l")
+        right = other.alias("__r")
+        compat = F.lit(True)
+        overlap = F.lit(False)
+        for v in shared:
+            lc, rc = F.col(f"__l.{v}"), F.col(f"__r.{v}")
+            compat = compat & (lc.isNull() | rc.isNull() | (lc == rc))
+            overlap = overlap | (lc.isNotNull() & rc.isNotNull())
+        if how == "left_anti":
+            return left.join(
+                F.broadcast(right), compat & overlap, "left_anti"
+            ).select(*[F.col(f"__l.{c}").alias(c) for c in acc.columns])
+        joined = left.join(F.broadcast(right), compat, "left")
+        cols = [
+            (
+                F.coalesce(F.col(f"__l.{c}"), F.col(f"__r.{c}")).alias(c)
+                if c in shared
+                else F.col(f"__l.{c}").alias(c)
+            )
+            for c in acc.columns
+        ] + [F.col(f"__r.{c}").alias(c) for c in other.columns if c not in acc.columns]
+        return joined.select(*cols)
+
     def _compile_group(
         self, group: Group, scope: _Scope
     ) -> tuple[DataFrame | None, set[str]]:
         acc: DataFrame | None = None
         bound: set[str] = set()
+        nullable: set[str] = set()  # vars an OPTIONAL/UNDEF may leave unbound
         for pat in self._order_patterns(group.triples):
             acc, bound = self._apply_pattern(acc, bound, pat, scope)
         for subq in group.subqueries:
@@ -1463,13 +1559,18 @@ class SparqlEngine:
                 acc, bound = odf, ovars
                 continue
             shared = sorted(bound & ovars)
-            if shared:
+            if shared and (set(shared) & nullable):
+                # a shared var may be unbound on the acc side: equi-join
+                # would treat null as a non-match; use compatibility join
+                acc = self._null_compat_join(acc, odf, shared, how="left")
+            elif shared:
                 acc = acc.join(F.broadcast(odf), on=shared, how="left")
             else:
                 # no shared variables: still a LEFT join (on TRUE), so an
                 # empty optional group null-extends instead of wiping the
                 # outer rows like a crossJoin would
                 acc = acc.join(F.broadcast(odf), on=F.lit(True), how="left")
+            nullable |= ovars - bound  # optional-only vars may stay unbound
             bound |= ovars
         for m in group.minuses:
             mdf, mvars = self._compile_group(m, scope)
@@ -1479,11 +1580,16 @@ class SparqlEngine:
             if not shared:
                 # SPARQL MINUS with disjoint domains removes nothing
                 continue
-            acc = acc.join(
-                F.broadcast(mdf.select(*shared).dropDuplicates()),
-                on=shared,
-                how="left_anti",
-            )
+            if set(shared) & nullable:
+                acc = self._null_compat_join(
+                    acc, mdf.select(*shared).dropDuplicates(), shared, how="left_anti"
+                )
+            else:
+                acc = acc.join(
+                    F.broadcast(mdf.select(*shared).dropDuplicates()),
+                    on=shared,
+                    how="left_anti",
+                )
         for vars_, rows in group.values:
             acc, bound = self._apply_values(acc, bound, vars_, rows, scope)
         for var, bexpr in group.binds:
@@ -1493,18 +1599,8 @@ class SparqlEngine:
             if var in bound:
                 raise SparqlUnsupported(f"BIND to already-bound variable ?{var}")
             c = self._compile_filter(bexpr, bound)
-            if isinstance(bexpr, tuple) and not isinstance(bexpr, Term) and (
-                bexpr[0] == "arith"
-                or (bexpr[0] == "call" and bexpr[1] in _NUMERIC_FNS)
-            ):
-                # integral results stringify without the '.0' a double cast
-                # would add (parity with SPARQL's xsd:integer arithmetic)
-                c = F.when(c == F.floor(c), c.cast("long").cast("string")).otherwise(
-                    c.cast("string")
-                )
-            else:
-                c = c.cast("string")
-            acc = acc.withColumn(var, c)
+            sn = _stringify_numeric(bexpr, c)
+            acc = acc.withColumn(var, sn if sn is not None else c.cast("string"))
             bound = bound | {var}
         for fexpr in group.filters:
             if acc is None:
@@ -1651,7 +1747,9 @@ class SparqlEngine:
             if name == "regex":
                 if not (isinstance(args[1], Term) and args[1].kind == "literal"):
                     raise SparqlUnsupported("regex() pattern must be a string literal")
-                return cargs[0].rlike(args[1].value)
+                return cargs[0].rlike(
+                    _apply_regex_flags(args[1].value, args, 2, "regex")
+                )
             if name == "strstarts":
                 return cargs[0].startswith(cargs[1])
             if name == "strends":
@@ -1709,7 +1807,11 @@ class SparqlEngine:
                     raise SparqlUnsupported("replace() pattern must be a string literal")
                 if not (isinstance(args[2], Term) and args[2].kind == "literal"):
                     raise SparqlUnsupported("replace() replacement must be a string literal")
-                return F.regexp_replace(cargs[0], args[1].value, args[2].value)
+                return F.regexp_replace(
+                    cargs[0],
+                    _apply_regex_flags(args[1].value, args, 3, "replace"),
+                    args[2].value,
+                )
         raise SparqlUnsupported(f"unsupported FILTER expression: {expr!r}")
 
     @staticmethod
@@ -1845,6 +1947,7 @@ class SparqlEngine:
         s_col, o_col = (
             ("object", "subject") if pat.step.inverse else ("subject", "object")
         )
+        extra = set(scope.extra)
         cols: list = [F.col(v) for v in scope.extra]
         if pat.step.is_var:
             df = scope.df
@@ -1853,17 +1956,26 @@ class SparqlEngine:
                 df = df.filter(F.col("predicate") == F.col(s_col))
             elif pat.obj.kind == "var" and pvar == pat.obj.value:
                 df = df.filter(F.col("predicate") == F.col(o_col))
+            elif pvar in extra:
+                # GRAPH ?g { ?s ?g ?o }: the var is already a carried
+                # column — constrain, never alias a duplicate column
+                df = df.filter(F.col("predicate") == F.col(pvar))
             else:
                 cols.append(F.col("predicate").alias(pvar))
         else:
             df = scope.df.filter(self._pred_cond(pat.step))
         if pat.subject.kind == "var":
-            cols.append(F.col(s_col).alias(pat.subject.value))
+            if pat.subject.value in extra:
+                df = df.filter(F.col(s_col) == F.col(pat.subject.value))
+            else:
+                cols.append(F.col(s_col).alias(pat.subject.value))
         else:
             df = df.filter(F.col(s_col) == pat.subject.value)
         if pat.obj.kind == "var":
             if pat.subject.kind == "var" and pat.obj.value == pat.subject.value:
                 df = df.filter(F.col(s_col) == F.col(o_col))
+            elif pat.obj.value in extra:
+                df = df.filter(F.col(o_col) == F.col(pat.obj.value))
             else:
                 cols.append(F.col(o_col).alias(pat.obj.value))
         else:
@@ -1909,13 +2021,13 @@ class SparqlEngine:
             # (a|b)* — closure of the UNION of the legs' edge sets; legs
             # already carry their own inverse flags
             pairs = (
-                self.closure_alt(pat.step.steps)
+                self.closure_alt(pat.step.steps, scope)
                 if mod in ("*", "+")
                 else self._leg_edges_union(pat.step.steps, scope.df)
             )
         else:
             pairs = (
-                self.closure(pat.step.predicate)
+                self.closure(pat.step.predicate, scope)
                 if mod in ("*", "+")
                 else scope.df.filter(F.col("predicate") == pat.step.predicate)
                 .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
@@ -1955,6 +2067,26 @@ class SparqlEngine:
 
         # both vars
         svar, ovar = s.value, o.value
+        if svar == ovar:
+            # ?x p+ ?x — cycle membership (two identical column names would
+            # otherwise make the select/join ambiguous and crash)
+            if zero:
+                # zero-length: every term reaches itself -> trivially true
+                # for any existing binding
+                if acc is not None and svar in bound:
+                    return acc, bound
+                terms = (
+                    scope.df.select(F.col("subject").alias(svar))
+                    .union(scope.df.select(F.col("object").alias(svar)))
+                    .distinct()
+                )
+                return self._join(acc, bound, terms)
+            cyc = (
+                pairs.filter(F.col("src") == F.col("dst"))
+                .select(F.col("src").alias(svar))
+                .dropDuplicates()
+            )
+            return self._join(acc, bound, cyc)
         if acc is not None and svar in bound:
             step_pairs = pairs.select(F.col("src").alias(svar), F.col("dst").alias(ovar))
             out = acc.join(F.broadcast(step_pairs), on=svar, how="inner")

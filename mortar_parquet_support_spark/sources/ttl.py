@@ -72,6 +72,20 @@ class _Parser:
     prefixes: dict[str, str] = field(default_factory=dict)
     triples: list[tuple[str, str, str, str]] = field(default_factory=list)
     _bnode_n: int = 0
+    base: str | None = None
+
+    def _resolve_iri(self, raw: str) -> str:
+        """Resolve a (possibly relative) IRIREF against the declared
+        @base per RFC 3986. Without a base, relative IRIs pass through
+        unchanged (historical behavior); silently storing them while a
+        base was declared would corrupt every join against absolute IRIs.
+        """
+        import re as _re
+        from urllib.parse import urljoin
+
+        if self.base and not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", raw):
+            return urljoin(self.base, raw)
+        return raw
 
     # -- tokenization -----------------------------------------------------
     def _tokenize(self) -> None:
@@ -123,16 +137,28 @@ class _Parser:
         local = re.sub(r"\\(.)", r"\1", local)  # PN_LOCAL_ESC
         return self.prefixes[prefix] + local
 
-    @staticmethod
-    def _unquote(tok: str) -> str:
+    _STRING_ESCAPES = {
+        "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+        '"': '"', "'": "'", "\\": "\\",
+    }
+
+    @classmethod
+    def _unquote(cls, tok: str) -> str:
+        """Decode Turtle string escapes in ONE pass. Sequential
+        str.replace passes mis-decode an escaped backslash followed by
+        n/t/r (e.g. the four chars \\\\n in 'C:\\\\new' became
+        backslash+NEWLINE because the \\n replacement matched inside the
+        \\\\ sequence). Also decodes \\uXXXX / \\UXXXXXXXX numeric
+        escapes, which were previously left as raw text."""
         body = tok[3:-3] if tok.startswith('"""') else tok[1:-1]
-        return (
-            body.replace("\\n", "\n")
-            .replace("\\t", "\t")
-            .replace("\\r", "\r")
-            .replace('\\"', '"')
-            .replace("\\\\", "\\")
-        )
+
+        def sub(m: "re.Match[str]") -> str:
+            esc = m.group(1)
+            if esc[0] == "u" or esc[0] == "U":
+                return chr(int(esc[1:], 16))
+            return cls._STRING_ESCAPES.get(esc, "\\" + esc)
+
+        return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, body)
 
     # -- grammar ----------------------------------------------------------
     def parse(self) -> list[tuple[str, str, str, str]]:
@@ -148,7 +174,9 @@ class _Parser:
                     self._next()
             elif kind in ("pname", "lang") and tok.lower() in ("@base", "base"):
                 self._next()
-                self._expect("iriref")
+                _, iri = self._expect("iriref")
+                # successive @base directives resolve against the previous
+                self.base = self._resolve_iri(iri[1:-1]) if self.base else iri[1:-1]
                 if self._peek()[0] == "dot":
                     self._next()
             else:
@@ -160,7 +188,7 @@ class _Parser:
     def _parse_subject(self) -> str:
         kind, tok = self._next()
         if kind == "iriref":
-            return tok[1:-1]
+            return self._resolve_iri(tok[1:-1])
         if kind == "pname":
             return self._expand_pname(tok)
         if kind == "punct" and tok == "[":
@@ -196,7 +224,7 @@ class _Parser:
         if kind == "pname" and tok == "a":
             return RDF_TYPE
         if kind == "iriref":
-            return tok[1:-1]
+            return self._resolve_iri(tok[1:-1])
         if kind == "pname":
             return self._expand_pname(tok)
         raise ValueError(f"{self.site}: bad predicate token {kind} {tok!r}")
@@ -213,7 +241,7 @@ class _Parser:
     def _parse_object(self) -> tuple[str, str]:
         kind, tok = self._next()
         if kind == "iriref":
-            return tok[1:-1], "iri"
+            return self._resolve_iri(tok[1:-1]), "iri"
         if kind in ("string", "string3"):
             value = self._unquote(tok)
             nkind, ntok = self._peek()

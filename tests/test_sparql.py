@@ -1080,3 +1080,132 @@ def test_spo_roundtrip_identity(engine):
         for r in engine.triples.select("subject", "predicate", "object").collect()
     }
     assert got == want and len(rows) == len(got)  # distinct union semantics
+
+
+# ----------------------------------------------------- round-7 ttl hardening
+def test_ttl_escaped_backslash_before_n():
+    """\\\\n is backslash + 'n', never a newline (single-pass decoding)."""
+    from mortar_parquet_support_spark.sources.ttl import parse_ttl
+
+    ttl = (
+        '@prefix ex: <http://ex.org/> .\n'
+        'ex:s ex:p "C:\\\\new" .\n'
+        'ex:s ex:q "a\\nb" .\n'
+        'ex:s ex:r "\\u00e9t\\u00e9" .\n'
+    )
+    objs = {t[2].split("/")[-1]: t[3] for t in parse_ttl(ttl, site="s")}
+    assert objs["p"] == "C:\\new"
+    assert objs["q"] == "a\nb"
+    assert objs["r"] == "été"
+
+
+def test_ttl_base_resolution():
+    from mortar_parquet_support_spark.sources.ttl import parse_ttl
+
+    ttl = (
+        '@base <http://ex.org/bldg/> .\n'
+        '@prefix brick: <https://brickschema.org/schema/Brick#> .\n'
+        '<ahu1> a brick:AHU .\n'
+        '<http://abs.example/x> a brick:VAV .\n'
+    )
+    triples = parse_ttl(ttl, site="s")
+    subjects = {t[1] for t in triples}
+    assert "http://ex.org/bldg/ahu1" in subjects  # relative resolved
+    assert "http://abs.example/x" in subjects  # absolute untouched
+
+
+# ------------------------------------------- round-7 sparql semantics fixes
+def _mini_engine(spark, site_triples):
+    """site_triples: {site: [(s, p, o, okind)]} -> engine."""
+    rows = [
+        (site, s, p, o, k)
+        for site, ts in site_triples.items()
+        for (s, p, o, k) in ts
+    ]
+    return SparqlEngine(spark.createDataFrame(rows, schema=TRIPLES_SCHEMA))
+
+
+def test_site_scoped_closure_does_not_leak_edges(spark):
+    """a->b in s1, b->c in s2: a p+ ?x scoped to s1 must NOT reach c."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s1": [("urn:a", "urn:p", "urn:b", "iri")],
+            "s2": [("urn:b", "urn:p", "urn:c", "iri")],
+        },
+    )
+    q = "SELECT ?x WHERE { <urn:a> <urn:p>+ ?x }"
+    assert {r.x for r in eng.sql(q, site="s1").collect()} == {"urn:b"}
+    # unscoped union still traverses both
+    assert {r.x for r in eng.sql(q).collect()} == {"urn:b", "urn:c"}
+
+
+def test_regex_flag_case_insensitive(spark):
+    eng = _mini_engine(
+        spark, {"s": [("urn:a", "urn:name", "Zone Temp", "literal")]}
+    )
+    q = 'SELECT ?s WHERE { ?s <urn:name> ?n . FILTER(regex(?n, "zone temp", "i")) }'
+    assert [r.s for r in eng.sql(q).collect()] == ["urn:a"]
+    q2 = 'SELECT ?s WHERE { ?s <urn:name> ?n . FILTER(regex(?n, "zone temp")) }'
+    assert eng.sql(q2).count() == 0  # case-sensitive without the flag
+
+
+def test_sibling_optionals_fill_unbound_var(spark):
+    """SPARQL compatibility: an ?x the first OPTIONAL leaves unbound may be
+    filled by the second (null is compatible with anything)."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:type", "urn:T", "iri"),
+                ("urn:t2", "urn:type", "urn:T", "iri"),
+                ("urn:t1", "urn:p", "urn:v1", "iri"),
+                ("urn:t2", "urn:q", "urn:v2", "iri"),
+            ]
+        },
+    )
+    q = """SELECT ?s ?x WHERE {
+      ?s <urn:type> <urn:T> .
+      OPTIONAL { ?s <urn:p> ?x }
+      OPTIONAL { ?s <urn:q> ?x }
+    }"""
+    got = {(r.s, r.x) for r in eng.sql(q).collect()}
+    assert got == {("urn:t1", "urn:v1"), ("urn:t2", "urn:v2")}
+
+
+def test_cycle_path_same_var(spark):
+    """?x p+ ?x (cycle detection) must not crash on duplicate columns."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:a", "urn:p", "urn:b", "iri"),
+                ("urn:b", "urn:p", "urn:a", "iri"),
+                ("urn:c", "urn:p", "urn:d", "iri"),
+            ]
+        },
+    )
+    q = "SELECT ?x WHERE { ?x <urn:p>+ ?x }"
+    assert {r.x for r in eng.sql(q).collect()} == {"urn:a", "urn:b"}
+
+
+def test_graph_var_reused_in_pattern(spark):
+    """GRAPH ?g { ?g ?p ?o } is legal: the graph var doubles as subject."""
+    eng = _mini_engine(
+        spark,
+        {"g1": [("g1", "urn:p", "urn:o", "iri")],
+         "g2": [("urn:s", "urn:p", "urn:o", "iri")]},
+    )
+    q = "SELECT ?g ?o WHERE { GRAPH ?g { ?g ?p ?o } }"
+    # only g1 has a subject equal to its own site name
+    got = {(r.g, r.o) for r in eng.sql(q).collect()}
+    assert got == {("urn:g1#", "urn:o")}
+
+
+def test_paren_negated_set_modifier_raises_unsupported():
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT ?x WHERE { ?x (!<urn:p>)* ?y }")
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT ?x WHERE { ?x ^(!<urn:p>) ?y }")
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT ?x WHERE { ?x <urn:a>|(<urn:b>|<urn:c>) ?y }")
