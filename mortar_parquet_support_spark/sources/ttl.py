@@ -169,7 +169,8 @@ class _Parser:
                 self._next()
                 _, pfx = self._expect("pname")
                 _, iri = self._expect("iriref")
-                self.prefixes[pfx.rstrip(":")] = iri[1:-1]
+                # prefix IRIs resolve against @base too (RFC 3986)
+                self.prefixes[pfx.rstrip(":")] = self._resolve_iri(iri[1:-1])
                 if self._peek()[0] == "dot":
                     self._next()
             elif kind in ("pname", "lang") and tok.lower() in ("@base", "base"):
