@@ -1291,18 +1291,21 @@ class SparqlEngine:
         return self._closures[key]
 
     # -- compilation --
-    def _compile_query(self, q: Query, scope: _Scope) -> DataFrame:
+    def _compile_query(self, q: Query, scope: _Scope, *, want_nullable: bool = False):
         if q.form == "describe":
+            assert not want_nullable
             return self._describe(q, scope)
-        acc, bound = self._compile_group(q.group, scope)
+        acc, bound, gnullable = self._compile_group(q.group, scope)
         if acc is None:
             raise SparqlUnsupported("empty WHERE group")
         if q.form == "ask":
             # one boolean row; agg over limit(1) stays lazy and evaluates
             # no more of the pattern than existence requires
-            return acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+            out = acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+            return (out, set()) if want_nullable else out
         if q.form == "construct":
-            return self._construct(q, acc, bound)
+            out = self._construct(q, acc, bound)
+            return (out, set()) if want_nullable else out
         if q.aggregates:
             acc = self._apply_aggregates(q, acc, bound)
             hbound = set(q.group_by) | set(q.aggregates)
@@ -1345,6 +1348,17 @@ class SparqlEngine:
             out = out.offset(int(q.offset))
         if q.limit is not None:
             out = out.limit(int(q.limit))
+        if want_nullable:
+            # which projected vars may carry null bindings out of this
+            # (sub)query: group-level unbound vars, non-COUNT aggregates
+            # over them, and expression aliases built from them
+            nullable_out = set(out_vars) & gnullable
+            for alias, (fn, target, _d, _s) in q.aggregates.items():
+                if fn != "count" and target in gnullable:
+                    nullable_out.add(alias)
+            if gnullable:
+                nullable_out |= set(q.select_exprs) & set(out_vars)
+            return out, nullable_out
         return out
 
     def _describe(self, q: Query, scope: _Scope) -> DataFrame:
@@ -1355,7 +1369,7 @@ class SparqlEngine:
         iris = [s[1:-1] for s in q.select if s.startswith("<")]
         frames = []
         if vars_:
-            acc, bound = self._compile_group(q.group, scope)
+            acc, bound, _nullable = self._compile_group(q.group, scope)
             if acc is None:
                 raise SparqlUnsupported("DESCRIBE ?var with empty WHERE group")
             for v in vars_:
@@ -1495,11 +1509,12 @@ class SparqlEngine:
         compatible on a shared variable when either side is UNBOUND (null)
         or the values are equal. A plain equi-join treats null as
         incompatible — a row whose ?x the first OPTIONAL left unbound
-        could then never be filled by a second OPTIONAL. For 'left' the
-        shared columns merge via coalesce; for 'left_anti' (MINUS) the
-        spec additionally requires the solutions' domains to OVERLAP (at
-        least one shared var bound on BOTH sides), else nothing is
-        removed."""
+        could then never be filled by a second OPTIONAL. For 'inner' and
+        'left' the shared columns merge via coalesce; for 'left_anti'
+        (MINUS) the spec additionally requires the solutions' domains to
+        OVERLAP (at least one shared var bound on BOTH sides), else nothing
+        is removed; 'left_semi'/'anti_exists' implement (NOT) EXISTS under
+        compatibility without MINUS's overlap rule."""
         left = acc.alias("__l")
         right = other.alias("__r")
         compat = F.lit(True)
@@ -1512,7 +1527,12 @@ class SparqlEngine:
             return left.join(
                 F.broadcast(right), compat & overlap, "left_anti"
             ).select(*[F.col(f"__l.{c}").alias(c) for c in acc.columns])
-        joined = left.join(F.broadcast(right), compat, "left")
+        if how in ("left_semi", "anti_exists"):
+            spark_how = "left_semi" if how == "left_semi" else "left_anti"
+            return left.join(F.broadcast(right), compat, spark_how).select(
+                *[F.col(f"__l.{c}").alias(c) for c in acc.columns]
+            )
+        joined = left.join(F.broadcast(right), compat, "left" if how == "left" else "inner")
         cols = [
             (
                 F.coalesce(F.col(f"__l.{c}"), F.col(f"__r.{c}")).alias(c)
@@ -1525,20 +1545,43 @@ class SparqlEngine:
 
     def _compile_group(
         self, group: Group, scope: _Scope
-    ) -> tuple[DataFrame | None, set[str]]:
+    ) -> tuple[DataFrame | None, set[str], set[str]]:
+        """Returns ``(df, bound_vars, nullable_vars)``. ``nullable_vars``
+        tracks every variable a sub-pattern may leave UNBOUND (OPTIONAL-only
+        vars, UNION branch gaps, VALUES UNDEF, subquery-projected nulls) —
+        on WHICHEVER side of a later join it appears — so joins switch to
+        SPARQL compatibility semantics exactly when a null could be
+        mistaken for a non-match."""
         acc: DataFrame | None = None
         bound: set[str] = set()
         nullable: set[str] = set()  # vars an OPTIONAL/UNDEF may leave unbound
+
+        def merge_inner(df: DataFrame, dvars: set[str], dnullable: set[str]):
+            # inner join of two solution sequences, compatibility-aware on
+            # whichever side may carry nulls in a shared variable
+            nonlocal acc, bound, nullable
+            if acc is None:
+                acc, bound = df, set(dvars)
+            else:
+                shared = sorted(bound & dvars)
+                if shared and (set(shared) & (nullable | dnullable)):
+                    acc = self._null_compat_join(acc, df, shared, how="inner")
+                    bound |= dvars
+                else:
+                    acc, bound = self._join(acc, bound, df)
+            nullable |= dnullable
+
         for pat in self._order_patterns(group.triples):
             acc, bound = self._apply_pattern(acc, bound, pat, scope)
         for subq in group.subqueries:
             # a subquery is its own solution sequence: compile in full
             # (aggregates/ORDER/LIMIT included), then join on whatever
             # projected variables the outer bindings share
-            acc, bound = self._join(acc, bound, self._compile_query(subq, scope))
+            sdf, snullable = self._compile_query(subq, scope, want_nullable=True)
+            merge_inner(sdf, set(sdf.columns), snullable)
         for gterm, ggroup in group.graphs:
             gscope = self._graph_scope(gterm)
-            gdf, gvars = self._compile_group(ggroup, gscope)
+            gdf, gvars, gnullable = self._compile_group(ggroup, gscope)
             if gdf is None:
                 continue
             if gterm.kind == "var" and gterm.value in gdf.columns:
@@ -1547,20 +1590,20 @@ class SparqlEngine:
                     gterm.value,
                     F.concat(F.lit("urn:"), F.col(gterm.value), F.lit("#")),
                 )
-            acc, bound = self._join(acc, bound, gdf) if acc is not None else (gdf, gvars)
+            merge_inner(gdf, gvars, gnullable)
         for alternatives in group.unions:
-            udf, uvars = self._compile_union(alternatives, scope)
-            acc, bound = self._join(acc, bound, udf) if acc is not None else (udf, uvars)
+            udf, uvars, unullable = self._compile_union(alternatives, scope)
+            merge_inner(udf, uvars, unullable)
         for opt in group.optionals:
-            odf, ovars = self._compile_group(opt, scope)
+            odf, ovars, onullable = self._compile_group(opt, scope)
             if odf is None:
                 continue
             if acc is None:
-                acc, bound = odf, ovars
+                acc, bound, nullable = odf, ovars, nullable | onullable
                 continue
             shared = sorted(bound & ovars)
-            if shared and (set(shared) & nullable):
-                # a shared var may be unbound on the acc side: equi-join
+            if shared and (set(shared) & (nullable | onullable)):
+                # a shared var may be unbound on EITHER side: equi-join
                 # would treat null as a non-match; use compatibility join
                 acc = self._null_compat_join(acc, odf, shared, how="left")
             elif shared:
@@ -1570,17 +1613,17 @@ class SparqlEngine:
                 # empty optional group null-extends instead of wiping the
                 # outer rows like a crossJoin would
                 acc = acc.join(F.broadcast(odf), on=F.lit(True), how="left")
-            nullable |= ovars - bound  # optional-only vars may stay unbound
+            nullable |= (ovars - bound) | onullable  # may stay unbound
             bound |= ovars
         for m in group.minuses:
-            mdf, mvars = self._compile_group(m, scope)
+            mdf, mvars, mnullable = self._compile_group(m, scope)
             if mdf is None or acc is None:
                 continue
             shared = sorted(bound & mvars)
             if not shared:
                 # SPARQL MINUS with disjoint domains removes nothing
                 continue
-            if set(shared) & nullable:
+            if set(shared) & (nullable | mnullable):
                 acc = self._null_compat_join(
                     acc, mdf.select(*shared).dropDuplicates(), shared, how="left_anti"
                 )
@@ -1592,6 +1635,13 @@ class SparqlEngine:
                 )
         for vars_, rows in group.values:
             acc, bound = self._apply_values(acc, bound, vars_, rows, scope)
+            # a var with an UNDEF row may surface as null in the joined
+            # result (fresh vars) — later joins must treat it as unbound
+            nullable |= {
+                v
+                for i, v in enumerate(vars_)
+                if any(r[i] is None for r in rows)
+            }
         for var, bexpr in group.binds:
             if acc is None:
                 # BIND with no preceding patterns: a one-row unit frame
@@ -1609,29 +1659,41 @@ class SparqlEngine:
         for positive, eg in group.exists_filters:
             if acc is None:
                 raise SparqlUnsupported("FILTER EXISTS without preceding patterns")
-            edf, evars = self._compile_group(eg, scope)
+            edf, evars, enullable = self._compile_group(eg, scope)
             if edf is None:
                 # the spec evaluates {} to the unit solution: EXISTS {} is
                 # always true (keep everything), NOT EXISTS {} always false
                 if not positive:
                     acc = acc.limit(0)
                 continue
-            how = "left_semi" if positive else "left_anti"
             shared = sorted(bound & evars)
-            if shared:
+            if shared and (set(shared) & (nullable | enullable)):
+                # a shared var may be unbound on either side: existence is
+                # tested under compatibility, not equality
+                acc = self._null_compat_join(
+                    acc,
+                    edf.select(*shared).dropDuplicates(),
+                    shared,
+                    how="left_semi" if positive else "anti_exists",
+                )
+            elif shared:
                 # correlated existence test == semi/anti join on the
                 # variables the inner group shares with the outer bindings
                 acc = acc.join(
                     F.broadcast(edf.select(*shared).dropDuplicates()),
                     on=shared,
-                    how=how,
+                    how="left_semi" if positive else "left_anti",
                 )
             else:
                 # uncorrelated: keep (EXISTS) / drop (NOT EXISTS) every row
                 # iff the inner pattern has any match at all
                 probe = F.broadcast(edf.limit(1).select(F.lit(1).alias("__e")))
-                acc = acc.join(probe, on=F.lit(True), how=how)
-        return acc, bound
+                acc = acc.join(
+                    probe,
+                    on=F.lit(True),
+                    how="left_semi" if positive else "left_anti",
+                )
+        return acc, bound, nullable
 
     def _apply_values(
         self,
@@ -1670,24 +1732,27 @@ class SparqlEngine:
 
     def _compile_union(
         self, alternatives: list[Group], scope: _Scope
-    ) -> tuple[DataFrame, set[str]]:
-        frames: list[tuple[DataFrame, set[str]]] = []
+    ) -> tuple[DataFrame, set[str], set[str]]:
+        frames: list[tuple[DataFrame, set[str], set[str]]] = []
         for alt in alternatives:
-            df, vars_ = self._compile_group(alt, scope)
+            df, vars_, branch_nullable = self._compile_group(alt, scope)
             if df is None:
                 raise SparqlUnsupported("empty UNION branch")
-            frames.append((df, vars_))
-        all_vars = sorted(set().union(*[v for _, v in frames]))
+            frames.append((df, vars_, branch_nullable))
+        all_vars = sorted(set().union(*[v for _, v, _ in frames]))
         aligned = []
-        for df, vars_ in frames:
+        nullable: set[str] = set()
+        for df, vars_, branch_nullable in frames:
             missing = [v for v in all_vars if v not in vars_]
+            # a var absent from one branch is null in that branch's rows
+            nullable |= set(missing) | branch_nullable
             for v in missing:
                 df = df.withColumn(v, F.lit(None).cast("string"))
             aligned.append(df.select(*all_vars))
         out = aligned[0]
         for df in aligned[1:]:
             out = out.unionByName(df)
-        return out, set(all_vars)
+        return out, set(all_vars), nullable
 
     def _compile_filter(self, expr: FilterExpr, bound: set[str]):
         if isinstance(expr, Term):

@@ -140,7 +140,18 @@ def ingest_directory(
     try:
         df = _parse_stream_lines(spark, csv_dir + "/*.csv", collection, time_col)
     except Exception as exc:
-        if "PATH_NOT_FOUND" not in str(exc):
+        # Spark 3.4+ raises error-class PATH_NOT_FOUND; older builds say
+        # "Path does not exist"; prefer the structured error class when the
+        # exception exposes one (connect/classic AnalysisException both do).
+        klass = None
+        get_klass = getattr(exc, "getErrorClass", None)
+        if callable(get_klass):
+            try:
+                klass = get_klass()
+            except Exception:
+                klass = None
+        msg = str(exc)
+        if klass != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
         return spark.createDataFrame(
             [],

@@ -35,6 +35,52 @@ def _local_master(df: DataFrame) -> bool:
     return df.sparkSession.sparkContext.master.startswith("local")
 
 
+def _csv_cell_formatter(schema, session_tz: str):
+    """Build a ``cell(i, v) -> str`` renderer matching Spark's own CSV
+    writer defaults, for the driver-link (non-local-master) path.
+
+    toLocalIterator yields TIMESTAMP (LTZ) as NAIVE datetimes in the
+    DRIVER's local tz; Spark's CSV writer renders them in the SESSION tz
+    as ``yyyy-MM-dd'T'HH:mm:ss.SSSXXX`` ("Z" at zero offset), NTZ values
+    without the offset, dates as ISO — so both ``to_local_csv`` paths emit
+    byte-identical files no matter where the driver runs."""
+    import datetime as _dt
+
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        out_tz = ZoneInfo(session_tz)
+    except Exception:
+        out_tz = _dt.timezone.utc
+
+    def _fmt_instant(v):
+        if v.tzinfo is None:
+            v = v.astimezone(_dt.timezone.utc)  # interpret as driver-local
+        s = v.astimezone(out_tz).isoformat(timespec="milliseconds")
+        return s[:-6] + "Z" if s.endswith("+00:00") else s
+
+    formatters = {}
+    for i, field in enumerate(schema.fields):
+        if isinstance(field.dataType, TimestampType):
+            formatters[i] = _fmt_instant
+        elif isinstance(field.dataType, TimestampNTZType):
+            formatters[i] = lambda v: v.isoformat(timespec="milliseconds")
+        elif isinstance(field.dataType, DateType):
+            formatters[i] = lambda v: v.isoformat()
+
+    def cell(i, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        fmt = formatters.get(i)
+        return fmt(v) if fmt is not None else v
+
+    return cell
+
+
 def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
     """S9 parity mode: append everything to ONE local CSV file, exactly the
     reference's ``data_sparql_to_csv`` shape (client.py:74-80). Only for
@@ -44,25 +90,25 @@ def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
     into ``filename`` (fast path; executor disk IS the driver's). Any
     other master: executors can't see the driver's /tmp, so rows stream
     over the driver link (``toLocalIterator``, bounded memory) and are
-    written with Python's csv module — nulls render as empty and booleans
-    as true/false, matching Spark's CSV defaults."""
+    written with Python's csv module — nulls render as empty, booleans
+    as true/false, and timestamps in Spark's own CSV shape (session-tz
+    instants as ``yyyy-MM-dd'T'HH:mm:ss.SSSXXX``, NTZ without the
+    offset), so both paths emit byte-identical files regardless of the
+    driver's local timezone."""
     if not _local_master(df):
         import csv as _csv
 
-        def cell(v):
-            if v is None:
-                return ""
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            return v
-
+        cell = _csv_cell_formatter(
+            df.schema,
+            df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC"),
+        )
         n = 0
         with open(filename, "a", newline="") as out:
             w = _csv.writer(out)
             if header:
                 w.writerow(df.columns)
             for row in df.toLocalIterator(prefetchPartitions=True):
-                w.writerow([cell(v) for v in row])
+                w.writerow([cell(i, v) for i, v in enumerate(row)])
                 n += 1
         return n
     tmp = tempfile.mkdtemp(prefix="mortar_csv_")

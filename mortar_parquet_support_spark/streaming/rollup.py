@@ -173,10 +173,28 @@ def stateful_sessionize_stream(
         else:
             start_us, last_us, n = None, None, 0
         closed = []
+        early = None  # open session strictly BEFORE the stateful one
         gap_us = gap_s * 1_000_000
         for t in us:
             if n == 0:
                 start_us, last_us, n = t, t, 1
+            elif t < start_us - gap_us:
+                # late event more than a gap BEFORE the open session's
+                # start: batch semantics puts it in its own earlier
+                # session, never folded into the open one. Chain
+                # consecutive such events (input is sorted) and emit the
+                # resulting session(s) closed — by construction they can
+                # never bridge into the open session (each t here is
+                # < start_us - gap_us, so the chain's high-water mark is
+                # too).
+                if early is None:
+                    early = [t, t, 1]
+                elif t - early[1] <= gap_us:
+                    early[1] = t
+                    early[2] += 1
+                else:
+                    closed.append(tuple(early))
+                    early = [t, t, 1]
             elif t > last_us and t - last_us > gap_us:
                 closed.append((start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
@@ -189,6 +207,9 @@ def stateful_sessionize_stream(
                 start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
+        if early is not None:
+            closed.append(tuple(early))
+        closed.sort()  # chronological emission across early + split sessions
         state.update((start_us, last_us, n))
         state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)  # ms
         if closed:

@@ -1354,3 +1354,60 @@ def test_stateful_sessionize_late_event_no_regression(spark, tmp_path):
     # 10:00 mark, so the session must STAY OPEN (the bug emitted a split)
     out = run_batch([("devA", t(9, 50)), ("devA", t(10, 25))], "b2")
     assert out == [], [tuple(r) for r in out]
+
+
+def test_stateful_sessionize_too_early_late_event_own_session(spark, tmp_path):
+    """A late event arriving MORE than a gap before the open session's
+    start must not be folded in (batch gap-split would place it in a
+    separate earlier session): it opens and closes its own session."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stateful_sessionize_stream,
+    )
+
+    schema = StructType(
+        [StructField("dev", StringType()), StructField("event_time", TimestampType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda h, m: _dt.datetime(2024, 5, 1, h, m)  # noqa: E731
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(str(src) + "/*")
+        )
+        sess = stateful_sessionize_stream(
+            stream, key="dev", ts="event_time", gap="30 minutes", watermark="4 hours"
+        )
+        emitted = []
+        q = (
+            sess.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _id: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # batch 1: open session for device A at 10:00
+    assert run_batch([("devA", t(10, 0))], "b1") == []
+    # batch 2: two late events at 08:00/08:10 (chained: 10 min apart) plus
+    # an in-gap 10:05. 08:xx precede 10:00 by > gap → their own session,
+    # emitted closed; the open session folds 10:05 silently.
+    out = run_batch(
+        [("devA", t(8, 0)), ("devA", t(8, 10)), ("devA", t(10, 5))], "b2"
+    )
+    got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
+    assert got == [("devA", t(8, 0), t(8, 10), 2)], got

@@ -253,3 +253,78 @@ def test_local_sinks_cluster_branch(spark, tmp_path, monkeypatch):
     con2 = sinks_mod.to_duckdb(df, db, "t_remote", connection=con)
     assert con2.table("t_remote").count("*").fetchone()[0] == 80
     con.close()
+
+
+def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
+    """ADVICE r7 (medium): the non-local-master to_local_csv path must emit
+    the SAME bytes Spark's own CSV writer does — session-tz instants in
+    yyyy-MM-dd'T'HH:mm:ss.SSSXXX, NTZ without the offset — even on a
+    non-UTC driver where toLocalIterator yields naive local datetimes."""
+    import csv
+    import datetime
+    import glob
+    import io
+    import time as _time
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from mortar_parquet_support_spark.sources.sinks import _csv_cell_formatter
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("ntz", TimestampNTZType()),
+            StructField("d", DateType()),
+            StructField("v", DoubleType()),
+            StructField("b", BooleanType()),
+        ]
+    )
+    rows = [
+        (
+            datetime.datetime(2024, 1, 1, 5, 0, 0, 123456),
+            datetime.datetime(2024, 1, 1, 5, 0, 0, 123456),
+            datetime.date(2024, 1, 2),
+            1.5,
+            True,
+        ),
+        (None, None, None, None, False),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = tmp_path / "spark_csv"
+    df.coalesce(1).write.mode("overwrite").csv(str(out))
+    expected = b"".join(
+        open(p, "rb").read() for p in sorted(glob.glob(str(out / "part-*")))
+    ).decode()
+
+    # Simulate the driver-link path on a non-UTC driver: toLocalIterator
+    # yields LTZ instants as naive datetimes in the DRIVER's local tz.
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        cell = _csv_cell_formatter(
+            schema, spark.conf.get("spark.sql.session.timeZone", "UTC")
+        )
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            w.writerow([cell(i, v) for i, v in enumerate(row)])
+        got = buf.getvalue().replace("\r\n", "\n")
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    assert sorted(got.splitlines()) == sorted(expected.splitlines()), (
+        got,
+        expected,
+    )

@@ -1209,3 +1209,82 @@ def test_paren_negated_set_modifier_raises_unsupported():
         parse_sparql("SELECT ?x WHERE { ?x ^(!<urn:p>) ?y }")
     with pytest.raises(SparqlUnsupported):
         parse_sparql("SELECT ?x WHERE { ?x <urn:a>|(<urn:b>|<urn:c>) ?y }")
+
+
+def test_optional_with_nested_optional_null_on_right_side(spark):
+    """A shared var left unbound on the OPTIONAL (right) side — via a
+    nested OPTIONAL inside that group — must still be compatible with the
+    outer binding, not dropped by a plain equi-join."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:type", "urn:T", "iri"),
+                ("urn:t1", "urn:p", "urn:v1", "iri"),
+                ("urn:t1", "urn:r", "urn:w1", "iri"),
+                # r-edge whose subject has NO q-edge: nested OPTIONAL
+                # leaves ?x null on the right side of the outer join
+            ]
+        },
+    )
+    q = """SELECT ?s ?x ?w WHERE {
+      ?s <urn:type> <urn:T> .
+      ?s <urn:p> ?x .
+      OPTIONAL {
+        ?s <urn:r> ?w .
+        OPTIONAL { ?w <urn:q> ?x }
+      }
+    }"""
+    got = {(r.s, r.x, r.w) for r in eng.sql(q).collect()}
+    # inner OPTIONAL leaves ?x unbound on the right; compatibility keeps
+    # the outer ?x=v1 binding and attaches ?w
+    assert got == {("urn:t1", "urn:v1", "urn:w1")}
+
+
+def test_minus_with_undef_values_inside(spark):
+    """VALUES UNDEF inside MINUS: the UNDEF var is unbound on the MINUS
+    side, so it is compatible with every outer binding — both subjects
+    carrying urn:p must be removed."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:type", "urn:T", "iri"),
+                ("urn:t2", "urn:type", "urn:T", "iri"),
+                ("urn:t3", "urn:type", "urn:T", "iri"),
+                ("urn:t1", "urn:p", "urn:v1", "iri"),
+                ("urn:t2", "urn:p", "urn:v2", "iri"),
+            ]
+        },
+    )
+    q = """SELECT ?s WHERE {
+      ?s <urn:type> <urn:T> .
+      OPTIONAL { ?s <urn:p> ?x }
+      MINUS { ?s <urn:p> ?y . VALUES ?x { UNDEF } }
+    }"""
+    got = {r.s for r in eng.sql(q).collect()}
+    assert got == {"urn:t3"}
+
+
+def test_union_branch_gap_var_joins_compatibly(spark):
+    """A var projected by only one UNION branch is null in the other
+    branch's rows; a later OPTIONAL sharing it must treat that null as
+    unbound (compatible), not as a failed equality."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:type", "urn:T", "iri"),
+                ("urn:t1", "urn:p", "urn:v1", "iri"),
+                ("urn:t1", "urn:q", "urn:v9", "iri"),
+            ]
+        },
+    )
+    q = """SELECT ?s ?x WHERE {
+      { ?s <urn:type> <urn:T> . ?s <urn:p> ?x } UNION { ?s <urn:type> <urn:T> }
+      OPTIONAL { ?s <urn:q> ?x }
+    }"""
+    got = {(r.s, r.x) for r in eng.sql(q).collect()}
+    # branch 1 binds ?x=v1 (q-edge v9 incompatible → left row kept as-is);
+    # branch 2 leaves ?x null → filled by the OPTIONAL with v9
+    assert got == {("urn:t1", "urn:v1"), ("urn:t1", "urn:v9")}
