@@ -68,6 +68,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return per_session[key]
 
 
+def ivf_index_for(spark: SparkSession, sf_dir: str):
+    """Build (or fetch) the memoized per-session IVF index over the
+    embeddings table — one persisted assignment reused by every knn_ivf
+    invocation in a session, the amortized build-offline/probe-online
+    serving shape. Public so bench.py can time the one-time BUILD
+    separately from the per-query PROBE."""
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        from mortar_parquet_support_spark.operators.similarity import IvfIndex
+
+        per_session[sf_dir] = IvfIndex.build(
+            _t(spark, sf_dir, "embeddings"), n_list=8, persist=True
+        )
+    return per_session[sf_dir]
+
+
 # ===========================================================================
 # Reference-surface operators (SURVEY.md §2.1-2.3) on the events "stream"
 # ===========================================================================
@@ -1176,16 +1192,8 @@ def _knn_ivf(spark, sf_dir):
     of the one-shot ``ivf_topk`` recomputing it under AQE replanning. This
     is also the documented 100 TB serving shape (build offline, probe per
     query batch)."""
-    from mortar_parquet_support_spark.operators.similarity import IvfIndex
-
     emb = _t(spark, sf_dir, "embeddings")
-    # memoize the built index per (session, sf_dir): repeated invocations
-    # reuse the one persisted assignment instead of leaking a fresh cached
-    # copy each call — which is also the amortized serving shape
-    per_session = _IVF_CACHE.setdefault(spark, {})
-    if sf_dir not in per_session:
-        per_session[sf_dir] = IvfIndex.build(emb, n_list=8, persist=True)
-    index = per_session[sf_dir]
+    index = ivf_index_for(spark, sf_dir)
     # rank ONCE, directly on the rounded score (scored_candidates skips
     # topk's internal window — ranking twice would double the window cost)
     rounded = index.scored_candidates(

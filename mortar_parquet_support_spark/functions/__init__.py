@@ -39,6 +39,30 @@ def materialize(df, *, checkpoint_dir: str | None = None):
     return df.localCheckpoint(eager=True)
 
 
+def dot_product(a, b) -> Column:
+    """Left-to-right-fold dot product of two array<numeric> columns
+    (deterministic summation order — reproducible bit-for-bit)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def vector_norm(v) -> Column:
+    """Euclidean norm of an array<numeric> column, same fold order as
+    :func:`dot_product` — ``vector_norm(v)`` is bit-identical to
+    ``sqrt(dot_product(v, v))``, so norms precomputed at index-build time
+    (IvfIndex) divide out to exactly the value an inline
+    :func:`cosine_similarity` would produce."""
+    v = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
 def cosine_similarity(a, b) -> Column:
     """Cosine similarity of two array<numeric> columns, computed JVM-side
     with a left-to-right fold (deterministic summation order, so results are
@@ -46,15 +70,7 @@ def cosine_similarity(a, b) -> Column:
     """
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return dot / (norm(a) * norm(b))
+    return dot_product(a, b) / (vector_norm(a) * vector_norm(b))
 
 
 def char_ngrams(col, n: int = 3) -> Column:

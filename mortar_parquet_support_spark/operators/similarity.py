@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mortar_parquet_support_spark.functions import cosine_similarity
+from mortar_parquet_support_spark.functions import (
+    cosine_similarity,
+    dot_product,
+    vector_norm,
+)
 
 
 def cosine_topk(
@@ -208,35 +212,10 @@ def ivf_centroids(
     if _small is None:
         _small = _centroids_fit_driver(corpus, vec_col, n_list)
     if _small:
-        seeds = (
-            corpus.select(
-                F.col(vec_col).cast("array<double>").alias("centroid"),
-                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
-            )
-            .orderBy("_h")
-            .limit(n_list)
-            .collect()
+        cent_rows = _centroids_small_rows(
+            corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
+            iters=iters, seed=seed,
         )
-        # (list_id, vector) on the driver — O(n_list * dim) by the bound
-        cent_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
-        # Tight Lloyd loop: each iteration is ONE shuffle-free corpus scan
-        # emitting per-batch (list_id, n, sum) partials; the driver sums the
-        # O(n_batches * n_list) partials and divides. Partials are reduced
-        # in (list_id, collect order), so reruns on the same partitioning
-        # are bit-identical.
-        import numpy as np
-
-        for _ in range(iters):
-            parts = _list_partials(vecs, cent_rows).collect()
-            acc: dict[int, tuple] = {}
-            for r in sorted(parts, key=lambda r: r["list_id"]):
-                n0, s0 = acc.get(r["list_id"], (0, 0.0))
-                acc[r["list_id"]] = (n0 + r["n"], s0 + np.array(r["s"]))
-            # lists that attracted no vectors drop out, same as the
-            # distributed groupBy formulation
-            cent_rows = [
-                (lid, (s / n).tolist()) for lid, (n, s) in sorted(acc.items())
-            ]
         return spark.createDataFrame(cent_rows, schema)
     # Big-centroid path (n_list * dim beyond the driver bound): fully
     # distributed — window-numbered seeds, broadcast-join assignment,
@@ -275,6 +254,53 @@ def ivf_centroids(
             )
         )
     return cents
+
+
+def _centroids_small_rows(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_list: int,
+    iters: int,
+    seed: int,
+) -> list:
+    """Driver-resident centroid rows ``[(list_id, vector), ...]`` for the
+    small path (n_list * dim within ``IvfIndex.MAX_DRIVER_CELLS``).
+    Separated from :func:`ivf_centroids` so ``IvfIndex.build`` can consume
+    the rows DIRECTLY — wrapping them in a local DataFrame only to collect
+    it again was a measurable fixed cost per build."""
+    import numpy as np
+
+    seeds = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_list)
+        .collect()
+    )
+    # (list_id, vector) on the driver — O(n_list * dim) by the bound
+    cent_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
+    # Tight Lloyd loop: each iteration is ONE shuffle-free corpus scan
+    # emitting per-batch (list_id, n, sum) partials; the driver sums the
+    # O(n_batches * n_list) partials and divides. Partials are reduced
+    # in (list_id, collect order), so reruns on the same partitioning
+    # are bit-identical.
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        parts = _list_partials(vecs, cent_rows).collect()
+        acc: dict[int, tuple] = {}
+        for r in sorted(parts, key=lambda r: r["list_id"]):
+            n0, s0 = acc.get(r["list_id"], (0, 0.0))
+            acc[r["list_id"]] = (n0 + r["n"], s0 + np.array(r["s"]))
+        # lists that attracted no vectors drop out, same as the
+        # distributed groupBy formulation
+        cent_rows = [
+            (lid, (s / n).tolist()) for lid, (n, s) in sorted(acc.items())
+        ]
+    return cent_rows
 
 
 def _cent_matrix(cent_rows: list):
@@ -436,6 +462,7 @@ class IvfIndex:
         self.assigned = assigned
         self.cent_rows = cent_rows  # driver copy when small enough to inline
         self._persisted = persisted
+        self._lists_df: DataFrame | None = None  # lazy full-probe cell table
 
     @staticmethod
     def _materialize_centroids(spark, cents_lazy: DataFrame):
@@ -465,26 +492,41 @@ class IvfIndex:
         persist: bool = True,
     ) -> "IvfIndex":
         small = _centroids_fit_driver(corpus, vec_col, n_list)
-        cents_lazy = ivf_centroids(
-            corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
-            iters=iters, seed=seed, _small=small,
-        )
         vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         if small:
-            cents, cent_rows = cls._materialize_centroids(
-                corpus.sparkSession, cents_lazy
+            # rows come back driver-resident straight from the Lloyd loop —
+            # no round-trip through a local DataFrame + collect; the lazy
+            # local frame exists only for save()/big-path consumers
+            cent_rows = _centroids_small_rows(
+                corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
+                iters=iters, seed=seed,
+            )
+            cents = corpus.sparkSession.createDataFrame(
+                cent_rows, "list_id: int, centroid: array<double>"
             )
             # zero-shuffle assignment: corpus scanned once, never moved
             assigned = _assign_lists_arrow(vecs, cent_rows)
         else:
+            cents_lazy = ivf_centroids(
+                corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
+                iters=iters, seed=seed, _small=small,
+            )
             # big centroids stay distributed: persist cuts the subplan
             # recompute per broadcast use without driver residence
             cents = cents_lazy.persist()
             cents.count()
             cent_rows = None
             assigned = _assign_lists(vecs, F.broadcast(cents))
+        # precompute each corpus vector's norm AT BUILD TIME (what vector
+        # stores do): the probe's per-pair work drops from three array
+        # folds (dot + two norms) to one. vector_norm shares the fold
+        # order of cosine_similarity's inline norm, so probe scores stay
+        # bit-identical to the unindexed formula.
         assigned = assigned.select(
-            F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "list_id"
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("c_vec"),
+            "list_id",
+            vector_norm(F.col("v")).alias("c_norm"),
         )
         if persist:
             # eager persist: materialize NOW so the first query batch
@@ -499,6 +541,16 @@ class IvfIndex:
         numpy pass — no join, no window shuffle; big-centroid fallback:
         broadcast join + row_number window (same (cosine desc, list_id
         asc) ordering either way)."""
+        if self.cent_rows is not None and nprobe >= len(self.cent_rows):
+            # FULL probe: every query visits every cell — no ranking pass
+            # at all, just the tiny list_id table cross-joined in (the
+            # probe equi-join downstream is unchanged). Saves one Arrow
+            # worker stage on the exact-search path.
+            if self._lists_df is None:
+                self._lists_df = q.sparkSession.createDataFrame(
+                    [(lid,) for lid, _ in self.cent_rows], "list_id: int"
+                )
+            return q.crossJoin(F.broadcast(self._lists_df))
         if self.cent_rows is not None:
             from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -556,6 +608,23 @@ class IvfIndex:
         determinism) and shouldn't pay two windows."""
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         probes = self._probes(q, nprobe)
+        if "c_norm" in self.assigned.columns:
+            # norms were precomputed at build: one fold per pair instead of
+            # three. q_norm attaches BEFORE the join fan-out (one norm per
+            # query row, broadcast with the probes). Bit-identical to the
+            # inline formula — same fold, same operand order.
+            probes_n = probes.withColumn("q_norm", vector_norm(F.col("q_vec")))
+            joined = self.assigned.join(F.broadcast(probes_n), "list_id").filter(
+                F.col("neighbor_id") != F.col("query_id")
+            )
+            return joined.select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot_product(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm"))
+                ).alias("cosine"),
+            )
         joined = self.assigned.join(F.broadcast(probes), "list_id").filter(
             F.col("neighbor_id") != F.col("query_id")
         )
