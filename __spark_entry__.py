@@ -1680,12 +1680,47 @@ def _streaming_dedup(spark, sf_dir):
     return stream_dedup_once(spark, sf_dir)
 
 
-@_register("streaming_sessionize")
+@_register(
+    "streaming_sessionize",
+    """
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM e
+    ),
+    s AS (
+      SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT key, session_start, session_end, n_events FROM s, mx
+    WHERE EXISTS (SELECT 1 FROM s s2
+                  WHERE s2.key = s.key AND s2.session_start > s.session_end)
+       OR session_end + INTERVAL 6 HOUR < max_ts - INTERVAL 1 HOUR
+    """,
+)
 def _streaming_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user gap sessionization with event-time state timeout
-    (streaming/rollup.py stateful_sessionize_stream). Emission depends on
-    watermark progression (open sessions stay in state) -> rows-only."""
+    (streaming/rollup.py stateful_sessionize_stream).
+
+    Oracle-checkable after all: over a static fixture the availableNow run
+    emits EXACTLY the gaps-and-islands (lag + cumulative-sum) sessions that
+    are provably closed by end-of-stream — closed either by a later session
+    for the same key (gap split) or by the event-time state timeout
+    (session_end + gap < final watermark = max_ts - delay). Open sessions
+    stay in state on both formulations, so the emitted set is
+    deterministic and the SQL oracle reproduces it row-for-row."""
     from mortar_parquet_support_spark.streaming.rollup import (
         _events_stream,
         _run_to_memory,
@@ -1696,7 +1731,15 @@ def _streaming_sessionize(spark, sf_dir):
     sess = stateful_sessionize_stream(
         ev, key="user_id", ts="ts", gap="6 hours", watermark="1 hour"
     )
-    return _run_to_memory(sess, output_mode="append")
+    out = _run_to_memory(sess, output_mode="append")
+    # NTZ for the cross-engine compare: collect() renders LTZ in the
+    # driver's OS timezone (same rationale as stream_rollup_once)
+    return out.select(
+        "key",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
 
 
 @_register(

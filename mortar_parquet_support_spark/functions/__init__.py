@@ -39,6 +39,31 @@ def materialize(df, *, checkpoint_dir: str | None = None):
     return df.localCheckpoint(eager=True)
 
 
+def staged_columns(df, *stages: dict) -> "DataFrame":  # noqa: F821
+    """Apply column definitions in SEQUENTIAL projections so shared
+    subexpressions are computed once, not re-inlined.
+
+    Each ``stage`` is a ``{name: Column}`` dict; later stages reference
+    earlier results with ``F.col(name)``. Catalyst's CollapseProject leaves
+    a multi-referenced non-trivial alias in its own projection instead of
+    duplicating its subtree into every consumer — so a formula that reuses
+    an expensive part (regex split, array fold) generates that part's code
+    ONCE. The inlined single-projection form of the same formula can blow
+    whole-stage codegen past the JIT code cache (a 13x slowdown was
+    measured on operators/text.py's quality score before it was staged —
+    this utility is that fix, packaged for user-composed pipelines).
+
+    >>> staged_columns(df,
+    ...     {"words": F.split(F.lower("text"), r"\\s+")},
+    ...     {"n_words": F.size(F.col("words")),
+    ...      "n_stop": F.size(F.filter(F.col("words"), is_stopword))},
+    ...     {"stop_ratio": F.col("n_stop") / F.col("n_words")})
+    """
+    for stage in stages:
+        df = df.withColumns(stage)
+    return df
+
+
 def dot_product(a, b) -> Column:
     """Left-to-right-fold dot product of two array<numeric> columns
     (deterministic summation order — reproducible bit-for-bit)."""

@@ -120,24 +120,27 @@ def score_quality(
     CollapseProject from re-inlining, so the generated code stays small —
     the column-inlined form of this same formula generated duplicated
     regex/array subtrees big enough to thrash the JIT code cache
-    (13x slowdown observed at sf0.1 inside a long-lived session)."""
+    (13x slowdown observed at sf0.1 inside a long-lived session). The
+    staging pattern is packaged for user pipelines as
+    :func:`mortar_parquet_support_spark.functions.staged_columns` — this
+    is its canonical in-repo use."""
+    from mortar_parquet_support_spark.functions import staged_columns
+
     t = F.col(text_col)
-    parts = df.withColumns(
+    scored = staged_columns(
+        df,
         {
             "__q_words": _lower_words(t),
             "__q_n": F.length(t),
             "__q_pr": punct_ratio(t),
             "__q_dr": digit_ratio(t),
-        }
-    )
-    parts = parts.withColumn(
-        "__q_sw", _stopword_ratio_from_words(F.col("__q_words"))
-    )
-    scored = parts.withColumn(
-        out_col,
-        _quality_from_parts(
-            F.col("__q_n"), F.col("__q_pr"), F.col("__q_dr"), F.col("__q_sw")
-        ),
+        },
+        {"__q_sw": _stopword_ratio_from_words(F.col("__q_words"))},
+        {
+            out_col: _quality_from_parts(
+                F.col("__q_n"), F.col("__q_pr"), F.col("__q_dr"), F.col("__q_sw")
+            )
+        },
     )
     return scored.drop("__q_words", "__q_n", "__q_pr", "__q_dr", "__q_sw")
 

@@ -351,15 +351,15 @@ def stream_interval_join(
 
 def stream_interval_join_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the interval join: purchases joined to clicks by the same user
-    within 5 minutes — the attribution-window query — over the events
-    stream twice; equals the batch range join (tested)."""
+    within 5 minutes — the attribution-window query — as two filtered
+    aliases of ONE events stream (a single source listing; the join's two
+    sides still watermark independently); equals the batch range join
+    (tested)."""
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id"), F.col("event_id"), F.col("ts")
     )
-    clicks = _events_stream(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts"
-    ).filter(F.col("event_type") == "click").select(
+    clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"), F.col("event_id"), F.col("ts")
     )
     joined = stream_interval_join(

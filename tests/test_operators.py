@@ -1411,3 +1411,41 @@ def test_stateful_sessionize_too_early_late_event_own_session(spark, tmp_path):
     )
     got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
     assert got == [("devA", t(8, 0), t(8, 10), 2)], got
+
+
+def test_staged_columns_keeps_shared_subexpressions_single(spark):
+    """staged_columns must leave a multi-referenced expensive alias in its
+    own projection: the optimized plan contains the split() subtree ONCE,
+    where the inlined form duplicates it per consumer."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.functions import staged_columns
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("a b c",)], ["text"]
+    )
+    staged = staged_columns(
+        df,
+        {"words": F.split(F.lower(F.col("text")), r"\s+")},
+        {
+            "n_words": F.size(F.col("words")),
+            "n_the": F.size(F.filter(F.col("words"), lambda w: w == F.lit("the"))),
+        },
+        {"ratio": F.col("n_the") / F.col("n_words")},
+    ).select("text", "ratio")
+    rows = {r.text: r.ratio for r in staged.collect()}
+    assert abs(rows["the cat sat on the mat"] - 2 / 6) < 1e-9
+    assert rows["a b c"] == 0.0
+
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    inline_words = F.split(F.lower(F.col("text")), r"\s+")
+    inlined = df.select(
+        "text",
+        (
+            F.size(F.filter(inline_words, lambda w: w == F.lit("the")))
+            / F.size(inline_words)
+        ).alias("ratio"),
+    )
+    inline_plan = inlined._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert inline_plan.count("split(") > 1  # the failure mode being avoided
