@@ -740,6 +740,153 @@ def hyperplane_signature(
     return bucket
 
 
+class LshIndex:
+    """A built hyperplane-LSH index: the corpus bucketed (and norm-tagged)
+    ONCE, reusable across query batches — the same build-offline /
+    probe-online split as :class:`IvfIndex`. ``lsh_topk`` is the one-shot
+    convenience wrapper over it.
+
+    Scale shape: bucketing is a pure projection over one corpus scan (no
+    shuffle); ``persist=True`` pins the bucketed corpus so repeated query
+    batches never recompute signatures; ``save()`` lands it partitioned by
+    a bounded bucket prefix so a probe reads only matching directories.
+    """
+
+    def __init__(
+        self, bucketed: DataFrame, *, n_planes: int, seed: int, persisted: bool
+    ):
+        self.bucketed = bucketed  # (neighbor_id, c_vec, bucket, c_norm)
+        self.n_planes = n_planes
+        self.seed = seed
+        self._persisted = persisted
+
+    # partition count bound for save(): bucket space is 2^n_planes, which
+    # explodes into tiny directories past ~2^10; save() partitions on
+    # pmod(bucket, _SAVE_PARTITIONS) instead — probes prune on the prefix
+    # then filter the exact bucket inside it.
+    _SAVE_PARTITIONS = 256
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_planes: int = 12,
+        seed: int = 42,
+        persist: bool = True,
+    ) -> "LshIndex":
+        bucketed = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            hyperplane_signature(
+                F.col(vec_col), n_planes=n_planes, seed=seed
+            ).alias("bucket"),
+            vector_norm(F.col(vec_col)).alias("c_norm"),
+        )
+        if persist:
+            bucketed = bucketed.persist()
+            bucketed.count()  # materialize now: first query pays no build
+        return cls(bucketed, n_planes=n_planes, seed=seed, persisted=persist)
+
+    def _query_probes(self, queries: DataFrame, id_col: str, vec_col: str, multi_probe: int) -> DataFrame:
+        """(query_id, q_vec, q_norm, bucket) — the query's own bucket plus,
+        with ``multi_probe=1``, every 1-bit-flip neighbor bucket (vectors
+        near a hyperplane land on either side; flipping one sign bit probes
+        across it). Fan-out is n_planes+1 per query, on the SMALL side of
+        the broadcast join."""
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            vector_norm(F.col(vec_col)).alias("q_norm"),
+            hyperplane_signature(
+                F.col(vec_col), n_planes=self.n_planes, seed=self.seed
+            ).alias("_b0"),
+        )
+        if multi_probe <= 0:
+            return q.withColumn("bucket", F.col("_b0")).drop("_b0")
+        flips = F.array(
+            F.col("_b0"),
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(1 << p))
+                for p in range(self.n_planes)
+            ],
+        )
+        return (
+            q.select(
+                "query_id", "q_vec", "q_norm",
+                F.explode(flips).alias("bucket"),
+            )
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 10,
+        multi_probe: int = 0,
+    ) -> DataFrame:
+        q = self._query_probes(queries, id_col, vec_col, multi_probe)
+        joined = self.bucketed.join(F.broadcast(q), "bucket").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+        if multi_probe > 0:
+            # a corpus vector can match via several probed buckets
+            scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            self.bucketed.unpersist()
+            self._persisted = False
+
+    def save(self, path: str) -> None:
+        """``<path>/bucketed`` partitioned by a bounded bucket prefix
+        (pmod(bucket, 256)); ``<path>/meta`` pins (n_planes, seed) so
+        ``load`` reproduces identical query signatures."""
+        root = path.rstrip("/")
+        spark = self.bucketed.sparkSession
+        (
+            self.bucketed.withColumn(
+                "bucket_p", F.pmod(F.col("bucket"), F.lit(self._SAVE_PARTITIONS))
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket_p")
+            .parquet(root + "/bucketed")
+        )
+        spark.createDataFrame(
+            [(self.n_planes, self.seed)], "n_planes: int, seed: int"
+        ).coalesce(1).write.mode("overwrite").parquet(root + "/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LshIndex":
+        root = path.rstrip("/")
+        meta = spark.read.parquet(root + "/meta").first()
+        bucketed = spark.read.parquet(root + "/bucketed").drop("bucket_p")
+        return cls(
+            bucketed,
+            n_planes=int(meta["n_planes"]),
+            seed=int(meta["seed"]),
+            persisted=False,
+        )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -749,31 +896,18 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, exact-rerank
-    inside it. Recall < 1 by construction (bucket misses); raise recall by
-    lowering ``n_planes`` (bigger buckets) or unioning multiple seeds
-    (multi-probe). Corpus bucketing is a pure projection — persist the
-    bucketed corpus once and amortize across query batches."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_signature(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
+    """Approximate top-k: probe only the query's LSH bucket (plus 1-bit
+    neighbors with ``multi_probe=1``), exact-rerank inside it. Recall < 1
+    by construction (bucket misses); raise recall by lowering ``n_planes``
+    (bigger buckets) or enabling multi-probe. One-shot wrapper — for
+    repeated query batches use ``LshIndex.build(persist=True)`` and call
+    ``topk`` per batch (the bucketed corpus is computed once)."""
+    index = LshIndex.build(
+        corpus, id_col=id_col, vec_col=vec_col, n_planes=n_planes, seed=seed,
+        persist=False,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_signature(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
+    return index.topk(
+        queries, id_col=id_col, vec_col=vec_col, k=k, multi_probe=multi_probe
     )
-    joined = c.join(F.broadcast(q), "bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1449,3 +1449,55 @@ def test_staged_columns_keeps_shared_subexpressions_single(spark):
     inline_plan = inlined._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
     assert inline_plan.count("split(") > 1  # the failure mode being avoided
+
+
+def test_lsh_index_build_probe_save_load(spark, embeddings, tmp_path):
+    """LshIndex: persisted build is probed without re-bucketing (the probe
+    plan reads the in-memory bucketed corpus), save/load reproduces the
+    one-shot lsh_topk results exactly, and multi-probe recall dominates
+    single-probe recall on planted near-duplicates."""
+    base = embeddings.limit(20).collect()
+    planted = [
+        (r.vec_id + 100000, [v * 0.999 + 0.001 for v in r.embedding], r.label)
+        for r in base
+    ]
+    corpus = embeddings.unionByName(
+        spark.createDataFrame(planted, embeddings.schema.names)
+    )
+    queries = spark.createDataFrame(base, embeddings.schema.names)
+
+    index = similarity.LshIndex.build(corpus, n_planes=8, persist=True)
+    try:
+        out = index.topk(queries, k=1)
+        # the probe reuses the persisted bucketed corpus — no re-bucketing
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+
+        got = {r.query_id: r.neighbor_id for r in out.collect()}
+        oneshot = similarity.lsh_topk(corpus, queries, k=1, n_planes=8)
+        expect = {r.query_id: r.neighbor_id for r in oneshot.collect()}
+        assert got == expect
+
+        # save/load round-trip: same signatures (meta pins n_planes/seed),
+        # same results
+        index.save(str(tmp_path / "lsh"))
+        loaded = similarity.LshIndex.load(spark, str(tmp_path / "lsh"))
+        assert loaded.n_planes == 8 and loaded.seed == 42
+        reloaded = {
+            r.query_id: r.neighbor_id
+            for r in loaded.topk(queries, k=1).collect()
+        }
+        assert reloaded == expect
+
+        # multi-probe visits the query bucket plus 1-bit neighbors: recall
+        # on the planted twins can only go up
+        single_hits = sum(1 for q, n in got.items() if n == q + 100000)
+        multi = {
+            r.query_id: r.neighbor_id
+            for r in index.topk(queries, k=1, multi_probe=1).collect()
+        }
+        multi_hits = sum(1 for q, n in multi.items() if n == q + 100000)
+        assert multi_hits >= single_hits
+        assert multi_hits >= len(base) * 0.7
+    finally:
+        index.unpersist()
