@@ -299,3 +299,40 @@ def write_metadata_summary(root: str) -> dict:
         "rows": sum(m.num_rows for m in collector),
         "columns": reopened.schema.names,
     }
+
+
+def open_reference_dataset(
+    root: str,
+    *,
+    s3_endpoint: str | None = None,
+    s3_region: str | None = None,
+    anonymous: bool = False,
+):
+    """Open a lake the way the REFERENCE client does — one ``_metadata``
+    footer read through PyArrow, locally or over S3
+    (``/root/reference/mortar-parquet-client/client.py:26-27``:
+    ``fs.S3FileSystem(endpoint_override=…)`` +
+    ``ds.parquet_dataset(f'{bucket}/_metadata', partitioning='hive')``).
+
+    This is the interop contract of :func:`write_metadata_summary`: any
+    lake this engine writes must stay openable by reference/PyArrow
+    clients from an object store without listing the directory tree.
+    Returns the PyArrow dataset (``.to_table()``, ``.to_batches()``,
+    filterable). ``root`` is ``bucket/prefix`` when an S3 endpoint is
+    given, else a local path."""
+    import pyarrow.dataset as pads
+
+    if s3_endpoint is None:
+        return pads.parquet_dataset(
+            root.rstrip("/") + "/_metadata", partitioning="hive"
+        )
+    from pyarrow import fs as pafs
+
+    s3 = pafs.S3FileSystem(
+        endpoint_override=s3_endpoint,  # scheme-qualified, e.g. http://…:9000
+        region=s3_region or "us-east-1",
+        anonymous=anonymous,
+    )
+    return pads.parquet_dataset(
+        root.rstrip("/") + "/_metadata", partitioning="hive", filesystem=s3
+    )

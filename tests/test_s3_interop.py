@@ -1,0 +1,111 @@
+"""S6 object-store interop: the lake artifacts this engine writes (hive
+layout + _metadata summary) must be openable by the REFERENCE's own access
+path — pyarrow S3FileSystem(endpoint_override=…) + parquet_dataset over the
+_metadata index (/root/reference/mortar-parquet-client/client.py:26-27) —
+against a real S3 API (moto server), end to end: ingest → summary index →
+upload → S3 open → filtered read.
+
+Spark's own s3a:// side is configuration (session.py get_spark s3_endpoint)
+and needs the hadoop-aws jars that ship on real clusters but not in this
+sandbox's pyspark build; the spill/read path it would exercise is covered by
+tests/test_sinks.py::test_to_batches_file_scheme_checkpoint_dir through the
+same Hadoop FileSystem API."""
+
+import os
+import socket
+
+import pytest
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+
+@pytest.fixture(scope="module")
+def s3_server():
+    from moto.server import ThreadedMotoServer
+
+    # pick a free port so parallel test runs don't collide
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=port, verbose=False)
+    server.start()
+    endpoint = f"http://127.0.0.1:{port}"
+    old_env = {}
+    # pyarrow's S3FileSystem reads the default AWS credential chain; moto
+    # accepts anything non-empty
+    for k, v in {
+        "AWS_ACCESS_KEY_ID": "testing",
+        "AWS_SECRET_ACCESS_KEY": "testing",
+        "AWS_EC2_METADATA_DISABLED": "true",
+    }.items():
+        old_env[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        yield endpoint
+    finally:
+        server.stop()
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_lake_metadata_openable_over_s3(spark, tmp_path, s3_server):
+    import glob
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.lake import (
+        open_reference_dataset,
+        write_metadata_summary,
+    )
+
+    # 1. build a small lake locally (distributed ingest + summary index)
+    src = tmp_path / "csv"
+    src.mkdir()
+    uuid_a = "11111111-1111-1111-1111-111111111111"
+    uuid_b = "22222222-2222-2222-2222-222222222222"
+    for u, base in ((uuid_a, 10.0), (uuid_b, 20.0)):
+        lines = ["datetime,value"] + [
+            f"2024-01-01T00:{i:02d}:00Z,{base + i}" for i in range(30)
+        ]
+        (src / f"{u}.csv").write_text("\n".join(lines) + "\n")
+    lake_root = str(tmp_path / "lake")
+    ingest_directory(spark, "siteA", str(src), lake_root)
+    info = write_metadata_summary(lake_root)
+    assert info["rows"] == 60
+
+    # 2. upload the lake to a real S3 API (moto server)
+    s3 = boto3.client(
+        "s3",
+        endpoint_url=s3_server,
+        region_name="us-east-1",
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+    )
+    s3.create_bucket(Bucket="lake-bucket")
+    n_up = 0
+    for path in glob.glob(lake_root + "/**", recursive=True):
+        if os.path.isfile(path):
+            key = "lake/" + os.path.relpath(path, lake_root)
+            s3.upload_file(path, "lake-bucket", key)
+            n_up += 1
+    assert n_up >= 3  # data + _metadata + _common_metadata
+
+    # 3. reference access path: S3FileSystem + parquet_dataset(_metadata)
+    dataset = open_reference_dataset(
+        "lake-bucket/lake", s3_endpoint=s3_server, s3_region="us-east-1"
+    )
+    assert set(dataset.schema.names) >= {"uuid", "time", "value", "collection"}
+    table = dataset.to_table()
+    assert table.num_rows == 60
+
+    # 4. filtered read over S3 — the reference's uuid isin + time predicate
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads  # noqa: F401
+
+    filtered = dataset.to_table(filter=pc.field("uuid") == uuid_a)
+    assert filtered.num_rows == 30
+    vals = sorted(filtered.column("value").to_pylist())
+    assert vals[0] == 10.0 and vals[-1] == 39.0
