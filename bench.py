@@ -107,10 +107,17 @@ def main() -> int:
     # cached (observed 3-4x whole-suite swings from cold page cache alone).
     import glob as _glob
 
-    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        with open(p, "rb") as f:
+    def _warm(path):
+        with open(path, "rb") as f:
             while f.read(1 << 22):
                 pass
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        if os.path.isdir(p):  # generated fixtures are parquet DIRECTORIES
+            for q in sorted(_glob.glob(os.path.join(p, "*.parquet"))):
+                _warm(q)
+        else:
+            _warm(p)
 
     jit_before = _jit_probe(spark, 1_000)
     jif0, steal0 = _cpu_jiffies()

@@ -209,3 +209,28 @@ def test_minhash_signatures_single_tiny_shuffle(spark, sf_dir):
     assert "Window" not in p and "Sort" not in p.replace("array_sort", ""), p
     # partial aggregation present on both sides of the exchange
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_exchange_count_scale_invariant(spark):
+    """The 100x question, asserted structurally: the number of shuffles
+    (Exchange nodes) in every headline plan must NOT grow with the data —
+    a plan whose shuffle count depends on SF would hit a wall at cluster
+    scale. Compared between sf0.001 and sf0.01 fixtures (10x apart); the
+    sf0.1 -> sf1 wall-clock curve is measured by tools/bench_scaling.py."""
+    from bench import HEADLINE
+
+    # exclude entries that eagerly EXECUTE during plan construction
+    # (minhash materialization barrier, IVF index build) — plan-shape
+    # comparison would trigger full runs; their scaling is covered by the
+    # bench artifact instead
+    lazy = [n for n in HEADLINE if n not in ("dedup_minhash", "knn_ivf")]
+    qs = entrymod.queries()
+    mismatches = {}
+    for name in lazy:
+        counts = {}
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            counts[sf] = plan_str(qs[name](spark, sf)).count("Exchange")
+        a, b = counts.values()
+        if a != b:
+            mismatches[name] = counts
+    assert not mismatches, mismatches
