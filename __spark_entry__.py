@@ -1745,7 +1745,11 @@ def _streaming_dedup(spark, sf_dir):
     SELECT key, session_start, session_end, n_events FROM s, mx
     WHERE EXISTS (SELECT 1 FROM s s2
                   WHERE s2.key = s.key AND s2.session_start > s.session_end)
-       OR session_end + INTERVAL 6 HOUR < max_ts - INTERVAL 1 HOUR
+       -- timeout leg at Spark's OWN resolution: watermark and the state
+       -- timeout are both millisecond-truncated, and EventTimeTimeout
+       -- fires only when watermark STRICTLY exceeds the set timestamp
+       OR date_trunc('milliseconds', max_ts) - INTERVAL 1 HOUR
+          > date_trunc('milliseconds', session_end) + INTERVAL 6 HOUR
     """,
 )
 def _streaming_sessionize(spark, sf_dir):

@@ -830,7 +830,19 @@ class LshIndex:
         multi_probe: int = 0,
     ) -> DataFrame:
         q = self._query_probes(queries, id_col, vec_col, multi_probe)
-        joined = self.bucketed.join(F.broadcast(q), "bucket").filter(
+        join_keys = ["bucket"]
+        if "bucket_p" in self.bucketed.columns:
+            # loaded-from-disk index: the corpus is partitioned on
+            # bucket_p = pmod(bucket, 256). Computing the same prefix on
+            # the (small, broadcast) probe side and joining on it lets
+            # dynamic partition pruning skip every non-probed directory
+            # (DPP engages when the probe side carries a selective
+            # predicate — Spark's standard benefit heuristic).
+            q = q.withColumn(
+                "bucket_p", F.pmod(F.col("bucket"), F.lit(self._SAVE_PARTITIONS))
+            )
+            join_keys = ["bucket_p", "bucket"]
+        joined = self.bucketed.join(F.broadcast(q), join_keys).filter(
             F.col("neighbor_id") != F.col("query_id")
         )
         scored = joined.select(
@@ -878,7 +890,9 @@ class LshIndex:
     def load(cls, spark, path: str) -> "LshIndex":
         root = path.rstrip("/")
         meta = spark.read.parquet(root + "/meta").first()
-        bucketed = spark.read.parquet(root + "/bucketed").drop("bucket_p")
+        # bucket_p (the partition column) stays: topk joins on it so
+        # dynamic partition pruning reads only probed directories
+        bucketed = spark.read.parquet(root + "/bucketed")
         return cls(
             bucketed,
             n_planes=int(meta["n_planes"]),

@@ -45,15 +45,28 @@ def _csv_cell_formatter(schema, session_tz: str):
     without the offset, dates as ISO — so both ``to_local_csv`` paths emit
     byte-identical files no matter where the driver runs."""
     import datetime as _dt
+    import re as _re
 
     from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-    try:
-        from zoneinfo import ZoneInfo
+    # session tz may be an IANA name OR a fixed offset ('+08:00',
+    # 'GMT+8', 'UTC+08:00') — Spark accepts both; ZoneInfo only the former
+    m = _re.fullmatch(
+        r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", session_tz.strip()
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = _dt.timedelta(
+            hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+        )
+        out_tz = _dt.timezone(sign * delta)
+    else:
+        try:
+            from zoneinfo import ZoneInfo
 
-        out_tz = ZoneInfo(session_tz)
-    except Exception:
-        out_tz = _dt.timezone.utc
+            out_tz = ZoneInfo(session_tz)
+        except Exception:
+            out_tz = _dt.timezone.utc
 
     def _fmt_instant(v):
         if v.tzinfo is None:

@@ -181,12 +181,12 @@ def stateful_sessionize_stream(
             elif t < start_us - gap_us:
                 # late event more than a gap BEFORE the open session's
                 # start: batch semantics puts it in its own earlier
-                # session, never folded into the open one. Chain
-                # consecutive such events (input is sorted) and emit the
-                # resulting session(s) closed — by construction they can
-                # never bridge into the open session (each t here is
-                # < start_us - gap_us, so the chain's high-water mark is
-                # too).
+                # session. Chain consecutive such events (input is
+                # sorted). NOTE: a LATER in-batch event can still move
+                # start_us backward (the fold branch takes min), bringing
+                # the open session to within gap of this chain — the
+                # bridge check after the loop merges it back in that case
+                # instead of emitting a spuriously split session.
                 if early is None:
                     early = [t, t, 1]
                 elif t - early[1] <= gap_us:
@@ -208,7 +208,14 @@ def stateful_sessionize_stream(
                 last_us = max(last_us, t)
                 n += 1
         if early is not None:
-            closed.append(tuple(early))
+            if n > 0 and start_us - early[1] <= gap_us:
+                # a later fold regressed start_us to within gap of the
+                # chain's end: batch gap-split would keep them ONE
+                # session — merge instead of emitting a false split
+                start_us = min(start_us, early[0])
+                n += early[2]
+            else:
+                closed.append(tuple(early))
         closed.sort()  # chronological emission across early + split sessions
         state.update((start_us, last_us, n))
         state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)  # ms

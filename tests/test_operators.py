@@ -1483,9 +1483,20 @@ def test_lsh_index_build_probe_save_load(spark, embeddings, tmp_path):
         index.save(str(tmp_path / "lsh"))
         loaded = similarity.LshIndex.load(spark, str(tmp_path / "lsh"))
         assert loaded.n_planes == 8 and loaded.seed == 42
+        # parquet-backed, filtered probe side (the serving shape: a query
+        # batch selected from a table; Spark's DPP heuristic requires a
+        # selective predicate on the pruning side to engage)
+        queries.write.mode("overwrite").parquet(str(tmp_path / "q"))
+        pq_queries = spark.read.parquet(str(tmp_path / "q")).filter(
+            F.col("vec_id") < 100000
+        )
+        loaded_topk = loaded.topk(pq_queries, k=1)
+        # the bucket_p partition column must drive dynamic partition
+        # pruning: a probe of the saved index reads only probed dirs
+        lplan = loaded_topk._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in lplan, lplan
         reloaded = {
-            r.query_id: r.neighbor_id
-            for r in loaded.topk(queries, k=1).collect()
+            r.query_id: r.neighbor_id for r in loaded_topk.collect()
         }
         assert reloaded == expect
 
@@ -1501,3 +1512,66 @@ def test_lsh_index_build_probe_save_load(spark, embeddings, tmp_path):
         assert multi_hits >= len(base) * 0.7
     finally:
         index.unpersist()
+
+
+def test_stateful_sessionize_late_chain_bridges_into_open_session(spark, tmp_path):
+    """A later in-batch late event can regress the open session's start to
+    within gap of an earlier late-event chain — batch gap-split keeps them
+    ONE session, so nothing may be emitted and the merged session must
+    carry every event (review finding r8: the chain was emitted as a
+    spurious closed session)."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stateful_sessionize_stream,
+    )
+
+    schema = StructType(
+        [StructField("dev", StringType()), StructField("event_time", TimestampType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda h, m: _dt.datetime(2024, 5, 1, h, m)  # noqa: E731
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(str(src) + "/*")
+        )
+        sess = stateful_sessionize_stream(
+            stream, key="dev", ts="event_time", gap="30 minutes", watermark="6 hours"
+        )
+        emitted = []
+        q = (
+            sess.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _id: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # batch 1: open session at 10:00
+    assert run_batch([("devA", t(10, 0))], "b1") == []
+    # batch 2: 9:00 and 9:25 chain as too-early (< 9:30 = start - gap);
+    # 9:45 folds and regresses start to 9:45 — now 9:25 is within gap, so
+    # ALL FOUR events are one batch-semantics session: nothing closes.
+    out = run_batch(
+        [("devA", t(9, 0)), ("devA", t(9, 25)), ("devA", t(9, 45))], "b2"
+    )
+    assert out == [], [tuple(r) for r in out]
+    # batch 3: a gap-splitting event at 12:00 closes the merged session —
+    # it must span 9:00..10:00 with all 4 events
+    out = run_batch([("devA", t(12, 0))], "b3")
+    got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
+    assert got == [("devA", t(9, 0), t(10, 0), 4)], got

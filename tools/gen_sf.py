@@ -154,8 +154,10 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
     rng(n_events).select(
         F.col("i").alias("event_id"),
         (
+            # pmod, NOT %: Spark's % keeps the dividend's sign, which would
+            # scatter half the timestamps BEFORE the epoch start
             F.to_timestamp(F.lit("2024-01-01"))
-            + (_h(F.col("i"), F.lit("ets")) % F.lit(span_us)).cast("double")
+            + F.pmod(_h(F.col("i"), F.lit("ets")), F.lit(span_us)).cast("double")
             / F.lit(1_000_000.0) * F.expr("INTERVAL 1 SECOND")
         ).alias("ts"),
         _u(F.col("i"), "euser", n_users).alias("user_id"),
