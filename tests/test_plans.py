@@ -41,7 +41,7 @@ def test_semi_join_is_broadcast(spark, sf_dir):
 
 
 def test_new_tpch_joins_stay_broadcast(spark, sf_dir):
-    for name in ["tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q4", "tpch_q7", "tpch_q12", "tpch_q16"]:
+    for name in ["tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q4", "tpch_q7", "tpch_q12", "tpch_q16", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q22"]:
         p = _plan(spark, name, sf_dir)
         assert "BroadcastHashJoin" in p, name
         assert "SortMergeJoin" not in p, name
