@@ -2613,6 +2613,12 @@ def _tpch_q22(spark, sf_dir):
 # oracle-backed: they were officially witnessed green in CORRECTNESS_r02 and
 # remain covered every round by tests/oracle_harness.py, so across rounds
 # every oracle-backed entry has driver-grade evidence.
+#
+# Round 8: knn_cosine_arrow and streaming_sessionize gained oracles and
+# entered the window by registration order, displacing tpch_q16 and
+# pack_sequences to positions 51+ (both officially green in
+# CORRECTNESS_r07; both stay harness-verified, same policy as above). The
+# five new TPC-H shapes (q8/q13/q15/q17/q22) register past the window.
 _WINDOW_DEMOTED = [
     "window_running",
     "tpch_q6",
