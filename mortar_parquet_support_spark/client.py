@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from mortar_parquet_support_spark.plans.sparql import SparqlEngine
 from mortar_parquet_support_spark.sources import sinks
-from mortar_parquet_support_spark.sources.ingest import UUID_RE
 from mortar_parquet_support_spark.sources.lake import TimeseriesLake
 from mortar_parquet_support_spark.sources.ttl import load_graph_dir
 
@@ -109,7 +108,9 @@ class Client:
         stacked = sparql_result.select(
             F.explode(F.array(*[F.col(c).cast("string") for c in cols])).alias("uuid")
         )
-        return stacked.filter(F.col("uuid").rlike(f"^{UUID_RE}$")).distinct()
+        from mortar_parquet_support_spark.functions import is_uuid
+
+        return stacked.filter(is_uuid("uuid")).distinct()
 
     def _uuid_filter_ids(self, sparql_result: DataFrame) -> list[str]:
         """Driver-side id list (IN-list path only — partition pruning needs

@@ -172,12 +172,11 @@ def domain_cap(
     The default ordering hashes row content (NOT
     ``monotonically_increasing_id``, which changes under task retry and
     would silently keep a different subset after a fetch failure)."""
+    from mortar_parquet_support_spark.operators.timeseries import topk_per_group
+
     ordering = order_by if order_by else [F.xxhash64(*[F.col(c) for c in df.columns])]
-    w = Window.partitionBy(domain_col).orderBy(*ordering)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_per_domain)
-        .drop("__rn")
+    return topk_per_group(
+        df, keys=[domain_col], order_by=ordering, k=max_per_domain
     )
 
 
@@ -205,6 +204,15 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    clobbered = {"shard", "bin"} & set(df.columns) - {shard_col}
+    if clobbered:
+        # withColumn would silently REPLACE the caller's data with packing
+        # metadata; fail loudly instead (sibling operators either probe for
+        # unused names or use __-prefixed internals)
+        raise ValueError(
+            f"pack_sequences writes columns 'shard' and 'bin'; input already "
+            f"has {sorted(clobbered)} — rename them first"
+        )
     from pyspark.sql.types import NumericType
 
     if shard_col:
@@ -244,11 +252,16 @@ def strip_boilerplate_lines(
     lines rejoined in their original order; fully-boilerplate documents
     come back as empty strings rather than vanishing.
 
-    Scale shape: one posexplode scan -> line-frequency aggregate (one
-    shuffle on the normalized line; skewed hot lines are exactly what AQE
-    splits) -> the boilerplate set is small by construction (only lines
-    crossing the threshold) and broadcasts into a LEFT ANTI -> one
-    groupBy(id) to reassemble. Two shuffles total, both on bounded keys.
+    Scale shape: the split+posexplode subtree feeds BOTH the
+    line-frequency aggregate (one shuffle on the normalized line; skewed
+    hot lines are exactly what AQE splits) and the LEFT ANTI against the
+    broadcast boilerplate set, i.e. the corpus is deliberately scanned
+    TWICE rather than caching a posexploded copy of the whole corpus
+    (which at crawl scale costs far more storage than a rescan costs IO;
+    pass an already-persisted ``df`` to share the scan if it fits
+    memory). The boilerplate set itself is small by construction (only
+    lines crossing the threshold); one final groupBy(id) reassembles.
+    Two shuffles total, both on bounded keys.
     """
     key = lambda c: F.lower(F.trim(c))  # noqa: E731
     # F.split takes a Java REGEX; \Q..\E quotes the separator so literal

@@ -135,17 +135,24 @@ def asof_join(
         else:
             w = Window.partitionBy(*on).orderBy(F.col(ts).desc(), F.col("__side").asc())
         sfx = "b" if d == "backward" else "f"
-        picked = [
-            F.last(F.when(F.col("__side") == 0, F.col(rc[c])), ignorenulls=True)
-            .over(w)
-            .alias(f"__r{sfx}_{c}")
-            for c in right_cols
-        ]
-        mts = (
-            F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True)
-            .over(w)
-            .alias(f"__rts_{sfx}")
-        )
+        # ONE struct per right row — non-null for every right row even when
+        # its value fields are null — so all carried columns come from the
+        # SAME matched row and a null right value is returned as null
+        # (pd.merge_asof parity), instead of each column independently
+        # skipping back to its own last non-null (which mixed fields from
+        # different rows and conflated null values with left-row gaps).
+        carried = F.last(
+            F.when(
+                F.col("__side") == 0,
+                F.struct(
+                    F.col(ts).alias("__mts"),
+                    *[F.col(rc[c]).alias(rc[c]) for c in right_cols],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w)
+        picked = [carried[rc[c]].alias(f"__r{sfx}_{c}") for c in right_cols]
+        mts = carried["__mts"].alias(f"__rts_{sfx}")
         return [*picked, mts]
 
     dirs = ["backward", "forward"] if direction == "nearest" else [direction]
@@ -266,10 +273,26 @@ def resample(
     """
     if how not in ("last", "first", "avg", "min", "max"):
         raise ValueError(f"unsupported how={how!r}")
-    step_secs = F.lit(interval_seconds(step))
-    bucket = F.to_timestamp(
-        F.from_unixtime((_epoch(F.col(ts)) / step_secs).cast("long") * step_secs)
-    )
+    from pyspark.sql.types import TimestampNTZType
+
+    step_s = interval_seconds(step)
+    # Bucket WITHOUT a from_unixtime string round-trip: rendering epoch ->
+    # session-tz string -> timestamp collapses distinct instants that share
+    # a wall-clock during a DST fall-back, and silently retypes NTZ inputs
+    # to LTZ. Instead floor in the input's own domain and rebuild with a
+    # type-preserving constructor.
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        # wall-clock floor, DST-free by construction; stays TIMESTAMP_NTZ
+        anchor = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+        bucket = F.expr(
+            f"timestampadd(SECOND, CAST(floor(timestampdiff(SECOND, {anchor},"
+            f" `{ts}`)/{step_s})*{step_s} AS BIGINT), {anchor})"
+        )
+    else:
+        # true-instant floor; stays TIMESTAMP (LTZ)
+        bucket = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts)) / step_s).cast("long") * step_s
+        )
     # 'last'/'first' are BY TIME within the bucket, not by row arrival:
     # F.last/F.first in a groupBy aggregate depend on partition/row order
     # and silently flip between runs. max_by/min_by on the event time (key

@@ -62,6 +62,9 @@ def get_spark(
         # coerce_timestamps='us' (/root/reference/transform.py:39)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # divisor-bucket-count joins stay shuffle-free only with coalescing
+        # on (sources/bucketed.py sizing rule); vanilla default is false
+        .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

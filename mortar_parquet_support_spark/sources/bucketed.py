@@ -10,7 +10,11 @@ plan has SortMergeJoin/ShuffledHashJoin with ZERO Exchange operators
 
 Sizing rule of thumb for 100 TB: pick ``n_buckets`` so one bucket of the
 bigger table is ~128-512 MB compressed (e.g. ~50 TB side → 131072 buckets);
-both join sides MUST use the same n_buckets (or a divisor) for co-location.
+both join sides MUST use the same n_buckets for shuffle-free co-location.
+A divisor count also works, but ONLY with
+``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` (off by default in
+vanilla Spark; session.py turns it on) and within
+``coalesceBucketsInJoin.maxBucketRatio`` (default 4).
 
 This is the "pre-partitioned lake" leg of the scale strategy; the Hive
 partition-pruning leg lives in sources/lake.py.

@@ -104,10 +104,15 @@ def compact_collections(
     the rewrite; by default the range repartition alone decides (one file
     per shuffle partition per collection).
     """
+    if collections is not None and not collections:
+        # an explicitly EMPTY selection is a no-op — falling through would
+        # read `if collections:` as "compact everything" and rewrite the
+        # whole lake on a night nothing qualified
+        return
     layout_uuid = _lake_is_uuid_partitioned(spark, lake_root)
     df = spark.read.parquet(lake_root).select(*LAKE_COLUMNS)
-    if collections:
-        df = df.filter(F.col("collection").isin(collections))
+    if collections is not None:
+        df = df.filter(F.col("collection").isin(list(collections)))
     prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     if target_rows_per_file:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", str(target_rows_per_file))

@@ -54,9 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return raw.withColumn("ts", ts_ntz)
         # µs-timestamp fixtures: normalize to NTZ so BOTH fixture
         # generations yield the same session-tz-independent type for
-        # collect, window boundaries, and the DuckDB oracle (an
-        # isAdjustedToUTC file would otherwise surface as LTZ).
-        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # collect, window boundaries, and the DuckDB oracle. A file with
+        # isAdjustedToUTC=false already reads as NTZ (pass through); a
+        # UTC-adjusted file surfaces as LTZ and is rebuilt from the raw
+        # epoch like the nanos branch — a bare cast('timestamp_ntz')
+        # would render via the SESSION timezone and shift every value on
+        # a non-UTC session relative to the other fixture generations.
+        if dict(raw.dtypes)["ts"] == "timestamp_ntz":
+            return raw
+        ts_ntz = F.expr(
+            "timestampadd(MICROSECOND, unix_micros(ts), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return raw.withColumn("ts", ts_ntz)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

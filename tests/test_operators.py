@@ -1575,3 +1575,84 @@ def test_stateful_sessionize_late_chain_bridges_into_open_session(spark, tmp_pat
     out = run_batch([("devA", t(12, 0))], "b3")
     got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
     assert got == [("devA", t(9, 0), t(10, 0), 4)], got
+
+
+def test_asof_join_null_right_value_stays_null(spark):
+    """pd.merge_asof parity (review finding r8): the matched right row's
+    value is returned AS IS — a null value from the nearest row must not
+    be replaced by an older row's non-null value, and multi-column picks
+    must all come from the SAME matched row."""
+    import datetime as _dt
+
+    t = lambda s: _dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([("k", t(3))], ["k", "time"])
+    right = spark.createDataFrame(
+        [("k", t(1), 5.0, "a"), ("k", t(2), None, None)],
+        "k string, time timestamp, v double, tag string",
+    )
+    out = timeseries.asof_join(
+        left, right, on=["k"], ts="time", direction="backward"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # nearest row is t=2 whose v/tag are null: both stay null, matched_ts
+    # still points at the matched row
+    assert r.matched_ts == t(2), r
+    assert r.v is None and r.tag is None, r
+
+
+def test_resample_preserves_ntz_type_and_instants(spark):
+    """Review finding r8: resample's bucket must not round-trip through
+    session-tz strings (DST collapse) nor retype TIMESTAMP_NTZ to LTZ."""
+    import datetime as _dt
+
+    rows = [
+        ("u", _dt.datetime(2024, 11, 3, 5, 30), 1.0),
+        ("u", _dt.datetime(2024, 11, 3, 6, 30), 2.0),
+    ]
+    # LTZ input: distinct instants stay distinct buckets
+    ltz = spark.createDataFrame(rows, "uuid string, time timestamp, value double")
+    out = timeseries.resample(ltz, step="1 hour", how="last", fill=None)
+    assert dict(out.dtypes)["__bucket" if "__bucket" in out.columns else "time"]
+    got = sorted(r.value for r in out.collect())
+    assert got == [1.0, 2.0]
+    # NTZ input: output time column stays NTZ
+    ntz = ltz.select("uuid", F.col("time").cast("timestamp_ntz").alias("time"), "value")
+    out2 = timeseries.resample(ntz, step="1 hour", how="last", fill=None)
+    tcol = [c for c in out2.columns if c == "time"][0]
+    assert dict(out2.dtypes)[tcol] == "timestamp_ntz", out2.dtypes
+    assert sorted(r.value for r in out2.collect()) == [1.0, 2.0]
+
+
+def test_pack_sequences_rejects_shard_bin_collision(spark):
+    df = spark.createDataFrame([(1, 10, 0)], ["id", "cost", "bin"])
+    with pytest.raises(ValueError, match="bin"):
+        from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+        pack_sequences(df, id_col="id", cost_col="cost", budget=100)
+
+
+def test_compact_collections_empty_list_is_noop(spark, tmp_path):
+    """Review finding r8: an explicitly empty collections selection must
+    not silently become a full-lake rewrite."""
+    import os
+
+    from mortar_parquet_support_spark.sources.ingest import write_lake
+    from mortar_parquet_support_spark.sources.maintenance import compact_collections
+
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("c1", "u1", 1.0, "l", "uri")], ["collection", "uuid", "value", "label", "uri"]
+    ).withColumn("time", F.timestamp_micros(F.lit(1_000_000)))
+    write_lake(df, root)
+
+    def mtimes():
+        return {
+            p: os.path.getmtime(os.path.join(dp, p))
+            for dp, _, fs in os.walk(root)
+            for p in fs
+        }
+
+    before = mtimes()
+    compact_collections(spark, root, collections=[])  # no-op by contract
+    assert mtimes() == before
