@@ -931,7 +931,7 @@ def _dedup_exact(spark, sf_dir):
 @_register(
     "dedup_fingerprint",
     """
-    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest,
+    SELECT md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS digest,
            CAST(min(doc_id) AS BIGINT) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_copies
     FROM documents
@@ -1303,9 +1303,9 @@ def _embedding_dedup(spark, sf_dir):
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS n_bpe_tokens,
            CASE WHEN length(text) > 0
-                THEN ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text), 6)
+                THEN ROUND(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text), 6)
                 ELSE 0.0 END AS punct_ratio,
            CASE WHEN length(text) > 0
                 THEN ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6)
@@ -1368,7 +1368,7 @@ def _text_langid(spark, sf_dir):
       SELECT doc_id,
              length(text) AS n,
              CASE WHEN length(text) > 0
-                  THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+                  THEN CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text)
                   ELSE 0.0 END AS pr,
              CASE WHEN length(text) > 0
                   THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)

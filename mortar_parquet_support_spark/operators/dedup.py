@@ -52,10 +52,17 @@ def exact_dedup(
     """Exact dedup: one digest-groupBy shuffle. Returns one row per distinct
     content: (keep_id = min id, digest, dup count). ``normalize`` lowercases
     and collapses whitespace/punctuation first (catches trivial variants)."""
-    parts = [F.col(c).cast("string") for c in cols]
+    # NULL-vs-empty must hash differently, and a NULL in column i must not
+    # collide with a NULL in column j: concat_ws SKIPS null parts, so
+    # [(1, NULL, 'x')] and [(2, 'x', NULL)] would share a digest. Each part
+    # coalesces to a sentinel no real cast("string") value can produce.
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in cols
+    ]
     if normalize:
         parts = [
-            F.trim(F.regexp_replace(F.lower(p), r"[^a-z0-9]+", " ")) for p in parts
+            F.trim(F.regexp_replace(F.lower(p), r"[^\p{L}\p{N}]+", " "))
+            for p in parts
         ]
     digest = F.md5(F.concat_ws("", *parts))
     return (
@@ -331,7 +338,14 @@ def simhash_dedup(
     pairs within Hamming distance 3). Returns (id_a, id_b, simhash_a/b)."""
     n_bands = 64 // band_bits
     fp = simhash(F.col(text_col), seed=seed)
-    with_fp = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    # NULL text yields fingerprint 0 for EVERY such doc (all votes fall to
+    # the otherwise(-1) leg) — without this guard a corpus with N null
+    # documents reports O(N^2) false pairs and resolve_duplicates deletes
+    # all but one. Same contract as minhash_signatures: null text never
+    # participates in near-dup candidacy.
+    with_fp = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), fp.alias("fp")
+    )
     banded = with_fp.select(
         "id",
         "fp",
@@ -463,6 +477,16 @@ def connected_components(
         labels = new_labels
         if changed:
             break
+    else:
+        # silently returning intermediate labels would split one true
+        # cluster into several, each keeping its own "representative" —
+        # duplicates would survive resolution with no warning (same
+        # contract as plans/closure.py's fixpoint)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (label propagation needs "
+            "O(component diameter) rounds)"
+        )
     return labels.select(F.col("u").alias("id"), F.col("label").alias("cluster_id"))
 
 

@@ -73,7 +73,11 @@ def ingest_binary_dir(spark: SparkSession, path: str, *, glob: str = "*") -> Dat
         .option("pathGlobFilter", glob)
         .load(path)
     )
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    # extension = suffix of the BASENAME only: splitting the full path on
+    # '.' mislabels dotted directories ('/data/v1.2/clip' -> '2/clip') and
+    # extension-less files ('/x/IMG001' -> the whole path). Empty when the
+    # basename has no dot.
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1))
     modality_map = F.create_map(
         *[F.lit(x) for kv in _EXT_MODALITY.items() for x in kv]
     )

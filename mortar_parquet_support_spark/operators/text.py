@@ -24,7 +24,7 @@ _EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "on", "with", "as", "at", "by"
 
 # BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
 # the pre-tokenization regex family used by byte-pair encoders.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
 
 
 def whitespace_token_count(text: Column) -> Column:
@@ -43,7 +43,9 @@ def bpe_token_count(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
-    p = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    # \p{L}/\p{N}: Java's bare \w is ASCII-only, which would count every
+    # non-Latin LETTER as punctuation and zero quality_score for CJK text
+    p = F.regexp_count(text, F.lit(r"[^\p{L}\p{N}_\s]"))
     return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -166,7 +168,7 @@ def dup_word_ratio(text: Column) -> Column:
     """Fraction of whitespace tokens that are repeats of an earlier token
     (0.0 for empty text) — the word-level leg of Gopher-style repetition
     filtering. Pure array expressions, zero shuffle."""
-    words = F.split(F.trim(F.lower(text)), r"\s+")
+    words = _lower_words(text)
     n = F.size(words)
     return F.when(
         n > 0, (n - F.size(F.array_distinct(words))).cast("double") / n.cast("double")
@@ -192,7 +194,9 @@ def fingerprint(text: Column) -> Column:
     normalized text — robust to formatting-only edits. (Content-defined
     rolling-hash chunking belongs at the file layer; for document-granular
     dedup the normalized digest is the standard key.)"""
-    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    # unicode letter/number classes: the ASCII class collapsed every
+    # non-Latin document to md5('') — one giant false dup group
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]+", " "))
     return F.md5(normalized)
 
 

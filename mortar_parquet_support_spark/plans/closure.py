@@ -113,9 +113,11 @@ def _closure_driver(edges: DataFrame) -> DataFrame:
 def _closure_spark(
     edges: DataFrame, max_iterations: int, checkpoint_dir: str | None = None
 ) -> DataFrame:
+    """Caller contract (closure_of_edges): ``edges`` arrives already
+    deduplicated AND materialized — re-materializing here would write the
+    whole edge set to the checkpoint store a second time per closure."""
     from mortar_parquet_support_spark.functions import materialize
 
-    edges = materialize(edges, checkpoint_dir=checkpoint_dir)
     closure = edges
     frontier = edges
     for _ in range(max_iterations):

@@ -53,11 +53,13 @@ _TOKEN_RE = re.compile(
     | (?P<comment>\#[^\n]*)
     | (?P<iriref><[^<>"{}|^`\\\s]*>)
     | (?P<string3>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+    | (?P<string3s>'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<string>"(?:[^"\\\n]|\\.)*")
+    | (?P<strings>'(?:[^'\\\n]|\\.)*')
     | (?P<dtype>\^\^)
     | (?P<lang>@[a-zA-Z][a-zA-Z0-9-]*)
     | (?P<punct>[;,\[\]()])
-    | (?P<pname>[^\s;,\[\]()"#]+)
+    | (?P<pname>[^\s;,\[\]()"'#]+)
     """,
     re.VERBOSE,
 )
@@ -79,13 +81,29 @@ class _Parser:
         @base per RFC 3986. Without a base, relative IRIs pass through
         unchanged (historical behavior); silently storing them while a
         base was declared would corrupt every join against absolute IRIs.
+
+        urljoin is a NO-OP for base schemes it doesn't treat as
+        hierarchical (urn:, tag:, ...) — it would hand the relative ref
+        back unchanged, the exact corruption this method exists to
+        prevent — so those schemes get a manual RFC 3986 §5.3 merge.
         """
         import re as _re
-        from urllib.parse import urljoin
+        from urllib.parse import urljoin, uses_relative
 
-        if self.base and not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", raw):
+        if not self.base or _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", raw):
+            return raw
+        scheme = self.base.split(":", 1)[0].lower()
+        if scheme in uses_relative:
             return urljoin(self.base, raw)
-        return raw
+        # manual merge for non-hierarchical schemes
+        base = self.base.split("#", 1)[0]  # drop base fragment
+        if raw.startswith("#"):
+            return base + raw
+        if raw.startswith("//"):  # authority-relative: keep scheme only
+            return f"{scheme}:{raw}"
+        if "/" in base[len(scheme) + 1 :]:
+            base = base.rsplit("/", 1)[0] + "/"
+        return base + raw
 
     # -- tokenization -----------------------------------------------------
     def _tokenize(self) -> None:
@@ -150,7 +168,8 @@ class _Parser:
         backslash+NEWLINE because the \\n replacement matched inside the
         \\\\ sequence). Also decodes \\uXXXX / \\UXXXXXXXX numeric
         escapes, which were previously left as raw text."""
-        body = tok[3:-3] if tok.startswith('"""') else tok[1:-1]
+        triple = tok.startswith('"""') or tok.startswith("'''")
+        body = tok[3:-3] if triple else tok[1:-1]
 
         def sub(m: "re.Match[str]") -> str:
             esc = m.group(1)
@@ -243,7 +262,7 @@ class _Parser:
         kind, tok = self._next()
         if kind == "iriref":
             return self._resolve_iri(tok[1:-1]), "iri"
-        if kind in ("string", "string3"):
+        if kind in ("string", "string3", "strings", "string3s"):
             value = self._unquote(tok)
             nkind, ntok = self._peek()
             if nkind == "dtype":  # "lex"^^<datatype> — keep the lexical form
@@ -263,7 +282,7 @@ class _Parser:
         if kind == "pname":
             if tok.startswith("_:"):
                 return self._expand_pname(tok), "bnode"
-            if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?|true|false", tok):
+            if re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|true|false", tok):
                 return tok, "literal"
             return self._expand_pname(tok), "iri"
         raise ValueError(f"{self.site}: bad object token {kind} {tok!r}")

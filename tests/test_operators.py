@@ -1656,3 +1656,64 @@ def test_compact_collections_empty_list_is_noop(spark, tmp_path):
     before = mtimes()
     compact_collections(spark, root, collections=[])  # no-op by contract
     assert mtimes() == before
+
+
+def test_text_metrics_unicode_not_ascii(spark):
+    """Review finding r8: non-Latin letters are LETTERS, not punctuation,
+    and non-Latin documents must not share one normalized fingerprint."""
+    zh1, zh2 = "完全不同的中文文档内容", "另一份毫无关联的文字"
+    df = spark.createDataFrame([(1, zh1), (2, zh2), (3, "hi there!")], ["id", "t"])
+    out = df.select(
+        "id",
+        text.punct_ratio(F.col("t")).alias("pr"),
+        text.fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].pr == 0.0 and by_id[2].pr == 0.0  # was 1.0 (ASCII \w)
+    assert by_id[1].fp != by_id[2].fp  # was both md5('')
+    assert by_id[3].pr > 0.0  # '!' still counts
+
+
+def test_exact_dedup_null_columns_do_not_collide(spark):
+    """Review finding r8: concat_ws skips nulls, so (NULL,'x') and
+    ('x',NULL) shared a digest; the sentinel coalesce keeps them apart."""
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "x", None), (3, "x", "")],
+        "id long, c1 string, c2 string",
+    )
+    out = dedup.exact_dedup(df, ["c1", "c2"], id_col="id").collect()
+    assert len(out) == 3, out  # three distinct contents, no false dup
+
+
+def test_simhash_dedup_ignores_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here"), (4, None)],
+        "id long, t string",
+    )
+    pairs = dedup.simhash_dedup(df, id_col="id", text_col="t").collect()
+    assert pairs == [], pairs  # null docs never become candidates
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    chain = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(pairs, max_iterations=1)
+
+
+def test_multimodal_extension_from_basename(spark, tmp_path):
+    import os
+
+    d = tmp_path / "v1.2"
+    d.mkdir()
+    (d / "img.png").write_bytes(b"\x89PNG\r\n\x1a\nrest")
+    (d / "IMG001").write_bytes(b"rawbytes")
+    out = multimodal.ingest_binary_dir(spark, str(d)).select(
+        "media_id", "meta.format", "meta.modality"
+    ).collect()
+    by_name = {os.path.basename(r.media_id): r for r in out}
+    assert by_name["img.png"].format == "png"
+    assert by_name["img.png"].modality == "image"
+    # dotted DIRECTORY must not leak into the format of a dot-less file
+    assert by_name["IMG001"].format == ""
+    assert by_name["IMG001"].modality == "unknown"

@@ -1288,3 +1288,28 @@ def test_union_branch_gap_var_joins_compatibly(spark):
     # branch 1 binds ?x=v1 (q-edge v9 incompatible → left row kept as-is);
     # branch 2 leaves ?x null → filled by the OPTIONAL with v9
     assert got == {("urn:t1", "urn:v1"), ("urn:t1", "urn:v9")}
+
+
+def test_ttl_urn_base_resolution():
+    """urljoin is a no-op for non-hierarchical schemes (urn:) — relative
+    IRIs must still resolve against a urn: @base (review finding r8)."""
+    rows = parse_ttl("@base <urn:bldg/> . <room1> <urn:p> <o2> .", "s")
+    assert rows[0][1] == "urn:bldg/room1"
+    assert rows[0][3] == "urn:bldg/o2"
+    # fragment-only references attach to the base
+    rows = parse_ttl("@base <urn:bldg/floor> . <#r> <urn:p> <urn:o> .", "s")
+    assert rows[0][1] == "urn:bldg/floor#r"
+
+
+def test_ttl_single_quoted_strings_and_leading_dot_decimal():
+    """Docstring-promised forms: 'single'/'''triple''' quoted literals and
+    Turtle DECIMALs with no leading digit (review finding r8)."""
+    assert parse_ttl("<urn:s> <urn:p> 'hello' .", "s")[0][3] == "hello"
+    assert (
+        parse_ttl("<urn:s> <urn:p> '''multi\nline''' .", "s")[0][3]
+        == "multi\nline"
+    )
+    assert parse_ttl("<urn:s> <urn:p> 'a\\'b' .", "s")[0][3] == "a'b"
+    assert parse_ttl('<urn:s> <urn:p> "it\'s" .', "s")[0][3] == "it's"
+    row = parse_ttl("<urn:s> <urn:p> .5 .", "s")[0]
+    assert (row[3], row[4]) == (".5", "literal")
