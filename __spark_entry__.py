@@ -1038,11 +1038,12 @@ def _knn_cosine(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    out = cosine_topk(emb, queries, k=5)
-    # re-rank on the ROUNDED score so both engines order identical values
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
+    # overfetch k=10 on raw scores, then cut to 5 on the ROUNDED score with
+    # the neighbor_id tie-break — the oracle ranks on rounded values, so a
+    # raw-rank-5/6 pair that rounds equal must both be in the candidate
+    # pool or the engines can select different rows (same mitigation as
+    # knn_cosine_arrow)
+    out = cosine_topk(emb, queries, k=10)
     rounded = out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
@@ -1088,16 +1089,18 @@ def _knn_cosine_arrow(spark, sf_dir):
 
     Oracle-checked despite BLAS pairwise summation vs DuckDB's
     sequential fold: raw scores differ only at ~1e-15 relative, so after
-    ROUND(...,6) values coincide; the kernel OVERFETCHES k=15 on raw
+    ROUND(...,6) values coincide; the kernel OVERFETCHES k=20 on raw
     scores and the final cut to 10 happens on the rounded score with the
     neighbor_id tie-break, so a k-boundary pair whose raw order differs
-    between engines cannot flip the selected set (verified exact at
-    sf0.01 and sf0.1; equivalence with the fold implementation is also
+    between engines cannot flip the selected set UNLESS a single rounded
+    tie group spans more than 10 raw ranks past the cut — vanishingly
+    unlikely for continuous scores and verified exact at sf0.01 and
+    sf0.1 (equivalence with the fold implementation is also
     pytest-verified)."""
     from mortar_parquet_support_spark.operators.similarity import cosine_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 100), k=15)
+    out = cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 100), k=20)
     rounded = out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
@@ -1337,15 +1340,17 @@ def _text_metrics(spark, sf_dir):
       SELECT doc_id,
         len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','for','was'], x))) AS h_en,
         len(list_filter(w, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','sich'], x))) AS h_de,
-        len(list_filter(w, x -> list_contains(['le','la','les','et','est','pas','des','une','dans','que'], x))) AS h_es_fr_fr,
+        len(list_filter(w, x -> list_contains(['le','la','les','et','est','pas','des','une','dans','que'], x))) AS h_fr,
         len(list_filter(w, x -> list_contains(['el','la','los','y','es','en','que','por','con','para'], x))) AS h_es
       FROM words
     )
+    -- tie policy mirrors Spark's array_max over (hits, code): max hits,
+    -- then lexicographically LARGEST code -> check fr, es, en, de in order
     SELECT doc_id,
            CASE
-             WHEN greatest(h_en, h_de, h_es_fr_fr, h_es) = 0 THEN 'und'
-             WHEN h_es >= h_en AND h_es >= h_de AND h_es >= h_es_fr_fr THEN 'es'
-             WHEN h_es_fr_fr >= h_en AND h_es_fr_fr >= h_de THEN 'fr'
+             WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+             WHEN h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
              WHEN h_en >= h_de THEN 'en'
              ELSE 'de'
            END AS lang_guess
@@ -2599,7 +2604,7 @@ def _tpch_q22(spark, sf_dir):
     )
 
 
-# The driver evaluates a bounded prefix (50 entries) of queries(). With 63
+# The driver evaluates a bounded prefix (50 entries) of queries(). With 73
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
 # strict subsets of surviving entries (e.g. window_running ⊂ window_frames,
@@ -2618,7 +2623,9 @@ def _tpch_q22(spark, sf_dir):
 # entered the window by registration order, displacing tpch_q16 and
 # pack_sequences to positions 51+ (both officially green in
 # CORRECTNESS_r07; both stay harness-verified, same policy as above). The
-# five new TPC-H shapes (q8/q13/q15/q17/q22) register past the window.
+# full past-the-window set is now tpch_q16, pack_sequences, tpch_q7,
+# chunk_text, pii_scrub (already outside in r7) plus the five new TPC-H
+# shapes (q8/q13/q15/q17/q22) — all ten verified by oracle_harness.py.
 _WINDOW_DEMOTED = [
     "window_running",
     "tpch_q6",
@@ -2660,9 +2667,7 @@ def oracle_sql() -> dict[str, str]:
     have no DuckDB equivalent; their verify stages ARE oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and
-    full-probe mode respectively), knn_cosine_arrow (float summation order
-    differs from the fold formulation; equivalence pytest-verified —
-    tests/test_operators.py), approx_stats (sketch results are
+    full-probe mode respectively), approx_stats (sketch results are
     engine-specific by definition; exact counterparts oracle-checked via
     group_distinct / percentiles), hll_rollup (Datasketches HLL binaries
     are engine-specific; hourly->daily merge parity and <5% error vs
@@ -2670,12 +2675,12 @@ def oracle_sql() -> dict[str, str]:
     (Python decode/re-encode in mapInPandas — the intentionally-Python
     binary ops), sparql_bridges (SPARQL
     engine, no SQL equivalent without the triples loaded), ingest_roundtrip
-    (filesystem side effects), streaming_sessionize (EventTimeTimeout
-    never flushes the final open session per key, so availableNow output
-    is a strict subset of batch sessionization) and
-    streaming_distinct_rollup (HLL++ values are engine-specific). The
-    other streaming entries — streaming_dedup, streaming_enrich,
-    streaming_rollup, streaming_interval_join — ARE oracle-checked: over a
-    static fixture with a watermark wider than its time span, availableNow
-    emission equals the equivalent batch SQL."""
+    (filesystem side effects) and streaming_distinct_rollup (HLL++ values
+    are engine-specific). The other streaming entries — streaming_dedup,
+    streaming_enrich, streaming_rollup, streaming_interval_join, and
+    (since round 8) streaming_sessionize — ARE oracle-checked: over a
+    static fixture, availableNow emission equals the equivalent batch SQL
+    (for sessionize, the gaps-and-islands sessions provably closed by
+    end-of-stream; knn_cosine_arrow is also oracle-checked since round 8
+    via rounded re-rank + overfetch)."""
     return dict(_ORACLES)

@@ -73,6 +73,29 @@ def _jit_probe(spark, salt: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def warmup(spark, cpus: int) -> tuple[float, float]:
+    """Shared session warmup: JVM/codegen startup + Python/Arrow worker
+    pool spawn (one per core, reused afterwards), then a steady-state
+    probe. Returns (warmup_first_sec, warmup_sec). The SECOND number is
+    the contention sentinel: pure fixed work (~0.1-0.3s idle) — a
+    multiple of that means the run was co-tenant-loaded and the query
+    timings are inflated by the machine, not the plans (observed 3.6x
+    whole-suite spread from contention). bench_scaling.py reuses this so
+    both harnesses warm identically."""
+
+    def _identity(batches):
+        yield from batches
+
+    t0 = time.perf_counter()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(0, 1_000, 1, cpus).mapInArrow(_identity, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t1 = time.perf_counter()
+    spark.range(1_000_001).selectExpr("sum(id)").collect()  # steady-state probe
+    return round(t1 - t0, 3), round(time.perf_counter() - t1, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -81,27 +104,8 @@ def main() -> int:
     from mortar_parquet_support_spark.session import get_spark
 
     spark = get_spark("mortar-bench")
-    # Contention sentinel: the warmup job runs twice — the first pays
-    # session/codegen startup, the SECOND is pure fixed work (~0.1-0.3s on
-    # an idle machine). A multiple of that in the recorded JSON means the
-    # run was co-tenant-loaded and the query timings are inflated by the
-    # machine, not the plans (observed 3.6x whole-suite spread from
-    # contention).
-    t0 = time.perf_counter()
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
-    # Spawn the Python/Arrow worker pool (one per core, reused afterwards):
-    # session startup cost, not part of any one query's throughput.
-    def _identity(batches):
-        yield from batches
-
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark.range(0, 1_000, 1, cpus).mapInArrow(_identity, "id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    t1 = time.perf_counter()
-    spark.range(1_000_001).selectExpr("sum(id)").collect()  # steady-state probe
-    warmup_first_sec = round(t1 - t0, 3)
-    warmup_sec = round(time.perf_counter() - t1, 3)
+    warmup_first_sec, warmup_sec = warmup(spark, cpus)
     # Warm the OS page cache over the inputs: timings should measure the
     # engine, not whether the VM's virtual disk happens to have the files
     # cached (observed 3-4x whole-suite swings from cold page cache alone).

@@ -84,6 +84,12 @@ def main(argv):
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd/renamed name must not silently run zero comparisons and
+        # exit 0 ("ALL MATCH") — that is a false-green correctness gate
+        print(f"UNKNOWN QUERY NAME(S): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -112,10 +118,20 @@ def main(argv):
             _, s_canon = canon_rows(s_cols, s_rows)
             _, d_canon = canon_rows(d_cols, d_rows)
             if s_canon != d_canon:
-                diff = [
-                    (a, b) for a, b in zip(s_canon, d_canon) if a != b
-                ][:3]
-                problems.append(f"values: {len([1 for a,b in zip(s_canon,d_canon) if a!=b])} differing rows, first: {diff}")
+                # MULTISET difference, not positional zip: one extra or
+                # differing row would misalign every following pair and
+                # report ~all rows as differing, burying the real delta
+                # (and a plain set diff would hide multiplicity changes)
+                from collections import Counter
+
+                sc, dc = Counter(s_canon), Counter(d_canon)
+                s_only = sorted((sc - dc).elements())
+                d_only = sorted((dc - sc).elements())
+                problems.append(
+                    f"values: {len(s_only)} spark-only / {len(d_only)} "
+                    f"duck-only rows; spark-only[:3]={s_only[:3]} "
+                    f"duck-only[:3]={d_only[:3]}"
+                )
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"[FAIL] {name}: {'; '.join(problems)[:500]}")
