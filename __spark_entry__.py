@@ -2560,8 +2560,10 @@ def _tpch_q17(spark, sf_dir):
     FROM (
       SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal
       FROM customer
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_acctbal > 0.0)
+      WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+            > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+               WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                         AND o_totalprice > 400000.0)
     ) GROUP BY cntrycode ORDER BY cntrycode
@@ -2572,16 +2574,21 @@ def _tpch_q22(spark, sf_dir):
     code becomes nationkey % 5 — no phone column in the fixture, and the
     no-orders test becomes no-BIG-TICKET-orders so the anti-join is
     non-vacuous at fixture density, where every customer has some order).
-    Scalar average broadcast as a one-row cross join; the exclusion via
-    broadcast LEFT ANTI."""
+    Scalar threshold broadcast as a one-row cross join; the exclusion via
+    broadcast LEFT ANTI. The above-average test is phrased as
+    ``bal * n > sum(bal)`` in DECIMAL so both engines evaluate it EXACTLY
+    — a float avg() would sum doubles in engine-specific order and a
+    balance inside the resulting ~1e-12 window would flip the gate."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    bal_stats = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_dec).alias("bal_total"),
+        F.count(F.lit(1)).alias("bal_n"),
     )
     rich = (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        cust.crossJoin(F.broadcast(bal_stats))
+        .filter(bal_dec * F.col("bal_n") > F.col("bal_total"))
         .join(
             orders.filter(F.col("o_totalprice") > 400000.0).select(
                 F.col("o_custkey").alias("c_custkey")

@@ -204,7 +204,12 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    clobbered = {"shard", "bin"} & set(df.columns) - {shard_col}
+    # shard_col='shard' is an identity rewrite and safe; any other caller
+    # column named 'shard' or 'bin' WOULD be overwritten — including
+    # shard_col='bin' itself (it is read as the shard key, then replaced
+    # by packing metadata), so 'bin' is never exempt.
+    exempt = {"shard"} if shard_col == "shard" else set()
+    clobbered = ({"shard", "bin"} - exempt) & set(df.columns)
     if clobbered:
         # withColumn would silently REPLACE the caller's data with packing
         # metadata; fail loudly instead (sibling operators either probe for

@@ -55,15 +55,17 @@ def exact_dedup(
     # NULL-vs-empty must hash differently, and a NULL in column i must not
     # collide with a NULL in column j: concat_ws SKIPS null parts, so
     # [(1, NULL, 'x')] and [(2, 'x', NULL)] would share a digest. Each part
-    # coalesces to a sentinel no real cast("string") value can produce.
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in cols
-    ]
+    # coalesces to a sentinel no real cast("string") value can produce —
+    # AFTER normalization, which would otherwise strip the sentinel's
+    # control/punct bytes down to the word 'null' and collide NULL cells
+    # with literal 'null'/'NULL' text.
+    parts = [F.col(c).cast("string") for c in cols]
     if normalize:
         parts = [
             F.trim(F.regexp_replace(F.lower(p), r"[^\p{L}\p{N}]+", " "))
             for p in parts
         ]
+    parts = [F.coalesce(p, F.lit("\x00<NULL>")) for p in parts]
     digest = F.md5(F.concat_ws("", *parts))
     return (
         df.select(F.col(id_col), digest.alias("digest"))

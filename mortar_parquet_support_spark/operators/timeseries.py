@@ -311,15 +311,34 @@ def resample(
         .groupBy(*keys, "__bucket")
         .agg(agg_fn(F.col(value)).alias(value))
     )
+    # The dense grid must step in the SAME domain the buckets were floored
+    # in. LTZ buckets are epoch multiples of step_s, but sequence() with a
+    # calendar interval adds WALL-CLOCK units in the session tz — across a
+    # DST transition a day-or-larger step would desynchronize from the
+    # epoch-floored buckets and the left join would silently miss every
+    # observation after the shift. So LTZ grids step numerically in epoch
+    # seconds. NTZ grids keep the interval step: NTZ has no timezone, the
+    # interval is a fixed duration there, and it matches the wall-clock
+    # floor above.
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        grid_step = F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval '{step}'"))
+        )
+    else:
+        grid_step = F.explode(
+            F.transform(
+                F.sequence(
+                    F.unix_timestamp("__lo"),
+                    F.unix_timestamp("__hi"),
+                    F.lit(step_s),
+                ),
+                F.timestamp_seconds,
+            )
+        )
     grid = (
         obs.groupBy(*keys)
         .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
-        .select(
-            *keys,
-            F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval '{step}'"))
-            ).alias("__bucket"),
-        )
+        .select(*keys, grid_step.alias("__bucket"))
     )
     out = grid.join(obs, on=[*keys, "__bucket"], how="left")
     if fill == "ffill":

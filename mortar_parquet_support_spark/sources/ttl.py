@@ -65,6 +65,92 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim algorithm."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1) if inp.startswith("/") else inp.find("/")
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
+
+
+def _rfc3986_resolve(base: str, ref: str) -> str:
+    """RFC 3986 §5.2-5.3 reference resolution for schemes urljoin treats
+    as opaque (urn:, tag:, ...). ``base`` must be absolute; ``ref`` must
+    be a relative reference (the caller short-circuits absolute refs).
+    Handles authority-relative (//h), absolute-path (/p), query-only
+    (?q), fragment-only (#f), and same-document refs, plus ./.. dot
+    segments — the ad-hoc string merge this replaces concatenated refs
+    onto slashless base paths ('urn:isbn:X' + 'ch1' -> 'urn:isbn:Xch1')
+    and mis-merged /p and ?q forms."""
+    scheme, rest = base.split(":", 1)
+    rest = rest.split("#", 1)[0]  # base fragment never survives resolution
+    if "?" in rest:
+        b_path, b_query = rest.split("?", 1)
+        b_query = "?" + b_query
+    else:
+        b_path, b_query = rest, ""
+    b_auth = ""
+    if b_path.startswith("//"):
+        m = re.match(r"//[^/?#]*", b_path)
+        b_auth = m.group()
+        b_path = b_path[len(b_auth) :]
+
+    r_frag = ""
+    if "#" in ref:
+        ref, f = ref.split("#", 1)
+        r_frag = "#" + f
+    if "?" in ref:
+        r_path, r_query = ref.split("?", 1)
+        r_query = "?" + r_query
+    else:
+        r_path, r_query = ref, ""
+
+    if r_path.startswith("//"):
+        m = re.match(r"//[^/?#]*", r_path)
+        t_auth = m.group()
+        return scheme + ":" + t_auth + _remove_dot_segments(
+            r_path[len(t_auth) :]
+        ) + r_query + r_frag
+    if not r_path:  # query-only / fragment-only / same-document
+        return scheme + ":" + b_auth + b_path + (r_query or b_query) + r_frag
+    if r_path.startswith("/"):
+        t_path = _remove_dot_segments(r_path)
+    else:
+        if b_auth and not b_path:
+            merged = "/" + r_path
+        elif "/" in b_path:
+            merged = b_path.rsplit("/", 1)[0] + "/" + r_path
+        else:  # slashless opaque base path: ref replaces it (§5.3 merge)
+            merged = r_path
+        t_path = _remove_dot_segments(merged)
+    return scheme + ":" + b_auth + t_path + r_query + r_frag
+
+
 @dataclass
 class _Parser:
     text: str
@@ -95,15 +181,7 @@ class _Parser:
         scheme = self.base.split(":", 1)[0].lower()
         if scheme in uses_relative:
             return urljoin(self.base, raw)
-        # manual merge for non-hierarchical schemes
-        base = self.base.split("#", 1)[0]  # drop base fragment
-        if raw.startswith("#"):
-            return base + raw
-        if raw.startswith("//"):  # authority-relative: keep scheme only
-            return f"{scheme}:{raw}"
-        if "/" in base[len(scheme) + 1 :]:
-            base = base.rsplit("/", 1)[0] + "/"
-        return base + raw
+        return _rfc3986_resolve(self.base, raw)
 
     # -- tokenization -----------------------------------------------------
     def _tokenize(self) -> None:

@@ -122,6 +122,21 @@ def test_exact_dedup(spark):
     assert keep == {1, 4}
 
 
+def test_exact_dedup_normalized_null_vs_literal_null_text(spark):
+    """Review finding r8: the NULL sentinel must survive normalization —
+    lowercase+punct-strip used to reduce it to the word 'null', colliding
+    NULL cells with documents whose text IS 'null'/'NULL'/'(null)'."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "NULL"), (3, "(null)"), (4, None)],
+        "doc_id int, text string",
+    )
+    norm = dedup.exact_dedup(df, ["text"], id_col="doc_id", normalize=True)
+    rows = {r.keep_id: r.n_copies for r in norm.collect()}
+    # NULLs group together; 'NULL' and '(null)' normalize to the same TEXT
+    # 'null' and group together; the two groups never merge
+    assert rows == {1: 2, 2: 2}
+
+
 def test_minhash_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again in the yard"
     near = base.replace("lazy", "sleepy")
@@ -1613,7 +1628,7 @@ def test_resample_preserves_ntz_type_and_instants(spark):
     # LTZ input: distinct instants stay distinct buckets
     ltz = spark.createDataFrame(rows, "uuid string, time timestamp, value double")
     out = timeseries.resample(ltz, step="1 hour", how="last", fill=None)
-    assert dict(out.dtypes)["__bucket" if "__bucket" in out.columns else "time"]
+    assert dict(out.dtypes)["time"] == "timestamp", out.dtypes
     got = sorted(r.value for r in out.collect())
     assert got == [1.0, 2.0]
     # NTZ input: output time column stays NTZ
@@ -1630,6 +1645,40 @@ def test_pack_sequences_rejects_shard_bin_collision(spark):
         from mortar_parquet_support_spark.operators.curation import pack_sequences
 
         pack_sequences(df, id_col="id", cost_col="cost", budget=100)
+
+
+def test_pack_sequences_rejects_shard_col_bin(spark):
+    """Review finding r8: shard_col='bin' reads the caller's column as the
+    shard key and then OVERWRITES it with packing metadata — the guard must
+    not exempt it just because it is the shard_col."""
+    df = spark.createDataFrame([(1, 10, 0)], ["id", "cost", "bin"])
+    with pytest.raises(ValueError, match="bin"):
+        from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+        pack_sequences(df, id_col="id", cost_col="cost", budget=100, shard_col="bin")
+
+
+def test_resample_day_grid_fixed_duration_across_dst(spark):
+    """Review finding r8: LTZ buckets floor to epoch multiples, so the
+    dense grid must ALSO step in fixed epoch seconds. A calendar-interval
+    sequence in a DST session tz adds a 25h 'day' across fall-back and
+    every grid point after the shift misses its bucket in the left join."""
+    import datetime as _dt
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t0 = int(
+            _dt.datetime(2024, 11, 1, tzinfo=_dt.timezone.utc).timestamp()
+        )  # UTC midnight; range spans the 2024-11-03 US fall-back
+        df = spark.createDataFrame(
+            [("u", t0, 1.0), ("u", t0 + 3 * 86400, 2.0)], ["uuid", "t", "value"]
+        ).select("uuid", F.timestamp_seconds("t").alias("time"), "value")
+        out = timeseries.resample(df, step="1 day", how="last", fill=None).collect()
+        assert len(out) == 4, out  # 4 grid days, endpoints included
+        assert sorted(r.value for r in out if r.value is not None) == [1.0, 2.0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
 
 
 def test_compact_collections_empty_list_is_noop(spark, tmp_path):

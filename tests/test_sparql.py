@@ -1301,6 +1301,27 @@ def test_ttl_urn_base_resolution():
     assert rows[0][1] == "urn:bldg/floor#r"
 
 
+def test_ttl_urn_base_rfc3986_merge_forms():
+    """RFC 3986 §5.3 merge corners on an opaque base (review finding r8):
+    a slashless base path is REPLACED by the ref (not concatenated),
+    absolute-path refs replace the whole path, query-only refs keep the
+    base path, and dot segments are removed."""
+    # slashless opaque base: ref replaces the path entirely
+    rows = parse_ttl("@base <urn:isbn:0451450523> . <ch1> <urn:p> <urn:o> .", "s")
+    assert rows[0][1] == "urn:ch1"
+    # absolute-path ref replaces the base path
+    rows = parse_ttl("@base <urn:a/b/c> . </x> <urn:p> <urn:o> .", "s")
+    assert rows[0][1] == "urn:/x"
+    # query-only ref keeps the full base path
+    rows = parse_ttl("@base <urn:a/b?old> . <?q=1> <urn:p> <urn:o> .", "s")
+    assert rows[0][1] == "urn:a/b?q=1"
+    # dot segments collapse
+    rows = parse_ttl("@base <urn:a/b/c> . <../d> <urn:p> <urn:o> .", "s")
+    assert rows[0][1] == "urn:a/d"
+    rows = parse_ttl("@base <urn:a/b/c> . <./d> <urn:p> <urn:o> .", "s")
+    assert rows[0][1] == "urn:a/b/d"
+
+
 def test_ttl_single_quoted_strings_and_leading_dot_decimal():
     """Docstring-promised forms: 'single'/'''triple''' quoted literals and
     Turtle DECIMALs with no leading digit (review finding r8)."""
