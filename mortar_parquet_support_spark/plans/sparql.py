@@ -1350,14 +1350,18 @@ class SparqlEngine:
             out = out.limit(int(q.limit))
         if want_nullable:
             # which projected vars may carry null bindings out of this
-            # (sub)query: group-level unbound vars, non-COUNT aggregates
-            # over them, and expression aliases built from them
+            # (sub)query: group-level unbound vars; every non-COUNT
+            # aggregate (a global aggregate over an EMPTY solution sequence
+            # yields one null row, and MIN/MAX/... over only-null bindings
+            # is null, regardless of the target's own nullability); and
+            # every expression alias (casts/arithmetic null on failure).
+            # Over-approximating is safe: a compat join over never-null
+            # columns degenerates to the equi-join.
             nullable_out = set(out_vars) & gnullable
             for alias, (fn, target, _d, _s) in q.aggregates.items():
-                if fn != "count" and target in gnullable:
+                if fn != "count":
                     nullable_out.add(alias)
-            if gnullable:
-                nullable_out |= set(q.select_exprs) & set(out_vars)
+            nullable_out |= set(q.select_exprs) & set(out_vars)
             return out, nullable_out
         return out
 
@@ -1652,6 +1656,11 @@ class SparqlEngine:
             sn = _stringify_numeric(bexpr, c)
             acc = acc.withColumn(var, sn if sn is not None else c.cast("string"))
             bound = bound | {var}
+            # a BIND value can be null (failed cast, arithmetic over an
+            # unbound var): later joins sharing the alias must use
+            # compatibility semantics. Over-approximation is safe — compat
+            # degenerates to the equi-join when no nulls occur.
+            nullable.add(var)
         for fexpr in group.filters:
             if acc is None:
                 raise SparqlUnsupported("FILTER without preceding patterns")
@@ -1706,9 +1715,12 @@ class SparqlEngine:
         """Join an inline VALUES table into the group (SPARQL 1.1 §10.2).
 
         The table is tiny by construction, so it is always broadcast. Shared
-        variables join with UNDEF acting as a wildcard (NULL matches any
-        binding); fresh variables attach their column directly, with UNDEF
-        becoming an unbound (null) binding."""
+        variables join under full compatibility semantics: UNDEF on the
+        VALUES side is a wildcard, and an UNBOUND (null) binding on the
+        accumulator side — e.g. left there by an earlier OPTIONAL — matches
+        any VALUES row and is FILLED with its value (coalesce), per SPARQL
+        §10.2 solution-mapping compatibility. Fresh variables attach their
+        column directly, with UNDEF becoming an unbound (null) binding."""
         from pyspark.sql import types as T
 
         spark = scope.spark
@@ -1724,10 +1736,17 @@ class SparqlEngine:
             renamed = renamed.withColumnRenamed(v, f"__val_{v}")
         cond = F.lit(True)
         for v in shared:
-            cond = cond & (F.col(f"__val_{v}").isNull() | (F.col(f"__val_{v}") == F.col(v)))
-        out = acc.join(F.broadcast(renamed), on=cond, how="inner").drop(
-            *[f"__val_{v}" for v in shared]
-        )
+            cond = cond & (
+                F.col(f"__val_{v}").isNull()
+                | F.col(v).isNull()
+                | (F.col(f"__val_{v}") == F.col(v))
+            )
+        out = acc.join(F.broadcast(renamed), on=cond, how="inner")
+        for v in shared:
+            # acc-side unbound + VALUES-bound: the merged solution carries
+            # the VALUES binding
+            out = out.withColumn(v, F.coalesce(F.col(v), F.col(f"__val_{v}")))
+        out = out.drop(*[f"__val_{v}" for v in shared])
         return out, bound | set(vars_)
 
     def _compile_union(

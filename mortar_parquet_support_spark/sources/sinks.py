@@ -35,14 +35,32 @@ def _local_master(df: DataFrame) -> bool:
     return df.sparkSession.sparkContext.master.startswith("local")
 
 
+def _ltz_as_micros(df: DataFrame) -> DataFrame:
+    """Project TIMESTAMP (LTZ) columns to epoch micros for the driver-link
+    iterator: toLocalIterator would otherwise hand back NAIVE datetimes in
+    the driver's local tz, which are ambiguous for the repeated wall-clock
+    hour of a DST fall-back — the instant itself survives only as an
+    integer. Pairs with _csv_cell_formatter's _fmt_instant."""
+    from pyspark.sql.types import TimestampType
+
+    return df.select(
+        *[
+            F.unix_micros(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, TimestampType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def _csv_cell_formatter(schema, session_tz: str):
     """Build a ``cell(i, v) -> str`` renderer matching Spark's own CSV
     writer defaults, for the driver-link (non-local-master) path.
 
-    toLocalIterator yields TIMESTAMP (LTZ) as NAIVE datetimes in the
-    DRIVER's local tz; Spark's CSV writer renders them in the SESSION tz
-    as ``yyyy-MM-dd'T'HH:mm:ss.SSSXXX`` ("Z" at zero offset), NTZ values
-    without the offset, dates as ISO — so both ``to_local_csv`` paths emit
+    TIMESTAMP (LTZ) cells arrive as epoch MICROS (via ``_ltz_as_micros``)
+    and render in the SESSION tz as ``yyyy-MM-dd'T'HH:mm:ss.SSSXXX`` ("Z"
+    at zero offset) — Spark's CSV writer shape; NTZ values render without
+    the offset, dates as ISO — so both ``to_local_csv`` paths emit
     byte-identical files no matter where the driver runs."""
     import datetime as _dt
     import re as _re
@@ -68,9 +86,14 @@ def _csv_cell_formatter(schema, session_tz: str):
         except Exception:
             out_tz = _dt.timezone.utc
 
-    def _fmt_instant(v):
-        if v.tzinfo is None:
-            v = v.astimezone(_dt.timezone.utc)  # interpret as driver-local
+    _epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def _fmt_instant(us):
+        # receives epoch MICROS (see _ltz_as_micros): a naive driver-local
+        # datetime is ambiguous in the DST fall-back hour (fold=0 picks the
+        # wrong occurrence), so the instant crosses the driver link as an
+        # exact integer instead
+        v = _epoch + _dt.timedelta(microseconds=us)
         s = v.astimezone(out_tz).isoformat(timespec="milliseconds")
         return s[:-6] + "Z" if s.endswith("+00:00") else s
 
@@ -120,7 +143,7 @@ def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
             w = _csv.writer(out)
             if header:
                 w.writerow(df.columns)
-            for row in df.toLocalIterator(prefetchPartitions=True):
+            for row in _ltz_as_micros(df).toLocalIterator(prefetchPartitions=True):
                 w.writerow([cell(i, v) for i, v in enumerate(row)])
                 n += 1
         return n

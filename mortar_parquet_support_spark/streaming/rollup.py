@@ -196,6 +196,21 @@ def stateful_sessionize_stream(
                     closed.append(tuple(early))
                     early = [t, t, 1]
             elif t > last_us and t - last_us > gap_us:
+                # Closing the open session must FIRST resolve any pending
+                # early chain: a fold below may have regressed start_us to
+                # within gap of the chain, in which case batch semantics
+                # keeps chain+session ONE session — emitting them separately
+                # here would be a spurious split the post-loop bridge can no
+                # longer repair (it would see the NEW session's start).
+                # Resolution is final: input is sorted, so every later t is
+                # >= this t and can neither extend nor bridge the chain.
+                if early is not None:
+                    if start_us - early[1] <= gap_us:
+                        start_us = min(start_us, early[0])
+                        n += early[2]
+                    else:
+                        closed.append(tuple(early))
+                    early = None
                 closed.append((start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:

@@ -295,6 +295,17 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
             1.5,
             True,
         ),
+        (
+            # 2024-11-03T06:30:00Z = 01:30 EST, the SECOND occurrence of
+            # 01:30 in America/New_York — a naive driver-local datetime
+            # cannot represent which occurrence it was (review finding r8);
+            # the epoch-micros driver link keeps the exact instant
+            datetime.datetime(2024, 11, 3, 6, 30, 0),
+            None,
+            None,
+            None,
+            True,
+        ),
         (None, None, None, None, False),
     ]
     df = spark.createDataFrame(rows, schema)
@@ -304,8 +315,12 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
         open(p, "rb").read() for p in sorted(glob.glob(str(out / "part-*")))
     ).decode()
 
-    # Simulate the driver-link path on a non-UTC driver: toLocalIterator
-    # yields LTZ instants as naive datetimes in the DRIVER's local tz.
+    # Simulate the driver-link path on a non-UTC driver: LTZ instants
+    # cross as epoch micros (naive driver-local datetimes are ambiguous
+    # in the DST fall-back hour), everything else as toLocalIterator
+    # yields it.
+    from mortar_parquet_support_spark.sources.sinks import _ltz_as_micros
+
     old_tz = os.environ.get("TZ")
     os.environ["TZ"] = "America/New_York"
     _time.tzset()
@@ -315,7 +330,7 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
         )
         buf = io.StringIO()
         w = csv.writer(buf)
-        for row in df.toLocalIterator(prefetchPartitions=True):
+        for row in _ltz_as_micros(df).toLocalIterator(prefetchPartitions=True):
             w.writerow([cell(i, v) for i, v in enumerate(row)])
         got = buf.getvalue().replace("\r\n", "\n")
     finally:
