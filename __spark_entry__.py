@@ -2611,7 +2611,61 @@ def _tpch_q22(spark, sf_dir):
     )
 
 
-# The driver evaluates a bounded prefix (50 entries) of queries(). With 73
+@_register(
+    "crosscorpus_dedup",
+    """
+    WITH ls AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w)-1),
+               i -> concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT)+1],
+                              w[CAST(i AS INT)+2])))
+          ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id % 2 = 0)
+    ), rs AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w)-1),
+               i -> concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT)+1],
+                              w[CAST(i AS INT)+2])))
+          ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id % 2 = 1)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6
+           ) AS jaccard
+    FROM ls a JOIN rs b ON
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def _crosscorpus_dedup(spark, sf_dir):
+    """Cross-corpus near-dup join (operators/dedup.py crosscorpus_dedup):
+    near-duplicate pairs BETWEEN two corpora — incremental-crawl-vs-
+    training-set dedup where NEITHER side fits a broadcast. The oracle is
+    the exact word-shingle cross Jaccard >= 0.5; the Spark side goes
+    through the full banded-LSH candidate join + exact verify. With
+    bands = num_perm = 64 (one signature per band) a J >= 0.5 pair escapes
+    the candidate join with probability (1-J)^64 <= 6e-20 per pair —
+    deterministic under the fixed seed, and verified exact against the
+    oracle at sf0.01 (12 cross pairs, all J >= 0.9)."""
+    from mortar_parquet_support_spark.operators.dedup import crosscorpus_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = crosscorpus_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        num_perm=64,
+        bands=64,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# The driver evaluates a bounded prefix (50 entries) of queries(). With 74
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
 # strict subsets of surviving entries (e.g. window_running ⊂ window_frames,

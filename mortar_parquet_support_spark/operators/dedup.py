@@ -147,6 +147,45 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs)
 
 
+def _banded_frame(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_words: int,
+    seed: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """(id, band, bucket) LSH frame: minhash signatures folded into
+    ``bands`` band hashes and exploded one row per band. Materialized (see
+    minhash_lsh_candidates for why an eager barrier beats persist under
+    AQE). Same (num_perm, bands, seed) => same bucket space, so two
+    corpora banded with identical parameters can equi-join directly —
+    the basis of crosscorpus_dedup."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        num_perm=num_perm,
+        seed=seed,
+    )
+    band_hashes = [
+        F.xxhash64(
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(seed),
+        )
+        for b in range(bands)
+    ]
+    return materialize(
+        sigs.select("id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")),
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     *,
@@ -179,24 +218,14 @@ def minhash_lsh_candidates(
     upgrade every barrier to a reliable ``checkpoint()`` on shared storage
     — the right mode on a real cluster (functions.materialize).
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(
+    banded = _banded_frame(
         df,
         id_col=id_col,
         text_col=text_col,
-        shingle_words=shingle_words,
         num_perm=num_perm,
+        bands=bands,
+        shingle_words=shingle_words,
         seed=seed,
-    )
-    band_hashes = [
-        F.xxhash64(
-            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(seed),
-        )
-        for b in range(bands)
-    ]
-    banded = materialize(
-        sigs.select("id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")),
         checkpoint_dir=checkpoint_dir,
     )
     left = banded.alias("a")
@@ -221,34 +250,52 @@ def jaccard_pairs(
     text_col: str,
     shingle_words: int = 3,
     checkpoint_dir: str | None = None,
+    df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs.
     Shingle arrays are computed ONLY for documents that appear in a pair
     (semi-join first — at 100 TB the candidate set is orders of magnitude
     smaller than the corpus); intersection/union via array functions — no
-    explode, no UDF."""
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    explode, no UDF.
+
+    With ``df_b`` (cross-corpus mode): ``id_a`` ids resolve against ``df``
+    and ``id_b`` ids against ``df_b`` — two independent pruned shingle
+    frames instead of one shared one."""
     # Join FIRST, project shingles after: written select-then-join, Catalyst's
     # PushDownLeftSemiAntiJoin moves the join below the projection and the
     # (interpreted, per-element) shingle transform runs over the whole corpus
     # instead of just candidate docs. Join-then-select keeps the expensive
     # expression above the prune — there is no rule that sinks projections
-    # into joins. The shingle frame is MATERIALIZED because both join legs
+    # into joins. Each shingle frame is MATERIALIZED because both join legs
+    # (or, cross-corpus, the scoring join after an independent prune)
     # consume it: left lazy, the corpus semi-scan and shingle transform
     # would execute twice — one full extra corpus scan at 100 TB.
-    sh = materialize(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-        .join(F.broadcast(cand_ids), "id", "left_semi")
-        .select("id", word_shingles(F.col("_text"), shingle_words).alias("sh")),
-        checkpoint_dir=checkpoint_dir,
-    )
+    def _cand_shingles(src: DataFrame, ids: DataFrame) -> DataFrame:
+        return materialize(
+            src.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+            .join(F.broadcast(ids), "id", "left_semi")
+            .select("id", word_shingles(F.col("_text"), shingle_words).alias("sh")),
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    if df_b is None:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh_a = sh_b = _cand_shingles(df, cand_ids)
+    else:
+        sh_a = _cand_shingles(df, pairs.select(F.col("id_a").alias("id")).distinct())
+        sh_b = _cand_shingles(df_b, pairs.select(F.col("id_b").alias("id")).distinct())
     out = (
-        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(
+            sh_a.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sh_b.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
     )
     # bind the (interpreted, per-element) intersection once — referenced by
     # both the numerator and the union denominator
@@ -295,6 +342,66 @@ def minhash_dedup(
     )
     scored = jaccard_pairs(
         df, cands, id_col=id_col, text_col=text_col, checkpoint_dir=checkpoint_dir
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def crosscorpus_dedup(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — the incremental-crawl /
+    contamination shape: score a NEW batch (``left``) against an EXISTING
+    training set (``right``) without ever comparing either corpus to
+    itself. Returns (id_a, id_b, jaccard) with ``id_a`` from ``left``,
+    ``id_b`` from ``right``, jaccard >= threshold. Id spaces may overlap:
+    ids are never compared across sides, only texts.
+
+    Scale shape — both sides can be 100 TB:
+    - each corpus builds in-row minhash signatures independently (shuffle
+      = ``num_perm`` longs/doc per corpus, see minhash_signatures);
+    - the SAME (num_perm, bands, seed) puts both corpora in one bucket
+      space, so candidates come from a banded-bucket EQUI-join BETWEEN
+      the corpora — never all-pairs, no self-pairs, neither side
+      broadcast, AQE splits hot buckets;
+    - exact-Jaccard verify computes shingles only for candidate docs,
+      pruned per side (jaccard_pairs cross-corpus mode).
+    Compare ``decontaminate`` (curation.py), which broadcasts a SMALL
+    eval set; this operator is the symmetric case where neither side fits
+    in a broadcast."""
+    lb = _banded_frame(
+        left, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_words=shingle_words, seed=seed,
+        checkpoint_dir=checkpoint_dir,
+    ).alias("a")
+    rb = _banded_frame(
+        right, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_words=shingle_words, seed=seed,
+        checkpoint_dir=checkpoint_dir,
+    ).alias("b")
+    cands = materialize(
+        lb.join(
+            rb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(),
+        checkpoint_dir=checkpoint_dir,
+    )
+    scored = jaccard_pairs(
+        left, cands, id_col=id_col, text_col=text_col,
+        shingle_words=shingle_words, checkpoint_dir=checkpoint_dir,
+        df_b=right,
     )
     return scored.filter(F.col("jaccard") >= threshold)
 

@@ -137,6 +137,61 @@ def test_exact_dedup_normalized_null_vs_literal_null_text(spark):
     assert rows == {1: 2, 2: 2}
 
 
+def test_crosscorpus_dedup_planted_pair(spark):
+    """Cross-corpus near-dup join: a left doc near-duplicating a right doc
+    is found; ids are side-scoped (overlapping id values never produce
+    self-pairs); within-corpus duplicates are NOT reported."""
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark dataframes and parquet files here"
+    left = spark.createDataFrame(
+        [(1, base), (2, far), (3, far)], ["doc_id", "text"]  # 2/3 dup WITHIN left
+    )
+    right = spark.createDataFrame(
+        [(1, near), (2, "unrelated words entirely disjoint from both corpora")],
+        ["doc_id", "text"],  # right id 1 overlaps left id 1 on purpose
+    )
+    out = dedup.crosscorpus_dedup(
+        left, right, id_col="doc_id", text_col="text", threshold=0.5,
+        num_perm=64, bands=32,
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(1, 1)}, got  # base~near across; never (2,3) within left
+
+
+def test_crosscorpus_dedup_matches_exact_cross_pairs(spark, sf_dir):
+    """LSH candidates + exact verify must equal the brute-force exact
+    cross-Jaccard pair set on the fixture corpus (single-row bands: a
+    J>=0.5 pair is missed with probability (1-J)^64 — deterministic under
+    the fixed seed, and exact here)."""
+    from mortar_parquet_support_spark.functions import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    lsh = dedup.crosscorpus_dedup(
+        left, right, id_col="doc_id", text_col="text", threshold=0.5,
+        num_perm=64, bands=64,
+    )
+    got = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in lsh.collect()}
+
+    sh_l = left.select(
+        F.col("doc_id").alias("id_a"), word_shingles(F.col("text"), 3).alias("sa")
+    )
+    sh_r = right.select(
+        F.col("doc_id").alias("id_b"), word_shingles(F.col("text"), 3).alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    exact = (
+        sh_l.crossJoin(sh_r)
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in exact.collect()}
+    assert got == want, (got - want, want - got)
+
+
 def test_minhash_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again in the yard"
     near = base.replace("lazy", "sleepy")
@@ -1426,6 +1481,65 @@ def test_stateful_sessionize_too_early_late_event_own_session(spark, tmp_path):
     )
     got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
     assert got == [("devA", t(8, 0), t(8, 10), 2)], got
+
+
+def test_stateful_sessionize_split_bridges_pending_early_chain(spark, tmp_path):
+    """Review finding r8: when a gap-split closes the open session, a
+    pending early chain that a later fold brought to within gap of the
+    session start must merge into the CLOSED session — emitting the two
+    separately is a spurious split batch gaps-and-islands never produces."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stateful_sessionize_stream,
+    )
+
+    schema = StructType(
+        [StructField("dev", StringType()), StructField("event_time", TimestampType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda h, m: _dt.datetime(2024, 5, 1, h, m)  # noqa: E731
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(str(src) + "/*")
+        )
+        sess = stateful_sessionize_stream(
+            stream, key="dev", ts="event_time", gap="30 minutes", watermark="4 hours"
+        )
+        emitted = []
+        q = (
+            sess.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _id: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    # batch 1: open session at 10:00
+    assert run_batch([("devA", t(10, 0))], "b1") == []
+    # batch 2: 09:25 is > gap before 10:00 (early chain); 09:45 folds and
+    # regresses start to 09:45 — now within gap of 09:25; 12:00 splits.
+    # Batch semantics over {09:25, 09:45, 10:00, 12:00}: ONE closed session
+    # 09:25-10:00 (3 events), 12:00 stays open (not emitted).
+    out = run_batch(
+        [("devA", t(9, 25)), ("devA", t(9, 45)), ("devA", t(12, 0))], "b2"
+    )
+    got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
+    assert got == [("devA", t(9, 25), t(10, 0), 3)], got
 
 
 def test_staged_columns_keeps_shared_subexpressions_single(spark):

@@ -1241,6 +1241,81 @@ def test_optional_with_nested_optional_null_on_right_side(spark):
     assert got == {("urn:t1", "urn:v1", "urn:w1")}
 
 
+def test_values_fills_optional_null_binding(spark):
+    """Review finding r8: an acc-side UNBOUND var (left null by OPTIONAL)
+    is compatible with every VALUES row and takes its binding — the
+    one-sided UNDEF-wildcard condition silently dropped such rows."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:type", "urn:T", "iri"),
+                ("urn:t2", "urn:type", "urn:T", "iri"),
+                ("urn:t1", "urn:p", "v1", "literal"),
+                # t2 has NO p-edge: OPTIONAL leaves ?x unbound
+            ]
+        },
+    )
+    q = """SELECT ?s ?x WHERE {
+      ?s <urn:type> <urn:T> .
+      OPTIONAL { ?s <urn:p> ?x }
+      VALUES ?x { "v1" }
+    }"""
+    got = {(r.s, r.x) for r in eng.sql(q).collect()}
+    # t1's bound x=v1 matches; t2's unbound x is filled with v1
+    assert got == {("urn:t1", "v1"), ("urn:t2", "v1")}
+
+
+def test_bind_alias_null_joins_under_compatibility(spark):
+    """Review finding r8: a BIND alias can carry null (here: aliasing an
+    OPTIONAL-unbound var); a later group sharing the alias must join under
+    compatibility semantics, not drop the null-carrying rows."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:type", "urn:T", "iri"),
+                ("urn:t2", "urn:type", "urn:T", "iri"),
+                ("urn:t1", "urn:p", "v1", "literal"),
+                ("urn:a", "urn:q", "v1", "literal"),
+                ("urn:b", "urn:q", "v2", "literal"),
+            ]
+        },
+    )
+    q = """SELECT ?s ?y WHERE {
+      ?z <urn:q> ?y .
+      { SELECT ?s ?y WHERE {
+          ?s <urn:type> <urn:T> . OPTIONAL { ?s <urn:p> ?x } BIND(?x AS ?y)
+      } }
+    }"""
+    got = {(r.s, r.y) for r in eng.sql(q).collect()}
+    # t1: y=v1 equi-matches z=a. t2: y unbound -> compatible with BOTH
+    # q-rows, filled with each binding in turn
+    assert got == {("urn:t1", "v1"), ("urn:t2", "v1"), ("urn:t2", "v2")}
+
+
+def test_subquery_empty_aggregate_null_joins_under_compatibility(spark):
+    """Review finding r8: a global aggregate over an empty solution
+    sequence yields one null row; a later pattern sharing the alias must
+    treat that null as unbound-compatible, not equi-join it away."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:val", "o1", "literal"),
+                ("urn:t2", "urn:val", "o2", "literal"),
+            ]
+        },
+    )
+    q = """SELECT ?s ?m WHERE {
+      { SELECT (MIN(?x) AS ?m) WHERE { ?s2 <urn:none> ?x } }
+      { ?s <urn:val> ?m }
+    }"""
+    got = {(r.s, r.m) for r in eng.sql(q).collect()}
+    # the subquery's single null ?m is compatible with every val-row
+    assert got == {("urn:t1", "o1"), ("urn:t2", "o2")}
+
+
 def test_minus_with_undef_values_inside(spark):
     """VALUES UNDEF inside MINUS: the UNDEF var is unbound on the MINUS
     side, so it is compatible with every outer binding — both subjects
