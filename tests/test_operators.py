@@ -137,6 +137,66 @@ def test_exact_dedup_normalized_null_vs_literal_null_text(spark):
     assert rows == {1: 2, 2: 2}
 
 
+def test_sq8_roundtrip_error_bound_and_schema(spark, sf_dir):
+    """SQ8 reconstruction error is bounded by half a quantization step per
+    dimension, and codes are stored as array<tinyint> (dim bytes/vector —
+    the memory claim the operator exists for)."""
+    from mortar_parquet_support_spark.operators.quantize import (
+        sq8_dequantize, sq8_quantize, sq8_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lo, hi = sq8_train(emb)
+    assert len(lo) == len(hi) == 64
+    codes = sq8_quantize(emb, lo=lo, hi=hi)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>", codes.dtypes
+    step = [(h - l) / 255.0 for l, h in zip(lo, hi)]
+    worst = codes.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    sq8_dequantize(F.col("codes"), lo=lo, hi=hi),
+                    lambda v, d: F.abs(v - d),
+                )
+            )
+        ).alias("err")
+    ).collect()[0]["err"]
+    assert worst <= max(step) / 2 + 1e-9, (worst, max(step) / 2)
+
+
+def test_sq8_topk_recall_and_exact_rerank(spark, sf_dir):
+    """Quantized search keeps high recall vs exact cosine top-k, and the
+    overfetch + full-precision re-rank stage recovers the EXACT result on
+    the fixture corpus (deterministic: fixed data, fixed params)."""
+    from mortar_parquet_support_spark.operators.quantize import (
+        sq8_quantize, sq8_topk, sq8_train,
+    )
+    from mortar_parquet_support_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    lo, hi = sq8_train(emb)
+    codes = sq8_quantize(emb, lo=lo, hi=hi).select("vec_id", "codes")
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sq8_topk(codes, queries, lo=lo, hi=hi, k=10).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+    reranked = sq8_topk(
+        codes, queries, lo=lo, hi=hi, k=10, rerank_corpus=emb, overfetch=4
+    )
+    got = {(r.query_id, r.neighbor_id) for r in reranked.collect()}
+    assert got == exact, (got - exact, exact - got)
+
+
 def test_crosscorpus_dedup_planted_pair(spark):
     """Cross-corpus near-dup join: a left doc near-duplicating a right doc
     is found; ids are side-scoped (overlapping id values never produce
