@@ -127,35 +127,25 @@ def sq8_topk(
     the full-precision vectors (broadcast semi-prune: only candidate
     vectors are ever read at full width) and exactly re-ranked to ``k`` —
     the standard two-stage ADC serving shape."""
+    from mortar_parquet_support_spark.operators.similarity import cosine_topk
+
+    # the approximate stage IS cosine_topk over the dequantized view —
+    # one ranking implementation (tie-break, self-exclusion) to keep in sync
+    deq = codes_df.select(
+        F.col(id_col),
+        sq8_dequantize(F.col(codes_col), lo=lo, hi=hi).alias(vec_col),
+    )
+    fetch = k if rerank_corpus is None else k * overfetch
+    top = cosine_topk(
+        deq, queries, id_col=id_col, vec_col=vec_col, k=fetch,
+        include_self=include_self,
+    )
+    if rerank_corpus is None:
+        return top
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    c = codes_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        sq8_dequantize(F.col(codes_col), lo=lo, hi=hi).alias("c_vec"),
-    )
-    joined = c.crossJoin(F.broadcast(q))
-    if not include_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    fetch = k if rerank_corpus is None else k * overfetch
-    top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= fetch)
-        .drop("rank")
-    )
-    if rerank_corpus is None:
-        return top.withColumn("rank", F.row_number().over(w)).select(
-            "query_id", "neighbor_id", "cosine", "rank"
-        )
     cand_ids = top.select(F.col("neighbor_id").alias(id_col)).distinct()
     full = (
         rerank_corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
@@ -173,6 +163,9 @@ def sq8_topk(
             "neighbor_id",
             cosine_similarity(F.col("q_vec"), F.col("f_vec")).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
         exact.withColumn("rank", F.row_number().over(w))

@@ -1350,18 +1350,20 @@ class SparqlEngine:
             out = out.limit(int(q.limit))
         if want_nullable:
             # which projected vars may carry null bindings out of this
-            # (sub)query: group-level unbound vars; every non-COUNT
-            # aggregate (a global aggregate over an EMPTY solution sequence
-            # yields one null row, and MIN/MAX/... over only-null bindings
-            # is null, regardless of the target's own nullability); and
-            # every expression alias (casts/arithmetic null on failure).
-            # Over-approximating is safe: a compat join over never-null
-            # columns degenerates to the equi-join.
+            # (sub)query: group-level unbound vars; non-COUNT aggregates
+            # whose target may be null OR that run as a GLOBAL aggregate
+            # (no GROUP BY: an empty solution sequence yields one null
+            # row; grouped aggregates only exist for non-empty groups);
+            # and expression aliases whose expression can be null (see
+            # _expr_may_be_null — precision keeps later joins hash-based).
             nullable_out = set(out_vars) & gnullable
             for alias, (fn, target, _d, _s) in q.aggregates.items():
-                if fn != "count":
+                if fn != "count" and (target in gnullable or not q.group_by):
                     nullable_out.add(alias)
-            nullable_out |= set(q.select_exprs) & set(out_vars)
+            expr_env = gnullable | nullable_out
+            for alias, bexpr in q.select_exprs.items():
+                if alias in out_vars and self._expr_may_be_null(bexpr, expr_env):
+                    nullable_out.add(alias)
             return out, nullable_out
         return out
 
@@ -1656,11 +1658,13 @@ class SparqlEngine:
             sn = _stringify_numeric(bexpr, c)
             acc = acc.withColumn(var, sn if sn is not None else c.cast("string"))
             bound = bound | {var}
-            # a BIND value can be null (failed cast, arithmetic over an
-            # unbound var): later joins sharing the alias must use
-            # compatibility semantics. Over-approximation is safe — compat
-            # degenerates to the equi-join when no nulls occur.
-            nullable.add(var)
+            # a BIND value can be null (failed try_cast, division, an
+            # unbound input var): later joins sharing the alias must then
+            # use compatibility semantics. Marked only when the expression
+            # can actually be null — blanket marking would downgrade
+            # provably-equi joins to nested-loop compat joins.
+            if self._expr_may_be_null(bexpr, nullable):
+                nullable.add(var)
         for fexpr in group.filters:
             if acc is None:
                 raise SparqlUnsupported("FILTER without preceding patterns")
@@ -1772,6 +1776,72 @@ class SparqlEngine:
         for df in aligned[1:]:
             out = out.unionByName(df)
         return out, set(all_vars), nullable
+
+    def _expr_may_be_null(self, expr, nullable_vars: set[str]) -> bool:
+        """Conservative nullability of a BIND/SELECT expression: True
+        unless it provably yields non-null for every solution. Precision
+        matters both ways — missing a nullable alias drops solutions in a
+        later equi-join (wrong results); over-marking downgrades that join
+        to a nested-loop compatibility join (the 100 TB perf cliff). The
+        fallible constructs mirror _compile_filter: try_cast in arith /
+        numeric cmp / substr / abs / ceil / floor / round, and division
+        (null on zero). Unknown shapes default to True."""
+        if isinstance(expr, Term):
+            return expr.kind == "var" and expr.value in nullable_vars
+        if not isinstance(expr, tuple):
+            return True
+        tag = expr[0]
+        num_lit = r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?"
+
+        def _numeric_safe(t) -> bool:
+            # evaluates to a non-null number under try_cast("double")?
+            if isinstance(t, Term):
+                return t.kind == "literal" and re.fullmatch(num_lit, t.value) is not None
+            return (
+                isinstance(t, tuple)
+                and t[0] == "arith"
+                and not self._expr_may_be_null(t, nullable_vars)
+            )
+
+        if tag == "arith":
+            if expr[1] == "/":
+                return True  # division by zero is null
+            return not (_numeric_safe(expr[2]) and _numeric_safe(expr[3]))
+        if tag == "cmp":
+            lhs, rhs = expr[2], expr[3]
+            numeric = any(
+                (
+                    isinstance(t, Term)
+                    and t.kind == "literal"
+                    and re.fullmatch(num_lit, t.value)
+                )
+                or (isinstance(t, tuple) and not isinstance(t, Term) and t[0] == "arith")
+                for t in (lhs, rhs)
+            )
+            if numeric:
+                # both sides go through try_cast("double") — null unless
+                # both provably numeric
+                return not (_numeric_safe(lhs) and _numeric_safe(rhs))
+            return self._expr_may_be_null(lhs, nullable_vars) or self._expr_may_be_null(
+                rhs, nullable_vars
+            )
+        if tag in ("and", "or", "not"):
+            return any(self._expr_may_be_null(a, nullable_vars) for a in expr[1:])
+        if tag == "in":
+            return self._expr_may_be_null(expr[1], nullable_vars) or any(
+                self._expr_may_be_null(e, nullable_vars) for e in expr[2]
+            )
+        if tag == "call":
+            name, args = expr[1], expr[2]
+            if name == "bound":
+                return False  # isNotNull() is never null
+            if name in ("substr", "abs", "ceil", "floor", "round"):
+                return True  # try_cast on the argument
+            if name == "coalesce":
+                return all(self._expr_may_be_null(a, nullable_vars) for a in args)
+            # string/bool builtins: null only propagates from arguments
+            return any(self._expr_may_be_null(a, nullable_vars) for a in args)
+        return True
 
     def _compile_filter(self, expr: FilterExpr, bound: set[str]):
         if isinstance(expr, Term):

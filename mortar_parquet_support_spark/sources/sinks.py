@@ -43,14 +43,17 @@ def _ltz_as_micros(df: DataFrame) -> DataFrame:
     integer. Pairs with _csv_cell_formatter's _fmt_instant."""
     from pyspark.sql.types import TimestampType
 
-    return df.select(
-        *[
-            F.unix_micros(F.col(f.name)).alias(f.name)
-            if isinstance(f.dataType, TimestampType)
-            else F.col(f.name)
-            for f in df.schema.fields
-        ]
-    )
+    # backtick-quoted names, not bare F.col(name): a column name containing
+    # dots would otherwise parse as struct-field access — a legal input the
+    # pre-micros path (plain toLocalIterator) handled. Backticks inside the
+    # name escape by doubling, per Spark identifier rules.
+    cols = []
+    for f in df.schema.fields:
+        c = F.col("`" + f.name.replace("`", "``") + "`")
+        if isinstance(f.dataType, TimestampType):
+            c = F.unix_micros(c)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
 
 
 def _csv_cell_formatter(schema, session_tz: str):

@@ -255,6 +255,23 @@ def test_local_sinks_cluster_branch(spark, tmp_path, monkeypatch):
     con.close()
 
 
+def test_ltz_as_micros_handles_dotted_column_names(spark):
+    """Review finding r8: the driver-link projection must backtick-quote
+    names — a column literally named 'event.time' (legal via withColumn)
+    parsed as struct access and crashed, where the pre-micros path
+    (plain toLocalIterator) handled it."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.sources.sinks import _ltz_as_micros
+
+    df = spark.createDataFrame([(1,)], ["a"]).withColumn(
+        "event.time", F.timestamp_micros(F.lit(1_000_000))
+    )
+    out = _ltz_as_micros(df)
+    assert out.columns == ["a", "event.time"]
+    assert out.collect()[0]["event.time"] == 1_000_000
+
+
 def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
     """ADVICE r7 (medium): the non-local-master to_local_csv path must emit
     the SAME bytes Spark's own CSV writer does — session-tz instants in

@@ -1294,6 +1294,31 @@ def test_bind_alias_null_joins_under_compatibility(spark):
     assert got == {("urn:t1", "v1"), ("urn:t2", "v1"), ("urn:t2", "v2")}
 
 
+def test_bind_nonnull_alias_keeps_hash_join(spark):
+    """Precision side of the r8 nullability fix: a BIND alias that is
+    provably never null (CONCAT over pattern-bound vars) must NOT route
+    later joins through the nested-loop compatibility join — the plan
+    stays a hash/broadcast equi-join."""
+    from tests.conftest import plan_str
+
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:t1", "urn:p", "v1", "literal"),
+                ("urn:a", "urn:q", "v1!", "literal"),
+            ]
+        },
+    )
+    q = """SELECT ?s ?y WHERE {
+      ?z <urn:q> ?y .
+      { SELECT ?s ?y WHERE { ?s <urn:p> ?x . BIND(CONCAT(?x, "!") AS ?y) } }
+    }"""
+    df = eng.sql(q)
+    assert {(r.s, r.y) for r in df.collect()} == {("urn:t1", "v1!")}
+    assert "BroadcastNestedLoopJoin" not in plan_str(df), "compat join leaked"
+
+
 def test_subquery_empty_aggregate_null_joins_under_compatibility(spark):
     """Review finding r8: a global aggregate over an empty solution
     sequence yields one null row; a later pattern sharing the alias must
