@@ -21,9 +21,11 @@ parameter arrays) — deterministic, engine-portable (the driver entry
 never a UDF. Quantization error is bounded per dimension by half a step:
 |v' - v| <= (hi-lo)/255/2 (pytest-pinned).
 
-Composes with IvfIndex (operators/similarity.py): assign cells on full
-precision at build time, store SQ8 codes per cell, probe with asymmetric
-scoring + re-rank — the standard IVF+SQ serving stack.
+``IvfSq8Index`` composes the two tiers with IvfIndex
+(operators/similarity.py): assign cells on full precision at build time,
+store SQ8 codes (+ precomputed dequantized norms) per cell, probe with
+asymmetric scoring + optional exact re-rank — the standard IVF+SQ
+serving stack.
 """
 
 from __future__ import annotations
@@ -100,6 +102,142 @@ def sq8_dequantize(
         lambda code, s: (code.cast("double") + F.lit(128.0)) * s,
     )
     return F.zip_with(scaled, _lit_array(lo), lambda d, l: d + l)
+
+
+class IvfSq8Index:
+    """IVF + SQ8 — the standard memory-tiered vector store: cells come
+    from a full-precision ``IvfIndex`` build (operators/similarity.py),
+    but the per-cell corpus is stored as int8 codes (+ a precomputed
+    dequantized norm), 4-8x smaller than the float vectors. Probing is
+    asymmetric: full-precision queries against dequantized codes in the
+    ``nprobe`` nearest cells, with an optional overfetch + full-precision
+    re-rank (semi-join pruned to candidates) that recovers exact results.
+
+    ``build`` pays one extra pass over the ALREADY-ASSIGNED corpus frame
+    (quantize + norm — no re-scan, no re-clustering); the full-precision
+    assignment is dropped afterwards unless the caller keeps the IvfIndex.
+    """
+
+    def __init__(self, ivf, lo: list[float], hi: list[float], coded: DataFrame, *, persisted: bool):
+        self._ivf = ivf
+        self.lo = lo
+        self.hi = hi
+        self.coded = coded  # (neighbor_id, list_id, codes, c_qnorm)
+        self._persisted = persisted
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_list: int = 16,
+        iters: int = 1,
+        seed: int = 42,
+        persist: bool = True,
+    ) -> "IvfSq8Index":
+        from mortar_parquet_support_spark.operators.similarity import IvfIndex
+
+        ivf = IvfIndex.build(
+            corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
+            iters=iters, seed=seed, persist=False,
+        )
+        lo, hi = sq8_train(corpus, vec_col=vec_col)
+        quantized = sq8_quantize(
+            ivf.assigned, vec_col="c_vec", lo=lo, hi=hi, out_col="codes"
+        )
+        from mortar_parquet_support_spark.functions import vector_norm
+
+        # the probe divides by the norm of the DEQUANTIZED vector — pay it
+        # once at build (same trick as IvfIndex's c_norm), so each probe
+        # pair costs one fold (the dot), not three
+        coded = quantized.select(
+            "neighbor_id",
+            "list_id",
+            "codes",
+            vector_norm(sq8_dequantize(F.col("codes"), lo=lo, hi=hi)).alias(
+                "c_qnorm"
+            ),
+        )
+        if persist:
+            coded = coded.persist()
+            coded.count()
+        return cls(ivf, lo, hi, coded, persisted=persist)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 10,
+        nprobe: int = 4,
+        rerank_corpus: DataFrame | None = None,
+        overfetch: int = 3,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank): asymmetric scoring over
+        the nprobe nearest cells; ``nprobe = n_list`` visits every cell.
+        With ``rerank_corpus``, k*overfetch candidates re-rank against the
+        full-precision vectors."""
+        from mortar_parquet_support_spark.functions import dot_product, vector_norm
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        probes = self._ivf._probes(q, nprobe).withColumn(
+            "q_norm", vector_norm(F.col("q_vec"))
+        )
+        joined = self.coded.join(F.broadcast(probes), "list_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(
+                    F.col("q_vec"),
+                    sq8_dequantize(F.col("codes"), lo=self.lo, hi=self.hi),
+                )
+                / (F.col("q_norm") * F.col("c_qnorm"))
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        fetch = k if rerank_corpus is None else k * overfetch
+        top = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= fetch)
+        )
+        if rerank_corpus is None:
+            return top
+        cand_ids = top.select(F.col("neighbor_id").alias(id_col)).distinct()
+        full = rerank_corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("f_vec"),
+        )
+        exact = (
+            top.select("query_id", "neighbor_id")
+            .join(full, "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_similarity(F.col("q_vec"), F.col("f_vec")).alias("cosine"),
+            )
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            self.coded.unpersist()
+            self._persisted = False
 
 
 def sq8_topk(

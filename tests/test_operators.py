@@ -197,6 +197,42 @@ def test_sq8_topk_recall_and_exact_rerank(spark, sf_dir):
     assert got == exact, (got - exact, exact - got)
 
 
+def test_ivf_sq8_full_probe_rerank_is_exact(spark, sf_dir):
+    """IVF+SQ8 composition: the coded frame carries NO full-precision
+    vector column (the memory claim), and full probe + exact re-rank
+    recovers cosine_topk's exact result on the fixture corpus."""
+    from mortar_parquet_support_spark.operators.quantize import IvfSq8Index
+    from mortar_parquet_support_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = IvfSq8Index.build(emb, n_list=8, persist=True)
+    try:
+        dtypes = dict(idx.coded.dtypes)
+        assert dtypes["codes"] == "array<tinyint>", dtypes
+        assert "c_vec" not in dtypes and "embedding" not in dtypes, dtypes
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, queries, k=10).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in idx.topk(
+                queries, k=10, nprobe=8, rerank_corpus=emb, overfetch=4
+            ).collect()
+        }
+        assert got == exact, (got - exact, exact - got)
+
+        # partial probe still returns k rows per query (recall dial, not a
+        # correctness gate)
+        part = idx.topk(queries, k=10, nprobe=2)
+        counts = {r["query_id"]: r["n"] for r in part.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 10 for v in counts.values()), counts
+    finally:
+        idx.unpersist()
+
+
 def test_crosscorpus_dedup_planted_pair(spark):
     """Cross-corpus near-dup join: a left doc near-duplicating a right doc
     is found; ids are side-scoped (overlapping id values never produce
