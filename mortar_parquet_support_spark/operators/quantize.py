@@ -239,6 +239,50 @@ class IvfSq8Index:
             self.coded.unpersist()
             self._persisted = False
 
+    def save(self, path: str) -> None:
+        """Persist to disk (same layout discipline as IvfIndex.save):
+        ``<path>/centroids`` (tiny), ``<path>/params`` (one row of
+        lo/hi arrays), and ``<path>/coded`` partitioned by ``list_id`` so
+        a later ``load(...).topk(...)`` probe reads only its nprobe cell
+        directories — and those directories hold int8 codes, so the
+        serving footprint is the quantized one end to end."""
+        base = path.rstrip("/")
+        self._ivf.centroids.write.mode("overwrite").parquet(base + "/centroids")
+        spark = self.coded.sparkSession
+        spark.createDataFrame(
+            [(self.lo, self.hi)], "lo array<double>, hi array<double>"
+        ).write.mode("overwrite").parquet(base + "/params")
+        (
+            self.coded.write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(base + "/coded")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfSq8Index":
+        """Reopen a saved index; codes stay on disk (list_id partitioning
+        makes probes prune), persist() explicitly for hot serving."""
+        from mortar_parquet_support_spark.operators.similarity import (
+            IvfIndex,
+            _vec_dim,
+        )
+
+        base = path.rstrip("/")
+        cents = spark.read.parquet(base + "/centroids")
+        dim = _vec_dim(cents, "centroid")
+        n = cents.count()
+        if dim and n * dim <= IvfIndex.MAX_DRIVER_CELLS:
+            cents, cent_rows = IvfIndex._materialize_centroids(spark, cents)
+        else:
+            cent_rows = None
+        row = spark.read.parquet(base + "/params").collect()[0]
+        coded = spark.read.parquet(base + "/coded")
+        # the inner IvfIndex serves ONLY the probe surface (_probes); its
+        # full-precision assigned frame was intentionally not saved — the
+        # quantized coded frame IS the corpus here
+        ivf = IvfIndex(cents, coded, persisted=False, cent_rows=cent_rows)
+        return cls(ivf, list(row["lo"]), list(row["hi"]), coded, persisted=False)
+
 
 def sq8_topk(
     codes_df: DataFrame,

@@ -233,6 +233,28 @@ def test_ivf_sq8_full_probe_rerank_is_exact(spark, sf_dir):
         idx.unpersist()
 
 
+def test_ivf_sq8_save_load_round_trip(spark, sf_dir, tmp_path):
+    """save/load parity with IvfIndex/LshIndex: codes land partitioned by
+    list_id (probe-prunable, int8 on disk) and a reloaded index returns
+    the same full-probe result set as the in-memory one."""
+    import os
+
+    from mortar_parquet_support_spark.operators.quantize import IvfSq8Index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    idx = IvfSq8Index.build(emb, n_list=4, persist=False)
+    want = {(r.query_id, r.neighbor_id) for r in idx.topk(queries, k=5, nprobe=4).collect()}
+
+    path = str(tmp_path / "sq8idx")
+    idx.save(path)
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{path}/coded"))
+    re = IvfSq8Index.load(spark, path)
+    assert dict(re.coded.dtypes)["codes"] == "array<tinyint>"
+    got = {(r.query_id, r.neighbor_id) for r in re.topk(queries, k=5, nprobe=4).collect()}
+    assert got == want
+
+
 def test_crosscorpus_dedup_planted_pair(spark):
     """Cross-corpus near-dup join: a left doc near-duplicating a right doc
     is found; ids are side-scoped (overlapping id values never produce
