@@ -104,6 +104,46 @@ def sq8_dequantize(
     return F.zip_with(scaled, _lit_array(lo), lambda d, l: d + l)
 
 
+def _exact_rerank(
+    top: DataFrame,
+    q: DataFrame,
+    rerank_corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Full-precision re-rank of overfetched (query_id, neighbor_id)
+    candidates: broadcast semi-prune to candidate vectors (only they are
+    ever read at full width), exact cosine, one per-query ranking window.
+    The SINGLE rerank implementation — sq8_topk and IvfSq8Index.topk both
+    route here so the tie-break (cosine desc, neighbor_id asc) can never
+    diverge between them. ``q`` is the (query_id, q_vec) frame."""
+    cand_ids = top.select(F.col("neighbor_id").alias(id_col)).distinct()
+    full = rerank_corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("f_vec"),
+    )
+    exact = (
+        top.select("query_id", "neighbor_id")
+        .join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("f_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 class IvfSq8Index:
     """IVF + SQ8 — the standard memory-tiered vector store: cells come
     from a full-precision ``IvfIndex`` build (operators/similarity.py),
@@ -213,25 +253,8 @@ class IvfSq8Index:
         )
         if rerank_corpus is None:
             return top
-        cand_ids = top.select(F.col("neighbor_id").alias(id_col)).distinct()
-        full = rerank_corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("f_vec"),
-        )
-        exact = (
-            top.select("query_id", "neighbor_id")
-            .join(full, "neighbor_id")
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine_similarity(F.col("q_vec"), F.col("f_vec")).alias("cosine"),
-            )
-        )
-        return (
-            exact.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank")
+        return _exact_rerank(
+            top, q, rerank_corpus, id_col=id_col, vec_col=vec_col, k=k
         )
 
     def unpersist(self) -> None:
@@ -279,8 +302,10 @@ class IvfSq8Index:
         coded = spark.read.parquet(base + "/coded")
         # the inner IvfIndex serves ONLY the probe surface (_probes); its
         # full-precision assigned frame was intentionally not saved — the
-        # quantized coded frame IS the corpus here
-        ivf = IvfIndex(cents, coded, persisted=False, cent_rows=cent_rows)
+        # quantized coded frame IS the corpus here. assigned=None makes
+        # that structural: IvfIndex's own scoring/saving methods raise a
+        # clear error instead of silently scoring against the wrong frame.
+        ivf = IvfIndex(cents, None, persisted=False, cent_rows=cent_rows)
         return cls(ivf, list(row["lo"]), list(row["hi"]), coded, persisted=False)
 
 
@@ -328,29 +353,6 @@ def sq8_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    cand_ids = top.select(F.col("neighbor_id").alias(id_col)).distinct()
-    full = (
-        rerank_corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("f_vec"),
-        )
-    )
-    exact = (
-        top.select("query_id", "neighbor_id")
-        .join(full, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("f_vec")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _exact_rerank(
+        top, q, rerank_corpus, id_col=id_col, vec_col=vec_col, k=k
     )

@@ -606,6 +606,12 @@ class IvfIndex:
         WITHOUT the final ranking window, for callers that apply their own
         ranking policy (e.g. rank on a rounded score for cross-engine
         determinism) and shouldn't pay two windows."""
+        if self.assigned is None:
+            raise ValueError(
+                "probe-only IvfIndex (it carries no full-precision corpus; "
+                "an IvfSq8Index.load created it for cell probing) — score "
+                "through the owning IvfSq8Index instead"
+            )
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         probes = self._probes(q, nprobe)
         if "c_norm" in self.assigned.columns:
@@ -658,6 +664,11 @@ class IvfIndex:
         directories (partition pruning), never rescanning or re-clustering
         the corpus. This is the build-offline / serve-online split of a
         production vector store."""
+        if self.assigned is None:
+            raise ValueError(
+                "probe-only IvfIndex has no corpus to save — save the "
+                "owning IvfSq8Index instead"
+            )
         self.centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
         (
             self.assigned.write.mode("overwrite")

@@ -1180,6 +1180,31 @@ class _Scope:
         return self.df.sparkSession
 
 
+# One definition of "numeric literal" / "numeric comparison" shared by
+# compilation (_compile_filter) AND the nullability analysis
+# (_expr_may_be_null): the analysis is correct only while it mirrors what
+# compilation actually try_casts, so both must read the same predicate.
+_NUMERIC_LIT_RE = re.compile(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?")
+
+
+def _is_numeric_literal(t) -> bool:
+    return (
+        isinstance(t, Term)
+        and t.kind == "literal"
+        and _NUMERIC_LIT_RE.fullmatch(t.value) is not None
+    )
+
+
+def _is_numeric_cmp(lhs, rhs) -> bool:
+    """Does _compile_filter put this comparison through try_cast('double')
+    on both sides?"""
+    return any(
+        _is_numeric_literal(t)
+        or (isinstance(t, tuple) and not isinstance(t, Term) and t[0] == "arith")
+        for t in (lhs, rhs)
+    )
+
+
 class SparqlEngine:
     """Compile + run parsed SPARQL over a triples DataFrame.
 
@@ -1353,12 +1378,17 @@ class SparqlEngine:
             # (sub)query: group-level unbound vars; non-COUNT aggregates
             # whose target may be null OR that run as a GLOBAL aggregate
             # (no GROUP BY: an empty solution sequence yields one null
-            # row; grouped aggregates only exist for non-empty groups);
+            # row; grouped aggregates only exist for non-empty groups) OR
+            # that numerically coerce (SUM/AVG try_cast non-numeric
+            # bindings to null — a group whose bindings are ALL
+            # non-numeric aggregates to null even over a non-null target);
             # and expression aliases whose expression can be null (see
             # _expr_may_be_null — precision keeps later joins hash-based).
             nullable_out = set(out_vars) & gnullable
             for alias, (fn, target, _d, _s) in q.aggregates.items():
-                if fn != "count" and (target in gnullable or not q.group_by):
+                if fn == "count":
+                    continue
+                if target in gnullable or not q.group_by or fn in ("sum", "avg"):
                     nullable_out.add(alias)
             expr_env = gnullable | nullable_out
             for alias, bexpr in q.select_exprs.items():
@@ -1791,12 +1821,11 @@ class SparqlEngine:
         if not isinstance(expr, tuple):
             return True
         tag = expr[0]
-        num_lit = r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?"
 
         def _numeric_safe(t) -> bool:
             # evaluates to a non-null number under try_cast("double")?
             if isinstance(t, Term):
-                return t.kind == "literal" and re.fullmatch(num_lit, t.value) is not None
+                return _is_numeric_literal(t)
             return (
                 isinstance(t, tuple)
                 and t[0] == "arith"
@@ -1809,16 +1838,7 @@ class SparqlEngine:
             return not (_numeric_safe(expr[2]) and _numeric_safe(expr[3]))
         if tag == "cmp":
             lhs, rhs = expr[2], expr[3]
-            numeric = any(
-                (
-                    isinstance(t, Term)
-                    and t.kind == "literal"
-                    and re.fullmatch(num_lit, t.value)
-                )
-                or (isinstance(t, tuple) and not isinstance(t, Term) and t[0] == "arith")
-                for t in (lhs, rhs)
-            )
-            if numeric:
+            if _is_numeric_cmp(lhs, rhs):
                 # both sides go through try_cast("double") — null unless
                 # both provably numeric
                 return not (_numeric_safe(lhs) and _numeric_safe(rhs))
@@ -1873,15 +1893,7 @@ class SparqlEngine:
             return {"+": ac + bc, "-": ac - bc, "*": ac * bc, "/": ac / bc}[op]
         if tag == "cmp":
             op, lhs, rhs = expr[1], expr[2], expr[3]
-            numeric = any(
-                (
-                    isinstance(t, Term)
-                    and t.kind == "literal"
-                    and re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", t.value)
-                )
-                or (isinstance(t, tuple) and not isinstance(t, Term) and t[0] == "arith")
-                for t in (lhs, rhs)
-            )
+            numeric = _is_numeric_cmp(lhs, rhs)
             lc = self._compile_filter(lhs, bound)
             rc = self._compile_filter(rhs, bound)
             if numeric:

@@ -253,6 +253,12 @@ def test_ivf_sq8_save_load_round_trip(spark, sf_dir, tmp_path):
     assert dict(re.coded.dtypes)["codes"] == "array<tinyint>"
     got = {(r.query_id, r.neighbor_id) for r in re.topk(queries, k=5, nprobe=4).collect()}
     assert got == want
+    # the inner index is probe-only: scoring/saving through IT (instead of
+    # the owning IvfSq8Index) fails loudly, never scores the wrong frame
+    with pytest.raises(ValueError, match="probe-only"):
+        re._ivf.topk(queries, k=5)
+    with pytest.raises(ValueError, match="probe-only"):
+        re._ivf.save(str(tmp_path / "nope"))
 
 
 def test_crosscorpus_dedup_planted_pair(spark):

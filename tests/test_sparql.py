@@ -1294,6 +1294,32 @@ def test_bind_alias_null_joins_under_compatibility(spark):
     assert got == {("urn:t1", "v1"), ("urn:t2", "v1"), ("urn:t2", "v2")}
 
 
+def test_grouped_sum_over_nonnumeric_joins_under_compatibility(spark):
+    """Review finding r8: SUM/AVG try_cast non-numeric bindings to null,
+    so a GROUP whose bindings are ALL non-numeric aggregates to null even
+    over a non-null target — the alias must stay nullable and a later
+    shared-var join must keep (and fill) that solution."""
+    eng = _mini_engine(
+        spark,
+        {
+            "s": [
+                ("urn:g1", "urn:p", "abc", "literal"),
+                ("urn:g1", "urn:p", "def", "literal"),
+                ("urn:g2", "urn:p", "3", "literal"),
+                ("urn:x", "urn:q", "anything", "literal"),
+            ]
+        },
+    )
+    q = """SELECT ?g ?s ?z WHERE {
+      ?z <urn:q> ?s .
+      { SELECT ?g (SUM(?v) AS ?s) WHERE { ?g <urn:p> ?v } GROUP BY ?g }
+    }"""
+    got = {(r.g, r.s, r.z) for r in eng.sql(q).collect()}
+    # g1 sums to null (all bindings non-numeric) -> compatible with the
+    # q-row and filled; g2 sums to 3 which != 'anything' -> dropped
+    assert got == {("urn:g1", "anything", "urn:x")}, got
+
+
 def test_bind_nonnull_alias_keeps_hash_join(spark):
     """Precision side of the r8 nullability fix: a BIND alias that is
     provably never null (CONCAT over pattern-bound vars) must NOT route
