@@ -377,7 +377,15 @@ def crosscorpus_dedup(
       pruned per side (jaccard_pairs cross-corpus mode).
     Compare ``decontaminate`` (curation.py), which broadcasts a SMALL
     eval set; this operator is the symmetric case where neither side fits
-    in a broadcast."""
+    in a broadcast.
+
+    ``bands`` is the recall/cost dial: the default 16 (4 signatures per
+    band) is the production setting; ``bands = num_perm`` (one signature
+    per band) makes a J >= 0.5 miss probability (1-J)^num_perm — near
+    certainty of full recall, bought with many more false-positive
+    candidates for the verify stage (measured 4.7x slower at sf0.1 for
+    identical output; the oracle-checked driver entry uses it for
+    exactness, not as a recommendation)."""
     lb = _banded_frame(
         left, id_col=id_col, text_col=text_col, num_perm=num_perm,
         bands=bands, shingle_words=shingle_words, seed=seed,
