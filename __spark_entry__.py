@@ -2611,6 +2611,374 @@ def _tpch_q22(spark, sf_dir):
     )
 
 
+# The fixture has no partsupp table, so the five TPC-H shapes that need one
+# (Q2/Q9/Q11/Q20/Q21 closes out all 22 query shapes; Q21 needs no partsupp
+# but is grouped here) derive a deterministic stand-in from part × the
+# supplier COUNT: each part gets 4 suppliers at evenly spaced key offsets
+# (keys are 0-based contiguous in TESTDATA.md fixtures), with
+# integer-arithmetic availqty and a cents-grid supplycost so Spark and
+# DuckDB compute bit-identical values from the same integers. The SQL CTE
+# below and ``_partsupp`` are the SAME derivation in each engine's dialect.
+_PARTSUPP_SQL = """
+    ps0 AS (
+      SELECT p_partkey,
+             (p_partkey + i.i * GREATEST(sc.n // 4, 1)) % sc.n AS ps_suppkey
+      FROM part
+      CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier) sc
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+    ),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey, ps_suppkey,
+             CAST((p_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS INT)
+               AS ps_availqty,
+             CAST((p_partkey * 419 + ps_suppkey * 97) % 20000 + 100 AS DOUBLE)
+               / 100.0 AS ps_supplycost
+      FROM ps0
+    )
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp (see _PARTSUPP_SQL): 4 suppliers per part at evenly
+    spaced offsets modulo the supplier count. The one-row count aggregate
+    is broadcast, so the derivation is a single narrow projection over
+    part — no shuffle, and at 100 TB it scales with the part table scan.
+
+    Supplier is loaded FRESH here (not via the _t memo): the memoized
+    DataFrame shares attribute IDs with the supplier the Q2/Q9/Q11 outer
+    plans join, and Spark treats the reuse as an ambiguous self-join."""
+    from mortar_parquet_support_spark.tables import load_table
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        part.crossJoin(F.broadcast(n))
+        .select("p_partkey", "n", F.explode(F.expr("sequence(0, 3)")).alias("i"))
+        .select(
+            "p_partkey",
+            F.expr("(p_partkey + i * greatest(n div 4, 1)) % n").alias("ps_suppkey"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            "ps_suppkey",
+            F.expr(
+                "cast((p_partkey * 7 + ps_suppkey * 13) % 9999 + 1 as int)"
+            ).alias("ps_availqty"),
+            F.expr(
+                "cast((p_partkey * 419 + ps_suppkey * 97) % 20000 + 100 as double)"
+                " / 100.0"
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@_register(
+    "tpch_q2",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    eligible AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+      FROM partsupp
+      JOIN part ON p_partkey = ps_partkey
+               AND p_size = 15 AND p_type = 'ECONOMY'
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM eligible e
+    WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM eligible e2
+                           WHERE e2.p_partkey = e.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def _tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (TPC-H Q2 shape over the derived partsupp;
+    the type/size predicates become equality — the fixture's p_type is a
+    6-value enum, no '%BRASS' suffixing). The correlated min subquery
+    decorrelates into a per-part MIN window over the already-joined
+    eligible set — one shuffle on p_partkey instead of a second scan +
+    join of the whole subquery. Dimension sides (filtered part, nation,
+    region) broadcast. Supplycost doubles sit on the derivation's cents
+    grid, so the float equality against the window MIN is engine-stable.
+    The LIMIT never truncates at fixture sizes (p_size×p_type keeps ~7
+    parts of 2000), so no tie-at-the-cutoff nondeterminism."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .drop("min_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q9",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity
+               AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def _tpch_q9(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 shape; '%green%' becomes '%red%' for
+    the fixture's two-word part names). Lineitem keeps only rows whose
+    (partkey, suppkey) lands on the derived partsupp grid — same inner-
+    join semantics in both engines. The per-row profit doubles are
+    IEEE-identical across engines; each is cast to DECIMAL(18,4) BEFORE
+    the SUM so the aggregate is exact and ORDER-INDEPENDENT — a plain
+    double SUM would accumulate in engine-specific (and partition-
+    specific) order and could round differently at a half-cent boundary.
+    Part (filtered) and nation broadcast; orders/partsupp join on the
+    lineitem keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    ps = _partsupp(spark, sf_dir)
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum(F.col("amount").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@_register(
+    "tpch_q11",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    ps_nation AS (
+      SELECT ps_partkey,
+             CAST(ROUND(ps_supplycost * 100) AS BIGINT) * ps_availqty
+               AS value_cents
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+    )
+    SELECT ps_partkey,
+           CAST(SUM(value_cents) AS DOUBLE) / 100.0 AS value
+    FROM ps_nation
+    GROUP BY ps_partkey
+    HAVING SUM(value_cents) * 1000 > (SELECT SUM(value_cents) FROM ps_nation)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def _tpch_q11(spark, sf_dir):
+    """Important-stock identification (TPC-H Q11 shape). The whole
+    computation runs on an INTEGER cents grid — value_cents reconstructs
+    the supplycost cents exactly (the doubles are cents/100.0, so
+    round(×100) is lossless), the per-part and global sums are exact
+    BIGINT arithmetic, and the HAVING threshold (1/1000 of total) is an
+    integer cross-multiplication — no float sum-order sensitivity
+    anywhere; only the final display value divides to double. The global
+    total is a one-row broadcast cross join, the per-part agg one shuffle."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    ps_nation = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "ps_partkey",
+            (
+                F.round(F.col("ps_supplycost") * 100).cast("bigint")
+                * F.col("ps_availqty")
+            ).alias("value_cents"),
+        )
+    )
+    total = ps_nation.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        ps_nation.groupBy("ps_partkey")
+        .agg(F.sum("value_cents").alias("part_cents"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("part_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@_register(
+    "tpch_q20",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    WHERE s_suppkey IN (
+      SELECT ps_suppkey FROM partsupp
+      JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_availqty > 0.5 * qty
+    )
+    ORDER BY s_name, s_acctbal
+    """,
+)
+def _tpch_q20(spark, sf_dir):
+    """Potential part promotion (TPC-H Q20 shape). The correlated shipped-
+    quantity subquery decorrelates into a pre-aggregated (partkey,
+    suppkey) rollup joined to partsupp — the Spark-first shape: one
+    map-side-combined agg over the filtered year of lineitem, then a
+    LEFT SEMI into the (broadcast) national supplier slice. Fixture
+    quantities are whole numbers in doubles, so SUM and the 0.5×
+    threshold are float-exact in both engines. TPC-H's NULL semantics
+    (no shipments → no qualification) fall out of the inner join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = _partsupp(spark, sf_dir)
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(qualifying, on="s_suppkey", how="left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
+
+
+@_register(
+    "tpch_q21",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def _tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; the fixture has
+    no commit/receipt dates, so "late" becomes l_returnflag = 'R' — the
+    EXISTS / NOT-EXISTS correlated structure is unchanged: the supplier
+    was the ONLY one whose lines came back 'R' on a multi-supplier 'F'
+    order). Instead of two self-joins of lineitem (the literal EXISTS
+    translation — two extra shuffles of the big table), ONE per-order
+    aggregate computes countDistinct(supplier) and countDistinct(supplier
+    with 'R'); the predicates become n_supp > 1 AND n_r_supp = 1, which
+    is equivalent for an l1 that itself has 'R' (its supplier is always
+    counted in n_r_supp). Supplier×nation broadcasts; orders and the
+    per-order agg join on the lineitem shuffle key. LIMIT never truncates
+    (≤4 suppliers per fixture nation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)),
+            on="l_orderkey",
+        )
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 @_register(
     "crosscorpus_dedup",
     """
@@ -2775,6 +3143,10 @@ def _knn_sq8(spark, sf_dir):
 # is now twelve: tpch_q16, pack_sequences, tpch_q7, chunk_text, pii_scrub
 # (already outside in r7), the five new TPC-H shapes (q8/q13/q15/q17/q22),
 # and tpch_q4 + tpch_q12 — all verified by oracle_harness.py each round.
+# Still later in round 8 the last five TPC-H shapes (q2/q9/q11/q20/q21,
+# over the derived partsupp — see _PARTSUPP_SQL) registered directly past
+# the window, completing all 22 TPC-H query shapes; like the other late
+# TPC-H entries they are harness-verified every round and displace nothing.
 _WINDOW_DEMOTED = [
     "window_running",
     "tpch_q6",
