@@ -34,6 +34,18 @@ from mortar_parquet_support_spark.functions import materialize, cosine_similarit
 # hash resolution.
 _MERSENNE = (1 << 31) - 1
 
+# Row bound for force-broadcasting DERIVED id sets (candidate ids, drop
+# lists). These are unbounded at 100 TB — a 40% duplicate rate makes the
+# drop set corpus-scale — and a hardcoded F.broadcast would OOM the driver
+# there, while Catalyst's size estimate for a checkpointed/post-shuffle
+# frame is too unreliable for maybe_broadcast's plan-stats guard. So the
+# sets are materialized anyway (both consumers need the barrier), the
+# exact count is read off the checkpoint, and the hint applies only under
+# this bound (~40-200 MB broadcast depending on id width); above it the
+# join falls back to the planner's shuffle strategy — the correct shape
+# when the id set is genuinely huge.
+BROADCAST_IDS_MAX = 5_000_000
+
 
 def md5_int(col: Column, *, bits: int = 60, salt: str = "") -> Column:
     """Deterministic non-negative int from md5 hex (engine-portable:
@@ -115,16 +127,19 @@ def minhash_signatures(
     Documents with fewer than ``shingle_words`` tokens keep one
     whole-document shingle (trailing slots NULL — xxhash64 skips nulls
     deterministically) so identical short docs still collide instead of
-    vanishing from the signature set. NULL-text documents produce NO
-    signature row (same as the historical posexplode-of-NULL behavior) —
-    without the filter every NULL doc would share one all-NULL shingle
-    and all of them would land in the same LSH bucket, a quadratic
-    candidate blowup.
+    vanishing from the signature set. NULL and EMPTY/whitespace-only
+    documents produce NO signature row: every such doc would otherwise
+    share one identical signature ([''] after the split) and all of them
+    would land in the same LSH bucket in every band — the quadratic
+    candidate blowup this filter exists to prevent, and one a cleaned web
+    corpus hits at millions of empty-after-stripping docs. Route empties
+    through exact_dedup instead (they are literal duplicates of each
+    other; near-dup machinery adds nothing).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), words.alias("_w")
-    )
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("id"), words.alias("_w"))
     w = F.col("_w")
     n_shingles = F.greatest(F.size(w) - (shingle_words - 1), F.lit(1))
 
@@ -164,6 +179,16 @@ def _banded_frame(
     AQE). Same (num_perm, bands, seed) => same bucket space, so two
     corpora banded with identical parameters can equi-join directly —
     the basis of crosscorpus_dedup."""
+    # bands > num_perm would make rows_per_band 0 — every band hash
+    # degenerates to xxhash64(seed) (a CONSTANT), every doc lands in one
+    # bucket, and the self-join goes quadratic with no error. A remainder
+    # silently drops the trailing num_perm % bands signatures, quietly
+    # changing recall; both are caller mistakes worth failing loudly on.
+    if not 1 <= bands <= num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}): "
+            "each band consumes num_perm/bands signature rows"
+        )
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         df,
@@ -271,9 +296,16 @@ def jaccard_pairs(
     # consume it: left lazy, the corpus semi-scan and shingle transform
     # would execute twice — one full extra corpus scan at 100 TB.
     def _cand_shingles(src: DataFrame, ids: DataFrame) -> DataFrame:
+        # the id set is checkpointed (both the semi-join and, indirectly,
+        # the scoring join consume it) and broadcast only under
+        # BROADCAST_IDS_MAX — candidate id sets are pair-count-bounded,
+        # which aggressive banding can blow past at corpus scale
+        ids = materialize(ids, checkpoint_dir=checkpoint_dir)
+        if ids.count() <= BROADCAST_IDS_MAX:
+            ids = F.broadcast(ids)
         return materialize(
             src.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-            .join(F.broadcast(ids), "id", "left_semi")
+            .join(ids, "id", "left_semi")
             .select("id", word_shingles(F.col("_text"), shingle_words).alias("sh")),
             checkpoint_dir=checkpoint_dir,
         )
@@ -318,12 +350,15 @@ def minhash_dedup(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    shingle_words: int = 3,
     seed: int = 42,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: LSH candidates -> exact-Jaccard verify ->
     pairs >= threshold. The returned pair list feeds connected-components /
-    keep-min-id policies downstream."""
+    keep-min-id policies downstream. ``shingle_words`` reaches BOTH stages
+    (candidate generation and the exact verify) so the two can never drift
+    — the same passthrough crosscorpus_dedup exposes."""
     # Materialize the candidate pairs: jaccard_pairs references them three
     # times (both legs of the id union + the scoring join); without the cut,
     # each reference re-executes the whole LSH candidate generation. The
@@ -335,13 +370,19 @@ def minhash_dedup(
             text_col=text_col,
             num_perm=num_perm,
             bands=bands,
+            shingle_words=shingle_words,
             seed=seed,
             checkpoint_dir=checkpoint_dir,
         ),
         checkpoint_dir=checkpoint_dir,
     )
     scored = jaccard_pairs(
-        df, cands, id_col=id_col, text_col=text_col, checkpoint_dir=checkpoint_dir
+        df,
+        cands,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        checkpoint_dir=checkpoint_dir,
     )
     return scored.filter(F.col("jaccard") >= threshold)
 
@@ -449,20 +490,31 @@ def simhash_dedup(
     text_col: str,
     band_bits: int = 16,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit fingerprint
-    into 4 16-bit bands; docs sharing any band are candidates (covers all
-    pairs within Hamming distance 3). Returns (id_a, id_b, simhash_a/b)."""
+    into 64/band_bits bands; docs sharing any band are candidates (with
+    n bands, covers all pairs within Hamming distance n-1). Returns
+    (id_a, id_b, simhash_a/b)."""
+    # a band_bits that does not divide 64 would silently ignore the high
+    # 64 % band_bits fingerprint bits — pairs differing only there would be
+    # missed with no error, voiding the Hamming-coverage guarantee
+    if not 1 <= band_bits <= 64 or 64 % band_bits != 0:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide 64: bands tile the "
+            "fingerprint exactly"
+        )
     n_bands = 64 // band_bits
     fp = simhash(F.col(text_col), seed=seed)
-    # NULL text yields fingerprint 0 for EVERY such doc (all votes fall to
-    # the otherwise(-1) leg) — without this guard a corpus with N null
-    # documents reports O(N^2) false pairs and resolve_duplicates deletes
-    # all but one. Same contract as minhash_signatures: null text never
-    # participates in near-dup candidacy.
-    with_fp = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), fp.alias("fp")
-    )
+    # NULL or empty/whitespace text yields THE SAME fingerprint for every
+    # such doc (all word hashes absent; identical votes) — without this
+    # guard a corpus with N null/empty documents reports O(N^2) pairs and
+    # resolve_duplicates deletes all but one. Same contract as
+    # minhash_signatures: content-free text never participates in near-dup
+    # candidacy (route it through exact_dedup).
+    with_fp = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("id"), fp.alias("fp"))
     banded = with_fp.select(
         "id",
         "fp",
@@ -477,6 +529,11 @@ def simhash_dedup(
             )
         ).alias("band", "key"),
     )
+    # same barrier as _banded_frame: both self-join legs consume the
+    # fingerprint frame, and when AQE broadcasts one side the
+    # BroadcastExchange cannot reuse the other side's exchange — without
+    # the cut the 64-fold bit-vote fingerprint computes TWICE
+    banded = materialize(banded, checkpoint_dir=checkpoint_dir)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -503,6 +560,7 @@ def embedding_dedup(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH bucket (n_planes sign
     bits -> one of 2^n buckets), pairwise cosine WITHIN buckets only.
@@ -533,6 +591,11 @@ def embedding_dedup(
     for e in plane_bits:
         bucket = bucket + e
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+    # barrier before the self-join (same reason as _banded_frame /
+    # simhash_dedup): the n_planes-fold hyperplane aggregate is the
+    # expensive expression, and an AQE broadcast of one leg would
+    # recompute it over the whole corpus for the other
+    keyed = materialize(keyed, checkpoint_dir=checkpoint_dir)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,
@@ -623,13 +686,21 @@ def resolve_duplicates(
 
     Scale shape: components run on the pairs graph only (orders of
     magnitude smaller than the corpus); the drop set (cluster members
-    minus representatives) broadcasts into one LEFT ANTI join against the
-    corpus — the corpus itself is scanned once and never shuffled.
+    minus representatives) feeds one LEFT ANTI join against the corpus —
+    broadcast while it fits (≤ BROADCAST_IDS_MAX ids; at a heavy dup rate
+    the drop set is corpus-scale and a forced broadcast would OOM the
+    driver), shuffle anti-join beyond. The corpus itself is scanned once
+    and never shuffled in the broadcast regime.
     """
     comp = connected_components(
         pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
     )
-    drop = comp.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
+    drop = materialize(
+        comp.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        ),
+        checkpoint_dir=checkpoint_dir,
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if drop.count() <= BROADCAST_IDS_MAX:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")

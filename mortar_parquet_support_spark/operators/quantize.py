@@ -77,12 +77,18 @@ def sq8_quantize(
     shifted = F.zip_with(
         F.col(vec_col).cast("array<double>"), _lit_array(lo), lambda v, l: v - l
     )
+    # clamp in the DOUBLE domain, cast after: saved (lo, hi) params applied
+    # to a drifted/corrupt batch can put round(d*s) far outside int range,
+    # and under ANSI mode (Spark 4 default) the int cast would THROW
+    # (CAST_OVERFLOW) instead of saturating — the clamp exists to saturate.
+    # For in-range values the result is bit-identical to the int-domain
+    # clamp (round() output is integral, so the double arithmetic is exact).
     codes = F.zip_with(
         shifted,
         _lit_array(scale),
         lambda d, s: F.greatest(
-            F.lit(-128),
-            F.least(F.lit(127), F.round(d * s).cast("int") - F.lit(128)),
+            F.lit(-128.0),
+            F.least(F.lit(127.0), F.round(d * s) - F.lit(128.0)),
         ).cast("tinyint"),
     )
     return df.withColumn(out_col, codes)
@@ -118,7 +124,17 @@ def _exact_rerank(
     ever read at full width), exact cosine, one per-query ranking window.
     The SINGLE rerank implementation — sq8_topk and IvfSq8Index.topk both
     route here so the tie-break (cosine desc, neighbor_id asc) can never
-    diverge between them. ``q`` is the (query_id, q_vec) frame."""
+    diverge between them. ``q`` is the (query_id, q_vec) frame.
+
+    ``top`` is materialized first: it is consumed TWICE (the candidate-id
+    broadcast and the exact join), and the candidate side feeds a
+    BroadcastExchange that cannot reuse the other reference's exchanges —
+    left lazy, the whole approximate pipeline (corpus scan + scoring +
+    ranking window) would execute twice per call. The frame is
+    k·overfetch rows per query — always small, always safe to cut."""
+    from mortar_parquet_support_spark.functions import materialize
+
+    top = materialize(top)
     cand_ids = top.select(F.col("neighbor_id").alias(id_col)).distinct()
     full = rerank_corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col).alias("neighbor_id"),

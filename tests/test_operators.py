@@ -137,6 +137,79 @@ def test_exact_dedup_normalized_null_vs_literal_null_text(spark):
     assert rows == {1: 2, 2: 2}
 
 
+def test_minhash_rejects_band_mismatch(spark):
+    """Review finding r8: bands > num_perm made every band hash a CONSTANT
+    (rows_per_band = 0) — one global bucket, quadratic self-join, no error;
+    a non-dividing bands silently dropped trailing signatures."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in [(64, 100), (64, 48), (64, 0)]:
+        with pytest.raises(ValueError, match="must divide num_perm"):
+            dedup.minhash_lsh_candidates(
+                df, id_col="doc_id", text_col="text",
+                num_perm=bad[0], bands=bad[1],
+            ).collect()
+
+
+def test_simhash_rejects_band_bits_mismatch(spark):
+    """Review finding r8: band_bits=24 covered only bits 0-47 — pairs
+    differing in the ignored high bits were silently missed."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must divide 64"):
+        dedup.simhash_dedup(
+            df, id_col="doc_id", text_col="text", band_bits=24
+        ).collect()
+
+
+def test_near_dup_excludes_empty_documents(spark):
+    """Review finding r8: empty/whitespace-only docs all shared one
+    signature/fingerprint and piled into a single LSH bucket (quadratic
+    candidates). They are literal duplicates — exact_dedup territory —
+    so the near-dup generators must skip them entirely."""
+    rows = [(1, ""), (2, "   "), (3, ""), (4, "real content here words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, id_col="doc_id", text_col="text")
+    assert {r.id for r in sigs.select("id").collect()} == {4}
+    pairs = dedup.simhash_dedup(df, id_col="doc_id", text_col="text")
+    assert pairs.count() == 0
+    # exact_dedup still groups them: the empties are one digest group
+    exact = dedup.exact_dedup(df, ["text"], id_col="doc_id", normalize=True)
+    groups = {r.keep_id: r.n_copies for r in exact.collect()}
+    assert groups[1] == 3
+
+
+def test_minhash_shingle_words_passthrough(spark):
+    """shingle_words must reach BOTH the candidate and verify stages: with
+    5-word shingles two docs sharing only a 3-word run have Jaccard 0."""
+    # a permutation: unigram Jaccard 1.0 (identical word SET, so the
+    # unigram minhash signatures are identical and the candidate pair is
+    # GUARANTEED), but no 5-gram in common at all
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "f e d c b a")], ["doc_id", "text"]
+    )
+    narrow = dedup.minhash_dedup(
+        df, id_col="doc_id", text_col="text", threshold=0.5, shingle_words=1
+    )
+    rows = narrow.collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+    wide = dedup.minhash_dedup(
+        df, id_col="doc_id", text_col="text", threshold=0.01, shingle_words=5
+    )
+    assert wide.count() == 0  # no shared 5-gram anywhere
+
+
+def test_sq8_quantize_saturates_out_of_range(spark):
+    """Review finding r8: the int cast ran BEFORE the clamp, so applying
+    saved (lo, hi) params to a drifted value overflowed the cast (an ANSI
+    CAST_OVERFLOW error) instead of saturating to the code range."""
+    from mortar_parquet_support_spark.operators.quantize import sq8_quantize
+
+    df = spark.createDataFrame([(1, [1e7, -1e7])], ["vec_id", "embedding"])
+    out = sq8_quantize(
+        df, vec_col="embedding", lo=[0.0, 0.0], hi=[0.001, 0.001]
+    ).collect()[0]["codes"]
+    assert out == [127, -128]
+
+
 def test_sq8_roundtrip_error_bound_and_schema(spark, sf_dir):
     """SQ8 reconstruction error is bounded by half a quantization step per
     dimension, and codes are stored as array<tinyint> (dim bytes/vector —
