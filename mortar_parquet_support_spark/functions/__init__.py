@@ -92,10 +92,17 @@ def cosine_similarity(a, b) -> Column:
     """Cosine similarity of two array<numeric> columns, computed JVM-side
     with a left-to-right fold (deterministic summation order, so results are
     reproducible bit-for-bit across engines that fold the same way).
+
+    Zero-norm (degenerate) vectors yield NULL via ``try_divide``: cosine
+    has no defined direction there, and under ANSI mode (Spark 4 default)
+    a plain ``/`` would THROW DIVIDE_BY_ZERO and kill the whole job on one
+    bad row — a single all-zeros embedding in a 100 TB corpus must degrade
+    to a NULL score (which ranks last under ``desc``), not abort the scan.
+    For nonzero norms ``try_divide`` is the same IEEE division bit-for-bit.
     """
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return dot_product(a, b) / (vector_norm(a) * vector_norm(b))
+    return F.try_divide(dot_product(a, b), vector_norm(a) * vector_norm(b))
 
 
 def char_ngrams(col, n: int = 3) -> Column:

@@ -296,11 +296,11 @@ def jaccard_pairs(
     # consume it: left lazy, the corpus semi-scan and shingle transform
     # would execute twice — one full extra corpus scan at 100 TB.
     def _cand_shingles(src: DataFrame, ids: DataFrame) -> DataFrame:
-        # the id set is checkpointed (both the semi-join and, indirectly,
-        # the scoring join consume it) and broadcast only under
-        # BROADCAST_IDS_MAX — candidate id sets are pair-count-bounded,
-        # which aggressive banding can blow past at corpus scale
-        ids = materialize(ids, checkpoint_dir=checkpoint_dir)
+        # broadcast the id set only under BROADCAST_IDS_MAX — candidate id
+        # sets are pair-count-bounded, which aggressive banding can blow
+        # past at corpus scale. The count is cheap by contract: both named
+        # callers pass MATERIALIZED pairs, so ids is one distinct over a
+        # checkpointed frame (no re-execution of candidate generation).
         if ids.count() <= BROADCAST_IDS_MAX:
             ids = F.broadcast(ids)
         return materialize(
@@ -695,12 +695,12 @@ def resolve_duplicates(
     comp = connected_components(
         pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
     )
-    drop = materialize(
-        comp.filter(F.col("id") != F.col("cluster_id")).select(
-            F.col("id").alias(id_col)
-        ),
-        checkpoint_dir=checkpoint_dir,
+    drop = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
     )
+    # the count is cheap: connected_components returns a projection of its
+    # per-iteration checkpoint, so both the count and the anti-join replay
+    # only a filter over materialized labels
     if drop.count() <= BROADCAST_IDS_MAX:
         drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")

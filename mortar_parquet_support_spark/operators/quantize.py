@@ -251,12 +251,12 @@ class IvfSq8Index:
         scored = joined.select(
             "query_id",
             "neighbor_id",
-            (
+            F.try_divide(
                 dot_product(
                     F.col("q_vec"),
                     sq8_dequantize(F.col("codes"), lo=self.lo, hi=self.hi),
-                )
-                / (F.col("q_norm") * F.col("c_qnorm"))
+                ),
+                F.col("q_norm") * F.col("c_qnorm"),
             ).alias("cosine"),
         )
         w = Window.partitionBy("query_id").orderBy(

@@ -43,6 +43,10 @@ def cosine_topk(
     """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
 
     Ties broken by neighbor id (deterministic across engines/runs).
+    Degenerate rows — NULL vectors, zero norms, NULL elements — score NULL
+    (try_divide in cosine_similarity) and are dropped from the result:
+    they have no cosine direction and must never occupy a neighbor slot.
+    Same contract as :func:`cosine_topk_arrow`.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -59,7 +63,13 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # NULL cosines sort last under desc, so real neighbors keep ranks
+    # 1..m and the filter only trims degenerate tails
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("cosine").isNotNull())
+    )
 
 
 def cosine_topk_arrow(
@@ -83,22 +93,21 @@ def cosine_topk_arrow(
     partial-aggregation shape applied to top-k: the 100 TB plan stays one
     corpus scan + a negligible shuffle, with the arithmetic in BLAS instead
     of per-element interpreted HOF lambdas (~10x on wide batches).
+
+    Determinism caveat: BLAS picks kernels by matrix geometry, so a score
+    can differ from the fold path (and from other batch layouts) by ~1 ulp
+    — among semantically tied neighbors, rank order may therefore follow
+    those ulps rather than the id tie-break. Within any one batch the
+    selection IS deterministic (score desc, id asc — ties at the cut are
+    widened and id-sorted, never arbitrarily dropped), and degenerate rows
+    (NULL vectors, zero norms, NULL elements) never rank — same contract
+    as :func:`cosine_topk`.
     """
     import numpy as np
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_type
 
     from pyspark.sql import types as T
-
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        empty = corpus.sparkSession.createDataFrame(
-            [], schema="query_id long, neighbor_id long, cosine double, rank int"
-        )
-        return empty
-    q_ids = [r[0] for r in q_rows]
-    qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
 
     q_id_type = queries.schema[id_col].dataType
     c_id_type = corpus.schema[id_col].dataType
@@ -110,30 +119,84 @@ def cosine_topk_arrow(
             T.StructField("cosine", T.DoubleType(), False),
         ]
     )
+    q_rows = [r for r in queries.select(id_col, vec_col).collect() if r[1] is not None]
+    if q_rows:
+        # degenerate queries (zero norm, NULL/NaN elements) have no cosine
+        # direction: the exact path scores every pair NULL and emits
+        # nothing for them, so drop them here too
+        qm_all = np.asarray(
+            [[np.nan if v is None else float(v) for v in r[1]] for r in q_rows],
+            dtype=np.float64,
+        )
+        qn = np.linalg.norm(qm_all, axis=1)
+        keep = np.isfinite(qn) & (qn > 0)
+        q_rows = [r for r, kf in zip(q_rows, keep) if kf]
+        qm = qm_all[keep] / qn[keep, None]
+    if not q_rows:
+        # schema must match the non-empty case exactly (actual id types,
+        # not hardcoded longs) or a unionByName across query batches fails
+        # only on the empty one
+        return corpus.sparkSession.createDataFrame(
+            [], schema=out_schema.add(T.StructField("rank", T.IntegerType(), False))
+        )
+    q_ids = [r[0] for r in q_rows]
 
     def score(batches):
+        import pyarrow.compute as pc
+
         for batch in batches:
+            vec_arr = batch.column(1)
+            if vec_arr.null_count:
+                # ListArray.flatten() silently DROPS null list slots — one
+                # NULL embedding would shift every later vector's elements
+                # in the reshape (silent mis-scoring). Degenerate rows never
+                # rank (exact path: NULL cosine), so drop them up front.
+                batch = batch.filter(pc.is_valid(vec_arr))
+                vec_arr = batch.column(1)
             n = batch.num_rows
             if n == 0:
                 continue
             ids = batch.column(0)
-            vec_arr = batch.column(1)
+            lens = pc.list_value_length(vec_arr).to_numpy()
+            if (lens != lens[0]).any():
+                raise ValueError(
+                    "ragged embedding arrays in corpus batch: all vectors "
+                    "must share one dimensionality"
+                )
             flat = vec_arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            dim = flat.size // n
-            mat = flat.reshape(n, dim)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ qm.T  # (n, n_queries)
+            mat = flat.reshape(n, int(lens[0]))
+            norms = np.linalg.norm(mat, axis=1)
+            # zero-norm rows and rows with NULL elements (NaN after
+            # to_numpy) score -inf and are skipped at emission — the exact
+            # path's NULL-cosine exclusion, batch-side
+            valid = np.isfinite(norms) & (norms > 0)
+            unit = np.zeros_like(mat)
+            unit[valid] = mat[valid] / norms[valid, None]
+            sims = unit @ qm.T  # (n, n_queries)
             ids_py = ids.to_pylist()
+            ids_np = np.asarray(ids_py)
             out_q, out_n, out_c = [], [], []
             kk = min(k, n)
             for j, qid in enumerate(q_ids):
-                col = sims[:, j]
-                if include_self:
-                    cand = np.argpartition(-col, kk - 1)[:kk] if kk < n else np.arange(n)
+                col = np.where(valid, sims[:, j], -np.inf)
+                # fetch the batch-local top by (cosine desc, id asc) — a
+                # plain argpartition makes an ARBITRARY pick among rows
+                # tied at the cut, dropping candidates the global
+                # (cosine desc, neighbor_id asc) window would keep and
+                # changing results under repartitioning. Partition by
+                # score, widen to ALL rows tied at the boundary, then
+                # lexsort the tied set to apply the id tie-break.
+                fetch = kk if include_self else min(kk + 1, n)
+                if fetch >= n:
+                    tied = np.arange(n)
                 else:
-                    cand = np.argpartition(-col, min(kk + 1, n) - 1)[: kk + 1]
+                    part = np.argpartition(-col, fetch - 1)[:fetch]
+                    tied = np.nonzero(col >= col[part].min())[0]
+                order = np.lexsort((ids_np[tied], -col[tied]))
+                cand = tied[order[:fetch]]
                 for i in cand:
+                    if not np.isfinite(col[int(i)]):
+                        continue
                     nid = ids_py[int(i)]
                     if not include_self and nid == qid:
                         continue
@@ -318,10 +381,24 @@ def _cent_matrix(cent_rows: list):
 def _vec_matrix(arr, n):
     """(n, dim) float64 matrix from an Arrow list column — flatten +
     to_numpy, no per-element Python objects (same pattern as
-    cosine_topk_arrow; assumes equal-length non-null vectors)."""
+    cosine_topk_arrow). NULL or ragged vectors raise: flatten() silently
+    DROPS null list slots, so tolerating them here would shift every later
+    vector's elements in the reshape and mis-assign silently. IvfIndex
+    filters NULL embeddings at build; anything else reaching this point is
+    a caller error worth failing loudly on."""
     import numpy as np
 
+    if arr.null_count:
+        raise ValueError(
+            "NULL embedding rows must be filtered before Arrow matrix "
+            "assignment (IvfIndex.build does this on its scan)"
+        )
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n and flat.size % n != 0:
+        raise ValueError(
+            "ragged embedding arrays: all vectors must share one "
+            "dimensionality"
+        )
     return flat.reshape(n, flat.size // n)
 
 
@@ -462,6 +539,7 @@ class IvfIndex:
         self.assigned = assigned
         self.cent_rows = cent_rows  # driver copy when small enough to inline
         self._persisted = persisted
+        self._cents_persisted = False  # big-centroid path caches centroids too
         self._lists_df: DataFrame | None = None  # lazy full-probe cell table
 
     @staticmethod
@@ -492,7 +570,13 @@ class IvfIndex:
         persist: bool = True,
     ) -> "IvfIndex":
         small = _centroids_fit_driver(corpus, vec_col, n_list)
-        vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        # NULL embeddings must never reach the Arrow matrix paths:
+        # ListArray.flatten() silently drops null slots, which would shift
+        # every later vector's elements in the reshape (silent wrong
+        # assignment). One cheap IsNotNull on the scan removes the hazard.
+        vecs = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
         if small:
             # rows come back driver-resident straight from the Lloyd loop —
             # no round-trip through a local DataFrame + collect; the lazy
@@ -512,9 +596,11 @@ class IvfIndex:
                 iters=iters, seed=seed, _small=small,
             )
             # big centroids stay distributed: persist cuts the subplan
-            # recompute per broadcast use without driver residence
+            # recompute per broadcast use without driver residence (always
+            # needed while the index lives — released by unpersist())
             cents = cents_lazy.persist()
             cents.count()
+            cents_persisted = True
             cent_rows = None
             assigned = _assign_lists(vecs, F.broadcast(cents))
         # precompute each corpus vector's norm AT BUILD TIME (what vector
@@ -533,7 +619,9 @@ class IvfIndex:
             # doesn't pay the assignment scan (and AQE never re-plans it)
             assigned = assigned.persist()
             assigned.count()
-        return cls(cents, assigned, persisted=persist, cent_rows=cent_rows)
+        out = cls(cents, assigned, persisted=persist, cent_rows=cent_rows)
+        out._cents_persisted = not small and cents_persisted
+        return out
 
     def _probes(self, q: DataFrame, nprobe: int) -> DataFrame:
         """(query_id, q_vec, list_id) for the nprobe nearest cells per
@@ -626,9 +714,9 @@ class IvfIndex:
             return joined.select(
                 "query_id",
                 "neighbor_id",
-                (
-                    dot_product(F.col("q_vec"), F.col("c_vec"))
-                    / (F.col("q_norm") * F.col("c_norm"))
+                F.try_divide(
+                    dot_product(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
                 ).alias("cosine"),
             )
         joined = self.assigned.join(F.broadcast(probes), "list_id").filter(
@@ -656,6 +744,13 @@ class IvfIndex:
         if self._persisted:
             self.assigned.unpersist()
             self._persisted = False
+        if self._cents_persisted:
+            # the big-centroid build caches the centroid table regardless
+            # of the assigned-frame persist flag; without this release,
+            # repeated one-shot builds leak cached centroid tables for the
+            # session lifetime
+            self.centroids.unpersist()
+            self._cents_persisted = False
 
     def save(self, path: str) -> None:
         """Persist the index to disk: ``<path>/centroids`` (tiny) and
@@ -802,11 +897,16 @@ class LshIndex:
         return cls(bucketed, n_planes=n_planes, seed=seed, persisted=persist)
 
     def _query_probes(self, queries: DataFrame, id_col: str, vec_col: str, multi_probe: int) -> DataFrame:
-        """(query_id, q_vec, q_norm, bucket) — the query's own bucket plus,
-        with ``multi_probe=1``, every 1-bit-flip neighbor bucket (vectors
-        near a hyperplane land on either side; flipping one sign bit probes
-        across it). Fan-out is n_planes+1 per query, on the SMALL side of
-        the broadcast join."""
+        """(query_id, q_vec, q_norm, bucket) — the query's own bucket plus
+        every neighbor bucket within Hamming distance ``multi_probe`` of
+        the signature (vectors near a hyperplane land on either side;
+        flipping sign bits probes across it — the standard multi-probe
+        generalization, so ``multi_probe=2`` really does add the 2-bit
+        neighborhoods instead of silently behaving like 1). Fan-out is
+        ``sum_{i<=multi_probe} C(n_planes, i)`` per query, on the SMALL
+        side of the broadcast join."""
+        from itertools import combinations
+
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
@@ -817,12 +917,14 @@ class LshIndex:
         )
         if multi_probe <= 0:
             return q.withColumn("bucket", F.col("_b0")).drop("_b0")
+        masks = [
+            sum(1 << p for p in bits)
+            for r in range(1, min(multi_probe, self.n_planes) + 1)
+            for bits in combinations(range(self.n_planes), r)
+        ]
         flips = F.array(
             F.col("_b0"),
-            *[
-                F.col("_b0").bitwiseXOR(F.lit(1 << p))
-                for p in range(self.n_planes)
-            ],
+            *[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks],
         )
         return (
             q.select(
@@ -859,9 +961,9 @@ class LshIndex:
         scored = joined.select(
             "query_id",
             "neighbor_id",
-            (
-                dot_product(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
+            F.try_divide(
+                dot_product(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
             ).alias("cosine"),
         )
         if multi_probe > 0:
@@ -923,8 +1025,9 @@ def lsh_topk(
     seed: int = 42,
     multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket (plus 1-bit
-    neighbors with ``multi_probe=1``), exact-rerank inside it. Recall < 1
+    """Approximate top-k: probe only the query's LSH bucket (plus every
+    bucket within Hamming distance ``multi_probe`` of its signature),
+    exact-rerank inside it. Recall < 1
     by construction (bucket misses); raise recall by lowering ``n_planes``
     (bigger buckets) or enabling multi-probe. One-shot wrapper — for
     repeated query batches use ``LshIndex.build(persist=True)`` and call

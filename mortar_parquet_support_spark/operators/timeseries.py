@@ -89,7 +89,9 @@ def asof_join(
     both sides co-partitioned by the same key — no range-join blowup, no
     per-key pandas. Ties (equal ts): the right row sorts first, so a
     same-timestamp right row IS visible to the left row, matching
-    ``pd.merge_asof``'s default.
+    ``pd.merge_asof``'s default. Multiple right rows sharing one
+    (key, ts) match deterministically: the greatest by value struct
+    (pandas' "last by input order" has no distributed analog).
 
     ``tolerance`` (e.g. ``'1 hour'``) drops matches older than the window.
     """
@@ -130,10 +132,18 @@ def asof_join(
         """Carried-forward right values + matched ts for one direction,
         suffixed __<b|f>. Both directions window over the SAME partition
         key, so 'nearest' reuses one exchange with two sorts."""
-        if d == "backward":
-            w = Window.partitionBy(*on).orderBy(F.col(ts).asc(), F.col("__side").asc())
-        else:
-            w = Window.partitionBy(*on).orderBy(F.col(ts).desc(), F.col("__side").asc())
+        order = [
+            F.col(ts).asc() if d == "backward" else F.col(ts).desc(),
+            F.col("__side").asc(),
+        ]
+        if right_cols:
+            # multiple RIGHT rows sharing one (key, ts) would otherwise be
+            # unordered window peers, and last() would match whichever the
+            # shuffle happened to place last — run-to-run nondeterminism.
+            # pandas' "last by input order" has no distributed analog, so
+            # the documented rule here is: greatest by value struct.
+            order.append(F.struct(*[F.col(rc[c]) for c in right_cols]).asc())
+        w = Window.partitionBy(*on).orderBy(*order)
         sfx = "b" if d == "backward" else "f"
         # ONE struct per right row — non-null for every right row even when
         # its value fields are null — so all carried columns come from the

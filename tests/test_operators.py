@@ -749,6 +749,123 @@ def test_cosine_topk_arrow_equals_fold(spark, sf_dir):
     assert len(fold) == 5 * 7
 
 
+def test_cosine_topk_arrow_tie_break_across_partitions(spark):
+    """Review finding r8: the batch-local argpartition cut made an
+    ARBITRARY pick among score-tied candidates, so tied neighbors with
+    smaller ids could be dropped before the global window ever saw them —
+    results changed under repartitioning. Both paths must return the
+    smallest-id neighbors on a fully tied corpus, on any partitioning."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    # unit basis vectors: every arithmetic step is EXACT (norm 1.0, dot
+    # 1.0/0.0), so the tied scores are bit-identical across BLAS kernels —
+    # the test isolates SELECTION determinism from the Arrow path's
+    # documented ±1-ulp kernel-dependent rounding on general vectors
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(1, 9)] + [(100, [0.0, 1.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    for parts in (1, 7):
+        c = corpus.repartition(parts)
+        exact = [(r.neighbor_id, r.rank) for r in cosine_topk(c, qs, k=3).collect()]
+        arrow = [(r.neighbor_id, r.rank) for r in cosine_topk_arrow(c, qs, k=3).collect()]
+        assert sorted(exact) == [(1, 1), (2, 2), (3, 3)]
+        assert sorted(arrow) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_cosine_topk_degenerate_vectors_never_rank(spark):
+    """Review finding r8 (worse than reported): a zero-norm or NULL vector
+    used to THROW under ANSI in the exact path (DIVIDE_BY_ZERO) and to
+    corrupt/mis-rank in the arrow path (norm clamp -> cosine 0.0 beats
+    negatives; flatten() dropping NULL slots shifts the reshape). Contract
+    now: degenerate rows never rank, in either path, and both paths agree."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [-1.0, -2.0]),
+            (2, [-2.0, -1.0]),
+            (3, [0.0, 0.0]),       # zero norm: no direction
+            (4, None),             # NULL vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame([(9, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    exact = {(r.neighbor_id, r.rank) for r in cosine_topk(corpus, qs, k=4).collect()}
+    arrow = {(r.neighbor_id, r.rank) for r in cosine_topk_arrow(corpus, qs, k=4).collect()}
+    assert exact == arrow == {(2, 1), (1, 2)}  # 3 and 4 never appear
+    # a zero-norm QUERY emits nothing (no cosine direction), also both paths
+    zq = spark.createDataFrame([(9, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    assert cosine_topk(corpus, zq, k=2).count() == 0
+    assert cosine_topk_arrow(corpus, zq, k=2).count() == 0
+
+
+def test_cosine_topk_arrow_empty_queries_schema_matches(spark):
+    """Review finding r8: the empty-queries early return hardcoded long id
+    columns; with string ids a unionByName across query batches failed
+    only on the empty batch."""
+    from mortar_parquet_support_spark.operators.similarity import cosine_topk_arrow
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "vec_id string, embedding array<double>"
+    )
+    qs = corpus.filter(F.col("vec_id") == "missing")
+    out = cosine_topk_arrow(corpus, qs, k=2)
+    assert out.count() == 0
+    nonempty = cosine_topk_arrow(
+        corpus, spark.createDataFrame([("q", [1.0, 1.0])], "vec_id string, embedding array<double>"), k=2
+    )
+    # same schema -> union succeeds
+    assert out.unionByName(nonempty).count() == nonempty.count()
+
+
+def test_lsh_multi_probe_widens_neighborhood(spark):
+    """Review finding r8: multi_probe > 1 was a silent no-op (only 1-bit
+    flips ever generated). The probe fan-out must now be
+    1 + C(n,1) + ... + C(n,multi_probe) buckets per query."""
+    from math import comb
+
+    from mortar_parquet_support_spark.operators.similarity import LshIndex
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = LshIndex.build(corpus, n_planes=6, persist=False)
+    q = spark.createDataFrame([(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    for mp in (0, 1, 2):
+        want = sum(comb(6, r) for r in range(0, mp + 1))
+        got = idx._query_probes(q, "vec_id", "embedding", mp).count()
+        assert got == want, (mp, got, want)
+
+
+def test_asof_join_duplicate_right_timestamps_deterministic(spark):
+    """Review finding r8: several right rows sharing one (key, ts) were
+    unordered window peers — last() matched whichever the shuffle placed
+    last. Documented rule now: greatest by value struct, stable across
+    partitionings."""
+    import datetime as dt
+
+    from mortar_parquet_support_spark.operators.timeseries import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    right_rows = [("A", t0, float(v)) for v in (5, 1, 9, 3)]
+    left = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 5))], "k string, time timestamp"
+    )
+    for parts in (1, 8):
+        right = spark.createDataFrame(
+            right_rows, "k string, time timestamp, v double"
+        ).repartition(parts)
+        got = asof_join(left, right, on=["k"]).collect()
+        assert len(got) == 1 and got[0]["v"] == 9.0
+
+
 def test_ivf_index_amortized_probes(spark, sf_dir):
     """IvfIndex: build once (persisted assignment), probe with two query
     batches; results must match one-shot ivf_topk with identical params."""
