@@ -1748,27 +1748,28 @@ def _streaming_dedup(spark, sf_dir):
       FROM g GROUP BY user_id, grp
     )
     SELECT key, session_start, session_end, n_events FROM s, mx
-    WHERE EXISTS (SELECT 1 FROM s s2
-                  WHERE s2.key = s.key AND s2.session_start > s.session_end)
-       -- timeout leg at Spark's OWN resolution: watermark and the state
-       -- timeout are both millisecond-truncated, and EventTimeTimeout
-       -- fires only when watermark STRICTLY exceeds the set timestamp
-       OR date_trunc('milliseconds', max_ts) - INTERVAL 1 HOUR
+    -- WATERMARK-SEALED sessions only, at Spark's OWN resolution: the
+    -- watermark and the state timeout are both millisecond-truncated, and
+    -- EventTimeTimeout fires only when the watermark STRICTLY exceeds the
+    -- set timestamp. (Round 8: the operator now holds gap-split sessions
+    -- in state until the watermark seals them — batch parity under late
+    -- data — so the former gap-split emission leg is gone from both the
+    -- operator and this oracle.)
+    WHERE date_trunc('milliseconds', max_ts) - INTERVAL 1 HOUR
           > date_trunc('milliseconds', session_end) + INTERVAL 6 HOUR
     """,
 )
 def _streaming_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user gap sessionization with event-time state timeout
+    per-user gap sessionization with watermark-sealed emission
     (streaming/rollup.py stateful_sessionize_stream).
 
     Oracle-checkable after all: over a static fixture the availableNow run
-    emits EXACTLY the gaps-and-islands (lag + cumulative-sum) sessions that
-    are provably closed by end-of-stream — closed either by a later session
-    for the same key (gap split) or by the event-time state timeout
-    (session_end + gap < final watermark = max_ts - delay). Open sessions
-    stay in state on both formulations, so the emitted set is
-    deterministic and the SQL oracle reproduces it row-for-row."""
+    emits EXACTLY the gaps-and-islands (lag + cumulative-sum) sessions the
+    final watermark has sealed (session_end + gap < max_ts - delay, ms
+    resolution) — no event the watermark still admits could change them.
+    Unsealed sessions stay in state on both formulations, so the emitted
+    set is deterministic and the SQL oracle reproduces it row-for-row."""
     from mortar_parquet_support_spark.streaming.rollup import (
         _events_stream,
         _run_to_memory,

@@ -79,14 +79,31 @@ class TimeseriesLake:
             out = out.filter(F.col("collection").isin(list(collections)))
         return out
 
-    def scan_ids(self, ids: DataFrame, *, start=None, end=None) -> DataFrame:
+    def scan_ids(
+        self, ids: DataFrame, *, start=None, end=None, id_col: str | None = None
+    ) -> DataFrame:
         """§2.5 composite at scale: ``left_semi`` against an id DataFrame.
 
         Broadcast when small keeps it shuffle-free; if ``ids`` is itself the
         result of a join on the lake's partition column, Spark's Dynamic
         Partition Pruning still prunes directories.
+
+        The id column is the frame's single column, its ``uuid`` column, or
+        ``id_col`` — NOT blindly column 0: a multi-column frame like
+        (site, uuid) would silently semi-join the lake on the site string
+        and match nothing.
         """
-        ids = ids.select(F.col(ids.columns[0]).alias("uuid")).distinct()
+        if id_col is None:
+            if len(ids.columns) == 1:
+                id_col = ids.columns[0]
+            elif "uuid" in ids.columns:
+                id_col = "uuid"
+            else:
+                raise ValueError(
+                    f"ambiguous id frame (columns {ids.columns}): pass "
+                    "id_col= or a single-column frame"
+                )
+        ids = ids.select(F.col(id_col).alias("uuid")).distinct()
         return self.df.filter(time_range(start, end)).join(
             F.broadcast(ids), on="uuid", how="left_semi"
         )
@@ -136,6 +153,38 @@ class TimeseriesLake:
             return _batches_via_local_iterator(df, max_rows)
         return self._batches_via_spill(df, spill_dir, max_rows, local_tmp=False)
 
+    def _pyarrow_s3_from_hadoop_conf(self):
+        """PyArrow S3FileSystem mirroring the session's ``fs.s3a.*`` Hadoop
+        config (endpoint/credentials/region/path-style), so the driver-side
+        spill read targets the same object store the executors wrote —
+        the endpoint_override idiom of :func:`open_reference_dataset`,
+        sourced from the live session instead of arguments. With no custom
+        config present this is the default (real-AWS) filesystem."""
+        from pyarrow import fs as pafs
+
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        kwargs = {}
+        endpoint = hconf.get("fs.s3a.endpoint")
+        if endpoint:
+            # Hadoop accepts a bare host:port; PyArrow wants it scheme-
+            # qualified — fs.s3a.connection.ssl.enabled picks the scheme
+            if "://" not in endpoint:
+                ssl = (hconf.get("fs.s3a.connection.ssl.enabled") or "true")
+                scheme = "https" if ssl.lower() == "true" else "http"
+                endpoint = f"{scheme}://{endpoint}"
+            kwargs["endpoint_override"] = endpoint
+        access = hconf.get("fs.s3a.access.key")
+        secret = hconf.get("fs.s3a.secret.key")
+        if access and secret:
+            kwargs["access_key"] = access
+            kwargs["secret_key"] = secret
+        region = hconf.get("fs.s3a.endpoint.region")
+        if region:
+            kwargs["region"] = region
+        if (hconf.get("fs.s3a.path.style.access") or "").lower() == "true":
+            kwargs["force_virtual_addressing"] = False
+        return pafs.S3FileSystem(**kwargs)
+
     def _checkpoint_dir(self) -> str | None:
         """The session's checkpoint dir, if one was configured."""
         try:
@@ -167,7 +216,21 @@ class TimeseriesLake:
                     # Hadoop renders local URIs as file:/p, file:///p, ...;
                     # PyArrow wants the bare path.
                     read_path = "/" + read_path[len("file:"):].lstrip("/")
-                dataset = pads.dataset(read_path, format="parquet")
+                if read_path.startswith("s3://"):
+                    # custom-endpoint object stores: the EXECUTORS write the
+                    # spill through the session's fs.s3a.* config, so the
+                    # driver-side PyArrow read must resolve against the SAME
+                    # endpoint/credentials — a bare s3:// URI would go to
+                    # real AWS with default credentials (wrong store, or a
+                    # same-named bucket) while the finally block deletes
+                    # the actual spill
+                    s3fs = self._pyarrow_s3_from_hadoop_conf()
+                    dataset = pads.dataset(
+                        read_path[len("s3://"):], format="parquet",
+                        filesystem=s3fs,
+                    )
+                else:
+                    dataset = pads.dataset(read_path, format="parquet")
                 yield from dataset.to_batches(batch_size=max_rows)
             finally:
                 if local_tmp:
@@ -289,6 +352,10 @@ def write_metadata_summary(root: str) -> dict:
     # merge the real footers directly (regenerating a parquet schema from the
     # arrow schema can flip physical encodings, e.g. timestamp INT64 -> INT96)
     pq.write_metadata(dataset.schema, root_path / "_common_metadata")
+    # count BEFORE merging: append_row_groups mutates collector[0] (it IS
+    # `merged`), so summing afterwards would double-count — the first
+    # fragment's merged total plus every other fragment again
+    total_rows = sum(m.num_rows for m in collector)
     merged = collector[0]
     for meta in collector[1:]:
         merged.append_row_groups(meta)
@@ -296,7 +363,7 @@ def write_metadata_summary(root: str) -> dict:
     reopened = pads.parquet_dataset(root_path / "_metadata", partitioning="hive")
     return {
         "fragments": len(collector),
-        "rows": sum(m.num_rows for m in collector),
+        "rows": total_rows,
         "columns": reopened.schema.names,
     }
 

@@ -14,7 +14,6 @@ through the same plan, so a backfill and live tailing share one code path.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,8 +63,17 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
 def _run_to_memory(stream_df, *, output_mode: str) -> DataFrame:
     """Drive a streaming frame to completion (availableNow) into a uniquely
-    named memory sink; return the sink contents as a batch frame."""
-    name = "mortar_stream_" + next(tempfile._get_candidate_names())
+    named memory sink; return the sink contents as a batch frame.
+
+    The result is cut over to a localCheckpoint and the sink's temp view is
+    dropped before returning: each memory sink pins its full result in
+    DRIVER memory for the session lifetime, so repeated *_once calls on a
+    long-lived session would otherwise grow driver memory without bound
+    (the checkpoint moves the rows to executor block storage, which is
+    evictable and released with the returned frame)."""
+    import uuid
+
+    name = "mortar_stream_" + uuid.uuid4().hex
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -74,7 +82,12 @@ def _run_to_memory(stream_df, *, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    from mortar_parquet_support_spark.functions import materialize
+
+    out = materialize(spark.table(name))
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_dedup_stream(
@@ -113,10 +126,24 @@ def stateful_sessionize_stream(
     watermark: str = "1 hour",
 ):
     """Custom stateful streaming operator (applyInPandasWithState): per-key
-    gap sessionization. State = the open session (start, last_seen, count);
-    each micro-batch folds its events into the state in timestamp order and
-    EMITS sessions it closes (gap exceeded); the still-open session stays in
-    state, emitted when the state times out past the watermark.
+    gap sessionization with BATCH PARITY under late data. State = the list
+    of PENDING sessions (start, last, count) — every session whose
+    membership the watermark can still change. Each micro-batch folds its
+    events (as single-event sessions) into the pending list with one
+    sorted gap-merge — the same gaps-and-islands rule batch sessionize
+    applies — and emits ONLY sessions the watermark has sealed
+    (watermark > session_end + gap, millisecond-truncated exactly like
+    Spark's own EventTimeTimeout): no event the watermark still admits can
+    ever extend or merge them. Everything else stays in state, emitted by
+    event-time timeout once the watermark passes.
+
+    Emitting on gap-split alone (the previous formulation: state = ONE open
+    session, split sessions emitted immediately) violates batch parity
+    across micro-batches: a late-but-admitted event arriving in a LATER
+    batch can extend — or bridge — a session that was already emitted,
+    so batch semantics yields one merged session where the stream emitted
+    fragments. Holding pending sessions until the watermark seals them is
+    the only emission rule a later admitted event can never contradict.
 
     This is the shape Spark's built-in session_window aggregate can't
     express when per-session custom logic is needed (e.g. emitting
@@ -125,7 +152,7 @@ def stateful_sessionize_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
-        LongType, StructField, StructType, TimestampType,
+        ArrayType, LongType, StructField, StructType, TimestampType,
     )
 
     gap_s = _interval_seconds(gap)
@@ -142,107 +169,96 @@ def stateful_sessionize_stream(
     )
     state_schema = StructType(
         [
-            StructField("start_us", LongType()),
-            StructField("last_us", LongType()),
-            StructField("n", LongType()),
+            StructField("starts_us", ArrayType(LongType())),
+            StructField("lasts_us", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
         ]
     )
 
     def fold(key_tuple, pdf_iter, state: GroupState):
         import pandas as pd  # executor-side
 
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame(
+        gap_us = gap_s * 1_000_000
+        gap_ms = gap_s * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+
+        def emit_frame(sessions):
+            return pd.DataFrame(
                 {
-                    "key": [key_tuple[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
+                    "key": [key_tuple[0]] * len(sessions),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in sessions
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in sessions
+                    ],
+                    "n_events": [c for _, _, c in sessions],
                 }
             )
+
+        def sealed(s):
+            # ms truncation on the session end mirrors Spark's own
+            # watermark/timeout resolution, so the timeout leg of the SQL
+            # oracle can reproduce the emission set exactly
+            return wm_ms > s[1] // 1000 + gap_ms
+
+        def store(pending):
+            state.update(
+                (
+                    [s for s, _, _ in pending],
+                    [l for _, l, _ in pending],
+                    [n for _, _, n in pending],
+                )
+            )
+            # fires exactly when the watermark strictly passes the first
+            # pending session's seal point; pending => last+gap >= wm, so
+            # the timestamp is never behind the current watermark
+            state.setTimeoutTimestamp(
+                min(l for _, l, _ in pending) // 1000 + gap_ms
+            )
+
+        if state.hasTimedOut:
+            starts, lasts, ns = state.get
+            sessions = sorted(zip(starts, lasts, ns))
+            safe = [s for s in sessions if sealed(s)]
+            pending = [s for s in sessions if not sealed(s)]
+            if pending:
+                store(pending)
+            else:
+                state.remove()
+            if safe:
+                yield emit_frame(safe)
             return
+
         times = []
         for pdf in pdf_iter:
             times.append(pdf[ts])
-        ts_all = pd.concat(times).sort_values()
-        us = (ts_all.astype("int64") // 1000).tolist()  # ns -> µs
+        us = (pd.concat(times).astype("int64") // 1000).tolist()  # ns -> us
+        sessions = []
         if state.exists:
-            start_us, last_us, n = state.get
+            starts, lasts, ns = state.get
+            sessions = [[s, l, n] for s, l, n in zip(starts, lasts, ns)]
+        sessions.extend([t, t, 1] for t in us)
+        sessions.sort()
+        # one gaps-and-islands merge over pending + new: sorted by start,
+        # a session within gap of the running session's END folds in (late
+        # events land INSIDE or BETWEEN pending sessions and can bridge
+        # two of them — exactly what batch semantics does with them)
+        merged: list = []
+        for s in sessions:
+            if merged and s[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(list(s))
+        safe = [tuple(s) for s in merged if sealed(s)]
+        pending = [tuple(s) for s in merged if not sealed(s)]
+        if pending:
+            store(pending)
         else:
-            start_us, last_us, n = None, None, 0
-        closed = []
-        early = None  # open session strictly BEFORE the stateful one
-        gap_us = gap_s * 1_000_000
-        for t in us:
-            if n == 0:
-                start_us, last_us, n = t, t, 1
-            elif t < start_us - gap_us:
-                # late event more than a gap BEFORE the open session's
-                # start: batch semantics puts it in its own earlier
-                # session. Chain consecutive such events (input is
-                # sorted). NOTE: a LATER in-batch event can still move
-                # start_us backward (the fold branch takes min), bringing
-                # the open session to within gap of this chain — the
-                # bridge check after the loop merges it back in that case
-                # instead of emitting a spuriously split session.
-                if early is None:
-                    early = [t, t, 1]
-                elif t - early[1] <= gap_us:
-                    early[1] = t
-                    early[2] += 1
-                else:
-                    closed.append(tuple(early))
-                    early = [t, t, 1]
-            elif t > last_us and t - last_us > gap_us:
-                # Closing the open session must FIRST resolve any pending
-                # early chain: a fold below may have regressed start_us to
-                # within gap of the chain, in which case batch semantics
-                # keeps chain+session ONE session — emitting them separately
-                # here would be a spurious split the post-loop bridge can no
-                # longer repair (it would see the NEW session's start).
-                # Resolution is final: input is sorted, so every later t is
-                # >= this t and can neither extend nor bridge the chain.
-                if early is not None:
-                    if start_us - early[1] <= gap_us:
-                        start_us = min(start_us, early[0])
-                        n += early[2]
-                    else:
-                        closed.append(tuple(early))
-                    early = None
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            else:
-                # in-gap event — possibly LATE (t <= last_us, delivered in a
-                # later micro-batch but inside the watermark): fold it into
-                # the open session WITHOUT regressing its high-water mark,
-                # else a following on-time event would falsely split the
-                # session on the regressed last_us
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-        if early is not None:
-            if n > 0 and start_us - early[1] <= gap_us:
-                # a later fold regressed start_us to within gap of the
-                # chain's end: batch gap-split would keep them ONE
-                # session — merge instead of emitting a false split
-                start_us = min(start_us, early[0])
-                n += early[2]
-            else:
-                closed.append(tuple(early))
-        closed.sort()  # chronological emission across early + split sessions
-        state.update((start_us, last_us, n))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)  # ms
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "key": [key_tuple[0]] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
-                    "n_events": [c for _, _, c in closed],
-                }
-            )
+            state.remove()
+        if safe:
+            yield emit_frame(safe)
 
     return (
         events.withWatermark(ts, watermark)
@@ -419,7 +435,10 @@ def stream_distinct_rollup(
     the availableNow result equals the same aggregation run as a batch
     (tested), and the watermark bounds which windows stay open.
     """
-    keys = keys or ["event_type"]
+    # `keys or [...]` would silently turn an EXPLICIT empty list (a global
+    # per-bucket rollup) into the default per-event_type grouping — only
+    # None means "use the default"
+    keys = ["event_type"] if keys is None else list(keys)
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.window(F.col(ts), bucket).alias("w"), *keys)

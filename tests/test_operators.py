@@ -1742,8 +1742,11 @@ def test_stateful_sessionize_late_event_no_regression(spark, tmp_path):
 
 def test_stateful_sessionize_too_early_late_event_own_session(spark, tmp_path):
     """A late event arriving MORE than a gap before the open session's
-    start must not be folded in (batch gap-split would place it in a
-    separate earlier session): it opens and closes its own session."""
+    start must not be folded in (batch gap-split places it in a separate
+    earlier session) — and, review finding r8, that earlier session must
+    NOT be emitted until the watermark seals it: another late event in a
+    yet-later micro-batch (08:20 in batch 3 here) can still extend it,
+    and the eager emission fragmented what batch semantics merges."""
     import datetime as _dt
 
     from pyspark.sql.types import (
@@ -1788,13 +1791,21 @@ def test_stateful_sessionize_too_early_late_event_own_session(spark, tmp_path):
     # batch 1: open session for device A at 10:00
     assert run_batch([("devA", t(10, 0))], "b1") == []
     # batch 2: two late events at 08:00/08:10 (chained: 10 min apart) plus
-    # an in-gap 10:05. 08:xx precede 10:00 by > gap → their own session,
-    # emitted closed; the open session folds 10:05 silently.
+    # an in-gap 10:05. 08:xx precede 10:00 by > gap → their own pending
+    # session — NOT emitted yet: the 4h watermark still admits events that
+    # could extend it.
     out = run_batch(
         [("devA", t(8, 0)), ("devA", t(8, 10)), ("devA", t(10, 5))], "b2"
     )
+    assert out == [], [tuple(r) for r in out]
+    # batch 3: 08:20 is late but admitted (watermark 06:05) and EXTENDS the
+    # pending early session — the old eager emission had already emitted
+    # 08:00-08:10 and would fragment here. 14:00 advances the watermark to
+    # 10:00, sealing the early session (08:50 < 10:00); the 10:00-10:05
+    # session (seal point 10:35) stays pending.
+    out = run_batch([("devA", t(8, 20)), ("devA", t(14, 0))], "b3")
     got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
-    assert got == [("devA", t(8, 0), t(8, 10), 2)], got
+    assert got == [("devA", t(8, 0), t(8, 20), 3)], got
 
 
 def test_stateful_sessionize_split_bridges_pending_early_chain(spark, tmp_path):
@@ -1845,13 +1856,18 @@ def test_stateful_sessionize_split_bridges_pending_early_chain(spark, tmp_path):
 
     # batch 1: open session at 10:00
     assert run_batch([("devA", t(10, 0))], "b1") == []
-    # batch 2: 09:25 is > gap before 10:00 (early chain); 09:45 folds and
-    # regresses start to 09:45 — now within gap of 09:25; 12:00 splits.
-    # Batch semantics over {09:25, 09:45, 10:00, 12:00}: ONE closed session
-    # 09:25-10:00 (3 events), 12:00 stays open (not emitted).
+    # batch 2: 09:25 is > gap before 10:00 (early chain); 09:45 bridges it
+    # to the 10:00 session — batch semantics over {09:25, 09:45, 10:00,
+    # 12:00} is ONE session 09:25-10:00 plus an open 12:00. Neither is
+    # watermark-sealed yet (wm 08:00 < 10:30), so nothing emits.
     out = run_batch(
         [("devA", t(9, 25)), ("devA", t(9, 45)), ("devA", t(12, 0))], "b2"
     )
+    assert out == [], [tuple(r) for r in out]
+    # batch 3: 16:00 advances the watermark to 12:00 > the merged
+    # session's seal point (10:30) — it emits as ONE session; 12:00
+    # (seal 12:30) and 16:00 stay pending.
+    out = run_batch([("devA", t(16, 0))], "b3")
     got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
     assert got == [("devA", t(9, 25), t(10, 0), 3)], got
 
@@ -2013,9 +2029,10 @@ def test_stateful_sessionize_late_chain_bridges_into_open_session(spark, tmp_pat
         [("devA", t(9, 0)), ("devA", t(9, 25)), ("devA", t(9, 45))], "b2"
     )
     assert out == [], [tuple(r) for r in out]
-    # batch 3: a gap-splitting event at 12:00 closes the merged session —
-    # it must span 9:00..10:00 with all 4 events
-    out = run_batch([("devA", t(12, 0))], "b3")
+    # batch 3: 17:00 advances the watermark (6h delay) to 11:00, past the
+    # merged session's seal point 10:30 — it emits spanning 9:00..10:00
+    # with all 4 events; 17:00 itself stays pending
+    out = run_batch([("devA", t(17, 0))], "b3")
     got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
     assert got == [("devA", t(9, 0), t(10, 0), 4)], got
 
