@@ -63,8 +63,11 @@ def mask_pii(text: Column) -> Column:
     """Replace every PII match with a ``<KIND>`` token. Order matters:
     emails first so the ip pattern can't eat a dotted host fragment."""
     out = text
-    for kind in ("email", "phone", "ip"):
-        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    # iterate the dict itself (insertion order IS email->phone->ip): a
+    # pattern added to PII_PATTERNS must be masked here automatically, not
+    # just counted by pii_counts — a hardcoded tuple would leak it
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return out
 
 
@@ -85,10 +88,15 @@ def contaminated_ids(
     pipelines, small corpora test with smaller n.
     """
     eval_text = eval_text_col or text_col
+    # drop the empty gram: word_shingles' whole-document fallback shingles
+    # NULL/empty/whitespace-only text to [''] — one blank row in a real
+    # benchmark dump would otherwise mark every blank corpus document as
+    # "contaminated" despite sharing zero actual n-grams
     eval_grams = (
         eval_df.select(
             F.explode(word_shingles(F.col(eval_text), ngram_words)).alias("_g")
         )
+        .filter(F.col("_g") != "")
         .distinct()
     )
     return (
@@ -140,8 +148,10 @@ def chunk_text(
     the plan is a single corpus scan with no shuffle; downstream embedding
     UDFs see bounded-size strings.
     """
-    if overlap >= chunk_chars:
-        raise ValueError("overlap must be smaller than chunk_chars")
+    if not 0 <= overlap < chunk_chars:
+        # a NEGATIVE overlap (sign typo, 'gap' confusion) would stride past
+        # characters — silently absent from every chunk
+        raise ValueError("overlap must be in [0, chunk_chars)")
     step = chunk_chars - overlap
     text = F.col(text_col)
     n_chunks = F.greatest(
@@ -235,8 +245,18 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_shard = df.withColumn("shard", shard)
-    running = F.sum(F.col(cost_col)).over(w)
-    start = running - F.col(cost_col)
+    # a NULL cost would propagate bin=NULL for its row (the window SUM
+    # skips nulls but running - NULL is NULL) and silently segregate it
+    # from every bin-keyed consumer — fail the job loudly instead
+    cost = F.when(
+        F.col(cost_col).isNotNull(), F.col(cost_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"pack_sequences: NULL {cost_col} cannot be packed")
+        )
+    )
+    running = F.sum(cost).over(w)
+    start = running - cost
     return with_shard.withColumn(
         "bin", F.floor(start / F.lit(budget)).cast("long")
     )
@@ -270,10 +290,15 @@ def strip_boilerplate_lines(
     """
     key = lambda c: F.lower(F.trim(c))  # noqa: E731
     # F.split takes a Java REGEX; \Q..\E quotes the separator so literal
-    # metacharacters ('|', '.') split the same way array_join rejoins
+    # metacharacters ('|', '.') split the same way array_join rejoins. A
+    # separator CONTAINING the two-char sequence \E would terminate the
+    # quote early (mis-split or PatternSyntaxException), so embedded \E is
+    # escaped the way java.util.regex.Pattern.quote does: close the quote,
+    # emit \\E, reopen.
+    sep_quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+        F.posexplode(F.split(F.col(text_col), sep_quoted)).alias(
             "__pos", "__line"
         ),
     )

@@ -295,13 +295,17 @@ def jaccard_pairs(
     # (or, cross-corpus, the scoring join after an independent prune)
     # consume it: left lazy, the corpus semi-scan and shingle transform
     # would execute twice — one full extra corpus scan at 100 TB.
+    # the id set is bounded by 2x the pair count, so ONE cheap count over
+    # the (caller-materialized) pairs frame guards every broadcast below —
+    # counting the distinct id frames themselves would execute each
+    # distinct twice (once for the count, again inside the join). Candidate
+    # id sets are pair-count-bounded, which aggressive banding can blow
+    # past at corpus scale; above the bound the semi joins fall back to the
+    # planner's shuffle strategy.
+    ids_fit = pairs.count() * 2 <= BROADCAST_IDS_MAX
+
     def _cand_shingles(src: DataFrame, ids: DataFrame) -> DataFrame:
-        # broadcast the id set only under BROADCAST_IDS_MAX — candidate id
-        # sets are pair-count-bounded, which aggressive banding can blow
-        # past at corpus scale. The count is cheap by contract: both named
-        # callers pass MATERIALIZED pairs, so ids is one distinct over a
-        # checkpointed frame (no re-execution of candidate generation).
-        if ids.count() <= BROADCAST_IDS_MAX:
+        if ids_fit:
             ids = F.broadcast(ids)
         return materialize(
             src.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))

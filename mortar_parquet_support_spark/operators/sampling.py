@@ -26,8 +26,16 @@ _BUCKETS = 10_000
 def hash_bucket(col: Column, *, salt: str = "") -> Column:
     """Deterministic bucket in [0, 10000) from md5 of the stringified id.
     Engine-portable: DuckDB gets the same value via
-    ``('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 10000``."""
-    hex8 = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+    ``('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 10000``.
+
+    NULL ids coalesce to a sentinel, so they share ONE deterministic
+    bucket (all-or-nothing membership per salt) instead of hashing to NULL
+    — a NULL bucket would make every filter predicate NULL and silently
+    drop the rows from every sample and split, even at fraction 1.0.
+    For well-distributed statistics ids should still be unique non-null;
+    mirror ``coalesce(CAST(id AS VARCHAR), '<sentinel>')`` in any oracle."""
+    sid = F.coalesce(col.cast("string"), F.lit("\x00<NULL>"))
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8)
     return F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(_BUCKETS))
 
 
@@ -45,6 +53,12 @@ def hash_split(
     rounds — rounding each width independently can leave trailing buckets
     unlabelled even when the weights sum to exactly 1 (three 1/3 weights
     would each round to 3333 and strand bucket 9999)."""
+    bad = {k: w for k, w in weights.items() if w < 0}
+    if bad:
+        # a negative weight passes the sum check but yields an EMPTY
+        # bucket range for its own label and shifts the labels after it —
+        # a sign typo silently producing zero test data
+        raise ValueError(f"negative split weights: {bad}")
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split weights sum to {total} > 1")

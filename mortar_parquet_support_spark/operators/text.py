@@ -50,8 +50,11 @@ def punct_ratio(text: Column) -> Column:
 
 
 def upper_ratio(text: Column) -> Column:
-    n = F.regexp_count(text, F.lit(r"[A-Za-z]"))
-    u = F.regexp_count(text, F.lit(r"[A-Z]"))
+    # \p{L}/\p{Lu}, not [A-Za-z]/[A-Z]: the ASCII classes scored all-caps
+    # Cyrillic/Greek/accented text 0.0 (letter count 0), waving caps-spam
+    # through any shouting filter — same reasoning as punct_ratio's classes
+    n = F.regexp_count(text, F.lit(r"\p{L}"))
+    u = F.regexp_count(text, F.lit(r"\p{Lu}"))
     return F.when(n > 0, u.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -179,7 +182,7 @@ def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
     """Fraction of word n-grams that are repeats — catches boilerplate and
     looping generations that unique-word ratios miss (a doc cycling a
     10-word sentence has ~0 dup words per cycle but ~1.0 dup n-grams)."""
-    words = F.split(F.trim(F.lower(text)), r"\s+")
+    words = _lower_words(text)
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
@@ -230,7 +233,15 @@ def analyze(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     Catalyst keeps separate only because the shared aliases are
     multi-referenced, which is precisely the point."""
     t = F.col(text_col)
-    original = df.columns
+    # an input frame already holding a metric column (a re-run of analyze,
+    # or a frame with its own 'quality') must not yield DUPLICATE output
+    # columns — withColumns replaces in place, so the original projection
+    # list has to drop the names re-emitted below
+    _metric_names = {
+        "n_tokens", "n_bpe_tokens", "punct_ratio", "stopword_ratio",
+        "upper_ratio", "quality", "lang_guess", "fingerprint",
+    }
+    original = [c for c in df.columns if c not in _metric_names]
     staged = df.withColumns(
         {
             "__t_words": _lower_words(t),

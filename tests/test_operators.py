@@ -2211,3 +2211,126 @@ def test_multimodal_extension_from_basename(spark, tmp_path):
     # dotted DIRECTORY must not leak into the format of a dot-less file
     assert by_name["IMG001"].format == ""
     assert by_name["IMG001"].modality == "unknown"
+
+
+def test_analyze_rerun_no_duplicate_columns(spark):
+    """Review finding r8: analyze(analyze(df)) used to emit every metric
+    column TWICE (withColumns replaced them, then the original projection
+    re-selected them), breaking any downstream reference."""
+    df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    twice = text.analyze(text.analyze(df))
+    assert len(twice.columns) == len(set(twice.columns)), twice.columns
+    # still selectable and consistent
+    row = twice.select("doc_id", "n_tokens", "quality").collect()[0]
+    assert row.n_tokens == 3
+
+
+def test_upper_ratio_unicode_letters(spark):
+    """Review finding r8: ASCII [A-Za-z] classes scored all-caps Cyrillic
+    0.0 — caps-spam in any non-Latin script sailed through."""
+    df = spark.createDataFrame(
+        [(1, "ПРИВЕТ МИР"), (2, "привет мир"), (3, "HELLO there")], ["i", "t"]
+    )
+    got = {
+        r.i: r.ur
+        for r in df.select("i", F.round(text.upper_ratio(F.col("t")), 3).alias("ur")).collect()
+    }
+    assert got[1] == 1.0 and got[2] == 0.0
+    assert got[3] == 0.5  # HELLO + 'there' -> 5 upper of 10 letters
+
+
+def test_hash_split_rejects_negative_weight(spark, documents=None):
+    from mortar_parquet_support_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="negative split weights"):
+        hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": -0.1})
+
+
+def test_sampling_null_ids_not_silently_dropped(spark):
+    """Review finding r8: NULL ids hashed to a NULL bucket, so the filter
+    predicate was NULL and the rows vanished from every sample — even at
+    fraction 1.0. They now share one deterministic sentinel bucket."""
+    from mortar_parquet_support_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",)], "id string"
+    )
+    assert deterministic_sample(df, "id", 1.0).count() == 3
+    labels = hash_split(df, "id", {"train": 1.0})
+    assert [r.split for r in labels.collect()] == ["train"] * 3
+
+
+def test_chunk_text_rejects_negative_overlap(spark):
+    from mortar_parquet_support_spark.operators.curation import chunk_text
+
+    df = spark.createDataFrame([(1, "x" * 100)], ["id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, id_col="id", text_col="text", chunk_chars=50, overlap=-10)
+
+
+def test_pack_sequences_null_cost_raises(spark):
+    """Review finding r8: a NULL cost propagated bin=NULL and silently
+    segregated the row from every bin-keyed consumer."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_chars long"
+    )
+    out = pack_sequences(df, id_col="doc_id", cost_col="n_chars", budget=100)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, PySparkRuntimeError)):
+        out.collect()
+
+
+def test_mask_pii_covers_every_pattern(spark, monkeypatch):
+    """Review finding r8: mask_pii iterated a hardcoded 3-kind tuple — a
+    pattern added to PII_PATTERNS was counted by pii_counts but silently
+    never masked."""
+    from mortar_parquet_support_spark.operators import curation
+
+    monkeypatch.setitem(curation.PII_PATTERNS, "ssn", r"\d{3}-\d{2}-\d{4}")
+    df = spark.createDataFrame([("ssn 123-45-6789 x",)], ["t"])
+    out = df.select(curation.mask_pii(F.col("t")).alias("m")).collect()[0].m
+    assert out == "ssn <SSN> x"
+
+
+def test_decontaminate_blank_docs_not_contaminated(spark):
+    """Review finding r8: a blank row in the eval set shingles to [''] and
+    used to mark every blank corpus document as contaminated despite
+    sharing zero actual n-grams."""
+    from mortar_parquet_support_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real shared ngram words here")],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(10, ""), (11, "real shared ngram bench")], ["doc_id", "text"]
+    )
+    kept = decontaminate(corpus, eval_df, id_col="doc_id", text_col="text")
+    # doc 3 shares the 3-gram 'real shared ngram' -> dropped; blanks kept
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_strip_boilerplate_separator_containing_quote_end(spark):
+    r"""Review finding r8: a separator containing the two-char sequence \E
+    terminated the \Q..\E quoting early (mis-split or pattern error);
+    embedded \E is now escaped the way java Pattern.quote does."""
+    from mortar_parquet_support_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    sep = r"\E|"
+    rows = [(i, sep.join([f"unique {i}", "COMMON FOOTER"])) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = strip_boilerplate_lines(
+        df, id_col="doc_id", text_col="text", min_docs=3, sep=sep
+    ).collect()
+    got = {r.doc_id: r.text for r in out}
+    assert got == {0: "unique 0", 1: "unique 1", 2: "unique 2"}

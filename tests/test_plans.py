@@ -48,6 +48,18 @@ def test_new_tpch_joins_stay_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in p, name
 
 
+def test_partsupp_tpch_joins_stay_broadcast(spark, sf_dir):
+    """The five derived-partsupp shapes that completed the 22: dimension
+    sides broadcast, no sort-merge, no cartesian blowup (the one-row
+    supplier-count cross join inside _partsupp must plan as a broadcast
+    nested loop of a single row, not a CartesianProduct)."""
+    for name in ["tpch_q2", "tpch_q9", "tpch_q11", "tpch_q20", "tpch_q21"]:
+        p = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
 def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     # equi on user_id must carry the join; the time band is a post-join
     # filter. A BroadcastNestedLoopJoin here would be quadratic at scale.
