@@ -19,7 +19,6 @@ Scale notes (local behavior identical, cluster behavior deliberate):
 
 from __future__ import annotations
 
-import re
 from functools import reduce
 from typing import Iterable
 
@@ -84,6 +83,17 @@ class Client:
             raise RuntimeError("no graphs loaded")
         if sites is None:
             return self.engine.sql(query)
+        sites = list(sites)  # may be a generator; it is iterated twice below
+        probe = self.engine.sql(query, site=sites[0]) if sites else None
+        if probe is not None and "site" in probe.columns:
+            # withColumn('site', provenance) would silently OVERWRITE the
+            # query's own ?site binding — destroying result data beats a
+            # loud error in no scenario
+            raise ValueError(
+                "query binds a variable named ?site, which collides with "
+                "the provenance column added by sites=[...]; rename the "
+                "variable or run with sites=None"
+            )
         frames = [
             self.engine.sql(query, site=site).withColumn("site", F.lit(site))
             for site in sites
@@ -106,18 +116,18 @@ class Client:
         driver."""
         cols = [c for c in sparql_result.columns if c != "site"]
         stacked = sparql_result.select(
-            F.explode(F.array(*[F.col(c).cast("string") for c in cols])).alias("uuid")
+            # LOWERCASE the harvest: ingest stores uuid lowercased
+            # (ingest.py F.lower on the filename stem), and isin/semi-join
+            # are case-sensitive — an uppercase-hex graph id (which the
+            # case-insensitive UUID_RE deliberately accepts) would
+            # otherwise match zero lake rows with no error
+            F.explode(
+                F.array(*[F.lower(F.col(c).cast("string")) for c in cols])
+            ).alias("uuid")
         )
         from mortar_parquet_support_spark.functions import is_uuid
 
         return stacked.filter(is_uuid("uuid")).distinct()
-
-    def _uuid_filter_ids(self, sparql_result: DataFrame) -> list[str]:
-        """Driver-side id list (IN-list path only — partition pruning needs
-        literal values)."""
-        return sorted(
-            row.uuid for row in self._uuid_ids_df(sparql_result).collect()
-        )
 
     def data_sparql_df(
         self,
@@ -165,11 +175,28 @@ class Client:
         fresh (reference behavior — client.py:84 reconnects per call)
         instead of silently writing the table into the previous one."""
         cached_db, cached_con = getattr(self, "_duck_cache", (None, None))
+        reuse = None
+        if cached_con is not None:
+            if cached_db == database:
+                try:
+                    cached_con.execute("SELECT 1")
+                    reuse = cached_con
+                except Exception:
+                    # the caller owns the connection's lifetime and may
+                    # have closed it — reopen instead of crashing on reuse
+                    reuse = None
+            else:
+                # path changed: release the old handle (file lock/fd)
+                # instead of leaking it for the process lifetime
+                try:
+                    cached_con.close()
+                except Exception:
+                    pass
         self.data_cache = sinks.to_duckdb(
             self.data_sparql_df(sparql, sites, start, end, limit),
             database,
             table,
-            connection=cached_con if cached_db == database else None,
+            connection=reuse,
         )
         self._duck_cache = (database, self.data_cache)
         return self.data_cache.table(table)
@@ -180,4 +207,8 @@ class Client:
     def data_uuids(self, uuids: Iterable[str], start=None, end=None) -> DataFrame:
         if self.lake is None:
             raise RuntimeError("no lake opened")
-        return self.lake.scan(uuids=list(uuids), start=start, end=end)
+        # same case normalization as the SPARQL harvest: the lake stores
+        # lowercased uuids
+        return self.lake.scan(
+            uuids=[u.lower() for u in uuids], start=start, end=end
+        )

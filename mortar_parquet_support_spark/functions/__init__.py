@@ -31,8 +31,14 @@ def materialize(df, *, checkpoint_dir: str | None = None):
     """
     sc = df.sparkSession.sparkContext
     if checkpoint_dir is not None:
-        if sc.getCheckpointDir() != checkpoint_dir:
+        # compare against the dir we LAST SET, not getCheckpointDir():
+        # setCheckpointDir appends a random UUID subdirectory (and may
+        # scheme-qualify the path), so the getter never equals the raw
+        # argument and the guard would reset — one fs.mkdirs round-trip
+        # and a fresh scatter directory — on EVERY materialize call
+        if getattr(sc, "_mortar_ckpt_dir", None) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
+            sc._mortar_ckpt_dir = checkpoint_dir
         return df.checkpoint(eager=True)
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
@@ -120,7 +126,10 @@ def char_ngrams(col, n: int = 3) -> Column:
     grams = F.array_distinct(
         F.transform(F.sequence(F.lit(1), count), lambda i: c.substr(i, F.lit(n)))
     )
-    return F.when(count > 0, grams).otherwise(F.array(c))
+    # NULL input -> NULL grams (same contract as word_shingles), not [NULL]
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(count > 0, grams).otherwise(F.array(c))
+    )
 
 
 def word_shingles(col, k: int = 3) -> Column:
@@ -134,9 +143,14 @@ def word_shingles(col, k: int = 3) -> Column:
     words = F.split(F.trim(c), r"\s+")
     count = F.greatest(F.size(words) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
-    return F.when(count > 0, F.array_distinct(
+    grams = F.when(count > 0, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )).otherwise(F.array(F.concat_ws(" ", words)))
+    # NULL text -> NULL shingles, NOT ['']: the fallback would otherwise
+    # give null documents the same shingle set as genuinely empty ones
+    # (Jaccard 1.0 between a null doc and every empty doc — silent
+    # dedup-as-duplicates of incomparable records)
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(grams)
 
 
 def interleave_bits(cols: list[Column], *, bits: int = 16) -> Column:
@@ -207,7 +221,14 @@ def zorder_key(
         if mx <= mn:
             bucketed.append(F.lit(0).cast("long"))
             continue
-        b = F.width_bucket(_numeric(c), F.lit(mn), F.lit(mx), F.lit(n_buckets - 1))
+        # NULL values bucket to 0 (cluster with the minimum): width_bucket
+        # yields NULL and least/greatest SKIP nulls, which would silently
+        # send null rows to the TOP bucket and give every file containing
+        # them max-range stats on this dimension
+        b = F.coalesce(
+            F.width_bucket(_numeric(c), F.lit(mn), F.lit(mx), F.lit(n_buckets - 1)),
+            F.lit(1),
+        )
         # width_bucket is 1-based and clamps out-of-range to 0/n+1
         bucketed.append(F.greatest(F.least(b - 1, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
     return interleave_bits(bucketed, bits=bits)

@@ -57,14 +57,21 @@ def hll_reaggregate(
     *,
     group_cols: list[str],
     sketch_cols: list[str],
+    allow_different_lg_k: bool = False,
 ) -> DataFrame:
     """Re-aggregate stored sketches to a coarser grain WITHOUT touching raw
     data: union the sketch state per group and estimate. Row counts sum
-    exactly alongside."""
+    exactly alongside.
+
+    ``allow_different_lg_k=True`` tolerates stored sketches built with
+    different ``lg_k`` values (a job that raised precision mid-history —
+    exactly the long-lived lambda-architecture table this module targets);
+    the union downgrades to the coarsest config. Left strict by default so
+    an UNINTENDED precision mix still fails loudly."""
     aggs = [
-        F.hll_sketch_estimate(F.hll_union_agg(F.col(f"{c}_sketch"))).alias(
-            f"{c}_distinct"
-        )
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(f"{c}_sketch"), allow_different_lg_k)
+        ).alias(f"{c}_distinct")
         for c in sketch_cols
     ]
     return sketches.groupBy(*group_cols).agg(*aggs, F.sum("n").alias("n"))

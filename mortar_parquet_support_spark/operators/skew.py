@@ -71,10 +71,28 @@ def salted_join(
     salt_col = "__salt"
     while salt_col in big.columns or salt_col in small.columns:
         salt_col = "_" + salt_col  # never clobber a caller's column
+    # xxhash64 rejects MapType (DATATYPE_MISMATCH.HASH_MAP_TYPE) — a big
+    # frame with a properties map would fail at analysis time on a frame a
+    # plain join handles. Hash only hashable columns; the join keys are
+    # always among them (maps cannot be equi-join keys), so the degenerate
+    # worst case is keys-only hashing: per-key-constant salt — correct,
+    # just no spread for that pathological schema.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        return True
+
+    hash_cols = [f.name for f in big.schema.fields if _hashable(f.dataType)]
     big_salted = big.withColumn(
         salt_col,
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns], F.lit(seed)),
+            F.xxhash64(*[F.col(c) for c in hash_cols], F.lit(seed)),
             F.lit(salt_buckets),
         ),
     )

@@ -79,8 +79,12 @@ def closure_of_edges(
 
     # one dedup, materialized once: auto-mode's count() and the chosen
     # strategy's collect()/iteration would otherwise each re-run the
-    # upstream filter + distinct shuffle from scratch
-    edges = materialize(edges.distinct(), checkpoint_dir=checkpoint_dir)
+    # upstream filter + distinct shuffle from scratch. An EXPLICIT driver
+    # strategy collects exactly once, so the checkpoint write would be
+    # pure wasted IO there — skip the barrier.
+    edges = edges.distinct()
+    if strategy != "driver":
+        edges = materialize(edges, checkpoint_dir=checkpoint_dir)
     if strategy == "auto":
         strategy = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "spark"
     if strategy == "driver":

@@ -2334,3 +2334,74 @@ def test_strip_boilerplate_separator_containing_quote_end(spark):
     ).collect()
     got = {r.doc_id: r.text for r in out}
     assert got == {0: "unique 0", 1: "unique 1", 2: "unique 2"}
+
+
+def test_hll_reaggregate_mixed_lg_k(spark):
+    """Review finding r8: re-aggregating sketches built at different lg_k
+    threw HLL_UNION_DIFFERENT_LG_K with no opt-out; the passthrough
+    tolerates an intentional precision change (strict by default)."""
+    import datetime as _dt
+
+    from mortar_parquet_support_spark.operators.sketches import (
+        hll_rollup,
+        hll_reaggregate,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [(base, "a", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, user_id long")
+    s12 = hll_rollup(df, ts="ts", keys=["k"], distinct_cols=["user_id"], bucket="1 hour", lg_k=12)
+    s14 = hll_rollup(df, ts="ts", keys=["k"], distinct_cols=["user_id"], bucket="1 hour", lg_k=14)
+    both = s12.unionByName(s14)
+    with pytest.raises(Exception):
+        hll_reaggregate(both, group_cols=["k"], sketch_cols=["user_id"]).collect()
+    out = hll_reaggregate(
+        both, group_cols=["k"], sketch_cols=["user_id"], allow_different_lg_k=True
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["user_id_distinct"] - 50) <= 3
+
+
+def test_salted_join_tolerates_map_column(spark):
+    """Review finding r8: the salt hashed EVERY big-side column; a MapType
+    column (events.props) crashed analysis on a frame a plain join
+    handles. Maps are excluded from the salt hash."""
+    from mortar_parquet_support_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": "b"}, 10.0), (1, {"c": "d"}, 20.0), (2, {}, 30.0)],
+        "user_id long, props map<string,string>, v double",
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], ["user_id", "tag"])
+    out = salted_join(big, small, on="user_id", salt_buckets=4)
+    assert out.count() == 3
+    assert {r.tag for r in out.collect()} == {"x", "y"}
+
+
+def test_word_shingles_null_text_incomparable(spark):
+    """Review finding r8: NULL text shingled to [''] — identical to a
+    genuinely empty document, so null docs compared at Jaccard 1.0 with
+    every empty doc. NULL in -> NULL shingles now (char_ngrams too)."""
+    from mortar_parquet_support_spark.functions import char_ngrams, word_shingles
+
+    df = spark.createDataFrame([(None,), ("",), ("a b",)], "t string")
+    rows = df.select(
+        word_shingles(F.col("t")).alias("ws"), char_ngrams(F.col("t")).alias("cg")
+    ).collect()
+    assert rows[0].ws is None and rows[0].cg is None
+    assert rows[1].ws == [""] and rows[1].cg == [""]
+    assert rows[2].ws == ["a b"]
+
+
+def test_zorder_key_nulls_bucket_low(spark):
+    """Review finding r8: width_bucket(NULL) fed least/greatest (which SKIP
+    nulls), silently sending null rows to the TOP bucket — max-range
+    min/max stats for every file containing them. Nulls now bucket to 0."""
+    from mortar_parquet_support_spark.functions import zorder_key
+
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (None,)], "x double"
+    )
+    keys = df.select(zorder_key(df, ["x"], bits=4).alias("z")).collect()
+    z = [r.z for r in keys]
+    assert z[3] == z[0] == 0  # null clusters with the minimum, not the max
+    assert z[2] == max(z)

@@ -1460,3 +1460,36 @@ def test_ttl_single_quoted_strings_and_leading_dot_decimal():
     assert parse_ttl('<urn:s> <urn:p> "it\'s" .', "s")[0][3] == "it's"
     row = parse_ttl("<urn:s> <urn:p> .5 .", "s")[0]
     assert (row[3], row[4]) == (".5", "literal")
+
+
+def test_uuid_harvest_lowercases_for_lake_match(spark):
+    """Review finding r8: ingest stores uuid LOWERCASED, but harvested ids
+    kept graph case — an uppercase-hex id (which the case-insensitive
+    UUID_RE deliberately accepts) matched zero lake rows with no error."""
+    from mortar_parquet_support_spark.client import Client
+
+    c = Client(spark)  # no graphs/lake needed for the harvest helper
+    res = spark.createDataFrame(
+        [("6AF4ADB2-0000-0000-0000-0000000000AB", "not-a-uuid")],
+        ["id", "other"],
+    )
+    got = [r.uuid for r in c._uuid_ids_df(res).collect()]
+    assert got == ["6af4adb2-0000-0000-0000-0000000000ab"]
+
+
+def test_sparql_sites_rejects_site_variable_collision(spark, tmp_path):
+    """Review finding r8: a query binding ?site had its values silently
+    OVERWRITTEN by the provenance column when sites=[...] was passed."""
+    from mortar_parquet_support_spark.client import Client
+    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA
+
+    triples = spark.createDataFrame(
+        [("s1", "urn:a", "urn:p", "urn:b", "iri")],
+        schema=TRIPLES_SCHEMA,
+    )
+    c = Client(spark, triples=triples)
+    q = "SELECT ?site WHERE { ?site <urn:p> ?o . }"
+    with pytest.raises(ValueError, match="site"):
+        c.sparql(q, sites=["s1"])
+    # without provenance the variable works fine
+    assert c.sparql(q).count() == 1
