@@ -211,8 +211,13 @@ def frame_sample(
     decode_fn: str = "fake",
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame with a frame
-    feature vector. Fake decoder emits ceil(n_bytes/4096) pseudo-frames so
-    row-explosion plumbing (one->many mapInPandas) is exercised."""
+    feature vector. Fake decoder emits ceil(n_bytes/4096) pseudo-frames
+    (min 1) so row-explosion plumbing (one->many mapInPandas) is
+    exercised."""
+    if decode_fn not in ("fake", "real"):
+        # same loud rejection as extract_features: a typo'd decode_fn must
+        # not silently fall through to pseudo-features
+        raise ValueError(f"unknown decode_fn {decode_fn!r}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -231,7 +236,9 @@ def frame_sample(
                 )  # STUB (see module docstring)
             rows = {"media_id": [], "frame_idx": [], "t_offset_s": [], "features": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                n_frames = max(1, (0 if content is None else len(content)) // 4096)
+                # ceil, matching the docstring: 4097 bytes = 2 frames
+                n_bytes = 0 if content is None else len(content)
+                n_frames = max(1, -(-n_bytes // 4096))
                 for i in range(n_frames):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)

@@ -69,25 +69,49 @@ def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
     lines = (
         lines
         .withColumn("_base", F.element_at(F.split(F.col("_file"), "/"), -1))
-        # P9 anchored on the WHOLE basename: '<uuid>.csv' exactly — a stray
-        # '<uuid>.backup.csv' must be rejected like the reference's
-        # splitext-stem check (transform.py:11-16), not prefix-matched
+        # P9 anchored on the WHOLE basename: '<uuid>' plus AT MOST one
+        # extension segment — the reference's splitext-stem check
+        # (transform.py:11-16) accepts ANY extension (and none), while a
+        # stray '<uuid>.backup.csv' (two segments, splitext stem not a
+        # UUID) must still be rejected, not prefix-matched.
         .withColumn(
             "uuid",
-            F.lower(F.regexp_extract(F.col("_base"), f"^({UUID_RE})\\.csv$", 1)),
+            F.lower(
+                F.regexp_extract(F.col("_base"), f"^({UUID_RE})(?:\\.[^.]+)?$", 1)
+            ),
         )
     )
     # P9: files whose basename is not a UUID are rejected wholesale.
     lines = lines.filter(F.col("uuid") != "")
 
-    is_header = F.col("_line").startswith(time_col + ",")
+    # header/data discrimination and field positions are derived the way
+    # the REFERENCE does (transform.py:20-28): the time column is located
+    # by MEMBERSHIP (any position, not just first), and the value column is
+    # the FIRST remaining column after popping it — so 'sensor,datetime'
+    # ingests instead of being silently dropped, and a 3-column file takes
+    # ONLY its value field (not 'the rest of the line' with commas).
+    fields = F.split(F.col("_line"), ",")
+    lines = lines.withColumn("_fields", fields)
+    is_header = F.array_position(F.col("_fields"), time_col) > 0
     header = (
-        lines.filter(is_header)
-        .select(
-            F.col("uuid").alias("h_uuid"),
-            F.expr(f"substring(_line, {len(time_col) + 2})").alias("label"),
-        )
+        lines.filter(is_header & (F.size("_fields") >= 2))
+        .select(F.col("uuid").alias("h_uuid"), F.col("_fields").alias("_hf"))
         .dropDuplicates(["h_uuid"])
+        .withColumn(
+            "_tpos", F.array_position(F.col("_hf"), time_col).cast("int")
+        )
+        # first column index that is not the time column (1-based) — the
+        # reference's df.columns[0] after popping time_col
+        .withColumn(
+            "_vpos",
+            F.when(F.col("_tpos") == 1, F.lit(2)).otherwise(F.lit(1)),
+        )
+        .select(
+            "h_uuid",
+            "_tpos",
+            "_vpos",
+            F.element_at(F.col("_hf"), F.col("_vpos")).alias("label"),
+        )
     )
 
     # try_* parsing: one malformed line must null out, not abort a
@@ -95,24 +119,27 @@ def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
     # cast THROW on bad input). Rows without a parseable time are dropped —
     # a timeseries row is unaddressable without one; a null value is a
     # legitimate missing reading and is kept.
-    ts_text = F.substring_index(F.col("_line"), ",", 1)
-    val_text = F.expr("substring(_line, length(substring_index(_line, ',', 1)) + 2)")
-    data = (
-        lines.filter(~is_header)
-        .select(
-            "uuid",
-            F.try_to_timestamp(ts_text).alias("time"),  # P2 (transform.py:25)
-            val_text.try_cast("double").alias("value"),
-        )
-        .filter(F.col("time").isNotNull())
-    )
+    data = lines.filter(~is_header).select("uuid", "_fields")
 
-    # INNER join: a file with no valid '<time_col>,<label>' header has no
-    # row in ``header`` and its data rows are rejected wholesale — the
-    # distributed form of the reference's missing-time-column rejection
-    # (transform.py:20-23), which ingest_csv enforces driver-side.
+    # INNER join FIRST: the header carries each file's (time, value) field
+    # positions, and a file with no valid header (no time_col field, or a
+    # time_col-only header) has no row here, so its data rows are rejected
+    # wholesale — the distributed form of the reference's missing-time-
+    # column rejection (transform.py:20-23), which ingest_csv also
+    # enforces driver-side.
     return (
         data.join(F.broadcast(header), data["uuid"] == header["h_uuid"], "inner")
+        .select(
+            "uuid",
+            F.try_to_timestamp(
+                F.element_at(F.col("_fields"), F.col("_tpos"))
+            ).alias("time"),  # P2 (transform.py:25)
+            F.element_at(F.col("_fields"), F.col("_vpos"))
+            .try_cast("double")
+            .alias("value"),
+            "label",
+        )
+        .filter(F.col("time").isNotNull())
         .withColumn("collection", F.lit(collection))  # P3 (transform.py:31-35)
         .withColumn("uri", F.concat(F.lit(f"urn:{collection}/"), F.col("label")))
         .select(*LAKE_COLUMNS)  # P4 (transform.py:36)

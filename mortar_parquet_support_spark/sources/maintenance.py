@@ -78,15 +78,12 @@ def _dynamic_overwrite_lake(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        if partition_uuid:
-            out = df.repartition("collection", "uuid").sortWithinPartitions("time")
-            cols = ["collection", "uuid"]
-        else:
-            out = df.repartitionByRange("collection", "uuid").sortWithinPartitions(
-                "uuid", "time"
-            )
-            cols = ["collection"]
-        out.write.mode("overwrite").partitionBy(*cols).parquet(destination)
+        # the layout discipline lives in ONE place — ingest.write_lake;
+        # re-spelling the repartition/sort here would silently diverge the
+        # maintenance rewrites from the ingest layout on the next change
+        from mortar_parquet_support_spark.sources.ingest import write_lake
+
+        write_lake(df, destination, partition_uuid=partition_uuid, mode="overwrite")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -149,10 +146,20 @@ def upsert_lake(
     touched = [r.collection for r in updates.select("collection").distinct().collect()]
     if not touched:
         return
+    # NULL-collection rows land in __HIVE_DEFAULT_PARTITION__, which the
+    # dynamic overwrite WILL rewrite when the updates touch it — but
+    # isin(...) never matches NULL, so the existing rows of that partition
+    # would be excluded from the merge and silently deleted
+    non_null = [c for c in touched if c is not None]
+    cond = (
+        F.col("collection").isin(non_null) if non_null else F.lit(False)
+    )
+    if any(c is None for c in touched):
+        cond = cond | F.col("collection").isNull()
     existing = (
         spark.read.parquet(lake_root)
         .select(*LAKE_COLUMNS)
-        .filter(F.col("collection").isin(touched))
+        .filter(cond)
     )
     merged = existing.withColumn("__v", F.lit(0)).unionByName(
         updates.withColumn("__v", F.lit(1))

@@ -192,9 +192,18 @@ class _Parser:
             tok = m.group()
             if kind == "pname":
                 # A pname token may have swallowed the statement-terminating
-                # '.' (valid Turtle locals can't end with a dot).
-                n_dots = len(tok) - len(tok.rstrip("."))
-                core = tok.rstrip(".")
+                # '.' (an UNESCAPED dot can't end a Turtle local). Strip
+                # only unescaped trailing dots: 'ex:foo\.' is a valid local
+                # ENDING in a dot (PN_LOCAL_ESC) — its escaped dot is part
+                # of the name, and rstrip would emit a spurious terminator
+                # that fails the whole file.
+                core, n_dots = tok, 0
+                # a trailing dot is part of the local iff escaped ('\.');
+                # PN_LOCAL_ESC never escapes a backslash itself, so a
+                # preceding '\' always means the dot is escaped
+                while core.endswith(".") and not core.endswith("\\."):
+                    core = core[:-1]
+                    n_dots += 1
                 if core:
                     self.tokens.append(("pname", core))
                 for _ in range(n_dots):
@@ -294,6 +303,12 @@ class _Parser:
             if self._peek() != ("punct", "]"):
                 self._parse_predicate_object_list(node)
             self._expect_punct("]")
+            return node
+        if kind == "punct" and tok == "(":
+            # collections are valid SUBJECTS per the Turtle grammar
+            # (subject ::= iri | BlankNode | collection); reuse the object
+            # parser's rdf:first/rest expansion and return the list head
+            node, _okind = self._parse_collection()
             return node
         raise ValueError(f"{self.site}: bad subject token {kind} {tok!r}")
 

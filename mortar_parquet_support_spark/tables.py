@@ -39,6 +39,13 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         msg = str(exc).upper()
         if "PARQUET" not in msg or ("NANO" not in msg and "ILLEGAL" not in msg):
             raise
+        # Deliberately NOT restored after the read: the returned frame is
+        # LAZY — physical planning (which snapshots the Hadoop conf the
+        # executors use for schema conversion) happens at first ACTION, so
+        # restoring here would resurface PARQUET_TYPE_ILLEGAL mid-query.
+        # Known tradeoff: after the first nanos fixture, a later unrelated
+        # read of an INT64 TIMESTAMP(NANOS) column in THIS session surfaces
+        # as bigint raw nanos instead of erroring.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

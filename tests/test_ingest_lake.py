@@ -359,3 +359,81 @@ def test_maintenance_preserves_uuid_layout(spark, tmp_path):
     lake = spark.read.parquet(dest)
     assert lake.count() == 3
     assert lake.filter(F.col("value") == 7.7).count() == 1
+
+
+def test_ingest_reference_column_flexibility(spark, tmp_path):
+    """Review finding r8 (reference parity, transform.py:20-28): the time
+    column is located by MEMBERSHIP (any position) and the value column is
+    the FIRST remaining one — 'sensor,datetime' order was silently dropped
+    wholesale, and a 3-column file took 'the rest of the line' (with
+    commas) as its value, nulling every reading and comma-joining the
+    label."""
+    import uuid as _uuid
+
+    src = tmp_path / "flex"
+    src.mkdir()
+    dest = str(tmp_path / "lake")
+    u_rev = str(_uuid.uuid4())
+    u_three = str(_uuid.uuid4())
+    (src / f"{u_rev}.csv").write_text(
+        "temp,datetime\n1.5,2020-01-01 00:00:00+00:00\n"
+    )
+    (src / f"{u_three}.csv").write_text(
+        "datetime,hum,unit\n2020-01-01 00:00:00+00:00,2.5,pct\n"
+    )
+    ingest_directory(spark, "c1", str(src), dest)
+    got = {
+        r.uuid: (r.value, r.label)
+        for r in TimeseriesLake.open(spark, dest).df.collect()
+    }
+    assert got[u_rev] == (1.5, "temp")       # reversed column order ingests
+    assert got[u_three] == (2.5, "hum")      # value field only; label 'hum'
+
+
+def test_ingest_csv_any_extension(spark, tmp_path):
+    """Review finding r8 (reference parity, transform.py:11 splitext): any
+    extension is accepted — previously a '<uuid>.dat' file passed the
+    driver-side check, then the line parser's '.csv'-anchored regex
+    dropped every row and an empty write reported success."""
+    import uuid as _uuid
+
+    u = str(_uuid.uuid4())
+    f = tmp_path / f"{u}.dat"
+    f.write_text("datetime,x\n2020-01-01 00:00:00+00:00,7.5\n")
+    dest = str(tmp_path / "lake")
+    out = ingest_csv(spark, "c1", str(f), dest)
+    assert out is not None and out.count() == 1
+    rows = TimeseriesLake.open(spark, dest).df.collect()
+    assert len(rows) == 1 and rows[0].value == 7.5 and rows[0].uuid == u
+    # the double-extension rejection contract is unchanged
+    bad = tmp_path / f"{u}.backup.csv"
+    bad.write_text("datetime,x\n2020-01-01 00:00:00+00:00,1.0\n")
+    assert ingest_csv(spark, "c1", str(bad), dest) is None
+
+
+def test_upsert_preserves_null_collection_partition(spark, tmp_path):
+    """Review finding r8: isin(touched) never matches NULL, so existing
+    rows of the __HIVE_DEFAULT_PARTITION__ were excluded from the merge
+    while the dynamic overwrite rewrote that partition — deleting them."""
+    import datetime as _dt
+
+    from mortar_parquet_support_spark.sources.maintenance import upsert_lake
+
+    schema = "collection string, uuid string, time timestamp, value double, label string, uri string"
+    t = lambda m: _dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    base = spark.createDataFrame(
+        [(None, "u1", t(0), 1.0, "l", "r"), (None, "u1", t(1), 2.0, "l", "r")],
+        schema,
+    )
+    lake = str(tmp_path / "lk")
+    base.write.partitionBy("collection").parquet(lake)
+    updates = spark.createDataFrame(
+        [(None, "u1", t(1), 9.0, "l", "r")], schema
+    )
+    upsert_lake(spark, lake, updates)
+    got = {
+        r.time: r.value
+        for r in spark.read.parquet(lake).collect()
+    }
+    # t(0) must SURVIVE the rewrite; t(1) takes the update's value
+    assert got == {t(0): 1.0, t(1): 9.0}, got

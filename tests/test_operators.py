@@ -2405,3 +2405,14 @@ def test_zorder_key_nulls_bucket_low(spark):
     z = [r.z for r in keys]
     assert z[3] == z[0] == 0  # null clusters with the minimum, not the max
     assert z[2] == max(z)
+
+
+def test_frame_sample_ceil_and_decode_fn_validation(spark):
+    """Review finding r8: frame count was floor (docstring says ceil — a
+    4097-byte clip got 1 frame instead of 2), and a typo'd decode_fn
+    silently produced pseudo-features instead of erroring."""
+    df = spark.createDataFrame([("m1", bytearray(b"x" * 4097))], "media_id string, content binary")
+    out = multimodal.frame_sample(df, every_s=1.0)
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="decode_fn"):
+        multimodal.frame_sample(df, decode_fn="rel")

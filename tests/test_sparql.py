@@ -1493,3 +1493,29 @@ def test_sparql_sites_rejects_site_variable_collision(spark, tmp_path):
         c.sparql(q, sites=["s1"])
     # without provenance the variable works fine
     assert c.sparql(q).count() == 1
+
+
+def test_ttl_escaped_trailing_dot_local(spark):
+    r"""Review finding r8: the tokenizer stripped backslash-escaped
+    trailing dots (PN_LOCAL_ESC) from prefixed-name locals, emitting a
+    spurious terminator that failed the whole file on valid Turtle."""
+    from mortar_parquet_support_spark.sources.ttl import parse_ttl
+
+    rows = parse_ttl("@prefix ex: <urn:x/> . ex:s ex:p ex:foo\\. .", "s")
+    assert rows == [("s", "urn:x/s", "urn:x/p", "urn:x/foo.", "iri")]
+
+
+def test_ttl_collection_subject(spark):
+    """Review finding r8: subject ::= iri | BlankNode | collection in the
+    Turtle grammar, but a collection subject raised and aborted the site
+    graph."""
+    from mortar_parquet_support_spark.sources.ttl import (
+        RDF_FIRST,
+        parse_ttl,
+    )
+
+    rows = parse_ttl("( <urn:a> ) <urn:p> <urn:o> .", "s")
+    preds = {p for (_, _, p, _, _) in rows}
+    assert RDF_FIRST in preds and "urn:p" in preds
+    head = [s for (_, s, p, _, _) in rows if p == "urn:p"]
+    assert head and head[0].startswith("_:")
