@@ -1408,6 +1408,76 @@ def _text_quality(spark, sf_dir):
 
 
 @_register(
+    "bm25_topk",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  ELSE CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) END AS dl,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = 'merge')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = 'spark')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM feat
+    )
+    SELECT doc_id,
+           ROUND(
+             ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+           + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+           + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+    FROM feat CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def _bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (operators/search.py) — the sparse leg
+    of the retrieval story (dense = knn_*). Query-term tf via array
+    expressions (zero shuffle), corpus stats (N, avgdl, per-term df) as ONE
+    broadcast scalar aggregate, top-k as TakeOrdered on the rounded score
+    with doc_id tie-break. Oracle restates the same Lucene-idf formula
+    (k1=1.2, b=0.75 -> k1+1=2.2, 1-b=0.25)."""
+    from mortar_parquet_support_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "window"], k=20)
+
+
+@_register(
+    "keyword_search",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+      WHERE t.token <> ''
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+    FROM pairs
+    WHERE token IN ('merge', 'spark', 'window')
+    GROUP BY doc_id
+    """,
+)
+def _keyword_search(spark, sf_dir):
+    """Inverted-index keyword query (operators/search.py): postings built
+    once (explode + groupBy, the amortized write-time shuffle), then the
+    query resolves against the postings table alone — the corpus is never
+    rescanned at query time. n_matched counts distinct matched terms."""
+    from mortar_parquet_support_spark.operators.search import (
+        build_inverted_index,
+        keyword_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs)
+    return keyword_search(index, ["spark", "merge", "window"])
+
+
+@_register(
     "stats_per_stream",
     """
     SELECT event_type,
@@ -3166,14 +3236,18 @@ _WINDOW_DEMOTED = [
 
 
 # Round-8 additions promoted to the FRONT of the window so the driver
-# itself witnesses the two new operator families (cross-corpus dedup,
-# SQ8 quantized search) — they register last and would otherwise sit at
-# positions 61-62, covered only by the harness. The two entries they
-# displace (tpch_q4, tpch_q12 — both officially green in CORRECTNESS_r07)
-# move past the window under the standard demotion policy below.
+# itself witnesses the new operator families (cross-corpus dedup, SQ8
+# quantized search, BM25 sparse retrieval + inverted-index keyword
+# search) — they register late and would otherwise sit past position 50,
+# covered only by the harness. The entries they displace (tpch_q4,
+# tpch_q12, and the next two window-tail shapes — all officially green in
+# CORRECTNESS_r07) move past the window under the standard demotion
+# policy below and stay harness-verified every round.
 _WINDOW_PROMOTED = [
     "crosscorpus_dedup",
     "knn_sq8",
+    "bm25_topk",
+    "keyword_search",
 ]
 
 

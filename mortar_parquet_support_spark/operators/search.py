@@ -1,0 +1,194 @@
+"""Lexical ranked retrieval over a documents table: BM25 scoring and an
+inverted keyword index.
+
+The sparse-retrieval counterpart to operators/similarity.py's dense kNN —
+the other half of how a training-data pipeline finds "documents about X"
+(decontamination sweeps, targeted subset mining, eval-set curation). The
+reference engine has no text-search surface (SURVEY.md §2.6 declared-absent;
+its corpus is timeseries+graph), so this is a north-star extension like the
+dedup/ANN families.
+
+Scale shape (100 TB corpus, small query):
+- Per-document term frequencies for the (tiny, literal) query term set are
+  pure array expressions over the tokenized text — zero shuffle, they ride
+  the scan.
+- Corpus statistics (N, avgdl, per-term document frequency) are ONE
+  scalar aggregate — map-side partials, a single reduced row — broadcast
+  back over the scoring scan. Two narrow passes over the corpus, no
+  wide shuffle anywhere; the final top-k is a TakeOrdered, never a global
+  sort.
+- The inverted index is the amortized alternative: one explode+groupBy
+  builds postings (shuffle ∝ corpus tokens, done ONCE at write time);
+  a keyword query then broadcast-joins the query terms against the
+  posting table and unions postings — never touching the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.operators.text import _lower_words
+
+
+def _tokenize(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach the casefolded whitespace token array + document length.
+    Empty/blank text has dl = 0 (split('') yields [''], which must not
+    count as one token)."""
+    t = F.col(text_col)
+    words = _lower_words(t)
+    dl = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    return df.withColumns({"__s_words": words, "__s_dl": dl.cast("double")})
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Score every document against ``query_terms`` with Okapi BM25
+    (Lucene's non-negative idf variant: ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Returns (id_col, score_col) with the score rounded to 6 places —
+    deterministic across engines. Documents matching no query term score
+    0.0 (kept: callers filter or top-k as needed).
+
+    Terms are casefolded to match the tokenization. Duplicate query terms
+    are collapsed (scoring a term twice would double its contribution).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    toks = _tokenize(df, text_col)
+
+    def _eq(term):
+        # single-parameter lambda on purpose: a second parameter would be
+        # interpreted by F.filter as the element INDEX, not a closure slot
+        return lambda w: w == F.lit(term)
+
+    tf_cols = {
+        f"__s_tf{i}": F.size(F.filter(F.col("__s_words"), _eq(t))).cast("double")
+        for i, t in enumerate(terms)
+    }
+    feat = toks.withColumns(tf_cols).select(id_col, "__s_dl", *tf_cols)
+
+    # one scalar aggregate: corpus size, average doc length, per-term df.
+    # Map-side partial aggregation reduces each partition to one row, so
+    # the "shuffle" is n_partitions rows — broadcast back over the scan.
+    stats = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("__s_n"),
+        F.avg("__s_dl").alias("__s_avgdl"),
+        *[
+            F.sum((F.col(c) > 0).cast("long")).cast("double").alias(f"__s_df{i}")
+            for i, c in enumerate(tf_cols)
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats))
+
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__s_dl") / F.col("__s_avgdl")
+    )
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"__s_tf{i}")
+        dfr = F.col(f"__s_df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("__s_n") - dfr + 0.5) / (dfr + 0.5)
+        )
+        contribs.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return scored.select(
+        id_col, F.round(total, 6).alias(score_col)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Top-``k`` documents by BM25, deterministic ties (score desc, id asc).
+    Ranking happens on the ROUNDED score so the cut line is reproducible
+    across engines/float paths; orderBy+limit plans as TakeOrdered (per-
+    partition heaps, no global sort)."""
+    scores = bm25_scores(
+        df, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b,
+        score_col=score_col,
+    )
+    return scores.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def build_inverted_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Postings table (token, df, postings) — ``postings`` a sorted array of
+    doc ids containing the token (distinct: a repeated token posts once).
+
+    One explode + one groupBy: the shuffle carries (token, doc_id) pairs
+    — corpus-token-bound, paid ONCE at index-build time; rare-token
+    skew is bounded because postings are per-token rows, and AQE splits
+    a hot token's aggregation. ``min_df`` drops hapax tokens (vocabulary
+    noise) before the array build, shrinking the index. Persist the result
+    (parquet, ideally bucketed by token) and query via
+    :func:`keyword_search` without ever rescanning the corpus."""
+    toks = _tokenize(df, text_col)
+    pairs = (
+        toks.select(F.col(id_col), F.explode("__s_words").alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    grouped = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+    )
+    if min_df > 1:
+        grouped = grouped.filter(F.col("df") >= min_df)
+    return grouped
+
+
+def keyword_search(
+    index: DataFrame,
+    query_terms: list[str],
+    *,
+    mode: str = "any",
+) -> DataFrame:
+    """Resolve a keyword query against a postings table from
+    :func:`build_inverted_index`. Returns (doc_id, n_matched) — documents
+    containing ANY query term with how many distinct terms matched
+    (``mode='all'`` keeps only docs matching EVERY term — boolean AND).
+
+    The corpus is never touched: an isin filter over the (comparatively
+    tiny) postings table, one explode of the matched postings, one
+    count aggregate keyed on doc id. On a token-bucketed index the filter
+    prunes to the query's buckets."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("keyword_search needs at least one query term")
+    hits = (
+        index.filter(F.col("token").isin(terms))
+        .select(F.explode("postings").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    if mode == "all":
+        hits = hits.filter(F.col("n_matched") == len(terms))
+    return hits

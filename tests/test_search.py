@@ -1,0 +1,142 @@
+"""Lexical retrieval operators (operators/search.py): BM25 scoring against
+a hand-computed oracle, inverted-index postings correctness, and the
+plan-shape guarantees (tf leg zero-shuffle, TakeOrdered top-k, corpus
+untouched at keyword-query time)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.operators.search import (
+    bm25_scores,
+    bm25_topk,
+    build_inverted_index,
+    keyword_search,
+)
+
+DOCS = [
+    (1, "spark merge window spark"),
+    (2, "merge batch row"),
+    (3, "the quick brown fox"),
+    (4, ""),
+    (5, "spark spark spark spark spark"),
+    (6, "window   merge"),  # multiple spaces: split on \s+
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_bm25(query, k1=1.2, b=0.75):
+    """Independent driver-side reference implementation."""
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n = len(toks)
+    dls = {d: len(w) for d, w in toks.items()}
+    avgdl = sum(dls.values()) / n
+    out = {}
+    for d, words in toks.items():
+        score = 0.0
+        for term in sorted(set(query)):
+            tf = words.count(term)
+            df = sum(1 for w in toks.values() if term in w)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+        out[d] = round(score, 6)
+    return out
+
+
+def test_bm25_matches_reference_formula(docs):
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["spark", "merge"]).collect()
+    }
+    want = _py_bm25(["spark", "merge"])
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-6), d
+
+
+def test_bm25_empty_doc_scores_zero(docs):
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert got[4] == 0.0
+    assert got[3] == 0.0  # no query term present
+
+
+def test_bm25_duplicate_terms_collapse(docs):
+    once = bm25_scores(docs, ["spark"]).collect()
+    twice = bm25_scores(docs, ["spark", "SPARK"]).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_bm25_topk_deterministic_cut(docs):
+    top2 = bm25_topk(docs, ["spark", "merge"], k=2).collect()
+    want = sorted(_py_bm25(["spark", "merge"]).items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["doc_id"], r["bm25"]) for r in top2] == [
+        (d, pytest.approx(s, abs=1e-6)) for d, s in want[:2]
+    ]
+
+
+def test_bm25_rejects_empty_query(docs):
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_bm25_tf_leg_is_zero_shuffle(docs):
+    """The per-document feature projection must ride the scan: the only
+    exchanges in the full plan are the singleton stats aggregate and its
+    broadcast back — never a repartition of the corpus."""
+    from tests.conftest import plan_str
+
+    plan = plan_str(bm25_scores(docs, ["spark", "merge"]))
+    # the corpus-side leg may be hash-partitioned only by the stats
+    # aggregate's single-row reduction; no Exchange hashpartitioning of
+    # doc rows is allowed
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_topk_plans_take_ordered(docs):
+    from tests.conftest import plan_str
+
+    assert "TakeOrderedAndProject" in plan_str(bm25_topk(docs, ["spark"], k=3))
+
+
+def test_inverted_index_postings(docs):
+    rows = {
+        r["token"]: (r["df"], r["postings"])
+        for r in build_inverted_index(docs).collect()
+    }
+    assert rows["spark"] == (2, [1, 5])
+    assert rows["merge"] == (3, [1, 2, 6])
+    assert rows["window"] == (2, [1, 6])
+    assert "" not in rows  # empty doc contributes nothing
+
+
+def test_inverted_index_min_df(docs):
+    rows = {r["token"] for r in build_inverted_index(docs, min_df=2).collect()}
+    assert "spark" in rows and "fox" not in rows
+
+
+def test_keyword_search_any_and_all(docs):
+    idx = build_inverted_index(docs)
+    any_hits = {
+        r["doc_id"]: r["n_matched"]
+        for r in keyword_search(idx, ["spark", "window"]).collect()
+    }
+    assert any_hits == {1: 2, 5: 1, 6: 1}
+    all_hits = {
+        r["doc_id"]
+        for r in keyword_search(idx, ["spark", "window"], mode="all").collect()
+    }
+    assert all_hits == {1}
+
+
+def test_keyword_search_validates(docs):
+    idx = build_inverted_index(docs)
+    with pytest.raises(ValueError):
+        keyword_search(idx, ["x"], mode="or")
+    with pytest.raises(ValueError):
+        keyword_search(idx, [])
