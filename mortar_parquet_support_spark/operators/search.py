@@ -33,9 +33,11 @@ from mortar_parquet_support_spark.operators.text import _lower_words
 
 def _tokenize(df: DataFrame, text_col: str) -> DataFrame:
     """Attach the casefolded whitespace token array + document length.
+    NULL text is treated as empty (the curation-module convention —
+    without the coalesce a NULL row would poison dl/avgdl and every tf).
     Empty/blank text has dl = 0 (split('') yields [''], which must not
     count as one token)."""
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = _lower_words(t)
     dl = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
     return df.withColumns({"__s_words": words, "__s_dl": dl.cast("double")})
@@ -90,8 +92,14 @@ def bm25_scores(
     )
     scored = feat.crossJoin(F.broadcast(stats))
 
+    # avgdl == 0 (all-blank corpus) would divide by zero — ANSI mode (the
+    # Spark 4 default this engine runs under) raises instead of yielding
+    # NULL, so guard it: every dl is 0 too, making the substituted 1.0
+    # inert (norm = k1, tf = 0, score = 0.0 as documented).
+    avgdl = F.col("__s_avgdl")
+    safe_avgdl = F.when(avgdl > 0, avgdl).otherwise(F.lit(1.0))
     norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("__s_dl") / F.col("__s_avgdl")
+        F.lit(1.0 - b) + F.lit(b) * F.col("__s_dl") / safe_avgdl
     )
     contribs = []
     for i in range(len(terms)):
@@ -137,26 +145,54 @@ def build_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Postings table (token, df, postings) — ``postings`` a sorted array of
     doc ids containing the token (distinct: a repeated token posts once).
 
-    One explode + one groupBy: the shuffle carries (token, doc_id) pairs
-    — corpus-token-bound, paid ONCE at index-build time; rare-token
-    skew is bounded because postings are per-token rows, and AQE splits
-    a hot token's aggregation. ``min_df`` drops hapax tokens (vocabulary
-    noise) before the array build, shrinking the index. Persist the result
-    (parquet, ideally bucketed by token) and query via
+    Default path: ONE wide shuffle. The explode produces (doc_id, token)
+    pairs and ``collect_set`` dedups repeated tokens inside partial
+    aggregation — no separate ``distinct`` pass (which would be a second
+    full-width exchange of the same pairs). ``min_df`` prunes hapax tokens
+    from the OUTPUT after their arrays are built — it shrinks the persisted
+    index, not the build's reduce-side memory.
+
+    ``max_df`` switches to a memory-bounded two-pass build. A stopword-
+    frequency token posts in nearly every document, and an aggregation
+    group can never be split (AQE skew handling applies to join partitions,
+    not agg groups), so the single reduce task building that token's array
+    is the scale ceiling. Pass 1 computes per-token document frequency with
+    a count aggregate (partial aggregation means the shuffle carries
+    (token, count) partials, never id lists); pass 2 joins the surviving
+    vocabulary — ``min_df <= df <= max_df`` — back over the pairs and
+    collects postings only for tokens whose array size is already known to
+    be bounded. Hot tokens are dropped BEFORE any array is built.
+
+    Persist the result (parquet, ideally bucketed by token) and query via
     :func:`keyword_search` without ever rescanning the corpus."""
+    if max_df is not None and max_df < min_df:
+        raise ValueError(f"max_df ({max_df}) < min_df ({min_df})")
     toks = _tokenize(df, text_col)
-    pairs = (
-        toks.select(F.col(id_col), F.explode("__s_words").alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
-    )
+    pairs = toks.select(
+        F.col(id_col), F.explode("__s_words").alias("token")
+    ).filter(F.col("token") != "")
+    if max_df is not None:
+        dfc = (
+            pairs.groupBy("token")
+            .agg(F.count_distinct(F.col(id_col)).alias("df"))
+            .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        )
+        return (
+            pairs.join(dfc, "token")
+            .groupBy("token", "df")
+            .agg(F.array_sort(F.collect_set(id_col)).alias("postings"))
+            .select("token", "df", "postings")
+        )
     grouped = pairs.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list(id_col)).alias("postings"),
+        F.array_sort(F.collect_set(id_col)).alias("postings")
+    )
+    grouped = grouped.select(
+        "token", F.size("postings").cast("long").alias("df"), "postings"
     )
     if min_df > 1:
         grouped = grouped.filter(F.col("df") >= min_df)
@@ -168,6 +204,7 @@ def keyword_search(
     query_terms: list[str],
     *,
     mode: str = "any",
+    missing_terms: str = "empty",
 ) -> DataFrame:
     """Resolve a keyword query against a postings table from
     :func:`build_inverted_index`. Returns (doc_id, n_matched) — documents
@@ -177,12 +214,39 @@ def keyword_search(
     The corpus is never touched: an isin filter over the (comparatively
     tiny) postings table, one explode of the matched postings, one
     count aggregate keyed on doc id. On a token-bucketed index the filter
-    prunes to the query's buckets."""
+    prunes to the query's buckets.
+
+    AND-mode footgun: a query term with no postings row makes the result
+    empty — correct when the term never occurs in the corpus, a SILENT
+    false negative when the index was built with ``min_df``/``max_df``
+    pruning (the two cases are indistinguishable from the index alone).
+    ``missing_terms='empty'`` (default) keeps plain AND semantics;
+    ``'error'`` eagerly checks the postings table (one small job) and
+    raises naming the absent terms — the safe mode for decontamination
+    sweeps over pruned indexes."""
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    if missing_terms not in ("empty", "error"):
+        raise ValueError(
+            f"missing_terms must be 'empty' or 'error', got {missing_terms!r}"
+        )
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("keyword_search needs at least one query term")
+    if mode == "all" and missing_terms == "error":
+        present = {
+            r["token"]
+            for r in index.filter(F.col("token").isin(terms))
+            .select("token")
+            .distinct()
+            .collect()
+        }
+        absent = sorted(set(terms) - present)
+        if absent:
+            raise ValueError(
+                "query terms absent from index (never in corpus, or pruned "
+                f"by min_df/max_df): {absent}"
+            )
     hits = (
         index.filter(F.col("token").isin(terms))
         .select(F.explode("postings").alias("doc_id"))

@@ -140,3 +140,87 @@ def test_keyword_search_validates(docs):
         keyword_search(idx, ["x"], mode="or")
     with pytest.raises(ValueError):
         keyword_search(idx, [])
+
+
+def test_bm25_null_text_scores_zero(spark):
+    """NULL text must behave exactly like empty text: score 0.0, dl = 0,
+    and the row still counts toward N/avgdl (coalesce-to-'' convention,
+    same as curation.py). Without the guard a NULL row poisons avgdl and
+    every tf under ANSI mode."""
+    docs = spark.createDataFrame(
+        [(1, "spark merge"), (2, None), (3, "spark")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert got[2] == 0.0
+    assert got[1] is not None and got[1] > 0
+    # oracle with the NULL row treated as "" (n=3, avgdl=(2+0+1)/3)
+    n, avgdl = 3, 1.0
+    df_ = 2
+    idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+    for d, tf, dl in ((1, 1.0, 2.0), (3, 1.0, 1.0)):
+        want = round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+        assert got[d] == pytest.approx(want, abs=1e-6), d
+
+
+def test_bm25_all_blank_corpus_no_divide_by_zero(spark):
+    """avgdl == 0 (every doc blank/NULL) must yield 0.0 scores, not an
+    ANSI DIVIDE_BY_ZERO error."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert got == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_inverted_index_single_shuffle(docs):
+    """The default build must dedup inside partial aggregation (collect_set)
+    — exactly one wide exchange, no separate distinct pass."""
+    from tests.conftest import plan_str
+
+    plan = plan_str(build_inverted_index(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_inverted_index_max_df_two_pass(docs):
+    """max_df drops hot tokens before any postings array is built and the
+    kept rows match the single-pass build exactly."""
+    full = {
+        r["token"]: (r["df"], r["postings"])
+        for r in build_inverted_index(docs).collect()
+    }
+    capped = {
+        r["token"]: (r["df"], r["postings"])
+        for r in build_inverted_index(docs, max_df=2).collect()
+    }
+    assert "merge" in full and "merge" not in capped  # df=3 > max_df
+    assert capped == {t: v for t, v in full.items() if v[0] <= 2}
+    with pytest.raises(ValueError):
+        build_inverted_index(docs, min_df=3, max_df=2)
+
+
+def test_inverted_index_min_and_max_df(docs):
+    rows = {
+        r["token"]: r["df"]
+        for r in build_inverted_index(docs, min_df=2, max_df=2).collect()
+    }
+    assert rows and all(v == 2 for v in rows.values())
+    assert "fox" not in rows and "merge" not in rows
+
+
+def test_keyword_search_missing_terms_error(docs):
+    """AND-mode over a pruned index: 'empty' stays silent (plain AND),
+    'error' names the absent terms."""
+    idx = build_inverted_index(docs, min_df=2)  # prunes 'fox' (hapax)
+    assert keyword_search(idx, ["fox", "spark"], mode="all").count() == 0
+    with pytest.raises(ValueError, match="fox"):
+        keyword_search(idx, ["fox", "spark"], mode="all", missing_terms="error")
+    # present terms pass the check and return the AND result
+    hits = {
+        r["doc_id"]
+        for r in keyword_search(
+            idx, ["spark", "window"], mode="all", missing_terms="error"
+        ).collect()
+    }
+    assert hits == {1}
+    with pytest.raises(ValueError):
+        keyword_search(idx, ["spark"], missing_terms="sometimes")
