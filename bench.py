@@ -127,18 +127,30 @@ def main() -> int:
 
     qs = entrymod.queries()
 
-    # Plan-compile warmup: run every headline query once at sf0.001 (~600x
-    # less data) so whole-stage codegen compiles — and Spark's generated-
-    # code cache retains — each plan's classes BEFORE the timed loop. The
-    # timed numbers then measure engine THROUGHPUT at sf0.1, not Janino/JIT
-    # compile time, which (a) is a constant that amortizes to nothing at
-    # real scale and (b) proved to drift 3-7x with host JIT throughput
-    # between rounds, drowning the signal the bench exists to track. The
+    # Plan-compile warmup: run each headline query once at sf0.001 (~600x
+    # less data) IMMEDIATELY BEFORE its timed run, so whole-stage codegen
+    # compiles each plan's classes right when they're about to be reused.
+    # The timed numbers then measure engine THROUGHPUT at sf0.1, not
+    # Janino/JIT compile time, which (a) is a constant that amortizes to
+    # nothing at real scale and (b) proved to drift 3-7x with host JIT
+    # throughput between rounds, drowning the signal the bench exists to
+    # track. Interleaving matters: a prewarm-all-then-time-all pass LOSES
+    # most of its effect because Spark's generated-code cache is a bounded
+    # LRU (~100 compiled units) and 20 queries' codegen stages exceed it —
+    # the early queries' classes are evicted before the timed loop reaches
+    # them (measured: tpch_q3 2.3s batched vs 1.5s interleaved). The
     # warmup's own cost is recorded (prewarm_sec), nothing is hidden.
-    t0 = time.perf_counter()
     prewarm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(prewarm_dir) and os.path.abspath(prewarm_dir) != os.path.abspath(sf_dir):
-        for name in HEADLINE:
+    do_prewarm = os.path.isdir(prewarm_dir) and os.path.abspath(
+        prewarm_dir
+    ) != os.path.abspath(sf_dir)
+    prewarm_sec = 0.0
+    jif0, steal0 = _cpu_jiffies()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if do_prewarm:
+            t0 = time.perf_counter()
             try:
                 if name == "knn_ivf":
                     entrymod.ivf_index_for(spark, prewarm_dir)
@@ -147,11 +159,7 @@ def main() -> int:
                 ).save()
             except Exception:
                 pass  # a prewarm failure only costs warm cache, never the run
-    prewarm_sec = round(time.perf_counter() - t0, 3)
-    jif0, steal0 = _cpu_jiffies()
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+            prewarm_sec += time.perf_counter() - t0
         if name == "knn_ivf":
             # Build/probe split: the one-time index build (centroid seeding
             # + Lloyd refinement + persisted assignment scan) is amortized
@@ -169,6 +177,7 @@ def main() -> int:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    prewarm_sec = round(prewarm_sec, 3)
 
     jit_after = _jit_probe(spark, 2_000)
     jif1, steal1 = _cpu_jiffies()
