@@ -1301,6 +1301,44 @@ def _embedding_dedup(spark, sf_dir):
 
 
 @_register(
+    "semantic_dedup",
+    """
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-pruned dedup (operators/dedup.py
+    semantic_dedup; Abbas et al. 2023): k-means cells, pairwise cosine
+    within cells only. Oracle design: exact duplicates are planted (every
+    10th vector copied under vec_id+100000) — identical vectors share one
+    nearest centroid under the deterministic tie-break, so they can NEVER
+    straddle a cell boundary (pinned by
+    test_semantic_dedup_identical_members_never_split), making the pruned
+    result deterministic and SQL-expressible even though real clustering
+    runs (n_clusters=4, 2 Lloyd iters). The fixture's natural max pairwise
+    cosine is ~0.51, far under the 0.999 threshold, so ONLY planted pairs
+    emit. Boundary-recall bounds for non-identical near-dups are
+    pytest-pinned (test_semantic_dedup_cluster_pruned_recall)."""
+    from mortar_parquet_support_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pairs = semantic_dedup(
+        emb.unionByName(dups),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.999,
+        n_clusters=4,
+        iters=2,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@_register(
     "text_metrics",
     """
     SELECT doc_id,
@@ -3248,6 +3286,7 @@ _WINDOW_PROMOTED = [
     "knn_sq8",
     "bm25_topk",
     "keyword_search",
+    "semantic_dedup",
 ]
 
 

@@ -612,6 +612,89 @@ def embedding_dedup(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 2,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-pruned near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then compare pairs only
+    WITHIN a cluster. Returns (id_a, id_b, cosine) with cosine >= threshold
+    — same shape as :func:`embedding_dedup`; feed to
+    :func:`resolve_duplicates` to keep one document per near-dup group.
+
+    vs embedding_dedup's hyperplane buckets: k-means cells adapt to the
+    data distribution (dense regions split across more cells, empty space
+    costs nothing), which is why the paper's pipeline holds up on web-crawl
+    corpora. Recall misses only pairs straddling a cell boundary — the
+    paper accepts this by construction (near-dup eps-balls are tiny
+    relative to cluster diameter).
+
+    Scale shape: centroid training and assignment reuse the IVF trainer
+    (similarity.py) — within ``IvfIndex.MAX_DRIVER_CELLS`` each Lloyd pass
+    and the final assignment are ONE zero-shuffle Arrow-batched corpus
+    scan (closure-broadcast centroid matrix); above the bound the fully
+    distributed broadcast-join path runs instead. The only wide operation
+    is the cluster-keyed self-join — quadratic ONLY within a cell
+    (expected n/n_clusters rows), AQE-split when a cell is hot.
+
+    ``n_clusters=1`` is exact mode: one cell, all-pairs brute force — the
+    same pair set as ``embedding_dedup(n_planes=0)`` and the ground truth
+    for the pruned path's recall tests. NULL embeddings are dropped (they
+    have no position in the space — same contract as ``IvfIndex.build``).
+    """
+    from mortar_parquet_support_spark.operators.similarity import (
+        _assign_lists,
+        _assign_lists_arrow,
+        _centroids_fit_driver,
+        _centroids_small_rows,
+        ivf_centroids,
+    )
+
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    cents = None
+    if _centroids_fit_driver(df, vec_col, n_clusters):
+        cent_rows = _centroids_small_rows(
+            df, id_col=id_col, vec_col=vec_col, n_list=n_clusters,
+            iters=iters, seed=seed,
+        )
+        assigned = _assign_lists_arrow(vecs, cent_rows)
+    else:
+        cents = ivf_centroids(
+            df, id_col=id_col, vec_col=vec_col, n_list=n_clusters,
+            iters=iters, seed=seed, _small=False,
+        ).persist()
+        cents.count()
+        assigned = _assign_lists(vecs, F.broadcast(cents))
+    # barrier before the self-join (same reason as embedding_dedup's): the
+    # Arrow assignment scan is the expensive leg, and an AQE broadcast of
+    # one join side would otherwise recompute it for the other
+    keyed = materialize(assigned, checkpoint_dir=checkpoint_dir)
+    if cents is not None:
+        cents.unpersist()  # keyed is lineage-cut; the centroid plan is done
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.list_id") == F.col("b.list_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
 def connected_components(
     pairs: DataFrame,
     *,

@@ -269,6 +269,9 @@ def ivf_centroids(
     """
     spark = corpus.sparkSession
     schema = "list_id: int, centroid: array<double>"
+    # NULL embeddings must neither seed a centroid nor enter assignment
+    # (the small path filters again internally; the big path relies on this)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # decide the path BEFORE any driver collect — the big path must never
     # pull n_list * dim cells into the driver
@@ -335,6 +338,11 @@ def _centroids_small_rows(
     it again was a measurable fixed cost per build."""
     import numpy as np
 
+    # NULL embeddings have no position in the space: they must not seed a
+    # centroid (None -> TypeError below) and must not reach the Arrow
+    # Lloyd scan (_vec_matrix rejects null slots). Callers that filter
+    # already make this a no-op.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     seeds = (
         corpus.select(
             F.col(vec_col).cast("array<double>").alias("centroid"),

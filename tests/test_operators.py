@@ -445,6 +445,134 @@ def test_embedding_dedup(spark):
     assert got == {(1, 2)}
 
 
+def _planted_clusters(spark, *, n_centers=4, per_center=6, dim=16):
+    """Well-separated orthogonal-ish cluster centers with near-identical
+    members: every within-center pair is a true near-dup, every cross-center
+    cosine is ~0. Deterministic (no RNG: perturbation derives from ids)."""
+    rows = []
+    vid = 0
+    for c in range(n_centers):
+        base = [0.0] * dim
+        base[c] = 1.0
+        base[c + n_centers] = 0.2
+        for m in range(per_center):
+            v = list(base)
+            v[c + 2 * n_centers] = 0.001 * m  # tiny member-specific wiggle
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_exact_mode_matches_embedding_exact(spark):
+    df = _planted_clusters(spark)
+    want = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_dedup(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.99, n_planes=0
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.99, n_clusters=1
+        ).collect()
+    }
+    assert got == want and got  # identical pair set, bit-identical cosines
+
+
+def test_semantic_dedup_cluster_pruned_recall(spark):
+    """The pruned path never invents a pair and keeps high recall; recall
+    < 1.0 is the SemDeDup design tradeoff (a seeded k-means can split a
+    true cluster across two cells — observed: one of the four planted
+    clusters splits, 51/60 pairs). Deterministic seeding makes the
+    measured recall stable, so it is pinned."""
+    df = _planted_clusters(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.99, n_clusters=1
+        ).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.99,
+            n_clusters=4, iters=2,
+        ).collect()
+    }
+    assert pruned <= exact  # never invents a pair
+    # every within-center pair is a near-dup: 4 centers x C(6,2)
+    assert len(exact) == 4 * 15
+    assert len(pruned) / len(exact) >= 0.8
+
+
+def test_semantic_dedup_identical_members_never_split(spark):
+    """EXACT duplicates (identical vectors) can never straddle a cell
+    boundary — they share one nearest centroid (deterministic smallest-
+    list_id tie-break) — so the pruned path has guaranteed full recall on
+    them, whatever the seeding does."""
+    dim = 8
+    rows = []
+    vid = 0
+    for c in range(3):
+        base = [0.0] * dim
+        base[c] = 1.0
+        for _ in range(4):
+            rows.append((vid, list(base)))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.999,
+            n_clusters=3, iters=2,
+        ).collect()
+    }
+    assert pruned == {
+        (a, b)
+        for c in range(3)
+        for a in range(4 * c, 4 * c + 4)
+        for b in range(a + 1, 4 * c + 4)
+    }
+
+
+def test_semantic_dedup_deterministic_and_null_safe(spark):
+    df = _planted_clusters(spark)
+    with_null = df.union(
+        spark.createDataFrame([(999, None)], df.schema)
+    )
+    a = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup(
+            with_null, id_col="vec_id", vec_col="embedding",
+            threshold=0.99, n_clusters=4,
+        ).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup(
+            with_null, id_col="vec_id", vec_col="embedding",
+            threshold=0.99, n_clusters=4,
+        ).collect()
+    )
+    assert a == b
+    assert all(999 not in p for p in a)  # NULL embedding dropped, no crash
+    with pytest.raises(ValueError):
+        dedup.semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding", n_clusters=0
+        )
+
+
+def test_semantic_dedup_resolves_to_one_per_cluster(spark):
+    df = _planted_clusters(spark)
+    pairs = dedup.semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.99, n_clusters=1
+    )
+    kept = dedup.resolve_duplicates(df, pairs, id_col="vec_id")
+    ids = sorted(r.vec_id for r in kept.select("vec_id").collect())
+    assert ids == [0, 6, 12, 18]  # min id per planted cluster survives
+
+
 # ---------------------------------------------------------------- similarity
 def test_cosine_topk_exact(embeddings):
     queries = embeddings.filter(F.col("vec_id") < 3)
@@ -773,6 +901,36 @@ def test_cosine_topk_arrow_tie_break_across_partitions(spark):
         arrow = [(r.neighbor_id, r.rank) for r in cosine_topk_arrow(c, qs, k=3).collect()]
         assert sorted(exact) == [(1, 1), (2, 2), (3, 3)]
         assert sorted(arrow) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_ivf_trainer_tolerates_null_embeddings(spark):
+    """Latent bug found via semantic_dedup: IvfIndex.build filtered NULL
+    embeddings on its ASSIGNMENT scan but fed the raw corpus to the Lloyd
+    trainer, where a NULL could seed a centroid (TypeError) or crash the
+    Arrow partials scan. The trainer now filters at its own entry, on both
+    the small and distributed paths."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        IvfIndex,
+        _centroids_small_rows,
+        ivf_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = _centroids_small_rows(
+        corpus, id_col="vec_id", vec_col="embedding", n_list=2, iters=2, seed=42
+    )
+    assert rows and all(vec is not None for _, vec in rows)
+    big = ivf_centroids(
+        corpus, id_col="vec_id", vec_col="embedding", n_list=2, iters=1,
+        _small=False,
+    ).collect()
+    assert big and all(r["centroid"] is not None for r in big)
+    idx = IvfIndex.build(corpus, id_col="vec_id", vec_col="embedding", n_list=2)
+    assert idx.assigned.filter("c_vec is null").count() == 0
+    idx.unpersist()
 
 
 def test_cosine_topk_degenerate_vectors_never_rank(spark):
