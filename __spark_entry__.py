@@ -1269,6 +1269,87 @@ def _approx_stats(spark, sf_dir):
 
 
 @_register(
+    "quantile_sketch",
+    """
+    SELECT event_type, CAST(sign(value) AS INT) AS sign,
+           CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(log10(abs(value)) * 20.0 + 1e-9) AS BIGINT)
+           END AS mag_bin,
+           COUNT(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def _quantile_sketch(spark, sf_dir):
+    """Mergeable quantile-histogram state (operators/sketches.py
+    qhist_rollup): deterministic log-spaced bins, exactly re-aggregatable
+    by summing counts — the persistable counterpart to percentile_approx,
+    whose sketch state Spark cannot store/union. Binning is engine-
+    portable by design (the 1e-9 nudge absorbs libm ulp differences at
+    decimal bin edges), so the full state is DuckDB-oracle-checked."""
+    from mortar_parquet_support_spark.operators.sketches import qhist_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return qhist_rollup(ev, value="value", keys=["event_type"])
+
+
+@_register(
+    "quantile_estimate",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(sign(value) AS INT) AS sign,
+             CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(log10(abs(value)) * 20.0 + 1e-9) AS BIGINT)
+             END AS mag_bin,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT event_type, cnt,
+             sign * 100000 + CASE WHEN sign = -1 THEN -mag_bin
+                                  ELSE mag_bin END AS skey,
+             CASE WHEN sign = 0 THEN 0.0
+                  ELSE sign * pow(10.0, (mag_bin + 0.5) / 20.0) END AS rep,
+             SUM(cnt) OVER (
+               PARTITION BY event_type
+               ORDER BY sign * 100000 + CASE WHEN sign = -1 THEN -mag_bin
+                                             ELSE mag_bin END
+             ) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    SELECT event_type,
+           ROUND(min_by(rep, skey) FILTER (WHERE cum >= 0.5  * total), 6) AS p50,
+           ROUND(min_by(rep, skey) FILTER (WHERE cum >= 0.95 * total), 6) AS p95,
+           ROUND(min_by(rep, skey) FILTER (WHERE cum >= 0.99 * total), 6) AS p99,
+           CAST(MAX(total) AS BIGINT) AS n
+    FROM t GROUP BY event_type
+    """,
+)
+def _quantile_estimate(spark, sf_dir):
+    """Quantiles served FROM the histogram state (qhist_quantiles):
+    lower-invCDF bin pick + geometric-midpoint representative, all
+    deterministic — so unlike approx_percentile this estimator is fully
+    oracle-checkable. Error bound 10^(1/40)-1 ~ 5.9% vs exact percentiles
+    (pytest-pinned against numpy in
+    test_qhist_quantiles_within_error_bound)."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        qhist_quantiles,
+        qhist_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    state = qhist_rollup(ev, value="value", keys=["event_type"])
+    out = qhist_quantiles(state, group_cols=["event_type"], qs=[0.5, 0.95, 0.99])
+    return out.select(
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+        "n",
+    )
+
+
+@_register(
     "embedding_dedup",
     """
     SELECT id_a, id_b, cosine FROM (
@@ -3287,6 +3368,8 @@ _WINDOW_PROMOTED = [
     "bm25_topk",
     "keyword_search",
     "semantic_dedup",
+    "quantile_sketch",
+    "quantile_estimate",
 ]
 
 

@@ -20,7 +20,7 @@ partitions, fixed memory per group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,145 @@ def hll_estimate(sketches: DataFrame, *, sketch_cols: list[str]) -> DataFrame:
             f"{c}_distinct", F.hll_sketch_estimate(F.col(f"{c}_sketch"))
         ).drop(f"{c}_sketch")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quantile-histogram sketch: the re-aggregatable counterpart to
+# percentile_approx. Spark's percentile sketches are terminal aggregates —
+# their state can't be persisted and unioned later — so the rollup-reuse
+# pattern above has no quantile answer. This one is a deterministic
+# log-spaced histogram: per (group) state is (sign, mag_bin, cnt) rows,
+# EXACTLY mergeable by summing counts (unlike probabilistic sketches the
+# merge is lossless by construction), with a hard relative-error bound of
+# 10^(1/(2*bins_per_decade)) - 1 per quantile (~5.9% at the default 20
+# bins/decade, ~2.9% at 40). State size is O(decades * bins_per_decade)
+# per group — fixed KBs regardless of row count.
+#
+# Binning is engine-portable ON PURPOSE (a DuckDB oracle reproduces it):
+# floor(log10(|x|) * bpd + 1e-9). The 1e-9 nudge absorbs cross-engine
+# libm differences (<= 1 ulp ~ 1e-15) at decimal bin edges — e.g. x=0.01
+# sits exactly on an edge, and an engine rounding log10 one ulp low would
+# otherwise bin it one lower. The nudge only re-bins values within 1e-9
+# (in log10 space) BELOW an edge into the upper bin: a deterministic,
+# engine-agnostic choice that is noise against the sketch's own error
+# bound.
+# ---------------------------------------------------------------------------
+
+_QHIST_EPS = 1e-9
+
+
+def _qhist_sign_bin(value: Column, bins_per_decade: int):
+    """(sign, mag_bin) columns for one value: sign in {-1, 0, 1}; mag_bin
+    the log-spaced magnitude bin (0 for zero — sign alone disambiguates)."""
+    sign = F.signum(value).cast("int")
+    mag_bin = F.when(sign == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            F.log10(F.abs(value)) * F.lit(float(bins_per_decade))
+            + F.lit(_QHIST_EPS)
+        ).cast("long")
+    )
+    return sign, mag_bin
+
+
+def qhist_rollup(
+    df: DataFrame,
+    *,
+    value: str,
+    keys: list[str] | None = None,
+    ts: str | None = None,
+    bucket: str | None = None,
+    bins_per_decade: int = 20,
+) -> DataFrame:
+    """One raw scan -> per-(time-bucket, keys) histogram state rows
+    (``bucket``?, keys..., ``sign``, ``mag_bin``, ``cnt``) — the compact,
+    exactly-mergeable representation to persist. NULL values are dropped
+    (they have no magnitude; count them separately if needed).
+
+    Scale shape: one shuffle on (bucket, keys, sign, mag_bin) with
+    map-side partial counting — the shuffle carries at most
+    groups x occupied-bins rows, not data rows."""
+    keys = list(keys or [])
+    sign, mag_bin = _qhist_sign_bin(F.col(value), bins_per_decade)
+    out = df.filter(F.col(value).isNotNull()).withColumns(
+        {"sign": sign, "mag_bin": mag_bin}
+    )
+    group: list = []
+    head: list = []
+    if ts is not None:
+        if bucket is None:
+            raise ValueError("ts given without bucket duration")
+        group.append(F.window(F.col(ts), bucket).alias("w"))
+        head.append(F.col("w.start").alias("bucket"))
+    group += keys + ["sign", "mag_bin"]
+    return (
+        out.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(*head, *keys, "sign", "mag_bin", "cnt")
+    )
+
+
+def qhist_reaggregate(hist: DataFrame, *, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate stored histogram state to a coarser grain WITHOUT
+    touching raw data — and, unlike HLL union, EXACTLY: summing per-bin
+    counts loses nothing, so the result is identical to a direct rollup
+    of the raw rows at the coarser grain."""
+    return (
+        hist.groupBy(*group_cols, "sign", "mag_bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*group_cols, "sign", "mag_bin", "cnt")
+    )
+
+
+def qhist_quantiles(
+    hist: DataFrame,
+    *,
+    group_cols: list[str],
+    qs: list[float] = (0.5, 0.95, 0.99),
+    bins_per_decade: int = 20,
+) -> DataFrame:
+    """Quantile estimates from histogram state: per group, the lower-
+    inverted-CDF bin (smallest bin whose cumulative count reaches q * n),
+    reported as the bin's geometric midpoint ``sign * 10^((b+0.5)/bpd)``
+    (0 for the zero bin) in columns ``p50``/``p95``/... Relative error is
+    bounded by the bin width: |est/true - 1| <= 10^(1/(2*bpd)) - 1.
+
+    All built-in expressions: one cumulative window + one min-of-struct
+    aggregate per group — two shuffles on the (tiny) state table, raw
+    data untouched."""
+    from pyspark.sql import Window
+
+    # ascending VALUE order: sign first; within sign=-1 larger magnitude
+    # bins are smaller values, so their order key flips
+    ordk = F.when(F.col("sign") == -1, -F.col("mag_bin")).otherwise(
+        F.col("mag_bin")
+    )
+    rep = F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+        F.col("sign")
+        * F.pow(
+            F.lit(10.0),
+            (F.col("mag_bin") + F.lit(0.5)) / F.lit(float(bins_per_decade)),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("sign"), ordk)
+    wall = Window.partitionBy(*group_cols)
+    staged = hist.withColumns(
+        {
+            "_ord": ordk,
+            "_rep": rep,
+            "_cum": F.sum("cnt").over(w),
+            "_total": F.sum("cnt").over(wall),
+        }
+    )
+    aggs = []
+    for q in qs:
+        name = f"p{q * 100:g}".replace(".", "_")  # p50, p95, p99_9
+        pick = F.min(
+            F.when(
+                F.col("_cum") >= F.lit(float(q)) * F.col("_total"),
+                F.struct(F.col("sign"), F.col("_ord"), F.col("_rep")),
+            )
+        )["_rep"]
+        aggs.append(pick.alias(name))
+    return staged.groupBy(*group_cols).agg(
+        *aggs, F.max("_total").alias("n")
+    )

@@ -1208,6 +1208,102 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in p or "dynamicpruning" in p, p
 
 
+def test_qhist_merge_is_exact(spark, sf_dir):
+    """Re-aggregating hourly quantile-histogram state to daily must equal
+    a direct daily rollup EXACTLY (bin counts sum losslessly — the
+    property HLL union can only approximate)."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        qhist_reaggregate,
+        qhist_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = qhist_rollup(
+        ev, value="value", keys=["event_type"], ts="ts", bucket="1 hour"
+    )
+    daily_from_hourly = qhist_reaggregate(
+        hourly.withColumn("day", F.to_date("bucket")),
+        group_cols=["day", "event_type"],
+    )
+    direct_daily = qhist_rollup(
+        ev, value="value", keys=["event_type"], ts="ts", bucket="1 day"
+    ).select(
+        F.to_date("bucket").alias("day"), "event_type", "sign", "mag_bin", "cnt"
+    )
+    merged = {
+        (str(r.day), r.event_type, r.sign, r.mag_bin): r.cnt
+        for r in daily_from_hourly.collect()
+    }
+    direct = {
+        (str(r.day), r.event_type, r.sign, r.mag_bin): r.cnt
+        for r in direct_daily.collect()
+    }
+    assert merged == direct and merged
+
+
+def test_qhist_quantiles_within_error_bound(spark, sf_dir):
+    """Every estimated quantile must be within the documented relative
+    error bound 10^(1/(2*bpd)) - 1 of the exact lower-invCDF percentile."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        qhist_quantiles,
+        qhist_rollup,
+    )
+
+    bpd = 20
+    bound = 10 ** (1 / (2 * bpd)) - 1  # ~5.9%
+    ev = load_table(spark, sf_dir, "events")
+    state = qhist_rollup(ev, value="value", keys=["event_type"], bins_per_decade=bpd)
+    est = {
+        r.event_type: (r.p50, r.p95, r.p99, r.n)
+        for r in qhist_quantiles(
+            state, group_cols=["event_type"], qs=[0.5, 0.95, 0.99],
+            bins_per_decade=bpd,
+        ).collect()
+    }
+    import numpy as np
+
+    rows = ev.select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(est) == set(by_type)
+    for et, vals in by_type.items():
+        vals = np.sort(np.array(vals))
+        p50e, p95e, p99e, n = est[et]
+        assert n == len(vals)
+        for q, got in ((0.5, p50e), (0.95, p95e), (0.99, p99e)):
+            # exact lower-invCDF percentile: first value with rank >= q*n
+            import math
+
+            exact = vals[min(len(vals) - 1, math.ceil(q * len(vals)) - 1)]
+            assert abs(got / exact - 1) <= bound + 1e-12, (et, q, got, exact)
+
+
+def test_qhist_signs_zero_and_nulls(spark):
+    """Negative values, zero, and NULLs: zero gets its own (0, 0) bin,
+    NULLs are dropped, and quantiles come back in true value order
+    (negative bins flip their order key)."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        qhist_quantiles,
+        qhist_rollup,
+    )
+
+    vals = [-1000.0, -1.0, 0.0, 0.5, 2.0, 3000.0, None]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    state = qhist_rollup(df, value="v", keys=["g"])
+    rows = {(r.sign, r.mag_bin): r.cnt for r in state.collect()}
+    assert sum(rows.values()) == 6  # NULL dropped
+    assert rows[(0, 0)] == 1
+    assert sum(c for (s, _), c in rows.items() if s == -1) == 2
+    out = qhist_quantiles(
+        state, group_cols=["g"], qs=[0.01, 0.5, 0.99]
+    ).collect()[0]
+    # p1 must land in the most-negative bin (~ -1000), p99 in the largest
+    assert out.p1 < -500 and out.p99 > 1000
+    # median of [-1000,-1,0,0.5,2,3000] (lower invCDF, rank 3) = 0
+    assert out.p50 == 0.0
+
+
 def test_hll_rollup_reaggregation_is_lossless(spark, sf_dir):
     """Union of hourly sketches must match a direct daily sketch: exactly
     in sparse mode (small cardinalities), and within a whisker in dense
