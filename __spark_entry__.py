@@ -1530,12 +1530,14 @@ def _text_quality(spark, sf_dir):
     "bm25_topk",
     """
     WITH feat AS (
+      -- coalesce(text, ''): the operator's documented NULL-text convention
+      -- (NULL scores 0.0 and still counts toward N/avgdl)
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN 0.0
-                  ELSE CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) END AS dl,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = 'merge')) AS DOUBLE) AS tf0,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = 'spark')) AS DOUBLE) AS tf1,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0.0
+                  ELSE CAST(len(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS DOUBLE) END AS dl,
+             CAST(len(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), x -> x = 'merge')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), x -> x = 'spark')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
       FROM documents
     ), stats AS (
       SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
@@ -1572,7 +1574,7 @@ def _bm25_topk(spark, sf_dir):
     """
     WITH pairs AS (
       SELECT DISTINCT doc_id, t.token
-      FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+      FROM documents, unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t(token)
       WHERE t.token <> ''
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched

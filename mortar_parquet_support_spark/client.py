@@ -84,8 +84,12 @@ class Client:
         if sites is None:
             return self.engine.sql(query)
         sites = list(sites)  # may be a generator; it is iterated twice below
-        probe = self.engine.sql(query, site=sites[0]) if sites else None
-        if probe is not None and "site" in probe.columns:
+        # compile once per site, THEN probe the first frame for the ?site
+        # collision — probing with a separate engine.sql call would pay a
+        # full extra compilation (pattern ordering, join planning, closure
+        # lookups) for sites[0]
+        bare = [self.engine.sql(query, site=site) for site in sites]
+        if bare and "site" in bare[0].columns:
             # withColumn('site', provenance) would silently OVERWRITE the
             # query's own ?site binding — destroying result data beats a
             # loud error in no scenario
@@ -95,8 +99,7 @@ class Client:
                 "variable or run with sites=None"
             )
         frames = [
-            self.engine.sql(query, site=site).withColumn("site", F.lit(site))
-            for site in sites
+            df.withColumn("site", F.lit(site)) for df, site in zip(bare, sites)
         ]
         if not frames:
             # reference returns an empty pd.DataFrame() for sites=[]

@@ -108,7 +108,16 @@ def bm25_scores(
         idf = F.log(
             F.lit(1.0) + (F.col("__s_n") - dfr + 0.5) / (dfr + 0.5)
         )
-        contribs.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
+        # tf == 0 contributes exactly 0 — short-circuited rather than
+        # computed, because with b=1.0 (full length normalization) an
+        # empty document has norm == 0 too and 0.0/0.0 raises
+        # DIVIDE_BY_ZERO under ANSI mode; tf >= 1 makes the denominator
+        # strictly positive.
+        contribs.append(
+            F.when(tf > 0, idf * tf * F.lit(k1 + 1.0) / (tf + norm)).otherwise(
+                F.lit(0.0)
+            )
+        )
     total = contribs[0]
     for c in contribs[1:]:
         total = total + c

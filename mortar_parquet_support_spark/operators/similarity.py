@@ -46,12 +46,18 @@ def cosine_topk(
     Degenerate rows — NULL vectors, zero norms, NULL elements — score NULL
     (try_divide in cosine_similarity) and are dropped from the result:
     they have no cosine direction and must never occupy a neighbor slot.
-    Same contract as :func:`cosine_topk_arrow`.
+    NULL-ID corpus rows are dropped too: an unaddressable neighbor is
+    useless output, and leaving them in made the two paths disagree (the
+    include_self filter silently dropped them here while the arrow path's
+    id tie-break lexsort crashed on None). Same contract as
+    :func:`cosine_topk_arrow`.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     joined = c.crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -146,12 +152,17 @@ def cosine_topk_arrow(
 
         for batch in batches:
             vec_arr = batch.column(1)
-            if vec_arr.null_count:
+            if vec_arr.null_count or batch.column(0).null_count:
                 # ListArray.flatten() silently DROPS null list slots — one
                 # NULL embedding would shift every later vector's elements
                 # in the reshape (silent mis-scoring). Degenerate rows never
                 # rank (exact path: NULL cosine), so drop them up front.
-                batch = batch.filter(pc.is_valid(vec_arr))
+                # NULL ids go too (exact-path contract): a None in ids_np
+                # would make the tie-break lexsort an object-array compare
+                # that raises TypeError mid-query.
+                batch = batch.filter(
+                    pc.and_(pc.is_valid(vec_arr), pc.is_valid(batch.column(0)))
+                )
                 vec_arr = batch.column(1)
             n = batch.num_rows
             if n == 0:

@@ -131,10 +131,16 @@ def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
         data.join(F.broadcast(header), data["uuid"] == header["h_uuid"], "inner")
         .select(
             "uuid",
+            # try_element_at, not element_at: a truncated/blank data line
+            # yields fewer fields than the header promised, and ANSI mode
+            # (this engine's default) turns the out-of-range lookup into a
+            # job-killing INVALID_ARRAY_INDEX error. NULL -> the
+            # time-isNotNull filter drops the malformed row, matching the
+            # try_* parsing contract.
             F.try_to_timestamp(
-                F.element_at(F.col("_fields"), F.col("_tpos"))
+                F.try_element_at(F.col("_fields"), F.col("_tpos"))
             ).alias("time"),  # P2 (transform.py:25)
-            F.element_at(F.col("_fields"), F.col("_vpos"))
+            F.try_element_at(F.col("_fields"), F.col("_vpos"))
             .try_cast("double")
             .alias("value"),
             "label",

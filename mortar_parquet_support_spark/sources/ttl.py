@@ -107,6 +107,12 @@ def _rfc3986_resolve(base: str, ref: str) -> str:
     segments — the ad-hoc string merge this replaces concatenated refs
     onto slashless base paths ('urn:isbn:X' + 'ch1' -> 'urn:isbn:Xch1')
     and mis-merged /p and ?q forms."""
+    if ":" not in base:
+        # a colon-less @base is itself a relative reference (malformed per
+        # Turtle, which requires an absolute IRI) — degrade the way the
+        # old urljoin path did instead of crashing the whole corpus load:
+        # resolve under a pseudo-scheme, then strip it back off.
+        return _rfc3986_resolve("rel:" + base, ref)[len("rel:"):]
     scheme, rest = base.split(":", 1)
     rest = rest.split("#", 1)[0]  # base fragment never survives resolution
     if "?" in rest:

@@ -437,3 +437,30 @@ def test_upsert_preserves_null_collection_partition(spark, tmp_path):
     }
     # t(0) must SURVIVE the rewrite; t(1) takes the update's value
     assert got == {t(0): 1.0, t(1): 9.0}, got
+
+
+def test_truncated_data_lines_dropped_not_fatal(spark, tmp_path):
+    """Review finding r8: a data row with fewer fields than the header
+    promised (blank interior line, truncated tail) made element_at raise
+    INVALID_ARRAY_INDEX under ANSI mode, killing the whole ingest. The
+    try_element_at form drops the malformed row instead, matching the
+    try_* parsing contract."""
+    dest = tmp_path / "lake_trunc"
+    path = os.path.join(tmp_path, f"{U1}.csv")
+    with open(path, "w") as fh:
+        fh.write("datetime,sensor\n")
+        fh.write("2020-01-01 00:00:00+00:00,1.5\n")
+        fh.write("\n")              # blank interior line -> 1 empty field
+        fh.write("2020-01-01 0\n")  # truncated: no value field
+        fh.write("2020-01-01 01:00:00+00:00,2.5\n")
+    out = ingest_csv(spark, "c1", path, str(dest))
+    assert out is not None  # the job survives; no ANSI array-index abort
+    rows = {(str(r.time), r.value) for r in out.select("time", "value").collect()}
+    assert ("2020-01-01 00:00:00", 1.5) in rows
+    assert ("2020-01-01 01:00:00", 2.5) in rows
+    # the blank line has no parseable time -> dropped; the truncated line
+    # keeps its parseable time with a NULL value (missing-reading
+    # semantics, what pandas read_csv would produce as NaN)
+    assert all(v is None for t, v in rows if t not in
+               ("2020-01-01 00:00:00", "2020-01-01 01:00:00"))
+    assert ("", None) not in rows and len(rows) <= 3

@@ -2670,3 +2670,28 @@ def test_frame_sample_ceil_and_decode_fn_validation(spark):
     assert out.count() == 2
     with pytest.raises(ValueError, match="decode_fn"):
         multimodal.frame_sample(df, decode_fn="rel")
+
+
+def test_cosine_topk_null_id_rows_dropped_both_paths(spark):
+    """Review finding r8: a NULL-id corpus row crashed the arrow path's
+    tie-break lexsort (object-array compare with None) while the exact
+    path silently dropped or mis-ranked it depending on include_self.
+    Contract now: NULL-id rows never rank, either path."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [1.0, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    exact = {(r.neighbor_id, r.rank) for r in cosine_topk(corpus, qs, k=3).collect()}
+    arrow = {(r.neighbor_id, r.rank) for r in cosine_topk_arrow(corpus, qs, k=3).collect()}
+    assert exact == arrow == {(1, 1), (3, 2)}
+    with_self = {
+        (r.neighbor_id, r.rank)
+        for r in cosine_topk(corpus, qs, k=3, include_self=True).collect()
+    }
+    assert None not in {n for n, _ in with_self}

@@ -224,3 +224,22 @@ def test_keyword_search_missing_terms_error(docs):
     assert hits == {1}
     with pytest.raises(ValueError):
         keyword_search(idx, ["spark"], missing_terms="sometimes")
+
+
+def test_bm25_full_length_normalization_with_empty_doc(spark):
+    """Review finding r8: b=1.0 makes an empty doc's norm 0, and with
+    tf=0 the contribution was 0.0/0.0 — DIVIDE_BY_ZERO under ANSI. The
+    tf>0 short-circuit returns the mathematically-correct 0.0 instead."""
+    docs = spark.createDataFrame(
+        [(1, "spark merge"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["spark"], b=1.0).collect()
+    }
+    assert got[2] == 0.0 and got[3] == 0.0
+    # the non-empty doc still scores by the standard formula (b=1.0)
+    n, avgdl, df_, tf, dl = 3, 2.0 / 3.0, 1, 1.0, 2.0
+    idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+    want = round(idf * tf * 2.2 / (tf + 1.2 * (dl / avgdl)), 6)
+    assert got[1] == pytest.approx(want, abs=1e-6)

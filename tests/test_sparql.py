@@ -1519,3 +1519,14 @@ def test_ttl_collection_subject(spark):
     assert RDF_FIRST in preds and "urn:p" in preds
     head = [s for (_, s, p, _, _) in rows if p == "urn:p"]
     assert head and head[0].startswith("_:")
+
+
+def test_ttl_colonless_base_degrades_not_crashes():
+    """Review finding r8: a colon-less @base (malformed per Turtle, which
+    requires an absolute IRI) used to crash _rfc3986_resolve with a bare
+    ValueError, aborting the whole corpus load. It now degrades like the
+    old urljoin path: resolution happens under a stripped pseudo-scheme."""
+    rows = parse_ttl("@base <doc/> . <x> <urn:p> <urn:o> .", "s")
+    assert rows and rows[0][1] == "doc/x"
+    rows = parse_ttl("@base <doc> . <x> <urn:p> <urn:o> .", "s")
+    assert rows and rows[0][1] == "x"  # slashless base: ref replaces path
