@@ -246,3 +246,38 @@ def test_exchange_count_scale_invariant(spark):
         if a != b:
             mismatches[name] = counts
     assert not mismatches, mismatches
+
+
+def test_qhist_rollup_single_shuffle_partial_agg(spark, sf_dir):
+    """quantile_sketch state build: one Exchange on the (keys, sign, bin)
+    group with map-side partial counting — the shuffle carries occupied
+    bins, never data rows."""
+    p = _plan(spark, "quantile_sketch", sf_dir)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_count" in p or "HashAggregate" in p, p
+
+
+def test_quantile_estimate_windows_on_state_only(spark, sf_dir):
+    """quantile_estimate: the cumulative window + final pick run over the
+    TINY histogram state — bounded exchanges, no sort of raw rows."""
+    p = _plan(spark, "quantile_estimate", sf_dir)
+    assert p.count("Exchange") <= 4, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_semantic_dedup_joins_on_cluster_key(spark, sf_dir):
+    """semantic_dedup's only wide op is the list_id-keyed self-join —
+    never a cartesian product over the corpus."""
+    qs = entrymod.queries()
+    p = plan_str(qs["semantic_dedup"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p, p
+    assert "list_id" in p, p
+
+
+def test_bm25_entry_no_corpus_exchange(spark, sf_dir):
+    """bm25_topk at entry grain: corpus rows must never be hash-
+    repartitioned (tf legs ride the scan; stats come back broadcast) and
+    the top-k must plan as TakeOrdered, not a global sort."""
+    p = _plan(spark, "bm25_topk", sf_dir)
+    assert "Exchange hashpartitioning(doc_id" not in p, p
+    assert "TakeOrderedAndProject" in p, p
