@@ -167,6 +167,12 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
     minuses: list["Group"] = field(default_factory=list)
+    #: OPTIONAL / MINUS clauses in TEXTUAL order ("optional"/"minus", group):
+    #: the spec's left-to-right algebra is order-sensitive when a MINUS
+    #: written before an OPTIONAL shares a variable with it (review finding
+    #: r8 — compiling all optionals first let the optional binding leak
+    #: into the MINUS compatibility domain)
+    opt_minus_order: list[tuple[str, "Group"]] = field(default_factory=list)
     #: (positive, group) — FILTER EXISTS {…} / FILTER NOT EXISTS {…}
     exists_filters: list[tuple[bool, "Group"]] = field(default_factory=list)
     graphs: list[tuple[Term, "Group"]] = field(default_factory=list)
@@ -278,10 +284,32 @@ class _SparqlParser:
     _having_aggs: dict | None = None
 
     def parse(self) -> Query:
-        for m in _SPARQL_TOKEN_RE.finditer(self.text):
-            if m.lastgroup in ("ws", "comment"):
+        # anchored scan, not finditer: finditer silently SKIPS characters
+        # no token class matches (an unterminated quote, a stray '%'),
+        # making the query parse as something other than what was written
+        # (review finding r8). An anchored match that fails is a loud lex
+        # error at the exact offset.
+        pos, n = 0, len(self.text)
+        while pos < n:
+            m = _SPARQL_TOKEN_RE.match(self.text, pos)
+            if m is None:
+                raise ValueError(
+                    "SPARQL lex error at offset "
+                    f"{pos}: {self.text[pos:pos + 20]!r}"
+                )
+            kind = m.lastgroup
+            if kind == "iriref" and m.group().startswith("<?"):
+                # '<' immediately followed by a variable is a comparison,
+                # not an IRI opener: FILTER(?x<?y&&?a>?b) must not lex
+                # '<?y&&?a>' as one IRIREF (review finding r8; an IRIREF
+                # body starting with '?' — a scheme-less query-only
+                # reference — does not occur in real queries)
+                self.tokens.append(("op", "<"))
+                pos += 1
                 continue
-            self.tokens.append((m.lastgroup, m.group()))
+            if kind not in ("ws", "comment"):
+                self.tokens.append((kind, m.group()))
+            pos = m.end()
 
         self.prefixes = {**_DEFAULT_PREFIXES, **self.prefixes}
         while self._peek_word_lower() == "prefix":
@@ -573,7 +601,7 @@ class _SparqlParser:
             kind, tok = self._next()
             if not (kind == "op" and tok == "="):
                 raise ValueError("SPARQL parse: SEPARATOR needs '='")
-            sep = re.sub(r"\\(.)", r"\1", self._expect("string")[1][1:-1])
+            sep = _unescape_string(self._expect("string")[1][1:-1])
         self._expect_punct(")")
         if self._peek_word_lower() != "as":
             raise ValueError("SPARQL parse: aggregate needs 'AS ?alias'")
@@ -637,16 +665,26 @@ class _SparqlParser:
                     group.exists_filters.append((positive, self._parse_group()))
                     self._expect_punct("}")
                 else:
-                    self._expect_punct("(")
-                    group.filters.append(self._parse_filter_expr())
-                    self._expect_punct(")")
+                    nkind, ntok = self._peek()
+                    if nkind == "word" and ntok.lower() in _FILTER_FUNCS:
+                        # Constraint ::= BrackettedExpression | BuiltInCall:
+                        # the bare form 'FILTER regex(?n, "x")' / 'FILTER
+                        # bound(?v)' is spec-legal without outer parens
+                        # (review finding r8)
+                        group.filters.append(self._parse_filter_expr())
+                    else:
+                        self._expect_punct("(")
+                        group.filters.append(self._parse_filter_expr())
+                        self._expect_punct(")")
                 while self._peek() == ("punct", "."):
                     self._next()
                 continue
             if kind == "word" and tok.lower() == "optional":
                 self._next()
                 self._expect_punct("{")
-                group.optionals.append(self._parse_group())
+                og = self._parse_group()
+                group.optionals.append(og)
+                group.opt_minus_order.append(("optional", og))
                 self._expect_punct("}")
                 while self._peek() == ("punct", "."):
                     self._next()
@@ -665,7 +703,9 @@ class _SparqlParser:
             if kind == "word" and tok.lower() == "minus":
                 self._next()
                 self._expect_punct("{")
-                group.minuses.append(self._parse_group())
+                mg = self._parse_group()
+                group.minuses.append(mg)
+                group.opt_minus_order.append(("minus", mg))
                 self._expect_punct("}")
                 while self._peek() == ("punct", "."):
                     self._next()
@@ -717,6 +757,7 @@ class _SparqlParser:
                     group.optionals.extend(inner.optionals)
                     group.unions.extend(inner.unions)
                     group.minuses.extend(inner.minuses)
+                    group.opt_minus_order.extend(inner.opt_minus_order)
                     group.exists_filters.extend(inner.exists_filters)
                     group.graphs.extend(inner.graphs)
                     group.binds.extend(inner.binds)
@@ -942,7 +983,13 @@ class _SparqlParser:
                 self._next()
                 self._expect_punct("^")
                 self._next()
-            return Term("literal", re.sub(r"\\(.)", r"\1", value))
+            elif nkind == "word" and re.fullmatch(r"@[A-Za-z][A-Za-z0-9-]*", ntok):
+                # "x"@en — drop the language tag, matching the Turtle
+                # loader's stored representation (bare lexical form);
+                # previously '@en' fell through to the term parser as a
+                # bogus subject (review finding r8)
+                self._next()
+            return Term("literal", _unescape_string(value))
         if kind == "num":
             return Term("literal", tok)
         if kind == "word":
@@ -1069,7 +1116,10 @@ class _SparqlParser:
             return Term("literal", tok)
         if kind == "string":
             self._next()
-            return Term("literal", re.sub(r"\\(.)", r"\1", tok[1:-1]))
+            nkind, ntok = self._peek()
+            if nkind == "word" and re.fullmatch(r"@[A-Za-z][A-Za-z0-9-]*", ntok):
+                self._next()  # "x"@en in a filter — tag dropped (TTL parity)
+            return Term("literal", _unescape_string(tok[1:-1]))
         if kind == "iriref":
             self._next()
             return Term("iri", tok[1:-1])
@@ -1113,6 +1163,29 @@ class _SparqlParser:
                 self._next()
                 return Term("iri", self._expand(tok))
         raise SparqlUnsupported(f"unsupported FILTER term: {kind} {tok!r}")
+
+
+_STRING_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape_string(body: str) -> str:
+    """SPARQL ECHAR/UCHAR decoding in one pass, IDENTICAL to the Turtle
+    loader's ``_Parser._unquote`` — the data stores real control
+    characters, so a FILTER literal written ``"a\\nb"`` must compare with
+    a real newline. The previous ``re.sub(r'\\\\(.)', r'\\1')`` turned
+    ``\\n``/``\\t``/``\\uXXXX`` into the literal letters (review finding
+    r8), silently matching nothing."""
+
+    def sub(m: "re.Match[str]") -> str:
+        esc = m.group(1)
+        if esc[0] in "uU":
+            return chr(int(esc[1:], 16))
+        return _STRING_ESCAPES.get(esc, "\\" + esc)
+
+    return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, body)
 
 
 def parse_sparql(query: str) -> Query:
@@ -1359,6 +1432,19 @@ class SparqlEngine:
             if missing:
                 raise ValueError(f"SELECT variable(s) not bound by WHERE: {missing}")
             out_vars = q.select
+        # remember which columns were NUMERIC before the stringify-all cast:
+        # ORDER BY must sort those numerically ('9' > '10' lexically would
+        # return the wrong group under LIMIT — review finding r8). The sort
+        # key casts back to double; the string round-trip of a long/double
+        # is value-preserving, and the sort must run LAST anyway (Spark's
+        # dropDuplicates does not preserve an earlier order).
+        from pyspark.sql.types import NumericType
+
+        numeric_src = {
+            f.name
+            for f in acc.schema.fields
+            if isinstance(f.dataType, NumericType)
+        }
         out = acc.select(*[F.col(v).cast("string").alias(v) for v in out_vars])
         if q.distinct:
             out = out.dropDuplicates()
@@ -1367,7 +1453,10 @@ class SparqlEngine:
             for var, asc in q.order_by:
                 if var not in out_vars:
                     raise ValueError(f"ORDER BY variable ?{var} not in SELECT")
-                exprs.append(F.col(var).asc() if asc else F.col(var).desc())
+                key = (
+                    F.col(var).cast("double") if var in numeric_src else F.col(var)
+                )
+                exprs.append(key.asc() if asc else key.desc())
             out = out.orderBy(*exprs)
         if q.offset:
             out = out.offset(int(q.offset))
@@ -1619,7 +1708,23 @@ class SparqlEngine:
             gscope = self._graph_scope(gterm)
             gdf, gvars, gnullable = self._compile_group(ggroup, gscope)
             if gdf is None:
-                continue
+                # empty inner group: the spec evaluates {} to the unit
+                # solution — GRAPH ?g {} yields one row per named graph
+                # with ?g bound (review finding r8: silently skipping the
+                # clause left ?g unbound and failed the SELECT instead)
+                if gterm.kind == "var":
+                    gdf = (
+                        self.triples.filter(
+                            ~F.col("site").isin(self.shared_sites)
+                        )
+                        .select(F.col("site").alias(gterm.value))
+                        .distinct()
+                    )
+                    gvars, gnullable = {gterm.value}, set()
+                else:
+                    # GRAPH <iri> {} is the unit solution when the graph
+                    # exists: an existence gate with nothing to bind
+                    continue
             if gterm.kind == "var" and gterm.value in gdf.columns:
                 # bind the graph variable as the reference's graph IRI
                 gdf = gdf.withColumn(
@@ -1630,45 +1735,54 @@ class SparqlEngine:
         for alternatives in group.unions:
             udf, uvars, unullable = self._compile_union(alternatives, scope)
             merge_inner(udf, uvars, unullable)
-        for opt in group.optionals:
-            odf, ovars, onullable = self._compile_group(opt, scope)
-            if odf is None:
-                continue
-            if acc is None:
-                acc, bound, nullable = odf, ovars, nullable | onullable
-                continue
-            shared = sorted(bound & ovars)
-            if shared and (set(shared) & (nullable | onullable)):
-                # a shared var may be unbound on EITHER side: equi-join
-                # would treat null as a non-match; use compatibility join
-                acc = self._null_compat_join(acc, odf, shared, how="left")
-            elif shared:
-                acc = acc.join(F.broadcast(odf), on=shared, how="left")
+        # OPTIONAL and MINUS apply in TEXTUAL order (left-to-right algebra):
+        # a MINUS written before an OPTIONAL must see only the bindings
+        # that exist at that point — compiling all optionals first let an
+        # optional ?v leak into the MINUS compatibility domain and keep
+        # rows the spec removes (review finding r8)
+        for mod_kind, sub in group.opt_minus_order:
+            if mod_kind == "optional":
+                odf, ovars, onullable = self._compile_group(sub, scope)
+                if odf is None:
+                    continue
+                if acc is None:
+                    acc, bound, nullable = odf, ovars, nullable | onullable
+                    continue
+                shared = sorted(bound & ovars)
+                if shared and (set(shared) & (nullable | onullable)):
+                    # a shared var may be unbound on EITHER side: equi-join
+                    # would treat null as a non-match; use compatibility join
+                    acc = self._null_compat_join(acc, odf, shared, how="left")
+                elif shared:
+                    acc = acc.join(F.broadcast(odf), on=shared, how="left")
+                else:
+                    # no shared variables: still a LEFT join (on TRUE), so an
+                    # empty optional group null-extends instead of wiping the
+                    # outer rows like a crossJoin would
+                    acc = acc.join(F.broadcast(odf), on=F.lit(True), how="left")
+                nullable |= (ovars - bound) | onullable  # may stay unbound
+                bound |= ovars
             else:
-                # no shared variables: still a LEFT join (on TRUE), so an
-                # empty optional group null-extends instead of wiping the
-                # outer rows like a crossJoin would
-                acc = acc.join(F.broadcast(odf), on=F.lit(True), how="left")
-            nullable |= (ovars - bound) | onullable  # may stay unbound
-            bound |= ovars
-        for m in group.minuses:
-            mdf, mvars, mnullable = self._compile_group(m, scope)
-            if mdf is None or acc is None:
-                continue
-            shared = sorted(bound & mvars)
-            if not shared:
-                # SPARQL MINUS with disjoint domains removes nothing
-                continue
-            if set(shared) & (nullable | mnullable):
-                acc = self._null_compat_join(
-                    acc, mdf.select(*shared).dropDuplicates(), shared, how="left_anti"
-                )
-            else:
-                acc = acc.join(
-                    F.broadcast(mdf.select(*shared).dropDuplicates()),
-                    on=shared,
-                    how="left_anti",
-                )
+                mdf, mvars, mnullable = self._compile_group(sub, scope)
+                if mdf is None or acc is None:
+                    continue
+                shared = sorted(bound & mvars)
+                if not shared:
+                    # SPARQL MINUS with disjoint domains removes nothing
+                    continue
+                if set(shared) & (nullable | mnullable):
+                    acc = self._null_compat_join(
+                        acc,
+                        mdf.select(*shared).dropDuplicates(),
+                        shared,
+                        how="left_anti",
+                    )
+                else:
+                    acc = acc.join(
+                        F.broadcast(mdf.select(*shared).dropDuplicates()),
+                        on=shared,
+                        how="left_anti",
+                    )
         for vars_, rows in group.values:
             acc, bound = self._apply_values(acc, bound, vars_, rows, scope)
             # a var with an UNDEF row may surface as null in the joined
@@ -1884,7 +1998,14 @@ class SparqlEngine:
                 return F.lit(bool(negated))  # IN () is false, NOT IN () true
             cond = F.lit(False)
             for e in elems:
-                cond = cond | (c == self._compile_filter(e, bound))
+                ec = self._compile_filter(e, bound)
+                # same numeric coercion as binary '=' (review finding r8:
+                # ?x = 1 coerced but ?x IN (1) compared lexically, so a
+                # lexical '1.0' passed one and failed the other)
+                if _is_numeric_cmp(subject, e):
+                    cond = cond | (c.try_cast("double") == ec.try_cast("double"))
+                else:
+                    cond = cond | (c == ec)
             return ~cond if negated else cond
         if tag == "arith":
             op, a, b = expr[1], expr[2], expr[3]
@@ -2253,6 +2374,19 @@ class SparqlEngine:
                 .dropDuplicates()
             )
             return self._join(acc, bound, cyc)
+        if acc is not None and svar in bound and ovar in bound:
+            # BOTH endpoints already bound: the closure acts as a FILTER
+            # over existing rows, not a generator — a semi-join on the
+            # (src, dst) pair. The single-key join the svar-only branch
+            # would do duplicates the ovar column and never constrains the
+            # path's destination (review finding r8).
+            step_pairs = pairs.select(
+                F.col("src").alias(svar), F.col("dst").alias(ovar)
+            )
+            out = acc.join(F.broadcast(step_pairs), on=[svar, ovar], how="leftsemi")
+            if zero:
+                out = out.unionByName(acc.filter(F.col(svar) == F.col(ovar)))
+            return out.dropDuplicates(), bound
         if acc is not None and svar in bound:
             step_pairs = pairs.select(F.col("src").alias(svar), F.col("dst").alias(ovar))
             out = acc.join(F.broadcast(step_pairs), on=svar, how="inner")

@@ -1530,3 +1530,181 @@ def test_ttl_colonless_base_degrades_not_crashes():
     assert rows and rows[0][1] == "doc/x"
     rows = parse_ttl("@base <doc> . <x> <urn:p> <urn:o> .", "s")
     assert rows and rows[0][1] == "x"  # slashless base: ref replaces path
+
+
+# -------------------------------------------------------- review-r8 fixes
+def test_closure_with_both_endpoints_bound(engine):
+    """?p and ?c both bound before the closure pattern runs: the closure
+    must act as a FILTER on (src, dst) pairs, not duplicate the object
+    column (review finding r8 — the svar-only join crashed or dropped the
+    destination constraint)."""
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?p ?c WHERE {
+             ?p a ?c .
+             ?c rdfs:subClassOf ?top .
+             ?c rdfs:subClassOf* ?top .
+           }"""
+    ).collect()
+    got = {(r.p.split("#")[-1], r.c.split("#")[-1]) for r in rows}
+    # every (instance, class) whose class has a superclass — the closure
+    # (zero-or-more) trivially readmits each direct pair
+    assert ("p1", "ZTS") in got and ("p2", "TSP") in got
+
+
+def test_string_escapes_decode_to_real_characters(spark):
+    """FILTER literals with \\n/\\t/\\uXXXX must compare against the REAL
+    control characters the Turtle loader stores (review finding r8)."""
+    ttl = '@prefix x: <urn:x#> .\nx:s x:label "a\\nb" .\n'
+    rows = parse_ttl(ttl, "s1")
+    eng = SparqlEngine(spark.createDataFrame(rows, schema=TRIPLES_SCHEMA))
+    got = eng.sql(
+        'SELECT ?s WHERE { ?s <urn:x#label> ?v . FILTER(?v = "a\\nb") }'
+    ).collect()
+    assert len(got) == 1 and got[0].s == "urn:x#s"
+    # A == 'A'
+    ttl2 = '@prefix x: <urn:x#> .\nx:s x:label "A" .\n'
+    eng2 = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl2, "s1"), schema=TRIPLES_SCHEMA)
+    )
+    got2 = eng2.sql(
+        'SELECT ?s WHERE { ?s <urn:x#label> ?v . FILTER(?v = "\\u0041") }'
+    ).collect()
+    assert len(got2) == 1
+
+
+def test_order_by_numeric_aggregate_sorts_numerically(engine):
+    """DESC(?n) over COUNT must sort 10 above 9 — lexicographic ordering
+    of the stringified count returned the wrong group under LIMIT
+    (review finding r8)."""
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . }
+             GROUP BY ?c ORDER BY DESC(?n) ?c"""
+    ).collect()
+    ns = [int(r.n) for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_order_by_numeric_sort_regression(spark):
+    """Direct 9-vs-10 regression: build 10 instances of one class and 9 of
+    another; LIMIT 1 must return the 10."""
+    ttl = "@prefix x: <urn:x#> .\n"
+    for i in range(10):
+        ttl += f"x:a{i} a x:Big .\n"
+    for i in range(9):
+        ttl += f"x:b{i} a x:Small .\n"
+    eng = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl, "s"), schema=TRIPLES_SCHEMA)
+    )
+    rows = eng.sql(
+        "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . } "
+        "GROUP BY ?c ORDER BY DESC(?n) LIMIT 1"
+    ).collect()
+    assert rows[0].c == "urn:x#Big" and rows[0].n == "10"
+
+
+def test_minus_before_optional_textual_order(spark):
+    """A MINUS written before an OPTIONAL must not see the optional's
+    binding (left-to-right algebra, review finding r8)."""
+    ttl = (
+        "@prefix x: <urn:x#> .\n"
+        'x:s1 x:p "o1" ; x:q "kill" ; x:r "v1" .\n'
+        'x:s2 x:p "o2" ; x:r "v2" .\n'
+    )
+    eng = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl, "s"), schema=TRIPLES_SCHEMA)
+    )
+    q = """SELECT ?s WHERE {
+        ?s <urn:x#p> ?o .
+        MINUS { ?s <urn:x#q> ?v . }
+        OPTIONAL { ?s <urn:x#r> ?v . }
+    }"""
+    got = {r.s for r in eng.sql(q).collect()}
+    # MINUS applies on domain {s} only: s1 has a :q triple -> removed,
+    # even though its optional ?v ('v1') differs from the :q value
+    assert got == {"urn:x#s2"}
+    # written AFTER the optional, ?v participates in compatibility and
+    # s1 survives ('v1' != 'kill')
+    q2 = """SELECT ?s WHERE {
+        ?s <urn:x#p> ?o .
+        OPTIONAL { ?s <urn:x#r> ?v . }
+        MINUS { ?s <urn:x#q> ?v . }
+    }"""
+    got2 = {r.s for r in eng.sql(q2).collect()}
+    assert got2 == {"urn:x#s1", "urn:x#s2"}
+
+
+def test_filter_in_coerces_numerics_like_equals(spark):
+    ttl = '@prefix x: <urn:x#> .\nx:s x:v "1.0" .\n'
+    eng = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl, "s"), schema=TRIPLES_SCHEMA)
+    )
+    base = "SELECT ?s WHERE { ?s <urn:x#v> ?x . FILTER(%s) }"
+    eq = eng.sql(base % "?x = 1").count()
+    inn = eng.sql(base % "?x IN (1, 2)").count()
+    assert eq == inn == 1
+    assert eng.sql(base % "?x NOT IN (1, 2)").count() == 0
+
+
+def test_filter_bare_builtin_call(engine):
+    """'FILTER bound(?x)' / 'FILTER regex(...)' without outer parens —
+    Constraint ::= BrackettedExpression | BuiltInCall (review finding r8)."""
+    rows = engine.sql(
+        PREFIXES
+        + """SELECT ?vav ?p WHERE {
+             ?vav a brick:VAV .
+             OPTIONAL { ?vav brick:hasPoint ?p . }
+             FILTER bound(?p)
+           }"""
+    ).collect()
+    assert len(rows) == 3
+    rows2 = engine.sql(
+        PREFIXES
+        + 'SELECT ?vav WHERE { ?vav a brick:VAV . FILTER regex(?vav, "vav1") }'
+    ).collect()
+    assert len(rows2) == 1
+
+
+def test_lex_error_is_loud_not_silent(engine):
+    # unterminated string: the stray '"' matches no token class; finditer
+    # silently skipped it (parsing a DIFFERENT query), anchored match raises
+    with pytest.raises(ValueError, match="lex error"):
+        engine.sql('SELECT ?x WHERE { ?x a "abc . }')
+    with pytest.raises(ValueError, match="lex error"):
+        engine.sql("SELECT ?x WHERE { ?x & ?y . }")
+
+
+def test_whitespace_free_comparisons_lex(spark):
+    ttl = '@prefix x: <urn:x#> .\nx:s x:a "1" ; x:b "2" .\n'
+    eng = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl, "s"), schema=TRIPLES_SCHEMA)
+    )
+    q = ("SELECT ?s WHERE { ?s <urn:x#a> ?x ; <urn:x#b> ?y . "
+         "FILTER(?x<?y&&?y>?x) }")
+    assert eng.sql(q).count() == 1
+
+
+def test_language_tagged_literal_matches_stored_form(spark):
+    """The TTL loader stores "Zone"@en as the bare lexical 'Zone'; the
+    SPARQL literal "Zone"@en must match it (review finding r8: '@en'
+    surfaced as a bogus-subject parse error)."""
+    ttl = '@prefix x: <urn:x#> .\nx:s x:label "Zone"@en .\n'
+    eng = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl, "s"), schema=TRIPLES_SCHEMA)
+    )
+    got = eng.sql(
+        'SELECT ?s WHERE { ?s <urn:x#label> "Zone"@en . }'
+    ).collect()
+    assert len(got) == 1
+    got2 = eng.sql(
+        'SELECT ?s WHERE { ?s <urn:x#label> ?v . FILTER(?v = "Zone"@en) }'
+    ).collect()
+    assert len(got2) == 1
+
+
+def test_graph_var_empty_group_binds_per_graph(engine):
+    """GRAPH ?g {} — the unit solution per named graph, ?g bound (review
+    finding r8: the clause was silently skipped and SELECT failed)."""
+    rows = engine.sql("SELECT ?g WHERE { GRAPH ?g { } }").collect()
+    assert {r.g for r in rows} == {"urn:site1#", "urn:site2#"}
