@@ -1358,7 +1358,7 @@ def _curation_pipeline(spark, sf_dir):
                 ELSE CAST(floor(log10(abs(value)) * 20.0 + 1e-9) AS BIGINT)
            END AS mag_bin,
            COUNT(*) AS cnt
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND isfinite(value)
     GROUP BY 1, 2, 3
     """,
 )
@@ -1384,7 +1384,7 @@ def _quantile_sketch(spark, sf_dir):
                   ELSE CAST(floor(log10(abs(value)) * 20.0 + 1e-9) AS BIGINT)
              END AS mag_bin,
              COUNT(*) AS cnt
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+      FROM events WHERE value IS NOT NULL AND isfinite(value) GROUP BY 1, 2, 3
     ), t AS (
       SELECT event_type, cnt,
              sign * 100000 + CASE WHEN sign = -1 THEN -mag_bin

@@ -170,12 +170,15 @@ def build_inverted_index(
     frequency token posts in nearly every document, and an aggregation
     group can never be split (AQE skew handling applies to join partitions,
     not agg groups), so the single reduce task building that token's array
-    is the scale ceiling. Pass 1 computes per-token document frequency with
-    a count aggregate (partial aggregation means the shuffle carries
-    (token, count) partials, never id lists); pass 2 joins the surviving
-    vocabulary — ``min_df <= df <= max_df`` — back over the pairs and
-    collects postings only for tokens whose array size is already known to
-    be bounded. Hot tokens are dropped BEFORE any array is built.
+    is the scale ceiling. Pass 1 computes per-token document frequency
+    with a count-distinct aggregate — its first exchange still carries
+    the distinct (token, doc_id) pairs (that is what count_distinct
+    shuffles), but each reduce task holds only row-at-a-time counters,
+    never a materialized array; pass 2 joins the surviving vocabulary —
+    ``min_df <= df <= max_df`` — back over the pairs and collects
+    postings only for tokens whose array size is already known to be
+    bounded. The win is reduce-side MEMORY (hot tokens are dropped BEFORE
+    any array is built), not shuffle volume.
 
     Persist the result (parquet, ideally bucketed by token) and query via
     :func:`keyword_search` without ever rescanning the corpus."""
@@ -225,14 +228,15 @@ def keyword_search(
     count aggregate keyed on doc id. On a token-bucketed index the filter
     prunes to the query's buckets.
 
-    AND-mode footgun: a query term with no postings row makes the result
-    empty — correct when the term never occurs in the corpus, a SILENT
-    false negative when the index was built with ``min_df``/``max_df``
-    pruning (the two cases are indistinguishable from the index alone).
-    ``missing_terms='empty'`` (default) keeps plain AND semantics;
-    ``'error'`` eagerly checks the postings table (one small job) and
-    raises naming the absent terms — the safe mode for decontamination
-    sweeps over pruned indexes."""
+    Pruned-index footgun: a query term with no postings row silently
+    contributes nothing — in AND mode the result goes empty, in OR mode
+    the term's documents are missing. Correct when the term never occurs
+    in the corpus, a SILENT false negative when the index was built with
+    ``min_df``/``max_df`` pruning (the two cases are indistinguishable
+    from the index alone). ``missing_terms='empty'`` (default) keeps the
+    plain semantics; ``'error'`` eagerly checks the postings table (one
+    small job) and raises naming the absent terms — the safe mode for
+    decontamination sweeps over pruned indexes, in either query mode."""
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
     if missing_terms not in ("empty", "error"):
@@ -242,7 +246,7 @@ def keyword_search(
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("keyword_search needs at least one query term")
-    if mode == "all" and missing_terms == "error":
+    if missing_terms == "error":
         present = {
             r["token"]
             for r in index.filter(F.col("token").isin(terms))

@@ -142,11 +142,19 @@ def qhist_rollup(
     Scale shape: one shuffle on (bucket, keys, sign, mag_bin) with
     map-side partial counting — the shuffle carries at most
     groups x occupied-bins rows, not data rows."""
+    if bucket is not None and ts is None:
+        raise ValueError("bucket duration given without ts column")
     keys = list(keys or [])
-    sign, mag_bin = _qhist_sign_bin(F.col(value), bins_per_decade)
-    out = df.filter(F.col(value).isNotNull()).withColumns(
-        {"sign": sign, "mag_bin": mag_bin}
+    v = F.col(value).cast("double")
+    # non-finite values have no magnitude bin: NaN would crash the ANSI
+    # signum->int cast and Infinity overflows the floor->long cast — a
+    # single bad row (an upstream 0/0 metric) must not abort the rollup.
+    # Dropped like NULLs; count them separately if they matter.
+    finite = (
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
     )
+    sign, mag_bin = _qhist_sign_bin(v, bins_per_decade)
+    out = df.filter(finite).withColumns({"sign": sign, "mag_bin": mag_bin})
     group: list = []
     head: list = []
     if ts is not None:

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mortar_parquet_support_spark.functions import materialize
 from mortar_parquet_support_spark.operators.curation import (
     contaminated_ids,
     strip_boilerplate_lines,
@@ -114,14 +115,22 @@ def curate(
     cur = out.withColumn("__reason", reason)
 
     if eval_df is not None:
-        bad = contaminated_ids(
-            cur.filter(F.col("__reason").isNull()),
-            eval_df,
-            id_col=id_col,
-            text_col=text_col,
-            eval_text_col=eval_text_col,
-            ngram_words=contamination_ngram_words,
-        ).withColumn("__contaminated", F.lit(True))
+        # materialize BEFORE the broadcast-size probe: without the
+        # barrier, bad.count() runs the full shingle-explode + semi-join
+        # once and the join below runs it again from scratch (the
+        # resolve_duplicates precedent this copies counts a checkpointed
+        # frame)
+        bad = materialize(
+            contaminated_ids(
+                cur.filter(F.col("__reason").isNull()),
+                eval_df,
+                id_col=id_col,
+                text_col=text_col,
+                eval_text_col=eval_text_col,
+                ngram_words=contamination_ngram_words,
+            ).withColumn("__contaminated", F.lit(True)),
+            checkpoint_dir=checkpoint_dir,
+        )
         if bad.count() <= BROADCAST_IDS_MAX:  # id list: broadcast while small
             bad = F.broadcast(bad)
         cur = cur.join(bad, id_col, "left").withColumn(

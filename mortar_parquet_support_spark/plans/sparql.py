@@ -298,12 +298,19 @@ class _SparqlParser:
                     f"{pos}: {self.text[pos:pos + 20]!r}"
                 )
             kind = m.lastgroup
-            if kind == "iriref" and m.group().startswith("<?"):
+            if kind == "iriref" and (
+                m.group().startswith("<?")
+                or "&&" in m.group()
+                or "||" in m.group()
+            ):
                 # '<' immediately followed by a variable is a comparison,
                 # not an IRI opener: FILTER(?x<?y&&?a>?b) must not lex
                 # '<?y&&?a>' as one IRIREF (review finding r8; an IRIREF
                 # body starting with '?' — a scheme-less query-only
-                # reference — does not occur in real queries)
+                # reference — does not occur in real queries). The same
+                # applies to a span containing a boolean connective —
+                # FILTER(?x<2&&?y>1) would otherwise fold '<2&&?y>' into
+                # one IRIREF ('&&' never appears in a real IRI).
                 self.tokens.append(("op", "<"))
                 pos += 1
                 continue
@@ -1412,6 +1419,7 @@ class SparqlEngine:
             out_vars = q.select
         elif q.group_by or q.having:
             raise SparqlUnsupported("GROUP BY/HAVING without aggregates in SELECT")
+        numeric_aliases: set[str] = set()
         if q.select_exprs:
             # (expr AS ?alias) projections: computed over the aggregate
             # output when aggregates exist, else over the group bindings
@@ -1421,6 +1429,12 @@ class SparqlEngine:
             for alias, bexpr in q.select_exprs.items():
                 c = self._compile_filter(bexpr, ebound)
                 sn = _stringify_numeric(bexpr, c)
+                if sn is not None:
+                    # the alias is string-typed in acc by the time the
+                    # ORDER BY numeric-source snapshot runs — record its
+                    # numeric origin here or DESC(?alias) sorts lexically
+                    # (review finding r8, second pass)
+                    numeric_aliases.add(alias)
                 acc = acc.withColumn(alias, sn if sn is not None else c)
                 bound = bound | {alias}
         if q.aggregates:
@@ -1444,7 +1458,7 @@ class SparqlEngine:
             f.name
             for f in acc.schema.fields
             if isinstance(f.dataType, NumericType)
-        }
+        } | numeric_aliases
         out = acc.select(*[F.col(v).cast("string").alias(v) for v in out_vars])
         if q.distinct:
             out = out.dropDuplicates()

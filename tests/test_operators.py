@@ -2695,3 +2695,20 @@ def test_cosine_topk_null_id_rows_dropped_both_paths(spark):
         for r in cosine_topk(corpus, qs, k=3, include_self=True).collect()
     }
     assert None not in {n for n, _ in with_self}
+
+
+def test_qhist_nonfinite_values_dropped_not_fatal(spark):
+    """NaN crashes the ANSI signum->int cast and Infinity overflows the
+    floor->long cast — a single bad row must not abort the rollup; both
+    drop like NULLs (review finding r8)."""
+    from mortar_parquet_support_spark.operators.sketches import qhist_rollup
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", float("nan")), ("g", float("inf")),
+         ("g", float("-inf")), ("g", None), ("g", 100.0)],
+        "g string, v double",
+    )
+    rows = {(r.sign, r.mag_bin): r.cnt for r in qhist_rollup(df, value="v", keys=["g"]).collect()}
+    assert sum(rows.values()) == 2  # only the two finite values
+    with pytest.raises(ValueError):
+        qhist_rollup(df, value="v", keys=["g"], bucket="1 hour")  # bucket w/o ts

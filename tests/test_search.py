@@ -243,3 +243,18 @@ def test_bm25_full_length_normalization_with_empty_doc(spark):
     idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
     want = round(idf * tf * 2.2 / (tf + 1.2 * (dl / avgdl)), 6)
     assert got[1] == pytest.approx(want, abs=1e-6)
+
+
+def test_keyword_search_missing_terms_error_any_mode(docs):
+    """missing_terms='error' must fire in OR mode too — a pruned term
+    silently missing from an OR result is the same footgun."""
+    idx = build_inverted_index(docs, min_df=2)  # prunes 'fox'
+    with pytest.raises(ValueError, match="fox"):
+        keyword_search(idx, ["fox", "spark"], mode="any", missing_terms="error")
+    hits = {
+        r["doc_id"]
+        for r in keyword_search(
+            idx, ["spark"], mode="any", missing_terms="error"
+        ).collect()
+    }
+    assert hits == {1, 5}

@@ -1708,3 +1708,30 @@ def test_graph_var_empty_group_binds_per_graph(engine):
     finding r8: the clause was silently skipped and SELECT failed)."""
     rows = engine.sql("SELECT ?g WHERE { GRAPH ?g { } }").collect()
     assert {r.g for r in rows} == {"urn:site1#", "urn:site2#"}
+
+
+def test_order_by_numeric_select_expr_alias(spark):
+    """Second pass of the numeric-ORDER-BY fix: a computed (expr AS ?n)
+    alias is string-typed before the numeric snapshot runs — its numeric
+    origin must be recorded or DESC(?n) LIMIT 1 returns '4' over '10'."""
+    ttl = '@prefix x: <urn:x#> .\nx:a x:v "2" .\nx:b x:v "5" .\n'
+    eng = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl, "s"), schema=TRIPLES_SCHEMA)
+    )
+    rows = eng.sql(
+        "SELECT ?s (?v * 2 AS ?n) WHERE { ?s <urn:x#v> ?v . } "
+        "ORDER BY DESC(?n) LIMIT 1"
+    ).collect()
+    assert rows[0].s == "urn:x#b" and rows[0].n == "10"  # not '4'
+
+
+def test_whitespace_free_numeric_comparisons_lex(spark):
+    """FILTER(?x<2&&?y>1): the '<2&&?y>' span contains a connective —
+    must lex as comparisons, not one IRIREF."""
+    ttl = '@prefix x: <urn:x#> .\nx:s x:a "1" ; x:b "2" .\n'
+    eng = SparqlEngine(
+        spark.createDataFrame(parse_ttl(ttl, "s"), schema=TRIPLES_SCHEMA)
+    )
+    q = ("SELECT ?s WHERE { ?s <urn:x#a> ?x ; <urn:x#b> ?y . "
+         "FILTER(?x<2&&?y>1) }")
+    assert eng.sql(q).count() == 1
