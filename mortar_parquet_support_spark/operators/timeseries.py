@@ -42,6 +42,20 @@ def _epoch(c: Column) -> Column:
     return F.unix_timestamp(c)
 
 
+def _orderable_type(dt) -> bool:
+    """Whether Spark can ORDER BY a column of this type (maps cannot;
+    arrays/structs are orderable iff their element/field types are)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def time_bucket_rollup(
     df: DataFrame,
     *,
@@ -57,7 +71,11 @@ def time_bucket_rollup(
     ``groupBy`` over built-in aggs compiles to hash-aggregate with a partial
     phase. Output bucket column is the window start (epoch-aligned).
     """
-    aggs = aggs or {"avg": "avg", "min": "min", "max": "max", "count": "count"}
+    # None-sentinel, not falsy: an EXPLICIT empty dict must surface the
+    # caller's mistake via agg()'s zero-exprs error, not silently fall
+    # back to the defaults (same rule as stream_distinct_rollup's keys)
+    if aggs is None:
+        aggs = {"avg": "avg", "min": "min", "max": "max", "count": "count"}
     win = F.window(F.col(ts), bucket)
     exprs = [getattr(F, fn)(value).alias(name) for name, fn in aggs.items()]
     return (
@@ -136,13 +154,21 @@ def asof_join(
             F.col(ts).asc() if d == "backward" else F.col(ts).desc(),
             F.col("__side").asc(),
         ]
-        if right_cols:
-            # multiple RIGHT rows sharing one (key, ts) would otherwise be
-            # unordered window peers, and last() would match whichever the
-            # shuffle happened to place last — run-to-run nondeterminism.
-            # pandas' "last by input order" has no distributed analog, so
-            # the documented rule here is: greatest by value struct.
-            order.append(F.struct(*[F.col(rc[c]) for c in right_cols]).asc())
+        # multiple RIGHT rows sharing one (key, ts) would otherwise be
+        # unordered window peers, and last() would match whichever the
+        # shuffle happened to place last — run-to-run nondeterminism.
+        # pandas' "last by input order" has no distributed analog, so
+        # the documented rule here is: greatest by value struct — over the
+        # ORDERABLE right columns only (a map-typed column in the sort
+        # struct fails analysis; determinism is then guaranteed only up to
+        # the orderable fields, which is the best any engine can promise).
+        tie_cols = [
+            rc[c]
+            for c in right_cols
+            if _orderable_type(right.schema[c].dataType)
+        ]
+        if tie_cols:
+            order.append(F.struct(*[F.col(c) for c in tie_cols]).asc())
         w = Window.partitionBy(*on).orderBy(*order)
         sfx = "b" if d == "backward" else "f"
         # ONE struct per right row — non-null for every right row even when
@@ -171,7 +197,11 @@ def asof_join(
         sel.extend(_dir_cols(d))
     out = unioned.select(*sel).filter(F.col("__side") == 1)
 
-    # tolerance via seconds arithmetic (portable; interval casts differ)
+    # tolerance via seconds arithmetic (portable; interval casts differ).
+    # Every per-column transformation below lands in ONE projection
+    # (withColumns / a single select) — the previous per-column
+    # withColumn chains stacked O(right_cols) Project nodes per stage,
+    # inflating analyzer time quadratically on wide right sides.
     tol_secs = F.lit(interval_seconds(tolerance)) if tolerance is not None else None
     deltas = {}
     for d in dirs:
@@ -180,43 +210,64 @@ def asof_join(
         if d == "forward":
             delta = -delta
         deltas[sfx] = delta
-        if tol_secs is not None:
-            keep = F.col(f"__rts_{sfx}").isNotNull() & (delta <= tol_secs) & (delta >= 0)
-            out = out.withColumn("__keep", keep)
+    if tol_secs is not None:
+        repl = {}
+        for d in dirs:
+            sfx = "b" if d == "backward" else "f"
+            keep = (
+                F.col(f"__rts_{sfx}").isNotNull()
+                & (deltas[sfx] <= tol_secs)
+                & (deltas[sfx] >= 0)
+            )
             for c in right_cols:
-                out = out.withColumn(
-                    f"__r{sfx}_{c}", F.when(F.col("__keep"), F.col(f"__r{sfx}_{c}"))
-                )
-            out = out.withColumn(
-                f"__rts_{sfx}", F.when(F.col("__keep"), F.col(f"__rts_{sfx}"))
-            ).drop("__keep")
+                repl[f"__r{sfx}_{c}"] = F.when(keep, F.col(f"__r{sfx}_{c}"))
+            repl[f"__rts_{sfx}"] = F.when(keep, F.col(f"__rts_{sfx}"))
+        out = out.withColumns(repl)
 
     if direction == "nearest":
         # pick whichever side is closer; ties go backward (pandas default)
         choose_b = F.col("__rts_b").isNotNull() & (
             F.col("__rts_f").isNull() | (deltas["b"] <= deltas["f"])
         )
-        for c in right_cols:
-            out = out.withColumn(
-                f"__r_{c}",
-                F.when(choose_b, F.col(f"__rb_{c}")).otherwise(F.col(f"__rf_{c}")),
-            ).drop(f"__rb_{c}", f"__rf_{c}")
-        out = out.withColumn(
-            "__r_ts", F.when(choose_b, F.col("__rts_b")).otherwise(F.col("__rts_f"))
-        ).drop("__rts_b", "__rts_f")
+        merged = {
+            f"__r_{c}": F.when(choose_b, F.col(f"__rb_{c}")).otherwise(
+                F.col(f"__rf_{c}")
+            )
+            for c in right_cols
+        }
+        merged["__r_ts"] = F.when(choose_b, F.col("__rts_b")).otherwise(
+            F.col("__rts_f")
+        )
+        out = out.withColumns(merged).drop(
+            *[f"__rb_{c}" for c in right_cols],
+            *[f"__rf_{c}" for c in right_cols],
+            "__rts_b",
+            "__rts_f",
+        )
     else:
         sfx = "b" if direction == "backward" else "f"
-        for c in right_cols:
-            out = out.withColumnRenamed(f"__r{sfx}_{c}", f"__r_{c}")
-        out = out.withColumnRenamed(f"__rts_{sfx}", "__r_ts")
+        merged = {f"__r_{c}": F.col(f"__r{sfx}_{c}") for c in right_cols}
+        merged["__r_ts"] = F.col(f"__rts_{sfx}")
+        out = out.withColumns(merged).drop(
+            *[f"__r{sfx}_{c}" for c in right_cols], f"__rts_{sfx}"
+        )
     # drop the NULL placeholders that only existed to align the union, then
-    # surface the windowed right values under their real names
-    for c in right_cols:
-        out = out.drop(rc[c])
+    # surface the windowed right values under their real names — one select.
+    # matched_ts disambiguates when the LEFT already carries one (chained
+    # asof_join output): right_matched_ts, right_right_matched_ts, ...
+    mts_name = "matched_ts"
+    while mts_name in left.columns:
+        mts_name = "right_" + mts_name
     renames = {f"__r_{c}": f"right_{c}" if c in left.columns else c for c in right_cols}
-    for src, dst in renames.items():
-        out = out.withColumnRenamed(src, dst)
-    return out.withColumnRenamed("__r_ts", "matched_ts").drop("__side")
+    renames["__r_ts"] = mts_name
+    drop = {rc[c] for c in right_cols} | {"__side"}
+    return out.select(
+        *[
+            F.col(c).alias(renames.get(c, c))
+            for c in out.columns
+            if c not in drop
+        ]
+    )
 
 
 def sessionize(
@@ -408,6 +459,13 @@ def ewma(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
+    if out_col in df.columns:
+        # a duplicate field in the applyInPandas schema corrupts the Arrow
+        # column mapping instead of erroring at the call site
+        raise ValueError(
+            f"out_col {out_col!r} already exists on the input; pass a "
+            "distinct name (e.g. chaining ewma twice needs two out_cols)"
+        )
     keys = list(keys)
     fields = df.schema.fields
     out_schema = ", ".join(

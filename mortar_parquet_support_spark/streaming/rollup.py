@@ -81,12 +81,18 @@ def _run_to_memory(stream_df, *, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
     spark = stream_df.sparkSession
-    from mortar_parquet_support_spark.functions import materialize
+    try:
+        q.awaitTermination()
+        from mortar_parquet_support_spark.functions import materialize
 
-    out = materialize(spark.table(name))
-    spark.catalog.dropTempView(name)
+        out = materialize(spark.table(name))
+    finally:
+        # drop even when the query FAILED — otherwise the uniquely-named
+        # view and the MemorySink's buffered rows stay pinned in driver
+        # memory for the session lifetime, defeating this function's own
+        # bounded-driver-memory guarantee on every failing call
+        spark.catalog.dropTempView(name)
     return out
 
 
@@ -321,7 +327,9 @@ def stream_enrich(
     columns ship with the broadcast.
     """
     cols = dim_cols if dim_cols is not None else [c for c in dim.columns if c != on]
-    pruned = dim.select(on, *cols)
+    # a caller including the join key in dim_cols would otherwise project
+    # it twice and fail the equi-join with AMBIGUOUS_REFERENCE
+    pruned = dim.select(on, *[c for c in cols if c != on])
     return events.join(pruned, on=on, how=how)
 
 

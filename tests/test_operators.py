@@ -2712,3 +2712,50 @@ def test_qhist_nonfinite_values_dropped_not_fatal(spark):
     assert sum(rows.values()) == 2  # only the two finite values
     with pytest.raises(ValueError):
         qhist_rollup(df, value="v", keys=["g"], bucket="1 hour")  # bucket w/o ts
+
+
+def test_asof_join_chains_without_column_collision(spark):
+    """Review finding r8: chaining asof_join over its own output used to
+    produce TWO matched_ts columns (withColumnRenamed doesn't detect
+    collisions); the second join's column is now right_matched_ts."""
+    left = spark.createDataFrame([(1, 10, "L")], ["k", "time", "lv"])
+    r1 = spark.createDataFrame([(1, 9, 1.0)], ["k", "time", "a"])
+    r2 = spark.createDataFrame([(1, 8, 2.0)], ["k", "time", "b"])
+    out1 = timeseries.asof_join(left, r1, on=["k"], ts="time")
+    out2 = timeseries.asof_join(out1, r2, on=["k"], ts="time")
+    assert out2.columns.count("matched_ts") == 1
+    row = out2.collect()[0]
+    assert row.matched_ts == 9 and row.right_matched_ts == 8
+    assert row.a == 1.0 and row.b == 2.0
+
+
+def test_asof_join_map_typed_right_column(spark):
+    """Review finding r8: a map-typed right column crashed the
+    determinism tie-break (maps are not orderable); it must be excluded
+    from the sort struct but still carried through the match."""
+    left = spark.createDataFrame([(1, 10)], ["k", "time"])
+    right = spark.createDataFrame(
+        [(1, 9, {"x": "y"}, 5.0)],
+        "k long, time long, tags map<string,string>, v double",
+    )
+    row = timeseries.asof_join(left, right, on=["k"], ts="time").collect()[0]
+    assert row.tags == {"x": "y"} and row.v == 5.0 and row.matched_ts == 9
+
+
+def test_ewma_rejects_colliding_out_col(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], ["uuid", "time", "value"])
+    first = timeseries.ewma(df, out_col="sm")
+    with pytest.raises(ValueError, match="out_col"):
+        timeseries.ewma(first, value="sm", out_col="sm")
+
+
+def test_time_bucket_rollup_empty_aggs_errors(spark):
+    """Explicit aggs={} must surface the mistake, not silently fall back
+    to the defaults (None-sentinel rule)."""
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00", 1.0)],
+                               ["uuid", "time", "value"])
+    df = df.withColumn("time", F.to_timestamp("time"))
+    with pytest.raises(Exception):
+        timeseries.time_bucket_rollup(df, aggs={}).collect()
+    # default path still works
+    assert timeseries.time_bucket_rollup(df).count() == 1

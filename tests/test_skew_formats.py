@@ -115,3 +115,36 @@ def test_interleave_bits_overflow_guard_and_zorder_clamp(spark):
     nullcol = spark.createDataFrame([(None, 1), (None, 2)], "x int, y int")
     ks = [r.z for r in nullcol.select(zorder_key(nullcol, ["x", "y"]).alias("z")).collect()]
     assert all(k >= 0 for k in ks)
+
+
+def test_stream_enrich_tolerates_key_in_dim_cols(spark):
+    """Review finding r8: dim_cols containing the join key projected it
+    twice and failed the equi-join with AMBIGUOUS_REFERENCE."""
+    from mortar_parquet_support_spark.streaming.rollup import stream_enrich
+
+    ev = spark.createDataFrame([(1, "a")], ["user_id", "etype"])
+    dim = spark.createDataFrame([(1, "alice")], ["user_id", "name"])
+    out = stream_enrich(ev, dim, on="user_id", dim_cols=["user_id", "name"])
+    assert out.collect()[0].name == "alice"
+
+
+def test_run_to_memory_drops_view_on_failure(spark, sf_dir):
+    """Review finding r8: a failing streaming query used to leak the
+    memory-sink temp view (driver-pinned rows) — the drop now runs in a
+    finally block."""
+    import pyspark.sql.functions as F
+    from mortar_parquet_support_spark.streaming.rollup import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "boom", F.raise_error(F.lit("deliberate"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _run_to_memory(ev.select("event_id", "boom"))
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("mortar_stream_")}
