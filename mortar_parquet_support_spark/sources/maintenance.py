@@ -94,12 +94,17 @@ def compact_collections(
     *,
     collections: list[str] | None = None,
     target_rows_per_file: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Rewrite ``collections`` (default: all) into few well-sorted files.
 
     ``target_rows_per_file`` caps file size via ``maxRecordsPerFile`` for
     the rewrite; by default the range repartition alone decides (one file
-    per shuffle partition per collection).
+    per shuffle partition per collection). Pass ``checkpoint_dir`` on a
+    real cluster: it upgrades the pre-overwrite barrier to a reliable
+    checkpoint on shared storage, so a lost executor mid-overwrite can't
+    force a lineage recompute that re-reads the lake path being rewritten
+    (localCheckpoint blocks die with their executor).
     """
     if collections is not None and not collections:
         # an explicitly EMPTY selection is a no-op — falling through would
@@ -114,7 +119,10 @@ def compact_collections(
     if target_rows_per_file:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", str(target_rows_per_file))
     try:
-        _dynamic_overwrite_lake(df, lake_root, partition_uuid=layout_uuid)
+        _dynamic_overwrite_lake(
+            df, lake_root, partition_uuid=layout_uuid,
+            checkpoint_dir=checkpoint_dir,
+        )
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
 
@@ -125,6 +133,7 @@ def upsert_lake(
     updates: DataFrame,
     *,
     keys: tuple[str, ...] = ("collection", "uuid", "time"),
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Merge ``updates`` (lake schema) into the lake: for each key, the
     update wins over the existing row; unmatched updates insert. Only the
@@ -142,7 +151,7 @@ def upsert_lake(
     # source could otherwise surface a collection in the second execution
     # that the first missed — whose existing rows would then be dropped by
     # the dynamic overwrite.
-    updates = materialize(updates.select(*LAKE_COLUMNS))
+    updates = materialize(updates.select(*LAKE_COLUMNS), checkpoint_dir=checkpoint_dir)
     touched = [r.collection for r in updates.select("collection").distinct().collect()]
     if not touched:
         return
@@ -164,12 +173,22 @@ def upsert_lake(
     merged = existing.withColumn("__v", F.lit(0)).unionByName(
         updates.withColumn("__v", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
+    # tie-break BEYOND recency: an updates batch carrying two rows for
+    # one key would otherwise keep a shuffle-order-dependent winner (the
+    # greatest remaining value struct wins — deterministic across reruns,
+    # so at-least-once replay stays idempotent even for intra-batch dups)
+    value_cols = [c for c in LAKE_COLUMNS if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__v").desc(),
+        *(F.struct(*[F.col(c) for c in value_cols]).desc(),) if value_cols else (),
+    )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__v")
     )
     _dynamic_overwrite_lake(
-        latest, lake_root, partition_uuid=_lake_is_uuid_partitioned(spark, lake_root)
+        latest, lake_root,
+        partition_uuid=_lake_is_uuid_partitioned(spark, lake_root),
+        checkpoint_dir=checkpoint_dir,
     )

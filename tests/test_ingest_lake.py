@@ -464,3 +464,38 @@ def test_truncated_data_lines_dropped_not_fatal(spark, tmp_path):
     assert all(v is None for t, v in rows if t not in
                ("2020-01-01 00:00:00", "2020-01-01 01:00:00"))
     assert ("", None) not in rows and len(rows) <= 3
+
+
+def test_upsert_intra_batch_duplicates_deterministic(spark, tmp_path):
+    """Review finding r8: two update rows for the SAME key in one batch
+    used to keep a shuffle-order-dependent winner. The tie-break is now
+    the greatest remaining value struct — rerun-identical, so
+    at-least-once replay stays idempotent."""
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.maintenance import upsert_lake
+
+    src = tmp_path / "csvs"
+    src.mkdir()
+    make_stream_csv(src, U1, "a", ROWS_1)
+    dest = str(tmp_path / "lake_dup")
+    ingest_directory(spark, "c1", str(src), dest)
+    base_df = spark.read.parquet(dest).select(*LAKE_COLUMNS).limit(1)
+    # pin rows driver-side: a lazy frame over the lake would re-read files
+    # the first upsert overwrites
+    base = base_df.collect()[0]
+    rows = [
+        tuple(v if c != "value" else nv for c, v in zip(LAKE_COLUMNS, base))
+        for nv in (111.0, 222.0)
+    ]
+    ups = spark.createDataFrame(rows, schema=base_df.schema)
+    results = set()
+    for _ in range(3):
+        upsert_lake(spark, dest, ups.repartition(8))
+        row = (
+            spark.read.parquet(dest)
+            .filter((F.col("uuid") == base.uuid) & (F.col("time") == base.time))
+            .collect()
+        )
+        assert len(row) == 1
+        results.add(row[0].value)
+    assert results == {222.0}  # greatest value struct wins, every rerun

@@ -72,7 +72,7 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
 
     rng(n_customer).select(
         F.col("i").alias("c_custkey"),
-        F.concat(F.lit("Customer#"), F.col("i")).alias("c_name"),
+        F.format_string("Customer#%09d", F.col("i")).alias("c_name"),
         _u(F.col("i"), "cnat", 25).cast("int").alias("c_nationkey"),
         F.round(_uf(F.col("i"), "cbal", 11_000.0) - 1_000.0, 2).alias("c_acctbal"),
         F.element_at(
@@ -84,14 +84,26 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
 
     rng(n_supplier).select(
         F.col("i").alias("s_suppkey"),
-        F.concat(F.lit("Supplier#"), F.col("i")).alias("s_name"),
+        F.format_string("Supplier#%09d", F.col("i")).alias("s_name"),
         _u(F.col("i"), "snat", 25).cast("int").alias("s_nationkey"),
         F.round(_uf(F.col("i"), "sbal", 11_000.0) - 1_000.0, 2).alias("s_acctbal"),
     ).write.mode("overwrite").parquet(f"{out}/supplier.parquet")
 
     rng(n_part).select(
         F.col("i").alias("p_partkey"),
-        F.concat(F.lit("part_"), F.col("i")).alias("p_name"),
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(s) for s in
+                          ["blue", "cold", "hot", "large", "new", "old", "red", "small"]]),
+                (_u(F.col("i"), "padj", 8) + 1).cast("int"),
+            ),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in
+                          ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]]),
+                (_u(F.col("i"), "pnoun", 8) + 1).cast("int"),
+            ),
+        ).alias("p_name"),
         F.concat(F.lit("Brand#"), _u(F.col("i"), "pbrand", 25) + 1).alias("p_brand"),
         F.element_at(
             F.array(*[F.lit(s) for s in
@@ -103,7 +115,7 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
     ).write.mode("overwrite").parquet(f"{out}/part.parquet")
 
     # orders: o_orderdate spans 1995-01-01 .. 2001-08-01 like the fixtures
-    o_span_days = 2_404
+    o_span_days = 2_405
     rng(n_orders).select(
         F.col("i").alias("o_orderkey"),
         _u(F.col("i"), "ocust", n_customer).alias("o_custkey"),
@@ -143,14 +155,16 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
         ).alias("l_linestatus"),
         (
             F.to_timestamp(F.lit("1995-01-02"))
-            + F.make_interval(days=_u(F.col("i"), "lship", 2_498).cast("int"))
+            + F.make_interval(days=_u(F.col("i"), "lship", 2_499).cast("int"))
         ).alias("l_shipdate"),
     ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
-    # events: 2024-01-01 + ~3 weeks span at sf0.1; keep per-user event
-    # density constant as SF grows (users AND span scale together)
-    span_us = int(20 * 86_400 * 1_000_000 * max(1.0, sf / 0.1) ** 0.5)
-    n_users = n_customer
+    # events: a CONSTANT 30-day window (2024-01-01..2024-01-31) at every
+    # SF, same as the driver fixtures — so growth adds users and per-bucket
+    # density in fixture proportions, and fixed time-window predicates keep
+    # the same selectivity across the scaling comparison
+    span_us = 30 * 86_400 * 1_000_000
+    n_users = max(1, int(15_000 * sf))
     rng(n_events).select(
         F.col("i").alias("event_id"),
         (
@@ -192,7 +206,7 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
             (_u(F.col("i"), "dlang", 5) + 1).cast("int"),
         ).alias("lang"),
         F.concat(F.lit("src"), _u(F.col("i"), "dsrc", 20)).alias("source"),
-    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+    ).withColumn("n_chars", F.length("text").cast("long")).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )
 
