@@ -11,7 +11,8 @@ from mortar_parquet_support_spark.sources.ingest import UUID_RE
 
 def is_uuid(col) -> Column:
     """P9 (transform.py:11-16): UUID-shaped string predicate."""
-    return F.col(col).rlike(f"^{UUID_RE}$") if isinstance(col, str) else col.rlike(f"^{UUID_RE}$")
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(f"^{UUID_RE}$")
 
 
 def materialize(df, *, checkpoint_dir: str | None = None):
@@ -140,7 +141,11 @@ def word_shingles(col, k: int = 3) -> Column:
     short documents still compare at Jaccard 1.0 instead of silently
     vanishing from the shingle space."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(c), r"\s+")
+    # filter empties AFTER the split: F.trim strips only ASCII spaces, so
+    # text starting with a tab/newline yields a phantom '' leading token
+    # that shifted every shingle (two docs identical but for a leading
+    # '\\t' scored below Jaccard 1.0 — review finding r8)
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
     count = F.greatest(F.size(words) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     grams = F.when(count > 0, F.array_distinct(
@@ -160,7 +165,14 @@ def interleave_bits(cols: list[Column], *, bits: int = 16) -> Column:
 
     ``bits * len(cols)`` must stay <= 63: position 63 is the long's sign
     bit (keys would sort negative) and the JVM wraps shift counts mod 64
-    (high bits would alias low bits)."""
+    (high bits would alias low bits).
+
+    Inputs must already fit in ``bits`` bits: only bit positions j < bits
+    are extracted, so a value >= 2**bits contributes its value MOD 2**bits
+    — x = 1 and x = 2**bits + 1 land in the same Z-neighborhood and
+    clustering silently degrades. Pre-bucket wide domains first (what
+    :func:`zorder_key` does with its ntile stage) rather than raising
+    ``bits``."""
     n = len(cols)
     if bits * n > 63:
         raise ValueError(

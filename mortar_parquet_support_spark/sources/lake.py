@@ -130,12 +130,17 @@ class TimeseriesLake:
         write it) and the driver (it reads it), so it is resolved in
         cluster-safety order:
 
-        1. ``spill_dir`` — caller-supplied shared location (HDFS / object
-           store / NFS path). ``s3a://`` is rewritten to ``s3://`` for the
-           PyArrow read side.
+        1. ``spill_dir`` — caller-supplied shared location (NFS path or
+           ``s3a://``; ``s3a://`` is rewritten to ``s3://`` for the
+           PyArrow read side). A scheme the driver-side PyArrow scanner
+           cannot read (``hdfs://``, ``abfss://``, ``gs://``) raises
+           up-front rather than spilling and then crashing the read.
         2. The session's checkpoint directory
            (``sc.setCheckpointDir(...)``) — by Spark's own contract a
-           location every node can reach.
+           location every node can reach — but ONLY when its scheme is
+           PyArrow-readable; an hdfs:// checkpoint dir (the normal
+           cluster case) falls through to the rungs below instead of
+           failing the whole call (review finding r8).
         3. A driver-local tempdir, ONLY when the master is ``local*``
            (single-process, so local disk IS shared).
         4. Otherwise no shared filesystem is configured: fall back to
@@ -145,13 +150,21 @@ class TimeseriesLake:
         """
         df = self.df if predicate is None else self.df.filter(predicate)
 
-        if spill_dir is None:
-            spill_dir = self._checkpoint_dir()
-        if spill_dir is None:
-            if self.spark.sparkContext.master.startswith("local"):
-                return self._batches_via_spill(df, None, max_rows, local_tmp=True)
-            return _batches_via_local_iterator(df, max_rows)
-        return self._batches_via_spill(df, spill_dir, max_rows, local_tmp=False)
+        if spill_dir is not None:
+            if not _pyarrow_readable(spill_dir):
+                raise ValueError(
+                    f"spill_dir {spill_dir!r} is not readable by the "
+                    "driver-side PyArrow scanner (supported: local paths, "
+                    "file://, s3a://); use a supported scheme, or omit "
+                    "spill_dir to stream via toLocalIterator"
+                )
+            return self._batches_via_spill(df, spill_dir, max_rows, local_tmp=False)
+        ckpt = self._checkpoint_dir()
+        if ckpt is not None and _pyarrow_readable(ckpt):
+            return self._batches_via_spill(df, ckpt, max_rows, local_tmp=False)
+        if self.spark.sparkContext.master.startswith("local"):
+            return self._batches_via_spill(df, None, max_rows, local_tmp=True)
+        return _batches_via_local_iterator(df, max_rows)
 
     def _pyarrow_s3_from_hadoop_conf(self):
         """PyArrow S3FileSystem mirroring the session's ``fs.s3a.*`` Hadoop
@@ -178,6 +191,11 @@ class TimeseriesLake:
         if access and secret:
             kwargs["access_key"] = access
             kwargs["secret_key"] = secret
+        # STS temporary credentials carry a third leg: without it the
+        # executor write succeeds but the driver read 403s
+        token = hconf.get("fs.s3a.session.token")
+        if token:
+            kwargs["session_token"] = token
         region = hconf.get("fs.s3a.endpoint.region")
         if region:
             kwargs["region"] = region
@@ -250,6 +268,17 @@ class TimeseriesLake:
                 self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
             except Exception:
                 pass  # temp views can't always be analyzed; stats are advisory
+
+
+def _pyarrow_readable(path: str) -> bool:
+    """Whether the driver-side PyArrow dataset scanner can read this
+    location: bare local paths, ``file:``, and ``s3``/``s3a`` (credentials
+    mirrored from the session's Hadoop conf). ``hdfs://``/``abfss://``/
+    ``gs://`` are executor-reachable but not driver-PyArrow-readable
+    here (no libhdfs / cloud SDKs in the Python driver)."""
+    if "://" not in path and not path.startswith("file:"):
+        return True
+    return path.startswith(("file:", "s3://", "s3a://"))
 
 
 def _batches_via_local_iterator(df: DataFrame, max_rows: int) -> Iterator:
@@ -325,7 +354,7 @@ def _rm_shared(spark: SparkSession, path: str) -> None:
         pass  # best-effort cleanup; an orphaned spill dir is not a correctness issue
 
 
-def write_metadata_summary(root: str) -> dict:
+def write_metadata_summary(root: str, *, filesystem=None) -> dict:
     """S4: write ``_metadata`` + ``_common_metadata`` summary files for the
     dataset at ``root`` so one footer read opens the whole lake.
 
@@ -333,25 +362,48 @@ def write_metadata_summary(root: str) -> dict:
     written against the public PyArrow dataset API. Differences: skips
     Spark's ``_SUCCESS``/checksum droppings, returns a stats dict instead of
     printing, and validates by re-opening the index it just wrote.
+
+    Object-store roots need an explicit ``filesystem`` (e.g.
+    ``pyarrow.fs.S3FileSystem(endpoint_override=...)`` — the same one
+    :func:`open_reference_dataset` takes) plus a bucket-relative root;
+    a ``scheme://`` root without one is rejected up front because pathlib
+    would silently mangle it ('s3a://b/p' -> 's3a:/b/p') into a
+    nonexistent local path (review finding r8).
     """
+    import posixpath
     from pathlib import Path
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    root_path = Path(root)
-    dataset = pads.dataset(str(root_path), format="parquet", partitioning="hive")
+    if filesystem is None and "://" in root:
+        raise ValueError(
+            f"root {root!r} has a URI scheme: pass filesystem= (e.g. "
+            "pyarrow.fs.S3FileSystem) and a bucket-relative root, the way "
+            "open_reference_dataset does"
+        )
+    dataset = pads.dataset(
+        root, format="parquet", partitioning="hive", filesystem=filesystem
+    )
+    norm_root = root.rstrip("/")
     collector = []
     for fragment in dataset.get_fragments():
         meta = fragment.metadata
-        meta.set_file_path(str(Path(fragment.path).relative_to(root_path)))
+        frag_path = fragment.path
+        if filesystem is None:
+            rel = str(Path(frag_path).relative_to(Path(root)))
+        else:
+            rel = posixpath.relpath(frag_path, norm_root)
+        meta.set_file_path(rel)
         collector.append(meta)
     if not collector:
         raise ValueError(f"no parquet fragments under {root}")
     # full (partition-augmented) schema for _common_metadata; for _metadata
     # merge the real footers directly (regenerating a parquet schema from the
     # arrow schema can flip physical encodings, e.g. timestamp INT64 -> INT96)
-    pq.write_metadata(dataset.schema, root_path / "_common_metadata")
+    pq.write_metadata(
+        dataset.schema, norm_root + "/_common_metadata", filesystem=filesystem
+    )
     # count BEFORE merging: append_row_groups mutates collector[0] (it IS
     # `merged`), so summing afterwards would double-count — the first
     # fragment's merged total plus every other fragment again
@@ -359,8 +411,14 @@ def write_metadata_summary(root: str) -> dict:
     merged = collector[0]
     for meta in collector[1:]:
         merged.append_row_groups(meta)
-    merged.write_metadata_file(root_path / "_metadata")
-    reopened = pads.parquet_dataset(root_path / "_metadata", partitioning="hive")
+    if filesystem is None:
+        merged.write_metadata_file(norm_root + "/_metadata")
+    else:
+        with filesystem.open_output_stream(norm_root + "/_metadata") as out:
+            merged.write_metadata_file(out)
+    reopened = pads.parquet_dataset(
+        norm_root + "/_metadata", partitioning="hive", filesystem=filesystem
+    )
     return {
         "fragments": len(collector),
         "rows": total_rows,

@@ -54,7 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         raw = read_events_raw(spark, sf_dir)
         if dict(raw.dtypes)["ts"] in ("bigint", "long"):
-            # INT64 TIMESTAMP(NANOS) file read via nanosAsLong: rebuild µs NTZ
+            # INT64 TIMESTAMP(NANOS) file read via nanosAsLong: rebuild µs
+            # NTZ. DIV (truncate toward zero) is deliberate: DuckDB's
+            # ns->µs read also truncates toward zero (measured: -1500 ns
+            # reads as ...999999 = -1 µs, -500 ns as epoch 0), so
+            # pre-epoch sub-µs residues agree with the oracle
+            # (pinned by test_nanos_rebuild_truncation_matches_duckdb).
             ts_ntz = F.expr(
                 "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             )

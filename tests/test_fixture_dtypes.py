@@ -114,3 +114,42 @@ def test_events_stream_instants_match_batch(spark, encodings):
             for r in load_table(spark, d, "events").select("event_id", "ts").collect()
         )
         assert got == batch, name
+
+
+def test_nanos_rebuild_truncation_matches_duckdb(spark, tmp_path):
+    """A review pass claimed DuckDB FLOORS converting ns->us (making 'ts
+    DIV 1000' wrong pre-epoch); measurement shows DuckDB truncates toward
+    zero exactly like DIV (-1500 ns -> -1 us, -500 ns -> 0). Pin the
+    agreement on both sides of the epoch so neither engine's convention
+    can drift unnoticed."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mortar_parquet_support_spark.tables import load_table
+
+    path = str(tmp_path / "events.parquet")
+    # -1500 ns and +1500 ns: DuckDB floors to -2us / +1us
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([-1500, 1500], pa.timestamp("ns")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["a", "a"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, path, use_deprecated_int96_timestamps=False,
+                   coerce_timestamps=None)
+    got = {
+        r.event_id: r.ts
+        for r in load_table(spark, str(tmp_path), "events").collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"select event_id, cast(ts as timestamp) from read_parquet('{path}')"
+        ).fetchall()
+    }
+    assert got == want, (got, want)

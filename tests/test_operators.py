@@ -2759,3 +2759,19 @@ def test_time_bucket_rollup_empty_aggs_errors(spark):
         timeseries.time_bucket_rollup(df, aggs={}).collect()
     # default path still works
     assert timeseries.time_bucket_rollup(df).count() == 1
+
+
+def test_word_shingles_ignore_leading_whitespace_kind(spark):
+    """Review finding r8: F.trim strips only ASCII spaces, so a leading
+    tab/newline produced a phantom '' token that shifted every shingle —
+    two docs identical but for a leading '\\t' scored below Jaccard 1.0."""
+    from mortar_parquet_support_spark.functions import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "foo bar baz qux"), (2, "\tfoo bar baz qux"), (3, "\nfoo  bar\tbaz qux")],
+        ["id", "text"],
+    )
+    rows = df.select("id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    sets = {r.id: frozenset(r.sh) for r in rows}
+    assert sets[1] == sets[2] == sets[3]
+    assert "foo bar baz" in sets[1]

@@ -109,3 +109,41 @@ def test_lake_metadata_openable_over_s3(spark, tmp_path, s3_server):
     assert filtered.num_rows == 30
     vals = sorted(filtered.column("value").to_pylist())
     assert vals[0] == 10.0 and vals[-1] == 39.0
+
+def test_write_metadata_summary_filesystem_branch(spark, tmp_path):
+    """Review finding r8: write_metadata_summary forced root through
+    pathlib (mangling 's3a://b/p' to 's3a:/b/p'). A scheme'd root without
+    a filesystem is now rejected up front, and the explicit-filesystem
+    branch (relative fragment paths via posixpath, open_output_stream
+    _metadata write, filesystem-aware re-open) works end to end —
+    exercised here via LocalFileSystem because this sandbox's moto build
+    fails ALL pyarrow multipart uploads (CompleteMultipartUpload
+    INTERNAL_FAILURE — verified against a bare open_output_stream), which
+    is a moto limitation, not a code path difference."""
+    from pyarrow import fs as pafs
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.lake import (
+        open_reference_dataset,  # noqa: F401  (same index the reference opens)
+        write_metadata_summary,
+    )
+
+    with pytest.raises(ValueError, match="filesystem"):
+        write_metadata_summary("s3a://bucket/lake")
+
+    src = tmp_path / "csv2"
+    src.mkdir()
+    u = "33333333-3333-3333-3333-333333333333"
+    lines = ["datetime,value"] + [
+        f"2024-01-01T00:{i:02d}:00Z,{i}" for i in range(10)
+    ]
+    (src / f"{u}.csv").write_text("\n".join(lines) + "\n")
+    lake_root = str(tmp_path / "lake2")
+    ingest_directory(spark, "siteB", str(src), lake_root)
+
+    info = write_metadata_summary(lake_root, filesystem=pafs.LocalFileSystem())
+    assert info["rows"] == 10
+    import pyarrow.dataset as pads
+
+    reopened = pads.parquet_dataset(lake_root + "/_metadata", partitioning="hive")
+    assert reopened.to_table().num_rows == 10

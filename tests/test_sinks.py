@@ -360,3 +360,32 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
         got,
         expected,
     )
+
+
+def test_to_batches_rejects_unreadable_spill_scheme(spark, tmp_path):
+    """Review finding r8: an hdfs:// / abfss:// spill_dir would spill,
+    crash the driver-side PyArrow read, and delete the spill. Rejected
+    up front now; an unreadable CHECKPOINT dir falls through to the
+    local rungs instead (covered by _pyarrow_readable)."""
+    import pytest as _pytest
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.lake import (
+        TimeseriesLake,
+        _pyarrow_readable,
+    )
+    from tests.conftest import make_stream_csv
+
+    src = tmp_path / "csv"
+    src.mkdir()
+    make_stream_csv(src, "a0dd74ce-05ee-5fee-8335-2d9856bd52be", "x",
+                    [("2020-01-01 00:00:00+00:00", 1.0)])
+    dest = str(tmp_path / "lake")
+    ingest_directory(spark, "c", str(src), dest)
+    lake = TimeseriesLake.open(spark, dest)
+    with _pytest.raises(ValueError, match="spill_dir"):
+        lake.to_batches(spill_dir="hdfs://nn:8020/tmp/spill")
+    assert _pyarrow_readable("/tmp/x") and _pyarrow_readable("file:///x")
+    assert _pyarrow_readable("s3a://b/x") and _pyarrow_readable("s3://b/x")
+    assert not _pyarrow_readable("hdfs://nn/x")
+    assert not _pyarrow_readable("abfss://c@a.dfs.core.windows.net/x")
