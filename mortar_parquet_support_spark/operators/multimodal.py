@@ -19,6 +19,9 @@ Decode tiers (``decode_fn``):
 - ``'image'``: REAL decode for PNG content via the pure-stdlib codec in
   ``operators/imaging.py`` (zlib scanlines, all five predictor filters) —
   actual width/height/channel-statistics features from actual pixels.
+  Non-image modalities raise ``NotImplementedError`` (filter first):
+  silently emitting pseudo-features for them would mix garbage vectors
+  into the same output column with no marker.
 - ``'real'``: PIL if importable, else falls back to the built-in PNG codec;
   raises ``NotImplementedError`` only for formats that genuinely need
   native libraries (JPEG without PIL, compressed audio, video); PNG
@@ -140,7 +143,16 @@ def _image_decode(content: bytes | None, n_features: int) -> list[float]:
     except ImportError:
         from mortar_parquet_support_spark.operators.imaging import png_features
 
-        return png_features(content, n_features)
+        try:
+            return png_features(content, n_features)
+        except ValueError as exc:
+            # module contract (and _resize_one's behavior): non-PNG bytes
+            # without PIL surface as the documented NotImplementedError,
+            # not the codec's ValueError (review finding r8)
+            raise NotImplementedError(
+                "non-PNG image decode requires PIL, which is not installed "
+                f"({exc})"
+            ) from exc
 
 
 def extract_features(
@@ -180,16 +192,22 @@ def extract_features(
                         )
 
                         feats.append(wav_features(content, n_features))
-                    elif decode_fn == "real":
-                        # STUB: video decode needs pyav/ffmpeg — not in
-                        # this container. Arrow plumbing is real.
-                        raise NotImplementedError(
-                            f"real {modality} decode requires native codec "
-                            "libraries; images decode via the stdlib PNG "
-                            "codec or PIL, audio via the stdlib WAV decoder"
-                        )
                     else:
-                        feats.append(_fake_decode(content, n_features))
+                        # STUB for 'real' (video needs pyav/ffmpeg — not in
+                        # this container; Arrow plumbing is real) — and the
+                        # SAME loud error for 'image' mode: silently mixing
+                        # md5 pseudo-features for non-image rows into the
+                        # output column fed a consumer garbage vectors with
+                        # no marker (review finding r8). Filter to
+                        # modality == 'image' first, or use decode_fn='fake'
+                        # for plumbing tests.
+                        raise NotImplementedError(
+                            f"{decode_fn!r} decode has no real decoder for "
+                            f"modality {modality!r}; filter the frame to "
+                            "supported modalities (image"
+                            + ("/audio" if decode_fn == "real" else "")
+                            + ") or use decode_fn='fake'"
+                        )
             else:
                 feats = [_fake_decode(c, n_features) for c in pdf["content"]]
             yield pd.DataFrame(

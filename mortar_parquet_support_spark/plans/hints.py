@@ -15,12 +15,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_UNITS = {
+    "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+    "p": 1 << 50,  # JavaUtils accepts pebibytes too
+}
 
 
 def _parse_bytes(conf: str) -> int:
     """Parse Spark's byte-size conf syntax ('10485760', '10MB', '1g',
-    '-1' = disabled)."""
+    '-1' = disabled). Multiply BEFORE truncating ('1.5g' is 1.5 GiB, not
+    1 GiB — review finding r8)."""
     s = conf.strip().lower().removesuffix("b")
     if not s:
         return -1
@@ -29,7 +33,7 @@ def _parse_bytes(conf: str) -> int:
         mult = _UNITS[s[-1]]
         s = s[:-1]
     try:
-        return int(float(s)) * mult
+        return int(float(s) * mult)
     except ValueError:
         return -1
 

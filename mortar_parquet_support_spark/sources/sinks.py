@@ -111,13 +111,67 @@ def _csv_cell_formatter(schema, session_tz: str):
 
     def cell(i, v):
         if v is None:
-            return ""
+            return None
         if isinstance(v, bool):
             return "true" if v else "false"
         fmt = formatters.get(i)
-        return fmt(v) if fmt is not None else v
+        if fmt is not None:
+            return fmt(v)
+        if isinstance(v, float):
+            return _java_double_repr(v)
+        return str(v)
 
     return cell
+
+
+def _java_double_repr(v: float) -> str:
+    """Java ``Double.toString`` rendering — what Spark's CSV writer emits:
+    shortest round-trip digits, plain decimal for 1e-3 <= |v| < 1e7,
+    otherwise ``D.DDDE<exp>`` scientific (no '+', no zero-padded
+    exponent), NaN/Infinity words. Python's repr shares the shortest
+    digits but differs on all the formatting (1e+16 vs 1.0E16, nan vs
+    NaN), which broke the byte-parity contract (review finding r8)."""
+    import math
+    from decimal import Decimal
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    sign = "-" if math.copysign(1.0, v) < 0 else ""
+    if v == 0.0:
+        return sign + "0.0"
+    t = Decimal(repr(abs(v))).as_tuple()
+    digits = "".join(map(str, t.digits))
+    adj = t.exponent + len(digits) - 1
+    if -3 <= adj < 7:
+        if adj >= 0:
+            ip = digits[: adj + 1].ljust(adj + 1, "0")
+            fp = digits[adj + 1:] or "0"
+            return f"{sign}{ip}.{fp}"
+        return sign + "0." + "0" * (-adj - 1) + digits
+    mant = digits[0] + "." + (digits[1:] or "0")
+    return f"{sign}{mant}E{adj}"
+
+
+def _spark_csv_line(cells) -> str:
+    """One CSV line exactly as Spark's writer emits it: null -> empty
+    unquoted; empty string -> ``\"\"`` (the writer's default emptyValue,
+    which keeps '' distinguishable from null on read-back); minimal
+    quoting with the quote char escaped by BACKSLASH (Spark's default
+    escape — csv.writer's doubled quotes misparse under it); '\\n'
+    terminator (csv.writer's CRLF default polluted the bytes)."""
+    out = []
+    for s in cells:
+        if s is None:
+            out.append("")
+        elif s == "":
+            out.append('""')
+        elif any(ch in s for ch in (",", '"', "\n", "\r")):
+            out.append('"' + s.replace('"', '\\"') + '"')
+        else:
+            out.append(s)
+    return ",".join(out) + "\n"
 
 
 def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
@@ -129,25 +183,24 @@ def to_local_csv(df: DataFrame, filename: str, *, header: bool = False) -> int:
     into ``filename`` (fast path; executor disk IS the driver's). Any
     other master: executors can't see the driver's /tmp, so rows stream
     over the driver link (``toLocalIterator``, bounded memory) and are
-    written with Python's csv module — nulls render as empty, booleans
+    rendered with Spark's own CSV conventions (``_spark_csv_line``:
+    backslash-escaped quotes, '' as \"\", '\\n' endings, Java float
+    rendering) — nulls render as empty, booleans
     as true/false, and timestamps in Spark's own CSV shape (session-tz
     instants as ``yyyy-MM-dd'T'HH:mm:ss.SSSXXX``, NTZ without the
     offset), so both paths emit byte-identical files regardless of the
     driver's local timezone."""
     if not _local_master(df):
-        import csv as _csv
-
         cell = _csv_cell_formatter(
             df.schema,
             df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC"),
         )
         n = 0
         with open(filename, "a", newline="") as out:
-            w = _csv.writer(out)
             if header:
-                w.writerow(df.columns)
+                out.write(_spark_csv_line(df.columns))
             for row in _ltz_as_micros(df).toLocalIterator(prefetchPartitions=True):
-                w.writerow([cell(i, v) for i, v in enumerate(row)])
+                out.write(_spark_csv_line([cell(i, v) for i, v in enumerate(row)]))
                 n += 1
         return n
     tmp = tempfile.mkdtemp(prefix="mortar_csv_")
@@ -181,9 +234,20 @@ def to_duckdb(df: DataFrame, database: str, table: str, *, connection=None):
     import duckdb
 
     con = connection or duckdb.connect(database)
+    # identifier-quote the caller's table name: a space or reserved word
+    # would otherwise break the statements, and a hostile value would be
+    # executed verbatim (review finding r8)
+    qtable = '"' + table.replace('"', '""') + '"'
+    # scope the existence check to the CURRENT catalog+schema and to base
+    # tables: a same-named view, or a table in another ATTACHed database,
+    # used to route the write down INSERT against a table that doesn't
+    # exist in the target catalog
     exists = (
         con.execute(
-            "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
+            "SELECT count(*) FROM information_schema.tables "
+            "WHERE table_name = ? AND table_schema = current_schema() "
+            "AND table_catalog = current_database() "
+            "AND table_type = 'BASE TABLE'",
             [table],
         ).fetchone()[0]
         > 0
@@ -203,10 +267,10 @@ def to_duckdb(df: DataFrame, database: str, table: str, *, connection=None):
         con.register("__mortar_staged", reader)
         try:
             if exists:
-                con.execute(f"INSERT INTO {table} SELECT * FROM __mortar_staged")
+                con.execute(f"INSERT INTO {qtable} SELECT * FROM __mortar_staged")
             else:
                 con.execute(
-                    f"CREATE TABLE {table} AS SELECT * FROM __mortar_staged"
+                    f"CREATE TABLE {qtable} AS SELECT * FROM __mortar_staged"
                 )
         finally:
             con.unregister("__mortar_staged")
@@ -217,9 +281,9 @@ def to_duckdb(df: DataFrame, database: str, table: str, *, connection=None):
         df.write.mode("overwrite").parquet(staging)
         pattern = os.path.join(staging, "*.parquet")
         if exists:
-            con.execute(f"INSERT INTO {table} SELECT * FROM parquet_scan('{pattern}')")
+            con.execute(f"INSERT INTO {qtable} SELECT * FROM parquet_scan('{pattern}')")
         else:
-            con.execute(f"CREATE TABLE {table} AS SELECT * FROM parquet_scan('{pattern}')")
+            con.execute(f"CREATE TABLE {qtable} AS SELECT * FROM parquet_scan('{pattern}')")
         con.commit()
         return con
     finally:

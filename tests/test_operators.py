@@ -2775,3 +2775,38 @@ def test_word_shingles_ignore_leading_whitespace_kind(spark):
     sets = {r.id: frozenset(r.sh) for r in rows}
     assert sets[1] == sets[2] == sets[3]
     assert "foo bar baz" in sets[1]
+
+
+def test_extract_features_image_mode_rejects_nonimage(spark):
+    """Review finding r8: decode_fn='image' silently emitted md5 pseudo-
+    features for audio/video rows, mixed into the same column as real
+    pixel features. It now raises; fake mode still covers plumbing."""
+    import pytest as _pytest
+
+    rows = [("a1", bytearray(b"RIFFxxxx"), 8)]
+    media = spark.createDataFrame(rows, ["media_id", "content", "n"]).select(
+        "media_id",
+        F.col("content").cast("binary").alias("content"),
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("wav").alias("format"),
+            F.col("n").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    with _pytest.raises(Exception, match="modality"):
+        multimodal.extract_features(media, decode_fn="image").collect()
+    out = multimodal.extract_features(media, decode_fn="fake").collect()
+    assert len(out) == 1 and len(out[0].features) == 16
+
+
+def test_parse_bytes_fractional_and_pebibyte():
+    from mortar_parquet_support_spark.plans.hints import _parse_bytes
+
+    assert _parse_bytes("1.5g") == int(1.5 * (1 << 30))
+    assert _parse_bytes("1p") == 1 << 50
+    assert _parse_bytes("10485760") == 10485760
+    assert _parse_bytes("10MB") == 10 << 20
+    assert _parse_bytes("-1") == -1

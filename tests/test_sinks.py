@@ -304,6 +304,7 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
             StructField("b", BooleanType()),
         ]
     )
+    schema = schema.add(StructField("s", __import__("pyspark.sql.types", fromlist=["StringType"]).StringType()))
     rows = [
         (
             datetime.datetime(2024, 1, 1, 5, 0, 0, 123456),
@@ -311,6 +312,7 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
             datetime.date(2024, 1, 2),
             1.5,
             True,
+            'he said "hi", ok',  # quote + comma: backslash-escaped quoting
         ),
         (
             # 2024-11-03T06:30:00Z = 01:30 EST, the SECOND occurrence of
@@ -320,10 +322,11 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
             datetime.datetime(2024, 11, 3, 6, 30, 0),
             None,
             None,
-            None,
+            1e16,  # Java scientific: 1.0E16, not Python's 1e+16
             True,
+            "",  # empty string renders "" — distinguishable from null
         ),
-        (None, None, None, None, False),
+        (None, None, None, float("nan"), False, None),  # NaN word, null empty
     ]
     df = spark.createDataFrame(rows, schema)
     out = tmp_path / "spark_csv"
@@ -342,14 +345,15 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
     os.environ["TZ"] = "America/New_York"
     _time.tzset()
     try:
+        from mortar_parquet_support_spark.sources.sinks import _spark_csv_line
+
         cell = _csv_cell_formatter(
             schema, spark.conf.get("spark.sql.session.timeZone", "UTC")
         )
         buf = io.StringIO()
-        w = csv.writer(buf)
         for row in _ltz_as_micros(df).toLocalIterator(prefetchPartitions=True):
-            w.writerow([cell(i, v) for i, v in enumerate(row)])
-        got = buf.getvalue().replace("\r\n", "\n")
+            buf.write(_spark_csv_line([cell(i, v) for i, v in enumerate(row)]))
+        got = buf.getvalue()  # byte-for-byte: no CRLF mask (review r8)
     finally:
         if old_tz is None:
             os.environ.pop("TZ", None)
@@ -389,3 +393,30 @@ def test_to_batches_rejects_unreadable_spill_scheme(spark, tmp_path):
     assert _pyarrow_readable("s3a://b/x") and _pyarrow_readable("s3://b/x")
     assert not _pyarrow_readable("hdfs://nn/x")
     assert not _pyarrow_readable("abfss://c@a.dfs.core.windows.net/x")
+
+
+def test_to_duckdb_view_collision_and_quoted_identifier(spark, tmp_path):
+    """Review finding r8: the existence check matched views and
+    other-catalog tables (routing the write down INSERT against a table
+    that doesn't exist), and the table name was interpolated unquoted."""
+    import duckdb
+
+    from mortar_parquet_support_spark.sources.sinks import to_duckdb
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    db = str(tmp_path / "t.db")
+    con = duckdb.connect(db)
+    # a VIEW with the target name must not be mistaken for the table
+    con.execute("CREATE VIEW v1 AS SELECT 42 AS x")
+    with __import__("pytest").raises(Exception):
+        to_duckdb(df, db, "v1", connection=con)  # CREATE collides: loud, not INSERT-into-nothing
+    # a table in an ATTACHed catalog must not count as existing here
+    other = str(tmp_path / "other.db")
+    duckdb.connect(other).execute("CREATE TABLE t1 (x int)").close()
+    con.execute(f"ATTACH '{other}' AS other")
+    to_duckdb(df, db, "t1", connection=con)  # creates t1 in MAIN, no INSERT error
+    assert con.table("t1").fetchall() == [(1, "a")]
+    # reserved words / spaces work via identifier quoting
+    to_duckdb(df, db, "order by", connection=con)
+    assert con.sql('SELECT count(*) FROM "order by"').fetchone()[0] == 1
+    con.close()
