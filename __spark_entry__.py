@@ -3391,6 +3391,101 @@ def _knn_sq8(spark, sf_dir):
     )
 
 
+# Per-domain mixture coefficients for the build_mixture entry, computed ONCE
+# on the driver so the Spark plan and the DuckDB oracle evaluate the same
+# double literal (coef / n is then a single identical IEEE division in both
+# engines — floor() and fractional-bucket thresholds cannot diverge).
+_MIX_TARGET = 120
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 0.5}
+_MIX_COEF = {
+    d: _MIX_TARGET * (w / sum(_MIX_WEIGHTS.values()))
+    for d, w in _MIX_WEIGHTS.items()
+}
+
+
+@_register(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), toks2 AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), model AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS freq FROM toks2 GROUP BY token
+    ), total AS (
+      SELECT CAST(sum(freq) AS DOUBLE) AS t FROM model
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(ln(m.freq / total.t)), 6) AS avg_logprob
+    FROM toks2 d JOIN model m USING (token) CROSS JOIN total
+    GROUP BY d.doc_id
+    """,
+)
+def _unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram-LM quality signal (operators/text.py
+    unigram_logprob): the corpus trains a unigram model of itself (explode
+    + count, vocabulary-sized), then every document is scored with the
+    mean ln-probability of its tokens — the head/middle/tail bucketing
+    signal for crawl curation. The model broadcast-joins onto the token
+    stream, so the corpus is never shuffled by token."""
+    from mortar_parquet_support_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, id_col="doc_id", text_col="text")
+
+
+@_register(
+    "build_mixture",
+    f"""
+    WITH cnt AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+      GROUP BY source
+    ), planned AS (
+      SELECT d.doc_id, d.source,
+             (CASE d.source
+                WHEN 'src0' THEN {_MIX_COEF['src0']!r}
+                WHEN 'src1' THEN {_MIX_COEF['src1']!r}
+                WHEN 'src2' THEN {_MIX_COEF['src2']!r}
+              END) / c.n AS rate
+      FROM documents d JOIN cnt c USING (source)
+    ), reps AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT) +
+             CASE WHEN ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000
+                       < CAST(round((rate - floor(rate)) * 10000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_reps
+      FROM planned
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n_reps)) AS BIGINT) AS epoch
+    FROM reps
+    """,
+)
+def _build_mixture(spark, sf_dir):
+    """Domain-weighted training-mixture materialization (operators/
+    sampling.py build_mixture): src0 upweighted 3x, src1 1x, src2 0.5x
+    toward a 120-row target — scarce domains repeat with an epoch tag,
+    abundant ones thin deterministically via the engine-portable md5
+    bucket. The oracle replays the identical plan in SQL, including the
+    driver-precomputed coefficient literals (see _MIX_COEF)."""
+    from mortar_parquet_support_spark.operators.sampling import build_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = build_mixture(
+        docs,
+        "doc_id",
+        "source",
+        _MIX_WEIGHTS,
+        target_rows=_MIX_TARGET,
+        salt="mix",
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
 # The driver evaluates a bounded prefix (50 entries) of queries(). With 75
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
@@ -3455,6 +3550,12 @@ _WINDOW_PROMOTED = [
     "quantile_sketch",
     "quantile_estimate",
     "curation_pipeline",
+    # late round 8: unigram-LM quality scoring and domain-weighted mixture
+    # materialization — two more new families the driver should witness;
+    # the two window-tail shapes they displace are green in
+    # CORRECTNESS_r07 and stay harness-verified every round.
+    "unigram_logprob",
+    "build_mixture",
 ]
 
 

@@ -103,3 +103,78 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * _BUCKETS)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def build_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: Mapping[str, float],
+    *,
+    target_rows: int,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a training mixture: resample ``df`` so each domain
+    contributes ``target_rows * weight / sum(weights)`` rows in
+    expectation — the DoReMi/Pile-style mixture step that upweights scarce
+    high-quality domains (rows REPEAT, tagged with a 0-based ``epoch_col``)
+    and downsamples abundant ones (deterministic content-keyed thinning).
+
+    Per domain d with n_d rows and normalized weight w_d, every row gets
+    ``floor(rate_d)`` guaranteed epochs plus one more iff its hash bucket
+    falls under the fractional part, where ``rate_d = target_rows * w_d /
+    n_d``. Epoch membership is a pure function of (id, salt, weights), so
+    re-runs and re-partitionings rebuild the identical mixture — and an
+    engine-portable one (see :func:`hash_bucket`). Domains absent from
+    ``weights`` are dropped; weights are ratios and need not sum to 1.
+
+    Scale shape: domain cardinality is tiny, so the per-domain count
+    aggregate collapses map-side and broadcast-joins back onto the corpus
+    — no corpus shuffle at all; the repeat fan-out is a per-row
+    ``explode(sequence(...))`` that never materializes more than one
+    domain coefficient per row. Skewed domains cost exactly their output
+    share.
+    """
+    bad = {k: w for k, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative mixture weights: {bad}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"build_mixture writes column {epoch_col!r}; input already has "
+            f"it — rename one first"
+        )
+    # per-domain numerator precomputed on the driver so BOTH engines in an
+    # oracle comparison evaluate the same single division coef/n (same
+    # IEEE double), keeping floor()/bucket-threshold boundaries identical
+    coef = F.lit(None).cast("double")
+    for name, w in weights.items():
+        coef = F.when(
+            F.col(domain_col) == name, F.lit(target_rows * (w / total_w))
+        ).otherwise(coef)
+    counts = (
+        df.filter(F.col(domain_col).isin(list(weights)))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    rate = coef / F.col("__n")
+    base = F.floor(rate)  # long
+    frac = rate - F.floor(rate)
+    extra = (
+        hash_bucket(F.col(id_col), salt=salt)
+        < F.round(frac * _BUCKETS).cast("long")
+    ).cast("long")
+    reps = base + extra
+    epochs = F.when(
+        reps >= 1, F.sequence(F.lit(0).cast("long"), reps - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .withColumn(epoch_col, F.explode(epochs))
+        .drop("__n")
+    )

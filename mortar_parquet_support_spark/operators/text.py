@@ -307,3 +307,74 @@ def top_tokens(
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def unigram_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Full corpus unigram table (token, freq) under the shared casefolded
+    whitespace tokenization — the training pass for :func:`unigram_logprob`.
+    Unlike :func:`top_tokens` there is no top-k truncation: a language model
+    needs the whole vocabulary. Same scale shape: one explode + one count
+    with map-side partial aggregation, shuffle bounded by vocabulary size."""
+    return (
+        df.select(F.explode(_lower_words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+    oov_freq: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style language
+    -model quality signal used to bucket crawl text into head/middle/tail
+    before training. Returns (id_col, n_tokens, avg_logprob) where
+    ``avg_logprob = avg(ln(freq_token / total_tokens))`` over the document's
+    tokens; higher (closer to 0) means more stereotypical text, very low
+    values flag gibberish, and very HIGH values flag degenerate repetition
+    of common words — both tails get dropped in a curation cascade.
+
+    ``model`` is a (token, freq) frame from :func:`unigram_counts`; when
+    None the corpus scores itself (no OOV possible). With an external
+    model, unseen tokens back off to ``oov_freq`` pseudo-counts
+    (``oov_freq`` is NOT added to the denominator — at crawl scale the
+    OOV mass is negligible against the model total and keeping the
+    denominator exact makes self-scoring reproduce the textbook formula).
+
+    Documents whose text tokenizes to nothing produce no token rows and are
+    absent from the result (mirror the behaviour in SQL with an inner join);
+    callers wanting them back left-join this result onto their id column.
+
+    Scale shape: the model is vocabulary-sized, so it broadcast-joins onto
+    the exploded token stream — the corpus itself is never shuffled by
+    token; the only corpus-sized shuffle is the per-document aggregate,
+    shrunk by map-side partial aggregation to one row per (partition, doc).
+    The grand total rides along as a broadcast single-row cross join rather
+    than a driver-side collect, keeping the plan lazy and retry-safe.
+    """
+    if model is None:
+        model = unigram_counts(df, text_col=text_col)
+    total = model.agg(F.sum("freq").cast("double").alias("__total"))
+    tokens = df.select(
+        F.col(id_col), F.explode(_lower_words(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    scored = (
+        tokens.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.coalesce(F.col("freq").cast("double"), F.lit(float(oov_freq)))
+                / F.col("__total")
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )

@@ -2810,3 +2810,90 @@ def test_parse_bytes_fractional_and_pebibyte():
     assert _parse_bytes("10485760") == 10485760
     assert _parse_bytes("10MB") == 10 << 20
     assert _parse_bytes("-1") == -1
+
+
+def test_unigram_logprob_self_scoring(spark):
+    from mortar_parquet_support_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the rare"), (3, "   "), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus: the x4, rare x1 -> total 5
+    import math
+
+    assert set(rows) == {1, 2}  # empty/None docs produce no token rows
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == round(math.log(4 / 5), 6)
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["avg_logprob"] == round(
+        (math.log(4 / 5) + math.log(1 / 5)) / 2, 6
+    )
+
+
+def test_unigram_logprob_external_model_oov(spark):
+    from mortar_parquet_support_spark.operators.text import (
+        unigram_counts,
+        unigram_logprob,
+    )
+
+    train = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    model = unigram_counts(train)
+    score = spark.createDataFrame([(9, "a zzz")], ["doc_id", "text"])
+    import math
+
+    (row,) = unigram_logprob(
+        score, model=model, oov_freq=0.5
+    ).collect()
+    # total stays 3 (train mass); oov token backs off to 0.5 pseudo-counts
+    assert row["n_tokens"] == 2
+    assert row["avg_logprob"] == round(
+        (math.log(2 / 3) + math.log(0.5 / 3)) / 2, 6
+    )
+
+
+def test_build_mixture_rates_and_determinism(spark):
+    from mortar_parquet_support_spark.operators.sampling import build_mixture
+
+    rows = [(i, "big" if i < 200 else "small") for i in range(250)]
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    # big: 200 rows at weight 1, small: 50 rows at weight 3 -> of a
+    # 200-row target, big gets 50 (rate .25), small 150 (rate 3.0)
+    out = build_mixture(
+        df, "id", "dom", {"big": 1.0, "small": 3.0}, target_rows=200
+    )
+    pdf = out.toPandas()
+    small = pdf[pdf.dom == "small"]
+    big = pdf[pdf.dom == "big"]
+    # integer rate -> exact: every small row appears exactly 3 times
+    assert len(small) == 150
+    assert set(small.epoch) == {0, 1, 2}
+    assert small.groupby("id").size().eq(3).all()
+    # fractional rate -> expectation 50, each kept row exactly once
+    assert big.epoch.eq(0).all()
+    assert 30 <= len(big) <= 70
+    # determinism under repartitioning
+    again = build_mixture(
+        df.repartition(7), "id", "dom", {"big": 1.0, "small": 3.0},
+        target_rows=200,
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id", "epoch"]].values.tolist()))  # noqa: E731
+    assert key(again) == key(pdf)
+
+
+def test_build_mixture_validation(spark):
+    from mortar_parquet_support_spark.operators.sampling import build_mixture
+
+    df = spark.createDataFrame([(1, "a", 0)], ["id", "dom", "epoch"])
+    with pytest.raises(ValueError, match="epoch"):
+        build_mixture(df, "id", "dom", {"a": 1.0}, target_rows=10)
+    df2 = spark.createDataFrame([(1, "a")], ["id", "dom"])
+    with pytest.raises(ValueError, match="negative"):
+        build_mixture(df2, "id", "dom", {"a": -1.0}, target_rows=10)
+    with pytest.raises(ValueError, match="positive"):
+        build_mixture(df2, "id", "dom", {"a": 0.0}, target_rows=10)
+    # domains outside the weight map are dropped entirely
+    df3 = spark.createDataFrame([(1, "a"), (2, "other")], ["id", "dom"])
+    out = build_mixture(df3, "id", "dom", {"a": 1.0}, target_rows=1)
+    assert [r["dom"] for r in out.collect()] == ["a"]
