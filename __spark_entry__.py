@@ -3391,16 +3391,18 @@ def _knn_sq8(spark, sf_dir):
     )
 
 
-# Per-domain mixture coefficients for the build_mixture entry, computed ONCE
-# on the driver so the Spark plan and the DuckDB oracle evaluate the same
-# double literal (coef / n is then a single identical IEEE division in both
-# engines — floor() and fractional-bucket thresholds cannot diverge).
+# Per-domain mixture coefficients for the build_mixture entry — the SAME
+# driver-side computation build_mixture itself runs (exported precisely so
+# the oracle cannot de-sync from the Spark plan at the 1-ulp level), so
+# coef / n is a single identical IEEE division in both engines and
+# floor() / fractional-bucket thresholds cannot diverge.
+from mortar_parquet_support_spark.operators.sampling import (  # noqa: E402
+    mixture_coefficients as _mixture_coefficients,
+)
+
 _MIX_TARGET = 120
 _MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 0.5}
-_MIX_COEF = {
-    d: _MIX_TARGET * (w / sum(_MIX_WEIGHTS.values()))
-    for d, w in _MIX_WEIGHTS.items()
-}
+_MIX_COEF = _mixture_coefficients(_MIX_WEIGHTS, _MIX_TARGET)
 
 
 @_register(
@@ -3447,9 +3449,9 @@ def _unigram_logprob(spark, sf_dir):
     ), planned AS (
       SELECT d.doc_id, d.source,
              (CASE d.source
-                WHEN 'src0' THEN {_MIX_COEF['src0']!r}
-                WHEN 'src1' THEN {_MIX_COEF['src1']!r}
-                WHEN 'src2' THEN {_MIX_COEF['src2']!r}
+                WHEN 'src0' THEN '{_MIX_COEF['src0']!r}'::DOUBLE
+                WHEN 'src1' THEN '{_MIX_COEF['src1']!r}'::DOUBLE
+                WHEN 'src2' THEN '{_MIX_COEF['src2']!r}'::DOUBLE
               END) / c.n AS rate
       FROM documents d JOIN cnt c USING (source)
     ), reps AS (

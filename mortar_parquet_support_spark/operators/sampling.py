@@ -105,6 +105,26 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def mixture_coefficients(
+    weights: Mapping[str, float], target_rows: int
+) -> dict[str, float]:
+    """Per-domain numerators for :func:`build_mixture`'s rate formula —
+    ``coef_d = target_rows * (w_d / sum(weights))``, evaluated ONCE on the
+    driver. Exposed so an oracle replaying the mixture in another engine
+    can embed the exact same double literals: the remaining ``coef / n``
+    is then a single identical IEEE division in both engines, keeping
+    floor() and fractional-bucket thresholds bit-identical."""
+    bad = {k: w for k, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative mixture weights: {bad}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    return {d: target_rows * (w / total_w) for d, w in weights.items()}
+
+
 def build_mixture(
     df: DataFrame,
     id_col: str,
@@ -136,27 +156,15 @@ def build_mixture(
     domain coefficient per row. Skewed domains cost exactly their output
     share.
     """
-    bad = {k: w for k, w in weights.items() if w < 0}
-    if bad:
-        raise ValueError(f"negative mixture weights: {bad}")
-    total_w = sum(weights.values())
-    if total_w <= 0:
-        raise ValueError("mixture weights must sum to a positive value")
-    if target_rows < 0:
-        raise ValueError("target_rows must be >= 0")
+    coefs = mixture_coefficients(weights, target_rows)
     if epoch_col in df.columns:
         raise ValueError(
             f"build_mixture writes column {epoch_col!r}; input already has "
             f"it — rename one first"
         )
-    # per-domain numerator precomputed on the driver so BOTH engines in an
-    # oracle comparison evaluate the same single division coef/n (same
-    # IEEE double), keeping floor()/bucket-threshold boundaries identical
     coef = F.lit(None).cast("double")
-    for name, w in weights.items():
-        coef = F.when(
-            F.col(domain_col) == name, F.lit(target_rows * (w / total_w))
-        ).otherwise(coef)
+    for name, c in coefs.items():
+        coef = F.when(F.col(domain_col) == name, F.lit(c)).otherwise(coef)
     counts = (
         df.filter(F.col(domain_col).isin(list(weights)))
         .groupBy(domain_col)

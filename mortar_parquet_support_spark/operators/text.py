@@ -295,17 +295,26 @@ def top_tokens(
     plan is scale-bound by vocabulary size, not corpus size; the final
     top-k is a TakeOrdered over the aggregated frame.
     """
+    return _token_freqs(df, text_col, lowercase=lowercase).orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(k)
+
+
+def _token_freqs(
+    df: DataFrame, text_col: str, *, lowercase: bool
+) -> DataFrame:
+    """Shared explode + empty-filter + count aggregation behind
+    :func:`top_tokens` and :func:`unigram_counts` — ONE definition of the
+    tokenize-and-count pipeline so a tokenization tweak cannot desync the
+    vocabulary stats from the unigram model."""
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
-    words = F.split(F.trim(text), r"\s+")
     return (
-        df.select(F.explode(words).alias("token"))
+        df.select(F.explode(F.split(F.trim(text), r"\s+")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("token").asc())
-        .limit(k)
     )
 
 
@@ -315,12 +324,7 @@ def unigram_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     Unlike :func:`top_tokens` there is no top-k truncation: a language model
     needs the whole vocabulary. Same scale shape: one explode + one count
     with map-side partial aggregation, shuffle bounded by vocabulary size."""
-    return (
-        df.select(F.explode(_lower_words(F.col(text_col))).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    return _token_freqs(df, text_col, lowercase=True)
 
 
 def unigram_logprob(
@@ -357,6 +361,11 @@ def unigram_logprob(
     The grand total rides along as a broadcast single-row cross join rather
     than a driver-side collect, keeping the plan lazy and retry-safe.
     """
+    if oov_freq <= 0:
+        # F.log of a non-positive ratio yields NULL, which avg() silently
+        # SKIPS while n_tokens still counts the token — a mixed OOV doc
+        # would get a score over its in-vocab tokens only
+        raise ValueError(f"oov_freq must be > 0, got {oov_freq}")
     if model is None:
         model = unigram_counts(df, text_col=text_col)
     total = model.agg(F.sum("freq").cast("double").alias("__total"))

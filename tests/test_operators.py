@@ -2897,3 +2897,11 @@ def test_build_mixture_validation(spark):
     df3 = spark.createDataFrame([(1, "a"), (2, "other")], ["id", "dom"])
     out = build_mixture(df3, "id", "dom", {"a": 1.0}, target_rows=1)
     assert [r["dom"] for r in out.collect()] == ["a"]
+
+
+def test_unigram_logprob_rejects_nonpositive_oov(spark):
+    from mortar_parquet_support_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="oov_freq"):
+        unigram_logprob(df, oov_freq=0.0)
