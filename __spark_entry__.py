@@ -1357,7 +1357,8 @@ def _curation_pipeline(spark, sf_dir):
            CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
                 ELSE CAST(floor(log10(abs(value)) * 20.0 + 1e-9) AS BIGINT)
            END AS mag_bin,
-           COUNT(*) AS cnt
+           COUNT(*) AS cnt,
+           CAST(20 AS INT) AS bpd
     FROM events WHERE value IS NOT NULL AND isfinite(value)
     GROUP BY 1, 2, 3
     """,
@@ -1400,9 +1401,15 @@ def _quantile_sketch(spark, sf_dir):
       FROM h
     )
     SELECT event_type,
-           ROUND(min_by(rep, skey) FILTER (WHERE cum >= 0.5  * total), 6) AS p50,
-           ROUND(min_by(rep, skey) FILTER (WHERE cum >= 0.95 * total), 6) AS p95,
-           ROUND(min_by(rep, skey) FILTER (WHERE cum >= 0.99 * total), 6) AS p99,
+           ROUND(min_by(rep, skey) FILTER (
+             WHERE cum >= CAST(0.5 AS DOUBLE) * total - 1e-9 - 1e-12 * total
+           ), 6) AS p50,
+           ROUND(min_by(rep, skey) FILTER (
+             WHERE cum >= CAST(0.95 AS DOUBLE) * total - 1e-9 - 1e-12 * total
+           ), 6) AS p95,
+           ROUND(min_by(rep, skey) FILTER (
+             WHERE cum >= CAST(0.99 AS DOUBLE) * total - 1e-9 - 1e-12 * total
+           ), 6) AS p99,
            CAST(MAX(total) AS BIGINT) AS n
     FROM t GROUP BY event_type
     """,

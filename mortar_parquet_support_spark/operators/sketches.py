@@ -163,10 +163,21 @@ def qhist_rollup(
         group.append(F.window(F.col(ts), bucket).alias("w"))
         head.append(F.col("w.start").alias("bucket"))
     group += keys + ["sign", "mag_bin"]
+    # the state carries its own precision: persisted histograms from
+    # different bins_per_decade settings must never silently mix (see
+    # qhist_reaggregate / qhist_quantiles — the hll counterpart fails
+    # loudly on an lg_k mismatch for the same reason)
     return (
         out.groupBy(*group)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(*head, *keys, "sign", "mag_bin", "cnt")
+        .select(
+            *head,
+            *keys,
+            "sign",
+            "mag_bin",
+            "cnt",
+            F.lit(bins_per_decade).cast("int").alias("bpd"),
+        )
     )
 
 
@@ -174,11 +185,14 @@ def qhist_reaggregate(hist: DataFrame, *, group_cols: list[str]) -> DataFrame:
     """Re-aggregate stored histogram state to a coarser grain WITHOUT
     touching raw data — and, unlike HLL union, EXACTLY: summing per-bin
     counts loses nothing, so the result is identical to a direct rollup
-    of the raw rows at the coarser grain."""
+    of the raw rows at the coarser grain. ``bpd`` joins the grouping keys,
+    so states built at different precisions stay on separate rows instead
+    of summing into a meaningless mixed histogram (qhist_quantiles then
+    rejects the mix loudly)."""
     return (
-        hist.groupBy(*group_cols, "sign", "mag_bin")
+        hist.groupBy(*group_cols, "sign", "mag_bin", "bpd")
         .agg(F.sum("cnt").alias("cnt"))
-        .select(*group_cols, "sign", "mag_bin", "cnt")
+        .select(*group_cols, "sign", "mag_bin", "cnt", "bpd")
     )
 
 
@@ -187,13 +201,18 @@ def qhist_quantiles(
     *,
     group_cols: list[str],
     qs: list[float] = (0.5, 0.95, 0.99),
-    bins_per_decade: int = 20,
 ) -> DataFrame:
     """Quantile estimates from histogram state: per group, the lower-
     inverted-CDF bin (smallest bin whose cumulative count reaches q * n),
     reported as the bin's geometric midpoint ``sign * 10^((b+0.5)/bpd)``
     (0 for the zero bin) in columns ``p50``/``p95``/... Relative error is
     bounded by the bin width: |est/true - 1| <= 10^(1/(2*bpd)) - 1.
+
+    The bin precision comes from the state's own ``bpd`` column (written
+    by qhist_rollup) — there is nothing for the caller to keep in sync.
+    A group mixing rows from different ``bpd`` settings has no coherent
+    bin space and raises at execution rather than returning quantiles
+    that are silently off by orders of magnitude.
 
     All built-in expressions: one cumulative window + one min-of-struct
     aggregate per group — two shuffles on the (tiny) state table, raw
@@ -209,15 +228,23 @@ def qhist_quantiles(
         F.col("sign")
         * F.pow(
             F.lit(10.0),
-            (F.col("mag_bin") + F.lit(0.5)) / F.lit(float(bins_per_decade)),
+            (F.col("mag_bin") + F.lit(0.5)) / F.col("bpd").cast("double"),
         )
     )
     w = Window.partitionBy(*group_cols).orderBy(F.col("sign"), ordk)
     wall = Window.partitionBy(*group_cols)
+    bpd_uniform = F.min("bpd").over(wall) == F.max("bpd").over(wall)
     staged = hist.withColumns(
         {
             "_ord": ordk,
-            "_rep": rep,
+            "_rep": F.when(bpd_uniform, rep).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "qhist_quantiles: group mixes states built at "
+                        "different bins_per_decade — re-bin from raw data"
+                    )
+                )
+            ),
             "_cum": F.sum("cnt").over(w),
             "_total": F.sum("cnt").over(wall),
         }
@@ -225,9 +252,19 @@ def qhist_quantiles(
     aggs = []
     for q in qs:
         name = f"p{q * 100:g}".replace(".", "_")  # p50, p95, p99_9
+        # q * n nudged DOWN before the compare: the double product can
+        # overshoot an exact integer rank (0.07 * 100 = 7.000000000000001)
+        # and skip the bin that genuinely reaches it; the relative term
+        # covers large totals where the product's ulp exceeds the absolute
+        # epsilon. Integer cum values make the nudge otherwise inert.
+        threshold = (
+            F.lit(float(q)) * F.col("_total")
+            - F.lit(_QHIST_EPS)
+            - F.lit(1e-12) * F.col("_total")
+        )
         pick = F.min(
             F.when(
-                F.col("_cum") >= F.lit(float(q)) * F.col("_total"),
+                F.col("_cum") >= threshold,
                 F.struct(F.col("sign"), F.col("_ord"), F.col("_rep")),
             )
         )["_rep"]

@@ -93,8 +93,29 @@ def curate(
     """
     if dedup not in (None, "exact", "fingerprint", "minhash"):
         raise ValueError(f"unknown dedup mode {dedup!r}")
+    if isinstance(keep_languages, str):
+        # list('en') == ['e', 'n'] — lang_id codes never match single
+        # characters, so a bare string would silently drop EVERY document
+        raise ValueError(
+            "keep_languages must be a sequence of language codes, not a "
+            f"bare string ({keep_languages!r}); pass [{keep_languages!r}]"
+        )
 
-    out = df
+    # every stage keys on id_col (boilerplate re-join, dedup keep-slots,
+    # contamination labels): a NULL id silently falls out of equi-joins
+    # and can never be labeled 'duplicate' (NULL != x is NULL), which in
+    # audit mode means the row vanishes without a drop_reason — the exact
+    # failure this mode exists to prevent. Fail the job loudly instead
+    # (the pack_sequences NULL-cost guard precedent).
+    out = df.withColumn(
+        id_col,
+        F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+            F.raise_error(
+                F.lit(f"curate: NULL {id_col} cannot be curated — every "
+                      "stage joins/labels on it")
+            )
+        ),
+    )
     if boilerplate_min_docs is not None:
         stripped = strip_boilerplate_lines(
             out, id_col=id_col, text_col=text_col, min_docs=boilerplate_min_docs
@@ -142,8 +163,16 @@ def curate(
         ).drop("__contaminated")
 
     if dedup in ("exact", "fingerprint"):
+        # hash the RAW text column, with NULL coalesced to a sentinel no
+        # real value produces — `text` coalesces to '' for the scoring
+        # stages, but a digest over it would conflate a NULL-text doc
+        # with a genuinely-empty one, violating the byte-identical
+        # contract (the exact_dedup NULL-vs-empty convention)
+        null_sentinel = F.lit("\x00<NULL>")
         digest = (
-            fingerprint(text) if dedup == "fingerprint" else F.md5(text)
+            F.coalesce(fingerprint(F.col(text_col)), F.md5(null_sentinel))
+            if dedup == "fingerprint"
+            else F.md5(F.coalesce(F.col(text_col), null_sentinel))
         )
         # ONE shuffle: min surviving id per digest via window, no join.
         # Rows already rejected never anchor a cluster (the when() guard),
@@ -160,7 +189,15 @@ def curate(
             ),
         )
     elif dedup == "minhash":
-        survivors = cur.filter(F.col("__reason").isNull())
+        # materialized: FOUR consumers (LSH signature build, the jaccard
+        # shingle semi-join, resolve_duplicates' anti-join, and the
+        # survivors' role in `kept`) would each replay the boilerplate
+        # shuffles + scoring regexes + contamination join from scratch —
+        # the same double-execution hazard the `bad` barrier above cites
+        survivors = materialize(
+            cur.filter(F.col("__reason").isNull()),
+            checkpoint_dir=checkpoint_dir,
+        )
         pairs = minhash_dedup(
             survivors,
             id_col=id_col,

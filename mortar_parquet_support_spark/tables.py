@@ -37,17 +37,33 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         # anything else (missing dir, corrupt footer) without mutating
         # session state
         msg = str(exc).upper()
-        if "PARQUET" not in msg or ("NANO" not in msg and "ILLEGAL" not in msg):
+        # every Spark version's nanos refusal names the unit
+        # ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))"); a bare
+        # 'ILLEGAL' match would also flip the conf for unrelated
+        # unsupported types (FIXED_LEN_BYTE_ARRAY, ...), whose retry then
+        # fails identically but leaves the session mutated
+        if "PARQUET" not in msg or "NANO" not in msg:
             raise
-        # Deliberately NOT restored after the read: the returned frame is
-        # LAZY — physical planning (which snapshots the Hadoop conf the
-        # executors use for schema conversion) happens at first ACTION, so
-        # restoring here would resurface PARQUET_TYPE_ILLEGAL mid-query.
-        # Known tradeoff: after the first nanos fixture, a later unrelated
-        # read of an INT64 TIMESTAMP(NANOS) column in THIS session surfaces
-        # as bigint raw nanos instead of erroring.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        # On retry SUCCESS the conf is deliberately NOT restored: the
+        # returned frame is LAZY — physical planning (which snapshots the
+        # Hadoop conf the executors use for schema conversion) happens at
+        # first ACTION, so restoring here would resurface
+        # PARQUET_TYPE_ILLEGAL mid-query. Known tradeoff: after the first
+        # nanos fixture, a later unrelated read of an INT64
+        # TIMESTAMP(NANOS) column in THIS session surfaces as bigint raw
+        # nanos instead of erroring. On retry FAILURE the conf IS
+        # restored — nothing was returned, so nothing depends on it.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+            raise
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1256,8 +1256,7 @@ def test_qhist_quantiles_within_error_bound(spark, sf_dir):
     est = {
         r.event_type: (r.p50, r.p95, r.p99, r.n)
         for r in qhist_quantiles(
-            state, group_cols=["event_type"], qs=[0.5, 0.95, 0.99],
-            bins_per_decade=bpd,
+            state, group_cols=["event_type"], qs=[0.5, 0.95, 0.99]
         ).collect()
     }
     import numpy as np
@@ -2905,3 +2904,34 @@ def test_unigram_logprob_rejects_nonpositive_oov(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="oov_freq"):
         unigram_logprob(df, oov_freq=0.0)
+
+
+def test_qhist_mixed_bpd_raises(spark):
+    from mortar_parquet_support_spark.operators.sketches import (
+        qhist_quantiles,
+        qhist_rollup,
+    )
+
+    df = spark.createDataFrame([("g", 5.0), ("g", 50.0)], "g string, v double")
+    mixed = qhist_rollup(df, value="v", keys=["g"]).unionByName(
+        qhist_rollup(df, value="v", keys=["g"], bins_per_decade=40)
+    )
+    with pytest.raises(Exception, match="bins_per_decade"):
+        qhist_quantiles(mixed, group_cols=["g"]).collect()
+
+
+def test_qhist_exact_integer_rank_not_skipped(spark):
+    """q*n landing exactly on an integer rank must pick that rank's bin:
+    0.07 as a double slightly OVERSHOOTS 7.0 when multiplied by 100, and
+    an un-nudged >= compare would skip the 7th bin for the 8th."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        qhist_quantiles,
+        qhist_rollup,
+    )
+
+    rows = [("g", float(10**i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    state = qhist_rollup(df, value="v", keys=["g"])
+    (out,) = qhist_quantiles(state, group_cols=["g"], qs=[0.07]).collect()
+    # rank 7 = 10^6, bin midpoint 10^((120+0.5)/20)
+    assert abs(out.p7 / 10 ** 6.025 - 1) < 1e-9

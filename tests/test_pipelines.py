@@ -136,3 +136,28 @@ def test_boilerplate_stage_rewrites_before_scoring(spark):
 def test_invalid_dedup_mode_rejected(spark, corpus):
     with pytest.raises(ValueError):
         curate(corpus, dedup="simhashish")
+
+
+def test_bare_string_languages_rejected(spark, corpus):
+    with pytest.raises(ValueError, match="bare string"):
+        curate(corpus, keep_languages="en")
+
+
+def test_null_id_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, "some text here"), (None, "other text")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        curate(df, dedup="exact", audit=True).collect()
+
+
+def test_null_text_not_duplicate_of_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.drop_reason for r in curate(df, dedup="exact", audit=True).collect()}
+    # NULL text and empty text are NOT byte-identical — neither may be
+    # labeled the other's duplicate
+    assert out == {1: None, 2: None}
+    out_f = {r.doc_id: r.drop_reason for r in curate(df, dedup="fingerprint", audit=True).collect()}
+    assert out_f == {1: None, 2: None}
