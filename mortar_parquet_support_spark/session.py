@@ -43,15 +43,30 @@ def get_spark(
     (they ship on real clusters; this harness only asserts the conf wiring).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    if master is None:
+    # an externally supplied master (spark-submit --master / spark.master
+    # in PYSPARK_SUBMIT_ARGS) must win: an unconditional builder.master()
+    # would silently collapse a cluster job into local mode on the driver
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    external_master = "--master" in submit_args or "spark.master" in submit_args
+    if master is None and not external_master:
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    is_local = master is not None and master.startswith("local")
+    if shuffle_partitions is None and is_local:
+        # ~cores locally so tiny shuffles aren't 200-way; on a real
+        # cluster the driver's CPU count is meaningless as a reducer
+        # count (AQE coalesces DOWN from shuffle.partitions but never
+        # splits up), so leave the cluster/site default alone there
         shuffle_partitions = cpus
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -32,7 +32,7 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int,
     sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
+    mode: str = "error",
     format: str = "parquet",
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
@@ -40,7 +40,28 @@ def write_bucketed(
     Sorting within buckets on the join key upgrades the later join to a
     sort-merge over pre-sorted runs (no Sort operator either) and keeps
     min/max row-group stats tight for point lookups on the key.
+
+    ``mode`` defaults to 'error' like every other writer in this package —
+    a pre-shuffled fact table is exactly the artifact one least wants
+    silently destroyed. ``mode='overwrite'`` additionally recovers from an
+    ORPHANED managed location (a crashed session or recreated metastore
+    that lost the catalog entry but left the warehouse directory behind):
+    saveAsTable refuses to reuse such a location even in overwrite mode,
+    so the helper drops the stale entry and deletes the leftover directory
+    through the Hadoop FileSystem first (works on any scheme, not just
+    local disk). Database-qualified names only get the DROP — their
+    location layout is metastore-specific.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if "." not in table:
+            jvm = spark.sparkContext._jvm
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+            fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            if fs.exists(loc):
+                fs.delete(loc, True)
     writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -10,14 +10,8 @@ from tests.conftest import plan_str
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_dir):
-    import shutil
-
-    # saveAsTable refuses to reuse an orphaned managed-table location left
-    # by a previous session whose catalog forgot the table — clear both.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("bk_lineitem", "bk_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    # mode='overwrite' now recovers orphaned managed-table locations
+    # (previous sessions whose catalog forgot the table) inside the helper
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     write_bucketed(
@@ -26,6 +20,7 @@ def bucketed_tables(spark, sf_dir):
         bucket_cols=["l_orderkey"],
         n_buckets=8,
         sort_cols=["l_orderkey"],
+        mode="overwrite",
     )
     write_bucketed(
         orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"),
@@ -33,6 +28,7 @@ def bucketed_tables(spark, sf_dir):
         bucket_cols=["l_orderkey"],
         n_buckets=8,
         sort_cols=["l_orderkey"],
+        mode="overwrite",
     )
     yield "bk_lineitem", "bk_orders"
     spark.sql("DROP TABLE IF EXISTS bk_lineitem")

@@ -148,3 +148,36 @@ def test_run_to_memory_drops_view_on_failure(spark, sf_dir):
         _run_to_memory(ev.select("event_id", "boom"))
     after = {t.name for t in spark.catalog.listTables()}
     assert not {t for t in after - before if t.startswith("mortar_stream_")}
+
+
+def test_csv_default_roundtrip_loses_no_rows(spark, tmp_path):
+    """Writer and reader header defaults must agree: Spark's raw writer
+    default is headerless while open_table reads header=True, which
+    silently ate the first row of every partition file."""
+    from mortar_parquet_support_spark.sources.formats import open_table, write_table
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v").repartition(2)
+    p = str(tmp_path / "rt_csv")
+    write_table(df, p, format="csv")
+    back = open_table(spark, p, format="csv", schema="id bigint, v bigint")
+    assert back.count() == 10
+    assert {r.id for r in back.collect()} == set(range(10))
+
+
+def test_write_table_rejects_bad_format(spark, tmp_path):
+    import pytest
+
+    from mortar_parquet_support_spark.sources.formats import write_table
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_table(df, str(tmp_path / "x"), format="binaryFile")
+
+
+def test_open_jdbc_rejects_parallelism_without_range(spark):
+    import pytest
+
+    from mortar_parquet_support_spark.sources.formats import open_jdbc
+
+    with pytest.raises(ValueError, match="single cursor"):
+        open_jdbc(spark, "jdbc:postgresql://h/db", "t", num_partitions=32)
