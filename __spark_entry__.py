@@ -3495,6 +3495,92 @@ def _build_mixture(spark, sf_dir):
     return out.select("doc_id", "source", "epoch")
 
 
+@_register(
+    "cms_sketch",
+    """
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), toks2 AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+    cells AS (
+      SELECT lang, dd.d AS d,
+             ('0x' || substr(md5('cms42:' || dd.d || ':' || tok), 1, 15))::BIGINT
+               % 1024 AS w
+      FROM toks2, (VALUES (0), (1), (2), (3)) AS dd(d)
+    )
+    SELECT lang, CAST(d AS INT) AS d, w, count(*) AS cnt,
+           CAST(4 AS INT) AS depth, CAST(1024 AS INT) AS width,
+           CAST(42 AS INT) AS seed
+    FROM cells GROUP BY lang, d, w
+    """,
+)
+def _cms_sketch(spark, sf_dir):
+    """Count-min sketch state (operators/sketches.py cms_rollup): the
+    mergeable FREQUENCY sketch completing the state family (HLL =
+    distinct, qhist = quantiles, CMS = item counts). Hashing is the
+    md5 hex-slice recipe, so the full depth x width cell state
+    reproduces bit-for-bit in DuckDB."""
+    from mortar_parquet_support_spark.operators.sketches import cms_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return cms_rollup(toks, item="tok", keys=["lang"])
+
+
+@_register(
+    "cms_estimate",
+    """
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), toks2 AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+    cells AS (
+      SELECT lang, dd.d AS d,
+             ('0x' || substr(md5('cms42:' || dd.d || ':' || tok), 1, 15))::BIGINT
+               % 1024 AS w
+      FROM toks2, (VALUES (0), (1), (2), (3)) AS dd(d)
+    ), state AS (
+      SELECT lang, d, w, count(*) AS cnt FROM cells GROUP BY 1, 2, 3
+    ), pc AS (
+      SELECT p.item, dd.d AS d,
+             ('0x' || substr(md5('cms42:' || dd.d || ':' || p.item), 1, 15))::BIGINT
+               % 1024 AS w
+      FROM (VALUES ('the'), ('value'), ('scan'), ('zzz_absent')) AS p(item),
+           (VALUES (0), (1), (2), (3)) AS dd(d)
+    ), groups AS (SELECT DISTINCT lang FROM state)
+    SELECT g.lang, pc.item, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+    FROM pc CROSS JOIN groups g
+    LEFT JOIN state s ON s.lang = g.lang AND s.d = pc.d AND s.w = pc.w
+    GROUP BY g.lang, pc.item
+    """,
+)
+def _cms_estimate(spark, sf_dir):
+    """Point-frequency estimates served from CMS state alone
+    (operators/sketches.py cms_estimate): min over the depth rows with
+    missing cells counting 0 — one-sided error (est >= true), checked
+    end to end because every hash is engine-portable md5 arithmetic.
+    'zzz_absent' pins the zero path."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        cms_estimate,
+        cms_rollup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    state = cms_rollup(toks, item="tok", keys=["lang"])
+    return cms_estimate(
+        state, ["the", "value", "scan", "zzz_absent"], group_cols=["lang"]
+    )
+
+
 # The driver evaluates a bounded prefix (50 entries) of queries(). With 75
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
@@ -3565,6 +3651,9 @@ _WINDOW_PROMOTED = [
     # CORRECTNESS_r07 and stay harness-verified every round.
     "unigram_logprob",
     "build_mixture",
+    # count-min joins the sketch-state family in the window (state +
+    # estimate legs); same displacement policy as above.
+    "cms_estimate",
 ]
 
 

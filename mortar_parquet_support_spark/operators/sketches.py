@@ -272,3 +272,179 @@ def qhist_quantiles(
     return staged.groupBy(*group_cols).agg(
         *aggs, F.max("_total").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the re-aggregatable FREQUENCY counterpart to the two
+# families above (HLL answers "how many distinct", qhist "what quantile",
+# CMS "how often does item x occur"). State per group is the occupied
+# cells of a depth x width counter matrix — (d, w, cnt) rows — built from
+# ONE raw scan; merging states is elementwise count summation (lossless
+# with respect to the sketch: identical to building one sketch over the
+# union). Point estimates take min over the depth rows, so the error is
+# one-sided: estimate >= true count, overshooting by at most ~2N/width
+# with probability 1 - (1/2)^depth. Hashing is the engine-portable md5
+# hex-slice recipe (operators/dedup.md5_int), so the full state AND the
+# estimates reproduce bit-for-bit in any engine — a DuckDB oracle checks
+# them end to end.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(item: Column, d: int, width: int, seed: int) -> Column:
+    """Column index of ``item`` in depth row ``d`` — an independent hash
+    per row via a per-(seed, d) salt on the shared md5 recipe."""
+    from mortar_parquet_support_spark.operators.dedup import md5_int
+
+    return F.pmod(md5_int(item, salt=f"cms{seed}:{d}:"), F.lit(width))
+
+
+def cms_rollup(
+    df: DataFrame,
+    *,
+    item: str,
+    keys: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """One raw scan -> per-``keys`` count-min state rows
+    (keys..., ``d``, ``w``, ``cnt``, ``depth``, ``width``, ``seed``) —
+    only OCCUPIED cells are materialized, so small groups stay small.
+    NULL items are dropped (count them separately if they matter); the
+    sketch parameters ride along in the state like qhist's ``bpd`` so
+    incompatible states can never silently mix.
+
+    Scale shape: the depth-way fan-out happens in-row (one ``transform``
+    over a literal depth sequence, then posexplode), and the single
+    shuffle on (keys, d, w) is collapsed by map-side partial counting to
+    at most groups x depth x width rows — independent of corpus size."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    keys = list(keys or [])
+    it = F.col(item).cast("string")
+    cells = F.array(*[_cms_cell(it, d, width, seed) for d in range(depth)])
+    exploded = df.filter(it.isNotNull()).select(
+        *keys, F.posexplode(cells).alias("d", "w")
+    )
+    return (
+        exploded.groupBy(*keys, "d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *keys,
+            "d",
+            "w",
+            "cnt",
+            F.lit(depth).cast("int").alias("depth"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(seed).cast("int").alias("seed"),
+        )
+    )
+
+
+def cms_reaggregate(state: DataFrame, *, group_cols: list[str]) -> DataFrame:
+    """Merge stored states to a coarser grain by summing cells — identical
+    to a direct sketch of the unioned raw data. The parameter columns join
+    the grouping keys, so states from different (depth, width, seed)
+    settings stay on separate rows instead of summing into garbage
+    (cms_estimate then rejects the mix loudly)."""
+    return (
+        state.groupBy(*group_cols, "d", "w", "depth", "width", "seed")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*group_cols, "d", "w", "cnt", "depth", "width", "seed")
+    )
+
+
+def cms_estimate(
+    state: DataFrame,
+    items: list[str],
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Frequency estimates for ``items`` from sketch state alone: per
+    (group, item), ``est = min over d of cnt[d, h_d(item)]`` with missing
+    cells counting 0. Returns (group_cols..., ``item``, ``est``); groups
+    whose state mixes incompatible sketch parameters raise at execution.
+
+    ``items`` is a driver-side list by contract (heavy-hitter candidates,
+    a watchlist): it becomes a broadcast literal frame, the probe join
+    touches only depth rows per (group, item), and the state — kilobytes
+    per group — is the only thing scanned."""
+    if not items:
+        raise ValueError("items must be non-empty")
+    from pyspark.sql import Window
+
+    spark = state.sparkSession
+    wall = Window.partitionBy(*group_cols)
+    uniform = (
+        (F.min("depth").over(wall) == F.max("depth").over(wall))
+        & (F.min("width").over(wall) == F.max("width").over(wall))
+        & (F.min("seed").over(wall) == F.max("seed").over(wall))
+    )
+    st = state.withColumn(
+        "_cnt",
+        F.when(uniform, F.col("cnt")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "cms_estimate: group mixes states built with different "
+                    "(depth, width, seed) — re-sketch from raw data"
+                )
+            )
+        ),
+    )
+    probes = spark.createDataFrame([(i,) for i in items], ["item"])
+    # the probe's cell index must use the STATE's parameters, which are
+    # data — cross the (tiny) probe list with the state's distinct
+    # parameter rows, then compute the md5 cell per (item, d)
+    it = F.col("item").cast("string")
+    params = st.select("depth", "width", "seed").distinct()
+    probe_cells = (
+        probes.crossJoin(F.broadcast(params))
+        .select(
+            "item",
+            "depth",
+            "width",
+            "seed",
+            F.explode(F.sequence(F.lit(0), F.col("depth") - 1)).alias("d"),
+        )
+        .withColumn(
+            "w",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.concat(
+                                    F.lit("cms"),
+                                    F.col("seed").cast("string"),
+                                    F.lit(":"),
+                                    F.col("d").cast("string"),
+                                    F.lit(":"),
+                                ),
+                                it,
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("width").cast("long"),
+            ),
+        )
+    )
+    # a cell the group never touched counts 0, and a (group, item, d) with
+    # no matching state row must still contribute that 0 to the min — so
+    # the probe cells first cross with the state's distinct groups, then
+    # LEFT-join the cells; a plain left join from the probes alone would
+    # lose the group columns for missing cells.
+    groups = st.select(*group_cols).distinct()
+    per_gd = (
+        probe_cells.crossJoin(F.broadcast(groups))
+        .join(st, [*group_cols, "d", "w", "depth", "width", "seed"], "left")
+        .select(*group_cols, "item", "d", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_c"))
+    )
+    return (
+        per_gd.groupBy(*group_cols, "item")
+        .agg(F.min("_c").alias("est"))
+    )

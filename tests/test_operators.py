@@ -2935,3 +2935,78 @@ def test_qhist_exact_integer_rank_not_skipped(spark):
     (out,) = qhist_quantiles(state, group_cols=["g"], qs=[0.07]).collect()
     # rank 7 = 10^6, bin midpoint 10^((120+0.5)/20)
     assert abs(out.p7 / 10 ** 6.025 - 1) < 1e-9
+
+
+def _cms_toks(spark):
+    rows = [("g1", t) for t in ["a"] * 5 + ["b"] * 3 + ["c"]] + [
+        ("g2", t) for t in ["a"] * 2 + ["d"]
+    ]
+    return spark.createDataFrame(rows, "g string, tok string")
+
+
+def test_cms_estimate_upper_bounds_and_misses(spark):
+    from mortar_parquet_support_spark.operators.sketches import (
+        cms_estimate,
+        cms_rollup,
+    )
+
+    toks = _cms_toks(spark)
+    state = cms_rollup(toks, item="tok", keys=["g"])
+    est = {
+        (r.g, r.item): r.est
+        for r in cms_estimate(
+            state, ["a", "b", "c", "d", "nope"], group_cols=["g"]
+        ).collect()
+    }
+    true = {
+        (r.g, r.tok): r["count"]
+        for r in toks.groupBy("g", "tok").count().collect()
+    }
+    # one-sided error: est >= true, and at width 1024 with 9 distinct
+    # cells there are no collisions -> exact
+    for k, v in true.items():
+        assert est[k] == v, k
+    assert est[("g1", "nope")] == 0 and est[("g2", "nope")] == 0
+    assert est[("g1", "d")] == 0 and est[("g2", "b")] == 0
+
+
+def test_cms_reaggregate_lossless_and_null_dropped(spark):
+    from mortar_parquet_support_spark.operators.sketches import (
+        cms_reaggregate,
+        cms_rollup,
+    )
+
+    toks = _cms_toks(spark).unionByName(
+        spark.createDataFrame([("g1", None)], "g string, tok string")
+    )
+    direct = cms_rollup(toks, item="tok", keys=["g"])
+    merged = cms_reaggregate(
+        cms_rollup(toks.filter(F.col("tok") < "c"), item="tok", keys=["g"]).unionByName(
+            cms_rollup(toks.filter(~(F.col("tok") < "c")), item="tok", keys=["g"])
+        ),
+        group_cols=["g"],
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # NULL items dropped: totals match the non-null token count
+    total = sum(r.cnt for r in direct.filter(F.col("d") == 0).collect())
+    assert total == 12
+
+
+def test_cms_mixed_params_raise(spark):
+    from mortar_parquet_support_spark.operators.sketches import (
+        cms_estimate,
+        cms_rollup,
+    )
+
+    toks = _cms_toks(spark)
+    mixed = cms_rollup(toks, item="tok", keys=["g"]).unionByName(
+        cms_rollup(toks, item="tok", keys=["g"], width=64)
+    )
+    with pytest.raises(Exception, match="depth, width, seed"):
+        cms_estimate(mixed, ["a"], group_cols=["g"]).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        cms_estimate(cms_rollup(toks, item="tok", keys=["g"]), [], group_cols=["g"])
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_rollup(toks, item="tok", keys=["g"], depth=0)
