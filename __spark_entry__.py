@@ -3496,6 +3496,62 @@ def _build_mixture(spark, sf_dir):
 
 
 @_register(
+    "bigram_logprob",
+    """
+    WITH docs_arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS arr
+      FROM documents
+    ), base AS (
+      SELECT doc_id, arr FROM docs_arr WHERE len(arr) > 0
+    ), uni AS (
+      SELECT u.tok AS token, CAST(count(*) AS DOUBLE) AS freq
+      FROM (SELECT unnest(arr) AS tok FROM base) u GROUP BY 1
+    ), total AS (
+      SELECT CAST(sum(freq) AS DOUBLE) AS t FROM uni
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> arr[CAST(i AS INT)])) AS w1,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> arr[CAST(i AS INT) + 1])) AS w2
+      FROM base WHERE len(arr) >= 2
+    ), big AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS bfreq
+      FROM pairs GROUP BY 1, 2
+    ), ltot AS (
+      SELECT w1, CAST(sum(bfreq) AS DOUBLE) AS lfreq FROM big GROUP BY 1
+    ), first_lp AS (
+      SELECT b.doc_id, ln(u.freq / total.t) AS lp
+      FROM base b JOIN uni u ON u.token = b.arr[1] CROSS JOIN total
+    ), pair_lp AS (
+      SELECT p.doc_id, ln(g.bfreq / l.lfreq) AS lp
+      FROM pairs p JOIN big g USING (w1, w2) JOIN ltot l USING (w1)
+    ), all_lp AS (
+      SELECT * FROM first_lp UNION ALL SELECT * FROM pair_lp
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(lp), 6) AS avg_logprob
+    FROM all_lp GROUP BY doc_id
+    """,
+)
+def _bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality scoring with stupid backoff (operators/text.py
+    bigram_logprob), self-scored — first token takes the unigram
+    probability, each following token the conditional MLE
+    cnt(w1,w2)/cnt_left(w1). Pairs are formed IN-ROW (one transform over
+    the token array; the corpus is never shuffled to build context) and
+    the models join via maybe_broadcast. Self-scoring exercises every
+    seen-bigram path; the backoff legs are pytest-pinned with an external
+    train_df."""
+    from mortar_parquet_support_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, id_col="doc_id", text_col="text")
+
+
+@_register(
     "cms_sketch",
     """
     WITH toks AS (
@@ -3650,6 +3706,7 @@ _WINDOW_PROMOTED = [
     # the two window-tail shapes they displace are green in
     # CORRECTNESS_r07 and stay harness-verified every round.
     "unigram_logprob",
+    "bigram_logprob",
     "build_mixture",
     # count-min joins the sketch-state family in the window (state +
     # estimate legs); same displacement policy as above.

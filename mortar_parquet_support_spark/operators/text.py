@@ -387,3 +387,123 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("__lp"), 6).alias("avg_logprob"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean bigram log-probability with stupid backoff — the
+    stronger sibling of :func:`unigram_logprob` (a real LM pipeline uses a
+    KenLM-style n-gram model; a corpus-trained bigram with backoff is the
+    same signal family, expressible entirely in engine-portable SQL
+    arithmetic). Returns (id_col, n_tokens, avg_logprob) where the first
+    token scores ``ln(cnt(w)/total)`` and each following token scores
+    ``ln(cnt(w1,w2) / cnt_left(w1))`` when the bigram was seen, else the
+    backoff ``ln(alpha * cnt(w2)/total)`` (Brants et al.'s unnormalized
+    stupid backoff — cheap and rank-preserving, which is all a curation
+    cascade consumes). ``cnt_left(w1)`` is w1's count as a bigram LEFT
+    context (doc-final occurrences excluded), so seen-bigram
+    probabilities are a proper conditional MLE.
+
+    ``train_df`` holds the model corpus (default: ``df`` scores itself).
+    Self-scoring never fires the bigram backoff — every scored bigram is
+    in the model by construction — but single-token documents still take
+    the unigram leg; with an external ``train_df``, unseen bigrams take
+    the backoff and unseen unigrams the 0.5 pseudo-count (as in
+    unigram_logprob). Empty/NULL documents produce no rows (inner-join
+    semantics, like unigram_logprob).
+
+    Scale shape: bigram PAIRS are formed in-row (one transform over the
+    token array — the corpus is never exploded-then-shuffled to build
+    context), and the bigram model joins on (w1, w2). The bigram table
+    grows with observed-bigram cardinality, NOT vocab² — it broadcast-
+    joins while it fits and falls back to a shuffle join above the
+    planner's threshold, which is the honest shape at 100 TB where a
+    5-gram model would likewise be a distributed table.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    train = train_df if train_df is not None else df
+
+    def doc_pairs(frame: DataFrame) -> DataFrame:
+        arr = F.filter(_lower_words(F.col(text_col)), lambda w: w != "")
+        base = frame.select(F.col(id_col), arr.alias("_a")).filter(
+            F.size("_a") > 0
+        )
+        a = F.col("_a")
+        pairs_all = F.transform(
+            F.sequence(F.lit(0), F.size(a) - 2),
+            lambda i: F.struct(
+                F.get(a, i).alias("w1"), F.get(a, i + 1).alias("w2")
+            ),
+        )
+        return base, (
+            base.filter(F.size(a) >= 2)
+            .select(F.col(id_col), F.explode(pairs_all).alias("p"))
+            .select(
+                F.col(id_col),
+                F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"),
+            )
+        )
+
+    uni = unigram_counts(train, text_col=text_col)
+    total = uni.agg(F.sum("freq").cast("double").alias("__total"))
+    _, train_pairs = doc_pairs(train)
+    big = train_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bfreq"))
+    left_tot = big.groupBy("w1").agg(F.sum("bfreq").alias("lfreq"))
+    base, pairs = doc_pairs(df)
+    a = F.col("_a")
+
+    firsts = base.select(
+        F.col(id_col), F.get(a, 0).alias("token")
+    )
+    first_lp = (
+        firsts.join(F.broadcast(uni), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.coalesce(F.col("freq").cast("double"), F.lit(0.5))
+                / F.col("__total")
+            ).alias("_lp"),
+        )
+    )
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+    pair_lp = (
+        pairs.join(maybe_broadcast(big), ["w1", "w2"], "left")
+        .join(maybe_broadcast(left_tot), "w1", "left")
+        .join(
+            F.broadcast(uni.withColumnRenamed("token", "w2")), "w2", "left"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("bfreq").isNotNull(),
+                F.log(
+                    F.col("bfreq").cast("double")
+                    / F.col("lfreq").cast("double")
+                ),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * F.coalesce(F.col("freq").cast("double"), F.lit(0.5))
+                    / F.col("__total")
+                )
+            )
+            .alias("_lp"),
+        )
+    )
+    scored = first_lp.unionByName(pair_lp)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )

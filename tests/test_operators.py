@@ -3010,3 +3010,47 @@ def test_cms_mixed_params_raise(spark):
         cms_estimate(cms_rollup(toks, item="tok", keys=["g"]), [], group_cols=["g"])
     with pytest.raises(ValueError, match="depth/width"):
         cms_rollup(toks, item="tok", keys=["g"], depth=0)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    from mortar_parquet_support_spark.operators.text import bigram_logprob
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b"), (3, "c a"), (4, None)],
+        ["doc_id", "text"],
+    )
+    # unigrams: a:3 b:3 c:1, total 7; bigrams: (a,b):2 (b,a):1 (c,a):1
+    # left totals: a:2 b:1 c:1
+    rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_tokens == 4
+    # ln(3/7) + ln(2/2) + ln(1/1) + ln(2/2), over 4 tokens
+    assert rows[1].avg_logprob == round(math.log(3 / 7) / 4, 6)
+    assert rows[2].n_tokens == 1
+    assert rows[2].avg_logprob == round(math.log(3 / 7), 6)
+    assert rows[3].avg_logprob == round(math.log(1 / 7) / 2, 6)
+
+
+def test_bigram_logprob_backoff_external_model(spark):
+    from mortar_parquet_support_spark.operators.text import bigram_logprob
+    import math
+
+    train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    # "b b": first ln(2/4); bigram (b,b) unseen -> backoff
+    # ln(0.4 * 2/4); "b z": (b,z) unseen AND z OOV -> ln(0.4 * 0.5/4)
+    score = spark.createDataFrame(
+        [(9, "b b"), (10, "b z")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in bigram_logprob(score, train_df=train, alpha=0.4).collect()
+    }
+    assert rows[9].avg_logprob == round(
+        (math.log(2 / 4) + math.log(0.4 * 2 / 4)) / 2, 6
+    )
+    assert rows[10].avg_logprob == round(
+        (math.log(2 / 4) + math.log(0.4 * 0.5 / 4)) / 2, 6
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_logprob(score, alpha=0.0)
