@@ -47,10 +47,14 @@ _MERSENNE = (1 << 31) - 1
 BROADCAST_IDS_MAX = 5_000_000
 
 
-def md5_int(col: Column, *, bits: int = 60, salt: str = "") -> Column:
+def md5_int(col: Column, *, bits: int = 60, salt: str | Column = "") -> Column:
     """Deterministic non-negative int from md5 hex (engine-portable:
-    DuckDB reproduces it with the same hex-slice arithmetic)."""
-    hexpart = F.substring(F.md5(F.concat(F.lit(salt), col)), 1, bits // 4)
+    DuckDB reproduces it with the same hex-slice arithmetic). ``salt``
+    may be a Column for callers whose salt is data (e.g. a sketch's
+    per-row seed/depth parameters) — keeping the bit-for-bit-critical
+    recipe in exactly one place."""
+    salt_col = F.lit(salt) if isinstance(salt, str) else salt
+    hexpart = F.substring(F.md5(F.concat(salt_col, col)), 1, bits // 4)
     return F.conv(hexpart, 16, 10).cast("long")
 
 

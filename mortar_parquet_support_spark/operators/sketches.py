@@ -181,14 +181,43 @@ def qhist_rollup(
     )
 
 
-def qhist_reaggregate(hist: DataFrame, *, group_cols: list[str]) -> DataFrame:
+def _ensure_bpd(hist: DataFrame, bins_per_decade: int | None) -> DataFrame:
+    """Migration shim for histogram state persisted before the ``bpd``
+    column existed: the caller must say what precision that state was
+    built with — a silent default could mislabel bins by orders of
+    magnitude, so absence fails loudly instead."""
+    if "bpd" in hist.columns:
+        if bins_per_decade is not None:
+            raise ValueError(
+                "state already carries its bpd column; do not pass "
+                "bins_per_decade (it would be ignored or contradict it)"
+            )
+        return hist
+    if bins_per_decade is None:
+        raise ValueError(
+            "histogram state predates the bpd column; pass "
+            "bins_per_decade=<the value qhist_rollup was called with>"
+        )
+    return hist.withColumn(
+        "bpd", F.lit(int(bins_per_decade)).cast("int")
+    )
+
+
+def qhist_reaggregate(
+    hist: DataFrame,
+    *,
+    group_cols: list[str],
+    bins_per_decade: int | None = None,
+) -> DataFrame:
     """Re-aggregate stored histogram state to a coarser grain WITHOUT
     touching raw data — and, unlike HLL union, EXACTLY: summing per-bin
     counts loses nothing, so the result is identical to a direct rollup
     of the raw rows at the coarser grain. ``bpd`` joins the grouping keys,
     so states built at different precisions stay on separate rows instead
     of summing into a meaningless mixed histogram (qhist_quantiles then
-    rejects the mix loudly)."""
+    rejects the mix loudly). ``bins_per_decade`` is ONLY for migrating
+    state persisted before the ``bpd`` column existed (see _ensure_bpd)."""
+    hist = _ensure_bpd(hist, bins_per_decade)
     return (
         hist.groupBy(*group_cols, "sign", "mag_bin", "bpd")
         .agg(F.sum("cnt").alias("cnt"))
@@ -201,6 +230,7 @@ def qhist_quantiles(
     *,
     group_cols: list[str],
     qs: list[float] = (0.5, 0.95, 0.99),
+    bins_per_decade: int | None = None,
 ) -> DataFrame:
     """Quantile estimates from histogram state: per group, the lower-
     inverted-CDF bin (smallest bin whose cumulative count reaches q * n),
@@ -216,8 +246,11 @@ def qhist_quantiles(
 
     All built-in expressions: one cumulative window + one min-of-struct
     aggregate per group — two shuffles on the (tiny) state table, raw
-    data untouched."""
+    data untouched. ``bins_per_decade`` is ONLY for migrating state
+    persisted before the ``bpd`` column existed (see _ensure_bpd)."""
     from pyspark.sql import Window
+
+    hist = _ensure_bpd(hist, bins_per_decade)
 
     # ascending VALUE order: sign first; within sign=-1 larger magnitude
     # bins are smaller values, so their order key flips
@@ -361,90 +394,88 @@ def cms_estimate(
     group_cols: list[str],
 ) -> DataFrame:
     """Frequency estimates for ``items`` from sketch state alone: per
-    (group, item), ``est = min over d of cnt[d, h_d(item)]`` with missing
-    cells counting 0. Returns (group_cols..., ``item``, ``est``); groups
-    whose state mixes incompatible sketch parameters raise at execution.
+    (group, item), ``est = min over d of cnt[d, h_d(item)]`` with never-
+    touched cells counting 0. Returns (group_cols..., ``item``, ``est``).
+    Same-parameter states that were unioned WITHOUT cms_reaggregate are
+    handled (cells sum per (group, d, w) before the min); a group whose
+    state mixes different (depth, width, seed) raises immediately.
 
     ``items`` is a driver-side list by contract (heavy-hitter candidates,
-    a watchlist): it becomes a broadcast literal frame, the probe join
-    touches only depth rows per (group, item), and the state — kilobytes
-    per group — is the only thing scanned."""
+    a watchlist) — duplicates would duplicate output rows so they are
+    rejected along with None (cms_rollup drops NULL items, so a NULL
+    probe could only ever report 0, indistinguishable from absence).
+
+    Each group's probe cells must be hashed with that group's OWN sketch
+    parameters, which are data. The distinct (group, depth, width, seed)
+    rows are tiny by contract (state is kilobytes per group), so this
+    call eagerly collects them once: parameter mixes fail loudly up
+    front, and the distributed plan then scans the state lineage exactly
+    ONCE — a broadcast-inner join against the probe cells (zeros are
+    reconstructed from the match count: fewer than ``depth`` matches
+    means some cell was never touched, so the min is 0)."""
     if not items:
         raise ValueError("items must be non-empty")
-    from pyspark.sql import Window
+    if any(i is None for i in items):
+        raise ValueError(
+            "items must not contain None: cms_rollup drops NULL items, so "
+            "a NULL probe could only ever report 0"
+        )
+    if len(set(items)) != len(items):
+        raise ValueError("items must not contain duplicates")
+    from mortar_parquet_support_spark.operators.dedup import md5_int
 
     spark = state.sparkSession
-    wall = Window.partitionBy(*group_cols)
-    uniform = (
-        (F.min("depth").over(wall) == F.max("depth").over(wall))
-        & (F.min("width").over(wall) == F.max("width").over(wall))
-        & (F.min("seed").over(wall) == F.max("seed").over(wall))
-    )
-    st = state.withColumn(
-        "_cnt",
-        F.when(uniform, F.col("cnt")).otherwise(
-            F.raise_error(
-                F.lit(
-                    "cms_estimate: group mixes states built with different "
-                    "(depth, width, seed) — re-sketch from raw data"
-                )
-            )
-        ),
-    )
-    probes = spark.createDataFrame([(i,) for i in items], ["item"])
-    # the probe's cell index must use the STATE's parameters, which are
-    # data — cross the (tiny) probe list with the state's distinct
-    # parameter rows, then compute the md5 cell per (item, d)
-    it = F.col("item").cast("string")
-    params = st.select("depth", "width", "seed").distinct()
-    probe_cells = (
-        probes.crossJoin(F.broadcast(params))
-        .select(
-            "item",
-            "depth",
-            "width",
-            "seed",
-            F.explode(F.sequence(F.lit(0), F.col("depth") - 1)).alias("d"),
+    gparams = state.select(*group_cols, "depth", "width", "seed").distinct()
+    rows = gparams.collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    mixed = sorted(g for g, ps in per_group.items() if len(ps) > 1)
+    if mixed:
+        raise ValueError(
+            "cms_estimate: group(s) mix states built with different "
+            f"(depth, width, seed) — re-sketch from raw data: {mixed[:5]}"
         )
+    gp = spark.createDataFrame(rows, gparams.schema)
+    probes = spark.createDataFrame([(i,) for i in items], "item string")
+    salt = F.concat(
+        F.lit("cms"),
+        F.col("seed").cast("string"),
+        F.lit(":"),
+        F.col("d").cast("string"),
+        F.lit(":"),
+    )
+    probe_cells = (
+        gp.crossJoin(probes)
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.col("depth") - 1)))
         .withColumn(
             "w",
             F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.concat(
-                                    F.lit("cms"),
-                                    F.col("seed").cast("string"),
-                                    F.lit(":"),
-                                    F.col("d").cast("string"),
-                                    F.lit(":"),
-                                ),
-                                it,
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
+                md5_int(F.col("item").cast("string"), salt=salt),
                 F.col("width").cast("long"),
             ),
         )
     )
-    # a cell the group never touched counts 0, and a (group, item, d) with
-    # no matching state row must still contribute that 0 to the min — so
-    # the probe cells first cross with the state's distinct groups, then
-    # LEFT-join the cells; a plain left join from the probes alone would
-    # lose the group columns for missing cells.
-    groups = st.select(*group_cols).distinct()
-    per_gd = (
-        probe_cells.crossJoin(F.broadcast(groups))
-        .join(st, [*group_cols, "d", "w", "depth", "width", "seed"], "left")
-        .select(*group_cols, "item", "d", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_c"))
+    per_cell = (
+        state.join(
+            F.broadcast(probe_cells),
+            [*group_cols, "d", "w", "depth", "width", "seed"],
+            "inner",
+        )
+        .groupBy(*group_cols, "item", "depth", "d")
+        .agg(F.sum("cnt").alias("_c"))
     )
-    return (
-        per_gd.groupBy(*group_cols, "item")
-        .agg(F.min("_c").alias("est"))
+    matched = per_cell.groupBy(*group_cols, "item", "depth").agg(
+        F.min("_c").alias("_min"), F.count(F.lit(1)).alias("_nd")
+    )
+    expected = gp.crossJoin(probes).select(*group_cols, "item", "depth")
+    return expected.join(
+        matched, [*group_cols, "item", "depth"], "left"
+    ).select(
+        *group_cols,
+        "item",
+        F.when(F.col("_nd") == F.col("depth"), F.col("_min"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("est"),
     )

@@ -452,6 +452,8 @@ def bigram_logprob(
             )
         )
 
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
     uni = unigram_counts(train, text_col=text_col)
     total = uni.agg(F.sum("freq").cast("double").alias("__total"))
     _, train_pairs = doc_pairs(train)
@@ -463,8 +465,10 @@ def bigram_logprob(
     firsts = base.select(
         F.col(id_col), F.get(a, 0).alias("token")
     )
+    # the unigram model is vocabulary-sized — same shuffle fallback as the
+    # bigram table when a crawl-scale train_df blows past the threshold
     first_lp = (
-        firsts.join(F.broadcast(uni), "token", "left")
+        firsts.join(maybe_broadcast(uni), "token", "left")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
@@ -474,13 +478,11 @@ def bigram_logprob(
             ).alias("_lp"),
         )
     )
-    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
-
     pair_lp = (
         pairs.join(maybe_broadcast(big), ["w1", "w2"], "left")
         .join(maybe_broadcast(left_tot), "w1", "left")
         .join(
-            F.broadcast(uni.withColumnRenamed("token", "w2")), "w2", "left"
+            maybe_broadcast(uni.withColumnRenamed("token", "w2")), "w2", "left"
         )
         .crossJoin(F.broadcast(total))
         .select(

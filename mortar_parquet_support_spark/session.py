@@ -43,11 +43,21 @@ def get_spark(
     (they ship on real clusters; this harness only asserts the conf wiring).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    # an externally supplied master (spark-submit --master / spark.master
-    # in PYSPARK_SUBMIT_ARGS) must win: an unconditional builder.master()
-    # would silently collapse a cluster job into local mode on the driver
+    # an externally supplied master must win: an unconditional
+    # builder.master() would silently collapse a cluster job into local
+    # mode on the driver. Two launch shapes set one: the pyspark shell
+    # wrapper puts --master/spark.master in PYSPARK_SUBMIT_ARGS, while
+    # `spark-submit --master ... app.py` does NOT set that variable — its
+    # PythonRunner starts the gateway JVM first (which already carries
+    # spark.master as a system property) and hands the driver
+    # PYSPARK_GATEWAY_PORT, so an existing gateway means the master is
+    # decided and must not be overridden here.
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-    external_master = "--master" in submit_args or "spark.master" in submit_args
+    external_master = (
+        "--master" in submit_args
+        or "spark.master" in submit_args
+        or "PYSPARK_GATEWAY_PORT" in os.environ
+    )
     if master is None and not external_master:
         master = f"local[{cpus}]"
     is_local = master is not None and master.startswith("local")

@@ -47,21 +47,23 @@ def write_bucketed(
     ORPHANED managed location (a crashed session or recreated metastore
     that lost the catalog entry but left the warehouse directory behind):
     saveAsTable refuses to reuse such a location even in overwrite mode,
-    so the helper drops the stale entry and deletes the leftover directory
-    through the Hadoop FileSystem first (works on any scheme, not just
-    local disk). Database-qualified names only get the DROP — their
-    location layout is metastore-specific.
+    so the helper deletes the leftover directory through the Hadoop
+    FileSystem first (works on any scheme, not just local disk). The
+    cleanup ONLY runs when the catalog has no entry for the table — a
+    LIVE table is overwritten by saveAsTable itself, which keeps its two
+    protections: the old data survives a failed write, and overwriting a
+    table the input is also reading from still fails instead of
+    destroying the source. Database-qualified names skip the orphan
+    cleanup — their location layout is metastore-specific.
     """
     spark = df.sparkSession
-    if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if "." not in table:
-            jvm = spark.sparkContext._jvm
-            wh = spark.conf.get("spark.sql.warehouse.dir")
-            loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
-            fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-            if fs.exists(loc):
-                fs.delete(loc, True)
+    if mode == "overwrite" and "." not in table and not spark.catalog.tableExists(table):
+        jvm = spark.sparkContext._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+        fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
