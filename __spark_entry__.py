@@ -3637,6 +3637,116 @@ def _cms_estimate(spark, sf_dir):
     )
 
 
+@_register(
+    "duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(range(0, len(a) - 7)) AS i, a
+      FROM toks WHERE len(a) >= 8
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(a[i+1:i+8], ' ') AS s FROM g
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, i FROM sh JOIN dup USING (s)
+    ), lagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + 8 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def _duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (operators/dedup.py
+    duplicate_spans): every 8-token shingle occurring >= 2 times corpus-
+    wide marks its window; overlapping/adjacent windows merge per doc
+    into [start, end) token spans. The oracle groups the raw shingle
+    text where Spark groups its md5 hash — identical sets bar md5
+    collisions, and the span merge is the same gaps-and-islands SQL."""
+    from mortar_parquet_support_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8, min_count=2)
+
+
+@_register(
+    "dedup_lines",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), chunked AS (
+      SELECT doc_id,
+             [array_to_string(a[i*5+1:i*5+5], ' ')
+              FOR i IN range(0, CAST(ceil(len(a)/5.0) AS BIGINT))] AS lines
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(range(0, len(lines))) AS pos,
+             unnest(lines) AS line
+      FROM chunked
+    ), cnts AS (
+      SELECT trim(lower(line)) AS nline, count(*) AS c
+      FROM ex WHERE trim(lower(line)) <> '' GROUP BY 1
+    ), dup AS (SELECT nline FROM cnts WHERE c >= 2),
+    marked AS (
+      SELECT e.doc_id, e.pos, e.line,
+             (trim(lower(e.line)) <> '' AND d.nline IS NOT NULL) AS isdup
+      FROM ex e LEFT JOIN dup d ON trim(lower(e.line)) = d.nline
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           coalesce(string_agg(CASE WHEN NOT isdup THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def _dedup_lines(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-level line dedup (operators/dedup.py
+    dedup_lines): a line occurring >= 2 times across the corpus is removed
+    from every document. The fixture has no newlines, so both engines
+    first chunk each document into 5-word lines with the same arithmetic —
+    the multi-line rebuild, empty-result, and n_removed legs all exercise
+    for real."""
+    from mortar_parquet_support_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    a = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(a) / F.lit(5.0)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(a, i * 5 + 1, 5), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup_lines(chunked, min_count=2)
+
+
 # The driver evaluates a bounded prefix (50 entries) of queries(). With 75
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
@@ -3711,6 +3821,11 @@ _WINDOW_PROMOTED = [
     # count-min joins the sketch-state family in the window (state +
     # estimate legs); same displacement policy as above.
     "cms_estimate",
+    # ExactSubstr-style span detection and C4-style corpus-level line
+    # dedup — two new dedup-family members the driver should witness;
+    # same displacement policy as above.
+    "duplicate_spans",
+    "dedup_lines",
 ]
 
 

@@ -795,3 +795,148 @@ def resolve_duplicates(
     if drop.count() <= BROADCAST_IDS_MAX:
         drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4.1):
+    mark every token position whose k-token shingle occurs at least
+    ``min_count`` times ACROSS THE CORPUS (other docs or elsewhere in the
+    same doc), then merge overlapping/adjacent marked windows per
+    document. Returns one row per merged span: (id_col, ``span_start``,
+    ``span_end``, ``n_grams``) with [start, end) token offsets into the
+    casefolded whitespace tokenization — the input to a span-removal or
+    span-masking pass. The reference formulation builds a suffix array
+    over the concatenated corpus (single-node); the distributed
+    re-expression is fixed-k shingle counting, which finds exactly the
+    duplicated substrings of length >= k at k-gram resolution.
+
+    Scale shape: shingles hash in-row to longs (md5_int — the shuffle
+    carries 8-byte hashes, never text); ONE corpus-wide shuffle counts
+    them with map-side partial aggregation; the duplicated-hash set joins
+    back (broadcast while Catalyst's estimate fits, shuffle beyond); the
+    island-merge window runs over HIT positions only — at a healthy dup
+    rate that is orders of magnitude smaller than the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (1 would mark every token), got {min_count}"
+        )
+    from pyspark.sql import Window
+
+    from mortar_parquet_support_spark.operators.text import _lower_words
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+    a = F.filter(_lower_words(F.col(text_col)), lambda w: w != "")
+    base = df.select(F.col(id_col), a.alias("_a")).filter(F.size("_a") >= k)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_a") - k),
+                lambda i: md5_int(F.array_join(F.slice("_a", i + 1, k), " ")),
+            )
+        ).alias("i", "h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(maybe_broadcast(dup), "h").select(id_col, "i")
+    w = Window.partitionBy(id_col).orderBy("i")
+    spans = (
+        hits.withColumn(
+            "_new",
+            F.when(F.col("i") > F.lag("i").over(w) + k, 1).otherwise(0),
+        )
+        .withColumn("_g", F.sum("_new").over(w))
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return spans.select(id_col, "span_start", "span_end", "n_grams")
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """C4-style corpus-level line deduplication (Raffel et al. 2020 §2.2
+    discarded repeated three-sentence spans; its modern descendants —
+    RefinedWeb, FineWeb — drop repeated LINES): any line whose normalized
+    form (casefolded, trimmed) occurs at least ``min_count`` times across
+    the WHOLE corpus is removed from every document, killing boilerplate
+    (nav bars, cookie banners, license footers) that per-document dedup
+    can't see. Returns (id_col, text_col rebuilt without the duplicated
+    lines, ``n_lines`` original line count, ``n_removed``); a document
+    whose every line was removed keeps an empty string. Empty/whitespace
+    lines are never counted or removed (they carry document structure).
+
+    Scale shape: the decision is corpus-global but the corpus itself is
+    NEVER shuffled — lines hash in-row (md5_int over the normalized line),
+    one shuffle counts the hashes with map-side partial aggregation, the
+    per-document removal POSITIONS (duplicated lines only — a tiny
+    fraction of the corpus) aggregate in a second small shuffle, and each
+    document rebuilds in-row after a broadcast-when-it-fits join of that
+    small side back onto the docs.
+    """
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (1 would drop every line), got {min_count}"
+        )
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+    base = df.withColumn("_lines", F.split(F.col(text_col), delimiter, -1))
+    ex = base.select(
+        F.col(id_col), F.posexplode("_lines").alias("_pos", "_line")
+    )
+    norm = F.trim(F.lower(F.col("_line"))) if normalize else F.col("_line")
+    hashed = ex.filter(norm != "").select(
+        id_col, "_pos", md5_int(norm).alias("_h")
+    )
+    dup = (
+        hashed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    dup_pos = (
+        hashed.join(maybe_broadcast(dup), "_h")
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("_pos").alias("_dup_pos"),
+            F.count(F.lit(1)).alias("_n_removed"),
+        )
+    )
+    empty_pos = F.array().cast("array<int>")
+    keep = F.filter(
+        F.col("_lines"),
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("_dup_pos"), empty_pos), i
+        ),
+    )
+    return base.join(maybe_broadcast(dup_pos), id_col, "left").select(
+        F.col(id_col),
+        F.array_join(keep, delimiter).alias(text_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+    )

@@ -3054,3 +3054,91 @@ def test_bigram_logprob_backoff_external_model(spark):
     )
     with pytest.raises(ValueError, match="alpha"):
         bigram_logprob(score, alpha=0.0)
+
+
+def test_duplicate_spans_hand_computed(spark):
+    from mortar_parquet_support_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 x4 tail1"),
+            (2, "x1 x2 x3 x4 tail2"),
+            (3, "p q r s t u v w unique1"),
+            (4, "p q r s t u v w unique2"),
+            (5, "m n o p z1 z2 z3 m n o p q"),
+            (6, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.span_start): r
+        for r in duplicate_spans(docs, k=4, min_count=2).collect()
+    }
+    # single shared 4-gram -> one span of exactly one gram
+    assert rows[(1, 0)].span_end == 4 and rows[(1, 0)].n_grams == 1
+    assert rows[(2, 0)].span_end == 4
+    # 8 shared tokens -> 5 overlapping 4-grams merge into one [0, 8) span
+    assert rows[(3, 0)].span_end == 8 and rows[(3, 0)].n_grams == 5
+    assert rows[(4, 0)].span_end == 8
+    # within-doc repetition counts toward the corpus threshold; the two
+    # occurrences are gap-separated -> two islands
+    assert rows[(5, 0)].span_end == 4
+    assert rows[(5, 7)].span_end == 11
+    # doc 6 is shorter than k -> no rows at all
+    assert not any(d == 6 for d, _ in rows)
+    assert len(rows) == 6
+
+
+def test_duplicate_spans_threshold_and_validation(spark):
+    import pytest
+    from mortar_parquet_support_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    # the shared 4-gram occurs twice; min_count=3 keeps it unmarked
+    assert duplicate_spans(docs, k=4, min_count=3).count() == 0
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(docs, k=4, min_count=1)
+    with pytest.raises(ValueError, match="k must"):
+        duplicate_spans(docs, k=0)
+
+
+def test_dedup_lines_hand_computed(spark):
+    from mortar_parquet_support_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\nDUP LINE\nkeep two"),
+            (2, "Dup Line\nother"),
+            (3, "dup line"),
+            (4, "solo\n\nsolo2"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup_lines(docs, min_count=2).collect()}
+    # normalized 'dup line' occurs 3x corpus-wide -> removed everywhere
+    assert rows[1].text == "keep one\nkeep two" and rows[1].n_removed == 1
+    assert rows[1].n_lines == 3
+    assert rows[2].text == "other" and rows[2].n_removed == 1
+    # a doc whose every line is removed keeps an empty string
+    assert rows[3].text == "" and rows[3].n_removed == 1
+    # empty lines are structure, never counted or removed
+    assert rows[4].text == "solo\n\nsolo2" and rows[4].n_removed == 0
+
+
+def test_dedup_lines_normalize_off_and_validation(spark):
+    import pytest
+    from mortar_parquet_support_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "DUP LINE\na"), (2, "dup line\nb")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_lines(docs, min_count=2, normalize=False).collect()
+    }
+    # case differs -> no match without normalization
+    assert rows[1].n_removed == 0 and rows[2].n_removed == 0
+    with pytest.raises(ValueError, match="min_count"):
+        dedup_lines(docs, min_count=1)

@@ -281,3 +281,25 @@ def test_bm25_entry_no_corpus_exchange(spark, sf_dir):
     p = _plan(spark, "bm25_topk", sf_dir)
     assert "Exchange hashpartitioning(doc_id" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_duplicate_spans_plan_shape(spark, sf_dir):
+    """duplicate_spans: the corpus-wide shuffle carries gram HASHES (one
+    hashpartitioning on h with map-side partial counting), the island
+    window runs over hit rows only, and nothing goes cartesian."""
+    p = _plan(spark, "duplicate_spans", sf_dir)
+    assert "CartesianProduct" not in p, p
+    assert "Exchange hashpartitioning(h" in p, p
+    # hit-side window: a sort within doc_id partitions, not a global sort
+    assert "Sort [doc_id" in p, p
+
+
+def test_dedup_lines_no_corpus_reshuffle(spark, sf_dir):
+    """dedup_lines: documents must NEVER be hash-repartitioned by doc_id
+    at corpus width — the removal positions aggregate on the tiny dup
+    side and join back onto the unshuffled docs."""
+    p = _plan(spark, "dedup_lines", sf_dir)
+    assert "CartesianProduct" not in p, p
+    # the only doc_id exchange allowed is the dup-positions aggregate,
+    # whose input was already filtered to duplicated lines
+    assert p.count("Exchange hashpartitioning(doc_id") <= 1, p
