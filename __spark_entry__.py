@@ -3697,7 +3697,7 @@ def _duplicate_spans(spark, sf_dir):
       SELECT doc_id,
              [array_to_string(a[i*5+1:i*5+5], ' ')
               FOR i IN range(0, CAST(ceil(len(a)/5.0) AS BIGINT))] AS lines
-      FROM toks
+      FROM toks WHERE len(a) > 0
     ), ex AS (
       SELECT doc_id, unnest(range(0, len(lines))) AS pos,
              unnest(lines) AS line
@@ -3725,14 +3725,17 @@ def _dedup_lines(spark, sf_dir):
     from every document. The fixture has no newlines, so both engines
     first chunk each document into 5-word lines with the same arithmetic —
     the multi-line rebuild, empty-result, and n_removed legs all exercise
-    for real."""
+    for real. Token-free documents are filtered on BOTH sides before
+    chunking: Spark's sequence(0, -1) yields [0, -1] (auto-negative step)
+    where DuckDB's range(0, 0) yields [], so an empty doc would chunk
+    differently — excluded symmetrically instead."""
     from mortar_parquet_support_spark.operators.dedup import dedup_lines
 
     docs = _t(spark, sf_dir, "documents")
     a = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
     )
-    chunked = docs.select(
+    chunked = docs.filter(F.size(a) > 0).select(
         "doc_id",
         F.array_join(
             F.transform(

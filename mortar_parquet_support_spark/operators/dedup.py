@@ -804,6 +804,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_count: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better", §4.1):
@@ -823,7 +824,15 @@ def duplicate_spans(
     them with map-side partial aggregation; the duplicated-hash set joins
     back (broadcast while Catalyst's estimate fits, shuffle beyond); the
     island-merge window runs over HIT positions only — at a healthy dup
-    rate that is orders of magnitude smaller than the corpus.
+    rate that is orders of magnitude smaller than the corpus. The gram
+    frame feeds two consumers (the count aggregate and the hit join), so
+    it is cut with an eager checkpoint barrier — the same guard
+    minhash/simhash use above: when the dup set broadcasts there is no
+    exchange to reuse and the corpus-wide tokenize+hash scan would run
+    twice. The cut stores (id, i, h) ≈ 24 B/token; pass
+    ``checkpoint_dir`` on a real cluster for a reliable checkpoint
+    (functions.materialize). NULL-text and shorter-than-k documents
+    never participate and produce no rows.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -847,6 +856,7 @@ def duplicate_spans(
             )
         ).alias("i", "h"),
     )
+    grams = materialize(grams, checkpoint_dir=checkpoint_dir)
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -879,6 +889,7 @@ def dedup_lines(
     min_count: int = 2,
     delimiter: str = "\n",
     normalize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """C4-style corpus-level line deduplication (Raffel et al. 2020 §2.2
     discarded repeated three-sentence spans; its modern descendants —
@@ -889,7 +900,12 @@ def dedup_lines(
     can't see. Returns (id_col, text_col rebuilt without the duplicated
     lines, ``n_lines`` original line count, ``n_removed``); a document
     whose every line was removed keeps an empty string. Empty/whitespace
-    lines are never counted or removed (they carry document structure).
+    lines are never counted or removed — in BOTH normalize modes — because
+    they carry document structure. ``delimiter`` is a LITERAL string (any
+    regex metacharacters are neutralized before the split). NULL-text
+    documents pass through untouched: text stays NULL, ``n_lines`` = 0,
+    ``n_removed`` = 0 (the sibling minhash/simhash operators drop
+    content-free docs entirely; a rebuild operator must keep every row).
 
     Scale shape: the decision is corpus-global but the corpus itself is
     NEVER shuffled — lines hash in-row (md5_int over the normalized line),
@@ -897,22 +913,37 @@ def dedup_lines(
     per-document removal POSITIONS (duplicated lines only — a tiny
     fraction of the corpus) aggregate in a second small shuffle, and each
     document rebuilds in-row after a broadcast-when-it-fits join of that
-    small side back onto the docs.
+    small side back onto the docs. The line-hash frame feeds two
+    consumers (count aggregate + position join), so it is cut with an
+    eager checkpoint barrier — ≈ 28 B per non-empty line, far smaller
+    than the corpus; pass ``checkpoint_dir`` on a real cluster
+    (functions.materialize). The docs themselves are scanned twice (hash
+    extraction + rebuild) — two parquet scans, never a corpus shuffle or
+    a corpus-width cut.
     """
     if min_count < 2:
         raise ValueError(
             f"min_count must be >= 2 (1 would drop every line), got {min_count}"
         )
+    if delimiter == "":
+        raise ValueError("delimiter must be non-empty")
     from mortar_parquet_support_spark.plans.hints import maybe_broadcast
 
-    base = df.withColumn("_lines", F.split(F.col(text_col), delimiter, -1))
+    # F.split takes a Java regex; the delimiter contract is LITERAL. \Q..\E
+    # quotes any metacharacter; a literal \E inside the delimiter must
+    # break out of and re-enter the quoted region.
+    pat = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    base = df.withColumn("_lines", F.split(F.col(text_col), pat, -1))
     ex = base.select(
         F.col(id_col), F.posexplode("_lines").alias("_pos", "_line")
     )
     norm = F.trim(F.lower(F.col("_line"))) if normalize else F.col("_line")
-    hashed = ex.filter(norm != "").select(
+    # whitespace-only lines are structure in both modes: trim before the
+    # emptiness test even when the HASH is computed over the raw line
+    hashed = ex.filter(F.trim(F.col("_line")) != "").select(
         id_col, "_pos", md5_int(norm).alias("_h")
     )
+    hashed = materialize(hashed, checkpoint_dir=checkpoint_dir)
     dup = (
         hashed.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -937,6 +968,11 @@ def dedup_lines(
     return base.join(maybe_broadcast(dup_pos), id_col, "left").select(
         F.col(id_col),
         F.array_join(keep, delimiter).alias(text_col),
-        F.size("_lines").cast("long").alias("n_lines"),
+        # size() is conf-dependent on NULL input (legacy -1 vs NULL):
+        # branch explicitly so NULL text reports 0 lines either way
+        F.when(F.col("_lines").isNull(), F.lit(0))
+        .otherwise(F.size("_lines"))
+        .cast("long")
+        .alias("n_lines"),
         F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
     )

@@ -3142,3 +3142,40 @@ def test_dedup_lines_normalize_off_and_validation(spark):
     assert rows[1].n_removed == 0 and rows[2].n_removed == 0
     with pytest.raises(ValueError, match="min_count"):
         dedup_lines(docs, min_count=1)
+    with pytest.raises(ValueError, match="delimiter"):
+        dedup_lines(docs, delimiter="")
+
+
+def test_dedup_lines_literal_delimiter_and_null_text(spark):
+    from mortar_parquet_support_spark.operators.dedup import dedup_lines
+
+    # '|' is a regex metachar: as a regex it splits between every char;
+    # the contract is LITERAL
+    docs = spark.createDataFrame(
+        [(1, "dup seg|keep a"), (2, "dup seg|keep b"), (3, None)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r for r in dedup_lines(docs, delimiter="|").collect()
+    }
+    assert rows[1].text == "keep a" and rows[1].n_lines == 2
+    assert rows[2].text == "keep b" and rows[2].n_removed == 1
+    # NULL text passes through: text stays NULL, zero counts
+    assert rows[3].text is None
+    assert rows[3].n_lines == 0 and rows[3].n_removed == 0
+
+
+def test_dedup_lines_whitespace_never_counted_unnormalized(spark):
+    from mortar_parquet_support_spark.operators.dedup import dedup_lines
+
+    # '  ' repeats corpus-wide; even with normalize=False it must be
+    # treated as structure, not a removable duplicate
+    docs = spark.createDataFrame(
+        [(1, "a\n  \nb"), (2, "c\n  \nd")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_lines(docs, min_count=2, normalize=False).collect()
+    }
+    assert rows[1].text == "a\n  \nb" and rows[1].n_removed == 0
+    assert rows[2].text == "c\n  \nd" and rows[2].n_removed == 0
