@@ -3686,6 +3686,74 @@ def _duplicate_spans(spark, sf_dir):
 
 
 @_register(
+    "remove_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(range(0, len(a) - 7)) AS i, a
+      FROM toks WHERE len(a) >= 8
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(a[i+1:i+8], ' ') AS s FROM g
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, i FROM sh JOIN dup USING (s)
+    ), lagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged
+    ), spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + 8 AS e
+      FROM isl GROUP BY doc_id, grp
+    ), tw AS (
+      SELECT doc_id, unnest(range(0, len(a))) AS i,
+             unnest(a) AS w
+      FROM toks
+    ), kept AS (
+      SELECT t.doc_id, t.i, t.w FROM tw t
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id
+                          AND t.i >= s.s AND t.i < s.e)
+    ), agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           coalesce(g.text, '') AS text,
+           CAST(len(t.a) AS BIGINT) AS n_tokens,
+           CAST(len(t.a) - coalesce(g.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN agg g ON t.doc_id = g.doc_id
+    """,
+)
+def _remove_spans(spark, sf_dir):
+    """The removal half of ExactSubstr dedup (operators/dedup.py
+    remove_spans): duplicate_spans' [start, end) intervals broadcast back
+    onto the corpus and every covered token drops in-row; text rebuilds
+    from the casefolded tokenization. The oracle recomputes the same
+    spans in SQL and anti-filters token positions with NOT EXISTS —
+    every document survives, including span-free ones."""
+    from mortar_parquet_support_spark.operators.dedup import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=8, min_count=2)
+    return remove_spans(docs, spans)
+
+
+@_register(
     "dedup_lines",
     """
     WITH toks AS (
@@ -3824,10 +3892,11 @@ _WINDOW_PROMOTED = [
     # count-min joins the sketch-state family in the window (state +
     # estimate legs); same displacement policy as above.
     "cms_estimate",
-    # ExactSubstr-style span detection and C4-style corpus-level line
-    # dedup — two new dedup-family members the driver should witness;
-    # same displacement policy as above.
+    # ExactSubstr-style span detection, its removal half, and C4-style
+    # corpus-level line dedup — new dedup-family members the driver
+    # should witness; same displacement policy as above.
     "duplicate_spans",
+    "remove_spans",
     "dedup_lines",
 ]
 

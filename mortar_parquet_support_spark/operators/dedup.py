@@ -881,6 +881,64 @@ def duplicate_spans(
     return spans.select(id_col, "span_start", "span_end", "n_grams")
 
 
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a ``duplicate_spans`` result back onto the corpus: drop every
+    token whose position falls inside any of the document's [span_start,
+    span_end) intervals and rebuild the text — the removal half of Lee et
+    al.'s ExactSubstr dedup (detect with ``duplicate_spans``, remove
+    here). Returns one row per input document: (id_col, text_col rebuilt,
+    ``n_tokens`` original token count, ``n_removed`` tokens dropped).
+
+    The rebuilt text is the CASEFOLDED, whitespace-normalized
+    tokenization joined by single spaces — span offsets index into that
+    tokenization, so the rebuild must use it too (the same contract the
+    ExactSubstr reference applies to its byte-offset removal). Documents
+    with no spans pass through (normalized) with ``n_removed`` = 0;
+    NULL-text documents keep NULL text with zero counts.
+
+    Scale shape: spans aggregate per document into an in-row interval
+    list (the span side is tiny — it only holds duplicated regions),
+    broadcast-when-it-fits joins back onto the UNSHUFFLED corpus, and
+    the positional filter runs in-row via nested higher-order functions
+    — no corpus shuffle, no driver collect.
+    """
+    from mortar_parquet_support_spark.operators.text import _lower_words
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    a = F.filter(_lower_words(F.col(text_col)), lambda w: w != "")
+    base = df.select(F.col(id_col), a.alias("_a"))
+    joined = base.join(maybe_broadcast(per_doc), id_col, "left")
+    in_any_span = lambda i: F.coalesce(  # noqa: E731
+        F.exists(
+            F.col("_spans"),
+            lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+        ),
+        F.lit(False),
+    )
+    kept = F.filter(F.col("_a"), lambda w, i: ~in_any_span(i))
+    n_tokens = F.when(F.col("_a").isNull(), F.lit(0)).otherwise(
+        F.size("_a")
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(F.col("_a").isNull(), F.lit(0))
+        .otherwise(F.size("_a") - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     *,

@@ -3104,6 +3104,48 @@ def test_duplicate_spans_threshold_and_validation(spark):
         duplicate_spans(docs, k=0)
 
 
+def test_remove_spans_hand_computed(spark):
+    from mortar_parquet_support_spark.operators.dedup import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 x4 tail1"),
+            (2, "X1  x2 x3 x4 tail2"),  # casefold + ws-normalize on rebuild
+            (3, "no dups here"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(docs, k=4, min_count=2)
+    rows = {r.doc_id: r for r in remove_spans(docs, spans).collect()}
+    assert rows[1].text == "tail1" and rows[1].n_removed == 4
+    assert rows[1].n_tokens == 5
+    assert rows[2].text == "tail2" and rows[2].n_removed == 4
+    # span-free docs survive, normalized, n_removed 0
+    assert rows[3].text == "no dups here" and rows[3].n_removed == 0
+    # NULL text passes through with zero counts
+    assert rows[4].text is None
+    assert rows[4].n_tokens == 0 and rows[4].n_removed == 0
+    assert len(rows) == 4
+
+
+def test_remove_spans_overlapping_intervals(spark):
+    from mortar_parquet_support_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5")], ["doc_id", "text"]
+    )
+    # hand-built spans: overlapping [1,3) and [2,5) remove tokens 1-4
+    spans = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 5)], ["doc_id", "span_start", "span_end"]
+    )
+    r = remove_spans(docs, spans).collect()[0]
+    assert r.text == "t0 t5" and r.n_removed == 4 and r.n_tokens == 6
+
+
 def test_dedup_lines_hand_computed(spark):
     from mortar_parquet_support_spark.operators.dedup import dedup_lines
 

@@ -294,6 +294,18 @@ def test_duplicate_spans_plan_shape(spark, sf_dir):
     assert "Sort [doc_id" in p, p
 
 
+def test_remove_spans_no_corpus_reshuffle(spark, sf_dir):
+    """remove_spans: the span side aggregates per doc (tiny) and joins
+    back onto the unshuffled corpus — the docs themselves must never be
+    hash-repartitioned at corpus width for the rebuild join."""
+    p = _plan(spark, "remove_spans", sf_dir)
+    assert "CartesianProduct" not in p, p
+    # doc_id exchanges may appear only on the span pipeline (window +
+    # span aggregate + per-doc interval-list aggregate), all fed by the
+    # already-filtered hit rows — never on the full-corpus rebuild side
+    assert p.count("Exchange hashpartitioning(doc_id") <= 3, p
+
+
 def test_dedup_lines_no_corpus_reshuffle(spark, sf_dir):
     """dedup_lines: documents must NEVER be hash-repartitioned by doc_id
     at corpus width — the removal positions aggregate on the tiny dup
