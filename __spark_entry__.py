@@ -68,6 +68,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return per_session[key]
 
 
+def pq_index_for(spark: SparkSession, sf_dir: str):
+    """Build (or fetch) the memoized per-session PQ index over the
+    embeddings table — same amortized build-offline/probe-online shape
+    as ivf_index_for."""
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    key = ("pq", sf_dir)
+    if key not in per_session:
+        from mortar_parquet_support_spark.operators.pq import PqIndex
+
+        per_session[key] = PqIndex.build(
+            _t(spark, sf_dir, "embeddings"), m=16, ksub=32, iters=2,
+            persist=True,
+        )
+    return per_session[key]
+
+
 def ivf_index_for(spark: SparkSession, sf_dir: str):
     """Build (or fetch) the memoized per-session IVF index over the
     embeddings table — one persisted assignment reused by every knn_ivf
@@ -3398,6 +3414,27 @@ def _knn_sq8(spark, sf_dir):
     )
 
 
+@_register("knn_pq")
+def _knn_pq(spark, sf_dir):
+    """Product-quantized ANN (operators/pq.py, Jégou et al. 2011): the
+    memoized per-session PqIndex (m=16 subspaces × 32 centroids — 16
+    bytes/vector against 512 for the floats) serves ADC top-k with an
+    overfetched exact re-rank, the standard IVFADC code tier. No SQL
+    oracle — the candidate set is inherently approximate (k-means
+    codebooks are not SQL-expressible), so the driver records the
+    rows-only check; exactness properties are pytest-pinned instead
+    (lossless-codebook == brute force, recall bounds, save/load
+    identity: tests/test_operators.py test_pq_*)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = pq_index_for(spark, sf_dir)
+    return index.topk(
+        emb.filter(F.col("vec_id") < 10),
+        k=10,
+        rerank=50,
+        rerank_corpus=emb,
+    )
+
+
 # Per-domain mixture coefficients for the build_mixture entry — the SAME
 # driver-side computation build_mixture itself runs (exported precisely so
 # the oracle cannot de-sync from the Spark plan at the 1-ulp level), so
@@ -3938,8 +3975,11 @@ def oracle_sql() -> dict[str, str]:
     (Python decode/re-encode in mapInPandas — the intentionally-Python
     binary ops), sparql_bridges (SPARQL
     engine, no SQL equivalent without the triples loaded), ingest_roundtrip
-    (filesystem side effects) and streaming_distinct_rollup (HLL++ values
-    are engine-specific). The other streaming entries — streaming_dedup,
+    (filesystem side effects), streaming_distinct_rollup (HLL++ values
+    are engine-specific), and knn_pq (k-means PQ codebooks are not
+    SQL-expressible and the ADC candidate set is inherently approximate;
+    the lossless-codebook == brute-force equivalence, recall bounds, and
+    save/load identity are pytest-pinned in test_pq_*). The other streaming entries — streaming_dedup,
     streaming_enrich, streaming_rollup, streaming_interval_join, and
     (since round 8) streaming_sessionize — ARE oracle-checked: over a
     static fixture, availableNow emission equals the equivalent batch SQL
