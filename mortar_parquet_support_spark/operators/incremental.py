@@ -1,0 +1,421 @@
+"""Incremental (cross-batch) exact dedup against a persisted digest index.
+
+Not in the reference (SURVEY.md §2.6 declares the dedup family absent);
+required by the driver north star (BASELINE.json:6). :mod:`dedup` handles
+one corpus in one pass; a production ingestion pipeline instead sees an
+endless sequence of batches and must answer "which of these documents have
+we EVER seen?" without rescanning — or worse, re-shuffling — the
+accumulated corpus. The 100 TB shape here:
+
+- The **seen set** is a :class:`DigestIndex`: content digests laid out as
+  parquet partitioned by a stable shard of the digest, plus per-shard
+  Bloom-filter segments (small, mergeable by bitwise OR).
+- **Probe** (:func:`incremental_dedup`) never shuffles either side:
+
+  1. a vectorized Bloom test (numpy over JVM-computed xxhash64 pairs,
+     Arrow-batched) splits the batch map-side. Bloom misses are
+     *definitely new* — for a mostly-novel batch that is almost everyone —
+     and skip the index entirely.
+  2. the few *maybe-seen* digests are broadcast into a semi-join against
+     the index, so the index is hash-probed in place — one scan, no
+     shuffle — and shard-partition pruning cuts that scan to the shards
+     the candidates actually hash into (the partition column is a join
+     key, so Catalyst can prune dynamically from the broadcast side).
+  3. confirmed-seen digests (a subset of the candidates, so also tiny)
+     are broadcast back as an anti-join on the batch. Exact result: the
+     Bloom filter only ever *skips* work for definite-new rows, it never
+     decides membership (no false-negative risk by construction; false
+     positives are caught by step 2).
+
+- **Append** (:meth:`DigestIndex.add`) writes the new digests into their
+  shard partitions and appends one Bloom *segment* row per shard. Segments
+  avoid read-modify-write races on the filter: the loader ORs all segments
+  of a shard (legal because ``m``/``k`` are fixed per index at create
+  time). The false-positive rate degrades gracefully as the index outgrows
+  ``capacity`` — membership answers stay exact either way (step 2) — and
+  :meth:`DigestIndex.stats` reports the estimated FPR so operators know
+  when to :meth:`DigestIndex.compact`.
+
+Determinism: shard and Bloom positions derive from xxhash64 with fixed
+salts, computed JVM-side in both build and probe, so the filter bits are
+reproducible bit-for-bit across sessions and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_DIGESTS = "digests"
+_BLOOM = "bloom"
+_META = "meta"
+
+_BLOOM_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("m", LongType()),
+        StructField("k", IntegerType()),
+        StructField("n_items", LongType()),
+        StructField("bitmap", BinaryType()),
+    ]
+)
+
+
+def _hash_cols(digest: Column) -> list[Column]:
+    """(h1, h2) for a digest, feeding Kirsch-Mitzenmacher double hashing
+    (pos_i = h1 + i*h2 mod m, arithmetic in uint64). The shard hash is
+    salted differently so shard and bit positions stay independent. All
+    JVM-side, so build and probe agree bit-for-bit."""
+    return [
+        F.xxhash64(digest).alias("_h1"),
+        F.xxhash64(digest, F.lit("bloom:h2")).alias("_h2"),
+    ]
+
+
+def _shard_col(digest: Column, n_shards: int) -> Column:
+    return F.pmod(F.xxhash64(digest, F.lit("bloom:shard")), F.lit(n_shards)).cast(
+        "int"
+    )
+
+
+def _segment_builder(m: int, k: int):
+    """applyInPandas function: one shard group -> one Bloom segment row.
+    Executor-side numpy; np.bitwise_or.at handles position collisions
+    within a batch (plain fancy-indexed |= would drop repeated bytes)."""
+    import numpy as np
+    import pandas as pd
+
+    def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+            )
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "m": [m],
+                "k": [k],
+                "n_items": [len(pdf)],
+                "bitmap": [bits.tobytes()],
+            }
+        )
+
+    return build_segment
+
+
+def _is_missing_path(exc: Exception) -> bool:
+    get_klass = getattr(exc, "getErrorClass", None)
+    klass = None
+    if callable(get_klass):
+        try:
+            klass = get_klass()
+        except Exception:
+            klass = None
+    msg = str(exc)
+    return (
+        klass == "PATH_NOT_FOUND"
+        or "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+    )
+
+
+class DigestIndex:
+    """Persisted seen-digest index: sharded digest parquet + mergeable
+    per-shard Bloom segments. Build offline / append per batch / probe
+    per batch — the amortized serving shape (same split as
+    similarity.py's IvfIndex build/probe)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        n_shards: int,
+        m_per_shard: int,
+        n_hashes: int,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.n_shards = n_shards
+        self.m_per_shard = m_per_shard
+        self.n_hashes = n_hashes
+        self._bloom_cache: dict | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        n_shards: int = 64,
+        capacity: int = 1_000_000,
+        bits_per_item: int = 10,
+        n_hashes: int = 7,
+    ) -> "DigestIndex":
+        """Initialize an empty index. ``capacity`` is the expected TOTAL
+        digest count; it fixes the Bloom geometry (m bits per shard) so
+        later append segments stay OR-mergeable. 10 bits/item with k=7
+        gives ~0.9% FPR at capacity; overfilling only raises FPR (more
+        verify-join traffic), never breaks correctness."""
+        per_shard = -(-bits_per_item * capacity // n_shards)  # ceil
+        m = max(64, (per_shard + 7) & ~7)  # whole bytes
+        idx = cls(
+            spark, path, n_shards=n_shards, m_per_shard=m, n_hashes=n_hashes
+        )
+        # Meta as a 1-row parquet (not a driver-local json): works on any
+        # Hadoop filesystem the session can write, e.g. s3a:// lakes.
+        spark.createDataFrame(
+            [(n_shards, m, n_hashes)],
+            "n_shards int, m_per_shard long, n_hashes int",
+        ).coalesce(1).write.mode("errorifexists").parquet(idx._p(_META))
+        return idx
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "DigestIndex":
+        row = spark.read.parquet(path.rstrip("/") + "/" + _META).head()
+        return cls(
+            spark,
+            path,
+            n_shards=row.n_shards,
+            m_per_shard=row.m_per_shard,
+            n_hashes=row.n_hashes,
+        )
+
+    def _p(self, part: str) -> str:
+        return f"{self.path}/{part}"
+
+    # -- reads -------------------------------------------------------------
+
+    def digests(self) -> DataFrame:
+        """(digest, shard) frame; empty (same schema) before the first add.
+        The explicit schema keeps the shard partition column typed int and
+        tolerates an index with no segments yet."""
+        try:
+            return (
+                self.spark.read.option("basePath", self._p(_DIGESTS))
+                .schema("digest string, shard int")
+                .parquet(self._p(_DIGESTS))
+            )
+        except Exception as exc:  # fresh index: no digests written yet
+            if not _is_missing_path(exc):
+                raise
+            return self.spark.createDataFrame([], "digest string, shard int")
+
+    def _blooms(self) -> dict:
+        """shard -> uint8 bitmap, OR-merged across segments, memoized per
+        index object. The whole filter is m_per_shard/8 * n_shards bytes
+        (e.g. ~80 MB for 64M items at 10 bits/item) — small by design;
+        collecting THE FILTER (never the data) to the driver for broadcast
+        is the same shape Spark's own runtime-filter injection uses."""
+        if self._bloom_cache is None:
+            import numpy as np
+
+            merged: dict = {}
+            try:
+                rows = (
+                    self.spark.read.schema(_BLOOM_SCHEMA)
+                    .parquet(self._p(_BLOOM))
+                    .collect()
+                )
+            except Exception as exc:
+                if not _is_missing_path(exc):
+                    raise
+                rows = []
+            for r in rows:
+                if r.m != self.m_per_shard or r.k != self.n_hashes:
+                    raise ValueError(
+                        f"bloom segment geometry (m={r.m}, k={r.k}) does not "
+                        f"match index meta (m={self.m_per_shard}, "
+                        f"k={self.n_hashes}); rebuild with compact()"
+                    )
+                seg = np.frombuffer(r.bitmap, dtype=np.uint8)
+                if r.shard in merged:
+                    merged[r.shard] = merged[r.shard] | seg
+                else:
+                    merged[r.shard] = seg
+            self._bloom_cache = merged
+        return self._bloom_cache
+
+    def stats(self) -> dict:
+        """Size + estimated Bloom FPR (1 - e^{-kn/m})^k with n = the
+        fullest shard's stored digests. Watch est_fpr to schedule
+        compact() (after which n counts distinct digests again)."""
+        per_shard = {
+            r.shard: r.n
+            for r in self.digests()
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        worst = max(per_shard.values(), default=0)
+        k, m = self.n_hashes, self.m_per_shard
+        fpr = (1.0 - math.exp(-k * worst / m)) ** k if worst else 0.0
+        return {
+            "n_digests": sum(per_shard.values()),
+            "n_shards": self.n_shards,
+            "m_per_shard": m,
+            "n_hashes": k,
+            "worst_shard_items": worst,
+            "est_fpr": fpr,
+        }
+
+    # -- writes ------------------------------------------------------------
+
+    def _prepared(self, d: DataFrame) -> DataFrame:
+        return d.withColumn(
+            "shard", _shard_col(F.col("digest"), self.n_shards)
+        ).select("digest", "shard", *_hash_cols(F.col("digest")))
+
+    def add(
+        self, digests: DataFrame | Column, source: DataFrame | None = None
+    ) -> int:
+        """Append digests (a 1-column DataFrame of strings, or a Column
+        expression over ``source``) and their Bloom segment rows. Returns
+        the number of digests written (post in-batch distinct; digests the
+        index already holds are NOT re-filtered here — semi-join
+        correctness tolerates multiplicity, and the usual caller appends
+        :func:`incremental_dedup` survivors, which are new by
+        construction). One shuffle on the digest (the distinct), then
+        map-side partitioned writes."""
+        if isinstance(digests, Column):
+            if source is None:
+                raise ValueError("a Column digest needs the source DataFrame")
+            d = source.select(digests.cast("string").alias("digest"))
+        else:
+            col = digests.columns[0]
+            d = digests.select(F.col(col).cast("string").alias("digest"))
+        d = self._prepared(d.filter(F.col("digest").isNotNull()).distinct())
+        # Both the digest write and the bloom build consume `d`; the
+        # barrier also pins the distinct so the two passes agree.
+        d = d.localCheckpoint(eager=True)
+        try:
+            d.select("digest", "shard").write.partitionBy("shard").mode(
+                "append"
+            ).parquet(self._p(_DIGESTS))
+            d.groupBy("shard").applyInPandas(
+                _segment_builder(self.m_per_shard, self.n_hashes), _BLOOM_SCHEMA
+            ).write.mode("append").parquet(self._p(_BLOOM))
+            self._bloom_cache = None  # segments changed
+            return d.count()
+        finally:
+            d.unpersist()
+
+    def compact(self) -> None:
+        """Rewrite the shards digest-distinct with one segment per shard:
+        restores the designed FPR after heavy appends and collapses the
+        bloom table to n_shards rows. The localCheckpoint pins the old
+        contents before the in-place overwrite; the overwrite itself is
+        only as atomic as the underlying filesystem rename, so schedule
+        compaction like any other lake maintenance (maintenance.py), not
+        concurrently with appends."""
+        d = self._prepared(self.digests().distinct()).localCheckpoint(eager=True)
+        try:
+            d.select("digest", "shard").write.partitionBy("shard").mode(
+                "overwrite"
+            ).parquet(self._p(_DIGESTS))
+            d.groupBy("shard").applyInPandas(
+                _segment_builder(self.m_per_shard, self.n_hashes), _BLOOM_SCHEMA
+            ).write.mode("overwrite").parquet(self._p(_BLOOM))
+            self._bloom_cache = None
+        finally:
+            d.unpersist()
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DigestIndex,
+    *,
+    digest: Column,
+) -> DataFrame:
+    """Rows of ``batch`` whose ``digest`` the index has never seen — exact,
+    with the index never shuffled (Bloom prefilter → shard-pruned broadcast
+    semi-join → broadcast anti-join; see the module docstring for why each
+    join side is the broadcastable one). In-batch duplicates are NOT
+    collapsed here (exact_dedup does that); this operator answers only the
+    cross-batch question, so composing both stays explicit. NULL digests
+    can't match anything and always survive.
+
+    Call ``index.add(...)`` with the survivors' digests afterwards to mark
+    them seen (the write is the caller's transaction boundary).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    work = batch.withColumn("__digest", digest.cast("string")).withColumn(
+        "__shard", _shard_col(F.col("__digest"), index.n_shards)
+    )
+    h1, h2 = _hash_cols(F.col("__digest"))
+    work = work.withColumn("__h1", h1).withColumn("__h2", h2)
+
+    blooms = index._blooms()
+    if not blooms:
+        # Fresh index: nothing can be seen; skip both the UDF and the scan.
+        return work.drop("__digest", "__shard", "__h1", "__h2")
+
+    m, k = index.m_per_shard, index.n_hashes
+    bc = batch.sparkSession.sparkContext.broadcast(blooms)
+
+    @pandas_udf("boolean")
+    def maybe_seen(shard, h1s, h2s):
+        import numpy as np
+        import pandas as pd
+
+        filt = bc.value
+        sh = shard.to_numpy(dtype=np.int64)
+        a = h1s.to_numpy(dtype=np.int64).view(np.uint64)
+        b = h2s.to_numpy(dtype=np.int64).view(np.uint64)
+        out = np.zeros(len(sh), dtype=bool)
+        for s in np.unique(sh):
+            bits = filt.get(int(s))
+            if bits is None:
+                continue  # shard never populated -> definitely unseen
+            sel = sh == s
+            hit = np.ones(int(sel.sum()), dtype=bool)
+            for i in range(k):
+                pos = (a[sel] + np.uint64(i) * b[sel]) % np.uint64(m)
+                byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+                hit &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+            out[sel] = hit
+        return pd.Series(out)
+
+    tested = work.withColumn(
+        "__maybe", maybe_seen(F.col("__shard"), F.col("__h1"), F.col("__h2"))
+    )
+    # Null digests produce null __maybe under the null-safe & above? No:
+    # xxhash64(NULL) is non-null (seed-only hash), so nulls DO reach the
+    # filter — but they were excluded from the index by add(), so the
+    # verify join is what guarantees they survive.
+    cand = (
+        tested.filter(F.col("__maybe"))
+        .select(F.col("__shard").alias("shard"), F.col("__digest").alias("digest"))
+        .filter(F.col("digest").isNotNull())
+        .distinct()
+    )
+    # Index side stays put: broadcast the (bloom-shrunk) candidates into a
+    # semi-join probe. `shard` being both a join key and the partition
+    # column lets Catalyst prune index shards from the broadcast side.
+    seen = index.digests().join(
+        F.broadcast(cand), ["shard", "digest"], "left_semi"
+    )
+    survivors = tested.join(
+        F.broadcast(seen.select("digest").distinct()),
+        tested["__digest"] == F.col("digest"),
+        "left_anti",
+    )
+    return survivors.drop("__digest", "__shard", "__h1", "__h2", "__maybe")
