@@ -3928,6 +3928,48 @@ def _incremental_dedup(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+@_register(
+    "funnel_steps",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s0 AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s0.t_view
+             AND e.ts <= s0.t_view + INTERVAL 259200 SECOND
+           GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+                         JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s1.t_click
+             AND e.ts <= s0.t_view + INTERVAL 259200 SECOND
+           GROUP BY 1)
+    SELECT u.user_id, s0.t_view, s1.t_click, s2.t_purchase,
+           CAST(s0.t_view IS NOT NULL AS INT)
+             + CAST(s1.t_click IS NOT NULL AS INT)
+             + CAST(s2.t_purchase IS NOT NULL AS INT) AS n_steps
+    FROM u
+    LEFT JOIN s0 USING (user_id)
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    """,
+)
+def _funnel_steps(spark, sf_dir):
+    """Sequential conversion funnel view -> click -> purchase within 3 days
+    of the first view (operators/timeseries.py funnel): one shuffle via
+    chained range-frame running-min windows, vs the oracle's k-join chain —
+    the semantics equivalence the docstring proves, checked here
+    end-to-end."""
+    from mortar_parquet_support_spark.operators.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], ts="ts", user="user_id",
+        within="3 days",
+    )
+
+
 # The driver evaluates a bounded prefix (50 entries) of queries(). With 75
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
@@ -4012,6 +4054,9 @@ _WINDOW_PROMOTED = [
     # DigestIndex — the incremental half of the exact-dedup family; same
     # displacement policy as above.
     "incremental_dedup",
+    # Sequential-conversion funnel: chained range-frame windows replacing
+    # the k-self-join formulation; same displacement policy as above.
+    "funnel_steps",
 ]
 
 

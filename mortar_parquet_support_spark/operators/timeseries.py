@@ -289,6 +289,65 @@ def sessionize(
     return df.withColumn("session_id", F.sum(is_break).over(w))
 
 
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Sequential-conversion funnel: per user, ``t_<step_i>`` is the
+    earliest step-i event at-or-after ``t_<step_{i-1}>`` (ties at equal
+    timestamps count as in-order), all steps optionally constrained to
+    ``within`` of the first step. Output: (user, t_<step> per step,
+    n_steps) — one row per user present in ``df``, nulls past the last
+    completed step.
+
+    Shape: the classic k-pass formulation is k self-joins (one shuffle
+    each). This is instead ONE shuffle: chained running-min windows over
+    the same (user, ts-range) frame — step i's candidate marker needs
+    only "has some valid step-(i-1) happened at ts' <= ts", which is
+    exactly a RANGE-frame running min of the previous marker (the default
+    frame of an orderBy window, so peers at the same timestamp are
+    included = the >= tie rule). The running min at any row provably
+    equals the global sequential t_{i-1} whenever non-null, so the final
+    per-user min of each marker reproduces the join-chain semantics
+    bit-for-bit. The k dependent Window operators share one partitioning
+    and sort, and the closing groupBy reuses the same hash partitioning —
+    Catalyst plans a single exchange for the whole funnel."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user).orderBy(ts)  # default frame: RANGE ..current
+    out = df.select(user, ts, event_type)
+    run_prev = None
+    for i, step in enumerate(steps):
+        cond = F.col(event_type) == F.lit(step)
+        if i > 0:
+            cond = cond & run_prev.isNotNull()
+            if within is not None:
+                # full-precision timestamp arithmetic (works for TIMESTAMP
+                # and NTZ alike) — _epoch would truncate sub-second parts
+                # and diverge from an engine comparing raw timestamps
+                cond = cond & (
+                    F.col(ts)
+                    <= F.col("_run_0")
+                    + F.expr(f"INTERVAL {interval_seconds(within)} SECOND")
+                )
+        out = out.withColumn(f"_val_{i}", F.when(cond, F.col(ts)))
+        out = out.withColumn(f"_run_{i}", F.min(f"_val_{i}").over(w))
+        run_prev = F.col(f"_run_{i}")
+    aggs = [
+        F.min(f"_val_{i}").alias(f"t_{step}") for i, step in enumerate(steps)
+    ]
+    n_steps = sum(
+        (F.min(f"_val_{i}").isNotNull().cast("int") for i in range(len(steps))),
+        F.lit(0),
+    )
+    return out.groupBy(user).agg(*aggs, n_steps.alias("n_steps"))
+
+
 def topk_per_group(
     df: DataFrame,
     *,
