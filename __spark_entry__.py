@@ -3970,6 +3970,72 @@ def _funnel_steps(spark, sf_dir):
     )
 
 
+@_register(
+    "linear_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(a) AS g FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest([a[i+1] || ' ' || a[i+2] FOR i IN range(0, len(a)-1)]) AS g
+      FROM toks WHERE len(a) >= 2
+    ), ids AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS fid
+      FROM grams
+    ), w AS (
+      SELECT i AS feature,
+             (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001
+              - 1000) / 1000.0 AS wt
+      FROM range(4096) t(i)
+    ), agg AS (
+      SELECT ids.doc_id, sum(w.wt) AS z, count(*) AS nf
+      FROM ids JOIN w ON ids.fid = w.feature GROUP BY 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(a.nf, 0) AS BIGINT) AS n_features,
+           ROUND(1.0 / (1.0 + exp(-coalesce(a.z / a.nf, 0.0))), 6) AS score
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def _linear_classifier(spark, sf_dir):
+    """fastText-style hashed linear classifier inference (operators/text.py
+    linear_classifier_score): score = sigmoid(mean weight of hashed word
+    uni+bigrams), 4096 buckets. The weight table is synthesized
+    deterministically from the bucket id via the same md5-hex-slice
+    arithmetic both engines share, so the whole model — features, weights,
+    pooling, sigmoid — is oracle-checkable bit-for-bit at 6 decimals."""
+    from mortar_parquet_support_spark.operators.text import (
+        linear_classifier_score,
+    )
+
+    n_buckets = 4096
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("feature"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("weight"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    out = linear_classifier_score(docs, weights, n_buckets=n_buckets)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_features").cast("long").alias("n_features"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # The driver evaluates a bounded prefix (50 entries) of queries(). With 75
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
@@ -4057,6 +4123,9 @@ _WINDOW_PROMOTED = [
     # Sequential-conversion funnel: chained range-frame windows replacing
     # the k-self-join formulation; same displacement policy as above.
     "funnel_steps",
+    # Hashed linear classifier inference (feature-hashing trick) — the
+    # quality-filter serving shape; same displacement policy as above.
+    "linear_classifier",
 ]
 
 

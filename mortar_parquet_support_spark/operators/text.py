@@ -279,6 +279,95 @@ def analyze(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
+def hashed_features(
+    text: Column, *, n_buckets: int = 1 << 20, ngram: int = 2
+) -> Column:
+    """array<long> of hashed bag-of-n-gram feature ids (word uni..n-grams
+    over the shared :func:`_lower_words` tokenization, hashed into
+    ``n_buckets`` via the engine-portable md5-hex-slice arithmetic —
+    DuckDB reproduces every id with ('0x' || substr(md5(g),1,8))::BIGINT
+    % n_buckets). The feature-hashing trick (Weinberger et al.) is what
+    makes linear text classifiers (fastText-style quality/toxicity/domain
+    scorers) run without a vocabulary: fixed dimensionality, no
+    train-time dictionary to ship. In-row (zero-shuffle) projection."""
+    toks = F.filter(_lower_words(text), lambda w: w != "")
+    grams = [toks]
+    for n in range(2, ngram + 1):
+        # sequence(0, -k) counts DOWN (auto-negative step) — guard short
+        # docs to an empty gram list instead (same footgun as dedup_lines)
+        grams.append(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    allgrams = F.concat(*grams) if len(grams) > 1 else grams[0]
+    return F.transform(
+        allgrams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    feature_col: str = "feature",
+    weight_col: str = "weight",
+    n_buckets: int = 1 << 20,
+    ngram: int = 2,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Logistic-linear classifier inference over hashed n-gram features —
+    the distributed serving shape of a fastText-style quality filter:
+    score = sigmoid(bias + mean(weight[h(g)] for gram g)). Returns ``df``
+    plus (n_features, score); documents with no tokens score
+    sigmoid(bias) with n_features = 0.
+
+    Scale shape: the weight table is bounded by ``n_buckets`` (a model,
+    not data — megabytes), so it broadcasts (maybe_broadcast: hinted only
+    while the estimate fits); the corpus explodes to one row per gram
+    with map-side partial sums behind the per-doc mean, so the only
+    shuffle carries two doubles per document. Features the table lacks
+    weigh 0 but still count in the mean (standard hashing-trick
+    inference; a sparse model stays sparse)."""
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+    w = weights.select(
+        F.col(feature_col).cast("long").alias("__fid"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    feats = df.select(
+        F.col(id_col),
+        F.explode(
+            hashed_features(F.col(text_col), n_buckets=n_buckets, ngram=ngram)
+        ).alias("__fid"),
+    )
+    per_doc = (
+        feats.join(maybe_broadcast(w), "__fid", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__z"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+    )
+    margin = F.lit(bias) + F.coalesce(
+        F.col("__z") / F.col("n_features"), F.lit(0.0)
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_features", F.coalesce(F.col("n_features"), F.lit(0)))
+        .withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+        .drop("__z")
+    )
+
+
 def top_tokens(
     df: DataFrame,
     *,
