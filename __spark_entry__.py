@@ -4036,6 +4036,26 @@ def _linear_classifier(spark, sf_dir):
     )
 
 
+@_register("pca_embed")
+def _pca_embed(spark, sf_dir):
+    """Distributed PCA fit + projection (operators/embeddings.py): one-pass
+    tree-reduced covariance, driver-side eigh of the d x d Gram (a model,
+    not data), zero-shuffle Arrow-batched transform. No SQL oracle
+    (eigendecomposition); fit==numpy and transform==numpy are pinned in
+    tests/test_embeddings.py, so this entry is the rows-only liveness
+    check over the real fixture."""
+    from mortar_parquet_support_spark.operators.embeddings import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+    return pca_transform(emb, model).select(
+        "vec_id", "label", F.col("pca").alias("pca8")
+    )
+
+
 # The driver evaluates a bounded prefix (50 entries) of queries(). With 75
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
@@ -4170,7 +4190,9 @@ def oracle_sql() -> dict[str, str]:
     are engine-specific), and knn_pq (k-means PQ codebooks are not
     SQL-expressible and the ADC candidate set is inherently approximate;
     the lossless-codebook == brute-force equivalence, recall bounds, and
-    save/load identity are pytest-pinned in test_pq_*). The other streaming entries — streaming_dedup,
+    save/load identity are pytest-pinned in test_pq_*), and pca_embed
+    (eigendecomposition is not SQL-expressible; fit==numpy and
+    transform==numpy are pytest-pinned in test_embeddings.py). The other streaming entries — streaming_dedup,
     streaming_enrich, streaming_rollup, streaming_interval_join, and
     (since round 8) streaming_sessionize — ARE oracle-checked: over a
     static fixture, availableNow emission equals the equivalent batch SQL

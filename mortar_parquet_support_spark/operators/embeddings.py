@@ -1,0 +1,219 @@
+"""Embedding-matrix operators: distributed PCA (fit/transform) + helpers.
+
+Driver north-star extension (BASELINE.json:6): dimensionality reduction is
+the standard stage between raw embeddings and the ANN/dedup operators
+(similarity.py, dedup.py, pq.py) — project 768-d model outputs to the
+32-64 dims the indexes actually want, whiten for cosine stability, then
+index. The reference has no vector layer at all (SURVEY.md §2.6).
+
+The 100 TB shape of PCA is the classic two-phase split:
+
+- **fit** is ONE corpus scan: each partition's Arrow batches fold into a
+  single (count, sum, X^T X) partial in BLAS (d x d doubles — for d=1024
+  that is 8 MB per partition row, emitted ONCE per partition), and the
+  partials tree-reduce through Spark's own map-side partial aggregation
+  (posexplode to (position, value) -> groupBy position: the shuffle
+  carries d^2+d+1 rows per PARTITION, combined again on the reduce side).
+  The d x d Gram matrix eigendecomposes driver-side in numpy — it is a
+  model, not data (same judgment as IvfIndex centroids / PqIndex
+  codebooks).
+- **transform** is a zero-shuffle Arrow-batched projection: the (k x d)
+  component matrix ships in the UDF closure, each batch is one
+  (X - mean) @ W.T matmul.
+
+Determinism: eigendecomposition of the exactly-summed covariance (float64
+adds are order-sensitive only below ~1e-12 relative for these scales;
+components are sign-normalized so the largest-|loading| element is
+positive), so refits on the same data agree to numerical noise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .head()
+    )
+    if row is None:
+        raise ValueError(f"no non-null vectors in {vec_col!r}")
+    return int(row.d)
+
+
+@dataclass(frozen=True)
+class PcaModel:
+    """Fitted PCA: ``mean`` (d), ``components`` (k x d, rows = principal
+    axes, orthonormal), ``explained_variance`` (k, descending; ddof=1
+    convention, matching np.cov)."""
+
+    mean: tuple
+    components: tuple  # tuple of k tuples, each length d
+    explained_variance: tuple
+
+    @property
+    def d(self) -> int:
+        return len(self.mean)
+
+    @property
+    def k(self) -> int:
+        return len(self.components)
+
+    def save(self, spark, path: str) -> None:
+        """One-row parquet (any Hadoop FS the session can write — same
+        portability judgment as DigestIndex meta)."""
+        flat = [float(v) for row in self.components for v in row]
+        spark.createDataFrame(
+            [(list(self.mean), flat, list(self.explained_variance), self.k)],
+            "mean array<double>, components_flat array<double>, "
+            "explained_variance array<double>, k int",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PcaModel":
+        r = spark.read.parquet(path).head()
+        d = len(r.mean)
+        comps = tuple(
+            tuple(r.components_flat[i * d : (i + 1) * d]) for i in range(r.k)
+        )
+        return cls(
+            mean=tuple(r.mean),
+            components=comps,
+            explained_variance=tuple(r.explained_variance),
+        )
+
+
+def pca_fit(df: DataFrame, *, vec_col: str = "embedding", k: int = 8) -> PcaModel:
+    """Fit PCA over ``vec_col`` in one distributed pass (see module
+    docstring for the partial/tree-reduce shape). Rows with NULL vectors,
+    wrong-length vectors, or non-finite elements are excluded from the
+    fit — the same degenerate-row contract as similarity.py. Requires
+    at least 2 valid rows (ddof=1)."""
+    import numpy as np
+
+    d = _vec_dim(df, vec_col)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+
+    out_schema = T.StructType(
+        [T.StructField("acc", T.ArrayType(T.DoubleType()), False)]
+    )
+
+    def partials(batches):
+        import pyarrow as pa
+
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros((d, d), dtype=np.float64)
+        for batch in batches:
+            col = batch.column(0)
+            rows = col.to_pylist()
+            mat = [
+                r
+                for r in rows
+                if r is not None and len(r) == d and None not in r
+            ]
+            if not mat:
+                continue
+            x = np.asarray(mat, dtype=np.float64)
+            finite = np.isfinite(x).all(axis=1)
+            x = x[finite]
+            if not len(x):
+                continue
+            n += len(x)
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            acc = np.concatenate(([float(n)], s, g.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.tolist()], type=pa.list_(pa.float64()))],
+                schema=pa.schema([("acc", pa.list_(pa.float64()))]),
+            )
+
+    summed = (
+        df.select(F.col(vec_col))
+        .mapInArrow(partials, out_schema)
+        .select(F.posexplode("acc").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    acc = np.zeros(1 + d + d * d, dtype=np.float64)
+    for r in summed:
+        acc[r.pos] = r.v
+    n = int(acc[0])
+    if n < 2:
+        raise ValueError(f"PCA needs >= 2 valid vectors, got {n}")
+    mean = acc[1 : 1 + d] / n
+    gram = acc[1 + d :].reshape(d, d)
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k x d
+    # sign convention: largest-|loading| element of each axis positive
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PcaModel(
+        mean=tuple(float(v) for v in mean),
+        components=tuple(tuple(float(v) for v in row) for row in comps),
+        explained_variance=tuple(float(max(evals[o], 0.0)) for o in order),
+    )
+
+
+def pca_transform(
+    df: DataFrame,
+    model: PcaModel,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project ``vec_col`` onto the fitted axes: adds ``out_col`` =
+    (x - mean) @ components.T as array<double> length k. Zero-shuffle
+    Arrow-batched matmul; degenerate vectors (NULL, wrong length,
+    non-finite elements) map to NULL, the row itself is kept."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(model.mean, dtype=np.float64)
+    w_t = np.asarray(model.components, dtype=np.float64).T  # d x k
+    d = model.d
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def proj(vs):
+        res = [None] * len(vs)
+        idx, rows = [], []
+        for i, v in enumerate(vs):
+            if v is None or len(v) != d:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if not np.isfinite(a).all():
+                continue
+            idx.append(i)
+            rows.append(a)
+        if rows:
+            y = (np.stack(rows) - mean) @ w_t
+            for i, out in zip(idx, y):
+                res[i] = out.tolist()
+        return pd.Series(res)
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def l2_normalize(vec, *, eps: float = 0.0):
+    """Unit-normalize an array column JVM-side: v / ||v||; zero/degenerate
+    norms yield NULL (try_divide), matching the cosine contract. In-row,
+    composes with any scan."""
+    from mortar_parquet_support_spark.functions import vector_norm
+
+    v = F.col(vec) if isinstance(vec, str) else vec
+    n = vector_norm(v)
+    return F.transform(v, lambda x: F.try_divide(x, n + F.lit(eps)))

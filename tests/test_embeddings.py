@@ -1,0 +1,121 @@
+"""Distributed PCA: fit == numpy reference, transform == numpy projection,
+degenerate-row contract, save/load identity, zero-shuffle transform plan.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.operators.embeddings import (
+    PcaModel,
+    l2_normalize,
+    pca_fit,
+    pca_transform,
+)
+from tests.conftest import plan_str
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ref(emb):
+    rows = sorted(emb.select("vec_id", "embedding").collect())
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    return rows, x
+
+
+def test_fit_matches_numpy(emb, ref):
+    _, x = ref
+    model = pca_fit(emb, k=8)
+    cov = np.cov(x, rowvar=False)  # ddof=1
+    evals, evecs = np.linalg.eigh(cov)
+    top = np.argsort(evals)[::-1][:8]
+    assert np.allclose(model.explained_variance, evals[top], rtol=1e-8)
+    got = np.asarray(model.components)
+    want = evecs[:, top].T
+    # eigenvectors agree up to sign
+    for g, w in zip(got, want):
+        assert np.allclose(g, w, atol=1e-8) or np.allclose(g, -w, atol=1e-8)
+    # orthonormal, descending variance, deterministic sign convention
+    assert np.allclose(got @ got.T, np.eye(8), atol=1e-10)
+    assert all(
+        a >= b - 1e-12
+        for a, b in zip(model.explained_variance, model.explained_variance[1:])
+    )
+    for row in got:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_transform_matches_numpy(emb, ref):
+    rows, x = ref
+    model = pca_fit(emb, k=4)
+    out = {
+        r.vec_id: r.pca
+        for r in pca_transform(emb, model).select("vec_id", "pca").collect()
+    }
+    want = (x - np.asarray(model.mean)) @ np.asarray(model.components).T
+    for r, w in zip(rows, want):
+        assert np.allclose(out[r.vec_id], w, atol=1e-9)
+
+
+def test_degenerate_vectors_null_but_kept(spark):
+    base = [(i, [float(i), float(i % 3), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    model = pca_fit(df, k=2)
+    bad = spark.createDataFrame(
+        [
+            (100, None),
+            (101, [1.0, 2.0]),  # wrong length
+            (102, [1.0, float("nan"), 3.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.pca
+        for r in pca_transform(df.unionByName(bad), model).collect()
+    }
+    assert len(out) == 13
+    assert out[100] is None and out[101] is None and out[102] is None
+    assert out[0] is not None
+
+    # and the fit itself excludes them: same model with or without junk rows
+    model2 = pca_fit(df.unionByName(bad), k=2)
+    assert np.allclose(model.components, model2.components, atol=1e-12)
+    assert np.allclose(model.mean, model2.mean, atol=1e-12)
+
+
+def test_save_load_roundtrip(spark, emb, tmp_path):
+    model = pca_fit(emb, k=3)
+    model.save(spark, str(tmp_path / "pca"))
+    back = PcaModel.load(spark, str(tmp_path / "pca"))
+    assert back == model
+
+
+def test_transform_is_zero_shuffle(emb):
+    model = pca_fit(emb, k=2)
+    out = pca_transform(emb, model)
+    out.collect()
+    plan = plan_str(out).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.n
+        for r in df.select(
+            "vec_id", l2_normalize("embedding").alias("n")
+        ).collect()
+    }
+    assert out[1] is not None and math.isclose(out[1][0], 0.6)
+    assert math.isclose(sum(v * v for v in out[1]), 1.0)
+    assert out[2] == [None, None]  # zero norm: per-element try_divide nulls
+    assert out[3] is None
