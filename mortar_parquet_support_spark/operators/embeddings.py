@@ -37,6 +37,10 @@ from pyspark.sql import types as T
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Dimensionality from the first non-null vector. Order-dependent by
+    nature — a corrupt short vector arriving first would redefine
+    validity for the whole fit — so pca_fit accepts an explicit ``d``
+    for corpora that can contain ragged rows."""
     row = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.size(vec_col).alias("d"))
@@ -89,15 +93,24 @@ class PcaModel:
         )
 
 
-def pca_fit(df: DataFrame, *, vec_col: str = "embedding", k: int = 8) -> PcaModel:
+def pca_fit(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+    d: int | None = None,
+) -> PcaModel:
     """Fit PCA over ``vec_col`` in one distributed pass (see module
     docstring for the partial/tree-reduce shape). Rows with NULL vectors,
     wrong-length vectors, or non-finite elements are excluded from the
-    fit — the same degenerate-row contract as similarity.py. Requires
-    at least 2 valid rows (ddof=1)."""
+    fit — the same degenerate-row contract as similarity.py. ``d``
+    defaults to the first non-null vector's length; pass it explicitly
+    when the corpus may contain ragged rows (see _vec_dim). Requires at
+    least 2 valid rows (ddof=1)."""
     import numpy as np
 
-    d = _vec_dim(df, vec_col)
+    if d is None:
+        d = _vec_dim(df, vec_col)
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
 
@@ -107,21 +120,33 @@ def pca_fit(df: DataFrame, *, vec_col: str = "embedding", k: int = 8) -> PcaMode
 
     def partials(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         n = 0
         s = np.zeros(d, dtype=np.float64)
         g = np.zeros((d, d), dtype=np.float64)
         for batch in batches:
             col = batch.column(0)
-            rows = col.to_pylist()
-            mat = [
-                r
-                for r in rows
-                if r is not None and len(r) == d and None not in r
-            ]
-            if not mat:
+            # vectorized validity filtering on the Arrow buffers — no
+            # Python-object churn in the pass the module sells as BLAS:
+            # drop null list slots FIRST (flatten would drop them
+            # silently and shift the reshape — similarity.py's footnote),
+            # then keep only length-d rows.
+            if col.null_count:
+                col = col.drop_null()
+            if not len(col):
                 continue
-            x = np.asarray(mat, dtype=np.float64)
+            col = col.filter(pc.equal(pc.list_value_length(col), d))
+            if not len(col):
+                continue
+            flat = col.flatten()
+            # element-level nulls surface as NaN and fall to the finite
+            # mask with every other non-finite value
+            x = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(-1, d)
+            )
             finite = np.isfinite(x).all(axis=1)
             x = x[finite]
             if not len(x):

@@ -306,12 +306,17 @@ class DigestIndex:
         # barrier also pins the distinct so the two passes agree.
         d = d.localCheckpoint(eager=True)
         try:
-            d.select("digest", "shard").write.partitionBy("shard").mode(
-                "append"
-            ).parquet(self._p(_DIGESTS))
+            # Bloom FIRST: a crash between the two appends must degrade
+            # fail-safe. Orphaned Bloom bits only cost extra verify-join
+            # candidates; digests without bits would let the prefilter
+            # wave known duplicates through as definitely-new — a silent
+            # exactness break.
             d.groupBy("shard").applyInPandas(
                 _segment_builder(self.m_per_shard, self.n_hashes), _BLOOM_SCHEMA
             ).write.mode("append").parquet(self._p(_BLOOM))
+            d.select("digest", "shard").write.partitionBy("shard").mode(
+                "append"
+            ).parquet(self._p(_DIGESTS))
             self._bloom_cache = None  # segments changed
             return d.count()
         finally:
@@ -413,9 +418,12 @@ def incremental_dedup(
     seen = index.digests().join(
         F.broadcast(cand), ["shard", "digest"], "left_semi"
     )
+    # the seen side gets a private alias: a batch that carries its own
+    # 'digest' column must not make the join condition ambiguous
+    seen_d = seen.select(F.col("digest").alias("__seen_digest")).distinct()
     survivors = tested.join(
-        F.broadcast(seen.select("digest").distinct()),
-        tested["__digest"] == F.col("digest"),
+        F.broadcast(seen_d),
+        tested["__digest"] == seen_d["__seen_digest"],
         "left_anti",
     )
     return survivors.drop("__digest", "__shard", "__h1", "__h2", "__maybe")

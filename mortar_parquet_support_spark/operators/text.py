@@ -290,6 +290,8 @@ def hashed_features(
     makes linear text classifiers (fastText-style quality/toxicity/domain
     scorers) run without a vocabulary: fixed dimensionality, no
     train-time dictionary to ship. In-row (zero-shuffle) projection."""
+    from mortar_parquet_support_spark.operators.dedup import md5_int
+
     toks = F.filter(_lower_words(text), lambda w: w != "")
     grams = [toks]
     for n in range(2, ngram + 1):
@@ -305,11 +307,9 @@ def hashed_features(
             ).otherwise(F.array().cast("array<string>"))
         )
     allgrams = F.concat(*grams) if len(grams) > 1 else grams[0]
-    return F.transform(
-        allgrams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        % n_buckets,
-    )
+    # md5_int keeps the bit-for-bit-critical hash recipe in one place
+    # (operators/dedup.py); bits=32 == the 8-hex-char slice above
+    return F.transform(allgrams, lambda g: md5_int(g, bits=32) % n_buckets)
 
 
 def linear_classifier_score(
@@ -323,20 +323,26 @@ def linear_classifier_score(
     n_buckets: int = 1 << 20,
     ngram: int = 2,
     bias: float = 0.0,
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Logistic-linear classifier inference over hashed n-gram features —
     the distributed serving shape of a fastText-style quality filter:
-    score = sigmoid(bias + mean(weight[h(g)] for gram g)). Returns ``df``
-    plus (n_features, score); documents with no tokens score
-    sigmoid(bias) with n_features = 0.
+    score = sigmoid(bias + mean(weight[h(g)] for gram g)). Returns
+    (id_col, n_features, score) — one row per input row, documents with
+    no tokens scoring sigmoid(bias) with n_features = 0 — or, with
+    ``keep_columns``, all of ``df``'s columns plus the two.
 
     Scale shape: the weight table is bounded by ``n_buckets`` (a model,
     not data — megabytes), so it broadcasts (maybe_broadcast: hinted only
     while the estimate fits); the corpus explodes to one row per gram
-    with map-side partial sums behind the per-doc mean, so the only
-    shuffle carries two doubles per document. Features the table lacks
-    weigh 0 but still count in the mean (standard hashing-trick
-    inference; a sparse model stays sparse)."""
+    with map-side partial sums behind the per-doc mean, so that shuffle
+    carries two doubles per document. The default narrow output re-joins
+    scores onto ids only; ``keep_columns`` re-joins onto the FULL rows —
+    an id-keyed shuffle of the whole corpus including text, honest to ask
+    for explicitly but usually wrong at 100 TB (join the narrow scores
+    back where the pipeline actually filters instead). Features the
+    table lacks weigh 0 but still count in the mean (standard
+    hashing-trick inference; a sparse model stays sparse)."""
     from mortar_parquet_support_spark.plans.hints import maybe_broadcast
 
     w = weights.select(
@@ -360,8 +366,9 @@ def linear_classifier_score(
     margin = F.lit(bias) + F.coalesce(
         F.col("__z") / F.col("n_features"), F.lit(0.0)
     )
+    base = df if keep_columns else df.select(id_col)
     return (
-        df.join(per_doc, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .withColumn("n_features", F.coalesce(F.col("n_features"), F.lit(0)))
         .withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
         .drop("__z")

@@ -324,6 +324,14 @@ def funnel(
     run_prev = None
     for i, step in enumerate(steps):
         cond = F.col(event_type) == F.lit(step)
+        if i == 0:
+            # NULL users: window partitioning groups all NULLs together,
+            # but the join-chain semantics this reproduces (and the SQL
+            # oracle) never match NULL keys — blocking step 1 blocks the
+            # whole chain, so the NULL-user row reports n_steps = 0 in
+            # both formulations instead of fabricating conversions from
+            # unrelated anonymous events.
+            cond = cond & F.col(user).isNotNull()
         if i > 0:
             cond = cond & run_prev.isNotNull()
             if within is not None:

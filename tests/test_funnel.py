@@ -124,6 +124,25 @@ def test_matches_join_chain_reference(spark, sf_dir):
     ]
 
 
+def test_null_users_never_convert(spark):
+    """Window partitioning groups NULL users together, but join-chain
+    semantics (and the SQL oracle) never match NULL keys — the NULL-user
+    row must report n_steps = 0, not conversions fabricated from
+    unrelated anonymous events (regression)."""
+    events = spark.createDataFrame(
+        [
+            (None, datetime(2024, 1, 1, 0, 0, 0), "A"),
+            (None, datetime(2024, 1, 1, 0, 0, 5), "B"),
+            (1, datetime(2024, 1, 1, 0, 0, 1), "A"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {r.user_id: r for r in funnel(events, ["A", "B"], ts="ts").collect()}
+    assert rows[None].n_steps == 0
+    assert rows[None].t_A is None and rows[None].t_B is None
+    assert rows[1].n_steps == 1
+
+
 def test_single_exchange_plan(spark, events):
     out = funnel(events, ["A", "B", "C"], ts="ts")
     out.collect()

@@ -145,6 +145,19 @@ def test_compact_preserves_answers(spark, corpus, tmp_path):
     assert before == after
 
 
+def test_batch_with_own_digest_column(spark, tmp_path):
+    """A batch that precomputed its digests into a column literally named
+    'digest' must not make the anti-join ambiguous (regression)."""
+    idx = DigestIndex.create(spark, str(tmp_path / "idx"), n_shards=2)
+    pre = _docs(spark, [(1, "seen"), (2, "new")]).withColumn(
+        "digest", F.md5("text")
+    )
+    idx.add(F.md5("text"), _docs(spark, [(0, "seen")]))
+    out = incremental_dedup(pre, idx, digest=F.col("digest"))
+    assert [r.doc_id for r in out.collect()] == [2]
+    assert "digest" in out.columns  # caller's column untouched
+
+
 def test_probe_plan_is_broadcast_only(spark, corpus, tmp_path):
     idx = DigestIndex.create(spark, str(tmp_path / "idx"), n_shards=4)
     idx.add(F.md5("text"), corpus.filter(F.col("doc_id") < 7))
