@@ -4027,7 +4027,13 @@ def _linear_classifier(spark, sf_dir):
             / 1000.0
         ).alias("weight"),
     )
-    docs = _t(spark, sf_dir, "documents")
+    # the fixture ships as ONE parquet file -> one scan task; spread the
+    # hash/explode work across cores (a real corpus arrives pre-split, so
+    # production callers skip this — the shuffle is the fixture's 1.5 MB
+    # of text). Partitioning by doc_id also pre-aligns the per-doc agg.
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     out = linear_classifier_score(docs, weights, n_buckets=n_buckets)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -41,6 +41,15 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q18",
     "range_join",
+    # round 8 additions: funnel (chained-window plan) and hashed linear
+    # classifier (broadcast weight join). incremental_dedup is NOT
+    # headlined: at fixture scale its wall time is fixed job overhead
+    # (index open + bloom collect + three tiny joins over 5k rows), which
+    # would add gate noise without measuring anything that scales; its
+    # correctness entry and plan-shape tests stay, and the probe plan is
+    # broadcast-only by construction (test_incremental.py).
+    "funnel_steps",
+    "linear_classifier",
 ]
 
 

@@ -302,6 +302,12 @@ class DigestIndex:
             col = digests.columns[0]
             d = digests.select(F.col(col).cast("string").alias("digest"))
         d = self._prepared(d.filter(F.col("digest").isNotNull()).distinct())
+        # Shard-aligned partitioning BEFORE the barrier: the partitionBy
+        # write then emits one file per shard per append (not one per
+        # task per shard — the small-files failure mode at scale), and
+        # the bloom groupBy reuses the same hash partitioning instead of
+        # shuffling again.
+        d = d.repartition(self.n_shards, F.col("shard"))
         # Both the digest write and the bloom build consume `d`; the
         # barrier also pins the distinct so the two passes agree.
         d = d.localCheckpoint(eager=True)

@@ -289,10 +289,22 @@ def hashed_features(
     % n_buckets). The feature-hashing trick (Weinberger et al.) is what
     makes linear text classifiers (fastText-style quality/toxicity/domain
     scorers) run without a vocabulary: fixed dimensionality, no
-    train-time dictionary to ship. In-row (zero-shuffle) projection."""
+    train-time dictionary to ship. In-row (zero-shuffle) projection.
+
+    The token array is referenced ~4x inside the gram builders — when
+    composing into a wide projection, stage the tokenization once
+    (functions.staged_columns) like :func:`linear_classifier_score` does,
+    or the split/filter subtree duplicates per reference."""
+    toks = F.filter(_lower_words(text), lambda w: w != "")
+    return _hashed_gram_ids(toks, n_buckets=n_buckets, ngram=ngram)
+
+
+def _hashed_gram_ids(toks: Column, *, n_buckets: int, ngram: int) -> Column:
+    """hashed_features over an ALREADY-TOKENIZED array column (the
+    stageable half: callers bind the token array once, this builds
+    grams + ids from the binding)."""
     from mortar_parquet_support_spark.operators.dedup import md5_int
 
-    toks = F.filter(_lower_words(text), lambda w: w != "")
     grams = [toks]
     for n in range(2, ngram + 1):
         # sequence(0, -k) counts DOWN (auto-negative step) — guard short
@@ -349,10 +361,19 @@ def linear_classifier_score(
         F.col(feature_col).cast("long").alias("__fid"),
         F.col(weight_col).cast("double").alias("__w"),
     )
-    feats = df.select(
+    # stage the tokenization: the gram builders reference the token array
+    # ~4x, and CollapseProject would re-inline the split/filter subtree
+    # into each (the same blowup score_quality stages against)
+    staged = df.select(
+        F.col(id_col),
+        F.filter(_lower_words(F.col(text_col)), lambda t: t != "").alias(
+            "__toks"
+        ),
+    )
+    feats = staged.select(
         F.col(id_col),
         F.explode(
-            hashed_features(F.col(text_col), n_buckets=n_buckets, ngram=ngram)
+            _hashed_gram_ids(F.col("__toks"), n_buckets=n_buckets, ngram=ngram)
         ).alias("__fid"),
     )
     per_doc = (

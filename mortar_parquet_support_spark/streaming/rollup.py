@@ -110,6 +110,62 @@ def streaming_dedup_stream(
     return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def stream_incremental_dedup(
+    stream_df,
+    index,
+    *,
+    digest,
+    sink,
+    within_batch: bool = True,
+    mark_seen: bool = True,
+):
+    """Cross-RUN streaming dedup: each micro-batch probes (and, with
+    ``mark_seen``, extends) a persisted
+    :class:`~mortar_parquet_support_spark.operators.incremental.DigestIndex`,
+    so duplicates are recognized across restarts, across streams, and
+    against historically batch-ingested corpora — state that
+    ``dropDuplicatesWithinWatermark`` (bounded to its watermark horizon,
+    private to one query's checkpoint) cannot see. The complement of
+    :func:`streaming_dedup_stream`, not a replacement: watermarked state
+    for in-flight duplicates, the digest index for forever-state.
+
+    ``sink(survivors_df, batch_id)`` runs BEFORE the index append: a
+    failure between the two replays the batch with the digests still
+    unmarked, re-emitting survivors (at-least-once, standard foreachBatch
+    semantics) instead of silently dropping them forever (the
+    fail-unsafe order). ``within_batch`` collapses intra-batch
+    duplicates first — the index only answers the cross-batch question.
+
+    Returns the configured ``DataStreamWriter`` (caller starts it,
+    typically with ``.trigger(availableNow=True)`` + a checkpoint dir).
+    """
+    from mortar_parquet_support_spark.operators.incremental import (
+        incremental_dedup,
+    )
+
+    def _process(batch_df, batch_id):
+        b = batch_df
+        if within_batch:
+            b = (
+                b.withColumn("__sid_digest", digest)
+                .dropDuplicates(["__sid_digest"])
+                .drop("__sid_digest")
+            )
+        survivors = incremental_dedup(b, index, digest=digest)
+        # both consumers (sink, index append) must see the SAME rows —
+        # without the barrier each would recompute the probe against an
+        # index the other may already have extended
+        survivors = survivors.localCheckpoint(eager=True)
+        try:
+            sink(survivors, batch_id)
+            if mark_seen:
+                index.add(digest, survivors)
+        finally:
+            survivors.unpersist()
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
 def stream_dedup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming dedup over the events parquet; with a watermark
     wider than the dataset's time span a single availableNow pass removes

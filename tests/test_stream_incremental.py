@@ -1,0 +1,96 @@
+"""stream_incremental_dedup: cross-batch AND cross-run dedup through the
+persisted DigestIndex, driven file-by-file with availableNow.
+
+Invariants (robust to how the source groups files into micro-batches):
+- across all batches of a run, every unseen digest surfaces exactly once;
+- digests the index already held never surface;
+- the index ends up holding everything it has ever emitted;
+- a SECOND run over the same data emits nothing (the forever-state the
+  watermarked streaming dedup cannot provide).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.operators.incremental import DigestIndex
+from mortar_parquet_support_spark.streaming.rollup import (
+    stream_incremental_dedup,
+)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def _run(spark, src, idx, chk):
+    emitted = []
+
+    def sink(df, batch_id):
+        emitted.append(
+            {r.d for r in df.select(F.md5("text").alias("d")).collect()}
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_incremental_dedup(
+            stream, idx, digest=F.md5("text"), sink=sink
+        )
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return emitted
+
+
+def test_cross_batch_and_cross_run(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_docs(
+        spark,
+        os.path.join(src, "f1"),
+        [(i, f"dup{i}") for i in range(5)] + [(5 + i, f"n{i}") for i in range(5)],
+    )
+    _write_docs(
+        spark,
+        os.path.join(src, "f2"),
+        [(10 + i, f"n{i}") for i in range(5)]
+        + [(15 + i, f"fresh{i}") for i in range(5)],
+    )
+    # the glob src/*/part*.parquet: each subdir's single file is one
+    # maxFilesPerTrigger=1 micro-batch
+    idx = DigestIndex.create(spark, str(tmp_path / "idx"), n_shards=4)
+    idx.add(
+        F.md5("text"),
+        spark.createDataFrame(
+            [(i, f"dup{i}") for i in range(5)], "doc_id long, text string"
+        ),
+    )
+
+    emitted = _run(spark, src + "/*", idx, str(tmp_path / "chk1"))
+    all_emitted = set().union(*emitted) if emitted else set()
+
+    want = {
+        r.d
+        for r in spark.createDataFrame(
+            [(0, f"n{i}") for i in range(5)]
+            + [(0, f"fresh{i}") for i in range(5)],
+            "x long, text string",
+        )
+        .select(F.md5("text").alias("d"))
+        .collect()
+    }
+    assert all_emitted == want
+    # exactly once across batches: no digest in two different batches
+    assert sum(len(s) for s in emitted) == len(all_emitted)
+    assert idx.stats()["n_digests"] == 15  # 5 seeded + 10 emitted
+
+    # cross-run: a fresh checkpoint over the same files emits nothing
+    emitted2 = _run(spark, src + "/*", idx, str(tmp_path / "chk2"))
+    assert not emitted2 or set().union(*emitted2) == set()
