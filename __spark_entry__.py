@@ -4151,6 +4151,9 @@ _WINDOW_PROMOTED = [
     "funnel_steps",
     # Hashed linear classifier inference (feature-hashing trick) — the
     # quality-filter serving shape; same displacement policy as above.
+    # These three late-r8 promotions displace percentiles,
+    # resample_gapfill, and dedup_clusters past the window (all green in
+    # CORRECTNESS_r07; all stay harness-verified every round).
     "linear_classifier",
 ]
 
