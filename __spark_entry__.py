@@ -4062,6 +4062,62 @@ def _pca_embed(spark, sf_dir):
     )
 
 
+@_register(
+    "hashed_embed",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(a) AS g FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest([a[i+1] || ' ' || a[i+2] FOR i IN range(0, len(a)-1)]) AS g
+      FROM toks WHERE len(a) >= 2
+    ), contrib AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 16 AS pos,
+             CASE WHEN ('0x' || substr(md5('sign:' || g), 1, 15))::BIGINT % 2 = 1
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn
+      FROM grams
+    ), agg AS (
+      SELECT doc_id, pos, sum(sgn) AS v, count(*) AS c
+      FROM contrib GROUP BY 1, 2
+    ), n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams FROM agg GROUP BY 1)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(n.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(p AS INT) AS pos,
+           CAST(coalesce(a.v, 0) AS DOUBLE) AS val
+    FROM documents d
+    CROSS JOIN range(16) t(p)
+    LEFT JOIN n ON n.doc_id = d.doc_id
+    LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.pos = p
+    """,
+)
+def _hashed_embed(spark, sf_dir):
+    """Signed-feature-hashing text embedder (operators/embeddings.py
+    hashed_embedding, dim=16, unnormalized so coordinates are exact
+    integer-valued doubles): the model-free bridge from the documents
+    table into the vector stack. Emitted LONG (doc_id, pos, val) via
+    posexplode so every coordinate — position hash, sign hash, collision
+    sums, zero-vector docs — is value-hashed against DuckDB."""
+    from mortar_parquet_support_spark.operators.embeddings import (
+        hashed_embedding,
+    )
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    out = hashed_embedding(docs, dim=16, ngram=2, normalize=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+
+
 # The driver evaluates a bounded prefix (50 entries) of queries(). With 75
 # oracle-backed entries competing for 50 slots, the window is curated for
 # FAMILY COVERAGE, not registration seniority: 13 round-1 shapes that are
@@ -4151,9 +4207,13 @@ _WINDOW_PROMOTED = [
     "funnel_steps",
     # Hashed linear classifier inference (feature-hashing trick) — the
     # quality-filter serving shape; same displacement policy as above.
-    # These three late-r8 promotions displace percentiles,
-    # resample_gapfill, and dedup_clusters past the window (all green in
-    # CORRECTNESS_r07; all stay harness-verified every round).
+    # Signed-feature-hashing text embedder — the model-free bridge from
+    # documents into the vector stack; same displacement policy.
+    "hashed_embed",
+    # These four late-r8 promotions displace percentiles,
+    # resample_gapfill, dedup_clusters, and train_test_split past the
+    # window (all green in CORRECTNESS_r07; all stay harness-verified
+    # every round).
     "linear_classifier",
 ]
 

@@ -233,6 +233,94 @@ def pca_transform(
     return df.withColumn(out_col, proj(F.col(vec_col)))
 
 
+def hashed_embedding(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    ngram: int = 2,
+    normalize: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Model-free text embedding by signed feature hashing: each word
+    uni..n-gram adds ±1 (sign from an independent hash) at position
+    h(g) % dim; optionally L2-normalized. The classic cheap embedder —
+    it preserves enough lexical cosine structure to drive the vector
+    stack (pca_fit, cosine_topk, semantic_dedup) on corpora that have no
+    model embeddings, and the hash arithmetic is the engine-portable
+    md5 recipe, so every coordinate is reproducible in DuckDB.
+
+    Returns (id_col, n_grams, out_col array<double> length ``dim``);
+    documents with no tokens embed as the zero vector (whose normalized
+    form is an all-NULL array — no direction, same try_divide contract
+    as l2_normalize). One shuffle: grams aggregate
+    map-side on (id, position) — at most ``dim`` entries per document
+    cross the wire — and the dense array assembles in-row from the
+    position map. Sign trick per Weinberger et al.: E[<x,y>] is
+    unbiased under collisions."""
+    from mortar_parquet_support_spark.operators.dedup import md5_int
+    from mortar_parquet_support_spark.operators.text import (
+        _lower_words,
+        gram_strings,
+    )
+
+    staged = df.select(
+        F.col(id_col),
+        F.filter(_lower_words(F.col(text_col)), lambda t: t != "").alias(
+            "__toks"
+        ),
+    )
+    grams = staged.select(
+        F.col(id_col),
+        F.explode(
+            # one gram stream, two derived hashes: position and sign come
+            # from independent salts of the same gram (gram strings never
+            # leave the row — the very next projection reduces them to
+            # two longs)
+            gram_strings(F.col("__toks"), ngram=ngram)
+        ).alias("__g"),
+    )
+    sgn = md5_int(F.col("__g"), salt="sign:") % 2 * 2 - 1
+    contrib = grams.select(
+        F.col(id_col),
+        (md5_int(F.col("__g"), bits=32) % dim).alias("__pos"),
+        sgn.cast("double").alias("__sgn"),
+    )
+    agg = contrib.groupBy(id_col, "__pos").agg(
+        F.sum("__sgn").alias("__v"), F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = agg.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__pos"), F.col("__v")))
+        ).alias("__m"),
+        F.sum("__c").alias("n_grams"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda p: F.coalesce(
+            F.element_at(F.col("__m"), p.cast("long")), F.lit(0.0)
+        ),
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)))
+        .withColumn(out_col, F.when(F.col("__m").isNotNull(), vec).otherwise(
+            F.array_repeat(F.lit(0.0), dim)
+        ))
+        .drop("__m")
+    )
+    if normalize:
+        from mortar_parquet_support_spark.functions import vector_norm
+
+        n = vector_norm(F.col(out_col))
+        out = out.withColumn(
+            out_col, F.transform(F.col(out_col), lambda x: F.try_divide(x, n))
+        )
+    return out
+
+
 def l2_normalize(vec, *, eps: float = 0.0):
     """Unit-normalize an array column JVM-side: v / ||v||; zero/degenerate
     norms yield NULL (try_divide), matching the cosine contract. In-row,

@@ -299,12 +299,11 @@ def hashed_features(
     return _hashed_gram_ids(toks, n_buckets=n_buckets, ngram=ngram)
 
 
-def _hashed_gram_ids(toks: Column, *, n_buckets: int, ngram: int) -> Column:
-    """hashed_features over an ALREADY-TOKENIZED array column (the
-    stageable half: callers bind the token array once, this builds
-    grams + ids from the binding)."""
-    from mortar_parquet_support_spark.operators.dedup import md5_int
-
+def gram_strings(toks: Column, *, ngram: int) -> Column:
+    """Word uni..n-gram STRINGS from an already-tokenized array column —
+    the shared gram builder under hashed_features and
+    embeddings.hashed_embedding (one definition, so the gram grammar
+    can't drift between the classifier and the embedder)."""
     grams = [toks]
     for n in range(2, ngram + 1):
         # sequence(0, -k) counts DOWN (auto-negative step) — guard short
@@ -318,10 +317,20 @@ def _hashed_gram_ids(toks: Column, *, n_buckets: int, ngram: int) -> Column:
                 ),
             ).otherwise(F.array().cast("array<string>"))
         )
-    allgrams = F.concat(*grams) if len(grams) > 1 else grams[0]
+    return F.concat(*grams) if len(grams) > 1 else grams[0]
+
+
+def _hashed_gram_ids(toks: Column, *, n_buckets: int, ngram: int) -> Column:
+    """hashed_features over an ALREADY-TOKENIZED array column (the
+    stageable half: callers bind the token array once, this builds
+    grams + ids from the binding)."""
+    from mortar_parquet_support_spark.operators.dedup import md5_int
+
     # md5_int keeps the bit-for-bit-critical hash recipe in one place
-    # (operators/dedup.py); bits=32 == the 8-hex-char slice above
-    return F.transform(allgrams, lambda g: md5_int(g, bits=32) % n_buckets)
+    # (operators/dedup.py); bits=32 == an 8-hex-char md5 slice
+    return F.transform(
+        gram_strings(toks, ngram=ngram), lambda g: md5_int(g, bits=32) % n_buckets
+    )
 
 
 def linear_classifier_score(
