@@ -174,3 +174,59 @@ def test_ttl_parser_fails_cleanly(t):
         parse_ttl(t, "s")
     except ValueError:
         pass
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),            # user
+            st.integers(0, 50),           # ts offset seconds
+            st.sampled_from("ABCX"),      # event type (X = noise)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([None, 10, 25]),      # within-window seconds
+)
+def test_funnel_matches_sequential_reference(spark, events, within):
+    """funnel == the obvious per-user sequential reference: t_i is the
+    min step-i timestamp >= t_{i-1} (and <= t_0 + within), computed here
+    by brute force over every (user, step) in Python."""
+    from datetime import datetime, timedelta
+
+    from mortar_parquet_support_spark.operators.timeseries import funnel
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, base + timedelta(seconds=s), t) for u, s, t in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: (r.t_A, r.t_B, r.t_C, r.n_steps)
+        for r in funnel(
+            df,
+            ["A", "B", "C"],
+            ts="ts",
+            within=f"{within} seconds" if within else None,
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    assert set(got) == set(by_user)
+    for u, evs in by_user.items():
+        ts_of = lambda step, lo, hi: min(  # noqa: E731
+            (ts for ts, t in evs
+             if t == step and ts >= lo and (hi is None or ts <= hi)),
+            default=None,
+        )
+        t0 = ts_of("A", datetime.min, None)
+        hi = t0 + timedelta(seconds=within) if (t0 and within) else None
+        t1 = ts_of("B", t0, hi) if t0 else None
+        t2 = ts_of("C", t1, hi) if t1 else None
+        want = (t0, t1, t2, sum(x is not None for x in (t0, t1, t2)))
+        assert got[u] == want, (u, got[u], want)
