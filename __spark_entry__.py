@@ -4205,16 +4205,16 @@ _WINDOW_PROMOTED = [
     # Sequential-conversion funnel: chained range-frame windows replacing
     # the k-self-join formulation; same displacement policy as above.
     "funnel_steps",
-    # Hashed linear classifier inference (feature-hashing trick) — the
-    # quality-filter serving shape; same displacement policy as above.
     # Signed-feature-hashing text embedder — the model-free bridge from
     # documents into the vector stack; same displacement policy.
     "hashed_embed",
-    # These four late-r8 promotions displace percentiles,
+    # Hashed linear classifier inference (feature-hashing trick) — the
+    # quality-filter serving shape; same displacement policy.
+    "linear_classifier",
+    # The four late-r8 promotions above displace percentiles,
     # resample_gapfill, dedup_clusters, and train_test_split past the
     # window (all green in CORRECTNESS_r07; all stay harness-verified
     # every round).
-    "linear_classifier",
 ]
 
 

@@ -254,24 +254,21 @@ def hashed_embedding(
     Returns (id_col, n_grams, out_col array<double> length ``dim``);
     documents with no tokens embed as the zero vector (whose normalized
     form is an all-NULL array — no direction, same try_divide contract
-    as l2_normalize). One shuffle: grams aggregate
-    map-side on (id, position) — at most ``dim`` entries per document
-    cross the wire — and the dense array assembles in-row from the
-    position map. Sign trick per Weinberger et al.: E[<x,y>] is
-    unbiased under collisions."""
+    as l2_normalize). Wire cost: grams combine map-side on
+    (id, position), so at most ``dim`` entries per document ever cross a
+    shuffle; the per-doc assembly and the join back onto the id set are
+    further id-keyed exchanges of those same narrow rows (pre-partition
+    the input by ``id_col`` — as the driver entry does — and they all
+    collapse into the one partitioning). The dense array assembles
+    in-row from the position map. Sign trick per Weinberger et al.:
+    E[<x,y>] is unbiased under collisions."""
     from mortar_parquet_support_spark.operators.dedup import md5_int
     from mortar_parquet_support_spark.operators.text import (
-        _lower_words,
         gram_strings,
+        staged_tokens,
     )
 
-    staged = df.select(
-        F.col(id_col),
-        F.filter(_lower_words(F.col(text_col)), lambda t: t != "").alias(
-            "__toks"
-        ),
-    )
-    grams = staged.select(
+    grams = staged_tokens(df, id_col=id_col, text_col=text_col).select(
         F.col(id_col),
         F.explode(
             # one gram stream, two derived hashes: position and sign come
@@ -312,12 +309,7 @@ def hashed_embedding(
         .drop("__m")
     )
     if normalize:
-        from mortar_parquet_support_spark.functions import vector_norm
-
-        n = vector_norm(F.col(out_col))
-        out = out.withColumn(
-            out_col, F.transform(F.col(out_col), lambda x: F.try_divide(x, n))
-        )
+        out = out.withColumn(out_col, l2_normalize(F.col(out_col)))
     return out
 
 

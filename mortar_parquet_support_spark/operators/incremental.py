@@ -138,7 +138,14 @@ class DigestIndex:
     """Persisted seen-digest index: sharded digest parquet + mergeable
     per-shard Bloom segments. Build offline / append per batch / probe
     per batch — the amortized serving shape (same split as
-    similarity.py's IvfIndex build/probe)."""
+    similarity.py's IvfIndex build/probe).
+
+    Single-writer per index object: the warm Bloom cache is maintained
+    through this object's own add()/compact() calls, so appends made by
+    ANOTHER process (or a second DigestIndex over the same path) are
+    invisible to it until re-opened — probing with a stale filter would
+    pass known duplicates as definitely-new. Serialize writers the same
+    way lake maintenance is serialized (maintenance.py)."""
 
     def __init__(
         self,
@@ -309,24 +316,42 @@ class DigestIndex:
         # shuffling again.
         d = d.repartition(self.n_shards, F.col("shard"))
         # Both the digest write and the bloom build consume `d`; the
-        # barrier also pins the distinct so the two passes agree.
+        # barrier also pins the distinct so the two passes agree. (The
+        # checkpoint blocks release at GC via the ContextCleaner — local
+        # checkpoints have no deterministic-release API.)
         d = d.localCheckpoint(eager=True)
-        try:
-            # Bloom FIRST: a crash between the two appends must degrade
-            # fail-safe. Orphaned Bloom bits only cost extra verify-join
-            # candidates; digests without bits would let the prefilter
-            # wave known duplicates through as definitely-new — a silent
-            # exactness break.
-            d.groupBy("shard").applyInPandas(
+        # The new segments come to the driver once (n_shards rows — the
+        # same bytes _blooms() would collect anyway) so they can BOTH be
+        # appended to the segment table and OR-merged straight into the
+        # warm cache: a long-lived writer (stream_incremental_dedup)
+        # would otherwise re-collect the entire ever-growing segment
+        # table on every batch, O(batches^2) cumulative driver reads.
+        import numpy as np
+
+        seg_rows = (
+            d.groupBy("shard")
+            .applyInPandas(
                 _segment_builder(self.m_per_shard, self.n_hashes), _BLOOM_SCHEMA
-            ).write.mode("append").parquet(self._p(_BLOOM))
-            d.select("digest", "shard").write.partitionBy("shard").mode(
-                "append"
-            ).parquet(self._p(_DIGESTS))
-            self._bloom_cache = None  # segments changed
-            return d.count()
-        finally:
-            d.unpersist()
+            )
+            .collect()
+        )
+        # Bloom FIRST: a crash between the two appends must degrade
+        # fail-safe. Orphaned Bloom bits only cost extra verify-join
+        # candidates; digests without bits would let the prefilter wave
+        # known duplicates through as definitely-new — a silent
+        # exactness break.
+        self.spark.createDataFrame(seg_rows, _BLOOM_SCHEMA).write.mode(
+            "append"
+        ).parquet(self._p(_BLOOM))
+        d.select("digest", "shard").write.partitionBy("shard").mode(
+            "append"
+        ).parquet(self._p(_DIGESTS))
+        if self._bloom_cache is not None:
+            for r in seg_rows:
+                seg = np.frombuffer(r.bitmap, dtype=np.uint8)
+                cur = self._bloom_cache.get(r.shard)
+                self._bloom_cache[r.shard] = seg if cur is None else cur | seg
+        return d.count()
 
     def compact(self) -> None:
         """Rewrite the shards digest-distinct with one segment per shard:
@@ -337,16 +362,13 @@ class DigestIndex:
         compaction like any other lake maintenance (maintenance.py), not
         concurrently with appends."""
         d = self._prepared(self.digests().distinct()).localCheckpoint(eager=True)
-        try:
-            d.select("digest", "shard").write.partitionBy("shard").mode(
-                "overwrite"
-            ).parquet(self._p(_DIGESTS))
-            d.groupBy("shard").applyInPandas(
-                _segment_builder(self.m_per_shard, self.n_hashes), _BLOOM_SCHEMA
-            ).write.mode("overwrite").parquet(self._p(_BLOOM))
-            self._bloom_cache = None
-        finally:
-            d.unpersist()
+        d.select("digest", "shard").write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(self._p(_DIGESTS))
+        d.groupBy("shard").applyInPandas(
+            _segment_builder(self.m_per_shard, self.n_hashes), _BLOOM_SCHEMA
+        ).write.mode("overwrite").parquet(self._p(_BLOOM))
+        self._bloom_cache = None
 
 
 def incremental_dedup(

@@ -299,6 +299,21 @@ def hashed_features(
     return _hashed_gram_ids(toks, n_buckets=n_buckets, ngram=ngram)
 
 
+def staged_tokens(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id_col, __toks) with the shared casefolded tokenization bound ONCE
+    in its own projection — the staging every gram consumer needs (the
+    gram builders reference the token array ~4x and CollapseProject would
+    re-inline the split/filter subtree per reference; see score_quality).
+    One definition so the classifier, the embedder, and the DuckDB
+    oracles mirroring them can't drift on the tokenizer."""
+    return df.select(
+        F.col(id_col),
+        F.filter(_lower_words(F.col(text_col)), lambda t: t != "").alias(
+            "__toks"
+        ),
+    )
+
+
 def gram_strings(toks: Column, *, ngram: int) -> Column:
     """Word uni..n-gram STRINGS from an already-tokenized array column —
     the shared gram builder under hashed_features and
@@ -370,16 +385,7 @@ def linear_classifier_score(
         F.col(feature_col).cast("long").alias("__fid"),
         F.col(weight_col).cast("double").alias("__w"),
     )
-    # stage the tokenization: the gram builders reference the token array
-    # ~4x, and CollapseProject would re-inline the split/filter subtree
-    # into each (the same blowup score_quality stages against)
-    staged = df.select(
-        F.col(id_col),
-        F.filter(_lower_words(F.col(text_col)), lambda t: t != "").alias(
-            "__toks"
-        ),
-    )
-    feats = staged.select(
+    feats = staged_tokens(df, id_col=id_col, text_col=text_col).select(
         F.col(id_col),
         F.explode(
             _hashed_gram_ids(F.col("__toks"), n_buckets=n_buckets, ngram=ngram)

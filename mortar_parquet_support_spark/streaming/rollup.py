@@ -146,22 +146,31 @@ def stream_incremental_dedup(
     def _process(batch_df, batch_id):
         b = batch_df
         if within_batch:
+            # NULL digests carry no identity, so they are exempt from the
+            # in-batch collapse too (dropDuplicates treats NULLs as equal
+            # and would arbitrarily drop all but one NULL-text document —
+            # violating the probe's 'NULL digests always survive'
+            # contract whenever they happen to share a micro-batch)
+            b = b.withColumn("__sid_digest", digest)
             b = (
-                b.withColumn("__sid_digest", digest)
+                b.filter(F.col("__sid_digest").isNotNull())
                 .dropDuplicates(["__sid_digest"])
+                .unionByName(b.filter(F.col("__sid_digest").isNull()))
                 .drop("__sid_digest")
             )
         survivors = incremental_dedup(b, index, digest=digest)
         # both consumers (sink, index append) must see the SAME rows —
         # without the barrier each would recompute the probe against an
-        # index the other may already have extended
+        # index the other may already have extended. localCheckpoint (not
+        # persist): a cache eviction would silently recompute against the
+        # mutated index; the checkpoint makes that impossible. Its blocks
+        # are released by the ContextCleaner when the batch's RDD is
+        # GC'd — there is no deterministic-release API for local
+        # checkpoints, and the per-batch footprint is one survivor set.
         survivors = survivors.localCheckpoint(eager=True)
-        try:
-            sink(survivors, batch_id)
-            if mark_seen:
-                index.add(digest, survivors)
-        finally:
-            survivors.unpersist()
+        sink(survivors, batch_id)
+        if mark_seen:
+            index.add(digest, survivors)
 
     return stream_df.writeStream.foreachBatch(_process)
 

@@ -94,3 +94,31 @@ def test_cross_batch_and_cross_run(spark, tmp_path):
     # cross-run: a fresh checkpoint over the same files emits nothing
     emitted2 = _run(spark, src + "/*", idx, str(tmp_path / "chk2"))
     assert not emitted2 or set().union(*emitted2) == set()
+
+
+def test_null_digests_survive_within_batch_collapse(spark, tmp_path):
+    """Two NULL-text docs in ONE micro-batch: the in-batch collapse must
+    not treat their NULL digests as equal (regression — dropDuplicates
+    considers NULLs duplicates of each other)."""
+    src = str(tmp_path / "src")
+    _write_docs(
+        spark, os.path.join(src, "f1"), [(1, None), (2, None), (3, "x")]
+    )
+    idx = DigestIndex.create(spark, str(tmp_path / "idx"), n_shards=2)
+    got = []
+
+    def sink(df, batch_id):
+        got.extend(r.doc_id for r in df.select("doc_id").collect())
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src + "/*"
+    )
+    q = (
+        stream_incremental_dedup(stream, idx, digest=F.md5("text"), sink=sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [1, 2, 3]
+    assert idx.stats()["n_digests"] == 1  # only md5('x') is indexable
