@@ -4042,6 +4042,39 @@ def _linear_classifier(spark, sf_dir):
     )
 
 
+@_register("incremental_neardedup")
+def _incremental_neardedup(spark, sf_dir):
+    """Persisted fuzzy-dedup probe (operators/incremental.py MinHashIndex):
+    docs with doc_id % 3 == 0 are the indexed history, the rest the
+    incoming batch; survivors are batch docs whose estimated Jaccard
+    (signature agreement) vs every indexed doc stays under 0.5. No SQL
+    oracle (xxhash64 minhash — same reason as dedup_minhash); the
+    signature/banding legs are oracle-checked via ngram_jaccard_pairs and
+    the index mechanics pytest-pinned in tests/test_minhash_index.py."""
+    import tempfile
+
+    from mortar_parquet_support_spark.operators.incremental import MinHashIndex
+
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    key = ("minhash_idx", sf_dir)
+    if key not in per_session:
+        idx = MinHashIndex.create(
+            spark, tempfile.mkdtemp(prefix="mortar_mh_idx_"), num_perm=64,
+            bands=16,
+        )
+        idx.add(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0),
+            id_col="doc_id",
+            text_col="text",
+        )
+        per_session[key] = idx
+    batch = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+    out = per_session[key].dedup(
+        batch, id_col="doc_id", text_col="text", threshold=0.5
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 @_register("pca_embed")
 def _pca_embed(spark, sf_dir):
     """Distributed PCA fit + projection (operators/embeddings.py): one-pass
@@ -4243,7 +4276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted on purpose (rows-only checks, with why):
-    dedup_minhash / dedup_simhash / knn_lsh (xxhash64 signatures/seeding
+    dedup_minhash / dedup_simhash / knn_lsh / incremental_neardedup
+    (xxhash64 signatures/seeding
     have no DuckDB equivalent; their verify stages ARE oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and

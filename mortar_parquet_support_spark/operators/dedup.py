@@ -193,7 +193,6 @@ def _banded_frame(
             f"bands ({bands}) must divide num_perm ({num_perm}): "
             "each band consumes num_perm/bands signature rows"
         )
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         df,
         id_col=id_col,
@@ -202,17 +201,37 @@ def _banded_frame(
         num_perm=num_perm,
         seed=seed,
     )
-    band_hashes = [
+    return materialize(
+        sigs.select(
+            "id",
+            F.posexplode(
+                F.array(*band_hashes(num_perm=num_perm, bands=bands, seed=seed))
+            ).alias("band", "bucket"),
+        ),
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def band_hashes(*, num_perm: int, bands: int, seed: int) -> list[Column]:
+    """One xxhash64 band-hash Column per band over ``sig_0..sig_{n-1}``
+    signature columns — THE bucket space definition: everything that
+    equi-joins on (band, bucket) (minhash_lsh_candidates,
+    crosscorpus_dedup, incremental.MinHashIndex) shares this one
+    formulation, so their buckets are mutually compatible by
+    construction."""
+    if not 1 <= bands <= num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}): "
+            "each band consumes num_perm/bands signature rows"
+        )
+    rows_per_band = num_perm // bands
+    return [
         F.xxhash64(
             *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
             F.lit(seed),
         )
         for b in range(bands)
     ]
-    return materialize(
-        sigs.select("id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")),
-        checkpoint_dir=checkpoint_dir,
-    )
 
 
 def minhash_lsh_candidates(

@@ -371,6 +371,220 @@ class DigestIndex:
         self._bloom_cache = None
 
 
+class MinHashIndex:
+    """Persisted NEAR-dup index — the fuzzy sibling of :class:`DigestIndex`
+    for the same incremental-ingestion question: "is this document a
+    near-duplicate of anything we have EVER ingested?". Layout:
+
+    - ``buckets``: (id, band, bucket) LSH rows, directory-partitioned by
+      (band, bucket shard) so a probe's candidate buckets prune the scan;
+    - ``sigs``: (id, sig array<long>) — the num_perm minhash components,
+      kept so matches verify by signature agreement (the unbiased
+      Jaccard estimator mean(sig_a[i] == sig_b[i])) WITHOUT storing or
+      re-reading document text;
+    - ``meta``: the (num_perm, bands, shingle_words, seed) bucket-space
+      parameters; both sides of every probe derive from them, so batch
+      and index buckets are compatible by construction
+      (dedup.band_hashes is the single bucket-space definition).
+
+    Probe shape mirrors DigestIndex: the batch side is small, so its
+    distinct candidate buckets broadcast into a pruned scan of the bucket
+    table, matched index ids broadcast into a pruned scan of the sig
+    table, and the survivors anti-join is broadcast too — the index is
+    never shuffled. Same single-writer caveat as DigestIndex.
+
+    Empty/NULL-text documents have no signature (see minhash_signatures)
+    and therefore always survive a fuzzy probe — route them through the
+    exact :class:`DigestIndex` instead, as the batch operators do."""
+
+    def __init__(self, spark: SparkSession, path: str, *, num_perm: int,
+                 bands: int, shingle_words: int, seed: int,
+                 n_bucket_shards: int = 16):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_words = shingle_words
+        self.seed = seed
+        self.n_bucket_shards = n_bucket_shards
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, *, num_perm: int = 64,
+               bands: int = 16, shingle_words: int = 3, seed: int = 42,
+               n_bucket_shards: int = 16) -> "MinHashIndex":
+        from mortar_parquet_support_spark.operators.dedup import band_hashes
+
+        band_hashes(num_perm=num_perm, bands=bands, seed=seed)  # validate
+        idx = cls(spark, path, num_perm=num_perm, bands=bands,
+                  shingle_words=shingle_words, seed=seed,
+                  n_bucket_shards=n_bucket_shards)
+        spark.createDataFrame(
+            [(num_perm, bands, shingle_words, seed, n_bucket_shards)],
+            "num_perm int, bands int, shingle_words int, seed int, "
+            "n_bucket_shards int",
+        ).coalesce(1).write.mode("errorifexists").parquet(idx._p(_META))
+        return idx
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "MinHashIndex":
+        r = spark.read.parquet(path.rstrip("/") + "/" + _META).head()
+        return cls(spark, path, num_perm=r.num_perm, bands=r.bands,
+                   shingle_words=r.shingle_words, seed=r.seed,
+                   n_bucket_shards=r.n_bucket_shards)
+
+    def _p(self, part: str) -> str:
+        return f"{self.path}/{part}"
+
+    def _sigs_of(self, df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+        from mortar_parquet_support_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(
+            df, id_col=id_col, text_col=text_col,
+            shingle_words=self.shingle_words, num_perm=self.num_perm,
+            seed=self.seed,
+        )
+        return sigs.select(
+            F.col("id").cast("string").alias("id"),
+            F.array(*[f"sig_{i}" for i in range(self.num_perm)]).alias("sig"),
+        )
+
+    def _banded(self, sigs_arr: DataFrame) -> DataFrame:
+        from mortar_parquet_support_spark.operators.dedup import band_hashes
+
+        wide = sigs_arr.select(
+            "id",
+            *[
+                F.element_at("sig", i + 1).alias(f"sig_{i}")
+                for i in range(self.num_perm)
+            ],
+        )
+        return wide.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *band_hashes(
+                        num_perm=self.num_perm, bands=self.bands, seed=self.seed
+                    )
+                )
+            ).alias("band", "bucket"),
+        ).withColumn(
+            "bshard",
+            F.pmod(F.col("bucket"), F.lit(self.n_bucket_shards)).cast("int"),
+        )
+
+    def sigs(self) -> DataFrame:
+        try:
+            return self.spark.read.schema("id string, sig array<bigint>").parquet(
+                self._p("sigs")
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            return self.spark.createDataFrame([], "id string, sig array<bigint>")
+
+    def buckets(self) -> DataFrame:
+        try:
+            return (
+                self.spark.read.option("basePath", self._p("buckets"))
+                .schema("id string, bucket long, band int, bshard int")
+                .parquet(self._p("buckets"))
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            return self.spark.createDataFrame(
+                [], "id string, bucket long, band int, bshard int"
+            )
+
+    def add(self, df: DataFrame, *, id_col: str, text_col: str) -> None:
+        """Append signatures + bucket rows for ``df``. Empty/NULL-text
+        rows contribute nothing (no signature). No distinct across
+        appends — a re-added id simply matches itself harder."""
+        sigs_arr = self._sigs_of(df, id_col=id_col, text_col=text_col)
+        sigs_arr = sigs_arr.localCheckpoint(eager=True)  # two consumers
+        sigs_arr.write.mode("append").parquet(self._p("sigs"))
+        self._banded(sigs_arr).repartition(
+            self.bands, F.col("band"), F.col("bshard")
+        ).write.partitionBy("band", "bshard").mode("append").parquet(
+            self._p("buckets")
+        )
+
+    def matches(self, batch: DataFrame, *, id_col: str, text_col: str,
+                threshold: float = 0.7) -> DataFrame:
+        """(batch_id, index_id, sig_agreement) for every batch document
+        whose estimated Jaccard against an indexed document reaches
+        ``threshold``. batch_id/index_id are strings (the index's id
+        encoding)."""
+        b_sigs = self._sigs_of(
+            batch, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)  # banding + verify both consume it
+        b_banded = self._banded(b_sigs)
+        cand = b_banded.select("band", "bshard", "bucket").distinct()
+        hits = self.buckets().join(
+            F.broadcast(cand), ["band", "bshard", "bucket"], "inner"
+        )
+        pairs = (
+            b_banded.join(
+                hits.select(
+                    "band", "bucket", F.col("id").alias("index_id")
+                ),
+                ["band", "bucket"],
+            )
+            .select(F.col("id").alias("batch_id"), "index_id")
+            .distinct()
+        )
+        idx_sigs = self.sigs().join(
+            F.broadcast(pairs.select(F.col("index_id").alias("id")).distinct()),
+            "id",
+            "left_semi",
+        )
+        agreement = F.aggregate(
+            F.zip_with(
+                F.col("sig"), F.col("index_sig"),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(self.num_perm)
+        return (
+            pairs.join(
+                b_sigs.select(F.col("id").alias("batch_id"), "sig"), "batch_id"
+            )
+            .join(
+                F.broadcast(
+                    idx_sigs.select(
+                        F.col("id").alias("index_id"),
+                        F.col("sig").alias("index_sig"),
+                    )
+                ),
+                "index_id",
+            )
+            .withColumn("sig_agreement", agreement)
+            .filter(F.col("sig_agreement") >= threshold)
+            .select("batch_id", "index_id", "sig_agreement")
+        )
+
+    def dedup(self, batch: DataFrame, *, id_col: str, text_col: str,
+              threshold: float = 0.7) -> DataFrame:
+        """Rows of ``batch`` that near-match nothing in the index.
+        Call ``add(survivors)`` afterwards to mark them seen (the
+        caller's transaction boundary, as with incremental_dedup)."""
+        matched = (
+            self.matches(
+                batch, id_col=id_col, text_col=text_col, threshold=threshold
+            )
+            .select(F.col("batch_id"))
+            .distinct()
+        )
+        return batch.join(
+            F.broadcast(matched),
+            batch[id_col].cast("string") == matched["batch_id"],
+            "left_anti",
+        )
+
+
 def incremental_dedup(
     batch: DataFrame,
     index: DigestIndex,
