@@ -511,6 +511,24 @@ class MinHashIndex:
             self._p("buckets")
         )
 
+    def compact(self) -> None:
+        """Rewrite sigs and buckets id-distinct (re-added ids collapse to
+        one signature row; bucket files collapse to one per (band,
+        bshard) partition). Same overwrite-in-place caveat as
+        DigestIndex.compact — schedule it like lake maintenance, not
+        concurrently with appends."""
+        sigs = (
+            self.sigs()
+            .dropDuplicates(["id"])
+            .localCheckpoint(eager=True)  # pinned before the overwrite
+        )
+        sigs.write.mode("overwrite").parquet(self._p("sigs"))
+        self._banded(sigs).repartition(
+            self.bands, F.col("band"), F.col("bshard")
+        ).write.partitionBy("band", "bshard").mode("overwrite").parquet(
+            self._p("buckets")
+        )
+
     def matches(self, batch: DataFrame, *, id_col: str, text_col: str,
                 threshold: float = 0.7) -> DataFrame:
         """(batch_id, index_id, sig_agreement) for every batch document

@@ -84,3 +84,26 @@ def test_probe_is_broadcast_only(spark, idx):
     out.collect()
     plan = plan_str(out).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan
+
+
+def test_compact_collapses_duplicates_and_preserves_answers(spark, tmp_path):
+    idx = MinHashIndex.create(
+        spark, str(tmp_path / "mh"), num_perm=64, bands=16
+    )
+    seed = _docs(spark, [(0, BASE), (1, OTHER)])
+    for _ in range(3):  # overlapping appends -> duplicate sig rows
+        idx.add(seed, id_col="doc_id", text_col="text")
+    assert idx.sigs().count() == 6
+
+    batch = _docs(spark, [(5, NEAR), (6, "novel text entirely " * 4)])
+    before = sorted(
+        r.doc_id
+        for r in idx.dedup(batch, id_col="doc_id", text_col="text").collect()
+    )
+    idx.compact()
+    assert idx.sigs().count() == 2
+    after = sorted(
+        r.doc_id
+        for r in idx.dedup(batch, id_col="doc_id", text_col="text").collect()
+    )
+    assert before == after == [6]
