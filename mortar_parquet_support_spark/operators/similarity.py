@@ -791,6 +791,65 @@ class IvfIndex:
         )
 
     @classmethod
+    def append_to_saved(
+        cls,
+        spark,
+        path: str,
+        vectors: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Assign NEW vectors against a saved index's FIXED centroids and
+        append them into its ``list_id`` partitions — the incremental-add
+        shape of a serving vector store (faiss ``add()``): arriving
+        embeddings join the index without re-clustering or rescanning the
+        existing corpus, and the very next ``load(...).topk(...)`` sees
+        them (probes prune by partition, so appends cost nothing to
+        queries that don't touch their cells).
+
+        Centroids stay fixed, so heavy distribution drift degrades cell
+        balance over time — re-``build`` to re-center, the standard IVF
+        maintenance tradeoff. Already-open index objects do NOT see the
+        appended rows (their assigned frame was pinned at load/build);
+        reopen after appending — same single-writer discipline as the
+        incremental dedup indexes."""
+        root = path.rstrip("/")
+        cents_lazy = spark.read.parquet(root + "/centroids")
+        dim = _vec_dim(cents_lazy, "centroid")
+        n = cents_lazy.count()
+        vecs = vectors.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        cents_persisted = None
+        if dim and n * dim <= cls.MAX_DRIVER_CELLS:
+            _, cent_rows = cls._materialize_centroids(spark, cents_lazy)
+            assigned = _assign_lists_arrow(vecs, cent_rows)
+        else:
+            cents_persisted = cents_lazy.persist()
+            cents_persisted.count()
+            assigned = _assign_lists(vecs, F.broadcast(cents_persisted))
+        # match the saved layout exactly: appending c_norm-bearing rows
+        # into a (hypothetical) norm-less save would leave the column
+        # present-but-NULL for the old rows after a mixed-schema read,
+        # and the probe's precomputed-norm path would score them NULL —
+        # silently dropping every pre-append neighbor
+        cols = [
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("c_vec"),
+            F.col("list_id"),
+        ]
+        if "c_norm" in spark.read.parquet(root + "/assigned").columns:
+            cols.append(vector_norm(F.col("v")).alias("c_norm"))
+        try:
+            assigned.select(*cols).write.mode("append").partitionBy(
+                "list_id"
+            ).parquet(root + "/assigned")
+        finally:
+            if cents_persisted is not None:
+                cents_persisted.unpersist()
+
+    @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
         """Reopen a saved index. The assigned corpus stays on disk (its
         list_id partitioning makes probes prune); persist() it explicitly

@@ -1208,6 +1208,39 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in p or "dynamicpruning" in p, p
 
 
+def test_ivf_append_to_saved(spark, sf_dir, tmp_path):
+    """Incremental add: vectors appended to a saved index (fixed
+    centroids) are found by the next load — and a FULL probe over the
+    grown index equals brute force over the union corpus, so appended
+    rows score identically to built ones."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        IvfIndex,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 5 != 0)
+    later = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(first, n_list=8, iters=1, persist=False).save(path)
+    IvfIndex.append_to_saved(spark, path, later)
+
+    grown = IvfIndex.load(spark, path)
+    qs = emb.filter(F.col("vec_id") < 4)
+    got = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 9))
+        for r in grown.topk(qs, k=5, nprobe=8).collect()  # full probe
+    }
+    want = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 9))
+        for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    assert got == want
+    # appended ids actually live in the index (not just the originals)
+    appended_ids = {r.vec_id for r in later.select("vec_id").collect()}
+    assert appended_ids & {r.neighbor_id for r in grown.assigned.collect()}
+
+
 def test_qhist_merge_is_exact(spark, sf_dir):
     """Re-aggregating hourly quantile-histogram state to daily must equal
     a direct daily rollup EXACTLY (bin counts sum losslessly — the
