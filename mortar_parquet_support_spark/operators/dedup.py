@@ -182,17 +182,9 @@ def _banded_frame(
     minhash_lsh_candidates for why an eager barrier beats persist under
     AQE). Same (num_perm, bands, seed) => same bucket space, so two
     corpora banded with identical parameters can equi-join directly —
-    the basis of crosscorpus_dedup."""
-    # bands > num_perm would make rows_per_band 0 — every band hash
-    # degenerates to xxhash64(seed) (a CONSTANT), every doc lands in one
-    # bucket, and the self-join goes quadratic with no error. A remainder
-    # silently drops the trailing num_perm % bands signatures, quietly
-    # changing recall; both are caller mistakes worth failing loudly on.
-    if not 1 <= bands <= num_perm or num_perm % bands != 0:
-        raise ValueError(
-            f"bands ({bands}) must divide num_perm ({num_perm}): "
-            "each band consumes num_perm/bands signature rows"
-        )
+    the basis of crosscorpus_dedup. Parameter validation lives in
+    band_hashes (raised before any job runs, since building this lazy
+    select calls it)."""
     sigs = minhash_signatures(
         df,
         id_col=id_col,
@@ -219,6 +211,11 @@ def band_hashes(*, num_perm: int, bands: int, seed: int) -> list[Column]:
     crosscorpus_dedup, incremental.MinHashIndex) shares this one
     formulation, so their buckets are mutually compatible by
     construction."""
+    # bands > num_perm would make rows_per_band 0 — every band hash
+    # degenerates to xxhash64(seed) (a CONSTANT), every doc lands in one
+    # bucket, and the self-join goes quadratic with no error. A remainder
+    # silently drops the trailing num_perm % bands signatures, quietly
+    # changing recall; both are caller mistakes worth failing loudly on.
     if not 1 <= bands <= num_perm or num_perm % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_perm ({num_perm}): "

@@ -381,7 +381,9 @@ class MinHashIndex:
     - ``sigs``: (id, sig array<long>) — the num_perm minhash components,
       kept so matches verify by signature agreement (the unbiased
       Jaccard estimator mean(sig_a[i] == sig_b[i])) WITHOUT storing or
-      re-reading document text;
+      re-reading document text; partitioned by a stable shard of the id
+      (the DigestIndex layout) so the verify leg also prunes to the
+      matched ids' shards;
     - ``meta``: the (num_perm, bands, shingle_words, seed) bucket-space
       parameters; both sides of every probe derive from them, so batch
       and index buckets are compatible by construction
@@ -415,6 +417,11 @@ class MinHashIndex:
         from mortar_parquet_support_spark.operators.dedup import band_hashes
 
         band_hashes(num_perm=num_perm, bands=bands, seed=seed)  # validate
+        if n_bucket_shards < 1:
+            # pmod(bucket, 0) is NULL (ANSI off): every bucket row would
+            # land in the default partition and the bshard equi-join would
+            # compare NULL = NULL — probes silently match NOTHING
+            raise ValueError(f"n_bucket_shards must be >= 1, got {n_bucket_shards}")
         idx = cls(spark, path, num_perm=num_perm, bands=bands,
                   shingle_words=shingle_words, seed=seed,
                   n_bucket_shards=n_bucket_shards)
@@ -474,15 +481,24 @@ class MinHashIndex:
             F.pmod(F.col("bucket"), F.lit(self.n_bucket_shards)).cast("int"),
         )
 
+    def _sig_shard(self, id_col: Column) -> Column:
+        return F.pmod(
+            F.xxhash64(id_col, F.lit("mh:sigshard")), F.lit(self.n_bucket_shards)
+        ).cast("int")
+
     def sigs(self) -> DataFrame:
         try:
-            return self.spark.read.schema("id string, sig array<bigint>").parquet(
-                self._p("sigs")
+            return (
+                self.spark.read.option("basePath", self._p("sigs"))
+                .schema("id string, sig array<bigint>, sshard int")
+                .parquet(self._p("sigs"))
             )
         except Exception as exc:
             if not _is_missing_path(exc):
                 raise
-            return self.spark.createDataFrame([], "id string, sig array<bigint>")
+            return self.spark.createDataFrame(
+                [], "id string, sig array<bigint>, sshard int"
+            )
 
     def buckets(self) -> DataFrame:
         try:
@@ -501,10 +517,16 @@ class MinHashIndex:
     def add(self, df: DataFrame, *, id_col: str, text_col: str) -> None:
         """Append signatures + bucket rows for ``df``. Empty/NULL-text
         rows contribute nothing (no signature). No distinct across
-        appends — a re-added id simply matches itself harder."""
+        appends — a re-added id simply matches itself harder. Ids are
+        treated as content-immutable: re-adding an id with DIFFERENT
+        text leaves multiple signatures for it, and probe/compact keep
+        the lexicographically-largest deterministically (update-in-place
+        is not a supported index operation — same as DigestIndex)."""
         sigs_arr = self._sigs_of(df, id_col=id_col, text_col=text_col)
         sigs_arr = sigs_arr.localCheckpoint(eager=True)  # two consumers
-        sigs_arr.write.mode("append").parquet(self._p("sigs"))
+        sigs_arr.withColumn("sshard", self._sig_shard(F.col("id"))).repartition(
+            self.n_bucket_shards, F.col("sshard")
+        ).write.partitionBy("sshard").mode("append").parquet(self._p("sigs"))
         self._banded(sigs_arr).repartition(
             self.bands, F.col("band"), F.col("bshard")
         ).write.partitionBy("band", "bshard").mode("append").parquet(
@@ -519,10 +541,16 @@ class MinHashIndex:
         concurrently with appends."""
         sigs = (
             self.sigs()
-            .dropDuplicates(["id"])
+            # deterministic keep under id re-use: the lexicographically
+            # largest signature (not dropDuplicates' task-order pick)
+            .groupBy("id")
+            .agg(F.max("sig").alias("sig"))
+            .withColumn("sshard", self._sig_shard(F.col("id")))
             .localCheckpoint(eager=True)  # pinned before the overwrite
         )
-        sigs.write.mode("overwrite").parquet(self._p("sigs"))
+        sigs.repartition(self.n_bucket_shards, F.col("sshard")).write.partitionBy(
+            "sshard"
+        ).mode("overwrite").parquet(self._p("sigs"))
         self._banded(sigs).repartition(
             self.bands, F.col("band"), F.col("bshard")
         ).write.partitionBy("band", "bshard").mode("overwrite").parquet(
@@ -544,19 +572,33 @@ class MinHashIndex:
             F.broadcast(cand), ["band", "bshard", "bucket"], "inner"
         )
         pairs = (
-            b_banded.join(
-                hits.select(
-                    "band", "bucket", F.col("id").alias("index_id")
-                ),
+            # hits derives from the (pruned but index-sized) bucket scan;
+            # the batch side is the small one — hint it so the planner
+            # never sort-merges the index-derived side (checkpointed-frame
+            # size stats are unreliable, cf. dedup.BROADCAST_IDS_MAX)
+            F.broadcast(b_banded)
+            .join(
+                hits.select("band", "bucket", F.col("id").alias("index_id")),
                 ["band", "bucket"],
             )
             .select(F.col("id").alias("batch_id"), "index_id")
             .distinct()
         )
-        idx_sigs = self.sigs().join(
-            F.broadcast(pairs.select(F.col("index_id").alias("id")).distinct()),
-            "id",
-            "left_semi",
+        idx_sigs = (
+            self.sigs()
+            .join(
+                F.broadcast(
+                    pairs.select(F.col("index_id").alias("id"))
+                    .distinct()
+                    .withColumn("sshard", self._sig_shard(F.col("id")))
+                ),
+                ["sshard", "id"],
+                "left_semi",
+            )
+            # one signature per id even if the id was re-added (same
+            # deterministic keep rule as compact)
+            .groupBy("id")
+            .agg(F.max("sig").alias("sig"))
         )
         agreement = F.aggregate(
             F.zip_with(

@@ -829,22 +829,22 @@ class IvfIndex:
             cents_persisted = cents_lazy.persist()
             cents_persisted.count()
             assigned = _assign_lists(vecs, F.broadcast(cents_persisted))
-        # match the saved layout exactly: appending c_norm-bearing rows
-        # into a (hypothetical) norm-less save would leave the column
-        # present-but-NULL for the old rows after a mixed-schema read,
-        # and the probe's precomputed-norm path would score them NULL —
-        # silently dropping every pre-append neighbor
-        cols = [
-            F.col("id").alias("neighbor_id"),
-            F.col("v").alias("c_vec"),
-            F.col("list_id"),
-        ]
-        if "c_norm" in spark.read.parquet(root + "/assigned").columns:
-            cols.append(vector_norm(F.col("v")).alias("c_norm"))
+        # c_norm unconditionally: every save() layout carries it (build
+        # always precomputes norms and save refuses probe-only indexes),
+        # and probing a schema guard here would cost a full file listing
+        # of the assigned table per append
         try:
-            assigned.select(*cols).write.mode("append").partitionBy(
-                "list_id"
-            ).parquet(root + "/assigned")
+            (
+                assigned.select(
+                    F.col("id").alias("neighbor_id"),
+                    F.col("v").alias("c_vec"),
+                    F.col("list_id"),
+                    vector_norm(F.col("v")).alias("c_norm"),
+                )
+                .write.mode("append")
+                .partitionBy("list_id")
+                .parquet(root + "/assigned")
+            )
         finally:
             if cents_persisted is not None:
                 cents_persisted.unpersist()

@@ -107,3 +107,18 @@ def test_compact_collapses_duplicates_and_preserves_answers(spark, tmp_path):
         for r in idx.dedup(batch, id_col="doc_id", text_col="text").collect()
     )
     assert before == after == [6]
+
+
+def test_readded_ids_yield_one_match_row(spark, tmp_path):
+    """An id added N times must not multiply matches() output — one row
+    per (batch doc, indexed doc) pair (regression)."""
+    idx = MinHashIndex.create(
+        spark, str(tmp_path / "mh"), num_perm=64, bands=16
+    )
+    for _ in range(3):
+        idx.add(_docs(spark, [(0, BASE)]), id_col="doc_id", text_col="text")
+    m = idx.matches(
+        _docs(spark, [(1, BASE)]), id_col="doc_id", text_col="text"
+    ).collect()
+    assert len(m) == 1
+    assert (m[0].batch_id, m[0].index_id, m[0].sig_agreement) == ("1", "0", 1.0)
