@@ -4075,6 +4075,30 @@ def _incremental_neardedup(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+@_register("bpe_vocab")
+def _bpe_vocab(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py bpe_train):
+    12 merges learned from the documents corpus — the loop runs on the
+    word-frequency table, never the corpus. No SQL oracle (iterative
+    argmax-update isn't SQL-expressible); training == pure-python
+    reference and encode == sequential merge application are
+    pytest-pinned (tests/test_bpe.py). Memoized per session: the merge
+    list is a model, like the IVF/PQ codebooks."""
+    from mortar_parquet_support_spark.operators.bpe import bpe_train
+
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    key = ("bpe", sf_dir)
+    if key not in per_session:
+        per_session[key] = bpe_train(
+            _t(spark, sf_dir, "documents"), num_merges=12, min_freq=2
+        )
+    merges = per_session[key]
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 @_register("pca_embed")
 def _pca_embed(spark, sf_dir):
     """Distributed PCA fit + projection (operators/embeddings.py): one-pass
