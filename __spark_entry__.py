@@ -4301,8 +4301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted on purpose (rows-only checks, with why):
     dedup_minhash / dedup_simhash / knn_lsh / incremental_neardedup
-    (xxhash64 signatures/seeding
-    have no DuckDB equivalent; their verify stages ARE oracle-checked via
+    (xxhash64 signatures/seeding have no DuckDB equivalent), bpe_vocab
+    (iterative argmax-update training is not SQL-expressible; train ==
+    python reference and encode == sequential application are
+    pytest-pinned in test_bpe.py). The LSH ops' verify stages ARE
+    oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and
     full-probe mode respectively), approx_stats (sketch results are

@@ -39,10 +39,10 @@ from pyspark.sql import functions as F
 
 def _chars(word: Column) -> Column:
     """Symbol array: the word's characters (no end-of-word marker — the
-    whitespace pre-tokenization already bounds words)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
-    )
+    whitespace pre-tokenization already bounds words). split on the empty
+    pattern is one linear pass; a per-index substring walk would re-scan
+    the UTF-8 bytes from position 0 for every character (O(len^2))."""
+    return F.split(word, "")
 
 
 def _adjacent_pairs(syms: Column) -> Column:
@@ -86,18 +86,26 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 50,
     min_freq: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` byte-pair merges from the corpus (see module
     docstring for the scale shape). Stops early when the best remaining
     pair's weighted count drops below ``min_freq``. Returns the ordered
     merge list — the tokenizer model for :func:`bpe_encode` /
-    :func:`bpe_token_count_exact`."""
+    :func:`bpe_token_count_exact`.
+
+    Pass ``checkpoint_dir`` on a real cluster: the per-iteration barrier
+    then uses RELIABLE checkpoints (functions.materialize), so an
+    executor loss mid-loop can't destroy the word table — the same
+    tiering every other iterative operator offers. Default local
+    checkpoints are fine locally; their blocks free at GC."""
+    from mortar_parquet_support_spark.functions import materialize
     from mortar_parquet_support_spark.operators.text import unigram_counts
 
     words = unigram_counts(df, text_col=text_col).select(
         F.col("freq"), _chars(F.col("token")).alias("syms")
     )
-    words = words.localCheckpoint(eager=True)
+    words = materialize(words, checkpoint_dir=checkpoint_dir)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -125,12 +133,12 @@ def bpe_train(
             # end); coalesce (no shuffle) pins the width
             .coalesce(df.sparkSession.sparkContext.defaultParallelism)
         )
-        old = words
         # checkpoint per iteration: the plan would otherwise stack one
         # fold + union per merge and the final iterations would re-run
-        # the whole history
-        words = rewritten.localCheckpoint(eager=True)
-        del old
+        # the whole history. Dropping the previous iteration's reference
+        # lets its blocks free at GC (local tier) — reliable-checkpoint
+        # files (checkpoint_dir tier) are cleaned with the dir.
+        words = materialize(rewritten, checkpoint_dir=checkpoint_dir)
     return merges
 
 
@@ -170,14 +178,20 @@ def bpe_encode(
     text: Column, merges: list[tuple[str, str]]
 ) -> Column:
     """array<string> of BPE tokens for a text column: whitespace
-    pre-tokenization (the shared _lower_words recipe) then per-word
-    greedy merge-rank encoding. Arrow-batched pandas UDF — the ranks
-    table is the closure-shipped model."""
+    pre-tokenization matching training's ``split(lower(text), '\\s+')``
+    EXACTLY — Java's ``\\s`` is ASCII-only, so the Python split here uses
+    ``re.ASCII`` (a bare ``str.split()`` would split on NBSP/U+2009 etc.
+    and serve a different word stream than the vocabulary was trained
+    on) — then per-word greedy merge-rank encoding. Arrow-batched pandas
+    UDF — the ranks table is the closure-shipped model."""
+    import re
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
     enc = _encoder(merges)
+    ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf(ArrayType(StringType()))
     def run(texts):
@@ -187,8 +201,9 @@ def bpe_encode(
                 out.append(None)
                 continue
             toks: list[str] = []
-            for w in t.strip().lower().split():
-                toks.extend(enc(w))
+            for w in ws.split(t.lower()):
+                if w:
+                    toks.extend(enc(w))
             out.append(toks)
         return pd.Series(out)
 

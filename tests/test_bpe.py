@@ -118,3 +118,18 @@ def test_degenerate_inputs(spark):
     # a corpus with nothing above min_freq learns nothing
     tiny = spark.createDataFrame([("x y z",)], "text string")
     assert bpe_train(tiny, num_merges=5, min_freq=2) == []
+
+
+def test_non_ascii_whitespace_matches_training_tokenization(spark):
+    """NBSP is NOT whitespace to training's Java-regex \\s — the encoder
+    must keep it inside the word too, or served segmentations diverge
+    from the trained vocabulary (regression)."""
+    text = "foo bar baz"
+    df = spark.createDataFrame([(text,)], "text string")
+    toks = df.select(bpe_encode(F.col("text"), []).alias("t")).head().t
+    # two words: 'foo<NBSP>bar' (7 symbols) and 'baz' (3)
+    assert "".join(toks) == "foo barbaz"
+    assert len(toks) == 10
+    # and training sees the same single NBSP-joined word
+    merges = bpe_train(df, num_merges=3, min_freq=1)
+    assert ("b", "a") in merges  # 'ba' appears in both words
