@@ -175,6 +175,45 @@ def stream_incremental_dedup(
     return stream_df.writeStream.foreachBatch(_process)
 
 
+def stream_neardedup(
+    stream_df,
+    index,
+    *,
+    id_col: str,
+    text_col: str,
+    sink,
+    threshold: float = 0.7,
+    mark_seen: bool = True,
+):
+    """Fuzzy sibling of :func:`stream_incremental_dedup`: each micro-batch
+    probes (and, with ``mark_seen``, extends) a persisted
+    :class:`~mortar_parquet_support_spark.operators.incremental.MinHashIndex`,
+    so NEAR-duplicates are recognized across restarts and against the
+    historical corpus. Same ordering contract: ``sink(survivors_df,
+    batch_id)`` runs before the index append (at-least-once on replay,
+    never silent loss). In-batch near-dup pairs are NOT collapsed — the
+    index answers only the cross-batch question; run minhash_dedup on a
+    batch first if intra-batch fuzziness matters (exact intra-batch
+    duplicates DO collapse against each other once the first one is
+    marked seen in a prior batch, not within one batch).
+
+    Returns the configured ``DataStreamWriter`` (caller starts it,
+    typically ``.trigger(availableNow=True)`` + a checkpoint dir)."""
+
+    def _process(batch_df, batch_id):
+        survivors = index.dedup(
+            batch_df, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        # same barrier rationale as stream_incremental_dedup: both
+        # consumers must see one probe result against a mutating index
+        survivors = survivors.localCheckpoint(eager=True)
+        sink(survivors, batch_id)
+        if mark_seen:
+            index.add(survivors, id_col=id_col, text_col=text_col)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
 def stream_dedup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming dedup over the events parquet; with a watermark
     wider than the dataset's time span a single availableNow pass removes

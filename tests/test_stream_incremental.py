@@ -122,3 +122,55 @@ def test_null_digests_survive_within_batch_collapse(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(got) == [1, 2, 3]
     assert idx.stats()["n_digests"] == 1  # only md5('x') is indexable
+
+
+def test_stream_neardedup_cross_batch(spark, tmp_path):
+    """Fuzzy streaming dedup: a later micro-batch's near-duplicate of an
+    earlier batch's survivor is dropped; novel text survives; a second
+    run over the same files emits nothing."""
+    from mortar_parquet_support_spark.operators.incremental import MinHashIndex
+    from mortar_parquet_support_spark.streaming.rollup import stream_neardedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill tonight"
+    )
+    near = base.replace("jumps", "leaps")
+    other = (
+        "entirely different text about shuffle partitions and adaptive "
+        "query execution on large clusters today"
+    )
+    src = str(tmp_path / "src")
+    _write_docs(spark, os.path.join(src, "f1"), [(1, base)])
+    _write_docs(spark, os.path.join(src, "f2"), [(2, near), (3, other)])
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), num_perm=64, bands=16)
+
+    def run(chk):
+        got = []
+
+        def sink(df, batch_id):
+            got.extend(r.doc_id for r in df.select("doc_id").collect())
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            stream_neardedup(
+                stream, idx, id_col="doc_id", text_col="text", sink=sink,
+                threshold=0.6,
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    first = run(str(tmp_path / "chk1"))
+    # 1 survives (fresh index); 2 is a near-dup of 1 ONLY if f1 processed
+    # first — with both files in one batch, in-batch pairs pass (contract)
+    assert first in ([1, 3], [1, 2, 3])
+    if first == [1, 3]:
+        assert run(str(tmp_path / "chk2")) == []
