@@ -4075,6 +4075,45 @@ def _incremental_neardedup(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+@_register(
+    "diff_snapshots",
+    """
+    WITH o AS (
+      SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 3 = 0
+    ), n AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || 'x')
+                  ELSE md5(text) END AS d
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT CAST(coalesce(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.d <> n.d THEN 'changed' END AS change
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.d <> n.d
+    """,
+)
+def _diff_snapshots(spark, sf_dir):
+    """Versioned-corpus diff (sources/maintenance.py diff_tables): v1 is
+    docs with doc_id % 3 == 0, v2 is docs with doc_id % 2 == 0 and every
+    7th text edited — exercising all three change classes (added keys
+    only in v2, removed only in v1, changed in both with digest drift)
+    against the oracle's full-outer formulation."""
+    from mortar_parquet_support_spark.sources.maintenance import diff_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 3 == 0)
+    v2 = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("x"))
+        ).otherwise(F.col("text")),
+    )
+    out = diff_tables(v1, v2, keys=["doc_id"], digest=F.md5("text"))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "change")
+
+
 @_register("bpe_vocab")
 def _bpe_vocab(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py bpe_train):

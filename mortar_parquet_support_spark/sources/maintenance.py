@@ -192,3 +192,49 @@ def upsert_lake(
         partition_uuid=_lake_is_uuid_partitioned(spark, lake_root),
         checkpoint_dir=checkpoint_dir,
     )
+
+
+def diff_tables(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    keys: list[str],
+    digest,
+) -> DataFrame:
+    """Versioned-corpus diff: (keys..., change) with change in
+    {'added', 'removed', 'changed'} for every key whose content digest
+    differs between two snapshots — the audit primitive behind "what did
+    this ingestion run actually do" and incremental re-processing
+    (recompute only the changed keys downstream).
+
+    ``digest`` is a Column expression evaluated against BOTH frames
+    (md5 over the content columns, typically). NULL-safe: a NULL digest
+    on both sides is 'unchanged' (dropped), on one side it is a real
+    add/remove. Unchanged keys never leave the join — the output is the
+    (small) delta, not a full snapshot.
+
+    Scale shape: one co-partitioned full-outer join on ``keys`` — both
+    snapshots shuffle once, which is the floor for an exact diff of
+    unsorted tables; snapshots maintained bucketed on ``keys``
+    (sources/bucketed.py) diff with zero exchange."""
+    # explicit presence markers: after a full-outer join, a NULL digest is
+    # ambiguous between "key absent on that side" and "key present with
+    # NULL content" — a row that GAINS content from NULL must be
+    # 'changed', not 'added'
+    o = old.select(
+        *keys, digest.alias("__d_old"), F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        *keys, digest.alias("__d_new"), F.lit(True).alias("__in_new")
+    )
+    joined = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("__d_old").eqNullSafe(F.col("__d_new")), "changed")
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .drop("__d_old", "__d_new", "__in_old", "__in_new")
+    )

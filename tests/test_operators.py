@@ -3404,3 +3404,24 @@ def test_pq_validation_and_degenerate_inputs(spark):
     idx2 = PqIndex.build(full, m=4, ksub=8, iters=1, persist=False)
     assert idx2.coded.count() == 8
     assert idx2.topk(bad, k=3).count() == 0
+
+
+def test_diff_tables_change_classes_and_nulls(spark):
+    from mortar_parquet_support_spark.sources.maintenance import diff_tables
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone"), (4, None), (5, None)],
+        "k long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (6, "fresh"), (4, None), (5, "born")],
+        "k long, text string",
+    )
+    out = {
+        r.k: r.change
+        for r in diff_tables(
+            old, new, keys=["k"], digest=F.md5("text")
+        ).collect()
+    }
+    # 1: unchanged (absent); 4: NULL==NULL digest -> unchanged (absent)
+    assert out == {2: "changed", 3: "removed", 6: "added", 5: "changed"}
