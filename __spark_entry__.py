@@ -4307,10 +4307,13 @@ _WINDOW_PROMOTED = [
     # Hashed linear classifier inference (feature-hashing trick) — the
     # quality-filter serving shape; same displacement policy.
     "linear_classifier",
-    # The four late-r8 promotions above displace percentiles,
-    # resample_gapfill, dedup_clusters, and train_test_split past the
-    # window (all green in CORRECTNESS_r07; all stay harness-verified
-    # every round).
+    # Versioned-snapshot diff — the lake-lifecycle audit primitive; same
+    # displacement policy.
+    "diff_snapshots",
+    # The five late-r8 promotions above displace percentiles,
+    # resample_gapfill, dedup_clusters, train_test_split, and
+    # streaming_dedup past the window (all green in CORRECTNESS_r07; all
+    # stay harness-verified every round).
 ]
 
 
