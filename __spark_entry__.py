@@ -4310,10 +4310,10 @@ _WINDOW_PROMOTED = [
     # Versioned-snapshot diff — the lake-lifecycle audit primitive; same
     # displacement policy.
     "diff_snapshots",
-    # The five late-r8 promotions above displace percentiles,
-    # resample_gapfill, dedup_clusters, train_test_split, and
-    # streaming_dedup past the window (all green in CORRECTNESS_r07; all
-    # stay harness-verified every round).
+    # The five late-r8 promotions above displace stats_per_stream,
+    # having_filter, percentiles, resample_gapfill, and dedup_clusters
+    # past the window (all green in CORRECTNESS_r07; all stay
+    # harness-verified every round).
 ]
 
 
