@@ -4114,6 +4114,99 @@ def _diff_snapshots(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "change")
 
 
+@_register(
+    "counter_rate",
+    """
+    WITH pre AS (
+      SELECT user_id, ts, sum(event_id % 100) AS inc
+      FROM events GROUP BY user_id, ts
+    ), c AS (
+      SELECT user_id, ts,
+             sum(inc) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) % 1000 AS v
+      FROM pre
+    ), r AS (
+      SELECT user_id, ts, v,
+             lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      FROM c
+    )
+    SELECT user_id, ts,
+           ROUND(CAST(CASE WHEN v >= pv THEN v - pv ELSE v END AS DOUBLE)
+                 / (CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(pt)) AS BIGINT)), 6) AS rate
+    FROM r
+    """,
+)
+def _counter_rate(spark, sf_dir):
+    """Prometheus-style monotonic-counter rate with reset handling
+    (operators/timeseries.py counter_rate): a synthetic meter per user
+    (integer cumsum of event_id % 100, wrapped mod 1000 so real resets
+    occur) pre-aggregated per (user, ts) so ordering is tie-free — the
+    lag/delta/reset/dt legs all compare exactly (integer counter, whole-
+    second dt on both engines)."""
+    from mortar_parquet_support_spark.operators.timeseries import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy("user_id", "ts").agg(
+        F.sum(F.col("event_id") % 100).alias("inc")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counter = pre.select(
+        "user_id", "ts", (F.sum("inc").over(w) % 1000).alias("v")
+    )
+    out = counter_rate(counter, ts="ts", value="v", keys=["user_id"])
+    return out.select("user_id", "ts", F.round("rate", 6).alias("rate"))
+
+
+@_register(
+    "qc_flags",
+    """
+    WITH pre AS (
+      SELECT user_id, ts, sum(event_id % 100) AS v
+      FROM events GROUP BY user_id, ts
+    ), s AS (
+      SELECT user_id, ts, v,
+             avg(v) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m,
+             stddev_samp(v) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd,
+             lag(v, 1) OVER (PARTITION BY user_id ORDER BY ts) AS p1,
+             lag(v, 2) OVER (PARTITION BY user_id ORDER BY ts) AS p2,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      FROM pre
+    )
+    SELECT user_id, ts,
+           coalesce(abs(v - m) > 3.0 * sd AND sd > 0, false) AS qc_spike,
+           coalesce(p1 = v AND p2 = v, false) AS qc_flatline,
+           coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(pt)) AS BIGINT) > 1800, false) AS qc_gap
+    FROM s
+    """,
+)
+def _qc_flags(spark, sf_dir):
+    """Sensor-stream QC screening (operators/timeseries.py qc_flags):
+    spike vs a trailing 10-reading baseline (current excluded), 3-long
+    flatline, 30-minute gap — over the tie-free integer per-(user, ts)
+    stream so every comparison is exact (integer sums keep the rolling
+    mean/stddev bit-reproducible across engines)."""
+    from mortar_parquet_support_spark.operators.timeseries import qc_flags
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy("user_id", "ts").agg(
+        F.sum(F.col("event_id") % 100).alias("v")
+    )
+    out = qc_flags(
+        pre, ts="ts", value="v", keys=["user_id"], window=10,
+        spike_sigmas=3.0, flatline_n=3, max_gap="30 minutes",
+    )
+    return out.select("user_id", "ts", "qc_spike", "qc_flatline", "qc_gap")
+
+
 @_register("bpe_vocab")
 def _bpe_vocab(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py bpe_train):

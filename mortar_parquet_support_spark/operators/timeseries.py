@@ -547,3 +547,85 @@ def ewma(
         return pdf[cols + [out_col]]
 
     return df.groupBy(*keys).applyInPandas(_ewm, schema=out_schema)
+
+
+def counter_rate(
+    df: DataFrame,
+    *,
+    ts: str = "time",
+    value: str = "value",
+    keys: Sequence[str] = ("uuid",),
+    max_gap: str | None = None,
+) -> DataFrame:
+    """Per-second rate of a MONOTONIC counter (energy meters, pulse
+    totalizers — the other half of a building-telemetry lake next to
+    gauge streams): rate = delta / dt over consecutive readings, with
+    Prometheus-style reset handling — a NEGATIVE delta means the counter
+    restarted, so the post-reset reading IS the delta (the true increase
+    is unknowable; assuming restart-from-zero is the standard
+    under-estimate, never an over-estimate). First reading per stream
+    and zero-dt duplicates yield NULL rate; ``max_gap`` additionally
+    NULLs rates across gaps too wide to attribute (meter offline).
+
+    One shuffle (the per-key window); emitted per READING so downstream
+    rollups (time_bucket_rollup over the rate) stay composable."""
+    w = Window.partitionBy(*keys).orderBy(ts)
+    prev_v = F.lag(F.col(value)).over(w)
+    prev_t = F.lag(F.col(ts)).over(w)
+    dt = _epoch(F.col(ts)) - _epoch(prev_t)
+    delta = F.when(F.col(value) >= prev_v, F.col(value) - prev_v).otherwise(
+        F.col(value)  # reset: counter restarted below the previous reading
+    )
+    rate = F.try_divide(delta, dt)  # NULL on first row (prev null) / dt=0
+    if max_gap is not None:
+        rate = F.when(dt <= F.lit(interval_seconds(max_gap)), rate)
+    return df.withColumn("rate", rate)
+
+
+def qc_flags(
+    df: DataFrame,
+    *,
+    ts: str = "time",
+    value: str = "value",
+    keys: Sequence[str] = ("uuid",),
+    window: int = 10,
+    spike_sigmas: float = 4.0,
+    flatline_n: int = 5,
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Sensor-stream quality-control flags, the screening pass a
+    building-telemetry lake runs before analytics trust a stream:
+
+    - ``qc_spike``: |value - rolling mean| > spike_sigmas * rolling
+      stddev over the previous ``window`` readings (the current reading
+      is excluded from its own baseline, so one spike can't hide inside
+      the statistics that judge it). NULL-variance starts (fewer than 2
+      prior readings) and zero-variance baselines flag only via flatline.
+    - ``qc_flatline``: the reading equals its ``flatline_n - 1``
+      predecessors exactly — a stuck sensor (distinct from a LEGITIMATE
+      constant setpoint stream only by length; tune flatline_n).
+    - ``qc_gap``: more than ``max_gap`` elapsed since the previous
+      reading (sensor offline; the reading itself may be fine but
+      rate/resample logic downstream must not bridge it).
+
+    All three are per-key window expressions sharing ONE partitioning —
+    a single shuffle, flags ride along with the row for downstream
+    filtering or auditing."""
+    w = Window.partitionBy(*keys).orderBy(ts)
+    prior = w.rowsBetween(-window, -1)
+    mean = F.avg(F.col(value)).over(prior)
+    sd = F.stddev_samp(F.col(value)).over(prior)
+    spike = (F.abs(F.col(value) - mean) > F.lit(spike_sigmas) * sd) & (
+        sd > 0
+    )
+    flat = F.lit(True)
+    for i in range(1, flatline_n):
+        flat = flat & (F.lag(F.col(value), i).over(w) == F.col(value))
+    gap = (
+        _epoch(F.col(ts)) - _epoch(F.lag(F.col(ts)).over(w))
+    ) > F.lit(interval_seconds(max_gap))
+    return (
+        df.withColumn("qc_spike", F.coalesce(spike, F.lit(False)))
+        .withColumn("qc_flatline", F.coalesce(flat, F.lit(False)))
+        .withColumn("qc_gap", F.coalesce(gap, F.lit(False)))
+    )

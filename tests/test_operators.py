@@ -3425,3 +3425,69 @@ def test_diff_tables_change_classes_and_nulls(spark):
     }
     # 1: unchanged (absent); 4: NULL==NULL digest -> unchanged (absent)
     assert out == {2: "changed", 3: "removed", 6: "added", 5: "changed"}
+
+
+def test_counter_rate_resets_gaps_and_first(spark):
+    from datetime import datetime
+
+    from mortar_parquet_support_spark.operators.timeseries import counter_rate
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("m1", t(0), 100.0),   # first -> NULL rate
+        ("m1", t(10), 150.0),  # +50 over 10s -> 5.0
+        ("m1", t(20), 20.0),   # RESET: delta := 20 -> 2.0
+        ("m1", t(30), 20.0),   # flat counter -> 0.0
+        ("m2", t(0), 7.0),     # independent stream, first -> NULL
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time timestamp, value double")
+    out = {
+        (r.uuid, r.time.second): r.rate
+        for r in counter_rate(df, keys=["uuid"]).collect()
+    }
+    assert out[("m1", 0)] is None and out[("m2", 0)] is None
+    assert out[("m1", 10)] == 5.0
+    assert out[("m1", 20)] == 2.0
+    assert out[("m1", 30)] == 0.0
+
+    # max_gap: the 10s step survives a 15s ceiling, dies under a 5s one
+    import math
+
+    gated = {
+        (r.uuid, r.time.second): r.rate
+        for r in counter_rate(df, keys=["uuid"], max_gap="5 seconds").collect()
+    }
+    assert gated[("m1", 10)] is None and gated[("m1", 20)] is None
+
+
+def test_qc_flags_spike_flatline_gap(spark):
+    from datetime import datetime, timedelta
+
+    from mortar_parquet_support_spark.operators.timeseries import qc_flags
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # steady signal alternating 10/12, then a spike, then a flatline run,
+    # then a reading after a 2-hour hole
+    for i in range(10):
+        rows.append(("s", base + timedelta(minutes=i), 10.0 + 2 * (i % 2)))
+    rows.append(("s", base + timedelta(minutes=10), 500.0))          # spike
+    for i in range(11, 16):
+        rows.append(("s", base + timedelta(minutes=i), 42.0))        # flat x5
+    rows.append(("s", base + timedelta(hours=3), 11.0))              # gap
+    df = spark.createDataFrame(rows, "uuid string, time timestamp, value double")
+    out = {
+        r.time: (r.qc_spike, r.qc_flatline, r.qc_gap)
+        for r in qc_flags(
+            df, keys=["uuid"], window=8, spike_sigmas=4.0, flatline_n=5,
+            max_gap="1 hour",
+        ).collect()
+    }
+    assert out[base + timedelta(minutes=10)][0] is True    # the spike
+    assert sum(s for s, _, _ in out.values()) <= 2         # not the steady part
+    assert out[base + timedelta(minutes=15)][1] is True    # 5th equal reading
+    assert out[base + timedelta(minutes=14)][1] is False   # only 4 so far
+    assert out[base + timedelta(hours=3)][2] is True       # the hole
+    assert sum(g for _, _, g in out.values()) == 1
+    # first rows: no baseline -> no spike flag, no gap flag
+    assert out[base][0] is False and out[base][2] is False
