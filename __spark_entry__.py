@@ -4207,6 +4207,25 @@ def _qc_flags(spark, sf_dir):
     return out.select("user_id", "ts", "qc_spike", "qc_flatline", "qc_gap")
 
 
+@_register("lttb_downsample")
+def _lttb_downsample(spark, sf_dir):
+    """Dashboard-serving LTTB downsampling (operators/timeseries.py
+    lttb_downsample): each user's event stream reduced to 60
+    visually-representative points. No SQL oracle (each pick depends on
+    the previous one — inherently sequential); endpoint pinning, spike
+    survival, subset-of-input, and determinism are pytest-pinned."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    ev = _t(spark, sf_dir, "events").groupBy("user_id", "ts").agg(
+        F.sum("value").alias("v")
+    )
+    return lttb_downsample(
+        ev, ts="ts", value="v", keys=["user_id"], n_out=60
+    )
+
+
 @_register("bpe_vocab")
 def _bpe_vocab(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py bpe_train):
@@ -4439,7 +4458,10 @@ def oracle_sql() -> dict[str, str]:
     (xxhash64 signatures/seeding have no DuckDB equivalent), bpe_vocab
     (iterative argmax-update training is not SQL-expressible; train ==
     python reference and encode == sequential application are
-    pytest-pinned in test_bpe.py). The LSH ops' verify stages ARE
+    pytest-pinned in test_bpe.py), and lttb_downsample (each LTTB pick
+    depends on the previous one — inherently sequential, not
+    SQL-expressible; contract pytest-pinned in test_operators.py). The
+    LSH ops' verify stages ARE
     oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and

@@ -629,3 +629,68 @@ def qc_flags(
         .withColumn("qc_flatline", F.coalesce(flat, F.lit(False)))
         .withColumn("qc_gap", F.coalesce(gap, F.lit(False)))
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    *,
+    ts: str = "time",
+    value: str = "value",
+    keys: Sequence[str] = ("uuid",),
+    n_out: int = 500,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per stream — the
+    dashboard-serving operator for a telemetry lake: reduce each stream
+    to ``n_out`` visually-representative points (endpoints pinned,
+    spikes survive because extreme points span the largest triangles).
+
+    Shape: one shuffle (the per-key applyInPandas grouping); LTTB is
+    inherently sequential per stream (each pick depends on the previous
+    one), so the stream must fit one worker — at 100 TB the caller
+    time-filters to the render window FIRST (the lake scan prunes), and
+    a dashboard window is thousands of points, not billions. The bucket
+    AREAS are numpy-vectorized inside each pick; only the bucket walk is
+    a Python loop (n_out iterations)."""
+    import pandas as pd
+
+    out_fields = [*keys, ts, value]
+    schema = df.select(*out_fields).schema
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        n = len(pdf)
+        if n <= n_out or n_out < 3:
+            return pdf[out_fields] if n <= n_out else pdf[out_fields].iloc[
+                np.linspace(0, n - 1, max(n_out, 2)).astype(int)
+            ]
+        x = pdf[ts].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf[value].to_numpy(dtype=np.float64)
+        # bucket boundaries over the interior points (endpoints pinned)
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        chosen = [0]
+        a = 0
+        for b in range(n_out - 2):
+            lo, hi = bounds[b], bounds[b + 1]
+            nlo, nhi = bounds[b + 1], (
+                bounds[b + 2] if b + 2 < len(bounds) else n
+            )
+            # average of the NEXT bucket is the third triangle vertex
+            cx, cy = x[nlo:nhi].mean(), np.nanmean(y[nlo:nhi])
+            ax, ay = x[a], y[a]
+            areas = np.abs(
+                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+            )
+            # NaN candidate areas (null readings) never win
+            areas = np.where(np.isnan(areas), -1.0, areas)
+            a = lo + int(np.argmax(areas))
+            chosen.append(a)
+        chosen.append(n - 1)
+        return pdf[out_fields].iloc[chosen]
+
+    return (
+        df.select(*out_fields)
+        .groupBy(*[F.col(k) for k in keys])
+        .applyInPandas(pick, schema)
+    )

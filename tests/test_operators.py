@@ -3491,3 +3491,45 @@ def test_qc_flags_spike_flatline_gap(spark):
     assert sum(g for _, _, g in out.values()) == 1
     # first rows: no baseline -> no spike flag, no gap flag
     assert out[base][0] is False and out[base][2] is False
+
+
+def test_lttb_downsample_contract(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        v = math.sin(i / 15.0) * 10
+        if i == 123:
+            v = 300.0  # a spike LTTB must keep
+        rows.append(("s1", base + timedelta(seconds=i), v))
+    rows += [("s2", base + timedelta(seconds=i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "uuid string, time timestamp, value double")
+
+    out = lttb_downsample(df, keys=["uuid"], n_out=40)
+    by = {
+        k: sorted(
+            ((r.time, r.value) for r in g), key=lambda p: p[0]
+        )
+        for k, g in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: r.uuid), key=lambda r: r.uuid
+        )
+    }
+    s1 = by["s1"]
+    assert len(s1) == 40
+    # endpoints pinned, points are a subset of the input, sorted unique
+    src = {(t, v) for u, t, v in rows if u == "s1"}
+    assert set(s1) <= src
+    assert s1[0][0] == base and s1[-1][0] == base + timedelta(seconds=399)
+    # the spike survives
+    assert any(v == 300.0 for _, v in s1)
+    # short streams pass through untouched
+    assert len(by["s2"]) == 5
+    # determinism
+    again = lttb_downsample(df, keys=["uuid"], n_out=40).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out.collect()))
