@@ -4422,10 +4422,14 @@ _WINDOW_PROMOTED = [
     # Versioned-snapshot diff — the lake-lifecycle audit primitive; same
     # displacement policy.
     "diff_snapshots",
-    # The five late-r8 promotions above displace stats_per_stream,
-    # having_filter, percentiles, resample_gapfill, and dedup_clusters
-    # past the window (all green in CORRECTNESS_r07; all stay
-    # harness-verified every round).
+    # Telemetry screening: monotonic-counter rates (reset leg exercised)
+    # and sensor QC flags — same displacement policy.
+    "counter_rate",
+    "qc_flags",
+    # The seven late-r8 promotions above displace text_langid,
+    # text_quality, stats_per_stream, having_filter, percentiles,
+    # resample_gapfill, and dedup_clusters past the window (all green in
+    # CORRECTNESS_r07; all stay harness-verified every round).
 ]
 
 
