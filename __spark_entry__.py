@@ -4132,7 +4132,9 @@ def _diff_snapshots(spark, sf_dir):
       FROM c
     )
     SELECT user_id, ts,
-           ROUND(CAST(CASE WHEN v >= pv THEN v - pv ELSE v END AS DOUBLE)
+           ROUND(CAST(CASE WHEN pv IS NULL THEN NULL
+                           WHEN v >= pv THEN v - pv
+                           ELSE v END AS DOUBLE)
                  / (CAST(floor(epoch(ts)) AS BIGINT)
                     - CAST(floor(epoch(pt)) AS BIGINT)), 6) AS rate
     FROM r

@@ -573,8 +573,14 @@ def counter_rate(
     prev_v = F.lag(F.col(value)).over(w)
     prev_t = F.lag(F.col(ts)).over(w)
     dt = _epoch(F.col(ts)) - _epoch(prev_t)
-    delta = F.when(F.col(value) >= prev_v, F.col(value) - prev_v).otherwise(
-        F.col(value)  # reset: counter restarted below the previous reading
+    # a NULL previous VALUE (mid-stream null reading) must yield NULL,
+    # not the reset branch: unlike the true first row, dt is non-NULL
+    # there, and reset-delta/dt would fabricate a huge rate — breaking
+    # the never-an-over-estimate guarantee
+    delta = (
+        F.when(prev_v.isNull(), F.lit(None))
+        .when(F.col(value) >= prev_v, F.col(value) - prev_v)
+        .otherwise(F.col(value))  # reset: counter restarted lower
     )
     rate = F.try_divide(delta, dt)  # NULL on first row (prev null) / dt=0
     if max_gap is not None:
@@ -608,9 +614,14 @@ def qc_flags(
       reading (sensor offline; the reading itself may be fine but
       rate/resample logic downstream must not bridge it).
 
+    ``flatline_n`` must be >= 2 (a 1-reading 'run' would flag every
+    row).
+
     All three are per-key window expressions sharing ONE partitioning —
     a single shuffle, flags ride along with the row for downstream
     filtering or auditing."""
+    if flatline_n < 2:
+        raise ValueError(f"flatline_n must be >= 2, got {flatline_n}")
     w = Window.partitionBy(*keys).orderBy(ts)
     prior = w.rowsBetween(-window, -1)
     mean = F.avg(F.col(value)).over(prior)
@@ -653,18 +664,22 @@ def lttb_downsample(
     a Python loop (n_out iterations)."""
     import pandas as pd
 
+    if n_out < 3:
+        # LTTB needs both endpoints plus >= 1 interior pick; silently
+        # returning 2 points for n_out=1 would break exact-size contracts
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
     out_fields = [*keys, ts, value]
     schema = df.select(*out_fields).schema
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values(ts, kind="mergesort")
+        # NULL timestamps are unplottable and NaT kills astype(int64) —
+        # drop them (NULL VALUES stay: their areas lose, see below)
+        pdf = pdf.dropna(subset=[ts]).sort_values(ts, kind="mergesort")
         n = len(pdf)
-        if n <= n_out or n_out < 3:
-            return pdf[out_fields] if n <= n_out else pdf[out_fields].iloc[
-                np.linspace(0, n - 1, max(n_out, 2)).astype(int)
-            ]
+        if n <= n_out:
+            return pdf[out_fields]
         x = pdf[ts].astype("int64").to_numpy(dtype=np.float64)
         y = pdf[value].to_numpy(dtype=np.float64)
         # bucket boundaries over the interior points (endpoints pinned)

@@ -3451,13 +3451,27 @@ def test_counter_rate_resets_gaps_and_first(spark):
     assert out[("m1", 30)] == 0.0
 
     # max_gap: the 10s step survives a 15s ceiling, dies under a 5s one
-    import math
-
+    wide = {
+        (r.uuid, r.time.second): r.rate
+        for r in counter_rate(df, keys=["uuid"], max_gap="15 seconds").collect()
+    }
+    assert wide[("m1", 10)] == 5.0 and wide[("m1", 20)] == 2.0
     gated = {
         (r.uuid, r.time.second): r.rate
         for r in counter_rate(df, keys=["uuid"], max_gap="5 seconds").collect()
     }
     assert gated[("m1", 10)] is None and gated[("m1", 20)] is None
+
+    # a mid-stream NULL reading: the next rate is NULL, never a fake reset
+    nulled = spark.createDataFrame(
+        [("m3", t(0), 1_000_000.0), ("m3", t(10), None), ("m3", t(20), 1_000_010.0)],
+        "uuid string, time timestamp, value double",
+    )
+    nr = {
+        r.time.second: r.rate
+        for r in counter_rate(nulled, keys=["uuid"]).collect()
+    }
+    assert nr[10] is None and nr[20] is None
 
 
 def test_qc_flags_spike_flatline_gap(spark):
