@@ -4209,6 +4209,77 @@ def _qc_flags(spark, sf_dir):
     return out.select("user_id", "ts", "qc_spike", "qc_flatline", "qc_gap")
 
 
+@_register(
+    "cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS b
+      FROM events WHERE user_id IS NOT NULL
+    ), f AS (
+      SELECT user_id, min(b) AS cohort FROM e GROUP BY 1
+    ), a AS (
+      SELECT f.cohort, e.b - f.cohort AS period_offset,
+             count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN f USING (user_id) GROUP BY 1, 2
+    ), s AS (SELECT cohort, count(*) AS sz FROM f GROUP BY 1)
+    SELECT CAST(a.cohort AS BIGINT) AS cohort,
+           CAST(a.period_offset AS BIGINT) AS period_offset,
+           CAST(a.n_users AS BIGINT) AS n_users,
+           ROUND(CAST(a.n_users AS DOUBLE) / s.sz, 6) AS retention_rate
+    FROM a JOIN s USING (cohort)
+    """,
+)
+def _cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the events stream
+    (operators/timeseries.py cohort_retention): users bucketed by
+    first-activity week, then distinct-active counts per later week —
+    the double-aggregation product-analytics shape next to the funnel."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, ts="ts", user="user_id", period="1 week")
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("period_offset").cast("long").alias("period_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+        "retention_rate",
+    )
+
+
+@_register(
+    "transition_matrix",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL
+    ), c AS (
+      SELECT from_type, to_type, count(*) AS n FROM p GROUP BY 1, 2
+    ), t AS (SELECT from_type, sum(n) AS tt FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / t.tt, 6) AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def _transition_matrix(spark, sf_dir):
+    """Event-to-next-event transition counts + row-normalized
+    probabilities (operators/timeseries.py transition_matrix) — the
+    Sankey/Markov input; event_id breaks timestamp ties so both engines
+    walk identical journeys."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, ts="ts", user="user_id", order_tiebreak=["event_id"]
+    ).select("from_type", "to_type", F.col("n").cast("long").alias("n"), "p")
+
+
 @_register("lttb_downsample")
 def _lttb_downsample(spark, sf_dir):
     """Dashboard-serving LTTB downsampling (operators/timeseries.py

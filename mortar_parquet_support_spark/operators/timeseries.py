@@ -709,3 +709,83 @@ def lttb_downsample(
         .groupBy(*[F.col(k) for k in keys])
         .applyInPandas(pick, schema)
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    period: str = "1 week",
+) -> DataFrame:
+    """Cohort retention matrix — the other classic event-analytics shape
+    next to :func:`funnel`: users grouped by their FIRST-activity period
+    (the cohort), then for each later period offset, how many of them
+    were active. Returns (cohort, period_offset, n_users,
+    retention_rate) with offset 0 rows equal to cohort size by
+    construction (rate 1.0).
+
+    Shape: one min-aggregate per user (shuffle on user), the activity
+    stream joins its user's cohort back on the SAME key (exchange
+    reuse — no extra shuffle of the events), then one (cohort, offset)
+    count-distinct; cohort sizes broadcast back into the rate. NULL
+    users are excluded (no identity, no cohort)."""
+    step = F.lit(interval_seconds(period))
+    bucket = F.floor(_epoch(F.col(ts)) / step)
+    events = df.filter(F.col(user).isNotNull()).select(
+        F.col(user).alias("__u"), bucket.alias("__b")
+    )
+    first = events.groupBy("__u").agg(F.min("__b").alias("__cohort"))
+    active = (
+        events.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort"),
+            (F.col("__b") - F.col("__cohort")).cast("long").alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col("__u")).alias("n_users"))
+    )
+    sizes = first.groupBy(F.col("__cohort").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("__size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort")
+        .withColumn(
+            "retention_rate",
+            F.round(F.col("n_users") / F.col("__size"), 6),
+        )
+        .drop("__size")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Event-to-next-event transition counts per user journey — the
+    Sankey/Markov input: (from_type, to_type, n, p) where p is the row-
+    normalized transition probability. Terminal events (a user's last)
+    transition to NULL. Pass ``order_tiebreak`` columns (e.g. the event
+    id) when timestamps can tie — an unordered peer pair would otherwise
+    count a nondeterministic direction. One shuffle (the per-user
+    window); the normalization reuses a broadcast of the tiny from-type
+    marginal."""
+    w = Window.partitionBy(user).orderBy(ts, *order_tiebreak)
+    pairs = (
+        df.filter(F.col(user).isNotNull())
+        .withColumn("__next", F.lead(F.col(event_type)).over(w))
+        .groupBy(
+            F.col(event_type).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .withColumn("p", F.round(F.col("n") / F.col("__t"), 6))
+        .drop("__t")
+    )

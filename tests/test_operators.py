@@ -3547,3 +3547,63 @@ def test_lttb_downsample_contract(spark):
     # determinism
     again = lttb_downsample(df, keys=["uuid"], n_out=40).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out.collect()))
+
+
+def test_cohort_retention_matrix(spark):
+    from datetime import datetime, timedelta
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    day = lambda d: datetime(2024, 1, 1) + timedelta(days=d)  # noqa: E731
+    rows = [
+        # cohort week 0: users 1, 2; user 1 returns weeks 1 and 2, user 2 never
+        (1, day(0)), (1, day(7)), (1, day(14)),
+        (2, day(1)),
+        # cohort week 1: user 3, returns week 2 (offset 1)
+        (3, day(8)), (3, day(15)),
+        (None, day(0)),  # anonymous: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort, r.period_offset): (r.n_users, r.retention_rate)
+        for r in cohort_retention(df, period="1 week").collect()
+    }
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)] == (2, 1.0)
+    assert out[(c0, 1)] == (1, 0.5)
+    assert out[(c0, 2)] == (1, 0.5)
+    assert out[(c0 + 1, 0)] == (1, 1.0)
+    assert out[(c0 + 1, 1)] == (1, 1.0)
+    assert len(out) == 5
+
+
+def test_transition_matrix_terminals_and_ties(spark):
+    from datetime import datetime, timedelta
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, 10, t(0), "view"), (1, 11, t(1), "click"), (1, 12, t(2), "buy"),
+        (2, 20, t(0), "view"), (2, 21, t(1), "click"),
+        # user 3: tie at the same ts — event_id breaks it (view -> click)
+        (3, 30, t(5), "view"), (3, 31, t(5), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in transition_matrix(
+            df, order_tiebreak=["event_id"]
+        ).collect()
+    }
+    assert out[("view", "click")] == (3, 1.0)
+    assert out[("click", "buy")][0] == 1
+    assert out[("click", None)][0] == 2  # two terminal clicks
+    assert out[("buy", None)] == (1, 1.0)
+    assert out[("click", "buy")][1] == round(1 / 3, 6)  # p is round(,6)
