@@ -1985,6 +1985,72 @@ def _stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@_register(
+    "weighted_sample",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+          / 4503599627370496.0 < CAST(n_chars AS DOUBLE) * 0.0004
+    """,
+)
+def _weighted_sample(spark, sf_dir):
+    """Importance sampling (operators/sampling.py weighted_sample): each
+    doc kept with probability min(1, 0.0004 * n_chars) — longer docs
+    proportionally more often, the quality-resampling shape. Membership is
+    a 52-bit md5 uniform vs one double multiply, BIT-identical across
+    engines (no rounding involved), pinned row-for-row by
+    tests/test_operators.py::test_weighted_sample_bit_identical_to_duckdb."""
+    from mortar_parquet_support_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", rate=0.0004).select(
+        "doc_id", "n_chars"
+    )
+
+
+@_register(
+    "cluster_assign",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 4
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+               + list_dot_product(c.cv, c.cv), 6
+             ) AS d
+      FROM embeddings e CROSS JOIN c
+      WHERE e.embedding IS NOT NULL
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id, d AS dist FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d, cid
+      ) AS rk FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def _cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment (operators/embeddings.py kmeans_assign):
+    the centroid model inlines into the plan as a literal array and every
+    vector folds over it — ZERO-shuffle map-only scan, the shape that
+    assigns 100 TB of vectors in one pass. Centroids here are the four
+    lowest-id fixture vectors so the oracle can derive the identical model;
+    round_to=6 pins the argmin across the engines' float folds (ties break
+    to the smaller cluster_id on both sides)."""
+    from mortar_parquet_support_spark.operators.embeddings import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    return kmeans_assign(emb, cents, round_to=6).select(
+        "vec_id", "cluster_id", "dist"
+    )
+
+
 # ===========================================================================
 # Non-SQL-expressible engine entries (rows-only checks)
 # ===========================================================================
@@ -4499,10 +4565,17 @@ _WINDOW_PROMOTED = [
     # and sensor QC flags — same displacement policy.
     "counter_rate",
     "qc_flags",
-    # The seven late-r8 promotions above displace text_langid,
-    # text_quality, stats_per_stream, having_filter, percentiles,
-    # resample_gapfill, and dedup_clusters past the window (all green in
-    # CORRECTNESS_r07; all stay harness-verified every round).
+    # Importance sampling (bit-exact 52-bit md5 membership) and the
+    # public spherical-k-means assignment (zero-shuffle literal-centroid
+    # fold) — two more new families the driver should witness; same
+    # displacement policy.
+    "weighted_sample",
+    "cluster_assign",
+    # The late-r8 promotions above displace text_langid, text_quality,
+    # stats_per_stream, having_filter, percentiles, resample_gapfill,
+    # dedup_clusters, embedding_dedup, and text_metrics past the window
+    # (all green in CORRECTNESS_r07; all stay harness-verified every
+    # round).
 ]
 
 

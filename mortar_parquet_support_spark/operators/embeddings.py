@@ -322,3 +322,131 @@ def l2_normalize(vec, *, eps: float = 0.0):
     v = F.col(vec) if isinstance(vec, str) else vec
     n = vector_norm(v)
     return F.transform(v, lambda x: F.try_divide(x, n + F.lit(eps)))
+
+
+#: bound on inlining a centroid table into the plan as a literal array —
+#: k * dim double literals serialize into every task closure, so the cap is
+#: deliberately tighter than IvfIndex.MAX_DRIVER_CELLS (collected rows).
+_MAX_PLAN_CELLS = 1 << 16
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Public k-means fit: (cluster_id, centroid) rows — the same
+    deterministic seeded-Lloyd machinery the IVF index trains with
+    (similarity.ivf_centroids: xxhash-seeded start, one Arrow-batched
+    corpus scan per iteration, driver- or distributed-reduce chosen by
+    size), exposed as a standalone model for topic bucketing, mixture
+    analysis, and cluster-balanced sampling.
+
+    This is SPHERICAL k-means: Lloyd assignment is by cosine (direction),
+    the convention for text/embedding clustering — clusters separate by
+    angle, not magnitude. L2-normalize inputs first (:func:`l2_normalize`)
+    if magnitudes vary meaninglessly; use :func:`kmeans_assign` with
+    ``metric='l2'`` when euclidean semantics are required downstream."""
+    from mortar_parquet_support_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(
+        df, id_col=id_col, vec_col=vec_col, n_list=k, iters=iters, seed=seed
+    )
+    return cents.select(F.col("list_id").alias("cluster_id"), "centroid")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    cluster_col: str = "cluster_id",
+    dist_col: str = "dist",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment as a ZERO-SHUFFLE projection: the
+    centroid table (a model, small-by-contract like PcaModel /
+    IvfIndex.cent_rows) inlines into the plan as a literal array, and each
+    row folds over it with ``F.aggregate`` keeping the running best
+    (distance, cluster) — no crossJoin row blow-up, no groupBy argmin
+    shuffle, whole-stage-codegen throughout. Assigning 100 TB of vectors
+    is then exactly one map-side scan.
+
+    ``centroids`` is a (cluster_id, centroid) DataFrame (from
+    :func:`kmeans_centroids`) or an iterable of ``(cluster_id, vector)``
+    rows. ``metric`` is ``l2`` (squared euclidean, argmin) or ``cosine``
+    (similarity, argmax). Ties break to the SMALLEST cluster_id;
+    ``round_to`` rounds each candidate distance before comparison, which
+    pins the argmin across engines whose float folds differ in the last
+    ulps (the oracle-parity knob — leave None for pure in-engine use).
+    Rows with NULL vectors keep NULL cluster/distance."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    if isinstance(centroids, DataFrame):
+        rows = [(r[0], list(r[1])) for r in centroids.collect()]
+    else:
+        rows = [(int(c), list(v)) for c, v in centroids]
+    if not rows:
+        raise ValueError("empty centroid table")
+    cells = sum(len(v) for _, v in rows)
+    if cells > _MAX_PLAN_CELLS:
+        raise ValueError(
+            f"centroid table has {cells} cells > {_MAX_PLAN_CELLS}; a model "
+            "this size should assign via a broadcast join (IvfIndex.build) "
+            "rather than a plan literal"
+        )
+    rows.sort(key=lambda r: r[0])  # array order IS the tie-break order
+    for _, v in rows:
+        if any(x is None for x in v):
+            raise ValueError("centroid vectors must not contain NULLs")
+
+    from mortar_parquet_support_spark.functions import cosine_similarity
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("c"),
+                F.lit([float(x) for x in v]).cast("array<double>").alias("cv"),
+            )
+            for c, v in rows
+        ]
+    )
+    v = F.col(vec_col).cast("array<double>")
+
+    def _score(cv):
+        if metric == "l2":
+            return F.aggregate(
+                F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        return cosine_similarity(v, cv)
+
+    def _better(new, best):
+        # l2: strictly smaller wins; cosine: strictly larger wins — either
+        # way a tie keeps the incumbent, i.e. the lowest cluster_id.
+        return new < best if metric == "l2" else new > best
+
+    def _merge(acc, s):
+        d = _score(s["cv"])
+        if round_to is not None:
+            d = F.round(d, round_to)
+        take = acc["c"].isNull() | _better(d, acc["d"])
+        return F.when(
+            take, F.struct(s["c"].alias("c"), d.alias("d"))
+        ).otherwise(acc)
+
+    zero = F.struct(
+        F.lit(None).cast("int").alias("c"), F.lit(None).cast("double").alias("d")
+    )
+    best = F.aggregate(cent_arr, zero, _merge)
+    return df.withColumn("__best", F.when(v.isNotNull(), best)).select(
+        "*",
+        F.col("__best.c").alias(cluster_col),
+        F.col("__best.d").alias(dist_col),
+    ).drop("__best")

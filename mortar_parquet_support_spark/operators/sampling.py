@@ -84,6 +84,52 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(id_col), salt=salt) < int(round(fraction * _BUCKETS)))
 
 
+def hash_unit(col: Column, *, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from the first 52 bits of md5 —
+    the fine-grained sibling of :func:`hash_bucket` for per-row
+    PROBABILITIES rather than bucket ranges. 13 hex chars = 52 bits fit
+    a double exactly, so the value is bit-identical in any engine:
+    DuckDB mirrors it as
+    ``('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 13))::BIGINT
+    / 4503599627370496.0``. NULL ids share one sentinel value (see
+    :func:`hash_bucket` for why hashing NULL itself is a footgun)."""
+    sid = F.coalesce(col.cast("string"), F.lit("\x00<NULL>"))
+    hex13 = F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 13)
+    return F.conv(hex13, 16, 10).cast("double") / F.lit(float(1 << 52))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling: keep each row independently with probability
+    ``min(1, rate * weight)`` — the SoftDeDup / quality-resampling shape
+    (upweight rare-but-good rows by keeping them at higher probability,
+    thin abundant boilerplate) without materializing a global total.
+
+    Membership is ``hash_unit(id) < rate * weight``: a pure function of
+    (id, salt, weight), so re-runs, re-partitionings, and other engines
+    reproduce the exact sample — both sides of the comparison are
+    bit-identical IEEE doubles (the 52-bit hash is exact, the product is
+    one double multiply), so there is no boundary jitter to round away.
+    Rows with NULL weight never pass (NULL comparison). Zero shuffle:
+    one projection + filter, same as :func:`deterministic_sample`.
+
+    Expected sample size is ``sum(min(1, rate * w))`` — pick ``rate``
+    from a weight-sum estimate when a target count matters; exact-k
+    selection needs a global top-k by key instead (one sort, see
+    Efraimidis-Spirakis), which this intentionally avoids at 100 TB.
+    """
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    u = hash_unit(F.col(id_col), salt=salt)
+    return df.filter(u < F.col(weight_col).cast("double") * F.lit(float(rate)))
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

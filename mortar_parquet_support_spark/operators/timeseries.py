@@ -725,11 +725,15 @@ def cohort_retention(
     retention_rate) with offset 0 rows equal to cohort size by
     construction (rate 1.0).
 
-    Shape: one min-aggregate per user (shuffle on user), the activity
-    stream joins its user's cohort back on the SAME key (exchange
-    reuse — no extra shuffle of the events), then one (cohort, offset)
-    count-distinct; cohort sizes broadcast back into the rate. NULL
-    users are excluded (no identity, no cohort)."""
+    Shape: one min-aggregate per user (the only shuffle of the events
+    until the final rollup); the per-user cohort map then BROADCASTS
+    back onto the activity stream (user cardinality << event count; AQE
+    falls back to a co-partitioned sort-merge join above the broadcast
+    threshold), its shuffle is REUSED by the cohort-sizes aggregate
+    (plan-verified: one ReusedExchange), and the (cohort, offset)
+    count-distinct pays the standard two-exchange dedup. Cohort sizes
+    broadcast into the rate. NULL users are excluded (no identity, no
+    cohort)."""
     step = F.lit(interval_seconds(period))
     bucket = F.floor(_epoch(F.col(ts)) / step)
     events = df.filter(F.col(user).isNotNull()).select(

@@ -119,3 +119,103 @@ def test_l2_normalize(spark):
     assert math.isclose(sum(v * v for v in out[1]), 1.0)
     assert out[2] == [None, None]  # zero norm: per-element try_divide nulls
     assert out[3] is None
+
+
+# ---------------------------------------------------------------------------
+# k-means: public fit wrapper + zero-shuffle literal-centroid assignment
+# ---------------------------------------------------------------------------
+
+def test_kmeans_assign_hand_computed(spark):
+    from mortar_parquet_support_spark.operators.embeddings import kmeans_assign
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 0.0]),     # near c0
+            (2, [9.5, 10.0]),    # near c1
+            (3, [5.0, 5.0]),     # EXACTLY equidistant -> tie -> c0
+            (4, None),           # null vector -> null assignment
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    out = {r.vec_id: r for r in kmeans_assign(df, cents).collect()}
+    assert out[1].cluster_id == 0 and math.isclose(out[1].dist, 0.25)
+    assert out[2].cluster_id == 1 and math.isclose(out[2].dist, 0.25)
+    assert out[3].cluster_id == 0  # tie keeps the smallest cluster_id
+    assert out[4].cluster_id is None and out[4].dist is None
+
+
+def test_kmeans_assign_cosine_and_validation(spark):
+    from mortar_parquet_support_spark.operators.embeddings import (
+        _MAX_PLAN_CELLS,
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {
+        r.vec_id: r
+        for r in kmeans_assign(df, cents, metric="cosine").collect()
+    }
+    assert out[1].cluster_id == 0 and out[2].cluster_id == 1
+    assert out[1].dist > 0.99  # cosine emits SIMILARITY, argmax
+    with pytest.raises(ValueError, match="metric"):
+        kmeans_assign(df, cents, metric="manhattan")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_assign(df, [])
+    with pytest.raises(ValueError, match="NULL"):
+        kmeans_assign(df, [(0, [1.0, None])])
+    big_dim = _MAX_PLAN_CELLS + 1
+    with pytest.raises(ValueError, match="broadcast join"):
+        kmeans_assign(df, [(0, [0.0] * big_dim)])
+
+
+def test_kmeans_assign_is_zero_shuffle(spark):
+    from mortar_parquet_support_spark.operators.embeddings import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_assign(df, [(0, [0.0, 0.0]), (1, [10.0, -10.0])])
+    out.collect()
+    plan = plan_str(out).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan
+
+
+def test_kmeans_centroids_recovers_planted_blobs(spark):
+    from mortar_parquet_support_spark.operators.embeddings import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    # spherical k-means clusters by DIRECTION: two angular blobs around
+    # orthogonal axes (magnitude-separated blobs would not split)
+    rng = np.random.default_rng(7)
+    a = np.array([1.0, 0.0, 0.0]) + rng.normal(scale=0.05, size=(40, 3))
+    b = np.array([0.0, 1.0, 0.0]) + rng.normal(scale=0.05, size=(40, 3))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(a)] + [
+        (100 + i, [float(x) for x in v]) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, k=2, iters=3, seed=1)
+    rows_c = sorted((r.cluster_id, list(r.centroid)) for r in cents.collect())
+    assert len(rows_c) == 2
+    # each centroid sits near one of the axes
+    lead = sorted(int(np.argmax(v)) for _, v in rows_c)
+    assert lead == [0, 1]
+    for _, v in rows_c:
+        assert abs(max(v) - 1.0) < 0.2
+    # cosine assignment against the fit splits the blobs exactly
+    assigned = kmeans_assign(
+        df, [(c, v) for c, v in rows_c], metric="cosine"
+    ).collect()
+    groups = {}
+    for r in assigned:
+        groups.setdefault(r.cluster_id, set()).add(r.vec_id)
+    blobs = sorted(groups.values(), key=min)
+    assert blobs[0] == set(range(40))
+    assert blobs[1] == {100 + i for i in range(40)}

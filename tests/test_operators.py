@@ -2550,6 +2550,71 @@ def test_sampling_null_ids_not_silently_dropped(spark):
     assert [r.split for r in labels.collect()] == ["train"] * 3
 
 
+def test_weighted_sample_membership_and_determinism(spark):
+    from mortar_parquet_support_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in zip(range(200), [0, 1, 2, 5, 10] * 40)],
+        "id long, w double",
+    )
+    # rate * w >= 1 keeps the row unconditionally (u < 1 always)
+    assert weighted_sample(df, "id", "w", rate=1.0).count() == 160  # w > 0
+    assert weighted_sample(df, "id", "w", rate=0.0).count() == 0
+    kept = {r.id for r in weighted_sample(df, "id", "w", rate=0.05).collect()}
+    # heavier rows are kept proportionally more often
+    by_w = {}
+    for r in df.collect():
+        by_w.setdefault(r.w, []).append(r.id in kept)
+    frac = {w: sum(v) / len(v) for w, v in by_w.items()}
+    assert frac[0.0] == 0.0
+    assert frac[10.0] > frac[1.0]
+    # stable under repartitioning
+    kept2 = {
+        r.id
+        for r in weighted_sample(
+            df.repartition(7), "id", "w", rate=0.05
+        ).collect()
+    }
+    assert kept == kept2
+    # NULL weight rows never pass
+    dfn = spark.createDataFrame([(1, None), (2, 5.0)], "id long, w double")
+    assert [r.id for r in weighted_sample(dfn, "id", "w", rate=1.0).collect()] == [2]
+    with pytest.raises(ValueError, match="rate"):
+        weighted_sample(df, "id", "w", rate=-0.1)
+
+
+def test_weighted_sample_bit_identical_to_duckdb(spark):
+    """The membership predicate is claimed ENGINE-EXACT (52-bit md5
+    uniform, one double multiply) — verify the kept id set matches DuckDB
+    evaluating the documented mirror SQL, row for row, at a rate that
+    puts many rows near the threshold."""
+    import duckdb
+
+    from mortar_parquet_support_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float((i * 7) % 13) / 13.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    rate = 0.73
+    kept = sorted(
+        r.id for r in weighted_sample(df, "id", "w", rate=rate).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT id FROM t
+            WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 13))::BIGINT
+                  / 4503599627370496.0 < w * {rate!r}
+            ORDER BY id
+            """
+        ).fetchall()
+    ]
+    assert kept == oracle and 0 < len(kept) < 500
+
+
 def test_chunk_text_rejects_negative_overlap(spark):
     from mortar_parquet_support_spark.operators.curation import chunk_text
 

@@ -258,3 +258,57 @@ def test_keyword_search_missing_terms_error_any_mode(docs):
         ).collect()
     }
     assert hits == {1, 5}
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_computed(spark):
+    from mortar_parquet_support_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2], k=60).collect()}
+    assert math.isclose(out[20].rrf_score, 1 / 62 + 1 / 61)
+    assert math.isclose(out[10].rrf_score, 1 / 61)
+    assert math.isclose(out[40].rrf_score, 1 / 62)
+    assert out[20].n_sources == 2 and out[10].n_sources == 1
+    # doc 20 (present in both) outranks every single-source doc
+    best = max(out.values(), key=lambda r: r.rrf_score)
+    assert best.doc_id == 20
+
+
+def test_rrf_fuse_weights_and_validation(spark):
+    from mortar_parquet_support_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    r2 = spark.createDataFrame([(2, 1)], "doc_id long, rank int")
+    out = {
+        r.doc_id: r.rrf_score
+        for r in rrf_fuse([r1, r2], k=10, weights=[2.0, 1.0]).collect()
+    }
+    assert math.isclose(out[1], 2.0 / 11) and math.isclose(out[2], 1.0 / 11)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([r1, r2], weights=[1.0])
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([r1], k=0)
+
+
+def test_rrf_fuse_single_shuffle(spark):
+    from mortar_parquet_support_spark.operators.search import rrf_fuse
+    from tests.conftest import plan_str
+
+    r1 = spark.createDataFrame([(i, i + 1) for i in range(5)], "doc_id long, rank int")
+    r2 = spark.createDataFrame([(i * 2, i + 1) for i in range(5)], "doc_id long, rank int")
+    out = rrf_fuse([r1, r2])
+    out.collect()
+    plan = plan_str(out).split("== Initial Plan ==")[0]
+    # one hash aggregate exchange over the union — nothing else
+    assert plan.count("Exchange") <= 2  # shuffle + possible AQE read marker
