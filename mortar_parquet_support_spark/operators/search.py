@@ -269,3 +269,59 @@ def keyword_search(
     if mode == "all":
         hits = hits.filter(F.col("n_matched") == len(terms))
     return hits
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    weights: "list[float] | None" = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009): combine N ranked
+    lists — classically a lexical BM25 leg and a dense-cosine leg — into
+    one hybrid ranking by ``score(d) = sum_i w_i / (k + rank_i(d))``,
+    summing only over the lists where ``d`` appears. Rank-based fusion
+    needs no score calibration between legs, which is exactly why it is
+    the default hybrid-retrieval combiner.
+
+    Each input frame carries (``id_col``, ``rank_col``) with 1-based
+    ranks (ties already broken upstream — bm25_topk / knn_* emit
+    deterministic ranks). Returns (id, rrf_score, n_sources), unordered;
+    callers top-k with orderBy(desc(score), id).limit(n), which plans as
+    TakeOrdered.
+
+    Scale shape: the legs are top-k lists (k rows each), so this is
+    arithmetic on N*k rows — one union + one grouped sum, a single
+    shuffle of at most N*k rows regardless of corpus size. Engine
+    parity: each addend is one double divide of exact inputs; for the
+    two-leg case the grouped sum is a single commutative add, so fused
+    scores are bit-identical across engines before any rounding.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError(
+            f"weights length {len(weights)} != rankings length {len(rankings)}"
+        )
+    legs = []
+    for i, r in enumerate(rankings):
+        w = 1.0 if weights is None else float(weights[i])
+        legs.append(
+            r.select(
+                F.col(id_col),
+                (F.lit(w) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                    "__contrib"
+                ),
+            )
+        )
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    return allc.groupBy(id_col).agg(
+        F.sum("__contrib").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
