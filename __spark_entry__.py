@@ -2144,7 +2144,7 @@ def _cluster_assign(spark, sf_dir):
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.filter(F.col("vec_id") < 4).collect()
     ]
-    return kmeans_assign(emb, cents, round_to=6).select(
+    return kmeans_assign(emb, cents, metric="l2", round_to=6).select(
         "vec_id", "cluster_id", "dist"
     )
 

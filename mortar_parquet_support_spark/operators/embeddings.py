@@ -364,7 +364,7 @@ def kmeans_assign(
     centroids,
     *,
     vec_col: str = "embedding",
-    metric: str = "l2",
+    metric: str = "cosine",
     cluster_col: str = "cluster_id",
     dist_col: str = "dist",
     round_to: int | None = None,
@@ -379,18 +379,27 @@ def kmeans_assign(
 
     ``centroids`` is a (cluster_id, centroid) DataFrame (from
     :func:`kmeans_centroids`) or an iterable of ``(cluster_id, vector)``
-    rows. ``metric`` is ``l2`` (squared euclidean, argmin) or ``cosine``
-    (similarity, argmax). Ties break to the SMALLEST cluster_id;
-    ``round_to`` rounds each candidate distance before comparison, which
-    pins the argmin across engines whose float folds differ in the last
-    ulps (the oracle-parity knob — leave None for pure in-engine use).
-    Rows with NULL vectors keep NULL cluster/distance."""
+    rows. ``metric`` defaults to ``cosine`` (similarity, argmax) — the
+    SAME metric :func:`kmeans_centroids` trains with, so the natural
+    composition assigns with the geometry that formed the clusters;
+    pass ``l2`` (squared euclidean, argmin) only when downstream
+    semantics require it, knowing it can re-bucket magnitude outliers.
+    Ties break to the SMALLEST cluster_id; ``round_to`` rounds each
+    candidate distance before comparison, which pins the argmin across
+    engines whose float folds differ in the last ulps (the oracle-parity
+    knob — leave None for pure in-engine use). Degenerate rows — NULL
+    vectors, NULL elements, dimension mismatches, zero norms under
+    cosine — keep NULL cluster/distance rather than piling into the
+    first cluster."""
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     if isinstance(centroids, DataFrame):
-        rows = [(r[0], list(r[1])) for r in centroids.collect()]
+        pairs = [(r[0], r[1]) for r in centroids.collect()]
     else:
-        rows = [(int(c), list(v)) for c, v in centroids]
+        pairs = list(centroids)
+    if any(v is None for _, v in pairs):
+        raise ValueError("centroid vectors must not be NULL")
+    rows = [(int(c), list(v)) for c, v in pairs]
     if not rows:
         raise ValueError("empty centroid table")
     cells = sum(len(v) for _, v in rows)
@@ -436,7 +445,12 @@ def kmeans_assign(
         d = _score(s["cv"])
         if round_to is not None:
             d = F.round(d, round_to)
-        take = acc["c"].isNull() | _better(d, acc["d"])
+        # d.isNotNull() guard: degenerate rows — zero-norm vectors in
+        # cosine mode (try_divide -> NULL), NULL elements, dimension
+        # mismatches (zip_with pads with NULL) — must NOT be captured by
+        # the first centroid; they fall through to a NULL assignment,
+        # matching cosine_topk's directionless-row contract.
+        take = d.isNotNull() & (acc["c"].isNull() | _better(d, acc["d"]))
         return F.when(
             take, F.struct(s["c"].alias("c"), d.alias("d"))
         ).otherwise(acc)

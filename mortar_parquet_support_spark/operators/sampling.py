@@ -116,8 +116,12 @@ def weighted_sample(
     reproduce the exact sample — both sides of the comparison are
     bit-identical IEEE doubles (the 52-bit hash is exact, the product is
     one double multiply), so there is no boundary jitter to round away.
-    Rows with NULL weight never pass (NULL comparison). Zero shuffle:
-    one projection + filter, same as :func:`deterministic_sample`.
+    Rows with NULL or NaN weight never pass — Spark's NaN-greatest
+    ordering would otherwise make ``u < NaN`` TRUE and admit corrupt
+    rows (0/0 upstream ratios) with probability 1 at ANY rate; mirror
+    ``AND NOT isnan(weight * rate)`` in an oracle if the weight column
+    can carry NaN. Zero shuffle: one projection + filter, same as
+    :func:`deterministic_sample`.
 
     Expected sample size is ``sum(min(1, rate * w))`` — pick ``rate``
     from a weight-sum estimate when a target count matters; exact-k
@@ -127,7 +131,8 @@ def weighted_sample(
     if rate < 0:
         raise ValueError(f"rate must be >= 0, got {rate}")
     u = hash_unit(F.col(id_col), salt=salt)
-    return df.filter(u < F.col(weight_col).cast("double") * F.lit(float(rate)))
+    p = F.col(weight_col).cast("double") * F.lit(float(rate))
+    return df.filter((u < p) & ~F.isnan(p))
 
 
 def stratified_sample(

@@ -311,7 +311,11 @@ def rrf_fuse(
     for i, r in enumerate(rankings):
         w = 1.0 if weights is None else float(weights[i])
         legs.append(
-            r.select(
+            # NULL ranks mean "absent from this leg" (e.g. a left join
+            # against a missing leg) — dropping them keeps n_sources an
+            # honest count of REAL contributions instead of inflating it
+            # while F.sum silently skips the NULL addend.
+            r.filter(F.col(rank_col).isNotNull()).select(
                 F.col(id_col),
                 (F.lit(w) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
                     "__contrib"

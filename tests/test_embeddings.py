@@ -138,7 +138,7 @@ def test_kmeans_assign_hand_computed(spark):
         "vec_id long, embedding array<double>",
     )
     cents = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
-    out = {r.vec_id: r for r in kmeans_assign(df, cents).collect()}
+    out = {r.vec_id: r for r in kmeans_assign(df, cents, metric="l2").collect()}
     assert out[1].cluster_id == 0 and math.isclose(out[1].dist, 0.25)
     assert out[2].cluster_id == 1 and math.isclose(out[2].dist, 0.25)
     assert out[3].cluster_id == 0  # tie keeps the smallest cluster_id
@@ -168,9 +168,37 @@ def test_kmeans_assign_cosine_and_validation(spark):
         kmeans_assign(df, [])
     with pytest.raises(ValueError, match="NULL"):
         kmeans_assign(df, [(0, [1.0, None])])
+    with pytest.raises(ValueError, match="NULL"):
+        kmeans_assign(df, [(0, None)])  # whole-vector NULL: clean error
     big_dim = _MAX_PLAN_CELLS + 1
     with pytest.raises(ValueError, match="broadcast join"):
         kmeans_assign(df, [(0, [0.0] * big_dim)])
+
+
+def test_kmeans_assign_degenerate_rows_stay_null(spark):
+    """Review finding: zero-norm (cosine), NULL-element, and
+    dimension-mismatched vectors must NOT be captured by the first
+    centroid with a NULL distance — they keep NULL cluster/dist."""
+    from mortar_parquet_support_spark.operators.embeddings import kmeans_assign
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),        # zero norm: cosine undefined
+            (2, [1.0, None]),       # NULL element
+            (3, [1.0, 0.0, 0.0]),   # dim mismatch vs 2-d centroids
+            (4, [1.0, 0.1]),        # healthy control
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r.vec_id: r for r in kmeans_assign(df, cents, metric="cosine").collect()}
+    for bad in (1, 2, 3):
+        assert out[bad].cluster_id is None and out[bad].dist is None
+    assert out[4].cluster_id == 0
+    # l2 mode: NULL element / dim mismatch also stay NULL
+    out2 = {r.vec_id: r for r in kmeans_assign(df, cents, metric="l2").collect()}
+    assert out2[2].cluster_id is None and out2[3].cluster_id is None
+    assert out2[1].cluster_id == 0  # zero vector has a perfectly good L2 argmin
 
 
 def test_kmeans_assign_is_zero_shuffle(spark):

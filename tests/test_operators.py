@@ -2576,9 +2576,14 @@ def test_weighted_sample_membership_and_determinism(spark):
         ).collect()
     }
     assert kept == kept2
-    # NULL weight rows never pass
-    dfn = spark.createDataFrame([(1, None), (2, 5.0)], "id long, w double")
+    # NULL and NaN weight rows never pass (review finding: Spark's
+    # NaN-greatest ordering made u < NaN TRUE, admitting corrupt rows
+    # with probability 1 at any rate)
+    dfn = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, float("nan"))], "id long, w double"
+    )
     assert [r.id for r in weighted_sample(dfn, "id", "w", rate=1.0).collect()] == [2]
+    assert weighted_sample(dfn, "id", "w", rate=0.0).count() == 0
     with pytest.raises(ValueError, match="rate"):
         weighted_sample(df, "id", "w", rate=-0.1)
 

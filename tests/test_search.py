@@ -293,6 +293,12 @@ def test_rrf_fuse_weights_and_validation(spark):
         for r in rrf_fuse([r1, r2], k=10, weights=[2.0, 1.0]).collect()
     }
     assert math.isclose(out[1], 2.0 / 11) and math.isclose(out[2], 1.0 / 11)
+    # NULL ranks mean "absent from this leg": no contribution, and NOT
+    # counted in n_sources (review finding)
+    rn = spark.createDataFrame([(1, None), (2, 1)], "doc_id long, rank int")
+    out_n = {r.doc_id: r for r in rrf_fuse([r1, rn], k=10).collect()}
+    assert out_n[1].n_sources == 1 and math.isclose(out_n[1].rrf_score, 1 / 11)
+    assert out_n[2].n_sources == 1
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
     with pytest.raises(ValueError, match="weights"):
