@@ -2084,6 +2084,61 @@ def _stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "rank_normalize",
+    """
+    SELECT doc_id, lang,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY lang ORDER BY n_chars ASC NULLS FIRST
+           ), 6) AS score_pct
+    FROM documents
+    """,
+)
+def _rank_normalize(spark, sf_dir):
+    """Percentile-rank quality calibration per domain
+    (operators/curation.py rank_normalize): (rank-1)/(n-1) within each
+    lang, ordered by the raw score — 'top 5% of its domain' transfers
+    across heterogeneous scorers where raw thresholds don't. Ties share
+    a percentile (RANK semantics), NULL scores sort first. One window
+    shuffle; the division is exact small-integer arithmetic, identical
+    across engines."""
+    from mortar_parquet_support_spark.operators.curation import rank_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    return rank_normalize(docs, "n_chars", by="lang", round_to=6).select(
+        "doc_id", "lang", "score_pct"
+    )
+
+
+@_register(
+    "budget_select",
+    """
+    SELECT doc_id, lang, n_chars, cum_cost FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY n_chars DESC NULLS LAST, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_cost
+      FROM documents
+    ) WHERE cum_cost <= 20000
+    """,
+)
+def _budget_select(spark, sf_dir):
+    """Token-budget best-first selection (operators/curation.py
+    budget_select): per lang, keep rows in descending-score order while
+    the running char cost stays within 20k — the 'best N tokens per
+    domain' data-recipe step as one window pass, no driver loop. Here
+    score == cost (keep the longest docs until the budget), ties broken
+    by doc_id; the first over-budget row and everything after it drop."""
+    from mortar_parquet_support_spark.operators.curation import budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return budget_select(
+        docs, score_col="n_chars", cost_col="n_chars", budget=20000, by="lang"
+    ).select("doc_id", "lang", "n_chars", "cum_cost")
+
+
+@_register(
     "weighted_sample",
     """
     SELECT doc_id, n_chars FROM documents

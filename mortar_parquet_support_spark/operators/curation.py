@@ -331,3 +331,71 @@ def strip_boilerplate_lines(
         .join(rebuilt, id_col, "left")
         .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    score_col: str,
+    *,
+    by: str | None = None,
+    out_col: str = "score_pct",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Percentile-rank calibration of a quality score, optionally per
+    group: ``percent_rank() = (rank - 1) / (n - 1)`` within each ``by``
+    partition, ordered by the raw score. The standard fix for
+    heterogeneous quality scorers — a 0.8 from one domain's classifier
+    and a 0.8 from another's rarely mean the same thing, but "top 5% of
+    its domain" does, so thresholds transfer across domains.
+
+    Ties share a percent_rank (SQL-standard RANK semantics) — no
+    arbitrary ordering leaks into the output, and a single-row group
+    (or an all-tied one) gets 0.0. NULL scores sort FIRST (lowest
+    percentile), keeping "no score" below every scored row. One shuffle
+    (the per-group window); ``round_to`` rounds the emitted percentile
+    (the value is (rank-1)/(n-1), an exact small-integer division —
+    identical across engines even unrounded)."""
+    w = Window.partitionBy(*( [by] if by else [] )).orderBy(
+        F.col(score_col).asc_nulls_first()
+    )
+    pct = F.percent_rank().over(w)
+    if round_to is not None:
+        pct = F.round(pct, round_to)
+    return df.withColumn(out_col, pct)
+
+
+def budget_select(
+    df: DataFrame,
+    *,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    cum_col: str = "cum_cost",
+) -> DataFrame:
+    """Budgeted best-first selection: within each ``by`` group, take rows
+    in descending ``score_col`` order (ties broken by ``id_col``) while
+    the RUNNING ``cost_col`` total stays within ``budget`` — the
+    token-budget curation step ("the best N-billion tokens per domain",
+    Llama/phi-style data recipes) as one declarative pass, no driver
+    loop over domains.
+
+    A row is kept iff its inclusive running cost <= budget (the first
+    over-budget row and everything after it drop; a single row larger
+    than the whole budget is dropped too — budgets are hard). NULL
+    scores sort LAST, so unscored rows only enter on leftover budget.
+    Rows with NULL cost are excluded before ranking: the window sum
+    would otherwise skip them, admitting unpriceable rows for free.
+    One shuffle (the per-group window); emits the input columns plus
+    ``cum_col`` for auditability."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    priced = df.filter(F.col(cost_col).isNotNull())
+    w = (
+        Window.partitionBy(*( [by] if by else [] ))
+        .orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(cost_col)).over(w)
+    return priced.withColumn(cum_col, cum).filter(F.col(cum_col) <= budget)

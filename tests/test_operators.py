@@ -3677,3 +3677,72 @@ def test_transition_matrix_terminals_and_ties(spark):
     assert out[("click", None)][0] == 2  # two terminal clicks
     assert out[("buy", None)] == (1, 1.0)
     assert out[("click", "buy")][1] == round(1 / 3, 6)  # p is round(,6)
+
+
+def test_rank_normalize_groups_ties_and_nulls(spark):
+    from mortar_parquet_support_spark.operators.curation import rank_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 20.0),
+            ("a", 3, 20.0),   # tie with row 2 -> same percentile
+            ("a", 4, 30.0),
+            ("a", 5, None),   # NULL score -> lowest percentile
+            ("b", 6, 99.0),   # single-row group -> 0.0
+        ],
+        "lang string, doc_id long, score double",
+    )
+    out = {
+        r.doc_id: r.score_pct
+        for r in rank_normalize(df, "score", by="lang").collect()
+    }
+    assert out[5] == 0.0                      # NULL first
+    # (rank-1)/(n-1) divisions of small ints are exact doubles
+    assert out[1] == 0.25
+    assert out[2] == 0.5 and out[2] == out[3]
+    assert out[4] == 1.0
+    assert out[6] == 0.0
+
+
+def test_budget_select_prefix_and_null_handling(spark):
+    from mortar_parquet_support_spark.operators.curation import budget_select
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0, 40),
+            ("a", 2, 4.0, 50),
+            ("a", 3, 3.0, 30),   # cum 40+50+30=120 > 100 -> dropped
+            ("a", 4, 2.0, 5),    # AFTER the over-budget row -> also dropped
+            ("a", 5, None, 1),   # NULL score sorts last -> dropped here
+            ("a", 6, 9.0, None), # NULL cost -> excluded up front
+            ("b", 7, 1.0, 100),  # exactly the budget -> kept
+            ("b", 8, 0.5, 1),
+        ],
+        "lang string, doc_id long, score double, cost long",
+    )
+    out = budget_select(
+        df, score_col="score", cost_col="cost", budget=100, by="lang"
+    )
+    kept = {r.doc_id: r.cum_cost for r in out.collect()}
+    assert kept == {1: 40, 2: 90, 7: 100}
+    with pytest.raises(ValueError, match="budget"):
+        budget_select(df, score_col="score", cost_col="cost", budget=0)
+
+
+def test_budget_select_oversized_single_row_dropped(spark):
+    from mortar_parquet_support_spark.operators.curation import budget_select
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, 500), ("a", 2, 0.5, 10)],
+        "lang string, doc_id long, score double, cost long",
+    )
+    kept = [
+        r.doc_id
+        for r in budget_select(
+            df, score_col="score", cost_col="cost", budget=100, by="lang"
+        ).collect()
+    ]
+    # the best row alone exceeds the budget: hard budgets drop it AND the
+    # prefix chain after it (500, then 510)
+    assert kept == []
