@@ -352,7 +352,10 @@ def rank_normalize(
     arbitrary ordering leaks into the output, and a single-row group
     (or an all-tied one) gets 0.0. NULL scores sort FIRST (lowest
     percentile), keeping "no score" below every scored row. One shuffle
-    (the per-group window); ``round_to`` rounds the emitted percentile
+    (the per-group window). With ``by=None`` the window is GLOBAL —
+    a single-partition sort, fine for a collected candidate set but not
+    a corpus-scale pass; calibrate per domain at scale. ``round_to``
+    rounds the emitted percentile
     (the value is (rank-1)/(n-1), an exact small-integer division —
     identical across engines even unrounded)."""
     w = Window.partitionBy(*( [by] if by else [] )).orderBy(
@@ -387,8 +390,10 @@ def budget_select(
     scores sort LAST, so unscored rows only enter on leftover budget.
     Rows with NULL cost are excluded before ranking: the window sum
     would otherwise skip them, admitting unpriceable rows for free.
-    One shuffle (the per-group window); emits the input columns plus
-    ``cum_col`` for auditability."""
+    One shuffle (the per-group window; ``by=None`` degrades to a
+    single-partition global sort — per-domain budgets are the
+    corpus-scale shape); emits the input columns plus ``cum_col`` for
+    auditability."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     priced = df.filter(F.col(cost_col).isNotNull())
