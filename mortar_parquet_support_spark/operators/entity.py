@@ -1,0 +1,131 @@
+"""Entity resolution: fuzzy key matching within a bounded edit distance.
+
+North-star extension (BASELINE.json:6): joining two corpora on
+almost-identical string keys — crawl domains vs registry domains, dirty
+titles vs canonical titles, OCR'd ids vs master ids — is the
+data-integration sibling of near-dup detection (operators/dedup.py). The
+reference has no string-matching surface at all (SURVEY.md §2.6).
+
+The scalable formulation is the SymSpell / symmetric-delete trick: two
+strings are within Levenshtein distance ``d`` only if they share a member
+of each other's ``<=d``-deletion neighborhoods, so candidate generation is
+an EQUI-join on exploded deletion variants — never a cartesian product,
+never a per-pair UDF — and the (tiny) candidate set is verified with the
+built-in JVM ``levenshtein``. Cost model at 100 TB: the variant explode is
+in-row (factor ~ key length for d=1), the join is a plain hash join on the
+variant string, and the verify runs only on rows that share a variant —
+shuffle ∝ sum of key lengths, not |L| x |R|.
+
+Completeness (why the equi-join misses nothing, d=1 case): if lev(s,t)=0
+they share the identity variant; if t deletes one char of s, t is in
+del1(s) and is its own identity variant; insertion is the mirror; a
+substitution at position i makes del_i(s) = del_i(t) a shared variant.
+Induction extends to d=2 over the once-deleted sets. False positives
+(shared variant, distance > d — e.g. "ab"/"ba") are killed by the verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: hard cap — the deletion neighborhood grows ~len^d; beyond d=2 SymSpell
+#: stops being the right tool (use n-gram LSH from operators/dedup.py).
+_MAX_DIST = 2
+
+
+def _deletion_variants(col: str, max_dist: int):
+    """Array column of all strings reachable from ``col`` by <= max_dist
+    single-character deletions, plus the string itself — built from
+    whole-stage-codegen expressions only (transform/sequence/substring),
+    no Python UDF. Empty strings keep just their identity variant
+    (sequence(1, 0) would otherwise count DOWN per Spark semantics)."""
+
+    def del1(expr: str) -> str:
+        return (
+            f"CASE WHEN length({expr}) > 0 THEN "
+            f"transform(sequence(1, length({expr})), "
+            f"i -> concat(substring({expr}, 1, i - 1), substring({expr}, i + 1))) "
+            f"ELSE array() END"
+        )
+
+    tiers = [f"array({col})", del1(col)]
+    if max_dist >= 2:
+        # deletions of deletions: flatten over the d=1 tier
+        tiers.append(f"flatten(transform({del1(col)}, v -> {del1('v')}))")
+    return F.array_distinct(F.expr("concat(" + ", ".join(tiers) + ")"))
+
+
+def fuzzy_key_map(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    max_dist: int = 1,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Distinct key pairs (``left_on``, ``right_on``, ``dist_col``) with
+    ``levenshtein(left_on, right_on) <= max_dist`` — the mapping table an
+    entity-resolution pipeline joins back onto both row sets (key domains
+    are small next to row counts; resolving keys once is the scalable
+    shape, like IvfIndex resolves centroids once).
+
+    Keys are deduplicated internally, NULL and non-matching keys drop
+    (inner semantics). ``left_on`` and ``right_on`` must differ so the
+    output is unambiguous — alias one side first. Candidates come from
+    the symmetric-delete equi-join (module docstring); every candidate
+    pair is verified with the exact JVM ``levenshtein``, so the result
+    equals the brute-force cross join + filter, at equi-join cost."""
+    if not 1 <= max_dist <= _MAX_DIST:
+        raise ValueError(
+            f"max_dist must be in [1, {_MAX_DIST}], got {max_dist} "
+            "(for looser matching use n-gram LSH, operators/dedup.py)"
+        )
+    if left_on == right_on:
+        raise ValueError(
+            f"left_on and right_on are both {left_on!r}; alias one side "
+            "so the output columns are unambiguous"
+        )
+    lk = (
+        left.select(F.col(left_on))
+        .filter(F.col(left_on).isNotNull())
+        .distinct()
+        .withColumn("__v", F.explode(_deletion_variants(left_on, max_dist)))
+    )
+    rk = (
+        right.select(F.col(right_on))
+        .filter(F.col(right_on).isNotNull())
+        .distinct()
+        .withColumn("__v", F.explode(_deletion_variants(right_on, max_dist)))
+    )
+    pairs = (
+        lk.join(rk, "__v")
+        .select(left_on, right_on)
+        .distinct()
+        .withColumn(dist_col, F.levenshtein(F.col(left_on), F.col(right_on)))
+        .filter(F.col(dist_col) <= max_dist)
+    )
+    return pairs
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    max_dist: int = 1,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Row-level fuzzy inner join: every (left row, right row) pair whose
+    keys are within ``max_dist`` edits, plus ``dist_col``. Composes
+    :func:`fuzzy_key_map` with two equi-joins, so duplicate keys fan out
+    exactly like a SQL join on the mapping table. The key map is tiny —
+    broadcast when it fits (Catalyst/AQE decide); the row tables are only
+    ever equi-joined, never compared pairwise."""
+    kmap = fuzzy_key_map(
+        left, right, left_on=left_on, right_on=right_on,
+        max_dist=max_dist, dist_col=dist_col,
+    )
+    return left.join(kmap, left_on).join(right, right_on)
