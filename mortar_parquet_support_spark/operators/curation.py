@@ -384,9 +384,11 @@ def budget_select(
     Llama/phi-style data recipes) as one declarative pass, no driver
     loop over domains.
 
-    A row is kept iff its inclusive running cost <= budget (the first
-    over-budget row and everything after it drop; a single row larger
-    than the whole budget is dropped too — budgets are hard). NULL
+    A row is kept iff the running PEAK of the inclusive cost total is
+    <= budget — a strict prefix cut: the first over-budget row and
+    everything after it drop (even if later negative "credit" costs dip
+    the running sum back under budget), and a single row larger than the
+    whole budget drops too — budgets are hard. NULL
     scores sort LAST, so unscored rows only enter on leftover budget.
     Rows with NULL cost are excluded before ranking: the window sum
     would otherwise skip them, admitting unpriceable rows for free.
@@ -403,4 +405,15 @@ def budget_select(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(cost_col)).over(w)
-    return priced.withColumn(cum_col, cum).filter(F.col(cum_col) <= budget)
+    # the cut is on the running PEAK of the cumulative cost, not the
+    # cumulative cost itself: a negative cost (credit/adjustment column)
+    # could dip the running sum back under budget and re-admit rows after
+    # the first over-budget one, breaking the documented prefix contract.
+    # Same window spec -> both window functions run in ONE WindowExec
+    # (the peak references the cum ALIAS, not a nested window call).
+    return (
+        priced.withColumn(cum_col, cum)
+        .withColumn("__peak", F.max(F.col(cum_col)).over(w))
+        .filter(F.col("__peak") <= budget)
+        .drop("__peak")
+    )

@@ -34,26 +34,45 @@ from pyspark.sql import functions as F
 _MAX_DIST = 2
 
 
-def _deletion_variants(col: str, max_dist: int):
-    """Array column of all strings reachable from ``col`` by <= max_dist
-    single-character deletions, plus the string itself — built from
-    whole-stage-codegen expressions only (transform/sequence/substring),
-    no Python UDF. Empty strings keep just their identity variant
+def _del1(expr: str) -> str:
+    """SQL-expression string for the single-deletion neighborhood of
+    ``expr`` — whole-stage-codegen built-ins only (transform/sequence/
+    substring), no Python UDF. Empty strings yield an empty array
     (sequence(1, 0) would otherwise count DOWN per Spark semantics)."""
+    return (
+        f"CASE WHEN length({expr}) > 0 THEN "
+        f"transform(sequence(1, length({expr})), "
+        f"i -> concat(substring({expr}, 1, i - 1), substring({expr}, i + 1))) "
+        f"ELSE array() END"
+    )
 
-    def del1(expr: str) -> str:
-        return (
-            f"CASE WHEN length({expr}) > 0 THEN "
-            f"transform(sequence(1, length({expr})), "
-            f"i -> concat(substring({expr}, 1, i - 1), substring({expr}, i + 1))) "
-            f"ELSE array() END"
+
+def _attach_variants(df: DataFrame, col: str, max_dist: int, out: str) -> DataFrame:
+    """Add ``out`` = all strings reachable from ``col`` by <= max_dist
+    deletions, plus the identity. At d=2 the d=1 tier feeds BOTH the
+    output and the second deletion round, so it is staged into its own
+    named projection (functions.staged_columns semantics: CollapseProject
+    keeps a multi-referenced non-trivial alias, so the O(len) variant
+    array is built once per key, not twice)."""
+    if max_dist == 1:
+        return df.withColumn(
+            out,
+            F.array_distinct(F.concat(F.array(F.col(col)), F.expr(_del1(col)))),
         )
-
-    tiers = [f"array({col})", del1(col)]
-    if max_dist >= 2:
-        # deletions of deletions: flatten over the d=1 tier
-        tiers.append(f"flatten(transform({del1(col)}, v -> {del1('v')}))")
-    return F.array_distinct(F.expr("concat(" + ", ".join(tiers) + ")"))
+    return (
+        df.withColumn("__d1", F.expr(_del1(col)))
+        .withColumn(
+            out,
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col(col)),
+                    F.col("__d1"),
+                    F.flatten(F.expr(f"transform(__d1, v -> {_del1('v')})")),
+                )
+            ),
+        )
+        .drop("__d1")
+    )
 
 
 def fuzzy_key_map(
@@ -87,18 +106,19 @@ def fuzzy_key_map(
             f"left_on and right_on are both {left_on!r}; alias one side "
             "so the output columns are unambiguous"
         )
-    lk = (
-        left.select(F.col(left_on))
-        .filter(F.col(left_on).isNotNull())
-        .distinct()
-        .withColumn("__v", F.explode(_deletion_variants(left_on, max_dist)))
-    )
-    rk = (
-        right.select(F.col(right_on))
-        .filter(F.col(right_on).isNotNull())
-        .distinct()
-        .withColumn("__v", F.explode(_deletion_variants(right_on, max_dist)))
-    )
+    if dist_col in (left_on, right_on):
+        raise ValueError(
+            f"dist_col {dist_col!r} collides with a key column; the "
+            "distance would silently overwrite that key"
+        )
+    lk = _attach_variants(
+        left.select(F.col(left_on)).filter(F.col(left_on).isNotNull()).distinct(),
+        left_on, max_dist, "__va",
+    ).withColumn("__v", F.explode("__va")).drop("__va")
+    rk = _attach_variants(
+        right.select(F.col(right_on)).filter(F.col(right_on).isNotNull()).distinct(),
+        right_on, max_dist, "__va",
+    ).withColumn("__v", F.explode("__va")).drop("__va")
     pairs = (
         lk.join(rk, "__v")
         .select(left_on, right_on)
@@ -123,7 +143,26 @@ def fuzzy_join(
     :func:`fuzzy_key_map` with two equi-joins, so duplicate keys fan out
     exactly like a SQL join on the mapping table. The key map is tiny —
     broadcast when it fits (Catalyst/AQE decide); the row tables are only
-    ever equi-joined, never compared pairwise."""
+    ever equi-joined, never compared pairwise.
+
+    Cross-side name collisions are rejected up front: a ``right_on`` (or
+    ``dist_col``) column already present in ``left`` would make the
+    second using-column join resolve to the WRONG side and silently
+    return empty/ambiguous results."""
+    clashes = [
+        f"left already has column {c!r}"
+        for c in (right_on, dist_col)
+        if c in left.columns
+    ] + [
+        f"right already has column {c!r}"
+        for c in (left_on, dist_col)
+        if c in right.columns
+    ]
+    if clashes:
+        raise ValueError(
+            "fuzzy_join column collisions — rename or alias first: "
+            + "; ".join(clashes)
+        )
     kmap = fuzzy_key_map(
         left, right, left_on=left_on, right_on=right_on,
         max_dist=max_dist, dist_col=dist_col,

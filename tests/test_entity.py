@@ -115,3 +115,28 @@ def test_fuzzy_key_map_no_cartesian_in_plan(spark):
     out.collect()
     plan = plan_str(out).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_fuzzy_join_rejects_cross_side_collisions(spark):
+    """Review finding: a right_on (or dist_col) column already on the
+    left made the second using-column join resolve to the wrong side and
+    silently return empty results."""
+    left = spark.createDataFrame(
+        [(1, "abc", "noise")], "lid long, lk string, rk string"
+    )
+    right = spark.createDataFrame([(10, "abd")], "rid long, rk string")
+    with pytest.raises(ValueError, match="left already has column 'rk'"):
+        fuzzy_join(left, right, left_on="lk", right_on="rk")
+    with pytest.raises(ValueError, match="right already has column 'lk'"):
+        fuzzy_join(
+            right.withColumnRenamed("rk", "lk"),
+            spark.createDataFrame([(1, "abc", "x")], "rid long, rk string, lk string"),
+            left_on="lk", right_on="rk",
+        )
+
+
+def test_fuzzy_key_map_rejects_dist_col_collision(spark):
+    left = _df(spark, "lk", ["abc"])
+    right = _df(spark, "rk", ["abd"])
+    with pytest.raises(ValueError, match="dist_col"):
+        fuzzy_key_map(left, right, left_on="lk", right_on="rk", dist_col="lk")

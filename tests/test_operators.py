@@ -3746,3 +3746,26 @@ def test_budget_select_oversized_single_row_dropped(spark):
     # the best row alone exceeds the budget: hard budgets drop it AND the
     # prefix chain after it (500, then 510)
     assert kept == []
+
+
+def test_budget_select_negative_costs_cannot_readmit(spark):
+    """Review finding: a negative cost dipped the running sum back under
+    budget and re-admitted rows after the first over-budget one; the cut
+    is now on the running peak (strict prefix)."""
+    from mortar_parquet_support_spark.operators.curation import budget_select
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0, 90),
+            ("a", 2, 4.0, 20),    # cum 110 > 100: first over-budget row
+            ("a", 3, 3.0, -50),   # cum 60 again — must STAY dropped
+        ],
+        "lang string, doc_id long, score double, cost long",
+    )
+    kept = [
+        r.doc_id
+        for r in budget_select(
+            df, score_col="score", cost_col="cost", budget=100, by="lang"
+        ).collect()
+    ]
+    assert kept == [1]
