@@ -2084,6 +2084,48 @@ def _stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "profile_table",
+    """
+    SELECT 'doc_id' AS col_name, 'rows' AS metric, CAST(count(*) AS VARCHAR) AS value FROM documents
+    UNION ALL SELECT 'doc_id', 'nulls', CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'doc_id', 'distinct', CAST(count(DISTINCT doc_id) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'doc_id', 'min', CAST(min(doc_id) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'doc_id', 'max', CAST(max(doc_id) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'lang', 'rows', CAST(count(*) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'lang', 'nulls', CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'lang', 'distinct', CAST(count(DISTINCT lang) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'lang', 'min', min(lang) FROM documents
+    UNION ALL SELECT 'lang', 'max', max(lang) FROM documents
+    UNION ALL SELECT 'source', 'rows', CAST(count(*) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'source', 'nulls', CAST(count(CASE WHEN source IS NULL THEN 1 END) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'source', 'distinct', CAST(count(DISTINCT source) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'source', 'min', min(source) FROM documents
+    UNION ALL SELECT 'source', 'max', max(source) FROM documents
+    UNION ALL SELECT 'n_chars', 'rows', CAST(count(*) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'n_chars', 'nulls', CAST(count(CASE WHEN n_chars IS NULL THEN 1 END) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'n_chars', 'distinct', CAST(count(DISTINCT n_chars) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS VARCHAR) FROM documents
+    UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS VARCHAR) FROM documents
+    """,
+)
+def _profile_table(spark, sf_dir):
+    """Data-card profiling (operators/profile.py profile_table): rows /
+    nulls / exact distinct / min / max per column in ONE global aggregate
+    (map-side partials, single reduced row) exploded to long form — the
+    audit table a corpus release ships with. Exact-distinct mode here so
+    DuckDB can restate every number; text excluded (its min/max would
+    hinge on cross-engine collation of arbitrary content, and a data card
+    ranges ids/categories, not prose)."""
+    from mortar_parquet_support_spark.operators.profile import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(
+        docs, columns=["doc_id", "lang", "source", "n_chars"],
+        exact_distinct=True,
+    )
+
+
+@_register(
     "fuzzy_match",
     """
     WITH l AS (

@@ -1,0 +1,101 @@
+"""Dataset profiling: the data-card / audit stats a curation run ships with.
+
+North-star extension (BASELINE.json:6): every corpus release wants a
+profile table — row counts, null counts, cardinalities, ranges per column —
+both as documentation and as the drift check between snapshots
+(sources/maintenance.py diff_tables tells you WHICH rows changed; this
+tells you whether the SHAPE moved). The reference has no profiling surface
+(SURVEY.md §2.6).
+
+Scale shape: ONE global aggregate over the table — map-side partial
+aggregation, a single reduced row, no wide shuffle — then an in-row
+explode to the long (col_name, metric, value) form. The one deliberate
+cost knob is exact distinct counts: MULTIPLE exact count_distincts in one
+aggregate plan through Spark's Expand (input replicated once per distinct
+aggregate), so the default is approx_count_distinct (HLL++, one pass, no
+Expand) and ``exact_distinct=True`` is opt-in for audits that need the
+true number (the DuckDB-oracle entry runs exact mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: types whose min/max are portable across engines (binary/collation-free
+#: comparisons and unambiguous string rendering)
+_ORDERABLE = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+    T.StringType, T.DateType, T.BooleanType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    *,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Long-form profile (col_name, metric, value) with one row per
+    (column, metric): ``rows`` (table row count, repeated per column so
+    each column's block is self-contained), ``nulls``, ``distinct``
+    (approx by default — see module docstring; nulls not counted),
+    ``min`` / ``max`` (orderable types only, NULL otherwise — array/map/
+    struct/binary ranges are not portable). Values render as strings so
+    one schema fits every column type; timestamps render in ISO form via
+    Spark's cast.
+
+    One aggregate job + an in-row explode; with ``exact_distinct`` the
+    aggregate plans through Expand (input x n_columns) — fine for an
+    audit, wasteful as a recurring 100 TB job."""
+    cols = columns if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: no such columns {missing}")
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+    types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
+
+    def q(c: str) -> F.Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    n_distinct = (
+        (lambda c: F.count_distinct(q(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(q(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.when(q(c).isNull(), 1)).alias(f"__nulls_{i}"))
+        aggs.append(n_distinct(c).alias(f"__distinct_{i}"))
+        if isinstance(types[c], _ORDERABLE):
+            aggs.append(F.min(q(c)).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(q(c)).cast("string").alias(f"__max_{i}"))
+    one = df.agg(*aggs)
+
+    entries = []
+    for i, c in enumerate(cols):
+        block = [
+            ("rows", F.col("__rows").cast("string")),
+            ("nulls", F.col(f"__nulls_{i}").cast("string")),
+            ("distinct", F.col(f"__distinct_{i}").cast("string")),
+        ]
+        if isinstance(types[c], _ORDERABLE):
+            block.append(("min", F.col(f"__min_{i}")))
+            block.append(("max", F.col(f"__max_{i}")))
+        else:
+            block.append(("min", F.lit(None).cast("string")))
+            block.append(("max", F.lit(None).cast("string")))
+        for metric, val in block:
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.lit(metric).alias("metric"),
+                    val.alias("value"),
+                )
+            )
+    return one.select(F.explode(F.array(*entries)).alias("p")).select(
+        "p.col_name", "p.metric", "p.value"
+    )

@@ -3769,3 +3769,51 @@ def test_budget_select_negative_costs_cannot_readmit(spark):
         ).collect()
     ]
     assert kept == [1]
+
+
+def test_profile_table_metrics_and_types(spark):
+    from mortar_parquet_support_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1.0]),
+            (2, "b", None, [2.0]),
+            (2, None, 3.5, None),
+        ],
+        "id long, s string, x double, arr array<double>",
+    )
+    out = {
+        (r.col_name, r.metric): r.value
+        for r in profile_table(df, exact_distinct=True).collect()
+    }
+    assert out[("id", "rows")] == "3"
+    assert out[("id", "nulls")] == "0"
+    assert out[("id", "distinct")] == "2"
+    assert out[("id", "min")] == "1" and out[("id", "max")] == "2"
+    assert out[("s", "nulls")] == "1" and out[("s", "distinct")] == "2"
+    assert out[("s", "min")] == "a" and out[("s", "max")] == "b"
+    assert out[("x", "nulls")] == "1"
+    # non-orderable types: min/max NULL, other metrics still real
+    assert out[("arr", "min")] is None and out[("arr", "max")] is None
+    assert out[("arr", "nulls")] == "1" and out[("arr", "distinct")] == "2"
+    # 4 columns x 5 metrics
+    assert len(out) == 20
+    with pytest.raises(ValueError, match="no such columns"):
+        profile_table(df, columns=["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(df, columns=[])
+
+
+def test_profile_table_single_aggregate_plan(spark):
+    from mortar_parquet_support_spark.operators.profile import profile_table
+    from tests.conftest import plan_str
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, s string"
+    )
+    out = profile_table(df)  # approx mode: no Expand in the plan
+    out.collect()
+    plan = plan_str(out).split("== Initial Plan ==")[0]
+    assert "Expand" not in plan
+    # global aggregate: exactly the partial/final agg exchange pair
+    assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
