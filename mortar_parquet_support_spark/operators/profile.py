@@ -29,6 +29,7 @@ _ORDERABLE = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
     T.StringType, T.DateType, T.BooleanType,
+    T.TimestampType, T.TimestampNTZType,
 )
 
 
@@ -56,6 +57,11 @@ def profile_table(
         raise ValueError(f"profile_table: no such columns {missing}")
     if not cols:
         raise ValueError("profile_table: no columns to profile")
+    dupes = sorted({c for c in cols if cols.count(c) > 1})
+    if dupes:
+        # duplicate requests would emit duplicate (col_name, metric) keys,
+        # breaking the one-row-per-pair contract consumers key on
+        raise ValueError(f"profile_table: duplicate columns {dupes}")
     types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
 
     def q(c: str) -> F.Column:

@@ -3802,6 +3802,28 @@ def test_profile_table_metrics_and_types(spark):
         profile_table(df, columns=["nope"])
     with pytest.raises(ValueError, match="no columns"):
         profile_table(df, columns=[])
+    with pytest.raises(ValueError, match="duplicate columns"):
+        profile_table(df, columns=["id", "id"])
+
+
+def test_profile_table_timestamp_ranges(spark):
+    """Review finding: timestamp columns were excluded from _ORDERABLE
+    and silently got NULL min/max despite the documented ISO rendering."""
+    from mortar_parquet_support_spark.operators.profile import profile_table
+
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(timestamp'2024-01-01 00:00:00', timestamp_ntz'2024-06-01 12:00:00'),"
+        "(timestamp'2024-03-01 08:30:00', timestamp_ntz'2024-05-01 01:00:00')"
+        " AS t(ts, tsn)"
+    )
+    out = {
+        (r.col_name, r.metric): r.value for r in profile_table(df).collect()
+    }
+    assert out[("ts", "min")] == "2024-01-01 00:00:00"
+    assert out[("ts", "max")] == "2024-03-01 08:30:00"
+    assert out[("tsn", "min")] == "2024-05-01 01:00:00"
+    assert out[("tsn", "max")] == "2024-06-01 12:00:00"
 
 
 def test_profile_table_single_aggregate_plan(spark):
