@@ -4476,7 +4476,8 @@ def _counter_rate(spark, sf_dir):
       FROM pre
     )
     SELECT user_id, ts,
-           coalesce(abs(v - m) > 3.0 * sd AND sd > 0, false) AS qc_spike,
+           coalesce(ROUND(abs(v - m) - 3.0 * sd, 6) > 0 AND sd > 0, false)
+             AS qc_spike,
            coalesce(p1 = v AND p2 = v, false) AS qc_flatline,
            coalesce(CAST(floor(epoch(ts)) AS BIGINT)
                     - CAST(floor(epoch(pt)) AS BIGINT) > 1800, false) AS qc_gap
@@ -4487,8 +4488,10 @@ def _qc_flags(spark, sf_dir):
     """Sensor-stream QC screening (operators/timeseries.py qc_flags):
     spike vs a trailing 10-reading baseline (current excluded), 3-long
     flatline, 30-minute gap — over the tie-free integer per-(user, ts)
-    stream so every comparison is exact (integer sums keep the rolling
-    mean/stddev bit-reproducible across engines)."""
+    stream. The spike margin is ROUNDED to 6dp on both engines
+    (spike_round=6 / SQL ROUND) so a reading sitting exactly on the
+    3-sigma boundary cannot flip on a last-ulp stddev-accumulation
+    difference between Spark and DuckDB."""
     from mortar_parquet_support_spark.operators.timeseries import qc_flags
 
     ev = _t(spark, sf_dir, "events")
@@ -4498,6 +4501,7 @@ def _qc_flags(spark, sf_dir):
     out = qc_flags(
         pre, ts="ts", value="v", keys=["user_id"], window=10,
         spike_sigmas=3.0, flatline_n=3, max_gap="30 minutes",
+        spike_round=6,
     )
     return out.select("user_id", "ts", "qc_spike", "qc_flatline", "qc_gap")
 

@@ -316,12 +316,23 @@ def hashed_embedding(
 def l2_normalize(vec, *, eps: float = 0.0):
     """Unit-normalize an array column JVM-side: v / ||v||; zero/degenerate
     norms yield NULL (try_divide), matching the cosine contract. In-row,
-    composes with any scan."""
+    composes with any scan.
+
+    The O(d) norm fold is bound ONCE per row through an outer transform
+    over a one-element array: Spark does not hoist loop-invariant
+    subexpressions out of higher-order-function lambdas, so embedding the
+    fold directly in the per-element divide would cost O(d^2) per row
+    (the same multi-reference footgun staged_columns exists for).  A
+    lambda variable is a materialized value, so the inner divide reads
+    the precomputed scalar."""
     from mortar_parquet_support_spark.functions import vector_norm
 
     v = F.col(vec) if isinstance(vec, str) else vec
     n = vector_norm(v)
-    return F.transform(v, lambda x: F.try_divide(x, n + F.lit(eps)))
+    return F.transform(
+        F.array(n + F.lit(eps)),
+        lambda nn: F.transform(v, lambda x: F.try_divide(x, nn)),
+    ).getItem(0)
 
 
 #: bound on inlining a centroid table into the plan as a literal array —

@@ -34,17 +34,31 @@ from pyspark.sql import functions as F
 _MAX_DIST = 2
 
 
-def _del1(expr: str) -> str:
-    """SQL-expression string for the single-deletion neighborhood of
-    ``expr`` — whole-stage-codegen built-ins only (transform/sequence/
-    substring), no Python UDF. Empty strings yield an empty array
-    (sequence(1, 0) would otherwise count DOWN per Spark semantics)."""
-    return (
-        f"CASE WHEN length({expr}) > 0 THEN "
-        f"transform(sequence(1, length({expr})), "
-        f"i -> concat(substring({expr}, 1, i - 1), substring({expr}, i + 1))) "
-        f"ELSE array() END"
-    )
+def _q(name: str) -> str:
+    """Backtick-quote an identifier so F.col resolves it literally —
+    dots would otherwise parse as struct access, spaces/hyphens as
+    syntax errors."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _del1(c):
+    """Column for the single-deletion neighborhood of a string Column —
+    whole-stage-codegen built-ins only (transform/sequence/substr), no
+    Python UDF and no SQL-string splicing, so key columns with spaces,
+    dots, or backticks in their names resolve correctly (Column refs
+    carry identity; nothing is re-parsed). Empty strings yield an empty
+    array (sequence(1, 0) would otherwise count DOWN per Spark
+    semantics). Works on lambda variables too (the d=2 inner round)."""
+    return F.when(
+        F.length(c) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), F.length(c)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _attach_variants(df: DataFrame, col: str, max_dist: int, out: str) -> DataFrame:
@@ -54,20 +68,21 @@ def _attach_variants(df: DataFrame, col: str, max_dist: int, out: str) -> DataFr
     named projection (functions.staged_columns semantics: CollapseProject
     keeps a multi-referenced non-trivial alias, so the O(len) variant
     array is built once per key, not twice)."""
+    key = F.col(_q(col))
     if max_dist == 1:
         return df.withColumn(
             out,
-            F.array_distinct(F.concat(F.array(F.col(col)), F.expr(_del1(col)))),
+            F.array_distinct(F.concat(F.array(key), _del1(key))),
         )
     return (
-        df.withColumn("__d1", F.expr(_del1(col)))
+        df.withColumn("__d1", _del1(key))
         .withColumn(
             out,
             F.array_distinct(
                 F.concat(
-                    F.array(F.col(col)),
+                    F.array(key),
                     F.col("__d1"),
-                    F.flatten(F.expr(f"transform(__d1, v -> {_del1('v')})")),
+                    F.flatten(F.transform(F.col("__d1"), _del1)),
                 )
             ),
         )
@@ -111,20 +126,24 @@ def fuzzy_key_map(
             f"dist_col {dist_col!r} collides with a key column; the "
             "distance would silently overwrite that key"
         )
+    # _q-escaped refs, never bare F.col(name) (or df[name], which parses
+    # the same way): key names with dots/spaces/backticks must resolve
+    # literally (review finding).
+    lkey, rkey = F.col(_q(left_on)), F.col(_q(right_on))
     lk = _attach_variants(
-        left.select(F.col(left_on)).filter(F.col(left_on).isNotNull()).distinct(),
+        left.select(lkey).filter(lkey.isNotNull()).distinct(),
         left_on, max_dist, "__va",
     ).withColumn("__v", F.explode("__va")).drop("__va")
     rk = _attach_variants(
-        right.select(F.col(right_on)).filter(F.col(right_on).isNotNull()).distinct(),
+        right.select(rkey).filter(rkey.isNotNull()).distinct(),
         right_on, max_dist, "__va",
     ).withColumn("__v", F.explode("__va")).drop("__va")
     pairs = (
         lk.join(rk, "__v")
-        .select(left_on, right_on)
+        .select(lkey, rkey)
         .distinct()
-        .withColumn(dist_col, F.levenshtein(F.col(left_on), F.col(right_on)))
-        .filter(F.col(dist_col) <= max_dist)
+        .withColumn(dist_col, F.levenshtein(lkey, rkey))
+        .filter(F.col(_q(dist_col)) <= max_dist)
     )
     return pairs
 

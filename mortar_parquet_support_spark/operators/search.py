@@ -314,10 +314,17 @@ def rrf_fuse(
             # NULL ranks mean "absent from this leg" (e.g. a left join
             # against a missing leg) — dropping them keeps n_sources an
             # honest count of REAL contributions instead of inflating it
-            # while F.sum silently skips the NULL addend.
-            r.filter(F.col(rank_col).isNotNull()).select(
+            # while F.sum silently skips the NULL addend. An id repeated
+            # WITHIN a leg collapses to its best (min) rank first — a leg
+            # is a ranking, and a repeat must not double-count in either
+            # rrf_score or n_sources (the groupBy is over a top-k-sized
+            # frame, so the extra partial agg is noise).
+            r.filter(F.col(rank_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.min(F.col(rank_col).cast("double")).alias("__rank"))
+            .select(
                 F.col(id_col),
-                (F.lit(w) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                (F.lit(w) / (F.lit(float(k)) + F.col("__rank"))).alias(
                     "__contrib"
                 ),
             )

@@ -598,6 +598,7 @@ def qc_flags(
     spike_sigmas: float = 4.0,
     flatline_n: int = 5,
     max_gap: str = "1 hour",
+    spike_round: "int | None" = None,
 ) -> DataFrame:
     """Sensor-stream quality-control flags, the screening pass a
     building-telemetry lake runs before analytics trust a stream:
@@ -617,6 +618,14 @@ def qc_flags(
     ``flatline_n`` must be >= 2 (a 1-reading 'run' would flag every
     row).
 
+    ``spike_round``: when set, the spike margin ``|v - mean| -
+    sigmas * sd`` is rounded to that many decimals before the > 0 test.
+    The rolling stddev is a float accumulation whose last ulp can differ
+    between engines (Welford vs naive sum-of-squares); a reading sitting
+    EXACTLY on the sigma boundary would then flag on one engine and not
+    the other. Rounding pins cross-engine comparisons (the oracle
+    harness passes 6); leave None for plain semantics.
+
     All three are per-key window expressions sharing ONE partitioning —
     a single shuffle, flags ride along with the row for downstream
     filtering or auditing."""
@@ -626,9 +635,10 @@ def qc_flags(
     prior = w.rowsBetween(-window, -1)
     mean = F.avg(F.col(value)).over(prior)
     sd = F.stddev_samp(F.col(value)).over(prior)
-    spike = (F.abs(F.col(value) - mean) > F.lit(spike_sigmas) * sd) & (
-        sd > 0
-    )
+    margin = F.abs(F.col(value) - mean) - F.lit(spike_sigmas) * sd
+    if spike_round is not None:
+        margin = F.round(margin, spike_round)
+    spike = (margin > F.lit(0.0)) & (sd > 0)
     flat = F.lit(True)
     for i in range(1, flatline_n):
         flat = flat & (F.lag(F.col(value), i).over(w) == F.col(value))

@@ -140,3 +140,28 @@ def test_fuzzy_key_map_rejects_dist_col_collision(spark):
     right = _df(spark, "rk", ["abd"])
     with pytest.raises(ValueError, match="dist_col"):
         fuzzy_key_map(left, right, left_on="lk", right_on="rk", dist_col="lk")
+
+
+def test_fuzzy_key_map_expression_hostile_column_names(spark):
+    """Key columns whose names contain spaces, dots, or hyphens must
+    resolve (review finding: the deletion neighborhood was built by
+    splicing raw names into SQL strings, which mis-parsed such names;
+    it is now Column-based, so nothing is re-parsed)."""
+    left = spark.createDataFrame(
+        [("kitten",), ("apple",)], ["left key.with-odd chars"]
+    )
+    right = spark.createDataFrame(
+        [("mitten",), ("apple",)], ["right key.with-odd chars"]
+    )
+    out = fuzzy_key_map(
+        left,
+        right,
+        left_on="left key.with-odd chars",
+        right_on="right key.with-odd chars",
+        max_dist=1,
+    ).collect()
+    got = {
+        (r["left key.with-odd chars"], r["right key.with-odd chars"], r["dist"])
+        for r in out
+    }
+    assert got == {("kitten", "mitten", 1), ("apple", "apple", 0)}

@@ -318,3 +318,20 @@ def test_rrf_fuse_single_shuffle(spark):
     plan = plan_str(out).split("== Initial Plan ==")[0]
     # one hash aggregate exchange over the union — nothing else
     assert plan.count("Exchange") <= 2  # shuffle + possible AQE read marker
+
+
+def test_rrf_fuse_repeated_id_within_leg_collapses_to_min_rank(spark):
+    """An id repeated within a single leg must contribute once, at its
+    best rank, and count once in n_sources (review finding: repeats
+    previously inflated both the score and the source count)."""
+    from mortar_parquet_support_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 3), (10, 1), (20, 2)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame([(10, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2], k=60).collect()}
+    assert math.isclose(out[10].rrf_score, 1 / 61 + 1 / 62)
+    assert out[10].n_sources == 2
+    assert math.isclose(out[20].rrf_score, 1 / 62)
+    assert out[20].n_sources == 1
