@@ -676,9 +676,33 @@ def _window_frames(spark, sf_dir):
     """,
 )
 def _group_distinct(spark, sf_dir):
+    """Two EXACT count_distincts in one aggregate. Spark plans multiple
+    distinct aggregates through Expand (each input row replicated once
+    per distinct column, null-padded, then partial-deduped map-side) —
+    the one known cost knob in this plan shape, and the reason
+    operators/profile.py profile_table defaults to approx_count_distinct.
+    Measured at sf1 (6M rows, local[32]): this Expand plan is ~1.0s
+    steady-state, the two-single-distinct-aggregates + join rewrite is
+    ~1.4s (two scans), and the approx variant below is ~0.35s. Exact
+    stays the default; `group_distinct_approx` is the 100x scale path
+    (fixed-size HLL sketch state, no Expand, no distinct-key shuffle)."""
     return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@_register("group_distinct_approx")
+def _group_distinct_approx(spark, sf_dir):
+    """Approx (HLL++) variant of `group_distinct` — the scale path: one
+    pass, no Expand, map-side sketch merge, shuffle carries one
+    fixed-size sketch per (group, column) instead of every distinct key.
+    Rows-only check (HLL estimates are engine-specific so no value
+    oracle); tests/test_operators.py pins the estimates within the
+    configured rsd against the exact counts."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps"),
     )
 
 
@@ -1144,30 +1168,23 @@ def _knn_cosine_arrow(spark, sf_dir):
 
     Oracle-checked despite BLAS pairwise summation vs DuckDB's
     sequential fold: raw scores differ only at ~1e-15 relative, so after
-    ROUND(...,6) values coincide; the kernel OVERFETCHES k=20 on raw
-    scores and the final cut to 10 happens on the rounded score with the
-    neighbor_id tie-break, so a k-boundary pair whose raw order differs
-    between engines cannot flip the selected set UNLESS a single rounded
-    tie group spans more than 10 raw ranks past the cut — vanishingly
-    unlikely for continuous scores and verified exact at sf0.01 and
-    sf0.1 (equivalence with the fold implementation is also
-    pytest-verified)."""
+    ROUND(...,6) values coincide; the kernel OVERFETCHES 10 extra raw
+    ranks batch-locally and the single final window ranks the rounded
+    score with the neighbor_id tie-break (round_to=6 folds the re-rank
+    into cosine_topk_arrow itself — one window, no second pass), so a
+    k-boundary pair whose raw order differs between engines cannot flip
+    the selected set UNLESS a single rounded tie group spans more than
+    10 raw ranks past the cut — vanishingly unlikely for continuous
+    scores and verified exact at sf0.01 and sf0.1 (equivalence with the
+    fold implementation is also pytest-verified)."""
     from mortar_parquet_support_spark.operators.similarity import cosine_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 100), k=20)
-    rounded = out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    out = cosine_topk_arrow(
+        emb, emb.filter(F.col("vec_id") < 100), k=10, round_to=6, overfetch=10
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rounded.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
-        )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
 
 

@@ -27,6 +27,9 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "group_distinct",
+    # the no-Expand HLL scale path benched alongside its exact twin so the
+    # sketch-vs-Expand gap stays measured (see _group_distinct docstring)
+    "group_distinct_approx",
     "window_topk",
     "time_bucket_rollup",
     "sessionize",

@@ -86,6 +86,8 @@ def cosine_topk_arrow(
     vec_col: str = "embedding",
     k: int = 10,
     include_self: bool = False,
+    round_to: "int | None" = None,
+    overfetch: int = 0,
 ) -> DataFrame:
     """Vectorized brute-force top-k: same results as :func:`cosine_topk`
     (tested), different physical plan for throughput at scale.
@@ -108,6 +110,17 @@ def cosine_topk_arrow(
     widened and id-sorted, never arbitrarily dropped), and degenerate rows
     (NULL vectors, zero norms, NULL elements) never rank — same contract
     as :func:`cosine_topk`.
+
+    ``round_to``/``overfetch`` make the BLAS path engine-comparable in
+    ONE window: with ``round_to`` set, the final ranking orders by the
+    JVM-rounded score (emitted as ``cosine``) instead of the raw BLAS
+    score, so ulp-level kernel differences cannot reorder the selected
+    set; ``overfetch`` widens only the BATCH-LOCAL raw cut by that many
+    rows, guarding the case where rounding promotes a row that raw order
+    would have dropped at the boundary (a miss needs a single rounded
+    tie group spanning more than ``overfetch`` raw ranks past the cut
+    within one batch). This replaces the old external re-rank (a second
+    window over the partial results) with zero extra passes.
     """
     import numpy as np
     import pyarrow as pa
@@ -187,7 +200,7 @@ def cosine_topk_arrow(
             ids_py = ids.to_pylist()
             ids_np = np.asarray(ids_py)
             out_q, out_n, out_c = [], [], []
-            kk = min(k, n)
+            kk = min(k + overfetch, n)
             for j, qid in enumerate(q_ids):
                 col = np.where(valid, sims[:, j], -np.inf)
                 # fetch the batch-local top by (cosine desc, id asc) — a
@@ -224,6 +237,8 @@ def cosine_topk_arrow(
             )
 
     partial = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(score, out_schema)
+    if round_to is not None:
+        partial = partial.withColumn("cosine", F.round("cosine", round_to))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

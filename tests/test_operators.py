@@ -3839,3 +3839,29 @@ def test_profile_table_single_aggregate_plan(spark):
     assert "Expand" not in plan
     # global aggregate: exactly the partial/final agg exchange pair
     assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
+
+
+def test_group_distinct_approx_within_rsd(spark):
+    """group_distinct_approx (the no-Expand HLL scale path in
+    __spark_entry__) must estimate within a loose multiple of the
+    configured rsd of the exact counts, and its plan must not Expand."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import plan_str
+
+    sf_dir = "/root/testdata/sf0.01"
+    qs = entrymod.queries()
+    exact = {
+        r.l_returnflag: r for r in qs["group_distinct"](spark, sf_dir).collect()
+    }
+    approx_df = qs["group_distinct_approx"](spark, sf_dir)
+    approx = {r.l_returnflag: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for flag, ex in exact.items():
+        ap = approx[flag]
+        # rsd=0.02; allow 5 sigma — deterministic given fixed hashing, the
+        # slack only guards against fixture drift
+        for col in ("n_parts", "n_supps"):
+            e, a = getattr(ex, col), getattr(ap, col)
+            assert abs(a - e) <= max(5, 0.10 * e), (flag, col, e, a)
+    plan = plan_str(approx_df).split("== Initial Plan ==")[0]
+    assert "Expand" not in plan
