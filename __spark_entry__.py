@@ -4594,22 +4594,102 @@ def _transition_matrix(spark, sf_dir):
     ).select("from_type", "to_type", F.col("n").cast("long").alias("n"), "p")
 
 
-@_register("lttb_downsample")
+@_register(
+    "lttb_downsample",
+    """
+    WITH RECURSIVE pre AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CAST(sum(event_id % 100) AS BIGINT) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), pts AS (
+      SELECT user_id, tsec, v,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY tsec) - 1
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM pre
+    ), big_users AS (
+      SELECT DISTINCT user_id, n FROM pts WHERE n > 60
+    ), bounds AS (
+      -- np.linspace(1, n-1, 59).astype(int64): y_i = (i*step)+1 truncated,
+      -- endpoint pinned to n-1 exactly (verified bit-identical for every
+      -- n in 61..3000 plus spot checks to 100001)
+      SELECT u.user_id, u.n, r.i,
+             CASE WHEN r.i = 58 THEN u.n - 1
+                  ELSE CAST(floor(1.0 + CAST(r.i AS DOUBLE)
+                            * ((CAST(u.n AS DOUBLE) - 2.0) / 58.0)) AS BIGINT)
+             END AS bnd
+      FROM big_users u, range(59) r(i)
+    ), walk AS (
+      -- the sequential LTTB pick as a recursive CTE: state = (user, bucket,
+      -- anchor row); each step averages the NEXT bucket (cx, cy), scores
+      -- this bucket's candidates with the same 4-op triangle-area formula
+      -- the kernel vectorizes, and takes argmax with first-index
+      -- tie-breaking (min over [-area, rn] lists)
+      SELECT user_id, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS a
+      FROM big_users
+      UNION ALL
+      SELECT user_id, bb, CAST(min(mkey)[2] AS BIGINT) AS a
+      FROM (
+        SELECT s.user_id, s.bb,
+               [ -abs( (s.ax - s.cx) * (CAST(c.v AS DOUBLE) - s.ay)
+                     - (s.ax - CAST(c.tsec AS DOUBLE)) * (s.cy - s.ay) ),
+                 CAST(c.rn AS DOUBLE) ] AS mkey
+        FROM (
+          SELECT w.user_id, w.b + 1 AS bb, b0.bnd AS lo, b1.bnd AS hi,
+                 CAST(ap.tsec AS DOUBLE) AS ax, CAST(ap.v AS DOUBLE) AS ay,
+                 avg(CAST(np_.tsec AS DOUBLE)) AS cx,
+                 avg(CAST(np_.v AS DOUBLE)) AS cy
+          FROM walk w
+          JOIN bounds b0 ON b0.user_id = w.user_id AND b0.i = w.b + 1
+          JOIN bounds b1 ON b1.user_id = w.user_id AND b1.i = w.b + 2
+          LEFT JOIN bounds b2 ON b2.user_id = w.user_id AND b2.i = w.b + 3
+          JOIN pts ap ON ap.user_id = w.user_id AND ap.rn = w.a
+          JOIN pts np_ ON np_.user_id = w.user_id AND np_.rn >= b1.bnd
+                      AND np_.rn < coalesce(b2.bnd, np_.n)
+          WHERE w.b + 1 <= 57
+          GROUP BY 1, 2, 3, 4, 5, 6
+        ) s
+        JOIN pts c ON c.user_id = s.user_id AND c.rn >= s.lo AND c.rn < s.hi
+      )
+      GROUP BY user_id, bb
+    ), sel AS (
+      SELECT user_id, a AS rn FROM walk
+      UNION ALL
+      SELECT user_id, n - 1 AS rn FROM big_users
+    )
+    SELECT p.user_id, p.tsec, p.v
+    FROM pts p JOIN sel s ON p.user_id = s.user_id AND p.rn = s.rn
+    UNION ALL
+    SELECT user_id, tsec, v FROM pts WHERE n <= 60
+    """,
+)
 def _lttb_downsample(spark, sf_dir):
     """Dashboard-serving LTTB downsampling (operators/timeseries.py
     lttb_downsample): each user's event stream reduced to 60
-    visually-representative points. No SQL oracle (each pick depends on
-    the previous one — inherently sequential); endpoint pinning, spike
-    survival, subset-of-input, and determinism are pytest-pinned."""
+    visually-representative points.
+
+    Promoted from rows-only to a full DuckDB oracle (round-9 ask): the
+    sequential pick is a RECURSIVE CTE whose per-step argmax replays the
+    kernel bit-for-bit. Exactness argument: x = epoch SECONDS (~1.7e9,
+    exact in float64 — the kernel's default ns would not be), y =
+    integer sums, so both engines' bucket means divide identical exact
+    sums; the triangle-area arithmetic is the same 4 IEEE ops on
+    identical operands; np.argmax's first-max-wins tie-break is
+    min([-area, rn]); np.linspace truncation is replayed with matching
+    op order and a pinned endpoint. Verified identical at sf0.001 /
+    sf0.01 / sf0.1."""
     from mortar_parquet_support_spark.operators.timeseries import (
         lttb_downsample,
     )
 
-    ev = _t(spark, sf_dir, "events").groupBy("user_id", "ts").agg(
-        F.sum("value").alias("v")
-    )
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy(
+        "user_id", F.unix_timestamp(F.col("ts")).alias("tsec")
+    ).agg(F.sum(F.col("event_id") % 100).alias("v"))
     return lttb_downsample(
-        ev, ts="ts", value="v", keys=["user_id"], n_out=60
+        pre, ts="tsec", value="v", keys=["user_id"], n_out=60
     )
 
 
@@ -4871,10 +4951,10 @@ def oracle_sql() -> dict[str, str]:
     (xxhash64 signatures/seeding have no DuckDB equivalent), bpe_vocab
     (iterative argmax-update training is not SQL-expressible; train ==
     python reference and encode == sequential application are
-    pytest-pinned in test_bpe.py), and lttb_downsample (each LTTB pick
-    depends on the previous one — inherently sequential, not
-    SQL-expressible; contract pytest-pinned in test_operators.py). The
-    LSH ops' verify stages ARE
+    pytest-pinned in test_bpe.py). lttb_downsample graduated to a full
+    oracle in round 9: its sequential pick is replayed as a DuckDB
+    recursive CTE (see the entry's docstring for the exactness
+    argument). The LSH ops' verify stages ARE
     oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and

@@ -140,12 +140,28 @@ class DigestIndex:
     per batch — the amortized serving shape (same split as
     similarity.py's IvfIndex build/probe).
 
-    Single-writer per index object: the warm Bloom cache is maintained
-    through this object's own add()/compact() calls, so appends made by
-    ANOTHER process (or a second DigestIndex over the same path) are
-    invisible to it until re-opened — probing with a stale filter would
-    pass known duplicates as definitely-new. Serialize writers the same
-    way lake maintenance is serialized (maintenance.py)."""
+    Concurrency contract (two streams sharing one index path):
+
+    - **Concurrent add() from separate processes is STORAGE-safe.**
+      Every append writes NEW uniquely-named part files (Spark append
+      mode never rewrites existing data) and Bloom segments are designed
+      to be OR-merged at load, so interleaved appends from two writers
+      commute: a reader that re-opens afterwards sees the union, in any
+      interleaving (pinned by
+      tests/test_incremental.py::test_interleaved_writers_commute).
+      Overlapping digests across writers merely duplicate rows — the
+      probe's semi-join tolerates multiplicity by construction.
+    - **The warm Bloom cache is per-OBJECT, not per-path.** Appends made
+      by another process (or a second DigestIndex over the same path)
+      are invisible to this handle until re-opened; a PROBE through a
+      stale handle would pass the other writer's duplicates as
+      definitely-new. So: concurrent appenders fine, but the prober must
+      re-open (or be the sole writer) to see everything.
+    - **compact() requires exclusivity.** It rewrites in place with
+      ``mode("overwrite")``; an append racing a compaction can be lost
+      with filesystem-dependent semantics. Schedule it like any other
+      lake maintenance (maintenance.py), never concurrently with
+      writers."""
 
     def __init__(
         self,
@@ -393,7 +409,10 @@ class MinHashIndex:
     distinct candidate buckets broadcast into a pruned scan of the bucket
     table, matched index ids broadcast into a pruned scan of the sig
     table, and the survivors anti-join is broadcast too — the index is
-    never shuffled. Same single-writer caveat as DigestIndex.
+    never shuffled. Same concurrency contract as DigestIndex: concurrent
+    add()s commute (append-only part files; bucket/sig rows are
+    union-semantics), probers must re-open to observe other writers, and
+    compact() requires exclusivity.
 
     Empty/NULL-text documents have no signature (see minhash_signatures)
     and therefore always survive a fuzzy probe — route them through the

@@ -166,3 +166,40 @@ def test_probe_plan_is_broadcast_only(spark, corpus, tmp_path):
     plan = plan_str(out)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # semi (index) + anti (batch)
+
+
+def test_interleaved_writers_commute(spark, tmp_path):
+    """Concurrency contract (class docstring): two DigestIndex handles
+    over the SAME path interleaving add() calls must commute — every
+    append lands in new part files and Bloom segments OR-merge at load,
+    so a fresh handle sees the union regardless of interleaving, with no
+    false negatives on probe. (The two handles stand in for two writer
+    processes; Spark append mode gives the same file-level isolation
+    either way.)"""
+    path = str(tmp_path / "idx")
+    DigestIndex.create(spark, path, n_shards=4, capacity=1000)
+    wa = DigestIndex.open(spark, path)
+    wb = DigestIndex.open(spark, path)
+    batches = {
+        "a1": [(i, f"alpha {i}") for i in range(10)],
+        "b1": [(i, f"beta {i}") for i in range(10)],
+        "a2": [(i, f"alpha {i}") for i in range(5, 15)],  # overlaps a1
+        "b2": [(i, f"gamma {i}") for i in range(10)],
+    }
+    # interleave: A, B, A, B — each add() goes through a different handle
+    wa.add(F.md5("text"), source=_docs(spark, batches["a1"]))
+    wb.add(F.md5("text"), source=_docs(spark, batches["b1"]))
+    wa.add(F.md5("text"), source=_docs(spark, batches["a2"]))
+    wb.add(F.md5("text"), source=_docs(spark, batches["b2"]))
+    # a fresh reader sees the union: every previously-added text is a
+    # known duplicate (no false negatives), a genuinely new one survives
+    reader = DigestIndex.open(spark, path)
+    seen = [t for rows in batches.values() for t in rows]
+    probe = _docs(spark, [(100 + i, t) for i, (_, t) in enumerate(seen)])
+    assert incremental_dedup(probe, reader, digest=F.md5("text")).count() == 0
+    fresh = _docs(spark, [(999, "delta brand new")])
+    assert incremental_dedup(fresh, reader, digest=F.md5("text")).count() == 1
+    # the digest table holds the union (multiplicity from the a1/a2
+    # overlap is allowed; distinct must equal the content universe)
+    texts = {t for _, t in seen}
+    assert reader.digests().distinct().count() == len(texts)

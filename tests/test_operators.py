@@ -2092,6 +2092,40 @@ def test_stateful_sessionize_too_early_late_event_own_session(spark, tmp_path):
     out = run_batch([("devA", t(8, 20)), ("devA", t(14, 0))], "b3")
     got = [(r.key, r.session_start, r.session_end, r.n_events) for r in out]
     assert got == [("devA", t(8, 0), t(8, 20), 3)], got
+    # batch 4: push the watermark far past every pending seal point and
+    # assert FULL batch parity — the union of everything the stream ever
+    # emitted must equal the batch gaps-and-islands sessionization of the
+    # complete trace (the sentinel's own singleton session included).
+    out += run_batch([("devA", t(23, 0))], "b4")
+    all_rows = [
+        ("devA", t(10, 0)), ("devA", t(8, 0)), ("devA", t(8, 10)),
+        ("devA", t(10, 5)), ("devA", t(8, 20)), ("devA", t(14, 0)),
+        ("devA", t(23, 0)),
+    ]
+    from mortar_parquet_support_spark.operators.timeseries import sessionize
+
+    batch = (
+        sessionize(
+            spark.createDataFrame(all_rows, schema),
+            ts="event_time", keys=["dev"], gap="30 minutes",
+        )
+        .groupBy("dev", "session_id")
+        .agg(
+            F.min("event_time").alias("s"),
+            F.max("event_time").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    expect = {(r.dev, r.s, r.e, r.n) for r in batch}
+    streamed = {(r.key, r.session_start, r.session_end, r.n_events) for r in out}
+    # the final sentinel session (23:00) can still be pending; everything
+    # the stream emitted must be a batch session, and every batch session
+    # except possibly the unsealed tail must have been emitted
+    assert streamed <= expect, (streamed, expect)
+    assert expect - streamed <= {("devA", t(23, 0), t(23, 0), 1)}, (
+        expect - streamed
+    )
 
 
 def test_stateful_sessionize_split_bridges_pending_early_chain(spark, tmp_path):

@@ -9,7 +9,18 @@ Spark's own s3a:// side is configuration (session.py get_spark s3_endpoint)
 and needs the hadoop-aws jars that ship on real clusters but not in this
 sandbox's pyspark build; the spill/read path it would exercise is covered by
 tests/test_sinks.py::test_to_batches_file_scheme_checkpoint_dir through the
-same Hadoop FileSystem API."""
+same Hadoop FileSystem API.
+
+Obtainability note (round 9): the jars cannot be vendored here — the
+sandbox has no package-repo network (``getent hosts repo1.maven.org``
+fails to resolve; ``curl https://repo1.maven.org/maven2/...`` returns
+000), ``find / -name '*hadoop-aws*'`` over the whole image finds nothing,
+and pyspark's bundled ``jars/`` directory ships no S3A connector. On a
+real deployment the leg is one line: ``spark.jars.packages =
+org.apache.hadoop:hadoop-aws:<hadoop_version>`` (plus the matching
+aws-sdk bundle), at which point the ``get_spark(s3_endpoint=…)`` config
+this repo already emits is exactly Hadoop-S3A's documented contract
+(fs.s3a.endpoint / path.style.access / credentials provider)."""
 
 import os
 import socket
