@@ -1,0 +1,729 @@
+"""Non-SQL-expressible engine entries (rows-only checks).
+
+Split out of ``__spark_entry__.py`` (round 9): one module per query
+family, registering into the shared registry on import. Entry bodies are
+unchanged — see ``_registry`` for ``_register`` / ``_t`` / the index
+builders, and ``__spark_entry__`` for the driver contract surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+from ._registry import (
+    _IVF_CACHE,
+    _entry_digest,
+    _register,
+    _t,
+    digest_index_for,
+    ivf_index_for,
+    pq_index_for,
+)
+
+# Non-SQL-expressible engine entries (rows-only checks)
+# ===========================================================================
+
+@_register("sparql_bridges")
+def _sparql_bridges(spark, sf_dir):
+    """SPARQL-subset compiler (plans/sparql.py) over an embedded Brick-shaped
+    graph: the timeseries-bridge blank-node query (client.py:123). Graph
+    data is independent of sf_dir (the corpus ships with the engine)."""
+    from mortar_parquet_support_spark.plans.sparql import SparqlEngine
+    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA, parse_ttl
+
+    ttl = """
+    @prefix brick: <https://brickschema.org/schema/Brick#> .
+    @prefix b: <urn:fixture#> .
+    b:p1 a brick:Temperature_Sensor ; brick:timeseries [ brick:hasTimeseriesId "11111111-1111-1111-1111-111111111111" ] .
+    b:p2 a brick:Temperature_Setpoint ; brick:timeseries [ brick:hasTimeseriesId "22222222-2222-2222-2222-222222222222" ] .
+    b:vav a brick:VAV ; brick:hasPoint b:p1, b:p2 .
+    """
+    triples = spark.createDataFrame(parse_ttl(ttl, "site0"), schema=TRIPLES_SCHEMA)
+    engine = SparqlEngine(triples)
+    return engine.sql(
+        """
+        PREFIX brick: <https://brickschema.org/schema/Brick#>
+        SELECT ?vav ?sen ?sp WHERE {
+          ?sen_point a brick:Temperature_Sensor ;
+              brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+          ?sp_point a brick:Temperature_Setpoint ;
+              brick:timeseries [ brick:hasTimeseriesId ?sp ] .
+          ?vav a brick:VAV ; brick:hasPoint ?sen_point, ?sp_point .
+        }
+        """
+    )
+
+
+@_register("ingest_roundtrip")
+def _ingest_roundtrip(spark, sf_dir):
+    """CSV->lake ingest round-trip (sources/ingest.py, transform.py parity):
+    write a small single-stream CSV, ingest, scan back sorted."""
+    import os
+    import tempfile
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.lake import TimeseriesLake
+
+    work = tempfile.mkdtemp(prefix="mortar_entry_")
+    src = os.path.join(work, "csv")
+    os.makedirs(src)
+    uuid = "a0dd74ce-05ee-5fee-8335-2d9856bd52be"
+    with open(os.path.join(src, f"{uuid}.csv"), "w") as fh:
+        fh.write("datetime,test/stream\n")
+        for i in range(500):
+            fh.write(f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}+00:00,{i / 10.0}\n")
+    lake_dir = os.path.join(work, "lake")
+    ingest_directory(spark, "site0", src, lake_dir)
+    lake = TimeseriesLake.open(spark, lake_dir)
+    return lake.scan(uuids=[uuid]).select("uuid", "time", "value", "label", "uri")
+
+
+@_register(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def _streaming_dedup(spark, sf_dir):
+    """Watermark-bounded streaming exact dedup
+    (streaming/rollup.py streaming_dedup_stream,
+    dropDuplicatesWithinWatermark): with the watermark wider than the data's
+    time span, one availableNow pass equals batch DISTINCT — so this
+    streaming operator is fully oracle-checked, unlike most."""
+    from mortar_parquet_support_spark.streaming.rollup import stream_dedup_once
+
+    return stream_dedup_once(spark, sf_dir)
+
+
+@_register(
+    "streaming_sessionize",
+    """
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM e
+    ),
+    s AS (
+      SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT key, session_start, session_end, n_events FROM s, mx
+    -- WATERMARK-SEALED sessions only, at Spark's OWN resolution: the
+    -- watermark and the state timeout are both millisecond-truncated, and
+    -- EventTimeTimeout fires only when the watermark STRICTLY exceeds the
+    -- set timestamp. (Round 8: the operator now holds gap-split sessions
+    -- in state until the watermark seals them — batch parity under late
+    -- data — so the former gap-split emission leg is gone from both the
+    -- operator and this oracle.)
+    WHERE date_trunc('milliseconds', max_ts) - INTERVAL 1 HOUR
+          > date_trunc('milliseconds', session_end) + INTERVAL 6 HOUR
+    """,
+)
+def _streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization with watermark-sealed emission
+    (streaming/rollup.py stateful_sessionize_stream).
+
+    Oracle-checkable after all: over a static fixture the availableNow run
+    emits EXACTLY the gaps-and-islands (lag + cumulative-sum) sessions the
+    final watermark has sealed (session_end + gap < max_ts - delay, ms
+    resolution) — no event the watermark still admits could change them.
+    Unsealed sessions stay in state on both formulations, so the emitted
+    set is deterministic and the SQL oracle reproduces it row-for-row."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        _events_stream,
+        _run_to_memory,
+        stateful_sessionize_stream,
+    )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts")
+    sess = stateful_sessionize_stream(
+        ev, key="user_id", ts="ts", gap="6 hours", watermark="1 hour"
+    )
+    out = _run_to_memory(sess, output_mode="append")
+    # NTZ for the cross-engine compare: collect() renders LTZ in the
+    # driver's OS timezone (same rationale as stream_rollup_once)
+    return out.select(
+        "key",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+@_register(
+    "streaming_enrich",
+    """
+    SELECT e.user_id, e.event_id, e.event_type, e.value,
+           c.c_name AS user_name, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def _streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment join (streaming/rollup.py stream_enrich):
+    events stream decorated from the customer dim per micro-batch, no
+    streaming state. The availableNow emission over a static fixture is
+    exactly the batch left join, so it IS oracle-checkable."""
+    from mortar_parquet_support_spark.streaming.rollup import stream_enrich_once
+
+    return stream_enrich_once(spark, sf_dir)
+
+
+@_register(
+    "streaming_interval_join",
+    """
+    SELECT p.user_id AS user_id, p.event_id AS event_id, p.ts AS ts,
+           c.event_id AS event_id_r, c.ts AS ts_r
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '5 minutes'
+                  AND p.ts + INTERVAL '5 minutes'
+    """,
+)
+def _streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/rollup.py):
+    purchases joined to same-user clicks within a 5-minute band — bounded
+    state via the time band + watermark. With the watermark far wider than
+    the fixture's span, a single availableNow pass emits exactly the batch
+    banded join, so the SQL oracle applies."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_interval_join_once,
+    )
+
+    return stream_interval_join_once(spark, sf_dir)
+
+
+@_register("streaming_distinct_rollup")
+def _streaming_distinct_rollup(spark, sf_dir):
+    """Windowed HLL++ approx-distinct rollup on the events stream
+    (streaming/rollup.py): fixed few-KB state per group vs unbounded
+    exact-distinct state. Streaming emission -> rows-only; equality with
+    the identical batch aggregation is pytest-verified."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_distinct_rollup_once,
+    )
+
+    return stream_distinct_rollup_once(spark, sf_dir)
+
+
+@_register(
+    "streaming_rollup",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def _streaming_rollup(spark, sf_dir):
+    """Structured Streaming windowed rollup (streaming/rollup.py) driven to
+    completion with availableNow over the events parquet; complete-mode
+    emission over the static fixture equals the batch 15-minute bucket
+    aggregate, so the SQL oracle applies (UTC session tz makes Spark's
+    window starts and DuckDB's time_bucket agree)."""
+    from mortar_parquet_support_spark.streaming.rollup import stream_rollup_once
+
+    return stream_rollup_once(spark, sf_dir)
+
+
+@_register(
+    "decontaminate",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+                    range(1, len(w) - 5 + 2),
+                    i -> array_to_string(list_slice(w, i, i + 4), ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS g
+      FROM words
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 1
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 1)
+      WHERE gram IN (SELECT gram FROM eval_grams)
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id % 97 <> 1 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py): remove corpus
+    docs sharing any word 5-gram with a held-out eval slice (doc_id%97==1
+    stands in for the benchmark). Eval shingles broadcast; corpus side is
+    one scan + broadcast semi join — no corpus shuffle."""
+    from mortar_parquet_support_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 1)
+    corpus = docs.filter(F.col("doc_id") % 97 != 1)
+    return decontaminate(
+        corpus, eval_df, id_col="doc_id", text_col="text", ngram_words=5
+    )
+
+
+@_register(
+    "domain_cap",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id
+      ) AS rn FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def _domain_cap(spark, sf_dir):
+    """Per-domain quota (operators/curation.py): keep the 10 longest docs
+    per source — one shuffle on the domain column + per-group row_number,
+    the minimal plan for a grouped top-N."""
+    from mortar_parquet_support_spark.operators.curation import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(
+        docs,
+        domain_col="source",
+        max_per_domain=10,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+
+
+@_register(
+    "text_repetition",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+      ROUND(CASE WHEN len(w) > 0
+        THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+        ELSE 0.0 END, 6) AS dup_word,
+      ROUND(CASE WHEN greatest(len(w) - 1, 0) > 0
+        THEN CAST(greatest(len(w) - 1, 0) - len(list_distinct(list_transform(
+               range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE)
+             / greatest(len(w) - 1, 0)
+        ELSE 0.0 END, 6) AS dup_bigram
+    FROM words
+    """,
+)
+def _text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (operators/text.py): duplicate-word
+    and duplicate-bigram fractions per doc — zero-shuffle array projection."""
+    from mortar_parquet_support_spark.operators.text import (
+        dup_ngram_ratio,
+        dup_word_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(dup_word_ratio(F.col("text")), 6).alias("dup_word"),
+        F.round(dup_ngram_ratio(F.col("text"), 2), 6).alias("dup_bigram"),
+    )
+
+
+@_register(
+    "top_tokens",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 50
+    """,
+)
+def _top_tokens(spark, sf_dir):
+    """Corpus vocabulary top-k (operators/text.py top_tokens): explode +
+    count with map-side partial aggregation — shuffle bounded by
+    vocabulary size, not corpus size."""
+    from mortar_parquet_support_spark.operators.text import top_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_tokens(docs, text_col="text", k=50)
+
+
+@_register(
+    "strip_boilerplate",
+    """
+    WITH base AS (
+      SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents
+    ), exploded AS (
+      SELECT doc_id, string_split(t, chr(10)) AS ls FROM base
+    ), lines AS (
+      SELECT doc_id, CAST(g.i AS INT) AS pos, ls[g.i] AS line
+      FROM exploded, UNNEST(generate_series(1, len(ls))) AS g(i)
+    ), boiler AS (
+      SELECT lower(trim(line)) AS key FROM lines
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 25 AND length(lower(trim(line))) > 0
+    ), kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE lower(trim(line)) NOT IN (SELECT key FROM boiler)
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def _strip_boilerplate(spark, sf_dir):
+    """Cross-corpus boilerplate line removal (operators/curation.py):
+    the synthetic corpus is single-line, so ' the ' deterministically
+    becomes a line break first (same rewrite in the oracle); chunks
+    repeating in >= 25 docs are stripped everywhere, order preserved."""
+    from mortar_parquet_support_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+    )
+    return strip_boilerplate_lines(
+        docs, id_col="doc_id", text_col="text", min_docs=25
+    )
+
+
+@_register(
+    "resolve_duplicates",
+    """
+    WITH RECURSIVE sample AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id % 10 = 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT DISTINCT u, u AS label FROM edges
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u
+    ), drop_ids AS (
+      SELECT u AS doc_id FROM walk GROUP BY u HAVING u <> min(label)
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    """,
+)
+def _resolve_duplicates(spark, sf_dir):
+    """End-to-end dedup resolution (operators/dedup.py resolve_duplicates):
+    exact-Jaccard pairs -> connected components -> keep each cluster's
+    min-id doc, one broadcast anti join against the corpus."""
+    from mortar_parquet_support_spark.functions import char_ngrams
+    from mortar_parquet_support_spark.operators.dedup import resolve_duplicates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast(
+        "double"
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return resolve_duplicates(docs, pairs, id_col="doc_id")
+
+
+@_register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def _tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (predicates adapted to the synthetic schema, which
+    lacks commit/receipt dates): correlated EXISTS -> left semi join, then
+    a group-count."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def _tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode/commit-date columns absent -> returnflag
+    and shipdate): join + conditional aggregation via when/otherwise."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (5, 15, 25, 45)
+      AND p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+)
+def _tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp table absent -> lineitem supplies the
+    part-supplier pairs): NOT IN anti join + count distinct per group."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 45) & (F.col("p_brand") != "Brand#1")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "pack_sequences",
+    """
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(FLOOR(
+             CAST(SUM(n_chars) OVER (
+                PARTITION BY doc_id % 8 ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING
+             ) - n_chars AS DOUBLE) / 2000
+           ) AS BIGINT) AS bin
+    FROM documents
+    """,
+)
+def _pack_sequences(spark, sf_dir):
+    """Sharded contiguous sequence packing (operators/curation.py): docs
+    laid out in id order per shard, each joining the 2000-char bin its
+    running start offset falls into — per-shard window, never a global
+    single-partition cumsum."""
+    from mortar_parquet_support_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, id_col="doc_id", cost_col="n_chars", budget=2000, shards=8
+    )
+
+
+@_register(
+    "tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def _tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (nation names adapted to the synthetic NATION_N
+    values): 5-way join fanning a fact table out through two independent
+    dimension paths (supplier-nation and customer-nation), with a
+    cross-path disjunctive filter and a per-year rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, s.s_nationkey == F.col("s_nk"))
+        .join(n2, c.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@_register("hll_rollup")
+def _hll_rollup(spark, sf_dir):
+    """Mergeable HLL sketch rollup (operators/sketches.py): hourly
+    per-event-type user sketches re-aggregated to daily WITHOUT rescanning
+    raw events. Sketch binaries are engine-specific -> rows-only; the
+    merge property (hourly-union == direct daily exactly in sparse mode,
+    within <1% in dense mode) and <5% error vs exact are pytest-verified
+    (tests/test_operators.py)."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        hll_reaggregate,
+        hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = hll_rollup(
+        ev, ts="ts", bucket="1 hour", keys=["event_type"], distinct_cols=["user_id"]
+    )
+    return hll_reaggregate(
+        hourly.withColumn("day", F.to_date("bucket")),
+        group_cols=["day", "event_type"],
+        sketch_cols=["user_id"],
+    )
+
+
+@_register(
+    "chunk_text",
+    """
+    WITH c AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(CAST(len(text) - 50 AS DOUBLE) / 150) AS BIGINT), 1) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(t.i - 1 AS INT) AS chunk_id,
+           substr(text, CAST((t.i - 1) * 150 + 1 AS BIGINT), 200) AS chunk
+    FROM c, UNNEST(generate_series(1, c.n)) AS t(i)
+    """,
+)
+def _chunk_text(spark, sf_dir):
+    """Overlapping character-window chunking (operators/curation.py):
+    200-char chunks, 50-char overlap (small enough that the synthetic
+    corpus actually multi-chunks) — one scan + posexplode, no shuffle."""
+    from mortar_parquet_support_spark.operators.curation import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, id_col="doc_id", text_col="text",
+                      chunk_chars=200, overlap=50)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@_register(
+    "pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' contact alice.smith+1@example-mail.co'
+             WHEN doc_id % 7 = 1 THEN text || ' call +1 555 867-5309 now'
+             WHEN doc_id % 7 = 2 THEN text || ' from 192.168.10.42 host'
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+      regexp_replace(regexp_replace(regexp_replace(
+        t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS masked
+    FROM injected
+    """,
+)
+def _pii_scrub(spark, sf_dir):
+    """PII audit + masking (operators/curation.py) over documents with
+    deterministically injected email/phone/ip strings (the synthetic corpus
+    has none — injection keeps the check non-vacuous). Patterns are chosen
+    to mean the same thing in Java regex and RE2 so the DuckDB oracle is
+    exact."""
+    from mortar_parquet_support_spark.operators.curation import mask_pii, pii_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact alice.smith+1@example-mail.co")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.col("text"), F.lit(" call +1 555 867-5309 now")))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.col("text"), F.lit(" from 192.168.10.42 host")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        *pii_counts(injected),
+        mask_pii(injected).alias("masked"),
+    )
+
+
+# ===========================================================================

@@ -1,0 +1,405 @@
+"""Timeseries + telemetry operators (SURVEY §2.6 quality-of-life + north-star).
+
+Split out of ``__spark_entry__.py`` (round 9): one module per query
+family, registering into the shared registry on import. Entry bodies are
+unchanged — see ``_registry`` for ``_register`` / ``_t`` / the index
+builders, and ``__spark_entry__`` for the driver contract surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+from ._registry import (
+    _IVF_CACHE,
+    _entry_digest,
+    _register,
+    _t,
+    digest_index_for,
+    ivf_index_for,
+    pq_index_for,
+)
+
+# Timeseries operators (SURVEY §2.6 quality-of-life + north-star)
+# ===========================================================================
+
+@_register(
+    "time_bucket_rollup",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def _time_bucket_rollup(spark, sf_dir):
+    """Hypertable rollup (operators/timeseries.py time_bucket_rollup):
+    per-type 15-minute buckets."""
+    from mortar_parquet_support_spark.operators.timeseries import time_bucket_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_bucket_rollup(
+        ev,
+        ts="ts",
+        keys=["event_type"],
+        bucket="15 minutes",
+        value="value",
+        aggs={"n": "count", "sum_value": "sum", "min_value": "min", "max_value": "max"},
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@_register(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def _sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/timeseries.py sessionize):
+    30-minute gap, events per (user, session)."""
+    from mortar_parquet_support_spark.operators.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ts="ts", keys=["user_id"], gap="30 minutes")
+    return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@_register(
+    "asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, NULL::DOUBLE AS r_value, 1 AS side
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, NULL::BIGINT, value, 0
+      FROM events WHERE event_type = 'click'
+    ), matched AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN r_value END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click_value
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, last_click_value
+    FROM matched WHERE side = 1
+    """,
+)
+def _asof_join(spark, sf_dir):
+    """As-of join (operators/timeseries.py asof_join): each purchase joined
+    to the user's latest preceding-or-simultaneous click value. The oracle
+    states the identical union+window algorithm in SQL, pinning the exact
+    tie semantics on both engines."""
+    from mortar_parquet_support_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("value").alias("r_value")
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], ts="ts", right_cols=["r_value"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("last_click_value")
+    )
+
+
+# ===========================================================================
+
+@_register(
+    "counter_rate",
+    """
+    WITH pre AS (
+      SELECT user_id, ts, sum(event_id % 100) AS inc
+      FROM events GROUP BY user_id, ts
+    ), c AS (
+      SELECT user_id, ts,
+             sum(inc) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) % 1000 AS v
+      FROM pre
+    ), r AS (
+      SELECT user_id, ts, v,
+             lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      FROM c
+    )
+    SELECT user_id, ts,
+           ROUND(CAST(CASE WHEN pv IS NULL THEN NULL
+                           WHEN v >= pv THEN v - pv
+                           ELSE v END AS DOUBLE)
+                 / (CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(pt)) AS BIGINT)), 6) AS rate
+    FROM r
+    """,
+)
+def _counter_rate(spark, sf_dir):
+    """Prometheus-style monotonic-counter rate with reset handling
+    (operators/timeseries.py counter_rate): a synthetic meter per user
+    (integer cumsum of event_id % 100, wrapped mod 1000 so real resets
+    occur) pre-aggregated per (user, ts) so ordering is tie-free — the
+    lag/delta/reset/dt legs all compare exactly (integer counter, whole-
+    second dt on both engines)."""
+    from mortar_parquet_support_spark.operators.timeseries import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy("user_id", "ts").agg(
+        F.sum(F.col("event_id") % 100).alias("inc")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counter = pre.select(
+        "user_id", "ts", (F.sum("inc").over(w) % 1000).alias("v")
+    )
+    out = counter_rate(counter, ts="ts", value="v", keys=["user_id"])
+    return out.select("user_id", "ts", F.round("rate", 6).alias("rate"))
+
+
+@_register(
+    "qc_flags",
+    """
+    WITH pre AS (
+      SELECT user_id, ts, sum(event_id % 100) AS v
+      FROM events GROUP BY user_id, ts
+    ), s AS (
+      SELECT user_id, ts, v,
+             avg(v) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m,
+             stddev_samp(v) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd,
+             lag(v, 1) OVER (PARTITION BY user_id ORDER BY ts) AS p1,
+             lag(v, 2) OVER (PARTITION BY user_id ORDER BY ts) AS p2,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      FROM pre
+    )
+    SELECT user_id, ts,
+           coalesce(ROUND(abs(v - m) - 3.0 * sd, 6) > 0 AND sd > 0, false)
+             AS qc_spike,
+           coalesce(p1 = v AND p2 = v, false) AS qc_flatline,
+           coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(pt)) AS BIGINT) > 1800, false) AS qc_gap
+    FROM s
+    """,
+)
+def _qc_flags(spark, sf_dir):
+    """Sensor-stream QC screening (operators/timeseries.py qc_flags):
+    spike vs a trailing 10-reading baseline (current excluded), 3-long
+    flatline, 30-minute gap — over the tie-free integer per-(user, ts)
+    stream. The spike margin is ROUNDED to 6dp on both engines
+    (spike_round=6 / SQL ROUND) so a reading sitting exactly on the
+    3-sigma boundary cannot flip on a last-ulp stddev-accumulation
+    difference between Spark and DuckDB."""
+    from mortar_parquet_support_spark.operators.timeseries import qc_flags
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy("user_id", "ts").agg(
+        F.sum(F.col("event_id") % 100).alias("v")
+    )
+    out = qc_flags(
+        pre, ts="ts", value="v", keys=["user_id"], window=10,
+        spike_sigmas=3.0, flatline_n=3, max_gap="30 minutes",
+        spike_round=6,
+    )
+    return out.select("user_id", "ts", "qc_spike", "qc_flatline", "qc_gap")
+
+
+@_register(
+    "cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS b
+      FROM events WHERE user_id IS NOT NULL
+    ), f AS (
+      SELECT user_id, min(b) AS cohort FROM e GROUP BY 1
+    ), a AS (
+      SELECT f.cohort, e.b - f.cohort AS period_offset,
+             count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN f USING (user_id) GROUP BY 1, 2
+    ), s AS (SELECT cohort, count(*) AS sz FROM f GROUP BY 1)
+    SELECT CAST(a.cohort AS BIGINT) AS cohort,
+           CAST(a.period_offset AS BIGINT) AS period_offset,
+           CAST(a.n_users AS BIGINT) AS n_users,
+           ROUND(CAST(a.n_users AS DOUBLE) / s.sz, 6) AS retention_rate
+    FROM a JOIN s USING (cohort)
+    """,
+)
+def _cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the events stream
+    (operators/timeseries.py cohort_retention): users bucketed by
+    first-activity week, then distinct-active counts per later week —
+    the double-aggregation product-analytics shape next to the funnel."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, ts="ts", user="user_id", period="1 week")
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("period_offset").cast("long").alias("period_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+        "retention_rate",
+    )
+
+
+@_register(
+    "transition_matrix",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL
+    ), c AS (
+      SELECT from_type, to_type, count(*) AS n FROM p GROUP BY 1, 2
+    ), t AS (SELECT from_type, sum(n) AS tt FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / t.tt, 6) AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def _transition_matrix(spark, sf_dir):
+    """Event-to-next-event transition counts + row-normalized
+    probabilities (operators/timeseries.py transition_matrix) — the
+    Sankey/Markov input; event_id breaks timestamp ties so both engines
+    walk identical journeys."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, ts="ts", user="user_id", order_tiebreak=["event_id"]
+    ).select("from_type", "to_type", F.col("n").cast("long").alias("n"), "p")
+
+
+@_register(
+    "lttb_downsample",
+    """
+    WITH RECURSIVE pre AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CAST(sum(event_id % 100) AS BIGINT) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), pts AS (
+      SELECT user_id, tsec, v,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY tsec) - 1
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM pre
+    ), big_users AS (
+      SELECT DISTINCT user_id, n FROM pts WHERE n > 60
+    ), bounds AS (
+      -- np.linspace(1, n-1, 59).astype(int64): y_i = (i*step)+1 truncated,
+      -- endpoint pinned to n-1 exactly (verified bit-identical for every
+      -- n in 61..3000 plus spot checks to 100001)
+      SELECT u.user_id, u.n, r.i,
+             CASE WHEN r.i = 58 THEN u.n - 1
+                  ELSE CAST(floor(1.0 + CAST(r.i AS DOUBLE)
+                            * ((CAST(u.n AS DOUBLE) - 2.0) / 58.0)) AS BIGINT)
+             END AS bnd
+      FROM big_users u, range(59) r(i)
+    ), walk AS (
+      -- the sequential LTTB pick as a recursive CTE: state = (user, bucket,
+      -- anchor row); each step averages the NEXT bucket (cx, cy), scores
+      -- this bucket's candidates with the same 4-op triangle-area formula
+      -- the kernel vectorizes, and takes argmax with first-index
+      -- tie-breaking (min over [-area, rn] lists)
+      SELECT user_id, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS a
+      FROM big_users
+      UNION ALL
+      SELECT user_id, bb, CAST(min(mkey)[2] AS BIGINT) AS a
+      FROM (
+        SELECT s.user_id, s.bb,
+               [ -abs( (s.ax - s.cx) * (CAST(c.v AS DOUBLE) - s.ay)
+                     - (s.ax - CAST(c.tsec AS DOUBLE)) * (s.cy - s.ay) ),
+                 CAST(c.rn AS DOUBLE) ] AS mkey
+        FROM (
+          SELECT w.user_id, w.b + 1 AS bb, b0.bnd AS lo, b1.bnd AS hi,
+                 CAST(ap.tsec AS DOUBLE) AS ax, CAST(ap.v AS DOUBLE) AS ay,
+                 avg(CAST(np_.tsec AS DOUBLE)) AS cx,
+                 avg(CAST(np_.v AS DOUBLE)) AS cy
+          FROM walk w
+          JOIN bounds b0 ON b0.user_id = w.user_id AND b0.i = w.b + 1
+          JOIN bounds b1 ON b1.user_id = w.user_id AND b1.i = w.b + 2
+          LEFT JOIN bounds b2 ON b2.user_id = w.user_id AND b2.i = w.b + 3
+          JOIN pts ap ON ap.user_id = w.user_id AND ap.rn = w.a
+          JOIN pts np_ ON np_.user_id = w.user_id AND np_.rn >= b1.bnd
+                      AND np_.rn < coalesce(b2.bnd, np_.n)
+          WHERE w.b + 1 <= 57
+          GROUP BY 1, 2, 3, 4, 5, 6
+        ) s
+        JOIN pts c ON c.user_id = s.user_id AND c.rn >= s.lo AND c.rn < s.hi
+      )
+      GROUP BY user_id, bb
+    ), sel AS (
+      SELECT user_id, a AS rn FROM walk
+      UNION ALL
+      SELECT user_id, n - 1 AS rn FROM big_users
+    )
+    SELECT p.user_id, p.tsec, p.v
+    FROM pts p JOIN sel s ON p.user_id = s.user_id AND p.rn = s.rn
+    UNION ALL
+    SELECT user_id, tsec, v FROM pts WHERE n <= 60
+    """,
+)
+def _lttb_downsample(spark, sf_dir):
+    """Dashboard-serving LTTB downsampling (operators/timeseries.py
+    lttb_downsample): each user's event stream reduced to 60
+    visually-representative points.
+
+    Promoted from rows-only to a full DuckDB oracle (round-9 ask): the
+    sequential pick is a RECURSIVE CTE whose per-step argmax replays the
+    kernel bit-for-bit. Exactness argument: x = epoch SECONDS (~1.7e9,
+    exact in float64 — the kernel's default ns would not be), y =
+    integer sums, so both engines' bucket means divide identical exact
+    sums; the triangle-area arithmetic is the same 4 IEEE ops on
+    identical operands; np.argmax's first-max-wins tie-break is
+    min([-area, rn]); np.linspace truncation is replayed with matching
+    op order and a pinned endpoint. Verified identical at sf0.001 /
+    sf0.01 / sf0.1."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy(
+        "user_id", F.unix_timestamp(F.col("ts")).alias("tsec")
+    ).agg(F.sum(F.col("event_id") % 100).alias("v"))
+    return lttb_downsample(
+        pre, ts="tsec", value="v", keys=["user_id"], n_out=60
+    )
