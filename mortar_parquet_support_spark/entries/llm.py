@@ -2230,3 +2230,149 @@ def _hashed_embed(spark, sf_dir):
         F.col("n_grams").cast("long").alias("n_grams"),
         F.posexplode("embedding").alias("pos", "val"),
     )
+
+
+@_register(
+    "contamination_score",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+                    range(1, len(w) - 5 + 2),
+                    i -> array_to_string(list_slice(w, i, i + 4), ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS g
+      FROM words
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 1
+    ),
+    cg AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 1
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_grams,
+             count(CASE WHEN gram IN (SELECT gram FROM eval_grams)
+                        THEN 1 END) AS n_cont
+      FROM cg WHERE gram <> '' GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_cont, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(a.n_cont AS DOUBLE) / a.n_grams, 6) AS contamination
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 1) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def _contamination_score(spark, sf_dir):
+    """Scored decontamination (operators/curation.py contamination_score):
+    per corpus doc, the fraction of its distinct word 5-grams found in the
+    eval slice (doc_id%97==1 stands in for the benchmark) — the graded
+    sibling of the binary decontaminate entry, same broadcast-eval /
+    one-corpus-scan shape. The ratio is exact (integer counts divided
+    once) so ROUND(...,6) agrees across engines; shingle-less docs report
+    NULL contamination on both sides."""
+    from mortar_parquet_support_spark.operators.curation import (
+        contamination_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = contamination_score(
+        docs.filter(F.col("doc_id") % 97 != 1),
+        docs.filter(F.col("doc_id") % 97 == 1),
+        id_col="doc_id",
+        text_col="text",
+        ngram_words=5,
+    )
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+@_register(
+    "canonical_urls",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'https://' || source || '.example.com/Docs/'
+                         || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+             WHEN 1 THEN 'http://' || source || '.example.com/'
+             WHEN 2 THEN 'https://' || source || '.example.com/a/b?UP=1&a=2'
+             WHEN 3 THEN 'http://' || lower(source) || '.example.com/Mixed/'
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'https://' || source || '.example.com/'
+             ELSE NULL
+           END AS canonical_url
+    FROM documents
+    """,
+)
+def _canonical_urls(spark, sf_dir):
+    """Crawl URL canonicalization (operators/curation.py
+    canonicalize_url): six synthesized variants per doc exercise case
+    folding, www/default-port/fragment strip, tracking-param removal,
+    query sort, and the trailing-slash + bare-host rules; the oracle
+    derives the expected canonical string per variant independently
+    (expected-by-construction), so every branch is value-hashed."""
+    from mortar_parquet_support_spark.operators.curation import (
+        canonicalize_url,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?b=2&a=1&utm_source=feed&fbclid=x#sec"),
+        ))
+        .when(v == 1, F.concat(F.lit("http://"), host, F.lit(":80")))
+        .when(v == 2, F.concat(
+            F.lit("https://www."), host, F.lit("/a/b/?a=2&UP=1&UTM_CAMPAIGN=c#f"),
+        ))
+        .when(v == 3, F.concat(
+            F.lit("HTTP://"), F.upper(host), F.lit("/Mixed/"),
+            F.col("doc_id").cast("string"),
+        ))
+        .when(v == 4, F.concat(F.lit("https://"), host, F.lit("/?gclid=z")))
+        .otherwise(F.concat(F.lit("no-scheme-"), F.col("doc_id").cast("string")))
+    )
+    return docs.select(
+        "doc_id", canonicalize_url(raw).alias("canonical_url")
+    )
+
+
+@_register(
+    "heavy_hitters",
+    """
+    SELECT lang, w AS item, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(64 AS INT) AS k
+    FROM (
+      SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ) WHERE w <> ''
+    GROUP BY lang, w
+    """,
+)
+def _heavy_hitters(spark, sf_dir):
+    """Bounded-state heavy hitters (operators/sketches.py heavy_hitters =
+    mg_rollup partition-local Misra-Gries -> mg_reaggregate window trim):
+    top words per language over the documents corpus. k=64 exceeds the
+    fixture vocabulary (31 words), so the MG summary is provably EXACT
+    (no trim ever fires) and the full mapInArrow + merge path value-
+    hashes against plain GROUP BY counts; the lossy regime's frequency
+    guarantee (miss/undercount <= n/(k+1)) is pytest-pinned."""
+    from mortar_parquet_support_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+        ).alias("word"),
+    )
+    return heavy_hitters(words, item="word", keys=["lang"], k=64)

@@ -132,6 +132,69 @@ def decontaminate(
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
 
 
+def contamination_score(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    ngram_words: int = 3,
+) -> DataFrame:
+    """Scored decontamination — the graded sibling of
+    :func:`contaminated_ids`: per corpus document, how MUCH of it overlaps
+    the eval set, as the fraction of its distinct word n-grams found
+    there. Real pipelines threshold this (e.g. drop > 0.8 "benchmark
+    paraphrases", keep <= 0.05 incidental collisions) where the binary
+    any-collision test is too blunt for short n.
+
+    Returns one row per corpus document: (``id_col``, ``n_grams``,
+    ``n_contaminated``, ``contamination``), with ``contamination`` NULL
+    when the document has no shingles (NULL/empty/whitespace-only text —
+    overlap is undefined, not zero).
+
+    Scale shape: identical to :func:`contaminated_ids` on the eval side
+    (distinct benchmark shingles broadcast); the corpus side is one scan
+    + explode + broadcast LEFT join, then a per-document count aggregate
+    — the only shuffle carries (id, hit-bit) pairs bounded by
+    tokens/doc, and the final LEFT join back onto the id set restores
+    shingle-less documents."""
+    eval_text = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(eval_text), ngram_words)).alias("_g")
+        )
+        .filter(F.col("_g") != "")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), ngram_words)).alias("_g"),
+    ).withColumn(
+        # the whole-document fallback shingles blank text to [''] — that
+        # is "no shingles", not a matchable gram (same rule as the eval
+        # side above)
+        "_g",
+        F.when(F.col("_g") != "", F.col("_g")),
+    )
+    counted = (
+        grams.join(F.broadcast(eval_grams), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    return counted.withColumn(
+        "contamination",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_contaminated") / F.col("n_grams"),
+        ),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     *,
@@ -417,3 +480,128 @@ def budget_select(
         .filter(F.col("__peak") <= budget)
         .drop("__peak")
     )
+
+
+#: query parameters every crawl pipeline strips before URL-keyed dedup:
+#: pure tracking state that multiplies otherwise-identical fetch targets.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
+
+
+def canonicalize_url(
+    url,
+    *,
+    strip_www: bool = True,
+    strip_fragment: bool = True,
+    tracking_prefixes: "tuple[str, ...]" = TRACKING_PARAM_PREFIXES,
+    tracking_params: "tuple[str, ...]" = TRACKING_PARAMS,
+) -> Column:
+    """Canonical form of an absolute http(s) URL, JVM-side (pure
+    projection — composes with any scan, zero shuffle): lowercase scheme
+    and host, optional ``www.`` strip, default-port strip (``:80`` for
+    http, ``:443`` for https), fragment strip, tracking-parameter removal
+    (exact names + prefixes, case-insensitive), remaining query params
+    sorted bytewise, trailing path ``/`` stripped (bare host keeps
+    ``/``). Non-absolute inputs (no ``://``) and NULLs canonicalize to
+    NULL — the caller decides whether that is a reject or a passthrough.
+
+    This is the key-normalization half of crawl dedup: two fetches of the
+    same resource that differ only in case, tracking noise, param order,
+    or a trailing slash collapse to one key (pair with
+    operators/dedup.py exact dedup on the result). Everything is built
+    from locate/substr/split-on-literal primitives so an engine-parity
+    oracle can replay it step for step — no URI-library semantics hide in
+    the middle.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+
+    def before(c, sep):  # text before first sep (whole string if absent)
+        i = F.instr(c, sep)
+        return F.when(i > 0, c.substr(F.lit(1), i - 1)).otherwise(c)
+
+    def after(c, sep):  # text after first sep (NULL if absent)
+        i = F.instr(c, sep)
+        return F.when(i > 0, c.substr(i + F.lit(len(sep)), F.length(c)))
+
+    no_frag = before(u, "#") if strip_fragment else u
+    base = before(no_frag, "?")
+    query = after(no_frag, "?")
+    scheme = F.lower(before(base, "://"))
+    hostpath = after(base, "://")
+
+    slash = F.instr(hostpath, "/")
+    hostport = F.lower(
+        F.when(slash > 0, hostpath.substr(F.lit(1), slash - 1)).otherwise(hostpath)
+    )
+    path = F.when(slash > 0, hostpath.substr(slash, F.length(hostpath))).otherwise(
+        F.lit("/")
+    )
+    if strip_www:
+        hostport = F.when(
+            hostport.startswith("www."),
+            hostport.substr(F.lit(5), F.length(hostport)),
+        ).otherwise(hostport)
+    hostport = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        hostport.substr(F.lit(1), F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        hostport.substr(F.lit(1), F.length(hostport) - 4),
+    ).otherwise(hostport)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+
+    def is_tracking(kv):
+        name = F.lower(before(kv, "="))
+        t = F.lit(False)
+        for p in tracking_params:
+            t = t | (name == p.lower())
+        for pre in tracking_prefixes:
+            t = t | name.startswith(pre.lower())
+        return t
+
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda kv: (kv != "") & ~is_tracking(kv),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(hostpath.isNotNull() & (hostport != ""), canon)
+
+
+def dedup_by_url(
+    df: DataFrame,
+    *,
+    url_col: str,
+    order_by: "Sequence[Column | str] | None" = None,
+    canon_col: str = "canonical_url",
+    **canon_kwargs,
+) -> DataFrame:
+    """Crawl dedup on the canonical URL key: keep ONE row per
+    :func:`canonicalize_url` result (ties broken by ``order_by``, which
+    callers should make deterministic — e.g. freshest fetch first).
+    Rows whose URL does not canonicalize (NULL / relative) pass through
+    untouched: they have no key to collide on. One hash-partition
+    shuffle on the canonical key + a row_number window — the
+    domain_cap plan shape, AQE handles skewed hosts."""
+    keyed = df.withColumn(canon_col, canonicalize_url(url_col, **canon_kwargs))
+    keyless = keyed.filter(F.col(canon_col).isNull())
+    order = list(order_by) if order_by is not None else [F.col(url_col)]
+    w = Window.partitionBy(canon_col).orderBy(*order)
+    kept = (
+        keyed.filter(F.col(canon_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.unionByName(keyless)

@@ -20,7 +20,7 @@ partitions, fixed memory per group.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -478,4 +478,161 @@ def cms_estimate(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: the bounded-state answer to "top items per key"
+# ---------------------------------------------------------------------------
+
+def _mg_trim(counters: dict, k: int) -> dict:
+    """Misra-Gries merge trim (Agarwal et al., Mergeable Summaries): if
+    more than ``k`` counters, subtract the (k+1)-th largest count from
+    all and drop the non-positive — the step that keeps state bounded
+    while preserving the freq(x) - n/(k+1) <= est(x) <= freq(x)
+    guarantee under arbitrary merges."""
+    if len(counters) <= k:
+        return counters
+    t = sorted(counters.values(), reverse=True)[k]
+    return {i: c - t for i, c in counters.items() if c - t > 0}
+
+
+def mg_rollup(
+    df: DataFrame,
+    *,
+    item: str,
+    keys: "list[str] | None" = None,
+    k: int = 64,
+) -> DataFrame:
+    """One raw scan -> per-partition Misra-Gries summaries: rows
+    (keys..., ``item``, ``cnt``, ``k``), at most ``k`` items per key per
+    input partition. NULL items are dropped (count them separately), and
+    the ``k`` parameter rides along in the state like cms carries
+    (depth, width, seed), so incompatible summaries can never silently
+    mix.
+
+    This is the bounded-state alternative to an exact
+    groupBy(keys, item).count() when item cardinality is unbounded (URLs,
+    n-grams, user ids at 100 TB): each task keeps <= k counters per key
+    in memory — via pandas ``value_counts`` per Arrow batch merged into a
+    dict with the MG trim — and the shuffle that follows
+    (:func:`mg_reaggregate`) carries n_partitions x k rows per key
+    instead of the full distinct-item set. Guarantee after any merge
+    tree: every item with true frequency > n/(k+1) survives, and its
+    count is undercounted by at most n/(k+1); with k >= the true distinct
+    count the summary is EXACT (no trim ever fires — the oracle-checked
+    regime)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    keys = list(keys or [])
+    src = df.filter(F.col(item).isNotNull()).select(
+        *keys, F.col(item).cast("string").alias("__item")
+    )
+    key_fields = [src.schema[c] for c in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("item", T.StringType(), False),
+            T.StructField("cnt", T.LongType(), False),
+            T.StructField("k", T.IntegerType(), False),
+        ]
+    )
+    def summarize(batches):
+        state: dict = {}  # key tuple -> {item: cnt}
+        key_vals: dict = {}  # key tuple -> original typed values
+        first = None
+        for batch in batches:
+            if first is None:
+                first = batch
+            pdf = batch.to_pandas()
+            if keys:
+                grouped = pdf.groupby(keys, dropna=False, sort=False)["__item"]
+                for gk, items_series in grouped:
+                    gk = gk if isinstance(gk, tuple) else (gk,)
+                    counters = state.setdefault(gk, {})
+                    key_vals.setdefault(gk, gk)
+                    for it, c in items_series.value_counts().items():
+                        counters[it] = counters.get(it, 0) + int(c)
+                    state[gk] = _mg_trim(counters, k)
+            else:
+                counters = state.setdefault((), {})
+                for it, c in pdf["__item"].value_counts().items():
+                    counters[it] = counters.get(it, 0) + int(c)
+                state[()] = _mg_trim(counters, k)
+        if not state:
+            return
+        import pandas as pd
+
+        rows = [
+            (*gk, it, cnt, k)
+            for gk, counters in state.items()
+            for it, cnt in counters.items()
+        ]
+        out = pd.DataFrame(rows, columns=[*keys, "item", "cnt", "k"])
+        yield pa.RecordBatch.from_pandas(
+            out, schema=pa.schema(to_arrow_schema_fields), preserve_index=False
+        )
+
+    # resolve the Arrow output schema once, driver-side (matching Spark's
+    # own converter so key dtypes round-trip exactly)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    to_arrow_schema_fields = [
+        *[(f.name, to_arrow_type(f.dataType)) for f in key_fields],
+        ("item", pa.string()),
+        ("cnt", pa.int64()),
+        ("k", pa.int32()),
+    ]
+    return src.mapInArrow(summarize, out_schema)
+
+
+def mg_reaggregate(state: DataFrame, *, group_cols: "list[str]") -> DataFrame:
+    """Merge Misra-Gries summaries to one <= k-row summary per group —
+    sum counts per item, then apply the MG trim with WINDOW functions
+    (rank the summed counts, subtract the (k+1)-th largest, drop
+    non-positive): the same algebra :func:`_mg_trim` runs in-process,
+    expressed as two exchanges over summary-sized data (n_summaries x k
+    rows per group — never raw data). ``k`` joins the grouping so
+    incompatible summaries stay apart (mixing would silently void the
+    error bound)."""
+    summed = state.groupBy(*group_cols, "k", "item").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w = Window.partitionBy(*group_cols, "k")
+    wr = w.orderBy(F.col("cnt").desc(), F.col("item"))
+    ranked = summed.withColumn("__rn", F.row_number().over(wr))
+    kth1 = F.max(
+        F.when(F.col("__rn") == F.col("k") + 1, F.col("cnt"))
+    ).over(w)
+    return (
+        ranked.withColumn("__t", F.coalesce(kth1, F.lit(0)))
+        .filter((F.col("__rn") <= F.col("k")) & (F.col("cnt") - F.col("__t") > 0))
+        .select(
+            *group_cols,
+            "item",
+            (F.col("cnt") - F.col("__t")).alias("cnt"),
+            "k",
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    *,
+    item: str,
+    keys: "list[str] | None" = None,
+    k: int = 64,
+) -> DataFrame:
+    """End-to-end bounded-state heavy hitters per key:
+    :func:`mg_rollup` (partition-local summaries) piped through
+    :func:`mg_reaggregate` (global merge + trim). Returns at most ``k``
+    rows per key, counts are MG estimates (exact when k >= true distinct
+    count; otherwise undercount <= n/(k+1))."""
+    keys = list(keys or [])
+    return mg_reaggregate(
+        mg_rollup(df, item=item, keys=keys, k=k), group_cols=keys
     )

@@ -3899,3 +3899,132 @@ def test_group_distinct_approx_within_rsd(spark):
             assert abs(a - e) <= max(5, 0.10 * e), (flag, col, e, a)
     plan = plan_str(approx_df).split("== Initial Plan ==")[0]
     assert "Expand" not in plan
+
+
+def test_contamination_score_fractions(spark):
+    """contamination_score: exact per-doc overlap fractions, NULL for
+    shingle-less docs, 1.0 for full containment, binary-decontaminate
+    agreement (score > 0 <=> contaminated_ids)."""
+    from mortar_parquet_support_spark.operators.curation import (
+        contaminated_ids,
+        contamination_score,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c","b c d" -> 1 of 2 hit
+            (2, "a b c"),          # gram: "a b c" -> fully contained
+            (3, "x y z w"),        # no overlap
+            (4, "  "),             # whitespace-only: no shingles
+            (5, None),             # NULL text: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "a b c"), (101, "q r s")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination_score(
+            corpus, eval_df, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1].n_grams == 2 and rows[1].n_contaminated == 1
+    assert abs(rows[1].contamination - 0.5) < 1e-12
+    assert rows[2].contamination == 1.0
+    assert rows[3].contamination == 0.0 and rows[3].n_grams == 2
+    for d in (4, 5):
+        assert rows[d].n_grams == 0 and rows[d].contamination is None
+    flagged = {
+        r.doc_id
+        for r in contaminated_ids(
+            corpus, eval_df, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    assert flagged == {d for d, r in rows.items() if (r.contamination or 0) > 0}
+
+
+def test_canonicalize_url_rules(spark):
+    from mortar_parquet_support_spark.operators.curation import canonicalize_url
+
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/Docs/P/?b=2&a=1&utm_source=x&fbclid=z#f":
+            "https://ex.com/Docs/P?a=1&b=2",
+        "http://ex.com:80/": "http://ex.com/",
+        "http://ex.com": "http://ex.com/",          # bare host gains '/'
+        "https://ex.com/a/b/": "https://ex.com/a/b",  # trailing slash strip
+        "https://ex.com:8080/x": "https://ex.com:8080/x",  # non-default port kept
+        "not a url": None,
+        "": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.c for r in df.withColumn("c", canonicalize_url("url")).collect()}
+    assert got == cases
+
+
+def test_dedup_by_url_collapses_variants(spark):
+    from mortar_parquet_support_spark.operators.curation import dedup_by_url
+
+    rows = [
+        (1, "https://ex.com/a?x=1&utm_source=s"),
+        (2, "HTTPS://WWW.EX.COM/a/?x=1"),   # same canonical as 1
+        (3, "https://ex.com/b"),
+        (4, "relative/path"),                # keyless: passes through
+        (5, None),                           # keyless: passes through
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = dedup_by_url(df, url_col="url", order_by=[F.col("id")])
+    kept = sorted(r.id for r in out.collect())
+    assert kept == [1, 3, 4, 5]  # id 2 collapsed into 1 (lower id wins)
+    canon = {r.id: r.canonical_url for r in out.collect()}
+    assert canon[1] == "https://ex.com/a?x=1" and canon[4] is None
+
+
+def test_heavy_hitters_mg_guarantees(spark):
+    """Misra-Gries heavy hitters: (a) the lossy regime obeys the
+    mergeable-summaries guarantee — every item with true frequency >
+    n/(k+1) survives, and every estimate lies in
+    [freq - n/(k+1), freq]; (b) with k >= true distinct count the
+    summary is EXACT; (c) summaries built with different k never merge."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        heavy_hitters,
+        mg_reaggregate,
+        mg_rollup,
+    )
+
+    rows = []
+    for i in range(50):  # zipf-ish skew: item i has freq ~ 1000/(i+1)
+        rows += [(1, f"item{i:02d}")] * (1000 // (i + 1))
+    df = spark.createDataFrame(rows, "g int, item string").repartition(8)
+    n = df.count()
+    exact = {
+        r.item: r.cnt
+        for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    k = 10
+    got = {
+        r.item: r.cnt
+        for r in heavy_hitters(df, item="item", keys=["g"], k=k).collect()
+    }
+    assert len(got) <= k
+    thr = n / (k + 1)
+    for it, f_true in exact.items():
+        if f_true > thr:
+            assert it in got, (it, f_true, thr)
+    for it, est in got.items():
+        assert exact[it] - thr <= est <= exact[it], (it, exact[it], est)
+    # exact regime
+    full = {
+        r.item: r.cnt
+        for r in heavy_hitters(df, item="item", keys=["g"], k=64).collect()
+    }
+    assert full == exact
+    # different-k summaries stay on separate rows instead of mixing
+    s1 = mg_rollup(df, item="item", keys=["g"], k=5)
+    s2 = mg_rollup(df, item="item", keys=["g"], k=7)
+    merged = mg_reaggregate(s1.unionByName(s2), group_cols=["g"])
+    ks = {r.k for r in merged.select("k").distinct().collect()}
+    assert ks == {5, 7}
+    with pytest.raises(ValueError, match="k must be"):
+        mg_rollup(df, item="item", k=0)
