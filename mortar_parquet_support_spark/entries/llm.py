@@ -2376,3 +2376,27 @@ def _heavy_hitters(spark, sf_dir):
         ).alias("word"),
     )
     return heavy_hitters(words, item="word", keys=["lang"], k=64)
+
+
+@_register(
+    "streaming_heavy_hitters",
+    """
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(16 AS INT) AS k
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    """,
+)
+def _streaming_heavy_hitters(spark, sf_dir):
+    """Cross-batch bounded-state heavy hitters (streaming/rollup.py
+    stream_heavy_hitters): per micro-batch Misra-Gries summaries merged
+    into a persisted <= k-row running state via foreachBatch — forever
+    top-items state that neither exact streaming groupBy (unbounded) nor
+    watermarked state (forgets) provides. k=16 > the fixture's 5 event
+    types, so the final state provably equals exact GROUP BY counts and
+    value-hashes against DuckDB; the lossy regime is covered by the batch
+    operator's pytest guarantee."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_heavy_hitters_once,
+    )
+
+    return stream_heavy_hitters_once(spark, sf_dir)

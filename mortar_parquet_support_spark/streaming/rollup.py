@@ -571,3 +571,79 @@ def stream_distinct_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("nd").cast("long").alias("nd"),
     )
+
+
+def stream_heavy_hitters(
+    stream_df,
+    *,
+    item: str,
+    keys: "list[str] | None" = None,
+    k: int = 64,
+    state_path: str,
+):
+    """Cross-batch bounded-state heavy hitters: each micro-batch is
+    summarized with partition-local Misra-Gries
+    (:func:`~mortar_parquet_support_spark.operators.sketches.mg_rollup`),
+    merged with the persisted running summary
+    (:func:`~...sketches.mg_reaggregate` — the window-expressed MG trim),
+    and written back. State is <= k rows per key FOREVER, whatever the
+    stream's item cardinality — the property neither an exact streaming
+    groupBy (unbounded state) nor a watermarked one (forgets old items)
+    gives. Mergeable-summaries algebra makes the result independent of
+    batch boundaries up to the standard MG bound; with k >= true distinct
+    count the final state is EXACT (the oracle-checked regime).
+
+    The state round-trips through the driver each batch — bounded by
+    contract at keys x k rows (the same small-by-contract shape as
+    DigestIndex Bloom segments), which sidesteps reading and overwriting
+    one parquet path inside a single job. Returns the configured
+    ``DataStreamWriter`` (caller starts it with a checkpoint +
+    availableNow). At-least-once caveat: a crash between the state write
+    and the checkpoint commit replays the batch into the merged summary,
+    which can overcount replayed items by one batch's worth — acceptable
+    for a ranking signal; exact pipelines use the batch operator."""
+    from mortar_parquet_support_spark.operators.sketches import (
+        mg_reaggregate,
+        mg_rollup,
+    )
+
+    keys = list(keys or [])
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        summary = mg_rollup(batch_df, item=item, keys=keys, k=k)
+        try:
+            prev = spark.read.parquet(state_path)
+        except Exception:
+            prev = None
+        if prev is not None:
+            summary = summary.unionByName(prev)
+        merged = mg_reaggregate(summary, group_cols=keys)
+        rows = merged.collect()  # <= keys x k rows by construction
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def stream_heavy_hitters_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming heavy hitters over the events parquet
+    (availableNow) and return the final persisted summary. k=16 exceeds
+    the fixture's event_type cardinality, so the result provably equals
+    exact GROUP BY counts — the oracle's check."""
+    import tempfile
+
+    state = tempfile.mkdtemp(prefix="mortar_mg_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="mortar_mg_ckpt_")
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    q = (
+        stream_heavy_hitters(
+            ev, item="event_type", keys=[], k=16, state_path=state
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state).select("item", "cnt", "k")

@@ -174,3 +174,69 @@ def test_stream_neardedup_cross_batch(spark, tmp_path):
     assert first in ([1, 3], [1, 2, 3])
     if first == [1, 3]:
         assert run(str(tmp_path / "chk2")) == []
+
+
+def test_stream_heavy_hitters_cross_batch_merge(spark, tmp_path):
+    """stream_heavy_hitters: two files driven one per micro-batch must
+    merge into the same summary the batch operator computes over the
+    union — exactly equal in the exact regime (k >= distinct), and
+    within the MG bound (undercount <= n/(k+1), heavy items present) in
+    the lossy regime."""
+    from mortar_parquet_support_spark.operators.sketches import heavy_hitters
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_heavy_hitters,
+    )
+
+    rows1 = [(i, f"w{i % 7:02d}") for i in range(140)]
+    rows2 = [(i, f"w{i % 4:02d}") for i in range(80)]  # skews w00..w03
+    src = str(tmp_path / "src")
+    _write_docs(spark, os.path.join(src, "f1"), rows1)
+    _write_docs(spark, os.path.join(src, "f2"), rows2)
+    batch_all = spark.createDataFrame(
+        rows1 + rows2, "doc_id long, text string"
+    )
+
+    def run(k, state_dir, ckpt_dir):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            stream_heavy_hitters(
+                stream, item="text", keys=[], k=k,
+                state_path=str(tmp_path / state_dir),
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt_dir))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.item: r.cnt
+            for r in spark.read.parquet(str(tmp_path / state_dir)).collect()
+        }
+
+    exact = {
+        r.text: r.cnt
+        for r in batch_all.groupBy("text").agg(F.count("*").alias("cnt")).collect()
+    }
+    # exact regime: k >= 7 distinct -> state equals plain counts
+    assert run(16, "state16", "ckpt16") == exact
+    # lossy regime: MG bound holds after the cross-batch merge
+    k = 3
+    got = run(k, "state3", "ckpt3")
+    n = len(rows1) + len(rows2)
+    thr = n / (k + 1)
+    assert len(got) <= k
+    for it, f_true in exact.items():
+        if f_true > thr:
+            assert it in got, (it, f_true, thr)
+    for it, est in got.items():
+        assert exact[it] - thr <= est <= exact[it], (it, exact[it], est)
+    # the streamed lossy summary equals the batch operator's on the union
+    batch_mg = {
+        r.item: r.cnt
+        for r in heavy_hitters(batch_all, item="text", k=k).collect()
+    }
+    assert set(got) <= set(exact) and set(batch_mg) <= set(exact)
