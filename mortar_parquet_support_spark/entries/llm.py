@@ -2400,3 +2400,29 @@ def _streaming_heavy_hitters(spark, sf_dir):
     )
 
     return stream_heavy_hitters_once(spark, sf_dir)
+
+
+@_register(
+    "sample_exact_k",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('k:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                        / 4503599627370496.0,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 7
+    """,
+)
+def _sample_exact_k(spark, sf_dir):
+    """Deterministic exact-size sampling (operators/sampling.py
+    sample_exact_k): the 7 lowest-md5-hash docs per source — reservoir
+    semantics without order dependence; membership is a pure function of
+    (id, salt) so both engines pick the identical rows."""
+    from mortar_parquet_support_spark.operators.sampling import sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_exact_k(docs, "doc_id", 7, by=["source"], salt="k:")

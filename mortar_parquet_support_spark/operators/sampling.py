@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: buckets for split arithmetic — 1e-4 granularity on fractions
@@ -236,4 +236,41 @@ def build_mixture(
         df.join(F.broadcast(counts), domain_col)
         .withColumn(epoch_col, F.explode(epochs))
         .drop("__n")
+    )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    *,
+    by: "list[str] | None" = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-size sample: the ``k`` rows (per ``by`` group,
+    or globally) whose md5-derived hash sorts lowest — a reservoir-sample
+    replacement with none of the reservoir's order-dependence. Where
+    :func:`deterministic_sample` keeps a deterministic FRACTION (size
+    varies with the data), this keeps a deterministic COUNT — the shape
+    eval-set construction and per-domain inspection samples need.
+
+    Membership is a pure function of (id, salt): re-runs, re-partitioning,
+    and engine choice all agree (the hash is the cross-engine
+    :func:`hash_unit`), and adding rows to OTHER groups never disturbs a
+    group's picks. Ties on the hash (md5 collisions aside, only duplicate
+    ids) break by id, so the result is total-order deterministic.
+
+    One hash-partition shuffle + a row_number window — the domain_cap
+    plan; at 100 TB the window sorts only each group's rows and the
+    output is k rows per group regardless of input size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    by = list(by or [])
+    w = Window.partitionBy(*by).orderBy(
+        hash_unit(F.col(id_col), salt=salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

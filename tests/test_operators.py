@@ -4028,3 +4028,32 @@ def test_heavy_hitters_mg_guarantees(spark):
     assert ks == {5, 7}
     with pytest.raises(ValueError, match="k must be"):
         mg_rollup(df, item="item", k=0)
+
+
+def test_sample_exact_k_deterministic(spark):
+    """sample_exact_k: exact per-group size, repartition-invariant
+    membership, group isolation (adding rows elsewhere never disturbs a
+    group's picks), and k >= group size keeps everything."""
+    from mortar_parquet_support_spark.operators.sampling import sample_exact_k
+
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out1 = sample_exact_k(df, "id", 5, by=["g"], salt="s")
+    picks1 = {(r.g, r.id) for r in out1.collect()}
+    sizes = {}
+    for g, i in picks1:
+        sizes[g] = sizes.get(g, 0) + 1
+    assert sizes == {"g0": 5, "g1": 5, "g2": 5}
+    # repartition-invariant
+    out2 = sample_exact_k(df.repartition(13), "id", 5, by=["g"], salt="s")
+    assert {(r.g, r.id) for r in out2.collect()} == picks1
+    # group isolation: new rows in g3 leave g0-g2 picks untouched
+    df2 = df.unionByName(
+        spark.createDataFrame([(1000 + i, "g3") for i in range(10)], "id long, g string")
+    )
+    out3 = sample_exact_k(df2, "id", 5, by=["g"], salt="s")
+    assert {(r.g, r.id) for r in out3.collect() if r.g != "g3"} == picks1
+    # k >= group size keeps all rows
+    assert sample_exact_k(df, "id", 100, by=["g"], salt="s").count() == 90
+    with pytest.raises(ValueError, match="k must be"):
+        sample_exact_k(df, "id", 0)
