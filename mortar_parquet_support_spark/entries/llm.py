@@ -2426,3 +2426,47 @@ def _sample_exact_k(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return sample_exact_k(docs, "doc_id", 7, by=["source"], salt="k:")
+
+
+@_register(
+    "similarity_join",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sets AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 3 + 2),
+                    i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                  ELSE [array_to_string(list_filter(w, x -> x <> ''), ' ')]
+             END AS g
+      FROM words
+    )
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+                  THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                  ELSE 1.0 END AS jac
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    ) WHERE jac >= 0.4
+    """,
+)
+def _similarity_join(spark, sf_dir):
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (operators/dedup.py similarity_join; Bayardo et al. WWW'07): every
+    doc pair with word-3-shingle Jaccard >= 0.4, zero recall loss, no
+    all-pairs comparison — candidates come from an equi-join on
+    frequency-ordered shingle PREFIXES + a length band, then the exact
+    verify. The oracle IS the brute-force cross join, so the filter's
+    losslessness is value-hashed every round (also pytest-pinned vs an
+    in-Spark brute force)."""
+    from mortar_parquet_support_spark.operators.dedup import similarity_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = similarity_join(
+        docs, id_col="doc_id", text_col="text", threshold=0.4
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

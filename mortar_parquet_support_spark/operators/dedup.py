@@ -1050,3 +1050,98 @@ def dedup_lines(
         .alias("n_lines"),
         F.coalesce(F.col("_n_removed"), F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def similarity_join(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering (Bayardo,
+    Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search" /
+    PPJoin's prefix filter): every unordered pair of documents whose word
+    ``shingle_words``-gram Jaccard is >= ``threshold`` — no LSH
+    approximation, no recall loss, and no all-pairs comparison.
+
+    The filter: order every token by ascending corpus frequency (rarest
+    first; ties by token), sort each document's distinct shingle set in
+    that global order, and keep only the first ``|S| - ceil(t*|S|) + 1``
+    tokens as the document's PREFIX. Any pair with Jaccard >= t must
+    share >= ceil(t*|S|) tokens with each member, which cannot fit in
+    either suffix — so qualifying pairs ALWAYS collide on a prefix token,
+    and candidate generation is an equi-join on prefix tokens only. A
+    length band (t*|A| <= |B| <= |A|/t) prunes size-incompatible
+    collisions before the exact verify
+    (:func:`jaccard_pairs` — the same verify leg minhash dedup uses).
+
+    Scale shape: one corpus-wide shuffle for token counts + one for the
+    per-doc sort; the candidate join explodes only ~(1-t)*|S|+1 prefix
+    tokens per doc, and frequency-ascending ordering pushes hot tokens
+    into suffixes, so join fan-out concentrates on RARE tokens — the
+    candidate-count minimizer the paper is about. Versus minhash LSH
+    (:func:`minhash_dedup`): this is exact and parameter-free but
+    explodes prefixes corpus-wide; LSH trades recall for a fixed
+    signature cost. Use this when misses are unacceptable (compliance
+    dedup, eval-set isolation) and t is high (prefixes shrink as t
+    grows).
+
+    Returns (``id_a``, ``id_b``, ``jaccard``) with id_a < id_b. NULL-text
+    documents carry no shingle set and never pair.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = F.lit(float(threshold))
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_words).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    tok = sets.select("id", F.explode("sh").alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ordered = (
+        tok.join(counts, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cnt"), F.col("tok")))
+            ).alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn("p", F.col("sz") - F.ceil(t * F.col("sz")) + 1)
+        .select(
+            "id",
+            "sz",
+            F.expr("transform(slice(toks, 1, int(p)), s -> s.tok)").alias(
+                "prefix"
+            ),
+        )
+    )
+    cand = (
+        ordered.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.explode("prefix").alias("ptok"),
+        )
+        .join(
+            ordered.select(
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                F.explode("prefix").alias("ptok"),
+            ),
+            "ptok",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(t * F.col("sz_a")))
+            & (F.col("sz_b") <= F.floor(F.col("sz_a") / t))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = jaccard_pairs(
+        df, materialize(cand), id_col=id_col, text_col=text_col,
+        shingle_words=shingle_words,
+    )
+    return scored.filter(F.col("jaccard") >= t)

@@ -4057,3 +4057,57 @@ def test_sample_exact_k_deterministic(spark):
     assert sample_exact_k(df, "id", 100, by=["g"], salt="s").count() == 90
     with pytest.raises(ValueError, match="k must be"):
         sample_exact_k(df, "id", 0)
+
+
+def test_similarity_join_equals_brute_force(spark):
+    """Prefix-filtered exact Jaccard join == brute-force all-pairs at
+    several thresholds (losslessness of the prefix + length filters),
+    plus plan sanity (no cartesian product) and validation."""
+    from tests.conftest import plan_str
+
+    from mortar_parquet_support_spark.functions import word_shingles
+    from mortar_parquet_support_spark.operators.dedup import similarity_join
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a completely different document about spark",
+        "a completely different document about spark engines",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "short one",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(base)), "doc_id long, text string"
+    )
+
+    def brute(t):
+        g = docs.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).filter(F.col("sh").isNotNull())
+        a = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+        b = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        union = (F.size("sa") + F.size("sb")).cast("double") - inter
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+        return {
+            (r.id_a, r.id_b): round(r.j, 9)
+            for r in pairs.select("id_a", "id_b", jac.alias("j"))
+            .filter(jac >= t)
+            .collect()
+        }
+
+    for t in (0.3, 0.5, 0.9, 1.0):
+        out = similarity_join(
+            docs, id_col="doc_id", text_col="text", threshold=t
+        )
+        got = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in out.collect()}
+        assert got == brute(t), t
+        if t == 0.5:
+            assert "CartesianProduct" not in plan_str(out)
+    # the exact-dup pair and the empty-vs-nothing behavior at t=1.0
+    top = similarity_join(docs, id_col="doc_id", text_col="text", threshold=1.0)
+    assert {(r.id_a, r.id_b) for r in top.collect()} == {(0, 4)}
+    with pytest.raises(ValueError, match="threshold"):
+        similarity_join(docs, id_col="doc_id", text_col="text", threshold=0.0)
