@@ -2470,3 +2470,91 @@ def _similarity_join(spark, sf_dir):
         docs, id_col="doc_id", text_col="text", threshold=0.4
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_register(
+    "winsorize",
+    """
+    WITH pre AS (
+      SELECT user_id, CAST(user_id % 10 AS BIGINT) AS grp, ts,
+             CAST(sum(event_id % 100) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), b AS (
+      SELECT grp, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+      FROM pre GROUP BY 1
+    )
+    SELECT p.user_id, p.ts, p.v,
+           ROUND(least(greatest(CAST(p.v AS DOUBLE), b.lo), b.hi), 6)
+             AS v_winsorized
+    FROM pre p JOIN b USING (grp)
+    """,
+)
+def _winsorize(spark, sf_dir):
+    """Per-group percentile clipping (operators/features.py winsorize):
+    integer per-(user, ts) sums clipped to their user-decile group's
+    exact [p05, p95]. Spark's `percentile` and DuckDB's `quantile_cont`
+    are both type-7 linear interpolation; integer inputs make the sort
+    and the exact-index cases identical, and the clipped output is
+    rounded at 6dp on both sides."""
+    from mortar_parquet_support_spark.operators.features import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy(
+        "user_id",
+        (F.col("user_id") % 10).alias("grp"),
+        "ts",
+    ).agg(F.sum(F.col("event_id") % 100).alias("v"))
+    out = winsorize(pre, value="v", keys=["grp"], lower=0.05, upper=0.95)
+    return out.select(
+        "user_id", "ts", "v",
+        F.round(F.col("v_winsorized").cast("double"), 6).alias("v_winsorized"),
+    )
+
+
+@_register(
+    "robust_outliers",
+    """
+    WITH pre AS (
+      SELECT user_id, CAST(user_id % 10 AS BIGINT) AS grp, ts,
+             CAST(sum(event_id % 100) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT grp, quantile_cont(v, 0.5) AS med FROM pre GROUP BY 1
+    ), d AS (
+      SELECT grp, quantile_cont(abs(v - med), 0.5) AS mad
+      FROM pre JOIN m USING (grp) GROUP BY 1
+    )
+    SELECT p.user_id, p.ts, p.v,
+           ROUND(CASE WHEN d.mad > 0
+                      THEN (p.v - m.med) / (1.4826 * d.mad) END, 6) AS robust_z,
+           coalesce(CASE WHEN d.mad > 0
+                         THEN ROUND(abs((p.v - m.med) / (1.4826 * d.mad))
+                                    - 3.5, 6) > 0 END, false) AS is_outlier
+    FROM pre p JOIN m USING (grp) JOIN d USING (grp)
+    """,
+)
+def _robust_outliers(spark, sf_dir):
+    """MAD-based robust outlier screen (operators/features.py
+    robust_outliers): |value - median| in robust-sigma units per user
+    decile — the screen the outliers cannot inflate (50% breakdown vs
+    0% for mean/stddev). Margin rounded at 6dp on both engines
+    (round_margin, same rationale as qc_flags' spike_round); robust_z
+    itself compared rounded."""
+    from mortar_parquet_support_spark.operators.features import (
+        robust_outliers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy(
+        "user_id",
+        (F.col("user_id") % 10).alias("grp"),
+        "ts",
+    ).agg(F.sum(F.col("event_id") % 100).alias("v"))
+    out = robust_outliers(
+        pre, value="v", keys=["grp"], n_mads=3.5, round_margin=6
+    )
+    return out.select(
+        "user_id", "ts", "v",
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_outlier",
+    )

@@ -1,0 +1,125 @@
+"""Feature-preprocessing operators: distribution cleanup a training-data
+pipeline applies to numeric columns before they feed models or quality
+scores (not in the reference — SURVEY §2.6 declares the absence; extends
+the LLM-data north star alongside operators/curation.py).
+
+- **winsorize**: clip to per-group exact percentiles — the standard
+  heavy-tail guard before averaging/scaling.
+- **robust_outliers**: flag values by distance from the MEDIAN in MAD
+  units (median absolute deviation) — the robust sibling of qc_flags'
+  rolling-sigma spike test: one global/partitioned screen instead of a
+  trailing window, immune to the outliers inflating their own baseline.
+
+Scale shape (both): one grouped EXACT-percentile aggregate over the
+value column (groups << rows by construction — the group count bounds
+the aggregate's output, and Spark's percentile is a single-pass typed
+aggregate), then the tiny per-group bounds frame joins back
+(broadcast-eligible; AQE decides above the threshold). The row side is
+never shuffled. ``robust_outliers`` pays the percentile aggregate twice
+(the MAD needs deviations from an already-known median) — still two
+small aggregates and zero row-side shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: scale factor making MAD a consistent sigma estimator under normality
+#: (1 / Phi^-1(3/4)) — the constant every robust-z implementation uses.
+MAD_SIGMA = 1.4826
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    value: str,
+    keys: Sequence[str] = (),
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Clip ``value`` to its per-group [``lower``, ``upper``] exact
+    percentiles (linear interpolation — Spark's ``percentile``, matching
+    DuckDB's ``quantile_cont``). NULL values pass through NULL; a group
+    of all-NULL values gets NULL bounds and passes everything through.
+    Output column ``out_col`` (default ``<value>_winsorized``) rides
+    along with every input column."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower <= upper <= 1, got ({lower}, {upper})"
+        )
+    keys = list(keys)
+    out = out_col or f"{value}_winsorized"
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(F.col(value), F.lit(float(lower))).alias("__lo"),
+        F.percentile(F.col(value), F.lit(float(upper))).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), keys) if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.when(
+        F.col(value).isNotNull()
+        & F.col("__lo").isNotNull()
+        & F.col("__hi").isNotNull(),
+        F.least(F.greatest(F.col(value), F.col("__lo")), F.col("__hi")),
+    ).otherwise(F.col(value))
+    return joined.withColumn(out, clipped).drop("__lo", "__hi")
+
+
+def robust_outliers(
+    df: DataFrame,
+    *,
+    value: str,
+    keys: Sequence[str] = (),
+    n_mads: float = 3.5,
+    round_margin: "int | None" = None,
+) -> DataFrame:
+    """Flag rows whose ``value`` sits more than ``n_mads`` robust sigmas
+    (MAD * 1.4826) from the per-group MEDIAN: adds ``robust_z`` (NULL
+    for NULL values / degenerate groups) and ``is_outlier``. MAD-based
+    screening survives what breaks mean/stddev screens: the outliers
+    themselves cannot inflate the baseline that judges them (breakdown
+    point 50% vs 0%).
+
+    A zero MAD (>= half the group identical) yields NULL robust_z and
+    flags nothing — the degenerate case where "robust sigma" has no
+    meaning; pair with an exact-duplicate screen instead.
+
+    ``round_margin``: like qc_flags' spike_round — when set, the
+    |z| - n_mads margin is rounded before the > 0 test so a value
+    sitting exactly on the boundary cannot flip on a last-ulp
+    percentile-interpolation difference between engines."""
+    keys = list(keys)
+    med = df.groupBy(*keys).agg(
+        F.percentile(F.col(value), F.lit(0.5)).alias("__med")
+    )
+    j1 = (
+        df.join(F.broadcast(med), keys) if keys
+        else df.crossJoin(F.broadcast(med))
+    )
+    mad = j1.groupBy(*keys).agg(
+        F.percentile(
+            F.abs(F.col(value) - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    j2 = j1.join(F.broadcast(mad), keys) if keys else j1.crossJoin(
+        F.broadcast(mad)
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        (F.col(value) - F.col("__med")) / (F.lit(MAD_SIGMA) * F.col("__mad")),
+    )
+    margin = F.abs(z) - F.lit(float(n_mads))
+    if round_margin is not None:
+        margin = F.round(margin, round_margin)
+    return (
+        j2.withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier", F.coalesce(margin > 0, F.lit(False))
+        )
+        .drop("__med", "__mad")
+    )
