@@ -2558,3 +2558,34 @@ def _robust_outliers(spark, sf_dir):
         F.round("robust_z", 6).alias("robust_z"),
         "is_outlier",
     )
+
+
+@_register(
+    "group_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                WHEN b < 10000 THEN 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('gs:' || source), 1, 8))::BIGINT % 10000 AS b
+      FROM documents
+    )
+    """,
+)
+def _group_split(spark, sf_dir):
+    """Leakage-safe splits (operators/sampling.py group_split): the
+    train/val/test label is a pure md5 function of the SOURCE key, so
+    every document of a source lands in one split — same-source
+    look-alikes can never straddle the eval boundary. Row-identical vs
+    the DuckDB restatement; the per-group single-split invariant is
+    pytest-pinned."""
+    from mortar_parquet_support_spark.operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(
+        docs, "source",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="gs:",
+    )

@@ -274,3 +274,33 @@ def sample_exact_k(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: "Mapping[str, float]",
+    *,
+    salt: str = "",
+    label_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test labelling: the split is a pure
+    function of the GROUP key (domain, author, url host, dedup-cluster
+    id), so every row of a group lands in the SAME split. Row-keyed
+    splitting (:func:`hash_split`) leaks when near-duplicate or
+    same-source documents straddle the boundary — the eval split then
+    contains training look-alikes and overstates quality; splitting by
+    the grouping that captures that correlation is the standard fix.
+
+    Same cumulative-bucket semantics as :func:`hash_split` (weights sum
+    <= 1, remainder labelled NULL = explicitly dropped), same md5
+    determinism (re-runs, repartitioning, and engines agree). NULL group
+    keys share one sentinel bucket — they travel together too, which is
+    the conservative choice (unattributed rows can't straddle).
+
+    Zero shuffles and zero joins: the label is computed IN-ROW from the
+    group column (hash + range cases), so this composes with any scan at
+    any scale."""
+    return hash_split(
+        df, group_col, weights, salt=salt, label_col=label_col
+    )

@@ -4111,3 +4111,23 @@ def test_similarity_join_equals_brute_force(spark):
     assert {(r.id_a, r.id_b) for r in top.collect()} == {(0, 4)}
     with pytest.raises(ValueError, match="threshold"):
         similarity_join(docs, id_col="doc_id", text_col="text", threshold=0.0)
+
+
+def test_group_split_no_straddle(spark):
+    """group_split: every row of a group gets the SAME label (the
+    leakage-safety invariant row-keyed hash_split cannot give), weights
+    partition, NULL groups travel together."""
+    from mortar_parquet_support_spark.operators.sampling import group_split
+
+    rows = [(i, f"dom{i % 17}" if i % 50 else None) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = group_split(df, "dom", {"train": 0.7, "val": 0.15, "test": 0.15})
+    per_group = (
+        out.groupBy("dom")
+        .agg(F.count_distinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_group)
+    assert out.filter(F.col("split").isNull()).count() == 0  # weights sum to 1
+    null_splits = {r.split for r in out.filter(F.col("dom").isNull()).collect()}
+    assert len(null_splits) == 1
