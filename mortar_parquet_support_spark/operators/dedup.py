@@ -1118,6 +1118,10 @@ def similarity_join(
             ),
         )
     )
+    # both self-join legs consume `ordered`; left lazy, the token-count
+    # shuffle and the per-doc sort would execute TWICE (a full extra
+    # corpus pass at scale)
+    ordered = materialize(ordered)
     cand = (
         ordered.select(
             F.col("id").alias("id_a"),

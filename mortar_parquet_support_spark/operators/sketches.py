@@ -529,9 +529,15 @@ def mg_rollup(
     from pyspark.sql import types as T
 
     keys = list(keys or [])
-    src = df.filter(F.col(item).isNotNull()).select(
-        *keys, F.col(item).cast("string").alias("__item")
-    )
+    # NULL keys are dropped with the NULL items: a NaN key round-trips
+    # badly through the pandas groupby -> typed-Arrow emission (an int64
+    # key column cannot carry NaN back), and an unattributed group is not
+    # a ranking anyone consumes — count those rows separately if they
+    # matter.
+    src = df.filter(F.col(item).isNotNull())
+    for kc in keys:
+        src = src.filter(F.col(kc).isNotNull())
+    src = src.select(*keys, F.col(item).cast("string").alias("__item"))
     key_fields = [src.schema[c] for c in keys]
     out_schema = T.StructType(
         [

@@ -610,11 +610,16 @@ def stream_heavy_hitters(
     keys = list(keys or [])
 
     def _process(batch_df, batch_id):
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         summary = mg_rollup(batch_df, item=item, keys=keys, k=k)
         try:
             prev = spark.read.parquet(state_path)
-        except Exception:
+        except AnalysisException:
+            # first batch: no state yet. ONLY path-not-found-class errors
+            # mean that — a corrupt/unreadable state must fail the batch
+            # loudly, not silently restart every counter from zero.
             prev = None
         if prev is not None:
             summary = summary.unionByName(prev)
