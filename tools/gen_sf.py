@@ -2,7 +2,9 @@
 
 Reproduces the SHAPE of the driver's seed-42 fixtures (TESTDATA.md — same
 tables, columns, dtypes, value domains and cross-table key relationships)
-at any scale factor, so the headline bench can be run above the driver's
+at any scale factor (timestamps as TIMESTAMP_NTZ, matching the driver
+fixtures' parquet type — the session is UTC so the cast is value-
+preserving), so the headline bench can be run above the driver's
 largest fixture (sf0.1) and the sf0.1 -> sf1 wall-time ratio measured.
 
 Everything is generated JVM-side from ``spark.range`` + xxhash64-derived
@@ -127,7 +129,7 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
         (
             F.to_timestamp(F.lit("1995-01-01"))
             + F.make_interval(days=_u(F.col("i"), "odate", o_span_days).cast("int"))
-        ).alias("o_orderdate"),
+        ).cast("timestamp_ntz").alias("o_orderdate"),
         F.element_at(
             F.array(*[F.lit(s) for s in
                       ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]]),
@@ -156,7 +158,7 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
         (
             F.to_timestamp(F.lit("1995-01-02"))
             + F.make_interval(days=_u(F.col("i"), "lship", 2_499).cast("int"))
-        ).alias("l_shipdate"),
+        ).cast("timestamp_ntz").alias("l_shipdate"),
     ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
     # events: a CONSTANT 30-day window (2024-01-01..2024-01-31) at every
@@ -173,7 +175,7 @@ def generate(spark: SparkSession, sf: float, out: str) -> None:
             F.to_timestamp(F.lit("2024-01-01"))
             + F.pmod(_h(F.col("i"), F.lit("ets")), F.lit(span_us)).cast("double")
             / F.lit(1_000_000.0) * F.expr("INTERVAL 1 SECOND")
-        ).alias("ts"),
+        ).cast("timestamp_ntz").alias("ts"),
         _u(F.col("i"), "euser", n_users).alias("user_id"),
         F.element_at(
             F.array(*[F.lit(s) for s in ["click", "error", "purchase", "signup", "view"]]),
