@@ -122,7 +122,10 @@ def oracle_sql() -> dict[str, str]:
     (xxhash64 signatures/seeding have no DuckDB equivalent), bpe_vocab
     (iterative argmax-update training is not SQL-expressible; train ==
     python reference and encode == sequential application are
-    pytest-pinned in test_bpe.py). lttb_downsample graduated to a full
+    pytest-pinned in test_bpe.py), train_classifier (iterative full-batch
+    GD training is not SQL-expressible; the update rule is pinned
+    bit-for-bit against a numpy reference and the trainer->scorer
+    round-trip is pytest-pinned in test_classifier.py). lttb_downsample graduated to a full
     oracle in round 9: its sequential pick is replayed as a DuckDB
     recursive CTE (see the entry's docstring for the exactness
     argument). The LSH ops' verify stages ARE

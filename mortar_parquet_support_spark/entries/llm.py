@@ -2589,3 +2589,31 @@ def _group_split(spark, sf_dir):
         {"train": 0.8, "val": 0.1, "test": 0.1},
         salt="gs:",
     )
+
+
+@_register("train_classifier")
+def _train_classifier(spark, sf_dir):
+    """Distributed full-batch logistic training (operators/text.py
+    train_linear_classifier — the TRAINING half of linear_classifier's
+    serving shape, same tokenizer/grams/mean-pooled model): 4 GD
+    iterations learning 'is this document English' from the lang column.
+    Rows-only (iterative float training is not SQL-expressible); the
+    update rule is pinned bit-for-bit against a numpy reference and the
+    trainer->scorer round-trip reaches full separable-data accuracy in
+    tests/test_classifier.py. Output: one row per learned feature with
+    the weight rounded for display stability."""
+    from mortar_parquet_support_spark.operators.text import (
+        train_linear_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    w, bias = train_linear_classifier(
+        docs, label_col="y", id_col="doc_id", text_col="text",
+        n_buckets=1 << 16, ngram=1, iters=4, lr=1.0,
+    )
+    return w.select(
+        "feature", F.round("weight", 6).alias("weight"),
+        F.round(F.lit(bias), 6).alias("bias"),
+    )

@@ -641,3 +641,134 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
     )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    *,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 20,
+    ngram: int = 2,
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    checkpoint_dir: "str | None" = None,
+):
+    """Distributed full-batch logistic training for the fastText-style
+    hashed classifier — the TRAINING half of
+    :func:`linear_classifier_score` (same tokenizer, same gram grammar,
+    same mean-pooled model: ``p = sigmoid(bias + mean(w[h(g)]))``), so a
+    quality/toxicity/domain filter trains and serves on one engine with
+    zero feature skew. Returns ``(weights_df, bias)``: a
+    (``feature``, ``weight``) frame feeding straight into the scorer,
+    and the scalar bias.
+
+    Gradient-descent shape per iteration (full batch, deterministic —
+    zero init, no sampling):
+
+    1. score: broadcast-join current weights onto the PRE-MATERIALIZED
+       exploded feature table (one row per (doc, gram occurrence),
+       weighted 1/m_doc) and mean-pool per doc — the serving plan;
+    2. residuals ``p - y`` flow BACK over the same exploded table:
+       ``grad[f] = sum(residual/m)`` over occurrences of ``f`` — one
+       groupBy(feature) aggregate whose output is bounded by the distinct
+       gram count, never the corpus;
+    3. update ``w -= lr * (grad/n + l2*w)`` as a full-outer join of two
+       model-sized frames (the corpus is NOT re-read — the feature table
+       is materialized once up front), re-materialized each iteration to
+       cut lineage (the LSH/closure discipline; ``checkpoint_dir``
+       upgrades to reliable checkpoints on real clusters).
+
+    The model never collects to the driver (only the scalar bias
+    gradient does); weights stay a DataFrame end to end, so vocabulary
+    size is bounded by ``n_buckets``, not driver memory. Docs with no
+    tokens contribute only to the bias — same convention as the scorer
+    (they score ``sigmoid(bias)``)."""
+    from mortar_parquet_support_spark.functions import materialize
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = df.sparkSession
+    # staged_tokens' discipline (token array bound ONCE in its own
+    # projection) with the label riding along — one corpus scan, no
+    # re-join
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__y"),
+        F.filter(_lower_words(F.col(text_col)), lambda t: t != "").alias(
+            "__toks"
+        ),
+    )
+    docs = base.select(
+        F.col(id_col).alias("__id"),
+        "__y",
+        _hashed_gram_ids(F.col("__toks"), n_buckets=n_buckets, ngram=ngram).alias(
+            "__f"
+        ),
+    ).withColumn("__m", F.size("__f"))
+    docs = materialize(docs, checkpoint_dir=checkpoint_dir)
+    n_docs = docs.count()
+    if n_docs == 0:
+        raise ValueError("train_linear_classifier: empty training frame")
+    feats = materialize(
+        docs.filter(F.col("__m") > 0).select(
+            "__id",
+            "__y",
+            (F.lit(1.0) / F.col("__m")).alias("__inv_m"),
+            F.explode("__f").alias("__fid"),
+        ),
+        checkpoint_dir=checkpoint_dir,
+    )
+    labels = docs.select("__id", "__y", "__m")
+
+    weights = spark.createDataFrame([], "__fid long, __w double")
+    bias = 0.0
+    for _ in range(iters):
+        scored = (
+            feats.join(maybe_broadcast(weights), "__fid", "left")
+            .groupBy("__id")
+            .agg(
+                F.sum(
+                    F.coalesce(F.col("__w"), F.lit(0.0)) * F.col("__inv_m")
+                ).alias("__dot")
+            )
+        )
+        resid = labels.join(scored, "__id", "left").select(
+            "__id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.coalesce("__dot", F.lit(0.0)))))
+                - F.col("__y")
+            ).alias("__r"),
+        )
+        grads = (
+            feats.join(resid, "__id")
+            .groupBy("__fid")
+            .agg(F.sum(F.col("__r") * F.col("__inv_m")).alias("__g"))
+        )
+        bias_grad = resid.agg(F.sum("__r")).first()[0] or 0.0
+        bias -= lr * bias_grad / n_docs
+        weights = materialize(
+            weights.join(grads, "__fid", "full")
+            .select(
+                "__fid",
+                (
+                    F.coalesce("__w", F.lit(0.0))
+                    - F.lit(lr)
+                    * (
+                        F.coalesce("__g", F.lit(0.0)) / F.lit(float(n_docs))
+                        + F.lit(l2) * F.coalesce("__w", F.lit(0.0))
+                    )
+                ).alias("__w"),
+            ),
+            checkpoint_dir=checkpoint_dir,
+        )
+    return (
+        weights.select(
+            F.col("__fid").alias("feature"), F.col("__w").alias("weight")
+        ),
+        bias,
+    )

@@ -7,6 +7,7 @@ broadcast plan shape.
 """
 
 import math
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -79,3 +80,91 @@ def test_weights_join_is_broadcast(spark):
     out.collect()
     plan = plan_str(out).split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
+
+
+def test_train_linear_classifier_converges_and_serves(spark):
+    """Trainer + scorer round-trip on separable data: full training
+    accuracy, balanced-data zero bias, and docs with no tokens score
+    sigmoid(bias)."""
+    from mortar_parquet_support_spark.operators.text import (
+        linear_classifier_score,
+        train_linear_classifier,
+    )
+
+    rows = []
+    for i in range(200):
+        if i % 2:
+            rows.append((i, f"excellent wonderful prose sample {i % 7}", 1))
+        else:
+            rows.append((i, f"spam garbage noise junk {i % 7}", 0))
+    rows.append((900, "", 1))  # token-less doc: bias-only
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_linear_classifier(
+        df, label_col="label", n_buckets=1 << 16, ngram=1, iters=25, lr=2.0
+    )
+    scored = linear_classifier_score(df, w, n_buckets=1 << 16, ngram=1, bias=b)
+    got = {r.doc_id: r for r in scored.collect()}
+    acc = sum(
+        1 for i, _, y in rows[:200] if (got[i].score > 0.5) == bool(y)
+    ) / 200
+    assert acc == 1.0
+    import math
+
+    assert abs(got[900].score - 1 / (1 + math.exp(-b))) < 1e-12
+    assert got[900].n_features == 0
+    with pytest.raises(ValueError, match="iters"):
+        train_linear_classifier(df, label_col="label", iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        train_linear_classifier(df.limit(0), label_col="label")
+
+
+def test_train_linear_classifier_matches_numpy_reference(spark):
+    """Three iterations of the distributed full-batch GD equal the same
+    updates run in numpy on the same hashed features (mean-pooled
+    sigmoid, zero init) to float tolerance."""
+    import math
+
+    import numpy as np
+
+    from mortar_parquet_support_spark.operators.text import (
+        hashed_features,
+        train_linear_classifier,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", 1),
+        (1, "beta delta", 0),
+        (2, "alpha alpha epsilon", 1),
+        (3, "junk noise", 0),
+        (4, "gamma epsilon alpha", 1),
+    ]
+    nb, lr, iters = 1 << 12, 0.7, 3
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    feats = {
+        r.doc_id: list(r.f)
+        for r in df.select(
+            "doc_id", hashed_features(F.col("text"), n_buckets=nb, ngram=1).alias("f")
+        ).collect()
+    }
+    w_np, b_np = {}, 0.0
+    n = len(rows)
+    for _ in range(iters):
+        grad, bg = {}, 0.0
+        for i, _, y in rows:
+            fs = feats[i]
+            dot = sum(w_np.get(f, 0.0) for f in fs) / len(fs) if fs else 0.0
+            r = 1 / (1 + math.exp(-(b_np + dot))) - y
+            bg += r
+            for f in fs:
+                grad[f] = grad.get(f, 0.0) + r / len(fs)
+        b_np -= lr * bg / n
+        for f, g in grad.items():
+            w_np[f] = w_np.get(f, 0.0) - lr * g / n
+    w_df, b = train_linear_classifier(
+        df, label_col="label", n_buckets=nb, ngram=1, iters=iters, lr=lr
+    )
+    got = {r.feature: r.weight for r in w_df.collect()}
+    assert abs(b - b_np) < 1e-12
+    assert set(got) == set(w_np)
+    for f, v in w_np.items():
+        assert abs(got[f] - v) < 1e-10, f
