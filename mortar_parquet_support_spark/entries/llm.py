@@ -2617,3 +2617,68 @@ def _train_classifier(spark, sf_dir):
         "feature", F.round("weight", 6).alias("weight"),
         F.round(F.lit(bias), 6).alias("bias"),
     )
+
+
+@_register(
+    "url_dedup",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://' || source || '.example.com/Docs/'
+                           || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+               WHEN 1 THEN 'http://' || source || '.example.com/'
+               WHEN 2 THEN 'https://' || source || '.example.com/a/b?UP=1&a=2'
+               WHEN 3 THEN 'http://' || lower(source) || '.example.com/Mixed/'
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 4 THEN 'https://' || source || '.example.com/'
+               ELSE NULL
+             END AS canonical_url
+      FROM documents
+    )
+    SELECT doc_id, canonical_url FROM (
+      SELECT doc_id, canonical_url,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+      FROM canon WHERE canonical_url IS NOT NULL
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, canonical_url FROM canon WHERE canonical_url IS NULL
+    """,
+)
+def _url_dedup(spark, sf_dir):
+    """URL-keyed crawl dedup (operators/curation.py dedup_by_url) over
+    the same six synthesized variants as canonical_urls. Duplicates are
+    real: within each variant, every doc of a SOURCE canonicalizes to the
+    same key (e.g. all doc_id%6==1 rows of src7 collapse to
+    http://src7.example.com/), so the keep rule genuinely fires. Keep =
+    lowest doc_id per canonical key; keyless rows (variant 5 — no
+    scheme) pass through untouched. The oracle replays the keep rule on
+    expected-by-construction canonical strings."""
+    from mortar_parquet_support_spark.operators.curation import dedup_by_url
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?b=2&a=1&utm_source=feed&fbclid=x#sec"),
+        ))
+        .when(v == 1, F.concat(F.lit("http://"), host, F.lit(":80")))
+        .when(v == 2, F.concat(
+            F.lit("https://www."), host, F.lit("/a/b/?a=2&UP=1&UTM_CAMPAIGN=c#f"),
+        ))
+        .when(v == 3, F.concat(
+            F.lit("HTTP://"), F.upper(host), F.lit("/Mixed/"),
+            F.col("doc_id").cast("string"),
+        ))
+        .when(v == 4, F.concat(F.lit("https://"), host, F.lit("/?gclid=z")))
+        .otherwise(F.concat(F.lit("no-scheme-"), F.col("doc_id").cast("string")))
+    )
+    out = dedup_by_url(
+        docs.select("doc_id", raw.alias("url")),
+        url_col="url",
+        order_by=[F.col("doc_id")],
+    )
+    return out.select("doc_id", "canonical_url")
