@@ -2682,3 +2682,39 @@ def _url_dedup(spark, sf_dir):
         order_by=[F.col("doc_id")],
     )
     return out.select("doc_id", "canonical_url")
+
+
+@_register(
+    "skew_report",
+    """
+    WITH c AS (
+      SELECT event_type, user_id % 7 AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (SELECT sum(n) AS total FROM c)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / t.total, 6) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type, bucket) AS INT)
+             AS rank
+    FROM c, t
+    ORDER BY n DESC, event_type, bucket
+    LIMIT 10
+    """,
+)
+def _skew_report(spark, sf_dir):
+    """Key-skew diagnosis (operators/profile.py skew_report): the 10
+    heaviest (event_type, user-bucket) keys with exact counts and corpus
+    share — the report that decides salting/AQE-skew/broadcast choices
+    before a 100 TB join. Exact integer counts; share rounded at 6dp on
+    both engines."""
+    from mortar_parquet_support_spark.operators.profile import skew_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 7).alias("bucket")
+    )
+    out = skew_report(ev, ["event_type", "bucket"], top=10)
+    return out.select(
+        "event_type", "bucket", "n",
+        F.round("share", 6).alias("share"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -4131,3 +4131,22 @@ def test_group_split_no_straddle(spark):
     assert out.filter(F.col("split").isNull()).count() == 0  # weights sum to 1
     null_splits = {r.split for r in out.filter(F.col("dom").isNull()).collect()}
     assert len(null_splits) == 1
+
+
+def test_skew_report_shares_and_validation(spark):
+    from mortar_parquet_support_spark.operators.profile import skew_report
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top=2).collect()
+    assert [(r.k, r.n, r.rank) for r in out] == [("hot", 70, 1), ("warm", 20, 2)]
+    assert abs(out[0].share - 0.7) < 1e-12
+    # NULL keys count as a key (often the hottest one)
+    out3 = {r.k: r for r in skew_report(df, ["k"], top=3).collect()}
+    assert out3[None].n == 10
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="sequence"):
+        skew_report(df, "k")
+    with _pt.raises(ValueError, match="top"):
+        skew_report(df, ["k"], top=0)
