@@ -2718,3 +2718,40 @@ def _skew_report(spark, sf_dir):
         F.round("share", 6).alias("share"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@_register(
+    "phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(w) - 1 + 1),
+                 i -> w[i] = 'table' AND w[i + 1] = 'table')) AS n_occurrences
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits WHERE n_occurrences > 0
+    """,
+)
+def _phrase_search(spark, sf_dir):
+    """Exact phrase matching over a positional inverted index
+    (operators/search.py build_positional_index + phrase_search): docs
+    containing consecutive tokens 'table table', with OVERLAPPING
+    occurrence counts ('table table table' counts 2). The Spark side
+    probes token-pruned postings and groups (doc, anchor) — never
+    rescanning text; the oracle slides a window over the tokenized
+    documents directly, so the index path is value-hashed against the
+    direct definition."""
+    from mortar_parquet_support_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_positional_index(docs, id_col="doc_id", text_col="text")
+    return phrase_search(idx, "table table", id_col="doc_id")

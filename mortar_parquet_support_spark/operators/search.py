@@ -336,3 +336,73 @@ def rrf_fuse(
         F.sum("__contrib").alias("rrf_score"),
         F.count(F.lit(1)).alias("n_sources"),
     )
+
+
+def build_positional_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional postings: one row per token OCCURRENCE — (``token``,
+    ``id_col``, ``pos``) over the shared casefolded whitespace
+    tokenization (the same tokenizer bm25/keyword search use, so the
+    retrieval family agrees on what a token is). The phrase-capable
+    sibling of :func:`build_inverted_index`: positions cost one long per
+    occurrence but buy exact phrase/adjacency queries without rescanning
+    text. Blank/NULL documents contribute nothing.
+
+    Scale shape: posexplode is in-row; persist the result partitioned (or
+    bucketed) by token so phrase probes prune to the query's tokens."""
+    toks = _tokenize(df, text_col)
+    return toks.select(
+        F.col(id_col), F.posexplode("__s_words").alias("pos", "token")
+    ).filter(F.col("token") != "").select("token", id_col, "pos")
+
+
+def phrase_search(
+    index: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching over a :func:`build_positional_index`:
+    documents containing the (casefolded, whitespace-tokenized) phrase
+    as a CONSECUTIVE token run, with the occurrence count (overlapping
+    occurrences each count — every anchor position is one match).
+
+    Plan: one pruned index scan per phrase token (``token = t_i``),
+    each occurrence re-keyed to its ANCHOR ``pos - i``; a
+    (doc, anchor) appears once per matched token, so anchors where the
+    distinct-token count reaches the phrase length are full matches —
+    a single groupBy over token-pruned postings, never a text rescan
+    and never a self-join chain. Duplicate tokens in the phrase are
+    handled by counting DISTINCT token offsets per anchor (the same
+    occurrence can anchor two offsets of 'a a' without double-counting
+    either).
+
+    Returns (``id_col``, ``n_occurrences``), matches only."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search needs at least one token")
+    legs = []
+    for i, t in enumerate(terms):
+        legs.append(
+            index.filter(F.col("token") == t).select(
+                F.col(id_col),
+                (F.col("pos") - i).alias("__anchor"),
+                F.lit(i).alias("__offset"),
+            )
+        )
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    anchors = (
+        allc.filter(F.col("__anchor") >= 0)
+        .groupBy(id_col, "__anchor")
+        .agg(F.count_distinct("__offset").alias("__hit"))
+        .filter(F.col("__hit") == len(terms))
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

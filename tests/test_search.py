@@ -335,3 +335,36 @@ def test_rrf_fuse_repeated_id_within_leg_collapses_to_min_rank(spark):
     assert out[10].n_sources == 2
     assert math.isclose(out[20].rrf_score, 1 / 62)
     assert out[20].n_sources == 1
+
+
+def test_phrase_search_overlaps_and_pruning(spark):
+    """phrase_search: consecutive-run semantics, overlapping occurrences
+    counted, duplicate phrase tokens handled via distinct offsets, casefold
+    parity with the shared tokenizer, and no text rescan (the probe reads
+    only the postings)."""
+    from mortar_parquet_support_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox the quick dog"),
+            (2, "quick the quick the quick"),   # 'the quick' twice
+            (3, "THE QUICK"),                    # casefolded match
+            (4, "the slow quick"),               # not consecutive
+            (5, "a a a"),                        # overlapping dup-token runs
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+    got = {r.doc_id: r.n_occurrences for r in phrase_search(idx, "the quick").collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
+    got_aa = {r.doc_id: r.n_occurrences for r in phrase_search(idx, "a a").collect()}
+    assert got_aa == {5: 2}  # overlapping anchors both count
+    assert phrase_search(idx, "missing phrase").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        phrase_search(idx, "   ")
