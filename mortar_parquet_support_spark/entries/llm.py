@@ -2755,3 +2755,76 @@ def _phrase_search(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     idx = build_positional_index(docs, id_col="doc_id", text_col="text")
     return phrase_search(idx, "table table", id_col="doc_id")
+
+
+@_register(
+    "apply_cdc",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN ROUND(price + 1.0, 2)
+                WHEN o_orderkey % 5 = 2 THEN ROUND(price * 2, 2)
+                ELSE price END AS price
+    FROM base WHERE o_orderkey % 5 NOT IN (1, 3)
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+           ROUND(price + 5.0, 2) AS price
+    FROM base WHERE o_orderkey % 5 = 4
+    """,
+)
+def _apply_cdc(spark, sf_dir):
+    """CDC log compaction (sources/maintenance.py apply_cdc): a
+    Debezium-shaped change log (op + version) applied to a snapshot,
+    exercising every ordering rule — update wins over an OLDER delete
+    (key%5==2: D@v1 then U@v3 -> updated row survives), same-version
+    ties break toward delete (key%5==3: I@v5 + D@v5 -> dropped), plain
+    updates (key%5==0), plain deletes (key%5==1), inserts of brand-new
+    keys (key%5==4 -> key+10M), and untouched passthrough. The oracle
+    states the final snapshot directly."""
+    from mortar_parquet_support_spark.sources.maintenance import apply_cdc
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+    m = F.col("o_orderkey") % 5
+    upd = base.filter(m == 0).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("price") + 1.0, 2).alias("price"),
+        F.lit(2).alias("v"), F.lit("U").alias("op"),
+    )
+    dele = base.filter(m == 1).select(
+        "o_orderkey", "o_custkey", "price",
+        F.lit(1).alias("v"), F.lit("D").alias("op"),
+    )
+    conflict_d = base.filter(m == 2).select(
+        "o_orderkey", "o_custkey", "price",
+        F.lit(1).alias("v"), F.lit("D").alias("op"),
+    )
+    conflict_u = base.filter(m == 2).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("price") * 2, 2).alias("price"),
+        F.lit(3).alias("v"), F.lit("U").alias("op"),
+    )
+    tie_i = base.filter(m == 3).select(
+        "o_orderkey", "o_custkey", "price",
+        F.lit(5).alias("v"), F.lit("I").alias("op"),
+    )
+    tie_d = base.filter(m == 3).select(
+        "o_orderkey", "o_custkey", "price",
+        F.lit(5).alias("v"), F.lit("D").alias("op"),
+    )
+    ins = base.filter(m == 4).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.round(F.col("price") + 5.0, 2).alias("price"),
+        F.lit(1).alias("v"), F.lit("I").alias("op"),
+    )
+    changes = upd
+    for c in (dele, conflict_d, conflict_u, tie_i, tie_d, ins):
+        changes = changes.unionByName(c)
+    return apply_cdc(
+        base, changes, keys=("o_orderkey",), version_col="v", op_col="op"
+    )

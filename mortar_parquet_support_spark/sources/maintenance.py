@@ -238,3 +238,77 @@ def diff_tables(
         .filter(F.col("change").isNotNull())
         .drop("__d_old", "__d_new", "__in_old", "__in_new")
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    keys: "tuple[str, ...]",
+    version_col: str,
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture log to a snapshot: for every key, the
+    HIGHEST-version change wins — an insert/update ('I'/'U'/anything but
+    ``delete_value``) replaces the base row, a delete removes it, and
+    keys untouched by the log pass through. The standard CDC-compaction
+    shape (Debezium-style op + version/LSN columns -> next snapshot).
+
+    Correctness rules the naive "union + latest" misses, all handled:
+
+    - only the LATEST change per key decides — an older delete under a
+      newer update must not delete (and vice versa);
+    - version ties break toward delete (the conservative read: a same-
+      version I+D pair means the row did not survive the transaction),
+      then by the operation column for total determinism;
+    - NULL versions are rejected loudly (an unversioned change cannot be
+      ordered — silently last-writer-wins would be replay-dependent).
+
+    Scale shape: the change log aggregates to one winner per key (one
+    shuffle of the LOG, bounded by change volume), then a single
+    key-equijoin against the base — full outer so inserts survive; the
+    base is shuffled once on its keys, never windowed. Returns the next
+    snapshot with ``base``'s columns."""
+    if version_col in keys or op_col in keys:
+        raise ValueError("version/op columns cannot be key columns")
+    nulls = changes.filter(F.col(version_col).isNull()).limit(1).count()
+    if nulls:
+        raise ValueError(
+            f"apply_cdc: NULL {version_col!r} in changes — unversioned "
+            "changes cannot be ordered"
+        )
+    data_cols = [c for c in base.columns]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(),
+        # tie toward delete, then op string for total determinism
+        (F.col(op_col) == delete_value).desc(),
+        F.col(op_col),
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(k) for k in keys],
+            (F.col(op_col) == delete_value).alias("__is_del"),
+            *[
+                F.col(c).alias(f"__chg_{c}")
+                for c in data_cols
+                if c not in keys
+            ],
+        )
+    )
+    joined = base.join(latest, list(keys), "full")
+    untouched = F.col("__is_del").isNull()
+    survived = F.col("__is_del") == F.lit(False)
+    out_cols = []
+    for c in data_cols:
+        if c in keys:
+            out_cols.append(F.col(c))
+        else:
+            out_cols.append(
+                F.when(untouched, F.col(c))
+                .otherwise(F.col(f"__chg_{c}"))
+                .alias(c)
+            )
+    return joined.filter(untouched | survived).select(*out_cols)

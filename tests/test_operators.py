@@ -4150,3 +4150,39 @@ def test_skew_report_shares_and_validation(spark):
         skew_report(df, "k")
     with _pt.raises(ValueError, match="top"):
         skew_report(df, ["k"], top=0)
+
+
+def test_apply_cdc_rules(spark):
+    """apply_cdc: latest-version-wins, same-version tie toward delete,
+    inserts of new keys, passthrough, NULL-version rejection."""
+    from mortar_parquet_support_spark.sources.maintenance import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, val string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 2, "U"),   # plain update
+            (2, "b", 1, "D"),    # plain delete
+            (3, "c", 1, "D"),    # older delete...
+            (3, "c3", 3, "U"),   # ...overridden by newer update
+            (4, "x", 5, "I"),    # same-version I+D -> delete wins
+            (4, "x", 5, "D"),
+            (9, "new", 1, "I"),  # insert of a brand-new key
+        ],
+        "k long, val string, v int, op string",
+    )
+    out = {r.k: r.val for r in apply_cdc(
+        base, changes, keys=("k",), version_col="v"
+    ).collect()}
+    assert out == {1: "a2", 3: "c3", 9: "new"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="NULL"):
+        apply_cdc(
+            base,
+            spark.createDataFrame([(1, "z", None, "U")], "k long, val string, v int, op string"),
+            keys=("k",), version_col="v",
+        )
+    with _pt.raises(ValueError, match="key columns"):
+        apply_cdc(base, changes, keys=("k", "v"), version_col="v")
