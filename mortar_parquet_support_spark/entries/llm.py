@@ -2828,3 +2828,54 @@ def _apply_cdc(spark, sf_dir):
     return apply_cdc(
         base, changes, keys=("o_orderkey",), version_col="v", op_col="op"
     )
+
+
+@_register(
+    "merge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + event_id % 100 AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM marked
+    )
+    SELECT user_id, min(s) AS s, max(e) AS e,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def _merge_intervals(spark, sf_dir):
+    """Interval coalescing (operators/timeseries.py merge_intervals):
+    per-user event spans [epoch, epoch + event_id%100] merged into
+    maximal coverage islands — running-MAX-end gaps-and-islands, so
+    contained intervals can't split an island. Integer bounds keep both
+    engines exact; the oracle restates the same window algebra."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        merge_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.col("event_id") % 100).alias("e"),
+    )
+    return merge_intervals(iv, start="s", end="e", keys=["user_id"])

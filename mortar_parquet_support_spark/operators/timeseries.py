@@ -803,3 +803,59 @@ def transition_matrix(
         .withColumn("p", F.round(F.col("n") / F.col("__t"), 6))
         .drop("__t")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    *,
+    start: str = "start",
+    end: str = "end",
+    keys: Sequence[str] = (),
+    gap: "str | float" = 0,
+) -> DataFrame:
+    """Coalesce overlapping / touching / near-adjacent [start, end]
+    intervals per key into maximal islands — the coverage question every
+    sensor lake answers ("when was this stream actually reporting?"),
+    and the span-algebra primitive under maintenance windows, session
+    stitching, and downtime reports. Returns one row per island:
+    (keys..., ``start``, ``end``, ``n_intervals``).
+
+    Two intervals merge when the later one starts within ``gap`` of the
+    running coverage end ('2 intervals touching end-to-start' merge at
+    gap 0). ``gap`` is numeric for numeric bounds or an interval string
+    ('5 minutes') for timestamps. CONTAINED intervals are handled by
+    tracking the running MAX end, not the previous row's end — the
+    classic gaps-and-islands pitfall where [0,100],[10,20],[30,40]
+    must be ONE island. NULL starts are rejected (an unanchored interval
+    cannot be ordered); NULL ends are treated as point intervals at
+    ``start``. Inverted intervals (end < start) are rejected loudly.
+
+    One shuffle (the per-key window), then the island aggregate reuses
+    the same partitioning — the sessionize plan applied to spans."""
+    if df.filter(F.col(start).isNull()).limit(1).count():
+        raise ValueError(f"merge_intervals: NULL {start!r} rows present")
+    e = F.coalesce(F.col(end), F.col(start))
+    if df.filter(e < F.col(start)).limit(1).count():
+        raise ValueError(f"merge_intervals: inverted intervals ({end} < {start})")
+    gap_expr = (
+        F.expr(f"INTERVAL {interval_seconds(gap)} SECOND")
+        if isinstance(gap, str)
+        else F.lit(gap)
+    )
+    w = Window.partitionBy(*keys).orderBy(start, end)
+    prev_cover = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_break = (
+        prev_cover.isNull() | (F.col(start) > prev_cover + gap_expr)
+    ).cast("long")
+    islands = df.withColumn("__island", F.sum(is_break).over(w))
+    return (
+        islands.groupBy(*keys, "__island")
+        .agg(
+            F.min(start).alias(start),
+            F.max(e).alias(end),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("__island")
+    )

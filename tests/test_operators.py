@@ -4186,3 +4186,51 @@ def test_apply_cdc_rules(spark):
         )
     with _pt.raises(ValueError, match="key columns"):
         apply_cdc(base, changes, keys=("k", "v"), version_col="v")
+
+
+def test_merge_intervals_islands(spark):
+    """merge_intervals: overlap, touch, containment (the running-max-end
+    pitfall), gap tolerance, NULL-end point intervals, and validation."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("a", 0, 100), ("a", 10, 20), ("a", 30, 40),  # contained: ONE island
+        ("a", 100, 110),                               # touches 100: merges
+        ("a", 200, 210), ("a", 215, 220),              # gap 5: separate at gap=0
+        ("b", 5, None),                                # point interval
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {(r.k, r.s, r.e): r.n_intervals for r in merge_intervals(
+        df, start="s", end="e", keys=["k"]
+    ).collect()}
+    assert out == {
+        ("a", 0, 110): 4, ("a", 200, 210): 1, ("a", 215, 220): 1, ("b", 5, 5): 1,
+    }
+    # gap=5 bridges the 210->215 hole
+    out5 = {(r.k, r.s, r.e) for r in merge_intervals(
+        df, start="s", end="e", keys=["k"], gap=5
+    ).collect()}
+    assert ("a", 200, 220) in out5
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="inverted"):
+        merge_intervals(
+            spark.createDataFrame([("a", 10, 5)], "k string, s long, e long"),
+            start="s", end="e", keys=["k"],
+        )
+    with _pt.raises(ValueError, match="NULL"):
+        merge_intervals(
+            spark.createDataFrame([("a", None, 5)], "k string, s long, e long"),
+            start="s", end="e", keys=["k"],
+        )
+    # timestamp bounds with an interval-string gap
+    tdf = spark.sql(
+        "SELECT * FROM VALUES "
+        "('x', timestamp'2024-01-01 00:00:00', timestamp'2024-01-01 00:10:00'),"
+        "('x', timestamp'2024-01-01 00:12:00', timestamp'2024-01-01 00:20:00')"
+        " AS t(k, s, e)"
+    )
+    m = merge_intervals(tdf, start="s", end="e", keys=["k"], gap="5 minutes").collect()
+    assert len(m) == 1 and m[0].n_intervals == 2
