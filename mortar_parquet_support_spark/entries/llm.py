@@ -2879,3 +2879,49 @@ def _merge_intervals(spark, sf_dir):
         (F.unix_timestamp("ts") + F.col("event_id") % 100).alias("e"),
     )
     return merge_intervals(iv, start="s", end="e", keys=["user_id"])
+
+
+@_register(
+    "histogram",
+    """
+    WITH pre AS (
+      SELECT user_id % 5 AS grp, CAST(sum(event_id % 100) AS DOUBLE) AS v
+      FROM events GROUP BY user_id % 5, user_id, ts
+    ), b AS (
+      SELECT grp, min(v) AS lo, max(v) AS hi FROM pre GROUP BY 1
+    ), binned AS (
+      SELECT p.grp,
+             CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least(CAST(floor((p.v - b.lo) / ((b.hi - b.lo) / 8.0))
+                                  AS INT), 7)
+             END AS bin,
+             b.lo AS glo, b.hi AS ghi
+      FROM pre p JOIN b USING (grp)
+    )
+    SELECT CAST(grp AS BIGINT) AS grp, bin,
+           ROUND(glo + bin * ((ghi - glo) / 8.0), 6) AS lo,
+           ROUND(CASE WHEN bin = 7 THEN ghi
+                      ELSE glo + (bin + 1) * ((ghi - glo) / 8.0) END, 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1, 2, glo, ghi
+    """,
+)
+def _histogram(spark, sf_dir):
+    """Exact equi-width histogram (operators/profile.py histogram): the
+    per-(user, ts) integer sums binned into 8 buckets per user-quintile
+    group. Bin edges are the same (v-lo)/((hi-lo)/bins) IEEE ops on both
+    engines over integer-valued doubles, so assignments agree exactly;
+    edges rounded at 6dp for display parity."""
+    from mortar_parquet_support_spark.operators.profile import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.groupBy(
+        (F.col("user_id") % 5).alias("grp"), "user_id", "ts"
+    ).agg(F.sum(F.col("event_id") % 100).cast("double").alias("v"))
+    out = histogram(pre.select("grp", "v"), value="v", keys=["grp"], bins=8)
+    return out.select(
+        "grp", "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n",
+    )

@@ -148,3 +148,57 @@ def skew_report(
         .withColumn("rank", F.row_number().over(w))
         .drop("__total")
     )
+
+
+def histogram(
+    df: DataFrame,
+    *,
+    value: str,
+    keys: "Sequence[str]" = (),
+    bins: int = 20,
+) -> DataFrame:
+    """Exact equi-width histogram per group: (keys..., ``bin``, ``lo``,
+    ``hi``, ``n``) with ``bins`` buckets spanning the group's [min, max]
+    — the distribution panel on every data card, computed EXACTLY (the
+    mergeable :func:`~...sketches.qhist_rollup` is the streaming/
+    persistable sibling; this is the one-shot report). NULL values are
+    not binned; a constant group (min == max) puts everything in bin 0;
+    empty bins are not emitted (the caller's plot fills gaps — emitting
+    them would manufacture groups x bins rows of zeros at scale).
+
+    Scale shape: one grouped (min, max) aggregate, broadcast back (the
+    bounds frame is group-count-sized), bin assignment in-row, then one
+    (keys, bin) count — two aggregates, the row side shuffled once.
+    The max value lands in the LAST bin (the right edge is closed there,
+    half-open everywhere else — numpy.histogram semantics)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    keys = list(keys)
+    v = F.col(value).cast("double")
+    bounds = df.filter(v.isNotNull()).groupBy(*keys).agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    joined = (
+        df.filter(v.isNotNull()).join(F.broadcast(bounds), keys)
+        if keys
+        else df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    raw_bin = F.floor((v - F.col("__lo")) / width).cast("int")
+    b = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(raw_bin, F.lit(bins - 1))  # max value joins the last bin
+    )
+    return (
+        joined.withColumn("bin", b)
+        .groupBy(*keys, "bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            "bin",
+            (F.col("__lo") + F.col("bin") * width).alias("lo"),
+            F.when(
+                F.col("bin") == bins - 1, F.col("__hi")
+            ).otherwise(F.col("__lo") + (F.col("bin") + 1) * width).alias("hi"),
+            "n",
+        )
+    )

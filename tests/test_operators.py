@@ -4234,3 +4234,31 @@ def test_merge_intervals_islands(spark):
     )
     m = merge_intervals(tdf, start="s", end="e", keys=["k"], gap="5 minutes").collect()
     assert len(m) == 1 and m[0].n_intervals == 2
+
+
+def test_histogram_exact_bins(spark):
+    """histogram: numpy.histogram parity (right edge closed on the last
+    bin only), constant groups collapse to bin 0, NULLs unbinned, empty
+    bins not emitted."""
+    import numpy as np
+
+    from mortar_parquet_support_spark.operators.profile import histogram
+
+    vals = [0.0, 1.0, 2.5, 5.0, 7.5, 10.0, 10.0, None]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+    out = {r.bin: r for r in histogram(df, value="v", keys=["g"], bins=4).collect()}
+    ref_counts, ref_edges = np.histogram(
+        [v for v in vals if v is not None], bins=4, range=(0.0, 10.0)
+    )
+    got_counts = [out[b].n if b in out else 0 for b in range(4)]
+    assert got_counts == list(ref_counts), (got_counts, ref_counts)
+    for b, r in out.items():
+        assert abs(r.lo - ref_edges[b]) < 1e-12
+        assert abs(r.hi - ref_edges[b + 1]) < 1e-12
+    const = spark.createDataFrame([("c", 5.0)] * 3, "g string, v double")
+    rows = histogram(const, value="v", keys=["g"], bins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bins"):
+        histogram(df, value="v", bins=0)
