@@ -512,8 +512,24 @@ def canonicalize_url(
     from locate/substr/split-on-literal primitives so an engine-parity
     oracle can replay it step for step — no URI-library semantics hide in
     the middle.
+
+    Implementation note: every intermediate (the trimmed input, the
+    fragment-stripped form, scheme/host/path, the query) is LET-BOUND
+    through a single-element-array transform before being referenced
+    again. Column expressions inline their subtrees at every reference,
+    and this function references each intermediate 3-6 times across ~6
+    levels — inlined naively the tree grows multiplicatively (measured:
+    a caller passing a complex url expression went from 120 s to
+    sub-second on 5k rows once bound). A lambda variable is a
+    materialized value, so each stage is computed once per row
+    regardless of fan-out.
     """
-    u = F.trim(F.col(url) if isinstance(url, str) else url)
+
+    raw = F.col(url) if isinstance(url, str) else url
+
+    def let(col, fn):
+        # bind `col` once; `fn` receives the materialized lambda var
+        return F.transform(F.array(col), fn).getItem(0)
 
     def before(c, sep):  # text before first sep (whole string if absent)
         i = F.instr(c, sep)
@@ -522,36 +538,6 @@ def canonicalize_url(
     def after(c, sep):  # text after first sep (NULL if absent)
         i = F.instr(c, sep)
         return F.when(i > 0, c.substr(i + F.lit(len(sep)), F.length(c)))
-
-    no_frag = before(u, "#") if strip_fragment else u
-    base = before(no_frag, "?")
-    query = after(no_frag, "?")
-    scheme = F.lower(before(base, "://"))
-    hostpath = after(base, "://")
-
-    slash = F.instr(hostpath, "/")
-    hostport = F.lower(
-        F.when(slash > 0, hostpath.substr(F.lit(1), slash - 1)).otherwise(hostpath)
-    )
-    path = F.when(slash > 0, hostpath.substr(slash, F.length(hostpath))).otherwise(
-        F.lit("/")
-    )
-    if strip_www:
-        hostport = F.when(
-            hostport.startswith("www."),
-            hostport.substr(F.lit(5), F.length(hostport)),
-        ).otherwise(hostport)
-    hostport = F.when(
-        (scheme == "http") & hostport.endswith(":80"),
-        hostport.substr(F.lit(1), F.length(hostport) - 3),
-    ).when(
-        (scheme == "https") & hostport.endswith(":443"),
-        hostport.substr(F.lit(1), F.length(hostport) - 4),
-    ).otherwise(hostport)
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        path.substr(F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
 
     def is_tracking(kv):
         name = F.lower(before(kv, "="))
@@ -562,21 +548,95 @@ def canonicalize_url(
             t = t | name.startswith(pre.lower())
         return t
 
-    kept = F.array_sort(
-        F.filter(
-            F.split(F.coalesce(query, F.lit("")), "&"),
-            lambda kv: (kv != "") & ~is_tracking(kv),
+    def with_parts(scheme, query, hostpath):
+        slash = F.instr(hostpath, "/")
+        hostport0 = F.lower(
+            F.when(slash > 0, hostpath.substr(F.lit(1), slash - 1)).otherwise(
+                hostpath
+            )
         )
+        path0 = F.when(
+            slash > 0, hostpath.substr(slash, F.length(hostpath))
+        ).otherwise(F.lit("/"))
+        if strip_www:
+            hostport0 = let(
+                hostport0,
+                lambda h: F.when(
+                    h.startswith("www."), h.substr(F.lit(5), F.length(h))
+                ).otherwise(h),
+            )
+        hostport0 = let(
+            hostport0,
+            lambda h: F.when(
+                (scheme == "http") & h.endswith(":80"),
+                h.substr(F.lit(1), F.length(h) - 3),
+            )
+            .when(
+                (scheme == "https") & h.endswith(":443"),
+                h.substr(F.lit(1), F.length(h) - 4),
+            )
+            .otherwise(h),
+        )
+        path0 = let(
+            path0,
+            lambda pa: F.when(
+                (F.length(pa) > 1) & pa.endswith("/"),
+                pa.substr(F.lit(1), F.length(pa) - 1),
+            ).otherwise(pa),
+        )
+        qs = F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(F.coalesce(query, F.lit("")), "&"),
+                    lambda kv: (kv != "") & ~is_tracking(kv),
+                )
+            ),
+            "&",
+        )
+
+        def assemble(hostport, path):
+            canon = F.concat(
+                scheme,
+                F.lit("://"),
+                hostport,
+                path,
+                let(
+                    qs,
+                    lambda q: F.when(q != "", F.concat(F.lit("?"), q)).otherwise(
+                        F.lit("")
+                    ),
+                ),
+            )
+            return F.when(hostpath.isNotNull() & (hostport != ""), canon)
+
+        return let(
+            hostport0, lambda hp: let(path0, lambda pa: assemble(hp, pa))
+        )
+
+    def with_no_frag(nf):
+        # query comes from nf (everything after the first '?'); b is the
+        # pre-'?' part the scheme/host/path parse runs on
+        return let(
+            before(nf, "?"),
+            lambda b: let(
+                F.coalesce(after(nf, "?"), F.lit("")),
+                lambda query: let(
+                    F.lower(before(b, "://")),
+                    lambda scheme: let(
+                        after(b, "://"),
+                        lambda hostpath: with_parts(scheme, query, hostpath),
+                    ),
+                ),
+            ),
+        )
+
+    return let(
+        F.trim(raw),
+        lambda u: let(
+            before(u, "#") if strip_fragment else u,
+            with_no_frag,
+        ),
     )
-    qs = F.array_join(kept, "&")
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        hostport,
-        path,
-        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
-    )
-    return F.when(hostpath.isNotNull() & (hostport != ""), canon)
 
 
 def dedup_by_url(
