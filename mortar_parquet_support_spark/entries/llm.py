@@ -2925,3 +2925,46 @@ def _histogram(spark, sf_dir):
         F.round("hi", 6).alias("hi"),
         "n",
     )
+
+
+@_register(
+    "salted_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 6) AS mean,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def _salted_agg(spark, sf_dir):
+    """Skew-mitigating two-phase aggregate (plans/skew.py salted_agg):
+    shuffle on (key, salt) first so no reduce task owns a hot key, then
+    re-aggregate the bounded partials — results EXACTLY equal the direct
+    groupBy (the oracle is that direct groupBy), which is the point: the
+    plan changes, the algebra does not. avg re-aggregates as exact
+    sum/count; rounding only at the display edge."""
+    from mortar_parquet_support_spark.plans.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("event_id", "count"),
+            "total": ("value", "sum"),
+            "mean": ("value", "avg"),
+            "lo": ("value", "min"),
+            "hi": ("value", "max"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type", "n",
+        F.round("total", 2).alias("total"),
+        F.round("mean", 6).alias("mean"),
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+    )
