@@ -2968,3 +2968,59 @@ def _salted_agg(spark, sf_dir):
         F.round("lo", 2).alias("lo"),
         F.round("hi", 2).alias("hi"),
     )
+
+
+@_register(
+    "coverage_gaps",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + event_id % 1000 AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ), isl AS (
+      SELECT user_id, min(s) AS s, max(e) AS e
+      FROM (
+        SELECT user_id, s, e,
+               sum(brk) OVER (
+                 PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+      ) GROUP BY user_id, island
+    )
+    SELECT user_id, gap_start, gap_end FROM (
+      SELECT user_id,
+             lag(e) OVER (PARTITION BY user_id ORDER BY s) AS gap_start,
+             s AS gap_end
+      FROM isl
+    ) WHERE gap_start IS NOT NULL
+    """,
+)
+def _coverage_gaps(spark, sf_dir):
+    """Uncovered-span report (operators/timeseries.py coverage_gaps —
+    the downtime complement of merge_intervals): per-user silent periods
+    between coverage islands over integer event spans. The oracle
+    composes the same islands then lags them."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        coverage_gaps,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.col("event_id") % 1000).alias("e"),
+    )
+    return coverage_gaps(iv, start="s", end="e", keys=["user_id"])

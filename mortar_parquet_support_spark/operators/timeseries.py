@@ -859,3 +859,66 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    *,
+    start: str = "start",
+    end: str = "end",
+    keys: Sequence[str] = (),
+    window_start=None,
+    window_end=None,
+    gap: "str | float" = 0,
+) -> DataFrame:
+    """The complement of :func:`merge_intervals`: per key, the UNCOVERED
+    spans — between coverage islands, plus the edges against an optional
+    reporting window [``window_start``, ``window_end``] (so "sensor was
+    silent from window open until first reading" is a gap too, not
+    silence). The downtime/SLA report over the same span algebra.
+
+    Returns (keys..., ``gap_start``, ``gap_end``); empty when coverage
+    is contiguous across the window. Interior gaps come from one lag
+    window over the (already tiny) island frame; edge gaps are two
+    in-row comparisons. Keys with no intervals at all do not appear —
+    they have no island rows; outer-join the key universe first if
+    'totally silent stream' must surface."""
+    islands = merge_intervals(df, start=start, end=end, keys=keys, gap=gap)
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(start)
+    prev_end = F.lag(F.col(end)).over(w)
+    interior = (
+        islands.withColumn("__prev_end", prev_end)
+        .filter(F.col("__prev_end").isNotNull())
+        .select(
+            *keys,
+            F.col("__prev_end").alias("gap_start"),
+            F.col(start).alias("gap_end"),
+        )
+    )
+    out = interior
+    if window_start is not None:
+        head = (
+            islands.groupBy(*keys)
+            .agg(F.min(start).alias("__first"))
+            .filter(F.col("__first") > F.lit(window_start))
+            .select(
+                *keys,
+                F.lit(window_start).alias("gap_start"),
+                F.col("__first").alias("gap_end"),
+            )
+        )
+        out = out.unionByName(head)
+    if window_end is not None:
+        tail = (
+            islands.groupBy(*keys)
+            .agg(F.max(end).alias("__last"))
+            .filter(F.col("__last") < F.lit(window_end))
+            .select(
+                *keys,
+                F.col("__last").alias("gap_start"),
+                F.lit(window_end).alias("gap_end"),
+            )
+        )
+        out = out.unionByName(tail)
+    return out

@@ -4262,3 +4262,23 @@ def test_histogram_exact_bins(spark):
 
     with _pt.raises(ValueError, match="bins"):
         histogram(df, value="v", bins=0)
+
+
+def test_coverage_gaps_interior_and_edges(spark):
+    from mortar_parquet_support_spark.operators.timeseries import (
+        coverage_gaps,
+    )
+
+    rows = [("a", 10, 20), ("a", 15, 25), ("a", 40, 50), ("b", 0, 100)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    interior = {(r.k, r.gap_start, r.gap_end) for r in coverage_gaps(
+        df, start="s", end="e", keys=["k"]
+    ).collect()}
+    assert interior == {("a", 25, 40)}
+    # window edges: silence before first island and after the last
+    edged = {(r.k, r.gap_start, r.gap_end) for r in coverage_gaps(
+        df, start="s", end="e", keys=["k"], window_start=0, window_end=120
+    ).collect()}
+    assert edged == {
+        ("a", 25, 40), ("a", 0, 10), ("a", 50, 120), ("b", 100, 120),
+    }
