@@ -2462,7 +2462,15 @@ def _similarity_join(spark, sf_dir):
     frequency-ordered shingle PREFIXES + a length band, then the exact
     verify. The oracle IS the brute-force cross join, so the filter's
     losslessness is value-hashed every round (also pytest-pinned vs an
-    in-Spark brute force)."""
+    in-Spark brute force).
+
+    Fixture caveat: the synthetic corpus draws from a ~31-word
+    vocabulary, which is the prefix filter's ADVERSARIAL case — at
+    t=0.4 prefixes are ~60% of each set and almost every token is hot,
+    so candidates approach all-pairs (~21 s at sf0.1; the hard gate runs
+    at sf0.01). Real corpora have heavy-tailed vocabularies, which is
+    exactly what frequency-ascending prefixes exploit; for high-overlap
+    thresholds (t >= 0.8, the dedup regime) prefixes shrink to ~20%."""
     from mortar_parquet_support_spark.operators.dedup import similarity_join
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
