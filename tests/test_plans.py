@@ -315,3 +315,39 @@ def test_dedup_lines_no_corpus_reshuffle(spark, sf_dir):
     # the only doc_id exchange allowed is the dup-positions aggregate,
     # whose input was already filtered to duplicated lines
     assert p.count("Exchange hashpartitioning(doc_id") <= 1, p
+
+
+def test_phrase_search_plan_no_join(spark):
+    """phrase_search is union + one grouped aggregate over token-pruned
+    postings — no join operator of any kind in the plan (a self-join
+    chain per phrase token is the shape this formulation avoids)."""
+    from mortar_parquet_support_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+    from tests.conftest import plan_str
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = phrase_search(build_positional_index(docs), "beta gamma")
+    out.collect()
+    plan = plan_str(out).split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan[:500]
+
+
+def test_salted_agg_first_exchange_carries_salt(spark):
+    """salted_agg's first exchange partitions on (keys, __salt) — the
+    property that splits a hot key across reduce tasks."""
+    from mortar_parquet_support_spark.plans.skew import salted_agg
+    from tests.conftest import plan_str
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)], "k string, v double"
+    )
+    out = salted_agg(df, ["k"], {"s": ("v", "sum")}, buckets=8)
+    out.collect()
+    plan = plan_str(out).split("== Initial Plan ==")[0]
+    first_exchange = plan[plan.index("Exchange"):]
+    assert "__salt" in first_exchange.split("Exchange")[1]
