@@ -3032,3 +3032,30 @@ def _coverage_gaps(spark, sf_dir):
         (F.unix_timestamp("ts") + F.col("event_id") % 1000).alias("e"),
     )
     return coverage_gaps(iv, start="s", end="e", keys=["user_id"])
+
+
+@_register("temperature_mixture")
+def _temperature_mixture(spark, sf_dir):
+    """Alpha-sampled training mixture (operators/sampling.py
+    temperature_weights -> build_mixture): domain weights n_d^0.3
+    normalized from the corpus' own counts, then materialized with the
+    bit-deterministic mixture machinery. Rows-only (the weights are a
+    driver-computed model feeding the already-oracle-checked
+    build_mixture; the alpha formula and uniform/natural limits are
+    pytest-pinned)."""
+    from mortar_parquet_support_spark.operators.sampling import (
+        build_mixture,
+        temperature_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = temperature_weights(docs, "source", alpha=0.3)
+    out = build_mixture(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        w,
+        target_rows=2000,
+        salt="tm:",
+    )
+    return out.select("doc_id", "source", "epoch")

@@ -304,3 +304,36 @@ def group_split(
     return hash_split(
         df, group_col, weights, salt=salt, label_col=label_col
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+) -> "dict[str, float]":
+    """Temperature-scaled mixture weights from the corpus' own domain
+    counts: ``w_d = n_d ** alpha``, normalized — the multilingual
+    alpha-sampling rule (mBERT/XLM-R style). ``alpha = 1`` reproduces
+    natural proportions, ``alpha = 0`` uniform; the usual 0.2-0.7 range
+    boosts scarce domains without letting any head domain dominate.
+    Feed the result straight into :func:`build_mixture` (whose
+    coefficients embed these doubles identically on both engines).
+
+    Driver-side by design: the output is a MODEL (one weight per
+    domain, bounded by domain cardinality), computed from one count
+    aggregate; NULL domains are excluded (they cannot be named in a
+    weights mapping — route them explicitly if they matter)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not counts:
+        raise ValueError("temperature_weights: no non-NULL domains")
+    raw = {r[domain_col]: float(r["n"]) ** alpha for r in counts}
+    total = sum(raw.values())
+    return {d: w / total for d, w in sorted(raw.items())}

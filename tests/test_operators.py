@@ -4282,3 +4282,28 @@ def test_coverage_gaps_interior_and_edges(spark):
     assert edged == {
         ("a", 25, 40), ("a", 0, 10), ("a", 50, 120), ("b", 100, 120),
     }
+
+
+def test_temperature_weights_limits(spark):
+    from mortar_parquet_support_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    rows = [("big",)] * 90 + [("small",)] * 10 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "d string")
+    nat = temperature_weights(df, "d", alpha=1.0)
+    assert abs(nat["big"] - 0.9) < 1e-12 and abs(nat["small"] - 0.1) < 1e-12
+    uni = temperature_weights(df, "d", alpha=0.0)
+    assert abs(uni["big"] - 0.5) < 1e-12 and abs(uni["small"] - 0.5) < 1e-12
+    half = temperature_weights(df, "d", alpha=0.5)
+    import math
+
+    expect_big = math.sqrt(90) / (math.sqrt(90) + math.sqrt(10))
+    assert abs(half["big"] - expect_big) < 1e-12
+    assert abs(sum(half.values()) - 1.0) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_weights(df, "d", alpha=-1)
+    with _pt.raises(ValueError, match="no non-NULL"):
+        temperature_weights(df.filter(F.col("d").isNull()), "d")
