@@ -230,3 +230,44 @@ def test_funnel_matches_sequential_reference(spark, events, within):
         t2 = ts_of("C", t1, hi) if t1 else None
         want = (t0, t1, t2, sum(x is not None for x in (t0, t1, t2)))
         assert got[u] == want, (u, got[u], want)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=12
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+@settings(max_examples=12, deadline=None)
+def test_similarity_join_lossless_property(spark, docs, t):
+    """Property: prefix-filtered similarity_join == brute-force all-pairs
+    for arbitrary tiny-alphabet corpora (the hardest case for the filter:
+    nearly every token is hot) at several thresholds."""
+    from mortar_parquet_support_spark.functions import word_shingles
+    from mortar_parquet_support_spark.operators.dedup import similarity_join
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in similarity_join(
+            df, id_col="doc_id", text_col="text", threshold=t
+        ).collect()
+    }
+    g = df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    brute = {
+        (r.id_a, r.id_b): round(r.j, 9)
+        for r in pairs.select("id_a", "id_b", jac.alias("j"))
+        .filter(jac >= t)
+        .collect()
+    }
+    assert got == brute
