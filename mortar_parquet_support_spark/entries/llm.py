@@ -3059,3 +3059,23 @@ def _temperature_mixture(spark, sf_dir):
         salt="tm:",
     )
     return out.select("doc_id", "source", "epoch")
+
+
+@_register("tokenize_and_pack")
+def _tokenize_and_pack(spark, sf_dir):
+    """End-to-end tokenize-and-pack (pipelines/tokenize.py): BPE merges
+    trained on the documents corpus, every doc encoded to its EXACT token
+    cost under that vocabulary, then packed into 512-token bins
+    (sharded running sums). Rows-only (the trained merges are a model;
+    each composed stage is independently pinned — bpe train/encode vs a
+    python reference, pack_sequences vs its DuckDB oracle); the
+    composition contract (bin budgets respected, every in-budget doc
+    packed exactly once) is pytest-pinned."""
+    from mortar_parquet_support_spark.pipelines.tokenize import (
+        tokenize_and_pack,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenize_and_pack(
+        docs, vocab_merges=12, budget=512, shards=8
+    )

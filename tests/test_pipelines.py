@@ -161,3 +161,51 @@ def test_null_text_not_duplicate_of_empty(spark):
     assert out == {1: None, 2: None}
     out_f = {r.doc_id: r.drop_reason for r in curate(df, dedup="fingerprint", audit=True).collect()}
     assert out_f == {1: None, 2: None}
+
+
+def test_tokenize_and_pack_contract(spark):
+    """tokenize_and_pack: every in-budget doc packs exactly once, bin
+    assignment follows pack_sequences' start-offset contract (a row joins
+    the bin its running start offset falls into — bins can overhang by at
+    most one row's tail), over-budget docs drop, NULL/empty docs cost 0,
+    and a pre-trained merges list is honored (the train-once serving
+    path)."""
+    from mortar_parquet_support_spark.operators.bpe import (
+        bpe_token_count_exact,
+        bpe_train,
+    )
+    from mortar_parquet_support_spark.pipelines.tokenize import (
+        tokenize_and_pack,
+    )
+
+    texts = [
+        (i, "low low lower lowest " * (i % 4 + 1)) for i in range(40)
+    ] + [(100, ""), (101, None), (102, "x " * 600)]  # 102: over budget
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_train(df, text_col="text", num_merges=8)
+    out = tokenize_and_pack(
+        df, budget=60, shards=4, merges=merges
+    ).collect()
+    packed_ids = [r.doc_id for r in out]
+    assert sorted(packed_ids) == sorted(set(packed_ids))  # once each
+    costs = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id",
+            F.coalesce(
+                bpe_token_count_exact(F.col("text"), merges), F.lit(0)
+            ).alias("n"),
+        ).collect()
+    }
+    assert 102 not in packed_ids and costs[102] > 60  # over-budget dropped
+    assert {100, 101} <= set(packed_ids)              # zero-cost docs pack
+    for r in out:
+        assert r.n_tokens == costs[r.doc_id]
+    # replay the start-offset contract per shard: bin == floor(running
+    # start / budget) with rows laid out in id order
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        start = by_shard.get(r.shard, 0)
+        assert r.bin == start // 60, (r.doc_id, r.shard, r.bin, start)
+        by_shard[r.shard] = start + r.n_tokens
+    assert set(packed_ids) == {i for i, n in costs.items() if n <= 60}
