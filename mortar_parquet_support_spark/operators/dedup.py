@@ -1109,7 +1109,16 @@ def similarity_join(
             ).alias("toks")
         )
         .withColumn("sz", F.size("toks"))
-        .withColumn("p", F.col("sz") - F.ceil(t * F.col("sz")) + 1)
+        # exactness guard: t*sz is IEEE-rounded, and e.g. 0.07*100 =
+        # 7.000000000000001 would ceil to 8 — one token too few in the
+        # prefix, a silent false NEGATIVE in an operator documented for
+        # "misses are unacceptable" use. Nudging down by 1e-9 before
+        # ceil can only err toward a LONGER prefix (extra candidates,
+        # pruned by the exact verify), never a shorter one. Same
+        # discipline as sketches._QHIST_EPS.
+        .withColumn(
+            "p", F.col("sz") - F.ceil(t * F.col("sz") - F.lit(1e-9)) + 1
+        )
         .select(
             "id",
             "sz",
@@ -1138,8 +1147,13 @@ def similarity_join(
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b") >= F.ceil(t * F.col("sz_a")))
-            & (F.col("sz_b") <= F.floor(F.col("sz_a") / t))
+            # same 1e-9 nudge as the prefix length: the size band must
+            # only ever be LOOSER than exact, never tighter
+            & (F.col("sz_b") >= F.ceil(t * F.col("sz_a") - F.lit(1e-9)))
+            & (
+                F.col("sz_b")
+                <= F.floor(F.col("sz_a") / t + F.lit(1e-9))
+            )
         )
         .select("id_a", "id_b")
         .distinct()

@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
 #: scale factor making MAD a consistent sigma estimator under normality
 #: (1 / Phi^-1(3/4)) — the constant every robust-z implementation uses.
 MAD_SIGMA = 1.4826
@@ -58,7 +60,7 @@ def winsorize(
         F.percentile(F.col(value), F.lit(float(upper))).alias("__hi"),
     )
     joined = (
-        df.join(F.broadcast(bounds), keys) if keys
+        df.join(maybe_broadcast(bounds), keys) if keys
         else df.crossJoin(F.broadcast(bounds))
     )
     clipped = F.when(
@@ -98,7 +100,7 @@ def robust_outliers(
         F.percentile(F.col(value), F.lit(0.5)).alias("__med")
     )
     j1 = (
-        df.join(F.broadcast(med), keys) if keys
+        df.join(maybe_broadcast(med), keys) if keys
         else df.crossJoin(F.broadcast(med))
     )
     mad = j1.groupBy(*keys).agg(
@@ -106,7 +108,7 @@ def robust_outliers(
             F.abs(F.col(value) - F.col("__med")), F.lit(0.5)
         ).alias("__mad")
     )
-    j2 = j1.join(F.broadcast(mad), keys) if keys else j1.crossJoin(
+    j2 = j1.join(maybe_broadcast(mad), keys) if keys else j1.crossJoin(
         F.broadcast(mad)
     )
     z = F.when(

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
 #: types whose min/max are portable across engines (binary/collation-free
 #: comparisons and unambiguous string rendering)
 _ORDERABLE = (
@@ -179,7 +181,7 @@ def histogram(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
     joined = (
-        df.filter(v.isNotNull()).join(F.broadcast(bounds), keys)
+        df.filter(v.isNotNull()).join(maybe_broadcast(bounds), keys)
         if keys
         else df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
     )

@@ -812,6 +812,7 @@ def merge_intervals(
     end: str = "end",
     keys: Sequence[str] = (),
     gap: "str | float" = 0,
+    validate: bool = True,
 ) -> DataFrame:
     """Coalesce overlapping / touching / near-adjacent [start, end]
     intervals per key into maximal islands — the coverage question every
@@ -826,17 +827,38 @@ def merge_intervals(
     ('5 minutes') for timestamps. CONTAINED intervals are handled by
     tracking the running MAX end, not the previous row's end — the
     classic gaps-and-islands pitfall where [0,100],[10,20],[30,40]
-    must be ONE island. NULL starts are rejected (an unanchored interval
-    cannot be ordered); NULL ends are treated as point intervals at
-    ``start``. Inverted intervals (end < start) are rejected loudly.
+    must be ONE island. NULL starts and inverted intervals (end <
+    start) are rejected loudly — via an in-plan assert column folded
+    into the main pass (a lazy CASE around ``start`` that raises on the
+    first bad row AT ACTION TIME), not eager pre-scans: the clean-data
+    case pays ZERO extra jobs, preserving the one-shuffle scale shape
+    (ADVICE r9; ``coverage_gaps`` inherits both the check and the
+    savings). ``validate=False`` skips the check for pre-validated
+    inputs. NULL ends are treated as point intervals at ``start``.
 
     One shuffle (the per-key window), then the island aggregate reuses
     the same partitioning — the sessionize plan applied to spans."""
-    if df.filter(F.col(start).isNull()).limit(1).count():
-        raise ValueError(f"merge_intervals: NULL {start!r} rows present")
+    if validate:
+        df = df.withColumn(
+            start,
+            F.when(
+                F.col(start).isNull(),
+                F.raise_error(
+                    F.lit(f"merge_intervals: NULL {start!r} rows present")
+                ),
+            )
+            .when(
+                F.coalesce(F.col(end), F.col(start)) < F.col(start),
+                F.raise_error(
+                    F.lit(
+                        f"merge_intervals: inverted intervals "
+                        f"({end} < {start})"
+                    )
+                ),
+            )
+            .otherwise(F.col(start)),
+        )
     e = F.coalesce(F.col(end), F.col(start))
-    if df.filter(e < F.col(start)).limit(1).count():
-        raise ValueError(f"merge_intervals: inverted intervals ({end} < {start})")
     gap_expr = (
         F.expr(f"INTERVAL {interval_seconds(gap)} SECOND")
         if isinstance(gap, str)
@@ -870,6 +892,7 @@ def coverage_gaps(
     window_start=None,
     window_end=None,
     gap: "str | float" = 0,
+    validate: bool = True,
 ) -> DataFrame:
     """The complement of :func:`merge_intervals`: per key, the UNCOVERED
     spans — between coverage islands, plus the edges against an optional
@@ -883,7 +906,9 @@ def coverage_gaps(
     in-row comparisons. Keys with no intervals at all do not appear —
     they have no island rows; outer-join the key universe first if
     'totally silent stream' must surface."""
-    islands = merge_intervals(df, start=start, end=end, keys=keys, gap=gap)
+    islands = merge_intervals(
+        df, start=start, end=end, keys=keys, gap=gap, validate=validate
+    )
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(start)
     prev_end = F.lag(F.col(end)).over(w)

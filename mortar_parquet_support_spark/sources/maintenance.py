@@ -263,7 +263,11 @@ def apply_cdc(
       version I+D pair means the row did not survive the transaction),
       then by the operation column for total determinism;
     - NULL versions are rejected loudly (an unversioned change cannot be
-      ordered — silently last-writer-wins would be replay-dependent).
+      ordered — silently last-writer-wins would be replay-dependent);
+    - NULL ops are rejected just as loudly: ``NULL == delete_value`` is
+      NULL, which would match the "untouched" branch — the latest change
+      silently ignored for existing keys, and a ghost all-NULL row
+      emitted for new keys (ADVICE r9).
 
     Scale shape: the change log aggregates to one winner per key (one
     shuffle of the LOG, bounded by change volume), then a single
@@ -272,12 +276,24 @@ def apply_cdc(
     snapshot with ``base``'s columns."""
     if version_col in keys or op_col in keys:
         raise ValueError("version/op columns cannot be key columns")
-    nulls = changes.filter(F.col(version_col).isNull()).limit(1).count()
-    if nulls:
-        raise ValueError(
-            f"apply_cdc: NULL {version_col!r} in changes — unversioned "
-            "changes cannot be ordered"
+    # one validation scan for both contracts (not one job per column)
+    bad = (
+        changes.filter(
+            F.col(version_col).isNull() | F.col(op_col).isNull()
         )
+        .select(version_col, op_col)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        col = version_col if bad[0][0] is None else op_col
+        why = (
+            "unversioned changes cannot be ordered"
+            if col == version_col
+            else "an op-less change would silently fall into the "
+            "untouched branch"
+        )
+        raise ValueError(f"apply_cdc: NULL {col!r} in changes — {why}")
     data_cols = [c for c in base.columns]
     w = Window.partitionBy(*keys).orderBy(
         F.col(version_col).desc(),

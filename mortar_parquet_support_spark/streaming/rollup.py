@@ -616,10 +616,19 @@ def stream_heavy_hitters(
         summary = mg_rollup(batch_df, item=item, keys=keys, k=k)
         try:
             prev = spark.read.parquet(state_path)
-        except AnalysisException:
-            # first batch: no state yet. ONLY path-not-found-class errors
-            # mean that — a corrupt/unreadable state must fail the batch
-            # loudly, not silently restart every counter from zero.
+        except AnalysisException as e:
+            # first batch: no state yet. ONLY the path-not-found error
+            # class means that — an empty/partially-written state dir
+            # ("unable to infer schema") or a schema-mismatched one also
+            # raises AnalysisException, and swallowing those would
+            # silently restart every counter from zero (ADVICE r9).
+            cond = (
+                e.getCondition()
+                if hasattr(e, "getCondition")
+                else e.getErrorClass()
+            )
+            if cond != "PATH_NOT_FOUND":
+                raise
             prev = None
         if prev is not None:
             summary = summary.unionByName(prev)

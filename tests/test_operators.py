@@ -4113,6 +4113,36 @@ def test_similarity_join_equals_brute_force(spark):
         similarity_join(docs, id_col="doc_id", text_col="text", threshold=0.0)
 
 
+def test_similarity_join_float_ceil_boundary(spark):
+    """Regression (ADVICE r9): IEEE rounding of t*sz (0.14*50 =
+    7.000000000000001 -> ceil 8 vs exact 7) must not shorten the prefix
+    or tighten the size band — that silently drops a pair whose exact
+    Jaccard equals the threshold.
+
+    Construction: doc A = 43 unique words + 7 words shared with doc B
+    (B = exactly those 7 words). Shared tokens have corpus count 2, so
+    frequency-ascending ordering sorts them LAST in A — positions 44-50.
+    Exact prefix length for A is 50 - ceil(0.14*50) + 1 = 44, so
+    position 44 (the first shared token) is in the prefix and the pair
+    collides; the buggy float ceil gave 43, excluding every shared
+    token, AND rejected the pair at the band (sz_b=7 >= ceil->8 false).
+    Exact Jaccard = 7/50 = 0.14 — qualifying, boundary-exact."""
+    from mortar_parquet_support_spark.operators.dedup import similarity_join
+
+    shared = [f"s{i:02d}" for i in range(7)]
+    unique = [f"u{i:02d}" for i in range(43)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(unique + shared)), (1, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    out = similarity_join(
+        docs, id_col="doc_id", text_col="text", threshold=0.14,
+        shingle_words=1,
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert abs(out[0].jaccard - 7 / 50) < 1e-12
+
+
 def test_group_split_no_straddle(spark):
     """group_split: every row of a group gets the SAME label (the
     leakage-safety invariant row-keyed hash_split cannot give), weights
@@ -4184,6 +4214,17 @@ def test_apply_cdc_rules(spark):
             spark.createDataFrame([(1, "z", None, "U")], "k long, val string, v int, op string"),
             keys=("k",), version_col="v",
         )
+    # NULL op would NULL-match the untouched branch: the latest change
+    # silently ignored for existing keys, a ghost all-NULL row for new
+    # ones (ADVICE r9) — rejected as loudly as a NULL version
+    with _pt.raises(ValueError, match="'op'"):
+        apply_cdc(
+            base,
+            spark.createDataFrame(
+                [(1, "z", 7, None)], "k long, val string, v int, op string"
+            ),
+            keys=("k",), version_col="v",
+        )
     with _pt.raises(ValueError, match="key columns"):
         apply_cdc(base, changes, keys=("k", "v"), version_col="v")
 
@@ -4215,16 +4256,23 @@ def test_merge_intervals_islands(spark):
     assert ("a", 200, 220) in out5
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="inverted"):
+    # validation is folded into the main pass (ADVICE r9): bad rows
+    # raise at ACTION time from the in-plan assert column — no eager
+    # pre-scan jobs on the clean path
+    with _pt.raises(Exception, match="inverted"):
         merge_intervals(
             spark.createDataFrame([("a", 10, 5)], "k string, s long, e long"),
             start="s", end="e", keys=["k"],
-        )
-    with _pt.raises(ValueError, match="NULL"):
+        ).collect()
+    with _pt.raises(Exception, match="NULL 's'"):
         merge_intervals(
             spark.createDataFrame([("a", None, 5)], "k string, s long, e long"),
             start="s", end="e", keys=["k"],
-        )
+        ).collect()
+    # validate=False skips the check entirely for pre-validated inputs
+    assert merge_intervals(
+        df, start="s", end="e", keys=["k"], validate=False
+    ).count() == 4
     # timestamp bounds with an interval-string gap
     tdf = spark.sql(
         "SELECT * FROM VALUES "

@@ -240,3 +240,35 @@ def test_stream_heavy_hitters_cross_batch_merge(spark, tmp_path):
         for r in heavy_hitters(batch_all, item="text", k=k).collect()
     }
     assert set(got) <= set(exact) and set(batch_mg) <= set(exact)
+
+
+def test_stream_heavy_hitters_corrupt_state_fails_loudly(spark, tmp_path):
+    """Regression (ADVICE r9): only a MISSING state path means 'first
+    batch'. An empty/partially-written state dir also raises
+    AnalysisException (unable to infer schema) — swallowing it would
+    silently reset every counter to zero; it must fail the batch."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_heavy_hitters,
+    )
+
+    rows = [(i, f"w{i % 3}") for i in range(30)]
+    src = str(tmp_path / "src")
+    _write_docs(spark, os.path.join(src, "f1"), rows)
+    state = tmp_path / "state"
+    state.mkdir()  # exists but holds no parquet: NOT first-batch
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+    )
+    q = (
+        stream_heavy_hitters(
+            stream, item="text", keys=[], k=8, state_path=str(state)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pt
+    from pyspark.errors import StreamingQueryException
+
+    with _pt.raises(StreamingQueryException):
+        q.awaitTermination(120)
