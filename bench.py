@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The headline set: every family SURVEY §2 + north-star covers, weighted
 # toward the plans whose physical shape matters at scale (shuffles, joins,
 # windows, LSH self-joins).
+# Queries whose first run lands under this take the MEDIAN of 3 runs —
+# sub-second timings proved round-to-round noisy (±70%) on unchanged
+# plans; multi-second ones stay single-run (see the loop comment).
+MEDIAN3_BELOW_SEC = 1.0
+
 HEADLINE = [
     "flagship_scan",
     "semi_join_ids",
@@ -160,6 +165,7 @@ def main() -> int:
     jif0, steal0 = _cpu_jiffies()
 
     timings: dict[str, float] = {}
+    median3: list[str] = []
     for name in HEADLINE:
         if do_prewarm:
             t0 = time.perf_counter()
@@ -185,10 +191,26 @@ def main() -> int:
         # operators (minhash LSH) eagerly materialize intermediate frames
         # inside the callable, and timing only the final write would
         # silently exclude that work.
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        def _time_once() -> float:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        first = _time_once()
+        if first < MEDIAN3_BELOW_SEC:
+            # Sub-second queries are where single-run noise (a stray GC, a
+            # page-cache miss, one slow task) swamps the signal — observed
+            # range_join 0.34s vs 0.58s round to round on an UNCHANGED
+            # 1-exchange plan. Median of 3 runs makes round comparisons
+            # track plan changes, not scheduler jitter; multi-second
+            # queries stay single-run (noise is proportionally small and
+            # re-running them would triple bench wall time for nothing).
+            runs = sorted([first, _time_once(), _time_once()])
+            timings[name] = round(runs[1], 3)
+            median3.append(name)
+        else:
+            timings[name] = round(first, 3)
     prewarm_sec = round(prewarm_sec, 3)
 
     jit_after = _jit_probe(spark, 2_000)
@@ -213,6 +235,9 @@ def main() -> int:
                 "jit_sentinel_after_sec": jit_after,
                 "steal_pct": steal_pct,
                 "prewarm_sec": prewarm_sec,
+                # queries reported as median-of-3 (first run < 1s);
+                # everything else is single-run
+                "median3": median3,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
