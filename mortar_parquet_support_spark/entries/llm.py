@@ -3034,27 +3034,53 @@ def _coverage_gaps(spark, sf_dir):
     return coverage_gaps(iv, start="s", end="e", keys=["user_id"])
 
 
-@_register("temperature_mixture")
+@_register(
+    "temperature_mixture",
+    """
+    WITH cnt AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents WHERE source IS NOT NULL
+      GROUP BY source
+    ), wtab AS (
+      SELECT source, n,
+             ROUND(POW(n, 0.3) / SUM(POW(n, 0.3)) OVER (), 9) AS w
+      FROM cnt
+    ), planned AS (
+      SELECT d.doc_id, d.source,
+             CAST(2000 AS DOUBLE) * t.w / t.n AS rate
+      FROM documents d JOIN wtab t USING (source)
+    ), reps AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT) +
+             CASE WHEN ('0x' || substr(md5('tm:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000
+                       < CAST(round((rate - floor(rate)) * 10000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_reps
+      FROM planned
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n_reps)) AS BIGINT) AS epoch
+    FROM reps
+    """,
+)
 def _temperature_mixture(spark, sf_dir):
-    """Alpha-sampled training mixture (operators/sampling.py
-    temperature_weights -> build_mixture): domain weights n_d^0.3
-    normalized from the corpus' own counts, then materialized with the
-    bit-deterministic mixture machinery. Rows-only (the weights are a
-    driver-computed model feeding the already-oracle-checked
-    build_mixture; the alpha formula and uniform/natural limits are
-    pytest-pinned)."""
+    """Alpha-sampled training mixture, fully in-plan (operators/
+    sampling.py temperature_mixture): domain weights n_d^0.3 normalized
+    from the corpus' own counts inside the SAME plan that materializes
+    the mixture — no driver dict handoff, so the whole pipeline is
+    SQL-expressible and the oracle replays it end to end (weights
+    rounded at 1e-9 on both engines to absorb pow/sum-order ulps;
+    everything downstream is identical single IEEE ops). Promoted from
+    rows-only in r10 (VERDICT r9 ask #4)."""
     from mortar_parquet_support_spark.operators.sampling import (
-        build_mixture,
-        temperature_weights,
+        temperature_mixture,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    w = temperature_weights(docs, "source", alpha=0.3)
-    out = build_mixture(
+    out = temperature_mixture(
         docs.select("doc_id", "source"),
         "doc_id",
         "source",
-        w,
+        alpha=0.3,
         target_rows=2000,
         salt="tm:",
     )

@@ -337,3 +337,79 @@ def temperature_weights(
     raw = {r[domain_col]: float(r["n"]) ** alpha for r in counts}
     total = sum(raw.values())
     return {d: w / total for d, w in sorted(raw.items())}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+    salt: str = "",
+    epoch_col: str = "epoch",
+    weight_round: int = 9,
+) -> DataFrame:
+    """:func:`temperature_weights` -> :func:`build_mixture` fused into ONE
+    Spark plan — the alpha-sampled mixture with NO driver round-trip: the
+    per-domain weight ``w_d = n_d^alpha / sum(n^alpha)`` is computed
+    in-plan from the same count aggregate the mixture needs anyway, so the
+    whole thing stays a single lazy DataFrame (composable, restartable,
+    and SQL-oracle-expressible end to end, unlike the dict handoff).
+
+    ``weight_round`` (default 9 decimal places) pins the weight before it
+    feeds the repetition rate: ``pow`` is not correctly-rounded in either
+    engine and the domain sum is float-order-dependent, so the raw weight
+    can differ by ~1 ulp (1e-17) across engines/partitionings — rounding
+    at 1e-9 absorbs that while every downstream op (rate division, floor,
+    fractional-bucket threshold) is a single identical IEEE operation on
+    both sides. Same discipline as qc_flags' spike_round.
+
+    Epoch semantics are exactly :func:`build_mixture`'s: ``rate_d =
+    target_rows * w_d / n_d`` guaranteed ``floor(rate_d)`` epochs plus one
+    iff the row's md5 bucket falls under the fractional part. NULL domains
+    are excluded (they cannot carry a weight). Scale shape: one tiny
+    domain-count aggregate (map-side collapse) broadcast back, repeat
+    fan-out via per-row ``explode(sequence(...))`` — the corpus is never
+    shuffled."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"temperature_mixture writes column {epoch_col!r}; input "
+            f"already has it — rename one first"
+        )
+    counts = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    # the window spans the domain-count frame (rows = domain cardinality,
+    # tiny by contract) — NOT the corpus
+    wsum = F.sum(F.pow(F.col("__n"), F.lit(float(alpha)))).over(
+        Window.partitionBy()
+    )
+    wtab = counts.withColumn(
+        "__w",
+        F.round(
+            F.pow(F.col("__n"), F.lit(float(alpha))) / wsum, weight_round
+        ),
+    )
+    rate = F.lit(float(target_rows)) * F.col("__w") / F.col("__n")
+    base = F.floor(rate)
+    frac = rate - F.floor(rate)
+    extra = (
+        hash_bucket(F.col(id_col), salt=salt)
+        < F.round(frac * _BUCKETS).cast("long")
+    ).cast("long")
+    reps = base + extra
+    epochs = F.when(
+        reps >= 1, F.sequence(F.lit(0).cast("long"), reps - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.join(F.broadcast(wtab), domain_col)
+        .withColumn(epoch_col, F.explode(epochs))
+        .drop("__n", "__w")
+    )

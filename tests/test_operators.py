@@ -4355,3 +4355,44 @@ def test_temperature_weights_limits(spark):
         temperature_weights(df, "d", alpha=-1)
     with _pt.raises(ValueError, match="no non-NULL"):
         temperature_weights(df.filter(F.col("d").isNull()), "d")
+
+
+def test_temperature_mixture_fused_equals_composition(spark):
+    """The in-plan temperature_mixture (r10, no driver dict handoff)
+    must reproduce the temperature_weights -> build_mixture composition
+    row for row — the weight-round at 1e-9 is far coarser than the
+    composition's own float error on this fixture. Also: NULL domains
+    excluded, validation, and the expected upweighting direction."""
+    from mortar_parquet_support_spark.operators.sampling import (
+        build_mixture,
+        temperature_mixture,
+        temperature_weights,
+    )
+
+    rows = [(i, "big") for i in range(300)] + [
+        (i + 1000, "small") for i in range(30)
+    ] + [(9999, None)]
+    df = spark.createDataFrame(rows, "id long, d string")
+    fused = temperature_mixture(
+        df, "id", "d", alpha=0.4, target_rows=500, salt="x:"
+    )
+    w = temperature_weights(df, "d", alpha=0.4)
+    composed = build_mixture(
+        df.filter(F.col("d").isNotNull()), "id", "d", w,
+        target_rows=500, salt="x:",
+    )
+    got = {(r.id, r.d, r.epoch) for r in fused.collect()}
+    want = {(r.id, r.d, r.epoch) for r in composed.collect()}
+    assert got == want and len(got) > 0
+    assert not any(d is None for _, d, _e in got)
+    # alpha < 1 boosts the scarce domain above natural share
+    n_small = sum(1 for _, d, _e in got if d == "small")
+    assert n_small / len(got) > 30 / 330
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_mixture(df, "id", "d", alpha=-1, target_rows=10)
+    with _pt.raises(ValueError, match="epoch"):
+        temperature_mixture(
+            df.withColumn("epoch", F.lit(0)), "id", "d", target_rows=10
+        )

@@ -20,7 +20,21 @@ real deployment the leg is one line: ``spark.jars.packages =
 org.apache.hadoop:hadoop-aws:<hadoop_version>`` (plus the matching
 aws-sdk bundle), at which point the ``get_spark(s3_endpoint=…)`` config
 this repo already emits is exactly Hadoop-S3A's documented contract
-(fs.s3a.endpoint / path.style.access / credentials provider)."""
+(fs.s3a.endpoint / path.style.access / credentials provider).
+
+Round-10 retry (all vectors exhausted; S6's Spark leg is permanently
+environmental in this sandbox):
+
+- DNS still resolves nothing (urllib to repo1.maven.org: "Name or
+  service not known"), so spark.jars.packages / sbt-launch / pip all
+  have no path to Maven Central;
+- the SECOND full Spark distro on the image
+  (/opt/spark-4.1.2-bin-hadoop3/jars, 287 jars) ships zero
+  aws/s3a-matching jars — same as pyspark's bundled jars/;
+- the shaded hadoop-client-runtime-3.4.2.jar (both copies) contains no
+  S3AFileSystem class (``unzip -l | grep -i s3a`` empty) — the shaded
+  client deliberately excludes the optional cloud connectors;
+- no ~/.ivy2, ~/.m2, or coursier cache exists anywhere to scavenge."""
 
 import os
 import socket
