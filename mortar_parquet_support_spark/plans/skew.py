@@ -26,7 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: aggregate name -> (phase-1 fn, phase-2 fn); avg is handled separately
-#: as a sum/count pair so the re-aggregation stays exact.
+#: as a sum/count pair so the re-aggregation stays exact, collect_set
+#: separately as partial-set union.
 _DECOMPOSABLE = {
     "count": (lambda c: F.count(c), F.sum),
     "sum": (lambda c: F.sum(c), F.sum),
@@ -44,12 +45,23 @@ def salted_agg(
     salt_col: "str | Column | None" = None,
 ) -> DataFrame:
     """Two-phase aggregate for skewed keys: ``aggs`` maps output name ->
-    (column, fn) with fn in {count, sum, min, max, avg}. Results equal
-    the direct ``groupBy(keys).agg(...)`` exactly (count/sum/min/max are
-    algebraically decomposable; avg re-aggregates as exact sum/count) —
+    (column, fn) with fn in {count, sum, min, max, avg, collect_set}.
+    Results equal the direct ``groupBy(keys).agg(...)`` exactly
+    (count/sum/min/max are algebraically decomposable; avg re-aggregates
+    as exact sum/count; collect_set as partial-set union — returned
+    SORTED for determinism, since set order is unspecified either way) —
     the plan is what changes: phase 1 shuffles on (keys, salt) so no
     reduce task owns more than ~1/``buckets`` of any key, phase 2
     shuffles only the bounded partials.
+
+    ``collect_set`` is the fn where salting pays at scale: unlike the
+    scalar aggregates (whose map-side partials already collapse a hot
+    key to one row per task — direct groupBy is fine), its reduce-side
+    state is value-set-sized, so the hot key's single reduce task in the
+    direct plan hash-merges the key's ENTIRE row stream; phase 1 spreads
+    that merge over ``buckets`` tasks and phase 2 only unions the
+    already-deduped partial sets (bounded by buckets x distinct-values,
+    not rows). tools/bench_skew.py is the measured comparison.
 
     The salt defaults to a deterministic per-row hash of ALL columns
     (xxhash64 % buckets) — re-runs produce identical partials; pass
@@ -61,10 +73,10 @@ def salted_agg(
     if not aggs:
         raise ValueError("salted_agg needs at least one aggregate")
     for name, (col, fn) in aggs.items():
-        if fn not in (*_DECOMPOSABLE, "avg"):
+        if fn not in (*_DECOMPOSABLE, "avg", "collect_set"):
             raise ValueError(
                 f"aggregate {name}={fn!r} is not decomposable "
-                f"(supported: {sorted((*_DECOMPOSABLE, 'avg'))})"
+                f"(supported: {sorted((*_DECOMPOSABLE, 'avg', 'collect_set'))})"
             )
     keys = list(keys)
     salt = (
@@ -74,7 +86,14 @@ def salted_agg(
     )
     phase1_exprs, phase2_exprs = [], []
     for name, (col, fn) in aggs.items():
-        if fn == "avg":
+        if fn == "collect_set":
+            phase1_exprs.append(F.collect_set(col).alias(f"__p_{name}"))
+            phase2_exprs.append(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(f"__p_{name}")))
+                ).alias(name)
+            )
+        elif fn == "avg":
             phase1_exprs.append(F.sum(col).alias(f"__s_{name}"))
             phase1_exprs.append(
                 F.count(F.col(col)).alias(f"__c_{name}")

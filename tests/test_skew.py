@@ -50,6 +50,33 @@ def test_salted_agg_equals_direct(spark):
     assert rn.n == 0 and rn.m is None
 
 
+def test_salted_agg_collect_set(spark):
+    """collect_set decomposes as partial-set union (the state-heavy fn
+    where salting actually pays — see the docstring); result is the
+    direct groupBy's set, returned sorted; NULL values dropped like
+    collect_set does; all-NULL group yields an empty array."""
+    rows = (
+        [("hot", i % 13) for i in range(2000)]
+        + [("cold", i) for i in range(5)]
+        + [("hot", None), ("nul", None)]
+    )
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        r.k: list(r.vals)
+        for r in salted_agg(
+            df, ["k"], {"vals": ("v", "collect_set")}, buckets=8
+        ).collect()
+    }
+    direct = {
+        r.k: sorted(r.vals)
+        for r in df.groupBy("k")
+        .agg(F.collect_set("v").alias("vals"))
+        .collect()
+    }
+    assert got == direct
+    assert got["hot"] == list(range(13)) and got["nul"] == []
+
+
 def test_salted_agg_plan_and_validation(spark):
     df = spark.createDataFrame([("a", 1.0)] * 100, "k string, v double")
     out = salted_agg(df, ["k"], {"s": ("v", "sum")}, buckets=4)
