@@ -82,6 +82,48 @@ def test_weights_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dense_path_equals_joined_and_never_shuffles(spark):
+    """The opt-in dense serving plan (weights as one literal array,
+    in-row struct fold) must score BIT-identically to the default
+    explode+broadcast-join plan — including degenerate docs — with
+    zero exchanges and zero joins; keep_columns rides along as a free
+    projection. (Why it's opt-in: the interpreted HOF fold measured
+    slower than codegen'd explode+join on local[32] — see the operator
+    docstring's sf10 profile.)"""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "spark spark spark"),
+            (3, ""),
+            (4, None),
+            (5, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    weights = spark.range(4096).select(
+        F.col("id").alias("feature"),
+        ((F.col("id") % 7) / 7.0 - 0.4).alias("weight"),
+    )
+    dense = linear_classifier_score(
+        docs, weights, n_buckets=4096, bias=0.1, dense_max_buckets=1 << 16
+    )
+    joined = linear_classifier_score(docs, weights, n_buckets=4096, bias=0.1)
+    d = {r.doc_id: (r.n_features, r.score) for r in dense.collect()}
+    j = {r.doc_id: (r.n_features, r.score) for r in joined.collect()}
+    assert d == j  # exact float equality: same single IEEE op chain
+    plan = plan_str(dense)
+    assert "Exchange" not in plan and "Join" not in plan
+    # the fold is staged once — CollapseProject must not re-inline the
+    # tokenize+hash subtree per reference (md5 appears once in the plan)
+    assert plan.count("md5") == 1
+    kc = linear_classifier_score(
+        docs, weights, n_buckets=4096, keep_columns=True,
+        dense_max_buckets=1 << 16,
+    )
+    assert kc.columns == ["doc_id", "text", "n_features", "score"]
+    assert "Exchange" not in plan_str(kc)
+
+
 def test_train_linear_classifier_converges_and_serves(spark):
     """Trainer + scorer round-trip on separable data: full training
     accuracy, balanced-data zero bias, and docs with no tokens score
