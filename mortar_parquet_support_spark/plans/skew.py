@@ -18,6 +18,32 @@ key overwhelming one task's spill budget, or partial aggregation
 disabled by distinct-like state). `skew_report`
 (operators/profile.py) is the measurement that says which keys need
 this.
+
+Measured evidence (tools/bench_skew.py -> BENCH_SKEW.json; 20M rows,
+one key owning 30%, local[32], r10):
+
+- routing, the part that transfers to a real cluster unchanged: the
+  max-reduce-task input drops from 6.44M rows (14.7x the median task)
+  under key-partitioning to 1.19M (1.9x) under (key, salt) — the salt
+  caps any task at ~1/buckets of a hot key, exactly as designed;
+- wall-time, honestly: direct groupBy WON both regimes on this single
+  128 GB JVM (scalar 0.68s vs 1.99s salted; collect_set 1.92s vs 8.15s)
+  — map-side partials collapse the hot key per task even for
+  collect_set when distinct-values << hot-rows, and the salted plan
+  pays a keys x buckets map-state blowup plus a second exchange.
+
+Decision rule (what the two numbers together mean): salt when
+`skew_report` shows a top-key share whose max-task INPUT would exceed
+what one executor can hold/spill (share x rows x row-bytes vs executor
+memory) or visibly straggle the stage — that is the regime local[32]
+cannot exhibit (no per-executor memory wall, in-memory shuffle) and
+where the 14.7x -> 1.9x routing cap is the difference between an OOM
+retry loop and a balanced stage. Below that wall, direct groupBy's
+partial aggregation is already the optimal plan and salting is pure
+overhead. For per-key state that partial aggregation cannot shrink at
+all (window functions, applyInPandas), salting the AGGREGATE does not
+apply — restructure the computation instead (sessionize's bounded
+windows, incremental probes).
 """
 
 from __future__ import annotations
