@@ -1091,6 +1091,34 @@ def similarity_join(
     Returns (``id_a``, ``id_b``, ``jaccard``) with id_a < id_b. NULL-text
     documents carry no shingle set and never pair.
     """
+    cand = similarity_join_candidates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        shingle_words=shingle_words,
+    )
+    scored = jaccard_pairs(
+        df, materialize(cand), id_col=id_col, text_col=text_col,
+        shingle_words=shingle_words,
+    )
+    return scored.filter(F.col("jaccard") >= F.lit(float(threshold)))
+
+
+def similarity_join_candidates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The candidate-generation stage of :func:`similarity_join` —
+    (``id_a``, ``id_b``) pairs surviving the prefix filter + length
+    band, BEFORE the exact Jaccard verify. Split out so the fan-out
+    bound is measurable (tools/bench_simjoin.py counts candidates vs
+    the n*(n-1)/2 all-pairs space) and reusable by callers that want
+    their own verify leg."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = F.lit(float(threshold))
@@ -1158,8 +1186,4 @@ def similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    scored = jaccard_pairs(
-        df, materialize(cand), id_col=id_col, text_col=text_col,
-        shingle_words=shingle_words,
-    )
-    return scored.filter(F.col("jaccard") >= t)
+    return cand
