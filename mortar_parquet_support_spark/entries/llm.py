@@ -3105,3 +3105,164 @@ def _tokenize_and_pack(spark, sf_dir):
     return tokenize_and_pack(
         docs, vocab_merges=12, budget=512, shards=8
     )
+
+
+@_register(
+    "global_shuffle",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 16 AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY
+               ('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 16
+             ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM documents
+    """,
+)
+def _global_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (operators/sampling.py
+    global_shuffle): every doc gets a (shard, pos) that is a pure
+    function of (doc_id, salt) — the md5 hex order both engines replay
+    byte for byte. Shard-major by design: per-shard row_number instead
+    of one corpus-wide window partition."""
+    from mortar_parquet_support_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, "doc_id", shards=16, salt="gs:")
+
+
+@_register(
+    "quantile_buckets",
+    """
+    SELECT doc_id, source, CAST(NTILE(10) OVER (
+             PARTITION BY source ORDER BY length(text), doc_id
+           ) AS INT) AS bucket
+    FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id, source, CAST(NULL AS INT) AS bucket
+    FROM documents WHERE text IS NULL
+    """,
+)
+def _quantile_buckets(spark, sf_dir):
+    """Per-source quality-decile stratification (operators/features.py
+    quantile_buckets): docs NTILE into 10 buckets by text length within
+    their source, ties broken by doc_id — standard-SQL NTILE semantics
+    so both engines assign identical boundary rows; NULL texts get NULL
+    buckets explicitly (Spark and DuckDB disagree on default NULL sort
+    order, so they are never left inside the window)."""
+    from mortar_parquet_support_spark.operators.features import (
+        quantile_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("v")
+    )
+    return quantile_buckets(
+        docs, value="v", tie_col="doc_id", keys=["source"], buckets=10
+    ).select("doc_id", "source", "bucket")
+
+
+@_register(
+    "length_bucket_batches",
+    """
+    SELECT doc_id,
+           ((doc_id % 8) + 8) % 8 AS shard,
+           CAST(floor(length(text) / 64) AS BIGINT) AS bucket,
+           CAST(floor((ROW_NUMBER() OVER (
+             PARTITION BY ((doc_id % 8) + 8) % 8, floor(length(text) / 64)
+             ORDER BY doc_id
+           ) - 1) / 32) AS BIGINT) AS batch
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def _length_bucket_batches(spark, sf_dir):
+    """Padding-minimizing batch layout (operators/curation.py
+    length_bucket_batches): docs bucket by floor(len/64), then fixed
+    32-row batches within each (shard, bucket) in doc_id order — the
+    dynamic-batching sibling of pack_sequences (fixed COUNT of similar
+    lengths vs fixed token BUDGET)."""
+    from mortar_parquet_support_spark.operators.curation import (
+        length_bucket_batches,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").alias("cost"))
+    )
+    return length_bucket_batches(
+        docs, id_col="doc_id", cost_col="cost", bucket_width=64,
+        batch_size=32, shards=8,
+    ).select("doc_id", "shard", "bucket", "batch")
+
+
+@_register(
+    "hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), pos AS (
+      SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+                            (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                            (CAST(2 AS BIGINT), CAST(0 AS BIGINT)))
+        t(query_id, pos_id)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(
+               list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))), 6
+             ) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), kept AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN pos p
+        ON s.query_id = p.query_id AND s.neighbor_id = p.pos_id
+      WHERE p.query_id IS NULL
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM kept
+    ) WHERE rank <= 5
+    """,
+)
+def _hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negatives): top-5 most-similar corpus vectors per query,
+    excluding the query and its positive. Same rounded-overfetch
+    mitigation as knn_cosine: mine 10 raw, re-rank on the 6-dp rounded
+    cosine with the neighbor-id tie-break, cut to 5 — so a raw-rank
+    5/6 pair that rounds equal selects identically on both engines."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "query_id long, pos_id long"
+    )
+    raw = hard_negatives(emb, pairs, k=10, overfetch=14)
+    rounded = raw.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -325,6 +325,74 @@ def pack_sequences(
     )
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    *,
+    id_col: str,
+    cost_col: str,
+    bucket_width: int,
+    batch_size: int,
+    shards: int = 64,
+) -> DataFrame:
+    """Length-bucketed fixed-COUNT batching — the padding-minimizing
+    sibling of :func:`pack_sequences`: rows bucket by
+    ``floor(cost / bucket_width)`` so each batch holds ``batch_size``
+    sequences of SIMILAR length (padding waste per batch is bounded by
+    ``bucket_width - 1`` tokens per row), the standard dynamic-batching
+    layout for variable-length training/inference. Where pack_sequences
+    fills a fixed token BUDGET with a variable row count, this fills a
+    fixed ROW count with near-uniform lengths. Output adds ``shard``,
+    ``bucket``, and ``batch`` (0-based per (shard, bucket); the global
+    batch key is the triple).
+
+    Same scale discipline as pack_sequences: a corpus-wide row_number
+    per bucket would funnel hot buckets through single window
+    partitions, so rows shard first (pmod of a numeric id, xxhash64
+    otherwise) and batches number per (shard, bucket) — deterministic
+    in ``id_col`` order within each. NULL costs fail loudly via the
+    same in-plan raise (an unmeasured sequence cannot be bucketed);
+    the trailing batch of each (shard, bucket) may be short — training
+    loaders drop or pad it, their call."""
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    clobbered = {"shard", "bucket", "batch"} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"length_bucket_batches writes columns 'shard', 'bucket', "
+            f"'batch'; input already has {sorted(clobbered)} — rename "
+            f"them first"
+        )
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        shard = F.pmod(F.col(id_col).cast("long"), F.lit(shards))
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    cost = F.when(
+        F.col(cost_col).isNotNull(), F.col(cost_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"length_bucket_batches: NULL {cost_col} cannot be bucketed"
+            )
+        )
+    )
+    staged = df.withColumn("shard", shard).withColumn(
+        "bucket", F.floor(cost / F.lit(bucket_width)).cast("long")
+    )
+    w = Window.partitionBy("shard", "bucket").orderBy(id_col)
+    return staged.withColumn(
+        "batch",
+        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast(
+            "long"
+        ),
+    )
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     *,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mortar_parquet_support_spark.plans.hints import maybe_broadcast
@@ -125,3 +125,50 @@ def robust_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    *,
+    value: str,
+    tie_col: str,
+    keys: Sequence[str] = (),
+    buckets: int = 10,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-group quantile bucket (1-based NTILE) for every row — the
+    stratification step under quality-tiered sampling ("keep the top
+    quality decile per source, downsample the middle, drop the tail"):
+    rows sort by (``value``, ``tie_col``) within each key group and
+    split into ``buckets`` near-equal strata, largest values in the
+    highest bucket. Standard-SQL NTILE semantics (earlier buckets take
+    the remainder rows), so any engine reproduces the exact assignment
+    — ``tie_col`` (a unique id) makes the order, and therefore every
+    boundary row's bucket, deterministic rather than partition-order
+    luck.
+
+    NULL values get a NULL bucket (they have no rank position — and
+    engines DISAGREE on default NULL sort order: Spark ASC is NULLS
+    FIRST, DuckDB NULLS LAST, so leaving them in the window would
+    silently shift every bucket by the NULL count on one engine).
+
+    Scale shape: one shuffle (the per-key window); the NULL branch is a
+    second scan of a filtered alias — Catalyst collapses both onto one
+    source scan when the input is a file source."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"quantile_buckets writes column {bucket_col!r}; rename first"
+        )
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value).asc(), F.col(tie_col).asc()
+    )
+    nn = df.filter(F.col(value).isNotNull()).withColumn(
+        bucket_col, F.ntile(buckets).over(w)
+    )
+    nulls = df.filter(F.col(value).isNull()).withColumn(
+        bucket_col, F.lit(None).cast("int")
+    )
+    return nn.unionByName(nulls)

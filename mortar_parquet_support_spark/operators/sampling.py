@@ -306,6 +306,56 @@ def group_split(
     )
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a ``shard``
+    in [0, shards) and a 1-based ``pos`` within its shard, both pure
+    functions of (id, salt) — the "shuffle the corpus once, write N
+    shard files, stream them in order" step at the top of every training
+    run. Re-runs, repartitionings, and engines agree on the exact order;
+    changing ``salt`` is a fresh epoch-level reshuffle with zero data
+    movement beyond the re-sort.
+
+    The order within a shard is the md5 hex string of (salt || id)
+    (ties broken by id) — uniformly "random" with respect to any data
+    attribute, reproducible everywhere md5 exists. The global order is
+    SHARD-MAJOR by construction: a single corpus-wide ``row_number``
+    would funnel every row through ONE window partition (the classic
+    driver-scale trap); per-shard numbering shuffles once on the shard
+    key and each shard is an independently readable unit — which is how
+    training jobs consume shards anyway (one reader per shard file).
+
+    NULL ids share one sentinel hash (they land in one shard,
+    adjacent) — mirror ``coalesce(CAST(id AS VARCHAR), sentinel)`` in
+    any oracle, same convention as :func:`hash_bucket`."""
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    clobbered = {shard_col, pos_col} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"global_shuffle writes {sorted(clobbered)}; rename first"
+        )
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00<NULL>"))
+    h = F.md5(F.concat(F.lit(salt), sid))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(shards)
+    )
+    staged = df.withColumn(shard_col, shard).withColumn("__gs_h", h)
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__gs_h"), F.col(id_col)
+    )
+    return staged.withColumn(
+        pos_col, F.row_number().over(w).cast("long")
+    ).drop("__gs_h")
+
+
 def temperature_weights(
     df: DataFrame,
     domain_col: str,

@@ -78,6 +78,70 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+    k: int = 5,
+    overfetch: "int | None" = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    (query, positive) pair, the ``k`` corpus vectors MOST similar to the
+    query that are neither the query itself nor any of its positives —
+    the negatives that actually teach a bi-encoder something (random
+    negatives are trivially separable; the near-misses carry the
+    gradient). Returns (``query_id``, ``neighbor_id``, ``cosine``,
+    ``rank``), rank 1 = hardest.
+
+    Built on :func:`cosine_topk` (exact brute force — swap in
+    :func:`ivf_topk` upstream when the corpus outgrows it; the exclusion
+    logic is identical): overfetch ``k + 8`` (or the caller's
+    ``overfetch``) neighbors, anti-join the pair list, re-rank, cut to
+    k. EXACTNESS CONTRACT: overfetch must be >= k + (max positives per
+    query) + 1, or a query whose excluded rows crowd the overfetched
+    head can lose a deserving negative — size it from the pair list's
+    max fan-out when mining multi-positive datasets. Queries appearing
+    in ``pairs`` but not the corpus yield nothing (no vector, no
+    neighborhood); NULL/degenerate vectors never rank
+    (:func:`cosine_topk`'s contract)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    over = overfetch if overfetch is not None else k + 8
+    if over < k + 1:
+        raise ValueError(
+            f"overfetch must be >= k + 1 (got {over} for k={k})"
+        )
+    queries = (
+        pairs.select(F.col(query_col).alias(id_col))
+        .distinct()
+        .join(corpus, id_col)
+        .select(id_col, vec_col)
+    )
+    raw = cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=over
+    )
+    excluded = pairs.select(
+        F.col(query_col).alias("query_id"),
+        F.col(pos_col).alias("neighbor_id"),
+    ).distinct()
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
+    kept = raw.join(
+        maybe_broadcast(excluded), ["query_id", "neighbor_id"], "left_anti"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

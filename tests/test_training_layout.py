@@ -1,0 +1,185 @@
+"""Round-10 training-layout operators: global_shuffle (deterministic
+corpus shuffle -> shard/pos), quantile_buckets (per-group NTILE
+stratification), length_bucket_batches (padding-minimizing fixed-count
+batching), hard_negatives (ANN negative mining with exclusions)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_global_shuffle_deterministic_and_complete(spark):
+    from mortar_parquet_support_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = global_shuffle(df, "id", shards=8, salt="e0:")
+    rows = [(r.id, r.shard, r.pos) for r in out.collect()]
+    assert len(rows) == 500  # every row exactly once
+    assert len({r[0] for r in rows}) == 500
+    # shards in range; positions are 1..count(shard) dense per shard
+    by_shard = {}
+    for rid, sh, pos in rows:
+        assert 0 <= sh < 8
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), sh
+    # pure function of (id, salt): re-run identical even repartitioned
+    again = {
+        (r.id): (r.shard, r.pos)
+        for r in global_shuffle(
+            df.repartition(13), "id", shards=8, salt="e0:"
+        ).collect()
+    }
+    assert {(rid): (sh, pos) for rid, sh, pos in rows} == again
+    # matches the documented md5 recipe exactly (python replay)
+    def replay(rid):
+        h = hashlib.md5(f"e0:{rid}".encode()).hexdigest()
+        return int(h[:8], 16) % 8, h
+
+    expect_order = {}
+    for rid, sh, pos in rows:
+        esh, eh = replay(rid)
+        assert sh == esh, rid
+        expect_order.setdefault(sh, []).append((eh, rid, pos))
+    for sh, items in expect_order.items():
+        items.sort()
+        assert [pos for _h, _i, pos in items] == list(
+            range(1, len(items) + 1)
+        ), sh
+    # a different salt is a genuinely different permutation
+    other = {
+        r.id: (r.shard, r.pos)
+        for r in global_shuffle(df, "id", shards=8, salt="e1:").collect()
+    }
+    assert other != again
+    with pytest.raises(ValueError, match="shards"):
+        global_shuffle(df, "id", shards=0)
+    with pytest.raises(ValueError, match="rename"):
+        global_shuffle(df.withColumn("pos", F.lit(1)), "id", shards=2)
+
+
+def test_quantile_buckets_ntile_semantics(spark):
+    from mortar_parquet_support_spark.operators.features import (
+        quantile_buckets,
+    )
+
+    rows = [("a", i, float(i)) for i in range(10)] + [
+        ("b", 100 + i, float(i % 3)) for i in range(7)
+    ] + [("a", 999, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {
+        r.id: r.bucket
+        for r in quantile_buckets(
+            df, value="v", tie_col="id", keys=["g"], buckets=4
+        ).collect()
+    }
+    # group a: 10 non-null rows into 4 buckets -> sizes 3,3,2,2 in value
+    # order (standard NTILE remainder-first)
+    assert [out[i] for i in range(10)] == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # NULL value -> NULL bucket, row preserved
+    assert out[999] is None
+    # group b ties broken by id: values 0,1,2,0,1,2,0 sorted by (v, id)
+    b_sorted = sorted(
+        [(i % 3, 100 + i) for i in range(7)]
+    )  # [(0,100),(0,103),(0,106),(1,101),(1,104),(2,102),(2,105)]
+    expect = {}
+    sizes = [2, 2, 2, 1]  # 7 rows, 4 buckets
+    pos = 0
+    for b_idx, n in enumerate(sizes, start=1):
+        for _ in range(n):
+            expect[b_sorted[pos][1]] = b_idx
+            pos += 1
+    assert {i: out[i] for i in expect} == expect
+    with pytest.raises(ValueError, match="buckets"):
+        quantile_buckets(df, value="v", tie_col="id", buckets=0)
+
+
+def test_length_bucket_batches_layout(spark):
+    from mortar_parquet_support_spark.operators.curation import (
+        length_bucket_batches,
+    )
+
+    # costs 0..39 -> buckets of width 16: 0,1,2; shard = id % 2
+    df = spark.createDataFrame(
+        [(i, i) for i in range(40)], "id long, cost long"
+    )
+    out = [
+        (r.id, r.shard, r.bucket, r.batch)
+        for r in length_bucket_batches(
+            df, id_col="id", cost_col="cost", bucket_width=16,
+            batch_size=3, shards=2,
+        ).collect()
+    ]
+    assert len(out) == 40
+    for rid, sh, bu, ba in out:
+        assert sh == rid % 2 and bu == rid // 16
+    # within (shard, bucket), batches are 0-based thirds in id order
+    groups = {}
+    for rid, sh, bu, ba in out:
+        groups.setdefault((sh, bu), []).append((rid, ba))
+    for key, items in groups.items():
+        items.sort()
+        for idx, (_rid, ba) in enumerate(items):
+            assert ba == idx // 3, (key, items)
+    # padding bound: every batch spans < bucket_width of cost
+    spans = {}
+    for rid, sh, bu, ba in out:
+        spans.setdefault((sh, bu, ba), []).append(rid)  # cost == id
+    for key, cs in spans.items():
+        assert max(cs) - min(cs) < 16, key
+    # NULL cost fails loudly at action time (in-plan raise)
+    with pytest.raises(Exception, match="NULL cost"):
+        length_bucket_batches(
+            spark.createDataFrame([(1, None)], "id long, cost long"),
+            id_col="id", cost_col="cost", bucket_width=4, batch_size=2,
+        ).collect()
+    with pytest.raises(ValueError, match="rename"):
+        length_bucket_batches(
+            df.withColumn("batch", F.lit(0)), id_col="id",
+            cost_col="cost", bucket_width=4, batch_size=2,
+        )
+
+
+def test_hard_negatives_excludes_and_ranks(spark):
+    from mortar_parquet_support_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    # 1-D embeddings make cosine degenerate; use 2-D points on an arc so
+    # similarity order is the angular order, hand-checkable
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.1), math.sin(i * 0.1)])
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (5, 4), (5, 6)], "query_id long, pos_id long"
+    )
+    out = hard_negatives(corpus, pairs, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q in got:
+        got[q].sort()
+    # query 0: nearest by angle are 1 (excluded), 2, 3, 4 -> negatives 2,3,4
+    assert [n for _rk, n in got[0]] == [2, 3, 4]
+    # query 5: 4 and 6 excluded (equidistant nearest), then 3,7,2|8...
+    neg5 = [n for _rk, n in got[5]]
+    assert 4 not in neg5 and 6 not in neg5 and 5 not in neg5
+    assert set(neg5) == {3, 7, 2} or set(neg5) == {3, 7, 8}
+    # ranks are dense 1..k
+    for q, items in got.items():
+        assert [rk for rk, _n in items] == [1, 2, 3], q
+    # never more than k, never the query itself, consistent with raw topk
+    raw = cosine_topk(
+        corpus, corpus.filter(F.col("vec_id") == 0), k=5
+    ).collect()
+    assert all(r.neighbor_id != 0 for r in raw)
+    with pytest.raises(ValueError, match="overfetch"):
+        hard_negatives(corpus, pairs, k=5, overfetch=5)
