@@ -3266,3 +3266,44 @@ def _hard_negatives(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@_register(
+    "weighted_sample_k",
+    """
+    WITH e AS (
+      SELECT doc_id, source,
+             ROUND(
+               ln(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                  / 4503599627370496.0)
+               / length(text), 9) AS key
+      FROM documents WHERE length(text) > 0 AND NOT isnan(length(text))
+    )
+    SELECT doc_id, source, key FROM (
+      SELECT doc_id, source, key, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY key DESC, doc_id
+      ) AS rn FROM e
+    ) WHERE rn <= 50
+    """,
+)
+def _weighted_sample_k(spark, sf_dir):
+    """Exact-k weighted sampling without replacement (operators/
+    sampling.py weighted_sample_k, Efraimidis-Spirakis A-ES): top-50
+    docs per source by ln(u)/weight with weight = text length, key
+    rounded at 1e-9 so libm ln ulps cannot flip a boundary rank on
+    either engine."""
+    from mortar_parquet_support_spark.operators.sampling import (
+        hash_unit,
+        weighted_sample_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("w")
+    )
+    out = weighted_sample_k(
+        docs, "doc_id", "w", 50, by=["source"], salt="ws:"
+    )
+    key = F.round(
+        F.log(hash_unit(F.col("doc_id"), salt="ws:")) / F.col("w"), 9
+    )
+    return out.select("doc_id", "source", key.alias("key"))

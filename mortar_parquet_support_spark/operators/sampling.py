@@ -276,6 +276,53 @@ def sample_exact_k(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    by: "list[str] | None" = None,
+    salt: str = "",
+    key_round: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, exact size k
+    (per ``by`` group, or globally) — Efraimidis-Spirakis A-ES: each row
+    gets key ``ln(u) / w`` with ``u = hash_unit(id, salt)``, and the k
+    LARGEST keys win. A row's selection probability is proportional to
+    its weight at every prefix (the one-pass weighted-reservoir
+    distribution), which is the quality-weighted corpus-selection shape
+    :func:`weighted_sample` (Bernoulli, variable size) and
+    :func:`sample_exact_k` (exact size, unweighted) each cover half of.
+
+    Deterministic and engine-portable: ``u`` is an exact 52-bit double
+    and the key is one ln + one divide, ROUNDED at ``key_round`` (1e-9)
+    before ranking — ln is not correctly-rounded in every libm, and the
+    round absorbs those last-ulp differences the same way qc_flags'
+    spike_round does; ties (rounded-equal keys) break by id. Mirror in
+    SQL: ``ROUND(ln(<hash_unit expr>) / w, 9)`` ranked DESC.
+
+    Rows with NULL, NaN, zero, or negative weight carry no mass and are
+    excluded — silently admitting them would put corrupt upstream
+    ratios in every sample. Scale shape: one hash-partition shuffle +
+    a per-group row_number window (the sample_exact_k plan); output is
+    k rows per group regardless of input size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    by = list(by or [])
+    w_val = F.col(weight_col).cast("double")
+    key = F.round(
+        F.log(hash_unit(F.col(id_col), salt=salt)) / w_val, key_round
+    )
+    eligible = df.filter((w_val > 0) & ~F.isnan(w_val))
+    wnd = Window.partitionBy(*by).orderBy(key.desc(), F.col(id_col))
+    return (
+        eligible.withColumn("__rn", F.row_number().over(wnd))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

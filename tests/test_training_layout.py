@@ -183,3 +183,52 @@ def test_hard_negatives_excludes_and_ranks(spark):
     assert all(r.neighbor_id != 0 for r in raw)
     with pytest.raises(ValueError, match="overfetch"):
         hard_negatives(corpus, pairs, k=5, overfetch=5)
+
+
+def test_weighted_sample_k_distribution_and_determinism(spark):
+    """weighted_sample_k: exact k per group, pure function of
+    (id, salt, weight), zero/NULL/NaN weights excluded, and the A-ES
+    property — selection frequency across independent salts tracks
+    weight (the heavy item appears far more often than a light one)."""
+    from mortar_parquet_support_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, "g", 10.0 if i < 5 else 1.0) for i in range(50)] + [
+        (100, "g", None),
+        (101, "g", float("nan")),
+        (102, "g", 0.0),
+        (103, "g", -3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample_k(df, "id", "w", 8, by=["grp"], salt="s0")
+    ids = sorted(r.id for r in out.collect())
+    assert len(ids) == 8
+    assert not {100, 101, 102, 103} & set(ids)  # no-mass rows never win
+    # re-run, repartitioned: identical
+    again = sorted(
+        r.id
+        for r in weighted_sample_k(
+            df.repartition(7), "id", "w", 8, by=["grp"], salt="s0"
+        ).collect()
+    )
+    assert ids == again
+    # frequency tracks weight: across 30 salts, the 5 heavy ids (w=10)
+    # should each be picked far more often than an average light id
+    heavy_hits = 0
+    light_hits = 0
+    for s in range(30):
+        picked = {
+            r.id
+            for r in weighted_sample_k(
+                df, "id", "w", 8, by=["grp"], salt=f"m{s}"
+            ).collect()
+        }
+        heavy_hits += len(picked & set(range(5)))
+        light_hits += len(picked - set(range(5)))
+    # per-item rates; heavy items ~10x likelier per A-ES
+    assert heavy_hits / 5 > 3 * (light_hits / 45)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        weighted_sample_k(df, "id", "w", 0)
