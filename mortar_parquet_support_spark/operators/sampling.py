@@ -19,6 +19,8 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
 #: buckets for split arithmetic — 1e-4 granularity on fractions
 _BUCKETS = 10_000
 
@@ -233,7 +235,7 @@ def build_mixture(
         reps >= 1, F.sequence(F.lit(0).cast("long"), reps - 1)
     ).otherwise(F.array().cast("array<long>"))
     return (
-        df.join(F.broadcast(counts), domain_col)
+        df.join(maybe_broadcast(counts), domain_col)
         .withColumn(epoch_col, F.explode(epochs))
         .drop("__n")
     )
@@ -379,9 +381,17 @@ def global_shuffle(
     key and each shard is an independently readable unit — which is how
     training jobs consume shards anyway (one reader per shard file).
 
-    NULL ids share one sentinel hash (they land in one shard,
-    adjacent) — mirror ``coalesce(CAST(id AS VARCHAR), sentinel)`` in
-    any oracle, same convention as :func:`hash_bucket`."""
+    IDS MUST BE UNIQUE for the determinism contract to hold: two rows
+    sharing an id (including two NULL-id rows, which share one sentinel
+    hash) carry identical (hash, id) sort keys, and row_number then
+    falls back to partition order — their positions can swap between
+    runs, silently carrying different PAYLOAD columns at each position.
+    No deterministic function of the id alone can order indistinguishable
+    keys; dedup or synthesize a unique id first (the same precondition
+    every md5-keyed operator here has, stated loudly because this one
+    returns an ORDER). NULL ids otherwise land adjacent in one shard —
+    mirror ``coalesce(CAST(id AS VARCHAR), sentinel)`` in any oracle,
+    same convention as :func:`hash_bucket`."""
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
     clobbered = {shard_col, pos_col} & set(df.columns)
@@ -506,7 +516,7 @@ def temperature_mixture(
         reps >= 1, F.sequence(F.lit(0).cast("long"), reps - 1)
     ).otherwise(F.array().cast("array<long>"))
     return (
-        df.join(F.broadcast(wtab), domain_col)
+        df.join(maybe_broadcast(wtab), domain_col)
         .withColumn(epoch_col, F.explode(epochs))
         .drop("__n", "__w")
     )

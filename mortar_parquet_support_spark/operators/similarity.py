@@ -99,22 +99,34 @@ def hard_negatives(
 
     Built on :func:`cosine_topk` (exact brute force — swap in
     :func:`ivf_topk` upstream when the corpus outgrows it; the exclusion
-    logic is identical): overfetch ``k + 8`` (or the caller's
-    ``overfetch``) neighbors, anti-join the pair list, re-rank, cut to
-    k. EXACTNESS CONTRACT: overfetch must be >= k + (max positives per
-    query) + 1, or a query whose excluded rows crowd the overfetched
-    head can lose a deserving negative — size it from the pair list's
-    max fan-out when mining multi-positive datasets. Queries appearing
-    in ``pairs`` but not the corpus yield nothing (no vector, no
+    logic is identical): overfetch, anti-join the pair list, re-rank,
+    cut to k. EXACTNESS CONTRACT: overfetch must be >= k + (max
+    positives per query) + 1, or a query whose excluded rows crowd the
+    overfetched head silently loses a deserving negative. By DEFAULT the
+    bound is DERIVED — one tiny aggregate over ``pairs`` (model-sized by
+    nature) computes the max per-query fan-out, so multi-positive
+    datasets are exact out of the box; pass ``overfetch`` explicitly to
+    skip that job when you already know the fan-out (it is validated
+    against k only — the contract is then yours). Queries appearing in
+    ``pairs`` but not the corpus yield nothing (no vector, no
     neighborhood); NULL/degenerate vectors never rank
     (:func:`cosine_topk`'s contract)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    over = overfetch if overfetch is not None else k + 8
-    if over < k + 1:
-        raise ValueError(
-            f"overfetch must be >= k + 1 (got {over} for k={k})"
+    if overfetch is not None:
+        over = overfetch
+        if over < k + 1:
+            raise ValueError(
+                f"overfetch must be >= k + 1 (got {over} for k={k})"
+            )
+    else:
+        max_pos = (
+            pairs.groupBy(query_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
         )
+        over = k + int(max_pos or 0) + 1
     queries = (
         pairs.select(F.col(query_col).alias(id_col))
         .distinct()

@@ -405,12 +405,17 @@ def linear_classifier_score(
 
     if n_buckets <= dense_max_buckets:
         dense = [0.0] * n_buckets
-        # model-sized collect by contract (bounded by n_buckets <= cap)
-        for r in weights.select(
-            F.col(feature_col).cast("long"), F.col(weight_col).cast("double")
-        ).collect():
-            if r[0] is not None and 0 <= r[0] < n_buckets:
-                dense[r[0]] = r[1] if r[1] is not None else 0.0
+        # bounded collect: the in-range filter runs IN-PLAN, so the
+        # driver materializes at most n_buckets rows even when the
+        # weights table carries out-of-range ids (a model trained with a
+        # larger bucket count, concatenated model versions)
+        fid = F.col(feature_col).cast("long")
+        for r in (
+            weights.select(fid.alias("f"), F.col(weight_col).cast("double"))
+            .filter((F.col("f") >= 0) & (F.col("f") < n_buckets))
+            .collect()
+        ):
+            dense[r[0]] = r[1] if r[1] is not None else 0.0
         arr = F.lit(dense)
         grams = _hashed_gram_ids(
             F.filter(_lower_words(F.col(text_col)), lambda t: t != ""),
@@ -438,7 +443,12 @@ def linear_classifier_score(
         # because the alias is non-cheap and multi-referenced (collapsing
         # would re-run the whole tokenize+hash fold per reference)
         staged = df.withColumn("__cls_acc", acc)
-        n_feat = F.coalesce(F.col("__cls_acc").getField("n"), F.lit(0))
+        # cast to long: the joined path's F.count emits bigint, and "two
+        # physical plans, same result" must hold at the SCHEMA level too
+        # (unionByName / parquet append across paths)
+        n_feat = F.coalesce(
+            F.col("__cls_acc").getField("n").cast("long"), F.lit(0).cast("long")
+        )
         margin = F.lit(bias) + F.when(
             n_feat > 0, F.col("__cls_acc").getField("z") / n_feat
         ).otherwise(F.lit(0.0))

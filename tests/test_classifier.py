@@ -111,6 +111,9 @@ def test_dense_path_equals_joined_and_never_shuffles(spark):
     d = {r.doc_id: (r.n_features, r.score) for r in dense.collect()}
     j = {r.doc_id: (r.n_features, r.score) for r in joined.collect()}
     assert d == j  # exact float equality: same single IEEE op chain
+    # "same result" includes the SCHEMA: a parquet append / unionByName
+    # across the two paths must not see int vs bigint n_features
+    assert dense.schema == joined.schema
     plan = plan_str(dense)
     assert "Exchange" not in plan and "Join" not in plan
     # the fold is staged once — CollapseProject must not re-inline the
