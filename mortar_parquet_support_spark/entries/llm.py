@@ -3307,3 +3307,75 @@ def _weighted_sample_k(spark, sf_dir):
         F.log(hash_unit(F.col("doc_id"), salt="ws:")) / F.col("w"), 9
     )
     return out.select("doc_id", "source", key.alias("key"))
+
+
+@_register(
+    "validate_expectations",
+    """
+    SELECT 'orderkey_not_null' AS rule,
+           CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_le_30',
+           CAST(coalesce(sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 30 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_set',
+           CAST(coalesce(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'tax_nonneg_sql',
+           CAST(coalesce(sum(CASE WHEN NOT coalesce(l_tax >= 0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'line_unique',
+           CAST(coalesce((SELECT sum(n) FROM (
+             SELECT count(*) AS n FROM lineitem
+             GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+           )), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'cust_fk',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                         WHERE c_custkey IS NOT NULL)) AS BIGINT)
+    """,
+)
+def _validate_expectations(spark, sf_dir):
+    """Data-quality expectation gate (operators/validate.py
+    validate_expectations): not_null / range / in_set / CHECK-sql rules
+    in ONE aggregate scan of lineitem (plan-asserted in
+    tests/test_validate.py), plus a uniqueness rule on the line key and
+    an orders->customer foreign-key probe. qty_le_30 is deliberately
+    tight so the fixture produces NONZERO violations — the machinery is
+    value-checked, not just zero-checked."""
+    from mortar_parquet_support_spark.operators.validate import (
+        validate_expectations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    li_report = validate_expectations(
+        li,
+        [
+            {"name": "orderkey_not_null", "type": "not_null",
+             "column": "l_orderkey"},
+            {"name": "qty_le_30", "type": "range", "column": "l_quantity",
+             "max": 30},
+            {"name": "returnflag_set", "type": "in_set",
+             "column": "l_returnflag", "values": ["A", "N", "R"]},
+            {"name": "tax_nonneg_sql", "type": "sql", "expr": "l_tax >= 0"},
+            {"name": "line_unique", "type": "unique",
+             "columns": ["l_orderkey", "l_linenumber"]},
+        ],
+    )
+    fk_report = validate_expectations(
+        orders,
+        [
+            {"name": "cust_fk", "type": "foreign_key",
+             "columns": ["o_custkey"], "ref": customer,
+             "ref_columns": ["c_custkey"]},
+        ],
+    )
+    return li_report.unionByName(fk_report)

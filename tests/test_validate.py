@@ -1,0 +1,99 @@
+"""validate_expectations (operators/validate.py): declarative data-quality
+gate — row-level rules share one aggregate scan; unique/foreign_key add
+bounded jobs; per-rule NULL semantics are explicit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.operators.validate import (
+    validate_expectations,
+)
+
+
+def test_validate_expectations_all_rule_types(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x@y.com", 100),
+            (2, None, "A", "bad", 100),
+            (3, 99.0, "Z", None, 200),
+            (3, 5.0, "N", "a@b.io", 999),
+            (None, -1.0, "R", "c@d.net", 100),
+        ],
+        "id long, qty double, flag string, email string, fk long",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], "k long")
+    rules = [
+        {"name": "id_not_null", "type": "not_null", "column": "id"},
+        {"name": "qty_range", "type": "range", "column": "qty",
+         "min": 0, "max": 50},
+        {"name": "flag_set", "type": "in_set", "column": "flag",
+         "values": ["A", "N", "R"]},
+        {"name": "email_regex", "type": "regex", "column": "email",
+         "pattern": r"^[^@]+@[^@]+\.[^@]+$"},
+        {"name": "qty_pos_sql", "type": "sql", "expr": "qty > 0"},
+        {"name": "id_unique", "type": "unique", "columns": ["id"]},
+        {"name": "fk_valid", "type": "foreign_key", "columns": ["fk"],
+         "ref": ref, "ref_columns": ["k"]},
+    ]
+    out = {r.rule: r.n_violations
+           for r in validate_expectations(df, rules).collect()}
+    assert out == {
+        "id_not_null": 1,   # the NULL id
+        "qty_range": 2,     # 99.0, -1.0; NULL qty passes (composable)
+        "flag_set": 1,      # Z
+        "email_regex": 1,   # 'bad'; NULL email passes
+        "qty_pos_sql": 2,   # -1.0 fails, NULL qty is UNKNOWN -> violation
+        "id_unique": 2,     # id=3 appears twice -> both rows count
+        "fk_valid": 1,      # 999 not in ref; NULL fk would pass
+    }
+    # clean table: every rule reports 0 (rows present, all zeros)
+    clean = spark.createDataFrame(
+        [(1, 1.0, "A", "a@b.c", 100)],
+        "id long, qty double, flag string, email string, fk long",
+    )
+    z = {r.rule: r.n_violations
+         for r in validate_expectations(clean, rules).collect()}
+    assert set(z) == set(out) and all(v == 0 for v in z.values())
+    # validation of the rule list itself
+    with pytest.raises(ValueError, match="at least one"):
+        validate_expectations(df, [])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        validate_expectations(
+            df,
+            [{"name": "a", "type": "not_null", "column": "id"},
+             {"name": "a", "type": "not_null", "column": "qty"}],
+        )
+    with pytest.raises(ValueError, match="unknown rule type"):
+        validate_expectations(df, [{"name": "x", "type": "bogus"}])
+    with pytest.raises(ValueError, match="length mismatch"):
+        validate_expectations(
+            df,
+            [{"name": "f", "type": "foreign_key", "columns": ["fk", "id"],
+              "ref": ref, "ref_columns": ["k"]}],
+        )
+
+
+def test_validate_expectations_single_scan_for_row_rules(spark):
+    """All row-level rules fold into ONE aggregate over the input — the
+    plan contains exactly one scan of the source for the stacked leg."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = validate_expectations(
+        df,
+        [
+            {"name": "a", "type": "not_null", "column": "id"},
+            {"name": "b", "type": "range", "column": "v", "min": 0},
+            {"name": "c", "type": "sql", "expr": "v < 7"},
+        ],
+    )
+    assert {r.rule: r.n_violations for r in out.collect()} == {
+        "a": 0, "b": 0, "c": 0,
+    }
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    )
+    assert plan.count("Range (0, 1000") == 1  # one source scan
