@@ -3379,3 +3379,62 @@ def _validate_expectations(spark, sf_dir):
         ],
     )
     return li_report.unionByName(fk_report)
+
+
+@_register(
+    "psi_drift",
+    """
+    WITH rf AS (
+      SELECT CAST(length(text) AS DOUBLE) AS v FROM documents
+      WHERE source = 'src0' AND text IS NOT NULL
+    ), cu AS (
+      SELECT CAST(length(text) AS DOUBLE) AS v FROM documents
+      WHERE source = 'src2' AND text IS NOT NULL
+    ), b AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM rf
+    ), rbin AS (
+      SELECT GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0) AS bin,
+             count(*) AS n_ref
+      FROM rf CROSS JOIN b GROUP BY 1
+    ), cbin AS (
+      SELECT GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0) AS bin,
+             count(*) AS n_cur
+      FROM cu CROSS JOIN b GROUP BY 1
+    ), grid AS (
+      SELECT CAST(unnest(range(0, 10)) AS INT) AS bin
+    ), per_bin AS (
+      SELECT g.bin, coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+      FROM grid g LEFT JOIN rbin r USING (bin) LEFT JOIN cbin c USING (bin)
+    ), tot AS (
+      SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM per_bin
+    ), terms AS (
+      SELECT n_ref, n_cur,
+             CASE WHEN ROUND(n_ref / t_ref, 6) > 0
+                  THEN ROUND(n_ref / t_ref, 6) ELSE 0.0001 END AS p_s,
+             CASE WHEN ROUND(n_cur / GREATEST(t_cur, 1), 6) > 0
+                  THEN ROUND(n_cur / GREATEST(t_cur, 1), 6) ELSE 0.0001 END AS q_s
+      FROM per_bin CROSS JOIN tot
+    )
+    SELECT ROUND(sum((p_s - q_s) * ln(p_s / q_s)), 6) AS psi,
+           CAST(sum(n_ref) AS BIGINT) AS n_ref,
+           CAST(sum(n_cur) AS BIGINT) AS n_cur
+    FROM terms
+    """,
+)
+def _psi_drift(spark, sf_dir):
+    """Population Stability Index drift monitor (operators/profile.py
+    psi_drift): text-length distribution of src2 documents vs the src0
+    reference, 10 equi-width bins fixed by the REFERENCE range (current
+    values outside it clamp into the edge bins — counted as drift, not
+    dropped). Proportions and the final statistic rounded at 1e-6 so
+    libm ln ulps cannot leak into the report on either engine."""
+    from mortar_parquet_support_spark.operators.profile import psi_drift
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ref = docs.filter(F.col("source") == "src0").select(
+        F.length("text").cast("double").alias("v")
+    )
+    cur = docs.filter(F.col("source") == "src2").select(
+        F.length("text").cast("double").alias("v")
+    )
+    return psi_drift(ref, cur, value="v", bins=10)

@@ -204,3 +204,91 @@ def histogram(
             "n",
         )
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value: str,
+    bins: int = 10,
+    epsilon: float = 1e-4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE snapshot and the
+    CURRENT batch of a numeric column — the standard distribution-drift
+    monitor gating a training-data drop ("did this crawl's length/
+    quality/score distribution move?"; common reading: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 action). Returns ONE row:
+    (``psi``, ``n_ref``, ``n_cur``) plus the per-bin detail frame is a
+    trivial variant (see the implementation's ``per_bin``).
+
+    Binning is fixed by the REFERENCE's [min, max] (equi-width, the
+    :func:`histogram` arithmetic) so the comparison is apples-to-apples:
+    current values left of the range clamp into bin 0, right of it into
+    the last bin — drift OUT of the reference range lands in the edge
+    bins and is counted, not silently dropped. NULLs are excluded on
+    both sides (pair with a not_null expectation). Zero-count bins take
+    ``epsilon`` mass before the log ratio (the standard PSI smoothing —
+    ln(p/0) would be infinite); both proportions and the final sum are
+    ROUNDED (``round_to``) so libm ln ulps cannot leak into the
+    reported statistic across engines.
+
+    Scale shape: one (min, max) aggregate over the reference, then one
+    bucket-count aggregate per side (bins-bounded outputs), one tiny
+    outer join of the two bin tables, one 1-row sum. Neither corpus is
+    ever shuffled row-wise."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value).cast("double")
+    bounds = ref.filter(v.isNotNull()).agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        raise ValueError("psi_drift: reference has no non-NULL values")
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        if hi <= lo:
+            b = F.lit(0)
+        else:
+            width = F.lit((hi - lo) / bins)
+            raw = F.floor((v - F.lit(lo)) / width).cast("int")
+            # clamp BOTH edges: out-of-reference-range current values
+            # must be counted as edge-bin drift, not dropped
+            b = F.greatest(
+                F.least(raw, F.lit(bins - 1)), F.lit(0)
+            )
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    all_bins = ref.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    per_bin = (
+        all_bins.join(bucketed(ref, "ref"), "bin", "left")
+        .join(bucketed(cur, "cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = per_bin.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    eps = F.lit(float(epsilon))
+    joined = per_bin.crossJoin(F.broadcast(totals))
+    p = F.round(F.col("n_ref") / F.col("t_ref"), round_to)
+    q = F.round(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)), round_to)
+    p_s = F.when(p > 0, p).otherwise(eps)
+    q_s = F.when(q > 0, q).otherwise(eps)
+    term = (p_s - q_s) * F.log(p_s / q_s)
+    return joined.agg(
+        F.round(F.sum(term), round_to).alias("psi"),
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("n_cur").cast("long").alias("n_cur"),
+    )

@@ -97,3 +97,49 @@ def test_validate_expectations_single_scan_for_row_rules(spark):
         .split("== Initial Plan ==")[0]  # AQE prints the plan twice
     )
     assert plan.count("Range (0, 1000") == 1  # one source scan
+
+
+def test_psi_drift_known_values(spark):
+    """psi_drift: hand-computable PSI on a 2-bin split, zero drift on
+    identical frames, out-of-range current values clamp into edge bins,
+    epsilon smoothing for empty bins, NULL exclusion, validation."""
+    from mortar_parquet_support_spark.operators.profile import psi_drift
+
+    # ref: 50 values in [0,1), 50 in [1,2) -> p = (0.5, 0.5) over 2 bins
+    ref = spark.createDataFrame(
+        [(i, 0.5) for i in range(50)] + [(i, 1.5) for i in range(50, 100)],
+        "id long, v double",
+    )
+    # cur: 80/20 split -> q = (0.8, 0.2)
+    cur = spark.createDataFrame(
+        [(i, 0.5) for i in range(80)] + [(i, 1.5) for i in range(80, 100)],
+        "id long, v double",
+    )
+    row = psi_drift(ref, cur, value="v", bins=2).collect()[0]
+    import math
+
+    expect = (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(
+        0.5 / 0.2
+    )
+    assert abs(row.psi - round(expect, 6)) < 1e-9
+    assert row.n_ref == 100 and row.n_cur == 100
+    # identical distributions -> PSI 0.0
+    z = psi_drift(ref, ref, value="v", bins=2).collect()[0]
+    assert z.psi == 0.0
+    # current values outside the reference range clamp to edge bins
+    # (counted as drift, not dropped) and NULLs are excluded
+    far = spark.createDataFrame(
+        [(1, -99.0), (2, -98.0), (3, None)], "id long, v double"
+    )
+    c = psi_drift(ref, far, value="v", bins=2).collect()[0]
+    # both clamp into bin 0 -> q = (1.0, 0.0) vs p = (0.5, 0.5)
+    assert c.n_cur == 2 and c.psi > 0.25  # hard drift
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bins"):
+        psi_drift(ref, cur, value="v", bins=0)
+    with _pt.raises(ValueError, match="no non-NULL"):
+        psi_drift(
+            spark.createDataFrame([(1, None)], "id long, v double"),
+            cur, value="v",
+        )
