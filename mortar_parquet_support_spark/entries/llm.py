@@ -3438,3 +3438,51 @@ def _psi_drift(spark, sf_dir):
         F.length("text").cast("double").alias("v")
     )
     return psi_drift(ref, cur, value="v", bins=10)
+
+
+@_register(
+    "categorical_drift",
+    """
+    WITH rf AS (
+      SELECT coalesce(event_type, chr(0) || '<NULL>') AS category, count(*) AS n_ref
+      FROM events WHERE CAST(event_id % 2 AS INT) = 0 GROUP BY 1
+    ), cu AS (
+      SELECT coalesce(event_type, chr(0) || '<NULL>') AS category, count(*) AS n_cur
+      FROM events WHERE CAST(event_id % 2 AS INT) = 1 GROUP BY 1
+    ), per_cat AS (
+      SELECT coalesce(rf.category, cu.category) AS category,
+             CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      FROM rf FULL OUTER JOIN cu USING (category)
+    ), tot AS (
+      SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM per_cat
+    )
+    SELECT CASE WHEN category = chr(0) || '<NULL>' THEN NULL
+                ELSE category END AS category,
+           n_ref, n_cur,
+           ROUND(n_ref / GREATEST(t_ref, 1), 6) AS p_ref,
+           ROUND(n_cur / GREATEST(t_cur, 1), 6) AS p_cur,
+           CASE WHEN ROUND(n_ref / GREATEST(t_ref, 1), 6) > 0 THEN
+             ROUND((ROUND(n_cur / GREATEST(t_cur, 1), 6)
+                    - ROUND(n_ref / GREATEST(t_ref, 1), 6))
+                   * (ROUND(n_cur / GREATEST(t_cur, 1), 6)
+                      - ROUND(n_ref / GREATEST(t_ref, 1), 6))
+                   / ROUND(n_ref / GREATEST(t_ref, 1), 6), 6)
+           END AS contrib
+    FROM per_cat CROSS JOIN tot
+    """,
+)
+def _categorical_drift(spark, sf_dir):
+    """Categorical mix-shift report (operators/profile.py
+    categorical_drift): event-type proportions of odd event_ids vs the
+    even-id reference half — per-category chi-square contribution with
+    rounded proportions, NULL types tracked as their own category, new
+    categories flagged by NULL contrib."""
+    from mortar_parquet_support_spark.operators.profile import (
+        categorical_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter((F.col("event_id") % 2) == 0).select("event_type")
+    cur = ev.filter((F.col("event_id") % 2) == 1).select("event_type")
+    return categorical_drift(ref, cur, value="event_type")

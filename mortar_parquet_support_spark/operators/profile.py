@@ -292,3 +292,62 @@ def psi_drift(
         F.sum("n_ref").cast("long").alias("n_ref"),
         F.sum("n_cur").cast("long").alias("n_cur"),
     )
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Categorical drift between snapshots: per-category reference vs
+    current PROPORTIONS with the chi-square-style contribution
+    ``(q - p)^2 / p`` and the PSI-style L1 shift — the categorical
+    sibling of :func:`psi_drift` for source/language/event-type mixes
+    ("did this crawl's language mix move?"). Returns one row per
+    category seen on EITHER side: (``category``, ``n_ref``, ``n_cur``,
+    ``p_ref``, ``p_cur``, ``contrib``) — sum ``contrib`` for the
+    statistic, inspect rows for the why. Categories absent from the
+    reference get NULL contrib (a new category has no expected
+    proportion — it IS the finding; filter ``contrib IS NULL`` for
+    arrivals). NULL category values form their own category (an
+    attribution gap is a real mix shift).
+
+    Proportions are rounded (``round_to``) before the arithmetic so the
+    report is engine-identical; the remaining ops are single IEEE
+    multiply/divide. Scale shape: one groupBy per side (outputs bounded
+    by category cardinality), one tiny outer join — corpora never
+    row-shuffled."""
+    sentinel = "\x00<NULL>"
+    c = F.coalesce(F.col(value).cast("string"), F.lit(sentinel))
+
+    def counted(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(c.alias("category")).agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
+        )
+
+    per_cat = counted(ref, "ref").join(
+        counted(cur, "cur"), "category", "full"
+    ).select(
+        "category",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    totals = per_cat.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = per_cat.crossJoin(F.broadcast(totals))
+    p = F.round(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)), round_to)
+    q = F.round(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)), round_to)
+    contrib = F.when(p > 0, F.round((q - p) * (q - p) / p, round_to))
+    return j.select(
+        F.when(F.col("category") == sentinel, F.lit(None))
+        .otherwise(F.col("category"))
+        .alias("category"),
+        "n_ref",
+        "n_cur",
+        p.alias("p_ref"),
+        q.alias("p_cur"),
+        contrib.alias("contrib"),
+    )

@@ -143,3 +143,37 @@ def test_psi_drift_known_values(spark):
             spark.createDataFrame([(1, None)], "id long, v double"),
             cur, value="v",
         )
+
+
+def test_categorical_drift_proportions_and_arrivals(spark):
+    """categorical_drift: hand-checked proportions/contributions, NULL
+    categories tracked as their own row, new categories surface with
+    NULL contrib (no reference expectation), zero drift on identity."""
+    from mortar_parquet_support_spark.operators.profile import (
+        categorical_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("en",)] * 8 + [("de",)] * 2, "lang string"
+    )
+    cur = spark.createDataFrame(
+        [("en",)] * 5 + [("de",)] * 4 + [("fr",)] * 1, "lang string"
+    )
+    out = {r.category: r for r in categorical_drift(
+        ref, cur, value="lang"
+    ).collect()}
+    assert out["en"].p_ref == 0.8 and out["en"].p_cur == 0.5
+    assert abs(out["en"].contrib - round(0.3 * 0.3 / 0.8, 6)) < 1e-12
+    assert out["de"].p_ref == 0.2 and out["de"].p_cur == 0.4
+    # fr is NEW: no expected proportion -> NULL contrib, the arrival flag
+    assert out["fr"].n_ref == 0 and out["fr"].contrib is None
+    # identity -> every contrib 0
+    same = categorical_drift(ref, ref, value="lang").collect()
+    assert all(r.contrib == 0.0 for r in same)
+    # NULL category is a category (attribution gap = mix shift)
+    refn = spark.createDataFrame([("en",), (None,)], "lang string")
+    curn = spark.createDataFrame([(None,), (None,)], "lang string")
+    rows = {r.category: r for r in categorical_drift(
+        refn, curn, value="lang"
+    ).collect()}
+    assert rows[None].n_ref == 1 and rows[None].n_cur == 2
