@@ -3486,3 +3486,19 @@ def _categorical_drift(spark, sf_dir):
     ref = ev.filter((F.col("event_id") % 2) == 0).select("event_type")
     cur = ev.filter((F.col("event_id") % 2) == 1).select("event_type")
     return categorical_drift(ref, cur, value="event_type")
+
+
+@_register("stream_drift")
+def _stream_drift(spark, sf_dir):
+    """Streaming drift monitor (streaming/rollup.py
+    stream_drift_monitor): per-micro-batch PSI of the events value
+    stream against a FROZEN reference grid (first event_id half).
+    Rows-only: batch boundaries are a streaming-runtime artifact with
+    no SQL equivalent; the PSI arithmetic itself is the oracle-checked
+    psi_drift formula, and the per-batch equivalence vs the batch
+    operator is pytest-pinned (tests/test_stream_incremental.py)."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_drift_once,
+    )
+
+    return stream_drift_once(spark, sf_dir)

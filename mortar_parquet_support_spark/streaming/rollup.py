@@ -661,3 +661,121 @@ def stream_heavy_hitters_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state).select("item", "cnt", "k")
+
+
+def stream_drift_monitor(
+    stream_df,
+    *,
+    value: str,
+    ref_lo: float,
+    ref_hi: float,
+    ref_props: "list[float]",
+    out_path: str,
+    epsilon: float = 1e-4,
+    round_to: int = 6,
+):
+    """Per-micro-batch distribution-drift monitor — the streaming leg of
+    :func:`~mortar_parquet_support_spark.operators.profile.psi_drift`:
+    every batch's ``value`` distribution is binned on the FROZEN
+    reference grid (``ref_lo``/``ref_hi``/``ref_props`` — compute once
+    from the reference snapshot with ``histogram``/``psi_drift`` and
+    pass the proportions) and its PSI appended to ``out_path`` as
+    (``batch_id``, ``psi``, ``n``) — the live "did the feed move?"
+    signal a training-data intake runs alongside ingestion.
+
+    The reference is deliberately a frozen argument, not a re-read
+    table: drift is measured AGAINST A PINNED BASELINE; silently
+    re-deriving it each batch would let slow drift re-baseline itself
+    invisible. Same PSI arithmetic as the batch operator (edge-bin
+    clamping for out-of-range values, epsilon smoothing, 1e-6 rounds);
+    an empty batch appends (batch_id, NULL, 0) rather than faking a 0.
+    Append-only output: at-least-once replay after a crash can repeat a
+    batch_id — readers take the LAST row per batch_id. Returns the
+    ``DataStreamWriter`` (caller starts it with a checkpoint)."""
+    bins = len(ref_props)
+    if bins < 1:
+        raise ValueError("ref_props must have at least one bin")
+    if not ref_hi > ref_lo:
+        raise ValueError("need ref_hi > ref_lo")
+    width = (ref_hi - ref_lo) / bins
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        v = F.col(value).cast("double")
+        raw = F.floor((v - F.lit(ref_lo)) / F.lit(width)).cast("int")
+        b = F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
+        counts = {
+            r["bin"]: r["n"]
+            for r in batch_df.filter(v.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bins-bounded by construction
+        }
+        n = sum(counts.values())
+        if n == 0:
+            psi = None
+        else:
+            import math
+
+            psi = 0.0
+            for i, p in enumerate(ref_props):
+                q = round(counts.get(i, 0) / n, round_to)
+                p_s = round(p, round_to) if p > 0 else epsilon
+                q_s = q if q > 0 else epsilon
+                psi += (p_s - q_s) * math.log(p_s / q_s)
+            psi = round(psi, round_to)
+        spark.createDataFrame(
+            [(int(batch_id), psi, int(n))],
+            "batch_id long, psi double, n long",
+        ).coalesce(1).write.mode("append").parquet(out_path)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def stream_drift_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming drift monitor over the events value stream
+    (availableNow) against a reference grid computed from the first
+    half of the table (event_id below the median — a deterministic
+    'yesterday's snapshot'), and return the per-batch PSI rows."""
+    import tempfile
+
+    from mortar_parquet_support_spark.tables import read_events_raw
+
+    ev = read_events_raw(spark, sf_dir)
+    mid = ev.agg(
+        F.percentile_approx("event_id", 0.5, 10000)
+    ).first()[0]
+    v = F.col("value").cast("double")
+    ref = ev.filter((F.col("event_id") <= mid) & v.isNotNull())
+    b = ref.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    bins = 10
+    width = (hi - lo) / bins
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    bin_col = F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
+    counts = {
+        r["bin"]: r["n"]
+        for r in ref.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t = sum(counts.values())
+    props = [counts.get(i, 0) / t for i in range(bins)]
+
+    out_dir = tempfile.mkdtemp(prefix="mortar_drift_out_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="mortar_drift_ckpt_")
+    q = (
+        stream_drift_monitor(
+            _events_stream(spark, sf_dir),
+            value="value",
+            ref_lo=lo,
+            ref_hi=hi,
+            ref_props=props,
+            out_path=out_dir,
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("batch_id", "psi", "n")

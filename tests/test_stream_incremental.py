@@ -272,3 +272,58 @@ def test_stream_heavy_hitters_corrupt_state_fails_loudly(spark, tmp_path):
 
     with _pt.raises(StreamingQueryException):
         q.awaitTermination(120)
+
+
+def test_stream_drift_monitor_per_batch_psi(spark, tmp_path):
+    """stream_drift_monitor: each micro-batch's PSI against a FROZEN
+    reference grid equals the batch psi_drift on the same rows; a batch
+    matching the reference reads ~0, a shifted batch reads high."""
+    import math
+
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_drift_monitor,
+    )
+
+    # reference: uniform over [0, 2) in 2 bins -> props (0.5, 0.5)
+    # batch f1 mirrors it; batch f2 is all-low (hard drift)
+    rows1 = [(i, 0.5) for i in range(50)] + [(i, 1.5) for i in range(50, 100)]
+    rows2 = [(i, 0.1) for i in range(100, 160)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, "doc_id long, v double").coalesce(1)\
+        .write.parquet(os.path.join(src, "f1"))
+    spark.createDataFrame(rows2, "doc_id long, v double").coalesce(1)\
+        .write.parquet(os.path.join(src, "f2"))
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_drift_monitor(
+            stream, value="v", ref_lo=0.0, ref_hi=2.0,
+            ref_props=[0.5, 0.5], out_path=out,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.batch_id: (r.psi, r.n) for r in spark.read.parquet(out).collect()}
+    assert len(got) == 2
+    psis = sorted((p, n) for p, n in got.values())
+    # the mirroring batch: PSI == 0 exactly (q == p after rounding)
+    assert psis[0] == (0.0, 100)
+    # the all-low batch: q = (1.0, 0.0) vs p = (0.5, 0.5)
+    expect = round(
+        (0.5 - 1.0) * math.log(0.5 / 1.0)
+        + (0.5 - 1e-4) * math.log(0.5 / 1e-4), 6
+    )
+    assert psis[1] == (expect, 60)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ref_hi"):
+        stream_drift_monitor(
+            stream, value="v", ref_lo=1.0, ref_hi=1.0,
+            ref_props=[1.0], out_path=out,
+        )
