@@ -271,3 +271,61 @@ def test_similarity_join_lossless_property(spark, docs, t):
         .collect()
     }
     assert got == brute
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-5, max_value=100, allow_nan=False
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 6),
+)
+def test_weighted_sample_k_matches_python_replay(spark, rows, k):
+    """weighted_sample_k == a pure-python Efraimidis-Spirakis replay of
+    the documented recipe (md5 52-bit uniform -> ln(u)/w rounded at
+    1e-9, top-k, id tie-break) on arbitrary ids/weights incl. NULLs,
+    zeros, and negatives — the bit-level portability pin."""
+    import hashlib
+    import math
+
+    from mortar_parquet_support_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    # unique ids (duplicate ids are the documented precondition breach)
+    seen = {}
+    for i, (rid, w) in enumerate(rows):
+        seen[rid + i * 100_000] = w
+    data = list(seen.items())
+    df = spark.createDataFrame(data, "id long, w double")
+    got = sorted(
+        r.id
+        for r in weighted_sample_k(df, "id", "w", k, salt="p:").collect()
+    )
+
+    def key(rid, w):
+        h = hashlib.md5(f"p:{rid}".encode()).hexdigest()
+        u = int(h[:13], 16) / float(1 << 52)
+        return (round(math.log(u) / w, 9), -rid)  # desc key, asc id
+
+    eligible = [
+        (rid, w) for rid, w in data
+        if w is not None and w > 0 and not math.isnan(w)
+    ]
+    want = sorted(
+        rid
+        for rid, _w in sorted(
+            eligible, key=lambda rw: key(*rw), reverse=True
+        )[:k]
+    )
+    assert got == want
