@@ -3502,3 +3502,72 @@ def _stream_drift(spark, sf_dir):
     )
 
     return stream_drift_once(spark, sf_dir)
+
+
+@_register(
+    "psi_drift_by",
+    """
+    WITH rf AS (
+      SELECT source, CAST(length(text) AS DOUBLE) AS v FROM documents
+      WHERE CAST(doc_id % 2 AS INT) = 0 AND text IS NOT NULL
+            AND source IS NOT NULL
+    ), cu AS (
+      SELECT source, CAST(length(text) AS DOUBLE) AS v FROM documents
+      WHERE CAST(doc_id % 2 AS INT) = 1 AND text IS NOT NULL
+            AND source IS NOT NULL
+    ), b AS (
+      SELECT source, min(v) AS lo, max(v) AS hi FROM rf GROUP BY source
+    ), rbin AS (
+      SELECT rf.source,
+             CASE WHEN hi <= lo THEN 0
+                  ELSE GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+             END AS bin, count(*) AS n_ref
+      FROM rf JOIN b USING (source) GROUP BY 1, 2
+    ), cbin AS (
+      SELECT cu.source,
+             CASE WHEN hi <= lo THEN 0
+                  ELSE GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+             END AS bin, count(*) AS n_cur
+      FROM cu JOIN b USING (source) GROUP BY 1, 2
+    ), grid AS (
+      SELECT source, CAST(unnest(range(0, 10)) AS INT) AS bin FROM b
+    ), per_bin AS (
+      SELECT g.source, g.bin,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM grid g
+      LEFT JOIN rbin USING (source, bin)
+      LEFT JOIN cbin USING (source, bin)
+    ), tot AS (
+      SELECT source, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+      FROM per_bin GROUP BY source
+    ), terms AS (
+      SELECT p.source, p.n_ref, p.n_cur,
+             CASE WHEN ROUND(p.n_ref / t.t_ref, 6) > 0
+                  THEN ROUND(p.n_ref / t.t_ref, 6) ELSE 0.0001 END AS p_s,
+             CASE WHEN ROUND(p.n_cur / GREATEST(t.t_cur, 1), 6) > 0
+                  THEN ROUND(p.n_cur / GREATEST(t.t_cur, 1), 6) ELSE 0.0001 END AS q_s
+      FROM per_bin p JOIN tot t USING (source)
+    )
+    SELECT source, ROUND(sum((p_s - q_s) * ln(p_s / q_s)), 6) AS psi,
+           CAST(sum(n_ref) AS BIGINT) AS n_ref,
+           CAST(sum(n_cur) AS BIGINT) AS n_cur
+    FROM terms GROUP BY source
+    """,
+)
+def _psi_drift_by(spark, sf_dir):
+    """Per-source PSI in one plan (operators/profile.py psi_drift_by):
+    text-length drift of odd-doc_id documents vs the even-id reference
+    half, one row per source, each on its own reference-range bin grid.
+    The grouped sibling of psi_drift — no driver-side group loop."""
+    from mortar_parquet_support_spark.operators.profile import psi_drift_by
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    ref = docs.filter((F.col("doc_id") % 2) == 0).select(
+        "source", F.length("text").cast("double").alias("v")
+    )
+    cur = docs.filter((F.col("doc_id") % 2) == 1).select(
+        "source", F.length("text").cast("double").alias("v")
+    )
+    return psi_drift_by(ref, cur, value="v", keys=["source"], bins=10)

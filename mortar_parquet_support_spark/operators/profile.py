@@ -351,3 +351,91 @@ def categorical_drift(
         q.alias("p_cur"),
         contrib.alias("contrib"),
     )
+
+
+def psi_drift_by(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value: str,
+    keys: "Sequence[str]",
+    bins: int = 10,
+    epsilon: float = 1e-4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group :func:`psi_drift` in ONE plan — the data-card shape
+    ("PSI per source/language/domain") without a driver-side group loop:
+    returns (keys..., ``psi``, ``n_ref``, ``n_cur``), one row per
+    REFERENCE group. Groups are defined by the reference (each gets its
+    own [min, max] bin grid); current rows in groups the reference never
+    saw have no baseline to drift FROM and are excluded — detect
+    arrivals with :func:`categorical_drift` on the key column, the tool
+    for that question. A group whose reference values are constant
+    (hi == lo) puts everything in bin 0 on both sides (PSI 0 unless the
+    current side leaves... it cannot — single bin; pair with a range
+    expectation if constancy itself must be enforced).
+
+    Same arithmetic as the ungrouped operator (edge-bin clamping,
+    epsilon smoothing, 1e-6 rounds), with the bin width computed IN-PLAN
+    per group — identical single IEEE ops to any SQL replay. Scale
+    shape: one grouped bounds aggregate, one (keys, bin) count per side
+    (outputs bounded by groups x bins), one grid join — neither corpus
+    ever row-shuffled beyond its count aggregate."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("psi_drift_by needs keys; use psi_drift without")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value).cast("double")
+    bounds = (
+        ref.filter(v.isNotNull())
+        .groupBy(*keys)
+        .agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    raw = F.floor((v - F.col("__lo")) / width).cast("int")
+    b = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+        F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
+    )
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(v.isNotNull())
+            .join(maybe_broadcast(bounds), keys)
+            .groupBy(*keys, b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    grid = bounds.select(*keys).crossJoin(
+        ref.sparkSession.range(bins).select(
+            F.col("id").cast("int").alias("bin")
+        )
+    )
+    per_bin = (
+        grid.join(bucketed(ref, "ref"), [*keys, "bin"], "left")
+        .join(bucketed(cur, "cur"), [*keys, "bin"], "left")
+        .select(
+            *keys,
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy(*keys)
+    t_ref = F.sum("n_ref").over(w)
+    t_cur = F.sum("n_cur").over(w)
+    eps = F.lit(float(epsilon))
+    p = F.round(F.col("n_ref") / t_ref, round_to)
+    q = F.round(F.col("n_cur") / F.greatest(t_cur, F.lit(1)), round_to)
+    p_s = F.when(p > 0, p).otherwise(eps)
+    q_s = F.when(q > 0, q).otherwise(eps)
+    term = (p_s - q_s) * F.log(p_s / q_s)
+    return (
+        per_bin.withColumn("__term", term)
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum("__term"), round_to).alias("psi"),
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+        )
+    )

@@ -177,3 +177,48 @@ def test_categorical_drift_proportions_and_arrivals(spark):
         refn, curn, value="lang"
     ).collect()}
     assert rows[None].n_ref == 1 and rows[None].n_cur == 2
+
+
+def test_psi_drift_by_group_equals_ungrouped_per_group(spark):
+    """psi_drift_by: each group's row equals running the ungrouped
+    psi_drift on that group alone; reference-unseen current groups are
+    excluded; constant groups are single-bin PSI 0."""
+    from mortar_parquet_support_spark.operators.profile import (
+        psi_drift,
+        psi_drift_by,
+    )
+
+    def frame(spec):
+        rows = []
+        for g, vals in spec.items():
+            rows += [(g, float(x)) for x in vals]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    ref = frame({
+        "a": [0.5] * 50 + [1.5] * 50,
+        "b": [10] * 30 + [20] * 10,
+        "c": [7] * 5,  # constant group
+    })
+    cur = frame({
+        "a": [0.5] * 80 + [1.5] * 20,
+        "b": [10] * 10 + [20] * 30,
+        "c": [7] * 9,
+        "newgrp": [1] * 4,  # no reference baseline -> excluded
+    })
+    out = {r.g: r for r in psi_drift_by(
+        ref, cur, value="v", keys=["g"], bins=2
+    ).collect()}
+    assert set(out) == {"a", "b", "c"}
+    for g in ("a", "b", "c"):
+        solo = psi_drift(
+            ref.filter(F.col("g") == g), cur.filter(F.col("g") == g),
+            value="v", bins=2,
+        ).collect()[0]
+        assert out[g].psi == solo.psi, g
+        assert out[g].n_ref == solo.n_ref and out[g].n_cur == solo.n_cur
+    assert out["c"].psi == 0.0  # constant group, single bin
+    assert out["a"].psi > 0.1 and out["b"].psi > 0.1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="needs keys"):
+        psi_drift_by(ref, cur, value="v", keys=[])
