@@ -125,7 +125,16 @@ def oracle_sql() -> dict[str, str]:
     pytest-pinned in test_bpe.py), train_classifier (iterative full-batch
     GD training is not SQL-expressible; the update rule is pinned
     bit-for-bit against a numpy reference and the trainer->scorer
-    round-trip is pytest-pinned in test_classifier.py), and temperature_mixture (the alpha weights are a driver-computed model feeding the already-oracle-checked build_mixture; the n^alpha formula and its uniform/natural limits are pytest-pinned), and tokenize_and_pack (composes the model-producing BPE train with the already-oracle-checked pack_sequences; the start-offset packing contract is pytest-pinned in test_pipelines.py). lttb_downsample graduated to a full
+    round-trip is pytest-pinned in test_classifier.py), and
+    tokenize_and_pack (composes the model-producing BPE train with the
+    already-oracle-checked pack_sequences; the start-offset packing
+    contract is pytest-pinned in test_pipelines.py), and stream_drift
+    (micro-batch boundaries are a streaming-runtime artifact with no SQL
+    equivalent; the PSI arithmetic is the oracle-checked psi_drift
+    formula and per-batch == batch equivalence is pytest-pinned in
+    test_stream_incremental.py). temperature_mixture graduated to a full
+    oracle in round 10 (weights computed in-plan, rounded 1e-9);
+    lttb_downsample graduated to a full
     oracle in round 9: its sequential pick is replayed as a DuckDB
     recursive CTE (see the entry's docstring for the exactness
     argument). The LSH ops' verify stages ARE
