@@ -154,7 +154,13 @@ def quantile_buckets(
 
     Scale shape: one shuffle (the per-key window); the NULL branch is a
     second scan of a filtered alias — Catalyst collapses both onto one
-    source scan when the input is a file source."""
+    source scan when the input is a file source. EMPTY ``keys`` means a
+    GLOBAL NTILE, which (like any exact global ranking) funnels every
+    row through ONE window partition — fine for model-sized frames,
+    a wall for corpus-sized ones: stratify within a natural partition
+    key (source, date, shard) instead, or accept approximate strata via
+    ``winsorize``-style percentile boundaries + a range comparison when
+    an exact equal-count split is not actually required."""
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     if bucket_col in df.columns:
