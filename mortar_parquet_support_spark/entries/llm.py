@@ -3571,3 +3571,53 @@ def _psi_drift_by(spark, sf_dir):
         "source", F.length("text").cast("double").alias("v")
     )
     return psi_drift_by(ref, cur, value="v", keys=["source"], bins=10)
+
+
+@_register(
+    "embedding_drift",
+    """
+    WITH rme AS (
+      SELECT i AS pos, ROUND(avg(v), 6) AS a FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(0, array_length(embedding))) AS i
+        FROM embeddings
+        WHERE CAST(vec_id % 2 AS INT) = 0 AND embedding IS NOT NULL
+      ) GROUP BY i
+    ), cme AS (
+      SELECT i AS pos, ROUND(avg(v), 6) AS b FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(0, array_length(embedding))) AS i
+        FROM embeddings
+        WHERE CAST(vec_id % 2 AS INT) = 1 AND embedding IS NOT NULL
+      ) GROUP BY i
+    ), j AS (
+      SELECT coalesce(a, 0.0) AS a, coalesce(b, 0.0) AS b
+      FROM rme FULL OUTER JOIN cme USING (pos)
+    ), agg AS (
+      SELECT sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb FROM j
+    )
+    SELECT ROUND(CASE WHEN na > 0 AND nb > 0
+                      THEN dot / (sqrt(na) * sqrt(nb)) END, 6) AS mean_cosine,
+           ROUND(sqrt(na), 6) AS ref_norm,
+           ROUND(sqrt(nb), 6) AS cur_norm,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE CAST(vec_id % 2 AS INT) = 0 AND embedding IS NOT NULL) AS n_ref,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE CAST(vec_id % 2 AS INT) = 1 AND embedding IS NOT NULL) AS n_cur
+    FROM agg
+    """,
+)
+def _embedding_drift(spark, sf_dir):
+    """Embedding-space drift alarm (operators/embeddings.py
+    embedding_drift): mean-vector cosine between the odd-vec_id half
+    and the even-id reference half. Per-position means rounded at 1e-6
+    before the dims-bounded dot/norm arithmetic so float-sum order
+    cannot leak into the report on either engine."""
+    from mortar_parquet_support_spark.operators.embeddings import (
+        embedding_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter((F.col("vec_id") % 2) == 0)
+    cur = emb.filter((F.col("vec_id") % 2) == 1)
+    return embedding_drift(ref, cur)

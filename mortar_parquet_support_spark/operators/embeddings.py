@@ -475,3 +475,70 @@ def kmeans_assign(
         F.col("__best.c").alias(cluster_col),
         F.col("__best.d").alias(dist_col),
     ).drop("__best")
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between snapshots: the cosine between the
+    two MEAN vectors plus both mean-vector norms — the cheap first-alarm
+    for "did the upstream embedding model change / did the content
+    distribution move in representation space" (a mean-cosine below
+    ~0.99 on a stable feed is a loud signal; per-direction detail wants
+    a PCA projection, the alarm does not). Returns ONE row:
+    (``mean_cosine``, ``ref_norm``, ``cur_norm``, ``n_ref``, ``n_cur``).
+
+    Each side's mean vector is computed per POSITION (posexplode +
+    avg — distributed, no driver vector materialization) and ROUNDED
+    (``round_to``) before the dot/norm arithmetic: float-sum order
+    differs across engines and partitionings, and the round pins the
+    report to engine-identical values (the remaining ops are a
+    dims-bounded sum of single IEEE products). NULL vectors are
+    excluded; mixed dimensionalities are the caller's bug (positions
+    past a short vector simply don't contribute to that row — means
+    stay per-position well-defined, but comparing ragged corpora is
+    not a drift measurement). A zero mean vector (perfectly opposed
+    corpus) yields NULL cosine rather than a division blow-up.
+
+    Scale shape: one posexplode + (pos) aggregate per side — outputs
+    bounded by the embedding dimension; corpora never row-shuffled."""
+    def mean_vec(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("pos", "__v"))
+            .groupBy("pos")
+            .agg(
+                F.round(F.avg(F.col("__v").cast("double")), round_to).alias(
+                    f"m_{side}"
+                )
+            )
+        )
+
+    counts_r = ref.filter(F.col(vec_col).isNotNull()).count()
+    counts_c = cur.filter(F.col(vec_col).isNotNull()).count()
+    j = mean_vec(ref, "ref").join(mean_vec(cur, "cur"), "pos", "full").select(
+        F.coalesce("m_ref", F.lit(0.0)).alias("a"),
+        F.coalesce("m_cur", F.lit(0.0)).alias("b"),
+    )
+    agg = j.agg(
+        F.sum(F.col("a") * F.col("b")).alias("dot"),
+        F.sum(F.col("a") * F.col("a")).alias("na"),
+        F.sum(F.col("b") * F.col("b")).alias("nb"),
+    )
+    return agg.select(
+        F.round(
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nb")),
+            ),
+            round_to,
+        ).alias("mean_cosine"),
+        F.round(F.sqrt("na"), round_to).alias("ref_norm"),
+        F.round(F.sqrt("nb"), round_to).alias("cur_norm"),
+        F.lit(counts_r).cast("long").alias("n_ref"),
+        F.lit(counts_c).cast("long").alias("n_cur"),
+    )

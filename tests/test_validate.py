@@ -222,3 +222,37 @@ def test_psi_drift_by_group_equals_ungrouped_per_group(spark):
 
     with _pt.raises(ValueError, match="needs keys"):
         psi_drift_by(ref, cur, value="v", keys=[])
+
+
+def test_embedding_drift_hand_computed(spark):
+    """embedding_drift: hand-checkable mean vectors, identity cosine 1,
+    opposed corpora NULL cosine (zero mean), NULL vectors excluded."""
+    from mortar_parquet_support_spark.operators.embeddings import (
+        embedding_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    cur = spark.createDataFrame(
+        [(4, [0.0, 2.0]), (5, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_drift(ref, cur).collect()[0]
+    # means: ref (1, 0); cur (1, 1) -> cos = 1/sqrt(2)
+    import math
+
+    assert abs(r.mean_cosine - round(1 / math.sqrt(2), 6)) < 1e-9
+    assert r.ref_norm == 1.0 and abs(r.cur_norm - round(math.sqrt(2), 6)) < 1e-9
+    assert r.n_ref == 2 and r.n_cur == 2  # NULL vector excluded
+    # identity -> cosine exactly 1.0
+    same = embedding_drift(ref, ref).collect()[0]
+    assert same.mean_cosine == 1.0
+    # perfectly opposed current corpus -> zero mean -> NULL cosine
+    opp = spark.createDataFrame(
+        [(6, [1.0, 1.0]), (7, [-1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    z = embedding_drift(ref, opp).collect()[0]
+    assert z.mean_cosine is None and z.cur_norm == 0.0
