@@ -232,3 +232,33 @@ def test_weighted_sample_k_distribution_and_determinism(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         weighted_sample_k(df, "id", "w", 0)
+
+
+def test_hard_negatives_multi_positive_exactness(spark):
+    """Regression (r10 self-review): a query with MANY positives must
+    still yield exactly k true negatives — the default overfetch is
+    derived from the pair list's max fan-out, so the excluded rows can
+    never crowd out a deserving negative."""
+    import math
+
+    from mortar_parquet_support_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [math.cos(i * 0.05), math.sin(i * 0.05)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    # query 0 excludes its 9 nearest (1..9): with the old fixed k+8
+    # overfetch (k=3 -> 11), the head 1..9 + self leaves only 2 true
+    # negatives — a silent undercount. Derived overfetch = 3 + 9 + 1.
+    pairs = spark.createDataFrame(
+        [(0, p) for p in range(1, 10)], "query_id long, pos_id long"
+    )
+    out = sorted(
+        (r.rank, r.neighbor_id)
+        for r in hard_negatives(corpus, pairs, k=3).collect()
+    )
+    # nearest non-excluded by angle from 0: 10, 11, 12
+    assert [n for _rk, n in out] == [10, 11, 12]
+    assert [rk for rk, _n in out] == [1, 2, 3]
