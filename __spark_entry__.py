@@ -132,7 +132,11 @@ def oracle_sql() -> dict[str, str]:
     (micro-batch boundaries are a streaming-runtime artifact with no SQL
     equivalent; the PSI arithmetic is the oracle-checked psi_drift
     formula and per-batch == batch equivalence is pytest-pinned in
-    test_stream_incremental.py). temperature_mixture graduated to a full
+    test_stream_incremental.py), and mmr_rerank (the MMR greedy argmax
+    is sequential in k — lttb-style recursive-CTE replay is the known
+    promotion path; the picker's diversification, tie-breaks, and
+    repartition-invariance are pytest-pinned in
+    test_training_layout.py). temperature_mixture graduated to a full
     oracle in round 10 (weights computed in-plan, rounded 1e-9);
     lttb_downsample graduated to a full
     oracle in round 9: its sequential pick is replayed as a DuckDB

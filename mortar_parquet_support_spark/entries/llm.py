@@ -3621,3 +3621,29 @@ def _embedding_drift(spark, sf_dir):
     ref = emb.filter((F.col("vec_id") % 2) == 0)
     cur = emb.filter((F.col("vec_id") % 2) == 1)
     return embedding_drift(ref, cur)
+
+
+@_register("mmr_rerank")
+def _mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (operators/search.py mmr_rerank): 15
+    overfetched cosine candidates per query (vec_id < 3) re-ranked to a
+    diverse top-5 at lam=0.5. Rows-only: the greedy argmax is
+    sequential in k (an lttb-style recursive-CTE replay is the known
+    promotion path); the picker's hand-computed diversification,
+    tie-breaks, and repartition-invariance are pytest-pinned
+    (tests/test_training_layout.py)."""
+    from mortar_parquet_support_spark.operators.search import mmr_rerank
+    from mortar_parquet_support_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cand = cosine_topk(emb, queries, k=15).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(cand, k=5, lam=0.5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.round("mmr", 6).alias("mmr"), "rank",
+    )

@@ -406,3 +406,96 @@ def phrase_search(
     return anchors.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+    k: int = 10,
+    lam: float = 0.5,
+    round_to: int = 9,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking per query — the
+    diversity-aware top-k every RAG retriever and eval-set builder
+    reaches for once plain cosine top-k returns five paraphrases of one
+    document: greedily pick argmax of ``lam * relevance - (1 - lam) *
+    max_cosine_to_already_picked`` until ``k`` are chosen (lam = 1 is
+    pure relevance, lam = 0 pure diversity). Input is a CANDIDATE frame
+    — (query, id, vector, relevance), e.g. :func:`~...similarity.
+    cosine_topk` overfetch joined back to its vectors — and output is
+    (query, id, relevance, ``mmr``, ``rank``), rank 1 first-picked.
+
+    The greedy is inherently sequential IN k, so it runs per-query in
+    an Arrow-batched ``applyInPandas`` — legitimate here because the
+    per-group input is the OVERFETCHED CANDIDATE LIST (tens to
+    hundreds of rows by construction), never the corpus: the quadratic
+    pairwise-cosine work is bounded by overfetch^2 per query and
+    queries parallelize across the cluster. Determinism: scores are
+    rounded (``round_to``) before each argmax and ties break by id, so
+    re-runs and repartitionings pick identical sets in identical order.
+    NULL vectors never enter the picked set (they have no similarity
+    to future candidates and would poison the penalty term) — filter
+    upstream; rows with NULL relevance are dropped here."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, {score_col} double, "
+        "mmr double, rank int"
+    )
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf[pdf[score_col].notna() & pdf[vec_col].notna()]
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=[query_col, id_col, score_col, "mmr", "rank"]
+            )
+        # id-sorted so every argmax tie resolves to the smallest id
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = np.nan  # zero vectors never win a similarity
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: "list[int]" = []
+        max_sim = np.zeros(n)
+        taken = np.zeros(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            if not picked:
+                mmr = np.round(lam * rel, round_to)
+            else:
+                mmr = np.round(
+                    lam * rel - (1.0 - lam) * max_sim, round_to
+                )
+            mmr_masked = np.where(taken, -np.inf, mmr)
+            best = int(np.argmax(mmr_masked))  # first max = smallest id
+            picked.append(best)
+            taken[best] = True
+            rows.append(
+                (
+                    int(pdf[query_col].iloc[best]),
+                    int(pdf[id_col].iloc[best]),
+                    float(rel[best]),
+                    float(mmr_masked[best]),
+                    rank,
+                )
+            )
+            sims = vecs @ vecs[best] / (norms * norms[best])
+            sims = np.nan_to_num(np.round(sims, round_to), nan=-np.inf)
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            rows, columns=[query_col, id_col, score_col, "mmr", "rank"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, out_schema)

@@ -262,3 +262,53 @@ def test_hard_negatives_multi_positive_exactness(spark):
     # nearest non-excluded by angle from 0: 10, 11, 12
     assert [n for _rk, n in out] == [10, 11, 12]
     assert [rk for rk, _n in out] == [1, 2, 3]
+
+
+def test_mmr_rerank_diversifies_and_is_deterministic(spark):
+    """mmr_rerank: lam=1 reproduces relevance order; lam=0.5 demotes a
+    near-duplicate of the first pick below a less-relevant-but-diverse
+    candidate; ranks dense from 1; repartition-invariant."""
+    import math
+
+    from mortar_parquet_support_spark.operators.search import mmr_rerank
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # query 7: cand 1 (rel .99) and cand 2 (rel .98) nearly parallel;
+    # cand 3 (rel .80) orthogonal. Pure relevance: 1,2,3. MMR(0.5):
+    # 2's penalty ~cos(2deg)~1 -> mmr ~.49-.5~-.01; 3's ~.40-.5*0=.40
+    rows = [
+        (7, 1, vec(0.0), 0.99),
+        (7, 2, vec(2.0), 0.98),
+        (7, 3, vec(90.0), 0.80),
+        (7, 4, None, 0.97),      # NULL vector dropped
+        (7, 5, vec(45.0), None),  # NULL relevance dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, embedding array<double>, cosine double"
+    )
+    got = sorted(
+        (r.rank, r.neighbor_id)
+        for r in mmr_rerank(df, k=3, lam=0.5).collect()
+    )
+    assert got == [(1, 1), (2, 3), (3, 2)]
+    # lam = 1: pure relevance order
+    pure = sorted(
+        (r.rank, r.neighbor_id)
+        for r in mmr_rerank(df, k=3, lam=1.0).collect()
+    )
+    assert pure == [(1, 1), (2, 2), (3, 3)]
+    # repartition-invariant
+    again = sorted(
+        (r.rank, r.neighbor_id)
+        for r in mmr_rerank(df.repartition(5), k=3, lam=0.5).collect()
+    )
+    assert again == got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lam"):
+        mmr_rerank(df, k=3, lam=1.5)
+    with _pt.raises(ValueError, match="k must"):
+        mmr_rerank(df, k=0)
