@@ -3393,11 +3393,15 @@ def _validate_expectations(spark, sf_dir):
     ), b AS (
       SELECT min(v) AS lo, max(v) AS hi FROM rf
     ), rbin AS (
-      SELECT GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0) AS bin,
+      SELECT CASE WHEN hi <= lo THEN 0
+                  ELSE GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+             END AS bin,
              count(*) AS n_ref
       FROM rf CROSS JOIN b GROUP BY 1
     ), cbin AS (
-      SELECT GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0) AS bin,
+      SELECT CASE WHEN hi <= lo THEN 0
+                  ELSE GREATEST(LEAST(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+             END AS bin,
              count(*) AS n_cur
       FROM cu CROSS JOIN b GROUP BY 1
     ), grid AS (
@@ -3462,12 +3466,14 @@ def _psi_drift(spark, sf_dir):
            n_ref, n_cur,
            ROUND(n_ref / GREATEST(t_ref, 1), 6) AS p_ref,
            ROUND(n_cur / GREATEST(t_cur, 1), 6) AS p_cur,
-           CASE WHEN ROUND(n_ref / GREATEST(t_ref, 1), 6) > 0 THEN
+           CASE WHEN n_ref > 0 THEN
              ROUND((ROUND(n_cur / GREATEST(t_cur, 1), 6)
                     - ROUND(n_ref / GREATEST(t_ref, 1), 6))
                    * (ROUND(n_cur / GREATEST(t_cur, 1), 6)
                       - ROUND(n_ref / GREATEST(t_ref, 1), 6))
-                   / ROUND(n_ref / GREATEST(t_ref, 1), 6), 6)
+                   / (CASE WHEN ROUND(n_ref / GREATEST(t_ref, 1), 6) > 0
+                           THEN ROUND(n_ref / GREATEST(t_ref, 1), 6)
+                           ELSE 0.0001 END), 6)
            END AS contrib
     FROM per_cat CROSS JOIN tot
     """,
@@ -3577,14 +3583,14 @@ def _psi_drift_by(spark, sf_dir):
     "embedding_drift",
     """
     WITH rme AS (
-      SELECT i AS pos, ROUND(avg(v), 6) AS a FROM (
+      SELECT i AS pos, ROUND(avg(v), 6) AS a, count(*) AS cr FROM (
         SELECT unnest(embedding::DOUBLE[]) AS v,
                unnest(range(0, array_length(embedding))) AS i
         FROM embeddings
         WHERE CAST(vec_id % 2 AS INT) = 0 AND embedding IS NOT NULL
       ) GROUP BY i
     ), cme AS (
-      SELECT i AS pos, ROUND(avg(v), 6) AS b FROM (
+      SELECT i AS pos, ROUND(avg(v), 6) AS b, count(*) AS cc FROM (
         SELECT unnest(embedding::DOUBLE[]) AS v,
                unnest(range(0, array_length(embedding))) AS i
         FROM embeddings
@@ -3600,10 +3606,8 @@ def _psi_drift_by(spark, sf_dir):
                       THEN dot / (sqrt(na) * sqrt(nb)) END, 6) AS mean_cosine,
            ROUND(sqrt(na), 6) AS ref_norm,
            ROUND(sqrt(nb), 6) AS cur_norm,
-           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-            WHERE CAST(vec_id % 2 AS INT) = 0 AND embedding IS NOT NULL) AS n_ref,
-           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-            WHERE CAST(vec_id % 2 AS INT) = 1 AND embedding IS NOT NULL) AS n_cur
+           (SELECT CAST(max(cr) AS BIGINT) FROM rme) AS n_ref,
+           (SELECT CAST(max(cc) AS BIGINT) FROM cme) AS n_cur
     FROM agg
     """,
 )

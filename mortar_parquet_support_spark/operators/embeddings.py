@@ -503,10 +503,16 @@ def embedding_drift(
     stay per-position well-defined, but comparing ragged corpora is
     not a drift measurement). A zero mean vector (perfectly opposed
     corpus) yields NULL cosine rather than a division blow-up.
+    ``n_ref``/``n_cur`` count rows contributing at least one element
+    (NULL vectors excluded; empty arrays contribute nothing).
 
     Scale shape: one posexplode + (pos) aggregate per side — outputs
     bounded by the embedding dimension; corpora never row-shuffled."""
     def mean_vec(df: DataFrame, side: str) -> DataFrame:
+        # the row count rides along in the SAME aggregate (count per
+        # position; the max over positions = rows with >= 1 element), so
+        # the whole operator stays ONE lazy plan — no eager .count()
+        # pre-scans of 100 TB corpora for a one-row report (review r10)
         return (
             df.filter(F.col(vec_col).isNotNull())
             .select(F.posexplode(vec_col).alias("pos", "__v"))
@@ -514,20 +520,23 @@ def embedding_drift(
             .agg(
                 F.round(F.avg(F.col("__v").cast("double")), round_to).alias(
                     f"m_{side}"
-                )
+                ),
+                F.count(F.lit(1)).alias(f"c_{side}"),
             )
         )
 
-    counts_r = ref.filter(F.col(vec_col).isNotNull()).count()
-    counts_c = cur.filter(F.col(vec_col).isNotNull()).count()
     j = mean_vec(ref, "ref").join(mean_vec(cur, "cur"), "pos", "full").select(
         F.coalesce("m_ref", F.lit(0.0)).alias("a"),
         F.coalesce("m_cur", F.lit(0.0)).alias("b"),
+        F.coalesce("c_ref", F.lit(0)).alias("cr"),
+        F.coalesce("c_cur", F.lit(0)).alias("cc"),
     )
     agg = j.agg(
         F.sum(F.col("a") * F.col("b")).alias("dot"),
         F.sum(F.col("a") * F.col("a")).alias("na"),
         F.sum(F.col("b") * F.col("b")).alias("nb"),
+        F.max("cr").alias("n_ref"),
+        F.max("cc").alias("n_cur"),
     )
     return agg.select(
         F.round(
@@ -539,6 +548,6 @@ def embedding_drift(
         ).alias("mean_cosine"),
         F.round(F.sqrt("na"), round_to).alias("ref_norm"),
         F.round(F.sqrt("nb"), round_to).alias("cur_norm"),
-        F.lit(counts_r).cast("long").alias("n_ref"),
-        F.lit(counts_c).cast("long").alias("n_cur"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
     )

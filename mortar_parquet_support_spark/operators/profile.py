@@ -300,6 +300,7 @@ def categorical_drift(
     *,
     value: str,
     round_to: int = 6,
+    epsilon: float = 1e-4,
 ) -> DataFrame:
     """Categorical drift between snapshots: per-category reference vs
     current PROPORTIONS with the chi-square-style contribution
@@ -309,9 +310,13 @@ def categorical_drift(
     category seen on EITHER side: (``category``, ``n_ref``, ``n_cur``,
     ``p_ref``, ``p_cur``, ``contrib``) — sum ``contrib`` for the
     statistic, inspect rows for the why. Categories absent from the
-    reference get NULL contrib (a new category has no expected
-    proportion — it IS the finding; filter ``contrib IS NULL`` for
-    arrivals). NULL category values form their own category (an
+    reference (``n_ref`` = 0) get NULL contrib (a new category has no
+    expected proportion — it IS the finding; filter ``contrib IS NULL``
+    for arrivals: NULL means truly-new, never merely-rare — a PRESENT
+    reference category whose proportion rounds to 0 takes ``epsilon``
+    as its expected value instead, the same smoothing psi_drift
+    applies, so rare-but-known categories still contribute a finite
+    number). NULL category values form their own category (an
     attribution gap is a real mix shift).
 
     Proportions are rounded (``round_to``) before the arithmetic so the
@@ -340,7 +345,11 @@ def categorical_drift(
     j = per_cat.crossJoin(F.broadcast(totals))
     p = F.round(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)), round_to)
     q = F.round(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)), round_to)
-    contrib = F.when(p > 0, F.round((q - p) * (q - p) / p, round_to))
+    # arrival (n_ref == 0) -> NULL; present-but-rounds-to-zero -> epsilon
+    p_s = F.when(p > 0, p).otherwise(F.lit(float(epsilon)))
+    contrib = F.when(
+        F.col("n_ref") > 0, F.round((q - p) * (q - p) / p_s, round_to)
+    )
     return j.select(
         F.when(F.col("category") == sentinel, F.lit(None))
         .otherwise(F.col("category"))

@@ -447,9 +447,13 @@ def mmr_rerank(
 
     import pandas as pd
 
+    # id/query types follow the INPUT schema (string doc ids are the
+    # common RAG shape; hardcoding long would crash the UDF on them)
+    q_type = candidates.schema[query_col].dataType.simpleString()
+    i_type = candidates.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_col} long, {id_col} long, {score_col} double, "
-        "mmr double, rank int"
+        f"`{query_col}` {q_type}, `{id_col}` {i_type}, "
+        f"`{score_col}` double, mmr double, rank int"
     )
 
     def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -468,7 +472,12 @@ def mmr_rerank(
         rel = pdf[score_col].to_numpy(dtype=np.float64)
         n = len(pdf)
         picked: "list[int]" = []
-        max_sim = np.zeros(n)
+        # -inf init, NOT zeros: a zero init would clamp NEGATIVE cosines
+        # to 0 via the running maximum, denying anti-similar candidates
+        # the diversity boost the formula gives them (review r10). The
+        # first-pick branch bypasses it; after the first update every
+        # entry is finite (undefined similarities map to 0 below).
+        max_sim = np.full(n, -np.inf)
         taken = np.zeros(n, dtype=bool)
         rows = []
         for rank in range(1, min(k, n) + 1):
@@ -484,15 +493,17 @@ def mmr_rerank(
             taken[best] = True
             rows.append(
                 (
-                    int(pdf[query_col].iloc[best]),
-                    int(pdf[id_col].iloc[best]),
+                    pdf[query_col].iloc[best],
+                    pdf[id_col].iloc[best],
                     float(rel[best]),
                     float(mmr_masked[best]),
                     rank,
                 )
             )
             sims = vecs @ vecs[best] / (norms * norms[best])
-            sims = np.nan_to_num(np.round(sims, round_to), nan=-np.inf)
+            # undefined similarity (zero-norm vector) is NEUTRAL (0), not
+            # -inf: -inf would turn into a +inf diversity bonus
+            sims = np.nan_to_num(np.round(sims, round_to), nan=0.0)
             max_sim = np.maximum(max_sim, sims)
         return pd.DataFrame(
             rows, columns=[query_col, id_col, score_col, "mmr", "rank"]

@@ -35,6 +35,12 @@ def _row_violation(rule: dict) -> "F.Column":
     if kind == "not_null":
         return F.col(rule["column"]).isNull()
     if kind == "range":
+        if "min" not in rule and "max" not in rule:
+            # a bound-less range rule would report 0 violations forever —
+            # a gate that validates nothing while appearing green
+            raise ValueError(
+                f"range rule {rule['name']!r} needs 'min' and/or 'max'"
+            )
         c = F.col(rule["column"])
         cond = F.lit(False)
         if "min" in rule:
@@ -86,6 +92,15 @@ def validate_expectations(
     names = [r["name"] for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {sorted(names)}")
+    # rule names are spliced into a selectExpr stack() literal below —
+    # quotes/backticks/newlines would break (or inject into) the
+    # generated SQL, so reject them up front
+    bad_names = [n for n in names if any(ch in n for ch in "'`\"\n\r\\")]
+    if bad_names:
+        raise ValueError(
+            f"rule names may not contain quotes, backticks, or "
+            f"newlines: {bad_names}"
+        )
 
     spark = df.sparkSession
     reports: "list[DataFrame]" = []

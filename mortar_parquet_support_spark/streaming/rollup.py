@@ -719,9 +719,14 @@ def stream_drift_monitor(
 
             psi = 0.0
             for i, p in enumerate(ref_props):
-                q = round(counts.get(i, 0) / n, round_to)
-                p_s = round(p, round_to) if p > 0 else epsilon
-                q_s = q if q > 0 else epsilon
+                # round FIRST, epsilon on the rounded value — exactly the
+                # batch psi_drift order. Checking p > 0 before rounding
+                # let a tiny-but-nonzero proportion round to 0.0 and
+                # math.log(0) crash the query (review r10).
+                p_r = round(p, round_to)
+                q_r = round(counts.get(i, 0) / n, round_to)
+                p_s = p_r if p_r > 0 else epsilon
+                q_s = q_r if q_r > 0 else epsilon
                 psi += (p_s - q_s) * math.log(p_s / q_s)
             psi = round(psi, round_to)
         spark.createDataFrame(

@@ -312,3 +312,28 @@ def test_mmr_rerank_diversifies_and_is_deterministic(spark):
         mmr_rerank(df, k=3, lam=1.5)
     with _pt.raises(ValueError, match="k must"):
         mmr_rerank(df, k=0)
+
+
+def test_mmr_rerank_negative_cosine_and_string_ids(spark):
+    """Regression (r10 self-review): anti-similar candidates must get
+    the full diversity boost (max_sim must not clamp negative cosines
+    to 0), and non-integer id columns must work (schema follows input)."""
+    from mortar_parquet_support_spark.operators.search import mmr_rerank
+
+    # c1 picked first (rel .9). True MMR at lam=.5: c2 = .5*.5-.5*(-1)
+    # = .75 beats c3 = .5*.55-.5*0 = .275 — the zero-clamp bug picked c3.
+    rows = [
+        ("q", "c1", [1.0, 0.0], 0.9),
+        ("q", "c2", [-1.0, 0.0], 0.5),
+        ("q", "c3", [0.0, 1.0], 0.55),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id string, neighbor_id string, embedding array<double>, cosine double",
+    )
+    got = sorted(
+        (r.rank, r.neighbor_id)
+        for r in mmr_rerank(df, k=2, lam=0.5).collect()
+    )
+    assert got == [(1, "c1"), (2, "c2")]
+    assert mmr_rerank(df, k=2, lam=0.5).schema["neighbor_id"].dataType.simpleString() == "string"
