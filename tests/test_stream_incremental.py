@@ -327,3 +327,35 @@ def test_stream_drift_monitor_per_batch_psi(spark, tmp_path):
             stream, value="v", ref_lo=1.0, ref_hi=1.0,
             ref_props=[1.0], out_path=out,
         )
+
+
+def test_stream_drift_monitor_tiny_ref_prop_no_crash(spark, tmp_path):
+    """Regression (r10 self-review): a reference proportion that is
+    nonzero but rounds to 0.0 at 6 dp must take epsilon, not crash
+    math.log(0) inside foreachBatch."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_drift_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, 0.5) for i in range(10)], "doc_id long, v double"
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id long, v double").parquet(
+        src + "/*"
+    )
+    q = (
+        stream_drift_monitor(
+            stream, value="v", ref_lo=0.0, ref_hi=2.0,
+            ref_props=[1.0 - 4e-7, 4e-7],  # bin 1 rounds to 0.0 at 6 dp
+            out_path=out,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].n == 10
+    assert rows[0].psi is not None and rows[0].psi >= 0.0
