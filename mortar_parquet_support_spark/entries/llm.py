@@ -3274,8 +3274,10 @@ def _hard_negatives(spark, sf_dir):
     WITH e AS (
       SELECT doc_id, source,
              ROUND(
-               ln(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
-                  / 4503599627370496.0)
+               ln(greatest(
+                 ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / 4503599627370496.0,
+                 1.0 / 4503599627370496.0))
                / length(text), 9) AS key
       FROM documents WHERE length(text) > 0 AND NOT isnan(length(text))
     )
@@ -3303,9 +3305,10 @@ def _weighted_sample_k(spark, sf_dir):
     out = weighted_sample_k(
         docs, "doc_id", "w", 50, by=["source"], salt="ws:"
     )
-    key = F.round(
-        F.log(hash_unit(F.col("doc_id"), salt="ws:")) / F.col("w"), 9
+    u = F.greatest(
+        hash_unit(F.col("doc_id"), salt="ws:"), F.lit(1.0 / (1 << 52))
     )
+    key = F.round(F.log(u) / F.col("w"), 9)
     return out.select("doc_id", "source", key.alias("key"))
 
 

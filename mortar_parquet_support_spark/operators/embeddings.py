@@ -504,7 +504,11 @@ def embedding_drift(
     not a drift measurement). A zero mean vector (perfectly opposed
     corpus) yields NULL cosine rather than a division blow-up.
     ``n_ref``/``n_cur`` count rows contributing at least one element
-    (NULL vectors excluded; empty arrays contribute nothing).
+    (NULL vectors excluded; empty arrays contribute nothing); a side
+    with NO contributing rows reports NULL — the same answer SQL's
+    ``max`` over an empty set gives, so engines agree on the edge
+    (review r11; 0 would be defensible too, but only one convention can
+    match the oracle and NULL is the one SQL already implements).
 
     Scale shape: one posexplode + (pos) aggregate per side — outputs
     bounded by the embedding dimension; corpora never row-shuffled."""
@@ -528,8 +532,11 @@ def embedding_drift(
     j = mean_vec(ref, "ref").join(mean_vec(cur, "cur"), "pos", "full").select(
         F.coalesce("m_ref", F.lit(0.0)).alias("a"),
         F.coalesce("m_cur", F.lit(0.0)).alias("b"),
-        F.coalesce("c_ref", F.lit(0)).alias("cr"),
-        F.coalesce("c_cur", F.lit(0)).alias("cc"),
+        # deliberately NOT coalesced to 0: max() skips NULLs, so a side
+        # with no contributing rows reports n = NULL exactly like the
+        # oracle's max over an empty CTE (review r11)
+        F.col("c_ref").alias("cr"),
+        F.col("c_cur").alias("cc"),
     )
     agg = j.agg(
         F.sum(F.col("a") * F.col("b")).alias("dot"),

@@ -298,11 +298,15 @@ def weighted_sample_k(
     :func:`sample_exact_k` (exact size, unweighted) each cover half of.
 
     Deterministic and engine-portable: ``u`` is an exact 52-bit double
-    and the key is one ln + one divide, ROUNDED at ``key_round`` (1e-9)
-    before ranking — ln is not correctly-rounded in every libm, and the
-    round absorbs those last-ulp differences the same way qc_flags'
-    spike_round does; ties (rounded-equal keys) break by id. Mirror in
-    SQL: ``ROUND(ln(<hash_unit expr>) / w, 9)`` ranked DESC.
+    clamped to at least 2^-52 (the all-zero-hex hash, p ~= 2^-52, would
+    otherwise hit ln(0) — NULL in Spark, an ERROR in DuckDB: a latent
+    cross-engine divergence, review r11) and the key is one ln + one
+    divide, ROUNDED at ``key_round`` (1e-9) before ranking — ln is not
+    correctly-rounded in every libm, and the round absorbs those
+    last-ulp differences the same way qc_flags' spike_round does; ties
+    (rounded-equal keys) break by id. Mirror in SQL:
+    ``ROUND(ln(greatest(<hash_unit expr>, 1.0 / 4503599627370496.0))
+    / w, 9)`` ranked DESC.
 
     Rows with NULL, NaN, zero, or negative weight carry no mass and are
     excluded — silently admitting them would put corrupt upstream
@@ -313,9 +317,10 @@ def weighted_sample_k(
         raise ValueError(f"k must be >= 1, got {k}")
     by = list(by or [])
     w_val = F.col(weight_col).cast("double")
-    key = F.round(
-        F.log(hash_unit(F.col(id_col), salt=salt)) / w_val, key_round
+    u = F.greatest(
+        hash_unit(F.col(id_col), salt=salt), F.lit(1.0 / (1 << 52))
     )
+    key = F.round(F.log(u) / w_val, key_round)
     eligible = df.filter((w_val > 0) & ~F.isnan(w_val))
     wnd = Window.partitionBy(*by).orderBy(key.desc(), F.col(id_col))
     return (

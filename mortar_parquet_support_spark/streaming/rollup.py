@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Driver-side rounding that matches Spark's ``F.round`` on doubles
+    (BigDecimal.valueOf(double) + HALF_UP — i.e. shortest-repr decimal,
+    half away from zero). Python's built-in ``round()`` is banker's
+    half-EVEN, which silently disagrees on exact halves; any driver
+    arithmetic that claims equality with an in-plan F.round must use
+    this instead (review r11)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def windowed_rollup_stream(
     events, *, ts: str = "ts", key: str = "event_type",
     bucket: str = "15 minutes", watermark: str = "1 hour", value: str = "value",
@@ -722,13 +735,16 @@ def stream_drift_monitor(
                 # round FIRST, epsilon on the rounded value — exactly the
                 # batch psi_drift order. Checking p > 0 before rounding
                 # let a tiny-but-nonzero proportion round to 0.0 and
-                # math.log(0) crash the query (review r10).
-                p_r = round(p, round_to)
-                q_r = round(counts.get(i, 0) / n, round_to)
+                # math.log(0) crash the query (review r10). Rounding is
+                # HALF_UP (not Python round()'s half-even) so a
+                # proportion landing exactly on a half matches the batch
+                # psi_drift's F.round semantics bit-for-bit (review r11).
+                p_r = _round_half_up(p, round_to)
+                q_r = _round_half_up(counts.get(i, 0) / n, round_to)
                 p_s = p_r if p_r > 0 else epsilon
                 q_s = q_r if q_r > 0 else epsilon
                 psi += (p_s - q_s) * math.log(p_s / q_s)
-            psi = round(psi, round_to)
+            psi = _round_half_up(psi, round_to)
         spark.createDataFrame(
             [(int(batch_id), psi, int(n))],
             "batch_id long, psi double, n long",

@@ -315,7 +315,9 @@ def test_weighted_sample_k_matches_python_replay(spark, rows, k):
 
     def key(rid, w):
         h = hashlib.md5(f"p:{rid}".encode()).hexdigest()
-        u = int(h[:13], 16) / float(1 << 52)
+        # max(hash, 1): the u=0 clamp (r11 fix — ln(0) diverges
+        # across engines; the operator uses greatest(u, 2^-52))
+        u = max(int(h[:13], 16), 1) / float(1 << 52)
         return (round(math.log(u) / w, 9), -rid)  # desc key, asc id
 
     eligible = [

@@ -359,3 +359,26 @@ def test_stream_drift_monitor_tiny_ref_prop_no_crash(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0].n == 10
     assert rows[0].psi is not None and rows[0].psi >= 0.0
+
+
+def test_round_half_up_matches_spark_f_round(spark):
+    """Regression (r11 ADVICE): the streaming drift monitor's driver-side
+    rounding must match Spark's F.round (HALF_UP on the shortest decimal
+    repr), not Python round()'s banker's half-even — a proportion landing
+    exactly on a half at the (round_to+1)th decimal would otherwise break
+    the pinned stream==batch PSI equivalence."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.streaming.rollup import _round_half_up
+
+    cases = [0.0000005, 0.0000015, 0.0000025, 0.5, 1.5, 2.5, -0.0000005,
+             0.1234565, 0.1234575, 1.0 / 3.0, 4e-7]
+    df = spark.createDataFrame([(x,) for x in cases], "v double")
+    spark_rounded = [
+        r.r for r in df.select(F.round("v", 6).alias("r")).collect()
+    ]
+    ours = [_round_half_up(x, 6) for x in cases]
+    assert ours == spark_rounded
+    # the specific divergence: banker's rounding disagrees on these
+    assert _round_half_up(0.0000005, 6) == 1e-6  # round() gives 0.0
+    assert _round_half_up(0.0000015, 6) == 2e-6

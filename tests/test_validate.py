@@ -256,3 +256,11 @@ def test_embedding_drift_hand_computed(spark):
     )
     z = embedding_drift(ref, opp).collect()[0]
     assert z.mean_cosine is None and z.cur_norm == 0.0
+    # empty side (r11 ADVICE): n = NULL like SQL max over an empty set,
+    # not 0 — Spark and a DuckDB oracle must agree on the edge
+    empty = spark.createDataFrame(
+        [(8, None)], "vec_id long, embedding array<double>"
+    )
+    e = embedding_drift(ref, empty).collect()[0]
+    assert e.n_cur is None and e.n_ref == 2
+    assert e.mean_cosine is None and e.cur_norm == 0.0
