@@ -3630,27 +3630,154 @@ def _embedding_drift(spark, sf_dir):
     return embedding_drift(ref, cur)
 
 
-@_register("mmr_rerank")
+# np.round(x, 9) replayed exactly in SQL: the kernel computes
+# rint(x * 1e9) / 1e9 in float64 with HALF-EVEN rint — NOT decimal
+# half-up, so a plain ROUND(x, 9) can disagree whenever the scaled
+# product lands on (or within a multiply-ulp of) an exact half. The
+# emulation binds y = x * 1e9 and fy = floor(y) (both the identical
+# IEEE ops numpy performs; y - fy is exact by Sterbenz for |y| >= 0.5,
+# and the sub-5e-10 tail can only matter ON a half boundary) and
+# applies half-even by parity of fy. Used for the MMR kernel's
+# per-step score and pairwise-similarity rounds.
+_NP_RINT9 = (
+    "(CASE WHEN (y - fy) > 0.5 OR ((y - fy) = 0.5 "
+    "AND CAST(fy AS BIGINT) % 2 <> 0) "
+    "THEN fy + 1 ELSE fy END) / 1e9"
+)
+
+
+@_register(
+    "mmr_rerank",
+    f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             e.embedding::DOUBLE[] AS ev,
+             ROUND(
+               list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))), 6
+             ) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, neighbor_id, ev, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rn FROM scored WHERE cosine IS NOT NULL
+      ) WHERE rn <= 15
+    ), sims AS (
+      -- all pairwise candidate similarities, rounded the kernel's way
+      SELECT query_id, cid, pid, {_NP_RINT9} AS s
+      FROM (
+        SELECT query_id, cid, pid, sraw * 1e9 AS y,
+               floor(sraw * 1e9) AS fy
+        FROM (
+          SELECT c.query_id, c.neighbor_id AS cid, p.neighbor_id AS pid,
+                 list_dot_product(c.ev, p.ev) /
+                 (sqrt(list_dot_product(c.ev, c.ev)) *
+                  sqrt(list_dot_product(p.ev, p.ev))) AS sraw
+          FROM cand c JOIN cand p ON p.query_id = c.query_id
+                              AND p.neighbor_id <> c.neighbor_id
+        )
+      )
+    ), walk AS (
+      -- the sequential greedy as a recursive CTE: state = picked ids;
+      -- each step scores every unpicked candidate with the kernel's
+      -- exact arithmetic (0.5*rel - 0.5*max_rounded_sim, np-rounded)
+      -- and takes argmax with smallest-id tie-break (min over
+      -- [-mmr, id] lists)
+      SELECT query_id, CAST(0 AS BIGINT) AS r,
+             CAST([] AS BIGINT[]) AS picked,
+             CAST(NULL AS BIGINT) AS pick_id,
+             CAST(NULL AS DOUBLE) AS pick_mmr
+      FROM (SELECT DISTINCT query_id FROM cand)
+      UNION ALL
+      SELECT query_id, r, list_append(picked, pick_id) AS picked,
+             pick_id, pick_mmr
+      FROM (
+        SELECT query_id, r, picked,
+               CAST(min(mkey)[2] AS BIGINT) AS pick_id,
+               0.0 - min(mkey)[1] AS pick_mmr
+        FROM (
+          SELECT query_id, r, picked, neighbor_id,
+                 [ 0.0 - ({_NP_RINT9}),
+                   CAST(neighbor_id AS DOUBLE) ] AS mkey
+          FROM (
+            SELECT s.query_id, s.r + 1 AS r, s.picked, s.neighbor_id,
+                   (0.5 * s.cosine - 0.5 * coalesce(max(si.s), 0.0))
+                     * 1e9 AS y,
+                   floor((0.5 * s.cosine
+                          - 0.5 * coalesce(max(si.s), 0.0)) * 1e9) AS fy
+            FROM (
+              SELECT w.query_id, w.r, w.picked, c.neighbor_id, c.cosine
+              FROM walk w JOIN cand c ON c.query_id = w.query_id
+                   AND NOT list_contains(w.picked, c.neighbor_id)
+              WHERE w.r < 5
+            ) s
+            LEFT JOIN sims si ON si.query_id = s.query_id
+                 AND si.cid = s.neighbor_id
+                 AND list_contains(s.picked, si.pid)
+            GROUP BY s.query_id, s.r, s.picked, s.neighbor_id, s.cosine
+          )
+        ) GROUP BY query_id, r, picked
+      )
+    )
+    SELECT w.query_id, w.pick_id AS neighbor_id,
+           ROUND(c.cosine, 6) + 0.0 AS cosine,
+           ROUND(w.pick_mmr, 6) + 0.0 AS mmr,
+           CAST(w.r AS INT) AS rank
+    FROM walk w JOIN cand c ON c.query_id = w.query_id
+         AND c.neighbor_id = w.pick_id
+    WHERE w.r >= 1
+    """,
+)
 def _mmr_rerank(spark, sf_dir):
     """MMR diversity re-ranking (operators/search.py mmr_rerank): 15
-    overfetched cosine candidates per query (vec_id < 3) re-ranked to a
-    diverse top-5 at lam=0.5. Rows-only: the greedy argmax is
-    sequential in k (an lttb-style recursive-CTE replay is the known
-    promotion path); the picker's hand-computed diversification,
-    tie-breaks, and repartition-invariance are pytest-pinned
-    (tests/test_training_layout.py)."""
+    cosine candidates per query (vec_id < 3) re-ranked to a diverse
+    top-5 at lam=0.5.
+
+    Promoted from rows-only to a full DuckDB oracle (round-10 ask, the
+    lttb recursive-CTE technique): candidates are selected on the
+    6dp-ROUNDED cosine with id tie-break (overfetch 25 raw, re-rank
+    rounded — the knn_cosine mitigation, wider because the cut is at
+    15), so the kernel's relevance input is bit-identical on both
+    engines; the sequential greedy is a RECURSIVE CTE whose per-step
+    argmax replays the kernel exactly — same three IEEE ops for
+    np.round (scale, HALF-EVEN rint emulated by floor parity, unscale),
+    same 0.5*rel - 0.5*max_sim operand order on bit-identical rounded
+    inputs, same first-max-wins tie-break as min([-mmr, id]). Output
+    mmr/cosine get + 0.0 on both sides so a -0.0 canonical form can't
+    hash-mismatch (Spark's BigDecimal round normalizes zero signs,
+    DuckDB keeps them). Verified identical at sf0.001 / sf0.01 /
+    sf0.1."""
     from mortar_parquet_support_spark.operators.search import mmr_rerank
     from mortar_parquet_support_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    cand = cosine_topk(emb, queries, k=15).join(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"), "embedding"
-        ),
-        "neighbor_id",
+    raw = cosine_topk(emb, queries, k=25)
+    w15 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        raw.select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .withColumn("__rn", F.row_number().over(w15))
+        .filter(F.col("__rn") <= 15)
+        .drop("__rn")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
     )
     return mmr_rerank(cand, k=5, lam=0.5).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
-        F.round("mmr", 6).alias("mmr"), "rank",
+        "query_id", "neighbor_id",
+        (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+        (F.round("mmr", 6) + F.lit(0.0)).alias("mmr"), "rank",
     )
