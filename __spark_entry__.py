@@ -132,16 +132,17 @@ def oracle_sql() -> dict[str, str]:
     (micro-batch boundaries are a streaming-runtime artifact with no SQL
     equivalent; the PSI arithmetic is the oracle-checked psi_drift
     formula and per-batch == batch equivalence is pytest-pinned in
-    test_stream_incremental.py), and mmr_rerank (the MMR greedy argmax
-    is sequential in k — lttb-style recursive-CTE replay is the known
-    promotion path; the picker's diversification, tie-breaks, and
-    repartition-invariance are pytest-pinned in
-    test_training_layout.py). temperature_mixture graduated to a full
+    test_stream_incremental.py), and stream_drift_by (same
+    streaming-runtime reason as stream_drift; per-(batch, key) ==
+    batch psi_drift_by is pytest-pinned in
+    test_stream_incremental.py). temperature_mixture graduated to a full
     oracle in round 10 (weights computed in-plan, rounded 1e-9);
     lttb_downsample graduated to a full
     oracle in round 9: its sequential pick is replayed as a DuckDB
     recursive CTE (see the entry's docstring for the exactness
-    argument). The LSH ops' verify stages ARE
+    argument); mmr_rerank graduated the same way in round 11 (greedy
+    replayed as a recursive CTE with an exact np.round emulation —
+    see its entry docstring). The LSH ops' verify stages ARE
     oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and

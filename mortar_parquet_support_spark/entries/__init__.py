@@ -18,5 +18,10 @@ from ._registry import (  # noqa: F401
 from . import reference_surface  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
-from . import llm  # noqa: E402,F401
+from . import llm_dedup  # noqa: E402,F401
+from . import llm_search  # noqa: E402,F401
+from . import llm_text  # noqa: E402,F401
+from . import llm_sampling  # noqa: E402,F401
+from . import llm_quality  # noqa: E402,F401
+from . import llm_events  # noqa: E402,F401
 from . import rowsonly  # noqa: E402,F401

@@ -1,0 +1,771 @@
+"""Deduplication entries: exact / fingerprint / minhash / simhash /
+semantic / cross-corpus / incremental dedup, span- and line-level
+duplicate removal, the exact similarity join, URL canonicalization,
+and eval-set contamination scoring.
+
+Split out of ``entries/llm.py`` (round 11; llm.py itself was split out
+of ``__spark_entry__.py`` in round 9). Entry bodies are unchanged —
+see ``_registry`` for ``_register`` / ``_t`` / the index builders, and
+``__spark_entry__`` for the driver contract surface (the 50-name
+_WINDOW pin makes this refactor invisible to the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._registry import (
+    _IVF_CACHE,
+    _entry_digest,
+    _register,
+    _t,
+    digest_index_for,
+)
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def _dedup_exact(spark, sf_dir):
+    from mortar_parquet_support_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], id_col="doc_id").select(
+        "digest", F.col("keep_id").cast("long").alias("keep_id"), "n_copies"
+    )
+
+
+@_register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def _dedup_fingerprint(spark, sf_dir):
+    """Normalized-fingerprint dedup (operators/text.py fingerprint)."""
+    from mortar_parquet_support_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+    WITH sample AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6
+           ) AS jaccard
+    FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+)
+def _ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-3-gram Jaccard near-dup pairs on a deterministic
+    sample (all-pairs is the VERIFY stage; candidate generation at scale is
+    minhash_lsh — see dedup_minhash entry)."""
+    from mortar_parquet_support_spark.functions import char_ngrams
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
+    jac = inter / union.cast("double")
+    return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        jac >= 0.5
+    )
+
+
+@_register("dedup_minhash")
+def _dedup_minhash(spark, sf_dir):
+    """MinHash+LSH fuzzy dedup (operators/dedup.py minhash_dedup). Uses
+    xxhash64 signatures (no DuckDB equivalent) -> rows-only check; its
+    verify stage (exact Jaccard) is oracle-checked via ngram_jaccard_pairs."""
+    from mortar_parquet_support_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, id_col="doc_id", text_col="text", threshold=0.5)
+
+
+@_register("dedup_simhash")
+def _dedup_simhash(spark, sf_dir):
+    """SimHash banded near-dup candidates (xxhash64-based -> rows-only)."""
+    from mortar_parquet_support_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs, id_col="doc_id", text_col="text")
+
+
+@_register(
+    "embedding_dedup",
+    """
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6
+             ) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def _embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs in exact mode (n_planes=0 ->
+    all-pairs within the single bucket), oracle-checked against DuckDB
+    brute-force pairwise cosine. The LSH-bucketed scale path (n_planes>0)
+    keeps its recall guarantee tested in tests/test_operators.py; the
+    threshold 0.4 is chosen so the fixture emits rows (max pairwise cosine
+    in the synthetic embeddings is ~0.51 — 0.8 validated nothing)."""
+    from mortar_parquet_support_spark.operators.dedup import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.0, n_planes=0
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.4)
+
+
+@_register(
+    "semantic_dedup",
+    """
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-pruned dedup (operators/dedup.py
+    semantic_dedup; Abbas et al. 2023): k-means cells, pairwise cosine
+    within cells only. Oracle design: exact duplicates are planted (every
+    10th vector copied under vec_id+100000) — identical vectors share one
+    nearest centroid under the deterministic tie-break, so they can NEVER
+    straddle a cell boundary (pinned by
+    test_semantic_dedup_identical_members_never_split), making the pruned
+    result deterministic and SQL-expressible even though real clustering
+    runs (n_clusters=4, 2 Lloyd iters). The fixture's natural max pairwise
+    cosine is ~0.51, far under the 0.999 threshold, so ONLY planted pairs
+    emit. Boundary-recall bounds for non-identical near-dups are
+    pytest-pinned (test_semantic_dedup_cluster_pruned_recall)."""
+    from mortar_parquet_support_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pairs = semantic_dedup(
+        emb.unionByName(dups),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.999,
+        n_clusters=4,
+        iters=2,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@_register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE sample AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents WHERE doc_id % 10 = 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT DISTINCT u, u AS label FROM edges
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT CAST(u AS BIGINT) AS id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY u
+    """,
+)
+def _dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs
+    (operators/dedup.py connected_components): cluster_id = min reachable
+    doc id. Oracle states the same reachability min-label via a recursive
+    CTE."""
+    from mortar_parquet_support_spark.functions import char_ngrams
+    from mortar_parquet_support_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast("double")
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).filter(inter / union >= 0.5).select(
+        "id_a", "id_b"
+    )
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+@_register(
+    "crosscorpus_dedup",
+    """
+    WITH ls AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w)-1),
+               i -> concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT)+1],
+                              w[CAST(i AS INT)+2])))
+          ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id % 2 = 0)
+    ), rs AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w)-1),
+               i -> concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT)+1],
+                              w[CAST(i AS INT)+2])))
+          ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id % 2 = 1)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6
+           ) AS jaccard
+    FROM ls a JOIN rs b ON
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def _crosscorpus_dedup(spark, sf_dir):
+    """Cross-corpus near-dup join (operators/dedup.py crosscorpus_dedup):
+    near-duplicate pairs BETWEEN two corpora — incremental-crawl-vs-
+    training-set dedup where NEITHER side fits a broadcast. The oracle is
+    the exact word-shingle cross Jaccard >= 0.5; the Spark side goes
+    through the full banded-LSH candidate join + exact verify. With
+    bands = num_perm = 64 (one signature per band) a J >= 0.5 pair escapes
+    the candidate join with probability (1-J)^64 <= 6e-20 per pair —
+    deterministic under the fixed seed, and verified exact against the
+    oracle at sf0.01 (12 cross pairs, all J >= 0.9)."""
+    from mortar_parquet_support_spark.operators.dedup import crosscorpus_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = crosscorpus_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        num_perm=64,
+        bands=64,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_register(
+    "duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(range(0, len(a) - 7)) AS i, a
+      FROM toks WHERE len(a) >= 8
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(a[i+1:i+8], ' ') AS s FROM g
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, i FROM sh JOIN dup USING (s)
+    ), lagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + 8 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def _duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (operators/dedup.py
+    duplicate_spans): every 8-token shingle occurring >= 2 times corpus-
+    wide marks its window; overlapping/adjacent windows merge per doc
+    into [start, end) token spans. The oracle groups the raw shingle
+    text where Spark groups its md5 hash — identical sets bar md5
+    collisions, and the span merge is the same gaps-and-islands SQL."""
+    from mortar_parquet_support_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8, min_count=2)
+
+
+@_register(
+    "remove_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(range(0, len(a) - 7)) AS i, a
+      FROM toks WHERE len(a) >= 8
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(a[i+1:i+8], ' ') AS s FROM g
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, i FROM sh JOIN dup USING (s)
+    ), lagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged
+    ), spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + 8 AS e
+      FROM isl GROUP BY doc_id, grp
+    ), tw AS (
+      SELECT doc_id, unnest(range(0, len(a))) AS i,
+             unnest(a) AS w
+      FROM toks
+    ), kept AS (
+      SELECT t.doc_id, t.i, t.w FROM tw t
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id
+                          AND t.i >= s.s AND t.i < s.e)
+    ), agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           coalesce(g.text, '') AS text,
+           CAST(len(t.a) AS BIGINT) AS n_tokens,
+           CAST(len(t.a) - coalesce(g.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN agg g ON t.doc_id = g.doc_id
+    """,
+)
+def _remove_spans(spark, sf_dir):
+    """The removal half of ExactSubstr dedup (operators/dedup.py
+    remove_spans): duplicate_spans' [start, end) intervals broadcast back
+    onto the corpus and every covered token drops in-row; text rebuilds
+    from the casefolded tokenization. The oracle recomputes the same
+    spans in SQL and anti-filters token positions with NOT EXISTS —
+    every document survives, including span-free ones."""
+    from mortar_parquet_support_spark.operators.dedup import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=8, min_count=2)
+    return remove_spans(docs, spans)
+
+
+@_register(
+    "dedup_lines",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), chunked AS (
+      SELECT doc_id,
+             [array_to_string(a[i*5+1:i*5+5], ' ')
+              FOR i IN range(0, CAST(ceil(len(a)/5.0) AS BIGINT))] AS lines
+      FROM toks WHERE len(a) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(range(0, len(lines))) AS pos,
+             unnest(lines) AS line
+      FROM chunked
+    ), cnts AS (
+      SELECT trim(lower(line)) AS nline, count(*) AS c
+      FROM ex WHERE trim(lower(line)) <> '' GROUP BY 1
+    ), dup AS (SELECT nline FROM cnts WHERE c >= 2),
+    marked AS (
+      SELECT e.doc_id, e.pos, e.line,
+             (trim(lower(e.line)) <> '' AND d.nline IS NOT NULL) AS isdup
+      FROM ex e LEFT JOIN dup d ON trim(lower(e.line)) = d.nline
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           coalesce(string_agg(CASE WHEN NOT isdup THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def _dedup_lines(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-level line dedup (operators/dedup.py
+    dedup_lines): a line occurring >= 2 times across the corpus is removed
+    from every document. The fixture has no newlines, so both engines
+    first chunk each document into 5-word lines with the same arithmetic —
+    the multi-line rebuild, empty-result, and n_removed legs all exercise
+    for real. Token-free documents are filtered on BOTH sides before
+    chunking: Spark's sequence(0, -1) yields [0, -1] (auto-negative step)
+    where DuckDB's range(0, 0) yields [], so an empty doc would chunk
+    differently — excluded symmetrically instead."""
+    from mortar_parquet_support_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    a = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    chunked = docs.filter(F.size(a) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(a) / F.lit(5.0)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(a, i * 5 + 1, 5), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup_lines(chunked, min_count=2)
+
+
+@_register(
+    "incremental_dedup",
+    """
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id
+    FROM documents b
+    WHERE b.doc_id % 3 <> 0
+      AND NOT EXISTS (SELECT 1 FROM documents s
+                      WHERE s.doc_id % 3 = 0
+                        AND md5(s.lang || ':' || s.source)
+                            = md5(b.lang || ':' || b.source))
+    """,
+)
+def _incremental_dedup(spark, sf_dir):
+    """Cross-batch exact dedup against the persisted DigestIndex
+    (operators/incremental.py): docs with doc_id % 3 == 0 are the
+    'already ingested' corpus (indexed once per session, see
+    digest_index_for), the rest are the incoming batch; the digest keys
+    the (lang, source) channel so the fixture yields real cross-batch
+    duplicates (_entry_digest). Exactness under the Bloom prefilter is
+    the contract: the oracle is the plain anti-join the index replaces.
+    md5 hex agrees between Spark and DuckDB, so the digests compare
+    engine-portably."""
+    from mortar_parquet_support_spark.operators.incremental import (
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = incremental_dedup(
+        batch, digest_index_for(spark, sf_dir), digest=_entry_digest()
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@_register("incremental_neardedup")
+def _incremental_neardedup(spark, sf_dir):
+    """Persisted fuzzy-dedup probe (operators/incremental.py MinHashIndex):
+    docs with doc_id % 3 == 0 are the indexed history, the rest the
+    incoming batch; survivors are batch docs whose estimated Jaccard
+    (signature agreement) vs every indexed doc stays under 0.5. No SQL
+    oracle (xxhash64 minhash — same reason as dedup_minhash); the
+    signature/banding legs are oracle-checked via ngram_jaccard_pairs and
+    the index mechanics pytest-pinned in tests/test_minhash_index.py."""
+    import tempfile
+
+    from mortar_parquet_support_spark.operators.incremental import MinHashIndex
+
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    key = ("minhash_idx", sf_dir)
+    if key not in per_session:
+        idx = MinHashIndex.create(
+            spark, tempfile.mkdtemp(prefix="mortar_mh_idx_"), num_perm=64,
+            bands=16,
+        )
+        idx.add(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0),
+            id_col="doc_id",
+            text_col="text",
+        )
+        per_session[key] = idx
+    batch = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+    out = per_session[key].dedup(
+        batch, id_col="doc_id", text_col="text", threshold=0.5
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@_register(
+    "contamination_score",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+                    range(1, len(w) - 5 + 2),
+                    i -> array_to_string(list_slice(w, i, i + 4), ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS g
+      FROM words
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 1
+    ),
+    cg AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 1
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_grams,
+             count(CASE WHEN gram IN (SELECT gram FROM eval_grams)
+                        THEN 1 END) AS n_cont
+      FROM cg WHERE gram <> '' GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_cont, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(a.n_cont AS DOUBLE) / a.n_grams, 6) AS contamination
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 1) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def _contamination_score(spark, sf_dir):
+    """Scored decontamination (operators/curation.py contamination_score):
+    per corpus doc, the fraction of its distinct word 5-grams found in the
+    eval slice (doc_id%97==1 stands in for the benchmark) — the graded
+    sibling of the binary decontaminate entry, same broadcast-eval /
+    one-corpus-scan shape. The ratio is exact (integer counts divided
+    once) so ROUND(...,6) agrees across engines; shingle-less docs report
+    NULL contamination on both sides."""
+    from mortar_parquet_support_spark.operators.curation import (
+        contamination_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = contamination_score(
+        docs.filter(F.col("doc_id") % 97 != 1),
+        docs.filter(F.col("doc_id") % 97 == 1),
+        id_col="doc_id",
+        text_col="text",
+        ngram_words=5,
+    )
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+@_register(
+    "canonical_urls",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'https://' || source || '.example.com/Docs/'
+                         || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+             WHEN 1 THEN 'http://' || source || '.example.com/'
+             WHEN 2 THEN 'https://' || source || '.example.com/a/b?UP=1&a=2'
+             WHEN 3 THEN 'http://' || lower(source) || '.example.com/Mixed/'
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'https://' || source || '.example.com/'
+             ELSE NULL
+           END AS canonical_url
+    FROM documents
+    """,
+)
+def _canonical_urls(spark, sf_dir):
+    """Crawl URL canonicalization (operators/curation.py
+    canonicalize_url): six synthesized variants per doc exercise case
+    folding, www/default-port/fragment strip, tracking-param removal,
+    query sort, and the trailing-slash + bare-host rules; the oracle
+    derives the expected canonical string per variant independently
+    (expected-by-construction), so every branch is value-hashed."""
+    from mortar_parquet_support_spark.operators.curation import (
+        canonicalize_url,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?b=2&a=1&utm_source=feed&fbclid=x#sec"),
+        ))
+        .when(v == 1, F.concat(F.lit("http://"), host, F.lit(":80")))
+        .when(v == 2, F.concat(
+            F.lit("https://www."), host, F.lit("/a/b/?a=2&UP=1&UTM_CAMPAIGN=c#f"),
+        ))
+        .when(v == 3, F.concat(
+            F.lit("HTTP://"), F.upper(host), F.lit("/Mixed/"),
+            F.col("doc_id").cast("string"),
+        ))
+        .when(v == 4, F.concat(F.lit("https://"), host, F.lit("/?gclid=z")))
+        .otherwise(F.concat(F.lit("no-scheme-"), F.col("doc_id").cast("string")))
+    )
+    return docs.select(
+        "doc_id", canonicalize_url(raw).alias("canonical_url")
+    )
+
+
+@_register(
+    "similarity_join",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sets AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 3 + 2),
+                    i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                  ELSE [array_to_string(list_filter(w, x -> x <> ''), ' ')]
+             END AS g
+      FROM words
+    )
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+                  THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                  ELSE 1.0 END AS jac
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    ) WHERE jac >= 0.4
+    """,
+)
+def _similarity_join(spark, sf_dir):
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (operators/dedup.py similarity_join; Bayardo et al. WWW'07): every
+    doc pair with word-3-shingle Jaccard >= 0.4, zero recall loss, no
+    all-pairs comparison — candidates come from an equi-join on
+    frequency-ordered shingle PREFIXES + a length band, then the exact
+    verify. The oracle IS the brute-force cross join, so the filter's
+    losslessness is value-hashed every round (also pytest-pinned vs an
+    in-Spark brute force).
+
+    Fixture caveat: the synthetic corpus draws from a ~31-word
+    vocabulary, which is the prefix filter's ADVERSARIAL case — at
+    t=0.4 prefixes are ~60% of each set and almost every token is hot,
+    so candidates approach all-pairs (~21 s at sf0.1; the hard gate runs
+    at sf0.01). Real corpora have heavy-tailed vocabularies, which is
+    exactly what frequency-ascending prefixes exploit; for high-overlap
+    thresholds (t >= 0.8, the dedup regime) prefixes shrink to ~20%."""
+    from mortar_parquet_support_spark.operators.dedup import similarity_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = similarity_join(
+        docs, id_col="doc_id", text_col="text", threshold=0.4
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_register(
+    "url_dedup",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://' || source || '.example.com/Docs/'
+                           || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+               WHEN 1 THEN 'http://' || source || '.example.com/'
+               WHEN 2 THEN 'https://' || source || '.example.com/a/b?UP=1&a=2'
+               WHEN 3 THEN 'http://' || lower(source) || '.example.com/Mixed/'
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 4 THEN 'https://' || source || '.example.com/'
+               ELSE NULL
+             END AS canonical_url
+      FROM documents
+    )
+    SELECT doc_id, canonical_url FROM (
+      SELECT doc_id, canonical_url,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+      FROM canon WHERE canonical_url IS NOT NULL
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, canonical_url FROM canon WHERE canonical_url IS NULL
+    """,
+)
+def _url_dedup(spark, sf_dir):
+    """URL-keyed crawl dedup (operators/curation.py dedup_by_url) over
+    the same six synthesized variants as canonical_urls. Duplicates are
+    real: within each variant, every doc of a SOURCE canonicalizes to the
+    same key (e.g. all doc_id%6==1 rows of src7 collapse to
+    http://src7.example.com/), so the keep rule genuinely fires. Keep =
+    lowest doc_id per canonical key; keyless rows (variant 5 — no
+    scheme) pass through untouched. The oracle replays the keep rule on
+    expected-by-construction canonical strings."""
+    from mortar_parquet_support_spark.operators.curation import dedup_by_url
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?b=2&a=1&utm_source=feed&fbclid=x#sec"),
+        ))
+        .when(v == 1, F.concat(F.lit("http://"), host, F.lit(":80")))
+        .when(v == 2, F.concat(
+            F.lit("https://www."), host, F.lit("/a/b/?a=2&UP=1&UTM_CAMPAIGN=c#f"),
+        ))
+        .when(v == 3, F.concat(
+            F.lit("HTTP://"), F.upper(host), F.lit("/Mixed/"),
+            F.col("doc_id").cast("string"),
+        ))
+        .when(v == 4, F.concat(F.lit("https://"), host, F.lit("/?gclid=z")))
+        .otherwise(F.concat(F.lit("no-scheme-"), F.col("doc_id").cast("string")))
+    )
+    out = dedup_by_url(
+        docs.select("doc_id", raw.alias("url")),
+        url_col="url",
+        order_by=[F.col("doc_id")],
+    )
+    return out.select("doc_id", "canonical_url")
