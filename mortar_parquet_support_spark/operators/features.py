@@ -158,8 +158,9 @@ def quantile_buckets(
     GLOBAL NTILE, which (like any exact global ranking) funnels every
     row through ONE window partition — fine for model-sized frames,
     a wall for corpus-sized ones: stratify within a natural partition
-    key (source, date, shard) instead, or accept approximate strata via
-    ``winsorize``-style percentile boundaries + a range comparison when
+    key (source, date, shard) instead, or use
+    :func:`percentile_buckets` — the shipped zero-shuffle approximate
+    strata (exact percentile boundaries + in-row comparison) for when
     an exact equal-count split is not actually required."""
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
@@ -178,3 +179,76 @@ def quantile_buckets(
         bucket_col, F.lit(None).cast("int")
     )
     return nn.unionByName(nulls)
+
+
+def percentile_buckets(
+    df: DataFrame,
+    *,
+    value: str,
+    keys: Sequence[str] = (),
+    buckets: int = 10,
+    bucket_col: str = "bucket",
+    round_to: "int | None" = None,
+) -> DataFrame:
+    """Approximate quantile stratification at any scale — the
+    first-class answer to :func:`quantile_buckets`' empty-``keys`` wall
+    (an exact global NTILE funnels every row through ONE window
+    partition; this never shuffles the row side at all): compute the
+    ``buckets - 1`` exact interpolated percentile BOUNDARIES of
+    ``value`` (one small aggregate — output is bounds-sized, not
+    row-sized), broadcast them back, and assign each row
+    ``1 + #{boundaries < value}`` in-row.
+
+    The approximation is in the COUNTS, not the ordering: buckets are
+    still monotone in ``value`` and boundaries are the exact i/buckets
+    percentiles, but equal values always share a bucket (NTILE splits
+    ties by the tie column to force equal counts) and interpolation
+    places boundaries BETWEEN order statistics, so bucket populations
+    are near-equal rather than exactly-equal — which is what
+    stratified sampling actually needs ("top decile", "middle 80%"),
+    and no tie column is required. Values exactly ON a boundary go to
+    the LOWER bucket (``>`` comparison, deterministic on both engines);
+    NULL values get a NULL bucket (same contract as quantile_buckets).
+    ``round_to`` optionally rounds the boundaries first, for callers
+    that want boundary comparisons robust to last-ulp interpolation
+    differences across engines (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit on the fixtures — the winsorize
+    oracle pins that — so the default leaves values untouched).
+
+    Scale shape: one grouped exact-percentile aggregate (the winsorize
+    plan — groups << rows, single-pass typed aggregate), one broadcast
+    join, zero row-side shuffles, zero windows. At 100 TB this is the
+    difference between a map-side stamp and a corpus-wide sort."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"percentile_buckets writes column {bucket_col!r}; rename first"
+        )
+    keys = list(keys)
+    v = F.col(value)
+    fracs = [i / buckets for i in range(1, buckets)]
+    aggs = [
+        F.percentile(v, F.lit(f)).alias(f"__pb_q{i}")
+        for i, f in enumerate(fracs)
+    ]
+    if round_to is not None:
+        aggs = [
+            F.round(F.percentile(v, F.lit(f)), round_to).alias(f"__pb_q{i}")
+            for i, f in enumerate(fracs)
+        ]
+    # buckets == 1 still needs one aggregate row to join against
+    bounds = df.groupBy(*keys).agg(
+        *(aggs or [F.count(F.lit(1)).alias("__pb_q_none")])
+    )
+    joined = (
+        df.join(maybe_broadcast(bounds), keys) if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    bucket = F.lit(1)
+    for i in range(len(fracs)):
+        bucket = bucket + (v > F.col(f"__pb_q{i}")).cast("int")
+    out = joined.withColumn(
+        bucket_col, F.when(v.isNotNull(), bucket).cast("int")
+    )
+    return out.drop(*[c for c in out.columns if c.startswith("__pb_q")])

@@ -800,3 +800,163 @@ def stream_drift_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).select("batch_id", "psi", "n")
+
+
+def stream_drift_monitor_by(
+    stream_df,
+    *,
+    key: str,
+    value: str,
+    ref_grids: "dict",
+    out_path: str,
+    epsilon: float = 1e-4,
+    round_to: int = 6,
+):
+    """Per-KEY streaming drift — the grouped sibling of
+    :func:`stream_drift_monitor`, completing the monitoring family the
+    way :func:`~mortar_parquet_support_spark.operators.profile.
+    psi_drift_by` completes ``psi_drift`` on the batch side: every
+    micro-batch, each ``key`` group present in the batch is binned on
+    ITS OWN frozen reference grid and its PSI appended to ``out_path``
+    as (``batch_id``, key, ``psi``, ``n``).
+
+    ``ref_grids`` maps each reference group's key value to
+    ``(lo, hi, props)`` — compute once from the reference snapshot
+    (e.g. ``psi_drift_by``'s bounds + proportions, or histogram) and
+    pass FROZEN, for the same reason the global monitor takes a frozen
+    grid: slow drift must never re-baseline itself invisible. Groups
+    the reference never saw have no baseline to drift FROM and are
+    ignored (``categorical_drift`` on the key column is the arrival
+    detector — the batch-side contract). Groups in the grids but ABSENT
+    from a batch emit nothing for that batch: a feed that sent zero
+    rows has no distribution to compare (the per-key analogue of the
+    global monitor's NULL-for-empty rule; readers distinguish "no
+    drift" from "no data" by the gap in batch_ids).
+
+    Arithmetic per present group is exactly the batch operator's: edge
+    bins clamp out-of-range values, proportions and the statistic round
+    HALF_UP (``_round_half_up`` — matching Spark/DuckDB F.round
+    semantics, review r11) at ``round_to``, zero-proportion bins take
+    ``epsilon`` before the log. Append-only at-least-once output like
+    the global monitor — readers take the LAST row per (batch_id, key).
+
+    Scale shape: the batch side is ONE broadcast join against the
+    model-sized grids frame + one (key, bin) count aggregate; the
+    driver collect is groups x bins bounded by construction. Returns
+    the ``DataStreamWriter`` (caller starts it with a checkpoint)."""
+    import math
+
+    grids: "dict" = {}
+    for k, (lo, hi, props) in ref_grids.items():
+        if len(props) < 1:
+            raise ValueError(f"ref_grids[{k!r}] has no bins")
+        if not hi > lo and len(props) > 1:
+            raise ValueError(
+                f"ref_grids[{k!r}]: need hi > lo for multi-bin grids"
+            )
+        grids[k] = (float(lo), float(hi), [float(p) for p in props])
+    if not grids:
+        raise ValueError("ref_grids must name at least one group")
+    grid_rows = [(k, lo, hi, len(props)) for k, (lo, hi, props) in grids.items()]
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        key_type = batch_df.schema[key].dataType.simpleString()
+        gdf = spark.createDataFrame(
+            grid_rows, f"`{key}` {key_type}, __lo double, __hi double, __nb int"
+        )
+        v = F.col(value).cast("double")
+        width = (F.col("__hi") - F.col("__lo")) / F.col("__nb").cast("double")
+        raw = F.floor((v - F.col("__lo")) / width).cast("int")
+        b = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+            F.greatest(F.least(raw, F.col("__nb") - 1), F.lit(0))
+        )
+        counts: "dict" = {}
+        for r in (
+            batch_df.filter(v.isNotNull() & F.col(key).isNotNull())
+            .join(F.broadcast(gdf), key)
+            .groupBy(F.col(key).alias("__k"), b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # groups x bins bounded by construction
+        ):
+            counts.setdefault(r["__k"], {})[r["bin"]] = r["n"]
+        rows = []
+        for k, bins_seen in counts.items():
+            props = grids[k][2]
+            n = sum(bins_seen.values())
+            psi = 0.0
+            for i, p in enumerate(props):
+                p_r = _round_half_up(p, round_to)
+                q_r = _round_half_up(bins_seen.get(i, 0) / n, round_to)
+                p_s = p_r if p_r > 0 else epsilon
+                q_s = q_r if q_r > 0 else epsilon
+                psi += (p_s - q_s) * math.log(p_s / q_s)
+            rows.append((int(batch_id), k, _round_half_up(psi, round_to), n))
+        if rows:
+            spark.createDataFrame(
+                rows,
+                f"batch_id long, `{key}` {key_type}, psi double, n long",
+            ).coalesce(1).write.mode("append").parquet(out_path)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def stream_drift_by_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the per-key streaming drift monitor over the events stream
+    (availableNow) against per-event_type frozen grids computed from the
+    first half of the table (event_id below the median — the same
+    'yesterday's snapshot' recipe as stream_drift_once), and return the
+    per-(batch, event_type) PSI rows."""
+    import tempfile
+
+    from mortar_parquet_support_spark.tables import read_events_raw
+
+    ev = read_events_raw(spark, sf_dir)
+    mid = ev.agg(F.percentile_approx("event_id", 0.5, 10000)).first()[0]
+    v = F.col("value").cast("double")
+    ref = ev.filter(
+        (F.col("event_id") <= mid) & v.isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    bins = 10
+    bounds = {
+        r["event_type"]: (float(r["lo"]), float(r["hi"]))
+        for r in ref.groupBy("event_type")
+        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+        .collect()
+    }
+    grids = {}
+    for k, (lo, hi) in bounds.items():
+        width = (hi - lo) / bins
+        raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        bcol = F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
+        counts = {
+            r["bin"]: r["n"]
+            for r in ref.filter(F.col("event_type") == k)
+            .groupBy(bcol.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        t = sum(counts.values())
+        grids[k] = (lo, hi, [counts.get(i, 0) / t for i in range(bins)])
+
+    out_dir = tempfile.mkdtemp(prefix="mortar_driftby_out_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="mortar_driftby_ckpt_")
+    q = (
+        stream_drift_monitor_by(
+            _events_stream(spark, sf_dir).filter(
+                F.col("event_type").isNotNull()
+            ),
+            key="event_type",
+            value="value",
+            ref_grids=grids,
+            out_path=out_dir,
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "batch_id", "event_type", "psi", "n"
+    )

@@ -382,3 +382,90 @@ def test_round_half_up_matches_spark_f_round(spark):
     # the specific divergence: banker's rounding disagrees on these
     assert _round_half_up(0.0000005, 6) == 1e-6  # round() gives 0.0
     assert _round_half_up(0.0000015, 6) == 2e-6
+
+
+def test_stream_drift_monitor_by_matches_batch_psi_drift_by(spark, tmp_path):
+    """stream_drift_monitor_by == psi_drift_by per micro-batch for every
+    group PRESENT in the batch (absent groups emit nothing — the per-key
+    analogue of the global monitor's NULL-for-empty rule), on each
+    group's own frozen grid."""
+    from mortar_parquet_support_spark.operators.profile import psi_drift_by
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_drift_monitor_by,
+    )
+
+    # reference: group a uniform over [0, 2); group b uniform over [10, 14)
+    ref_rows = (
+        [("a", 0.5)] * 25 + [("a", 1.5)] * 25
+        + [("b", 10.5)] * 10 + [("b", 13.5)] * 30
+    )
+    ref = spark.createDataFrame(ref_rows, "g string, v double")
+    # frozen grids from the reference (2 bins each), raw proportions
+    grids = {"a": (0.5, 1.5, [0.5, 0.5]), "b": (10.5, 13.5, [0.25, 0.75])}
+    # batch f1: both groups, a mirrors, b shifted low; f2: only group a
+    f1 = [("a", 0.6, 1)] * 10 + [("a", 1.4, 1)] * 10 + [("b", 10.6, 1)] * 8
+    f2 = [("a", 0.1, 2)] * 12
+    src = str(tmp_path / "src")
+    spark.createDataFrame(f1, "g string, v double, f long").coalesce(1)\
+        .write.parquet(os.path.join(src, "f1"))
+    spark.createDataFrame(f2, "g string, v double, f long").coalesce(1)\
+        .write.parquet(os.path.join(src, "f2"))
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("g string, v double, f long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_drift_monitor_by(
+            stream, key="g", value="v", ref_grids=grids, out_path=out,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.batch_id, r.g): (r.psi, r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    # one batch saw both groups, the other only 'a' — 3 rows total
+    assert len(got) == 3
+    # batch == psi_drift_by on the same (ref, batch-as-cur) for present
+    # groups, using a reference frame whose per-group bounds equal the
+    # frozen grids
+    by_file = {
+        1: spark.createDataFrame(
+            [(g, v) for g, v, _ in f1], "g string, v double"
+        ),
+        2: spark.createDataFrame(
+            [(g, v) for g, v, _ in f2], "g string, v double"
+        ),
+    }
+    # map file -> batch_id via row counts (batch order is not guaranteed)
+    n_by_batch = {}
+    for (bid, g), (_psi, n) in got.items():
+        n_by_batch[bid] = n_by_batch.get(bid, 0) + n
+    file_of_batch = {
+        bid: (1 if total == 28 else 2) for bid, total in n_by_batch.items()
+    }
+    assert sorted(file_of_batch.values()) == [1, 2]
+    for bid, fno in file_of_batch.items():
+        batch_psi = {
+            r.g: (r.psi, r.n_cur)
+            for r in psi_drift_by(
+                ref, by_file[fno], value="v", keys=["g"], bins=2
+            ).collect()
+        }
+        for g in ("a", "b"):
+            if (bid, g) in got:
+                assert got[(bid, g)] == batch_psi[g], (bid, g)
+    # absent group emits nothing: the f2 batch has no 'b' row
+    f2_bid = [b for b, f in file_of_batch.items() if f == 2][0]
+    assert (f2_bid, "b") not in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one group"):
+        stream_drift_monitor_by(
+            stream, key="g", value="v", ref_grids={}, out_path=out
+        )

@@ -95,6 +95,81 @@ def test_quantile_buckets_ntile_semantics(spark):
         quantile_buckets(df, value="v", tie_col="id", buckets=0)
 
 
+def test_percentile_buckets_vs_exact_ntile(spark):
+    """percentile_buckets (the zero-shuffle global stratification path):
+    buckets monotone in value, populations near NTILE's on tie-free
+    data, ties share a bucket, boundary values go LOWER, NULLs get NULL
+    buckets, and the plan carries no window and no row-side Exchange."""
+    from mortar_parquet_support_spark.operators.features import (
+        percentile_buckets,
+        quantile_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(999, None)],
+        "id long, v double",
+    )
+    out = {
+        r.id: r.bucket
+        for r in percentile_buckets(df, value="v", buckets=4).collect()
+    }
+    assert out[999] is None
+    # tie-free uniform data: the approximate split equals exact NTILE
+    exact = {
+        r.id: r.bucket
+        for r in quantile_buckets(
+            df, value="v", tie_col="id", buckets=4
+        ).collect()
+    }
+    assert {i: out[i] for i in range(100)} == {
+        i: exact[i] for i in range(100)
+    }
+    # monotone: sorted by value, buckets never decrease
+    seq = [out[i] for i in range(100)]
+    assert seq == sorted(seq) and set(seq) == {1, 2, 3, 4}
+    # heavy ties: equal values always share a bucket (the documented
+    # divergence from NTILE's forced equal counts)
+    ties = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(50)], "id long, v double"
+    )
+    tout = percentile_buckets(ties, value="v", buckets=4)
+    per_value = {
+        r.v: r.n
+        for r in tout.groupBy("v").agg(
+            F.countDistinct("bucket").alias("n")
+        ).collect()
+    }
+    assert per_value == {0.0: 1, 1.0: 1}
+    # keys variant: per-group boundaries, groups isolated
+    g = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(8)]
+        + [("b", 100 + i, float(1000 + i)) for i in range(8)],
+        "g string, id long, v double",
+    )
+    gout = {
+        r.id: r.bucket
+        for r in percentile_buckets(
+            g, value="v", keys=["g"], buckets=2
+        ).collect()
+    }
+    assert [gout[i] for i in range(8)] == [1, 1, 1, 1, 2, 2, 2, 2]
+    assert [gout[100 + i] for i in range(8)] == [1, 1, 1, 1, 2, 2, 2, 2]
+    # plan shape: no Window, and the only exchange feeds the tiny
+    # bounds aggregate / broadcast — never a row-side repartition
+    plan = percentile_buckets(
+        df, value="v", buckets=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="buckets"):
+        percentile_buckets(df, value="v", buckets=0)
+    with _pt.raises(ValueError, match="rename first"):
+        percentile_buckets(
+            df.withColumn("bucket", F.lit(1)), value="v", buckets=2
+        )
+
+
 def test_length_bucket_batches_layout(spark):
     from mortar_parquet_support_spark.operators.curation import (
         length_bucket_batches,
