@@ -382,7 +382,20 @@ def minhash_dedup(
     pairs >= threshold. The returned pair list feeds connected-components /
     keep-min-id policies downstream. ``shingle_words`` reaches BOTH stages
     (candidate generation and the exact verify) so the two can never drift
-    — the same passthrough crosscorpus_dedup exposes."""
+    — the same passthrough crosscorpus_dedup exposes.
+
+    Cost profile (tools/profile_minhash.py -> PROFILE_MINHASH.json, r11):
+    SIGNATURES dominate — 55% of wall at sf0.1 (1.34s of 2.45s) and 41%
+    at sf10 (3.38s of 8.2s under 7.5% steal; the same pipeline measured
+    5.8s in BENCH_SCALING's quieter spot run) — and ``num_perm`` is the
+    knob: the sweep shows full-pipeline wall tracking it superlinearly
+    (32: 1.7s / 64: 2.2s / 128: 3.9s at sf0.1), because every signature
+    column is one more pmod(a*h+b) over EVERY shingle hash plus one more
+    min-agg buffer slot. Banding is noise (<1s even at sf10), candidates
+    and verify split the rest roughly evenly at default threshold. So:
+    tune num_perm DOWN (with bands to match) before anything else when
+    throughput matters more than recall granularity; the verify stage is
+    exact and already pair-bounded, there is nothing to win there."""
     # Materialize the candidate pairs: jaccard_pairs references them three
     # times (both legs of the id union + the scoring join); without the cut,
     # each reference re-executes the whole LSH candidate generation. The
