@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # sub-second timings proved round-to-round noisy (±70%) on unchanged
 # plans; multi-second ones stay single-run (see the loop comment).
 MEDIAN3_BELOW_SEC = 1.0
+# ...plus named exceptions: multi-second entries whose round-to-round
+# drift proved NOT proportionally small — dedup_minhash swung 2.24s ->
+# 3.05s (+36%) on an unchanged plan in r11 (its eager materialize
+# barriers make it GC/page-cache sensitive), tpch_q3 1.07s -> 0.68s.
+# The r9 median-of-3 rationale applies to them verbatim; knn_ivf_build
+# stays single-run by design (a one-time build, memoized per session).
+MEDIAN3_ALWAYS = {"dedup_minhash", "tpch_q3"}
 
 HEADLINE = [
     "flagship_scan",
@@ -198,7 +205,7 @@ def main() -> int:
             return time.perf_counter() - t0
 
         first = _time_once()
-        if first < MEDIAN3_BELOW_SEC:
+        if first < MEDIAN3_BELOW_SEC or name in MEDIAN3_ALWAYS:
             # Sub-second queries are where single-run noise (a stray GC, a
             # page-cache miss, one slow task) swamps the signal — observed
             # range_join 0.34s vs 0.58s round to round on an UNCHANGED

@@ -228,18 +228,22 @@ def percentile_buckets(
     keys = list(keys)
     v = F.col(value)
     fracs = [i / buckets for i in range(1, buckets)]
-    aggs = [
-        F.percentile(v, F.lit(f)).alias(f"__pb_q{i}")
-        for i, f in enumerate(fracs)
-    ]
-    if round_to is not None:
-        aggs = [
-            F.round(F.percentile(v, F.lit(f)), round_to).alias(f"__pb_q{i}")
-            for i, f in enumerate(fracs)
-        ]
+
+    def q(f):
+        p = F.percentile(v, F.lit(f))
+        return p if round_to is None else F.round(p, round_to)
+
+    gen_cols = [f"__pb_q{i}" for i in range(len(fracs))] or ["__pb_q_none"]
+    clobbered = set(gen_cols) & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"percentile_buckets uses scratch columns {sorted(clobbered)}; "
+            "rename first"
+        )
+    aggs = [q(f).alias(c) for c, f in zip(gen_cols, fracs)]
     # buckets == 1 still needs one aggregate row to join against
     bounds = df.groupBy(*keys).agg(
-        *(aggs or [F.count(F.lit(1)).alias("__pb_q_none")])
+        *(aggs or [F.count(F.lit(1)).alias(gen_cols[0])])
     )
     joined = (
         df.join(maybe_broadcast(bounds), keys) if keys
@@ -251,4 +255,4 @@ def percentile_buckets(
     out = joined.withColumn(
         bucket_col, F.when(v.isNotNull(), bucket).cast("int")
     )
-    return out.drop(*[c for c in out.columns if c.startswith("__pb_q")])
+    return out.drop(*gen_cols)

@@ -827,7 +827,10 @@ def stream_drift_monitor_by(
     grid: slow drift must never re-baseline itself invisible. Groups
     the reference never saw have no baseline to drift FROM and are
     ignored (``categorical_drift`` on the key column is the arrival
-    detector — the batch-side contract). Groups in the grids but ABSENT
+    detector — the batch-side contract). NULL-keyed rows are excluded
+    the same way (an equi-join against the grids frame could never
+    match them; the explicit filter makes that loud rather than
+    incidental). Groups in the grids but ABSENT
     from a batch emit nothing for that batch: a feed that sent zero
     rows has no distribution to compare (the per-key analogue of the
     global monitor's NULL-for-empty rule; readers distinguish "no
