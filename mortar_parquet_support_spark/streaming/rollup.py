@@ -922,26 +922,35 @@ def stream_drift_by_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("event_type").isNotNull()
     )
     bins = 10
-    bounds = {
-        r["event_type"]: (float(r["lo"]), float(r["hi"]))
-        for r in ref.groupBy("event_type")
-        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
-        .collect()
-    }
+    # grids for ALL groups in TWO jobs (bounds, then per-(group, bin)
+    # counts with the bounds broadcast back) — never a driver loop of
+    # one job per group, the anti-pattern psi_drift_by exists to avoid
+    # (this entry glue should model the same discipline; review r11)
+    bounds = ref.groupBy("event_type").agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    raw = F.floor((v - F.col("__lo")) / width).cast("int")
+    bcol = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+        F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
+    )
+    counts: "dict" = {}
+    lohi: "dict" = {}
+    for r in (
+        ref.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", bcol.alias("bin"), "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # groups x bins bounded
+    ):
+        counts.setdefault(r["event_type"], {})[r["bin"]] = r["n"]
+        lohi[r["event_type"]] = (float(r["__lo"]), float(r["__hi"]))
     grids = {}
-    for k, (lo, hi) in bounds.items():
-        width = (hi - lo) / bins
-        raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
-        bcol = F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
-        counts = {
-            r["bin"]: r["n"]
-            for r in ref.filter(F.col("event_type") == k)
-            .groupBy(bcol.alias("bin"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        t = sum(counts.values())
-        grids[k] = (lo, hi, [counts.get(i, 0) / t for i in range(bins)])
+    for k, per_bin in counts.items():
+        t = sum(per_bin.values())
+        grids[k] = (
+            *lohi[k],
+            [per_bin.get(i, 0) / t for i in range(bins)],
+        )
 
     out_dir = tempfile.mkdtemp(prefix="mortar_driftby_out_") + "/out"
     ckpt = tempfile.mkdtemp(prefix="mortar_driftby_ckpt_")
