@@ -708,6 +708,10 @@ def stream_drift_monitor(
     bins = len(ref_props)
     if bins < 1:
         raise ValueError("ref_props must have at least one bin")
+    if any(p < 0 or p != p for p in ref_props):
+        # a negative/NaN proportion is a caller bug; the epsilon branch
+        # would otherwise absorb it silently into a corrupt PSI
+        raise ValueError("ref_props must be non-negative")
     if not ref_hi > ref_lo:
         raise ValueError("need ref_hi > ref_lo")
     width = (ref_hi - ref_lo) / bins
@@ -853,6 +857,10 @@ def stream_drift_monitor_by(
     for k, (lo, hi, props) in ref_grids.items():
         if len(props) < 1:
             raise ValueError(f"ref_grids[{k!r}] has no bins")
+        if any(p < 0 or p != p for p in props):
+            # same loud-reject as the global monitor: the epsilon branch
+            # would silently absorb a negative/NaN proportion
+            raise ValueError(f"ref_grids[{k!r}]: props must be non-negative")
         if not hi > lo and len(props) > 1:
             raise ValueError(
                 f"ref_grids[{k!r}]: need hi > lo for multi-bin grids"
