@@ -135,7 +135,10 @@ def oracle_sql() -> dict[str, str]:
     test_stream_incremental.py), and stream_drift_by (same
     streaming-runtime reason as stream_drift; per-(batch, key) ==
     batch psi_drift_by is pytest-pinned in
-    test_stream_incremental.py). temperature_mixture graduated to a full
+    test_stream_incremental.py), and stream_validate (same
+    streaming-runtime reason; per-batch == batch validate_expectations
+    is pytest-pinned in test_stream_incremental.py, and the batch
+    operator itself is fully oracle-checked). temperature_mixture graduated to a full
     oracle in round 10 (weights computed in-plan, rounded 1e-9);
     lttb_downsample graduated to a full
     oracle in round 9: its sequential pick is replayed as a DuckDB

@@ -765,6 +765,23 @@ def _stream_drift_by(spark, sf_dir):
     return stream_drift_by_once(spark, sf_dir)
 
 
+@_register("stream_validate")
+def _stream_validate(spark, sf_dir):
+    """Per-micro-batch expectations gate (streaming/rollup.py
+    stream_validate_gate — r11, the streaming leg of
+    validate_expectations): three representative rules (not_null /
+    range / in_set, bounds chosen so the fixture yields NONZERO
+    violations) run per batch over the events stream, report appended
+    as (batch_id, rule, n_violations). Rows-only for the usual
+    streaming reason; per-batch == batch validate_expectations is
+    pytest-pinned (tests/test_stream_incremental.py)."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_validate_once,
+    )
+
+    return stream_validate_once(spark, sf_dir)
+
+
 @_register(
     "psi_drift_by",
     """

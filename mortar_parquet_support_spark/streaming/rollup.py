@@ -980,3 +980,87 @@ def stream_drift_by_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "batch_id", "event_type", "psi", "n"
     )
+
+
+def stream_validate_gate(
+    stream_df,
+    *,
+    rules: "list[dict]",
+    out_path: str,
+):
+    """Per-micro-batch expectations gate — the streaming leg of
+    :func:`~mortar_parquet_support_spark.operators.validate.
+    validate_expectations`, completing the quality family the way
+    stream_drift_monitor completes psi_drift: every batch runs the SAME
+    declared rules (same one-scan row-level fold, same bounded
+    unique / foreign-key jobs) and appends its violations report to
+    ``out_path`` as (``batch_id``, ``rule``, ``n_violations``) — the
+    live "is the feed clean?" signal an intake pipeline tails to decide
+    promote / quarantine per batch. Rules are validated ONCE up front
+    (empty list, duplicate or injectable names fail at wiring time, not
+    in batch 37); ``foreign_key`` rules may reference a static
+    DataFrame — each batch probes it with the usual bounded anti-join.
+
+    An EMPTY batch still appends its report (all rules, 0 violations):
+    an empty drop is trivially clean, and the row distinguishes
+    "checked, clean" from "monitor wasn't running". Enforcement policy
+    stays with the caller (tail the report; the operator never drops
+    rows) — gating and routing are deployment decisions, not operator
+    semantics. Append-only at-least-once output like the drift
+    monitors — readers take the LAST rows per batch_id.
+
+    Scale shape: identical to the batch operator per micro-batch; the
+    report is rules-count rows, always driver-safe. Returns the
+    ``DataStreamWriter`` (caller starts it with a checkpoint)."""
+    from mortar_parquet_support_spark.operators.validate import (
+        validate_expectations,
+    )
+
+    if not rules:
+        raise ValueError("stream_validate_gate needs at least one rule")
+    names = [r["name"] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+
+    def _process(batch_df, batch_id):
+        report = validate_expectations(batch_df, rules)
+        out = report.select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.col("rule"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+        )
+        out.coalesce(1).write.mode("append").parquet(out_path)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def stream_validate_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming expectations gate over the events stream
+    (availableNow) with three representative rules and return the
+    per-(batch, rule) violation counts."""
+    import tempfile
+
+    rules = [
+        {"name": "event_id_not_null", "type": "not_null",
+         "column": "event_id"},
+        # bounds chosen so the fixture yields NONZERO violations — a
+        # gate whose witnessed output is all zeros proves nothing
+        {"name": "value_range", "type": "range", "column": "value",
+         "min": 0.0, "max": 50.0},
+        {"name": "type_known", "type": "in_set", "column": "event_type",
+         "values": ["click", "view", "purchase", "scroll", "hover"]},
+    ]
+    out_dir = tempfile.mkdtemp(prefix="mortar_svalid_out_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="mortar_svalid_ckpt_")
+    q = (
+        stream_validate_gate(
+            _events_stream(spark, sf_dir), rules=rules, out_path=out_dir
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "batch_id", "rule", "n_violations"
+    )

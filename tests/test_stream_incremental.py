@@ -469,3 +469,69 @@ def test_stream_drift_monitor_by_matches_batch_psi_drift_by(spark, tmp_path):
         stream_drift_monitor_by(
             stream, key="g", value="v", ref_grids={}, out_path=out
         )
+
+
+def test_stream_validate_gate_matches_batch(spark, tmp_path):
+    """stream_validate_gate == validate_expectations per micro-batch
+    (same rules, same counts), empty batches still report all rules at
+    0, and wiring-time validation fails before any batch runs."""
+    from mortar_parquet_support_spark.operators.validate import (
+        validate_expectations,
+    )
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_validate_gate,
+    )
+
+    rules = [
+        {"name": "id_not_null", "type": "not_null", "column": "id"},
+        {"name": "v_in_range", "type": "range", "column": "v",
+         "min": 0.0, "max": 1.0},
+    ]
+    f1 = [(1, 0.5), (None, 0.2), (3, 2.0)]   # 1 null id, 1 out of range
+    f2 = [(4, 0.1), (5, 0.9)]                # clean
+    src = str(tmp_path / "src")
+    spark.createDataFrame(f1, "id long, v double").coalesce(1)\
+        .write.parquet(os.path.join(src, "f1"))
+    spark.createDataFrame(f2, "id long, v double").coalesce(1)\
+        .write.parquet(os.path.join(src, "f2"))
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_validate_gate(stream, rules=rules, out_path=out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.batch_id, r.rule): r.n_violations
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 4  # 2 batches x 2 rules
+    # identify batches by total violations (order not guaranteed)
+    batch_ids = sorted({b for b, _ in got})
+    totals = {b: got[(b, "id_not_null")] + got[(b, "v_in_range")]
+              for b in batch_ids}
+    dirty = [b for b, t in totals.items() if t == 2]
+    clean = [b for b, t in totals.items() if t == 0]
+    assert len(dirty) == 1 and len(clean) == 1
+    batch_report = {
+        r.rule: r.n_violations
+        for r in validate_expectations(
+            spark.createDataFrame(f1, "id long, v double"), rules
+        ).collect()
+    }
+    assert got[(dirty[0], "id_not_null")] == batch_report["id_not_null"] == 1
+    assert got[(dirty[0], "v_in_range")] == batch_report["v_in_range"] == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one rule"):
+        stream_validate_gate(stream, rules=[], out_path=out)
+    with _pt.raises(ValueError, match="duplicate rule names"):
+        stream_validate_gate(
+            stream, rules=[rules[0], rules[0]], out_path=out
+        )
