@@ -331,3 +331,47 @@ def test_weighted_sample_k_matches_python_replay(spark, rows, k):
         )[:k]
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.integers(-50, 50), st.none()),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+)
+def test_percentile_buckets_matches_numpy_replay(spark, values, buckets):
+    """percentile_buckets == an independent numpy replay (np.percentile
+    linear interpolation boundaries + the same strictly-greater
+    comparison) on arbitrary integer-valued data incl. NULLs and heavy
+    ties — integer values keep the interpolation arithmetic exact in
+    float64, so both engines compute identical boundaries and the pin
+    is bit-level, not approximate."""
+    import numpy as np
+
+    from mortar_parquet_support_spark.operators.features import (
+        percentile_buckets,
+    )
+
+    rows = [(i, float(v) if v is not None else None)
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r.id: r.bucket
+        for r in percentile_buckets(df, value="v", buckets=buckets).collect()
+    }
+    nn = np.array([v for v in values if v is not None], dtype=np.float64)
+    if nn.size:
+        qs = [
+            np.percentile(nn, 100.0 * i / buckets, method="linear")
+            for i in range(1, buckets)
+        ]
+    for i, v in enumerate(values):
+        if v is None:
+            assert got[i] is None
+        elif nn.size:
+            assert got[i] == 1 + sum(float(v) > q for q in qs), (
+                i, v, qs, got[i]
+            )
