@@ -208,7 +208,9 @@ def percentile_buckets(
     stratified sampling actually needs ("top decile", "middle 80%"),
     and no tie column is required. Values exactly ON a boundary go to
     the LOWER bucket (``>`` comparison, deterministic on both engines);
-    NULL values get a NULL bucket (same contract as quantile_buckets).
+    NULL values get a NULL bucket, and a NULL KEY group stratifies like
+    any other via a null-safe join (both the quantile_buckets
+    contract — rows are never silently dropped).
     ``round_to`` optionally rounds the boundaries first, for callers
     that want boundary comparisons robust to last-ulp interpolation
     differences across engines (Spark ``percentile`` and DuckDB
@@ -234,7 +236,8 @@ def percentile_buckets(
         return p if round_to is None else F.round(p, round_to)
 
     gen_cols = [f"__pb_q{i}" for i in range(len(fracs))] or ["__pb_q_none"]
-    clobbered = set(gen_cols) & set(df.columns)
+    key_scratch = [f"__pb_k{i}" for i in range(len(keys))]
+    clobbered = (set(gen_cols) | set(key_scratch)) & set(df.columns)
     if clobbered:
         raise ValueError(
             f"percentile_buckets uses scratch columns {sorted(clobbered)}; "
@@ -245,10 +248,19 @@ def percentile_buckets(
     bounds = df.groupBy(*keys).agg(
         *(aggs or [F.count(F.lit(1)).alias(gen_cols[0])])
     )
-    joined = (
-        df.join(maybe_broadcast(bounds), keys) if keys
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    if keys:
+        # null-SAFE join: groupBy keeps a NULL-key group, and
+        # quantile_buckets (whose scale substitute this is) stratifies
+        # it like any other — a plain equi-join would silently DROP
+        # every NULL-keyed row instead (review r11)
+        for i, k in enumerate(keys):
+            bounds = bounds.withColumnRenamed(k, key_scratch[i])
+        cond = F.lit(True)
+        for i, k in enumerate(keys):
+            cond = cond & F.col(k).eqNullSafe(F.col(key_scratch[i]))
+        joined = df.join(maybe_broadcast(bounds), cond).drop(*key_scratch)
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     bucket = F.lit(1)
     for i in range(len(fracs)):
         bucket = bucket + (v > F.col(f"__pb_q{i}")).cast("int")

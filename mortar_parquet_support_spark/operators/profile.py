@@ -362,6 +362,26 @@ def categorical_drift(
     )
 
 
+def equi_bin(v, lo, hi, bins):
+    """THE equi-width bin assignment every drift leg shares — batch
+    (:func:`psi_drift_by`) and streaming (``stream_drift_monitor_by``,
+    ``stream_drift_by_once``) compute bins through this one expression
+    so their arithmetic can never drift apart (review r11: three
+    hand-copied versions had already diverged on the constant-range
+    guard). ``v``/``lo``/``hi`` are double Columns; ``bins`` is an int
+    or an int Column. Semantics: width = (hi - lo) / bins (one IEEE
+    division), raw = floor((v - lo) / width), clamped into [0, bins-1]
+    so out-of-range values COUNT as edge-bin drift; a degenerate range
+    (hi <= lo — a constant reference) puts everything in bin 0, the
+    single-bin grid psi_drift_by documents for constant groups."""
+    nb = F.lit(float(bins)) if isinstance(bins, int) else bins.cast("double")
+    width = (hi - lo) / nb
+    raw = F.floor((v - lo) / width).cast("int")
+    return F.when(hi <= lo, F.lit(0)).otherwise(
+        F.greatest(F.least(raw, (nb - 1).cast("int")), F.lit(0))
+    )
+
+
 def psi_drift_by(
     ref: DataFrame,
     cur: DataFrame,
@@ -401,11 +421,7 @@ def psi_drift_by(
         .groupBy(*keys)
         .agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
     )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
-    raw = F.floor((v - F.col("__lo")) / width).cast("int")
-    b = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
-        F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
-    )
+    b = equi_bin(v, F.col("__lo"), F.col("__hi"), bins)
 
     def bucketed(df: DataFrame, side: str) -> DataFrame:
         return (

@@ -63,6 +63,60 @@ def _row_violation(rule: dict) -> "F.Column":
     raise ValueError(f"unknown row-level rule type: {kind!r}")
 
 
+def validate_rule_specs(rules: "list[dict]") -> None:
+    """Statically validate a rule list — everything checkable WITHOUT a
+    DataFrame: non-empty, unique non-injectable names, known types, and
+    per-type required fields (a bound-less range rule, a regex rule
+    with no pattern, etc. would otherwise surface only when the first
+    batch runs). Shared by :func:`validate_expectations` and the
+    streaming gate so "fails at wiring time" is actually true for the
+    stream (review r11: the gate's docstring promised it, but the
+    injection check only ran inside batch 0)."""
+    if not rules:
+        raise ValueError("validate_expectations needs at least one rule")
+    names = [r["name"] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+    # rule names are spliced into a selectExpr stack() literal —
+    # quotes/backticks/newlines would break (or inject into) the
+    # generated SQL, so reject them up front
+    bad_names = [n for n in names if any(ch in n for ch in "'`\"\n\r\\")]
+    if bad_names:
+        raise ValueError(
+            f"rule names may not contain quotes, backticks, or "
+            f"newlines: {bad_names}"
+        )
+    required = {
+        "not_null": ("column",),
+        "range": ("column",),
+        "regex": ("column", "pattern"),
+        "in_set": ("column", "values"),
+        "sql": ("expr",),
+        "unique": ("columns",),
+        "foreign_key": ("columns", "ref", "ref_columns"),
+    }
+    for r in rules:
+        kind = r.get("type")
+        if kind not in required:
+            raise ValueError(f"unknown rule type: {kind!r}")
+        missing = [f for f in required[kind] if f not in r]
+        if missing:
+            raise ValueError(
+                f"rule {r['name']!r} ({kind}) is missing {missing}"
+            )
+        if kind == "range" and "min" not in r and "max" not in r:
+            raise ValueError(
+                f"range rule {r['name']!r} needs 'min' and/or 'max'"
+            )
+        if kind == "foreign_key" and len(list(r["columns"])) != len(
+            list(r["ref_columns"])
+        ):
+            raise ValueError(
+                f"foreign_key {r['name']!r}: columns/ref_columns "
+                f"length mismatch"
+            )
+
+
 def validate_expectations(
     df: DataFrame, rules: "list[dict]"
 ) -> DataFrame:
@@ -87,20 +141,7 @@ def validate_expectations(
     Every row-level rule shares ONE aggregate scan; each unique /
     foreign_key rule adds its own bounded job. Rule names must be
     unique (the report keys on them)."""
-    if not rules:
-        raise ValueError("validate_expectations needs at least one rule")
-    names = [r["name"] for r in rules]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate rule names: {sorted(names)}")
-    # rule names are spliced into a selectExpr stack() literal below —
-    # quotes/backticks/newlines would break (or inject into) the
-    # generated SQL, so reject them up front
-    bad_names = [n for n in names if any(ch in n for ch in "'`\"\n\r\\")]
-    if bad_names:
-        raise ValueError(
-            f"rule names may not contain quotes, backticks, or "
-            f"newlines: {bad_names}"
-        )
+    validate_rule_specs(rules)
 
     spark = df.sparkSession
     reports: "list[DataFrame]" = []

@@ -705,13 +705,16 @@ def stream_drift_monitor(
     Append-only output: at-least-once replay after a crash can repeat a
     batch_id — readers take the LAST row per batch_id. Returns the
     ``DataStreamWriter`` (caller starts it with a checkpoint)."""
+    import math as _math
+
     bins = len(ref_props)
     if bins < 1:
         raise ValueError("ref_props must have at least one bin")
-    if any(p < 0 or p != p for p in ref_props):
-        # a negative/NaN proportion is a caller bug; the epsilon branch
-        # would otherwise absorb it silently into a corrupt PSI
-        raise ValueError("ref_props must be non-negative")
+    if any(not (p >= 0 and _math.isfinite(p)) for p in ref_props):
+        # a negative/NaN/inf proportion is a caller bug; the epsilon
+        # branch would silently absorb the first two into a corrupt PSI
+        # and an inf would crash _round_half_up mid-stream (review r11)
+        raise ValueError("ref_props must be finite and non-negative")
     if not ref_hi > ref_lo:
         raise ValueError("need ref_hi > ref_lo")
     width = (ref_hi - ref_lo) / bins
@@ -838,7 +841,10 @@ def stream_drift_monitor_by(
     from a batch emit nothing for that batch: a feed that sent zero
     rows has no distribution to compare (the per-key analogue of the
     global monitor's NULL-for-empty rule; readers distinguish "no
-    drift" from "no data" by the gap in batch_ids).
+    drift" from "no data" by the gap in batch_ids). A CONSTANT-valued
+    reference group (hi <= lo) is valid: everything bins to 0 on both
+    sides — psi_drift_by's documented single-bin behavior, shared via
+    the one ``equi_bin`` expression all three drift legs now use.
 
     Arithmetic per present group is exactly the batch operator's: edge
     bins clamp out-of-range values, proportions and the statistic round
@@ -853,35 +859,44 @@ def stream_drift_monitor_by(
     the ``DataStreamWriter`` (caller starts it with a checkpoint)."""
     import math
 
+    from mortar_parquet_support_spark.operators.profile import equi_bin
+
     grids: "dict" = {}
     for k, (lo, hi, props) in ref_grids.items():
         if len(props) < 1:
             raise ValueError(f"ref_grids[{k!r}] has no bins")
-        if any(p < 0 or p != p for p in props):
+        if any(not (p >= 0 and math.isfinite(p)) for p in props):
             # same loud-reject as the global monitor: the epsilon branch
-            # would silently absorb a negative/NaN proportion
-            raise ValueError(f"ref_grids[{k!r}]: props must be non-negative")
-        if not hi > lo and len(props) > 1:
+            # would silently absorb a negative/NaN proportion, and an
+            # infinite one would crash _round_half_up mid-stream with a
+            # cryptic decimal.InvalidOperation (review r11)
             raise ValueError(
-                f"ref_grids[{k!r}]: need hi > lo for multi-bin grids"
+                f"ref_grids[{k!r}]: props must be finite and non-negative"
             )
+        # hi <= lo (a constant-valued reference group) is VALID, not an
+        # error: equi_bin puts everything in bin 0 on both sides, which
+        # is exactly psi_drift_by's documented constant-group behavior —
+        # rejecting it here crashed monitors at wiring time for any
+        # reference with one constant group (review r11)
         grids[k] = (float(lo), float(hi), [float(p) for p in props])
     if not grids:
         raise ValueError("ref_grids must name at least one group")
     grid_rows = [(k, lo, hi, len(props)) for k, (lo, hi, props) in grids.items()]
+    # key type is knowable at wiring (and so are schema errors); the
+    # tiny grids frame itself is built once per session inside _process
+    # (foreachBatch can hand a different session than the wiring one)
+    key_type = stream_df.schema[key].dataType.simpleString()
+    grid_schema = f"`{key}` {key_type}, __lo double, __hi double, __nb int"
+    gdf_cache: "dict" = {}
 
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
-        key_type = batch_df.schema[key].dataType.simpleString()
-        gdf = spark.createDataFrame(
-            grid_rows, f"`{key}` {key_type}, __lo double, __hi double, __nb int"
-        )
+        gdf = gdf_cache.get(id(spark))
+        if gdf is None:
+            gdf = spark.createDataFrame(grid_rows, grid_schema)
+            gdf_cache[id(spark)] = gdf
         v = F.col(value).cast("double")
-        width = (F.col("__hi") - F.col("__lo")) / F.col("__nb").cast("double")
-        raw = F.floor((v - F.col("__lo")) / width).cast("int")
-        b = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
-            F.greatest(F.least(raw, F.col("__nb") - 1), F.lit(0))
-        )
+        b = equi_bin(v, F.col("__lo"), F.col("__hi"), F.col("__nb"))
         counts: "dict" = {}
         for r in (
             batch_df.filter(v.isNotNull() & F.col(key).isNotNull())
@@ -934,14 +949,12 @@ def stream_drift_by_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts with the bounds broadcast back) — never a driver loop of
     # one job per group, the anti-pattern psi_drift_by exists to avoid
     # (this entry glue should model the same discipline; review r11)
+    from mortar_parquet_support_spark.operators.profile import equi_bin
+
     bounds = ref.groupBy("event_type").agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
-    raw = F.floor((v - F.col("__lo")) / width).cast("int")
-    bcol = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
-        F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
-    )
+    bcol = equi_bin(v, F.col("__lo"), F.col("__hi"), bins)
     counts: "dict" = {}
     lohi: "dict" = {}
     for r in (
@@ -1014,13 +1027,16 @@ def stream_validate_gate(
     ``DataStreamWriter`` (caller starts it with a checkpoint)."""
     from mortar_parquet_support_spark.operators.validate import (
         validate_expectations,
+        validate_rule_specs,
     )
 
     if not rules:
         raise ValueError("stream_validate_gate needs at least one rule")
-    names = [r["name"] for r in rules]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate rule names: {sorted(names)}")
+    # the FULL static validation (names, injection characters, known
+    # types, per-type required fields), not just emptiness/duplicates —
+    # a bad rule must fail HERE, not as an async
+    # StreamingQueryException inside batch 0 (review r11)
+    validate_rule_specs(rules)
 
     def _process(batch_df, batch_id):
         report = validate_expectations(batch_df, rules)

@@ -364,8 +364,12 @@ def test_percentile_buckets_matches_numpy_replay(spark, values, buckets):
     }
     nn = np.array([v for v in values if v is not None], dtype=np.float64)
     if nn.size:
+        # np.quantile with the SAME i/buckets double Spark consumes —
+        # np.percentile(100.0*i/buckets)/100 double-rounds the fraction
+        # and diverges 1 ulp for buckets 3 and 6, flipping boundary rows
+        # (review r11: (100.0*(5/6))/100.0 != 5/6)
         qs = [
-            np.percentile(nn, 100.0 * i / buckets, method="linear")
+            np.quantile(nn, i / buckets, method="linear")
             for i in range(1, buckets)
         ]
     for i, v in enumerate(values):

@@ -535,3 +535,44 @@ def test_stream_validate_gate_matches_batch(spark, tmp_path):
         stream_validate_gate(
             stream, rules=[rules[0], rules[0]], out_path=out
         )
+
+
+def test_stream_drift_monitor_by_constant_reference_group(spark, tmp_path):
+    """Regression (r11 review): a constant-valued reference group
+    (hi == lo) must wire and run — everything bins to 0 on both sides,
+    psi_drift_by's documented single-bin behavior — not crash at
+    wiring time. A batch mirroring the constant reports PSI 0; one
+    that moved off the constant still reports 0 here (single usable
+    bin — pair with a range expectation to enforce constancy, as the
+    batch docstring says). Infinite props are rejected loudly."""
+    from mortar_parquet_support_spark.streaming.rollup import (
+        stream_drift_monitor_by,
+    )
+
+    grids = {"c": (5.0, 5.0, [1.0] + [0.0] * 9)}  # constant ref, 10 bins
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("c", 5.0)] * 7 + [("c", 9.0)] * 3, "g string, v double"
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("g string, v double").parquet(src + "/*")
+    q = (
+        stream_drift_monitor_by(
+            stream, key="g", value="v", ref_grids=grids, out_path=out,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0].psi == 0.0 and rows[0].n == 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="finite and non-negative"):
+        stream_drift_monitor_by(
+            stream, key="g", value="v",
+            ref_grids={"c": (0.0, 1.0, [float("inf"), 0.0])},
+            out_path=out,
+        )

@@ -154,6 +154,20 @@ def test_percentile_buckets_vs_exact_ntile(spark):
     }
     assert [gout[i] for i in range(8)] == [1, 1, 1, 1, 2, 2, 2, 2]
     assert [gout[100 + i] for i in range(8)] == [1, 1, 1, 1, 2, 2, 2, 2]
+    # NULL key group: stratified like any other, never dropped
+    # (regression, r11 review — the quantile_buckets contract)
+    gnull = g.unionByName(spark.createDataFrame(
+        [(None, 200 + i, float(i)) for i in range(4)],
+        "g string, id long, v double",
+    ))
+    nout = {
+        r.id: r.bucket
+        for r in percentile_buckets(
+            gnull, value="v", keys=["g"], buckets=2
+        ).collect()
+    }
+    assert len(nout) == 20  # all rows survive
+    assert [nout[200 + i] for i in range(4)] == [1, 1, 2, 2]
     # plan shape: no Window, and the only exchange feeds the tiny
     # bounds aggregate / broadcast — never a row-side repartition
     plan = percentile_buckets(
