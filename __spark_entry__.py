@@ -138,7 +138,9 @@ def oracle_sql() -> dict[str, str]:
     test_stream_incremental.py), and stream_validate (same
     streaming-runtime reason; per-batch == batch validate_expectations
     is pytest-pinned in test_stream_incremental.py, and the batch
-    operator itself is fully oracle-checked). temperature_mixture graduated to a full
+    operator itself is fully oracle-checked), and jsonl_roundtrip
+    (filesystem side effects, same rationale as ingest_roundtrip;
+    parser/quarantine semantics pytest-pinned in test_corpus.py). temperature_mixture graduated to a full
     oracle in round 10 (weights computed in-plan, rounded 1e-9);
     lttb_downsample graduated to a full
     oracle in round 9: its sequential pick is replayed as a DuckDB

@@ -81,6 +81,40 @@ def _ingest_roundtrip(spark, sf_dir):
     return lake.scan(uuids=[uuid]).select("uuid", "time", "value", "label", "uri")
 
 
+@_register("jsonl_roundtrip")
+def _jsonl_roundtrip(spark, sf_dir):
+    """JSONL corpus interchange round-trip (sources/corpus.py — r11):
+    a slice of the documents table writes out as JSONL, a corrupt line
+    is planted alongside, and read_jsonl + split_corrupt recover
+    exactly the written rows with the bad line quarantined. Rows-only
+    (filesystem side effects, same rationale as ingest_roundtrip);
+    parser semantics are pytest-pinned in tests/test_corpus.py."""
+    import os
+    import tempfile
+
+    from mortar_parquet_support_spark.sources.corpus import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id", "text", "source")
+    work = tempfile.mkdtemp(prefix="mortar_jsonl_")
+    out = os.path.join(work, "corpus")
+    write_jsonl(docs, out)
+    with open(os.path.join(out, "zz_bad.json"), "w") as fh:
+        fh.write("definitely not json\n")
+    good, bad = split_corrupt(
+        read_jsonl(spark, out, schema="doc_id long, text string, source string")
+    )
+    n_bad = bad.count()
+    if n_bad != 1:  # the quarantine leg must witness the planted line
+        raise AssertionError(f"expected 1 quarantined line, got {n_bad}")
+    return good.select("doc_id", "source", F.length("text").alias("len"))
+
+
 @_register(
     "streaming_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
