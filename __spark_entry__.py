@@ -31,6 +31,7 @@ from mortar_parquet_support_spark.entries import (  # noqa: F401
     _SPARK_FNS,
     digest_index_for,
     ivf_index_for,
+    ivf_index_rebuild,
     pq_index_for,
 )
 
@@ -147,7 +148,11 @@ def oracle_sql() -> dict[str, str]:
     recursive CTE (see the entry's docstring for the exactness
     argument); mmr_rerank graduated the same way in round 11 (greedy
     replayed as a recursive CTE with an exact np.round emulation —
-    see its entry docstring). The LSH ops' verify stages ARE
+    see its entry docstring); sparql_bridges graduated in round 12
+    (the engine's consumed triples are exported to parquet and the
+    reference's QUERY1 is replayed as DuckDB self-joins with the
+    subClassOf closure recomputed by a recursive CTE — see the entry
+    in entries/reference_surface.py). The LSH ops' verify stages ARE
     oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and
@@ -159,8 +164,7 @@ def oracle_sql() -> dict[str, str]:
     are engine-specific; hourly->daily merge parity and <5% error vs
     exact are pytest-verified), multimodal_features / multimodal_resize
     (Python decode/re-encode in mapInPandas — the intentionally-Python
-    binary ops), sparql_bridges (SPARQL
-    engine, no SQL equivalent without the triples loaded), ingest_roundtrip
+    binary ops), ingest_roundtrip
     (filesystem side effects), streaming_distinct_rollup (HLL++ values
     are engine-specific), and knn_pq (k-means PQ codebooks are not
     SQL-expressible and the ADC candidate set is inherently approximate;

@@ -28,8 +28,10 @@ MEDIAN3_BELOW_SEC = 1.0
 # drift proved NOT proportionally small — dedup_minhash swung 2.24s ->
 # 3.05s (+36%) on an unchanged plan in r11 (its eager materialize
 # barriers make it GC/page-cache sensitive), tpch_q3 1.07s -> 0.68s.
-# The r9 median-of-3 rationale applies to them verbatim; knn_ivf_build
-# stays single-run by design (a one-time build, memoized per session).
+# The r9 median-of-3 rationale applies to them verbatim. knn_ivf_build
+# joined the median policy in round 12 (+23% r10->r11 swing on unchanged
+# code); each of its 3 runs is a REAL build via ivf_index_rebuild, the
+# memoization bypassed and the prior index unpersisted.
 MEDIAN3_ALWAYS = {"dedup_minhash", "tpch_q3"}
 
 HEADLINE = [
@@ -191,9 +193,15 @@ def main() -> int:
             # across query batches in the serving shape, so it is timed as
             # its own line; "knn_ivf" then measures the per-batch PROBE on
             # the memoized index. Both lines count toward the total.
-            t0 = time.perf_counter()
-            entrymod.ivf_index_for(spark, sf_dir)
-            timings["knn_ivf_build"] = round(time.perf_counter() - t0, 3)
+            # Median-of-3 (round 12 noise discipline): three fresh builds,
+            # the last staying memoized for the probe below.
+            build_runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                entrymod.ivf_index_rebuild(spark, sf_dir)
+                build_runs.append(time.perf_counter() - t0)
+            timings["knn_ivf_build"] = round(sorted(build_runs)[1], 3)
+            median3.append("knn_ivf_build")
         # The timer wraps plan CONSTRUCTION too, not just execution: some
         # operators (minhash LSH) eagerly materialize intermediate frames
         # inside the callable, and timing only the final write would

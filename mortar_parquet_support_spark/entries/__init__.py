@@ -10,6 +10,7 @@ from ._registry import (  # noqa: F401
     _t,
     digest_index_for,
     ivf_index_for,
+    ivf_index_rebuild,
     pq_index_for,
 )
 

@@ -123,3 +123,17 @@ def ivf_index_for(spark: SparkSession, sf_dir: str):
     return per_session[sf_dir]
 
 
+def ivf_index_rebuild(spark: SparkSession, sf_dir: str):
+    """Fresh IVF build, replacing (and unpersisting) any memoized index for
+    this (session, sf_dir). bench.py's knn_ivf_build line is median-of-3
+    from round 12 — it was the only timed entry outside the median policy
+    and swung +23% r10->r11 on unchanged code — and each of the three runs
+    must be a REAL build, which ivf_index_for's memoization would
+    otherwise turn into two no-ops."""
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    old = per_session.pop(sf_dir, None)
+    if old is not None:
+        old.unpersist()
+    return ivf_index_for(spark, sf_dir)
+
+

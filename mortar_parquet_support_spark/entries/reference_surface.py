@@ -27,6 +27,190 @@ from ._registry import (
 # Reference-surface operators (SURVEY.md §2.1-2.3) on the events "stream"
 # ===========================================================================
 
+# --- sparql_bridges: the flagship graph leg, under a full DuckDB oracle ----
+#
+# The entry runs the reference's QUERY1 verbatim (client.py:130-140 — the
+# `rdf:type/rdfs:subClassOf*` temperature-bridge query) through the full
+# engine stack: TTL parse -> triples DataFrame -> shared-ontology closure ->
+# BGP join compilation, per-site scoping with a provenance column. Before
+# returning, it exports the exact triples the engine consumed to parquet at
+# an import-time-fixed path; the oracle restates the whole query as DuckDB
+# SQL over that export, INCLUDING recomputing the subClassOf closure itself
+# with a recursive CTE — a fully independent derivation of the binding set
+# (promoted from rows-only in round 12, the same path that graduated
+# lttb/temperature_mixture/mmr_rerank).
+#
+# The fixture graph is built so every binding has exactly ONE derivation
+# (each point carries a single rdf:type, one timeseries bnode, one id), so
+# SPARQL multiset semantics and the SQL join agree on multiplicity 1 and
+# neither side needs a DISTINCT that could mask duplicate-row bugs.
+
+import os as _os
+import tempfile as _tempfile
+
+_SPARQL_ORACLE_DIR = _os.path.join(
+    _tempfile.gettempdir(), f"mortar_sparql_oracle_{_os.getpid()}"
+)
+_ONTOLOGY_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "resources",
+    "brick_subset.ttl",
+)
+_BRICK = "https://brickschema.org/schema/Brick#"
+_QUERY1 = """
+    PREFIX brick: <https://brickschema.org/schema/Brick#>
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT ?vav ?sen ?sp  WHERE {
+    ?sen_point rdf:type/rdfs:subClassOf* brick:Temperature_Sensor ;
+        brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+    ?sp_point rdf:type/rdfs:subClassOf* brick:Temperature_Setpoint ;
+        brick:timeseries [ brick:hasTimeseriesId ?sp ] .
+    ?vav a brick:VAV .
+    ?vav brick:hasPoint ?sen_point, ?sp_point .
+}"""
+
+# Sensor/setpoint leaf classes cycled across the fixture's points: each
+# reaches Temperature_Sensor / Temperature_Setpoint through 0-3 hops of the
+# shipped brick_subset.ttl hierarchy, so the closure leg is exercised at
+# every depth including the zero-length path (the base class itself).
+_SENSOR_CLASSES = [
+    "Zone_Air_Temperature_Sensor",       # 3 hops to Temperature_Sensor
+    "Supply_Air_Temperature_Sensor",     # 2 hops
+    "Water_Temperature_Sensor",          # 1 hop
+    "Temperature_Sensor",                # 0 hops (zero-length path)
+]
+_SETPOINT_CLASSES = [
+    "Zone_Air_Temperature_Setpoint",
+    "Occupied_Cooling_Temperature_Setpoint",
+    "Temperature_Setpoint",
+]
+
+
+def _bridge_site_ttl(site: str, n_vav: int) -> str:
+    """Deterministic Brick-shaped site graph: ``n_vav`` VAVs, each with one
+    typed temperature sensor, one typed setpoint, and one non-temperature
+    decoy point (CO2), all bridged to timeseries ids through blank nodes.
+    vav0 additionally carries a second sensor and second setpoint (the
+    object-list multi-match case, 4 bridge rows); an orphan sensor with an
+    id but no hasPoint edge and an RVAV (subclass of VAV — QUERY1's
+    ``a brick:VAV`` is an exact-type match, so it must NOT bridge) pin the
+    negative space."""
+    sid = [0]
+
+    def uid() -> str:
+        sid[0] += 1
+        return f"00000000-0000-4000-8000-{ord(site[-1]):02x}{sid[0]:010d}"
+
+    lines = [
+        "@prefix brick: <https://brickschema.org/schema/Brick#> .",
+        f"@prefix b: <urn:{site}#> .",
+    ]
+
+    def point(name: str, cls: str) -> None:
+        lines.append(f"b:{name} a brick:{cls} .")
+        lines.append(
+            f'b:{name} brick:timeseries [ brick:hasTimeseriesId "{uid()}" ] .'
+        )
+
+    for i in range(n_vav):
+        point(f"vav{i}_sen", _SENSOR_CLASSES[i % len(_SENSOR_CLASSES)])
+        point(f"vav{i}_sp", _SETPOINT_CLASSES[i % len(_SETPOINT_CLASSES)])
+        point(f"vav{i}_co2", "CO2_Sensor")
+        extra = ""
+        if i == 0:
+            point("vav0_sen2", _SENSOR_CLASSES[(i + 1) % len(_SENSOR_CLASSES)])
+            point("vav0_sp2", _SETPOINT_CLASSES[(i + 1) % len(_SETPOINT_CLASSES)])
+            extra = ", b:vav0_sen2, b:vav0_sp2"
+        lines.append(f"b:vav{i} a brick:VAV .")
+        lines.append(
+            f"b:vav{i} brick:hasPoint b:vav{i}_sen, b:vav{i}_sp, "
+            f"b:vav{i}_co2{extra} ."
+        )
+    point("orphan_sen", _SENSOR_CLASSES[0])
+    point("rv_sen", _SENSOR_CLASSES[0])
+    point("rv_sp", _SETPOINT_CLASSES[0])
+    lines.append("b:rv a brick:RVAV .")
+    lines.append("b:rv brick:hasPoint b:rv_sen, b:rv_sp .")
+    return "\n".join(lines)
+
+
+_SPARQL_BRIDGES_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT site, subject, predicate, object
+      FROM read_parquet('{_SPARQL_ORACLE_DIR}/*.parquet')
+    ),
+    edges AS (
+      SELECT subject AS c, object AS s FROM t
+      WHERE predicate = 'http://www.w3.org/2000/01/rdf-schema#subClassOf'
+    ),
+    types AS (
+      SELECT site, subject, object AS cls FROM t
+      WHERE predicate = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        AND site <> '__ontology__'
+    ),
+    cls(node, super) AS (
+      SELECT DISTINCT cls, cls FROM types
+      UNION
+      SELECT c.node, e.s FROM cls c JOIN edges e ON c.super = e.c
+    ),
+    ids AS (
+      SELECT a.site, a.subject AS pt, b.object AS id
+      FROM t a JOIN t b ON a.site = b.site AND a.object = b.subject
+      WHERE a.predicate = '{_BRICK}timeseries'
+        AND b.predicate = '{_BRICK}hasTimeseriesId'
+    ),
+    sens AS (
+      SELECT ty.site, ty.subject FROM types ty JOIN cls ON ty.cls = cls.node
+      WHERE cls.super = '{_BRICK}Temperature_Sensor'
+    ),
+    sps AS (
+      SELECT ty.site, ty.subject FROM types ty JOIN cls ON ty.cls = cls.node
+      WHERE cls.super = '{_BRICK}Temperature_Setpoint'
+    ),
+    vavs AS (
+      SELECT site, subject FROM types WHERE cls = '{_BRICK}VAV'
+    ),
+    haspoint AS (
+      SELECT site, subject, object FROM t
+      WHERE predicate = '{_BRICK}hasPoint'
+    )
+    SELECT v.subject AS vav, i1.id AS sen, i2.id AS sp, v.site AS site
+    FROM vavs v
+    JOIN haspoint h1 ON h1.site = v.site AND h1.subject = v.subject
+    JOIN sens se ON se.site = h1.site AND se.subject = h1.object
+    JOIN ids i1 ON i1.site = h1.site AND i1.pt = h1.object
+    JOIN haspoint h2 ON h2.site = v.site AND h2.subject = v.subject
+    JOIN sps sp2 ON sp2.site = h2.site AND sp2.subject = h2.object
+    JOIN ids i2 ON i2.site = h2.site AND i2.pt = h2.object
+"""
+
+
+@_register("sparql_bridges", _SPARQL_BRIDGES_ORACLE)
+def _sparql_bridges(spark, sf_dir):
+    """G1-G8 + closure under driver-grade hash evidence: the reference's
+    QUERY1 (client.py:130-140) verbatim — `rdf:type/rdfs:subClassOf*`
+    through the shipped Brick hierarchy, blank-node bridges, object lists,
+    per-site scoping — over a deterministic two-site fixture graph. The
+    triples the engine consumed (site graphs + shared ontology) are
+    exported to parquet so the DuckDB oracle can replay the whole query,
+    recursive closure included, as plain SQL self-joins. Graph data is
+    independent of sf_dir (the corpus ships with the engine)."""
+    from mortar_parquet_support_spark.client import Client
+    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA, parse_ttl
+
+    rows = parse_ttl(_bridge_site_ttl("siteA", 8), "siteA") + parse_ttl(
+        _bridge_site_ttl("siteB", 3), "siteB"
+    )
+    triples = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    client = Client(spark, triples=triples, ontology_path=_ONTOLOGY_PATH)
+    # one small fixture write per invocation; coalesce(1) keeps the export
+    # a single file (the oracle's read_parquet glob is indifferent, this
+    # just avoids 32 tiny part files)
+    client.triples.coalesce(1).write.mode("overwrite").parquet(_SPARQL_ORACLE_DIR)
+    return client.sparql(_QUERY1, sites=["siteA", "siteB"])
+
+
 @_register(
     "flagship_scan",
     """

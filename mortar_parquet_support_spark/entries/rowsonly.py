@@ -26,37 +26,6 @@ from ._registry import (
 # Non-SQL-expressible engine entries (rows-only checks)
 # ===========================================================================
 
-@_register("sparql_bridges")
-def _sparql_bridges(spark, sf_dir):
-    """SPARQL-subset compiler (plans/sparql.py) over an embedded Brick-shaped
-    graph: the timeseries-bridge blank-node query (client.py:123). Graph
-    data is independent of sf_dir (the corpus ships with the engine)."""
-    from mortar_parquet_support_spark.plans.sparql import SparqlEngine
-    from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA, parse_ttl
-
-    ttl = """
-    @prefix brick: <https://brickschema.org/schema/Brick#> .
-    @prefix b: <urn:fixture#> .
-    b:p1 a brick:Temperature_Sensor ; brick:timeseries [ brick:hasTimeseriesId "11111111-1111-1111-1111-111111111111" ] .
-    b:p2 a brick:Temperature_Setpoint ; brick:timeseries [ brick:hasTimeseriesId "22222222-2222-2222-2222-222222222222" ] .
-    b:vav a brick:VAV ; brick:hasPoint b:p1, b:p2 .
-    """
-    triples = spark.createDataFrame(parse_ttl(ttl, "site0"), schema=TRIPLES_SCHEMA)
-    engine = SparqlEngine(triples)
-    return engine.sql(
-        """
-        PREFIX brick: <https://brickschema.org/schema/Brick#>
-        SELECT ?vav ?sen ?sp WHERE {
-          ?sen_point a brick:Temperature_Sensor ;
-              brick:timeseries [ brick:hasTimeseriesId ?sen ] .
-          ?sp_point a brick:Temperature_Setpoint ;
-              brick:timeseries [ brick:hasTimeseriesId ?sp ] .
-          ?vav a brick:VAV ; brick:hasPoint ?sen_point, ?sp_point .
-        }
-        """
-    )
-
-
 @_register("ingest_roundtrip")
 def _ingest_roundtrip(spark, sf_dir):
     """CSV->lake ingest round-trip (sources/ingest.py, transform.py parity):
@@ -113,6 +82,61 @@ def _jsonl_roundtrip(spark, sf_dir):
     if n_bad != 1:  # the quarantine leg must witness the planted line
         raise AssertionError(f"expected 1 quarantined line, got {n_bad}")
     return good.select("doc_id", "source", F.length("text").alias("len"))
+
+
+@_register(
+    "jsonl_scan",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+    """,
+)
+def _jsonl_scan(spark, sf_dir):
+    """One-pass JSONL corpus scan at scale (sources/corpus.py — the r11
+    'JSONL leg correctness-verified but never scale-measured' gap). The
+    WHOLE documents table is mirrored to JSONL on first use — cached on
+    disk per fixture (path keyed on the parquet's mtime+size fingerprint
+    so a regenerated fixture can never serve a stale mirror), with three
+    corrupt lines planted (unparseable / type-mismatch / bare null) —
+    then read_jsonl + split_corrupt + a per-source rollup exercise the
+    schema-required SINGLE text pass. The plan is one text scan ->
+    from_json projection -> partial agg -> exchange (plan-asserted in
+    tests/test_corpus.py); the DuckDB oracle aggregates the SOURCE
+    parquet directly, so a hash match proves the JSONL round trip
+    preserved every row and every character. BENCH_SCALING's extra_spot
+    runs this at the 100x decade."""
+    import os
+    import tempfile
+
+    from mortar_parquet_support_spark.sources.corpus import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    mirror = os.path.join(
+        tempfile.gettempdir(),
+        "mortar_jsonl_mirror_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    if not os.path.exists(os.path.join(mirror, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        write_jsonl(docs, mirror, mode="overwrite")
+        with open(os.path.join(mirror, "zz_bad.json"), "w") as fh:
+            fh.write('definitely not json\n{"doc_id": "type-mismatch"}\nnull\n')
+    good, bad = split_corrupt(
+        read_jsonl(spark, mirror, schema="doc_id long, text string, source string")
+    )
+    n_bad = bad.count()
+    if n_bad != 3:  # the quarantine leg must witness all three plants
+        raise AssertionError(f"expected 3 quarantined lines, got {n_bad}")
+    return good.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
 
 
 @_register(

@@ -85,3 +85,33 @@ def test_jsonl_type_mismatch_quarantines_raw_line(spark, tmp_path):
     good, bad = split_corrupt(df)
     assert good.count() == 0
     assert [r[0] for r in bad.collect()] == [line]
+
+
+def test_jsonl_scan_entry_plan_and_quarantine(spark):
+    """The r12 jsonl_scan entry: ONE text scan feeds the whole good-leg
+    aggregate (the schema-required single-pass design claim, now
+    plan-asserted), and the three planted corrupt lines (unparseable /
+    type-mismatch / bare null) all land in quarantine — witnessed by the
+    entry's own internal assertion plus the rollup matching the source
+    parquet exactly."""
+    from mortar_parquet_support_spark.entries.rowsonly import _jsonl_scan
+    from mortar_parquet_support_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = _jsonl_scan(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one text-file scan, no JSON schema-inference scan, no extra pass
+    assert plan.count("Scan text") == 1
+    assert "Scan json" not in plan
+    got = {(r.source, r.n_docs, r.n_chars) for r in out.collect()}
+    exp = {
+        (r.source, r.n_docs, r.n_chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 0

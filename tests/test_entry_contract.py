@@ -96,3 +96,24 @@ def test_streaming_rollup_matches_batch(spark, sf_dir):
     b = {(r.event_type, str(r.bucket)): (r.n, r.sum_value) for r in batch.collect()}
     assert len(s) == len(b) > 0
     assert s == b
+
+
+def test_sparql_bridges_fixture_structure(spark):
+    """The r12-promoted sparql_bridges entry: 17 bridge rows (siteA: vav0's
+    2x2 multi-match + 7 single-pair VAVs; siteB: vav0's 2x2 + 2 singles),
+    with the negative space pinned — the orphan sensor (no hasPoint edge)
+    and the RVAV (subclass of VAV; QUERY1's `a brick:VAV` is exact-type)
+    must contribute nothing."""
+    from mortar_parquet_support_spark.entries.reference_surface import (
+        _sparql_bridges,
+    )
+
+    rows = _sparql_bridges(spark, "/unused").collect()
+    assert len(rows) == 17
+    assert {r.site for r in rows} == {"siteA", "siteB"}
+    assert sum(1 for r in rows if r.site == "siteA") == 11
+    assert all(not r.vav.endswith("#rv") for r in rows)
+    ids = {r.sen for r in rows} | {r.sp for r in rows}
+    assert all(len(i) == 36 for i in ids)
+    # multi-match: siteA vav0 appears 4 times (2 sensors x 2 setpoints)
+    assert sum(1 for r in rows if r.vav == "urn:siteA#vav0") == 4

@@ -72,10 +72,20 @@ def plant_near_dups(docs, id_col: str, text_col: str):
             F.slice(words, F.lit(6), F.size(words) - F.lit(5)),
         ),
     )
+    def _meta(c: str):
+        # r12 (ADVICE r11): copies must NOT inherit source/size metadata
+        # verbatim — that double-counts planted sources in any per-source
+        # breakdown. Re-id the provenance column and recompute sizes.
+        if c == "source":
+            return F.concat(F.lit("planted::"), F.col(c)).alias(c)
+        if c == "n_chars":
+            return F.length(mutated).cast("long").alias(c)
+        return F.col(c)
+
     copies = eligible.select(
         (F.col(id_col) + PLANT_OFFSET).alias(id_col),
         mutated.alias(text_col),
-        *[c for c in docs.columns if c not in (id_col, text_col)],
+        *[_meta(c) for c in docs.columns if c not in (id_col, text_col)],
     )
     return docs.select(*copies.columns).unionByName(copies), copies
 
