@@ -129,7 +129,12 @@ def oracle_sql() -> dict[str, str]:
     round-trip is pytest-pinned in test_classifier.py), and
     tokenize_and_pack (composes the model-producing BPE train with the
     already-oracle-checked pack_sequences; the start-offset packing
-    contract is pytest-pinned in test_pipelines.py), and stream_drift
+    contract is pytest-pinned in test_pipelines.py), and
+    training_batches (the r12 corpus-to-training-batches capstone —
+    jsonl read -> audited curate -> BPE tokenize_and_pack; rows-only for
+    the same iterative-BPE reason as tokenize_and_pack, with the
+    per-stage drop accounting pytest-pinned against the standalone
+    stages in test_pipelines.py), and stream_drift
     (micro-batch boundaries are a streaming-runtime artifact with no SQL
     equivalent; the PSI arithmetic is the oracle-checked psi_drift
     formula and per-batch == batch equivalence is pytest-pinned in

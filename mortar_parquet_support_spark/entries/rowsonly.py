@@ -84,6 +84,33 @@ def _jsonl_roundtrip(spark, sf_dir):
     return good.select("doc_id", "source", F.length("text").alias("len"))
 
 
+def _jsonl_mirror(spark, sf_dir: str) -> str:
+    """Disk-cached JSONL mirror of the documents table (doc_id, text,
+    source) with three corrupt lines planted (unparseable / type-mismatch
+    / bare null). The path is keyed on the source parquet's mtime+size
+    fingerprint so a regenerated fixture can never serve a stale mirror.
+    Shared by jsonl_scan (the scale-measured single-pass scan) and
+    training_batches (the corpus-to-training-batches capstone)."""
+    import os
+    import tempfile
+
+    from mortar_parquet_support_spark.sources.corpus import write_jsonl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    mirror = os.path.join(
+        tempfile.gettempdir(),
+        "mortar_jsonl_mirror_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    if not os.path.exists(os.path.join(mirror, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        write_jsonl(docs, mirror, mode="overwrite")
+        with open(os.path.join(mirror, "zz_bad.json"), "w") as fh:
+            fh.write('definitely not json\n{"doc_id": "type-mismatch"}\nnull\n')
+    return mirror
+
+
 @_register(
     "jsonl_scan",
     """
@@ -106,27 +133,9 @@ def _jsonl_scan(spark, sf_dir):
     parquet directly, so a hash match proves the JSONL round trip
     preserved every row and every character. BENCH_SCALING's extra_spot
     runs this at the 100x decade."""
-    import os
-    import tempfile
+    from mortar_parquet_support_spark.sources.corpus import read_jsonl, split_corrupt
 
-    from mortar_parquet_support_spark.sources.corpus import (
-        read_jsonl,
-        split_corrupt,
-        write_jsonl,
-    )
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    mirror = os.path.join(
-        tempfile.gettempdir(),
-        "mortar_jsonl_mirror_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}",
-    )
-    if not os.path.exists(os.path.join(mirror, "_SUCCESS")):
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-        write_jsonl(docs, mirror, mode="overwrite")
-        with open(os.path.join(mirror, "zz_bad.json"), "w") as fh:
-            fh.write('definitely not json\n{"doc_id": "type-mismatch"}\nnull\n')
+    mirror = _jsonl_mirror(spark, sf_dir)
     good, bad = split_corrupt(
         read_jsonl(spark, mirror, schema="doc_id long, text string, source string")
     )
@@ -136,6 +145,73 @@ def _jsonl_scan(spark, sf_dir):
     return good.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+@_register("training_batches")
+def _training_batches(spark, sf_dir):
+    """Corpus-to-training-batches capstone: the first artifact a
+    training-data user runs end to end — JSONL corpus read with
+    corrupt-line quarantine -> audited curation (language filter,
+    quality filter, benchmark decontamination, exact dedup over planted
+    copies) -> BPE tokenize-and-pack of the survivors — with EVERY
+    input document accounted for in exactly one output row:
+    (doc_id, kept, drop_reason, n_tokens, shard, bin). ``kept`` means
+    "landed in a training batch"; ``drop_reason`` extends curate's
+    labels ('language' | 'low_quality' | 'contaminated' | 'duplicate')
+    with 'over_budget' for survivors whose exact token cost exceeds the
+    context budget (pack_sequences drops them from packing by
+    contract). Composes four individually-verified stages (the jsonl
+    mirror is jsonl_scan's; the curation recipe is curation_pipeline's
+    plus the decontaminate entry's eval-slice convention;
+    tokenize_and_pack is pytest-pinned in test_pipelines.py). Rows-only
+    because BPE vocabulary training is iterative (the tokenize_and_pack
+    rationale); the per-stage drop accounting is pytest-pinned against
+    the stages run standalone (tests/test_pipelines.py)."""
+    from mortar_parquet_support_spark.pipelines.curation import curate
+    from mortar_parquet_support_spark.pipelines.tokenize import tokenize_and_pack
+    from mortar_parquet_support_spark.sources.corpus import read_jsonl, split_corrupt
+
+    mirror = _jsonl_mirror(spark, sf_dir)
+    good, bad = split_corrupt(
+        read_jsonl(spark, mirror, schema="doc_id long, text string, source string")
+    )
+    n_bad = bad.count()
+    if n_bad != 3:  # the quarantine leg must witness all three plants
+        raise AssertionError(f"expected 3 quarantined lines, got {n_bad}")
+    docs = good.select("doc_id", "text")
+    # exact duplicates planted under offset ids (the curation_pipeline
+    # convention) so the dedup stage is non-vacuous on this fixture
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    # held-out benchmark stand-in (the decontaminate entry's convention)
+    eval_df = corpus.filter(F.col("doc_id") % 97 == 1)
+    audited = curate(
+        corpus.filter(F.col("doc_id") % 97 != 1),
+        keep_languages=("en",),
+        min_quality=0.8725,
+        eval_df=eval_df,
+        contamination_ngram_words=5,
+        dedup="exact",
+        audit=True,
+    )
+    survivors = audited.filter(F.col("kept")).select("doc_id", "text")
+    manifest = tokenize_and_pack(
+        survivors, vocab_merges=16, budget=1024, shards=8
+    )
+    return (
+        audited.select("doc_id", "kept", "drop_reason")
+        .join(manifest, "doc_id", "left")
+        .withColumn(
+            "drop_reason",
+            F.coalesce(
+                F.col("drop_reason"),
+                F.when(F.col("shard").isNull(), F.lit("over_budget")),
+            ),
+        )
+        .withColumn("kept", F.col("shard").isNotNull())
     )
 
 
