@@ -161,7 +161,9 @@ def oracle_sql() -> dict[str, str]:
     oracle-checked via
     ngram_jaccard_pairs / knn_cosine — and note embedding_dedup and
     knn_ivf ARE oracle-checked since round 2: exact all-pairs mode and
-    full-probe mode respectively), approx_stats and group_distinct_approx
+    full-probe mode respectively; image_dedup is the r12 image leg --
+    pHash + xxhash banding + Python PNG decode, planted-recall
+    pytest-pinned in test_image_dedup.py), approx_stats and group_distinct_approx
     (sketch results are
     engine-specific by definition; exact counterparts oracle-checked via
     group_distinct / percentiles, and the approx variant's error bound vs

@@ -92,6 +92,61 @@ def _multimodal_resize(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@_register("image_dedup")
+def _image_dedup(spark, sf_dir):
+    """Perceptual image dedup (r12 — operators/multimodal.py image_dedup):
+    pHash fingerprints (stdlib PNG decode -> luma -> 32x32 box-mean ->
+    DCT-II -> median-thresholded low-frequency block) -> hamming-band LSH
+    candidates (the SAME fingerprint_band_pairs banding as the simhash
+    text leg) -> exact JVM-side Hamming verify. The fixture synthesizes
+    photo-like smooth random-field PNGs from the first 36 doc ids and
+    plants a perturbed near-duplicate for every third — recall over the
+    plants and zero false positives are pytest-pinned
+    (tests/test_image_dedup.py). Rows-only: xxhash64 banding + Python
+    decode, the dedup_simhash rationale."""
+    import numpy as np
+
+    from mortar_parquet_support_spark.operators.imaging import encode_png
+    from mortar_parquet_support_spark.operators.multimodal import image_dedup
+
+    h, w = 48, 64
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(36).collect()
+    ]
+
+    def base(i):
+        rng = np.random.default_rng(1000 + i)
+        coarse = rng.uniform(0, 255, (6, 8))
+        ys, xs = np.linspace(0, 5, h), np.linspace(0, 7, w)
+        y0 = np.floor(ys).astype(int).clip(0, 4)
+        x0 = np.floor(xs).astype(int).clip(0, 6)
+        fy, fx = (ys - y0)[:, None], (xs - x0)[None, :]
+        out = (
+            coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+            + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+            + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+            + coarse[y0 + 1][:, x0 + 1] * fy * fx
+        )
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    rows = []
+    for n, i in enumerate(ids):
+        img = base(i)
+        rows.append((f"img{i}", bytearray(encode_png(img.tobytes(), w, h, 1))))
+        if n % 3 == 0:  # planted perceptual near-duplicate
+            pert = img.astype(int)
+            pert[5:9, 5:9] += 12
+            pert += np.random.default_rng(i).integers(-3, 4, pert.shape)
+            pert = np.clip(pert, 0, 255).astype(np.uint8)
+            rows.append(
+                (f"img{i}_copy", bytearray(encode_png(pert.tobytes(), w, h, 1)))
+            )
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    return image_dedup(media, max_distance=6).orderBy("media_id_a", "media_id_b")
+
+
 @_register(
     "curation_pipeline",
     """

@@ -559,19 +559,22 @@ def simhash(
     return out
 
 
-def simhash_dedup(
+def fingerprint_band_pairs(
     df: DataFrame,
     *,
     id_col: str,
-    text_col: str,
+    fp_col: str,
     band_bits: int = 16,
-    seed: int = 42,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash banding: split the 64-bit fingerprint
-    into 64/band_bits bands; docs sharing any band are candidates (with
-    n bands, covers all pairs within Hamming distance n-1). Returns
-    (id_a, id_b, simhash_a/b)."""
+    """Hamming-band LSH over ANY 64-bit fingerprint column: split the
+    fingerprint into 64/band_bits bands; rows sharing any band are
+    candidate pairs (with n bands, covers ALL pairs within Hamming
+    distance n-1 — pigeonhole: n-1 differing bits cannot touch every
+    band). Shared by the text leg (:func:`simhash_dedup`) and the image
+    leg (multimodal.image_dedup over pHash, round 12). Returns
+    (id_a, id_b, fp_a, fp_b); candidate generation is an equi-join on
+    (band, key), never all-pairs."""
     # a band_bits that does not divide 64 would silently ignore the high
     # 64 % band_bits fingerprint bits — pairs differing only there would be
     # missed with no error, voiding the Hamming-coverage guarantee
@@ -581,23 +584,13 @@ def simhash_dedup(
             "fingerprint exactly"
         )
     n_bands = 64 // band_bits
-    fp = simhash(F.col(text_col), seed=seed)
-    # NULL or empty/whitespace text yields THE SAME fingerprint for every
-    # such doc (all word hashes absent; identical votes) — without this
-    # guard a corpus with N null/empty documents reports O(N^2) pairs and
-    # resolve_duplicates deletes all but one. Same contract as
-    # minhash_signatures: content-free text never participates in near-dup
-    # candidacy (route it through exact_dedup).
-    with_fp = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(F.col(id_col).alias("id"), fp.alias("fp"))
-    banded = with_fp.select(
-        "id",
-        "fp",
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("fp"), b * band_bits).bitwiseAND(
+                    F.shiftrightunsigned(F.col(fp_col), b * band_bits).bitwiseAND(
                         F.lit((1 << band_bits) - 1)
                     )
                     for b in range(n_bands)
@@ -608,7 +601,7 @@ def simhash_dedup(
     # same barrier as _banded_frame: both self-join legs consume the
     # fingerprint frame, and when AQE broadcasts one side the
     # BroadcastExchange cannot reuse the other side's exchange — without
-    # the cut the 64-fold bit-vote fingerprint computes TWICE
+    # the cut the upstream fingerprint computation runs TWICE
     banded = materialize(banded, checkpoint_dir=checkpoint_dir)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -621,10 +614,48 @@ def simhash_dedup(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("simhash_a"),
-            F.col("b.fp").alias("simhash_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    band_bits: int = 16,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: split the 64-bit fingerprint
+    into 64/band_bits bands; docs sharing any band are candidates (with
+    n bands, covers all pairs within Hamming distance n-1). Returns
+    (id_a, id_b, simhash_a/b). Banding/join via
+    :func:`fingerprint_band_pairs` (shared with the image-pHash leg)."""
+    fp = simhash(F.col(text_col), seed=seed)
+    # NULL or empty/whitespace text yields THE SAME fingerprint for every
+    # such doc (all word hashes absent; identical votes) — without this
+    # guard a corpus with N null/empty documents reports O(N^2) pairs and
+    # resolve_duplicates deletes all but one. Same contract as
+    # minhash_signatures: content-free text never participates in near-dup
+    # candidacy (route it through exact_dedup).
+    with_fp = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("id"), fp.alias("fp"))
+    return fingerprint_band_pairs(
+        with_fp,
+        id_col="id",
+        fp_col="fp",
+        band_bits=band_bits,
+        checkpoint_dir=checkpoint_dir,
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("fp_a").alias("simhash_a"),
+        F.col("fp_b").alias("simhash_b"),
     )
 
 

@@ -333,3 +333,105 @@ def resize_images(
     return df.select("media_id", "content", "meta").mapInPandas(
         batches, MEDIA_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (round 12): pHash + hamming-band LSH
+# ---------------------------------------------------------------------------
+
+def phash_images(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """64-bit perceptual hash per image (operators/imaging.phash64:
+    luma -> 32x32 box-mean -> DCT-II -> median-thresholded 8x8
+    low-frequency block), Arrow-batched via ``mapInPandas`` — the decode
+    is intentionally Python (the multimodal module contract), everything
+    downstream of the hash is JVM-side. Returns (``id_col``, phash long).
+
+    NULL-content rows are dropped (a content-free image cannot have a
+    perceptual identity — the simhash empty-text convention: route such
+    rows through exact metadata dedup instead). Non-PNG bytes raise the
+    module's documented ``NotImplementedError`` — silently hashing
+    undecoded bytes would put garbage fingerprints in the same column
+    with no marker."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mortar_parquet_support_spark.operators.imaging import phash64
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    hashes.append(phash64(bytes(content)))
+                except ValueError as exc:
+                    raise NotImplementedError(
+                        "phash_images decodes PNG only (stdlib codec); "
+                        f"row {mid!r}: {exc}. Filter to PNG images first."
+                    ) from exc
+                ids.append(mid)
+            yield pd.DataFrame({"id": ids, "phash": pd.Series(hashes, dtype="int64")})
+
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(content_col).alias("content"),
+        )
+        .mapInPandas(batches, out_schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def image_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    band_bits: int = 16,
+    max_distance: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: pHash fingerprints ->
+    hamming-band LSH candidates (dedup.fingerprint_band_pairs — the
+    SAME banding the simhash text leg uses; with 64/band_bits bands,
+    every pair within Hamming distance 64/band_bits - 1 is guaranteed
+    caught) -> exact Hamming verify JVM-side (``bit_count(xor)``),
+    keeping pairs at most ``max_distance`` bits apart. Returns
+    (id_a, id_b, hamming) — feed to dedup.resolve_duplicates to pick
+    cluster representatives, exactly like the text legs.
+
+    Scale shape: one Python decode pass for the 64-bit hashes (8 bytes a
+    row no matter the image size), then the equi-join candidate pipeline
+    — never all-pairs, no image bytes ever shuffle."""
+    hashes = phash_images(df, id_col=id_col, content_col=content_col)
+    from mortar_parquet_support_spark.operators.dedup import fingerprint_band_pairs
+
+    cand = fingerprint_band_pairs(
+        hashes,
+        id_col=id_col,
+        fp_col="phash",
+        band_bits=band_bits,
+        checkpoint_dir=checkpoint_dir,
+    )
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            "hamming",
+        )
+    )
