@@ -244,3 +244,19 @@ def zorder_key(
         # width_bucket is 1-based and clamps out-of-range to 0/n+1
         bucketed.append(F.greatest(F.least(b - 1, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
     return interleave_bits(bucketed, bits=bits)
+
+
+def tiny_frame(spark, rows, schema):
+    """Single-partition DataFrame from a small driver-side row list.
+
+    ``spark.createDataFrame(rows, schema)`` scatters even a 1-row list
+    across ``defaultParallelism`` Python-RDD partitions (32 here), and a
+    following ``coalesce(1)`` — the natural move before writing a tiny
+    model/report file — then pulls all 32 through ONE task's serial
+    Python-worker round-trips: measured 3-6 s for one row where the same
+    write off a single-partition source takes ~0.2 s (round 12, found by
+    the streaming cadence bench). Building the frame on a 1-slice RDD
+    gives one round-trip and one output file with no coalesce needed.
+    Driver-built model/report rows ONLY — anything data-sized must come
+    from a distributed plan, never a Python list."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -73,11 +73,14 @@ class PcaModel:
         """One-row parquet (any Hadoop FS the session can write — same
         portability judgment as DigestIndex meta)."""
         flat = [float(v) for row in self.components for v in row]
-        spark.createDataFrame(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(
+            spark,
             [(list(self.mean), flat, list(self.explained_variance), self.k)],
             "mean array<double>, components_flat array<double>, "
             "explained_variance array<double>, k int",
-        ).coalesce(1).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(path)
 
     @classmethod
     def load(cls, spark, path: str) -> "PcaModel":

@@ -204,10 +204,13 @@ class DigestIndex:
         )
         # Meta as a 1-row parquet (not a driver-local json): works on any
         # Hadoop filesystem the session can write, e.g. s3a:// lakes.
-        spark.createDataFrame(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(
+            spark,
             [(n_shards, m, n_hashes)],
             "n_shards int, m_per_shard long, n_hashes int",
-        ).coalesce(1).write.mode("errorifexists").parquet(idx._p(_META))
+        ).write.mode("errorifexists").parquet(idx._p(_META))
         return idx
 
     @classmethod
@@ -444,11 +447,14 @@ class MinHashIndex:
         idx = cls(spark, path, num_perm=num_perm, bands=bands,
                   shingle_words=shingle_words, seed=seed,
                   n_bucket_shards=n_bucket_shards)
-        spark.createDataFrame(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(
+            spark,
             [(num_perm, bands, shingle_words, seed, n_bucket_shards)],
             "num_perm int, bands int, shingle_words int, seed int, "
             "n_bucket_shards int",
-        ).coalesce(1).write.mode("errorifexists").parquet(idx._p(_META))
+        ).write.mode("errorifexists").parquet(idx._p(_META))
         return idx
 
     @classmethod

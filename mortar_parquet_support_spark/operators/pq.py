@@ -509,12 +509,14 @@ class PqIndex:
             for mi, book in enumerate(self.books)
             for j, cent in enumerate(book)
         ]
-        spark.createDataFrame(
-            rows, "sub: int, code: int, centroid: array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(root + "/books")
-        spark.createDataFrame(
-            [(len(self.books), len(self.books[0]))], "m: int, ksub: int"
-        ).coalesce(1).write.mode("overwrite").parquet(root + "/meta")
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(
+            spark, rows, "sub: int, code: int, centroid: array<double>"
+        ).write.mode("overwrite").parquet(root + "/books")
+        tiny_frame(
+            spark, [(len(self.books), len(self.books[0]))], "m: int, ksub: int"
+        ).write.mode("overwrite").parquet(root + "/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "PqIndex":

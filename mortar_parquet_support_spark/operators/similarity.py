@@ -1164,9 +1164,11 @@ class LshIndex:
             .partitionBy("bucket_p")
             .parquet(root + "/bucketed")
         )
-        spark.createDataFrame(
-            [(self.n_planes, self.seed)], "n_planes: int, seed: int"
-        ).coalesce(1).write.mode("overwrite").parquet(root + "/meta")
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(
+            spark, [(self.n_planes, self.seed)], "n_planes: int, seed: int"
+        ).write.mode("overwrite").parquet(root + "/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "LshIndex":

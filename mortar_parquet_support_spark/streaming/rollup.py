@@ -48,25 +48,42 @@ def windowed_rollup_stream(
     )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str):
+def _events_stream(
+    spark: SparkSession, sf_dir: str, *, reader_options: "dict | None" = None
+):
     """File stream over the events parquet with the same ts normalization
     as the batch loader (tables.load_table): INT64-nanos fixtures are
     rebuilt as µs timestamps; µs-timestamp fixtures pass through.
+
+    Handles BOTH fixture layouts (r12 fix): the driver testdata ships
+    ``events.parquet`` as a single FILE (matched via pathGlobFilter on the
+    parent dir), while tools/gen_sf.py fixtures write it as a DIRECTORY of
+    part files — the old glob matched nothing there and the stream
+    silently read ZERO rows. ``reader_options`` passes file-source options
+    through (e.g. ``maxFilesPerTrigger`` for the micro-batch cadence
+    bench, tools/bench_streaming.py).
 
     Event-time REQUIREMENT: ``withWatermark`` / event-time state only accept
     TIMESTAMP (with local tz), never TIMESTAMP_NTZ — so whatever the fixture
     encoding, ``ts`` is cast to ``timestamp`` here. The session runs in UTC
     (session.py), which makes the NTZ->LTZ cast value-preserving, and every
     batch-vs-stream equivalence (and the DuckDB oracle) agrees."""
+    import os
+
     from ..tables import read_events_raw
 
     batch = read_events_raw(spark, sf_dir)
-    raw = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(batch.schema).format("parquet")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(events_path):
+        reader = reader.option("pathGlobFilter", "*.parquet")
+        load_path = events_path
+    else:
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        load_path = sf_dir
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(load_path)
     if dict(batch.dtypes)["ts"] in ("bigint", "long"):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     # NTZ (or anything else) -> event-time-capable TIMESTAMP; no-op when the
@@ -647,7 +664,13 @@ def stream_heavy_hitters(
             summary = summary.unionByName(prev)
         merged = mg_reaggregate(summary, group_cols=keys)
         rows = merged.collect()  # <= keys x k rows by construction
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        # single-slice driver frame, NOT createDataFrame(...).coalesce(1):
+        # the coalesce pulls 32 python-RDD partitions through one task's
+        # serial worker round-trips, ~3-6 s per micro-batch for <= keys x k
+        # rows (measured, tools/bench_streaming.py r12)
+        tiny_frame(spark, rows, merged.schema).write.mode(
             "overwrite"
         ).parquet(state_path)
 
@@ -752,10 +775,14 @@ def stream_drift_monitor(
                 q_s = q_r if q_r > 0 else epsilon
                 psi += (p_s - q_s) * math.log(p_s / q_s)
             psi = _round_half_up(psi, round_to)
-        spark.createDataFrame(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        # single-slice frame, not coalesce(1) — see stream_heavy_hitters
+        tiny_frame(
+            spark,
             [(int(batch_id), psi, int(n))],
             "batch_id long, psi double, n long",
-        ).coalesce(1).write.mode("append").parquet(out_path)
+        ).write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(_process)
 
@@ -919,20 +946,31 @@ def stream_drift_monitor_by(
                 psi += (p_s - q_s) * math.log(p_s / q_s)
             rows.append((int(batch_id), k, _round_half_up(psi, round_to), n))
         if rows:
-            spark.createDataFrame(
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            # single-slice frame, not coalesce(1) — see stream_heavy_hitters
+            tiny_frame(
+                spark,
                 rows,
                 f"batch_id long, `{key}` {key_type}, psi double, n long",
-            ).coalesce(1).write.mode("append").parquet(out_path)
+            ).write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(_process)
 
 
-def stream_drift_by_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_drift_by_once(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    reader_options: "dict | None" = None,
+) -> DataFrame:
     """Drive the per-key streaming drift monitor over the events stream
     (availableNow) against per-event_type frozen grids computed from the
     first half of the table (event_id below the median — the same
     'yesterday's snapshot' recipe as stream_drift_once), and return the
-    per-(batch, event_type) PSI rows."""
+    per-(batch, event_type) PSI rows. ``reader_options`` feeds the file
+    source (the cadence bench passes maxFilesPerTrigger to force many
+    micro-batches)."""
     import tempfile
 
     from mortar_parquet_support_spark.tables import read_events_raw
@@ -977,7 +1015,7 @@ def stream_drift_by_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="mortar_driftby_ckpt_")
     q = (
         stream_drift_monitor_by(
-            _events_stream(spark, sf_dir).filter(
+            _events_stream(spark, sf_dir, reader_options=reader_options).filter(
                 F.col("event_type").isNotNull()
             ),
             key="event_type",
@@ -1045,15 +1083,30 @@ def stream_validate_gate(
             F.col("rule"),
             F.col("n_violations").cast("long").alias("n_violations"),
         )
-        out.coalesce(1).write.mode("append").parquet(out_path)
+        # the report is rules-count rows by contract: land it as ONE
+        # driver-built single-slice frame (one file, one task) instead of
+        # a coalesce(1) pull of every report partition
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(
+            batch_df.sparkSession,
+            [(r["batch_id"], r["rule"], r["n_violations"]) for r in out.collect()],
+            "batch_id long, rule string, n_violations long",
+        ).write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(_process)
 
 
-def stream_validate_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_validate_once(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    reader_options: "dict | None" = None,
+) -> DataFrame:
     """Drive the streaming expectations gate over the events stream
     (availableNow) with three representative rules and return the
-    per-(batch, rule) violation counts."""
+    per-(batch, rule) violation counts. ``reader_options`` feeds the file
+    source (the cadence bench passes maxFilesPerTrigger)."""
     import tempfile
 
     rules = [
@@ -1070,7 +1123,9 @@ def stream_validate_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="mortar_svalid_ckpt_")
     q = (
         stream_validate_gate(
-            _events_stream(spark, sf_dir), rules=rules, out_path=out_dir
+            _events_stream(spark, sf_dir, reader_options=reader_options),
+            rules=rules,
+            out_path=out_dir,
         )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
