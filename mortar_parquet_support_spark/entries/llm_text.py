@@ -92,6 +92,43 @@ def _multimodal_resize(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _smooth_field_image(seed: int, h: int = 48, w: int = 64):
+    """Photo-like fixture image: bilinear upsample of a seeded 6x8 coarse
+    random grid — rich signal in EVERY low-frequency DCT coefficient, the
+    regime pHash is built for (a sinusoid fixture concentrates energy in
+    a few frequencies and leaves the rest hovering at the hash's median,
+    where noise flips bits). The ONE shared generator for the image_dedup
+    entry and tests/test_image_dedup.py, so the pytest pin covers the
+    entry's actual fixture recipe (review r12)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + seed)
+    coarse = rng.uniform(0, 255, (6, 8))
+    ys, xs = np.linspace(0, 5, h), np.linspace(0, 7, w)
+    y0 = np.floor(ys).astype(int).clip(0, 4)
+    x0 = np.floor(xs).astype(int).clip(0, 6)
+    fy, fx = (ys - y0)[:, None], (xs - x0)[None, :]
+    out = (
+        coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+        + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+        + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+        + coarse[y0 + 1][:, x0 + 1] * fy * fx
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _perturb_image(img, seed: int):
+    """Planted near-duplicate recipe shared with the test: a local edit
+    (a +12 patch) plus mild global noise — lands within a few pHash bits
+    of the source, the regime image_dedup must catch."""
+    import numpy as np
+
+    out = img.astype(int)
+    out[5:9, 5:9] += 12
+    out += np.random.default_rng(seed).integers(-3, 4, out.shape)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 @_register("image_dedup")
 def _image_dedup(spark, sf_dir):
     """Perceptual image dedup (r12 — operators/multimodal.py image_dedup):
@@ -104,8 +141,6 @@ def _image_dedup(spark, sf_dir):
     plants and zero false positives are pytest-pinned
     (tests/test_image_dedup.py). Rows-only: xxhash64 banding + Python
     decode, the dedup_simhash rationale."""
-    import numpy as np
-
     from mortar_parquet_support_spark.operators.imaging import encode_png
     from mortar_parquet_support_spark.operators.multimodal import image_dedup
 
@@ -115,31 +150,12 @@ def _image_dedup(spark, sf_dir):
         for r in _t(spark, sf_dir, "documents")
         .select("doc_id").orderBy("doc_id").limit(36).collect()
     ]
-
-    def base(i):
-        rng = np.random.default_rng(1000 + i)
-        coarse = rng.uniform(0, 255, (6, 8))
-        ys, xs = np.linspace(0, 5, h), np.linspace(0, 7, w)
-        y0 = np.floor(ys).astype(int).clip(0, 4)
-        x0 = np.floor(xs).astype(int).clip(0, 6)
-        fy, fx = (ys - y0)[:, None], (xs - x0)[None, :]
-        out = (
-            coarse[y0][:, x0] * (1 - fy) * (1 - fx)
-            + coarse[y0][:, x0 + 1] * (1 - fy) * fx
-            + coarse[y0 + 1][:, x0] * fy * (1 - fx)
-            + coarse[y0 + 1][:, x0 + 1] * fy * fx
-        )
-        return np.clip(out, 0, 255).astype(np.uint8)
-
     rows = []
     for n, i in enumerate(ids):
-        img = base(i)
+        img = _smooth_field_image(i, h, w)
         rows.append((f"img{i}", bytearray(encode_png(img.tobytes(), w, h, 1))))
         if n % 3 == 0:  # planted perceptual near-duplicate
-            pert = img.astype(int)
-            pert[5:9, 5:9] += 12
-            pert += np.random.default_rng(i).integers(-3, 4, pert.shape)
-            pert = np.clip(pert, 0, 255).astype(np.uint8)
+            pert = _perturb_image(img, i)
             rows.append(
                 (f"img{i}_copy", bytearray(encode_png(pert.tobytes(), w, h, 1)))
             )

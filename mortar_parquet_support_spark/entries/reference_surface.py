@@ -48,9 +48,6 @@ from ._registry import (
 import os as _os
 import tempfile as _tempfile
 
-_SPARQL_ORACLE_DIR = _os.path.join(
-    _tempfile.gettempdir(), f"mortar_sparql_oracle_{_os.getpid()}"
-)
 _ONTOLOGY_PATH = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     "resources",
@@ -135,6 +132,29 @@ def _bridge_site_ttl(site: str, n_vav: int) -> str:
     return "\n".join(lines)
 
 
+def _sparql_fixture_fingerprint() -> str:
+    """Content fingerprint of everything the export depends on (both
+    site TTLs + the shipped ontology). The export dir is keyed on it —
+    NOT on the pid (review r12: a pid-keyed path broke any harness that
+    replays oracle_sql() in a different process than the entry, and
+    accumulated one dir per process) — so the path is stable across
+    processes, changes exactly when the fixture changes, and concurrent
+    sessions write byte-identical content."""
+    import hashlib
+
+    with open(_ONTOLOGY_PATH, "rb") as fh:
+        onto = fh.read()
+    blob = (
+        _bridge_site_ttl("siteA", 8) + _bridge_site_ttl("siteB", 3)
+    ).encode() + onto
+    return hashlib.md5(blob).hexdigest()[:12]
+
+
+_SPARQL_ORACLE_DIR = _os.path.join(
+    _tempfile.gettempdir(),
+    f"mortar_sparql_oracle_{_sparql_fixture_fingerprint()}",
+)
+
 _SPARQL_BRIDGES_ORACLE = f"""
     WITH RECURSIVE t AS (
       SELECT site, subject, predicate, object
@@ -199,15 +219,25 @@ def _sparql_bridges(spark, sf_dir):
     from mortar_parquet_support_spark.client import Client
     from mortar_parquet_support_spark.sources.ttl import TRIPLES_SCHEMA, parse_ttl
 
+    from mortar_parquet_support_spark.functions import tiny_frame
+
     rows = parse_ttl(_bridge_site_ttl("siteA", 8), "siteA") + parse_ttl(
         _bridge_site_ttl("siteB", 3), "siteB"
     )
     triples = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
     client = Client(spark, triples=triples, ontology_path=_ONTOLOGY_PATH)
-    # one small fixture write per invocation; coalesce(1) keeps the export
-    # a single file (the oracle's read_parquet glob is indifferent, this
-    # just avoids 32 tiny part files)
-    client.triples.coalesce(1).write.mode("overwrite").parquet(_SPARQL_ORACLE_DIR)
+    # export once per fixture version: the dir is content-fingerprinted
+    # and the write is deterministic, so an existing _SUCCESS means the
+    # bytes are already right — skipping avoids the overwrite's
+    # delete-then-write window racing a concurrent session's oracle read.
+    # tiny_frame (single-slice), not coalesce(1): the coalesce pulled all
+    # 32 python-RDD slices through one task serially (review r12).
+    if not _os.path.exists(_os.path.join(_SPARQL_ORACLE_DIR, "_SUCCESS")):
+        tiny_frame(
+            spark,
+            [tuple(r) for r in client.triples.collect()],
+            client.triples.schema,
+        ).write.mode("overwrite").parquet(_SPARQL_ORACLE_DIR)
     return client.sparql(_QUERY1, sites=["siteA", "siteB"])
 
 

@@ -183,15 +183,21 @@ def resize_nearest(
 def _meanpool(gray, th: int, tw: int):
     """Box-mean resample of a 2D float array to (th, tw). Every source
     pixel contributes to exactly one target cell (bincount-accumulated —
-    one vectorized pass, no per-pixel Python); images smaller than the
-    target upsample by nearest-neighbor index expansion instead."""
+    one vectorized pass, no per-pixel Python). An axis SMALLER than its
+    target is first expanded by nearest-neighbor index repetition — per
+    axis independently (review r12: the old whole-image fallback
+    nearest-SAMPLED the large axis of an extreme aspect ratio, e.g. a
+    16x1000 banner, keeping ~1 column in 31 and making the hash
+    noise-fragile there), so the large axis always box-means."""
     import numpy as np
 
     h, w = gray.shape
-    if h < th or w < tw:
-        ys = (np.arange(th) * h) // th
-        xs = (np.arange(tw) * w) // tw
-        return gray[ys][:, xs]
+    if h < th:
+        gray = gray[(np.arange(th) * h) // th]
+        h = th
+    if w < tw:
+        gray = gray[:, (np.arange(tw) * w) // tw]
+        w = tw
     ri = (np.arange(h) * th) // h
     ci = (np.arange(w) * tw) // w
     cell = (ri[:, None] * tw + ci[None, :]).ravel()

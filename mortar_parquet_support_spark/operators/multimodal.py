@@ -397,7 +397,7 @@ def image_dedup(
     *,
     id_col: str = "media_id",
     content_col: str = "content",
-    band_bits: int = 16,
+    band_bits: int = 8,
     max_distance: int = 6,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -410,9 +410,25 @@ def image_dedup(
     (id_a, id_b, hamming) — feed to dedup.resolve_duplicates to pick
     cluster representatives, exactly like the text legs.
 
+    The defaults are CONSISTENT by construction (review r12): 8 bands
+    of 8 bits guarantee every pair within Hamming 7 >= max_distance=6
+    becomes a candidate, so the output genuinely is "all pairs at most
+    max_distance apart". Raising band_bits trades that guarantee for a
+    cheaper explode; the function REJECTS a combination whose guarantee
+    falls below max_distance rather than silently missing pairs in the
+    gap.
+
     Scale shape: one Python decode pass for the 64-bit hashes (8 bytes a
     row no matter the image size), then the equi-join candidate pipeline
     — never all-pairs, no image bytes ever shuffle."""
+    if 64 // band_bits - 1 < max_distance:
+        raise ValueError(
+            f"band_bits={band_bits} gives {64 // band_bits} bands, "
+            f"guaranteeing candidates only within Hamming "
+            f"{64 // band_bits - 1} — below max_distance={max_distance}; "
+            "pairs in the gap would be silently missed. Lower band_bits "
+            "or max_distance."
+        )
     hashes = phash_images(df, id_col=id_col, content_col=content_col)
     from mortar_parquet_support_spark.operators.dedup import fingerprint_band_pairs
 

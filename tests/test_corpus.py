@@ -88,12 +88,12 @@ def test_jsonl_type_mismatch_quarantines_raw_line(spark, tmp_path):
 
 
 def test_jsonl_scan_entry_plan_and_quarantine(spark):
-    """The r12 jsonl_scan entry: ONE text scan feeds the whole good-leg
-    aggregate (the schema-required single-pass design claim, now
-    plan-asserted), and the three planted corrupt lines (unparseable /
-    type-mismatch / bare null) all land in quarantine — witnessed by the
-    entry's own internal assertion plus the rollup matching the source
-    parquet exactly."""
+    """The r12 jsonl_scan entry: ONE text scan feeds the whole rollup —
+    including the quarantine witness, which rides the same aggregate
+    under the '__quarantined__' key (review r12 killed the separate
+    bad.count() second parse) — and the three planted corrupt lines
+    (unparseable / type-mismatch / bare null) appear there with NULL
+    chars while the per-source rows match the source parquet exactly."""
     from mortar_parquet_support_spark.entries.rowsonly import _jsonl_scan
     from mortar_parquet_support_spark.tables import load_table
 
@@ -114,4 +114,5 @@ def test_jsonl_scan_entry_plan_and_quarantine(spark):
         )
         .collect()
     }
-    assert got == exp and len(got) > 0
+    exp.add(("__quarantined__", 3, None))
+    assert got == exp and len(got) > 1

@@ -2,16 +2,22 @@
 (operators/imaging.phash64, operators/multimodal.phash_images /
 image_dedup, operators/dedup.fingerprint_band_pairs).
 
-Fixture images are smooth random low-frequency fields (bilinear
-upsample of a seeded coarse grid) — photo-like spectra where every
-DCT-block coefficient carries signal, the regime pHash is built for.
-Planted near-duplicates (local edit + mild noise) must land within a
-few Hamming bits; unrelated images tens of bits apart."""
+Fixture images come from the SAME generator the image_dedup entry uses
+(entries/llm_text._smooth_field_image / _perturb_image — review r12:
+the pin must cover the entry's actual fixture recipe): smooth random
+low-frequency fields with photo-like spectra where every DCT-block
+coefficient carries signal, the regime pHash is built for. Planted
+near-duplicates (local edit + mild noise) must land within a few
+Hamming bits; unrelated images tens of bits apart."""
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from mortar_parquet_support_spark.entries.llm_text import (
+    _perturb_image,
+    _smooth_field_image,
+)
 from mortar_parquet_support_spark.operators.imaging import encode_png, phash64
 from mortar_parquet_support_spark.operators.multimodal import (
     image_dedup,
@@ -22,29 +28,11 @@ H, W = 48, 64
 
 
 def _base_image(i: int) -> np.ndarray:
-    rng = np.random.default_rng(1000 + i)
-    coarse = rng.uniform(0, 255, (6, 8))
-    ys = np.linspace(0, 5, H)
-    xs = np.linspace(0, 7, W)
-    y0 = np.floor(ys).astype(int).clip(0, 4)
-    x0 = np.floor(xs).astype(int).clip(0, 6)
-    fy = (ys - y0)[:, None]
-    fx = (xs - x0)[None, :]
-    c00 = coarse[y0][:, x0]
-    c01 = coarse[y0][:, x0 + 1]
-    c10 = coarse[y0 + 1][:, x0]
-    c11 = coarse[y0 + 1][:, x0 + 1]
-    out = c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx \
-        + c10 * fy * (1 - fx) + c11 * fy * fx
-    return np.clip(out, 0, 255).astype(np.uint8)
+    return _smooth_field_image(i, H, W)
 
 
 def _perturb(img: np.ndarray, seed: int) -> np.ndarray:
-    out = img.astype(int)
-    out[5:9, 5:9] += 12  # local edit
-    rng = np.random.default_rng(seed)
-    out += rng.integers(-3, 4, out.shape)  # mild global noise
-    return np.clip(out, 0, 255).astype(np.uint8)
+    return _perturb_image(img, seed)
 
 
 def _png(arr: np.ndarray) -> bytearray:
@@ -149,3 +137,14 @@ def test_fingerprint_band_pairs_hamming_guarantee(spark):
     }
     for dist, _ in flips:
         assert ("d0", f"d{dist}") in pairs or (f"d{dist}", "d0") in pairs
+
+
+def test_image_dedup_rejects_lossy_band_combo(media):
+    """band_bits/max_distance combinations whose pigeonhole guarantee
+    falls below max_distance must be rejected, not silently lossy
+    (review r12: the old default 16/6 missed true pairs at distance
+    4-6 whose differing bits spanned all four bands)."""
+    with pytest.raises(ValueError, match="band_bits"):
+        image_dedup(media, band_bits=16, max_distance=6)
+    with pytest.raises(ValueError, match="band_bits"):
+        image_dedup(media, band_bits=32, max_distance=2)
