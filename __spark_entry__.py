@@ -119,8 +119,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted on purpose (rows-only checks, with why):
-    dedup_minhash / dedup_simhash / knn_lsh / incremental_neardedup
-    (xxhash64 signatures/seeding have no DuckDB equivalent), bpe_vocab
+    dedup_simhash / knn_lsh / incremental_neardedup
+    (xxhash64 signatures/seeding have no DuckDB equivalent, and their
+    OUTPUT carries the hash values / approximate sets themselves —
+    unlike dedup_minhash, whose verified exact-Jaccard output graduated
+    to a full inverted-index oracle in round 12 that doubles as a
+    per-round LSH recall witness), bpe_vocab
     (iterative argmax-update training is not SQL-expressible; train ==
     python reference and encode == sequential application are
     pytest-pinned in test_bpe.py), train_classifier (iterative full-batch

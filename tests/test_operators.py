@@ -410,6 +410,33 @@ def test_minhash_jaccard_exact_on_identical(spark):
     assert len(rows) == 1 and rows[0].jaccard == 1.0
 
 
+def test_minhash_dedup_matches_exact_pairs_on_fixture(spark, sf_dir):
+    """The dedup_minhash ENTRY config (num_perm=64, bands=16, threshold
+    0.5) must reproduce the brute-force exact-Jaccard pair set on the
+    fixture corpus — the recall-1.0 property the entry's r12 DuckDB
+    oracle promotion turns into a per-round witness (a banded-LSH miss
+    would show up as an oracle hash mismatch; this pins the same
+    contract in CI at sf0.001)."""
+    from mortar_parquet_support_spark.functions import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lsh = dedup.minhash_dedup(docs, id_col="doc_id", text_col="text", threshold=0.5)
+    got = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in lsh.collect()}
+
+    sh = docs.select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in exact.collect()}
+    assert got == want, (got - want, want - got)
+
+
 def test_simhash_dedup(spark):
     words = [f"word{i}" for i in range(60)]
     base = " ".join(words)
