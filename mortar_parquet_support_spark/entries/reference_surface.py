@@ -384,3 +384,183 @@ def _regex_extract_filter(spark, sf_dir):
 
 
 # ===========================================================================
+# Lake lifecycle (sources/maintenance.py) under full DuckDB oracles:
+# compaction and keyed upsert must preserve/produce EXACTLY the content an
+# independent engine derives from the source table — the maintenance ops'
+# side effects (file counts, layout) are asserted loudly in-entry, while
+# the surviving DATA is value-hashed against the oracle.
+# ===========================================================================
+
+
+def _events_lake_frame(spark, sf_dir):
+    """Deterministic lake-schema frame derived from the events table
+    (collection = site || user_id%2, uuid = event_type) — SQL-expressible
+    on purpose so maintenance round-trips can be oracle-checked. The %5
+    slice keeps the entry cheap; (collection, uuid, time) is collision-free
+    on the seed-42 fixtures at every SF (verified r12 — a future fixture
+    regen that breaks this shows up as an oracle hash mismatch, not a
+    silent wrong answer)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    return ev.select(
+        F.col("event_id"),
+        F.concat(F.lit("site"), (F.col("user_id") % 2).cast("string")).alias(
+            "collection"
+        ),
+        F.col("event_type").alias("uuid"),
+        F.col("ts").alias("time"),
+        F.col("value"),
+        F.col("event_type").alias("label"),
+        F.concat(F.lit("urn:"), F.col("event_type")).alias("uri"),
+    )
+
+
+_LAKE_AGG_SQL = """
+    SELECT collection, uuid, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value,
+           MIN(time) AS min_time, MAX(time) AS max_time
+    FROM {src} GROUP BY collection, uuid
+"""
+
+
+def _lake_agg(df):
+    """The Spark twin of _LAKE_AGG_SQL (decimal sum: associative, so the
+    two engines' reduction orders cannot diverge in the last bits)."""
+    return df.groupBy("collection", "uuid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+    )
+
+
+@_register(
+    "compact_roundtrip",
+    """
+    WITH lake AS (
+      SELECT 'site' || CAST(user_id % 2 AS VARCHAR) AS collection,
+             event_type AS uuid, ts AS time, value
+      FROM events WHERE event_id % 5 = 0
+    )
+    """
+    + _LAKE_AGG_SQL.format(src="lake"),
+)
+def _compact_roundtrip(spark, sf_dir):
+    """Small-file compaction round-trip (sources/maintenance.py
+    compact_collections): fragment a lake across four append passes,
+    compact it back to few range-clustered files, and prove BOTH halves
+    of the contract — the file count strictly drops (loud in-entry
+    assert, the side effect the op exists for) and the surviving rows
+    are bit-identical to what DuckDB derives straight from the events
+    table (the oracle: compaction may move bytes, never change them)."""
+    import glob
+    import os
+    import tempfile
+
+    from mortar_parquet_support_spark.sources.ingest import (
+        LAKE_COLUMNS,
+        write_lake,
+    )
+    from mortar_parquet_support_spark.sources.maintenance import (
+        compact_collections,
+    )
+
+    frame = _events_lake_frame(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mortar_compact_")
+    lake = os.path.join(work, "lake")
+    # four disjoint append passes = the incremental-ingest fragmentation
+    # pattern compaction exists to undo (>=1 file per collection per pass)
+    for part in range(4):
+        write_lake(
+            frame.filter(F.pmod("event_id", F.lit(4)) == part).select(
+                *LAKE_COLUMNS
+            ),
+            lake,
+        )
+    pattern = os.path.join(lake, "collection=*", "*.parquet")
+    files_before = len(glob.glob(pattern))
+    compact_collections(spark, lake)
+    files_after = len(glob.glob(pattern))
+    if not 0 < files_after < files_before:
+        raise AssertionError(
+            f"compaction must shrink the file count: {files_before} -> "
+            f"{files_after}"
+        )
+    return _lake_agg(spark.read.parquet(lake))
+
+
+@_register(
+    "upsert_roundtrip",
+    """
+    WITH base AS (
+      SELECT 'site' || CAST(user_id % 2 AS VARCHAR) AS collection,
+             event_type AS uuid, ts AS time, value
+      FROM events WHERE event_id % 5 = 0
+    ),
+    upd AS (
+      SELECT 'site' || CAST(user_id % 2 AS VARCHAR) AS collection,
+             event_type AS uuid, ts AS time, value + 100 AS value
+      FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT 'site' || CAST(user_id % 2 AS VARCHAR), event_type, ts, value
+      FROM events WHERE event_id % 5 = 3
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b WHERE NOT EXISTS (
+        SELECT 1 FROM upd u
+        WHERE u.collection = b.collection AND u.uuid = b.uuid
+          AND u.time = b.time)
+    )
+    """
+    + _LAKE_AGG_SQL.format(src="merged"),
+)
+def _upsert_roundtrip(spark, sf_dir):
+    """Keyed upsert round-trip (sources/maintenance.py upsert_lake):
+    corrections (+100 on every %10 stream reading, update-wins) and
+    late-arriving inserts (the disjoint %5==3 slice) merge into the lake;
+    DuckDB replays the merge as upd UNION ALL (base EXCEPT upd-keys) and
+    the result is value-hashed. Update-beats-base and insert-survives are
+    thereby both pinned; the within-batch tie-break path never fires here
+    (the updates batch is key-unique on these fixtures — divergence would
+    fail the hash compare, not silently pass)."""
+    import os
+    import tempfile
+
+    from mortar_parquet_support_spark.sources.ingest import (
+        LAKE_COLUMNS,
+        write_lake,
+    )
+    from mortar_parquet_support_spark.sources.maintenance import upsert_lake
+
+    frame = _events_lake_frame(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mortar_upsert_")
+    lake = os.path.join(work, "lake")
+    write_lake(frame.select(*LAKE_COLUMNS), lake)
+
+    ev = _t(spark, sf_dir, "events")
+    corrections = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.concat(F.lit("site"), (F.col("user_id") % 2).cast("string")).alias(
+            "collection"
+        ),
+        F.col("event_type").alias("uuid"),
+        F.col("ts").alias("time"),
+        (F.col("value") + 100).alias("value"),
+        F.col("event_type").alias("label"),
+        F.concat(F.lit("urn:"), F.col("event_type")).alias("uri"),
+    )
+    inserts = ev.filter(F.col("event_id") % 5 == 3).select(
+        F.concat(F.lit("site"), (F.col("user_id") % 2).cast("string")).alias(
+            "collection"
+        ),
+        F.col("event_type").alias("uuid"),
+        F.col("ts").alias("time"),
+        F.col("value"),
+        F.col("event_type").alias("label"),
+        F.concat(F.lit("urn:"), F.col("event_type")).alias("uri"),
+    )
+    upsert_lake(spark, lake, corrections.unionByName(inserts))
+    return _lake_agg(spark.read.parquet(lake))
