@@ -28,6 +28,8 @@ P1-P4, P9, O1 in SURVEY.md §2), re-designed for Spark's execution model:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -230,6 +232,8 @@ def write_lake(
     *,
     partition_uuid: bool = False,
     mode: str = "append",
+    bloom_cols: "Sequence[str]" = (),
+    bloom_ndv: int | None = None,
 ) -> None:
     """Write lake rows with the layout/sort discipline of SURVEY.md §4.
 
@@ -240,14 +244,46 @@ def write_lake(
       files, then sort by ``(uuid, time)`` within files. Row-group stats on
       the sorted ``uuid``/``time`` columns prune stream + time predicates
       without one directory per stream.
+
+    ``bloom_cols`` writes a parquet split-block Bloom filter per listed
+    column (parquet-mr write options; ``bloom_ndv`` sizes it — pass the
+    expected distinct count per ROW GROUP or the filter over- or
+    under-allocates). Use it for point-lookup columns OUTSIDE the sort
+    order (``label``, a secondary id): the sorted ``uuid``/``time``
+    columns already prune via row-group min/max, but an unsorted column's
+    stats span everything, and without a bloom a miss must decode the
+    dictionary pages of every row group — at 100 TB that is the
+    difference between a footer-only no and a full-scan no. Measured
+    locally (4M rows, md5 keys, absent-key probe): ~3% file-size cost,
+    point lookups ~20% faster even on SSD; the win grows with object-store
+    latency since skipped row groups are never fetched. Spark's reader
+    consumes the filters automatically (parquet-mr bloom read is on by
+    default). Caveat (measured r12): parquet-mr SKIPS the bloom for a
+    chunk it kept fully dictionary-encoded — low-cardinality or
+    duplicate-heavy columns get no filter (nor need one: readers already
+    answer point lookups exactly from the dictionary page). Presence is
+    therefore a per-file fact; verify with
+    :func:`~mortar_parquet_support_spark.sources.maintenance.parquet_bloom_columns`.
     """
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom_cols not in frame: {missing}")
     if partition_uuid:
         out = df.repartition("collection", "uuid").sortWithinPartitions("time")
         partition_cols = ["collection", "uuid"]
     else:
         out = df.repartitionByRange("collection", "uuid").sortWithinPartitions("uuid", "time")
         partition_cols = ["collection"]
-    out.write.mode(mode).partitionBy(*partition_cols).parquet(destination)
+    writer = out.write.mode(mode).partitionBy(*partition_cols)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if bloom_ndv is not None:
+            if bloom_ndv <= 0:
+                raise ValueError(f"bloom_ndv must be positive, got {bloom_ndv}")
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+            )
+    writer.parquet(destination)
 
 
 def stream_ingest(

@@ -52,12 +52,41 @@ def _lake_is_uuid_partitioned(spark: SparkSession, lake_root: str) -> bool:
     return True
 
 
+def parquet_bloom_columns(spark: SparkSession, file_path: str) -> dict:
+    """{column -> bloom filter present?} for one parquet file's first row
+    group, read off the footer via parquet-mr (PyArrow 16 does not expose
+    bloom offsets). The operational "did my lake actually get blooms?"
+    probe — write-side options are silently ignored by writers that don't
+    know them, so presence must be witnessed, not assumed."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(file_path)
+    input_file = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        path, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(input_file)
+    try:
+        blocks = reader.getFooter().getBlocks()
+        if blocks.size() == 0:
+            return {}
+        out = {}
+        cols = blocks.get(0).getColumns()
+        for i in range(cols.size()):
+            c = cols.get(i)
+            out[c.getPath().toDotString()] = c.getBloomFilterOffset() >= 0
+        return out
+    finally:
+        reader.close()
+
+
 def _dynamic_overwrite_lake(
     df: DataFrame,
     destination: str,
     *,
     partition_uuid: bool = False,
     checkpoint_dir: str | None = None,
+    bloom_cols: tuple = (),
+    bloom_ndv: int | None = None,
 ) -> None:
     """Rewrite only the collections present in ``df`` (dynamic partition
     overwrite), with the lake's clustering/sort discipline.
@@ -83,7 +112,10 @@ def _dynamic_overwrite_lake(
         # maintenance rewrites from the ingest layout on the next change
         from mortar_parquet_support_spark.sources.ingest import write_lake
 
-        write_lake(df, destination, partition_uuid=partition_uuid, mode="overwrite")
+        write_lake(
+            df, destination, partition_uuid=partition_uuid, mode="overwrite",
+            bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -95,6 +127,8 @@ def compact_collections(
     collections: list[str] | None = None,
     target_rows_per_file: int | None = None,
     checkpoint_dir: str | None = None,
+    bloom_cols: tuple = (),
+    bloom_ndv: int | None = None,
 ) -> None:
     """Rewrite ``collections`` (default: all) into few well-sorted files.
 
@@ -105,6 +139,12 @@ def compact_collections(
     checkpoint on shared storage, so a lost executor mid-overwrite can't
     force a lineage recompute that re-reads the lake path being rewritten
     (localCheckpoint blocks die with their executor).
+
+    ``bloom_cols``/``bloom_ndv`` re-apply parquet Bloom filters during the
+    rewrite (see ``write_lake``): parquet write options are per-WRITE, so
+    a compaction that omits them would silently strip the blooms an
+    ingest wrote — the maintenance op must re-state the lake's physical
+    contract, not just its rows.
     """
     if collections is not None and not collections:
         # an explicitly EMPTY selection is a no-op — falling through would
@@ -122,6 +162,7 @@ def compact_collections(
         _dynamic_overwrite_lake(
             df, lake_root, partition_uuid=layout_uuid,
             checkpoint_dir=checkpoint_dir,
+            bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
         )
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)

@@ -326,6 +326,71 @@ def test_compact_and_upsert(spark, tmp_path):
     assert sorted(glob.glob(f"{dest}/collection=bldg2/*.parquet")) == bldg2_files
 
 
+def test_write_lake_bloom_filters_witnessed_and_survive_compaction(
+    spark, tmp_path
+):
+    """``bloom_cols`` writes per-column parquet Bloom filters (witnessed
+    off the footer via parquet-mr — write options are silently ignored by
+    unaware writers, so presence must be PROVEN) and compaction must
+    re-state them: parquet options are per-write, so a compaction that
+    omits bloom_cols strips the blooms ingest wrote (asserted both ways —
+    the footgun the passthrough parameter exists for)."""
+    import glob
+
+    from mortar_parquet_support_spark.sources.ingest import write_lake
+    from mortar_parquet_support_spark.sources.maintenance import (
+        compact_collections,
+        parquet_bloom_columns,
+    )
+
+    # labels must be HIGH-cardinality: parquet-mr skips the bloom when a
+    # chunk is fully dictionary-encoded (the dictionary already answers
+    # point lookups exactly), so a 7-value label would witness nothing
+    rows = [
+        ("bldg1", f"{i:08x}-0000-0000-0000-000000000000",
+         f"2024-01-01 00:00:{i % 60:02d}", float(i), f"lbl/{i}",
+         f"urn:bldg1/lbl{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, ["collection", "uuid", "time", "value", "label", "uri"]
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    dest = str(tmp_path / "lake")
+    write_lake(df, dest, bloom_cols=("label",), bloom_ndv=200)
+
+    f = sorted(glob.glob(f"{dest}/collection=bldg1/*.parquet"))[0]
+    has = parquet_bloom_columns(spark, f)
+    assert has["label"] is True
+    assert has["value"] is False  # only the listed column pays the bytes
+
+    # default compaction strips the blooms (documented caveat) ...
+    # (the second append uses DISTINCT labels: a fully dictionary-encoded
+    # chunk gets no bloom from parquet-mr — duplicated labels would make
+    # the compacted chunk dict-only and witness nothing)
+    rows2 = [
+        ("bldg1", f"{i:08x}-0000-0000-0000-000000000000",
+         f"2024-01-01 00:01:{i % 60:02d}", float(i), f"lbl/{i + 200}",
+         f"urn:bldg1/lbl{i + 200}")
+        for i in range(200)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, ["collection", "uuid", "time", "value", "label", "uri"]
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    write_lake(df2, dest)  # second append so compaction has work to do
+    compact_collections(spark, dest)
+    f = sorted(glob.glob(f"{dest}/collection=bldg1/*.parquet"))[0]
+    assert parquet_bloom_columns(spark, f)["label"] is False
+    # ... and the passthrough re-states them
+    compact_collections(spark, dest, bloom_cols=("label",), bloom_ndv=400)
+    f = sorted(glob.glob(f"{dest}/collection=bldg1/*.parquet"))[0]
+    assert parquet_bloom_columns(spark, f)["label"] is True
+
+    with pytest.raises(ValueError, match="bloom_cols"):
+        write_lake(df, dest, bloom_cols=("nope",))
+    with pytest.raises(ValueError, match="bloom_ndv"):
+        write_lake(df, dest, bloom_cols=("label",), bloom_ndv=0)
+
+
 def test_maintenance_preserves_uuid_layout(spark, tmp_path):
     """On a partition_uuid=True (reference-layout) lake, compaction and
     upsert must keep the two-level collection=/uuid=/ directory structure
