@@ -52,6 +52,62 @@ def _lake_is_uuid_partitioned(spark: SparkSession, lake_root: str) -> bool:
     return True
 
 
+def write_zordered(
+    df: DataFrame,
+    destination: str,
+    *,
+    cols: list[str],
+    bits: int = 16,
+    files: int | None = None,
+    partition_by: tuple = (),
+    mode: str = "error",
+    bloom_cols: tuple = (),
+    bloom_ndv: int | None = None,
+) -> None:
+    """Write ``df`` clustered on the Z-order (Morton) key over ``cols`` —
+    the ``OPTIMIZE ZORDER BY`` layout for lakes whose queries filter on
+    SEVERAL independent columns. A linear sort gives perfect min/max
+    pruning on the leading column and none on the others; the interleaved
+    key gives every listed column partial locality, so row-group/file
+    stats prune on ALL of them (measured in
+    tests/test_skew_formats.py::test_zorder_layout_prunes_trailing_dim:
+    a trailing-column box predicate that qualifies EVERY file of a
+    linear layout qualifies a strict subset of the z-ordered files, while
+    the leading column's pruning stays bounded).
+
+    Scale shape: :func:`~mortar_parquet_support_spark.functions.zorder_key`
+    costs one min/max aggregate + a pure projection; the write is one
+    ``repartitionByRange`` on the key (a range shuffle — sampled, no
+    skew pileup) with an in-partition sort, exactly like ``write_lake``.
+    ``files`` pins the range-partition count (else the session default);
+    ``bloom_cols`` composes (see ``write_lake``) for point-lookup columns
+    not worth a slot in the interleave."""
+    from mortar_parquet_support_spark.functions import zorder_key
+
+    z = zorder_key(df, cols, bits=bits)
+    if "__z" in df.columns:
+        raise ValueError("frame already has a __z column")
+    staged = df.withColumn("__z", z)
+    parts = (
+        staged.repartitionByRange(files, "__z")
+        if files
+        else staged.repartitionByRange("__z")
+    )
+    # the projection drops only the scratch key; row order within each
+    # written file is the sort order (projections never reorder rows)
+    out = parts.sortWithinPartitions("__z", *cols).drop("__z")
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if bloom_ndv is not None:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+            )
+    writer.parquet(destination)
+
+
 def parquet_bloom_columns(spark: SparkSession, file_path: str) -> dict:
     """{column -> bloom filter present?} for one parquet file's first row
     group, read off the footer via parquet-mr (PyArrow 16 does not expose

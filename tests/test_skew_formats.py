@@ -96,6 +96,69 @@ def test_zorder_key_locality(spark):
     assert len({r.z for r in ordered}) == len(rows)
 
 
+def test_zorder_layout_prunes_trailing_dim(spark, tmp_path):
+    """write_zordered's whole point, measured at the FILE level off real
+    parquet footers: under a linear (x-sorted) layout a trailing-column
+    box predicate intersects EVERY file's y-minmax (y spans everything in
+    each x-run); the z-ordered layout qualifies a strict subset on y
+    while keeping x-pruning bounded — multi-dimensional stats pruning,
+    not just a prettier sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mortar_parquet_support_spark.sources.maintenance import write_zordered
+
+    n, files = 20_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    linear, zord = str(tmp_path / "linear"), str(tmp_path / "zord")
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(linear)
+    write_zordered(df, zord, cols=["x", "y"], bits=10, files=files)
+
+    def qualifying(root, col, lo, hi):
+        hit = 0
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+                    break
+        return hit
+
+    lin_total = len(glob.glob(f"{linear}/*.parquet"))
+    z_total = len(glob.glob(f"{zord}/*.parquet"))
+    assert lin_total > 4 and z_total > 4  # enough granularity to prune
+
+    # trailing dim: linear qualifies everything, z-order a strict subset
+    lin_y = qualifying(linear, "y", 0, 49)
+    z_y = qualifying(zord, "y", 0, 49)
+    assert lin_y == lin_total
+    assert z_y < z_total, (z_y, z_total)
+    # leading dim: z-order pays a bounded cost vs the perfect linear prune
+    lin_x = qualifying(linear, "x", 0, 49)
+    z_x = qualifying(zord, "x", 0, 49)
+    assert lin_x <= 2
+    assert z_x < z_total, (z_x, z_total)
+
+    # content round-trips (the layout moves rows, never changes them)
+    got = spark.read.parquet(zord)
+    assert got.count() == n
+    assert got.selectExpr("sum(x)", "sum(y)").first() == df.selectExpr(
+        "sum(x)", "sum(y)"
+    ).first()
+
+    with pytest.raises(ValueError, match="__z"):
+        write_zordered(
+            df.withColumn("__z", F.lit(1)), str(tmp_path / "clash"), cols=["x"]
+        )
+
+
 def test_interleave_bits_overflow_guard_and_zorder_clamp(spark):
     import pytest
 
