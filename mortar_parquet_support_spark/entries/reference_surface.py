@@ -564,3 +564,72 @@ def _upsert_roundtrip(spark, sf_dir):
     )
     upsert_lake(spark, lake, corrections.unionByName(inserts))
     return _lake_agg(spark.read.parquet(lake))
+
+
+@_register(
+    "zorder_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def _zorder_roundtrip(spark, sf_dir):
+    """Z-order layout round-trip (sources/maintenance.py write_zordered):
+    events rewritten clustered on the Morton interleave of
+    (user_id, log1p(value)) — value is exponentially skewed on these
+    fixtures (median 35, max ~500) and zorder_key's uniform grid would
+    pack 90% of rows into the bottom buckets, so the entry applies the
+    function's own documented guidance and normalizes the skewed dim
+    first (the clustering KEY is transformed; the written rows are not).
+    The multi-dim pruning property is witnessed
+    in-entry off the real parquet footers — a value-box predicate must
+    qualify a STRICT subset of the files (loud assert; a linear layout
+    qualifies all of them, pinned comparatively in
+    tests/test_skew_formats.py) — and the surviving rows value-hashed
+    against DuckDB's direct view: the layout may move rows, never change
+    them."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from mortar_parquet_support_spark.sources.maintenance import write_zordered
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.log1p("value").alias("value_log"),
+    )
+    work = tempfile.mkdtemp(prefix="mortar_zorder_")
+    out = os.path.join(work, "events_z")
+    write_zordered(ev, out, cols=["user_id", "value_log"], bits=10, files=8)
+
+    # the prunable box under this exponential skew is the HIGH-value tail
+    # (low values appear in most z-runs; the tail clusters into few) — the
+    # witness probes value >= 200, which exists at every fixture SF
+    paths = glob.glob(os.path.join(out, "*.parquet"))
+    hit = 0
+    for f in paths:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("value")
+        if any(
+            md.row_group(g).column(idx).statistics.max >= 200.0
+            for g in range(md.num_row_groups)
+        ):
+            hit += 1
+    if not 0 < hit < len(paths):
+        raise AssertionError(
+            f"z-order must prune the value dimension: {hit}/{len(paths)} "
+            "files qualify for value >= 200"
+        )
+    return spark.read.parquet(out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
