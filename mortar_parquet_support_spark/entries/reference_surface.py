@@ -392,23 +392,28 @@ def _regex_extract_filter(spark, sf_dir):
 # ===========================================================================
 
 
-def _events_lake_frame(spark, sf_dir):
+def _events_lake_frame(spark, sf_dir, *, mod=5, rem=0, value=None, keep_id=True):
     """Deterministic lake-schema frame derived from the events table
     (collection = site || user_id%2, uuid = event_type) — SQL-expressible
-    on purpose so maintenance round-trips can be oracle-checked. The %5
-    slice keeps the entry cheap; (collection, uuid, time) is collision-free
-    on the seed-42 fixtures at every SF (verified r12 — a future fixture
-    regen that breaks this shows up as an oracle hash mismatch, not a
-    silent wrong answer)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    on purpose so maintenance round-trips can be oracle-checked. This is
+    the ONE spelling of the mapping (the compaction base, the upsert
+    base/corrections/inserts, and their oracle CTEs all mirror it — a
+    schema tweak must change exactly one Spark site). ``event_id % mod ==
+    rem`` slices the table; ``value`` overrides the value column (the
+    corrections leg); (collection, uuid, time) is collision-free on the
+    seed-42 fixtures at every SF for the slices used (verified r12 — a
+    future fixture regen that breaks this shows up as an oracle hash
+    mismatch, not a silent wrong answer)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % mod == rem)
+    id_cols = [F.col("event_id")] if keep_id else []
     return ev.select(
-        F.col("event_id"),
+        *id_cols,
         F.concat(F.lit("site"), (F.col("user_id") % 2).cast("string")).alias(
             "collection"
         ),
         F.col("event_type").alias("uuid"),
         F.col("ts").alias("time"),
-        F.col("value"),
+        (F.col("value") if value is None else value).alias("value"),
         F.col("event_type").alias("label"),
         F.concat(F.lit("urn:"), F.col("event_type")).alias("uri"),
     )
@@ -541,27 +546,10 @@ def _upsert_roundtrip(spark, sf_dir):
     lake = os.path.join(work, "lake")
     write_lake(frame.select(*LAKE_COLUMNS), lake)
 
-    ev = _t(spark, sf_dir, "events")
-    corrections = ev.filter(F.col("event_id") % 10 == 0).select(
-        F.concat(F.lit("site"), (F.col("user_id") % 2).cast("string")).alias(
-            "collection"
-        ),
-        F.col("event_type").alias("uuid"),
-        F.col("ts").alias("time"),
-        (F.col("value") + 100).alias("value"),
-        F.col("event_type").alias("label"),
-        F.concat(F.lit("urn:"), F.col("event_type")).alias("uri"),
+    corrections = _events_lake_frame(
+        spark, sf_dir, mod=10, rem=0, value=F.col("value") + 100, keep_id=False
     )
-    inserts = ev.filter(F.col("event_id") % 5 == 3).select(
-        F.concat(F.lit("site"), (F.col("user_id") % 2).cast("string")).alias(
-            "collection"
-        ),
-        F.col("event_type").alias("uuid"),
-        F.col("ts").alias("time"),
-        F.col("value"),
-        F.col("event_type").alias("label"),
-        F.concat(F.lit("urn:"), F.col("event_type")).alias("uri"),
-    )
+    inserts = _events_lake_frame(spark, sf_dir, mod=5, rem=3, keep_id=False)
     upsert_lake(spark, lake, corrections.unionByName(inserts))
     return _lake_agg(spark.read.parquet(lake))
 
@@ -583,7 +571,10 @@ def _zorder_roundtrip(spark, sf_dir):
     fixtures (median 35, max ~500) and zorder_key's uniform grid would
     pack 90% of rows into the bottom buckets, so the entry applies the
     function's own documented guidance and normalizes the skewed dim
-    first (the clustering KEY is transformed; the written rows are not).
+    first. write_zordered clusters by NAMED columns, so the derived
+    value_log rides along into the (throwaway) output files — at a real
+    lake you would either accept the extra column or re-project after;
+    the returned aggregate reads only the original columns either way.
     The multi-dim pruning property is witnessed
     in-entry off the real parquet footers — a value-box predicate must
     qualify a STRICT subset of the files (loud assert; a linear layout

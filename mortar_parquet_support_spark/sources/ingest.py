@@ -265,9 +265,7 @@ def write_lake(
     therefore a per-file fact; verify with
     :func:`~mortar_parquet_support_spark.sources.maintenance.parquet_bloom_columns`.
     """
-    missing = [c for c in bloom_cols if c not in df.columns]
-    if missing:
-        raise ValueError(f"bloom_cols not in frame: {missing}")
+    _validate_bloom_options(df, bloom_cols, bloom_ndv)
     if partition_uuid:
         out = df.repartition("collection", "uuid").sortWithinPartitions("time")
         partition_cols = ["collection", "uuid"]
@@ -275,15 +273,33 @@ def write_lake(
         out = df.repartitionByRange("collection", "uuid").sortWithinPartitions("uuid", "time")
         partition_cols = ["collection"]
     writer = out.write.mode(mode).partitionBy(*partition_cols)
+    writer = _apply_bloom_options(writer, bloom_cols, bloom_ndv)
+    writer.parquet(destination)
+
+
+def _validate_bloom_options(df: DataFrame, bloom_cols, bloom_ndv) -> None:
+    """Fail loudly BEFORE any job runs: parquet silently ignores write
+    options for columns it never sees, so a typo'd bloom column would
+    produce a filterless lake with no diagnostic (the exact failure
+    parquet_bloom_columns exists to witness after the fact)."""
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom_cols not in frame: {missing}")
+    if bloom_ndv is not None and bloom_ndv <= 0:
+        raise ValueError(f"bloom_ndv must be positive, got {bloom_ndv}")
+
+
+def _apply_bloom_options(writer, bloom_cols, bloom_ndv):
+    """The ONE place the per-column bloom write options are spelled —
+    write_lake and write_zordered both write blooms, and two copies of
+    this loop had already diverged in validation once (review r12)."""
     for c in bloom_cols:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         if bloom_ndv is not None:
-            if bloom_ndv <= 0:
-                raise ValueError(f"bloom_ndv must be positive, got {bloom_ndv}")
             writer = writer.option(
                 f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
             )
-    writer.parquet(destination)
+    return writer
 
 
 def stream_ingest(

@@ -83,14 +83,24 @@ def write_zordered(
     ``bloom_cols`` composes (see ``write_lake``) for point-lookup columns
     not worth a slot in the interleave."""
     from mortar_parquet_support_spark.functions import zorder_key
+    from mortar_parquet_support_spark.sources.ingest import (
+        _apply_bloom_options,
+        _validate_bloom_options,
+    )
 
-    z = zorder_key(df, cols, bits=bits)
+    # every cheap rejection BEFORE zorder_key: it runs its min/max
+    # aggregation job eagerly, so validating after it wastes a full input
+    # scan on the error path
     if "__z" in df.columns:
         raise ValueError("frame already has a __z column")
+    if files is not None and files <= 0:
+        raise ValueError(f"files must be positive, got {files}")
+    _validate_bloom_options(df, bloom_cols, bloom_ndv)
+    z = zorder_key(df, cols, bits=bits)
     staged = df.withColumn("__z", z)
     parts = (
         staged.repartitionByRange(files, "__z")
-        if files
+        if files is not None
         else staged.repartitionByRange("__z")
     )
     # the projection drops only the scratch key; row order within each
@@ -99,12 +109,7 @@ def write_zordered(
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    for c in bloom_cols:
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
-        if bloom_ndv is not None:
-            writer = writer.option(
-                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
-            )
+    writer = _apply_bloom_options(writer, bloom_cols, bloom_ndv)
     writer.parquet(destination)
 
 
@@ -231,10 +236,18 @@ def upsert_lake(
     *,
     keys: tuple[str, ...] = ("collection", "uuid", "time"),
     checkpoint_dir: str | None = None,
+    bloom_cols: tuple = (),
+    bloom_ndv: int | None = None,
 ) -> None:
     """Merge ``updates`` (lake schema) into the lake: for each key, the
     update wins over the existing row; unmatched updates insert. Only the
     collections present in ``updates`` are rewritten.
+
+    ``bloom_cols``/``bloom_ndv`` re-apply parquet Bloom filters to the
+    rewritten collections (same rationale as ``compact_collections``:
+    parquet options are per-write, so an upsert that omitted them would
+    silently strip the blooms ingest wrote from every collection it
+    touches).
 
     Implementation: read ONLY the touched collections (partition-pruned
     scan), union with updates tagged by recency, keep the newest row per
@@ -288,6 +301,7 @@ def upsert_lake(
         latest, lake_root,
         partition_uuid=_lake_is_uuid_partitioned(spark, lake_root),
         checkpoint_dir=checkpoint_dir,
+        bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
     )
 
 

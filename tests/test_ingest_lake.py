@@ -341,6 +341,7 @@ def test_write_lake_bloom_filters_witnessed_and_survive_compaction(
     from mortar_parquet_support_spark.sources.maintenance import (
         compact_collections,
         parquet_bloom_columns,
+        upsert_lake,
     )
 
     # labels must be HIGH-cardinality: parquet-mr skips the bloom when a
@@ -382,6 +383,13 @@ def test_write_lake_bloom_filters_witnessed_and_survive_compaction(
     assert parquet_bloom_columns(spark, f)["label"] is False
     # ... and the passthrough re-states them
     compact_collections(spark, dest, bloom_cols=("label",), bloom_ndv=400)
+    f = sorted(glob.glob(f"{dest}/collection=bldg1/*.parquet"))[0]
+    assert parquet_bloom_columns(spark, f)["label"] is True
+
+    # upsert_lake rewrites touched collections too, so it takes the same
+    # passthrough (review r12: it was the one rewrite path without it)
+    upd = df2.limit(1).withColumn("value", F.lit(-1.0))
+    upsert_lake(spark, dest, upd, bloom_cols=("label",), bloom_ndv=400)
     f = sorted(glob.glob(f"{dest}/collection=bldg1/*.parquet"))[0]
     assert parquet_bloom_columns(spark, f)["label"] is True
 
