@@ -229,6 +229,69 @@ def compact_collections(
         spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
 
 
+def fragmented_collections(
+    spark: SparkSession, lake_root: str, *, max_files: int
+) -> list[str]:
+    """Collections whose parquet file count exceeds ``max_files`` — a
+    pure FOOTER-FREE listing probe (Hadoop FS recursive list, no data
+    read, honors whatever scheme the root lives on), so it is cheap to
+    run after every streaming micro-batch. File count is the right
+    fragmentation signal for this lake: scan cost is dominated by
+    per-file open/footer overhead once files are small, and the
+    streaming file sink adds one file per collection per batch without
+    bound."""
+    if max_files < 1:
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(lake_root)
+    fs = root.getFileSystem(conf)
+    colls = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(lake_root.rstrip("/") + "/collection=*")
+    )
+    out: list[str] = []
+    for status in colls or []:
+        n = 0
+        it = fs.listFiles(status.getPath(), True)  # recursive: uuid layout too
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+                if n > max_files:
+                    break
+        if n > max_files:
+            name = status.getPath().getName()
+            out.append(name[len("collection="):])
+    return sorted(out)
+
+
+def compact_if_fragmented(
+    spark: SparkSession,
+    lake_root: str,
+    *,
+    max_files: int = 32,
+    **compact_kwargs,
+) -> list[str]:
+    """Auto-compaction trigger: compact ONLY the collections whose file
+    count exceeds ``max_files``, leave everything else untouched (their
+    files keep their exact identities — dynamic overwrite never rewrites
+    a partition absent from the frame). Returns the compacted collection
+    names ([] = nothing qualified, nothing rewritten — the explicit-empty
+    no-op contract of compact_collections).
+
+    This is the missing loop-closer for ``stream_ingest``: the streaming
+    file sink appends one file per collection per micro-batch without
+    bound, and running this after every N batches (or from a cron) keeps
+    scan cost flat. ``compact_kwargs`` forwards to
+    :func:`compact_collections` (``target_rows_per_file``,
+    ``checkpoint_dir``, ``bloom_cols``/``bloom_ndv`` — remember the bloom
+    passthrough if ingest writes blooms)."""
+    victims = fragmented_collections(spark, lake_root, max_files=max_files)
+    compact_collections(
+        spark, lake_root, collections=victims, **compact_kwargs
+    )
+    return victims
+
+
 def upsert_lake(
     spark: SparkSession,
     lake_root: str,

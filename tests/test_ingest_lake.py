@@ -399,6 +399,46 @@ def test_write_lake_bloom_filters_witnessed_and_survive_compaction(
         write_lake(df, dest, bloom_cols=("label",), bloom_ndv=0)
 
 
+def test_compact_if_fragmented_targets_only_fragmented_collections(
+    spark, tmp_path
+):
+    """The auto-compaction trigger: a collection over the file budget is
+    compacted; one under it is not touched (its files keep their exact
+    identities); an all-healthy lake is a no-op that returns []."""
+    import glob
+
+    from mortar_parquet_support_spark.sources.ingest import ingest_directory
+    from mortar_parquet_support_spark.sources.maintenance import (
+        compact_if_fragmented,
+        fragmented_collections,
+    )
+
+    src = tmp_path / "csvs"
+    src.mkdir()
+    make_stream_csv(src, U1, "/delta/m5/c12", ROWS_1)
+    dest = str(tmp_path / "lake")
+    for _ in range(4):  # bldg1: fragmented
+        ingest_directory(spark, "bldg1", str(src), dest)
+    ingest_directory(spark, "bldg2", str(src), dest)  # bldg2: healthy
+
+    assert fragmented_collections(spark, dest, max_files=3) == ["bldg1"]
+    bldg2_files = sorted(glob.glob(f"{dest}/collection=bldg2/*.parquet"))
+    total = spark.read.parquet(dest).count()
+
+    assert compact_if_fragmented(spark, dest, max_files=3) == ["bldg1"]
+    assert len(glob.glob(f"{dest}/collection=bldg1/*.parquet")) <= 3
+    assert sorted(glob.glob(f"{dest}/collection=bldg2/*.parquet")) == bldg2_files
+    assert spark.read.parquet(dest).count() == total
+
+    # healthy lake now: explicit no-op, nothing rewritten
+    all_files = sorted(glob.glob(f"{dest}/collection=*/*.parquet"))
+    assert compact_if_fragmented(spark, dest, max_files=30) == []
+    assert sorted(glob.glob(f"{dest}/collection=*/*.parquet")) == all_files
+
+    with pytest.raises(ValueError, match="max_files"):
+        fragmented_collections(spark, dest, max_files=0)
+
+
 def test_maintenance_preserves_uuid_layout(spark, tmp_path):
     """On a partition_uuid=True (reference-layout) lake, compaction and
     upsert must keep the two-level collection=/uuid=/ directory structure
