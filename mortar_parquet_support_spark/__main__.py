@@ -1,0 +1,137 @@
+"""Operational CLI: ``python -m mortar_parquet_support_spark <cmd>``.
+
+Interface parity with the reference's shell workflow so its users can
+switch without rewriting their scripts:
+
+- ``ingest``   == ``python transform.py collection csv destination
+  [time_col]`` (reference transform.py:44-49) — and because the source
+  here is distributed, one invocation on a DIRECTORY replaces the whole
+  ``run-example.sh`` for-loop (run-example.sh:1-3: one driver process
+  per CSV file) with a single job over every file.
+- ``metadata`` == ``python make-metadata.py <parquet-directory>``
+  (make-metadata.py:26-29).
+- ``compact``  has no reference equivalent (the reference lake is
+  write-once); it exposes the maintenance layer the streaming sink
+  needs (sources/maintenance.py).
+
+Every command prints one human-readable result line to stdout and exits
+non-zero on rejection (bad path, non-UUID single file) — scriptable the
+way the originals were.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m mortar_parquet_support_spark",
+        description="Lake operations (ingest / metadata / compact)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser(
+        "ingest", help="CSV file or directory -> partitioned parquet lake"
+    )
+    ing.add_argument("collection")
+    ing.add_argument("csv_path", help="one <uuid>.csv or a directory of them")
+    ing.add_argument("destination")
+    ing.add_argument("--time-col", default="datetime")
+    ing.add_argument(
+        "--partition-uuid",
+        action="store_true",
+        help="reference byte-parity layout collection=/uuid=/",
+    )
+
+    md = sub.add_parser(
+        "metadata", help="write _metadata/_common_metadata summary footers"
+    )
+    md.add_argument("root")
+
+    cp = sub.add_parser("compact", help="rewrite small files back to few")
+    cp.add_argument("root")
+    cp.add_argument(
+        "--collections", default=None,
+        help="comma-separated subset (default: all)",
+    )
+    cp.add_argument(
+        "--max-files", type=int, default=None,
+        help="auto mode: compact ONLY collections over this file budget",
+    )
+    cp.add_argument("--target-rows-per-file", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from mortar_parquet_support_spark.session import get_spark
+
+    spark = get_spark("mortar-cli")
+
+    if args.cmd == "ingest":
+        from mortar_parquet_support_spark.sources.ingest import (
+            ingest_csv,
+            ingest_directory,
+        )
+
+        if os.path.isdir(args.csv_path):
+            df = ingest_directory(
+                spark, args.collection, args.csv_path, args.destination,
+                time_col=args.time_col, partition_uuid=args.partition_uuid,
+            )
+            print(f"ingested {df.count()} rows from {args.csv_path}")
+            return 0
+        df = ingest_csv(
+            spark, args.collection, args.csv_path, args.destination,
+            time_col=args.time_col, partition_uuid=args.partition_uuid,
+        )
+        if df is None:  # same rejections as transform.py:11-23
+            print(f"rejected {args.csv_path} (non-UUID name or missing "
+                  f"{args.time_col!r} column)")
+            return 1
+        print(f"ingested {df.count()} rows from {args.csv_path}")
+        return 0
+
+    if args.cmd == "metadata":
+        from mortar_parquet_support_spark.sources.lake import (
+            write_metadata_summary,
+        )
+
+        info = write_metadata_summary(args.root)
+        print(f"_metadata written: {info['fragments']} fragments, "
+              f"{info['rows']} rows")
+        return 0
+
+    if args.cmd == "compact":
+        from mortar_parquet_support_spark.sources.maintenance import (
+            compact_collections,
+            compact_if_fragmented,
+        )
+
+        if args.max_files is not None:
+            done = compact_if_fragmented(
+                spark, args.root, max_files=args.max_files,
+                target_rows_per_file=args.target_rows_per_file,
+            )
+            print(f"compacted {len(done)} collection(s): "
+                  f"{', '.join(done) if done else '(none over budget)'}")
+            return 0
+        colls = (
+            args.collections.split(",") if args.collections else None
+        )
+        compact_collections(
+            spark, args.root, collections=colls,
+            target_rows_per_file=args.target_rows_per_file,
+        )
+        print(f"compacted {args.root} "
+              f"({'all collections' if colls is None else ', '.join(colls)})")
+        return 0
+
+    raise AssertionError(f"unhandled command {args.cmd}")  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -439,6 +439,42 @@ def test_compact_if_fragmented_targets_only_fragmented_collections(
         fragmented_collections(spark, dest, max_files=0)
 
 
+def test_cli_ingest_metadata_compact(spark, tmp_path, capsys):
+    """python -m mortar_parquet_support_spark parity with the reference's
+    shell workflow (transform.py / make-metadata.py / run-example.sh):
+    directory ingest in ONE invocation, metadata summary, budgeted
+    compaction; non-UUID single-file ingest exits 1 like transform.py's
+    rejection path. main() is called in-process (getOrCreate reuses the
+    test session) so the CLI test costs no extra JVM."""
+    import glob
+
+    from mortar_parquet_support_spark.__main__ import main
+
+    src = tmp_path / "csvs"
+    src.mkdir()
+    make_stream_csv(src, U1, "/delta/m5/c12", ROWS_1)
+    make_stream_csv(src, U2, "/delta/m9/c10", ROWS_2)
+    dest = str(tmp_path / "lake")
+
+    assert main(["ingest", "bldg1", str(src), dest]) == 0
+    assert "ingested 5 rows" in capsys.readouterr().out
+    assert main(["ingest", "bldg1", str(src), dest]) == 0  # fragment it
+
+    bad = tmp_path / "nope.csv"
+    bad.write_text("datetime,x\n2020-01-01 00:00:00+00:00,1\n")
+    assert main(["ingest", "bldg1", str(bad), dest]) == 1
+    assert "rejected" in capsys.readouterr().out
+
+    assert main(["metadata", dest]) == 0
+    assert os.path.exists(os.path.join(dest, "_metadata"))
+
+    before = len(glob.glob(f"{dest}/collection=bldg1/*.parquet"))
+    assert main(["compact", dest, "--max-files", "1"]) == 0
+    assert "compacted 1 collection(s): bldg1" in capsys.readouterr().out
+    assert len(glob.glob(f"{dest}/collection=bldg1/*.parquet")) < before
+    assert spark.read.parquet(dest).count() == 10
+
+
 def test_maintenance_preserves_uuid_layout(spark, tmp_path):
     """On a partition_uuid=True (reference-layout) lake, compaction and
     upsert must keep the two-level collection=/uuid=/ directory structure
