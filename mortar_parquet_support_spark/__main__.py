@@ -62,6 +62,19 @@ def _build_parser() -> argparse.ArgumentParser:
         help="auto mode: compact ONLY collections over this file budget",
     )
     cp.add_argument("--target-rows-per-file", type=int, default=None)
+
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table clustered on a Z-order key",
+    )
+    zo.add_argument("src", help="parquet table to read")
+    zo.add_argument("dest", help="destination directory (must not exist)")
+    zo.add_argument(
+        "--cols", required=True,
+        help="comma-separated numeric/timestamp columns to interleave",
+    )
+    zo.add_argument("--bits", type=int, default=16)
+    zo.add_argument("--files", type=int, default=None)
     return p
 
 
@@ -128,6 +141,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"compacted {args.root} "
               f"({'all collections' if colls is None else ', '.join(colls)})")
+        return 0
+
+    if args.cmd == "zorder":
+        from mortar_parquet_support_spark.sources.maintenance import (
+            write_zordered,
+        )
+
+        df = spark.read.parquet(args.src)
+        write_zordered(
+            df, args.dest, cols=args.cols.split(","), bits=args.bits,
+            files=args.files,
+        )
+        print(f"z-ordered {args.src} -> {args.dest} on {args.cols}")
         return 0
 
     raise AssertionError(f"unhandled command {args.cmd}")  # pragma: no cover

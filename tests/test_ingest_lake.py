@@ -474,6 +474,11 @@ def test_cli_ingest_metadata_compact(spark, tmp_path, capsys):
     assert len(glob.glob(f"{dest}/collection=bldg1/*.parquet")) < before
     assert spark.read.parquet(dest).count() == 10
 
+    zdest = str(tmp_path / "zord")
+    assert main(["zorder", dest, zdest, "--cols", "value,time",
+                 "--files", "2"]) == 0
+    assert spark.read.parquet(zdest).count() == 10
+
 
 def test_maintenance_preserves_uuid_layout(spark, tmp_path):
     """On a partition_uuid=True (reference-layout) lake, compaction and
