@@ -313,10 +313,24 @@ def stream_ingest(
     partition_uuid: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    compact_max_files: int = 32,
 ):
     """Continuously ingest ``<uuid>.csv`` files arriving in ``csv_dir``
     into the lake — the reference's batch CLI workflow (transform.py:44-50)
     as a Structured Streaming file source.
+
+    ``compact_every=N`` runs
+    :func:`~mortar_parquet_support_spark.sources.maintenance.compact_if_fragmented`
+    inside ``foreachBatch`` every N micro-batches (budget
+    ``compact_max_files``): the file sink otherwise appends one file per
+    collection per batch WITHOUT BOUND, and scan cost follows file count
+    once files are small. In-batch placement makes it crash-consistent
+    for free — compaction runs BEFORE the checkpoint records the batch,
+    so a crash between them replays an idempotent-enough rewrite (the
+    re-run compacts an already-compact lake into a no-op) rather than
+    losing the schedule. The cadence check uses ``batch_id % N``, which
+    survives restarts because batch ids are checkpoint-monotonic.
 
     The file source tracks seen files in the checkpoint, so a completed
     batch's files are never re-ingested and a dropped-in file is picked up
@@ -350,9 +364,20 @@ def stream_ingest(
         F.col("_metadata.file_path").alias("_file"),
     )
 
-    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = _parse_lines(batch_df, collection, time_col)
         write_lake(parsed, destination, partition_uuid=partition_uuid, mode="append")
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            from mortar_parquet_support_spark.sources.maintenance import (
+                compact_if_fragmented,
+            )
+
+            compact_if_fragmented(
+                batch_df.sparkSession, destination, max_files=compact_max_files
+            )
 
     writer = (
         raw.writeStream.foreachBatch(_write_batch)

@@ -271,6 +271,46 @@ def test_stream_ingest_exactly_once_and_batch_parity(spark, tmp_path):
     assert streamed == batch and first < streamed
 
 
+def test_stream_ingest_auto_compaction(spark, tmp_path):
+    """compact_every: in-batch auto-compaction keeps the streaming lake's
+    file count bounded — maxFilesPerTrigger=1 forces one micro-batch (and
+    one appended file) per CSV, and the cadence hook compacts the
+    collection back under budget without changing a single row."""
+    import glob
+
+    from mortar_parquet_support_spark.sources.ingest import stream_ingest
+
+    src = tmp_path / "csvs"
+    dest = tmp_path / "lake"
+    src.mkdir()
+    uuids = [f"{i:08d}-1111-5111-8111-{i:012d}" for i in range(6)]
+    for u in uuids:
+        make_stream_csv(src, u, "s", ROWS_1)
+
+    q = stream_ingest(
+        spark, "bldg1", str(src), str(dest),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compact_every=3, compact_max_files=2,
+    )
+    q.awaitTermination(180)
+
+    files = glob.glob(f"{dest}/collection=bldg1/*.parquet")
+    # 6 batches appended 6+ files; the every-3rd-batch compaction ran on
+    # batches 2 and 5 (0-indexed), so the tail can add at most one
+    # post-compaction batch file beyond the budget
+    assert len(files) <= 3, files
+    lake = spark.read.parquet(str(dest))
+    assert lake.count() == 6 * len(ROWS_1)
+    assert {r.uuid for r in lake.select("uuid").distinct().collect()} == set(uuids)
+
+    with pytest.raises(ValueError, match="compact_every"):
+        stream_ingest(
+            spark, "bldg1", str(src), str(dest),
+            checkpoint_dir=str(tmp_path / "ckpt2"), compact_every=0,
+        )
+
+
 def test_compact_and_upsert(spark, tmp_path):
     """Compaction shrinks file count without changing rows; upsert replaces
     matching (collection, uuid, time) keys, inserts new ones, and leaves
