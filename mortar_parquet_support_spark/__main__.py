@@ -45,6 +45,12 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="reference byte-parity layout collection=/uuid=/",
     )
+    ing.add_argument(
+        "--count",
+        action="store_true",
+        help="print the ingested row count (re-reads the sources: a "
+        "second full scan — skip it for large backfills)",
+    )
 
     md = sub.add_parser(
         "metadata", help="write _metadata/_common_metadata summary footers"
@@ -80,6 +86,19 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.cmd == "metadata":
+        # pure PyArrow footer work — paying a JVM + SparkSession spin-up
+        # (tens of seconds) for it would be the CLI's own anti-pattern
+        from mortar_parquet_support_spark.sources.lake import (
+            write_metadata_summary,
+        )
+
+        info = write_metadata_summary(args.root)
+        print(f"_metadata written: {info['fragments']} fragments, "
+              f"{info['rows']} rows")
+        return 0
+
     from mortar_parquet_support_spark.session import get_spark
 
     spark = get_spark("mortar-cli")
@@ -95,27 +114,19 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.collection, args.csv_path, args.destination,
                 time_col=args.time_col, partition_uuid=args.partition_uuid,
             )
-            print(f"ingested {df.count()} rows from {args.csv_path}")
-            return 0
-        df = ingest_csv(
-            spark, args.collection, args.csv_path, args.destination,
-            time_col=args.time_col, partition_uuid=args.partition_uuid,
-        )
-        if df is None:  # same rejections as transform.py:11-23
-            print(f"rejected {args.csv_path} (non-UUID name or missing "
-                  f"{args.time_col!r} column)")
-            return 1
-        print(f"ingested {df.count()} rows from {args.csv_path}")
-        return 0
-
-    if args.cmd == "metadata":
-        from mortar_parquet_support_spark.sources.lake import (
-            write_metadata_summary,
-        )
-
-        info = write_metadata_summary(args.root)
-        print(f"_metadata written: {info['fragments']} fragments, "
-              f"{info['rows']} rows")
+        else:
+            df = ingest_csv(
+                spark, args.collection, args.csv_path, args.destination,
+                time_col=args.time_col, partition_uuid=args.partition_uuid,
+            )
+            if df is None:  # same rejections as transform.py:11-23
+                print(f"rejected {args.csv_path} (non-UUID name or missing "
+                      f"{args.time_col!r} column)")
+                return 1
+        # counting means re-executing the parse lineage (a second full
+        # source scan) — opt-in, never the default cost of an ingest
+        suffix = f": {df.count()} rows" if args.count else ""
+        print(f"ingested {args.csv_path}{suffix}")
         return 0
 
     if args.cmd == "compact":
@@ -124,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
             compact_if_fragmented,
         )
 
+        if args.max_files is not None and args.collections is not None:
+            # refusing beats silently compacting collections the user
+            # explicitly scoped out (auto mode scans the whole lake)
+            print("--max-files (auto mode) and --collections are mutually "
+                  "exclusive")
+            return 2
         if args.max_files is not None:
             done = compact_if_fragmented(
                 spark, args.root, max_files=args.max_files,

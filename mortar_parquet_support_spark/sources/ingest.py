@@ -325,12 +325,23 @@ def stream_ingest(
     inside ``foreachBatch`` every N micro-batches (budget
     ``compact_max_files``): the file sink otherwise appends one file per
     collection per batch WITHOUT BOUND, and scan cost follows file count
-    once files are small. In-batch placement makes it crash-consistent
-    for free — compaction runs BEFORE the checkpoint records the batch,
-    so a crash between them replays an idempotent-enough rewrite (the
-    re-run compacts an already-compact lake into a no-op) rather than
-    losing the schedule. The cadence check uses ``batch_id % N``, which
-    survives restarts because batch ids are checkpoint-monotonic.
+    once files are small. The ``batch_id % N`` cadence survives restarts
+    (batch ids are checkpoint-monotonic), and a crash BETWEEN compaction
+    and the checkpoint commit merely replays a compaction of an
+    already-compact lake (a listing probe + no-op).
+
+    Durability caveat — this is opt-in for a reason: the rewrite itself
+    is a dynamic-partition OVERWRITE on a plain file lake, whose job
+    commit (delete old files, move staged files in) is NOT atomic. A
+    crash inside that commit window can lose the touched collection's
+    already-committed history, and the streaming checkpoint cannot
+    restore it (earlier source files are marked seen and never re-read).
+    Every use of ``compact_collections`` on a plain lake shares the
+    window; in-batch auto-compaction merely ENTERS it once every N
+    batches instead of when an operator chooses. If that risk is
+    unacceptable, run compaction out-of-band under supervision (the CLI
+    ``compact --max-files`` mode) or keep the lake on a transactional
+    table format where OPTIMIZE commits atomically.
 
     The file source tracks seen files in the checkpoint, so a completed
     batch's files are never re-ingested and a dropped-in file is picked up
@@ -366,6 +377,11 @@ def stream_ingest(
 
     if compact_every is not None and compact_every < 1:
         raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    if compact_every is not None and compact_max_files < 1:
+        # validate BOTH knobs before start(): an invalid budget would
+        # otherwise only explode inside foreachBatch at batch N-1,
+        # killing a stream that already committed data
+        raise ValueError(f"compact_max_files must be >= 1, got {compact_max_files}")
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = _parse_lines(batch_df, collection, time_col)

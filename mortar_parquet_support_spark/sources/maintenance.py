@@ -27,19 +27,43 @@ from pyspark.sql import functions as F
 from mortar_parquet_support_spark.sources.ingest import LAKE_COLUMNS
 
 
-def _lake_is_uuid_partitioned(spark: SparkSession, lake_root: str) -> bool:
-    """Detect the reference's two-level ``collection=/uuid=/`` layout from
-    the physical directory structure via Hadoop's FileSystem, so the probe
-    honors whatever scheme ``lake_root`` lives on (local, HDFS, s3a). A
-    driver-local ``glob.glob`` would silently answer False for any
-    non-local root and the maintenance rewrite would then migrate a
-    uuid-partitioned lake to the collection-only layout — destructive."""
+def _collection_dirs(spark: SparkSession, lake_root: str):
+    """(jvm, FileSystem, [FileStatus]) for the lake's ``collection=*``
+    partition dirs via Hadoop's FileSystem — honors whatever scheme
+    ``lake_root`` lives on (local, HDFS, s3a); a driver-local
+    ``glob.glob`` would silently answer nothing for non-local roots. The
+    ONE spelling of this incantation (review r12: it had grown a second
+    copy, the same drift the bloom-options loop suffered)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(lake_root)
     fs = root.getFileSystem(conf)
-    colls = fs.globStatus(jvm.org.apache.hadoop.fs.Path(lake_root.rstrip("/") + "/collection=*"))
-    if colls is None or len(colls) == 0:
+    colls = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(lake_root.rstrip("/") + "/collection=*")
+    )
+    return jvm, fs, list(colls) if colls is not None else []
+
+
+def _unescape_partition_value(name: str) -> str:
+    """Inverse of Spark's ExternalCatalogUtils.escapePathName: partition
+    DIRECTORY names percent-escape special characters (':' -> '%3A'), but
+    the COLUMN value is unescaped — a collection filter built from the
+    raw dir suffix would match nothing and the rewrite would silently
+    no-op (review r12)."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
+
+
+def _lake_is_uuid_partitioned(spark: SparkSession, lake_root: str) -> bool:
+    """Detect the reference's two-level ``collection=/uuid=/`` layout from
+    the physical directory structure (see _collection_dirs). A wrong
+    answer would migrate a uuid-partitioned lake to the collection-only
+    layout — destructive."""
+    jvm, fs, colls = _collection_dirs(spark, lake_root)
+    if not colls:
         return False
     # ALL collection dirs must be uuid-partitioned to call the lake
     # uuid-partitioned; a mixed lake keeps the safer collection-only layout
@@ -242,15 +266,9 @@ def fragmented_collections(
     bound."""
     if max_files < 1:
         raise ValueError(f"max_files must be >= 1, got {max_files}")
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(lake_root)
-    fs = root.getFileSystem(conf)
-    colls = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(lake_root.rstrip("/") + "/collection=*")
-    )
+    _jvm, fs, colls = _collection_dirs(spark, lake_root)
     out: list[str] = []
-    for status in colls or []:
+    for status in colls:
         n = 0
         it = fs.listFiles(status.getPath(), True)  # recursive: uuid layout too
         while it.hasNext():
@@ -260,7 +278,7 @@ def fragmented_collections(
                     break
         if n > max_files:
             name = status.getPath().getName()
-            out.append(name[len("collection="):])
+            out.append(_unescape_partition_value(name[len("collection="):]))
     return sorted(out)
 
 

@@ -479,6 +479,37 @@ def test_compact_if_fragmented_targets_only_fragmented_collections(
         fragmented_collections(spark, dest, max_files=0)
 
 
+def test_compact_if_fragmented_unescapes_collection_names(spark, tmp_path):
+    """Review r12: Hive-escapes the partition DIR ('a:b' ->
+    'collection=a%3Ab') but the COLUMN value stays 'a:b' — a filter built
+    from the raw dir suffix matches nothing, so the trigger would report
+    the collection compacted while rewriting zero files, forever."""
+    import glob
+
+    from mortar_parquet_support_spark.sources.ingest import write_lake
+    from mortar_parquet_support_spark.sources.maintenance import (
+        compact_if_fragmented,
+        fragmented_collections,
+    )
+
+    rows = [("a:b", U1, "2024-01-01 00:00:00", 1.0, "l", "u")]
+    df = spark.createDataFrame(
+        rows, ["collection", "uuid", "time", "value", "label", "uri"]
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    dest = str(tmp_path / "lake")
+    for _ in range(3):
+        write_lake(df, dest)
+    escaped = glob.glob(f"{dest}/collection=*")
+    assert escaped and "%3A" in escaped[0]  # precondition: Spark escaped it
+
+    assert fragmented_collections(spark, dest, max_files=2) == ["a:b"]
+    before = len(glob.glob(f"{dest}/collection=*/*.parquet"))
+    assert compact_if_fragmented(spark, dest, max_files=2) == ["a:b"]
+    after = len(glob.glob(f"{dest}/collection=*/*.parquet"))
+    assert 0 < after < before  # it actually rewrote, not a silent no-op
+    assert spark.read.parquet(dest).count() == 3
+
+
 def test_cli_ingest_metadata_compact(spark, tmp_path, capsys):
     """python -m mortar_parquet_support_spark parity with the reference's
     shell workflow (transform.py / make-metadata.py / run-example.sh):
@@ -496,8 +527,8 @@ def test_cli_ingest_metadata_compact(spark, tmp_path, capsys):
     make_stream_csv(src, U2, "/delta/m9/c10", ROWS_2)
     dest = str(tmp_path / "lake")
 
-    assert main(["ingest", "bldg1", str(src), dest]) == 0
-    assert "ingested 5 rows" in capsys.readouterr().out
+    assert main(["ingest", "bldg1", str(src), dest, "--count"]) == 0
+    assert ": 5 rows" in capsys.readouterr().out
     assert main(["ingest", "bldg1", str(src), dest]) == 0  # fragment it
 
     bad = tmp_path / "nope.csv"
@@ -507,6 +538,11 @@ def test_cli_ingest_metadata_compact(spark, tmp_path, capsys):
 
     assert main(["metadata", dest]) == 0
     assert os.path.exists(os.path.join(dest, "_metadata"))
+
+    # auto mode refuses an explicit collection scope instead of silently
+    # compacting beyond it
+    assert main(["compact", dest, "--collections", "bldg1",
+                 "--max-files", "1"]) == 2
 
     before = len(glob.glob(f"{dest}/collection=bldg1/*.parquet"))
     assert main(["compact", dest, "--max-files", "1"]) == 0
