@@ -403,3 +403,75 @@ def _lttb_downsample(spark, sf_dir):
     return lttb_downsample(
         pre, ts="tsec", value="v", keys=["user_id"], n_out=60
     )
+
+
+@_register(
+    "seasonal_decompose",
+    # The oracle replays the estimator with the SAME range frames and the
+    # same phase derivation. Exactness: the series value is a daily COUNT
+    # (exact integer — no first-stage float reduction to diverge), the
+    # trend is that exact sum / 7 (identical IEEE division both sides),
+    # and every emitted component rounds to 6dp, orders of magnitude
+    # above the last-ulp window-order differences.
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, bucket, value,
+             CASE WHEN count(value) OVER win = 7
+                  THEN avg(value) OVER win END AS trend,
+             (CAST(epoch(bucket) AS BIGINT) // 86400) % 7 AS phase
+      FROM d
+      WINDOW win AS (
+        PARTITION BY event_type ORDER BY CAST(epoch(bucket) AS BIGINT)
+        RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
+    ),
+    pm AS (
+      SELECT event_type, phase, avg(value - trend) AS pmean
+      FROM w GROUP BY 1, 2 HAVING avg(value - trend) IS NOT NULL
+    ),
+    ctr AS (
+      SELECT event_type, phase,
+             pmean - avg(pmean) OVER (PARTITION BY event_type) AS seasonal
+      FROM pm
+    )
+    SELECT w.event_type, w.bucket, ROUND(w.value, 6) AS value,
+           ROUND(w.trend, 6) AS trend, ROUND(c.seasonal, 6) AS seasonal,
+           ROUND(w.value - w.trend - c.seasonal, 6) AS resid
+    FROM w LEFT JOIN ctr c
+      ON c.event_type = w.event_type AND c.phase = w.phase
+    """,
+)
+def _seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition
+    (operators/timeseries.py seasonal_decompose) of the daily event-count
+    series per event_type, weekly period: value = trend + seasonal +
+    resid, trend NULL wherever the 7-day centered window is not full
+    (gap-honest), phases anchored to the epoch. The fixtures are dense
+    (every type has all 30 days at every SF), so the decomposition has a
+    real interior at the driver's gate."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        seasonal_decompose,
+        time_bucket_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = time_bucket_rollup(
+        ev, ts="ts", keys=["event_type"], bucket="1 day",
+        aggs={"value": "count"}, value="event_id",
+    ).withColumn("value", F.col("value").cast("double"))
+    out = seasonal_decompose(
+        daily, ts="bucket", value="value", keys=["event_type"],
+        period=7, step="1 day",
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("value", 6).alias("value"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+    )

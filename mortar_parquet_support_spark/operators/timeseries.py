@@ -947,3 +947,94 @@ def coverage_gaps(
         )
         out = out.unionByName(tail)
     return out
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    ts: str = "bucket",
+    value: str = "value",
+    keys: Sequence[str] = (),
+    period: int = 24,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key:
+    ``value = trend + seasonal + resid``.
+
+    The textbook estimator (the moving-average half of STL, without
+    loess), re-expressed as range-frame windows so it is one pass and
+    gap-honest:
+
+    - ``trend`` — centered moving average over one ``period``. Odd
+      period: the plain MA of ``period`` points. Even period: the
+      standard 2xMA (endpoints half-weighted, implemented as the mean of
+      the two length-``period`` averages offset by one step — no UDF,
+      identical arithmetic). The frame is a RANGE frame over epoch
+      seconds and the trend is NULL unless the window holds its FULL
+      point count — a gap in the series degrades the estimate honestly
+      to NULL instead of silently averaging fewer points (the same
+      degrade-loudly rule as qc_flags).
+    - ``seasonal`` — per-(key, phase) mean of the detrended series,
+      centered so the P phase means sum to zero (unweighted center, per
+      the classical method). Phase derives from the bucket's EPOCH
+      (``floor(epoch/step) mod period``), not a row number, so gaps can
+      never shift later rows into the wrong phase.
+    - ``resid`` — what's left; NULL wherever the trend is.
+
+    Input must be a regular ``step``-spaced series per key (feed from
+    :func:`time_bucket_rollup` or :func:`resample`); irregular points
+    would make the epoch-range frame silently include near-neighbors.
+
+    Scale shape: one range-window pass over each key's series (one
+    shuffle on ``keys``), a (keys x period)-row phase aggregate, and a
+    broadcast join of that tiny seasonal table back — the corpus is
+    shuffled ONCE. No row ever reaches the driver.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    step_s = interval_seconds(step)
+    ep = _epoch(F.col(ts))
+    part = list(keys)
+    base = df.withColumn("__ep", ep)
+
+    def _ma(lo_steps: int, hi_steps: int, n_required: int) -> Column:
+        w = (
+            Window.partitionBy(*part)
+            .orderBy("__ep")
+            .rangeBetween(lo_steps * step_s, hi_steps * step_s)
+        )
+        full = F.count(value).over(w) == n_required
+        return F.when(full, F.avg(value).over(w))
+
+    if period % 2 == 1:
+        half = (period - 1) // 2
+        trend = _ma(-half, half, period)
+    else:
+        half = period // 2
+        # 2xMA: mean of the two period-length averages [-h, h-1] and
+        # [-h+1, h] == the half-weighted-endpoint centered average
+        trend = (
+            _ma(-half, half - 1, period) + _ma(-half + 1, half, period)
+        ) / 2
+    out = base.withColumn("__trend", trend).withColumn(
+        "__phase", F.pmod((F.col("__ep") / step_s).cast("long"), F.lit(period))
+    )
+    out = out.withColumn("__detr", F.col(value) - F.col("__trend"))
+    phase_means = (
+        out.groupBy(*part, "__phase")
+        .agg(F.avg("__detr").alias("__pm"))
+        .filter(F.col("__pm").isNotNull())
+    )
+    centering = Window.partitionBy(*part) if part else Window.partitionBy()
+    seasonal_tbl = phase_means.withColumn(
+        "__seasonal", F.col("__pm") - F.avg("__pm").over(centering)
+    ).drop("__pm")
+    joined = out.join(
+        F.broadcast(seasonal_tbl), part + ["__phase"], "left"
+    )
+    return (
+        joined.withColumn("trend", F.col("__trend"))
+        .withColumn("seasonal", F.col("__seasonal"))
+        .withColumn("resid", F.col(value) - F.col("__trend") - F.col("__seasonal"))
+        .drop("__ep", "__trend", "__phase", "__detr", "__seasonal")
+    )

@@ -4456,3 +4456,79 @@ def test_minhash_signatures_in_row_identical(spark):
     assert "Exchange" not in plan  # the whole point of the opt-in
     default_plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in default_plan
+
+
+def test_seasonal_decompose_recovers_analytic_components(spark):
+    """Classical additive decomposition on trend+sine data must recover
+    each component EXACTLY in the interior: a centered MA over one full
+    period zeroes a zero-mean seasonal and passes a linear trend through
+    unchanged, so trend == the line, seasonal == the (centered) sine, and
+    resid == 0 wherever the window is full. Even period exercises the
+    2xMA half-weighted path; edges are NULL, never silently averaged
+    short."""
+    import math
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    P = 24
+    season = [math.sin(2 * math.pi * i / P) for i in range(P)]
+    mean_season = sum(season) / P
+    rows = [
+        (k, t * 3600, 10.0 + 0.5 * t + season[t % P])
+        for k in ("a", "b")
+        for t in range(4 * P)
+    ]
+    df = spark.createDataFrame(rows, ["key", "ep", "value"]).select(
+        "key", F.col("ep").cast("timestamp").alias("bucket"), "value"
+    )
+    out = seasonal_decompose(
+        df, ts="bucket", value="value", keys=["key"], period=P, step="1 hour"
+    ).collect()
+    assert len(out) == 2 * 4 * P
+    nulls = 0
+    for r in out:
+        t = int(r.bucket.timestamp()) // 3600
+        if r.trend is None:
+            nulls += 1
+            assert r.resid is None  # degrade together, loudly
+            continue
+        assert abs(r.trend - (10.0 + 0.5 * t)) < 1e-8
+        assert abs(r.seasonal - (season[t % P] - mean_season)) < 1e-6
+        assert abs(r.resid) < 1e-6
+    assert nulls == 2 * 2 * (P // 2)  # half-period NULL edge per side per key
+
+
+def test_seasonal_decompose_odd_period_and_gap_nulls(spark):
+    """Odd period takes the plain centered-MA path; a missing point must
+    NULL the trend of every row whose window spans the gap (the range
+    frame counts points, never averages short), and phases stay anchored
+    to the epoch, not to row position."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    P = 3
+    rows = [("k", t * 60, float(t % P)) for t in range(12) if t != 6]
+    df = spark.createDataFrame(rows, ["key", "ep", "value"]).select(
+        "key", F.col("ep").cast("timestamp").alias("bucket"), "value"
+    )
+    out = {
+        int(r.bucket.timestamp()) // 60: r
+        for r in seasonal_decompose(
+            df, ts="bucket", value="value", keys=["key"], period=P,
+            step="1 minute",
+        ).collect()
+    }
+    # t=5 and t=7 windows span the missing t=6 -> NULL; t=6 itself absent
+    assert out[5].trend is None and out[7].trend is None
+    assert out[0].trend is None and out[11].trend is None  # edges
+    for t in (1, 2, 3, 4, 8, 9, 10):
+        assert out[t].trend is not None
+        assert abs(out[t].trend - 1.0) < 1e-9  # MA of one full 0,1,2 cycle
+    # epoch-anchored phases: t=8 (phase 2) keeps seasonal of value 2
+    assert abs(out[8].seasonal - (2.0 - 1.0)) < 1e-9
+
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, keys=["key"], period=1)
