@@ -475,3 +475,49 @@ def _seasonal_decompose(spark, sf_dir):
         F.round("seasonal", 6).alias("seasonal"),
         F.round("resid", 6).alias("resid"),
     )
+
+
+@_register(
+    "stream_correlation",
+    # DuckDB's corr() and the operator's covar/stddev ratio agree wherever
+    # Pearson is defined (the n-1 sample factors cancel); the hourly mean
+    # inputs are each engine's own group-avg, so emitted values round to
+    # 6dp — the repo's standard float-compare margin.
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS key_a, b.event_type AS key_b,
+           ROUND(corr(a.v, b.v), 6) AS corr,
+           COUNT(*) AS n_points
+    FROM h a JOIN h b
+      ON a.bucket = b.bucket AND a.event_type < b.event_type
+    GROUP BY 1, 2 HAVING COUNT(*) >= 24
+    """,
+)
+def _stream_correlation(spark, sf_dir):
+    """Cross-stream Pearson correlation matrix
+    (operators/timeseries.py pairwise_correlation): which event-type
+    hourly series move together, over time-ALIGNED buckets only. The
+    per-stream layer (rollup/EWMA/QC) can't answer this; the all-pairs
+    join is quadratic in STREAMS, linear in TIME — the inherent output
+    size of a correlation matrix."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        pairwise_correlation,
+        time_bucket_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_bucket_rollup(
+        ev, ts="ts", keys=["event_type"], bucket="1 hour",
+        aggs={"v": "avg"}, value="value",
+    )
+    out = pairwise_correlation(
+        hourly, ts="bucket", key="event_type", value="v", min_points=24
+    )
+    return out.select(
+        "key_a", "key_b", F.round("corr", 6).alias("corr"), "n_points"
+    )

@@ -1038,3 +1038,66 @@ def seasonal_decompose(
         .withColumn("resid", F.col(value) - F.col("__trend") - F.col("__seasonal"))
         .drop("__ep", "__trend", "__phase", "__detr", "__seasonal")
     )
+
+
+def pairwise_correlation(
+    df: DataFrame,
+    *,
+    ts: str = "bucket",
+    key: str = "uuid",
+    value: str = "value",
+    min_points: int = 2,
+) -> DataFrame:
+    """Pearson correlation between every pair of streams over their
+    time-ALIGNED observations: (key_a, key_b, corr, n_points) with
+    key_a < key_b — which sensors move together, the cross-stream
+    analytics the per-stream operators (rollup, EWMA, QC) don't answer.
+
+    Only timestamps BOTH streams observed enter a pair's estimate (inner
+    self-join on ``ts``) — correlating ragged series by row position
+    would silently misalign after the first gap. Pairs with fewer than
+    ``min_points`` aligned observations are dropped rather than emitting
+    a meaningless +-1.0 from one or two points; constant streams emit
+    NULL corr (zero variance — Pearson undefined, and both engines agree
+    NULL is the honest answer).
+
+    Scale shape: one self-equi-join on ``ts`` (streams per timestamp
+    bound the fan-out — at S streams per bucket the join emits
+    S*(S-1)/2 rows per bucket, quadratic in STREAMS, linear in TIME,
+    which is the inherent output size of all-pairs correlation), then
+    one ``corr`` hash-aggregate per pair with map-side partials. Feed a
+    bucketed/resampled series (time_bucket_rollup) so timestamps align;
+    for many thousands of streams, prefilter to a candidate pair set
+    first — all-pairs across 1e5 streams is 5e9 cells no matter the
+    engine.
+    """
+    a = df.select(
+        F.col(ts).alias("__t"),
+        F.col(key).alias("key_a"),
+        F.col(value).alias("__va"),
+    )
+    b = df.select(
+        F.col(ts).alias("__t"),
+        F.col(key).alias("key_b"),
+        F.col(value).alias("__vb"),
+    )
+    joined = a.join(b, ["__t"]).filter(F.col("key_a") < F.col("key_b"))
+    # corr derived AFTER aggregation behind a lazy zero-variance guard:
+    # F.corr itself raises DIVIDE_BY_ZERO under ANSI mode on a constant
+    # stream, where NULL is the honest answer (Pearson undefined). The
+    # n-1 sample factors cancel in the ratio, so this matches any
+    # engine's corr wherever one is defined.
+    agg = joined.groupBy("key_a", "key_b").agg(
+        F.covar_samp("__va", "__vb").alias("__cov"),
+        F.stddev_samp("__va").alias("__sa"),
+        F.stddev_samp("__vb").alias("__sb"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    corr = F.when(
+        (F.col("__sa") > 0) & (F.col("__sb") > 0),
+        F.col("__cov") / (F.col("__sa") * F.col("__sb")),
+    )
+    return (
+        agg.filter(F.col("n_points") >= min_points)
+        .select("key_a", "key_b", corr.alias("corr"), "n_points")
+    )

@@ -4532,3 +4532,37 @@ def test_seasonal_decompose_odd_period_and_gap_nulls(spark):
 
     with pytest.raises(ValueError, match="period"):
         seasonal_decompose(df, keys=["key"], period=1)
+
+
+def test_pairwise_correlation_alignment_and_edge_cases(spark):
+    """corr(x, 2x)=1, corr(x, -x)=-1 on ALIGNED timestamps only (the
+    misaligned observation must not enter), constant streams yield NULL
+    (zero variance), and pairs under min_points are dropped rather than
+    emitting a +-1.0 from two points."""
+    import numpy as np
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        pairwise_correlation,
+    )
+
+    rows = []
+    xs = [1.0, 4.0, 2.0, 8.0, 5.0]
+    for t, x in enumerate(xs):
+        rows += [(t, "x", x), (t, "y", 2 * x), (t, "z", -x), (t, "c", 7.0)]
+    rows.append((99, "x", 1000.0))  # y/z/c never saw t=99 -> excluded
+    rows += [(0, "w", 1.0), (1, "w", 9.0)]  # only 2 aligned points
+    df = spark.createDataFrame(rows, ["bucket", "uuid", "value"])
+    out = {
+        (r.key_a, r.key_b): r
+        for r in pairwise_correlation(
+            df, ts="bucket", key="uuid", value="value", min_points=3
+        ).collect()
+    }
+    assert out[("x", "y")].n_points == 5  # t=99 misalignment excluded
+    assert abs(out[("x", "y")].corr - 1.0) < 1e-12
+    assert abs(out[("x", "z")].corr + 1.0) < 1e-12
+    assert out[("c", "x")].corr is None  # constant stream: undefined
+    # numpy cross-check on a non-trivial pair
+    yz = np.corrcoef([2 * v for v in xs], [-v for v in xs])[0, 1]
+    assert abs(out[("y", "z")].corr - yz) < 1e-12
+    assert not any("w" in k for k in out)  # min_points dropped the pair
