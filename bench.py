@@ -99,6 +99,19 @@ def _jit_probe(spark, salt: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def best_of(fn, runs: int = 3) -> float:
+    """min-of-N steady-state wall for a thunk — the one spelling the
+    profile tools share (profile_minhash and profile_ivf each had a
+    verbatim copy; review r12)."""
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def warmup(spark, cpus: int) -> tuple[float, float]:
     """Shared session warmup: JVM/codegen startup + Python/Arrow worker
     pool spawn (one per core, reused afterwards), then a steady-state

@@ -1017,7 +1017,11 @@ def seasonal_decompose(
             _ma(-half, half - 1, period) + _ma(-half + 1, half, period)
         ) / 2
     out = base.withColumn("__trend", trend).withColumn(
-        "__phase", F.pmod((F.col("__ep") / step_s).cast("long"), F.lit(period))
+        # floor, not cast("long"): truncation rounds toward zero, so
+        # pre-1970 buckets offset from step alignment would land one
+        # phase off (review r12; line ~748 already floors the same ratio)
+        "__phase",
+        F.pmod(F.floor(F.col("__ep") / step_s), F.lit(period)),
     )
     out = out.withColumn("__detr", F.col(value) - F.col("__trend"))
     phase_means = (
@@ -1081,7 +1085,17 @@ def pairwise_correlation(
         F.col(key).alias("key_b"),
         F.col(value).alias("__vb"),
     )
-    joined = a.join(b, ["__t"]).filter(F.col("key_a") < F.col("key_b"))
+    joined = (
+        a.join(b, ["__t"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        # pairwise deletion up front: covar_samp skips rows where EITHER
+        # value is NULL but stddev_samp/count skip only their own — three
+        # different row subsets in one ratio (wrong corr, and a pair with
+        # two non-null points would dodge the min_points floor). One
+        # filter makes every aggregate below share the same subset,
+        # matching F.corr's and DuckDB corr's semantics (review r12).
+        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
+    )
     # corr derived AFTER aggregation behind a lazy zero-variance guard:
     # F.corr itself raises DIVIDE_BY_ZERO under ANSI mode on a constant
     # stream, where NULL is the honest answer (Pearson undefined). The

@@ -32,22 +32,9 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
-
-RUNS = 3
-
-
-def best_of(fn) -> float:
-    best = None
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
 
 
 def main() -> int:
@@ -55,7 +42,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from bench import _jit_probe, warmup
+    from bench import _cpu_jiffies, _jit_probe, best_of, warmup
     from mortar_parquet_support_spark.operators import similarity as sim
     from mortar_parquet_support_spark.operators.similarity import IvfIndex
     from mortar_parquet_support_spark.session import get_spark
@@ -65,6 +52,7 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     warmup(spark, cpus)
     jit_before = _jit_probe(spark, 5_000)
+    jif0, steal0 = _cpu_jiffies()
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_vecs = emb.count()
@@ -74,16 +62,18 @@ def main() -> int:
     stages["fit_probe"] = best_of(
         lambda: sim._centroids_fit_driver(emb, "embedding", N_LIST)
     )
-    stages["lloyd"] = best_of(
-        lambda: sim._centroids_small_rows(
-            emb, id_col="vec_id", vec_col="embedding", n_list=N_LIST,
-            iters=1, seed=42,
+    lloyd_out: list = []
+
+    def _lloyd():
+        lloyd_out.append(
+            sim._centroids_small_rows(
+                emb, id_col="vec_id", vec_col="embedding", n_list=N_LIST,
+                iters=1, seed=42,
+            )
         )
-    )
-    cent_rows = sim._centroids_small_rows(
-        emb, id_col="vec_id", vec_col="embedding", n_list=N_LIST,
-        iters=1, seed=42,
-    )
+
+    stages["lloyd"] = best_of(_lloyd)
+    cent_rows = lloyd_out[-1]  # deterministic: every run returns the same
     vecs = emb.filter(F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v")
     )
@@ -106,6 +96,12 @@ def main() -> int:
         sweep[str(n_list)] = best_of(_cycle)
 
     jit_after = _jit_probe(spark, 6_000)
+    jif1, steal1 = _cpu_jiffies()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(jif1 - jif0, 1), 2)
+        if jif1 > jif0
+        else 0.0
+    )
     out = {
         "sf_dir": sf_dir,
         "n_vecs": n_vecs,
@@ -114,6 +110,7 @@ def main() -> int:
         "n_list_sweep_sec": sweep,
         "jit_sentinel_before_sec": jit_before,
         "jit_sentinel_after_sec": jit_after,
+        "steal_pct": steal_pct,
     }
     with open(os.path.join(ROOT, "PROFILE_IVF.json"), "w") as fh:
         json.dump(out, fh, indent=2)

@@ -28,22 +28,11 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-RUNS = 3
-
-
-def best_of(fn) -> float:
-    best = None
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+from bench import best_of  # noqa: E402 — min-of-3, shared with profile_ivf
 
 
 def main() -> int:
