@@ -521,3 +521,50 @@ def _stream_correlation(spark, sf_dir):
     return out.select(
         "key_a", "key_b", F.round("corr", 6).alias("corr"), "n_points"
     )
+
+
+@_register(
+    "lagged_correlation",
+    # Same exactness story as stream_correlation, per (pair, lag): the
+    # shifted alignment is integer epoch arithmetic, corr's sample
+    # factors cancel, emitted values round to 6dp.
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+               AS t, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT h.event_type, h.t - lag * 3600 AS t, h.v, l.lag
+      FROM h, (SELECT unnest(range(-3, 4)) AS lag) l
+    )
+    SELECT a.event_type AS key_a, b.event_type AS key_b, CAST(b.lag AS BIGINT) AS lag,
+           ROUND(corr(a.v, b.v), 6) AS corr, COUNT(*) AS n_points
+    FROM h a JOIN b ON a.t = b.t AND a.event_type < b.event_type
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 24
+    """,
+)
+def _lagged_correlation(spark, sf_dir):
+    """Lead/lag cross-correlation battery
+    (operators/timeseries.py lagged_correlation) over the hourly
+    event-type series, lags -3..+3: positive lag = key_b read later than
+    key_a ("a leads b"). One explode-fanned equi-join + one aggregate for
+    the whole battery — never one join per lag."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        lagged_correlation,
+        time_bucket_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_bucket_rollup(
+        ev, ts="ts", keys=["event_type"], bucket="1 hour",
+        aggs={"v": "avg"}, value="value",
+    )
+    out = lagged_correlation(
+        hourly, ts="bucket", key="event_type", value="v",
+        max_lag=3, step="1 hour", min_points=24,
+    )
+    return out.select(
+        "key_a", "key_b", "lag", F.round("corr", 6).alias("corr"), "n_points"
+    )

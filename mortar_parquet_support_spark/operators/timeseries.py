@@ -1115,3 +1115,69 @@ def pairwise_correlation(
         agg.filter(F.col("n_points") >= min_points)
         .select("key_a", "key_b", corr.alias("corr"), "n_points")
     )
+
+
+def lagged_correlation(
+    df: DataFrame,
+    *,
+    ts: str = "bucket",
+    key: str = "uuid",
+    value: str = "value",
+    max_lag: int = 3,
+    step: str = "1 hour",
+    min_points: int = 2,
+) -> DataFrame:
+    """Cross-correlation at lags: for every stream pair (key_a < key_b)
+    and every lag in [-max_lag, +max_lag], the Pearson correlation
+    between ``a[t]`` and ``b[t + lag*step]`` — the lead/lag screen
+    ("does supply temperature move 2 hours after the setpoint?") that
+    :func:`pairwise_correlation` (the lag-0 column of this output)
+    cannot answer. Sign convention, pinned in tests: POSITIVE lag means
+    b's series is read ``lag`` steps LATER than a's, so a peak at a
+    positive lag says "a leads b". The (b, a, -k) mirror is never
+    emitted — key_a < key_b with the full signed lag range already
+    carries both directions.
+
+    Same integrity rules as pairwise_correlation, per (pair, lag):
+    aligned observations only (epoch-shifted equi-join), one both-
+    non-null subset for every aggregate, NULL corr on zero variance
+    (ANSI-safe lazy guard), pairs under ``min_points`` dropped.
+
+    Scale shape: the b side fans out (2*max_lag + 1)x through one
+    in-row explode BEFORE the join, so the whole lag battery costs ONE
+    equi-join + one hash-aggregate — not one join per lag; everything
+    else is linear in that fan-out.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    step_s = interval_seconds(step)
+    a = df.select(
+        _epoch(F.col(ts)).alias("__t"),
+        F.col(key).alias("key_a"),
+        F.col(value).alias("__va"),
+    )
+    b = df.select(
+        _epoch(F.col(ts)).alias("__tb"),
+        F.col(key).alias("key_b"),
+        F.col(value).alias("__vb"),
+    ).withColumn("lag", F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))))
+    # b[t + lag] pairs with a[t]  <=>  probe epoch = tb - lag*step
+    b = b.withColumn("__t", F.col("__tb") - F.col("lag") * step_s)
+    joined = (
+        a.join(b, ["__t"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
+    )
+    agg = joined.groupBy("key_a", "key_b", "lag").agg(
+        F.covar_samp("__va", "__vb").alias("__cov"),
+        F.stddev_samp("__va").alias("__sa"),
+        F.stddev_samp("__vb").alias("__sb"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    corr = F.when(
+        (F.col("__sa") > 0) & (F.col("__sb") > 0),
+        F.col("__cov") / (F.col("__sa") * F.col("__sb")),
+    )
+    return agg.filter(F.col("n_points") >= min_points).select(
+        "key_a", "key_b", "lag", corr.alias("corr"), "n_points"
+    )

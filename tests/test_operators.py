@@ -4566,3 +4566,44 @@ def test_pairwise_correlation_alignment_and_edge_cases(spark):
     yz = np.corrcoef([2 * v for v in xs], [-v for v in xs])[0, 1]
     assert abs(out[("y", "z")].corr - yz) < 1e-12
     assert not any("w" in k for k in out)  # min_points dropped the pair
+
+
+def test_lagged_correlation_sign_convention_and_peak(spark):
+    """b = a shifted 2 steps later must peak at EXACTLY lag +2 with
+    corr 1.0 ("a leads b"), lag 0 must match pairwise_correlation, and
+    the mirrored (b, a) orientation is never emitted (the signed lag
+    range carries both directions)."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        lagged_correlation,
+        pairwise_correlation,
+    )
+
+    xs = [1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0, 9.0, 6.0, 2.5]
+    rows = [("a", t * 60, x) for t, x in enumerate(xs)]
+    rows += [("b", (t + 2) * 60, x) for t, x in enumerate(xs)]  # b lags a by 2
+    df = spark.createDataFrame(rows, ["key", "ep", "value"]).select(
+        "key", F.col("ep").cast("timestamp").alias("bucket"), "value"
+    )
+    out = {
+        (r.key_a, r.key_b, r.lag): r
+        for r in lagged_correlation(
+            df, ts="bucket", key="key", value="value", max_lag=3,
+            step="1 minute", min_points=3,
+        ).collect()
+    }
+    assert all(k[0] == "a" and k[1] == "b" for k in out)
+    peak = out[("a", "b", 2)]
+    assert abs(peak.corr - 1.0) < 1e-12 and peak.n_points == len(xs)
+    # every other lag aligns shifted copies of a non-periodic series: < 1
+    for (ka, kb, lag), r in out.items():
+        if lag != 2 and r.corr is not None:
+            assert r.corr < 0.999, (lag, r.corr)
+    # lag 0 == pairwise_correlation on the same frame
+    pw = pairwise_correlation(
+        df, ts="bucket", key="key", value="value", min_points=3
+    ).collect()[0]
+    assert abs(out[("a", "b", 0)].corr - pw.corr) < 1e-12
+    assert out[("a", "b", 0)].n_points == pw.n_points
+
+    with pytest.raises(ValueError, match="max_lag"):
+        lagged_correlation(df, key="key", max_lag=0)
