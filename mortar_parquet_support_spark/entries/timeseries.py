@@ -568,3 +568,85 @@ def _lagged_correlation(spark, sf_dir):
     return out.select(
         "key_a", "key_b", "lag", F.round("corr", 6).alias("corr"), "n_points"
     )
+
+
+@_register(
+    "cusum_changepoints",
+    # The sequential fold replayed as a RECURSIVE CTE (the lttb/mmr
+    # graduation pattern): inputs are exact integer daily counts, moments
+    # are stated two-pass/ddof=1 on BOTH sides (never the engines'
+    # internal one-pass stddev), the recurrence is the same
+    # greatest/add/clamp ops per step, and the alarm flag compares the
+    # ROUNDED statistics so the boolean can never knife-edge apart while
+    # the values hash-match.
+    """
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, SUM(x) / COUNT(*) AS mean, COUNT(*) AS n
+      FROM d GROUP BY 1
+    ),
+    v AS (
+      SELECT d.event_type,
+             SQRT(SUM((d.x - m.mean) * (d.x - m.mean)) / (m.n - 1)) AS std
+      FROM d JOIN m USING (event_type) GROUP BY d.event_type, m.n
+    ),
+    z AS (
+      SELECT d.event_type, d.bucket,
+             CASE WHEN v.std > 0 THEN (d.x - m.mean) / v.std
+                  ELSE 0.0 END AS z,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                ORDER BY d.bucket) AS rn
+      FROM d JOIN m USING (event_type) JOIN v USING (event_type)
+    ),
+    c AS (
+      SELECT event_type, bucket, rn, z,
+             greatest(0.0, z - 0.5) AS s_hi,
+             greatest(0.0, -z - 0.5) AS s_lo
+      FROM z WHERE rn = 1
+      UNION ALL
+      SELECT z.event_type, z.bucket, z.rn, z.z,
+             greatest(0.0, c.s_hi + z.z - 0.5),
+             greatest(0.0, c.s_lo - z.z - 0.5)
+      FROM c JOIN z ON z.event_type = c.event_type AND z.rn = c.rn + 1
+    )
+    SELECT event_type AS key, bucket, ROUND(z, 6) AS z,
+           ROUND(s_hi, 6) AS s_hi, ROUND(s_lo, 6) AS s_lo,
+           (ROUND(s_hi, 6) > 5.0 OR ROUND(s_lo, 6) > 5.0) AS alarm
+    FROM c
+    """,
+)
+def _cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM mean-shift trace
+    (operators/timeseries.py cusum_changepoints) over each event_type's
+    daily-count series: full per-point s_hi/s_lo statistics plus the
+    alarm flag, replayed exactly by a DuckDB recursive CTE. The alarm in
+    THIS entry compares the rounded statistics (not the operator's raw
+    ones) so the flag is a pure function of the hash-matched values."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        cusum_changepoints,
+        time_bucket_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = time_bucket_rollup(
+        ev, ts="ts", keys=["event_type"], bucket="1 day",
+        aggs={"value": "count"}, value="event_id",
+    ).withColumn("value", F.col("value").cast("double"))
+    out = cusum_changepoints(
+        daily, ts="bucket", key="event_type", value="value",
+        drift=0.5, threshold=5.0,
+    )
+    s_hi = F.round("s_hi", 6)
+    s_lo = F.round("s_lo", 6)
+    return out.select(
+        F.col("event_type").alias("key"),
+        "bucket",
+        F.round("z", 6).alias("z"),
+        s_hi.alias("s_hi"),
+        s_lo.alias("s_lo"),
+        ((s_hi > 5.0) | (s_lo > 5.0)).alias("alarm"),
+    )

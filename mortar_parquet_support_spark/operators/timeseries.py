@@ -1181,3 +1181,82 @@ def lagged_correlation(
     return agg.filter(F.col("n_points") >= min_points).select(
         "key_a", "key_b", "lag", corr.alias("corr"), "n_points"
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    ts: str = "bucket",
+    key: str = "uuid",
+    value: str = "value",
+    drift: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Two-sided standardized CUSUM per stream (Page 1954): the classic
+    mean-shift changepoint screen. Per key, with z_t = (x_t - mean)/std
+    (each key's own full-series moments; std == 0 -> z = 0, a constant
+    stream can never alarm):
+
+        s_hi_t = max(0, s_hi_{t-1} + z_t - drift)     (upward shifts)
+        s_lo_t = max(0, s_lo_{t-1} - z_t - drift)     (downward shifts)
+
+    Returns every point with both statistics and ``alarm`` (either side
+    above ``threshold``) — the full trace, not just alarms, so the
+    consumer sees the build-up and can re-threshold without recompute.
+
+    The recurrence is a sequential fold — not window-expressible — so it
+    runs per key in ONE ``applyInPandas`` pass (numpy, vectorized
+    moments + a tight loop over the clamp); grouped shuffle is the only
+    exchange. Per-key state is two floats; series length per key is the
+    only memory bound, the same contract as lttb_downsample.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    out_schema = T.StructType(
+        [
+            df.schema[key],
+            df.schema[ts],
+            T.StructField("z", T.DoubleType(), True),
+            T.StructField("s_hi", T.DoubleType(), True),
+            T.StructField("s_lo", T.DoubleType(), True),
+        ]
+    )
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        x = pdf[value].to_numpy(dtype=np.float64)
+        # two-pass moments, ddof=1 — the same textbook formula the SQL
+        # oracle states explicitly (engine-internal one-pass stddev
+        # variants differ in the last ulps; stating the formula on both
+        # sides keeps the recurrence inputs bit-aligned)
+        mean = x.sum() / len(x)
+        var = ((x - mean) ** 2).sum() / (len(x) - 1) if len(x) > 1 else 0.0
+        std = float(np.sqrt(var))
+        z = (x - mean) / std if std > 0 else np.zeros_like(x)
+        s_hi = np.empty_like(z)
+        s_lo = np.empty_like(z)
+        hi = lo = 0.0
+        for i, zi in enumerate(z):
+            hi = max(0.0, hi + zi - drift)
+            lo = max(0.0, lo - zi - drift)
+            s_hi[i] = hi
+            s_lo[i] = lo
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                ts: pdf[ts].to_numpy(),
+                "z": z,
+                "s_hi": s_hi,
+                "s_lo": s_lo,
+            }
+        )
+
+    folded = df.select(key, ts, value).groupBy(key).applyInPandas(
+        _fold, schema=out_schema
+    )
+    alarm = (F.col("s_hi") > threshold) | (F.col("s_lo") > threshold)
+    return folded.withColumn("alarm", alarm)

@@ -4607,3 +4607,60 @@ def test_lagged_correlation_sign_convention_and_peak(spark):
 
     with pytest.raises(ValueError, match="max_lag"):
         lagged_correlation(df, key="key", max_lag=0)
+
+
+def test_cusum_changepoints_detects_planted_shift(spark):
+    """A planted +3-sigma mean shift must alarm on the HIGH side shortly
+    after onset and never before; the pre-shift half stays quiet; a
+    downward shift mirrors onto s_lo; constant streams never alarm
+    (std==0 -> z=0); the fold matches an independent numpy replay
+    bit-for-bit."""
+    import numpy as np
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rng = [((-1) ** i) * ((i * 7 % 5) / 10.0) for i in range(40)]  # ~noise
+    up = [v + (3.0 if i >= 20 else 0.0) for i, v in enumerate(rng)]
+    down = [v - (3.0 if i >= 20 else 0.0) for i, v in enumerate(rng)]
+    rows = (
+        [("up", t * 60, v) for t, v in enumerate(up)]
+        + [("down", t * 60, v) for t, v in enumerate(down)]
+        + [("flat", t * 60, 4.2) for t in range(40)]
+    )
+    df = spark.createDataFrame(rows, ["key", "ep", "value"]).select(
+        "key", F.col("ep").cast("timestamp").alias("bucket"), "value"
+    )
+    out = cusum_changepoints(
+        df, ts="bucket", key="key", value="value", drift=0.5, threshold=5.0
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    for k in by_key:
+        by_key[k].sort(key=lambda r: r.bucket)
+
+    # side-specific: against FULL-series moments a level shift pushes the
+    # pre-shift half low and the post-shift half high, so for 'up' the
+    # HIGH statistic must cross only after onset (the low side may
+    # legitimately alarm on the depressed first half — that asymmetry is
+    # what the two-sided trace exists to show)
+    up_hi = [i for i, r in enumerate(by_key["up"]) if r.s_hi > 5.0]
+    assert up_hi and min(up_hi) >= 20
+    down_lo = [i for i, r in enumerate(by_key["down"]) if r.s_lo > 5.0]
+    assert down_lo and min(down_lo) >= 20
+    assert all(not r.alarm and r.s_hi == 0.0 and r.z == 0.0 for r in by_key["flat"])
+
+    # bit-for-bit numpy replay of the 'up' stream
+    x = np.array(up)
+    mean = x.sum() / len(x)
+    std = float(np.sqrt(((x - mean) ** 2).sum() / (len(x) - 1)))
+    z = (x - mean) / std
+    hi = 0.0
+    for i, r in enumerate(by_key["up"]):
+        hi = max(0.0, hi + z[i] - 0.5)
+        assert r.s_hi == hi and r.z == z[i]
+
+    with pytest.raises(ValueError, match="threshold"):
+        cusum_changepoints(df, key="key", threshold=0)
