@@ -495,6 +495,7 @@ def _seasonal_decompose(spark, sf_dir):
            COUNT(*) AS n_points
     FROM h a JOIN h b
       ON a.bucket = b.bucket AND a.event_type < b.event_type
+    WHERE a.v IS NOT NULL AND b.v IS NOT NULL
     GROUP BY 1, 2 HAVING COUNT(*) >= 24
     """,
 )
@@ -542,6 +543,7 @@ def _stream_correlation(spark, sf_dir):
     SELECT a.event_type AS key_a, b.event_type AS key_b, CAST(b.lag AS BIGINT) AS lag,
            ROUND(corr(a.v, b.v), 6) AS corr, COUNT(*) AS n_points
     FROM h a JOIN b ON a.t = b.t AND a.event_type < b.event_type
+    WHERE a.v IS NOT NULL AND b.v IS NOT NULL
     GROUP BY 1, 2, 3 HAVING COUNT(*) >= 24
     """,
 )

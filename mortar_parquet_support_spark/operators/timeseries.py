@@ -1085,23 +1085,30 @@ def pairwise_correlation(
         F.col(key).alias("key_b"),
         F.col(value).alias("__vb"),
     )
-    joined = (
-        a.join(b, ["__t"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        # pairwise deletion up front: covar_samp skips rows where EITHER
-        # value is NULL but stddev_samp/count skip only their own — three
-        # different row subsets in one ratio (wrong corr, and a pair with
-        # two non-null points would dodge the min_points floor). One
-        # filter makes every aggregate below share the same subset,
-        # matching F.corr's and DuckDB corr's semantics (review r12).
-        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
+    return _pearson_over_pairs(a.join(b, ["__t"]), ["key_a", "key_b"], min_points)
+
+
+def _pearson_over_pairs(joined, group_cols: list, min_points: int) -> DataFrame:
+    """The ONE spelling of the pair-correlation aggregate (shared by
+    pairwise_correlation and lagged_correlation — review r12: the whole
+    block had been copy-pasted, including a fix-bearing comment):
+
+    - pairwise deletion UP FRONT: covar_samp skips rows where EITHER
+      value is NULL but stddev_samp/count skip only their own — three
+      different row subsets in one ratio (wrong corr, and a pair with
+      two non-null points would dodge the min_points floor). One filter
+      makes every aggregate share the subset, matching F.corr's and
+      DuckDB corr's semantics;
+    - corr derived AFTER aggregation behind a lazy zero-variance guard:
+      F.corr itself raises DIVIDE_BY_ZERO under ANSI mode on a constant
+      stream, where NULL is the honest answer (Pearson undefined). The
+      n-1 sample factors cancel in the ratio, so this matches any
+      engine's corr wherever one is defined.
+    """
+    joined = joined.filter(F.col("key_a") < F.col("key_b")).filter(
+        F.col("__va").isNotNull() & F.col("__vb").isNotNull()
     )
-    # corr derived AFTER aggregation behind a lazy zero-variance guard:
-    # F.corr itself raises DIVIDE_BY_ZERO under ANSI mode on a constant
-    # stream, where NULL is the honest answer (Pearson undefined). The
-    # n-1 sample factors cancel in the ratio, so this matches any
-    # engine's corr wherever one is defined.
-    agg = joined.groupBy("key_a", "key_b").agg(
+    agg = joined.groupBy(*group_cols).agg(
         F.covar_samp("__va", "__vb").alias("__cov"),
         F.stddev_samp("__va").alias("__sa"),
         F.stddev_samp("__vb").alias("__sb"),
@@ -1111,9 +1118,8 @@ def pairwise_correlation(
         (F.col("__sa") > 0) & (F.col("__sb") > 0),
         F.col("__cov") / (F.col("__sa") * F.col("__sb")),
     )
-    return (
-        agg.filter(F.col("n_points") >= min_points)
-        .select("key_a", "key_b", corr.alias("corr"), "n_points")
+    return agg.filter(F.col("n_points") >= min_points).select(
+        *group_cols, corr.alias("corr"), "n_points"
     )
 
 
@@ -1141,7 +1147,12 @@ def lagged_correlation(
     Same integrity rules as pairwise_correlation, per (pair, lag):
     aligned observations only (epoch-shifted equi-join), one both-
     non-null subset for every aggregate, NULL corr on zero variance
-    (ANSI-safe lazy guard), pairs under ``min_points`` dropped.
+    (ANSI-safe lazy guard), pairs under ``min_points`` dropped. One
+    contract difference: lag arithmetic needs a NUMERIC axis, so
+    alignment here is on WHOLE-SECOND epochs (the module-wide _epoch
+    granularity) — sub-second-distinct buckets would collide; feed a
+    bucketed series (which is also what makes lag*step meaningful), and
+    then lag 0 equals pairwise_correlation exactly (test-pinned).
 
     Scale shape: the b side fans out (2*max_lag + 1)x through one
     in-row explode BEFORE the join, so the whole lag battery costs ONE
@@ -1163,23 +1174,8 @@ def lagged_correlation(
     ).withColumn("lag", F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))))
     # b[t + lag] pairs with a[t]  <=>  probe epoch = tb - lag*step
     b = b.withColumn("__t", F.col("__tb") - F.col("lag") * step_s)
-    joined = (
-        a.join(b, ["__t"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
-    )
-    agg = joined.groupBy("key_a", "key_b", "lag").agg(
-        F.covar_samp("__va", "__vb").alias("__cov"),
-        F.stddev_samp("__va").alias("__sa"),
-        F.stddev_samp("__vb").alias("__sb"),
-        F.count(F.lit(1)).alias("n_points"),
-    )
-    corr = F.when(
-        (F.col("__sa") > 0) & (F.col("__sb") > 0),
-        F.col("__cov") / (F.col("__sa") * F.col("__sb")),
-    )
-    return agg.filter(F.col("n_points") >= min_points).select(
-        "key_a", "key_b", "lag", corr.alias("corr"), "n_points"
+    return _pearson_over_pairs(
+        a.join(b, ["__t"]), ["key_a", "key_b", "lag"], min_points
     )
 
 
@@ -1200,6 +1196,10 @@ def cusum_changepoints(
         s_hi_t = max(0, s_hi_{t-1} + z_t - drift)     (upward shifts)
         s_lo_t = max(0, s_lo_{t-1} - z_t - drift)     (downward shifts)
 
+    NULL readings are excluded from the trace (a NULL would NaN-poison
+    the moments and silently flatten the whole stream); resample/gap-
+    fill first if missing points should participate.
+
     Returns every point with both statistics and ``alarm`` (either side
     above ``threshold``) — the full trace, not just alarms, so the
     consumer sees the build-up and can re-threshold without recompute.
@@ -1216,6 +1216,10 @@ def cusum_changepoints(
 
     if threshold <= 0:
         raise ValueError(f"threshold must be > 0, got {threshold}")
+    if drift < 0:
+        # a sign typo would bias the recurrence POSITIVE every step and
+        # alarm every stream on pure noise with no error
+        raise ValueError(f"drift must be >= 0, got {drift}")
     out_schema = T.StructType(
         [
             df.schema[key],
@@ -1255,8 +1259,18 @@ def cusum_changepoints(
             }
         )
 
-    folded = df.select(key, ts, value).groupBy(key).applyInPandas(
-        _fold, schema=out_schema
+    # NULL readings are EXCLUDED from the trace, not folded: one NULL
+    # would otherwise NaN-poison the moments, zero every z, and return a
+    # perfectly flat legit-looking trace that can never alarm (review
+    # r12) — the opposite of degrading loudly. Excluding the point keeps
+    # the recurrence over the observations that exist (the same
+    # pairwise-deletion stance as _pearson_over_pairs); gap-sensitive
+    # callers should resample/gap-fill first.
+    folded = (
+        df.select(key, ts, value)
+        .filter(F.col(value).isNotNull())
+        .groupBy(key)
+        .applyInPandas(_fold, schema=out_schema)
     )
     alarm = (F.col("s_hi") > threshold) | (F.col("s_lo") > threshold)
     return folded.withColumn("alarm", alarm)
