@@ -652,3 +652,109 @@ def _cusum_changepoints(spark, sf_dir):
         s_lo.alias("s_lo"),
         ((s_hi > 5.0) | (s_lo > 5.0)).alias("alarm"),
     )
+
+
+@_register(
+    "seasonal_anomalies",
+    # Extends the seasonal_decompose oracle with the stated two-pass
+    # ddof=1 residual std and the score; a +12*sqrt(count) spike (~12
+    # Poisson sigmas, so it clears the 3-sigma gate at EVERY fixture
+    # scale even after the outlier inflates the residual std) is planted
+    # on day 15 of every type IDENTICALLY on both sides so the flag path
+    # has positive signal, and the anomaly flag compares the ROUNDED
+    # score (cusum's knife-edge-proof pattern).
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(COUNT(*) AS DOUBLE)
+               + CASE WHEN extract(day FROM date_trunc('day', ts)) = 15
+                      THEN 12.0 * SQRT(CAST(COUNT(*) AS DOUBLE))
+                      ELSE 0.0 END AS value
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    w AS (
+      SELECT event_type, bucket, value,
+             CASE WHEN count(value) OVER win = 7
+                  THEN avg(value) OVER win END AS trend,
+             (CAST(epoch(bucket) AS BIGINT) // 86400) % 7 AS phase
+      FROM d
+      WINDOW win AS (
+        PARTITION BY event_type ORDER BY CAST(epoch(bucket) AS BIGINT)
+        RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
+    ),
+    pm AS (
+      SELECT event_type, phase, avg(value - trend) AS pmean
+      FROM w GROUP BY 1, 2 HAVING avg(value - trend) IS NOT NULL
+    ),
+    ctr AS (
+      SELECT event_type, phase,
+             pmean - avg(pmean) OVER (PARTITION BY event_type) AS seasonal
+      FROM pm
+    ),
+    r AS (
+      SELECT w.event_type, w.bucket, w.value, w.trend, c.seasonal,
+             w.value - w.trend - c.seasonal AS resid
+      FROM w LEFT JOIN ctr c
+        ON c.event_type = w.event_type AND c.phase = w.phase
+    ),
+    st AS (
+      SELECT event_type,
+             SQRT(SUM((resid - m) * (resid - m)) / (n - 1)) AS std
+      FROM (SELECT event_type, resid,
+                   AVG(resid) OVER (PARTITION BY event_type) AS m,
+                   COUNT(resid) OVER (PARTITION BY event_type) AS n
+            FROM r WHERE resid IS NOT NULL)
+      GROUP BY event_type, n HAVING n > 1
+    )
+    SELECT r.event_type, r.bucket, ROUND(r.value, 6) AS value,
+           ROUND(r.resid, 6) AS resid,
+           ROUND(CASE WHEN st.std > 0 THEN abs(r.resid) / st.std END, 6)
+             AS score,
+           COALESCE(
+             ROUND(CASE WHEN st.std > 0 THEN abs(r.resid) / st.std END, 6)
+               > 3.0, FALSE) AS anomaly
+    FROM r LEFT JOIN st ON st.event_type = r.event_type
+    """,
+)
+def _seasonal_anomalies(spark, sf_dir):
+    """Deseasonalized anomaly screen
+    (operators/timeseries.py seasonal_anomalies) over the daily
+    event-count series (+12*sqrt(count) planted on every type's day 15, identically
+    in the oracle, so the flag path is exercised on fixture data): a
+    spike is judged against the residual AFTER trend and weekly
+    seasonality are removed. The in-entry assert witnesses that the
+    plant is actually flagged."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        seasonal_anomalies,
+        time_bucket_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = time_bucket_rollup(
+        ev, ts="ts", keys=["event_type"], bucket="1 day",
+        aggs={"value": "count"}, value="event_id",
+    ).withColumn(
+        "value",
+        F.col("value").cast("double")
+        + F.when(
+            F.dayofmonth("bucket") == 15,
+            12.0 * F.sqrt(F.col("value").cast("double")),
+        ).otherwise(0.0),
+    )
+    out = seasonal_anomalies(
+        daily, ts="bucket", value="value", keys=["event_type"],
+        period=7, step="1 day", sigma=3.0,
+    )
+    score = F.round("score", 6)
+    result = out.select(
+        "event_type",
+        "bucket",
+        F.round("value", 6).alias("value"),
+        F.round("resid", 6).alias("resid"),
+        score.alias("score"),
+        F.coalesce(score > 3.0, F.lit(False)).alias("anomaly"),
+    )
+    n_flagged = result.filter("anomaly").count()
+    if n_flagged < 1:
+        raise AssertionError("the planted day-15 spike must be flagged")
+    return result

@@ -1274,3 +1274,52 @@ def cusum_changepoints(
     )
     alarm = (F.col("s_hi") > threshold) | (F.col("s_lo") > threshold)
     return folded.withColumn("alarm", alarm)
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    *,
+    ts: str = "bucket",
+    value: str = "value",
+    keys: Sequence[str] = (),
+    period: int = 24,
+    step: str = "1 hour",
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Deseasonalized anomaly screen — the operational use of
+    :func:`seasonal_decompose`: a spike is judged against what's left
+    AFTER trend and seasonality are removed, so a hot afternoon is not
+    an anomaly but the same reading at 3am is. Adds to the decomposition
+    output:
+
+    - ``score`` — |resid| / std(resid), the residual's own scale (std is
+      the stated two-pass ddof=1 formula over the key's non-NULL
+      residuals — never an engine-internal one-pass variant, so any
+      engine restates it bit-compatibly);
+    - ``anomaly`` — ``score > sigma``; NULL score (edge rows with no
+      trend, or a zero-variance residual) can never flag.
+
+    Scale shape: seasonal_decompose's one shuffle, plus two more window
+    passes over the SAME key partitioning (mean then squared-deviation
+    sum) — Catalyst reuses the exchange, so the corpus still moves once.
+    """
+    if sigma <= 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+    dec = seasonal_decompose(
+        df, ts=ts, value=value, keys=keys, period=period, step=step
+    )
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    # two selects: a window expression cannot nest inside another window
+    # aggregate, so the mean lands as a concrete column first
+    staged = dec.withColumn("__mr", F.avg("resid").over(part)).withColumn(
+        "__nr", F.count("resid").over(part)
+    )
+    dev = F.col("resid") - F.col("__mr")
+    var = F.sum(dev * dev).over(part) / (F.col("__nr") - 1)
+    std = F.when(F.col("__nr") > 1, F.sqrt(var))
+    score = F.when(std > 0, F.abs(F.col("resid")) / std)
+    return (
+        staged.withColumn("score", score)
+        .withColumn("anomaly", F.coalesce(F.col("score") > sigma, F.lit(False)))
+        .drop("__mr", "__nr")
+    )

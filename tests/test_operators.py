@@ -4664,3 +4664,43 @@ def test_cusum_changepoints_detects_planted_shift(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         cusum_changepoints(df, key="key", threshold=0)
+
+
+def test_seasonal_anomalies_flags_only_the_planted_spike(spark):
+    """A +15 spike riding a strong seasonal must be the ONLY flagged
+    point: the score is judged on the DESEASONALIZED residual, so the
+    daily peak itself (which a raw z-score would flag) stays quiet, and
+    NULL-trend edge rows can never flag."""
+    import math
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    P = 24
+    season = [2 * math.sin(2 * math.pi * i / P) for i in range(P)]
+    rows = []
+    for t in range(6 * P):
+        v = 50.0 + season[t % P] + ((-1) ** t) * 0.1
+        if t == 70:
+            v += 15.0
+        rows.append(("k", t * 3600, v))
+    df = spark.createDataFrame(rows, ["key", "ep", "value"]).select(
+        "key", F.col("ep").cast("timestamp").alias("bucket"), "value"
+    )
+    out = {
+        int(r.bucket.timestamp()) // 3600: r
+        for r in seasonal_anomalies(
+            df, ts="bucket", value="value", keys=["key"], period=P,
+            step="1 hour",
+        ).collect()
+    }
+    assert [t for t, r in out.items() if r.anomaly] == [70]
+    assert out[70].score > 3.0
+    assert all(
+        r.score is None and not r.anomaly for r in out.values()
+        if r.trend is None
+    )  # edges: NULL score, never a flag
+
+    with pytest.raises(ValueError, match="sigma"):
+        seasonal_anomalies(df, keys=["key"], sigma=0)
