@@ -987,11 +987,28 @@ def seasonal_decompose(
 
     Scale shape: one range-window pass over each key's series (one
     shuffle on ``keys``), a (keys x period)-row phase aggregate, and a
-    broadcast join of that tiny seasonal table back — the corpus is
-    shuffled ONCE. No row ever reaches the driver.
+    join of that seasonal table back — AQE broadcasts it when it is
+    actually small (the table is keys x period rows, LINEAR in stream
+    cardinality, so the hint is left to the runtime rather than forced;
+    ADVICE r12). The corpus itself is shuffled ONCE. No row ever reaches
+    the driver.
     """
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
+    # withColumn silently REPLACES an existing column, so pre-existing
+    # scratch/output names would corrupt the caller's data with plausible
+    # numbers (ADVICE r12 — write_zordered guards its __z the same way)
+    clash = [
+        c
+        for c in ("__ep", "__trend", "__phase", "__detr", "__seasonal",
+                  "trend", "seasonal", "resid")
+        if c in df.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"seasonal_decompose output/scratch columns already present: "
+            f"{clash} — rename them first"
+        )
     step_s = interval_seconds(step)
     ep = _epoch(F.col(ts))
     part = list(keys)
@@ -1033,15 +1050,39 @@ def seasonal_decompose(
     seasonal_tbl = phase_means.withColumn(
         "__seasonal", F.col("__pm") - F.avg("__pm").over(centering)
     ).drop("__pm")
-    joined = out.join(
-        F.broadcast(seasonal_tbl), part + ["__phase"], "left"
-    )
+    # no forced broadcast hint: the phase table is keys x period rows —
+    # linear in STREAM CARDINALITY, so at millions of keys a mandatory
+    # broadcast would OOM the driver (ADVICE r12). AQE broadcasts it
+    # whenever it is actually small (the common case) and falls back to a
+    # shuffle join on the same key partitioning otherwise.
+    joined = out.join(seasonal_tbl, part + ["__phase"], "left")
     return (
         joined.withColumn("trend", F.col("__trend"))
         .withColumn("seasonal", F.col("__seasonal"))
         .withColumn("resid", F.col(value) - F.col("__trend") - F.col("__seasonal"))
         .drop("__ep", "__trend", "__phase", "__detr", "__seasonal")
     )
+
+
+def _assert_unique_timestamps(df: DataFrame, key: str, ts: str) -> None:
+    """One aggregate job that rejects duplicate (key, ts) observations —
+    the correlation operators' silent-wrong-answer mode: a duplicated
+    timestamp joins MULTIPLE times, duplicate-weighting that point in
+    every moment with plausible-looking output (ADVICE r12)."""
+    dup = (
+        df.groupBy(key, ts)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate ({key}, {ts}) observation e.g. "
+            f"({dup[0][0]!r}, {dup[0][1]!r}) — correlations would be "
+            "duplicate-weighted; bucket/resample first "
+            "(time_bucket_rollup) or deduplicate"
+        )
 
 
 def pairwise_correlation(
@@ -1051,11 +1092,16 @@ def pairwise_correlation(
     key: str = "uuid",
     value: str = "value",
     min_points: int = 2,
+    validate: bool = False,
 ) -> DataFrame:
     """Pearson correlation between every pair of streams over their
     time-ALIGNED observations: (key_a, key_b, corr, n_points) with
     key_a < key_b — which sensors move together, the cross-stream
     analytics the per-stream operators (rollup, EWMA, QC) don't answer.
+    CONTRACT: one observation per (key, ts) — a duplicated timestamp
+    would silently duplicate-weight that point in every moment;
+    ``validate=True`` buys one cheap aggregate pass that rejects such
+    input loudly (ADVICE r12).
 
     Only timestamps BOTH streams observed enter a pair's estimate (inner
     self-join on ``ts``) — correlating ragged series by row position
@@ -1075,6 +1121,8 @@ def pairwise_correlation(
     first — all-pairs across 1e5 streams is 5e9 cells no matter the
     engine.
     """
+    if validate:
+        _assert_unique_timestamps(df, key, ts)
     a = df.select(
         F.col(ts).alias("__t"),
         F.col(key).alias("key_a"),
@@ -1132,6 +1180,7 @@ def lagged_correlation(
     max_lag: int = 3,
     step: str = "1 hour",
     min_points: int = 2,
+    validate: bool = False,
 ) -> DataFrame:
     """Cross-correlation at lags: for every stream pair (key_a < key_b)
     and every lag in [-max_lag, +max_lag], the Pearson correlation
@@ -1161,6 +1210,13 @@ def lagged_correlation(
     """
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if validate:
+        # same duplicate-weighting contract as pairwise_correlation —
+        # plus here a sub-second-distinct pair would collide on whole-
+        # second epochs, which this check also catches post-truncation
+        _assert_unique_timestamps(
+            df.withColumn("__ve", _epoch(F.col(ts))), key, "__ve"
+        )
     step_s = interval_seconds(step)
     a = df.select(
         _epoch(F.col(ts)).alias("__t"),
@@ -1305,6 +1361,14 @@ def seasonal_anomalies(
     """
     if sigma <= 0:
         raise ValueError(f"sigma must be > 0, got {sigma}")
+    clash = [
+        c for c in ("__mr", "__nr", "score", "anomaly") if c in df.columns
+    ]
+    if clash:  # same silent-overwrite guard as seasonal_decompose's
+        raise ValueError(
+            f"seasonal_anomalies output/scratch columns already present: "
+            f"{clash} — rename them first"
+        )
     dec = seasonal_decompose(
         df, ts=ts, value=value, keys=keys, period=period, step=step
     )

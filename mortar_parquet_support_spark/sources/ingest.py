@@ -265,26 +265,38 @@ def write_lake(
     therefore a per-file fact; verify with
     :func:`~mortar_parquet_support_spark.sources.maintenance.parquet_bloom_columns`.
     """
-    _validate_bloom_options(df, bloom_cols, bloom_ndv)
     if partition_uuid:
         out = df.repartition("collection", "uuid").sortWithinPartitions("time")
         partition_cols = ["collection", "uuid"]
     else:
         out = df.repartitionByRange("collection", "uuid").sortWithinPartitions("uuid", "time")
         partition_cols = ["collection"]
+    _validate_bloom_options(df, bloom_cols, bloom_ndv, partition_cols)
     writer = out.write.mode(mode).partitionBy(*partition_cols)
     writer = _apply_bloom_options(writer, bloom_cols, bloom_ndv)
     writer.parquet(destination)
 
 
-def _validate_bloom_options(df: DataFrame, bloom_cols, bloom_ndv) -> None:
+def _validate_bloom_options(
+    df: DataFrame, bloom_cols, bloom_ndv, partition_cols=()
+) -> None:
     """Fail loudly BEFORE any job runs: parquet silently ignores write
     options for columns it never sees, so a typo'd bloom column would
     produce a filterless lake with no diagnostic (the exact failure
-    parquet_bloom_columns exists to witness after the fact)."""
+    parquet_bloom_columns exists to witness after the fact). Partition
+    columns are the same silent no-op with a subtler cause — they ARE in
+    ``df.columns`` but live in directory names, never in data files, so
+    parquet-mr never sees them either (ADVICE r12)."""
     missing = [c for c in bloom_cols if c not in df.columns]
     if missing:
         raise ValueError(f"bloom_cols not in frame: {missing}")
+    parted = [c for c in bloom_cols if c in partition_cols]
+    if parted:
+        raise ValueError(
+            f"bloom_cols {parted} are partition columns — they are written "
+            "as directory names, not data pages, so the bloom option would "
+            "be silently ignored (directory pruning already serves them)"
+        )
     if bloom_ndv is not None and bloom_ndv <= 0:
         raise ValueError(f"bloom_ndv must be positive, got {bloom_ndv}")
 
@@ -330,18 +342,17 @@ def stream_ingest(
     and the checkpoint commit merely replays a compaction of an
     already-compact lake (a listing probe + no-op).
 
-    Durability caveat — this is opt-in for a reason: the rewrite itself
-    is a dynamic-partition OVERWRITE on a plain file lake, whose job
-    commit (delete old files, move staged files in) is NOT atomic. A
-    crash inside that commit window can lose the touched collection's
-    already-committed history, and the streaming checkpoint cannot
-    restore it (earlier source files are marked seen and never re-read).
-    Every use of ``compact_collections`` on a plain lake shares the
-    window; in-batch auto-compaction merely ENTERS it once every N
-    batches instead of when an operator chooses. If that risk is
-    unacceptable, run compaction out-of-band under supervision (the CLI
-    ``compact --max-files`` mode) or keep the lake on a transactional
-    table format where OPTIMIZE commits atomically.
+    Durability (r13): the rewrite publishes through the crash-atomic
+    write-audit-publish protocol in ``sources/publish.py`` — the rewrite
+    is staged under a hidden ``.maint/`` transaction, audited, journaled,
+    then swapped in by directory rename, and a crash at ANY point
+    converges via ``recover_lake`` (run automatically at the start of
+    the next publish, so a crashed auto-compaction self-heals on its
+    next cadence tick) with the old history intact until every staged
+    partition is live. The residual caveats are the protocol's stated
+    assumptions: one maintenance writer per lake (foreachBatch already
+    serializes this stream's ticks) and rename-atomic storage (POSIX /
+    HDFS; on raw object stores prefer a transactional table format).
 
     The file source tracks seen files in the checkpoint, so a completed
     batch's files are never re-ingested and a dropped-in file is picked up

@@ -12,11 +12,16 @@ rewrites). At 100 TB these two lifecycle operations become mandatory:
   the same (uuid, time). ``upsert_lake`` merges updates into ONLY the
   collections they touch, keeping the newest version per key.
 
-Both use DYNAMIC partition overwrite — only the partitions present in the
-rewritten frame are replaced, the rest of the lake is untouched — so the
-blast radius is the touched collections, never the whole table. The
-rewrite itself reuses ``write_lake``'s range-repartition + in-file sort,
-so row-group stats stay prune-tight after maintenance.
+Both replace ONLY the partitions present in the rewritten frame — the
+rest of the lake keeps its files' exact identities — so the blast radius
+is the touched collections, never the whole table. Since round 13 the
+publish is CRASH-ATOMIC: a write-audit-publish protocol
+(sources/publish.py) stages the rewrite under a hidden ``.maint/``
+transaction, audits per-collection counts, journals, then swaps
+directories by rename — a crash at any point converges via
+``recover_lake`` with zero data loss. The rewrite itself reuses
+``write_lake``'s range-repartition + in-file sort, so row-group stats
+stay prune-tight after maintenance.
 """
 
 from __future__ import annotations
@@ -119,7 +124,7 @@ def write_zordered(
         raise ValueError("frame already has a __z column")
     if files is not None and files <= 0:
         raise ValueError(f"files must be positive, got {files}")
-    _validate_bloom_options(df, bloom_cols, bloom_ndv)
+    _validate_bloom_options(df, bloom_cols, bloom_ndv, tuple(partition_by))
     z = zorder_key(df, cols, bits=bits)
     staged = df.withColumn("__z", z)
     parts = (
@@ -173,36 +178,26 @@ def _dynamic_overwrite_lake(
     bloom_cols: tuple = (),
     bloom_ndv: int | None = None,
 ) -> None:
-    """Rewrite only the collections present in ``df`` (dynamic partition
-    overwrite), with the lake's clustering/sort discipline.
+    """Rewrite only the collections present in ``df``, with the lake's
+    clustering/sort discipline — CRASH-ATOMICALLY since round 13.
 
-    ``df`` is MATERIALIZED first: both maintenance ops read the very
-    partitions they are about to replace, and a lazy self-referential
-    overwrite's correctness would hinge on the commit protocol's
-    stage-then-swap ordering — behavior Spark only guarantees for catalog
-    tables (elsewhere it REFUSES with "Cannot overwrite a path that is
-    also being read from"). The barrier (localCheckpoint, or a reliable
-    checkpoint via ``checkpoint_dir`` on real clusters) severs the
-    read-path dependency before any file is touched, making the rewrite
-    well-defined everywhere."""
-    from mortar_parquet_support_spark.functions import materialize
+    Through round 12 this published via Spark's dynamic partition
+    overwrite, whose job commit (delete old files, move staged files in)
+    is not atomic on a plain file lake — a crash inside the window could
+    lose a collection's committed history with no replay path. The seam
+    now delegates to :mod:`~mortar_parquet_support_spark.sources.publish`
+    (write-audit-publish: stage under ``.maint/``, audit per-collection
+    counts, journal, rename-swap with backup; crash anywhere converges
+    via ``recover_lake``, which also runs automatically first). The name
+    is kept because the PARTITION semantics are unchanged: only the
+    collections present in ``df`` are replaced."""
+    from mortar_parquet_support_spark.sources.publish import publish_rewrite
 
-    df = materialize(df, checkpoint_dir=checkpoint_dir)
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # the layout discipline lives in ONE place — ingest.write_lake;
-        # re-spelling the repartition/sort here would silently diverge the
-        # maintenance rewrites from the ingest layout on the next change
-        from mortar_parquet_support_spark.sources.ingest import write_lake
-
-        write_lake(
-            df, destination, partition_uuid=partition_uuid, mode="overwrite",
-            bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    publish_rewrite(
+        df, destination, partition_uuid=partition_uuid,
+        checkpoint_dir=checkpoint_dir,
+        bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+    )
 
 
 def compact_collections(
@@ -236,6 +231,12 @@ def compact_collections(
         # read `if collections:` as "compact everything" and rewrite the
         # whole lake on a night nothing qualified
         return
+    # converge any crashed publish BEFORE reading: a frame built on a
+    # half-converged lake (one collection parked in a txn backup) would
+    # bake the missing partition into the rewrite itself
+    from mortar_parquet_support_spark.sources.publish import recover_lake
+
+    recover_lake(spark, lake_root)
     layout_uuid = _lake_is_uuid_partitioned(spark, lake_root)
     df = spark.read.parquet(lake_root).select(*LAKE_COLUMNS)
     if collections is not None:
@@ -336,7 +337,11 @@ def upsert_lake(
     is bounded by the touched partitions' size, not the lake's.
     """
     from mortar_parquet_support_spark.functions import materialize
+    from mortar_parquet_support_spark.sources.publish import recover_lake
 
+    # same pre-read recovery rationale as compact_collections: the merge
+    # reads the live lake, which must be converged first
+    recover_lake(spark, lake_root)
     # Pin the updates ONCE: the plan executes twice below (the touched-
     # collection collect, then the merge). A nondeterministic updates
     # source could otherwise surface a collection in the second execution

@@ -1,0 +1,304 @@
+"""Crash-atomic publish for in-place lake rewrites (write-audit-publish).
+
+The reference's lake is append-only (transform.py:39 — nothing ever
+rewrites), so it never needed a commit protocol. Our maintenance layer
+(compact / upsert, sources/maintenance.py) rewrites live partitions, and
+through round 12 it published via Spark's DYNAMIC partition overwrite —
+whose job commit (delete the old files, move the staged files in) is NOT
+atomic on a plain file lake. A crash inside that window could lose a
+collection's already-committed history, and a streaming checkpoint cannot
+replay it (source files are marked seen). This module closes that hole
+with the classic three-phase protocol:
+
+1. **write** — stage the FULL rewritten partitions under a hidden
+   transaction directory ``<lake>/.maint/txn-<id>/stage/`` using the
+   lake's own layout discipline (``write_lake``). Dot-prefixed paths are
+   invisible to Spark/Hadoop file listings, so readers never see the
+   stage. A crash here leaves the live lake byte-identical; recovery
+   just deletes the orphaned transaction.
+2. **audit** — read the stage BACK and compare per-collection row counts
+   against the source frame. Only after the audit passes is the intent
+   JOURNALED (``journal.json``, created atomically via write-temp +
+   rename). The journal is the commit point: before it exists the
+   transaction aborts backward; after it exists the staged data is known
+   complete and recovery rolls FORWARD.
+3. **publish** — per partition: rename the live directory into
+   ``txn/backup/`` then rename the staged directory into place. Both are
+   single metadata RENAMES (no copy, no partial files); the only
+   non-atomic window is between the two renames of ONE partition, during
+   which that partition is absent — and the journal + backup make that
+   window fully recoverable: nothing is deleted until every staged
+   partition is live.
+
+``recover_lake`` converges ANY crash point to a consistent lake (the old
+state if the crash preceded the journal, the new state otherwise) and is
+run automatically at the start of every publish, so a crashed
+``stream_ingest(compact_every=N)`` self-heals on its next compaction
+tick. Crash-injection tests drive every window via ``_fail_point``
+(tests/test_publish_atomic.py).
+
+Assumptions, stated loudly:
+
+- **single maintenance writer per lake.** Concurrent APPENDS to a
+  partition mid-swap would race the rename; the publish detects a
+  reborn live directory and fails with the backup intact rather than
+  nesting directories. Serialize maintenance per lake (the streaming
+  auto-compaction hook already is — it runs inside ``foreachBatch``).
+- **atomic directory rename.** True on POSIX filesystems and HDFS. On
+  object stores (S3) "rename" is copy+delete — there this protocol
+  still never loses data (the journal + backup survive) but the swap
+  window widens; prefer a transactional table format there, or an
+  HDFS-consistent layer.
+- readers that listed files immediately before a swap may hit a
+  vanished-file error for that partition (standard for ANY in-place
+  rewrite, including the old dynamic overwrite); retry or schedule
+  maintenance off-peak.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAINT_DIR = ".maint"
+_JOURNAL = "journal.json"
+
+
+class InjectedCrash(RuntimeError):
+    """Raised by the test-only ``_fail_point`` hooks — simulates the
+    process dying at a named protocol point (the raise unwinds without
+    any cleanup, exactly like a kill)."""
+
+
+def _crash_if(fail_point: str | None, here: str) -> None:
+    if fail_point == here:
+        raise InjectedCrash(here)
+
+
+def _fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem, Path factory) — Hadoop's FS honors whatever
+    scheme the lake lives on (local/HDFS/s3a); driver-local os.rename
+    would silently corrupt a non-local lake."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+
+def _rename(fs, P, src: str, dst: str) -> None:
+    """Hadoop rename returns FALSE on failure instead of raising — and
+    renaming onto an EXISTING directory nests src inside dst, so both
+    must be checked loudly (a silent false here is exactly the partial
+    state the protocol exists to prevent)."""
+    if fs.exists(P(dst)):
+        raise RuntimeError(
+            f"publish: rename target already exists: {dst} — a concurrent "
+            "writer recreated it mid-swap; backup is intact under the "
+            "transaction directory, resolve and run recover_lake"
+        )
+    if not fs.rename(P(src), P(dst)):
+        raise RuntimeError(f"publish: rename failed: {src} -> {dst}")
+
+
+def _write_json_atomic(fs, P, path: str, payload: dict) -> None:
+    """Journal creation is the transaction's commit point, so it must be
+    all-or-nothing: write a temp file, then one rename."""
+    tmp = path + ".tmp"
+    out = fs.create(P(tmp), True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(P(tmp), P(path)):
+        raise RuntimeError(f"publish: journal rename failed: {path}")
+
+
+def _read_json(fs, P, path: str) -> dict:
+    stream = fs.open(P(path))
+    try:
+        # read fully via the JVM stream; journals are tiny
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return json.loads(bytes(buf).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _partition_dir_names(fs, P, stage_dir: str) -> list[str]:
+    """The staged ``collection=*`` directory NAMES — taken from what the
+    writer actually created (Spark's own partition-value escaping), so no
+    escaping logic is ever re-derived here (the '%3A' class of bug,
+    review r12)."""
+    statuses = fs.globStatus(P(stage_dir.rstrip("/") + "/collection=*"))
+    if statuses is None:
+        return []
+    return sorted(
+        s.getPath().getName() for s in statuses if s.isDirectory()
+    )
+
+
+def _counts_by_collection(df: DataFrame) -> dict:
+    from pyspark.sql import functions as F
+
+    rows = df.groupBy("collection").agg(F.count(F.lit(1)).alias("n")).collect()
+    return {r["collection"]: r["n"] for r in rows}
+
+
+def publish_rewrite(
+    df: DataFrame,
+    lake_root: str,
+    *,
+    partition_uuid: bool = False,
+    checkpoint_dir: str | None = None,
+    bloom_cols: tuple = (),
+    bloom_ndv: int | None = None,
+    _fail_point: str | None = None,
+) -> None:
+    """Replace exactly the collections present in ``df`` with ``df``'s
+    rows, crash-atomically (protocol in the module docstring). The
+    rewritten partitions keep ``write_lake``'s clustering/sort/bloom
+    discipline; partitions absent from ``df`` keep their files'
+    exact identities.
+
+    ``df`` is materialized first for the same reason the old dynamic
+    overwrite did it: both maintenance ops read the very partitions they
+    replace, and the barrier severs that read-path dependency before any
+    file moves — plus the audit and the stage write must see the SAME
+    rows, which a nondeterministic lazy plan would not guarantee.
+    """
+    from mortar_parquet_support_spark.functions import materialize
+    from mortar_parquet_support_spark.sources.ingest import write_lake
+
+    spark = df.sparkSession
+    jvm, fs, P = _fs(spark, lake_root)
+
+    # PIN the input before recovery: recovery renames lake directories,
+    # and ``df``'s eager file listing may reference them — materializing
+    # first copies the rows into checkpoint storage so the later stage
+    # write can never hit a vanished source file. (Callers that read the
+    # lake to BUILD the rewrite should recover before reading, as
+    # compact_collections/upsert_lake do — a frame built on a
+    # half-converged lake is already the wrong rewrite.)
+    df = materialize(df, checkpoint_dir=checkpoint_dir)
+    expected = _counts_by_collection(df)
+
+    # converge any crashed predecessor: its backup/stage dirs must not
+    # be mistaken for ours, and its journal must not be left behind
+    recover_lake(spark, lake_root)
+    if not expected:
+        return  # nothing to publish — never journal an empty rewrite
+
+    root = lake_root.rstrip("/")
+    txn = f"{root}/{MAINT_DIR}/txn-{uuid.uuid4().hex}"
+    stage = f"{txn}/stage"
+    backup = f"{txn}/backup"
+
+    # -- write ---------------------------------------------------------
+    write_lake(
+        df, stage, partition_uuid=partition_uuid, mode="error",
+        bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+    )
+    _crash_if(_fail_point, "after_stage")
+
+    # -- audit ---------------------------------------------------------
+    staged_counts = _counts_by_collection(spark.read.parquet(stage))
+    if staged_counts != expected:
+        fs.delete(P(txn), True)  # live lake untouched — abort backward
+        raise RuntimeError(
+            "publish: audit failed — staged counts "
+            f"{staged_counts} != expected {expected}; transaction aborted, "
+            "lake unchanged"
+        )
+    parts = _partition_dir_names(fs, P, stage)
+
+    # -- journal (the commit point) -------------------------------------
+    fs.mkdirs(P(backup))
+    _write_json_atomic(
+        fs, P, f"{txn}/{_JOURNAL}",
+        {"partitions": parts, "counts_total": sum(expected.values())},
+    )
+    _crash_if(_fail_point, "after_journal")
+
+    # -- publish ---------------------------------------------------------
+    first = True
+    for name in parts:
+        live = f"{root}/{name}"
+        if fs.exists(P(live)):
+            _rename(fs, P, live, f"{backup}/{name}")
+        if first:
+            _crash_if(_fail_point, "mid_swap")
+        _rename(fs, P, f"{stage}/{name}", live)
+        if first:
+            _crash_if(_fail_point, "after_swap_one")
+            first = False
+    _crash_if(_fail_point, "before_cleanup")
+
+    # every staged partition is live — only now may old data be deleted
+    fs.delete(P(txn), True)
+
+
+def recover_lake(spark: SparkSession, lake_root: str) -> list[dict]:
+    """Converge any crashed publish transactions under ``lake_root`` to a
+    consistent lake and return what was done: one ``{"txn": ...,
+    "action": "aborted" | "rolled_forward" | "cleaned"}`` per transaction
+    (empty list = nothing pending, the common case — one existence probe).
+
+    - no journal → the crash preceded the commit point: the stage may be
+      incomplete but the live lake is untouched — ABORT (delete the
+      transaction directory).
+    - journal present → the staged data passed its audit: ROLL FORWARD.
+      Per journaled partition, exactly one of three recoverable states
+      holds (staged dir present means its swap didn't finish):
+      live present + no backup → the swap never started: do both renames;
+      live absent + backup present → crashed between the two renames:
+      promote the stage; live absent + no backup → a brand-new partition:
+      promote the stage. Staged dir absent → that partition already
+      swapped. Afterwards delete the transaction (backups included).
+    """
+    jvm, fs, P = _fs(spark, lake_root)
+    root = lake_root.rstrip("/")
+    maint = P(f"{root}/{MAINT_DIR}")
+    if not fs.exists(maint):
+        return []
+    actions: list[dict] = []
+    statuses = fs.globStatus(P(f"{root}/{MAINT_DIR}/txn-*")) or []
+    for status in statuses:
+        txn = str(status.getPath())
+        journal_path = f"{txn}/{_JOURNAL}"
+        if not fs.exists(P(journal_path)):
+            fs.delete(P(txn), True)
+            actions.append({"txn": txn, "action": "aborted"})
+            continue
+        journal = _read_json(fs, P, journal_path)
+        rolled = 0
+        for name in journal["partitions"]:
+            stg, live, bkp = (
+                f"{txn}/stage/{name}",
+                f"{root}/{name}",
+                f"{txn}/backup/{name}",
+            )
+            if not fs.exists(P(stg)):
+                continue  # this partition's swap completed pre-crash
+            live_there, bkp_there = fs.exists(P(live)), fs.exists(P(bkp))
+            if live_there and bkp_there:
+                # impossible within one transaction's rename sequence —
+                # refusing beats guessing which copy is authoritative
+                raise RuntimeError(
+                    f"recover_lake: {name} has live AND backup AND stage "
+                    f"under {txn} — manual resolution required"
+                )
+            if live_there:
+                _rename(fs, P, live, bkp)
+            _rename(fs, P, stg, live)
+            rolled += 1
+        fs.delete(P(txn), True)
+        actions.append(
+            {"txn": txn, "action": "rolled_forward" if rolled else "cleaned"}
+        )
+    return actions

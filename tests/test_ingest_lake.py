@@ -437,6 +437,12 @@ def test_write_lake_bloom_filters_witnessed_and_survive_compaction(
         write_lake(df, dest, bloom_cols=("nope",))
     with pytest.raises(ValueError, match="bloom_ndv"):
         write_lake(df, dest, bloom_cols=("label",), bloom_ndv=0)
+    # partition columns are in df.columns but never reach data pages, so
+    # the bloom option would be a silent no-op — reject loudly (ADVICE r12)
+    with pytest.raises(ValueError, match="partition"):
+        write_lake(df, dest, bloom_cols=("collection",))
+    with pytest.raises(ValueError, match="partition"):
+        write_lake(df, dest, partition_uuid=True, bloom_cols=("uuid",))
 
 
 def test_compact_if_fragmented_targets_only_fragmented_collections(

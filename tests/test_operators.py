@@ -4609,6 +4609,41 @@ def test_lagged_correlation_sign_convention_and_peak(spark):
         lagged_correlation(df, key="key", max_lag=0)
 
 
+def test_timeseries_contract_guards_fail_loudly(spark):
+    """The ADVICE r12 silent-wrong-answer modes now reject loudly:
+    duplicate (key, ts) observations would duplicate-weight every moment
+    in the correlation operators (validate=True buys the check), and
+    pre-existing scratch/output column names would be silently
+    overwritten by the seasonal operators."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        lagged_correlation,
+        pairwise_correlation,
+        seasonal_anomalies,
+        seasonal_decompose,
+    )
+
+    dup = spark.createDataFrame(
+        [(0, "x", 1.0), (0, "x", 2.0), (60, "x", 3.0), (0, "y", 1.0),
+         (60, "y", 2.0)],
+        ["ep", "uuid", "value"],
+    ).select("uuid", F.col("ep").cast("timestamp").alias("bucket"), "value")
+    with pytest.raises(ValueError, match="duplicate"):
+        pairwise_correlation(df=dup, key="uuid", validate=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        lagged_correlation(df=dup, key="uuid", step="1 minute", validate=True)
+    # without the flag the documented contract is the caller's job —
+    # the call itself must still run (no behavior change by default)
+    assert pairwise_correlation(df=dup, key="uuid").count() >= 0
+
+    clean = dup.dropDuplicates(["uuid", "bucket"])
+    with pytest.raises(ValueError, match="trend"):
+        seasonal_decompose(clean.withColumn("trend", F.lit(0.0)), keys=["uuid"])
+    with pytest.raises(ValueError, match="__phase"):
+        seasonal_decompose(clean.withColumn("__phase", F.lit(1)), keys=["uuid"])
+    with pytest.raises(ValueError, match="score"):
+        seasonal_anomalies(clean.withColumn("score", F.lit(0.0)), keys=["uuid"])
+
+
 def test_cusum_changepoints_detects_planted_shift(spark):
     """A planted +3-sigma mean shift must alarm on the HIGH side shortly
     after onset and never before; the pre-shift half stays quiet; a

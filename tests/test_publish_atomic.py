@@ -1,0 +1,218 @@
+"""Crash-injection tests for the write-audit-publish protocol
+(sources/publish.py) — the round-13 fix for the one data-loss vector the
+r12 VERDICT flagged: dynamic partition overwrite's non-atomic commit on
+a plain file lake.
+
+Each test builds a small two-collection lake, kills the publish at a
+named protocol point (``_fail_point`` raises ``InjectedCrash`` with no
+cleanup, exactly like a process kill), asserts the lake still reads
+CONSISTENTLY (every collection shows either the complete old state or
+the complete new state — never a partial or empty partition that
+existed before), then runs ``recover_lake`` and asserts the lake
+converges to exactly the intended post-rewrite state with the
+transaction debris gone.
+"""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.sources.ingest import write_lake
+from mortar_parquet_support_spark.sources.maintenance import compact_collections
+from mortar_parquet_support_spark.sources.publish import (
+    MAINT_DIR,
+    InjectedCrash,
+    publish_rewrite,
+    recover_lake,
+)
+
+FAIL_POINTS = [
+    "after_stage",      # stage written, journal NOT — must abort backward
+    "after_journal",    # commit point passed, no rename yet — roll forward
+    "mid_swap",         # live moved to backup, stage not yet promoted: the
+                        # nastiest window (partition momentarily absent)
+    "after_swap_one",   # first partition swapped, second not
+    "before_cleanup",   # all swapped, transaction debris still on disk
+]
+
+
+def _lake_df(spark, n_per_coll=6):
+    rows = [
+        (coll, f"{i:08x}-0000-0000-0000-00000000000{c}",
+         f"2024-01-01 00:00:{i:02d}", float(i + c), f"lbl{i}",
+         f"urn:{coll}/lbl{i}")
+        for c, coll in enumerate(["bldgA", "bldgB"])
+        for i in range(n_per_coll)
+    ]
+    return spark.createDataFrame(
+        rows, ["collection", "uuid", "time", "value", "label", "uri"]
+    ).withColumn("time", F.col("time").cast("timestamp"))
+
+
+def _snapshot(spark, root):
+    return {
+        (r.collection, r.uuid, str(r.time), r.value)
+        for r in spark.read.parquet(root).collect()
+    }
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    write_lake(_lake_df(spark), root)
+    return root
+
+
+def _rewrite_frame(spark, root):
+    """The intended rewrite: every value doubled — recognizably NEW rows
+    in BOTH collections, so any lost/partial partition is detectable."""
+    return (
+        spark.read.parquet(root)
+        .withColumn("value", F.col("value") * 2)
+        .select("collection", "uuid", "time", "value", "label", "uri")
+    )
+
+
+@pytest.mark.parametrize("point", FAIL_POINTS)
+def test_crash_then_recover_converges(spark, lake, point):
+    old = _snapshot(spark, lake)
+    new = {
+        (c, u, t, v * 2) for (c, u, t, v) in old
+    }
+
+    with pytest.raises(InjectedCrash):
+        publish_rewrite(_rewrite_frame(spark, lake), lake, _fail_point=point)
+
+    # -- post-crash, pre-recovery: NO DATA LOSS, per-collection consistency.
+    # mid_swap legitimately hides one collection from readers (its live dir
+    # is parked in backup); every collection that IS visible must be a
+    # complete old or complete new copy.
+    visible = _snapshot(spark, lake)
+    for coll in ["bldgA", "bldgB"]:
+        got = {t for t in visible if t[0] == coll}
+        want_old = {t for t in old if t[0] == coll}
+        want_new = {t for t in new if t[0] == coll}
+        assert got in (want_old, want_new, set()), (
+            f"{point}: collection {coll} is PARTIAL after crash"
+        )
+        if got == set():
+            # absence is only legal inside the one documented swap window,
+            # and only with the old copy parked in the backup dir
+            assert point == "mid_swap", f"{point}: {coll} vanished"
+            backed = glob.glob(
+                f"{lake}/{MAINT_DIR}/txn-*/backup/collection={coll}/*.parquet"
+            )
+            assert backed, "mid_swap crash without a backup copy = data loss"
+
+    # -- recovery converges: old state iff the crash preceded the journal,
+    # new state after it; debris gone either way
+    actions = recover_lake(spark, lake)
+    assert len(actions) == 1
+    expected_action = "aborted" if point == "after_stage" else (
+        "cleaned" if point == "before_cleanup" else "rolled_forward"
+    )
+    assert actions[0]["action"] == expected_action
+    final = _snapshot(spark, lake)
+    assert final == (old if point == "after_stage" else new)
+    assert glob.glob(f"{lake}/{MAINT_DIR}/txn-*") == []
+
+    # recovery is idempotent and the next publish runs clean end-to-end
+    assert recover_lake(spark, lake) == []
+    publish_rewrite(_rewrite_frame(spark, lake), lake)
+    assert _snapshot(spark, lake) == {
+        (c, u, t, v * 2) for (c, u, t, v) in final
+    }
+
+
+def test_next_maintenance_op_self_heals_without_explicit_recover(spark, lake):
+    """A crashed transaction is converged automatically by the NEXT
+    maintenance op (compact/upsert recover before reading) — the
+    property that makes stream_ingest(compact_every=N) self-healing
+    across driver crashes: the next cadence tick calls
+    compact_if_fragmented -> compact_collections -> recover_lake."""
+    old = _snapshot(spark, lake)
+    with pytest.raises(InjectedCrash):
+        publish_rewrite(
+            _rewrite_frame(spark, lake), lake, _fail_point="after_journal"
+        )
+    # no recover_lake call: compaction must finish the crashed x2 rewrite
+    # first, then compact the converged rows unchanged
+    compact_collections(spark, lake)
+    assert _snapshot(spark, lake) == {
+        (c, u, t, v * 2) for (c, u, t, v) in old
+    }
+    assert glob.glob(f"{lake}/{MAINT_DIR}/txn-*") == []
+
+
+def test_audit_mismatch_aborts_with_lake_untouched(spark, lake, monkeypatch):
+    """A stage whose read-back counts disagree with the source frame must
+    abort BEFORE the journal — live lake byte-identical, no debris."""
+    import mortar_parquet_support_spark.sources.publish as pub
+
+    old = _snapshot(spark, lake)
+    real = pub._counts_by_collection
+    calls = {"n": 0}
+
+    def skewed(df):
+        calls["n"] += 1
+        got = dict(real(df))
+        if calls["n"] == 2:  # the staged read-back
+            got["bldgA"] = got.get("bldgA", 0) + 1
+        return got
+
+    monkeypatch.setattr(pub, "_counts_by_collection", skewed)
+    with pytest.raises(RuntimeError, match="audit failed"):
+        publish_rewrite(_rewrite_frame(spark, lake), lake)
+    assert _snapshot(spark, lake) == old
+    assert glob.glob(f"{lake}/{MAINT_DIR}/txn-*") == []
+
+
+def test_new_partition_and_empty_rewrite(spark, lake):
+    """Inserting a previously-absent collection takes the no-backup rename
+    path; an empty frame publishes nothing (and journals nothing)."""
+    extra = spark.createDataFrame(
+        [("bldgC", "00000000-0000-0000-0000-0000000000ff",
+          "2024-02-01 00:00:00", 7.0, "lblX", "urn:bldgC/lblX")],
+        ["collection", "uuid", "time", "value", "label", "uri"],
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    publish_rewrite(extra, lake)
+    assert spark.read.parquet(lake).filter(
+        F.col("collection") == "bldgC"
+    ).count() == 1
+
+    publish_rewrite(extra.limit(0), lake)  # no-op, no txn debris
+    assert glob.glob(f"{lake}/{MAINT_DIR}/txn-*") == []
+
+
+def test_compact_goes_through_atomic_publish(spark, lake, tmp_path):
+    """The maintenance seam (_dynamic_overwrite_lake) now rides the
+    protocol: a compaction crash at the commit point leaves the lake
+    whole, and the NEXT compaction self-heals and completes."""
+    import mortar_parquet_support_spark.sources.publish as pub
+
+    write_lake(_lake_df(spark), lake)  # second append -> work to compact
+    total = spark.read.parquet(lake).count()
+
+    real = pub._crash_if
+
+    def once(fail_point, here):
+        if here == "mid_swap" and not getattr(once, "fired", False):
+            once.fired = True
+            raise InjectedCrash(here)
+        real(fail_point, here)
+
+    pub._crash_if = once
+    try:
+        with pytest.raises(InjectedCrash):
+            compact_collections(spark, lake)
+    finally:
+        pub._crash_if = real
+
+    recover_lake(spark, lake)
+    assert spark.read.parquet(lake).count() == total
+    before = len(glob.glob(f"{lake}/collection=bldgA/*.parquet"))
+    compact_collections(spark, lake)
+    after = len(glob.glob(f"{lake}/collection=bldgA/*.parquet"))
+    assert after <= before
+    assert spark.read.parquet(lake).count() == total
