@@ -69,15 +69,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # demotion lists, which made it sensitive to where in the file an entry
 # happened to be defined. With the round-9 split into
 # mortar_parquet_support_spark/entries/* the window is instead PINNED
-# explicitly: _WINDOW below is byte-for-byte the 50-name prefix the r8
-# driver evaluated (green in CORRECTNESS_r08), so the refactor changes
-# nothing the driver sees. Entries past the window — every other
-# oracle-backed shape, then the rows-only ones — are all verified each
-# round by tests/oracle_harness.py (the same three-way compare), so
-# across rounds every entry has driver-grade evidence. The curation
-# rationale for WHICH 50 sit in the window (family coverage over
-# registration seniority; strict-subset shapes demoted first) is
-# unchanged from r8 and recorded in the git history of this file.
+# explicitly. ROUND-13 ROTATION (VERDICT r12 "Next round" #4): ten
+# strict-subset shapes whose siblings stay in-window were swapped out —
+# tpch_q14/q18/q19 (the q1/q3/q5/q10 headliners remain), cube_agg/
+# rollup_agg (grouping-set variants), window_frames/window_topk,
+# group_distinct, knn_cosine (knn_cosine_arrow remains), anti_join
+# (semi_join_ids remains) — for ten post-r8 entries that previously had
+# only harness-grade evidence: sparql_bridges (the reference's QUERY1
+# replay), dedup_minhash (the family headline + LSH recall witness), the
+# three lake-maintenance round-trips through the r13 crash-atomic
+# publish, seasonal_decompose, cusum_changepoints, lagged_correlation,
+# similarity_join, jsonl_scan. Every rotated-out name is still verified
+# each round by tests/oracle_harness.py (the same three-way compare) —
+# the window changes WHICH 50 the driver re-proves, never what exists.
+# The other 40 names are byte-for-byte the r8 prefix (green since
+# CORRECTNESS_r08).
 _WINDOW = [
     "crosscorpus_dedup", "knn_sq8", "bm25_topk", "keyword_search",
     "semantic_dedup", "quantile_sketch", "quantile_estimate",
@@ -86,12 +92,13 @@ _WINDOW = [
     "dedup_lines", "incremental_dedup", "funnel_steps", "hashed_embed",
     "linear_classifier", "diff_snapshots", "counter_rate", "qc_flags",
     "weighted_sample", "cluster_assign", "hybrid_rrf", "fuzzy_match",
-    "flagship_scan", "semi_join_ids", "anti_join", "tpch_q1", "tpch_q3",
-    "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19", "cube_agg",
-    "range_join", "window_frames", "group_distinct", "rollup_agg",
-    "window_topk", "time_bucket_rollup", "sessionize", "asof_join",
-    "dedup_exact", "ngram_jaccard_pairs", "knn_cosine",
-    "knn_cosine_arrow", "knn_ivf",
+    "flagship_scan", "semi_join_ids", "sparql_bridges", "tpch_q1",
+    "tpch_q3", "tpch_q5", "tpch_q10", "dedup_minhash", "similarity_join",
+    "jsonl_scan", "compact_roundtrip", "range_join", "upsert_roundtrip",
+    "zorder_roundtrip", "seasonal_decompose", "cusum_changepoints",
+    "time_bucket_rollup", "sessionize", "asof_join", "dedup_exact",
+    "ngram_jaccard_pairs", "lagged_correlation", "knn_cosine_arrow",
+    "knn_ivf",
 ]
 
 

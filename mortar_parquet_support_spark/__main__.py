@@ -10,9 +10,10 @@ switch without rewriting their scripts:
   per CSV file) with a single job over every file.
 - ``metadata`` == ``python make-metadata.py <parquet-directory>``
   (make-metadata.py:26-29).
-- ``compact``  has no reference equivalent (the reference lake is
-  write-once); it exposes the maintenance layer the streaming sink
-  needs (sources/maintenance.py).
+- ``compact`` / ``upsert`` / ``zorder`` / ``recover`` have no reference
+  equivalent (the reference lake is write-once); they expose the
+  maintenance layer the streaming sink needs (sources/maintenance.py)
+  and the crash-atomic publish protocol's recovery (sources/publish.py).
 
 Every command prints one human-readable result line to stdout and exits
 non-zero on rejection (bad path, non-UUID single file) — scriptable the
@@ -29,7 +30,8 @@ import sys
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m mortar_parquet_support_spark",
-        description="Lake operations (ingest / metadata / compact)",
+        description="Lake operations (ingest / metadata / compact / "
+        "upsert / zorder / recover)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -57,6 +59,17 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     md.add_argument("root")
 
+    def _bloom_args(sp):
+        # one spelling for every rewrite subcommand: parquet options are
+        # per-write, so a maintenance op that cannot re-state the lake's
+        # blooms silently strips them (the r12 passthrough rationale)
+        sp.add_argument(
+            "--bloom-cols", default=None,
+            help="comma-separated columns whose parquet Bloom filters the "
+            "rewrite must re-state (per-write options — omitted = stripped)",
+        )
+        sp.add_argument("--bloom-ndv", type=int, default=None)
+
     cp = sub.add_parser("compact", help="rewrite small files back to few")
     cp.add_argument("root")
     cp.add_argument(
@@ -68,6 +81,20 @@ def _build_parser() -> argparse.ArgumentParser:
         help="auto mode: compact ONLY collections over this file budget",
     )
     cp.add_argument("--target-rows-per-file", type=int, default=None)
+    _bloom_args(cp)
+
+    up = sub.add_parser(
+        "upsert",
+        help="merge a lake-schema parquet of updates into the lake "
+        "(newest row per key wins; only touched collections rewrite)",
+    )
+    up.add_argument("root")
+    up.add_argument("updates", help="parquet path with lake-schema rows")
+    up.add_argument(
+        "--keys", default="collection,uuid,time",
+        help="comma-separated merge key (default: collection,uuid,time)",
+    )
+    _bloom_args(up)
 
     zo = sub.add_parser(
         "zorder",
@@ -81,7 +108,19 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     zo.add_argument("--bits", type=int, default=16)
     zo.add_argument("--files", type=int, default=None)
+    _bloom_args(zo)
+
+    rc = sub.add_parser(
+        "recover",
+        help="converge any crashed maintenance publish (write-audit-"
+        "publish transactions under <root>/.maint) to a consistent lake",
+    )
+    rc.add_argument("root")
     return p
+
+
+def _bloom_tuple(args) -> tuple:
+    return tuple(args.bloom_cols.split(",")) if args.bloom_cols else ()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -145,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
             done = compact_if_fragmented(
                 spark, args.root, max_files=args.max_files,
                 target_rows_per_file=args.target_rows_per_file,
+                bloom_cols=_bloom_tuple(args), bloom_ndv=args.bloom_ndv,
             )
             print(f"compacted {len(done)} collection(s): "
                   f"{', '.join(done) if done else '(none over budget)'}")
@@ -155,9 +195,29 @@ def main(argv: list[str] | None = None) -> int:
         compact_collections(
             spark, args.root, collections=colls,
             target_rows_per_file=args.target_rows_per_file,
+            bloom_cols=_bloom_tuple(args), bloom_ndv=args.bloom_ndv,
         )
         print(f"compacted {args.root} "
               f"({'all collections' if colls is None else ', '.join(colls)})")
+        return 0
+
+    if args.cmd == "upsert":
+        from mortar_parquet_support_spark.sources.maintenance import (
+            upsert_lake,
+        )
+
+        keys = tuple(k for k in args.keys.split(",") if k)
+        if not keys:
+            print("--keys must name at least one column")
+            return 2
+        updates = spark.read.parquet(args.updates)
+        n = updates.count()
+        upsert_lake(
+            spark, args.root, updates, keys=keys,
+            bloom_cols=_bloom_tuple(args), bloom_ndv=args.bloom_ndv,
+        )
+        print(f"upserted {n} update row(s) from {args.updates} into "
+              f"{args.root} on ({args.keys})")
         return 0
 
     if args.cmd == "zorder":
@@ -169,8 +229,19 @@ def main(argv: list[str] | None = None) -> int:
         write_zordered(
             df, args.dest, cols=args.cols.split(","), bits=args.bits,
             files=args.files,
+            bloom_cols=_bloom_tuple(args), bloom_ndv=args.bloom_ndv,
         )
         print(f"z-ordered {args.src} -> {args.dest} on {args.cols}")
+        return 0
+
+    if args.cmd == "recover":
+        from mortar_parquet_support_spark.sources.publish import recover_lake
+
+        actions = recover_lake(spark, args.root)
+        if not actions:
+            print(f"{args.root}: no pending maintenance transactions")
+        for a in actions:
+            print(f"{a['action']}: {a['txn']}")
         return 0
 
     raise AssertionError(f"unhandled command {args.cmd}")  # pragma: no cover

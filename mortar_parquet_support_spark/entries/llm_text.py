@@ -136,30 +136,41 @@ def _image_dedup(spark, sf_dir):
     DCT-II -> median-thresholded low-frequency block) -> hamming-band LSH
     candidates (the SAME fingerprint_band_pairs banding as the simhash
     text leg) -> exact JVM-side Hamming verify. The fixture synthesizes
-    photo-like smooth random-field PNGs from the first 36 doc ids and
-    plants a perturbed near-duplicate for every third — recall over the
-    plants and zero false positives are pytest-pinned
-    (tests/test_image_dedup.py). Rows-only: xxhash64 banding + Python
-    decode, the dedup_simhash rationale."""
-    from mortar_parquet_support_spark.operators.imaging import encode_png
+    photo-like smooth random-field PNGs from the corpus' doc ids (~one
+    per 140 documents, floor 36 so the driver-SF fixtures keep their r12
+    shape) and plants a perturbed near-duplicate for ids divisible by 3;
+    recall over the plants and zero false positives are pytest-pinned
+    (tests/test_image_dedup.py). Synthesis runs in mapInPandas — r13:
+    the old driver-side loop capped the corpus at 36 images, which made
+    the 100x spot decade unmeasurable; id-derived seeds keep every image
+    byte-identical regardless of partitioning. Rows-only: xxhash64
+    banding + Python decode, the dedup_simhash rationale."""
     from mortar_parquet_support_spark.operators.multimodal import image_dedup
 
-    h, w = 48, 64
-    ids = [
-        r.doc_id
-        for r in _t(spark, sf_dir, "documents")
-        .select("doc_id").orderBy("doc_id").limit(36).collect()
-    ]
-    rows = []
-    for n, i in enumerate(ids):
-        img = _smooth_field_image(i, h, w)
-        rows.append((f"img{i}", bytearray(encode_png(img.tobytes(), w, h, 1))))
-        if n % 3 == 0:  # planted perceptual near-duplicate
-            pert = _perturb_image(img, i)
-            rows.append(
-                (f"img{i}_copy", bytearray(encode_png(pert.tobytes(), w, h, 1)))
-            )
-    media = spark.createDataFrame(rows, "media_id string, content binary")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_images = max(36, docs.count() // 140)
+    ids = docs.orderBy("doc_id").limit(n_images).repartition(8)
+
+    def _synth(batches):
+        import pandas as pd
+
+        from mortar_parquet_support_spark.operators.imaging import encode_png
+
+        h, w = 48, 64
+        for pdf in batches:
+            mids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                img = _smooth_field_image(i, h, w)
+                mids.append(f"img{i}")
+                blobs.append(encode_png(img.tobytes(), w, h, 1))
+                if i % 3 == 0:  # planted perceptual near-duplicate
+                    pert = _perturb_image(img, i)
+                    mids.append(f"img{i}_copy")
+                    blobs.append(encode_png(pert.tobytes(), w, h, 1))
+            yield pd.DataFrame({"media_id": mids, "content": blobs})
+
+    media = ids.mapInPandas(_synth, "media_id string, content binary")
     return image_dedup(media, max_distance=6).orderBy("media_id_a", "media_id_b")
 
 

@@ -573,6 +573,72 @@ def _lagged_correlation(spark, sf_dir):
 
 
 @_register(
+    "correlated_pairs",
+    # The oracle enumerates ALL pairs above the threshold (trivial at
+    # fixture stream counts), so — exactly like the dedup_minhash
+    # promotion — a hash match every round WITNESSES the LSH screen's
+    # recall 1.0 on the fixture: a true pair the sign-projection bands
+    # missed would be a missing row. corr exactness is the
+    # stream_correlation story (sample factors cancel, 6dp rounding);
+    # the planted '~mix' sibling adds 4*sin(epoch-hours) — integer-hour
+    # sin on both sides, so inputs agree to <=1 ulp, orders below 6dp.
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS b, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    aug AS (
+      SELECT event_type, b, v FROM h
+      UNION ALL
+      SELECT event_type || '~mix', b,
+             v + 4.0 * sin(CAST(epoch(b) AS DOUBLE) / 3600.0) FROM h
+    )
+    SELECT a.event_type AS key_a, b.event_type AS key_b,
+           ROUND(corr(a.v, b.v), 6) AS corr, COUNT(*) AS n_points
+    FROM aug a JOIN aug b ON a.b = b.b AND a.event_type < b.event_type
+    WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+    GROUP BY 1, 2 HAVING COUNT(*) >= 24 AND corr(a.v, b.v) >= 0.8
+    """,
+)
+def _correlated_pairs(spark, sf_dir):
+    """Candidate-pruned correlation screen (r13 —
+    operators/timeseries.py correlated_pairs): pairwise_correlation's
+    scale-safe sibling. Sign-random-projection signatures (corr == cosine
+    of the centered series) band through the dedup family's shared
+    fingerprint_band_pairs; the exact Pearson aggregate runs on the
+    pruned candidate set only. Each event_type stream gets a planted
+    '~mix' sibling (v + 4*sin(epoch-hours) -> corr 0.95-0.996 by SF)
+    so the fixture has true pairs above the 0.8 threshold while natural
+    cross-pairs (|corr| <= 0.25) stay below it."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        correlated_pairs,
+        time_bucket_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_bucket_rollup(
+        ev, ts="ts", keys=["event_type"], bucket="1 hour",
+        aggs={"v": "avg"}, value="value",
+    )
+    mixed = hourly.select(
+        F.concat(F.col("event_type"), F.lit("~mix")).alias("event_type"),
+        "bucket",
+        (
+            F.col("v")
+            + 4.0 * F.sin(F.unix_timestamp("bucket").cast("double") / 3600.0)
+        ).alias("v"),
+    )
+    out = correlated_pairs(
+        hourly.unionByName(mixed), ts="bucket", key="event_type",
+        value="v", threshold=0.8, min_points=24,
+    )
+    return out.select(
+        "key_a", "key_b", F.round("corr", 6).alias("corr"), "n_points"
+    )
+
+
+@_register(
     "cusum_changepoints",
     # The sequential fold replayed as a RECURSIVE CTE (the lttb/mmr
     # graduation pattern): inputs are exact integer daily counts, moments

@@ -1235,6 +1235,204 @@ def lagged_correlation(
     )
 
 
+def correlated_pairs(
+    df: DataFrame,
+    *,
+    ts: str = "bucket",
+    key: str = "uuid",
+    value: str = "value",
+    threshold: float = 0.9,
+    n_bits: int = 128,
+    band_bits: int = 8,
+    min_points: int = 2,
+    anticorrelated: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Stream pairs whose Pearson correlation is >= ``threshold``
+    (``|corr|`` when ``anticorrelated``) — the CANDIDATE-PRUNED sibling
+    of :func:`pairwise_correlation`, for corpora where all-pairs is
+    unpayable (1e5 streams = 5e9 pairs no matter the engine). Same
+    output schema (key_a, key_b, corr, n_points); the corr values are
+    EXACT (the same aligned-observation aggregate), only the candidate
+    set is approximate — the same "exact core + pruned candidates"
+    contract as the dedup family (operators/dedup.py minhash_dedup).
+
+    Screen: Pearson correlation IS the cosine of the mean-centered
+    series, so sign-random-projection LSH (the SimHash family) is the
+    natural prefilter — streams are sketched to ``n_bits`` sign bits of
+    random projections of their centered series, and Hamming-banded via
+    the SAME :func:`~mortar_parquet_support_spark.operators.dedup.
+    fingerprint_band_pairs` the text/image dedup legs share. The
+    projection directions are xxhash64-derived from (bit index, epoch) —
+    deterministic, distributed, JVM-side; no stream ever materializes as
+    a vector. A variance floor (stddev > 0, count >= min_points) drops
+    streams whose correlation is undefined before any pairing.
+
+    Recall knobs (E[Hamming] = n_bits * arccos(rho) / pi): at the 0.9
+    default a true pair flips ~14% of bits; with 8-bit bands a 64-bit
+    block catches it with p ~0.70, so 128 bits -> ~0.91, 192 -> ~0.97.
+    Raise ``n_bits`` (more blocks, linear cost) for recall, raise
+    ``band_bits`` for precision (fewer, tighter buckets). Lowering
+    ``threshold`` below ~0.7 degrades the screen sharply — that regime
+    wants :func:`pairwise_correlation` on a prefiltered population.
+    ``anticorrelated=True`` also bands each signature against the
+    COMPLEMENT side (corr(x, -y) = -corr(x, y) flips every sign bit), so
+    strong negative pairs cost one extra equi-join, not a rescan.
+
+    Scale shape: ONE shuffle of the corpus (the per-key aggregate
+    computes moments and all 2*n_bits projection sums together — the
+    mean-centering folds into post-aggregate arithmetic, so no second
+    pass), banded equi-joins over the tiny signature table, then the
+    exact aggregate over candidate-pair rows only. The candidate join
+    fans out |candidates| * series-length rows — bounded by the screen,
+    never S^2. Contract: one observation per (key, ts), like
+    pairwise_correlation (the screen and the exact stage both
+    duplicate-weight otherwise).
+    """
+    from mortar_parquet_support_spark.functions import materialize
+    from mortar_parquet_support_spark.operators.dedup import (
+        fingerprint_band_pairs,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if n_bits < 64 or n_bits % 64 != 0:
+        raise ValueError(
+            f"n_bits ({n_bits}) must be a positive multiple of 64 — "
+            "signatures band as whole 64-bit fingerprints"
+        )
+
+    obs = df.select(
+        F.col(key).alias("__k"),
+        _epoch(F.col(ts)).alias("__t"),
+        F.col(value).alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+
+    # one aggregate computes moments AND every projection sum: with
+    # r_j(t) in {-1,+1} hash-derived, sum_t r_j * (x_t - mu) =
+    # sum(r_j * x) - mu * sum(r_j), so centering needs no second pass
+    # (and the 1/sigma factor cannot change a SIGN, so it is skipped)
+    def _r(j: int) -> Column:
+        return (
+            F.xxhash64(F.lit(j), F.col("__t")).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("double")
+
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__v").alias("__mu"),
+        F.stddev_samp("__v").alias("__sd"),
+    ]
+    for j in range(n_bits):
+        aggs.append(F.sum(_r(j) * F.col("__v")).alias(f"__srx{j}"))
+        aggs.append(F.sum(_r(j)).alias(f"__sr{j}"))
+    sketch = (
+        obs.groupBy("__k")
+        .agg(*aggs)
+        .filter((F.col("__n") >= min_points) & (F.col("__sd") > 0))
+    )
+    fps = []
+    for f_idx in range(n_bits // 64):
+        bits = []
+        for b in range(64):
+            j = f_idx * 64 + b
+            s = F.col(f"__srx{j}") - F.col("__mu") * F.col(f"__sr{j}")
+            bits.append(
+                # shiftleft, not lit(2**b): bit 63's power overflows a
+                # Python->Catalyst long literal; the shift wraps correctly
+                F.when(s >= 0, F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        # distinct powers of two: the sum's bit pattern == bitwise OR
+        # (two's-complement wraparound on bit 63 included)
+        fps.append(sum(bits[1:], bits[0]).alias(f"__fp{f_idx}"))
+    sigs = materialize(
+        sketch.select("__k", *fps), checkpoint_dir=checkpoint_dir
+    )
+
+    cand = None
+    for f_idx in range(n_bits // 64):
+        block = fingerprint_band_pairs(
+            sigs.select("__k", f"__fp{f_idx}"),
+            id_col="__k",
+            fp_col=f"__fp{f_idx}",
+            band_bits=band_bits,
+            checkpoint_dir=checkpoint_dir,
+        ).select("id_a", "id_b")
+        cand = block if cand is None else cand.unionByName(block)
+        if anticorrelated:
+            # band the signature against its complement: a strongly
+            # negative pair's fingerprints are near-complementary, so
+            # orig-vs-flipped banding is the mirror screen
+            flipped = sigs.select(
+                "__k",
+                F.col(f"__fp{f_idx}").bitwiseXOR(F.lit(-1).cast("long")).alias(
+                    "__fpn"
+                ),
+            )
+            neg = _band_pairs_between(
+                sigs.select("__k", f"__fp{f_idx}"), f"__fp{f_idx}",
+                flipped, "__fpn", band_bits,
+            )
+            cand = cand.unionByName(neg)
+    pairs = materialize(
+        cand.dropDuplicates(["id_a", "id_b"]).select(
+            F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b")
+        ),
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    a = obs.select(
+        F.col("__t"), F.col("__k").alias("key_a"), F.col("__v").alias("__va")
+    )
+    b = obs.select(
+        F.col("__t"), F.col("__k").alias("key_b"), F.col("__v").alias("__vb")
+    )
+    joined = a.join(pairs, ["key_a"]).join(b, ["__t", "key_b"])
+    exact = _pearson_over_pairs(joined, ["key_a", "key_b"], min_points)
+    keep = (
+        F.abs(F.col("corr")) >= threshold
+        if anticorrelated
+        else F.col("corr") >= threshold
+    )
+    return exact.filter(F.col("corr").isNotNull() & keep)
+
+
+def _band_pairs_between(left, left_fp: str, right, right_fp: str, band_bits: int):
+    """Hamming-band equi-join BETWEEN two fingerprint frames (both keyed
+    ``__k``) — the asymmetric cousin of fingerprint_band_pairs' self-join,
+    used by correlated_pairs' anticorrelated screen (orig vs complement).
+    Returns ordered (id_a, id_b) candidates."""
+    if not 1 <= band_bits <= 64 or 64 % band_bits != 0:
+        raise ValueError(f"band_bits ({band_bits}) must divide 64")
+    n_bands = 64 // band_bits
+
+    def _banded(df, fp):
+        return df.select(
+            F.col("__k").alias("id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col(fp), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band", "bkey"),
+        )
+
+    la, rb = _banded(left, left_fp).alias("a"), _banded(right, right_fp).alias("b")
+    raw = la.join(
+        rb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.least("a.id", "b.id").alias("id_a"),
+        F.greatest("a.id", "b.id").alias("id_b"),
+    )
+    return raw.dropDuplicates(["id_a", "id_b"])
+
+
 def cusum_changepoints(
     df: DataFrame,
     *,

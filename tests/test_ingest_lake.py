@@ -561,6 +561,27 @@ def test_cli_ingest_metadata_compact(spark, tmp_path, capsys):
                  "--files", "2"]) == 0
     assert spark.read.parquet(zdest).count() == 10
 
+    # r13: upsert — the one maintenance op that had no CLI entry point —
+    # plus the recover subcommand over a clean lake (no-op, exit 0)
+    upd_dir = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [("bldg1", U1, "2016-11-30 19:31:37", 42.5, "/delta/m5/c12",
+          "urn:bldg1//delta/m5/c12")],
+        ["collection", "uuid", "time", "value", "label", "uri"],
+    ).withColumn("time", F.col("time").cast("timestamp")).write.parquet(upd_dir)
+    assert main(["upsert", dest, upd_dir]) == 0
+    assert "upserted 1 update row(s)" in capsys.readouterr().out
+    got = spark.read.parquet(dest).filter(
+        F.col("time") == "2016-11-30 19:31:37"
+    ).select("value").collect()
+    assert [r.value for r in got] == [42.5]
+    assert main(["upsert", dest, upd_dir, "--keys", ""]) == 2  # loud reject
+    assert main(["recover", dest]) == 0
+    assert "no pending maintenance transactions" in capsys.readouterr().out
+    # --bloom-cols passthrough reaches the validator (partition col = loud)
+    with pytest.raises(ValueError, match="partition"):
+        main(["compact", dest, "--bloom-cols", "collection"])
+
 
 def test_maintenance_preserves_uuid_layout(spark, tmp_path):
     """On a partition_uuid=True (reference-layout) lake, compaction and

@@ -4609,6 +4609,82 @@ def test_lagged_correlation_sign_convention_and_peak(spark):
         lagged_correlation(df, key="key", max_lag=0)
 
 
+def test_correlated_pairs_prunes_and_matches_exact(spark):
+    """The candidate-pruned correlation sibling (r13): on a fixture of 30
+    streams with planted noisy high-correlation pairs, (1) every surviving
+    pair's corr EXACTLY matches pairwise_correlation's (the exact core is
+    shared), (2) recall vs the exact operator at the threshold is 1.0,
+    (3) the anticorrelated leg finds the planted negative pair, and
+    (4) the candidate set is genuinely pruned — far below S*(S-1)/2."""
+    import math
+    import random
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        correlated_pairs,
+        pairwise_correlation,
+    )
+
+    rng = random.Random(13)
+    n_t = 240
+    rows = []
+    # 24 independent decoy streams
+    base = {}
+    for s in range(24):
+        xs = [rng.gauss(0, 1) for _ in range(n_t)]
+        base[f"s{s:02d}"] = xs
+        rows += [(f"s{s:02d}", t * 3600, x) for t, x in enumerate(xs)]
+    # planted: three noisy positive siblings of s00/s01/s02, one negative
+    for s in range(3):
+        xs = [x + rng.gauss(0, 0.25) for x in base[f"s{s:02d}"]]
+        rows += [(f"s{s:02d}p", t * 3600, x) for t, x in enumerate(xs)]
+    neg = [-x + rng.gauss(0, 0.25) for x in base["s03"]]
+    rows += [("s03n", t * 3600, x) for t, x in enumerate(neg)]
+    df = spark.createDataFrame(rows, ["key", "ep", "value"]).select(
+        "key", F.col("ep").cast("timestamp").alias("bucket"), "value"
+    )
+
+    thr = 0.9
+    exact = {
+        (r.key_a, r.key_b): r.corr
+        for r in pairwise_correlation(
+            df, ts="bucket", key="key", value="value", min_points=10
+        ).collect()
+        if r.corr is not None and r.corr >= thr
+    }
+    assert len(exact) == 3  # the three planted positive pairs
+    got = {
+        (r.key_a, r.key_b): r.corr
+        for r in correlated_pairs(
+            df, ts="bucket", key="key", value="value",
+            threshold=thr, min_points=10,
+        ).collect()
+    }
+    assert got.keys() == exact.keys()  # recall 1.0 AND no false survivors
+    for k in exact:  # the exact core is shared — same aggregate, only
+        # the join's partial-sum order differs (last-ulp window)
+        assert math.isclose(got[k], exact[k], rel_tol=0, abs_tol=1e-12)
+
+    both = correlated_pairs(
+        df, ts="bucket", key="key", value="value",
+        threshold=thr, min_points=10, anticorrelated=True,
+    ).collect()
+    keys = {(r.key_a, r.key_b) for r in both}
+    assert ("s03", "s03n") in keys  # the planted negative pair
+    assert keys - {("s03", "s03n")} == set(exact)
+
+    # pruning is real: count candidate-pair rows via the n_points trace —
+    # every candidate pair that aligns shows up in the UNFILTERED exact
+    # stage; assert the screened pair count is far below all-pairs
+    s_count = df.select("key").distinct().count()
+    all_pairs = s_count * (s_count - 1) // 2  # 28 streams -> 378
+    screened = correlated_pairs(
+        df, ts="bucket", key="key", value="value",
+        threshold=1e-12, min_points=10, anticorrelated=True,  # keep every
+        # screened candidate (|corr| >= ~0): the count IS the screen's size
+    ).count()
+    assert screened < all_pairs / 3, (screened, all_pairs)
+
+
 def test_timeseries_contract_guards_fail_loudly(spark):
     """The ADVICE r12 silent-wrong-answer modes now reject loudly:
     duplicate (key, ts) observations would duplicate-weight every moment
