@@ -304,6 +304,12 @@ def compact_if_fragmented(
     :func:`compact_collections` (``target_rows_per_file``,
     ``checkpoint_dir``, ``bloom_cols``/``bloom_ndv`` — remember the bloom
     passthrough if ingest writes blooms)."""
+    # recover BEFORE the listing probe, not just before the rewrite: a
+    # collection parked in a crashed transaction's backup dir is invisible
+    # to the file count and would silently skip a compaction tick
+    from mortar_parquet_support_spark.sources.publish import recover_lake
+
+    recover_lake(spark, lake_root)
     victims = fragmented_collections(spark, lake_root, max_files=max_files)
     compact_collections(
         spark, lake_root, collections=victims, **compact_kwargs
