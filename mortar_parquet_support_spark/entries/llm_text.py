@@ -147,9 +147,16 @@ def _image_dedup(spark, sf_dir):
     banding + Python decode, the dedup_simhash rationale."""
     from mortar_parquet_support_spark.operators.multimodal import image_dedup
 
+    import os as _os
+
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n_images = max(36, docs.count() // 140)
-    ids = docs.orderBy("doc_id").limit(n_images).repartition(8)
+    # cpus-derived, not a constant: limit() collapses to one partition,
+    # and at the bench's big SFs the synthesis is the entry's heavy leg —
+    # an 8-way cap would measure fixture generation, not the operator
+    # (review r13)
+    parts = max(8, int(_os.environ.get("SPARK_GRAFT_CPUS", _os.cpu_count() or 8)))
+    ids = docs.orderBy("doc_id").limit(n_images).repartition(parts)
 
     def _synth(batches):
         import pandas as pd

@@ -1246,6 +1246,7 @@ def correlated_pairs(
     band_bits: int = 8,
     min_points: int = 2,
     anticorrelated: bool = False,
+    validate: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Stream pairs whose Pearson correlation is >= ``threshold``
@@ -1256,6 +1257,12 @@ def correlated_pairs(
     EXACT (the same aligned-observation aggregate), only the candidate
     set is approximate — the same "exact core + pruned candidates"
     contract as the dedup family (operators/dedup.py minhash_dedup).
+    CONTRACT (the lagged_correlation one, not pairwise_correlation's):
+    alignment is on WHOLE-SECOND epochs — the projection directions hash
+    the epoch, so the exact stage must join on the same axis; feed a
+    bucketed series, where sub-second-distinct timestamps cannot exist.
+    Duplicate (key, epoch) observations would silently duplicate-weight
+    every moment; ``validate=True`` buys the one-pass loud rejection.
 
     Screen: Pearson correlation IS the cosine of the mean-centered
     series, so sign-random-projection LSH (the SimHash family) is the
@@ -1307,6 +1314,8 @@ def correlated_pairs(
         _epoch(F.col(ts)).alias("__t"),
         F.col(value).alias("__v"),
     ).filter(F.col("__v").isNotNull())
+    if validate:
+        _assert_unique_timestamps(obs, "__k", "__t")
 
     # one aggregate computes moments AND every projection sum: with
     # r_j(t) in {-1,+1} hash-derived, sum_t r_j * (x_t - mu) =

@@ -36,16 +36,14 @@ def _collection_dirs(spark: SparkSession, lake_root: str):
     """(jvm, FileSystem, [FileStatus]) for the lake's ``collection=*``
     partition dirs via Hadoop's FileSystem — honors whatever scheme
     ``lake_root`` lives on (local, HDFS, s3a); a driver-local
-    ``glob.glob`` would silently answer nothing for non-local roots. The
-    ONE spelling of this incantation (review r12: it had grown a second
-    copy, the same drift the bloom-options loop suffered)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(lake_root)
-    fs = root.getFileSystem(conf)
-    colls = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(lake_root.rstrip("/") + "/collection=*")
-    )
+    ``glob.glob`` would silently answer nothing for non-local roots.
+    The jvm/conf/Path/getFileSystem incantation itself has ONE spelling —
+    publish._fs (review r12 caught a second copy of it; review r13
+    caught a third: this helper now delegates)."""
+    from mortar_parquet_support_spark.sources.publish import _fs
+
+    jvm, fs, P = _fs(spark, lake_root)
+    colls = fs.globStatus(P(lake_root.rstrip("/") + "/collection=*"))
     return jvm, fs, list(colls) if colls is not None else []
 
 

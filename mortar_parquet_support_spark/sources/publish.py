@@ -115,17 +115,15 @@ def _write_json_atomic(fs, P, path: str, payload: dict) -> None:
         raise RuntimeError(f"publish: journal rename failed: {path}")
 
 
-def _read_json(fs, P, path: str) -> dict:
+def _read_json(jvm, fs, P, path: str) -> dict:
     stream = fs.open(P(path))
     try:
-        # read fully via the JVM stream; journals are tiny
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
-        return json.loads(bytes(buf).decode("utf-8"))
+        # ONE JVM-side copy, not a Py4J round-trip per byte: a journal
+        # listing thousands of partitions would otherwise cost ~1e5
+        # driver<->JVM calls on every recovery probe (review r13)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
     finally:
         stream.close()
 
@@ -173,8 +171,18 @@ def publish_rewrite(
     rows, which a nondeterministic lazy plan would not guarantee.
     """
     from mortar_parquet_support_spark.functions import materialize
-    from mortar_parquet_support_spark.sources.ingest import write_lake
+    from mortar_parquet_support_spark.sources.ingest import (
+        _validate_bloom_options,
+        write_lake,
+    )
 
+    # every cheap rejection BEFORE the materialize/count jobs (the
+    # write_zordered rule): a typo'd bloom column must not cost a full
+    # lake scan before the loud error (review r13)
+    _validate_bloom_options(
+        df, bloom_cols, bloom_ndv,
+        ("collection", "uuid") if partition_uuid else ("collection",),
+    )
     spark = df.sparkSession
     jvm, fs, P = _fs(spark, lake_root)
 
@@ -275,7 +283,7 @@ def recover_lake(spark: SparkSession, lake_root: str) -> list[dict]:
             fs.delete(P(txn), True)
             actions.append({"txn": txn, "action": "aborted"})
             continue
-        journal = _read_json(fs, P, journal_path)
+        journal = _read_json(jvm, fs, P, journal_path)
         rolled = 0
         for name in journal["partitions"]:
             stg, live, bkp = (

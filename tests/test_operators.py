@@ -4703,10 +4703,16 @@ def test_timeseries_contract_guards_fail_loudly(spark):
          (60, "y", 2.0)],
         ["ep", "uuid", "value"],
     ).select("uuid", F.col("ep").cast("timestamp").alias("bucket"), "value")
+    from mortar_parquet_support_spark.operators.timeseries import (
+        correlated_pairs,
+    )
+
     with pytest.raises(ValueError, match="duplicate"):
         pairwise_correlation(df=dup, key="uuid", validate=True)
     with pytest.raises(ValueError, match="duplicate"):
         lagged_correlation(df=dup, key="uuid", step="1 minute", validate=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        correlated_pairs(df=dup, key="uuid", validate=True)
     # without the flag the documented contract is the caller's job —
     # the call itself must still run (no behavior change by default)
     assert pairwise_correlation(df=dup, key="uuid").count() >= 0

@@ -44,14 +44,22 @@ def stress_docs(spark, n: int, out: str):
 
     Same generation discipline as tools/gen_sf.py (spark.range +
     xxhash64, no rand(), no driver loops). vocab ~ n/10 (floor 1000)
-    tokens, 8-100 words per doc; doc i with i % 100 == 99 re-derives its
-    predecessor's words and changes only word 0, landing at 3-shingle
-    Jaccard ~0.85-0.95 — comfortably above THRESHOLD, so the candidate
-    stage must carry exactly ~n/100 true pairs at every size."""
+    tokens, 32-100 words per doc (floor 32, NOT the fixture's 8: a
+    one-word edit on an L-word doc gives 3-shingle Jaccard (L-5)/(L+1),
+    which crosses the 0.8 threshold only at L >= 29 — review r13); doc i
+    with i % 100 == 99 re-derives its predecessor's words and changes
+    only word 1, landing at Jaccard 0.84-0.95, so the candidate stage
+    must carry exactly ~n/100 true pairs at every size."""
     from pyspark.sql import functions as F
 
-    if os.path.isdir(out):
+    # bare isdir is not "generated": an interrupted multi-minute write
+    # leaves partial part-files that would silently misreport n_big
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
         return spark.read.parquet(out)
+    if os.path.isdir(out):
+        import shutil
+
+        shutil.rmtree(out)
     vocab_n = max(1000, n // 10)
     parts = max(32, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
     ids = spark.range(0, n, 1, parts).withColumnRenamed("id", "i")
@@ -59,7 +67,7 @@ def stress_docs(spark, n: int, out: str):
     planted = F.pmod(i, F.lit(100)) == 99
     base_id = F.when(planted, i - 1).otherwise(i)
     n_words = (
-        F.pmod(F.xxhash64(base_id, F.lit("dlen"), F.lit(42)), F.lit(93)) + 8
+        F.pmod(F.xxhash64(base_id, F.lit("dlen"), F.lit(42)), F.lit(69)) + 32
     ).cast("int")
     words = F.transform(
         F.sequence(F.lit(1), n_words),

@@ -48,6 +48,20 @@ def _uf(idcol, salt: str, scale: float = 1.0):
 def generate(
     spark: SparkSession, sf: float, out: str, tables: "set | None" = None
 ) -> None:
+    known = {
+        "region_nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    if tables is not None:
+        unknown = set(tables) - known
+        if unknown:
+            # a typo'd subset would otherwise generate NOTHING and exit 0
+            # with a success message (review r13)
+            raise ValueError(
+                f"unknown table(s) {sorted(unknown)}; choose from "
+                f"{sorted(known)}"
+            )
+
     def _want(name: str) -> bool:
         # r13: subset generation — the sf100 stress decade needs ONLY
         # documents (minhash signatures / similarity-join candidates);
