@@ -19,30 +19,39 @@ with the classic three-phase protocol:
 2. **audit** — read the stage BACK and compare per-collection row counts
    against the source frame. Only after the audit passes is the intent
    JOURNALED (``journal.json``, created atomically via write-temp +
-   rename). The journal is the commit point: before it exists the
-   transaction aborts backward; after it exists the staged data is known
-   complete and recovery rolls FORWARD.
-3. **publish** — per partition: rename the live directory into
-   ``txn/backup/`` then rename the staged directory into place. Both are
-   single metadata RENAMES (no copy, no partial files); the only
-   non-atomic window is between the two renames of ONE partition, during
-   which that partition is absent — and the journal + backup make that
-   window fully recoverable: nothing is deleted until every staged
-   partition is live.
+   rename): per touched partition, the exact list of live FILES the
+   rewrite supersedes. The journal is the commit point: before it
+   exists the transaction aborts backward; after it exists the staged
+   data is known complete and recovery rolls FORWARD.
+3. **publish** — per partition, at FILE granularity (the Delta/Iceberg
+   remove-files/add-files shape, re-expressed on a plain file lake):
+   park each journaled file in ``txn/backup/``, then move each staged
+   file into the live directory. Every move is a single metadata
+   RENAME; the only reader-visible window is a partition that is
+   briefly missing some of its rows mid-swap — and the journal + backup
+   make every window fully recoverable: nothing is deleted until every
+   staged file is live. File granularity — not a directory swap — is
+   what makes recovery APPEND-SAFE: a file in the live directory that
+   the journal does not name was written AFTER the snapshot (e.g. a
+   restarted stream's replayed batch appending before the next
+   compaction tick recovers), and recovery preserves it untouched. A
+   directory-level swap cannot distinguish those appends from the data
+   it is replacing — the r13 streaming crash test caught exactly that.
 
 ``recover_lake`` converges ANY crash point to a consistent lake (the old
-state if the crash preceded the journal, the new state otherwise) and is
-run automatically at the start of every publish, so a crashed
-``stream_ingest(compact_every=N)`` self-heals on its next compaction
-tick. Crash-injection tests drive every window via ``_fail_point``
-(tests/test_publish_atomic.py).
+state if the crash preceded the journal, the new state + later appends
+otherwise) and is run automatically at the start of every publish, so a
+crashed ``stream_ingest(compact_every=N)`` self-heals on its next
+compaction tick. Crash-injection tests drive every window via
+``_fail_point``, including the append-between-crash-and-recovery
+interleave (tests/test_publish_atomic.py).
 
 Assumptions, stated loudly:
 
-- **single maintenance writer per lake.** Concurrent APPENDS to a
-  partition mid-swap would race the rename; the publish detects a
-  reborn live directory and fails with the backup intact rather than
-  nesting directories. Serialize maintenance per lake (the streaming
+- **one maintenance writer per lake at a time.** Appends may interleave
+  freely (new files are never journaled, so they survive); two
+  CONCURRENT rewrites of the same partition would journal overlapping
+  supersede-lists. Serialize maintenance per lake (the streaming
   auto-compaction hook already is — it runs inside ``foreachBatch``).
 - **atomic directory rename.** True on POSIX filesystems and HDFS. On
   object stores (S3) "rename" is copy+delete — there this protocol
@@ -141,6 +150,41 @@ def _partition_dir_names(fs, P, stage_dir: str) -> list[str]:
     )
 
 
+def _list_visible_files(fs, P, dir_path: str) -> list[str]:
+    """Relative paths of the non-hidden files under ``dir_path``
+    (recursive — the ``partition_uuid`` layout nests ``uuid=*`` dirs).
+    Hidden files (leading ``.`` or ``_``: CRC siblings, _SUCCESS) are
+    excluded on purpose: readers never see them, and ChecksumFileSystem
+    moves a ``.crc`` implicitly with its data file's rename — moving it
+    twice would fail."""
+    base = P(dir_path)
+    if not fs.exists(base):
+        return []
+    prefix = str(fs.getFileStatus(base).getPath()) + "/"
+    out = []
+    it = fs.listFiles(base, True)
+    while it.hasNext():
+        p = str(it.next().getPath())
+        rel = p[len(prefix):] if p.startswith(prefix) else p
+        name = rel.rsplit("/", 1)[-1]
+        if not name.startswith((".", "_")):
+            out.append(rel)
+    return sorted(out)
+
+
+def _rename_into(fs, P, src: str, dst: str) -> None:
+    """Move one file, creating the destination's parent dirs — the unit
+    step of both the park (live -> backup) and promote (stage -> live)
+    phases. Missing src is SKIPPED, not an error: that is exactly the
+    idempotent-recovery case (the move already happened before a
+    crash)."""
+    if not fs.exists(P(src)):
+        return
+    parent = dst.rsplit("/", 1)[0]
+    fs.mkdirs(P(parent))
+    _rename(fs, P, src, dst)
+
+
 def _counts_by_collection(df: DataFrame) -> dict:
     from pyspark.sql import functions as F
 
@@ -225,29 +269,36 @@ def publish_rewrite(
         )
     parts = _partition_dir_names(fs, P, stage)
 
-    # -- journal (the commit point) -------------------------------------
+    # -- journal (the commit point): the exact live files each staged
+    # partition SUPERSEDES — any live file not named here was appended
+    # later and must survive recovery untouched
+    superseded = {
+        name: _list_visible_files(fs, P, f"{root}/{name}") for name in parts
+    }
     fs.mkdirs(P(backup))
     _write_json_atomic(
         fs, P, f"{txn}/{_JOURNAL}",
-        {"partitions": parts, "counts_total": sum(expected.values())},
+        {"partitions": superseded, "counts_total": sum(expected.values())},
     )
     _crash_if(_fail_point, "after_journal")
 
-    # -- publish ---------------------------------------------------------
+    # -- publish: park superseded files, promote staged files ------------
     first = True
     for name in parts:
         live = f"{root}/{name}"
-        if fs.exists(P(live)):
-            _rename(fs, P, live, f"{backup}/{name}")
+        for rel in superseded[name]:
+            _rename_into(fs, P, f"{live}/{rel}", f"{backup}/{name}/{rel}")
         if first:
             _crash_if(_fail_point, "mid_swap")
-        _rename(fs, P, f"{stage}/{name}", live)
+        for rel in _list_visible_files(fs, P, f"{stage}/{name}"):
+            _rename_into(fs, P, f"{stage}/{name}/{rel}", f"{live}/{rel}")
+        fs.delete(P(f"{stage}/{name}"), True)  # now only empty dirs/CRCs
         if first:
             _crash_if(_fail_point, "after_swap_one")
             first = False
     _crash_if(_fail_point, "before_cleanup")
 
-    # every staged partition is live — only now may old data be deleted
+    # every staged file is live — only now may old data be deleted
     fs.delete(P(txn), True)
 
 
@@ -260,14 +311,15 @@ def recover_lake(spark: SparkSession, lake_root: str) -> list[dict]:
     - no journal → the crash preceded the commit point: the stage may be
       incomplete but the live lake is untouched — ABORT (delete the
       transaction directory).
-    - journal present → the staged data passed its audit: ROLL FORWARD.
-      Per journaled partition, exactly one of three recoverable states
-      holds (staged dir present means its swap didn't finish):
-      live present + no backup → the swap never started: do both renames;
-      live absent + backup present → crashed between the two renames:
-      promote the stage; live absent + no backup → a brand-new partition:
-      promote the stage. Staged dir absent → that partition already
-      swapped. Afterwards delete the transaction (backups included).
+    - journal present → the staged data passed its audit: ROLL FORWARD
+      at file granularity, each step idempotent (a move that already
+      happened is skipped). Per journaled partition: park any journaled
+      superseded file still in the live directory, then promote any file
+      still in the stage. Files in the live directory the journal does
+      NOT name were appended after the snapshot (e.g. a restarted
+      stream's replayed batch) — they are preserved untouched; that is
+      the property the file-level journal exists for. Afterwards delete
+      the transaction (backups included).
     """
     jvm, fs, P = _fs(spark, lake_root)
     root = lake_root.rstrip("/")
@@ -285,26 +337,21 @@ def recover_lake(spark: SparkSession, lake_root: str) -> list[dict]:
             continue
         journal = _read_json(jvm, fs, P, journal_path)
         rolled = 0
-        for name in journal["partitions"]:
+        for name, rels in journal["partitions"].items():
             stg, live, bkp = (
                 f"{txn}/stage/{name}",
                 f"{root}/{name}",
                 f"{txn}/backup/{name}",
             )
-            if not fs.exists(P(stg)):
-                continue  # this partition's swap completed pre-crash
-            live_there, bkp_there = fs.exists(P(live)), fs.exists(P(bkp))
-            if live_there and bkp_there:
-                # impossible within one transaction's rename sequence —
-                # refusing beats guessing which copy is authoritative
-                raise RuntimeError(
-                    f"recover_lake: {name} has live AND backup AND stage "
-                    f"under {txn} — manual resolution required"
-                )
-            if live_there:
-                _rename(fs, P, live, bkp)
-            _rename(fs, P, stg, live)
-            rolled += 1
+            for rel in rels:  # finish parking (skips already-parked)
+                _rename_into(fs, P, f"{live}/{rel}", f"{bkp}/{rel}")
+            staged = _list_visible_files(fs, P, stg)
+            if staged:
+                for rel in staged:  # finish promoting
+                    _rename_into(fs, P, f"{stg}/{rel}", f"{live}/{rel}")
+                rolled += 1
+            if fs.exists(P(stg)):
+                fs.delete(P(stg), True)
         fs.delete(P(txn), True)
         actions.append(
             {"txn": txn, "action": "rolled_forward" if rolled else "cleaned"}

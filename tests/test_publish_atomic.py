@@ -185,6 +185,75 @@ def test_new_partition_and_empty_rewrite(spark, lake):
     assert glob.glob(f"{lake}/{MAINT_DIR}/txn-*") == []
 
 
+def test_streaming_auto_compaction_crash_loses_nothing(spark, tmp_path):
+    """The end-to-end scenario VERDICT r12 called the one data-loss
+    vector: stream_ingest(compact_every=N)'s in-batch compaction dies
+    mid-publish (the streaming checkpoint cannot replay compacted-away
+    history). With the r13 protocol the crash must lose NOTHING: the
+    stream restart's next compaction tick recovers the transaction, and
+    every ingested reading is still present (at-least-once may duplicate
+    the crashed batch's appends — that documented caveat is unchanged —
+    but history must never vanish)."""
+    from tests.conftest import make_stream_csv
+
+    import mortar_parquet_support_spark.sources.publish as pub
+    from mortar_parquet_support_spark.sources.ingest import stream_ingest
+
+    src = tmp_path / "csvs"
+    dest = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    uuids = [f"{i:08d}-2222-5222-8222-{i:012d}" for i in range(4)]
+    expected = set()
+    for i, u in enumerate(uuids):
+        rows = [(f"2024-03-0{i + 1} 00:00:0{j}+00:00", float(10 * i + j))
+                for j in range(3)]
+        make_stream_csv(src, u, f"/pt/{i}", rows)
+        expected |= {(u, v) for _, v in rows}
+
+    real = pub._crash_if
+
+    def once(fail_point, here):
+        if here == "mid_swap" and not getattr(once, "fired", False):
+            once.fired = True
+            raise InjectedCrash(here)
+        real(fail_point, here)
+
+    pub._crash_if = once
+    try:
+        q = stream_ingest(
+            spark, "bldg1", str(src), dest, checkpoint_dir=ckpt,
+            compact_every=1, compact_max_files=1, max_files_per_trigger=1,
+        )
+        with pytest.raises(Exception):  # the injected crash kills the query
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    finally:
+        pub._crash_if = real
+        for active in spark.streams.active:
+            active.stop()
+
+    # mid-crash the lake may be missing the parked collection — but the
+    # history is in the transaction backup, never deleted
+    assert glob.glob(f"{dest}/{MAINT_DIR}/txn-*")
+
+    # restart the SAME stream (same checkpoint): the next compaction tick
+    # recovers the crashed transaction before probing, the replayed batch
+    # re-appends (at-least-once), and the drain completes
+    q2 = stream_ingest(
+        spark, "bldg1", str(src), dest, checkpoint_dir=ckpt,
+        compact_every=1, compact_max_files=1, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.uuid, r.value)
+        for r in spark.read.parquet(dest).select("uuid", "value").collect()
+    }
+    assert expected <= got  # every reading survived the crash
+    assert glob.glob(f"{dest}/{MAINT_DIR}/txn-*") == []  # debris converged
+
+
 def test_compact_goes_through_atomic_publish(spark, lake, tmp_path):
     """The maintenance seam (_dynamic_overwrite_lake) now rides the
     protocol: a compaction crash at the commit point leaves the lake
