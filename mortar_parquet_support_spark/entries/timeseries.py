@@ -639,6 +639,96 @@ def _correlated_pairs(spark, sf_dir):
 
 
 @_register(
+    "correlated_topk",
+    # The correlated_pairs exactness + recall-witness story, plus a
+    # ranking leg: both orientations of every surviving pair enter, rank
+    # orders by corr rounded at 9dp (engines agree to ~1e-12) with
+    # partner-id tie-break, so the rank is a pure function of the
+    # hash-matched values. The two planted siblings per stream (sin and
+    # cos mixes) make the per-stream ranking non-trivial: the mixes also
+    # correlate with each OTHER through the shared base series, so every
+    # stream has >= 2 above-threshold partners and k=1 genuinely drops
+    # rows.
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS b, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    aug AS (
+      SELECT event_type, b, v FROM h
+      UNION ALL
+      SELECT event_type || '~sin', b,
+             v + 4.0 * sin(CAST(epoch(b) AS DOUBLE) / 3600.0) FROM h
+      UNION ALL
+      SELECT event_type || '~cos', b,
+             v + 4.0 * cos(CAST(epoch(b) AS DOUBLE) / 3600.0) FROM h
+    ),
+    pairs AS (
+      SELECT a.event_type AS key_a, b.event_type AS key_b,
+             corr(a.v, b.v) AS c, COUNT(*) AS n_points
+      FROM aug a JOIN aug b ON a.b = b.b AND a.event_type < b.event_type
+      WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+      GROUP BY 1, 2 HAVING COUNT(*) >= 24 AND corr(a.v, b.v) >= 0.8
+    ),
+    orient AS (
+      SELECT key_a AS key, key_b AS partner, c, n_points FROM pairs
+      UNION ALL
+      SELECT key_b AS key, key_a AS partner, c, n_points FROM pairs
+    ),
+    ranked AS (
+      SELECT key, partner, c, n_points,
+             ROW_NUMBER() OVER (
+               PARTITION BY key
+               ORDER BY ROUND(ABS(c), 9) DESC, partner
+             ) AS rnk
+      FROM orient
+    )
+    SELECT key, partner, ROUND(c, 6) AS corr, n_points,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= 1
+    """,
+)
+def _correlated_topk(spark, sf_dir):
+    """Per-stream strongest partner (r13 — operators/timeseries.py
+    top_correlated_partners): correlated_pairs' ranking view, k=1 among
+    pairs with corr >= 0.8. Each event_type stream gets TWO planted
+    siblings (v + 4*sin / v + 4*cos of epoch-hours); the siblings also
+    correlate with each other through the shared base, so every stream
+    has at least two above-threshold partners and the k=1 cut is
+    non-trivial. Rank determinism pinned by 9dp rounding + partner-id
+    tie-break on both engines."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        time_bucket_rollup,
+        top_correlated_partners,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_bucket_rollup(
+        ev, ts="ts", keys=["event_type"], bucket="1 hour",
+        aggs={"v": "avg"}, value="value",
+    )
+    ep_hours = F.unix_timestamp("bucket").cast("double") / 3600.0
+    sin_mix = hourly.select(
+        F.concat(F.col("event_type"), F.lit("~sin")).alias("event_type"),
+        "bucket", (F.col("v") + 4.0 * F.sin(ep_hours)).alias("v"),
+    )
+    cos_mix = hourly.select(
+        F.concat(F.col("event_type"), F.lit("~cos")).alias("event_type"),
+        "bucket", (F.col("v") + 4.0 * F.cos(ep_hours)).alias("v"),
+    )
+    out = top_correlated_partners(
+        hourly.unionByName(sin_mix).unionByName(cos_mix),
+        ts="bucket", key="event_type", value="v",
+        k=1, threshold=0.8, min_points=24,
+    )
+    return out.select(
+        "key", "partner", F.round("corr", 6).alias("corr"), "n_points",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_register(
     "cusum_changepoints",
     # The sequential fold replayed as a RECURSIVE CTE (the lttb/mmr
     # graduation pattern): inputs are exact integer daily counts, moments

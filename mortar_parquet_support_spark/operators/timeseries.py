@@ -1406,6 +1406,60 @@ def correlated_pairs(
     return exact.filter(F.col("corr").isNotNull() & keep)
 
 
+def top_correlated_partners(
+    df: DataFrame,
+    *,
+    ts: str = "bucket",
+    key: str = "uuid",
+    value: str = "value",
+    k: int = 1,
+    threshold: float = 0.9,
+    **correlated_kwargs,
+) -> DataFrame:
+    """Each stream's ``k`` strongest partners AMONG pairs whose
+    correlation clears ``threshold`` — the per-stream ranking view of
+    :func:`correlated_pairs` ("which sensor does THIS one track most"),
+    one row per (key, partner) with ``rank`` 1..k.
+
+    The threshold is part of the contract, not a convenience: an
+    unthresholded top-k would have to rank WEAK partners too, and the
+    LSH screen's recall guarantee only covers pairs above the threshold
+    (below it the screen prunes exactly the pairs a top-k would need).
+    Thresholded, the output is exact: the screen misses nothing above
+    the bar (witnessed by the correlated_pairs oracle every round), and
+    the ranking is a pure function of the surviving exact corr values.
+
+    Determinism across engines: rank orders by the corr ROUNDED at 9dp
+    (engines agree to ~1e-12, so the rank inputs are bit-identical),
+    ties broken by partner id ascending. Both orientations of each pair
+    enter the ranking — key_a < key_b carries no per-stream meaning.
+
+    Scale shape: correlated_pairs' cost plus one window over each key's
+    candidate partners — a set the screen already bounded, never the
+    stream count."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = correlated_pairs(
+        df, ts=ts, key=key, value=value, threshold=threshold,
+        **correlated_kwargs,
+    )
+    a = pairs.select(
+        F.col("key_a").alias("key"), F.col("key_b").alias("partner"),
+        "corr", "n_points",
+    )
+    b = pairs.select(
+        F.col("key_b").alias("key"), F.col("key_a").alias("partner"),
+        "corr", "n_points",
+    )
+    both = a.unionByName(b)
+    w = Window.partitionBy("key").orderBy(
+        F.round(F.abs(F.col("corr")), 9).desc(), F.col("partner")
+    )
+    return both.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _band_pairs_between(left, left_fp: str, right, right_fp: str, band_bits: int):
     """Hamming-band equi-join BETWEEN two fingerprint frames (both keyed
     ``__k``) — the asymmetric cousin of fingerprint_band_pairs' self-join,

@@ -4685,6 +4685,46 @@ def test_correlated_pairs_prunes_and_matches_exact(spark):
     assert screened < all_pairs / 3, (screened, all_pairs)
 
 
+def test_top_correlated_partners_ranks_within_threshold(spark):
+    """top_correlated_partners (r13): per-stream strongest partners AMONG
+    pairs above the threshold. s00 has two planted siblings (tight and
+    loose noise) — rank 1 must be the tighter one; streams with no
+    above-threshold partner emit nothing; both orientations rank (the
+    sibling's own top-1 is s00); k validation is loud."""
+    import random
+
+    from mortar_parquet_support_spark.operators.timeseries import (
+        top_correlated_partners,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    base = [rng.gauss(0, 1) for _ in range(240)]
+    for s in ("s00", "s01"):  # s01: independent decoy
+        xs = base if s == "s00" else [rng.gauss(0, 1) for _ in range(240)]
+        rows += [(s, t * 3600, x) for t, x in enumerate(xs)]
+    rows += [("s00tight", t * 3600, x + rng.gauss(0, 0.1))
+             for t, x in enumerate(base)]
+    rows += [("s00loose", t * 3600, x + rng.gauss(0, 0.4))
+             for t, x in enumerate(base)]
+    df = spark.createDataFrame(rows, ["key", "ep", "value"]).select(
+        "key", F.col("ep").cast("timestamp").alias("bucket"), "value"
+    )
+    out = {
+        (r.key, r.rank): r.partner
+        for r in top_correlated_partners(
+            df, ts="bucket", key="key", value="value", k=2,
+            threshold=0.85, min_points=10,
+        ).collect()
+    }
+    assert out[("s00", 1)] == "s00tight"  # tighter sibling outranks
+    assert out[("s00", 2)] == "s00loose"
+    assert out[("s00tight", 1)] == "s00"  # both orientations ranked
+    assert not any(k[0] == "s01" for k in out)  # decoy: no partner
+    with pytest.raises(ValueError, match="k must be"):
+        top_correlated_partners(df, key="key", k=0)
+
+
 def test_timeseries_contract_guards_fail_loudly(spark):
     """The ADVICE r12 silent-wrong-answer modes now reject loudly:
     duplicate (key, ts) observations would duplicate-weight every moment
