@@ -290,8 +290,8 @@ def compact_if_fragmented(
 ) -> list[str]:
     """Auto-compaction trigger: compact ONLY the collections whose file
     count exceeds ``max_files``, leave everything else untouched (their
-    files keep their exact identities — dynamic overwrite never rewrites
-    a partition absent from the frame). Returns the compacted collection
+    files keep their exact identities — the publish protocol only moves
+    files its journal names, and it only journals staged partitions). Returns the compacted collection
     names ([] = nothing qualified, nothing rewritten — the explicit-empty
     no-op contract of compact_collections).
 
@@ -337,8 +337,9 @@ def upsert_lake(
 
     Implementation: read ONLY the touched collections (partition-pruned
     scan), union with updates tagged by recency, keep the newest row per
-    key with one window, dynamic-overwrite those collections. The shuffle
-    is bounded by the touched partitions' size, not the lake's.
+    key with one window, publish those collections through the
+    crash-atomic protocol. The shuffle is bounded by the touched
+    partitions' size, not the lake's.
     """
     from mortar_parquet_support_spark.functions import materialize
     from mortar_parquet_support_spark.sources.publish import recover_lake
@@ -350,13 +351,13 @@ def upsert_lake(
     # collection collect, then the merge). A nondeterministic updates
     # source could otherwise surface a collection in the second execution
     # that the first missed — whose existing rows would then be dropped by
-    # the dynamic overwrite.
+    # the publish (its journal supersedes the touched partitions' files).
     updates = materialize(updates.select(*LAKE_COLUMNS), checkpoint_dir=checkpoint_dir)
     touched = [r.collection for r in updates.select("collection").distinct().collect()]
     if not touched:
         return
     # NULL-collection rows land in __HIVE_DEFAULT_PARTITION__, which the
-    # dynamic overwrite WILL rewrite when the updates touch it — but
+    # publish WILL rewrite when the updates touch it — but
     # isin(...) never matches NULL, so the existing rows of that partition
     # would be excluded from the merge and silently deleted
     non_null = [c for c in touched if c is not None]

@@ -314,7 +314,8 @@ def test_stream_ingest_auto_compaction(spark, tmp_path):
 def test_compact_and_upsert(spark, tmp_path):
     """Compaction shrinks file count without changing rows; upsert replaces
     matching (collection, uuid, time) keys, inserts new ones, and leaves
-    untouched collections' files alone (dynamic partition overwrite)."""
+    untouched collections' files alone (r13: published through the
+    crash-atomic file-level protocol — only journaled files move)."""
     import glob
 
     from mortar_parquet_support_spark.sources.ingest import ingest_directory
