@@ -17,9 +17,10 @@ rest of the lake keeps its files' exact identities — so the blast radius
 is the touched collections, never the whole table. Since round 13 the
 publish is CRASH-ATOMIC: a write-audit-publish protocol
 (sources/publish.py) stages the rewrite under a hidden ``.maint/``
-transaction, audits per-collection counts, journals, then swaps
-directories by rename — a crash at any point converges via
-``recover_lake`` with zero data loss. The rewrite itself reuses
+transaction, audits per-collection counts, journals the exact live
+files being superseded, then swaps at FILE granularity by rename — a
+crash at any point converges via ``recover_lake`` with zero data loss,
+and files appended after the snapshot survive recovery untouched. The rewrite itself reuses
 ``write_lake``'s range-repartition + in-file sort, so row-group stats
 stay prune-tight after maintenance.
 """
