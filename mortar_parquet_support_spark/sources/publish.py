@@ -17,7 +17,9 @@ with the classic three-phase protocol:
    stage. A crash here leaves the live lake byte-identical; recovery
    just deletes the orphaned transaction.
 2. **audit** — read the stage BACK and compare per-collection row counts
-   against the source frame. Only after the audit passes is the intent
+   AND order-independent value-hash sums against the source frame (a
+   count-only audit would pass a stage that corrupted values while
+   keeping cardinality). Only after the audit passes is the intent
    JOURNALED (``journal.json``, created atomically via write-temp +
    rename): per touched partition, the exact list of live FILES the
    rewrite supersedes. The journal is the commit point: before it
@@ -185,11 +187,27 @@ def _rename_into(fs, P, src: str, dst: str) -> None:
     _rename(fs, P, src, dst)
 
 
-def _counts_by_collection(df: DataFrame) -> dict:
+def _audit_by_collection(df: DataFrame) -> dict:
+    """{collection: (row_count, value-hash sum)} — the audit statistic
+    compared between the source frame and the staged read-back. The hash
+    is an order-independent SUM of per-row xxhash64 over all columns in
+    sorted-name order (parquet round-trips every lake type exactly, so
+    source and stage agree bit-for-bit), summed as decimal(38,0) because
+    a plain long sum would overflow — an ERROR under ANSI mode, and a
+    silent wrap difference otherwise. Counts alone would pass a stage
+    that corrupted values while keeping cardinality."""
     from pyspark.sql import functions as F
 
-    rows = df.groupBy("collection").agg(F.count(F.lit(1)).alias("n")).collect()
-    return {r["collection"]: r["n"] for r in rows}
+    row_hash = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+    rows = (
+        df.groupBy("collection")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(row_hash.cast("decimal(38,0)")).alias("h"),
+        )
+        .collect()
+    )
+    return {r["collection"]: (r["n"], r["h"]) for r in rows}
 
 
 def publish_rewrite(
@@ -238,7 +256,7 @@ def publish_rewrite(
     # compact_collections/upsert_lake do — a frame built on a
     # half-converged lake is already the wrong rewrite.)
     df = materialize(df, checkpoint_dir=checkpoint_dir)
-    expected = _counts_by_collection(df)
+    expected = _audit_by_collection(df)
 
     # converge any crashed predecessor: its backup/stage dirs must not
     # be mistaken for ours, and its journal must not be left behind
@@ -259,12 +277,12 @@ def publish_rewrite(
     _crash_if(_fail_point, "after_stage")
 
     # -- audit ---------------------------------------------------------
-    staged_counts = _counts_by_collection(spark.read.parquet(stage))
-    if staged_counts != expected:
+    staged_audit = _audit_by_collection(spark.read.parquet(stage))
+    if staged_audit != expected:
         fs.delete(P(txn), True)  # live lake untouched — abort backward
         raise RuntimeError(
-            "publish: audit failed — staged counts "
-            f"{staged_counts} != expected {expected}; transaction aborted, "
+            "publish: audit failed — staged (count, hash) "
+            f"{staged_audit} != expected {expected}; transaction aborted, "
             "lake unchanged"
         )
     parts = _partition_dir_names(fs, P, stage)
@@ -278,7 +296,8 @@ def publish_rewrite(
     fs.mkdirs(P(backup))
     _write_json_atomic(
         fs, P, f"{txn}/{_JOURNAL}",
-        {"partitions": superseded, "counts_total": sum(expected.values())},
+        {"partitions": superseded,
+         "counts_total": sum(n for n, _h in expected.values())},
     )
     _crash_if(_fail_point, "after_journal")
 

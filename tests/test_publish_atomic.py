@@ -151,17 +151,18 @@ def test_audit_mismatch_aborts_with_lake_untouched(spark, lake, monkeypatch):
     import mortar_parquet_support_spark.sources.publish as pub
 
     old = _snapshot(spark, lake)
-    real = pub._counts_by_collection
+    real = pub._audit_by_collection
     calls = {"n": 0}
 
     def skewed(df):
         calls["n"] += 1
         got = dict(real(df))
         if calls["n"] == 2:  # the staged read-back
-            got["bldgA"] = got.get("bldgA", 0) + 1
+            n, h = got["bldgA"]
+            got["bldgA"] = (n, h + 1)  # a value-hash mismatch must abort
         return got
 
-    monkeypatch.setattr(pub, "_counts_by_collection", skewed)
+    monkeypatch.setattr(pub, "_audit_by_collection", skewed)
     with pytest.raises(RuntimeError, match="audit failed"):
         publish_rewrite(_rewrite_frame(spark, lake), lake)
     assert _snapshot(spark, lake) == old
