@@ -50,11 +50,20 @@ interleave (tests/test_publish_atomic.py).
 
 Assumptions, stated loudly:
 
-- **one maintenance writer per lake at a time.** Appends may interleave
-  freely (new files are never journaled, so they survive); two
-  CONCURRENT rewrites of the same partition would journal overlapping
+- **one maintenance writer per lake at a time.** Two CONCURRENT
+  rewrites of the same partition would journal overlapping
   supersede-lists. Serialize maintenance per lake (the streaming
   auto-compaction hook already is — it runs inside ``foreachBatch``).
+- **appends interleave safely outside an ACTIVE publish.** Files
+  appended after the journal (including post-crash, pre-recovery) are
+  never journaled and always survive. The one unsafe interleave is an
+  EXTERNAL process appending to a touched partition inside the short
+  window between the caller's read and the journal write: that file is
+  listed as superseded but its rows were never read — classic
+  lost-update, the same semantics any overwrite has. In-process
+  pipelines (stream_ingest's foreachBatch, the CLI) cannot hit it; a
+  multi-writer deployment must serialize appends with maintenance or
+  move to a transactional table format.
 - **atomic directory rename.** True on POSIX filesystems and HDFS. On
   object stores (S3) "rename" is copy+delete — there this protocol
   still never loses data (the journal + backup survive) but the swap
