@@ -1213,7 +1213,15 @@ def lagged_correlation(
     if validate:
         # same duplicate-weighting contract as pairwise_correlation —
         # plus here a sub-second-distinct pair would collide on whole-
-        # second epochs, which this check also catches post-truncation
+        # second epochs, which this check also catches post-truncation.
+        # withColumn silently REPLACES an existing column, so a caller's
+        # __ve would be validated instead of the epoch (ADVICE r13 — the
+        # same clash guard seasonal_decompose grew in r12)
+        if "__ve" in df.columns:
+            raise ValueError(
+                "lagged_correlation scratch column __ve already present — "
+                "rename it first"
+            )
         _assert_unique_timestamps(
             df.withColumn("__ve", _epoch(F.col(ts))), key, "__ve"
         )

@@ -230,27 +230,37 @@ def compact_collections(
         # read `if collections:` as "compact everything" and rewrite the
         # whole lake on a night nothing qualified
         return
-    # converge any crashed publish BEFORE reading: a frame built on a
-    # half-converged lake (one collection parked in a txn backup) would
-    # bake the missing partition into the rewrite itself
-    from mortar_parquet_support_spark.sources.publish import recover_lake
+    # the maintenance lock spans the whole read->publish span (not just
+    # the publish): without it, a concurrent maintenance writer could
+    # rewrite a collection between this read and our journal, and our
+    # publish would supersede rows it never read (r14 — the enforcement
+    # of publish.py's single-writer assumption). recover BEFORE reading:
+    # a frame built on a half-converged lake (one collection parked in a
+    # txn backup) would bake the missing partition into the rewrite.
+    from mortar_parquet_support_spark.sources.publish import (
+        maintenance_lock,
+        recover_lake,
+    )
 
-    recover_lake(spark, lake_root)
-    layout_uuid = _lake_is_uuid_partitioned(spark, lake_root)
-    df = spark.read.parquet(lake_root).select(*LAKE_COLUMNS)
-    if collections is not None:
-        df = df.filter(F.col("collection").isin(list(collections)))
-    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
-    if target_rows_per_file:
-        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(target_rows_per_file))
-    try:
-        _dynamic_overwrite_lake(
-            df, lake_root, partition_uuid=layout_uuid,
-            checkpoint_dir=checkpoint_dir,
-            bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
-        )
-    finally:
-        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+    with maintenance_lock(spark, lake_root):
+        recover_lake(spark, lake_root)
+        layout_uuid = _lake_is_uuid_partitioned(spark, lake_root)
+        df = spark.read.parquet(lake_root).select(*LAKE_COLUMNS)
+        if collections is not None:
+            df = df.filter(F.col("collection").isin(list(collections)))
+        prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        if target_rows_per_file:
+            spark.conf.set(
+                "spark.sql.files.maxRecordsPerFile", str(target_rows_per_file)
+            )
+        try:
+            _dynamic_overwrite_lake(
+                df, lake_root, partition_uuid=layout_uuid,
+                checkpoint_dir=checkpoint_dir,
+                bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
 
 
 def fragmented_collections(
@@ -305,14 +315,22 @@ def compact_if_fragmented(
     passthrough if ingest writes blooms)."""
     # recover BEFORE the listing probe, not just before the rewrite: a
     # collection parked in a crashed transaction's backup dir is invisible
-    # to the file count and would silently skip a compaction tick
-    from mortar_parquet_support_spark.sources.publish import recover_lake
-
-    recover_lake(spark, lake_root)
-    victims = fragmented_collections(spark, lake_root, max_files=max_files)
-    compact_collections(
-        spark, lake_root, collections=victims, **compact_kwargs
+    # to the file count and would silently skip a compaction tick. The
+    # lock covers probe AND compact so the probe's verdict can't be
+    # invalidated by a concurrent writer (r14).
+    from mortar_parquet_support_spark.sources.publish import (
+        maintenance_lock,
+        recover_lake,
     )
+
+    with maintenance_lock(spark, lake_root):
+        recover_lake(spark, lake_root)
+        victims = fragmented_collections(
+            spark, lake_root, max_files=max_files
+        )
+        compact_collections(
+            spark, lake_root, collections=victims, **compact_kwargs
+        )
     return victims
 
 
@@ -343,58 +361,70 @@ def upsert_lake(
     partitions' size, not the lake's.
     """
     from mortar_parquet_support_spark.functions import materialize
-    from mortar_parquet_support_spark.sources.publish import recover_lake
+    from mortar_parquet_support_spark.sources.publish import (
+        maintenance_lock,
+        recover_lake,
+    )
 
-    # same pre-read recovery rationale as compact_collections: the merge
-    # reads the live lake, which must be converged first
-    recover_lake(spark, lake_root)
-    # Pin the updates ONCE: the plan executes twice below (the touched-
-    # collection collect, then the merge). A nondeterministic updates
-    # source could otherwise surface a collection in the second execution
-    # that the first missed — whose existing rows would then be dropped by
-    # the publish (its journal supersedes the touched partitions' files).
-    updates = materialize(updates.select(*LAKE_COLUMNS), checkpoint_dir=checkpoint_dir)
-    touched = [r.collection for r in updates.select("collection").distinct().collect()]
-    if not touched:
-        return
-    # NULL-collection rows land in __HIVE_DEFAULT_PARTITION__, which the
-    # publish WILL rewrite when the updates touch it — but
-    # isin(...) never matches NULL, so the existing rows of that partition
-    # would be excluded from the merge and silently deleted
-    non_null = [c for c in touched if c is not None]
-    cond = (
-        F.col("collection").isin(non_null) if non_null else F.lit(False)
-    )
-    if any(c is None for c in touched):
-        cond = cond | F.col("collection").isNull()
-    existing = (
-        spark.read.parquet(lake_root)
-        .select(*LAKE_COLUMNS)
-        .filter(cond)
-    )
-    merged = existing.withColumn("__v", F.lit(0)).unionByName(
-        updates.withColumn("__v", F.lit(1))
-    )
-    # tie-break BEYOND recency: an updates batch carrying two rows for
-    # one key would otherwise keep a shuffle-order-dependent winner (the
-    # greatest remaining value struct wins — deterministic across reruns,
-    # so at-least-once replay stays idempotent even for intra-batch dups)
-    value_cols = [c for c in LAKE_COLUMNS if c not in keys]
-    w = Window.partitionBy(*keys).orderBy(
-        F.col("__v").desc(),
-        *(F.struct(*[F.col(c) for c in value_cols]).desc(),) if value_cols else (),
-    )
-    latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__v")
-    )
-    _dynamic_overwrite_lake(
-        latest, lake_root,
-        partition_uuid=_lake_is_uuid_partitioned(spark, lake_root),
-        checkpoint_dir=checkpoint_dir,
-        bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
-    )
+    # lock over the whole merge->publish span (see compact_collections),
+    # and the same pre-read recovery rationale: the merge reads the live
+    # lake, which must be converged first
+    with maintenance_lock(spark, lake_root):
+        recover_lake(spark, lake_root)
+        # Pin the updates ONCE: the plan executes twice below (the touched-
+        # collection collect, then the merge). A nondeterministic updates
+        # source could otherwise surface a collection in the second execution
+        # that the first missed — whose existing rows would then be dropped by
+        # the publish (its journal supersedes the touched partitions' files).
+        updates = materialize(
+            updates.select(*LAKE_COLUMNS), checkpoint_dir=checkpoint_dir
+        )
+        touched = [
+            r.collection
+            for r in updates.select("collection").distinct().collect()
+        ]
+        if not touched:
+            return
+        # NULL-collection rows land in __HIVE_DEFAULT_PARTITION__, which the
+        # publish WILL rewrite when the updates touch it — but
+        # isin(...) never matches NULL, so the existing rows of that partition
+        # would be excluded from the merge and silently deleted
+        non_null = [c for c in touched if c is not None]
+        cond = (
+            F.col("collection").isin(non_null) if non_null else F.lit(False)
+        )
+        if any(c is None for c in touched):
+            cond = cond | F.col("collection").isNull()
+        existing = (
+            spark.read.parquet(lake_root)
+            .select(*LAKE_COLUMNS)
+            .filter(cond)
+        )
+        merged = existing.withColumn("__v", F.lit(0)).unionByName(
+            updates.withColumn("__v", F.lit(1))
+        )
+        # tie-break BEYOND recency: an updates batch carrying two rows for
+        # one key would otherwise keep a shuffle-order-dependent winner (the
+        # greatest remaining value struct wins — deterministic across reruns,
+        # so at-least-once replay stays idempotent even for intra-batch dups)
+        value_cols = [c for c in LAKE_COLUMNS if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("__v").desc(),
+            *(F.struct(*[F.col(c) for c in value_cols]).desc(),)
+            if value_cols
+            else (),
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__v")
+        )
+        _dynamic_overwrite_lake(
+            latest, lake_root,
+            partition_uuid=_lake_is_uuid_partitioned(spark, lake_root),
+            checkpoint_dir=checkpoint_dir,
+            bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+        )
 
 
 def diff_tables(

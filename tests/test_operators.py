@@ -4758,6 +4758,14 @@ def test_timeseries_contract_guards_fail_loudly(spark):
     assert pairwise_correlation(df=dup, key="uuid").count() >= 0
 
     clean = dup.dropDuplicates(["uuid", "bucket"])
+    # ADVICE r13: lagged_correlation(validate=True)'s scratch __ve would
+    # silently replace a caller's __ve column — same clash class as the
+    # seasonal guards below
+    with pytest.raises(ValueError, match="__ve"):
+        lagged_correlation(
+            clean.withColumn("__ve", F.lit(0)), key="uuid",
+            step="1 minute", validate=True,
+        )
     with pytest.raises(ValueError, match="trend"):
         seasonal_decompose(clean.withColumn("trend", F.lit(0.0)), keys=["uuid"])
     with pytest.raises(ValueError, match="__phase"):

@@ -255,6 +255,210 @@ def test_streaming_auto_compaction_crash_loses_nothing(spark, tmp_path):
     assert glob.glob(f"{dest}/{MAINT_DIR}/txn-*") == []  # debris converged
 
 
+def test_numeric_collection_name_publishes(spark, tmp_path):
+    """ADVICE r13: the staged read-back previously let partition-value
+    type INFERENCE retype a numeric-looking collection ('2024' -> int),
+    so the audit keys/hashes differed from the source frame and every
+    publish on such a lake spuriously aborted — maintenance permanently
+    impossible. The read-back now pins the source schema."""
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("2024", "00000000-0000-0000-0000-000000000001",
+          "2024-01-01 00:00:00", 1.0, "lbl", "urn:2024/lbl")],
+        ["collection", "uuid", "time", "value", "label", "uri"],
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    write_lake(df, root)
+    publish_rewrite(
+        spark.read.schema(df.schema).parquet(root)
+        .withColumn("value", F.col("value") * 2)
+        .select(*df.columns),
+        root,
+    )
+    got = spark.read.schema(df.schema).parquet(root).collect()
+    assert len(got) == 1 and got[0].value == 2.0
+    assert glob.glob(f"{root}/{MAINT_DIR}/txn-*") == []
+
+
+def test_direct_publish_on_stale_frame_aborts(spark, lake):
+    """ADVICE r13: a direct publish_rewrite caller whose frame was built
+    BEFORE a pending journaled transaction rolled forward must abort —
+    publishing it would supersede the recovered rows with a frame that
+    never read them (silent lost update). The lake itself converges."""
+    old = _snapshot(spark, lake)
+    stale = _rewrite_frame(spark, lake)  # x2, built on pre-crash state
+    stale.collect()  # force the read before the crash below
+    with pytest.raises(InjectedCrash):
+        publish_rewrite(
+            _rewrite_frame(spark, lake), lake, _fail_point="after_journal"
+        )
+    with pytest.raises(RuntimeError, match="rolled forward"):
+        publish_rewrite(stale, lake)
+    # the attempt still converged the lake (recovery ran) and left no txn
+    assert _snapshot(spark, lake) == {
+        (c, u, t, v * 2) for (c, u, t, v) in old
+    }
+    assert glob.glob(f"{lake}/{MAINT_DIR}/txn-*") == []
+    # a frame rebuilt from the converged lake publishes cleanly
+    publish_rewrite(_rewrite_frame(spark, lake), lake)
+    assert _snapshot(spark, lake) == {
+        (c, u, t, v * 4) for (c, u, t, v) in old
+    }
+
+
+def test_journal_is_single_use(spark, tmp_path):
+    """ADVICE r13 hardening: writing a journal where one already exists is
+    a commit-point mutation and must raise the specific contract error,
+    not a generic rename failure."""
+    from mortar_parquet_support_spark.sources.publish import (
+        _fs,
+        _write_json_atomic,
+    )
+
+    root = str(tmp_path / "j")
+    jvm, fs, P = _fs(spark, root)
+    path = f"{root}/journal.json"
+    _write_json_atomic(fs, P, path, {"a": 1})
+    with pytest.raises(RuntimeError, match="journal already exists"):
+        _write_json_atomic(fs, P, path, {"a": 2})
+
+
+# ---------------------------------------------------------------------------
+# single-writer enforcement (r14): the create-exclusive .maint/LOCK
+# ---------------------------------------------------------------------------
+
+def _lock_path(root):
+    return f"{root}/{MAINT_DIR}/LOCK"
+
+
+def test_concurrent_publish_rejected_while_first_holds_lock(spark, lake):
+    """VERDICT r13 'Next round' #1, the done-criterion verbatim: publish A
+    is HELD mid-protocol (at its after_journal fail point, via an event
+    pair instead of a raise), publish B must abort loudly with
+    ConcurrentMaintenanceError — two concurrent rewrites would journal
+    overlapping supersede-lists. A then finishes normally."""
+    import threading
+
+    import mortar_parquet_support_spark.sources.publish as pub
+    from mortar_parquet_support_spark.sources.publish import (
+        ConcurrentMaintenanceError,
+    )
+
+    old = _snapshot(spark, lake)
+    entered, release = threading.Event(), threading.Event()
+    real = pub._crash_if
+
+    def holder(fail_point, here):
+        if here == "after_journal":
+            entered.set()
+            assert release.wait(120), "test deadlock: holder never released"
+        real(fail_point, here)
+
+    errors = []
+
+    def run_a():
+        try:
+            publish_rewrite(_rewrite_frame(spark, lake), lake)
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    pub._crash_if = holder
+    t = threading.Thread(target=run_a, daemon=True)
+    try:
+        t.start()
+        assert entered.wait(120), "publish A never reached its hold point"
+        import os
+
+        assert os.path.exists(_lock_path(lake))
+        with pytest.raises(ConcurrentMaintenanceError, match="maintenance"):
+            publish_rewrite(_rewrite_frame(spark, lake), lake)
+    finally:
+        release.set()
+        t.join(120)
+        pub._crash_if = real
+    assert not errors, errors
+    assert _snapshot(spark, lake) == {
+        (c, u, t_, v * 2) for (c, u, t_, v) in old
+    }
+    import os
+
+    assert not os.path.exists(_lock_path(lake))  # released on exit
+
+
+def test_stale_lock_from_dead_same_host_owner_is_broken(spark, lake):
+    """A real kill leaves the LOCK behind. When the payload names THIS
+    host and a provably dead pid, the next writer breaks it automatically
+    — the property that keeps stream_ingest's auto-compaction self-healing
+    across driver crashes."""
+    import json as _json
+    import os
+    import subprocess
+
+    dead = subprocess.Popen(["true"])
+    dead.wait()  # reaped: the pid is provably not running
+    os.makedirs(f"{lake}/{MAINT_DIR}", exist_ok=True)
+    with open(_lock_path(lake), "w") as f:
+        _json.dump(
+            {"owner": "x", "pid": dead.pid,
+             "host": __import__("socket").gethostname()},
+            f,
+        )
+    old = _snapshot(spark, lake)
+    publish_rewrite(_rewrite_frame(spark, lake), lake)  # breaks the stale lock
+    assert _snapshot(spark, lake) == {
+        (c, u, t, v * 2) for (c, u, t, v) in old
+    }
+    assert not os.path.exists(_lock_path(lake))
+
+
+def test_live_or_foreign_lock_is_respected(spark, lake):
+    """A lock owned by a LIVE pid (here: our own) must never be broken;
+    neither must one whose payload can't prove staleness (foreign host) —
+    unless the caller opts into time-based takeover via stale_after_secs,
+    judged by the lock FILE's mtime, not the payload's clock."""
+    import json as _json
+    import os
+
+    from mortar_parquet_support_spark.sources.publish import (
+        ConcurrentMaintenanceError,
+        maintenance_lock,
+    )
+
+    os.makedirs(f"{lake}/{MAINT_DIR}", exist_ok=True)
+    with open(_lock_path(lake), "w") as f:
+        _json.dump({"owner": "x", "pid": os.getpid(), "host": "elsewhere"}, f)
+    with pytest.raises(ConcurrentMaintenanceError, match="elsewhere"):
+        publish_rewrite(_rewrite_frame(spark, lake), lake)
+    # time-based takeover: the file was written "now", so a generous TTL
+    # still refuses...
+    with pytest.raises(ConcurrentMaintenanceError):
+        with maintenance_lock(spark, lake, stale_after_secs=3600):
+            pass
+    # ...and a zero TTL takes over (age > 0 by the time we re-check)
+    import time
+
+    time.sleep(0.05)
+    with maintenance_lock(spark, lake, stale_after_secs=0.01):
+        assert os.path.exists(_lock_path(lake))
+    assert not os.path.exists(_lock_path(lake))
+
+
+def test_maintenance_lock_is_reentrant_per_thread(spark, tmp_path):
+    """compact_if_fragmented -> compact_collections -> publish_rewrite ->
+    recover_lake all take the lock; nesting within one thread must
+    compose, and the lock must survive until the OUTERMOST exit."""
+    import os
+
+    from mortar_parquet_support_spark.sources.publish import maintenance_lock
+
+    root = str(tmp_path / "lake")
+    os.makedirs(root, exist_ok=True)
+    with maintenance_lock(spark, root):
+        with maintenance_lock(spark, root):
+            assert os.path.exists(_lock_path(root))
+        assert os.path.exists(_lock_path(root))  # inner exit keeps it
+    assert not os.path.exists(_lock_path(root))
+
+
 def test_compact_goes_through_atomic_publish(spark, lake, tmp_path):
     """The maintenance seam (_dynamic_overwrite_lake) now rides the
     protocol: a compaction crash at the commit point leaves the lake
