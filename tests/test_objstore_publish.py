@@ -1,0 +1,45 @@
+"""Object-store witness for the crash-atomic publish protocol (VERDICT
+r13 "Next round" #3): run the WHOLE write-audit-publish protocol — Spark
+stage writes included — against a Hadoop FileSystem whose rename is
+copy-then-delete and crash-injectable between the two
+(tests/fixtures/ObjectStoreMimicFileSystem.java), i.e. the semantic
+S3/GCS difference publish.py's docstring could previously only claim in
+prose.
+
+Runs in a SUBPROCESS Spark session because the mimic class must be on
+the driver classpath at JVM launch (the shared test session can't load
+new FileSystem classes); skipped cleanly where javac is unavailable.
+The real S3AFileSystem remains environmental here (no hadoop-aws jars,
+no network — exhausted rounds 9/10); the reference-reader-over-real-
+S3-API leg is tests/test_s3_interop.py.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="needs javac")
+def test_publish_protocol_survives_object_store_rename_semantics():
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "objstore_publish_drive.py")],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out = proc.stdout
+    assert proc.returncode == 0, f"drive failed:\n{out}\n{proc.stderr[-4000:]}"
+    for marker in (
+        "SCENARIO0_CLEAN_PUBLISH_OK",
+        "SCENARIO1_PARK_CRASH_CONVERGES",
+        "SCENARIO2_PROMOTE_CRASH_CONVERGES",
+        "SCENARIO3_POST_RECOVERY_PUBLISH_OK",
+        "ALL_OK",
+    ):
+        assert marker in out, f"missing {marker}:\n{out}"
