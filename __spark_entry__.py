@@ -84,6 +84,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the window changes WHICH 50 the driver re-proves, never what exists.
 # The other 40 names are byte-for-byte the r8 prefix (green since
 # CORRECTNESS_r08).
+# ROUND-14 ROTATION (VERDICT r13 "Next round" #6): the two r13-born
+# entries correlated_pairs + correlated_topk (previously harness-grade
+# only — they postdate the r13 rotation) swap in for tpch_q5/tpch_q10,
+# whose strict-subset siblings tpch_q1/tpch_q3 stay in-window; q5/q10
+# remain verified every round by tests/oracle_harness.py.
 _WINDOW = [
     "crosscorpus_dedup", "knn_sq8", "bm25_topk", "keyword_search",
     "semantic_dedup", "quantile_sketch", "quantile_estimate",
@@ -93,7 +98,8 @@ _WINDOW = [
     "linear_classifier", "diff_snapshots", "counter_rate", "qc_flags",
     "weighted_sample", "cluster_assign", "hybrid_rrf", "fuzzy_match",
     "flagship_scan", "semi_join_ids", "sparql_bridges", "tpch_q1",
-    "tpch_q3", "tpch_q5", "tpch_q10", "dedup_minhash", "similarity_join",
+    "tpch_q3", "correlated_pairs", "correlated_topk", "dedup_minhash",
+    "similarity_join",
     "jsonl_scan", "compact_roundtrip", "range_join", "upsert_roundtrip",
     "zorder_roundtrip", "seasonal_decompose", "cusum_changepoints",
     "time_bucket_rollup", "sessionize", "asof_join", "dedup_exact",
