@@ -115,6 +115,17 @@ from pyspark.sql import DataFrame, SparkSession
 MAINT_DIR = ".maint"
 _JOURNAL = "journal.json"
 _LOCK_NAME = "LOCK"
+# Recovery's per-partition convergence is a handful of metadata RPCs —
+# py4j round trips, latency-bound, not data movement. A thread pool
+# overlaps them (py4j gives each Python thread its own connection;
+# Hadoop FileSystem is thread-safe); the GIL caps the measured win at
+# ~1.4x (BENCH_RECOVERY.json: 19.4 -> 14.3 ms/partition interleaved
+# A/B; a 5000-partition journal rolls forward in ~82 s). That bound is
+# operationally fine: recovery runs once per crash, and a journal that
+# large means ONE maintenance op rewrote that many partitions and paid
+# the same RPC count in its own swap phase — batch maintenance
+# accordingly. 1 = serial (the bench's A/B toggle).
+_RECOVERY_POOL_WORKERS = 16
 
 # thread-local {lock_path: depth} — maintenance_lock is re-entrant WITHIN
 # a thread (compact_if_fragmented -> compact_collections ->
@@ -618,8 +629,13 @@ def _recover_under_lock(spark: SparkSession, lake_root: str) -> list[dict]:
             actions.append({"txn": txn, "action": "aborted"})
             continue
         journal = _read_json(jvm, fs, P, journal_path)
-        rolled = 0
-        for name, rels in journal["partitions"].items():
+
+        def _converge_partition(item) -> int:
+            """Finish one partition's park+promote — each partition's
+            convergence touches only its own files, so partitions are
+            independent and safe to run concurrently; every step stays
+            idempotent (a crash mid-recovery just re-runs)."""
+            name, rels = item
             stg, live, bkp = (
                 f"{txn}/stage/{name}",
                 f"{root}/{name}",
@@ -628,12 +644,27 @@ def _recover_under_lock(spark: SparkSession, lake_root: str) -> list[dict]:
             for rel in rels:  # finish parking (skips already-parked)
                 _rename_into(fs, P, f"{live}/{rel}", f"{bkp}/{rel}")
             staged = _list_visible_files(fs, P, stg)
-            if staged:
-                for rel in staged:  # finish promoting
-                    _rename_into(fs, P, f"{stg}/{rel}", f"{live}/{rel}")
-                rolled += 1
+            for rel in staged:  # finish promoting
+                _rename_into(fs, P, f"{stg}/{rel}", f"{live}/{rel}")
             if fs.exists(P(stg)):
                 fs.delete(P(stg), True)
+            return 1 if staged else 0
+
+        # the per-partition work is a handful of metadata RPCs each —
+        # driver-side py4j round trips, not data movement — so a large
+        # journal is LATENCY-bound, not bandwidth-bound; the pool
+        # overlaps the round trips (numbers and the operational bound:
+        # the _RECOVERY_POOL_WORKERS comment + BENCH_RECOVERY.json).
+        items = list(journal["partitions"].items())
+        if len(items) <= 4 or _RECOVERY_POOL_WORKERS <= 1:
+            rolled = sum(_converge_partition(it) for it in items)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=_RECOVERY_POOL_WORKERS
+            ) as pool:
+                rolled = sum(pool.map(_converge_partition, items))
         fs.delete(P(txn), True)
         actions.append(
             {"txn": txn, "action": "rolled_forward" if rolled else "cleaned"}
