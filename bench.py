@@ -162,9 +162,83 @@ def main() -> int:
         else:
             _warm(p)
 
-    jit_before = _jit_probe(spark, 1_000)
-
     qs = entrymod.queries()
+
+    # Sentinel gate (VERDICT r13 "Next round" #2): the r13 artifact was
+    # noise-contaminated (steal 0.04 -> 0.49, jit_after +56% on fixed
+    # work) and a real regression next round would hide inside it. The
+    # whole timed suite now re-runs (up to MAX_ATTEMPTS) when its own
+    # sentinels land out of band, and if NO attempt is clean the best
+    # one ships with an explicit noise_annotation — never silently.
+    # Bands from the r11/r12 idle runs: steal <= 0.2%, jit_after <= 0.45s
+    # (historical idle 0.3-0.35s + 30% headroom).
+    STEAL_MAX_PCT = 0.2
+    JIT_AFTER_MAX_SEC = 0.45
+    MAX_ATTEMPTS = 3
+
+    attempts = []
+    for _attempt in range(MAX_ATTEMPTS):
+        attempts.append(_run_suite(spark, entrymod, qs, sf_dir))
+        a = attempts[-1]
+        a["sentinels_clean"] = bool(
+            (a["steal_pct"] is None or a["steal_pct"] <= STEAL_MAX_PCT)
+            and a["jit_sentinel_after_sec"] <= JIT_AFTER_MAX_SEC
+        )
+        if a["sentinels_clean"]:
+            break
+    clean = [a for a in attempts if a["sentinels_clean"]]
+    picked = clean[0] if clean else min(attempts, key=lambda a: a["total"])
+    noise_annotation = None
+    if not clean:
+        noise_annotation = (
+            f"ALL {len(attempts)} attempts out of sentinel band "
+            f"(steal<={STEAL_MAX_PCT}%, jit_after<={JIT_AFTER_MAX_SEC}s): "
+            + "; ".join(
+                f"attempt{i}: steal={a['steal_pct']}% "
+                f"jit_after={a['jit_sentinel_after_sec']}s "
+                f"total={a['total']}s"
+                for i, a in enumerate(attempts)
+            )
+            + " — timings are machine-noise-inflated, best attempt shown"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": picked["total"],
+                "unit": "sec",
+                "warmup_sec": warmup_sec,
+                "warmup_first_sec": warmup_first_sec,
+                # drift sentinels: jit_* is fresh-plan compile speed (driver
+                # JVM); steal_pct is hypervisor CPU steal across the query
+                # loop. Historical idle values: jit ~0.3-0.5s, steal ~0%.
+                "jit_sentinel_before_sec": picked["jit_sentinel_before_sec"],
+                "jit_sentinel_after_sec": picked["jit_sentinel_after_sec"],
+                "steal_pct": picked["steal_pct"],
+                "sentinel_gate": {
+                    "attempts": len(attempts),
+                    "picked_attempt": attempts.index(picked),
+                    "clean": bool(clean),
+                    "per_attempt_totals": [a["total"] for a in attempts],
+                },
+                "noise_annotation": noise_annotation,
+                "prewarm_sec": picked["prewarm_sec"],
+                # queries reported as median-of-3 (first run < 1s);
+                # everything else is single-run
+                "median3": picked["median3"],
+                "queries": picked["timings"],
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+def _run_suite(spark, entrymod, qs, sf_dir: str) -> dict:
+    """ONE full pass over HEADLINE (prewarm + timed runs + sentinels) —
+    the retry unit of the sentinel gate in main()."""
+    jit_before = _jit_probe(spark, 1_000)
 
     # Plan-compile warmup: run each headline query once at sf0.001 (~600x
     # less data) IMMEDIATELY BEFORE its timed run, so whole-stage codegen
@@ -247,31 +321,15 @@ def main() -> int:
         round(100.0 * (steal1 - steal0) / (jif1 - jif0), 2) if jif1 > jif0 else None
     )
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "warmup_sec": warmup_sec,
-                "warmup_first_sec": warmup_first_sec,
-                # drift sentinels: jit_* is fresh-plan compile speed (driver
-                # JVM); steal_pct is hypervisor CPU steal across the query
-                # loop. Historical idle values: jit ~0.3-0.5s, steal ~0%.
-                "jit_sentinel_before_sec": jit_before,
-                "jit_sentinel_after_sec": jit_after,
-                "steal_pct": steal_pct,
-                "prewarm_sec": prewarm_sec,
-                # queries reported as median-of-3 (first run < 1s);
-                # everything else is single-run
-                "median3": median3,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
-    return 0
+    return {
+        "total": round(sum(timings.values()), 3),
+        "timings": timings,
+        "median3": median3,
+        "prewarm_sec": prewarm_sec,
+        "jit_sentinel_before_sec": jit_before,
+        "jit_sentinel_after_sec": jit_after,
+        "steal_pct": steal_pct,
+    }
 
 
 if __name__ == "__main__":
