@@ -345,14 +345,16 @@ def stream_ingest(
     Durability (r13): the rewrite publishes through the crash-atomic
     write-audit-publish protocol in ``sources/publish.py`` — the rewrite
     is staged under a hidden ``.maint/`` transaction, audited, journaled,
-    then swapped in by directory rename, and a crash at ANY point
+    then swapped in by per-FILE renames, and a crash at ANY point
     converges via ``recover_lake`` (run automatically at the start of
     the next publish, so a crashed auto-compaction self-heals on its
     next cadence tick) with the old history intact until every staged
-    partition is live. The residual caveats are the protocol's stated
-    assumptions: one maintenance writer per lake (foreachBatch already
-    serializes this stream's ticks) and rename-atomic storage (POSIX /
-    HDFS; on raw object stores prefer a transactional table format).
+    partition is live. The protocol's assumptions (publish.py header):
+    one maintenance writer per lake — foreachBatch serializes this
+    stream's ticks, and since r14 the ``.maint/LOCK`` rejects any OTHER
+    writer loudly — and rename-atomic storage (POSIX/HDFS; object-store
+    copy+delete renames are witnessed safe-but-slower, prefer a
+    transactional table format there).
 
     The file source tracks seen files in the checkpoint, so a completed
     batch's files are never re-ingested and a dropped-in file is picked up
@@ -398,13 +400,32 @@ def stream_ingest(
         parsed = _parse_lines(batch_df, collection, time_col)
         write_lake(parsed, destination, partition_uuid=partition_uuid, mode="append")
         if compact_every and batch_id % compact_every == compact_every - 1:
+            import warnings
+
             from mortar_parquet_support_spark.sources.maintenance import (
                 compact_if_fragmented,
             )
-
-            compact_if_fragmented(
-                batch_df.sparkSession, destination, max_files=compact_max_files
+            from mortar_parquet_support_spark.sources.publish import (
+                ConcurrentMaintenanceError,
             )
+
+            try:
+                compact_if_fragmented(
+                    batch_df.sparkSession, destination,
+                    max_files=compact_max_files,
+                )
+            except ConcurrentMaintenanceError as e:
+                # another maintenance writer holds the lake's LOCK (e.g.
+                # an operator-run CLI compaction) — for this best-effort
+                # housekeeping tick the right move is skip-and-warn, not
+                # killing a stream that already committed its batch; the
+                # next cadence tick retries, and a genuinely stuck
+                # foreign lock keeps warning every tick instead of
+                # silently never compacting
+                warnings.warn(
+                    f"auto-compaction tick skipped (batch {batch_id}): {e}",
+                    stacklevel=2,
+                )
 
     writer = (
         raw.writeStream.foreachBatch(_write_batch)

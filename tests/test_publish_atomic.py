@@ -442,6 +442,46 @@ def test_live_or_foreign_lock_is_respected(spark, lake):
     assert not os.path.exists(_lock_path(lake))
 
 
+def test_stream_auto_compaction_skips_tick_when_lake_is_locked(
+    spark, tmp_path
+):
+    """A foreign maintenance lock must NOT kill an ingesting stream: the
+    auto-compaction tick is best-effort housekeeping, so it skips with a
+    warning and the batch's data still commits; the unbroken foreign
+    lock survives."""
+    import json as _json
+    import os
+
+    from tests.conftest import make_stream_csv
+
+    from mortar_parquet_support_spark.sources.ingest import stream_ingest
+
+    src = tmp_path / "csvs"
+    dest = str(tmp_path / "lake")
+    src.mkdir()
+    u = "00000000-2222-5222-8222-000000000001"
+    rows = [(f"2024-03-01 00:00:0{j}+00:00", float(j)) for j in range(3)]
+    make_stream_csv(src, u, "/pt/0", rows)
+
+    os.makedirs(f"{dest}/{MAINT_DIR}", exist_ok=True)
+    with open(_lock_path(dest), "w") as f:
+        _json.dump(
+            {"owner": "x", "pid": os.getpid(), "host": "elsewhere"}, f
+        )
+    q = stream_ingest(
+        spark, "bldg1", str(src), dest,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=1, compact_max_files=1,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.uuid, r.value)
+        for r in spark.read.parquet(dest).select("uuid", "value").collect()
+    }
+    assert got == {(u, v) for _, v in rows}  # the batch itself committed
+    assert os.path.exists(_lock_path(dest))  # foreign lock never broken
+
+
 def test_maintenance_lock_is_reentrant_per_thread(spark, tmp_path):
     """compact_if_fragmented -> compact_collections -> publish_rewrite ->
     recover_lake all take the lock; nesting within one thread must
