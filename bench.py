@@ -178,7 +178,7 @@ def main() -> int:
 
     attempts = []
     for _attempt in range(MAX_ATTEMPTS):
-        attempts.append(_run_suite(spark, entrymod, qs, sf_dir))
+        attempts.append(_run_suite(spark, entrymod, qs, sf_dir, _attempt))
         a = attempts[-1]
         a["sentinels_clean"] = bool(
             (a["steal_pct"] is None or a["steal_pct"] <= STEAL_MAX_PCT)
@@ -235,10 +235,14 @@ def main() -> int:
     return 0
 
 
-def _run_suite(spark, entrymod, qs, sf_dir: str) -> dict:
+def _run_suite(spark, entrymod, qs, sf_dir: str, attempt: int = 0) -> dict:
     """ONE full pass over HEADLINE (prewarm + timed runs + sentinels) —
-    the retry unit of the sentinel gate in main()."""
-    jit_before = _jit_probe(spark, 1_000)
+    the retry unit of the sentinel gate in main(). The jit-probe salts
+    shift with the attempt index: a retry that reused the previous
+    attempt's salts could hit Spark's codegen cache, return a
+    cached-compile time, and pass a still-noisy run as clean — the
+    probe's whole premise is a plan this session has never seen."""
+    jit_before = _jit_probe(spark, 1_000 + 100_000 * attempt)
 
     # Plan-compile warmup: run each headline query once at sf0.001 (~600x
     # less data) IMMEDIATELY BEFORE its timed run, so whole-stage codegen
@@ -315,7 +319,7 @@ def _run_suite(spark, entrymod, qs, sf_dir: str) -> dict:
             timings[name] = round(first, 3)
     prewarm_sec = round(prewarm_sec, 3)
 
-    jit_after = _jit_probe(spark, 2_000)
+    jit_after = _jit_probe(spark, 2_000 + 100_000 * attempt)
     jif1, steal1 = _cpu_jiffies()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (jif1 - jif0), 2) if jif1 > jif0 else None

@@ -70,6 +70,15 @@ def _build_parser() -> argparse.ArgumentParser:
         )
         sp.add_argument("--bloom-ndv", type=int, default=None)
 
+    def _lock_args(sp):
+        sp.add_argument(
+            "--break-lock-after", type=float, default=None, metavar="SECS",
+            help="TTL takeover of a maintenance LOCK whose owner cannot be "
+            "proven dead (foreign host / unreadable payload): break it when "
+            "the lock file is older than SECS. Same-host dead owners are "
+            "broken automatically; same-host LIVE owners never are.",
+        )
+
     cp = sub.add_parser("compact", help="rewrite small files back to few")
     cp.add_argument("root")
     cp.add_argument(
@@ -82,6 +91,7 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cp.add_argument("--target-rows-per-file", type=int, default=None)
     _bloom_args(cp)
+    _lock_args(cp)
 
     up = sub.add_parser(
         "upsert",
@@ -95,6 +105,7 @@ def _build_parser() -> argparse.ArgumentParser:
         help="comma-separated merge key (default: collection,uuid,time)",
     )
     _bloom_args(up)
+    _lock_args(up)
 
     zo = sub.add_parser(
         "zorder",
@@ -116,6 +127,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "publish transactions under <root>/.maint) to a consistent lake",
     )
     rc.add_argument("root")
+    _lock_args(rc)
     return p
 
 
@@ -185,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.root, max_files=args.max_files,
                 target_rows_per_file=args.target_rows_per_file,
                 bloom_cols=_bloom_tuple(args), bloom_ndv=args.bloom_ndv,
+                stale_after_secs=args.break_lock_after,
             )
             print(f"compacted {len(done)} collection(s): "
                   f"{', '.join(done) if done else '(none over budget)'}")
@@ -196,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.root, collections=colls,
             target_rows_per_file=args.target_rows_per_file,
             bloom_cols=_bloom_tuple(args), bloom_ndv=args.bloom_ndv,
+            stale_after_secs=args.break_lock_after,
         )
         print(f"compacted {args.root} "
               f"({'all collections' if colls is None else ', '.join(colls)})")
@@ -215,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
         upsert_lake(
             spark, args.root, updates, keys=keys,
             bloom_cols=_bloom_tuple(args), bloom_ndv=args.bloom_ndv,
+            stale_after_secs=args.break_lock_after,
         )
         print(f"upserted {n} update row(s) from {args.updates} into "
               f"{args.root} on ({args.keys})")
@@ -237,7 +252,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "recover":
         from mortar_parquet_support_spark.sources.publish import recover_lake
 
-        actions = recover_lake(spark, args.root)
+        actions = recover_lake(
+            spark, args.root, stale_after_secs=args.break_lock_after
+        )
         if not actions:
             print(f"{args.root}: no pending maintenance transactions")
         for a in actions:

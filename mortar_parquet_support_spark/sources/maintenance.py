@@ -208,6 +208,7 @@ def compact_collections(
     checkpoint_dir: str | None = None,
     bloom_cols: tuple = (),
     bloom_ndv: int | None = None,
+    stale_after_secs: float | None = None,
 ) -> None:
     """Rewrite ``collections`` (default: all) into few well-sorted files.
 
@@ -242,7 +243,7 @@ def compact_collections(
         recover_lake,
     )
 
-    with maintenance_lock(spark, lake_root):
+    with maintenance_lock(spark, lake_root, stale_after_secs=stale_after_secs):
         recover_lake(spark, lake_root)
         layout_uuid = _lake_is_uuid_partitioned(spark, lake_root)
         df = spark.read.parquet(lake_root).select(*LAKE_COLUMNS)
@@ -297,6 +298,7 @@ def compact_if_fragmented(
     lake_root: str,
     *,
     max_files: int = 32,
+    stale_after_secs: float | None = None,
     **compact_kwargs,
 ) -> list[str]:
     """Auto-compaction trigger: compact ONLY the collections whose file
@@ -323,7 +325,7 @@ def compact_if_fragmented(
         recover_lake,
     )
 
-    with maintenance_lock(spark, lake_root):
+    with maintenance_lock(spark, lake_root, stale_after_secs=stale_after_secs):
         recover_lake(spark, lake_root)
         victims = fragmented_collections(
             spark, lake_root, max_files=max_files
@@ -343,6 +345,7 @@ def upsert_lake(
     checkpoint_dir: str | None = None,
     bloom_cols: tuple = (),
     bloom_ndv: int | None = None,
+    stale_after_secs: float | None = None,
 ) -> None:
     """Merge ``updates`` (lake schema) into the lake: for each key, the
     update wins over the existing row; unmatched updates insert. Only the
@@ -369,7 +372,7 @@ def upsert_lake(
     # lock over the whole merge->publish span (see compact_collections),
     # and the same pre-read recovery rationale: the merge reads the live
     # lake, which must be converged first
-    with maintenance_lock(spark, lake_root):
+    with maintenance_lock(spark, lake_root, stale_after_secs=stale_after_secs):
         recover_lake(spark, lake_root)
         # Pin the updates ONCE: the plan executes twice below (the touched-
         # collection collect, then the merge). A nondeterministic updates

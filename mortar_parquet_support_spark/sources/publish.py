@@ -63,10 +63,18 @@ Assumptions, stated loudly:
   two maintenance ops is closed too; the lock is re-entrant within a
   thread so the nested calls compose. Stale-lock policy: a crash leaves
   the lock file behind; the next acquirer breaks it automatically when
-  the owner is provably dead (same host + dead pid) or older than an
-  explicit ``stale_after_secs``, else fails loudly with the owner
-  payload and remediation (verify the owner is gone, then delete the
-  LOCK file). The create-exclusive primitive is atomic on HDFS; on a
+  the owner is provably dead (same host + dead pid) or — for foreign
+  hosts and unreadable payloads only; a provably LIVE same-host owner
+  is never broken — older than an explicit ``stale_after_secs``
+  (plumbed through every entry point and the CLI's
+  ``--break-lock-after``, the multi-host escape hatch), else fails
+  loudly with the owner payload and remediation. Breaks are CLAIMED by
+  an atomic rename-to-tombstone and verified by owner uuid (two
+  contenders cannot both break one lock, and a fresh lock yanked by a
+  raced diagnosis is restored); release re-reads the lock and deletes
+  it only when the owner uuid is its own, so a TTL takeover is never
+  un-done by the stalled previous owner (review r14 closed all three
+  races). The create-exclusive primitive is atomic on HDFS; on a
   plain local FS it is check-then-create (the standard lock-file
   caveat) — adequate for the operator-mistake class it guards
   (CLI + streaming auto-compaction colliding), not a substitute for a
@@ -226,28 +234,65 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _try_create_lock(fs, P, lock_path: str) -> bool:
+def _try_create_lock(fs, P, lock_path: str) -> str | None:
     """One create-EXCLUSIVE attempt (Hadoop ``create(path, overwrite=
-    false)``) writing the owner payload. False = somebody else holds it.
-    The payload lands after the create, so a concurrent reader can
-    observe an empty lock file — readers treat unreadable payloads as a
-    LIVE owner (never break a lock on missing evidence)."""
+    false)``) writing the owner payload; returns the owner uuid on
+    success, None when somebody else holds the lock. The payload lands
+    after the create, so a concurrent reader can observe an empty lock
+    file — readers treat unreadable payloads as a live owner unless a
+    TTL says otherwise. A failure while WRITING the payload deletes the
+    just-created lock before propagating: an orphaned payload-less lock
+    could otherwise never be auto-broken by the dead-pid rule (review
+    r14)."""
     try:
         out = fs.create(P(lock_path), False)
     except Exception:
         if fs.exists(P(lock_path)):
-            return False
+            return None
         raise  # a real I/O failure, not contention — surface it
+    owner = uuid.uuid4().hex
     try:
         payload = {
-            "owner": uuid.uuid4().hex,
+            "owner": owner,
             "pid": os.getpid(),
             "host": socket.gethostname(),
         }
         out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
         out.close()
-    return True
+    except BaseException:
+        try:
+            out.close()
+        except Exception:
+            pass
+        fs.delete(P(lock_path), False)  # never orphan an unreadable lock
+        raise
+    return owner
+
+
+def _read_lock_info(jvm, fs, P, lock_path: str) -> dict | None:
+    try:
+        info = _read_json(jvm, fs, P, lock_path)
+        return info if isinstance(info, dict) else {}
+    except Exception:
+        # vanished, mid-write, or corrupt: {} = "exists but unprovable",
+        # None = gone (the caller distinguishes retry from staleness)
+        return {} if fs.exists(P(lock_path)) else None
+
+
+def _is_provably_dead(info: dict) -> bool:
+    return (
+        info.get("host") == socket.gethostname()
+        and isinstance(info.get("pid"), int)
+        and not _pid_alive(info["pid"])
+    )
+
+
+def _is_provably_alive(info: dict) -> bool:
+    return (
+        info.get("host") == socket.gethostname()
+        and isinstance(info.get("pid"), int)
+        and _pid_alive(info["pid"])
+    )
 
 
 @contextmanager
@@ -263,12 +308,24 @@ def maintenance_lock(
     maintenance call chain composes; a second THREAD or process fails
     with :class:`ConcurrentMaintenanceError` carrying the owner payload.
 
-    A crashed owner leaves the file behind. It is broken automatically
-    only when provably stale: the payload names THIS host and a dead
-    pid, or the lock file's modification time (the filesystem's clock,
-    not the payload's) is older than ``stale_after_secs`` when given.
-    Anything else — foreign host, unreadable payload, live pid — raises
-    with remediation instead of guessing.
+    A crashed owner leaves the file behind. Staleness rules, applied in
+    order (review r14 hardened all three):
+
+    - payload names THIS host and a DEAD pid → stale;
+    - payload names THIS host and a LIVE pid → never stale (a TTL must
+      not break a provably-running writer that merely stalled in a long
+      Spark stage);
+    - otherwise (foreign host, or unreadable payload) → stale only when
+      ``stale_after_secs`` is given and the lock FILE's modification
+      time (the filesystem's clock, not the payload's) is older.
+
+    Breaking is CLAIMED atomically by renaming the lock to a tombstone —
+    two contenders cannot both win the rename — and the winner verifies
+    the tombstone still carries the payload it diagnosed as stale (by
+    owner uuid): a mismatch means it yanked a FRESH lock created after
+    its diagnosis, which it restores before failing loudly. Release
+    re-reads the lock and deletes it only if the owner uuid is ours, so
+    a taken-over lock is never deleted by the previous owner.
     """
     root = lake_root.rstrip("/")
     lock_path = f"{root}/{MAINT_DIR}/{_LOCK_NAME}"
@@ -284,40 +341,9 @@ def maintenance_lock(
         return
 
     jvm, fs, P = _fs(spark, lake_root)
-    if not _try_create_lock(fs, P, lock_path):
-        info = None
-        try:
-            info = _read_json(jvm, fs, P, lock_path)
-        except Exception:
-            pass  # vanished or mid-write — treated as live below
-        stale = False
-        if (
-            info is not None
-            and info.get("host") == socket.gethostname()
-            and isinstance(info.get("pid"), int)
-            and not _pid_alive(info["pid"])
-        ):
-            stale = True
-        elif stale_after_secs is not None and fs.exists(P(lock_path)):
-            age_ms = jvm.java.lang.System.currentTimeMillis() - fs.getFileStatus(
-                P(lock_path)
-            ).getModificationTime()
-            stale = age_ms > stale_after_secs * 1000.0
-        if stale:
-            fs.delete(P(lock_path), False)
-            if not _try_create_lock(fs, P, lock_path):
-                raise ConcurrentMaintenanceError(
-                    f"maintenance lock contended while breaking a stale "
-                    f"lock: {lock_path} — another writer took over first"
-                )
-        else:
-            raise ConcurrentMaintenanceError(
-                f"another maintenance writer holds {lock_path} "
-                f"(owner: {info}) — concurrent lake rewrites would journal "
-                "overlapping supersede-lists; wait for it to finish, or if "
-                "the owner is provably dead delete the LOCK file (same-host "
-                "dead owners are broken automatically)"
-            )
+    my_owner = _acquire_lock(
+        jvm, fs, P, lock_path, stale_after_secs=stale_after_secs
+    )
     held[lock_path] = 1
     try:
         yield
@@ -325,7 +351,108 @@ def maintenance_lock(
         held[lock_path] -= 1
         if held[lock_path] <= 0:
             del held[lock_path]
-            fs.delete(P(lock_path), False)
+            _release_lock(jvm, fs, P, lock_path, my_owner)
+
+
+def _acquire_lock(
+    jvm, fs, P, lock_path: str, *, stale_after_secs: float | None
+) -> str:
+    """Acquisition loop: a handful of attempts so transient races — the
+    holder releasing between our failed create and our payload read —
+    retry against the now-free lock instead of surfacing a raw py4j
+    error or a spurious owner=None contention (review r14; the
+    streaming skip-and-warn handler depends on contention ALWAYS
+    arriving as ConcurrentMaintenanceError)."""
+    for _attempt in range(4):
+        owner = _try_create_lock(fs, P, lock_path)
+        if owner is not None:
+            return owner
+        info = _read_lock_info(jvm, fs, P, lock_path)
+        if info is None:
+            continue  # holder released mid-probe — retry the create
+        if _is_provably_dead(info):
+            stale = True
+        elif not _is_provably_alive(info) and stale_after_secs is not None:
+            try:
+                age_ms = (
+                    jvm.java.lang.System.currentTimeMillis()
+                    - fs.getFileStatus(P(lock_path)).getModificationTime()
+                )
+            except Exception:
+                continue  # vanished under us — retry
+            stale = age_ms > stale_after_secs * 1000.0
+        else:
+            stale = False
+        if not stale:
+            raise ConcurrentMaintenanceError(
+                f"another maintenance writer holds {lock_path} "
+                f"(owner: {info or 'unreadable payload'}) — concurrent lake "
+                "rewrites would journal overlapping supersede-lists; wait "
+                "for it to finish (same-host dead owners are broken "
+                "automatically; pass stale_after_secs to allow TTL "
+                "takeover of foreign/unreadable ones), or if the owner is "
+                "provably dead delete the LOCK file"
+            )
+        # -- claim the break atomically: rename lock -> tombstone --------
+        tomb = f"{lock_path}.stale-{uuid.uuid4().hex}"
+        try:
+            claimed = fs.rename(P(lock_path), P(tomb))
+        except Exception:
+            claimed = False
+        if not claimed:
+            continue  # another contender claimed the break — re-assess
+        # verify we broke the lock we DIAGNOSED, not a fresh one created
+        # after our read (its owner uuid would differ)
+        tomb_info = None
+        try:
+            tomb_info = _read_json(jvm, fs, P, tomb)
+        except Exception:
+            pass
+        same = (
+            info == {}  # unreadable at diagnosis: TTL-judged by mtime
+            or (
+                isinstance(tomb_info, dict)
+                and tomb_info.get("owner") == info.get("owner")
+            )
+        )
+        if not same:
+            # we yanked a live writer's fresh lock — put it back
+            if not fs.rename(P(tomb), P(lock_path)):
+                raise ConcurrentMaintenanceError(
+                    f"stale-break race on {lock_path}: a fresh lock was "
+                    f"claimed ({tomb_info}) and could not be restored — "
+                    f"its payload is preserved at {tomb}; resolve manually"
+                )
+            continue
+        fs.delete(P(tomb), False)
+        # loop continues: the next create attempt takes the freed lock
+    raise ConcurrentMaintenanceError(
+        f"maintenance lock contended on every attempt: {lock_path} — "
+        "another writer kept winning the race; retry"
+    )
+
+
+def _release_lock(jvm, fs, P, lock_path: str, my_owner: str) -> None:
+    """Delete the lock only if it is still OURS: a TTL takeover may have
+    replaced it while we ran, and deleting the new owner's lock would
+    reopen the very concurrency this file exists to prevent."""
+    info = _read_lock_info(jvm, fs, P, lock_path)
+    if info is None:
+        return  # already gone (broken + released) — nothing to release
+    if info == {} or info.get("owner") == my_owner:
+        # unreadable-but-present can only be OUR file here (we wrote the
+        # payload before entering the critical section) — a torn read;
+        # delete it rather than orphan it
+        fs.delete(P(lock_path), False)
+        return
+    import warnings
+
+    warnings.warn(
+        f"maintenance lock at {lock_path} was taken over while this "
+        f"writer ran (now owned by {info}) — not deleting it; if this "
+        "writer published, verify the lake with recover_lake",
+        stacklevel=2,
+    )
 
 
 def _partition_dir_names(fs, P, stage_dir: str) -> list[str]:
@@ -428,6 +555,7 @@ def publish_rewrite(
     checkpoint_dir: str | None = None,
     bloom_cols: tuple = (),
     bloom_ndv: int | None = None,
+    stale_after_secs: float | None = None,
     _fail_point: str | None = None,
 ) -> None:
     """Replace exactly the collections present in ``df`` with ``df``'s
@@ -458,7 +586,7 @@ def publish_rewrite(
     # the rows being published must not be read while another maintenance
     # writer is mid-swap (re-entrant, so callers that already hold it —
     # compact/upsert, which read the lake earlier — just nest)
-    with maintenance_lock(spark, lake_root):
+    with maintenance_lock(spark, lake_root, stale_after_secs=stale_after_secs):
         _publish_under_lock(
             df, lake_root, partition_uuid=partition_uuid,
             checkpoint_dir=checkpoint_dir, bloom_cols=bloom_cols,
@@ -581,7 +709,12 @@ def _publish_under_lock(
     fs.delete(P(txn), True)
 
 
-def recover_lake(spark: SparkSession, lake_root: str) -> list[dict]:
+def recover_lake(
+    spark: SparkSession,
+    lake_root: str,
+    *,
+    stale_after_secs: float | None = None,
+) -> list[dict]:
     """Converge any crashed publish transactions under ``lake_root`` to a
     consistent lake and return what was done: one ``{"txn": ...,
     "action": "aborted" | "rolled_forward" | "cleaned"}`` per transaction
@@ -605,14 +738,18 @@ def recover_lake(spark: SparkSession, lake_root: str) -> list[dict]:
     racing an ACTIVE publish would fight the publisher's own renames.
     The idle fast path stays one existence probe — a lake with no
     ``.maint`` directory has nothing pending and never had a publisher,
-    so it returns before any lock I/O.
+    so it returns before any lock I/O. ``stale_after_secs`` is the TTL
+    escape hatch for a crashed owner on a DIFFERENT host (the same-host
+    dead-pid break cannot see across hosts — review r14): pass it here
+    or via the CLI's ``recover --break-lock-after`` so multi-host
+    deployments converge unattended.
     """
     jvm, fs, P = _fs(spark, lake_root)
     root = lake_root.rstrip("/")
     maint = P(f"{root}/{MAINT_DIR}")
     if not fs.exists(maint):
         return []
-    with maintenance_lock(spark, lake_root):
+    with maintenance_lock(spark, lake_root, stale_after_secs=stale_after_secs):
         return _recover_under_lock(spark, lake_root)
 
 

@@ -482,6 +482,82 @@ def test_stream_auto_compaction_skips_tick_when_lake_is_locked(
     assert os.path.exists(_lock_path(dest))  # foreign lock never broken
 
 
+def test_ttl_never_breaks_a_provably_live_same_host_owner(spark, lake):
+    """Review r14: the TTL must not break a lock whose owner is provably
+    RUNNING on this host (a writer merely stalled in a long Spark stage)
+    — liveness evidence beats age."""
+    import json as _json
+    import os
+    import socket
+    import time
+
+    from mortar_parquet_support_spark.sources.publish import (
+        ConcurrentMaintenanceError,
+        maintenance_lock,
+    )
+
+    os.makedirs(f"{lake}/{MAINT_DIR}", exist_ok=True)
+    with open(_lock_path(lake), "w") as f:
+        _json.dump(
+            {"owner": "x", "pid": os.getpid(),
+             "host": socket.gethostname()},
+            f,
+        )
+    time.sleep(0.05)
+    with pytest.raises(ConcurrentMaintenanceError):
+        with maintenance_lock(spark, lake, stale_after_secs=0.01):
+            pass
+    assert os.path.exists(_lock_path(lake))  # still held, never broken
+
+
+def test_unreadable_payload_lock_needs_ttl_to_break(spark, lake):
+    """A lock whose payload never landed (crash between create and
+    write) proves nothing: without a TTL it is respected loudly; with
+    one it is breakable — the escape hatch for the orphan the payload
+    write failure path can no longer create (review r14)."""
+    import os
+    import time
+
+    from mortar_parquet_support_spark.sources.publish import (
+        ConcurrentMaintenanceError,
+        maintenance_lock,
+    )
+
+    os.makedirs(f"{lake}/{MAINT_DIR}", exist_ok=True)
+    open(_lock_path(lake), "w").close()  # empty: unreadable payload
+    with pytest.raises(ConcurrentMaintenanceError, match="unreadable"):
+        publish_rewrite(_rewrite_frame(spark, lake), lake)
+    time.sleep(0.05)
+    with maintenance_lock(spark, lake, stale_after_secs=0.01):
+        assert os.path.exists(_lock_path(lake))
+    assert not os.path.exists(_lock_path(lake))
+
+
+def test_release_never_deletes_a_taken_over_lock(spark, tmp_path):
+    """Review r14: a writer whose lock was TTL-taken-over while it ran
+    must not delete the NEW owner's lock on release — that would reopen
+    the concurrency the lock exists to prevent."""
+    import json as _json
+    import os
+
+    from mortar_parquet_support_spark.sources.publish import (
+        _fs,
+        _release_lock,
+    )
+
+    root = str(tmp_path / "lake")
+    os.makedirs(f"{root}/{MAINT_DIR}", exist_ok=True)
+    lock = _lock_path(root)
+    with open(lock, "w") as f:
+        _json.dump({"owner": "the-new-owner", "pid": 1, "host": "h"}, f)
+    jvm, fs, P = _fs(spark, root)
+    with pytest.warns(UserWarning, match="taken over"):
+        _release_lock(jvm, fs, P, lock, my_owner="the-old-owner")
+    assert os.path.exists(lock)  # the new owner's lock survives
+    _release_lock(jvm, fs, P, lock, my_owner="the-new-owner")
+    assert not os.path.exists(lock)
+
+
 def test_maintenance_lock_is_reentrant_per_thread(spark, tmp_path):
     """compact_if_fragmented -> compact_collections -> publish_rewrite ->
     recover_lake all take the lock; nesting within one thread must

@@ -8,10 +8,12 @@ PROFILE_MINHASH pattern).
 
 Corpus: ``--streams`` base streams of hash-derived standard normals
 (xxhash64 -> Box-Muller — deterministic and distributed, no
-row-position-dependent F.randn), each with one planted sibling at a
-mixing coefficient a (sibling = a*x + sqrt(1-a^2)*noise, so true
-rho ~= a) cycling through values straddling the threshold, plus
-below-threshold distractor siblings. Ground truth is the EXACT
+row-position-dependent F.randn), each with exactly ONE planted sibling
+(2*streams total) at a mixing coefficient a (sibling = a*x +
+sqrt(1-a^2)*noise, so true rho ~= a); the coefficients cycle by stream
+index through four values above the threshold (the recall population)
+and two below it (those siblings ARE the distractors — pairs the
+screen should drop). Ground truth is the EXACT
 all-pairs battery (pairwise_correlation) filtered at the threshold —
 the same exact Pearson core the screened operator runs on its
 candidates, so every truth-pair the screened result lacks is a SCREEN
@@ -24,7 +26,7 @@ is largest), the formula's predicted per-pair recall at each knob, and
 wall seconds per screened run.
 
 Usage: python tools/profile_corr.py [--streams N] [--buckets T]
-       (defaults 400 base streams -> 1200 total, 256 hourly buckets)
+       (defaults 400 base streams -> 800 total, 256 hourly buckets)
 """
 
 from __future__ import annotations
