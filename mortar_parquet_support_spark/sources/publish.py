@@ -123,17 +123,29 @@ from pyspark.sql import DataFrame, SparkSession
 MAINT_DIR = ".maint"
 _JOURNAL = "journal.json"
 _LOCK_NAME = "LOCK"
-# Recovery's per-partition convergence is a handful of metadata RPCs —
+# Per-partition maintenance work (recovery's converge, publish's
+# superseded-listing and swap phases) is a handful of metadata RPCs —
 # py4j round trips, latency-bound, not data movement. A thread pool
 # overlaps them (py4j gives each Python thread its own connection;
 # Hadoop FileSystem is thread-safe); the GIL caps the measured win at
 # ~1.4x (BENCH_RECOVERY.json: 19.4 -> 14.3 ms/partition interleaved
 # A/B; a 5000-partition journal rolls forward in ~82 s). That bound is
-# operationally fine: recovery runs once per crash, and a journal that
-# large means ONE maintenance op rewrote that many partitions and paid
-# the same RPC count in its own swap phase — batch maintenance
-# accordingly. 1 = serial (the bench's A/B toggle).
-_RECOVERY_POOL_WORKERS = 16
+# operationally fine: recovery runs once per crash, and wide rewrites
+# should be batched anyway. 1 = serial (the bench's A/B toggle).
+_MAINT_POOL_WORKERS = 16
+
+
+def _pooled_map(fn, items):
+    """Ordered map over independent per-partition maintenance steps —
+    serial for small batches (pool spin-up isn't free), pooled above
+    that. Exceptions propagate (loud), results keep ``items``' order."""
+    items = list(items)
+    if len(items) <= 4 or _MAINT_POOL_WORKERS <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=_MAINT_POOL_WORKERS) as pool:
+        return list(pool.map(fn, items))
 
 # thread-local {lock_path: depth} — maintenance_lock is re-entrant WITHIN
 # a thread (compact_if_fragmented -> compact_collections ->
@@ -677,10 +689,15 @@ def _publish_under_lock(
 
     # -- journal (the commit point): the exact live files each staged
     # partition SUPERSEDES — any live file not named here was appended
-    # later and must survive recovery untouched
-    superseded = {
-        name: _list_visible_files(fs, P, f"{root}/{name}") for name in parts
-    }
+    # later and must survive recovery untouched. The per-partition
+    # listing is metadata RPCs like recovery's converge loop, and pools
+    # the same way (each partition's listing is independent).
+    superseded = dict(
+        zip(parts, _pooled_map(
+            lambda name: _list_visible_files(fs, P, f"{root}/{name}"),
+            parts,
+        ))
+    )
     fs.mkdirs(P(backup))
     _write_json_atomic(
         fs, P, f"{txn}/{_JOURNAL}",
@@ -690,19 +707,26 @@ def _publish_under_lock(
     _crash_if(_fail_point, "after_journal")
 
     # -- publish: park superseded files, promote staged files ------------
-    first = True
-    for name in parts:
+    def _swap_partition(name: str) -> None:
         live = f"{root}/{name}"
         for rel in superseded[name]:
             _rename_into(fs, P, f"{live}/{rel}", f"{backup}/{name}/{rel}")
-        if first:
+        if name == parts[0]:
             _crash_if(_fail_point, "mid_swap")
         for rel in _list_visible_files(fs, P, f"{stage}/{name}"):
             _rename_into(fs, P, f"{stage}/{name}/{rel}", f"{live}/{rel}")
         fs.delete(P(f"{stage}/{name}"), True)  # now only empty dirs/CRCs
-        if first:
-            _crash_if(_fail_point, "after_swap_one")
-            first = False
+
+    # the FIRST partition swaps serially so the mid_swap/after_swap_one
+    # crash windows stay deterministic for the injection suite; the rest
+    # pool like recovery's converge loop — each partition's swap touches
+    # only its own files, every step is idempotent, and a crash anywhere
+    # in the pooled region is exactly the journal-present state recovery
+    # converges (same RPC-latency rationale as _MAINT_POOL_WORKERS)
+    if parts:  # non-empty whenever expected is, but never IndexError
+        _swap_partition(parts[0])
+        _crash_if(_fail_point, "after_swap_one")
+        _pooled_map(_swap_partition, parts[1:])
     _crash_if(_fail_point, "before_cleanup")
 
     # every staged file is live — only now may old data be deleted
@@ -787,21 +811,11 @@ def _recover_under_lock(spark: SparkSession, lake_root: str) -> list[dict]:
                 fs.delete(P(stg), True)
             return 1 if staged else 0
 
-        # the per-partition work is a handful of metadata RPCs each —
-        # driver-side py4j round trips, not data movement — so a large
-        # journal is LATENCY-bound, not bandwidth-bound; the pool
-        # overlaps the round trips (numbers and the operational bound:
-        # the _RECOVERY_POOL_WORKERS comment + BENCH_RECOVERY.json).
-        items = list(journal["partitions"].items())
-        if len(items) <= 4 or _RECOVERY_POOL_WORKERS <= 1:
-            rolled = sum(_converge_partition(it) for it in items)
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                max_workers=_RECOVERY_POOL_WORKERS
-            ) as pool:
-                rolled = sum(pool.map(_converge_partition, items))
+        # a large journal is LATENCY-bound, not bandwidth-bound — see
+        # _MAINT_POOL_WORKERS (+ BENCH_RECOVERY.json for numbers)
+        rolled = sum(
+            _pooled_map(_converge_partition, journal["partitions"].items())
+        )
         fs.delete(P(txn), True)
         actions.append(
             {"txn": txn, "action": "rolled_forward" if rolled else "cleaned"}

@@ -100,14 +100,14 @@ def main() -> int:
         lake = os.path.join(base, f"lake-{uuidlib.uuid4().hex}")
         os.makedirs(lake)
         synth_crashed_txn(lake, parts, files)
-        prev = pub._RECOVERY_POOL_WORKERS
-        pub._RECOVERY_POOL_WORKERS = workers
+        prev = pub._MAINT_POOL_WORKERS
+        pub._MAINT_POOL_WORKERS = workers
         try:
             t0 = time.perf_counter()
             actions = recover_lake(spark, lake)
             dt = time.perf_counter() - t0
         finally:
-            pub._RECOVERY_POOL_WORKERS = prev
+            pub._MAINT_POOL_WORKERS = prev
         assert [a["action"] for a in actions] == ["rolled_forward"], actions
         sample = sorted(os.listdir(os.path.join(lake, "collection=c00000")))
         assert sample == [f"part-{j:04d}-new.parquet" for j in range(files)]
