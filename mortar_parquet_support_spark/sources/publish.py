@@ -128,8 +128,8 @@ _LOCK_NAME = "LOCK"
 # py4j round trips, latency-bound, not data movement. A thread pool
 # overlaps them (py4j gives each Python thread its own connection;
 # Hadoop FileSystem is thread-safe); the GIL caps the measured win at
-# ~1.4x (BENCH_RECOVERY.json: 19.4 -> 14.3 ms/partition interleaved
-# A/B; a 5000-partition journal rolls forward in ~82 s). That bound is
+# ~1.9x (BENCH_RECOVERY.json: 15.7 -> 8.2 ms/partition interleaved
+# A/B; a 5000-partition journal rolls forward in ~58 s). That bound is
 # operationally fine: recovery runs once per crash, and wide rewrites
 # should be batched anyway. 1 = serial (the bench's A/B toggle).
 _MAINT_POOL_WORKERS = 16
@@ -138,14 +138,27 @@ _MAINT_POOL_WORKERS = 16
 def _pooled_map(fn, items):
     """Ordered map over independent per-partition maintenance steps —
     serial for small batches (pool spin-up isn't free), pooled above
-    that. Exceptions propagate (loud), results keep ``items``' order."""
+    that. Results keep ``items``' order; the first exception propagates
+    loudly AND cancels every still-queued step (threads already mid-step
+    finish — they can't be killed — but the lake freezes within one
+    pool-width of the anomaly instead of swapping every remaining
+    partition after a 'resolve manually' stop; review r14 round 2)."""
     items = list(items)
     if len(items) <= 4 or _MAINT_POOL_WORKERS <= 1:
         return [fn(it) for it in items]
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
-    with ThreadPoolExecutor(max_workers=_MAINT_POOL_WORKERS) as pool:
-        return list(pool.map(fn, items))
+    pool = ThreadPoolExecutor(max_workers=_MAINT_POOL_WORKERS)
+    try:
+        futures = {pool.submit(fn, it): i for i, it in enumerate(items)}
+        out = [None] * len(items)
+        for f in as_completed(futures):  # failure surfaces IMMEDIATELY,
+            out[futures[f]] = f.result()  # not when iteration reaches it
+        return out
+    finally:
+        # on the happy path everything is done and this is a no-op; on
+        # failure it drops the queued tail before waiting out in-flight
+        pool.shutdown(wait=True, cancel_futures=True)
 
 # thread-local {lock_path: depth} — maintenance_lock is re-entrant WITHIN
 # a thread (compact_if_fragmented -> compact_collections ->
@@ -374,7 +387,11 @@ def _acquire_lock(
     retry against the now-free lock instead of surfacing a raw py4j
     error or a spurious owner=None contention (review r14; the
     streaming skip-and-warn handler depends on contention ALWAYS
-    arriving as ConcurrentMaintenanceError)."""
+    arriving as ConcurrentMaintenanceError). A successful stale-lock
+    takeover RETURNS directly (the takeover installs our pre-staged
+    lock by rename, it never needs a follow-up create), so a break can
+    never be charged against the retry budget and then reported as
+    contention (review r14 round 2)."""
     for _attempt in range(4):
         owner = _try_create_lock(fs, P, lock_path)
         if owner is not None:
@@ -405,66 +422,148 @@ def _acquire_lock(
                 "takeover of foreign/unreadable ones), or if the owner is "
                 "provably dead delete the LOCK file"
             )
-        # -- claim the break atomically: rename lock -> tombstone --------
-        tomb = f"{lock_path}.stale-{uuid.uuid4().hex}"
-        try:
-            claimed = fs.rename(P(lock_path), P(tomb))
-        except Exception:
-            claimed = False
-        if not claimed:
-            continue  # another contender claimed the break — re-assess
-        # verify we broke the lock we DIAGNOSED, not a fresh one created
-        # after our read (its owner uuid would differ)
-        tomb_info = None
-        try:
-            tomb_info = _read_json(jvm, fs, P, tomb)
-        except Exception:
-            pass
-        same = (
-            info == {}  # unreadable at diagnosis: TTL-judged by mtime
-            or (
-                isinstance(tomb_info, dict)
-                and tomb_info.get("owner") == info.get("owner")
-            )
-        )
-        if not same:
-            # we yanked a live writer's fresh lock — put it back
-            if not fs.rename(P(tomb), P(lock_path)):
-                raise ConcurrentMaintenanceError(
-                    f"stale-break race on {lock_path}: a fresh lock was "
-                    f"claimed ({tomb_info}) and could not be restored — "
-                    f"its payload is preserved at {tomb}; resolve manually"
-                )
-            continue
-        fs.delete(P(tomb), False)
-        # loop continues: the next create attempt takes the freed lock
+        owner = _takeover_stale_lock(jvm, fs, P, lock_path, info)
+        if owner is not None:
+            return owner
+        # lost the break race (or restored a misdiagnosed fresh lock) —
+        # loop re-reads the current holder and re-assesses
     raise ConcurrentMaintenanceError(
         f"maintenance lock contended on every attempt: {lock_path} — "
         "another writer kept winning the race; retry"
     )
 
 
+def _takeover_stale_lock(
+    jvm, fs, P, lock_path: str, diagnosed: dict
+) -> str | None:
+    """Break a lock diagnosed as stale and install OURS in its place.
+    Returns the new owner uuid, or None when the race was lost (caller
+    re-assesses). The steps, each chosen so two contenders cannot both
+    end up believing they own the lake:
+
+    1. pre-stage our replacement lock at a private name (no vacancy is
+       spent writing payloads);
+    2. CLAIM the break: rename lock -> tombstone — atomic, exactly one
+       contender wins;
+    3. verify the tombstone is the lock we DIAGNOSED: owner uuid match,
+       or — when the diagnosis was an unreadable payload — the tombstone
+       must STILL be unreadable (a readable tombstone means we yanked a
+       fresh lock created after our TTL judgment; review r14 round 2);
+       a mismatch restores the yanked lock and returns None;
+    4. INSTALL by renaming the pre-staged lock into place — if a third
+       contender's create landed in the one-RPC vacancy, the install
+       rename fails and we concede (the confirmed-stale tombstone is
+       dropped, the third writer owns the lake).
+
+    Residual (documented, not fixable with plain-FS primitives): step
+    3's restore can itself lose a three-way race — the restore rename
+    fails because a third create landed first, and the writer whose
+    fresh lock was yanked keeps running unaware. That needs an atomic
+    compare-and-swap the filesystem doesn't have; deployments with
+    adversarial concurrency belong on a coordination service, per the
+    module header. The window here is one metadata RPC inside a path
+    that only executes against a lock already judged stale."""
+    claim = f"{lock_path}.claim-{uuid.uuid4().hex}"
+    tomb = f"{lock_path}.stale-{uuid.uuid4().hex}"
+    out = fs.create(P(claim), True)
+    owner = uuid.uuid4().hex
+    try:
+        out.write(bytearray(json.dumps({
+            "owner": owner,
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+        }).encode("utf-8")))
+    finally:
+        out.close()
+    try:
+        claimed = fs.rename(P(lock_path), P(tomb))
+    except Exception:
+        claimed = False
+    if not claimed:
+        fs.delete(P(claim), False)
+        return None  # another contender claimed the break first
+    tomb_info = None
+    try:
+        tomb_info = _read_json(jvm, fs, P, tomb)
+    except Exception:
+        pass
+    if diagnosed == {}:
+        same = not tomb_info  # must STILL be unreadable
+    else:
+        same = (
+            isinstance(tomb_info, dict)
+            and tomb_info.get("owner") == diagnosed.get("owner")
+        )
+    if not same:
+        # we yanked a lock OTHER than the one we judged stale — restore
+        restored = False
+        try:
+            restored = fs.rename(P(tomb), P(lock_path))
+        except Exception:
+            pass
+        fs.delete(P(claim), False)
+        if not restored:
+            raise ConcurrentMaintenanceError(
+                f"stale-break race on {lock_path}: a fresh lock was "
+                f"claimed ({tomb_info}) and could not be restored — "
+                f"its payload is preserved at {tomb}; resolve manually"
+            )
+        return None
+    installed = False
+    try:
+        installed = fs.rename(P(claim), P(lock_path))
+    except Exception:
+        pass
+    if not installed:
+        # a third contender's create landed in the vacancy — concede;
+        # the tombstone is confirmed stale, so dropping it loses nothing
+        fs.delete(P(tomb), False)
+        fs.delete(P(claim), False)
+        return None
+    fs.delete(P(tomb), False)
+    return owner
+
+
 def _release_lock(jvm, fs, P, lock_path: str, my_owner: str) -> None:
     """Delete the lock only if it is still OURS: a TTL takeover may have
     replaced it while we ran, and deleting the new owner's lock would
-    reopen the very concurrency this file exists to prevent."""
-    info = _read_lock_info(jvm, fs, P, lock_path)
-    if info is None:
-        return  # already gone (broken + released) — nothing to release
-    if info == {} or info.get("owner") == my_owner:
-        # unreadable-but-present can only be OUR file here (we wrote the
-        # payload before entering the critical section) — a torn read;
-        # delete it rather than orphan it
-        fs.delete(P(lock_path), False)
-        return
-    import warnings
+    reopen the very concurrency this file exists to prevent. An
+    unreadable payload is retried — a torn read of our own file resolves
+    in milliseconds, while a foreign owner's payload mid-write must NOT
+    be deleted on a guess (review r14 round 2) — and if it stays
+    unreadable we leave the file with a warning rather than risk
+    deleting a live writer's lock."""
+    import time as _time
 
-    warnings.warn(
-        f"maintenance lock at {lock_path} was taken over while this "
-        f"writer ran (now owned by {info}) — not deleting it; if this "
-        "writer published, verify the lake with recover_lake",
-        stacklevel=2,
-    )
+    for _retry in range(3):
+        info = _read_lock_info(jvm, fs, P, lock_path)
+        if info is None:
+            return  # already gone (broken + released) — nothing to do
+        if info != {}:
+            break
+        _time.sleep(0.05)
+    if info != {} and info.get("owner") != my_owner:
+        import warnings
+
+        warnings.warn(
+            f"maintenance lock at {lock_path} was taken over while this "
+            f"writer ran (now owned by {info}) — not deleting it; if this "
+            "writer published, verify the lake with recover_lake",
+            stacklevel=2,
+        )
+        return
+    if info == {}:
+        import warnings
+
+        warnings.warn(
+            f"maintenance lock at {lock_path} stayed unreadable on "
+            "release — leaving it in place (it may be a taking-over "
+            "writer's payload mid-write); if it persists, recover with "
+            "stale_after_secs or delete it once its owner is known dead",
+            stacklevel=2,
+        )
+        return
+    fs.delete(P(lock_path), False)
 
 
 def _partition_dir_names(fs, P, stage_dir: str) -> list[str]:
