@@ -128,8 +128,9 @@ _LOCK_NAME = "LOCK"
 # py4j round trips, latency-bound, not data movement. A thread pool
 # overlaps them (py4j gives each Python thread its own connection;
 # Hadoop FileSystem is thread-safe); the GIL caps the measured win at
-# ~1.9x (BENCH_RECOVERY.json: 15.7 -> 8.2 ms/partition interleaved
-# A/B; a 5000-partition journal rolls forward in ~58 s). That bound is
+# ~1.3-1.9x median depending on machine phase (BENCH_RECOVERY.json:
+# interleaved serial/pooled A/B x3, ~8-17 ms/partition pooled; a
+# 5000-partition journal rolls forward in ~1-2 min). That bound is
 # operationally fine: recovery runs once per crash, and wide rewrites
 # should be batched anyway. 1 = serial (the bench's A/B toggle).
 _MAINT_POOL_WORKERS = 16
@@ -399,13 +400,16 @@ def _acquire_lock(
         info = _read_lock_info(jvm, fs, P, lock_path)
         if info is None:
             continue  # holder released mid-probe — retry the create
+        diag_mtime = None
         if _is_provably_dead(info):
             stale = True
         elif not _is_provably_alive(info) and stale_after_secs is not None:
             try:
+                diag_mtime = fs.getFileStatus(
+                    P(lock_path)
+                ).getModificationTime()
                 age_ms = (
-                    jvm.java.lang.System.currentTimeMillis()
-                    - fs.getFileStatus(P(lock_path)).getModificationTime()
+                    jvm.java.lang.System.currentTimeMillis() - diag_mtime
                 )
             except Exception:
                 continue  # vanished under us — retry
@@ -422,7 +426,9 @@ def _acquire_lock(
                 "takeover of foreign/unreadable ones), or if the owner is "
                 "provably dead delete the LOCK file"
             )
-        owner = _takeover_stale_lock(jvm, fs, P, lock_path, info)
+        owner = _takeover_stale_lock(
+            jvm, fs, P, lock_path, info, diag_mtime
+        )
         if owner is not None:
             return owner
         # lost the break race (or restored a misdiagnosed fresh lock) —
@@ -434,7 +440,7 @@ def _acquire_lock(
 
 
 def _takeover_stale_lock(
-    jvm, fs, P, lock_path: str, diagnosed: dict
+    jvm, fs, P, lock_path: str, diagnosed: dict, diag_mtime: int | None
 ) -> str | None:
     """Break a lock diagnosed as stale and install OURS in its place.
     Returns the new owner uuid, or None when the race was lost (caller
@@ -442,18 +448,21 @@ def _takeover_stale_lock(
     end up believing they own the lake:
 
     1. pre-stage our replacement lock at a private name (no vacancy is
-       spent writing payloads);
+       spent writing payloads; a payload-write failure deletes the
+       staged file rather than orphaning it — review r14 round 3);
     2. CLAIM the break: rename lock -> tombstone — atomic, exactly one
        contender wins;
     3. verify the tombstone is the lock we DIAGNOSED: owner uuid match,
        or — when the diagnosis was an unreadable payload — the tombstone
-       must STILL be unreadable (a readable tombstone means we yanked a
-       fresh lock created after our TTL judgment; review r14 round 2);
-       a mismatch restores the yanked lock and returns None;
+       must STILL be unreadable AND carry the modification time the TTL
+       was judged against (rename preserves mtime on POSIX/HDFS, so a
+       fresh mid-payload-write lock yanked by mistake shows a NEWER
+       mtime even while unreadable; review r14 round 3); a mismatch
+       restores the yanked lock and returns None;
     4. INSTALL by renaming the pre-staged lock into place — if a third
-       contender's create landed in the one-RPC vacancy, the install
-       rename fails and we concede (the confirmed-stale tombstone is
-       dropped, the third writer owns the lake).
+       contender's create landed in the vacancy, the install rename
+       fails and we concede (the confirmed-stale tombstone is dropped,
+       the third writer owns the lake).
 
     Residual (documented, not fixable with plain-FS primitives): step
     3's restore can itself lose a three-way race — the restore rename
@@ -461,8 +470,9 @@ def _takeover_stale_lock(
     fresh lock was yanked keeps running unaware. That needs an atomic
     compare-and-swap the filesystem doesn't have; deployments with
     adversarial concurrency belong on a coordination service, per the
-    module header. The window here is one metadata RPC inside a path
-    that only executes against a lock already judged stale."""
+    module header. The claim-to-install vacancy spans a few metadata
+    RPCs (the tombstone verify read sits inside it) in a path that only
+    executes against a lock already judged stale."""
     claim = f"{lock_path}.claim-{uuid.uuid4().hex}"
     tomb = f"{lock_path}.stale-{uuid.uuid4().hex}"
     out = fs.create(P(claim), True)
@@ -473,8 +483,14 @@ def _takeover_stale_lock(
             "pid": os.getpid(),
             "host": socket.gethostname(),
         }).encode("utf-8")))
-    finally:
         out.close()
+    except BaseException:
+        try:
+            out.close()
+        except Exception:
+            pass
+        fs.delete(P(claim), False)  # never orphan the staged claim
+        raise
     try:
         claimed = fs.rename(P(lock_path), P(tomb))
     except Exception:
@@ -488,7 +504,18 @@ def _takeover_stale_lock(
     except Exception:
         pass
     if diagnosed == {}:
-        same = not tomb_info  # must STILL be unreadable
+        # must STILL be unreadable AND be the very file the TTL judged:
+        # rename preserves mtime, so a fresh lock caught mid-payload-
+        # write differs even though both read as unreadable
+        try:
+            tomb_mtime = fs.getFileStatus(P(tomb)).getModificationTime()
+        except Exception:
+            tomb_mtime = None
+        same = (
+            not tomb_info
+            and diag_mtime is not None
+            and tomb_mtime == diag_mtime
+        )
     else:
         same = (
             isinstance(tomb_info, dict)
@@ -541,7 +568,8 @@ def _release_lock(jvm, fs, P, lock_path: str, my_owner: str) -> None:
             return  # already gone (broken + released) — nothing to do
         if info != {}:
             break
-        _time.sleep(0.05)
+        if _retry < 2:  # no point sleeping after the final read
+            _time.sleep(0.05)
     if info != {} and info.get("owner") != my_owner:
         import warnings
 

@@ -90,10 +90,10 @@ def main() -> int:
     )
 
     # -- serial vs pooled A/B at 1000 partitions --------------------------
-    # INTERLEAVED (serial, pooled, serial, pooled) and reported as min per
-    # mode: this machine has multi-x noise phases (observed 14.8s-60s for
-    # the identical pooled run), so back-to-back alternation + min is the
-    # only honest comparison a single run can make.
+    # INTERLEAVED (serial, pooled) x3 and reported as MEDIAN per mode:
+    # this machine has multi-x noise phases (observed 14.8s-60s for the
+    # identical pooled run), so alternation cancels drift and the median
+    # resists a single lucky/unlucky run.
     import mortar_parquet_support_spark.sources.publish as pub
 
     def run_once(parts: int, files: int, workers: int) -> float:
@@ -119,11 +119,15 @@ def main() -> int:
 
     ab_parts = min(args.parts, 1000)
     serial_runs, pooled_runs = [], []
-    for _ in range(2):
+    for _ in range(3):
         serial_runs.append(run_once(ab_parts, args.files, workers=1))
         pooled_runs.append(run_once(ab_parts, args.files, workers=16))
-    serial = min(serial_runs)
-    pooled = min(pooled_runs)
+    # MEDIAN, not min: a min-of-2 headline once published a 1.9x speedup
+    # whose sibling pooled run showed none at all (review r14 round 3) —
+    # with this machine's multi-x noise phases the median is the honest
+    # central tendency, and all runs ship in the artifact
+    serial = sorted(serial_runs)[1]
+    pooled = sorted(pooled_runs)[1]
 
     # -- headline: the full --parts journal through the shipped config ----
     t_head = run_once(args.parts, args.files, workers=16)
@@ -136,7 +140,8 @@ def main() -> int:
         "ab_parts": ab_parts,
         "serial_per_partition_ms": round(serial * 1000 / ab_parts, 3),
         "pooled_per_partition_ms": round(pooled * 1000 / ab_parts, 3),
-        "pool_speedup": round(serial / pooled, 2),
+        "pool_speedup_median": round(serial / pooled, 2),
+        "pool_speedup_best": round(min(serial_runs) / min(pooled_runs), 2),
         "serial_runs_sec": [round(x, 3) for x in serial_runs],
         "pooled_runs_sec": [round(x, 3) for x in pooled_runs],
         "headline_roll_forward_sec": round(t_head, 3),
