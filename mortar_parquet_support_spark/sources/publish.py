@@ -947,4 +947,38 @@ def _recover_under_lock(spark: SparkSession, lake_root: str) -> list[dict]:
         actions.append(
             {"txn": txn, "action": "rolled_forward" if rolled else "cleaned"}
         )
+    actions.extend(_sweep_lock_debris(jvm, fs, P, root))
+    return actions
+
+
+# A takeover crashed between pre-staging its claim and installing it
+# leaves LOCK.claim-<uuid> behind; one crashed between claiming a break
+# and deleting the tombstone leaves LOCK.stale-<uuid>. Claims hold only
+# the crashed contender's OWN payload — safe to delete once old enough
+# that no live takeover can still be mid-flight. Tombstones are NEVER
+# auto-deleted: the restore-failure path explicitly preserves a yanked
+# LIVE writer's payload there for manual resolution, and recovery cannot
+# distinguish that from a genuinely stale one — so they are REPORTED.
+_CLAIM_SWEEP_AGE_SECS = 3600.0
+
+
+def _sweep_lock_debris(jvm, fs, P, root: str) -> list[dict]:
+    actions: list[dict] = []
+    now_ms = jvm.java.lang.System.currentTimeMillis()
+    claims = fs.globStatus(
+        P(f"{root}/{MAINT_DIR}/{_LOCK_NAME}.claim-*")
+    ) or []
+    for s in claims:
+        if now_ms - s.getModificationTime() > _CLAIM_SWEEP_AGE_SECS * 1000:
+            fs.delete(s.getPath(), False)
+            actions.append(
+                {"txn": str(s.getPath()), "action": "cleaned_claim"}
+            )
+    tombs = fs.globStatus(
+        P(f"{root}/{MAINT_DIR}/{_LOCK_NAME}.stale-*")
+    ) or []
+    for s in tombs:
+        actions.append(
+            {"txn": str(s.getPath()), "action": "tombstone_preserved"}
+        )
     return actions

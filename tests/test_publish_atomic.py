@@ -558,6 +558,33 @@ def test_release_never_deletes_a_taken_over_lock(spark, tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_recover_sweeps_old_claims_and_preserves_tombstones(spark, tmp_path):
+    """Crashed takeovers leave LOCK.claim-* (the contender's own staged
+    payload — deletable once provably abandoned) and LOCK.stale-*
+    (possibly a yanked live writer's payload — NEVER auto-deleted, only
+    reported). recover_lake sweeps the first and surfaces the second."""
+    import os
+    import time
+
+    root = str(tmp_path / "lake")
+    maint = f"{root}/{MAINT_DIR}"
+    os.makedirs(maint, exist_ok=True)
+    old_claim = f"{maint}/LOCK.claim-deadbeef"
+    fresh_claim = f"{maint}/LOCK.claim-cafebabe"
+    tomb = f"{maint}/LOCK.stale-0ddba11"
+    for p in (old_claim, fresh_claim, tomb):
+        open(p, "w").write("{}")
+    two_hours_ago = time.time() - 7200
+    os.utime(old_claim, (two_hours_ago, two_hours_ago))
+
+    actions = recover_lake(spark, root)
+    kinds = {a["action"] for a in actions}
+    assert kinds == {"cleaned_claim", "tombstone_preserved"}
+    assert not os.path.exists(old_claim)  # provably abandoned: swept
+    assert os.path.exists(fresh_claim)  # could be a live takeover: kept
+    assert os.path.exists(tomb)  # may hold a yanked payload: kept
+
+
 def test_maintenance_lock_is_reentrant_per_thread(spark, tmp_path):
     """compact_if_fragmented -> compact_collections -> publish_rewrite ->
     recover_lake all take the lock; nesting within one thread must
