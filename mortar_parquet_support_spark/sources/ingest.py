@@ -67,6 +67,15 @@ def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
     ``df.columns[0]`` (transform.py:28). Shared by the batch reader and the
     streaming foreachBatch path (each micro-batch carries whole files, so
     header/label recovery stays plain batch logic).
+
+    Known cost, accepted deliberately: the input text is scanned TWICE —
+    once to materialize the tiny header frame, once as the data side of
+    the join. The alternatives are worse at scale: caching the raw lines
+    trades the re-read for an equal-sized write+read of local storage,
+    and propagating headers with a per-file window turns the broadcast
+    join into a full shuffle of every data row. Distributed "read only
+    each file's first line" needs a custom input format Spark doesn't
+    ship.
     """
     lines = (
         lines
@@ -92,13 +101,44 @@ def _parse_lines(lines: DataFrame, collection: str, time_col: str) -> DataFrame:
     # the FIRST remaining column after popping it — so 'sensor,datetime'
     # ingests instead of being silently dropped, and a 3-column file takes
     # ONLY its value field (not 'the rest of the line' with commas).
-    fields = F.split(F.col("_line"), ",")
+    #
+    # CSV quoting (review r14): the reference parses with pandas.read_csv,
+    # where a quoted field keeps its embedded commas
+    # ('datetime,"temp, indoor"' -> label 'temp, indoor'). A naive split
+    # would truncate such labels, so lines containing a quote take the
+    # quote-aware split (commas outside balanced quotes only) + unquote;
+    # everything else keeps the cheap plain split — the hot path, since
+    # data lines are unquoted '<ts>,<value>'.
+    plain = F.split(F.col("_line"), ",")
+    quoted = F.transform(
+        F.split(F.col("_line"), r',(?=(?:[^"]*"[^"]*")*[^"]*$)'),
+        lambda x: F.when(
+            x.rlike('^".*"$'),
+            F.regexp_replace(
+                x.substr(F.lit(2), F.length(x) - 2), '""', '"'
+            ),
+        ).otherwise(x),
+    )
+    fields = F.when(F.col("_line").contains('"'), quoted).otherwise(plain)
     lines = lines.withColumn("_fields", fields)
     is_header = F.array_position(F.col("_fields"), time_col) > 0
     header = (
         lines.filter(is_header & (F.size("_fields") >= 2))
-        .select(F.col("uuid").alias("h_uuid"), F.col("_fields").alias("_hf"))
-        .dropDuplicates(["h_uuid"])
+        # deterministic FIRST-candidate pick (review r14): a file with a
+        # second header-like row (concatenated files, or a data field
+        # literally equal to time_col) must always resolve to its actual
+        # first header, the reference's line-1 semantics —
+        # dropDuplicates would keep a partition-order-dependent one. The
+        # monotonic id is assigned pre-shuffle on the text-scan lineage,
+        # where per-partition order IS file order and split planning is
+        # deterministic for fixed inputs.
+        .select(
+            F.col("uuid").alias("h_uuid"),
+            F.col("_fields").alias("_hf"),
+            F.monotonically_increasing_id().alias("__ord"),
+        )
+        .groupBy("h_uuid")
+        .agg(F.min_by("_hf", "__ord").alias("_hf"))
         .withColumn(
             "_tpos", F.array_position(F.col("_hf"), time_col).cast("int")
         )
@@ -218,8 +258,15 @@ def ingest_csv(
     base = os.path.splitext(os.path.basename(csv_path))[0]
     if not re.fullmatch(UUID_RE, base):
         return None
+    # time-column check by MEMBERSHIP, matching _parse_lines and the
+    # reference (transform.py:20-23) — a first-column-only gate would
+    # silently skip 'sensor,datetime' here while ingest_directory accepts
+    # it, the same file ingesting or not by entry point (review r14)
     head = spark.read.text(csv_path).limit(1).collect()
-    if not head or not head[0][0].startswith(time_col + ","):
+    if not head:
+        return None
+    head_fields = head[0][0].split(",")
+    if time_col not in head_fields or len(head_fields) < 2:
         return None
     df = _parse_stream_lines(spark, csv_path, collection, time_col)
     write_lake(df, destination, partition_uuid=partition_uuid, mode=mode)
@@ -265,11 +312,23 @@ def write_lake(
     therefore a per-file fact; verify with
     :func:`~mortar_parquet_support_spark.sources.maintenance.parquet_bloom_columns`.
     """
+    # the in-partition sort LEADS with the partition columns: Spark's V1
+    # write path requires task rows ordered by the partition columns and
+    # silently inserts a SECOND full local sort when the explicit one
+    # doesn't satisfy that prefix — doubling ingest sort cost at scale
+    # and leaving the documented intra-file order to the inserted sort's
+    # stability (review r14). Within each written file the order is
+    # unchanged: a file holds one partition value, so the tail of the
+    # sort key is exactly the old (uuid, time) / (time) discipline.
     if partition_uuid:
-        out = df.repartition("collection", "uuid").sortWithinPartitions("time")
+        out = df.repartition("collection", "uuid").sortWithinPartitions(
+            "collection", "uuid", "time"
+        )
         partition_cols = ["collection", "uuid"]
     else:
-        out = df.repartitionByRange("collection", "uuid").sortWithinPartitions("uuid", "time")
+        out = df.repartitionByRange("collection", "uuid").sortWithinPartitions(
+            "collection", "uuid", "time"
+        )
         partition_cols = ["collection"]
     _validate_bloom_options(df, bloom_cols, bloom_ndv, partition_cols)
     writer = out.write.mode(mode).partitionBy(*partition_cols)

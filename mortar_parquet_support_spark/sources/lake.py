@@ -72,6 +72,12 @@ class TimeseriesLake:
         skipping (IN-list pushes to the scan); for huge id sets use
         :meth:`scan_ids` (broadcast semi-join) instead.
         """
+        # a bare string is the natural single-stream call, and list('abc')
+        # would silently explode it into characters that match nothing
+        if isinstance(uuids, str):
+            uuids = [uuids]
+        if isinstance(collections, str):
+            collections = [collections]
         out = self.df.filter(time_range(start, end))
         if uuids is not None:
             out = out.filter(F.col("uuid").isin(list(uuids)))
@@ -84,15 +90,22 @@ class TimeseriesLake:
     ) -> DataFrame:
         """§2.5 composite at scale: ``left_semi`` against an id DataFrame.
 
-        Broadcast when small keeps it shuffle-free; if ``ids`` is itself the
-        result of a join on the lake's partition column, Spark's Dynamic
-        Partition Pruning still prunes directories.
+        Broadcast when small keeps it shuffle-free — via the size-guarded
+        ``maybe_broadcast`` hint, NOT a forced ``F.broadcast``: this is
+        the entry point :meth:`scan` directs "huge id sets" to, and a
+        forced hint on a 200M-id frame would hit Spark's 8 GB broadcast
+        cap (or OOM the driver) instead of falling back to the shuffle
+        semi-join that handles it fine (review r14). If ``ids`` is itself
+        the result of a join on the lake's partition column, Spark's
+        Dynamic Partition Pruning still prunes directories.
 
         The id column is the frame's single column, its ``uuid`` column, or
         ``id_col`` — NOT blindly column 0: a multi-column frame like
         (site, uuid) would silently semi-join the lake on the site string
         and match nothing.
         """
+        from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
         if id_col is None:
             if len(ids.columns) == 1:
                 id_col = ids.columns[0]
@@ -105,7 +118,7 @@ class TimeseriesLake:
                 )
         ids = ids.select(F.col(id_col).alias("uuid")).distinct()
         return self.df.filter(time_range(start, end)).join(
-            F.broadcast(ids), on="uuid", how="left_semi"
+            maybe_broadcast(ids), on="uuid", how="left_semi"
         )
 
     def to_batches(
@@ -225,8 +238,39 @@ class TimeseriesLake:
                 spill = tempfile.mkdtemp(prefix="lake_batches_")
             else:
                 spill = spill_root.rstrip("/") + "/lake_batches_" + _uuid.uuid4().hex
+            # a BARE path is ambiguous between the two sides: the Spark
+            # write resolves it against fs.defaultFS (hdfs:// on a normal
+            # cluster) while the driver-side PyArrow read resolves it
+            # against the local filesystem — qualify it as file:// so both
+            # sides target the shared mount the caller meant (the NFS
+            # usage the docstring documents; review r14)
+            write_path = (
+                "file://" + spill
+                if "://" not in spill and not spill.startswith("file:")
+                else spill
+            )
             try:
-                df.write.mode("overwrite").parquet(spill)
+                # pin the parquet timestamp encoding for the spill write:
+                # the session default (INT96 on a stock Spark 4 session)
+                # reads back as ns-precision tz-naive, which would make
+                # this path's batch schema differ from the
+                # toLocalIterator fallback's (timestamp[us, UTC]) — the
+                # two rungs must yield identically-typed batches
+                # regardless of which fired (review r14; this project's
+                # get_spark already pins MICROS, user sessions may not)
+                prev_tt = self.spark.conf.get(
+                    "spark.sql.parquet.outputTimestampType", "INT96"
+                )
+                self.spark.conf.set(
+                    "spark.sql.parquet.outputTimestampType",
+                    "TIMESTAMP_MICROS",
+                )
+                try:
+                    df.write.mode("overwrite").parquet(write_path)
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.parquet.outputTimestampType", prev_tt
+                    )
                 # PyArrow speaks s3:// where Hadoop speaks s3a://, and wants
                 # a bare path for local file:// URIs.
                 read_path = spill.replace("s3a://", "s3://", 1)
@@ -254,7 +298,7 @@ class TimeseriesLake:
                 if local_tmp:
                     shutil.rmtree(spill, ignore_errors=True)
                 else:
-                    _rm_shared(self.spark, spill)
+                    _rm_shared(self.spark, write_path)
 
         return gen()
 

@@ -669,6 +669,81 @@ def test_ingest_csv_any_extension(spark, tmp_path):
     assert ingest_csv(spark, "c1", str(bad), dest) is None
 
 
+def test_ingest_csv_accepts_time_col_in_any_position(spark, tmp_path):
+    """Review r14: ingest_csv's header gate required time_col FIRST while
+    _parse_lines (and the reference's membership check) accept any
+    position — the same 'sensor,datetime' file ingested via
+    ingest_directory but was silently skipped via ingest_csv."""
+    import uuid as _uuid
+
+    u = str(_uuid.uuid4())
+    f = tmp_path / f"{u}.csv"
+    f.write_text("sensor,datetime\n3.5,2020-01-01 00:00:00+00:00\n")
+    dest = str(tmp_path / "lake")
+    out = ingest_csv(spark, "c1", str(f), dest)
+    assert out is not None and out.count() == 1
+    row = TimeseriesLake.open(spark, dest).df.collect()[0]
+    assert row.value == 3.5 and row.label == "sensor"
+    # a time-col-ONLY header still rejects (no value column to take)
+    u2 = str(_uuid.uuid4())
+    f2 = tmp_path / f"{u2}.csv"
+    f2.write_text("datetime\n2020-01-01 00:00:00+00:00\n")
+    assert ingest_csv(spark, "c1", str(f2), dest) is None
+
+
+def test_ingest_quoted_label_keeps_embedded_comma(spark, tmp_path):
+    """Review r14 (reference parity, pandas.read_csv semantics): a quoted
+    header field keeps its embedded comma as ONE label; a naive split
+    truncated it to the leading fragment with a stray quote."""
+    import uuid as _uuid
+
+    src = tmp_path / "q"
+    src.mkdir()
+    u = str(_uuid.uuid4())
+    (src / f"{u}.csv").write_text(
+        'datetime,"temp, indoor"\n2020-01-01 00:00:00+00:00,4.5\n'
+        '2020-01-01 00:01:00+00:00,5.5\n'
+    )
+    dest = str(tmp_path / "lake")
+    ingest_directory(spark, "c1", str(src), dest)
+    rows = TimeseriesLake.open(spark, dest).df.collect()
+    assert len(rows) == 2
+    assert {r.label for r in rows} == {"temp, indoor"}
+    assert {r.uri for r in rows} == {"urn:c1/temp, indoor"}
+    assert sorted(r.value for r in rows) == [4.5, 5.5]
+
+
+def test_multi_header_file_resolves_to_first_header(spark, tmp_path):
+    """Review r14: a file with a second header-like line (concatenated
+    exports) must take its positions/label from the FIRST header — the
+    reference's line-1 semantics — not a partition-order-dependent pick."""
+    import uuid as _uuid
+
+    src = tmp_path / "mh"
+    src.mkdir()
+    u = str(_uuid.uuid4())
+    (src / f"{u}.csv").write_text(
+        "datetime,temp\n"
+        "2020-01-01 00:00:00+00:00,1.0\n"
+        "datetime,temp_recalibrated\n"
+        "2020-01-01 00:01:00+00:00,2.0\n"
+    )
+    dest = str(tmp_path / "lake")
+    ingest_directory(spark, "c1", str(src), dest)
+    rows = TimeseriesLake.open(spark, dest).df.collect()
+    assert {r.label for r in rows} == {"temp"}  # line-1 header, always
+    assert sorted(r.value for r in rows) == [1.0, 2.0]
+
+
+def test_scan_accepts_bare_string_uuid(spark, lake_dir):
+    """Review r14: a bare-string uuid — the natural single-stream call —
+    must scan that one stream, not be list()-exploded into characters
+    that silently match nothing."""
+    lake = TimeseriesLake.open(spark, lake_dir)
+    assert lake.scan(uuids=U1).count() == len(ROWS_1)
+    assert lake.scan(collections="bldg1", uuids=U2).count() == len(ROWS_2)
+
+
 def test_upsert_preserves_null_collection_partition(spark, tmp_path):
     """Review finding r8: isin(touched) never matches NULL, so existing
     rows of the __HIVE_DEFAULT_PARTITION__ were excluded from the merge
