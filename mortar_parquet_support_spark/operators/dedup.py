@@ -156,9 +156,16 @@ def minhash_signatures(
     through exact_dedup instead (they are literal duplicates of each
     other; near-dup machinery adds nothing).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # '' tokens filtered AFTER the split, matching word_shingles (the
+    # exact-Jaccard verify stage): F.trim strips only ASCII spaces, so a
+    # leading tab/newline yields a phantom '' token that would shift every
+    # shingle hash here while the verify stage scores the pair 1.0 —
+    # signature-vs-verify tokenization drift that nondeterministically
+    # loses true candidates (review r14). The emptiness guard is rlike
+    # for the same reason: '\t' passes trim(text) != ''.
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
     base = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
     ).select(F.col(id_col).alias("id"), words.alias("_w"))
     w = F.col("_w")
     n_shingles = F.greatest(F.size(w) - (shingle_words - 1), F.lit(1))
@@ -542,7 +549,11 @@ def simhash(
     Tokens -> xxhash64 -> per-bit weighted vote via higher-order functions:
     for each bit position the vote is Σ tokens (+1 if bit set else -1);
     fingerprint bit = vote > 0. Zero shuffle (pure projection)."""
-    tokens = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+    # same phantom-''-token discipline as minhash_signatures/word_shingles
+    # (trim is ASCII-space-only; a leading tab would vote as a token)
+    tokens = F.array_distinct(
+        F.filter(F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != "")
+    )
     hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
     bit_exprs = []
     for b in range(bits):
@@ -643,7 +654,10 @@ def simhash_dedup(
     # minhash_signatures: content-free text never participates in near-dup
     # candidacy (route it through exact_dedup).
     with_fp = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        # rlike, not trim != '': trim strips only ASCII spaces, so a
+        # corpus of tab/newline-only docs would bypass the guard and all
+        # share one fingerprint — the O(N^2) blowup it exists to prevent
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
     ).select(F.col(id_col).alias("id"), fp.alias("fp"))
     return fingerprint_band_pairs(
         with_fp,
@@ -697,7 +711,16 @@ def embedding_dedup(
     bucket = F.lit(0)
     for e in plane_bits:
         bucket = bucket + e
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+    # degenerate embeddings never enter candidacy: every NULL/empty vector
+    # falls through each plane's when() to bucket 0, so N failed-pipeline
+    # rows would self-join into ~N^2/2 pairs that only die AFTER cosine
+    # scoring (review r14 — semantic_dedup and the minhash/simhash legs
+    # all filter this class; this was the one sibling without the guard)
+    keyed = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+    )
     # barrier before the self-join (same reason as _banded_frame /
     # simhash_dedup): the n_planes-fold hyperplane aggregate is the
     # expensive expression, and an AQE broadcast of one leg would
@@ -915,8 +938,15 @@ def duplicate_spans(
     casefolded whitespace tokenization — the input to a span-removal or
     span-masking pass. The reference formulation builds a suffix array
     over the concatenated corpus (single-node); the distributed
-    re-expression is fixed-k shingle counting, which finds exactly the
-    duplicated substrings of length >= k at k-gram resolution.
+    re-expression is fixed-k shingle counting, which finds the
+    duplicated substrings of length >= k at k-gram resolution UP TO
+    60-bit hash collisions: grams are compared by ``md5_int``, so two
+    distinct grams colliding both count as duplicated. Expected false
+    marks ~ n_grams^2 / 2^61 — negligible through ~1e9 grams (<1 per
+    billion-gram corpus), and at 1e13 grams (~100 TB) ~4e7 token
+    positions, an ~4e-6 fraction of the corpus marked spuriously;
+    removal-style consumers that need exactness at that scale should
+    re-verify marked spans textually before deleting (review r14).
 
     Scale shape: shingles hash in-row to longs (md5_int — the shuffle
     carries 8-byte hashes, never text); ONE corpus-wide shuffle counts
@@ -1095,9 +1125,12 @@ def dedup_lines(
         F.col(id_col), F.posexplode("_lines").alias("_pos", "_line")
     )
     norm = F.trim(F.lower(F.col("_line"))) if normalize else F.col("_line")
-    # whitespace-only lines are structure in both modes: trim before the
-    # emptiness test even when the HASH is computed over the raw line
-    hashed = ex.filter(F.trim(F.col("_line")) != "").select(
+    # whitespace-only lines are structure in both modes — and "whitespace"
+    # must mean ALL of it: trim strips only ASCII spaces, so a '\t'
+    # indentation line would be hashed, counted, and deleted from every
+    # document once repeated min_count times (review r14); rlike(\S) keeps
+    # the docstring's promise for tabs/newlines too
+    hashed = ex.filter(F.col("_line").rlike(r"\S")).select(
         id_col, "_pos", md5_int(norm).alias("_h")
     )
     hashed = materialize(hashed, checkpoint_dir=checkpoint_dir)
@@ -1172,7 +1205,10 @@ def similarity_join(
     grows).
 
     Returns (``id_a``, ``id_b``, ``jaccard``) with id_a < id_b. NULL-text
-    documents carry no shingle set and never pair.
+    AND empty/whitespace-only documents never pair (the minhash contract:
+    content-free docs are literal duplicates of each other — exact_dedup's
+    job — and letting M of them collide on the [''] singleton shingle set
+    would emit C(M,2) pairs; review r14).
     """
     cand = similarity_join_candidates(
         df,
@@ -1205,7 +1241,15 @@ def similarity_join_candidates(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = F.lit(float(threshold))
-    sets = df.select(
+    # content-free docs never enter candidacy (the minhash contract):
+    # word_shingles gives every empty/whitespace-only doc the SAME ['']
+    # singleton set, so its prefix is the whole set, the length band (1
+    # vs 1) prunes nothing, and M empty docs would emit C(M,2) candidate
+    # AND output pairs — quadratic, on a class a cleaned web corpus hits
+    # by the millions (review r14). Route empties through exact_dedup.
+    sets = df.filter(
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
+    ).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_words).alias("sh"),
     ).filter(F.col("sh").isNotNull())

@@ -322,9 +322,15 @@ def cosine_topk_arrow(
 
 
 def _vec_dim(corpus: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality probed from one row (arrays are not
-    fixed-width in Spark's type system); 0 for an empty corpus."""
-    row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Vector dimensionality probed from one NON-NULL row (arrays are not
+    fixed-width in Spark's type system; a NULL first row would misreport
+    dim 0 and misroute the centroid-size decision); 0 for an empty or
+    all-NULL corpus."""
+    row = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     return int(row["d"]) if row is not None and row["d"] is not None else 0
 
 
@@ -810,7 +816,14 @@ class IvfIndex:
                 "an IvfSq8Index.load created it for cell probing) — score "
                 "through the owning IvfSq8Index instead"
             )
-        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        # degenerate query vectors never probe (the cosine_topk contract):
+        # on the driver-resident-centroid path a single NULL query would
+        # crash the whole Arrow ranking job in _vec_matrix — with an error
+        # blaming the corpus build — while the other paths degrade to NULL
+        # cosines; filtering here makes every path agree (review r14)
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).filter(F.col("q_vec").isNotNull() & (F.size("q_vec") > 0))
         probes = self._probes(q, nprobe)
         if "c_norm" in self.assigned.columns:
             # norms were precomputed at build: one fold per pair instead of
@@ -848,7 +861,16 @@ class IvfIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
         )
-        return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # NULL cosines (zero-norm corpus vectors in a probed cell) sort
+        # last under desc and are dropped AFTER ranking — real neighbors
+        # keep contiguous ranks and degenerate vectors never occupy a
+        # neighbor slot, exactly cosine_topk's contract (review r14: this
+        # is what keeps nprobe=n_list bit-equal to brute force)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .filter(F.col("cosine").isNotNull())
+        )
 
     def unpersist(self) -> None:
         if self._persisted:
@@ -1141,8 +1163,12 @@ class LshIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
         )
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+        # same degenerate-vector contract as cosine_topk / IvfIndex.topk:
+        # NULL cosines rank last, then drop — never a neighbor slot
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .filter(F.col("cosine").isNotNull())
         )
 
     def unpersist(self) -> None:

@@ -437,6 +437,81 @@ def test_minhash_dedup_matches_exact_pairs_on_fixture(spark, sf_dir):
     assert got == want, (got - want, want - got)
 
 
+def test_content_free_docs_never_enter_near_dup_candidacy(spark):
+    """Review r14: 'empty' must mean ALL whitespace, not just ASCII
+    spaces (F.trim strips only 0x20) — tab/newline-only docs previously
+    bypassed the minhash/simhash guards and all shared one signature
+    (the quadratic blowup the guards document), and similarity_join let
+    empty docs collide on the [''] singleton shingle set. A leading tab
+    must also not shift shingle hashes away from the exact-verify
+    tokenization (phantom '' token)."""
+    from mortar_parquet_support_spark.operators.dedup import (
+        embedding_dedup,
+        minhash_dedup,
+        similarity_join,
+        simhash_dedup,
+    )
+
+    rows = [(i, "\t") for i in range(6)] + [(6, "\n\n"), (7, "   ")] + [
+        (8, "alpha beta gamma delta"),
+        (9, "\talpha beta gamma delta"),  # leading tab: same content
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = minhash_dedup(df, id_col="doc_id", text_col="text", threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs == {(8, 9)}  # whitespace-only docs pair with NOTHING,
+    # and the tab-prefixed twin is found (no phantom-token drift)
+    sh = simhash_dedup(df, id_col="doc_id", text_col="text")
+    sh_pairs = {(r.id_a, r.id_b) for r in sh.collect()}
+    assert all(a >= 8 or b >= 8 for a, b in sh_pairs) or sh_pairs == set()
+    assert (8, 9) in sh_pairs  # identical tokens -> identical fingerprint
+    sj = similarity_join(df, id_col="doc_id", text_col="text", threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in sj.collect()} == {(8, 9)}
+
+    vecs = spark.createDataFrame(
+        [(0, None), (1, None), (2, []), (3, [1.0, 0.0]), (4, [1.0, 0.001])],
+        "id long, v array<double>",
+    )
+    ed = embedding_dedup(vecs, id_col="id", vec_col="v", threshold=0.9)
+    assert {(r.id_a, r.id_b) for r in ed.collect()} == {(3, 4)}
+
+
+def test_ivf_and_lsh_degenerate_vectors_follow_cosine_topk_contract(spark):
+    """Review r14: a NULL query embedding crashed the IVF driver-centroid
+    probe path outright, and zero-norm corpus vectors occupied ranked
+    neighbor slots with NULL cosine in IvfIndex/LshIndex.topk — both now
+    match cosine_topk (degenerates never rank, NULL queries yield no
+    rows)."""
+    from mortar_parquet_support_spark.operators.similarity import (
+        IvfIndex,
+        LshIndex,
+        cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(8)]
+        + [(8, [0.0, 0.0, 0.0, 0.0])],  # zero norm: NULL cosine
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, None)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex.build(corpus, n_list=2, persist=False)
+    got = idx.topk(queries, k=9, nprobe=2).collect()  # full probe = exact
+    assert all(r.cosine is not None for r in got)
+    assert {r.query_id for r in got} == {100}  # NULL query: no rows, no crash
+    exact = cosine_topk(corpus, queries, k=9).collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in exact
+    }
+    lsh = LshIndex.build(corpus, n_planes=2, persist=False)
+    lgot = lsh.topk(queries, k=9).collect()
+    assert all(r.cosine is not None for r in lgot)
+    idx.unpersist()
+    lsh.unpersist()
+
+
 def test_simhash_dedup(spark):
     words = [f"word{i}" for i in range(60)]
     base = " ".join(words)

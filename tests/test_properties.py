@@ -255,7 +255,13 @@ def test_similarity_join_lossless_property(spark, docs, t):
             df, id_col="doc_id", text_col="text", threshold=t
         ).collect()
     }
-    g = df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).filter(
+    # the brute-force reference applies the operator's content-free
+    # exclusion (r14): empty/whitespace-only docs never enter candidacy —
+    # they all share the [''] singleton shingle set, and pairing them is
+    # exact_dedup's job, not the near-dup join's
+    g = df.filter(
+        F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    ).select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).filter(
         F.col("sh").isNotNull()
     )
     a = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
