@@ -202,7 +202,7 @@ def _image_dedup(spark, sf_dir):
              THEN CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text)
              ELSE 0.0 END AS pr,
         CASE WHEN length(text) > 0
-             THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+             THEN CAST(len(regexp_extract_all(text, '\\p{N}')) AS DOUBLE) / length(text)
              ELSE 0.0 END AS dr,
         CASE WHEN len(w) > 0
              THEN CAST(len(list_filter(w, x -> list_contains(
@@ -274,7 +274,7 @@ def _curation_pipeline(spark, sf_dir):
                 THEN ROUND(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text), 6)
                 ELSE 0.0 END AS punct_ratio,
            CASE WHEN length(text) > 0
-                THEN ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 6)
+                THEN ROUND(CAST(len(regexp_extract_all(text, '\\p{N}')) AS DOUBLE) / length(text), 6)
                 ELSE 0.0 END AS digit_ratio
     FROM documents
     """,
@@ -339,7 +339,7 @@ def _text_langid(spark, sf_dir):
                   THEN CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text)
                   ELSE 0.0 END AS pr,
              CASE WHEN length(text) > 0
-                  THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+                  THEN CAST(len(regexp_extract_all(text, '\\p{N}')) AS DOUBLE) / length(text)
                   ELSE 0.0 END AS dr,
              CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
                   THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),

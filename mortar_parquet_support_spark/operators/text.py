@@ -59,8 +59,12 @@ def upper_ratio(text: Column) -> Column:
 
 
 def digit_ratio(text: Column) -> Column:
+    # \p{N}, not [0-9]: the ASCII class made non-ASCII digit spam
+    # (Arabic-Indic, Devanagari) invisible to the quality score — neither
+    # a digit NOR a punct penalty, since the punct class excludes \p{N}
+    # too — the same blind spot punct_ratio/upper_ratio already fixed
     n = F.length(text)
-    d = F.regexp_count(text, F.lit(r"[0-9]"))
+    d = F.regexp_count(text, F.lit(r"\p{N}"))
     return F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -221,7 +225,11 @@ def rolling_hash(text: Column, *, window: int = 16, mod: int = 1 << 31) -> Colum
             lambda acc, c: F.pmod(acc * 131 + c, F.lit(mod)),
         )
 
-    return F.array_min(F.transform(idx, gram_hash))
+    # NULL text -> NULL, not 0: coalesce absorbs the NULL chars, so every
+    # NULL doc would otherwise share fingerprint 0 with every empty doc —
+    # one giant false near-dup group (fingerprint() propagates NULL the
+    # same way; review r14)
+    return F.when(text.isNotNull(), F.array_min(F.transform(idx, gram_hash)))
 
 
 def analyze(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -410,11 +418,23 @@ def linear_classifier_score(
         # weights table carries out-of-range ids (a model trained with a
         # larger bucket count, concatenated model versions)
         fid = F.col(feature_col).cast("long")
+        seen: set = set()
         for r in (
             weights.select(fid.alias("f"), F.col(weight_col).cast("double"))
             .filter((F.col("f") >= 0) & (F.col("f") < n_buckets))
             .collect()
         ):
+            # duplicate ids must reject LOUDLY in BOTH paths: dict-style
+            # assignment here would keep an arbitrary row while the
+            # joined path FANS OUT on the duplicate (double-counted
+            # weight + inflated n_features) — the "two physical plans,
+            # same result" contract silently broken (review r14)
+            if r[0] in seen:
+                raise ValueError(
+                    f"duplicate feature id {r[0]} in weights — aggregate "
+                    "the model to one weight per feature before scoring"
+                )
+            seen.add(r[0])
             dense[r[0]] = r[1] if r[1] is not None else 0.0
         arr = F.lit(dense)
         grams = _hashed_gram_ids(
@@ -469,6 +489,22 @@ def linear_classifier_score(
         F.col(feature_col).cast("long").alias("__fid"),
         F.col(weight_col).cast("double").alias("__w"),
     )
+    # same loud duplicate rejection as the dense path (see above): the
+    # left join would fan out on a repeated feature id. One tiny
+    # aggregate job over the WEIGHTS table — bounded by n_buckets, not
+    # the corpus.
+    dup = (
+        w.groupBy("__fid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate feature id {dup[0][0]} in weights — aggregate "
+            "the model to one weight per feature before scoring"
+        )
     feats = staged_tokens(df, id_col=id_col, text_col=text_col).select(
         F.col(id_col),
         F.explode(
@@ -588,8 +624,14 @@ def unigram_logprob(
     tokens = df.select(
         F.col(id_col), F.explode(_lower_words(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
+    from mortar_parquet_support_spark.plans.hints import maybe_broadcast
+
     scored = (
-        tokens.join(F.broadcast(model), "token", "left")
+        # maybe_broadcast, not a forced hint: the model is VOCABULARY-
+        # sized, and a crawl-scale self-scoring corpus blows past the
+        # broadcast cap — the same shuffle fallback bigram_logprob's
+        # unigram leg already uses (review r14)
+        tokens.join(maybe_broadcast(model), "token", "left")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
@@ -645,6 +687,12 @@ def bigram_logprob(
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     train = train_df if train_df is not None else df
+    if id_col not in train.columns:
+        # the model build never uses doc ids (pairs reduce straight to
+        # (w1, w2) counts), so a text-only reference corpus must not be
+        # an accidental precondition failure (review r14); any unique id
+        # satisfies doc_pairs' projection
+        train = train.withColumn(id_col, F.monotonically_increasing_id())
 
     def doc_pairs(frame: DataFrame) -> DataFrame:
         arr = F.filter(_lower_words(F.col(text_col)), lambda w: w != "")
@@ -820,13 +868,21 @@ def train_linear_classifier(
                 ).alias("__dot")
             )
         )
-        resid = labels.join(scored, "__id", "left").select(
-            "__id",
-            (
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.coalesce("__dot", F.lit(0.0)))))
-                - F.col("__y")
-            ).alias("__r"),
+        # materialize: resid feeds TWO actions (the bias-gradient scalar
+        # and the weight-gradient aggregate), and lazily it would re-run
+        # the dominant per-iteration cost — the corpus-sized
+        # feats-join-weights scoring aggregate — once per consumer,
+        # doubling training cost (review r14). The cut stores n_docs rows.
+        resid = materialize(
+            labels.join(scored, "__id", "left").select(
+                "__id",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.coalesce("__dot", F.lit(0.0)))))
+                    - F.col("__y")
+                ).alias("__r"),
+            ),
+            checkpoint_dir=checkpoint_dir,
         )
         grads = (
             feats.join(resid, "__id")

@@ -114,9 +114,15 @@ def _run_to_memory(stream_df, *, output_mode: str) -> DataFrame:
     spark = stream_df.sparkSession
     try:
         q.awaitTermination()
-        from mortar_parquet_support_spark.functions import materialize
-
-        out = materialize(spark.table(name))
+        # localCheckpoint EXPLICITLY, not materialize(): these results are
+        # small bounded frames, and materialize upgrades to a RELIABLE
+        # checkpoint whenever any earlier call set a session checkpoint
+        # dir — reliable checkpoint files are never cleaned by the
+        # ContextCleaner (cleanCheckpoints defaults false), so repeated
+        # *_once calls would grow that dir without bound, the very
+        # session-lifetime leak this function exists to prevent
+        # (review r14)
+        out = spark.table(name).localCheckpoint(eager=True)
     finally:
         # drop even when the query FAILED — otherwise the uniquely-named
         # view and the MemorySink's buffered rows stay pinned in driver
@@ -639,40 +645,67 @@ def stream_heavy_hitters(
 
     keys = list(keys or [])
 
-    def _process(batch_df, batch_id):
+    staged_path = state_path.rstrip("/") + ".staged"
+
+    def _read_state(spark):
+        """The live state, falling back to the STAGED copy when the live
+        dir is missing: the state swap below is write-staged / delete-live
+        / rename-staged-in, and a crash between the delete and the rename
+        must surface the staged copy rather than silently restarting
+        every counter from zero (review r14 — mode('overwrite') straight
+        onto the live path had exactly that window). Reading the staged
+        copy during a replayed batch can overcount by one batch's worth,
+        which is this sink's documented at-least-once caveat, never a
+        reset."""
         from pyspark.errors import AnalysisException
 
+        for path in (state_path, staged_path):
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException as e:
+                # ONLY the path-not-found error class means "no state" —
+                # an empty/partially-written dir ("unable to infer
+                # schema") or a schema-mismatched one also raises
+                # AnalysisException, and swallowing those would silently
+                # restart every counter from zero (ADVICE r9).
+                cond = (
+                    e.getCondition()
+                    if hasattr(e, "getCondition")
+                    else e.getErrorClass()
+                )
+                if cond != "PATH_NOT_FOUND":
+                    raise
+        return None
+
+    def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
         summary = mg_rollup(batch_df, item=item, keys=keys, k=k)
-        try:
-            prev = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            # first batch: no state yet. ONLY the path-not-found error
-            # class means that — an empty/partially-written state dir
-            # ("unable to infer schema") or a schema-mismatched one also
-            # raises AnalysisException, and swallowing those would
-            # silently restart every counter from zero (ADVICE r9).
-            cond = (
-                e.getCondition()
-                if hasattr(e, "getCondition")
-                else e.getErrorClass()
-            )
-            if cond != "PATH_NOT_FOUND":
-                raise
-            prev = None
+        prev = _read_state(spark)
         if prev is not None:
             summary = summary.unionByName(prev)
         merged = mg_reaggregate(summary, group_cols=keys)
         rows = merged.collect()  # <= keys x k rows by construction
         from mortar_parquet_support_spark.functions import tiny_frame
+        from mortar_parquet_support_spark.sources.publish import _fs
 
         # single-slice driver frame, NOT createDataFrame(...).coalesce(1):
         # the coalesce pulls 32 python-RDD partitions through one task's
         # serial worker round-trips, ~3-6 s per micro-batch for <= keys x k
-        # rows (measured, tools/bench_streaming.py r12)
+        # rows (measured, tools/bench_streaming.py r12).
+        # Stage-then-swap, never overwrite-in-place: overwrite deletes the
+        # live state before the new files commit, and a crash inside that
+        # window looked exactly like "first batch" on restart (the silent
+        # zero-reset the PATH_NOT_FOUND guard was supposed to prevent).
         tiny_frame(spark, rows, merged.schema).write.mode(
             "overwrite"
-        ).parquet(state_path)
+        ).parquet(staged_path)
+        _jvm, fs, P = _fs(spark, state_path)
+        fs.delete(P(state_path), True)
+        if not fs.rename(P(staged_path), P(state_path)):
+            raise RuntimeError(
+                f"heavy-hitter state swap failed: {staged_path} -> "
+                f"{state_path} (staged copy intact)"
+            )
 
     return stream_df.writeStream.foreachBatch(_process)
 
@@ -738,15 +771,24 @@ def stream_drift_monitor(
         # branch would silently absorb the first two into a corrupt PSI
         # and an inf would crash _round_half_up mid-stream (review r11)
         raise ValueError("ref_props must be finite and non-negative")
-    if not ref_hi > ref_lo:
-        raise ValueError("need ref_hi > ref_lo")
-    width = (ref_hi - ref_lo) / bins
+    import math as _m
+
+    if not (_m.isfinite(ref_lo) and _m.isfinite(ref_hi)):
+        raise ValueError("ref_lo/ref_hi must be finite")
+    # a CONSTANT reference (hi <= lo) is a legal single-bin grid — the
+    # batch psi_drift and the per-key stream_drift_monitor_by both accept
+    # it (review r11 fixed this exact wiring-time crash in the sibling;
+    # review r14 aligned this leg): equi_bin puts everything in bin 0.
 
     def _process(batch_df, batch_id):
+        from mortar_parquet_support_spark.operators.profile import equi_bin
+
         spark = batch_df.sparkSession
         v = F.col(value).cast("double")
-        raw = F.floor((v - F.lit(ref_lo)) / F.lit(width)).cast("int")
-        b = F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
+        # THE shared bin expression (profile.equi_bin) — the hand-rolled
+        # floor/clamp copy here had already diverged from the batch leg
+        # on the constant-range guard (review r14)
+        b = equi_bin(v, F.lit(float(ref_lo)), F.lit(float(ref_hi)), bins)
         counts = {
             r["bin"]: r["n"]
             for r in batch_df.filter(v.isNotNull())
@@ -805,9 +847,9 @@ def stream_drift_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ref.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
     lo, hi = float(b["lo"]), float(b["hi"])
     bins = 10
-    width = (hi - lo) / bins
-    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
-    bin_col = F.greatest(F.least(raw, F.lit(bins - 1)), F.lit(0))
+    from mortar_parquet_support_spark.operators.profile import equi_bin
+
+    bin_col = equi_bin(v, F.lit(lo), F.lit(hi), bins)
     counts = {
         r["bin"]: r["n"]
         for r in ref.groupBy(bin_col.alias("bin"))

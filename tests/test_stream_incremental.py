@@ -322,9 +322,17 @@ def test_stream_drift_monitor_per_batch_psi(spark, tmp_path):
     assert psis[1] == (expect, 60)
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="ref_hi"):
+    # a CONSTANT reference (hi == lo) is a legal single-bin grid, same
+    # as batch psi_drift and the per-key monitor (review r14 aligned this
+    # leg — rejecting it crashed monitors at wiring time); non-finite
+    # bounds still reject loudly
+    assert stream_drift_monitor(
+        stream, value="v", ref_lo=1.0, ref_hi=1.0,
+        ref_props=[1.0], out_path=str(tmp_path / "const_out"),
+    ) is not None
+    with _pt.raises(ValueError, match="finite"):
         stream_drift_monitor(
-            stream, value="v", ref_lo=1.0, ref_hi=1.0,
+            stream, value="v", ref_lo=0.0, ref_hi=float("inf"),
             ref_props=[1.0], out_path=out,
         )
 
