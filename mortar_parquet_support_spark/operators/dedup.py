@@ -570,6 +570,34 @@ def simhash(
     return out
 
 
+def _validate_band_bits(band_bits: int) -> None:
+    """A band_bits that does not divide 64 would silently ignore the high
+    64 % band_bits fingerprint bits — pairs differing only there would be
+    missed with no error, voiding the Hamming-coverage guarantee."""
+    if not 1 <= band_bits <= 64 or 64 % band_bits != 0:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide 64: bands tile the "
+            "fingerprint exactly"
+        )
+
+
+def _band_array(fp, band_bits: int):
+    """THE 64-bit fingerprint band split — the bit-critical bucket-space
+    definition shared by the self-join (:func:`fingerprint_band_pairs`)
+    and the asymmetric between-frames leg (timeseries._band_pairs_between,
+    the anticorrelated screen). One spelling, so band layout can never
+    drift between legs (review r14; the r12 Pearson-aggregate rule)."""
+    n_bands = 64 // band_bits
+    return F.array(
+        *[
+            F.shiftrightunsigned(fp, b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def fingerprint_band_pairs(
     df: DataFrame,
     *,
@@ -586,28 +614,13 @@ def fingerprint_band_pairs(
     leg (multimodal.image_dedup over pHash, round 12). Returns
     (id_a, id_b, fp_a, fp_b); candidate generation is an equi-join on
     (band, key), never all-pairs."""
-    # a band_bits that does not divide 64 would silently ignore the high
-    # 64 % band_bits fingerprint bits — pairs differing only there would be
-    # missed with no error, voiding the Hamming-coverage guarantee
-    if not 1 <= band_bits <= 64 or 64 % band_bits != 0:
-        raise ValueError(
-            f"band_bits ({band_bits}) must divide 64: bands tile the "
-            "fingerprint exactly"
-        )
-    n_bands = 64 // band_bits
+    _validate_band_bits(band_bits)
     banded = df.select(
         F.col(id_col).alias("id"),
         F.col(fp_col).alias("fp"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(fp_col), b * band_bits).bitwiseAND(
-                        F.lit((1 << band_bits) - 1)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "key"),
+        F.posexplode(_band_array(F.col(fp_col), band_bits)).alias(
+            "band", "key"
+        ),
     )
     # same barrier as _banded_frame: both self-join legs consume the
     # fingerprint frame, and when AQE broadcasts one side the

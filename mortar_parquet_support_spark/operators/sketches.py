@@ -248,8 +248,6 @@ def qhist_quantiles(
     aggregate per group — two shuffles on the (tiny) state table, raw
     data untouched. ``bins_per_decade`` is ONLY for migrating state
     persisted before the ``bpd`` column existed (see _ensure_bpd)."""
-    from pyspark.sql import Window
-
     hist = _ensure_bpd(hist, bins_per_decade)
 
     # ascending VALUE order: sign first; within sign=-1 larger magnitude
@@ -289,11 +287,20 @@ def qhist_quantiles(
         # overshoot an exact integer rank (0.07 * 100 = 7.000000000000001)
         # and skip the bin that genuinely reaches it; the relative term
         # covers large totals where the product's ulp exceeds the absolute
-        # epsilon. Integer cum values make the nudge otherwise inert.
+        # epsilon. The nudge must stay BELOW 1 or it under-shoots the
+        # rank by a whole count and the quantile comes from the preceding
+        # bin (review r14: the old 1e-12 relative term reached 1 at
+        # n=1e12); 2^-50 is 4x the product's ulp and stays < 0.5 through
+        # n ~= 2^49 ~= 5.6e14 counts per group, where the least() cap
+        # takes over (beyond ~2^52 the counts themselves exceed exact
+        # double-integer range — re-aggregate per-subgroup histograms
+        # before querying quantiles at that scale).
         threshold = (
             F.lit(float(q)) * F.col("_total")
             - F.lit(_QHIST_EPS)
-            - F.lit(1e-12) * F.col("_total")
+            - F.least(
+                F.lit(0.5), F.lit(2.0 ** -50) * F.col("_total")
+            )
         )
         pick = F.min(
             F.when(
@@ -430,7 +437,12 @@ def cms_estimate(
     per_group: dict = {}
     for r in rows:
         per_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
-    mixed = sorted(g for g, ps in per_group.items() if len(ps) > 1)
+    # key=repr: group keys can be mutually unorderable (None vs str),
+    # and a bare sorted() would raise TypeError instead of the intended
+    # mixed-states ValueError (review r14)
+    mixed = sorted(
+        (g for g, ps in per_group.items() if len(ps) > 1), key=repr
+    )
     if mixed:
         raise ValueError(
             "cms_estimate: group(s) mix states built with different "
@@ -549,18 +561,13 @@ def mg_rollup(
     )
     def summarize(batches):
         state: dict = {}  # key tuple -> {item: cnt}
-        key_vals: dict = {}  # key tuple -> original typed values
-        first = None
         for batch in batches:
-            if first is None:
-                first = batch
             pdf = batch.to_pandas()
             if keys:
                 grouped = pdf.groupby(keys, dropna=False, sort=False)["__item"]
                 for gk, items_series in grouped:
                     gk = gk if isinstance(gk, tuple) else (gk,)
                     counters = state.setdefault(gk, {})
-                    key_vals.setdefault(gk, gk)
                     for it, c in items_series.value_counts().items():
                         counters[it] = counters.get(it, 0) + int(c)
                     state[gk] = _mg_trim(counters, k)

@@ -126,7 +126,13 @@ def asof_join(
     rc = {c: f"__rc_{c}" if c in left.columns else c for c in right_cols}
 
     lhs = left.withColumn("__side", F.lit(1))
-    rhs = right.select(
+    # NULL-ts right rows can never be "as of" anything — unfiltered, the
+    # backward window's ASC NULLS FIRST ordering would carry such a row's
+    # struct into every left row before the first real match, fabricating
+    # a match with matched_ts NULL (review r14; pd.merge_asof REJECTS
+    # NULL keys outright). NULL-ts LEFT rows stay (left-join semantics)
+    # and are forced to no-match below.
+    rhs = right.filter(F.col(ts).isNotNull()).select(
         *on,
         F.col(ts),
         *[F.col(c).alias(rc[c]) for c in right_cols],
@@ -224,19 +230,27 @@ def asof_join(
             repl[f"__rts_{sfx}"] = F.when(keep, F.col(f"__rts_{sfx}"))
         out = out.withColumns(repl)
 
+    # a NULL-ts LEFT row has no position on the as-of axis: whatever the
+    # window carried to it (forward's DESC ordering puts such rows LAST,
+    # where they'd see the final right row) is not a match (review r14)
+    left_has_ts = F.col(ts).isNotNull()
     if direction == "nearest":
         # pick whichever side is closer; ties go backward (pandas default)
         choose_b = F.col("__rts_b").isNotNull() & (
             F.col("__rts_f").isNull() | (deltas["b"] <= deltas["f"])
         )
         merged = {
-            f"__r_{c}": F.when(choose_b, F.col(f"__rb_{c}")).otherwise(
-                F.col(f"__rf_{c}")
+            f"__r_{c}": F.when(
+                left_has_ts,
+                F.when(choose_b, F.col(f"__rb_{c}")).otherwise(
+                    F.col(f"__rf_{c}")
+                ),
             )
             for c in right_cols
         }
-        merged["__r_ts"] = F.when(choose_b, F.col("__rts_b")).otherwise(
-            F.col("__rts_f")
+        merged["__r_ts"] = F.when(
+            left_has_ts,
+            F.when(choose_b, F.col("__rts_b")).otherwise(F.col("__rts_f")),
         )
         out = out.withColumns(merged).drop(
             *[f"__rb_{c}" for c in right_cols],
@@ -246,8 +260,11 @@ def asof_join(
         )
     else:
         sfx = "b" if direction == "backward" else "f"
-        merged = {f"__r_{c}": F.col(f"__r{sfx}_{c}") for c in right_cols}
-        merged["__r_ts"] = F.col(f"__rts_{sfx}")
+        merged = {
+            f"__r_{c}": F.when(left_has_ts, F.col(f"__r{sfx}_{c}"))
+            for c in right_cols
+        }
+        merged["__r_ts"] = F.when(left_has_ts, F.col(f"__rts_{sfx}"))
         out = out.withColumns(merged).drop(
             *[f"__r{sfx}_{c}" for c in right_cols], f"__rts_{sfx}"
         )
@@ -258,7 +275,20 @@ def asof_join(
     mts_name = "matched_ts"
     while mts_name in left.columns:
         mts_name = "right_" + mts_name
-    renames = {f"__r_{c}": f"right_{c}" if c in left.columns else c for c in right_cols}
+    renames = {}
+    for c in right_cols:
+        target = f"right_{c}" if c in left.columns else c
+        if target != c and target in left.columns:
+            # right_<c> already taken (a chained asof_join output) —
+            # emitting it anyway would duplicate the name and poison
+            # every downstream select with AMBIGUOUS_REFERENCE
+            # (review r14; matched_ts walks, value columns reject loudly)
+            raise ValueError(
+                f"asof_join output column {target!r} collides with an "
+                f"existing left column — rename {target!r} on the left "
+                f"(or {c!r} on the right) first"
+            )
+        renames[f"__r_{c}"] = target
     renames["__r_ts"] = mts_name
     drop = {rc[c] for c in right_cols} | {"__side"}
     return out.select(
@@ -371,6 +401,14 @@ def topk_per_group(
     'rn' would clobber a caller's column of that name); pass ``rank_col``
     to surface the 1-based rank under that name."""
     out = rank_col or "__rn"
+    if rank_col is None and "__rn" in df.columns:
+        # the internal helper would silently REPLACE (and then drop) a
+        # caller's __rn — the exact clobber the docstring warns about for
+        # a bare 'rn' (review r14; the seasonal operators' clash pattern)
+        raise ValueError(
+            "topk_per_group scratch column __rn already present — rename "
+            "it first, or pass rank_col="
+        )
     w = Window.partitionBy(*keys).orderBy(*order_by)
     ranked = df.withColumn(out, F.row_number().over(w)).filter(F.col(out) <= k)
     return ranked if rank_col else ranked.drop(out)
@@ -859,11 +897,23 @@ def merge_intervals(
             .otherwise(F.col(start)),
         )
     e = F.coalesce(F.col(end), F.col(start))
-    gap_expr = (
-        F.expr(f"INTERVAL {interval_seconds(gap)} SECOND")
-        if isinstance(gap, str)
-        else F.lit(gap)
+    from pyspark.sql import types as T
+
+    bounds_are_temporal = isinstance(
+        df.schema[start].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType),
     )
+    if isinstance(gap, str):
+        gap_expr = F.expr(f"INTERVAL {interval_seconds(gap)} SECOND")
+    elif bounds_are_temporal:
+        # a NUMERIC gap against temporal bounds means SECONDS: the
+        # default gap=0 must work on the headline timestamp case —
+        # F.lit(0) is an INT, and TIMESTAMP + INT fails analysis with an
+        # opaque DATATYPE_MISMATCH instead of merging touching islands
+        # (review r14)
+        gap_expr = F.expr(f"INTERVAL {float(gap)} SECOND")
+    else:
+        gap_expr = F.lit(gap)
     w = Window.partitionBy(*keys).orderBy(start, end)
     prev_cover = F.max(e).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -946,6 +996,22 @@ def coverage_gaps(
             )
         )
         out = out.unionByName(tail)
+    # CLAMP every gap to the reporting window: coverage lying (partly or
+    # wholly) outside [window_start, window_end] would otherwise extend
+    # gap bounds beyond the window — e.g. coverage ending at t=20 with a
+    # window opening at t=100 reported the gap as (20, 200), overstating
+    # downtime by 80 units (review r14). Without a window, interior gaps
+    # stay unclamped (there is nothing to clamp against).
+    if window_start is not None:
+        out = out.withColumn(
+            "gap_start", F.greatest(F.col("gap_start"), F.lit(window_start))
+        )
+    if window_end is not None:
+        out = out.withColumn(
+            "gap_end", F.least(F.col("gap_end"), F.lit(window_end))
+        )
+    if window_start is not None or window_end is not None:
+        out = out.filter(F.col("gap_end") > F.col("gap_start"))
     return out
 
 
@@ -1483,23 +1549,22 @@ def _band_pairs_between(left, left_fp: str, right, right_fp: str, band_bits: int
     """Hamming-band equi-join BETWEEN two fingerprint frames (both keyed
     ``__k``) — the asymmetric cousin of fingerprint_band_pairs' self-join,
     used by correlated_pairs' anticorrelated screen (orig vs complement).
-    Returns ordered (id_a, id_b) candidates."""
-    if not 1 <= band_bits <= 64 or 64 % band_bits != 0:
-        raise ValueError(f"band_bits ({band_bits}) must divide 64")
-    n_bands = 64 // band_bits
+    Returns ordered (id_a, id_b) candidates. The band split itself is
+    dedup._band_array — ONE spelling of the bucket space for every
+    banding leg (review r14)."""
+    from mortar_parquet_support_spark.operators.dedup import (
+        _band_array,
+        _validate_band_bits,
+    )
+
+    _validate_band_bits(band_bits)
 
     def _banded(df, fp):
         return df.select(
             F.col("__k").alias("id"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(F.col(fp), i * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        for i in range(n_bands)
-                    ]
-                )
-            ).alias("band", "bkey"),
+            F.posexplode(_band_array(F.col(fp), band_bits)).alias(
+                "band", "bkey"
+            ),
         )
 
     la, rb = _banded(left, left_fp).alias("a"), _banded(right, right_fp).alias("b")

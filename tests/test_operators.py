@@ -4849,6 +4849,82 @@ def test_timeseries_contract_guards_fail_loudly(spark):
         seasonal_anomalies(clean.withColumn("score", F.lit(0.0)), keys=["uuid"])
 
 
+def test_asof_join_null_timestamps_never_fabricate_matches(spark):
+    """Review r14: a NULL-ts right row sorted NULLS FIRST and its struct
+    was carried into every left row before the first real match —
+    fabricated data with matched_ts NULL (pd.merge_asof rejects NULL
+    keys outright). NULL-ts LEFT rows keep left-join semantics but must
+    never match either (forward's DESC ordering put them where they saw
+    the final right row)."""
+    from mortar_parquet_support_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2020-01-02 00:00:00"), ("k", None)], ["k", "time"]
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", None, 99.0), ("k", "2020-01-01 00:00:00", 1.0)],
+        ["k", "time", "price"],
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (str(r.time), r.price)
+            for r in asof_join(
+                left, right, on=["k"], ts="time", direction=direction
+            ).collect()
+        }
+        want_price = 1.0 if direction == "backward" else (
+            None if direction == "forward" else 1.0
+        )
+        assert ("None", None) in got  # NULL-ts left row: kept, unmatched
+        assert ("2020-01-02 00:00:00", want_price) in got, (direction, got)
+
+    # output-name collision with a chained-join column rejects loudly
+    chained = left.withColumn("price", F.lit(0.0)).withColumn(
+        "right_price", F.lit(0.0)
+    )
+    with pytest.raises(ValueError, match="right_price"):
+        asof_join(chained, right, on=["k"], ts="time")
+
+
+def test_merge_intervals_timestamp_bounds_default_gap(spark):
+    """Review r14: the default gap=0 failed analysis on timestamp bounds
+    (TIMESTAMP + INT) — the headline use case; a numeric gap now means
+    seconds there. Edge gaps also clamp to the reporting window."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        coverage_gaps,
+        merge_intervals,
+        topk_per_group,
+    )
+
+    iv = spark.createDataFrame(
+        [("x", "2020-01-01 00:00:00", "2020-01-01 01:00:00"),
+         ("x", "2020-01-01 01:00:00", "2020-01-01 02:00:00"),
+         ("x", "2020-01-01 03:00:00", "2020-01-01 04:00:00")],
+        ["k", "start", "end"],
+    ).select(
+        "k",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    got = merge_intervals(iv, keys=["k"]).orderBy("start").collect()
+    assert len(got) == 2  # touching intervals merge at the default gap
+    assert got[0].n_intervals == 2
+
+    # coverage outside the window must not extend gaps past it
+    num = spark.createDataFrame([("x", 10, 20)], ["k", "start", "end"])
+    gaps = coverage_gaps(
+        num, keys=["k"], window_start=100, window_end=200
+    ).collect()
+    assert [(g.gap_start, g.gap_end) for g in gaps] == [(100, 200)]
+
+    # topk_per_group scratch-column clash rejects loudly (r14)
+    with pytest.raises(ValueError, match="__rn"):
+        topk_per_group(
+            num.withColumn("__rn", F.lit(1)), keys=["k"],
+            order_by=["start"], k=1,
+        )
+
+
 def test_cusum_changepoints_detects_planted_shift(spark):
     """A planted +3-sigma mean shift must alarm on the HIGH side shortly
     after onset and never before; the pre-shift half stays quiet; a
