@@ -164,15 +164,25 @@ class Group:
 
     triples: list[Pattern] = field(default_factory=list)
     filters: list[FilterExpr] = field(default_factory=list)
-    optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
-    minuses: list["Group"] = field(default_factory=list)
     #: OPTIONAL / MINUS clauses in TEXTUAL order ("optional"/"minus", group):
     #: the spec's left-to-right algebra is order-sensitive when a MINUS
     #: written before an OPTIONAL shares a variable with it (review finding
     #: r8 — compiling all optionals first let the optional binding leak
-    #: into the MINUS compatibility domain)
+    #: into the MINUS compatibility domain). This is THE storage for both
+    #: kinds; ``optionals``/``minuses`` are derived views (review r14: the
+    #: old parallel lists had to be appended in lockstep at every parse
+    #: site — one missed append would silently desynchronize parsing from
+    #: compilation).
     opt_minus_order: list[tuple[str, "Group"]] = field(default_factory=list)
+
+    @property
+    def optionals(self) -> list["Group"]:
+        return [g for k, g in self.opt_minus_order if k == "optional"]
+
+    @property
+    def minuses(self) -> list["Group"]:
+        return [g for k, g in self.opt_minus_order if k == "minus"]
     #: (positive, group) — FILTER EXISTS {…} / FILTER NOT EXISTS {…}
     exists_filters: list[tuple[bool, "Group"]] = field(default_factory=list)
     graphs: list[tuple[Term, "Group"]] = field(default_factory=list)
@@ -690,7 +700,6 @@ class _SparqlParser:
                 self._next()
                 self._expect_punct("{")
                 og = self._parse_group()
-                group.optionals.append(og)
                 group.opt_minus_order.append(("optional", og))
                 self._expect_punct("}")
                 while self._peek() == ("punct", "."):
@@ -711,7 +720,6 @@ class _SparqlParser:
                 self._next()
                 self._expect_punct("{")
                 mg = self._parse_group()
-                group.minuses.append(mg)
                 group.opt_minus_order.append(("minus", mg))
                 self._expect_punct("}")
                 while self._peek() == ("punct", "."):
@@ -756,14 +764,23 @@ class _SparqlParser:
                     self._expect_punct("{")
                     alternatives.append(self._parse_group())
                     self._expect_punct("}")
-                if len(alternatives) == 1:
-                    # plain nested group: flatten into the parent
+                if len(alternatives) == 1 and not (
+                    alternatives[0].filters
+                    or alternatives[0].exists_filters
+                    or alternatives[0].binds
+                ):
+                    # plain nested group: flatten into the parent.
+                    # Groups carrying FILTERs or BINDs are NOT flattened —
+                    # their expressions scope to the inner group per the
+                    # spec (an inner FILTER(?x > 5) whose ?x binds only
+                    # OUTSIDE must evaluate against an unbound ?x, not the
+                    # outer binding hoisting would hand it; review r14) —
+                    # they compile as a single-branch union below, which
+                    # evaluates the group in its own scope then joins.
                     inner = alternatives[0]
                     group.triples.extend(inner.triples)
                     group.filters.extend(inner.filters)
-                    group.optionals.extend(inner.optionals)
                     group.unions.extend(inner.unions)
-                    group.minuses.extend(inner.minuses)
                     group.opt_minus_order.extend(inner.opt_minus_order)
                     group.exists_filters.extend(inner.exists_filters)
                     group.graphs.extend(inner.graphs)
@@ -1126,12 +1143,23 @@ class _SparqlParser:
             nkind, ntok = self._peek()
             if nkind == "word" and re.fullmatch(r"@[A-Za-z][A-Za-z0-9-]*", ntok):
                 self._next()  # "x"@en in a filter — tag dropped (TTL parity)
+            elif nkind == "punct" and ntok == "^":
+                # "5"^^xsd:integer in a FILTER — drop the datatype exactly
+                # like _parse_term does in triple/VALUES positions; the
+                # leftover '^' tokens previously aborted the whole query
+                # with "expected ')'" (review r14)
+                self._next()
+                self._expect_punct("^")
+                self._next()  # the datatype IRI / pname
             return Term("literal", _unescape_string(tok[1:-1]))
         if kind == "iriref":
             self._next()
             return Term("iri", tok[1:-1])
         if kind == "word":
-            if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", tok):
+            # true/false accepted exactly like _parse_term does in triple
+            # positions — the same literal must not work as an object but
+            # crash inside a FILTER (review r14)
+            if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?|true|false", tok):
                 self._next()
                 return Term("literal", tok)
             if self._having_aggs is not None and tok.lower() in self._AGG_FNS:
@@ -1172,27 +1200,14 @@ class _SparqlParser:
         raise SparqlUnsupported(f"unsupported FILTER term: {kind} {tok!r}")
 
 
-_STRING_ESCAPES = {
-    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
-    '"': '"', "'": "'", "\\": "\\",
-}
-
-
-def _unescape_string(body: str) -> str:
-    """SPARQL ECHAR/UCHAR decoding in one pass, IDENTICAL to the Turtle
-    loader's ``_Parser._unquote`` — the data stores real control
-    characters, so a FILTER literal written ``"a\\nb"`` must compare with
-    a real newline. The previous ``re.sub(r'\\\\(.)', r'\\1')`` turned
-    ``\\n``/``\\t``/``\\uXXXX`` into the literal letters (review finding
-    r8), silently matching nothing."""
-
-    def sub(m: "re.Match[str]") -> str:
-        esc = m.group(1)
-        if esc[0] in "uU":
-            return chr(int(esc[1:], 16))
-        return _STRING_ESCAPES.get(esc, "\\" + esc)
-
-    return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, body)
+# SPARQL ECHAR/UCHAR decoding must be byte-identical to the Turtle
+# loader's (the data stores REAL control characters, so a FILTER literal
+# written "a\nb" must compare with a real newline) — one shared decoder
+# instead of two hand-synchronized copies (review r14; the r8 finding
+# fixed the regex once, in both places).
+from mortar_parquet_support_spark.sources.ttl import (  # noqa: E402
+    decode_string_escapes as _unescape_string,
+)
 
 
 def parse_sparql(query: str) -> Query:
@@ -1309,12 +1324,20 @@ class SparqlEngine:
         self.shared_sites = list(shared_sites or [])
         self._union = self.triples.select("subject", "predicate", "object").distinct().cache()
         self._closures: dict[tuple, DataFrame] = {}
+        #: BIND aliases known to carry numeric values (they are
+        #: stringified for the uniform schema; ORDER BY casts them back
+        #: so the sort is numeric, not lexical — review r14). Reset per
+        #: sql() call: a stale entry from a previous query would cast a
+        #: later query's same-named STRING alias to double (NULLs) and
+        #: corrupt ITS sort.
+        self._numeric_bind_aliases: set[str] = set()
 
     # -- public API --
     def sql(self, query: str, *, site: str | None = None) -> DataFrame:
         """Run a SPARQL query; all result columns are strings (parity with
         the reference's stringified bindings, client.py:43,53)."""
         parsed = parse_sparql(query)
+        self._numeric_bind_aliases = set()  # per-query (see __init__)
         df = (
             self._union
             if site is None
@@ -1340,13 +1363,21 @@ class SparqlEngine:
                 key=site,
             )
         gvar = gterm.value
+        # the graph variable carries the reference's ``urn:{site}#`` IRI
+        # FROM THE SCOPE ON, not just in the final projection: an inner
+        # FILTER(?g = <urn:bldg1#>), a triple position using ?g, or a
+        # VALUES over ?g all compile against this column, and binding the
+        # raw site name here made every such comparison silently false
+        # (review r14)
+        giri = F.concat(F.lit("urn:"), F.col("site"), F.lit("#"))
         real = self.triples.filter(~F.col("site").isin(self.shared_sites))
-        out = real.select(F.col("site").alias(gvar), "subject", "predicate", "object")
+        out = real.select(giri.alias(gvar), "subject", "predicate", "object")
         if self.shared_sites:
             shared = self.triples.filter(F.col("site").isin(self.shared_sites))
             sites = real.select("site").distinct()
             replicated = shared.drop("site").crossJoin(F.broadcast(sites)).select(
-                F.col("site").alias(gvar), "subject", "predicate", "object"
+                F.concat(F.lit("urn:"), F.col("site"), F.lit("#")).alias(gvar),
+                "subject", "predicate", "object",
             )
             out = out.unionByName(replicated)
         return _Scope(out, extra=(gvar,))
@@ -1454,19 +1485,45 @@ class SparqlEngine:
         # dropDuplicates does not preserve an earlier order).
         from pyspark.sql.types import NumericType
 
-        numeric_src = {
-            f.name
-            for f in acc.schema.fields
-            if isinstance(f.dataType, NumericType)
-        } | numeric_aliases
-        out = acc.select(*[F.col(v).cast("string").alias(v) for v in out_vars])
+        numeric_src = (
+            {
+                f.name
+                for f in acc.schema.fields
+                if isinstance(f.dataType, NumericType)
+            }
+            | numeric_aliases
+            | self._numeric_bind_aliases
+        )
+        # ORDER BY may reference NON-projected variables (legal, common
+        # SPARQL: the spec orders the solution sequence BEFORE
+        # projection — review r14); carry such sort keys through the
+        # projection and drop them after the sort. DISTINCT + a
+        # non-projected sort key stays a loud error: the duplicate drop
+        # happens after projection, where the key is gone, and which
+        # surviving row's key orders the group is undefined.
+        sort_extras: list[str] = []
+        if q.order_by:
+            for var, _asc in q.order_by:
+                if var not in out_vars:
+                    if var not in bound:
+                        raise ValueError(
+                            f"ORDER BY variable ?{var} is not bound"
+                        )
+                    if q.distinct:
+                        raise ValueError(
+                            f"ORDER BY variable ?{var} not in SELECT "
+                            "DISTINCT — project it or drop DISTINCT"
+                        )
+                    sort_extras.append(var)
+        out = acc.select(
+            *[F.col(v).cast("string").alias(v) for v in out_vars],
+            *[F.col(v).cast("string").alias(v) for v in sort_extras],
+        )
         if q.distinct:
             out = out.dropDuplicates()
         if q.order_by:
             exprs = []
             for var, asc in q.order_by:
-                if var not in out_vars:
-                    raise ValueError(f"ORDER BY variable ?{var} not in SELECT")
                 key = (
                     F.col(var).cast("double") if var in numeric_src else F.col(var)
                 )
@@ -1476,6 +1533,10 @@ class SparqlEngine:
             out = out.offset(int(q.offset))
         if q.limit is not None:
             out = out.limit(int(q.limit))
+        if sort_extras:
+            # LIMIT/OFFSET already applied on the ordered frame; dropping
+            # the carried keys afterwards cannot reorder rows
+            out = out.select(*out_vars)
         if want_nullable:
             # which projected vars may carry null bindings out of this
             # (sub)query: group-level unbound vars; non-COUNT aggregates
@@ -1731,7 +1792,14 @@ class SparqlEngine:
                         self.triples.filter(
                             ~F.col("site").isin(self.shared_sites)
                         )
-                        .select(F.col("site").alias(gterm.value))
+                        .select(
+                            # the graph IRI, matching _graph_scope's
+                            # binding (the var holds urn:{site}# from the
+                            # scope on — review r14)
+                            F.concat(
+                                F.lit("urn:"), F.col("site"), F.lit("#")
+                            ).alias(gterm.value)
+                        )
                         .distinct()
                     )
                     gvars, gnullable = {gterm.value}, set()
@@ -1739,12 +1807,6 @@ class SparqlEngine:
                     # GRAPH <iri> {} is the unit solution when the graph
                     # exists: an existence gate with nothing to bind
                     continue
-            if gterm.kind == "var" and gterm.value in gdf.columns:
-                # bind the graph variable as the reference's graph IRI
-                gdf = gdf.withColumn(
-                    gterm.value,
-                    F.concat(F.lit("urn:"), F.col(gterm.value), F.lit("#")),
-                )
             merge_inner(gdf, gvars, gnullable)
         for alternatives in group.unions:
             udf, uvars, unullable = self._compile_union(alternatives, scope)
@@ -1814,6 +1876,14 @@ class SparqlEngine:
                 raise SparqlUnsupported(f"BIND to already-bound variable ?{var}")
             c = self._compile_filter(bexpr, bound)
             sn = _stringify_numeric(bexpr, c)
+            if sn is not None:
+                # remember this alias carries a NUMERIC value: the bind is
+                # stringified for the uniform graph schema, and without
+                # the record an ORDER BY DESC(?alias) would sort the
+                # strings lexically ('9' > '10') — the same r8 defect the
+                # SELECT-expression aliases already guard against
+                # (review r14 extended it to BINDs)
+                self._numeric_bind_aliases.add(var)
             acc = acc.withColumn(var, sn if sn is not None else c.cast("string"))
             bound = bound | {var}
             # a BIND value can be null (failed try_cast, division, an
@@ -2074,7 +2144,14 @@ class SparqlEngine:
                     hit = s.substr(F.lit(1), pos - 1)
                 else:
                     hit = s.substr(pos + len(sep), F.length(s))
-                return F.when(pos > 0, hit).otherwise(F.lit(""))
+                # NULL (unbound) input stays NULL: the otherwise('')
+                # branch would convert the spec's type error into an
+                # empty-string VALUE — FILTER(STRBEFORE(?unbound, "x") =
+                # "") kept rows the spec drops (review r14). A present
+                # string with no separator hit still yields '' (spec).
+                return F.when(s.isNull(), F.lit(None).cast("string")).when(
+                    pos > 0, hit
+                ).otherwise(F.lit(""))
             if name == "abs":
                 return F.abs(cargs[0].try_cast("double"))
             if name == "ceil":

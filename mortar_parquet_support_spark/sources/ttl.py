@@ -157,6 +157,27 @@ def _rfc3986_resolve(base: str, ref: str) -> str:
     return scheme + ":" + b_auth + t_path + r_query + r_frag
 
 
+_STRING_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def decode_string_escapes(body: str) -> str:
+    """THE ECHAR/UCHAR string-escape decoder — shared by the Turtle
+    loader and the SPARQL compiler's FILTER-literal parser, which MUST
+    decode byte-identically for literals to compare equal to stored TTL
+    values (review r14: the two hand-synchronized copies are now one)."""
+
+    def sub(m: "re.Match[str]") -> str:
+        esc = m.group(1)
+        if esc[0] == "u" or esc[0] == "U":
+            return chr(int(esc[1:], 16))
+        return _STRING_ESCAPES.get(esc, "\\" + esc)
+
+    return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, body)
+
+
 @dataclass
 class _Parser:
     text: str
@@ -234,7 +255,12 @@ class _Parser:
 
     def _fresh_bnode(self) -> str:
         self._bnode_n += 1
-        return f"_:{self.site}:gen{self._bnode_n}"
+        # '#' cannot appear in a Turtle BLANK_NODE_LABEL, so generated
+        # anonymous-node names can never collide with a document's OWN
+        # labeled bnode (a file containing '_:gen1' plus one anonymous
+        # [ ... ] node previously merged two distinct RDF nodes into one
+        # — fabricated matches; review r14)
+        return f"_:{self.site}:#gen{self._bnode_n}"
 
     # -- term expansion ---------------------------------------------------
     def _expand_pname(self, tok: str) -> str:
@@ -248,11 +274,6 @@ class _Parser:
         local = re.sub(r"\\(.)", r"\1", local)  # PN_LOCAL_ESC
         return self.prefixes[prefix] + local
 
-    _STRING_ESCAPES = {
-        "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
-        '"': '"', "'": "'", "\\": "\\",
-    }
-
     @classmethod
     def _unquote(cls, tok: str) -> str:
         """Decode Turtle string escapes in ONE pass. Sequential
@@ -263,14 +284,7 @@ class _Parser:
         escapes, which were previously left as raw text."""
         triple = tok.startswith('"""') or tok.startswith("'''")
         body = tok[3:-3] if triple else tok[1:-1]
-
-        def sub(m: "re.Match[str]") -> str:
-            esc = m.group(1)
-            if esc[0] == "u" or esc[0] == "U":
-                return chr(int(esc[1:], 16))
-            return cls._STRING_ESCAPES.get(esc, "\\" + esc)
-
-        return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, body)
+        return decode_string_escapes(body)
 
     # -- grammar ----------------------------------------------------------
     def parse(self) -> list[tuple[str, str, str, str]]:

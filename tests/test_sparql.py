@@ -1190,16 +1190,25 @@ def test_cycle_path_same_var(spark):
 
 
 def test_graph_var_reused_in_pattern(spark):
-    """GRAPH ?g { ?g ?p ?o } is legal: the graph var doubles as subject."""
+    """GRAPH ?g { ?g ?p ?o } is legal: the graph var doubles as subject —
+    and ?g holds ONE value, the graph IRI urn:{site}#, in every position
+    (review r14: it previously matched the raw site name inside the
+    pattern while reporting the IRI in the projection, so an inner
+    FILTER(?g = <urn:g1#>) was silently false)."""
     eng = _mini_engine(
         spark,
-        {"g1": [("g1", "urn:p", "urn:o", "iri")],
+        {"g1": [("urn:g1#", "urn:p", "urn:o", "iri")],
          "g2": [("urn:s", "urn:p", "urn:o", "iri")]},
     )
     q = "SELECT ?g ?o WHERE { GRAPH ?g { ?g ?p ?o } }"
-    # only g1 has a subject equal to its own site name
+    # only g1 has a subject equal to its own graph IRI
     got = {(r.g, r.o) for r in eng.sql(q).collect()}
     assert got == {("urn:g1#", "urn:o")}
+
+    # the value is consistent for inner FILTERs too
+    q2 = """SELECT ?s WHERE {
+        GRAPH ?g { ?s <urn:p> <urn:o> FILTER(?g = <urn:g2#>) } }"""
+    assert {r.s for r in eng.sql(q2).collect()} == {"urn:s"}
 
 
 def test_paren_negated_set_modifier_raises_unsupported():
@@ -1735,3 +1744,107 @@ def test_whitespace_free_numeric_comparisons_lex(spark):
     q = ("SELECT ?s WHERE { ?s <urn:x#a> ?x ; <urn:x#b> ?y . "
          "FILTER(?x<2&&?y>1) }")
     assert eng.sql(q).count() == 1
+
+
+def test_filter_typed_and_boolean_literals(spark):
+    """Review r14: "5"^^xsd:integer and bare true/false were accepted in
+    triple/VALUES positions but aborted the parse inside FILTER/BIND."""
+    eng = _mini_engine(
+        spark,
+        {"s": [("urn:a", "urn:v", "5", "literal"),
+               ("urn:b", "urn:flag", "true", "literal")]},
+    )
+    q = ('PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+         'SELECT ?s WHERE { ?s <urn:v> ?x FILTER(?x = "5"^^xsd:integer) }')
+    assert {r.s for r in eng.sql(q).collect()} == {"urn:a"}
+    q2 = "SELECT ?s WHERE { ?s <urn:flag> ?f FILTER(?f = true) }"
+    assert {r.s for r in eng.sql(q2).collect()} == {"urn:b"}
+
+
+def test_order_by_non_projected_and_bind_numeric(spark):
+    """Review r14: ORDER BY on a non-projected variable is legal (the
+    spec orders before projection), and a numeric BIND alias must sort
+    numerically ('9' < '10'), not lexically."""
+    eng = _mini_engine(
+        spark,
+        {"s": [("urn:a", "urn:v", "5", "literal"),
+               ("urn:b", "urn:v", "9", "literal"),
+               ("urn:c", "urn:v", "2", "literal")]},
+    )
+    rows = eng.sql(
+        "SELECT ?s WHERE { ?s <urn:v> ?x } ORDER BY DESC(?x) LIMIT 1"
+    ).collect()
+    assert [r.s for r in rows] == ["urn:b"]
+    assert rows[0].asDict().keys() == {"s"}  # sort key not projected
+    rows2 = eng.sql(
+        "SELECT ?s ?y WHERE { ?s <urn:v> ?x BIND(?x * 2 AS ?y) } "
+        "ORDER BY DESC(?y) LIMIT 1"
+    ).collect()
+    assert rows2[0].s == "urn:b" and rows2[0].y == "18"  # 18 > 10 > 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="DISTINCT"):
+        eng.sql(
+            "SELECT DISTINCT ?s WHERE { ?s <urn:v> ?x } ORDER BY ?x"
+        )
+
+
+def test_nested_group_filter_scopes_to_its_group(spark):
+    """Review r14: { ?s :p ?x { ?s :q ?y FILTER(?x > 5) } } — the inner
+    FILTER's ?x is out of scope per the spec (error -> false), so the
+    query is empty; flattening previously hoisted the filter into the
+    parent where the outer ?x satisfied it."""
+    eng = _mini_engine(
+        spark,
+        {"s": [("urn:a", "urn:p", "9", "literal"),
+               ("urn:a", "urn:q", "1", "literal")]},
+    )
+    q = ("SELECT ?s WHERE { ?s <urn:p> ?x "
+         "{ ?s <urn:q> ?y FILTER(?x > 5) } }")
+    # the engine's strictness contract: an out-of-scope filter variable
+    # rejects LOUDLY (the spec's silent error->false is arguably worse
+    # for a user who mis-scoped a filter); what must never happen is the
+    # old behavior — hoisting the filter into the parent where the outer
+    # ?x binding satisfied it and rows silently flowed
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unbound"):
+        eng.sql(q).collect()
+    # without the out-of-scope filter the join itself matches
+    q2 = "SELECT ?s WHERE { ?s <urn:p> ?x { ?s <urn:q> ?y } }"
+    assert eng.sql(q2).count() == 1
+
+
+def test_strbefore_strafter_null_propagates(spark):
+    """Review r14: STRBEFORE/STRAFTER of an unbound (NULL) input is a
+    type error per spec — the engine must yield NULL (unbound), never
+    the '' a no-hit on a PRESENT string yields."""
+    eng = _mini_engine(
+        spark,
+        {"s": [("urn:a", "urn:t", "x-y", "literal"),
+               ("urn:b", "urn:other", "z", "literal")]},
+    )
+    q = ("SELECT ?s ?b WHERE { ?s ?p ?o "
+         "OPTIONAL { ?s <urn:t> ?t } BIND(STRBEFORE(?t, \"-\") AS ?b) }")
+    got = {(r.s, r.b) for r in eng.sql(q).collect()}
+    assert ("urn:a", "x") in got
+    assert ("urn:b", None) in got  # unbound in, unbound out — never ''
+
+
+def test_ttl_generated_bnodes_cannot_collide_with_labeled(spark):
+    """Review r14: a document's OWN label '_:gen1' must stay distinct
+    from the first anonymous [ ... ] node (their skolem names previously
+    collided, merging two RDF nodes)."""
+    from mortar_parquet_support_spark.sources.ttl import parse_ttl
+
+    ttl = (
+        "@prefix x: <urn:x#> .\n"
+        "_:gen1 x:kind x:labeled .\n"
+        "x:s x:attached [ x:kind x:anon ] .\n"
+    )
+    triples = parse_ttl(ttl, "s")
+    subjects_by_kind = {}
+    for _site, s, p, o, _k in triples:
+        if p == "urn:x#kind":
+            subjects_by_kind[o] = s
+    assert subjects_by_kind["urn:x#labeled"] != subjects_by_kind["urn:x#anon"]
