@@ -110,14 +110,24 @@ class Client:
     # ------------------------------------------------------------------
     # Composite graph->data queries (client.py:65-109)
     # ------------------------------------------------------------------
-    def _uuid_ids_df(self, sparql_result: DataFrame) -> DataFrame:
+    def _uuid_ids_df(
+        self, sparql_result: DataFrame, *, has_provenance: bool
+    ) -> DataFrame:
         """O3 quirk parity, kept LAZY: harvest the UUID candidates from EVERY
         result column, not just the id variable (client.py:69), then keep only
         UUID-shaped strings (P9 filters what the reference would pass as
         garbage into the isin). Returns an unexecuted single-column ``uuid``
         DataFrame so the huge-id-set path never round-trips ids through the
-        driver."""
-        cols = [c for c in sparql_result.columns if c != "site"]
+        driver. The ``site`` column is excluded ONLY when it is the
+        provenance column sites=[...] added — with sites=None a column
+        named site is the user's own query variable and may bind stream
+        UUIDs the reference's every-column harvest would take
+        (review r14)."""
+        cols = [
+            c
+            for c in sparql_result.columns
+            if not (has_provenance and c == "site")
+        ]
         stacked = sparql_result.select(
             # LOWERCASE the harvest: ingest stores uuid lowercased
             # (ingest.py F.lower on the filename stem), and isin/semi-join
@@ -145,7 +155,7 @@ class Client:
         if self.lake is None:
             raise RuntimeError("no lake opened")
         res = self.sparql(sparql, sites=sites)
-        ids_df = self._uuid_ids_df(res)
+        ids_df = self._uuid_ids_df(res, has_provenance=sites is not None)
         # One bounded job picks the branch: materialize at most IN_LIST_MAX+1
         # ids. Small sets (the common case) are fully in hand already — reuse
         # them as the pruning IN-list with no second execution. Larger sets

@@ -100,6 +100,30 @@ def _csv_cell_formatter(schema, session_tz: str):
         s = v.astimezone(out_tz).isoformat(timespec="milliseconds")
         return s[:-6] + "Z" if s.endswith("+00:00") else s
 
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        FloatType,
+        MapType,
+        StructType,
+    )
+
+    # the LOCAL-master path fails loudly on these (Spark's CSV source
+    # rejects complex/binary columns); the driver-link path must not
+    # silently write Python reprs instead — error-vs-garbage is the worst
+    # way for the two paths to diverge (review r14)
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+    ]
+    if bad:
+        raise ValueError(
+            f"CSV does not support column(s) {bad} (array/map/struct/"
+            "binary) — cast or drop them first (Spark's own CSV writer "
+            "rejects them too)"
+        )
+
     formatters = {}
     for i, field in enumerate(schema.fields):
         if isinstance(field.dataType, TimestampType):
@@ -108,6 +132,13 @@ def _csv_cell_formatter(schema, session_tz: str):
             formatters[i] = lambda v: v.isoformat(timespec="milliseconds")
         elif isinstance(field.dataType, DateType):
             formatters[i] = lambda v: v.isoformat()
+        elif isinstance(field.dataType, FloatType):
+            # Float.toString semantics, NOT Double.toString: Spark renders
+            # float columns with shortest-round-trip digits at FLOAT
+            # precision ('0.1'), while the Python row value is the widened
+            # double (0.10000000149011612) — rendering that as a double
+            # diverges on every non-exact float (review r14)
+            formatters[i] = _java_float_repr
 
     def cell(i, v):
         if v is None:
@@ -144,6 +175,17 @@ def _java_double_repr(v: float) -> str:
     t = Decimal(repr(abs(v))).as_tuple()
     digits = "".join(map(str, t.digits))
     adj = t.exponent + len(digits) - 1
+    return _format_java_digits(sign, digits, adj)
+
+
+def _format_java_digits(sign: str, digits: str, adj: int) -> str:
+    """Render shortest-round-trip ``digits`` (value = 0.D1D2... * 10^(adj+1))
+    with Java's Double/Float.toString formatting rules — the shared tail of
+    the double and float renderers. Trailing zeros in the digit string are
+    dropped FIRST: Python's positional repr of e.g. 1e7 ('10000000.0')
+    carries them, and Java prints '1.0E7', never '1.00000000E7'
+    (review r14)."""
+    digits = digits.rstrip("0") or "0"
     if -3 <= adj < 7:
         if adj >= 0:
             ip = digits[: adj + 1].ljust(adj + 1, "0")
@@ -152,6 +194,29 @@ def _java_double_repr(v: float) -> str:
         return sign + "0." + "0" * (-adj - 1) + digits
     mant = digits[0] + "." + (digits[1:] or "0")
     return f"{sign}{mant}E{adj}"
+
+
+def _java_float_repr(v: float) -> str:
+    """Java ``Float.toString`` rendering: shortest digits that round-trip
+    at FLOAT32 precision, with the same plain/scientific formatting rules
+    as the double renderer. The driver link hands float columns over as
+    widened Python doubles, so the shortest float32 decimal comes from
+    numpy's unique (shortest round-trip) formatter."""
+    import math
+
+    import numpy as np
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    sign = "-" if math.copysign(1.0, v) < 0 else ""
+    if v == 0.0:
+        return sign + "0.0"
+    s = np.format_float_scientific(np.float32(abs(v)), unique=True)
+    mant, _, exp = s.partition("e")
+    digits = mant.replace(".", "").rstrip("0") or "0"
+    return _format_java_digits(sign, digits, int(exp))
 
 
 def _spark_csv_line(cells) -> str:
@@ -168,7 +233,13 @@ def _spark_csv_line(cells) -> str:
         elif s == "":
             out.append('""')
         elif any(ch in s for ch in (",", '"', "\n", "\r")):
-            out.append('"' + s.replace('"', '\\"') + '"')
+            # inside a quoted field the ESCAPE character itself must be
+            # escaped too: '"a,b\\"' would let the raw backslash eat the
+            # closing quote under Spark's escape='\\' reader — Spark's own
+            # writer doubles it (review r14)
+            out.append(
+                '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            )
         else:
             out.append(s)
     return ",".join(out) + "\n"

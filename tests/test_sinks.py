@@ -366,6 +366,51 @@ def test_csv_cell_formatter_matches_spark_csv_writer(spark, tmp_path):
     )
 
 
+def test_csv_driver_link_float_backslash_and_sci_parity(spark, tmp_path):
+    """Review r14: three byte-parity divergences on the driver-link CSV
+    path — integral doubles in [1e7,1e16) rendered '1.00000000E7' (Java:
+    '1.0E7'), FloatType columns rendered at double precision
+    ('0.10000000149011612' vs Spark's '0.1'), and a backslash inside a
+    quoted field was left unescaped (structurally invalid under Spark's
+    escape='\\\\' reader). Also: complex/binary columns must fail loudly
+    like the local-master path, never write Python reprs."""
+    import glob
+
+    from mortar_parquet_support_spark.sources.sinks import (
+        _csv_cell_formatter,
+        _java_double_repr,
+        _java_float_repr,
+        _spark_csv_line,
+    )
+
+    rows = [
+        (1e7, 0.1, "a,b\\"),
+        (1.6e15, 3.14, "plain\\back"),
+        (5.0, 0.25, 'quote"x'),
+        (1e16, 1.5e38, ""),
+    ]
+    df = spark.createDataFrame(rows, "d double, f float, s string")
+    out = str(tmp_path / "spark_csv")
+    df.coalesce(1).write.csv(out)
+    spark_lines = sorted(
+        open(glob.glob(out + "/part-*")[0]).read().splitlines()
+    )
+    ours = sorted(
+        _spark_csv_line(
+            [_java_double_repr(d), _java_float_repr(f), s]
+        ).rstrip("\n")
+        for d, f, s in rows
+    )
+    assert ours == spark_lines
+
+    import pytest
+
+    with pytest.raises(ValueError, match="array"):
+        _csv_cell_formatter(
+            spark.createDataFrame([([1, 2],)], "a array<int>").schema, "UTC"
+        )
+
+
 def test_to_batches_rejects_unreadable_spill_scheme(spark, tmp_path):
     """Review finding r8: an hdfs:// / abfss:// spill_dir would spill,
     crash the driver-side PyArrow read, and delete the spill. Rejected

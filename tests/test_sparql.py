@@ -1482,8 +1482,16 @@ def test_uuid_harvest_lowercases_for_lake_match(spark):
         [("6AF4ADB2-0000-0000-0000-0000000000AB", "not-a-uuid")],
         ["id", "other"],
     )
-    got = [r.uuid for r in c._uuid_ids_df(res).collect()]
+    got = [r.uuid for r in c._uuid_ids_df(res, has_provenance=False).collect()]
     assert got == ["6af4adb2-0000-0000-0000-0000000000ab"]
+
+    # review r14: with sites=None a column NAMED site is the user's own
+    # variable and must be harvested; only the provenance column is skipped
+    res2 = spark.createDataFrame(
+        [("6af4adb2-0000-0000-0000-0000000000ab",)], ["site"]
+    )
+    assert c._uuid_ids_df(res2, has_provenance=False).count() == 1
+    assert c._uuid_ids_df(res2, has_provenance=True).count() == 0
 
 
 def test_sparql_sites_rejects_site_variable_collision(spark, tmp_path):
