@@ -126,6 +126,16 @@ def fuzzy_key_map(
             f"dist_col {dist_col!r} collides with a key column; the "
             "distance would silently overwrite that key"
         )
+    reserved = {"__v", "__va", "__d1"}
+    bad = reserved & {left_on, right_on}
+    if bad:
+        # the variant explode writes these scratch names via withColumn,
+        # which would CLOBBER a same-named key column and emit mapping
+        # rows whose key never existed in the input (review r14)
+        raise ValueError(
+            f"key column(s) {sorted(bad)} collide with fuzzy_key_map's "
+            "scratch columns — alias them first"
+        )
     # _q-escaped refs, never bare F.col(name) (or df[name], which parses
     # the same way): key names with dots/spaces/backticks must resolve
     # literally (review finding).

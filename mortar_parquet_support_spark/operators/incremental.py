@@ -689,6 +689,19 @@ def incremental_dedup(
     """
     from pyspark.sql.functions import pandas_udf
 
+    # withColumn silently REPLACES, and the final drop would then remove a
+    # USER column — reject the clash loudly (the module-wide guard
+    # pattern; review r14)
+    clash = [
+        c
+        for c in ("__digest", "__shard", "__h1", "__h2", "__maybe")
+        if c in batch.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"incremental_dedup scratch column(s) already present: {clash} "
+            "— rename them first"
+        )
     work = batch.withColumn("__digest", digest.cast("string")).withColumn(
         "__shard", _shard_col(F.col("__digest"), index.n_shards)
     )
@@ -726,8 +739,19 @@ def incremental_dedup(
             out[sel] = hit
         return pd.Series(out)
 
-    tested = work.withColumn(
-        "__maybe", maybe_seen(F.col("__shard"), F.col("__h1"), F.col("__h2"))
+    from mortar_parquet_support_spark.functions import materialize
+
+    # BARRIER: `tested` feeds TWO consumers (the broadcast candidate
+    # subtree and the anti-join probe side), and lazily the whole batch
+    # scan + digest + Bloom pandas UDF would execute once per consumer —
+    # measured: 2x batch rows scanned, two ArrowEvalPython nodes in the
+    # plan (review r14; the localCheckpoint discipline DigestIndex.add
+    # and MinHashIndex.matches already follow)
+    tested = materialize(
+        work.withColumn(
+            "__maybe",
+            maybe_seen(F.col("__shard"), F.col("__h1"), F.col("__h2")),
+        )
     )
     # Null digests produce null __maybe under the null-safe & above? No:
     # xxhash64(NULL) is non-null (seed-only hash), so nulls DO reach the

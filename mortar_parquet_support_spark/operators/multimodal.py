@@ -186,12 +186,21 @@ def extract_features(
                         feats.append(_image_decode(content, n_features))
                     elif modality == "audio" and decode_fn == "real":
                         # REAL for PCM WAV via the stdlib wave module
-                        # (operators/audio.py); compressed audio raises
+                        # (operators/audio.py); compressed audio raises.
+                        # NULL content degrades to the zero vector exactly
+                        # like the image branch — bytes(None) inside
+                        # wav_features is a TypeError outside its
+                        # wave.Error handler and killed the whole job on
+                        # one missing blob (review r14)
                         from mortar_parquet_support_spark.operators.audio import (
                             wav_features,
                         )
 
-                        feats.append(wav_features(content, n_features))
+                        feats.append(
+                            [0.0] * n_features
+                            if content is None
+                            else wav_features(content, n_features)
+                        )
                     else:
                         # STUB for 'real' (video needs pyav/ffmpeg — not in
                         # this container; Arrow plumbing is real) — and the
@@ -421,6 +430,13 @@ def image_dedup(
     Scale shape: one Python decode pass for the 64-bit hashes (8 bytes a
     row no matter the image size), then the equi-join candidate pipeline
     — never all-pairs, no image bytes ever shuffle."""
+    from mortar_parquet_support_spark.operators.dedup import (
+        _validate_band_bits,
+    )
+
+    # validate BEFORE the guarantee arithmetic: band_bits=0 would
+    # ZeroDivisionError on the next line with no mention of the contract
+    _validate_band_bits(band_bits)
     if 64 // band_bits - 1 < max_distance:
         raise ValueError(
             f"band_bits={band_bits} gives {64 // band_bits} bands, "

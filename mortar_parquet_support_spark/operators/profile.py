@@ -175,15 +175,28 @@ def histogram(
     half-open everywhere else — numpy.histogram semantics)."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    if isinstance(keys, str):
+        # list('src') would group by columns 's','r','c' — the same guard
+        # skew_report already carries (review r14)
+        raise TypeError("keys must be a sequence of column names, not a str")
     keys = list(keys)
     v = F.col(value).cast("double")
-    bounds = df.filter(v.isNotNull()).groupBy(*keys).agg(
+    # NULL group keys are EXCLUDED, by contract: the bounds broadcast
+    # joins back on key equality, which never matches NULL — the rows
+    # would silently vanish mid-plan (review r14); excluding them up
+    # front makes the behavior explicit and symmetric. The NULL-keyed
+    # slice is skew_report/null_report territory, or one
+    # coalesce(key, '<NULL>') away for callers that want it binned.
+    base = df.filter(v.isNotNull())
+    for k in keys:
+        base = base.filter(F.col(k).isNotNull())
+    bounds = base.groupBy(*keys).agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
     joined = (
-        df.filter(v.isNotNull()).join(maybe_broadcast(bounds), keys)
+        base.join(maybe_broadcast(bounds), keys)
         if keys
-        else df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
+        else base.crossJoin(F.broadcast(bounds))
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
     raw_bin = F.floor((v - F.col("__lo")) / width).cast("int")
@@ -249,16 +262,11 @@ def psi_drift(
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
 
     def bucketed(df: DataFrame, side: str) -> DataFrame:
-        if hi <= lo:
-            b = F.lit(0)
-        else:
-            width = F.lit((hi - lo) / bins)
-            raw = F.floor((v - F.lit(lo)) / width).cast("int")
-            # clamp BOTH edges: out-of-reference-range current values
-            # must be counted as edge-bin drift, not dropped
-            b = F.greatest(
-                F.least(raw, F.lit(bins - 1)), F.lit(0)
-            )
+        # THE shared bin expression — this function carried its own copy
+        # with the identical cast-then-clamp overflow bug equi_bin just
+        # fixed, the exact divergence equi_bin exists to prevent
+        # (review r14)
+        b = equi_bin(v, F.lit(lo), F.lit(hi), bins)
         return (
             df.filter(v.isNotNull())
             .groupBy(b.alias("bin"))
@@ -376,10 +384,20 @@ def equi_bin(v, lo, hi, bins):
     single-bin grid psi_drift_by documents for constant groups."""
     nb = F.lit(float(bins)) if isinstance(bins, int) else bins.cast("double")
     width = (hi - lo) / nb
-    raw = F.floor((v - lo) / width).cast("int")
-    return F.when(hi <= lo, F.lit(0)).otherwise(
-        F.greatest(F.least(raw, (nb - 1).cast("int")), F.lit(0))
+    scaled = (v - lo) / width
+    # clamp in DOUBLE space BEFORE any int cast: a value ~2^31 widths
+    # outside the reference range — exactly the unit-mismatch outlier
+    # drift monitoring exists to catch — would otherwise CAST_OVERFLOW
+    # under ANSI mode instead of counting as edge-bin drift (review r14).
+    # Spark's NaN ordering (NaN > everything) sends NaN to the top bin,
+    # +/-inf to their respective edges; values inside [1, nb-1) take the
+    # same floor() as before, so in-range arithmetic is unchanged.
+    idx = (
+        F.when(scaled < F.lit(1.0), F.lit(0))
+        .when(scaled >= nb - 1, (nb - 1).cast("int"))
+        .otherwise(F.floor(scaled).cast("int"))
     )
+    return F.when(hi <= lo, F.lit(0)).otherwise(idx)
 
 
 def psi_drift_by(
@@ -410,23 +428,36 @@ def psi_drift_by(
     shape: one grouped bounds aggregate, one (keys, bin) count per side
     (outputs bounded by groups x bins), one grid join — neither corpus
     ever row-shuffled beyond its count aggregate."""
+    if isinstance(keys, str):
+        raise TypeError("keys must be a sequence of column names, not a str")
     keys = list(keys)
     if not keys:
         raise ValueError("psi_drift_by needs keys; use psi_drift without")
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     v = F.col(value).cast("double")
-    bounds = (
-        ref.filter(v.isNotNull())
-        .groupBy(*keys)
-        .agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+
+    def _non_null_keys(df: DataFrame) -> DataFrame:
+        # NULL group keys are EXCLUDED, by contract: they survive the
+        # groupBy into bounds/grid but the equi-joins below never match
+        # them, leaving a zero-count group whose p = n/t_ref divides 0/0
+        # — a DIVIDE_BY_ZERO crash under ANSI mode (review r14,
+        # reproduced). Excluded symmetrically on BOTH sides; coalesce
+        # keys first to monitor the NULL slice as a real group.
+        out = df.filter(v.isNotNull())
+        for k in keys:
+            out = out.filter(F.col(k).isNotNull())
+        return out
+
+    ref_nn, cur_nn = _non_null_keys(ref), _non_null_keys(cur)
+    bounds = ref_nn.groupBy(*keys).agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
     b = equi_bin(v, F.col("__lo"), F.col("__hi"), bins)
 
     def bucketed(df: DataFrame, side: str) -> DataFrame:
         return (
-            df.filter(v.isNotNull())
-            .join(maybe_broadcast(bounds), keys)
+            df.join(maybe_broadcast(bounds), keys)
             .groupBy(*keys, b.alias("bin"))
             .agg(F.count(F.lit(1)).alias(f"n_{side}"))
         )
@@ -437,8 +468,8 @@ def psi_drift_by(
         )
     )
     per_bin = (
-        grid.join(bucketed(ref, "ref"), [*keys, "bin"], "left")
-        .join(bucketed(cur, "cur"), [*keys, "bin"], "left")
+        grid.join(bucketed(ref_nn, "ref"), [*keys, "bin"], "left")
+        .join(bucketed(cur_nn, "cur"), [*keys, "bin"], "left")
         .select(
             *keys,
             "bin",
