@@ -89,21 +89,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # only — they postdate the r13 rotation) swap in for tpch_q5/tpch_q10,
 # whose strict-subset siblings tpch_q1/tpch_q3 stay in-window; q5/q10
 # remain verified every round by tests/oracle_harness.py.
+# ROUND-15 ROTATION (VERDICT r14 "Next round" #5): six never-windowed
+# family HEADLINERS — mmr_rerank, salted_agg, validate_expectations,
+# contamination_score, profile_table, resolve_duplicates (all
+# oracle-backed, harness-green every round since they landed) — swap in
+# for six strict-subset siblings whose families keep a representative:
+# quantile_sketch (quantile_estimate stays — it composes qhist_rollup +
+# the quantile serve, so both halves stay exercised), duplicate_spans
+# (remove_spans stays and calls duplicate_spans internally),
+# unigram_logprob (bigram_logprob stays), correlated_topk (a strict
+# top-k ranking over correlated_pairs, which stays; both got their
+# driver-green row in r14), knn_cosine_arrow (the knn family keeps
+# knn_sq8 + knn_ivf in-window; knn_cosine_arrow stays bench-headlined),
+# dedup_lines (the dedup family keeps dedup_exact/dedup_minhash/
+# incremental_dedup/crosscorpus_dedup/ngram_jaccard_pairs/
+# semantic_dedup). Every rotated-out name stays verified each round by
+# tests/oracle_harness.py; each newly windowed name was re-verified at
+# all three SFs before this rotation landed.
 _WINDOW = [
     "crosscorpus_dedup", "knn_sq8", "bm25_topk", "keyword_search",
-    "semantic_dedup", "quantile_sketch", "quantile_estimate",
-    "curation_pipeline", "unigram_logprob", "bigram_logprob",
-    "build_mixture", "cms_estimate", "duplicate_spans", "remove_spans",
-    "dedup_lines", "incremental_dedup", "funnel_steps", "hashed_embed",
+    "semantic_dedup", "mmr_rerank", "quantile_estimate",
+    "curation_pipeline", "salted_agg", "bigram_logprob",
+    "build_mixture", "cms_estimate", "validate_expectations",
+    "remove_spans",
+    "contamination_score", "incremental_dedup", "funnel_steps",
+    "hashed_embed",
     "linear_classifier", "diff_snapshots", "counter_rate", "qc_flags",
     "weighted_sample", "cluster_assign", "hybrid_rrf", "fuzzy_match",
     "flagship_scan", "semi_join_ids", "sparql_bridges", "tpch_q1",
-    "tpch_q3", "correlated_pairs", "correlated_topk", "dedup_minhash",
+    "tpch_q3", "correlated_pairs", "profile_table", "dedup_minhash",
     "similarity_join",
     "jsonl_scan", "compact_roundtrip", "range_join", "upsert_roundtrip",
     "zorder_roundtrip", "seasonal_decompose", "cusum_changepoints",
     "time_bucket_rollup", "sessionize", "asof_join", "dedup_exact",
-    "ngram_jaccard_pairs", "lagged_correlation", "knn_cosine_arrow",
+    "ngram_jaccard_pairs", "lagged_correlation", "resolve_duplicates",
     "knn_ivf",
 ]
 
