@@ -69,13 +69,19 @@ def main() -> int:
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return jvm, fs
 
-    def reset_injection(needle: str | None):
+    def reset_injection(needle: str | None, *, midcopy: str | None = None):
         jvm, fs = fs_conf()
         jvm.ObjectStoreMimicFileSystem.resetInjection()
         if needle is None:
             fs.getConf().unset("fs.objstore.fail.rename.substr")
         else:
             fs.getConf().set("fs.objstore.fail.rename.substr", needle)
+        if midcopy is None:
+            fs.getConf().unset("fs.objstore.fail.rename.midcopy.substr")
+        else:
+            fs.getConf().set(
+                "fs.objstore.fail.rename.midcopy.substr", midcopy
+            )
 
     def snapshot():
         return {
@@ -164,6 +170,64 @@ def main() -> int:
     publish_rewrite(rewrite_frame(), lake)
     assert snapshot() == {(c, u, t, v * 2) for (c, u, t, v) in state3}
     print("SCENARIO3_POST_RECOVERY_PUBLISH_OK")
+
+    # -- scenario 4: crash MID-copy of a PROMOTE rename (stage -> live):
+    # a PARTIAL file lands at a reader-visible live destination — sizes
+    # differ, so the equal-size dedupe cannot converge it. Recovery must
+    # loud-stop with NOTHING deleted; after the operator deletes the
+    # named partial, recovery converges (VERDICT r14 "Next round" #4).
+    state4 = snapshot()
+    reset_injection(None, midcopy="lake/collection=")
+    failed = False
+    try:
+        publish_rewrite(rewrite_frame(), lake)
+    except Exception as e:
+        failed = True
+        assert "MID-COPY" in str(e), e
+    assert failed, "mid-copy injection never fired"
+    assert glob.glob(f"{local_root}/lake/{MAINT_DIR}/txn-*/journal.json")
+    reset_injection(None)
+    stopped = False
+    try:
+        recover_lake(spark, lake)
+    except Exception as e:
+        stopped = True
+        msg = str(e)
+        assert "DIFFERENT size" in msg, e
+    assert stopped, "recovery converged over a partial live file"
+    # loud stop deleted nothing: journal still present, stage intact
+    assert glob.glob(f"{local_root}/lake/{MAINT_DIR}/txn-*/journal.json")
+    # operator remediation: delete the partial named in the message
+    # (format: "... DIFFERENT size (<dst>: <n> vs <src>: <m>) ...")
+    partial = msg.split("DIFFERENT size (", 1)[1].split(": ", 1)[0]
+    assert partial.startswith("mock:"), partial
+    os.remove("/" + partial.split(":", 1)[1].lstrip("/"))
+    actions = recover_lake(spark, lake)
+    assert [a["action"] for a in actions] == ["rolled_forward"], actions
+    assert snapshot() == {(c, u, t, v * 2) for (c, u, t, v) in state4}
+    assert not glob.glob(f"{local_root}/lake/{MAINT_DIR}/txn-*")
+    print("SCENARIO4_PARTIAL_PROMOTE_LOUD_STOP_THEN_CONVERGES")
+
+    # -- scenario 5: crash MID-copy of a PARK rename (live -> backup):
+    # the partial sits inside the transaction's own backup dir — never
+    # reader-visible, source still authoritative — so recovery deletes
+    # the partial and redoes the move WITHOUT operator intervention
+    # (_rename_into's dst_disposable park contract).
+    state5 = snapshot()
+    reset_injection(None, midcopy="/backup/")
+    failed = False
+    try:
+        publish_rewrite(rewrite_frame(), lake)
+    except Exception as e:
+        failed = True
+        assert "MID-COPY" in str(e), e
+    assert failed, "mid-copy injection never fired"
+    reset_injection(None)
+    actions = recover_lake(spark, lake)
+    assert [a["action"] for a in actions] == ["rolled_forward"], actions
+    assert snapshot() == {(c, u, t, v * 2) for (c, u, t, v) in state5}
+    assert not glob.glob(f"{local_root}/lake/{MAINT_DIR}/txn-*")
+    print("SCENARIO5_PARTIAL_PARK_SELF_HEALS")
 
     print("ALL_OK")
     spark.stop()

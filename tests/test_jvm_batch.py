@@ -1,0 +1,276 @@
+"""JVM-side batch file-move executor (sources/jvm_batch.py +
+java/MaintBatchOps.java — VERDICT r14 "Next round" #2) and the r15
+local-lock/partial-copy hardening in sources/publish.py.
+
+The batch path's unit semantics are pinned directly against
+_rename_into's contract (skip missing src, equal-size both-ends dedupe,
+mismatch loud-stop vs disposable self-heal); the whole-protocol
+behavior is pinned by running the SAME crash scenario through the JVM
+path (the default — every test in test_publish_atomic.py exercises it)
+and through the forced Python fallback, asserting identical outcomes.
+The O_EXCL local lock is raced across real PROCESSES.
+"""
+
+import glob
+import multiprocessing
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mortar_parquet_support_spark.sources.ingest import write_lake
+from mortar_parquet_support_spark.sources.jvm_batch import batch_ops
+from mortar_parquet_support_spark.sources.publish import (
+    InjectedCrash,
+    _fs,
+    _local_create_exclusive,
+    publish_rewrite,
+    recover_lake,
+)
+
+
+@pytest.fixture()
+def ops(spark):
+    o = batch_ops(spark)
+    # this sandbox ships a JDK (javax.tools present in the Spark JVM,
+    # javac 17 on PATH) — a None here is a packaging regression, not an
+    # environment to skip around
+    assert o is not None
+    return o
+
+
+@pytest.fixture()
+def hfs(spark, tmp_path):
+    _jvm, fs, _P = _fs(spark, str(tmp_path))
+    return fs
+
+
+def _write(path: str, content: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(content)
+
+
+# ---------------------------------------------------------------------------
+# unit semantics of the batched renameInto
+# ---------------------------------------------------------------------------
+
+def test_move_batch_moves_and_creates_parents(ops, hfs, tmp_path):
+    src_a = str(tmp_path / "src/a.parquet")
+    src_b = str(tmp_path / "src/nested/b.parquet")
+    _write(src_a, b"aaaa")
+    _write(src_b, b"bbbb")
+    dst_a = str(tmp_path / "dst/deep/er/a.parquet")
+    dst_b = str(tmp_path / "dst/b.parquet")
+    n = ops.move_batch(hfs, [(src_a, dst_a), (src_b, dst_b)])
+    assert n == 2
+    assert open(dst_a, "rb").read() == b"aaaa"
+    assert open(dst_b, "rb").read() == b"bbbb"
+    assert not os.path.exists(src_a) and not os.path.exists(src_b)
+
+
+def test_move_batch_skips_missing_src(ops, hfs, tmp_path):
+    dst = str(tmp_path / "dst/x.parquet")
+    assert ops.move_batch(hfs, [(str(tmp_path / "gone.parquet"), dst)]) == 1
+    assert not os.path.exists(dst)  # skipped, not created
+
+
+def test_move_batch_equal_size_both_ends_dedupes(ops, hfs, tmp_path):
+    # the object-store crashed copy+delete signature: same immutable file
+    # at both ends — the move's effect is achieved, src is deleted
+    src = str(tmp_path / "live/f.parquet")
+    dst = str(tmp_path / "backup/f.parquet")
+    _write(src, b"same-bytes")
+    _write(dst, b"same-bytes")
+    ops.move_batch(hfs, [(src, dst)])
+    assert not os.path.exists(src)
+    assert open(dst, "rb").read() == b"same-bytes"
+
+
+def test_move_batch_size_mismatch_loud_stops_nothing_deleted(
+    ops, hfs, tmp_path
+):
+    src = str(tmp_path / "stage/f.parquet")
+    dst = str(tmp_path / "live/f.parquet")
+    _write(src, b"full-new-bytes")
+    _write(dst, b"half")  # a mid-copy crash's partial dst
+    with pytest.raises(RuntimeError, match="DIFFERENT size"):
+        ops.move_batch(hfs, [(src, dst)])
+    assert open(src, "rb").read() == b"full-new-bytes"  # nothing deleted
+    assert open(dst, "rb").read() == b"half"
+
+
+def test_move_batch_disposable_dst_self_heals(ops, hfs, tmp_path):
+    # park contract: a partial file at a non-live end is deleted and the
+    # move redone
+    src = str(tmp_path / "live/f.parquet")
+    dst = str(tmp_path / "backup/f.parquet")
+    _write(src, b"full-old-bytes")
+    _write(dst, b"half")
+    ops.move_batch(hfs, [(src, dst)], dst_disposable=True)
+    assert not os.path.exists(src)
+    assert open(dst, "rb").read() == b"full-old-bytes"
+
+
+def test_python_rename_into_matches_java_contract(spark, tmp_path):
+    """The fallback loop and the JVM batch must enforce the SAME
+    mismatch contract — loud stop on live dst, self-heal on disposable."""
+    from mortar_parquet_support_spark.sources.publish import _rename_into
+
+    _jvm, fs, P = _fs(spark, str(tmp_path))
+    src = str(tmp_path / "a/src.parquet")
+    dst = str(tmp_path / "b/dst.parquet")
+    _write(src, b"full-bytes")
+    _write(dst, b"part")
+    with pytest.raises(RuntimeError, match="DIFFERENT size"):
+        _rename_into(fs, P, src, dst)
+    _rename_into(fs, P, src, dst, dst_disposable=True)
+    assert open(dst, "rb").read() == b"full-bytes"
+    assert not os.path.exists(src)
+
+
+def test_list_visible_many(ops, hfs, tmp_path):
+    d1 = tmp_path / "p1"
+    (d1 / "uuid=x").mkdir(parents=True)
+    _write(str(d1 / "b.parquet"), b"b")
+    _write(str(d1 / "uuid=x/a.parquet"), b"a")   # recursion
+    _write(str(d1 / ".hidden"), b"h")            # dot-hidden
+    _write(str(d1 / "_SUCCESS"), b"")            # underscore-hidden
+    d2 = tmp_path / "p2-empty"
+    d2.mkdir()
+    d3 = tmp_path / "p3-missing"                 # never created
+    got = ops.list_visible_many(hfs, [str(d1), str(d2), str(d3)])
+    assert got == [["b.parquet", "uuid=x/a.parquet"], [], []]
+
+
+# ---------------------------------------------------------------------------
+# whole-protocol parity: forced Python fallback == JVM batch default
+# ---------------------------------------------------------------------------
+
+def _mini_lake(spark, tmp_path):
+    rows = [
+        (coll, f"{i:08x}-0000-0000-0000-00000000000{c}",
+         f"2024-01-01 00:00:{i:02d}", float(i + c), f"l{i}", f"u:{i}")
+        for c, coll in enumerate(["bldgA", "bldgB"])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, ["collection", "uuid", "time", "value", "label", "uri"]
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    root = str(tmp_path / "lake")
+    write_lake(df, root)
+    return root
+
+
+def _snap(spark, root):
+    return {
+        (r.collection, r.uuid, str(r.time), r.value)
+        for r in spark.read.parquet(root).collect()
+    }
+
+
+def test_publish_python_fallback_parity(spark, tmp_path, monkeypatch):
+    """_USE_JVM_BATCH=False drives the original pooled Python loop
+    through a post-journal crash + recovery; the converged lake must be
+    exactly what the (default, JVM-batched) suite pins elsewhere."""
+    import mortar_parquet_support_spark.sources.publish as pub
+
+    monkeypatch.setattr(pub, "_USE_JVM_BATCH", False)
+    root = _mini_lake(spark, tmp_path)
+    old = _snap(spark, root)
+    frame = (
+        spark.read.parquet(root)
+        .withColumn("value", F.col("value") * 2)
+        .select("collection", "uuid", "time", "value", "label", "uri")
+    )
+    with pytest.raises(InjectedCrash):
+        publish_rewrite(frame, root, _fail_point="after_swap_one")
+    actions = recover_lake(spark, root)
+    assert [a["action"] for a in actions] == ["rolled_forward"]
+    assert _snap(spark, root) == {(c, u, t, v * 2) for (c, u, t, v) in old}
+    assert glob.glob(f"{root}/.maint/txn-*") == []
+
+
+def test_jvm_batch_publish_roundtrip_matches_python(spark, tmp_path):
+    """Same rewrite through both paths on two identical lakes — final
+    states must be identical (belt to the fallback-parity suspenders)."""
+    import mortar_parquet_support_spark.sources.publish as pub
+
+    finals = {}
+    for mode in (True, False):
+        sub = tmp_path / f"mode-{mode}"
+        sub.mkdir()
+        root = _mini_lake(spark, sub)
+        frame = (
+            spark.read.parquet(root)
+            .withColumn("value", F.col("value") * 2)
+            .select("collection", "uuid", "time", "value", "label", "uri")
+        )
+        prev = pub._USE_JVM_BATCH
+        pub._USE_JVM_BATCH = mode
+        try:
+            publish_rewrite(frame, root)
+        finally:
+            pub._USE_JVM_BATCH = prev
+        finals[mode] = _snap(spark, root)
+    assert finals[True] == finals[False]
+
+
+# ---------------------------------------------------------------------------
+# O_EXCL local lock: exactly one of N racing PROCESSES wins
+# ---------------------------------------------------------------------------
+
+def _lock_race_worker(path, barrier, results, idx):
+    barrier.wait()  # maximize same-instant contention
+    won = _local_create_exclusive(path, b'{"owner": "race"}')
+    results[idx] = 1 if won else 0
+
+
+def test_local_lock_race_exactly_one_process_wins(tmp_path):
+    """The module-header guarantee the r15 lock change makes (VERDICT
+    r14 "Next round" #3): on a file:// lake the create-exclusive is the
+    kernel's O_CREAT|O_EXCL, so N concurrent acquirers — separate
+    PROCESSES, not threads — produce exactly one winner. Five trials,
+    eight processes each, all released at a barrier."""
+    ctx = multiprocessing.get_context("fork")
+    n = 8
+    for trial in range(5):
+        path = str(tmp_path / f"maint-{trial}" / "LOCK")
+        barrier = ctx.Barrier(n)
+        results = ctx.Array("i", [0] * n)
+        procs = [
+            ctx.Process(
+                target=_lock_race_worker, args=(path, barrier, results, i)
+            )
+            for i in range(n)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(timeout=30)
+            assert p.exitcode == 0
+        assert sum(results) == 1, list(results)
+        assert open(path, "rb").read() == b'{"owner": "race"}'
+
+
+def test_maintenance_lock_routes_through_o_excl_on_local(
+    spark, tmp_path, monkeypatch
+):
+    """A file:// lake's lock acquisition must take the syscall path, not
+    Hadoop's check-then-create."""
+    import mortar_parquet_support_spark.sources.publish as pub
+
+    calls = []
+    real = pub._local_create_exclusive
+
+    def spy(path, payload):
+        calls.append(path)
+        return real(path, payload)
+
+    monkeypatch.setattr(pub, "_local_create_exclusive", spy)
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    with pub.maintenance_lock(spark, root):
+        assert calls and calls[0].endswith(".maint/LOCK")
+        assert os.path.exists(f"{root}/.maint/LOCK")
+    assert not os.path.exists(f"{root}/.maint/LOCK")  # released

@@ -40,6 +40,8 @@ def test_publish_protocol_survives_object_store_rename_semantics():
         "SCENARIO1_PARK_CRASH_CONVERGES",
         "SCENARIO2_PROMOTE_CRASH_CONVERGES",
         "SCENARIO3_POST_RECOVERY_PUBLISH_OK",
+        "SCENARIO4_PARTIAL_PROMOTE_LOUD_STOP_THEN_CONVERGES",
+        "SCENARIO5_PARTIAL_PARK_SELF_HEALS",
         "ALL_OK",
     ):
         assert marker in out, f"missing {marker}:\n{out}"

@@ -1,25 +1,28 @@
-"""recover_lake at journal scale (VERDICT r13 "Next round" #7): the
-recovery probe claims one existence check on the idle path and one
-JVM-side byte copy per journal read — but nothing measured a recovery
-whose journal names THOUSANDS of partitions. This tool synthesizes a
-crashed transaction directly on disk (live files + staged files + the
-journal JSON — recovery is pure filesystem mechanics, so the files'
-contents are irrelevant) and times:
+"""recover_lake at journal scale. r14 measured the Python loop at
+24 ms/partition serial (py4j RPC-bound, GIL-capped pool ~1.3x) and
+VERDICT r14 "Next round" #2 prescribed the fix this tool now witnesses:
+the whole journal converges in ONE py4j call with the loop JVM-side
+(java/MaintBatchOps.java). This tool synthesizes a crashed transaction
+directly on disk (live files + staged files + the journal JSON —
+recovery is pure filesystem mechanics, so the files' contents are
+irrelevant) and times:
 
   - idle_no_maint:   recover on a lake that never had maintenance
                      (the fast path every streaming tick pays)
   - idle_with_maint: recover on a lake with an empty .maint (the
                      steady state after any completed maintenance)
-  - roll_forward:    full recovery of an after_journal crash over
-                     --parts partitions x --files files each (park
-                     every journaled live file, promote every staged
-                     file, delete the txn)
+  - three-way A/B at 1000 partitions: python-serial, python-pooled
+                     (the r14 shipped path), jvm-batch (the r15 path)
+  - roll_forward:    the full --parts journal through the shipped
+                     config (jvm-batch with python fallback)
 
-Writes BENCH_RECOVERY.json at the repo root and prints one JSON line
-with per-partition and per-file milliseconds. The driver-side loop
-costs a handful of Hadoop FS calls per partition over py4j; this
-artifact is the evidence for whether that holds at journal scale or
-needs a JVM-side batch path.
+Timings are sentinel-gated (VERDICT r14 "Next round" #7: every timing
+artifact, not just bench.py): each timed run records /proc/stat CPU
+steal across itself and re-runs up to 3 times until steal <= 0.5%; if
+no attempt lands clean the worst is kept and the artifact says so in
+noise_annotation — never silently.
+
+Writes BENCH_RECOVERY.json at the repo root and prints one JSON line.
 
 Usage: python tools/bench_recovery.py [--parts 5000] [--files 1]
 """
@@ -35,6 +38,9 @@ import uuid as uuidlib
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+STEAL_MAX_PCT = 0.5
+MAX_ATTEMPTS = 3
 
 
 def synth_crashed_txn(lake: str, parts: int, files: int) -> None:
@@ -64,6 +70,12 @@ def synth_crashed_txn(lake: str, parts: int, files: int) -> None:
         json.dump({"partitions": journal, "counts_total": parts * files}, f)
 
 
+def _cpu_steal() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--parts", type=int, default=5000)
@@ -72,42 +84,81 @@ def main() -> int:
 
     import tempfile
 
+    import mortar_parquet_support_spark.sources.publish as pub
     from mortar_parquet_support_spark.session import get_spark
     from mortar_parquet_support_spark.sources.publish import recover_lake
 
     spark = get_spark("mortar-bench-recovery")
     base = tempfile.mkdtemp(prefix="recovery-bench-")
+    dirty_attempts = []
+    exhausted = {"count": 0}  # timed regions that never landed clean
+
+    def gated(fn) -> float:
+        """Steal-gated timing: retry until the run itself saw steal
+        within band; keep the last otherwise (recorded below)."""
+        for attempt in range(MAX_ATTEMPTS):
+            j0, s0 = _cpu_steal()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            j1, s1 = _cpu_steal()
+            steal = 100.0 * (s1 - s0) / (j1 - j0) if j1 > j0 else 0.0
+            if steal <= STEAL_MAX_PCT:
+                return dt
+            dirty_attempts.append(
+                {"steal_pct": round(steal, 2), "sec": round(dt, 3)}
+            )
+        exhausted["count"] += 1
+        return dt  # every attempt dirty — keep the last, annotate below
 
     # -- idle paths (best of 5: these are single-digit-ms probes) --------
     lake0 = os.path.join(base, "lake-idle")
     os.makedirs(lake0)
     idle_no_maint = min(
-        _timed(lambda: recover_lake(spark, lake0)) for _ in range(5)
+        gated(lambda: recover_lake(spark, lake0)) for _ in range(5)
     )
     os.makedirs(os.path.join(lake0, ".maint"))
     idle_with_maint = min(
-        _timed(lambda: recover_lake(spark, lake0)) for _ in range(5)
+        gated(lambda: recover_lake(spark, lake0)) for _ in range(5)
     )
 
-    # -- serial vs pooled A/B at 1000 partitions --------------------------
-    # INTERLEAVED (serial, pooled) x3 and reported as MEDIAN per mode:
-    # this machine has multi-x noise phases (observed 14.8s-60s for the
-    # identical pooled run), so alternation cancels drift and the median
-    # resists a single lucky/unlucky run.
-    import mortar_parquet_support_spark.sources.publish as pub
-
-    def run_once(parts: int, files: int, workers: int) -> float:
-        lake = os.path.join(base, f"lake-{uuidlib.uuid4().hex}")
-        os.makedirs(lake)
-        synth_crashed_txn(lake, parts, files)
-        prev = pub._MAINT_POOL_WORKERS
+    # -- serial vs pooled vs jvm-batch A/B at 1000 partitions -------------
+    # INTERLEAVED x3 per mode and reported as MEDIAN: this machine has
+    # multi-x noise phases (observed 14.8s-60s for the identical pooled
+    # run), so alternation cancels drift, the median resists a single
+    # lucky run, and the steal gate above rejects contaminated ones.
+    def run_once(parts: int, files: int, *, workers: int, jvm: bool) -> float:
+        """One steal-gated recovery timing. The retry CANNOT reuse the
+        lake (recovery converges it — a second run would time the idle
+        path), so every attempt synthesizes a fresh crashed txn; only
+        the recover_lake span is timed and steal-judged."""
+        prev_w, prev_j = pub._MAINT_POOL_WORKERS, pub._USE_JVM_BATCH
         pub._MAINT_POOL_WORKERS = workers
+        pub._USE_JVM_BATCH = jvm
         try:
-            t0 = time.perf_counter()
-            actions = recover_lake(spark, lake)
-            dt = time.perf_counter() - t0
+            for _attempt in range(MAX_ATTEMPTS):
+                lake = os.path.join(base, f"lake-{uuidlib.uuid4().hex}")
+                os.makedirs(lake)
+                synth_crashed_txn(lake, parts, files)
+                j0, s0 = _cpu_steal()
+                t0 = time.perf_counter()
+                actions = recover_lake(spark, lake)
+                dt = time.perf_counter() - t0
+                j1, s1 = _cpu_steal()
+                _assert_recovered(actions, lake, files)
+                steal = 100.0 * (s1 - s0) / (j1 - j0) if j1 > j0 else 0.0
+                if steal <= STEAL_MAX_PCT:
+                    return dt
+                dirty_attempts.append(
+                    {"steal_pct": round(steal, 2), "sec": round(dt, 3)}
+                )
+            exhausted["count"] += 1
+            return dt
         finally:
-            pub._MAINT_POOL_WORKERS = prev
+            pub._MAINT_POOL_WORKERS = prev_w
+            pub._USE_JVM_BATCH = prev_j
+
+    def _assert_recovered(actions, lake, files):
         assert [a["action"] for a in actions] == ["rolled_forward"], actions
         sample = sorted(os.listdir(os.path.join(lake, "collection=c00000")))
         assert sample == [f"part-{j:04d}-new.parquet" for j in range(files)]
@@ -115,22 +166,21 @@ def main() -> int:
             p.startswith("txn-")
             for p in os.listdir(os.path.join(lake, ".maint"))
         )
-        return dt
 
+    modes = {
+        "serial": {"workers": 1, "jvm": False},
+        "pooled": {"workers": 16, "jvm": False},
+        "jvm_batch": {"workers": 16, "jvm": True},
+    }
     ab_parts = min(args.parts, 1000)
-    serial_runs, pooled_runs = [], []
+    runs: dict[str, list[float]] = {m: [] for m in modes}
     for _ in range(3):
-        serial_runs.append(run_once(ab_parts, args.files, workers=1))
-        pooled_runs.append(run_once(ab_parts, args.files, workers=16))
-    # MEDIAN, not min: a min-of-2 headline once published a 1.9x speedup
-    # whose sibling pooled run showed none at all (review r14 round 3) —
-    # with this machine's multi-x noise phases the median is the honest
-    # central tendency, and all runs ship in the artifact
-    serial = sorted(serial_runs)[1]
-    pooled = sorted(pooled_runs)[1]
+        for m, kw in modes.items():
+            runs[m].append(run_once(ab_parts, args.files, **kw))
+    med = {m: sorted(v)[1] for m, v in runs.items()}
 
     # -- headline: the full --parts journal through the shipped config ----
-    t_head = run_once(args.parts, args.files, workers=16)
+    t_head = run_once(args.parts, args.files, workers=16, jvm=True)
 
     out = {
         "parts": args.parts,
@@ -138,32 +188,48 @@ def main() -> int:
         "idle_no_maint_ms": round(idle_no_maint * 1000, 2),
         "idle_with_empty_maint_ms": round(idle_with_maint * 1000, 2),
         "ab_parts": ab_parts,
-        "serial_per_partition_ms": round(serial * 1000 / ab_parts, 3),
-        "pooled_per_partition_ms": round(pooled * 1000 / ab_parts, 3),
-        "pool_speedup_median": round(serial / pooled, 2),
-        "pool_speedup_best": round(min(serial_runs) / min(pooled_runs), 2),
-        "serial_runs_sec": [round(x, 3) for x in serial_runs],
-        "pooled_runs_sec": [round(x, 3) for x in pooled_runs],
+        "serial_per_partition_ms": round(med["serial"] * 1000 / ab_parts, 3),
+        "pooled_per_partition_ms": round(med["pooled"] * 1000 / ab_parts, 3),
+        "jvm_batch_per_partition_ms": round(
+            med["jvm_batch"] * 1000 / ab_parts, 3
+        ),
+        "jvm_batch_speedup_vs_serial_median": round(
+            med["serial"] / med["jvm_batch"], 2
+        ),
+        "jvm_batch_speedup_vs_pooled_median": round(
+            med["pooled"] / med["jvm_batch"], 2
+        ),
+        "runs_sec": {
+            m: [round(x, 3) for x in v] for m, v in runs.items()
+        },
         "headline_roll_forward_sec": round(t_head, 3),
         "headline_per_partition_ms": round(t_head * 1000 / args.parts, 3),
+        "sentinel_gate": {
+            "band_steal_pct": STEAL_MAX_PCT,
+            "retries_per_run": MAX_ATTEMPTS,
+            "dirty_attempts_discarded": dirty_attempts,
+        },
+        "noise_annotation": (
+            None
+            if exhausted["count"] == 0
+            else f"{exhausted['count']} timed region(s) never landed "
+                 "inside the steal band; "
+                 "the LAST attempt is included — treat affected numbers "
+                 "as upper bounds"
+        ),
         "note": (
-            "recovery is metadata-RPC-bound (py4j round trips per file "
-            "move); the pool overlaps latency but the GIL caps the win. "
-            "A journal this size implies a publish that rewrote as many "
-            "partitions in ONE maintenance op and paid the same RPC "
-            "count in its swap phase - batch maintenance accordingly."
+            "r14's Python loop paid py4j round trips per file move "
+            "(24 ms/partition serial, GIL-capped pool ~1.3x); the r15 "
+            "jvm_batch path converges the whole journal in ONE py4j call "
+            "(java/MaintBatchOps.java), so per-partition cost is now "
+            "native FS-call latency, not driver RPC. The same batch path "
+            "runs in publish's swap phase."
         ),
     }
     with open(os.path.join(ROOT, "BENCH_RECOVERY.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
-
-
-def _timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
