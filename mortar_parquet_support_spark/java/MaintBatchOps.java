@@ -138,8 +138,20 @@ public class MaintBatchOps {
                 continue;
             }
             String full = st.getPath().toString();
-            out.add(full.startsWith(prefix)
-                ? full.substring(prefix.length()) : full);
+            String rel = full.startsWith(prefix)
+                ? full.substring(prefix.length()) : full;
+            // a name carrying a separator would silently corrupt the
+            // encoded listing (split into phantom rels the swap then
+            // "skips as already moved" - data-losing); ext4/HDFS allow
+            // such names even though Spark never writes them, so this
+            // is a loud stop, not an assumption (review r15)
+            if (rel.indexOf('\u0001') >= 0 || rel.indexOf('\u0002') >= 0) {
+                throw new IOException(
+                    "path contains batch-encoding control characters: "
+                    + full + " - rename it, or run this lake through the"
+                    + " Python fallback (_USE_JVM_BATCH = False)");
+            }
+            out.add(rel);
         }
     }
 

@@ -32,10 +32,14 @@ name and therefore DO need launch-time classpath — the reason
 tests/test_objstore_publish.py runs a subprocess session).
 
 Batch encoding: one string per call, groups separated by U+0001 and
-fields by U+0002 (file paths cannot contain control characters on any
-supported filesystem). A ``String[]`` return would cost one py4j round
-trip per ELEMENT to read back; a single string crosses the bridge once
-in each direction.
+fields by U+0002. Spark never writes names containing those control
+characters, but ext4/HDFS PERMIT them, so both directions enforce the
+precondition loudly instead of assuming it (:func:`_check_encodable`
+on everything Python encodes; MaintBatchOps.collectVisible on every
+listing the JVM returns) — a violating name is a clear error naming
+the file, never a silent mis-split. A ``String[]`` return would cost
+one py4j round trip per ELEMENT to read back; a single string crosses
+the bridge once in each direction.
 """
 
 from __future__ import annotations
@@ -137,6 +141,22 @@ def _load_instance(spark, class_dir: str):
     return ctor.newInstance(gw.new_array(jvm.java.lang.Object, 0))
 
 
+def _check_encodable(*strings: str) -> None:
+    """The batch encoding's one precondition, enforced loudly: no path
+    may contain the U+0001/U+0002 separators. Spark never writes such
+    names, but ext4/HDFS permit them, and a silent mis-split would turn
+    one real file into two phantom rels the swap then skips as
+    already-moved (review r15). The JVM side enforces the same check on
+    listings it RETURNS (MaintBatchOps.collectVisible)."""
+    for s in strings:
+        if _GROUP in s or _FIELD in s:
+            raise ValueError(
+                "path contains batch-encoding control characters "
+                f"(U+0001/U+0002): {s!r} — rename it, or run this lake "
+                "through the Python fallback (_USE_JVM_BATCH = False)"
+            )
+
+
 class BatchOps:
     """Typed front for one JVM-side MaintBatchOps instance. Every method
     is ONE py4j call regardless of batch size; Java-side failures
@@ -163,6 +183,7 @@ class BatchOps:
         mismatch contract (see its docstring)."""
         if not moves:
             return 0
+        _check_encodable(*(x for pair in moves for x in pair))
         enc = _GROUP.join(f"{s}{_FIELD}{d}" for s, d in moves)
         return self._call("moveBatch", fs, enc, dst_disposable)
 
@@ -170,6 +191,7 @@ class BatchOps:
         """_list_visible_files for every dir, input order, one call."""
         if not dirs:
             return []
+        _check_encodable(*dirs)
         out = self._call("listVisibleFilesMany", fs, _GROUP.join(dirs))
         return [g.split(_FIELD) if g else [] for g in out.split(_GROUP)]
 
@@ -185,6 +207,7 @@ class BatchOps:
         (partition name, superseded rels), one call."""
         if not parts:
             return
+        _check_encodable(*(x for n, rels in parts for x in (n, *rels)))
         enc = _GROUP.join(_FIELD.join([n, *rels]) for n, rels in parts)
         self._call("swapBatch", fs, root, stage_root, backup_root, enc)
 
@@ -195,6 +218,7 @@ class BatchOps:
         rolled-forward partition count."""
         if not parts:
             return 0
+        _check_encodable(*(x for n, rels in parts for x in (n, *rels)))
         enc = _GROUP.join(_FIELD.join([n, *rels]) for n, rels in parts)
         return self._call("convergeBatch", fs, txn, root, enc)
 

@@ -283,17 +283,31 @@ def _pid_alive(pid: int) -> bool:
 def _local_fs_path(fs, path: str) -> str | None:
     """The driver-local filesystem path for ``path`` when ``fs`` is the
     ``file`` scheme, else None. Local paths may arrive bare, as
-    ``file:/x`` or as ``file:///x`` — Hadoop treats all three alike."""
+    ``file:/x``, ``file:///x``, or ``file://localhost/x`` — all naming
+    the same local file. A ``file://`` URI with any OTHER authority
+    returns None (review r15: naive prefix-stripping turned
+    ``file://host/data/lake`` into the CWD-relative ``host/data/lake``,
+    splitting the lock between the os.* create leg and the Hadoop
+    read/delete leg — permanent lockout); None sends the caller down
+    the Hadoop leg, which is always self-consistent."""
     try:
         if fs.getUri().getScheme() != "file":
             return None
     except Exception:
         return None
-    if path.startswith("file://"):
-        return path[len("file://"):] or "/"
-    if path.startswith("file:"):
-        return path[len("file:"):]
-    return path
+    if not path.startswith("file:"):
+        return path
+    rest = path[len("file:"):]
+    if not rest.startswith("//"):
+        return rest  # file:/x — no authority component
+    rest = rest[2:]
+    slash = rest.find("/")
+    if slash < 0:
+        return None  # authority only, no path — malformed; Hadoop leg
+    authority = rest[:slash]
+    if authority not in ("", "localhost"):
+        return None  # foreign authority — not provably this machine
+    return rest[slash:]
 
 
 def _local_create_exclusive(path: str, payload: bytes) -> bool:

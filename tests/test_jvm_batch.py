@@ -274,3 +274,48 @@ def test_maintenance_lock_routes_through_o_excl_on_local(
         assert calls and calls[0].endswith(".maint/LOCK")
         assert os.path.exists(f"{root}/.maint/LOCK")
     assert not os.path.exists(f"{root}/.maint/LOCK")  # released
+
+
+# ---------------------------------------------------------------------------
+# review-r15 regression pins
+# ---------------------------------------------------------------------------
+
+def test_local_fs_path_handles_every_file_uri_spelling(spark, tmp_path):
+    """file://<authority> URIs must resolve to the SAME absolute path the
+    Hadoop leg uses, or be refused (None -> Hadoop leg): the naive prefix
+    strip turned file://localhost/x into the CWD-relative localhost/x,
+    splitting the lock between the two legs (review r15)."""
+    from mortar_parquet_support_spark.sources.publish import (
+        _fs,
+        _local_fs_path,
+    )
+
+    _jvm, fs, _P = _fs(spark, str(tmp_path))
+    assert _local_fs_path(fs, "/data/lake/.maint/LOCK") == "/data/lake/.maint/LOCK"
+    assert _local_fs_path(fs, "file:/data/lake") == "/data/lake"
+    assert _local_fs_path(fs, "file:///data/lake") == "/data/lake"
+    assert _local_fs_path(fs, "file://localhost/data/lake") == "/data/lake"
+    # foreign authority: not provably this machine -> Hadoop leg
+    assert _local_fs_path(fs, "file://otherhost/data/lake") is None
+    assert _local_fs_path(fs, "file://otherhost") is None
+
+
+def test_batch_encoding_rejects_separator_bearing_names(ops, hfs, tmp_path):
+    """ext4 permits U+0001/U+0002 in names; the batch encoding must
+    loudly refuse them on BOTH directions instead of silently
+    mis-splitting one real file into phantom rels (review r15)."""
+    evil = str(tmp_path / "p1") + "/a\x01b.parquet"
+    _write(evil, b"x")
+    # Python -> JVM direction: encoding inputs are validated
+    with pytest.raises(ValueError, match="control characters"):
+        ops.move_batch(hfs, [(evil, str(tmp_path / "dst/a.parquet"))])
+    with pytest.raises(ValueError, match="control characters"):
+        ops.list_visible_many(hfs, [str(tmp_path / "d\x02ir")])
+    with pytest.raises(ValueError, match="control characters"):
+        ops.swap_batch(hfs, "r", "s", "b", [("collection=c\x01", [])])
+    with pytest.raises(ValueError, match="control characters"):
+        ops.converge_batch(hfs, "t", "r", [("c", ["re\x02l"])])
+    # JVM -> Python direction: a listing that WOULD carry a separator
+    # is a loud stop naming the file, not a corrupted journal
+    with pytest.raises(RuntimeError, match="control characters"):
+        ops.list_visible_many(hfs, [str(tmp_path / "p1")])

@@ -70,10 +70,10 @@ def synth_crashed_txn(lake: str, parts: int, files: int) -> None:
         json.dump({"partitions": journal, "counts_total": parts * files}, f)
 
 
-def _cpu_steal() -> tuple[int, int]:
-    with open("/proc/stat") as f:
-        vals = [int(x) for x in f.readline().split()[1:]]
-    return sum(vals), vals[7] if len(vals) > 7 else 0
+# the one /proc/stat jiffies parser, shared with bench.py (review r15:
+# a third local copy would let the tools' sentinel gates silently
+# diverge on a steal-column fix)
+from bench import _cpu_jiffies as _cpu_steal  # noqa: E402
 
 
 def main() -> int:
@@ -93,9 +93,10 @@ def main() -> int:
     dirty_attempts = []
     exhausted = {"count": 0}  # timed regions that never landed clean
 
-    def gated(fn) -> float:
+    def gated(fn, label: str) -> float:
         """Steal-gated timing: retry until the run itself saw steal
-        within band; keep the last otherwise (recorded below)."""
+        within band; keep the last otherwise (recorded below, tagged
+        with ``label`` so the annotation maps to a published number)."""
         for attempt in range(MAX_ATTEMPTS):
             j0, s0 = _cpu_steal()
             t0 = time.perf_counter()
@@ -106,8 +107,10 @@ def main() -> int:
             if steal <= STEAL_MAX_PCT:
                 return dt
             dirty_attempts.append(
-                {"steal_pct": round(steal, 2), "sec": round(dt, 3)}
+                {"region": label, "steal_pct": round(steal, 2),
+                 "sec": round(dt, 3)}
             )
+        exhausted.setdefault("regions", []).append(label)
         exhausted["count"] += 1
         return dt  # every attempt dirty — keep the last, annotate below
 
@@ -115,11 +118,13 @@ def main() -> int:
     lake0 = os.path.join(base, "lake-idle")
     os.makedirs(lake0)
     idle_no_maint = min(
-        gated(lambda: recover_lake(spark, lake0)) for _ in range(5)
+        gated(lambda: recover_lake(spark, lake0), "idle_no_maint")
+        for _ in range(5)
     )
     os.makedirs(os.path.join(lake0, ".maint"))
     idle_with_maint = min(
-        gated(lambda: recover_lake(spark, lake0)) for _ in range(5)
+        gated(lambda: recover_lake(spark, lake0), "idle_with_maint")
+        for _ in range(5)
     )
 
     # -- serial vs pooled vs jvm-batch A/B at 1000 partitions -------------
@@ -127,7 +132,8 @@ def main() -> int:
     # multi-x noise phases (observed 14.8s-60s for the identical pooled
     # run), so alternation cancels drift, the median resists a single
     # lucky run, and the steal gate above rejects contaminated ones.
-    def run_once(parts: int, files: int, *, workers: int, jvm: bool) -> float:
+    def run_once(parts: int, files: int, *, workers: int, jvm: bool,
+                 label: str) -> float:
         """One steal-gated recovery timing. The retry CANNOT reuse the
         lake (recovery converges it — a second run would time the idle
         path), so every attempt synthesizes a fresh crashed txn; only
@@ -150,8 +156,10 @@ def main() -> int:
                 if steal <= STEAL_MAX_PCT:
                     return dt
                 dirty_attempts.append(
-                    {"steal_pct": round(steal, 2), "sec": round(dt, 3)}
+                    {"region": label, "steal_pct": round(steal, 2),
+                     "sec": round(dt, 3)}
                 )
+            exhausted.setdefault("regions", []).append(label)
             exhausted["count"] += 1
             return dt
         finally:
@@ -176,11 +184,13 @@ def main() -> int:
     runs: dict[str, list[float]] = {m: [] for m in modes}
     for _ in range(3):
         for m, kw in modes.items():
-            runs[m].append(run_once(ab_parts, args.files, **kw))
+            runs[m].append(run_once(ab_parts, args.files, label=m, **kw))
     med = {m: sorted(v)[1] for m, v in runs.items()}
 
     # -- headline: the full --parts journal through the shipped config ----
-    t_head = run_once(args.parts, args.files, workers=16, jvm=True)
+    t_head = run_once(
+        args.parts, args.files, workers=16, jvm=True, label="headline"
+    )
 
     out = {
         "parts": args.parts,
@@ -212,8 +222,8 @@ def main() -> int:
         "noise_annotation": (
             None
             if exhausted["count"] == 0
-            else f"{exhausted['count']} timed region(s) never landed "
-                 "inside the steal band; "
+            else f"timed region(s) {exhausted.get('regions')} never "
+                 "landed inside the steal band; "
                  "the LAST attempt is included — treat affected numbers "
                  "as upper bounds"
         ),
