@@ -133,6 +133,33 @@ def char_ngrams(col, n: int = 3) -> Column:
     )
 
 
+# the Java-regex \s class — exactly the characters \s+ splits on, so a
+# btrim over this set leaves a string whose \s+ split has NO boundary
+# empties (interior runs can't produce them: split matches maximal runs)
+_JAVA_WS = " \t\n\x0b\f\r"
+
+
+def ws_tokens(col) -> Column:
+    """Whitespace tokenization with no empty tokens, entirely inside
+    whole-stage codegen: ``split(btrim(c, <\\s chars>), '\\s+')``.
+
+    Value-identical to the historical HOF spelling
+    ``filter(split(trim(c), '\\s+'), w -> w != '')`` — '' tokens can only
+    arise at the boundaries (split consumes maximal ``\\s+`` runs), and
+    btrim over the full ``\\s`` set removes exactly those boundaries;
+    F.trim alone strips only ASCII spaces, the r8 phantom-token bug.
+    The spelling matters at corpus scale: higher-order-function lambdas
+    are INTERPRETED per row, outside codegen (the same tax that made the
+    classifier's dense fold lose to its shuffle — operators/text.py),
+    while btrim+split codegen like any other string expression. An
+    all-whitespace or empty input yields [''] (size 1) — callers that
+    must exclude content-free docs filter ``btrim != ''`` / ``rlike
+    '\\S'`` FIRST, exactly as they did under the HOF spelling, whose []
+    only differed on inputs those guards already drop."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.btrim(c, F.lit(_JAVA_WS)), r"\s+")
+
+
 def word_shingles(col, k: int = 3) -> Column:
     """Distinct k-word shingles (space-joined) as array<string>.
 
@@ -141,11 +168,16 @@ def word_shingles(col, k: int = 3) -> Column:
     short documents still compare at Jaccard 1.0 instead of silently
     vanishing from the shingle space."""
     c = F.col(col) if isinstance(col, str) else col
-    # filter empties AFTER the split: F.trim strips only ASCII spaces, so
-    # text starting with a tab/newline yields a phantom '' leading token
-    # that shifted every shingle (two docs identical but for a leading
-    # '\\t' scored below Jaccard 1.0 — review finding r8)
-    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    # empty tokens removed via the btrim spelling (ws_tokens): F.trim
+    # strips only ASCII spaces, so text starting with a tab/newline used
+    # to yield a phantom '' leading token that shifted every shingle
+    # (review finding r8); the r15 spelling keeps that fix AND stays in
+    # whole-stage codegen. Edge parity with the old HOF filter: an
+    # all-whitespace doc gives [''] here vs [] before — count is 0 for
+    # k>=2 either way (greatest(size-k+1, 0)... see below), and for k=1
+    # the single '' gram equals the old fallback's concat_ws('', []) =
+    # '' gram, so the returned shingle set is [''] in BOTH spellings.
+    words = ws_tokens(c)
     count = F.greatest(F.size(words) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     grams = F.when(count > 0, F.array_distinct(

@@ -156,14 +156,19 @@ def minhash_signatures(
     through exact_dedup instead (they are literal duplicates of each
     other; near-dup machinery adds nothing).
     """
-    # '' tokens filtered AFTER the split, matching word_shingles (the
-    # exact-Jaccard verify stage): F.trim strips only ASCII spaces, so a
-    # leading tab/newline yields a phantom '' token that would shift every
-    # shingle hash here while the verify stage scores the pair 1.0 —
-    # signature-vs-verify tokenization drift that nondeterministically
-    # loses true candidates (review r14). The emptiness guard is rlike
-    # for the same reason: '\t' passes trim(text) != ''.
-    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # '' boundary tokens removed via the btrim spelling (ws_tokens),
+    # matching word_shingles (the exact-Jaccard verify stage): F.trim
+    # strips only ASCII spaces, so a leading tab/newline used to yield a
+    # phantom '' token that shifted every shingle hash here while the
+    # verify stage scored the pair 1.0 — signature-vs-verify tokenization
+    # drift that nondeterministically lost true candidates (review r14).
+    # r15 replaced the HOF filter(lambda) with ws_tokens: same tokens,
+    # but codegen'd instead of interpreted per row — this is the
+    # corpus-heavy leg of the whole minhash pipeline. The emptiness
+    # guard stays rlike: '\t' passes trim(text) != ''.
+    from mortar_parquet_support_spark.functions import ws_tokens
+
+    words = ws_tokens(F.col(text_col))
     base = df.filter(
         F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
     ).select(F.col(id_col).alias("id"), words.alias("_w"))
@@ -550,10 +555,14 @@ def simhash(
     for each bit position the vote is Σ tokens (+1 if bit set else -1);
     fingerprint bit = vote > 0. Zero shuffle (pure projection)."""
     # same phantom-''-token discipline as minhash_signatures/word_shingles
-    # (trim is ASCII-space-only; a leading tab would vote as a token)
-    tokens = F.array_distinct(
-        F.filter(F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != "")
-    )
+    # (trim is ASCII-space-only; a leading tab would vote as a token),
+    # via the codegen'd btrim spelling rather than an interpreted HOF
+    # filter (r15; value-identical — see functions.ws_tokens). The ''
+    # token an all-whitespace doc yields is unreachable: with_fp guards
+    # rlike('\\S') before this projection.
+    from mortar_parquet_support_spark.functions import ws_tokens
+
+    tokens = F.array_distinct(ws_tokens(F.lower(text)))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
     bit_exprs = []
     for b in range(bits):

@@ -489,22 +489,39 @@ def linear_classifier_score(
         F.col(feature_col).cast("long").alias("__fid"),
         F.col(weight_col).cast("double").alias("__w"),
     )
-    # same loud duplicate rejection as the dense path (see above): the
-    # left join would fan out on a repeated feature id. One tiny
-    # aggregate job over the WEIGHTS table — bounded by n_buckets, not
-    # the corpus.
-    dup = (
-        w.groupBy("__fid")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .collect()
+    # loud duplicate rejection, IN-PLAN since r15 — the r14 spelling ran
+    # an eager groupBy+collect over the weights, i.e. one whole extra
+    # Spark job per scoring call (a fixed ~0.2-0.3s of driver latency at
+    # any scale). The model now aggregates to one row per feature inside
+    # the same plan (map-side, model-sized), carrying its per-id count;
+    # the score aggregate below raises AT EXECUTION the moment any doc
+    # gram touches a feature whose count exceeds 1 — before that
+    # feature's weight can be double-counted. A duplicate id NO gram
+    # references is tolerated (it cannot affect any score; the dense
+    # path still rejects it eagerly since its collect is free there) —
+    # and Catalyst's projection deferral makes a weights-side raise
+    # unreliable for exactly those unreferenced rows anyway. The
+    # (count = 1) path passes the single weight through bit-identically.
+    # Scope, stated precisely: the raise fires whenever a score is
+    # COMPUTED (collect/write/any consumer of score or n_features); a
+    # count()-style plan prunes the score column and skips the guard,
+    # but it is also immune to the fan-out (per_doc groups back to one
+    # row per document before the count), so no pruned plan can return
+    # corrupted data.
+    w = w.groupBy("__fid").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__w").alias("__w")
     )
-    if dup:
-        raise ValueError(
-            f"duplicate feature id {dup[0][0]} in weights — aggregate "
-            "the model to one weight per feature before scoring"
-        )
+    guarded_w = F.when(
+        F.col("__n") > 1,
+        F.raise_error(F.concat(
+            F.lit("duplicate feature id "),
+            F.col("__fid").cast("string"),
+            F.lit(
+                " in weights — aggregate the model to one weight per "
+                "feature before scoring"
+            ),
+        )),
+    ).otherwise(F.coalesce(F.col("__w"), F.lit(0.0)))
     feats = staged_tokens(df, id_col=id_col, text_col=text_col).select(
         F.col(id_col),
         F.explode(
@@ -515,7 +532,7 @@ def linear_classifier_score(
         feats.join(maybe_broadcast(w), "__fid", "left")
         .groupBy(id_col)
         .agg(
-            F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__z"),
+            F.sum(guarded_w).alias("__z"),
             F.count(F.lit(1)).alias("n_features"),
         )
     )
