@@ -557,12 +557,21 @@ def simhash(
     # same phantom-''-token discipline as minhash_signatures/word_shingles
     # (trim is ASCII-space-only; a leading tab would vote as a token),
     # via the codegen'd btrim spelling rather than an interpreted HOF
-    # filter (r15; value-identical — see functions.ws_tokens). The ''
-    # token an all-whitespace doc yields is unreachable: with_fp guards
-    # rlike('\\S') before this projection.
+    # filter (r15; value-identical — see functions.ws_tokens). ws_tokens
+    # gives an all-whitespace doc [''] where the old filter gave [], so
+    # the guard below pins the HISTORICAL contract for content-free
+    # inputs — fp 0 for empty/whitespace text, NULL for NULL — because
+    # simhash is public and its fingerprints are PERSISTED: a lake
+    # banded across versions must not silently stop pairing its
+    # content-free docs (review r15; in-repo callers filter such docs
+    # before fingerprinting anyway).
     from mortar_parquet_support_spark.functions import ws_tokens
 
-    tokens = F.array_distinct(ws_tokens(F.lower(text)))
+    tokens = F.when(
+        text.rlike(r"\S"), F.array_distinct(ws_tokens(F.lower(text)))
+    ).otherwise(
+        F.when(text.isNotNull(), F.array().cast("array<string>"))
+    )
     hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
     bit_exprs = []
     for b in range(bits):

@@ -377,7 +377,14 @@ def linear_classifier_score(
     no tokens scoring sigmoid(bias) with n_features = 0 — or, with
     ``keep_columns``, all of ``df``'s columns plus the two.
 
-    Two physical plans, same result (bit-identical scores, tested):
+    Two physical plans, same result (bit-identical scores, tested).
+    One failure-shape difference, stated so callers wrap both: a model
+    carrying duplicate feature ids is rejected EAGERLY as ValueError by
+    the dense path (its driver collect is free there) but AT ACTION
+    TIME as Spark's ``USER_RAISED_EXCEPTION`` by the joined path, whose
+    r15 in-plan guard exists precisely to avoid an extra driver job per
+    scoring call — catch ``(ValueError, Exception-from-action)`` when
+    retrying a dirty model, or aggregate weights up front.
 
     - **joined (default)**: the corpus explodes to one row per gram
       occurrence, broadcast-joins the weight table (maybe_broadcast:

@@ -319,3 +319,26 @@ def test_batch_encoding_rejects_separator_bearing_names(ops, hfs, tmp_path):
     # is a loud stop naming the file, not a corrupted journal
     with pytest.raises(RuntimeError, match="control characters"):
         ops.list_visible_many(hfs, [str(tmp_path / "p1")])
+
+
+def test_simhash_content_free_contract_is_version_stable(spark):
+    """simhash fingerprints are PERSISTED (banded across lake versions),
+    so the r14 contract is pinned against tokenization-spelling changes
+    (review r15): content-free text (empty or all-whitespace) -> fp 0,
+    NULL text -> fp 0 (NULL tokens through the vote combiner), and
+    boundary whitespace must not shift a real document's fingerprint
+    (the r8 phantom-token fix, kept by the r15 ws_tokens spelling)."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("b", "   \t\n "), ("c", ""),
+         ("d", None), ("e", "\thello world ")],
+        "id string, text string",
+    )
+    fp = {r.id: r.fp for r in
+          df.select("id", simhash(F.col("text")).alias("fp")).collect()}
+    assert fp["b"] == 0 and fp["c"] == 0
+    assert fp["d"] == 0
+    assert fp["a"] == fp["e"] != 0

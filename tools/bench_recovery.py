@@ -222,7 +222,8 @@ def main() -> int:
         "noise_annotation": (
             None
             if exhausted["count"] == 0
-            else f"timed region(s) {exhausted.get('regions')} never "
+            else "timed region(s) "
+                 f"{sorted(set(exhausted.get('regions', [])))} never "
                  "landed inside the steal band; "
                  "the LAST attempt is included — treat affected numbers "
                  "as upper bounds"
