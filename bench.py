@@ -99,6 +99,58 @@ def _jit_probe(spark, salt: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def gate_whole_run(
+    run_fn,
+    *,
+    steal_max_pct: float = 0.5,
+    jit_after_max_sec: float | None = 0.45,
+    max_attempts: int = 3,
+) -> dict:
+    """Whole-artifact sentinel gate for the tools/ benches (VERDICT r14
+    "Next round" #7: every timing artifact gets the gate bench.py's own
+    suite got in r14, not just a recorded-but-unenforced sentinel).
+
+    ``run_fn(attempt)`` executes the tool's ENTIRE measured body and
+    returns its artifact dict, which must carry ``steal_pct`` and (if it
+    probes JIT) ``jit_sentinel_after_sec``; the attempt index is passed
+    so the body can rotate its jit-probe salts (a retry that reuses the
+    previous salts could hit the codegen cache and pass a noisy run as
+    clean — the r14 bench.py lesson). The first in-band attempt ships;
+    if none is, the LAST ships with an explicit ``noise_annotation`` —
+    noisy numbers are published as noisy, never silently."""
+    attempts = []
+    for attempt in range(max_attempts):
+        result = run_fn(attempt)
+        sp = result.get("steal_pct")
+        ja = result.get("jit_sentinel_after_sec")
+        clean = (sp is None or sp <= steal_max_pct) and (
+            jit_after_max_sec is None or ja is None or ja <= jit_after_max_sec
+        )
+        attempts.append((result, clean))
+        if clean:
+            break
+    picked = next((r for r, c in attempts if c), attempts[-1][0])
+    any_clean = any(c for _, c in attempts)
+    picked["sentinel_gate"] = {
+        "attempts": len(attempts),
+        "band_steal_pct": steal_max_pct,
+        "band_jit_after_sec": jit_after_max_sec,
+        "clean": any_clean,
+        "per_attempt_steal_pct": [r.get("steal_pct") for r, _ in attempts],
+        "per_attempt_jit_after_sec": [
+            r.get("jit_sentinel_after_sec") for r, _ in attempts
+        ],
+    }
+    picked["noise_annotation"] = (
+        None
+        if any_clean
+        else f"ALL {len(attempts)} attempts out of sentinel band "
+        f"(steal<={steal_max_pct}%, jit_after<={jit_after_max_sec}s) — "
+        "timings are machine-noise-inflated; last attempt shown"
+    )
+    return picked
+
+
 def best_of(fn, runs: int = 3) -> float:
     """min-of-N steady-state wall for a thunk — the one spelling the
     profile tools share (profile_minhash and profile_ivf each had a

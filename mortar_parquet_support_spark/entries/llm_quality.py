@@ -299,12 +299,16 @@ def _heavy_hitters(spark, sf_dir):
     guarantee (miss/undercount <= n/(k+1)) is pytest-pinned."""
     from mortar_parquet_support_spark.operators.sketches import heavy_hitters
 
+    from mortar_parquet_support_spark.functions import ws_tokens
+
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
-        "lang",
-        F.explode(
-            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
-        ).alias("word"),
+    # rlike guard + ws_tokens == the old explode(filter(split(trim)))
+    # row-for-row: content-free docs exploded to nothing under the HOF
+    # filter and are dropped pre-explode here; content docs tokenize
+    # identically (functions.ws_tokens) — but codegen'd, not an
+    # interpreted per-row lambda (r15)
+    words = docs.filter(F.col("text").rlike(r"\S")).select(
+        "lang", F.explode(ws_tokens(F.col("text"))).alias("word")
     )
     return heavy_hitters(words, item="word", keys=["lang"], k=64)
 

@@ -95,17 +95,31 @@ def main() -> int:
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
     n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
 
+    from bench import gate_whole_run
+    from mortar_parquet_support_spark.session import get_spark
+
+    spark = get_spark("mortar-bench-sf100")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    # whole-run sentinel gate (VERDICT r14 #7)
+    final = gate_whole_run(
+        lambda attempt: _measure(spark, cpus, n_base, n_big, attempt)
+    )
+    with open(os.path.join(ROOT, "BENCH_SF100.json"), "w") as f:
+        json.dump(final, f, indent=1)
+    print(json.dumps(final))
+    return 0
+
+
+def _measure(spark, cpus: int, n_base: int, n_big: int, attempt: int) -> dict:
     from bench import _cpu_jiffies, _jit_probe, warmup
     from mortar_parquet_support_spark.operators.dedup import (
         minhash_signatures,
         similarity_join_candidates,
     )
-    from mortar_parquet_support_spark.session import get_spark
 
-    spark = get_spark("mortar-bench-sf100")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     warmup(spark, cpus)
-    jit_before = _jit_probe(spark, 21_000)
+    jit_before = _jit_probe(spark, 21_000 + 100_000 * attempt)
     jif0, steal0 = _cpu_jiffies()
 
     stress_dir = os.path.join(ROOT, "testdata_sf", "stress")
@@ -163,7 +177,7 @@ def main() -> int:
         "ceil((1-t)*sz)+1 per doc (threshold is the knob) times token "
         "bucket sizes, which the growing vocabulary holds ~constant"
     )
-    jit_after = _jit_probe(spark, 21_500)
+    jit_after = _jit_probe(spark, 21_500 + 100_000 * attempt)
     jif1, steal1 = _cpu_jiffies()
     out["jit_sentinel_before_sec"] = jit_before
     out["jit_sentinel_after_sec"] = jit_after
@@ -172,10 +186,7 @@ def main() -> int:
         if jif1 > jif0
         else None
     )
-    with open(os.path.join(ROOT, "BENCH_SF100.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
-    return 0
+    return out
 
 
 if __name__ == "__main__":

@@ -96,6 +96,26 @@ def main() -> int:
     sf_dir = args[0] if args else os.path.join(ROOT, "testdata_sf/sf1")
     threshold = float(args[1]) if len(args) > 1 else 0.8
 
+    from bench import gate_whole_run
+    from mortar_parquet_support_spark.session import get_spark
+
+    spark = get_spark("mortar-bench-simjoin")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    # whole-run sentinel gate (VERDICT r14 #7)
+    out = gate_whole_run(
+        lambda attempt: _measure(spark, cpus, sf_dir, threshold, plant, attempt)
+    )
+    path = os.path.join(ROOT, "BENCH_SIMJOIN.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+def _measure(
+    spark, cpus: int, sf_dir: str, threshold: float, plant: bool, attempt: int
+) -> dict:
     from pyspark.sql import functions as F
 
     from bench import _cpu_jiffies, _jit_probe, warmup
@@ -104,12 +124,9 @@ def main() -> int:
         similarity_join,
         similarity_join_candidates,
     )
-    from mortar_parquet_support_spark.session import get_spark
 
-    spark = get_spark("mortar-bench-simjoin")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     warmup(spark, cpus)
-    jit_before = _jit_probe(spark, 11_000)
+    jit_before = _jit_probe(spark, 11_000 + 100_000 * attempt)
     jif0, steal0 = _cpu_jiffies()
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -157,7 +174,7 @@ def main() -> int:
             len(truth_set & set(found)) / planted_true, 6
         )
 
-    jit_after = _jit_probe(spark, 11_500)
+    jit_after = _jit_probe(spark, 11_500 + 100_000 * attempt)
     jif1, steal1 = _cpu_jiffies()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (jif1 - jif0), 2)
@@ -187,11 +204,7 @@ def main() -> int:
         "jit_sentinel_after_sec": jit_after,
         "steal_pct": steal_pct,
     }
-    path = os.path.join(ROOT, "BENCH_SIMJOIN.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
-    return 0
+    return out
 
 
 if __name__ == "__main__":

@@ -54,16 +54,30 @@ DISTINCT_VALS = 50_000
 def main() -> int:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
 
-    from pyspark.sql import functions as F
-
-    from bench import _cpu_jiffies, _jit_probe, warmup
-    from mortar_parquet_support_spark.plans.skew import salted_agg
+    from bench import gate_whole_run
     from mortar_parquet_support_spark.session import get_spark
 
     spark = get_spark("mortar-bench-skew")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    # whole-run sentinel gate (VERDICT r14 #7): the measured body re-runs
+    # until its own steal/JIT sentinels land in band, else annotates
+    out = gate_whole_run(lambda attempt: _measure(spark, cpus, n_rows, attempt))
+    path = os.path.join(ROOT, "BENCH_SKEW.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+def _measure(spark, cpus: int, n_rows: int, attempt: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from bench import _cpu_jiffies, _jit_probe, warmup
+    from mortar_parquet_support_spark.plans.skew import salted_agg
+
     warmup(spark, cpus)
-    jit_before = _jit_probe(spark, 9_000)
+    jit_before = _jit_probe(spark, 9_000 + 100_000 * attempt)
     jif0, steal0 = _cpu_jiffies()
 
     # deterministic hot-key frame: key 'hot' for ~30% of rows (xxhash64
@@ -181,7 +195,7 @@ def main() -> int:
     )
     set_equal = set_chk == 0
 
-    jit_after = _jit_probe(spark, 9_500)
+    jit_after = _jit_probe(spark, 9_500 + 100_000 * attempt)
     jif1, steal1 = _cpu_jiffies()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (jif1 - jif0), 2)
@@ -218,11 +232,7 @@ def main() -> int:
         "jit_sentinel_after_sec": jit_after,
         "steal_pct": steal_pct,
     }
-    path = os.path.join(ROOT, "BENCH_SKEW.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
-    return 0
+    return out
 
 
 if __name__ == "__main__":

@@ -40,18 +40,31 @@ def main() -> int:
         )
         return 2
 
-    from bench import _cpu_jiffies, _jit_probe, warmup
+    from bench import gate_whole_run
     from mortar_parquet_support_spark.session import get_spark
+
+    spark = get_spark("mortar-bench-streaming")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    # whole-run sentinel gate (VERDICT r14 #7)
+    out = gate_whole_run(lambda attempt: _measure(spark, cpus, sf_dir, mfpt, attempt))
+    path = os.path.join(ROOT, "BENCH_STREAMING.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+def _measure(spark, cpus: int, sf_dir: str, mfpt: int, attempt: int) -> dict:
+    from bench import _cpu_jiffies, _jit_probe, warmup
     from mortar_parquet_support_spark.streaming.rollup import (
         stream_drift_by_once,
         stream_validate_once,
     )
     from mortar_parquet_support_spark.tables import read_events_raw
 
-    spark = get_spark("mortar-bench-streaming")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     warmup(spark, cpus)
-    jit_before = _jit_probe(spark, 21_000)
+    jit_before = _jit_probe(spark, 21_000 + 100_000 * attempt)
     jif0, steal0 = _cpu_jiffies()
 
     n_events = read_events_raw(spark, sf_dir).count()
@@ -84,7 +97,7 @@ def main() -> int:
             ),
         }
 
-    jit_after = _jit_probe(spark, 21_500)
+    jit_after = _jit_probe(spark, 21_500 + 100_000 * attempt)
     jif1, steal1 = _cpu_jiffies()
     out = {
         "sf_dir": sf_dir,
@@ -97,11 +110,7 @@ def main() -> int:
         if jif1 > jif0
         else None,
     }
-    path = os.path.join(ROOT, "BENCH_STREAMING.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
-    return 0
+    return out
 
 
 if __name__ == "__main__":
