@@ -117,7 +117,17 @@ def gate_whole_run(
     previous salts could hit the codegen cache and pass a noisy run as
     clean — the r14 bench.py lesson). The first in-band attempt ships;
     if none is, the LAST ships with an explicit ``noise_annotation`` —
-    noisy numbers are published as noisy, never silently."""
+    noisy numbers are published as noisy, never silently.
+
+    The tools/ callers pass ``jit_after_max_sec=None`` (steal-only
+    band, jit recorded but not gated) deliberately: a whole-run retry
+    re-compiles the body's full stage set, so by attempt 2 the jit
+    probe measures the session's own accumulated code-cache pressure,
+    not the machine — observed 0.309s -> 0.959s between attempts of an
+    IDENTICAL body while steal went clean (BENCH_SF100 first regen).
+    bench.py's own suite keeps both legs: its session compiles a
+    bounded, small stage set per attempt, which is what the 0.45s band
+    was calibrated on."""
     attempts = []
     for attempt in range(max_attempts):
         result = run_fn(attempt)

@@ -102,8 +102,7 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     # whole-run sentinel gate (VERDICT r14 #7)
-    final = gate_whole_run(
-        lambda attempt: _measure(spark, cpus, n_base, n_big, attempt)
+    final = gate_whole_run(jit_after_max_sec=None, run_fn=lambda attempt: _measure(spark, cpus, n_base, n_big, attempt)
     )
     with open(os.path.join(ROOT, "BENCH_SF100.json"), "w") as f:
         json.dump(final, f, indent=1)

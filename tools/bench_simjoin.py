@@ -103,8 +103,7 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     # whole-run sentinel gate (VERDICT r14 #7)
-    out = gate_whole_run(
-        lambda attempt: _measure(spark, cpus, sf_dir, threshold, plant, attempt)
+    out = gate_whole_run(jit_after_max_sec=None, run_fn=lambda attempt: _measure(spark, cpus, sf_dir, threshold, plant, attempt)
     )
     path = os.path.join(ROOT, "BENCH_SIMJOIN.json")
     with open(path, "w") as f:

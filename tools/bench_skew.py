@@ -62,7 +62,7 @@ def main() -> int:
 
     # whole-run sentinel gate (VERDICT r14 #7): the measured body re-runs
     # until its own steal/JIT sentinels land in band, else annotates
-    out = gate_whole_run(lambda attempt: _measure(spark, cpus, n_rows, attempt))
+    out = gate_whole_run(jit_after_max_sec=None, run_fn=lambda attempt: _measure(spark, cpus, n_rows, attempt))
     path = os.path.join(ROOT, "BENCH_SKEW.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
