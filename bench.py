@@ -133,7 +133,13 @@ def gate_whole_run(
         result = run_fn(attempt)
         sp = result.get("steal_pct")
         ja = result.get("jit_sentinel_after_sec")
-        clean = (sp is None or sp <= steal_max_pct) and (
+        # an UNMEASURABLE steal (None: /proc/stat unreadable or a zero
+        # jiffy delta) is NOT clean — the gate cannot vouch for a run it
+        # could not measure (review r15; bench.py's own suite makes the
+        # opposite call because its artifact exposes the raw None for
+        # the driver to judge, but this helper's whole contract is the
+        # clean-or-annotated verdict)
+        clean = (sp is not None and sp <= steal_max_pct) and (
             jit_after_max_sec is None or ja is None or ja <= jit_after_max_sec
         )
         attempts.append((result, clean))
@@ -151,13 +157,22 @@ def gate_whole_run(
             r.get("jit_sentinel_after_sec") for r, _ in attempts
         ],
     }
-    picked["noise_annotation"] = (
-        None
-        if any_clean
-        else f"ALL {len(attempts)} attempts out of sentinel band "
-        f"(steal<={steal_max_pct}%, jit_after<={jit_after_max_sec}s) — "
-        "timings are machine-noise-inflated; last attempt shown"
-    )
+    if any_clean:
+        annotation = None
+    elif all(r.get("steal_pct") is None for r, _ in attempts):
+        annotation = (
+            "steal is unmeasurable on this host (/proc/stat) — the gate "
+            "could not run; timings are ungated"
+        )
+    else:
+        band = f"steal<={steal_max_pct}%"
+        if jit_after_max_sec is not None:  # jit leg may be advisory-only
+            band += f", jit_after<={jit_after_max_sec}s"
+        annotation = (
+            f"ALL {len(attempts)} attempts out of sentinel band ({band}) "
+            "— timings are machine-noise-inflated; last attempt shown"
+        )
+    picked["noise_annotation"] = annotation
     return picked
 
 

@@ -173,6 +173,12 @@ def _measure(
             len(truth_set & set(found)) / planted_true, 6
         )
 
+    # drop this attempt's cached corpus before a potential gate retry:
+    # attempt 2 must not contend with attempt 1's persisted blocks for
+    # storage memory (review r15 — pre-gate the body ran once, so the
+    # missing unpersist was harmless)
+    if plant:
+        corpus.unpersist()
     jit_after = _jit_probe(spark, 11_500 + 100_000 * attempt)
     jif1, steal1 = _cpu_jiffies()
     steal_pct = (

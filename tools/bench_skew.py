@@ -86,7 +86,10 @@ def _measure(spark, cpus: int, n_rows: int, attempt: int) -> dict:
     # Materialized to parquet so every timed plan pays an identical scan
     # (timing generation+agg would hide the agg behind the range codegen).
     fixture = os.path.join(ROOT, "spark-warehouse", f"skew_fixture_{n_rows}")
-    if not os.path.isdir(fixture):
+    # _SUCCESS-guarded, not bare isdir: an interrupted multi-minute write
+    # leaves a partial dir every later run (and gate retry) would silently
+    # reuse as complete (review r15; the bench_sf100 stress corpus rule)
+    if not os.path.exists(os.path.join(fixture, "_SUCCESS")):
         (
             spark.range(n_rows)
             .select(
