@@ -560,7 +560,11 @@ def simhash(
     # filter (r15; value-identical — see functions.ws_tokens). ws_tokens
     # gives an all-whitespace doc [''] where the old filter gave [], so
     # the guard below pins the HISTORICAL contract for content-free
-    # inputs — fp 0 for empty/whitespace text, NULL for NULL — because
+    # inputs — fp 0 for empty/whitespace AND NULL text (NULL tokens
+    # yield NULL votes, which fall through each bit's otherwise(0);
+    # pinned by tests/test_jvm_batch.py::
+    # test_simhash_content_free_contract_is_version_stable) —
+    # because
     # simhash is public and its fingerprints are PERSISTED: a lake
     # banded across versions must not silently stop pairing its
     # content-free docs (review r15; in-repo callers filter such docs

@@ -60,12 +60,18 @@ _JAVA_SRC = os.path.join(
     f"{_CLASS_NAME}.java",
 )
 
-# (class_dir | None) once compiled; BatchOps instances per gateway id.
+# (class_dir | None) once compiled; BatchOps instances per gateway.
+# Keyed by id() for O(1) lookup, but each entry HOLDS the gateway object
+# itself: a bare id key could be recycled after a session stop GCs the
+# old gateway and a new one lands at the same address, handing back a
+# BatchOps bound to a dead JVM (ADVICE r15) — the strong reference makes
+# id recycling impossible while the entry lives, and the identity check
+# on lookup makes the aliasing failure structurally unreachable.
 # The lock serializes first-use compilation across threads (streaming
 # ticks and CLI maintenance can race into the first publish).
 _lock = threading.Lock()
 _class_dir: str | None | bool = False  # False = not yet attempted
-_instances: dict[int, "BatchOps | None"] = {}
+_instances: dict[int, "tuple[object, BatchOps | None]"] = {}
 
 
 def _root_message(exc) -> str:
@@ -228,14 +234,15 @@ def batch_ops(spark) -> BatchOps | None:
     Java compiler is available (callers keep their Python loop). Never
     raises: any compile/load failure warns ONCE and degrades."""
     global _class_dir
-    gw_key = id(spark.sparkContext._gateway)
-    inst = _instances.get(gw_key, False)
-    if inst is not False:
-        return inst
+    gateway = spark.sparkContext._gateway
+    gw_key = id(gateway)
+    hit = _instances.get(gw_key)
+    if hit is not None and hit[0] is gateway:
+        return hit[1]
     with _lock:
-        inst = _instances.get(gw_key, False)
-        if inst is not False:
-            return inst
+        hit = _instances.get(gw_key)
+        if hit is not None and hit[0] is gateway:
+            return hit[1]
         if _class_dir is False:
             _class_dir = _compile_class(spark)
             if _class_dir is None:
@@ -257,5 +264,5 @@ def batch_ops(spark) -> BatchOps | None:
                     stacklevel=2,
                 )
                 ops = None
-        _instances[gw_key] = ops
+        _instances[gw_key] = (gateway, ops)
         return ops

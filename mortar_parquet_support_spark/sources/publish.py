@@ -296,7 +296,12 @@ def _local_fs_path(fs, path: str) -> str | None:
     except Exception:
         return None
     if not path.startswith("file:"):
-        return path
+        # a RELATIVE bare path would resolve against the Python CWD here
+        # but against the JVM's user.dir on the Hadoop read/delete leg —
+        # an os.chdir after session start would split the lock between
+        # legs, the same failure class as the file://<authority> bug
+        # (ADVICE r15). Only provably-absolute spellings take this leg.
+        return path if path.startswith("/") else None
     rest = path[len("file:"):]
     if not rest.startswith("//"):
         return rest  # file:/x — no authority component

@@ -213,3 +213,53 @@ def test_train_linear_classifier_matches_numpy_reference(spark):
     assert set(got) == set(w_np)
     for f, v in w_np.items():
         assert abs(got[f] - v) < 1e-10, f
+
+
+def test_duplicate_weight_rejection_both_paths(spark):
+    """The duplicate-feature guard's exception surface, pinned per path
+    (ADVICE r15 — the r15 in-plan rewrite was verified empirically but
+    untested, so a refactor or Catalyst change could silently drop it):
+
+    - joined path: a duplicate id a document gram REFERENCES raises at
+      action time (the in-plan raise_error aggregate, text.py) — never
+      a silently double-counted weight;
+    - joined path: a duplicate id NO gram references is tolerated (it
+      cannot affect any score; Catalyst's projection deferral makes a
+      weights-side raise unreliable for exactly those rows);
+    - dense path: ANY in-range duplicate raises ValueError EAGERLY at
+      call time, before an action exists.
+    """
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    fid_a = docs.select(
+        F.element_at(hashed_features(F.lit("a"), n_buckets=64), 1).alias("f")
+    ).head().f
+    # an id no gram of "a b" touches: grams are a, b, "a b" -> 3 ids
+    used = {
+        r.f for r in docs.select(
+            F.explode(hashed_features(F.col("text"), n_buckets=64)).alias("f")
+        ).collect()
+    }
+    unused = next(i for i in range(64) if i not in used)
+
+    dup_referenced = spark.createDataFrame(
+        [(fid_a, 1.0), (fid_a, 2.0)], "feature long, weight double"
+    )
+    out = linear_classifier_score(docs, dup_referenced, n_buckets=64)
+    with pytest.raises(Exception, match="duplicate feature id"):
+        out.collect()
+
+    dup_unreferenced = spark.createDataFrame(
+        [(fid_a, 1.0), (unused, 1.0), (unused, 2.0)],
+        "feature long, weight double",
+    )
+    rows = linear_classifier_score(docs, dup_unreferenced, n_buckets=64).collect()
+    assert rows and rows[0].n_features == 3  # scored clean, no raise
+
+    with pytest.raises(ValueError, match="duplicate feature id"):
+        linear_classifier_score(
+            docs, dup_referenced, n_buckets=64, dense_max_buckets=64
+        )  # NO action: the dense guard is the eager driver-side collect
+    with pytest.raises(ValueError, match="duplicate feature id"):
+        linear_classifier_score(
+            docs, dup_unreferenced, n_buckets=64, dense_max_buckets=64
+        )  # dense rejects even unreferenced dups (its collect is free)

@@ -19,7 +19,7 @@ irrelevant) and times:
 Timings are sentinel-gated (VERDICT r14 "Next round" #7: every timing
 artifact, not just bench.py): each timed run records /proc/stat CPU
 steal across itself and re-runs up to 3 times until steal <= 0.5%; if
-no attempt lands clean the worst is kept and the artifact says so in
+no attempt lands clean the LAST is kept and the artifact says so in
 noise_annotation — never silently.
 
 Writes BENCH_RECOVERY.json at the repo root and prints one JSON line.
