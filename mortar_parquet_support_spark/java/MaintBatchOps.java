@@ -2,6 +2,13 @@ import java.io.File;
 import java.io.IOException;
 import java.util.ArrayList;
 import java.util.Collections;
+import java.util.List;
+import java.util.concurrent.Callable;
+import java.util.concurrent.ExecutionException;
+import java.util.concurrent.ExecutorService;
+import java.util.concurrent.Executors;
+import java.util.concurrent.Future;
+import java.util.concurrent.atomic.AtomicInteger;
 
 import org.apache.hadoop.fs.FileSystem;
 import org.apache.hadoop.fs.LocalFileSystem;
@@ -53,6 +60,90 @@ public class MaintBatchOps {
 
     private static final String GROUP_SEP = "\u0001";
     private static final String FIELD_SEP = "\u0002";
+
+    /**
+     * Batch-level fan-out width (VERDICT r15 "Next round" #1). The r15
+     * serial loop is optimal on local FS (each rename is a ~us syscall;
+     * thread handoff would only add overhead) but on object-store
+     * semantics every "rename" is a ~50-200 ms network copy+delete, so
+     * a 100k-partition swap is HOURS serial - worse overlap than the
+     * 16-thread Python pool the batch path replaced. A bounded executor
+     * recovers store-RPC overlap with no GIL in the way: batches run
+     * parallel ACROSS independent units (partitions; standalone moves)
+     * and strictly ordered WITHIN one (a partition's parks must all
+     * land before its promotes - that ordering is what makes a crash
+     * anywhere converge from the journal).
+     *
+     * Default 32: enough in-flight RPCs to cover S3-class latency
+     * without tripping store request-rate throttling; local FS keeps
+     * near-identical wall time because tasks are sub-microsecond and
+     * the pool is created only when a batch has more than one unit.
+     * Tune via setParallelism (reachable from Python through the same
+     * BatchOps instance; 1 restores the r15 serial walk).
+     */
+    private static volatile int parallelism = 32;
+
+    public void setParallelism(int n) {
+        parallelism = Math.max(1, n);
+    }
+
+    public int getParallelism() {
+        return parallelism;
+    }
+
+    /**
+     * Run independent batch units on a bounded daemon pool; serial
+     * inline when the pool cannot help (one unit, or parallelism 1 -
+     * which also keeps crash-injection suites deterministic when they
+     * ask for it). All tasks complete before the first failure is
+     * rethrown (every unit is idempotent and recovery converges from
+     * the journal, so finishing the rest loses nothing and a restart
+     * has less left to redo); the first cause propagates as the same
+     * IOException a serial walk would have thrown.
+     */
+    private static void runUnits(List<Callable<Void>> units)
+            throws IOException {
+        int width = Math.min(parallelism, units.size());
+        if (width <= 1) {
+            for (Callable<Void> u : units) {
+                try {
+                    u.call();
+                } catch (IOException | RuntimeException e) {
+                    throw e;
+                } catch (Exception e) {
+                    throw new IOException(e);
+                }
+            }
+            return;
+        }
+        ExecutorService pool = Executors.newFixedThreadPool(width, r -> {
+            Thread t = new Thread(r, "maint-batch");
+            t.setDaemon(true);
+            return t;
+        });
+        try {
+            List<Future<Void>> done = pool.invokeAll(units);
+            for (Future<Void> f : done) {
+                try {
+                    f.get();
+                } catch (ExecutionException e) {
+                    Throwable c = e.getCause();
+                    if (c instanceof IOException) {
+                        throw (IOException) c;
+                    }
+                    if (c instanceof RuntimeException) {
+                        throw (RuntimeException) c;
+                    }
+                    throw new IOException(c);
+                }
+            }
+        } catch (InterruptedException e) {
+            Thread.currentThread().interrupt();
+            throw new IOException("batch interrupted", e);
+        } finally {
+            pool.shutdownNow();
+        }
+    }
 
     /** publish.py _rename_into, verbatim semantics (docstring above). */
     public static void renameInto(FileSystem fs, String src, String dst)
@@ -163,19 +254,30 @@ public class MaintBatchOps {
      */
     public static String listVisibleFilesMany(FileSystem fs, String dirsEnc)
             throws IOException {
+        String[] dirs = split(dirsEnc, GROUP_SEP);
+        // listings are metadata RPCs too (one LIST per directory level on
+        // an object store) - fan out across dirs, reassemble in INPUT
+        // order so the encoding's group-position contract is untouched
+        String[][] rels = new String[dirs.length][];
+        ArrayList<Callable<Void>> units = new ArrayList<>(dirs.length);
+        for (int i = 0; i < dirs.length; i++) {
+            final int idx = i;
+            units.add(() -> {
+                rels[idx] = listVisibleFiles(fs, dirs[idx]);
+                return null;
+            });
+        }
+        runUnits(units);
         StringBuilder sb = new StringBuilder();
-        boolean firstGroup = true;
-        for (String dir : split(dirsEnc, GROUP_SEP)) {
-            if (!firstGroup) {
+        for (int i = 0; i < dirs.length; i++) {
+            if (i > 0) {
                 sb.append(GROUP_SEP);
             }
-            firstGroup = false;
-            String[] rels = listVisibleFiles(fs, dir);
-            for (int j = 0; j < rels.length; j++) {
+            for (int j = 0; j < rels[i].length; j++) {
                 if (j > 0) {
                     sb.append(FIELD_SEP);
                 }
-                sb.append(rels[j]);
+                sb.append(rels[i][j]);
             }
         }
         return sb.toString();
@@ -185,7 +287,9 @@ public class MaintBatchOps {
      * (dstDisposable per the renameInto overload's contract). */
     public static int moveBatch(FileSystem fs, String movesEnc,
             boolean dstDisposable) throws IOException {
-        int n = 0;
+        // encoding validated up front (a malformed group must reject the
+        // whole batch before ANY file moves, same as the serial walk)
+        ArrayList<String[]> pairs = new ArrayList<>();
         for (String group : split(movesEnc, GROUP_SEP)) {
             if (group.isEmpty()) {
                 continue;
@@ -196,10 +300,17 @@ public class MaintBatchOps {
                     "moveBatch: malformed group (" + pair.length
                     + " fields)");
             }
-            renameInto(fs, pair[0], pair[1], dstDisposable);
-            n++;
+            pairs.add(pair);
         }
-        return n;
+        ArrayList<Callable<Void>> units = new ArrayList<>(pairs.size());
+        for (String[] pair : pairs) {
+            units.add(() -> {
+                renameInto(fs, pair[0], pair[1], dstDisposable);
+                return null;
+            });
+        }
+        runUnits(units);
+        return pairs.size();
     }
 
     /**
@@ -235,21 +346,29 @@ public class MaintBatchOps {
     public static void swapBatch(FileSystem fs, String rootDir,
             String stageRoot, String backupRoot, String partsEnc)
             throws IOException {
+        // one unit per PARTITION: its parks all land before its promote
+        // (the load-bearing order), while distinct partitions - which
+        // touch disjoint files by construction - overlap their store RPCs
+        ArrayList<Callable<Void>> units = new ArrayList<>();
         for (String group : split(partsEnc, GROUP_SEP)) {
             if (group.isEmpty()) {
                 continue;
             }
             String[] fields = split(group, FIELD_SEP);
-            String name = fields[0];
-            String live = rootDir + "/" + name;
-            for (int j = 1; j < fields.length; j++) {
-                if (!fields[j].isEmpty()) {
-                    renameInto(fs, live + "/" + fields[j],
-                        backupRoot + "/" + name + "/" + fields[j], true);
+            units.add(() -> {
+                String name = fields[0];
+                String live = rootDir + "/" + name;
+                for (int j = 1; j < fields.length; j++) {
+                    if (!fields[j].isEmpty()) {
+                        renameInto(fs, live + "/" + fields[j],
+                            backupRoot + "/" + name + "/" + fields[j], true);
+                    }
                 }
-            }
-            promoteStage(fs, stageRoot + "/" + name, live);
+                promoteStage(fs, stageRoot + "/" + name, live);
+                return null;
+            });
         }
+        runUnits(units);
     }
 
     /**
@@ -262,26 +381,33 @@ public class MaintBatchOps {
      */
     public static int convergeBatch(FileSystem fs, String txnDir,
             String rootDir, String partsEnc) throws IOException {
-        int rolled = 0;
+        // same unit shape as swapBatch: park-then-promote serial within a
+        // partition, partitions overlapped
+        AtomicInteger rolled = new AtomicInteger();
+        ArrayList<Callable<Void>> units = new ArrayList<>();
         for (String group : split(partsEnc, GROUP_SEP)) {
             if (group.isEmpty()) {
                 continue;
             }
             String[] fields = split(group, FIELD_SEP);
-            String name = fields[0];
-            String live = rootDir + "/" + name;
-            String bkp = txnDir + "/backup/" + name;
-            for (int j = 1; j < fields.length; j++) {
-                if (!fields[j].isEmpty()) {
-                    renameInto(fs, live + "/" + fields[j],
-                        bkp + "/" + fields[j], true);
+            units.add(() -> {
+                String name = fields[0];
+                String live = rootDir + "/" + name;
+                String bkp = txnDir + "/backup/" + name;
+                for (int j = 1; j < fields.length; j++) {
+                    if (!fields[j].isEmpty()) {
+                        renameInto(fs, live + "/" + fields[j],
+                            bkp + "/" + fields[j], true);
+                    }
                 }
-            }
-            if (promoteStage(fs, txnDir + "/stage/" + name, live) > 0) {
-                rolled++;
-            }
+                if (promoteStage(fs, txnDir + "/stage/" + name, live) > 0) {
+                    rolled.incrementAndGet();
+                }
+                return null;
+            });
         }
-        return rolled;
+        runUnits(units);
+        return rolled.get();
     }
 
     /**

@@ -172,6 +172,19 @@ class BatchOps:
 
     def __init__(self, inst):
         self._inst = inst
+        self._parallelism: int | None = None  # last value pushed JVM-side
+
+    def set_parallelism(self, n: int) -> None:
+        """Fan-out width for batch units (partitions; standalone moves)
+        inside the JVM executor — see MaintBatchOps.parallelism for the
+        sizing rationale (32 default covers object-store RPC latency;
+        1 restores the serial walk, which crash-injection suites use for
+        determinism). Cached Python-side so repeated publishes with an
+        unchanged width cost zero extra py4j trips."""
+        n = max(1, int(n))
+        if n != self._parallelism:
+            self._call("setParallelism", n)
+            self._parallelism = n
 
     def _call(self, name: str, *args):
         try:

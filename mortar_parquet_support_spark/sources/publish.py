@@ -140,6 +140,13 @@ _LOCK_NAME = "LOCK"
 # _USE_JVM_BATCH = False forces it (bench_recovery's toggle).
 _MAINT_POOL_WORKERS = 16
 _USE_JVM_BATCH = True
+# Fan-out width INSIDE the JVM batch executor (r16, VERDICT r15 "Next
+# round" #1): partitions overlap their store RPCs on a bounded daemon
+# pool, strictly ordered within one partition (parks before promotes).
+# 32 covers S3-class ~50-200 ms rename latency without request-rate
+# throttling; 1 restores the r15 serial walk (crash suites use it for
+# determinism where ordering across partitions matters to a scenario).
+_JVM_BATCH_THREADS = 32
 
 
 def _batch_ops(spark):
@@ -151,7 +158,10 @@ def _batch_ops(spark):
     try:
         from mortar_parquet_support_spark.sources.jvm_batch import batch_ops
 
-        return batch_ops(spark)
+        ops = batch_ops(spark)
+        if ops is not None:
+            ops.set_parallelism(_JVM_BATCH_THREADS)
+        return ops
     except Exception:
         return None
 

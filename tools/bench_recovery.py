@@ -15,6 +15,10 @@ irrelevant) and times:
                      (the r14 shipped path), jvm-batch (the r15 path)
   - roll_forward:    the full --parts journal through the shipped
                      config (jvm-batch with python fallback)
+  - objstore_latency: subprocess drive (tools/recovery_latency_drive.py)
+                     injecting 20 ms per rename into the objstore mimic
+                     and recovering at JVM executor width 1 vs 32 - the
+                     r16 overlap witness (VERDICT r15 "Next round" #1)
 
 Timings are sentinel-gated (VERDICT r14 "Next round" #7: every timing
 artifact, not just bench.py): each timed run records /proc/stat CPU
@@ -32,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 import uuid as uuidlib
@@ -192,6 +197,25 @@ def main() -> int:
         args.parts, args.files, workers=16, jvm=True, label="headline"
     )
 
+    # -- object-store overlap witness (subprocess: mimic FS needs the
+    # driver classpath at JVM launch; it carries its own steal gate) ------
+    latency = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools",
+                                          "recovery_latency_drive.py")],
+            capture_output=True, text=True, timeout=900, cwd=ROOT,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                latency = json.loads(line)
+                break
+        if latency is None or proc.returncode != 0:
+            latency = {"error": f"drive rc={proc.returncode}",
+                       "stderr_tail": proc.stderr[-500:], **(latency or {})}
+    except Exception as exc:  # the local-FS numbers stay publishable
+        latency = {"error": repr(exc)}
+
     out = {
         "parts": args.parts,
         "files_per_part": args.files,
@@ -228,6 +252,7 @@ def main() -> int:
                  "the LAST attempt is included — treat affected numbers "
                  "as upper bounds"
         ),
+        "objstore_latency": latency,
         "note": (
             "r14's Python loop paid py4j round trips per file move "
             "(24 ms/partition serial, GIL-capped pool ~1.3x); the r15 "
