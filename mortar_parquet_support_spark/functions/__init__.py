@@ -155,7 +155,17 @@ def ws_tokens(col) -> Column:
     all-whitespace or empty input yields [''] (size 1) — callers that
     must exclude content-free docs filter ``btrim != ''`` / ``rlike
     '\\S'`` FIRST, exactly as they did under the HOF spelling, whose []
-    only differed on inputs those guards already drop."""
+    only differed on inputs those guards already drop.
+
+    This identity is EVIDENCE, not argument: tests/
+    test_ws_tokens_contract.py re-materializes the r14 HOF spelling
+    verbatim and runs every consumer (minhash_signatures, simhash,
+    word_shingles, the heavy_hitters entry tokenization) over an
+    edge-input battery (empty, NULL, all-whitespace including
+    vertical-tab/formfeed/CR, tab/newline-leading, interior multi-space)
+    under BOTH spellings, asserting row-for-row output identity — plus
+    the one designed raw divergence ([''] vs [] on content-free input)
+    so nobody "fixes" it silently."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.btrim(c, F.lit(_JAVA_WS)), r"\s+")
 
