@@ -398,7 +398,88 @@ def _rm_shared(spark: SparkSession, path: str) -> None:
         pass  # best-effort cleanup; an orphaned spill dir is not a correctness issue
 
 
-def write_metadata_summary(root: str, *, filesystem=None) -> dict:
+def _footer_rel_path(frag_path: str, root: str, norm_root: str,
+                     local: bool) -> str:
+    """The rel path recorded in ``_metadata`` for one fragment — ONE
+    definition shared by the driver loop and the distributed collector
+    so the two paths cannot diverge on path normalization."""
+    import posixpath
+    from pathlib import Path
+
+    if local:
+        return str(Path(frag_path).relative_to(Path(root)))
+    return posixpath.relpath(frag_path, norm_root)
+
+
+# files per footer-collection task: big enough to amortize task launch,
+# small enough that a 1000-executor cluster fans out (tests shrink it to
+# exercise multi-slice merges on small lakes)
+_FOOTER_SLICE_FILES = 256
+
+
+def _collect_footers_distributed(spark, files, root, norm_root, filesystem):
+    """Executor-side footer collection for :func:`write_metadata_summary`
+    (VERDICT r15 "Next round" #4): each task reads a CONTIGUOUS ordered
+    slice of fragment footers, sets rel paths, merges the slice into one
+    partial FileMetaData, and ships it back as footer BYTES; the driver
+    deserializes K partials (K ~ slice count, not file count) and merges
+    them in slice order — byte-identical output to the serial loop,
+    pinned by tests/test_ingest_lake.py. The expensive part at millions
+    of files — one remote footer READ per fragment — is what distributes;
+    the final merge is inherent to writing one ``_metadata`` file.
+
+    ``filesystem`` (a pyarrow FileSystem) pickles to executors; None
+    means local paths readable everywhere (driver and executors share
+    the filesystem on local mode and on any shared-FS cluster; on a real
+    object store the caller passes the filesystem explicitly anyway).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    local = filesystem is None
+    slice_size = _FOOTER_SLICE_FILES
+    indexed = [(i // slice_size, i, p) for i, p in enumerate(files)]
+    sdf = spark.createDataFrame(indexed, "slice long, idx long, path string")
+
+    def merge_slice(key, pdf):
+        pdf = pdf.sort_values("idx")
+        merged = None
+        rows = 0
+        for p in pdf["path"]:
+            meta = (
+                pq.read_metadata(p) if local
+                else pq.read_metadata(p, filesystem=filesystem)
+            )
+            meta.set_file_path(_footer_rel_path(p, root, norm_root, local))
+            rows += meta.num_rows  # BEFORE merge: append mutates merged
+            if merged is None:
+                merged = meta
+            else:
+                merged.append_row_groups(meta)
+        buf = pa.BufferOutputStream()
+        merged.write_metadata_file(buf)
+        return pd.DataFrame({
+            "slice": [key[0]],
+            "rows": [rows],
+            "footer": [buf.getvalue().to_pybytes()],
+        })
+
+    parts = (
+        sdf.groupBy("slice")
+        .applyInPandas(merge_slice, "slice long, rows long, footer binary")
+        .collect()
+    )
+    parts.sort(key=lambda r: r["slice"])
+    collector = [
+        pq.read_metadata(pa.BufferReader(r["footer"])) for r in parts
+    ]
+    return collector, sum(r["rows"] for r in parts)
+
+
+def write_metadata_summary(
+    root: str, *, filesystem=None, spark=None, distribute_threshold: int = 512
+) -> dict:
     """S4: write ``_metadata`` + ``_common_metadata`` summary files for the
     dataset at ``root`` so one footer read opens the whole lake.
 
@@ -413,9 +494,17 @@ def write_metadata_summary(root: str, *, filesystem=None) -> dict:
     a ``scheme://`` root without one is rejected up front because pathlib
     would silently mangle it ('s3a://b/p' -> 's3a:/b/p') into a
     nonexistent local path (review finding r8).
+
+    Footer collection is the reference-parity path's one O(files) driver
+    loop (`/root/reference/make-metadata.py:13-18` has the identical
+    shape at 2 files; this will be asked at millions). Pass ``spark=``
+    and any lake past ``distribute_threshold`` fragments reads footers
+    on EXECUTORS (contiguous ordered slices merged into per-task partial
+    footers — :func:`_collect_footers_distributed`), byte-identical to
+    the driver loop. Without ``spark=`` the loop stays driver-side and a
+    lake past the threshold warns with the remediation.
     """
-    import posixpath
-    from pathlib import Path
+    import warnings
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
@@ -430,18 +519,32 @@ def write_metadata_summary(root: str, *, filesystem=None) -> dict:
         root, format="parquet", partitioning="hive", filesystem=filesystem
     )
     norm_root = root.rstrip("/")
-    collector = []
-    for fragment in dataset.get_fragments():
-        meta = fragment.metadata
-        frag_path = fragment.path
-        if filesystem is None:
-            rel = str(Path(frag_path).relative_to(Path(root)))
-        else:
-            rel = posixpath.relpath(frag_path, norm_root)
-        meta.set_file_path(rel)
-        collector.append(meta)
-    if not collector:
+    files = list(dataset.files)
+    if not files:
         raise ValueError(f"no parquet fragments under {root}")
+    if spark is not None and len(files) > distribute_threshold:
+        # collector holds per-slice PARTIALS here (each already a merge
+        # of its slice's footers) — summing their num_rows below still
+        # totals correctly, and the fragment count reports len(files)
+        collector, _ = _collect_footers_distributed(
+            spark, files, root, norm_root, filesystem
+        )
+    else:
+        if spark is None and len(files) > distribute_threshold:
+            warnings.warn(
+                f"write_metadata_summary: reading {len(files)} fragment "
+                "footers in the DRIVER — pass spark= to distribute footer "
+                "reads across executors (or raise distribute_threshold to "
+                "silence this on purpose)",
+                stacklevel=2,
+            )
+        collector = []
+        for fragment in dataset.get_fragments():
+            meta = fragment.metadata
+            meta.set_file_path(_footer_rel_path(
+                fragment.path, root, norm_root, filesystem is None
+            ))
+            collector.append(meta)
     # full (partition-augmented) schema for _common_metadata; for _metadata
     # merge the real footers directly (regenerating a parquet schema from the
     # arrow schema can flip physical encodings, e.g. timestamp INT64 -> INT96)
@@ -464,7 +567,7 @@ def write_metadata_summary(root: str, *, filesystem=None) -> dict:
         norm_root + "/_metadata", partitioning="hive", filesystem=filesystem
     )
     return {
-        "fragments": len(collector),
+        "fragments": len(files),
         "rows": total_rows,
         "columns": reopened.schema.names,
     }
