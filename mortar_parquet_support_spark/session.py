@@ -112,3 +112,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def s3a_preflight(spark) -> tuple[bool, str]:
+    """Deployment check for the ``s3a://`` leg (S6; settled r16 — see
+    S3A_DEPLOYMENT.md): is the S3A connector actually loadable in this
+    JVM? Returns ``(ok, message)``; when not ok the message carries the
+    exact remediation, so a misconfigured cluster fails its preflight
+    with the recipe instead of failing the first read with a bare
+    ClassNotFoundException deep inside a Spark job.
+
+    The conf half of S6 (``get_spark(s3_endpoint=...)`` →
+    ``fs.s3a.*``) needs no jars and is always emitted; THIS function is
+    the runtime half the sandbox cannot exercise (no hadoop-aws jar and
+    no network to fetch one — rounds 9/10/16)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        )
+        return True, "S3AFileSystem loadable: s3a:// reads will dispatch"
+    except Exception:
+        return False, (
+            "org.apache.hadoop.fs.s3a.S3AFileSystem is NOT on the JVM "
+            "classpath: add spark.jars.packages="
+            "org.apache.hadoop:hadoop-aws:3.4.2 (matched to pyspark's "
+            "bundled hadoop-client-api; its POM pulls the matching "
+            "aws-sdk bundle transitively) - full recipe in "
+            "S3A_DEPLOYMENT.md"
+        )

