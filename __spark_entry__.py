@@ -106,18 +106,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # semantic_dedup). Every rotated-out name stays verified each round by
 # tests/oracle_harness.py; each newly windowed name was re-verified at
 # all three SFs before this rotation landed.
+# ROUND-16 ROTATION (VERDICT r15 "Next round" #2): six more
+# never-windowed family headliners swap in — apply_cdc (CDC/merge),
+# heavy_hitters (its tokenization changed in r15, so driver-grade
+# evidence is timely; also pinned by tests/test_ws_tokens_contract.py),
+# psi_drift (drift detection), histogram (profiling aggregate),
+# hard_negatives (contrastive mining), lttb_downsample (visual
+# downsampling) — for six siblings whose families keep a
+# representative: diff_snapshots (apply_cdc covers the CDC family;
+# counter_rate's family keeps seasonal_decompose/cusum_changepoints/
+# time_bucket_rollup/lagged_correlation), counter_rate, quantile_estimate
+# (cms_estimate + incoming heavy_hitters keep sketches), profile_table
+# (r15-green; psi_drift carries the profile/drift family),
+# keyword_search (bm25_topk + hybrid_rrf stay — hybrid_rrf composes
+# both legs), mmr_rerank (r15-green; knn_sq8/knn_ivf/similarity_join
+# keep ANN). All six incoming re-verified at sf0.001/0.01/0.1 before
+# this landed; every outgoing name stays harness-verified per round.
 _WINDOW = [
-    "crosscorpus_dedup", "knn_sq8", "bm25_topk", "keyword_search",
-    "semantic_dedup", "mmr_rerank", "quantile_estimate",
+    "crosscorpus_dedup", "knn_sq8", "bm25_topk", "histogram",
+    "semantic_dedup", "hard_negatives", "heavy_hitters",
     "curation_pipeline", "salted_agg", "bigram_logprob",
     "build_mixture", "cms_estimate", "validate_expectations",
     "remove_spans",
     "contamination_score", "incremental_dedup", "funnel_steps",
     "hashed_embed",
-    "linear_classifier", "diff_snapshots", "counter_rate", "qc_flags",
+    "linear_classifier", "apply_cdc", "psi_drift", "qc_flags",
     "weighted_sample", "cluster_assign", "hybrid_rrf", "fuzzy_match",
     "flagship_scan", "semi_join_ids", "sparql_bridges", "tpch_q1",
-    "tpch_q3", "correlated_pairs", "profile_table", "dedup_minhash",
+    "tpch_q3", "correlated_pairs", "lttb_downsample", "dedup_minhash",
     "similarity_join",
     "jsonl_scan", "compact_roundtrip", "range_join", "upsert_roundtrip",
     "zorder_roundtrip", "seasonal_decompose", "cusum_changepoints",
