@@ -95,11 +95,14 @@ public class MaintBatchOps {
      * Run independent batch units on a bounded daemon pool; serial
      * inline when the pool cannot help (one unit, or parallelism 1 -
      * which also keeps crash-injection suites deterministic when they
-     * ask for it). All tasks complete before the first failure is
-     * rethrown (every unit is idempotent and recovery converges from
-     * the journal, so finishing the rest loses nothing and a restart
-     * has less left to redo); the first cause propagates as the same
-     * IOException a serial walk would have thrown.
+     * ask for it). Failure policy: units IN FLIGHT when one fails run
+     * to completion (each is idempotent; a half-executed unit is
+     * exactly a journal-present crash state recovery converges), but
+     * units not yet started SHORT-CIRCUIT - on a systemic store
+     * failure (expired credentials, store outage) a 100k-unit batch
+     * must surface the error within ~pool-width units, not pay 100k
+     * individual connect timeouts first (review r16). The first cause
+     * propagates as the same IOException a serial walk would throw.
      */
     private static void runUnits(List<Callable<Void>> units)
             throws IOException {
@@ -116,13 +119,29 @@ public class MaintBatchOps {
             }
             return;
         }
+        final java.util.concurrent.atomic.AtomicBoolean failed =
+            new java.util.concurrent.atomic.AtomicBoolean(false);
+        ArrayList<Callable<Void>> gated = new ArrayList<>(units.size());
+        for (Callable<Void> u : units) {
+            gated.add(() -> {
+                if (failed.get()) {
+                    return null;  // short-circuit: batch already failing
+                }
+                try {
+                    return u.call();
+                } catch (Exception e) {
+                    failed.set(true);
+                    throw e;
+                }
+            });
+        }
         ExecutorService pool = Executors.newFixedThreadPool(width, r -> {
             Thread t = new Thread(r, "maint-batch");
             t.setDaemon(true);
             return t;
         });
         try {
-            List<Future<Void>> done = pool.invokeAll(units);
+            List<Future<Void>> done = pool.invokeAll(gated);
             for (Future<Void> f : done) {
                 try {
                     f.get();

@@ -125,13 +125,39 @@ def s3a_preflight(spark) -> tuple[bool, str]:
     The conf half of S6 (``get_spark(s3_endpoint=...)`` →
     ``fs.s3a.*``) needs no jars and is always emitted; THIS function is
     the runtime half the sandbox cannot exercise (no hadoop-aws jar and
-    no network to fetch one — rounds 9/10/16)."""
+    no network to fetch one — rounds 9/10/16).
+
+    Lookup discipline (review r16): the class is resolved through the
+    CONTEXT classloader, not one-arg ``Class.forName`` — jars added via
+    ``spark.jars.packages`` land in Spark's MutableURLClassLoader,
+    which the context loader chains to but the app/system loader does
+    not, so the naive spelling would report NOT-loadable on exactly the
+    deployment this function's remediation prescribes. And only a
+    ClassNotFound outcome produces the jar diagnosis: any other failure
+    (no JVM access — e.g. a Spark Connect session — or a py4j hiccup)
+    reports 'preflight could not run', never a confident wrong
+    remediation."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        loader = (
+            spark._jvm.java.lang.Thread.currentThread()
+            .getContextClassLoader()
         )
+    except Exception as exc:
+        return False, (
+            "s3a preflight could not run: no JVM access from this "
+            f"session type ({type(exc).__name__}: {exc}) — run it from "
+            "a classic (non-Connect) session, or verify the s3a jars "
+            "directly (S3A_DEPLOYMENT.md)"
+        )
+    try:
+        loader.loadClass("org.apache.hadoop.fs.s3a.S3AFileSystem")
         return True, "S3AFileSystem loadable: s3a:// reads will dispatch"
-    except Exception:
+    except Exception as exc:
+        if "ClassNotFoundException" not in str(exc):
+            return False, (
+                f"s3a preflight could not run ({exc}) — verify the s3a "
+                "jars directly (S3A_DEPLOYMENT.md)"
+            )
         return False, (
             "org.apache.hadoop.fs.s3a.S3AFileSystem is NOT on the JVM "
             "classpath: add spark.jars.packages="

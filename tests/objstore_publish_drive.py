@@ -18,7 +18,6 @@ Exit 0 and a final ALL_OK line mean every scenario held.
 
 import glob
 import os
-import subprocess
 import sys
 import tempfile
 
@@ -26,29 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    here = os.path.dirname(os.path.abspath(__file__))
-    java_src = os.path.join(here, "fixtures", "ObjectStoreMimicFileSystem.java")
-    classes = tempfile.mkdtemp(prefix="objstore-classes-")
-    import pyspark
+    from tests.fixtures.mimic_session import launch_mimic_session
 
-    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
-    hadoop_api = glob.glob(os.path.join(jars, "hadoop-client-api-*.jar"))[0]
-    subprocess.run(
-        ["javac", "-cp", hadoop_api, "-d", classes, java_src], check=True
-    )
-
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("objstore-publish-drive")
-        .config("spark.driver.extraClassPath", classes)
-        .config("spark.executor.extraClassPath", classes)
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.hadoop.fs.mock.impl", "ObjectStoreMimicFileSystem")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = launch_mimic_session("objstore-publish-drive")
     from pyspark.sql import functions as F
 
     from mortar_parquet_support_spark.sources.ingest import write_lake

@@ -290,14 +290,28 @@ def test_local_fs_path_handles_every_file_uri_spelling(spark, tmp_path):
         _local_fs_path,
     )
 
-    _jvm, fs, _P = _fs(spark, str(tmp_path))
-    assert _local_fs_path(fs, "/data/lake/.maint/LOCK") == "/data/lake/.maint/LOCK"
-    assert _local_fs_path(fs, "file:/data/lake") == "/data/lake"
-    assert _local_fs_path(fs, "file:///data/lake") == "/data/lake"
-    assert _local_fs_path(fs, "file://localhost/data/lake") == "/data/lake"
+    _jvm, fs, P = _fs(spark, str(tmp_path))
+    assert _local_fs_path(fs, P, "/data/lake/.maint/LOCK") == "/data/lake/.maint/LOCK"
+    assert _local_fs_path(fs, P, "file:/data/lake") == "/data/lake"
+    assert _local_fs_path(fs, P, "file:///data/lake") == "/data/lake"
+    assert _local_fs_path(fs, P, "file://localhost/data/lake") == "/data/lake"
     # foreign authority: not provably this machine -> Hadoop leg
-    assert _local_fs_path(fs, "file://otherhost/data/lake") is None
-    assert _local_fs_path(fs, "file://otherhost") is None
+    assert _local_fs_path(fs, P, "file://otherhost/data/lake") is None
+    assert _local_fs_path(fs, P, "file://otherhost") is None
+    # RELATIVE bare path (review r16): resolved through Hadoop's own
+    # makeQualified (the JVM's user.dir rule), NOT the Python CWD, so an
+    # os.chdir cannot split the lock between legs - and the O_EXCL leg
+    # is kept (None here would demote to the racy check-then-create leg)
+    jvm_cwd = fs.getWorkingDirectory().toUri().getPath()
+    got = _local_fs_path(fs, P, "data/lake/.maint/LOCK")
+    assert got == jvm_cwd + "/data/lake/.maint/LOCK", (got, jvm_cwd)
+    import os as _os
+    prev = _os.getcwd()
+    _os.chdir("/tmp")
+    try:  # chdir must NOT move the resolved lock path
+        assert _local_fs_path(fs, P, "data/lake/.maint/LOCK") == got
+    finally:
+        _os.chdir(prev)
 
 
 def test_batch_encoding_rejects_separator_bearing_names(ops, hfs, tmp_path):

@@ -26,10 +26,8 @@ sleep dominates, but the discipline is universal - VERDICT r14 #7).
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
-import subprocess
 import sys
 import tempfile
 import time
@@ -48,32 +46,12 @@ def main() -> int:
     args = ap.parse_args()
 
     from bench import _cpu_jiffies as _cpu_steal
+    from tests.fixtures.mimic_session import launch_mimic_session
     from tools.bench_recovery import synth_crashed_txn
 
-    # -- compile the mimic and launch the subprocess-classpath session ----
-    import pyspark
-
-    java_src = os.path.join(
-        ROOT, "tests", "fixtures", "ObjectStoreMimicFileSystem.java"
-    )
-    classes = tempfile.mkdtemp(prefix="objstore-classes-")
-    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
-    hadoop_api = glob.glob(os.path.join(jars, "hadoop-client-api-*.jar"))[0]
-    subprocess.run(
-        ["javac", "-cp", hadoop_api, "-d", classes, java_src], check=True
-    )
-
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("recovery-latency-drive")
-        .config("spark.driver.extraClassPath", classes)
-        .config("spark.executor.extraClassPath", classes)
-        .config("spark.hadoop.fs.mock.impl", "ObjectStoreMimicFileSystem")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # subprocess-classpath session: the mimic FS must be on the driver
+    # classpath at JVM launch (shared recipe — review r16)
+    spark = launch_mimic_session("recovery-latency-drive")
 
     import mortar_parquet_support_spark.sources.publish as pub
     from mortar_parquet_support_spark.sources.publish import recover_lake
@@ -126,9 +104,14 @@ def main() -> int:
             pub._JVM_BATCH_THREADS = prev
 
     # warm-up: first mock:// recovery pays FS-class load + batch-ops
-    # compile; untimed so both arms start warm
+    # compile; untimed AND ungated — steal-gating it would waste up to
+    # MAX_ATTEMPTS recoveries and stamp 'warmup' into the published
+    # noise_annotation despite contributing to no number (review r16)
     set_latency(0)
-    timed_recovery(4, 32, "warmup")
+    warm = os.path.join(base, "lake-warmup")
+    os.makedirs(warm)
+    synth_crashed_txn(warm, 4, 1)
+    recover_lake(spark, "mock://" + warm)
 
     set_latency(args.ms)
     serial = timed_recovery(args.parts, 1, "serial_with_latency")
