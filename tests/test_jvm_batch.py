@@ -356,3 +356,38 @@ def test_simhash_content_free_contract_is_version_stable(spark):
     assert fp["b"] == 0 and fp["c"] == 0
     assert fp["d"] == 0
     assert fp["a"] == fp["e"] != 0
+
+
+def test_pooled_batch_failure_propagates_and_loud_stops(ops, hfs, tmp_path):
+    """r16 executor semantics: with the bounded pool engaged (many
+    units, width 32) a failing unit's root-cause message still surfaces
+    as the same RuntimeError the serial walk produced, the offending
+    pair is untouched (loud stop, nothing deleted), and the
+    short-circuit does not corrupt any OTHER unit — every non-failing
+    move either completed or was skipped cleanly (src intact XOR moved,
+    never lost, never partial)."""
+    moves = []
+    for i in range(24):
+        src = str(tmp_path / f"stage/f{i:02d}.parquet")
+        _write(src, b"new-bytes-%02d" % i)
+        moves.append((src, str(tmp_path / f"live/f{i:02d}.parquet")))
+    # poison ONE unit mid-list: live dst exists with a different size
+    bad_src, bad_dst = moves[11]
+    _write(bad_dst, b"half")
+    with pytest.raises(RuntimeError, match="DIFFERENT size"):
+        ops.move_batch(hfs, moves)
+    assert open(bad_src, "rb").read() == b"new-bytes-11"  # nothing deleted
+    assert open(bad_dst, "rb").read() == b"half"
+    for i, (src, dst) in enumerate(moves):
+        if i == 11:
+            continue
+        moved = os.path.exists(dst)
+        skipped = os.path.exists(src)
+        assert moved != skipped, (i, moved, skipped)  # exactly one end
+        data = open(dst if moved else src, "rb").read()
+        assert data == b"new-bytes-%02d" % i  # never partial
+    # retry after operator remediation converges the rest idempotently
+    os.remove(bad_dst)
+    ops.move_batch(hfs, moves)
+    for i, (_src, dst) in enumerate(moves):
+        assert open(dst, "rb").read() == b"new-bytes-%02d" % i
