@@ -359,35 +359,51 @@ def test_simhash_content_free_contract_is_version_stable(spark):
 
 
 def test_pooled_batch_failure_propagates_and_loud_stops(ops, hfs, tmp_path):
-    """r16 executor semantics: with the bounded pool engaged (many
-    units, width 32) a failing unit's root-cause message still surfaces
-    as the same RuntimeError the serial walk produced, the offending
-    pair is untouched (loud stop, nothing deleted), and the
-    short-circuit does not corrupt any OTHER unit — every non-failing
-    move either completed or was skipped cleanly (src intact XOR moved,
+    """r16 executor semantics: with the bounded pool's width genuinely
+    BINDING (100 units at width 4, so ~96 units sit queued when the
+    poison unit throws and MUST take the short-circuit path — review
+    r16: at width >= unit count every unit is in flight before the
+    failure and the queued-unit gate goes untested), a failing unit's
+    root-cause message surfaces as the same RuntimeError the serial
+    walk produced, the offending pair is untouched (loud stop, nothing
+    deleted), and no OTHER unit is corrupted — every non-failing move
+    either completed or was skipped cleanly (src intact XOR moved,
     never lost, never partial)."""
+    n = 100
     moves = []
-    for i in range(24):
+    for i in range(n):
         src = str(tmp_path / f"stage/f{i:02d}.parquet")
         _write(src, b"new-bytes-%02d" % i)
         moves.append((src, str(tmp_path / f"live/f{i:02d}.parquet")))
-    # poison ONE unit mid-list: live dst exists with a different size
-    bad_src, bad_dst = moves[11]
+    # poison ONE early unit: live dst exists with a different size
+    bad_src, bad_dst = moves[3]
     _write(bad_dst, b"half")
-    with pytest.raises(RuntimeError, match="DIFFERENT size"):
-        ops.move_batch(hfs, moves)
-    assert open(bad_src, "rb").read() == b"new-bytes-11"  # nothing deleted
+    ops.set_parallelism(4)
+    try:
+        with pytest.raises(RuntimeError, match="DIFFERENT size"):
+            ops.move_batch(hfs, moves)
+    finally:  # process-wide JVM static — never leak a narrowed width
+        ops.set_parallelism(32)
+    assert open(bad_src, "rb").read() == b"new-bytes-03"  # nothing deleted
     assert open(bad_dst, "rb").read() == b"half"
+    statuses = set()
     for i, (src, dst) in enumerate(moves):
-        if i == 11:
+        if i == 3:
             continue
         moved = os.path.exists(dst)
         skipped = os.path.exists(src)
         assert moved != skipped, (i, moved, skipped)  # exactly one end
+        statuses.add("moved" if moved else "skipped")
         data = open(dst if moved else src, "rb").read()
         assert data == b"new-bytes-%02d" % i  # never partial
-    # retry after operator remediation converges the rest idempotently
+    # the short-circuit actually fired: some queued units were skipped
+    # (width 4, poison at slot 3 — ~96 units were still queued)
+    assert statuses == {"moved", "skipped"}, statuses
+    # retry after operator remediation converges the rest idempotently —
+    # every move COMPLETES: dst carries the bytes and src is consumed
+    # (content-only asserts would pass a rename degraded to copy)
     os.remove(bad_dst)
     ops.move_batch(hfs, moves)
-    for i, (_src, dst) in enumerate(moves):
+    for i, (src, dst) in enumerate(moves):
         assert open(dst, "rb").read() == b"new-bytes-%02d" % i
+        assert not os.path.exists(src), src
