@@ -149,20 +149,54 @@ def s3a_preflight(spark) -> tuple[bool, str]:
             "a classic (non-Connect) session, or verify the s3a jars "
             "directly (S3A_DEPLOYMENT.md)"
         )
-    try:
-        loader.loadClass("org.apache.hadoop.fs.s3a.S3AFileSystem")
-        return True, "S3AFileSystem loadable: s3a:// reads will dispatch"
-    except Exception as exc:
-        if "ClassNotFoundException" not in str(exc):
-            return False, (
-                f"s3a preflight could not run ({exc}) — verify the s3a "
-                "jars directly (S3A_DEPLOYMENT.md)"
+    def _load(class_name: str) -> str | None:
+        """None when loadable, else the failure kind. forName with
+        initialize=true (not bare loadClass, which neither links nor
+        initializes — review r16) so the class's own static init runs;
+        JVM resolution is still lazy beyond that, hence the separate
+        bundle probe below."""
+        try:
+            spark._jvm.java.lang.Class.forName(class_name, True, loader)
+            return None
+        except Exception as exc:
+            return (
+                "absent" if "ClassNotFoundException" in str(exc)
+                else f"error: {exc}"
+            )
+
+    s3a = _load("org.apache.hadoop.fs.s3a.S3AFileSystem")
+    if s3a is None:
+        # hadoop-aws present — now probe its companion: a hand-vendored
+        # hadoop-aws WITHOUT the aws-sdk bundle still class-loads S3A
+        # (SDK classes resolve lazily) and would die at first read with
+        # a bare NoClassDefFoundError deep in a Spark job — the exact
+        # late failure this preflight exists to pre-empt (review r16)
+        sdk = _load("software.amazon.awssdk.core.SdkClient")
+        if sdk is None:
+            return True, (
+                "S3AFileSystem + aws-sdk bundle loadable: s3a:// reads "
+                "will dispatch (presence check — a VERSION-mismatched "
+                "jar pair still surfaces at first read; match the "
+                "three-digit Hadoop version per S3A_DEPLOYMENT.md)"
             )
         return False, (
-            "org.apache.hadoop.fs.s3a.S3AFileSystem is NOT on the JVM "
-            "classpath: add spark.jars.packages="
-            "org.apache.hadoop:hadoop-aws:3.4.2 (matched to pyspark's "
-            "bundled hadoop-client-api; its POM pulls the matching "
-            "aws-sdk bundle transitively) - full recipe in "
-            "S3A_DEPLOYMENT.md"
+            "hadoop-aws is on the classpath but the aws-sdk bundle is "
+            f"NOT ({sdk}): s3a:// would die at first read with "
+            "NoClassDefFoundError. Ship the software.amazon.awssdk "
+            "bundle jar named by hadoop-aws-3.4.2's POM (or use "
+            "spark.jars.packages, which resolves it transitively) - "
+            "recipe in S3A_DEPLOYMENT.md"
         )
+    if s3a != "absent":
+        return False, (
+            f"s3a preflight could not run ({s3a[7:]}) — verify the s3a "
+            "jars directly (S3A_DEPLOYMENT.md)"
+        )
+    return False, (
+        "org.apache.hadoop.fs.s3a.S3AFileSystem is NOT on the JVM "
+        "classpath: add spark.jars.packages="
+        "org.apache.hadoop:hadoop-aws:3.4.2 (matched to pyspark's "
+        "bundled hadoop-client-api; its POM pulls the matching "
+        "aws-sdk bundle transitively) - full recipe in "
+        "S3A_DEPLOYMENT.md"
+    )

@@ -321,6 +321,13 @@ def _local_fs_path(fs, P, path: str) -> str | None:
         try:
             path = fs.makeQualified(P(path)).toUri().getPath()
         except Exception:
+            # reachable for a relative first segment containing ':'
+            # (Hadoop Path parses it as a URI scheme and checkPath
+            # throws). Such a root is ALREADY unusable as a lake — every
+            # Hadoop op and every Spark read on it misparses the same
+            # way and fails loudly long before locking matters — so the
+            # Hadoop-leg demotion here is moot, not a silent downgrade
+            # of the O_EXCL guarantee (review r16).
             return None
         return path if path.startswith("/") else None
     rest = path[len("file:"):]

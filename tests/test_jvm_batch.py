@@ -378,12 +378,15 @@ def test_pooled_batch_failure_propagates_and_loud_stops(ops, hfs, tmp_path):
     # poison ONE early unit: live dst exists with a different size
     bad_src, bad_dst = moves[3]
     _write(bad_dst, b"half")
-    ops.set_parallelism(4)
+    import mortar_parquet_support_spark.sources.publish as pub
+
+    prev_width = pub._JVM_BATCH_THREADS  # the configured truth, not a
+    ops.set_parallelism(4)               # hardcoded 32 (review r16)
     try:
         with pytest.raises(RuntimeError, match="DIFFERENT size"):
             ops.move_batch(hfs, moves)
     finally:  # process-wide JVM static — never leak a narrowed width
-        ops.set_parallelism(32)
+        ops.set_parallelism(prev_width)
     assert open(bad_src, "rb").read() == b"new-bytes-03"  # nothing deleted
     assert open(bad_dst, "rb").read() == b"half"
     statuses = set()
@@ -396,9 +399,13 @@ def test_pooled_batch_failure_propagates_and_loud_stops(ops, hfs, tmp_path):
         statuses.add("moved" if moved else "skipped")
         data = open(dst if moved else src, "rb").read()
         assert data == b"new-bytes-%02d" % i  # never partial
-    # the short-circuit actually fired: some queued units were skipped
-    # (width 4, poison at slot 3 — ~96 units were still queued)
-    assert statuses == {"moved", "skipped"}, statuses
+    # the short-circuit actually fired: at least one queued unit was
+    # skipped (width 4, poison in the first wave — ~96 units queued).
+    # NOT statuses == {"moved","skipped"}: on a contended box the other
+    # first-wave workers can observe the flag before moving anything,
+    # making ALL non-poison units skipped — correct behavior, and the
+    # strict-equality spelling would flake on it (review r16)
+    assert "skipped" in statuses, statuses
     # retry after operator remediation converges the rest idempotently —
     # every move COMPLETES: dst carries the bytes and src is consumed
     # (content-only asserts would pass a rename degraded to copy)

@@ -19,7 +19,6 @@ exactly what the consumer-level tests prove, and the function-level
 test documents the raw divergence so nobody "fixes" it silently.
 """
 
-import pytest
 
 from pyspark.sql import functions as F
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -71,7 +72,10 @@ def main() -> int:
     def timed_recovery(parts: int, threads: int, label: str) -> float:
         """One steal-gated recovery over a fresh mock:// crashed txn at
         the given JVM executor width. Fresh lake per attempt (recovery
-        converges the old one)."""
+        converges the old one); each converged lake is deleted as soon
+        as its assertions pass — a noisy host burning every retry would
+        otherwise strand up to MAX_ATTEMPTS 384-partition trees under
+        /tmp per region (review r16)."""
         prev = pub._JVM_BATCH_THREADS
         pub._JVM_BATCH_THREADS = threads
         try:
@@ -91,6 +95,7 @@ def main() -> int:
                     ) if not f.startswith(".")
                 )
                 assert sample == ["part-0000-new.parquet"], sample
+                shutil.rmtree(lake_local, ignore_errors=True)
                 steal = 100.0 * (s1 - s0) / (j1 - j0) if j1 > j0 else 0.0
                 if steal <= STEAL_MAX_PCT:
                     return dt
@@ -144,6 +149,7 @@ def main() -> int:
     }
     print(json.dumps(out))
     spark.stop()
+    shutil.rmtree(base, ignore_errors=True)
     return 0 if out["gate_pass"] else 1
 
 
