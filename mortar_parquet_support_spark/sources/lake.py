@@ -503,6 +503,13 @@ def write_metadata_summary(
     footers — :func:`_collect_footers_distributed`), byte-identical to
     the driver loop. Without ``spark=`` the loop stays driver-side and a
     lake past the threshold warns with the remediation.
+
+    The distributed path pays a few seconds of Spark job overhead, so it
+    wins where footer reads are REMOTE RPCs (object stores, millions of
+    files) — on a fast local FS the driver loop is quicker well past the
+    threshold (measured r16: 640 local fragments, 0.08s serial vs 3.3s
+    distributed, outputs byte-identical); raise ``distribute_threshold``
+    there if you pass ``spark=`` unconditionally.
     """
     import warnings
 
