@@ -84,19 +84,13 @@ def _dedup_fingerprint(spark, sf_dir):
 def _ngram_jaccard_pairs(spark, sf_dir):
     """Exact character-3-gram Jaccard near-dup pairs on a deterministic
     sample (all-pairs is the VERIFY stage; candidate generation at scale is
-    minhash_lsh — see dedup_minhash entry)."""
-    from mortar_parquet_support_spark.functions import char_ngrams
+    minhash_lsh — see dedup_minhash entry). Scoring via the shared
+    single-evaluation helper (r16 — see _registry._char3_scored_pairs)."""
+    from mortar_parquet_support_spark.entries._registry import _char3_scored_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
-    jac = inter / union.cast("double")
-    return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
-        jac >= 0.5
+    scored = _char3_scored_pairs(spark, sf_dir)
+    return scored.filter(F.col("_jac") >= 0.5).select(
+        "id_a", "id_b", F.round("_jac", 6).alias("jaccard")
     )
 
 
@@ -261,18 +255,15 @@ def _dedup_clusters(spark, sf_dir):
     """Connected components over near-dup pairs
     (operators/dedup.py connected_components): cluster_id = min reachable
     doc id. Oracle states the same reachability min-label via a recursive
-    CTE."""
-    from mortar_parquet_support_spark.functions import char_ngrams
+    CTE. Pair generation via the shared single-evaluation helper (r16 —
+    see _registry._char3_scored_pairs)."""
+    from mortar_parquet_support_spark.entries._registry import _char3_scored_pairs
     from mortar_parquet_support_spark.operators.dedup import connected_components
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast("double")
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).filter(inter / union >= 0.5).select(
-        "id_a", "id_b"
+    pairs = (
+        _char3_scored_pairs(spark, sf_dir)
+        .filter(F.col("_jac") >= 0.5)
+        .select("id_a", "id_b")
     )
     return connected_components(pairs).select(
         F.col("id").cast("long").alias("id"),

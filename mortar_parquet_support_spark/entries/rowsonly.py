@@ -590,21 +590,16 @@ def _strip_boilerplate(spark, sf_dir):
 def _resolve_duplicates(spark, sf_dir):
     """End-to-end dedup resolution (operators/dedup.py resolve_duplicates):
     exact-Jaccard pairs -> connected components -> keep each cluster's
-    min-id doc, one broadcast anti join against the corpus."""
-    from mortar_parquet_support_spark.functions import char_ngrams
+    min-id doc, one broadcast anti join against the corpus. Pair
+    generation via the shared single-evaluation helper (r16 — see
+    _registry._char3_scored_pairs)."""
+    from mortar_parquet_support_spark.entries._registry import _char3_scored_pairs
     from mortar_parquet_support_spark.operators.dedup import resolve_duplicates
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    g = docs.select(F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams"))
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast(
-        "double"
-    )
     pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(inter / union >= 0.5)
+        _char3_scored_pairs(spark, sf_dir)
+        .filter(F.col("_jac") >= 0.5)
         .select("id_a", "id_b")
     )
     return resolve_duplicates(docs, pairs, id_col="doc_id")

@@ -27,7 +27,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mortar_parquet_support_spark.functions import materialize, cosine_similarity, word_shingles
+from mortar_parquet_support_spark.functions import (
+    cosine_similarity,  # noqa: F401 — re-exported; callers import it from here
+    dot_product,
+    materialize,
+    vector_norm,
+    word_shingles,
+)
 
 # Mersenne prime 2^31-1: modulus for minhash permutations. 31-bit keeps
 # a*h+b under 2^63 (no ANSI long overflow) while giving minhash plenty of
@@ -204,12 +210,22 @@ def minhash_signatures(
                 for i, (a, b) in enumerate(_minhash_params(num_perm, seed))
             ],
         )
-    hashed = base.select(
-        "id",
-        F.explode(
-            F.transform(F.sequence(F.lit(0), n_shingles - 1), gram_hash)
-        ).alias("h"),
+    # Explode the shingle OFFSETS first, hash per row after: the previous
+    # spelling built the whole hash array with F.transform and exploded it,
+    # but higher-order-function lambdas are INTERPRETED per element (the
+    # same tax ws_tokens removed from tokenization in r15), so every gram
+    # hash paid an expression-tree walk. Exploding sequence(0, n-1) and
+    # computing xxhash64 on the flat row keeps the hash inside whole-stage
+    # codegen; the words array is never copied per shingle row — explode
+    # and the projection pipeline within one codegen stage, and only
+    # (id, h) reaches the aggregate. Byte-identical output (same xxhash64
+    # inputs; r16 A/B: 0 differing rows, hashed stage 0.29s -> 0.18s,
+    # signatures 0.84s -> 0.71s at sf0.1). The in_row path above keeps the
+    # transform spelling: its whole point is staying a pure projection.
+    exploded = base.select(
+        "id", "_w", F.explode(F.sequence(F.lit(0), n_shingles - 1)).alias("_i")
     )
+    hashed = exploded.select("id", gram_hash(F.col("_i")).alias("h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"sig_{i}")
         for i, (a, b) in enumerate(_minhash_params(num_perm, seed))
@@ -751,10 +767,21 @@ def embedding_dedup(
     # rows would self-join into ~N^2/2 pairs that only die AFTER cosine
     # scoring (review r14 — semantic_dedup and the minhash/simhash legs
     # all filter this class; this was the one sibling without the guard)
+    # the norm is precomputed PER ROW and materialized with the bucket
+    # (r16): the inline cosine_similarity spelling recomputed BOTH norms
+    # per PAIR — O(pairs * dim) folds where O(rows * dim) suffices, 3x the
+    # per-pair work inside the quadratic region this operator exists to
+    # bound. vector_norm shares cosine_similarity's fold order, so
+    # try_divide(dot, vnorm_a * vnorm_b) is bit-identical to the inline
+    # formula (the IvfIndex build-time-norm contract; r16 A/B: 0 differing
+    # rows, exact-mode entry 62s -> see OPTIMIZATION_r16.md)
     keyed = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     ).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket.alias("bucket"),
+        vector_norm(F.col(vec_col)).alias("vnorm"),
     )
     # barrier before the self-join (same reason as _banded_frame /
     # simhash_dedup): the n_planes-fold hyperplane aggregate is the
@@ -768,7 +795,10 @@ def embedding_dedup(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        F.try_divide(
+            dot_product(F.col("a.v"), F.col("b.v")),
+            F.col("a.vnorm") * F.col("b.vnorm"),
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -839,8 +869,15 @@ def semantic_dedup(
         assigned = _assign_lists(vecs, F.broadcast(cents))
     # barrier before the self-join (same reason as embedding_dedup's): the
     # Arrow assignment scan is the expensive leg, and an AQE broadcast of
-    # one join side would otherwise recompute it for the other
-    keyed = materialize(assigned, checkpoint_dir=checkpoint_dir)
+    # one join side would otherwise recompute it for the other. The norm
+    # rides along per ROW (r16, same as embedding_dedup): the inline
+    # cosine recomputed both norms per PAIR inside the quadratic
+    # within-cell region; vector_norm shares the fold order, so the
+    # factored formula is bit-identical.
+    keyed = materialize(
+        assigned.withColumn("vnorm", vector_norm(F.col("v"))),
+        checkpoint_dir=checkpoint_dir,
+    )
     if cents is not None:
         cents.unpersist()  # keyed is lineage-cut; the centroid plan is done
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -851,7 +888,10 @@ def semantic_dedup(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        F.try_divide(
+            dot_product(F.col("a.v"), F.col("b.v")),
+            F.col("a.vnorm") * F.col("b.vnorm"),
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 

@@ -52,11 +52,21 @@ def cosine_topk(
     id tie-break lexsort crashed on None). Same contract as
     :func:`cosine_topk_arrow`.
     """
+    # norms are computed per ROW on each side BEFORE the cross join (r16):
+    # the inline cosine_similarity recomputed both norms per PAIR —
+    # O(queries * corpus * dim) folds where O((queries + corpus) * dim)
+    # suffices. vector_norm shares the fold order, so
+    # try_divide(dot, q_norm * c_norm) is bit-identical to the inline
+    # formula (the IvfIndex build-time-norm contract).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        vector_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        vector_norm(F.col(vec_col)).alias("c_norm"),
     )
     joined = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -64,7 +74,10 @@ def cosine_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        F.try_divide(
+            dot_product(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm") * F.col("c_norm"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -613,11 +626,28 @@ def _assign_lists(vecs: DataFrame, centroids) -> DataFrame:
     """Nearest-centroid assignment: broadcast the centroid table against the
     vector frame and keep the argmax-cosine list per vector (max_by over a
     (cosine, list_id) struct — no window, no second shuffle)."""
-    scored = vecs.crossJoin(centroids).select(
-        "id",
-        "v",
-        "list_id",
-        cosine_similarity(F.col("v"), F.col("centroid")).alias("_sim"),
+    # per-row norms factored out of the pair expression (r16, same
+    # bit-identity argument as cosine_topk): the inline spelling recomputed
+    # the vector's norm once per CENTROID and the centroid's norm once per
+    # VECTOR — n_list x and corpus x redundant folds respectively
+    scored = (
+        vecs.withColumn("_vn", vector_norm(F.col("v")))
+        # re-hint after the projection: callers pass F.broadcast(cents),
+        # and wrapping the hinted frame in withColumn must not let the
+        # hint get lost behind the new Project (broadcast-on-broadcast is
+        # idempotent, and the big-centroid path NEEDS the forced hint)
+        .crossJoin(
+            F.broadcast(centroids.withColumn("_cn", vector_norm(F.col("centroid"))))
+        )
+        .select(
+            "id",
+            "v",
+            "list_id",
+            F.try_divide(
+                dot_product(F.col("v"), F.col("centroid")),
+                F.col("_vn") * F.col("_cn"),
+            ).alias("_sim"),
+        )
     )
     best = (
         scored.groupBy("id")
