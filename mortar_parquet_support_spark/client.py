@@ -60,7 +60,9 @@ class Client:
 
             with open(ontology_path, encoding="utf-8") as fh:
                 onto_rows = parse_ttl(fh.read(), "__ontology__")
-            onto = spark.createDataFrame(onto_rows, schema=triples.schema)
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            onto = tiny_frame(spark, onto_rows, triples.schema)
             triples = triples.unionByName(onto)
         self.triples = triples
         self.engine = (
@@ -104,7 +106,9 @@ class Client:
         if not frames:
             # reference returns an empty pd.DataFrame() for sites=[]
             # (client.py:59-60); mirror with an empty site-only frame
-            return self.spark.createDataFrame([], "site string")
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            return tiny_frame(self.spark, [], "site string")
         return reduce(DataFrame.unionByName, frames)  # O4 (client.py:63)
 
     # ------------------------------------------------------------------

@@ -705,8 +705,10 @@ def _hard_negatives(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = spark.createDataFrame(
-        [(0, 1), (1, 2), (2, 0)], "query_id long, pos_id long"
+    from mortar_parquet_support_spark.functions import tiny_frame
+
+    pairs = tiny_frame(
+        spark, [(0, 1), (1, 2), (2, 0)], "query_id long, pos_id long"
     )
     raw = hard_negatives(emb, pairs, k=10, overfetch=14)
     rounded = raw.select(

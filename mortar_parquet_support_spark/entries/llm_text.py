@@ -81,7 +81,9 @@ def _multimodal_resize(spark, sf_dir):
         rows.append(
             (str(i), bytearray(png), ("image", "png", len(png), 8, 8, None))
         )
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    from mortar_parquet_support_spark.functions import tiny_frame
+
+    media = tiny_frame(spark, rows, MEDIA_SCHEMA)
     out = resize_images(media, width=4, height=4)
     return out.select(
         "media_id",
@@ -550,7 +552,10 @@ def _bpe_vocab(spark, sf_dir):
             _t(spark, sf_dir, "documents"), num_merges=12, min_freq=2
         )
     merges = per_session[key]
-    return spark.createDataFrame(
+    from mortar_parquet_support_spark.functions import tiny_frame
+
+    return tiny_frame(
+        spark,
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string",
     )

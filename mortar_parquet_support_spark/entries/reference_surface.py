@@ -224,7 +224,7 @@ def _sparql_bridges(spark, sf_dir):
     rows = parse_ttl(_bridge_site_ttl("siteA", 8), "siteA") + parse_ttl(
         _bridge_site_ttl("siteB", 3), "siteB"
     )
-    triples = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    triples = tiny_frame(spark, rows, TRIPLES_SCHEMA)
     client = Client(spark, triples=triples, ontology_path=_ONTOLOGY_PATH)
     # export once per fixture version: the dir is content-fingerprinted
     # and the write is deterministic, so an existing _SUCCESS means the

@@ -300,5 +300,20 @@ def tiny_frame(spark, rows, schema):
     the streaming cadence bench). Building the frame on a 1-slice RDD
     gives one round-trip and one output file with no coalesce needed.
     Driver-built model/report rows ONLY — anything data-sized must come
-    from a distributed plan, never a Python list."""
-    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    from a distributed plan, never a Python list.
+
+    r16: this is now THE spelling for every driver-built frame on a query
+    path, not just pre-write coalescing. A bare createDataFrame list
+    became the single biggest cost in cms_estimate: its two ~50-row
+    frames each scattered over 32 Python-RDD partitions, their crossJoin
+    planned as a 32x32 CartesianProduct, and every evaluation pushed
+    ~1000 near-empty tasks through Python-worker round-trips — 16s for
+    48 rows at sf0.1, measured. Slices scale with the list (one per
+    20k rows, capped at defaultParallelism) so a parsed TTL corpus or an
+    800k-triple ontology doesn't serialize through one task either."""
+    n_slices = max(1, min(
+        spark.sparkContext.defaultParallelism, 1 + len(rows) // 20_000
+    ))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )

@@ -643,6 +643,7 @@ def fingerprint_band_pairs(
     fp_col: str,
     band_bits: int = 16,
     checkpoint_dir: str | None = None,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Hamming-band LSH over ANY 64-bit fingerprint column: split the
     fingerprint into 64/band_bits bands; rows sharing any band are
@@ -651,7 +652,16 @@ def fingerprint_band_pairs(
     band). Shared by the text leg (:func:`simhash_dedup`) and the image
     leg (multimodal.image_dedup over pHash, round 12). Returns
     (id_a, id_b, fp_a, fp_b); candidate generation is an equi-join on
-    (band, key), never all-pairs."""
+    (band, key), never all-pairs.
+
+    ``input_materialized=True`` declares that ``df`` is already behind an
+    eager barrier (a materialize/persist), so the internal one is skipped:
+    the barrier exists to stop an expensive fingerprint computation
+    (simhash over a corpus) executing once per self-join leg, but when the
+    caller already cut the lineage — correlated_pairs materializes its
+    signature table before banding — re-running a posexplode off a
+    checkpoint is cheaper than a second eager action (r16; each barrier
+    is a full job submission, ~0.5-1s of fixed cost per call locally)."""
     _validate_band_bits(band_bits)
     banded = df.select(
         F.col(id_col).alias("id"),
@@ -664,7 +674,8 @@ def fingerprint_band_pairs(
     # fingerprint frame, and when AQE broadcasts one side the
     # BroadcastExchange cannot reuse the other side's exchange — without
     # the cut the upstream fingerprint computation runs TWICE
-    banded = materialize(banded, checkpoint_dir=checkpoint_dir)
+    if not input_materialized:
+        banded = materialize(banded, checkpoint_dir=checkpoint_dir)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -696,20 +707,64 @@ def simhash_dedup(
     into 64/band_bits bands; docs sharing any band are candidates (with
     n bands, covers all pairs within Hamming distance n-1). Returns
     (id_a, id_b, simhash_a/b). Banding/join via
-    :func:`fingerprint_band_pairs` (shared with the image-pHash leg)."""
-    fp = simhash(F.col(text_col), seed=seed)
+    :func:`fingerprint_band_pairs` (shared with the image-pHash leg).
+
+    The fingerprint is computed via an EXPLODED formulation here (r16),
+    not the :func:`simhash` Column: that spelling walks the token-hash
+    array once per bit with interpreted ``aggregate`` lambdas — 64
+    interpreted array folds per document, 16.5s at sf0.1 on this frame.
+    Exploding the distinct tokens and summing each bit's ±1 vote in one
+    codegen'd 64-way aggregate produces the SAME integer votes (same
+    xxhash64 per distinct token, same ±1 per bit, integer sums — order-
+    free), hence bit-identical fingerprints (pytest-pinned against the
+    Column spelling in tests/test_jvm_batch.py); the shuffle carries 64
+    ints per doc, the minhash-signature shape. The :func:`simhash`
+    Column stays public for projection-context callers (persisted-
+    fingerprint pipelines that must not shuffle)."""
     # NULL or empty/whitespace text yields THE SAME fingerprint for every
     # such doc (all word hashes absent; identical votes) — without this
     # guard a corpus with N null/empty documents reports O(N^2) pairs and
     # resolve_duplicates deletes all but one. Same contract as
     # minhash_signatures: content-free text never participates in near-dup
     # candidacy (route it through exact_dedup).
-    with_fp = df.filter(
+    from mortar_parquet_support_spark.functions import ws_tokens
+
+    base = df.filter(
         # rlike, not trim != '': trim strips only ASCII spaces, so a
         # corpus of tab/newline-only docs would bypass the guard and all
         # share one fingerprint — the O(N^2) blowup it exists to prevent
         F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
-    ).select(F.col(id_col).alias("id"), fp.alias("fp"))
+    ).select(
+        F.col(id_col).alias("id"),
+        # every doc here has >= 1 non-empty token (rlike \S => btrim
+        # leaves content), so the groupBy below loses no document
+        F.explode(
+            F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
+        ).alias("_tok"),
+    )
+    h = F.xxhash64(F.col("_tok"), F.lit(seed))
+    votes = base.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    # same bit-weight reassembly as simhash() — wraparound on bit 63
+    # included, so the two spellings agree bit for bit
+    bit_exprs = [
+        F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        for b in range(64)
+    ]
+    fp = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        fp = fp + e
+    with_fp = votes.select("id", fp.alias("fp"))
     return fingerprint_band_pairs(
         with_fp,
         id_col="id",

@@ -242,7 +242,9 @@ class DigestIndex:
         except Exception as exc:  # fresh index: no digests written yet
             if not _is_missing_path(exc):
                 raise
-            return self.spark.createDataFrame([], "digest string, shard int")
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            return tiny_frame(self.spark, [], "digest string, shard int")
 
     def _blooms(self) -> dict:
         """shard -> uint8 bitmap, OR-merged across segments, memoized per
@@ -359,7 +361,9 @@ class DigestIndex:
         # candidates; digests without bits would let the prefilter wave
         # known duplicates through as definitely-new — a silent
         # exactness break.
-        self.spark.createDataFrame(seg_rows, _BLOOM_SCHEMA).write.mode(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(self.spark, seg_rows, _BLOOM_SCHEMA).write.mode(
             "append"
         ).parquet(self._p(_BLOOM))
         d.select("digest", "shard").write.partitionBy("shard").mode(
@@ -521,8 +525,10 @@ class MinHashIndex:
         except Exception as exc:
             if not _is_missing_path(exc):
                 raise
-            return self.spark.createDataFrame(
-                [], "id string, sig array<bigint>, sshard int"
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            return tiny_frame(
+                self.spark, [], "id string, sig array<bigint>, sshard int"
             )
 
     def buckets(self) -> DataFrame:
@@ -535,8 +541,10 @@ class MinHashIndex:
         except Exception as exc:
             if not _is_missing_path(exc):
                 raise
-            return self.spark.createDataFrame(
-                [], "id string, bucket long, band int, bshard int"
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            return tiny_frame(
+                self.spark, [], "id string, bucket long, band int, bshard int"
             )
 
     def add(self, df: DataFrame, *, id_col: str, text_col: str) -> None:

@@ -398,11 +398,11 @@ class PqIndex:
             q_rows = [r for r, kf in zip(q_rows, keep) if kf]
             qm = qm_all[keep] / qn[keep, None]
         if not q_rows:
-            return self.coded.sparkSession.createDataFrame(
-                [],
-                schema=out_schema.add(
-                    T.StructField("rank", T.IntegerType(), False)
-                ),
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            return tiny_frame(
+                self.coded.sparkSession, [],
+                out_schema.add(T.StructField("rank", T.IntegerType(), False)),
             )
         q_ids = [r[0] for r in q_rows]
         B = _books_array(self.books)
@@ -477,9 +477,12 @@ class PqIndex:
         )
 
         spark = self.coded.sparkSession
-        q_frame = spark.createDataFrame(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        q_frame = tiny_frame(
+            spark,
             [(qid, [float(x) for x in vec]) for qid, vec in zip(q_ids, qm)],
-            schema=T.StructType(
+            T.StructType(
                 [
                     T.StructField("query_id", q_id_type, False),
                     T.StructField(

@@ -288,8 +288,10 @@ class IvfSq8Index:
         base = path.rstrip("/")
         self._ivf.centroids.write.mode("overwrite").parquet(base + "/centroids")
         spark = self.coded.sparkSession
-        spark.createDataFrame(
-            [(self.lo, self.hi)], "lo array<double>, hi array<double>"
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        tiny_frame(
+            spark, [(self.lo, self.hi)], "lo array<double>, hi array<double>"
         ).write.mode("overwrite").parquet(base + "/params")
         (
             self.coded.write.mode("overwrite")

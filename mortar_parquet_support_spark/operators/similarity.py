@@ -244,8 +244,11 @@ def cosine_topk_arrow(
         # schema must match the non-empty case exactly (actual id types,
         # not hardcoded longs) or a unionByName across query batches fails
         # only on the empty one
-        return corpus.sparkSession.createDataFrame(
-            [], schema=out_schema.add(T.StructField("rank", T.IntegerType(), False))
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        return tiny_frame(
+            corpus.sparkSession, [],
+            out_schema.add(T.StructField("rank", T.IntegerType(), False)),
         )
     q_ids = [r[0] for r in q_rows]
 
@@ -403,7 +406,9 @@ def ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
             iters=iters, seed=seed,
         )
-        return spark.createDataFrame(cent_rows, schema)
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        return tiny_frame(spark, cent_rows, schema)
     # Big-centroid path (n_list * dim beyond the driver bound): fully
     # distributed — window-numbered seeds, broadcast-join assignment,
     # two-stage mean reassembly; nothing centroid-sized touches the driver.
@@ -580,6 +585,11 @@ def _list_partials(vecs: DataFrame, cent_rows: list) -> DataFrame:
         ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
     )
 
+    # only the vector crosses the Python boundary: the mean update never
+    # reads ids, and mapInArrow ships every column it is given (Spark
+    # cannot see inside the function — guide-§4 column pruning, r16)
+    vecs = vecs.select("v")
+
     out_schema = StructType(
         [
             StructField("list_id", IntegerType()),
@@ -700,7 +710,9 @@ class IvfIndex:
         collect order."""
         rows = sorted(cents_lazy.collect(), key=lambda r: r["list_id"])
         cent_rows = [(r["list_id"], list(r["centroid"])) for r in rows]
-        cents = spark.createDataFrame(rows, schema=cents_lazy.schema)
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        cents = tiny_frame(spark, rows, cents_lazy.schema)
         return cents, cent_rows
 
     @classmethod
@@ -731,8 +743,11 @@ class IvfIndex:
                 corpus, id_col=id_col, vec_col=vec_col, n_list=n_list,
                 iters=iters, seed=seed,
             )
-            cents = corpus.sparkSession.createDataFrame(
-                cent_rows, "list_id: int, centroid: array<double>"
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            cents = tiny_frame(
+                corpus.sparkSession, cent_rows,
+                "list_id: int, centroid: array<double>",
             )
             # zero-shuffle assignment: corpus scanned once, never moved
             assigned = _assign_lists_arrow(vecs, cent_rows)
@@ -781,8 +796,14 @@ class IvfIndex:
             # probe equi-join downstream is unchanged). Saves one Arrow
             # worker stage on the exact-search path.
             if self._lists_df is None:
-                self._lists_df = q.sparkSession.createDataFrame(
-                    [(lid,) for lid, _ in self.cent_rows], "list_id: int"
+                from mortar_parquet_support_spark.functions import tiny_frame
+
+                # tiny_frame (r16): as a 32-slice Python RDD this probe-
+                # side frame cost a Python-worker task fan-out on every
+                # full-probe query batch (the knn_ivf headline path)
+                self._lists_df = tiny_frame(
+                    q.sparkSession, [(lid,) for lid, _ in self.cent_rows],
+                    "list_id: int",
                 )
             return q.crossJoin(F.broadcast(self._lists_df))
         if self.cent_rows is not None:

@@ -429,8 +429,17 @@ def cms_estimate(
         )
     if len(set(items)) != len(items):
         raise ValueError("items must not contain duplicates")
+    from mortar_parquet_support_spark.functions import materialize
     from mortar_parquet_support_spark.operators.dedup import md5_int
 
+    # TWO consumers read the state lineage (the parameter collect below
+    # and the probe join's scan), so it gets the repo's standard
+    # multi-consumer barrier (r16): left lazy, a state frame fresh off
+    # cms_rollup re-executed the whole corpus sketch for each — the
+    # barrier stores at most groups x depth x width rows, bounded by
+    # construction. A caller passing an already-persisted state pays one
+    # cheap re-materialization of kilobytes.
+    state = materialize(state)
     spark = state.sparkSession
     gparams = state.select(*group_cols, "depth", "width", "seed").distinct()
     rows = gparams.collect()
@@ -448,8 +457,16 @@ def cms_estimate(
             "cms_estimate: group(s) mix states built with different "
             f"(depth, width, seed) — re-sketch from raw data: {mixed[:5]}"
         )
-    gp = spark.createDataFrame(rows, gparams.schema)
-    probes = spark.createDataFrame([(i,) for i in items], "item string")
+    # tiny_frame, not bare createDataFrame (r16): these two frames cross-
+    # join and then broadcast-join the state — as 32-slice Python RDDs
+    # that planned into a 32x32 CartesianProduct whose ~1000 near-empty
+    # tasks each paid a Python-worker round-trip, 16s of the entry's 38s
+    # at sf0.1 for 48 probe rows. Single-slice local frames collapse it
+    # to one task (entry 38.6s -> see OPTIMIZATION_r16.md).
+    from mortar_parquet_support_spark.functions import tiny_frame
+
+    gp = tiny_frame(spark, rows, gparams.schema)
+    probes = tiny_frame(spark, [(i,) for i in items], "item string")
     salt = F.concat(
         F.lit("cms"),
         F.col("seed").cast("string"),

@@ -880,7 +880,9 @@ def train_linear_classifier(
     )
     labels = docs.select("__id", "__y", "__m")
 
-    weights = spark.createDataFrame([], "__fid long, __w double")
+    from mortar_parquet_support_spark.functions import tiny_frame
+
+    weights = tiny_frame(spark, [], "__fid long, __w double")
     bias = 0.0
     for _ in range(iters):
         scored = (

@@ -1447,6 +1447,10 @@ def correlated_pairs(
             fp_col=f"__fp{f_idx}",
             band_bits=band_bits,
             checkpoint_dir=checkpoint_dir,
+            # sigs is already materialized above — re-banding off the
+            # checkpoint is cheaper than one more eager barrier per
+            # fingerprint block (r16)
+            input_materialized=True,
         ).select("id_a", "id_b")
         cand = block if cand is None else cand.unionByName(block)
         if anticorrelated:

@@ -109,9 +109,9 @@ def _closure_driver(edges: DataFrame) -> DataFrame:
             stack.extend(adj.get(node, ()))
         pairs.extend((start, node) for node in seen)
     spark = edges.sparkSession
-    if not pairs:
-        return spark.createDataFrame([], schema=PAIR_SCHEMA)
-    return spark.createDataFrame(pairs, schema=PAIR_SCHEMA)
+    from mortar_parquet_support_spark.functions import tiny_frame
+
+    return tiny_frame(spark, pairs, PAIR_SCHEMA)
 
 
 def _closure_spark(

@@ -1577,8 +1577,12 @@ class SparqlEngine:
                     raise ValueError(f"DESCRIBE variable ?{v} not bound by WHERE")
                 frames.append(acc.select(F.col(v).alias("__resource")))
         if iris:
+            from mortar_parquet_support_spark.functions import tiny_frame
+
             frames.append(
-                scope.spark.createDataFrame([(i,) for i in iris], ["__resource"])
+                tiny_frame(
+                    scope.spark, [(i,) for i in iris], "__resource string"
+                )
             )
         res = frames[0]
         for f in frames[1:]:
@@ -1957,7 +1961,9 @@ class SparqlEngine:
 
         spark = scope.spark
         schema = T.StructType([T.StructField(v, T.StringType(), True) for v in vars_])
-        vdf = spark.createDataFrame([tuple(r) for r in rows], schema=schema)
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        vdf = tiny_frame(spark, [tuple(r) for r in rows], schema)
         if acc is None:
             return vdf, set(vars_)
         shared = sorted(bound & set(vars_))
@@ -2432,14 +2438,28 @@ class SparqlEngine:
         if s.kind == "var" and o.kind != "var":
             reach = pairs.filter(F.col("dst") == o.value).select(F.col("src").alias(s.value))
             if zero:
-                one = reach.sparkSession.createDataFrame([(o.value,)], [s.value])
+                from pyspark.sql import types as T
+
+                from mortar_parquet_support_spark.functions import tiny_frame
+
+                one = tiny_frame(
+                    reach.sparkSession, [(o.value,)],
+                    T.StructType([T.StructField(s.value, T.StringType())]),
+                )
                 reach = reach.union(one)
             return self._join(acc, bound, reach.dropDuplicates())
 
         if s.kind != "var" and o.kind == "var":
             reach = pairs.filter(F.col("src") == s.value).select(F.col("dst").alias(o.value))
             if zero:
-                one = reach.sparkSession.createDataFrame([(s.value,)], [o.value])
+                from pyspark.sql import types as T
+
+                from mortar_parquet_support_spark.functions import tiny_frame
+
+                one = tiny_frame(
+                    reach.sparkSession, [(s.value,)],
+                    T.StructType([T.StructField(o.value, T.StringType())]),
+                )
                 reach = reach.union(one)
             return self._join(acc, bound, reach.dropDuplicates())
 

@@ -228,7 +228,10 @@ def ingest_directory(
         msg = str(exc)
         if klass != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
-        return spark.createDataFrame(
+        from mortar_parquet_support_spark.functions import tiny_frame
+
+        return tiny_frame(
+            spark,
             [],
             "collection string, uuid string, time timestamp, "
             "value double, label string, uri string",

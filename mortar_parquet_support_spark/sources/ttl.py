@@ -442,4 +442,6 @@ def load_graph_dir(spark: SparkSession, graph_dir: str) -> DataFrame:
         site = os.path.splitext(os.path.basename(path))[0]
         with open(path, encoding="utf-8") as fh:
             rows.extend(parse_ttl(fh.read(), site))
-    return spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    from mortar_parquet_support_spark.functions import tiny_frame
+
+    return tiny_frame(spark, rows, TRIPLES_SCHEMA)

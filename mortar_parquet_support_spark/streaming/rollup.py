@@ -962,7 +962,9 @@ def stream_drift_monitor_by(
         spark = batch_df.sparkSession
         gdf = gdf_cache.get(id(spark))
         if gdf is None:
-            gdf = spark.createDataFrame(grid_rows, grid_schema)
+            from mortar_parquet_support_spark.functions import tiny_frame
+
+            gdf = tiny_frame(spark, grid_rows, grid_schema)
             gdf_cache[id(spark)] = gdf
         v = F.col(value).cast("double")
         b = equi_bin(v, F.col("__lo"), F.col("__hi"), F.col("__nb"))

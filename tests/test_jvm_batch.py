@@ -358,6 +358,75 @@ def test_simhash_content_free_contract_is_version_stable(spark):
     assert fp["a"] == fp["e"] != 0
 
 
+def test_simhash_dedup_exploded_fingerprints_match_column_spelling(spark):
+    """simhash_dedup computes fingerprints via the r16 exploded codegen
+    formulation (distinct tokens exploded, one 64-way ±1 vote aggregate)
+    instead of the interpreted simhash() Column — this pins the two
+    spellings bit-equal over the edge battery (multi-token, repeated
+    tokens where array_distinct matters, single token, tab/newline
+    boundaries, mixed case) so the persisted-fingerprint contract can
+    never drift between the projection and the banding paths."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.operators.dedup import (
+        simhash,
+        simhash_dedup,
+    )
+
+    rows = [
+        ("a", "hello world"),
+        ("b", "Hello HELLO world world world"),  # casefold + distinct
+        ("c", "one"),
+        ("d", "\tone two\nthree  four "),
+        ("e", "z y x w v u t s r q p"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    want = {
+        r.id: r.fp
+        for r in df.select("id", simhash(F.col("text")).alias("fp")).collect()
+    }
+    # pair every doc with itself via a duplicate id-space so each id's
+    # fingerprint appears in the output regardless of banding luck
+    dup = df.select(F.concat(F.lit("dup_"), "id").alias("id"), "text")
+    pairs = simhash_dedup(
+        df.unionByName(dup), id_col="id", text_col="text"
+    ).collect()
+    got = {}
+    for r in pairs:
+        got[r.id_a] = r.simhash_a
+        got[r.id_b] = r.simhash_b
+    # every original doc has an identical dup_ twin, so all ids appear
+    for key, fp in want.items():
+        assert got[key] == fp, key
+        assert got["dup_" + key] == fp, key
+
+
+def test_fingerprint_band_pairs_input_materialized_identical(spark):
+    """input_materialized=True (r16: skip the internal barrier when the
+    caller already cut the lineage) must change the plan only, never the
+    candidate set."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.functions import materialize
+    from mortar_parquet_support_spark.operators.dedup import (
+        fingerprint_band_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) * 0x0101_0101_0101_0101) for i in range(40)],
+        "id long, fp long",
+    )
+    base = fingerprint_band_pairs(df, id_col="id", fp_col="fp")
+    fast = fingerprint_band_pairs(
+        materialize(df), id_col="id", fp_col="fp", input_materialized=True
+    )
+    # collected compare, not exceptAll: both frames share the source df's
+    # attribute ids, which trips Spark's exceptAll attribute dedup
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect()))
+    assert base.count() > 0  # the fixture must actually produce pairs
+
+
 def test_pooled_batch_failure_propagates_and_loud_stops(ops, hfs, tmp_path):
     """r16 executor semantics: with the bounded pool's width genuinely
     BINDING (100 units at width 4, so ~96 units sit queued when the

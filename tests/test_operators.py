@@ -5020,3 +5020,55 @@ def test_seasonal_anomalies_flags_only_the_planted_spike(spark):
 
     with pytest.raises(ValueError, match="sigma"):
         seasonal_anomalies(df, keys=["key"], sigma=0)
+
+
+def test_factored_norm_cosine_bit_equal_including_degenerates(spark):
+    """r16: embedding_dedup / semantic_dedup / cosine_topk factor each
+    vector's norm out of the pair expression (computed once per row).
+    vector_norm shares cosine_similarity's fold order, so the factored
+    try_divide(dot, na*nb) must stay BIT-equal to the inline formula —
+    including the degenerate legs: a zero-norm vector yields NULL under
+    both spellings (try_divide), never a divide-by-zero or a 0.0."""
+    from pyspark.sql import functions as F
+
+    from mortar_parquet_support_spark.functions import (
+        cosine_similarity,
+        dot_product,
+        vector_norm,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [0.1, -0.2, 0.30000000000000004]),
+        (3, [0.0, 0.0, 0.0]),          # zero norm -> NULL cosine
+        (4, [1e-300, 1e-300, 1e-300]),  # denormal-adjacent norms
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    inline = pairs.select(
+        "a.id", "b.id",
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("c"),
+    )
+    an = df.select("id", "v", vector_norm(F.col("v")).alias("n"))
+    a2, b2 = an.alias("a"), an.alias("b")
+    factored = a2.join(b2, F.col("a.id") < F.col("b.id")).select(
+        "a.id", "b.id",
+        F.try_divide(
+            dot_product(F.col("a.v"), F.col("b.v")),
+            F.col("a.n") * F.col("b.n"),
+        ).alias("c"),
+    )
+    import struct
+
+    def canon(rows):
+        return sorted(
+            (r[0], r[1], None if r[2] is None else struct.pack(">d", r[2]).hex())
+            for r in rows
+        )
+
+    assert canon(inline.collect()) == canon(factored.collect())
+    # every pair touching id 3 (exact zero norm) or id 4 (1e-300 squares
+    # UNDERFLOW to 0.0 inside the fold, so its norm is 0.0 too) is NULL
+    # under BOTH spellings — 5 of the 6 pairs
+    assert sum(1 for r in inline.collect() if r[2] is None) == 5
