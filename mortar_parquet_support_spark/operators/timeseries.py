@@ -703,13 +703,21 @@ def lttb_downsample(
     to ``n_out`` visually-representative points (endpoints pinned,
     spikes survive because extreme points span the largest triangles).
 
-    Shape: one shuffle (the per-key applyInPandas grouping); LTTB is
-    inherently sequential per stream (each pick depends on the previous
-    one), so the stream must fit one worker — at 100 TB the caller
-    time-filters to the render window FIRST (the lake scan prunes), and
-    a dashboard window is thousands of points, not billions. The bucket
-    AREAS are numpy-vectorized inside each pick; only the bucket walk is
-    a Python loop (n_out iterations)."""
+    Shape: one shuffle (repartition by key), then ONE ``mapInPandas``
+    pass that groups each partition's streams in pandas — NOT a per-group
+    ``applyInPandas``: with dashboard-sized streams the per-group Spark
+    machinery dominated outright (r16 measurement: 1,500 groups of ~67
+    rows took 10.5s of which 0.4s was the upstream aggregate — ~7ms of
+    pure per-group overhead each, most groups short-circuiting on
+    n <= n_out). Grouping inside pandas pays that once per PARTITION.
+    Memory contract: a whole shuffle partition is buffered as one pandas
+    frame (AQE sizes the partitions; the old per-group contract only
+    buffered one stream) — still bounded, and the caller time-filters to
+    the render window FIRST at 100 TB (the lake scan prunes), since LTTB
+    is inherently sequential per stream (each pick depends on the
+    previous one) and a dashboard window is thousands of points, not
+    billions. The bucket AREAS are numpy-vectorized inside each pick;
+    only the bucket walk is a Python loop (n_out iterations)."""
     import pandas as pd
 
     if n_out < 3:
@@ -752,10 +760,32 @@ def lttb_downsample(
         chosen.append(n - 1)
         return pdf[out_fields].iloc[chosen]
 
+    def pick_partition(batches):
+        # a stream's rows can straddle Arrow batches, so the partition is
+        # buffered whole before grouping (see the memory contract above);
+        # dropna=False keeps NULL-key streams — Spark's groupBy treats
+        # NULL as a group and this pass must too
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        picks = [
+            pick(g)
+            for _, g in pdf.groupby(list(keys), dropna=False, sort=False)
+        ]
+        # ONE output frame per partition: yielding each stream's picks
+        # separately pays an Arrow conversion per stream — the same
+        # per-group tax this function exists to remove
+        yield pd.concat(picks, ignore_index=True)
+
     return (
         df.select(*out_fields)
-        .groupBy(*[F.col(k) for k in keys])
-        .applyInPandas(pick, schema)
+        # no explicit partition count: the session's shuffle.partitions /
+        # AQE coalescing size it (scale-adaptive, not a local constant)
+        .repartition(*[F.col(k) for k in keys])
+        .mapInPandas(pick_partition, schema)
     )
 
 
