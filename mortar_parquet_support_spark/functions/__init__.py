@@ -112,6 +112,18 @@ def cosine_similarity(a, b) -> Column:
     return F.try_divide(dot_product(a, b), vector_norm(a) * vector_norm(b))
 
 
+def cosine_from_norms(a, b, norm_a, norm_b) -> Column:
+    """:func:`cosine_similarity` with the norms factored out — THE spelling
+    for pair expressions whose per-row norms were precomputed with
+    :func:`vector_norm` (IvfIndex build, cosine_topk, embedding_dedup,
+    semantic_dedup, _assign_lists). One definition so the bit-identity
+    contract — ``try_divide(dot, na*nb)`` equals the inline formula exactly
+    when ``na``/``nb`` came from vector_norm (same fold order) — cannot
+    drift between call sites (r16 review). Same NULL-on-zero-norm
+    degradation as cosine_similarity."""
+    return F.try_divide(dot_product(a, b), norm_a * norm_b)
+
+
 def char_ngrams(col, n: int = 3) -> Column:
     """Distinct character n-grams of a string column as array<string>,
     via sequence+transform (no explode, no UDF).

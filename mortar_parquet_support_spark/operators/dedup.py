@@ -28,8 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mortar_parquet_support_spark.functions import (
-    cosine_similarity,  # noqa: F401 — re-exported; callers import it from here
-    dot_product,
+    cosine_from_norms,
     materialize,
     vector_norm,
     word_shingles,
@@ -559,6 +558,25 @@ def crosscorpus_dedup(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def _simhash_fp_from_votes(votes: "list[Column]") -> Column:
+    """64-bit fingerprint from per-bit vote Columns: bit b set iff
+    vote_b > 0, reassembled as a sum of distinct bit weights (two's-
+    complement wraparound on bit 63). THE one spelling of the vote→bit
+    rule and the weight arithmetic, shared by the :func:`simhash` Column
+    and simhash_dedup's exploded aggregate (r16 review) — the persisted-
+    fingerprint bit-identity between the two paths is structural, not
+    just test-pinned."""
+    bit_exprs = [
+        F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        for b, vote in enumerate(votes)
+    ]
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out
+
+
 def simhash(
     text: Column,
     *,
@@ -593,19 +611,19 @@ def simhash(
         F.when(text.isNotNull(), F.array().cast("array<string>"))
     )
     hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
-    bit_exprs = []
-    for b in range(bits):
-        vote = F.aggregate(
+    def _vote(b: int) -> Column:
+        # the lambda is invoked EAGERLY by F.aggregate (expression build
+        # time), and its parameter list must be exactly (acc, x) — a
+        # default-arg b would change the detected lambda arity
+        return F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        bit_exprs.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out + e
-    return out
+
+    votes = [_vote(b) for b in range(bits)]
+    return _simhash_fp_from_votes(votes)
 
 
 def _validate_band_bits(band_bits: int) -> None:
@@ -716,11 +734,15 @@ def simhash_dedup(
     Exploding the distinct tokens and summing each bit's ±1 vote in one
     codegen'd 64-way aggregate produces the SAME integer votes (same
     xxhash64 per distinct token, same ±1 per bit, integer sums — order-
-    free), hence bit-identical fingerprints (pytest-pinned against the
-    Column spelling in tests/test_jvm_batch.py); the shuffle carries 64
-    ints per doc, the minhash-signature shape. The :func:`simhash`
-    Column stays public for projection-context callers (persisted-
-    fingerprint pipelines that must not shuffle)."""
+    free), and the vote→bit reassembly is the SHARED
+    :func:`_simhash_fp_from_votes` — bit-identity with the Column
+    spelling is structural AND pytest-pinned (tests/test_jvm_batch.py);
+    the shuffle carries 64 ints per doc, the minhash-signature shape.
+    Like minhash_signatures' groupBy(id), DUPLICATE ids merge here
+    (their token votes sum into one fingerprint) — ids are the dedup
+    identity and must be unique, the family-wide contract. The
+    :func:`simhash` Column stays public for projection-context callers
+    (persisted-fingerprint pipelines that must not shuffle)."""
     # NULL or empty/whitespace text yields THE SAME fingerprint for every
     # such doc (all word hashes absent; identical votes) — without this
     # guard a corpus with N null/empty documents reports O(N^2) pairs and
@@ -753,18 +775,9 @@ def simhash_dedup(
             for b in range(64)
         ]
     )
-    # same bit-weight reassembly as simhash() — wraparound on bit 63
-    # included, so the two spellings agree bit for bit
-    bit_exprs = [
-        F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
-        for b in range(64)
-    ]
-    fp = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        fp = fp + e
-    with_fp = votes.select("id", fp.alias("fp"))
+    with_fp = votes.select(
+        "id", _simhash_fp_from_votes([F.col(f"_v{b}") for b in range(64)]).alias("fp")
+    )
     return fingerprint_band_pairs(
         with_fp,
         id_col="id",
@@ -850,9 +863,8 @@ def embedding_dedup(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.try_divide(
-            dot_product(F.col("a.v"), F.col("b.v")),
-            F.col("a.vnorm") * F.col("b.vnorm"),
+        cosine_from_norms(
+            F.col("a.v"), F.col("b.v"), F.col("a.vnorm"), F.col("b.vnorm")
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
@@ -943,9 +955,8 @@ def semantic_dedup(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.try_divide(
-            dot_product(F.col("a.v"), F.col("b.v")),
-            F.col("a.vnorm") * F.col("b.vnorm"),
+        cosine_from_norms(
+            F.col("a.v"), F.col("b.v"), F.col("a.vnorm"), F.col("b.vnorm")
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mortar_parquet_support_spark.functions import (
+    cosine_from_norms,
     cosine_similarity,
     dot_product,
     vector_norm,
@@ -74,9 +75,8 @@ def cosine_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.try_divide(
-            dot_product(F.col("q_vec"), F.col("c_vec")),
-            F.col("q_norm") * F.col("c_norm"),
+        cosine_from_norms(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -653,9 +653,8 @@ def _assign_lists(vecs: DataFrame, centroids) -> DataFrame:
             "id",
             "v",
             "list_id",
-            F.try_divide(
-                dot_product(F.col("v"), F.col("centroid")),
-                F.col("_vn") * F.col("_cn"),
+            cosine_from_norms(
+                F.col("v"), F.col("centroid"), F.col("_vn"), F.col("_cn")
             ).alias("_sim"),
         )
     )

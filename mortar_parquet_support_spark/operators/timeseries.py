@@ -712,7 +712,11 @@ def lttb_downsample(
     n <= n_out). Grouping inside pandas pays that once per PARTITION.
     Memory contract: a whole shuffle partition is buffered as one pandas
     frame (AQE sizes the partitions; the old per-group contract only
-    buffered one stream) — still bounded, and the caller time-filters to
+    buffered one stream). Float-typed key caveat: Arrow→pandas maps a
+    SQL NULL key to NaN, so on a float/double key column a NULL-keyed
+    stream and a NaN-keyed stream merge into one group here (Spark's
+    groupBy kept them distinct) — key streams by string/integer ids,
+    which every in-repo caller does — still bounded, and the caller time-filters to
     the render window FIRST at 100 TB (the lake scan prunes), since LTTB
     is inherently sequential per stream (each pick depends on the
     previous one) and a dashboard window is thousands of points, not
@@ -759,6 +763,23 @@ def lttb_downsample(
             chosen.append(a)
         chosen.append(n - 1)
         return pdf[out_fields].iloc[chosen]
+
+    if not keys:
+        # zero keys = ONE global stream (the old groupBy() semantics):
+        # repartition(*[]) is a TypeError and pandas groupby([]) raises,
+        # so the whole frame coalesces to one partition and picks once
+        def pick_all(batches):
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            if pdf.empty:
+                return
+            yield pick(pdf)
+
+        return df.select(*out_fields).repartition(1).mapInPandas(
+            pick_all, schema
+        )
 
     def pick_partition(batches):
         # a stream's rows can straddle Arrow batches, so the partition is

@@ -5072,3 +5072,20 @@ def test_factored_norm_cosine_bit_equal_including_degenerates(spark):
     # UNDERFLOW to 0.0 inside the fold, so its norm is 0.0 too) is NULL
     # under BOTH spellings — 5 of the 6 pairs
     assert sum(1 for r in inline.collect() if r[2] is None) == 5
+
+
+def test_lttb_zero_keys_downsamples_one_global_stream(spark):
+    """keys=() means ONE global stream (the historical groupBy()
+    semantics) — r16's per-partition grouping rewrite must keep it
+    working: endpoints pinned, exactly n_out rows, input order by ts."""
+    from mortar_parquet_support_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    df = spark.range(0, 300).selectExpr(
+        "id as t", "cast(id % 17 as double) as v"
+    )
+    out = lttb_downsample(df, ts="t", value="v", keys=(), n_out=10).collect()
+    assert len(out) == 10
+    ts = [r.t for r in out]
+    assert ts[0] == 0 and ts[-1] == 299 and ts == sorted(ts)
