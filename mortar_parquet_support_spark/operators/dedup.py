@@ -224,8 +224,14 @@ def minhash_signatures(
         "id", "_w", F.explode(F.sequence(F.lit(0), n_shingles - 1)).alias("_i")
     )
     hashed = exploded.select("id", gram_hash(F.col("_i")).alias("h"))
+    # one F.expr per signature, not a Column operator chain: every Column
+    # method is a py4j round-trip and the num_perm-ary loop was a
+    # measurable slice of dedup_minhash's plan-BUILDING time (r17; the
+    # correlated_pairs lesson). Integer literals parse to the same types
+    # F.lit chose (INT when they fit, BIGINT above), and pmod promotion
+    # is type-independent integer arithmetic — values are bit-identical.
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"sig_{i}")
+        F.expr(f"min(pmod({a} * h + {b}, {_MERSENNE})) AS sig_{i}")
         for i, (a, b) in enumerate(_minhash_params(num_perm, seed))
     ]
     return hashed.groupBy("id").agg(*aggs)
@@ -296,10 +302,16 @@ def band_hashes(*, num_perm: int, bands: int, seed: int) -> list[Column]:
             "each band consumes num_perm/bands signature rows"
         )
     rows_per_band = num_perm // bands
+    # one F.expr per band (py4j chatter, r17 — see minhash_signatures);
+    # the seed parses as the same INT literal F.lit(seed) built, so the
+    # xxhash64 inputs — hash-critical — are type-identical
     return [
-        F.xxhash64(
-            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(seed),
+        F.expr(
+            "xxhash64("
+            + ", ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + f", {seed})"
         )
         for b in range(bands)
     ]
@@ -998,14 +1010,19 @@ def simhash_dedup(
             F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
         ).alias("_tok"),
     )
-    h = F.xxhash64(F.col("_tok"), F.lit(seed))
+    # one F.expr per bit vote, not a Column operator chain (py4j chatter,
+    # r17 — see minhash_signatures); the seed parses as the same INT
+    # literal F.lit(seed) built, so the xxhash64 input — hash-critical —
+    # is type-identical, and CASE/shiftright/& parse to the expressions
+    # the Column spelling produced. Bit-identity with the simhash()
+    # Column stays pinned by tests/test_jvm_batch.py over every fixture
+    # document.
     votes = base.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(xxhash64(_tok, {seed}), {b})"
+                f" & 1) = 1 THEN 1 ELSE -1 END) AS _v{b}"
+            )
             for b in range(64)
         ]
     )

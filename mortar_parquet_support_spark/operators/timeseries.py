@@ -1452,42 +1452,57 @@ def correlated_pairs(
     # one aggregate computes moments AND every projection sum: with
     # r_j(t) in {-1,+1} hash-derived, sum_t r_j * (x_t - mu) =
     # sum(r_j * x) - mu * sum(r_j), so centering needs no second pass
-    # (and the 1/sigma factor cannot change a SIGN, so it is skipped)
-    def _r(j: int) -> Column:
-        return (
-            F.xxhash64(F.lit(j), F.col("__t")).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("double")
-
+    # (and the 1/sigma factor cannot change a SIGN, so it is skipped).
+    # r17 construction-cost rewrite, two parts, both value-identical:
+    # - the r_j columns are PRE-PROJECTED once: spelling the hash inside
+    #   both of each bit's aggregates evaluated 2*n_bits xxhash64 per row
+    #   (no subexpression sharing across aggregate expressions) and
+    #   doubled every aggregate's expression subtree;
+    # - the repetitive per-bit expressions are built as SQL STRINGS
+    #   (selectExpr / one F.expr per aggregate), not Column operator
+    #   chains: every Column method is a py4j round-trip, and this
+    #   operator's ~3,000 of them were 6.0s of pure driver-side plan
+    #   BUILDING at sf0.1 (vs ~1s execution) — the measured hotspot.
+    #   The SQL spellings parse to the same Catalyst expressions
+    #   (integer literals are INT in both, matching xxhash64's input
+    #   hashing; CASE/shiftleft/sum identical), so every value is
+    #   bit-identical — pinned by the oracle hash and the recall tests.
+    r_cols = [
+        f"CAST(((xxhash64({j}, __t) & 1) * 2 - 1) AS DOUBLE) AS __r{j}"
+        for j in range(n_bits)
+    ]
+    proj = obs.selectExpr("__k", "__v", *r_cols)
     aggs = [
         F.count(F.lit(1)).alias("__n"),
         F.avg("__v").alias("__mu"),
         F.stddev_samp("__v").alias("__sd"),
     ]
     for j in range(n_bits):
-        aggs.append(F.sum(_r(j) * F.col("__v")).alias(f"__srx{j}"))
-        aggs.append(F.sum(_r(j)).alias(f"__sr{j}"))
+        aggs.append(F.expr(f"sum(__r{j} * __v) AS __srx{j}"))
+        aggs.append(F.expr(f"sum(__r{j}) AS __sr{j}"))
     sketch = (
-        obs.groupBy("__k")
+        proj.groupBy("__k")
         .agg(*aggs)
         .filter((F.col("__n") >= min_points) & (F.col("__sd") > 0))
     )
-    fps = []
+    fp_cols = []
     for f_idx in range(n_bits // 64):
-        bits = []
+        terms = []
         for b in range(64):
             j = f_idx * 64 + b
-            s = F.col(f"__srx{j}") - F.col("__mu") * F.col(f"__sr{j}")
-            bits.append(
-                # shiftleft, not lit(2**b): bit 63's power overflows a
-                # Python->Catalyst long literal; the shift wraps correctly
-                F.when(s >= 0, F.shiftleft(F.lit(1).cast("long"), b))
-                .otherwise(F.lit(0).cast("long"))
+            # shiftleft, not a 2**b literal: bit 63's power overflows a
+            # long literal; the shift wraps correctly
+            terms.append(
+                f"(CASE WHEN (__srx{j} - __mu * __sr{j}) >= 0 "
+                f"THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+                f"ELSE CAST(0 AS BIGINT) END)"
             )
         # distinct powers of two: the sum's bit pattern == bitwise OR
-        # (two's-complement wraparound on bit 63 included)
-        fps.append(sum(bits[1:], bits[0]).alias(f"__fp{f_idx}"))
+        # (two's-complement wraparound on bit 63 included); SQL + chains
+        # parse left-associative exactly like the old Python sum() fold
+        fp_cols.append(" + ".join(terms) + f" AS __fp{f_idx}")
     sigs = materialize(
-        sketch.select("__k", *fps), checkpoint_dir=checkpoint_dir
+        sketch.selectExpr("__k", *fp_cols), checkpoint_dir=checkpoint_dir
     )
 
     cand = None
