@@ -216,6 +216,12 @@ def _training_batches(spark, sf_dir):
         dedup="exact",
         audit=True,
     )
+    # THREE consumers replay the curate lineage (BPE's word table, the
+    # exact-cost encode leg, the final accounting join) — one barrier,
+    # ~3s/evaluation saved twice at sf0.1 (r17)
+    from mortar_parquet_support_spark.functions import materialize
+
+    audited = materialize(audited)
     survivors = audited.filter(F.col("kept")).select("doc_id", "text")
     manifest = tokenize_and_pack(
         survivors, vocab_merges=16, budget=1024, shards=8

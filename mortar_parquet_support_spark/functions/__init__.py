@@ -15,7 +15,7 @@ def is_uuid(col) -> Column:
     return c.rlike(f"^{UUID_RE}$")
 
 
-def materialize(df, *, checkpoint_dir: str | None = None):
+def materialize(df, *, checkpoint_dir: str | None = None, eager: bool = True):
     """Eager materialization barrier for iterative pipelines (lineage cut +
     AQE double-execution guard — rationale in operators/dedup.py's
     minhash_lsh_candidates docstring).
@@ -29,6 +29,15 @@ def materialize(df, *, checkpoint_dir: str | None = None):
       ``checkpoint()`` there.
     - otherwise: ``localCheckpoint()`` (executor-local blocks) — fastest,
       fine for local mode and for clusters that accept recompute-on-loss.
+
+    ``eager=False`` cuts the lineage NOW but defers the checkpoint's
+    materialization to the frame's FIRST action — for loops whose next
+    step is itself an action over the new frame (bpe_train's top-pair
+    job), that action materializes the checkpoint as a side effect and
+    the separate eager barrier job disappears (r17). Only for callers
+    whose next action consumes the frame exactly once before any
+    multi-leg self-join: two legs racing to compute an unmaterialized
+    lazy checkpoint can transiently duplicate partition work.
     """
     sc = df.sparkSession.sparkContext
     if checkpoint_dir is not None:
@@ -40,10 +49,10 @@ def materialize(df, *, checkpoint_dir: str | None = None):
         if getattr(sc, "_mortar_ckpt_dir", None) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
             sc._mortar_ckpt_dir = checkpoint_dir
-        return df.checkpoint(eager=True)
+        return df.checkpoint(eager=eager)
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def staged_columns(df, *stages: dict) -> "DataFrame":  # noqa: F821

@@ -105,7 +105,15 @@ def bpe_train(
     words = unigram_counts(df, text_col=text_col).select(
         F.col("freq"), _chars(F.col("token")).alias("syms")
     )
-    words = materialize(words, checkpoint_dir=checkpoint_dir)
+    # LAZY checkpoints throughout the loop (r17): each iteration's next
+    # action is the top-pair job below, which materializes the pending
+    # checkpoint as a side effect — one action per merge instead of two
+    # (an eager barrier job + the top-pair job). The lineage cut is
+    # unchanged (checkpoint marks the plan immediately); the rewrite
+    # stage then reads the blocks the top-pair job just wrote. Safe here
+    # because the top-pair aggregate consumes the frame exactly once —
+    # no self-join legs can race the first materialization.
+    words = materialize(words, checkpoint_dir=checkpoint_dir, eager=False)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -137,8 +145,12 @@ def bpe_train(
         # fold + union per merge and the final iterations would re-run
         # the whole history. Dropping the previous iteration's reference
         # lets its blocks free at GC (local tier) — reliable-checkpoint
-        # files (checkpoint_dir tier) are cleaned with the dir.
-        words = materialize(rewritten, checkpoint_dir=checkpoint_dir)
+        # files (checkpoint_dir tier) are cleaned with the dir. Lazy:
+        # the NEXT iteration's top-pair job materializes it (see above);
+        # when the loop exits first (early stop or the last merge), the
+        # pending checkpoint is simply never paid — its frame is never
+        # read again.
+        words = materialize(rewritten, checkpoint_dir=checkpoint_dir, eager=False)
     return merges
 
 

@@ -16,15 +16,13 @@ Scale shapes (the 100 TB plan):
 
 ``contaminated_ids`` / ``decontaminate``: the eval set is small by
 construction (benchmarks are thousands of documents, not billions), so its
-distinct shingle set is broadcast. The corpus side is ONE scan: shingle
-(array transform, no UDF), posexplode, broadcast LEFT SEMI join, distinct
-ids — no shuffle of corpus data at all except the final distinct on the
-(tiny) contaminated-id set. The explode factor is bounded by tokens/doc.
-The shingle transform is an interpreted HOF (~0.5 ms/doc warm, measured);
-a window-``lead`` formulation (operators/dedup.py minhash_signatures)
-is ~3x faster per doc but costs a full corpus shuffle — for a
-scan-and-drop filter the shuffle-free projection wins at scale, so the
-HOF stays.
+distinct shingle set is broadcast. The corpus side is ONE scan: gram rows
+via the codegen explode-offsets spelling (dedup._shingle_token_rows, r17 —
+the earlier interpreted shingle ``transform`` was ~0.5 ms/doc, 4s per
+corpus pass at sf0.1), broadcast LEFT SEMI join, distinct ids — no shuffle
+of corpus data at all except the final distinct on the (tiny)
+contaminated-id set. The explode factor is bounded by tokens/doc and the
+whole leg stays a shuffle-free scan projection.
 
 ``domain_cap``: one hash-partition shuffle on the domain column + a
 row_number window inside each partition — the minimal plan for a per-group
@@ -38,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mortar_parquet_support_spark.functions import word_shingles
 
 
 # Deliberately simple patterns that mean the same thing in Java regex
@@ -87,23 +84,41 @@ def contaminated_ids(
     benchmark); n is caller-tunable — 13 is the common choice for real
     pipelines, small corpora test with smaller n.
     """
+    from mortar_parquet_support_spark.operators.dedup import _shingle_token_rows
+
     eval_text = eval_text_col or text_col
-    # drop the empty gram: word_shingles' whole-document fallback shingles
-    # NULL/empty/whitespace-only text to [''] — one blank row in a real
+    # gram rows via the codegen explode-offsets spelling (r17;
+    # dedup._shingle_token_rows — the word_shingles transform is
+    # interpreted per element, 4.0s/corpus pass at sf0.1, and this
+    # operator's result is dedup-invariant so even the per-doc distinct
+    # is skipped). Value identity: same gram strings; the NULL-text
+    # NULL-token row never equi-joins; the eval side's global distinct
+    # subsumes word_shingles' per-doc distinct.
+    # drop the empty gram: the whole-document fallback shingles
+    # NULL/empty/whitespace-only text to '' — one blank row in a real
     # benchmark dump would otherwise mark every blank corpus document as
     # "contaminated" despite sharing zero actual n-grams
     eval_grams = (
-        eval_df.select(
-            F.explode(word_shingles(F.col(eval_text), ngram_words)).alias("_g")
+        _shingle_token_rows(
+            eval_df.select(
+                F.lit(1).alias("id"), F.col(eval_text).alias("_text")
+            ),
+            ngram_words,
+            distinct=False,
         )
+        .select(F.col("tok").alias("_g"))
         .filter(F.col("_g") != "")
         .distinct()
     )
     return (
-        corpus.select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), ngram_words)).alias("_g"),
+        _shingle_token_rows(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+            ),
+            ngram_words,
+            distinct=False,
         )
+        .select(F.col("id").alias(id_col), F.col("tok").alias("_g"))
         .join(F.broadcast(eval_grams), "_g", "left_semi")
         .select(id_col)
         .distinct()
@@ -159,24 +174,36 @@ def contamination_score(
     — the only shuffle carries (id, hit-bit) pairs bounded by
     tokens/doc, and the final LEFT join back onto the id set restores
     shingle-less documents."""
+    from mortar_parquet_support_spark.operators.dedup import _shingle_token_rows
+
     eval_text = eval_text_col or text_col
+    # codegen gram rows (r17 — see contaminated_ids). The corpus side
+    # KEEPS per-document distinctness (default): n_grams counts each
+    # document's DISTINCT shingles, exactly size(word_shingles) did; the
+    # NULL-token row of a NULL-text document reproduces explode_outer's
+    # one NULL row (count 0 -> NULL contamination).
     eval_grams = (
-        eval_df.select(
-            F.explode(word_shingles(F.col(eval_text), ngram_words)).alias("_g")
+        _shingle_token_rows(
+            eval_df.select(
+                F.lit(1).alias("id"), F.col(eval_text).alias("_text")
+            ),
+            ngram_words,
+            distinct=False,
         )
+        .select(F.col("tok").alias("_g"))
         .filter(F.col("_g") != "")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    grams = corpus.select(
-        F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), ngram_words)).alias("_g"),
-    ).withColumn(
-        # the whole-document fallback shingles blank text to [''] — that
+    grams = _shingle_token_rows(
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
+        ngram_words,
+    ).select(
+        F.col("id").alias(id_col),
+        # the whole-document fallback shingles blank text to '' — that
         # is "no shingles", not a matchable gram (same rule as the eval
         # side above)
-        "_g",
-        F.when(F.col("_g") != "", F.col("_g")),
+        F.when(F.col("tok") != "", F.col("tok")).alias("_g"),
     )
     counted = (
         grams.join(F.broadcast(eval_grams), "_g", "left")

@@ -456,7 +456,9 @@ def _jaccard_pairs_arrays(
     )
 
 
-def _shingle_token_rows(docs: DataFrame, shingle_words: int) -> DataFrame:
+def _shingle_token_rows(
+    docs: DataFrame, shingle_words: int, *, distinct: bool = True
+) -> DataFrame:
     """Distinct (id, tok) word-shingle token rows for an (id, _text)
     frame — value-identical to exploding ``word_shingles(_text)``: same
     ws_tokens word stream, same space-joined gram strings (``concat_ws``
@@ -497,7 +499,11 @@ def _shingle_token_rows(docs: DataFrame, shingle_words: int) -> DataFrame:
             *[F.get(F.col("_w"), F.col("_i") + j) for j in range(shingle_words)],
         ),
     )
-    return ex.select("id", tok.alias("tok")).dropDuplicates(["id", "tok"])
+    rows = ex.select("id", tok.alias("tok"))
+    # ``distinct=False`` skips the per-(id, tok) dedup shuffle for
+    # consumers whose downstream is dedup-invariant (contaminated_ids:
+    # semi-join + distinct-id); set semantics callers keep the default.
+    return rows.dropDuplicates(["id", "tok"]) if distinct else rows
 
 
 def jaccard_pairs(
