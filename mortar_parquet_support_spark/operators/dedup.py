@@ -913,7 +913,7 @@ def fingerprint_band_pairs(
     fp_col: str,
     band_bits: int = 16,
     checkpoint_dir: str | None = None,
-    input_materialized: bool = False,
+    skip_barrier: bool = False,
 ) -> DataFrame:
     """Hamming-band LSH over ANY 64-bit fingerprint column: split the
     fingerprint into 64/band_bits bands; rows sharing any band are
@@ -924,14 +924,18 @@ def fingerprint_band_pairs(
     (id_a, id_b, fp_a, fp_b); candidate generation is an equi-join on
     (band, key), never all-pairs.
 
-    ``input_materialized=True`` declares that ``df`` is already behind an
-    eager barrier (a materialize/persist), so the internal one is skipped:
-    the barrier exists to stop an expensive fingerprint computation
-    (simhash over a corpus) executing once per self-join leg, but when the
-    caller already cut the lineage — correlated_pairs materializes its
-    signature table before banding — re-running a posexplode off a
-    checkpoint is cheaper than a second eager action (r16; each barrier
-    is a full job submission, ~0.5-1s of fixed cost per call locally)."""
+    ``skip_barrier=True`` (r16 as ``input_materialized``; renamed r17 per
+    ADVICE — the name now states the EFFECT, not an assumed cause): the
+    caller takes on the obligation that ``df`` is already behind an eager
+    barrier (materialize/persist/checkpointed source). The internal
+    barrier exists to stop an expensive fingerprint computation (simhash
+    over a corpus) executing once per self-join leg; when the caller
+    already cut the lineage — correlated_pairs materializes its signature
+    table before banding — re-running a posexplode off a checkpoint is
+    cheaper than a second eager action (~0.5-1s of fixed job-submission
+    cost locally). Passing it WITHOUT an actual upstream barrier silently
+    reintroduces the AQE double execution this guard exists to prevent —
+    it changes no values, only how many times the upstream runs."""
     _validate_band_bits(band_bits)
     banded = df.select(
         F.col(id_col).alias("id"),
@@ -944,7 +948,7 @@ def fingerprint_band_pairs(
     # fingerprint frame, and when AQE broadcasts one side the
     # BroadcastExchange cannot reuse the other side's exchange — without
     # the cut the upstream fingerprint computation runs TWICE
-    if not input_materialized:
+    if not skip_barrier:
         banded = materialize(banded, checkpoint_dir=checkpoint_dir)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -1201,6 +1205,31 @@ def _embedding_dedup_exact(
         )
         .filter(F.col("vnorm").isNotNull())
     )
+    return _blocked_cosine_pairs(
+        rows,
+        threshold=threshold,
+        checkpoint_dir=checkpoint_dir,
+        block_rows=block_rows,
+    )
+
+
+def _blocked_cosine_pairs(
+    rows: DataFrame,
+    *,
+    threshold: float,
+    checkpoint_dir: str | None,
+    block_rows: int | None,
+    bucket: bool = False,
+) -> DataFrame:
+    """Block-pair join + Arrow dimension-loop scoring over a prepared
+    (id, v, dim, vnorm[, bucket]) frame — the engine of
+    :func:`_embedding_dedup_exact`, shared with semantic_dedup's
+    within-cell scoring (r17). ``rows`` must already be filtered to
+    non-NULL ids and non-NULL-normed, non-empty vectors; with
+    ``bucket=True`` pairs form only within equal ``bucket`` values
+    (FEW-LARGE-cells regime — k-means cells, exact mode's single
+    implicit bucket; a many-small-buckets LSH stays on the plain
+    bucket-equi-join, where per-row block fan-out would be waste)."""
     # barrier: the frame feeds the count below plus both join legs
     rows = materialize(rows, checkpoint_dir=checkpoint_dir)
     n = rows.count()
@@ -1210,13 +1239,15 @@ def _embedding_dedup_exact(
         # 20x the partition count) while capping the explode fan-out
         # (n * n_blocks rows) via a block-size floor of 8192 rows. The
         # choice shapes tasks only — output is blocking-invariant.
-        par = df.sparkSession.sparkContext.defaultParallelism
+        par = rows.sparkSession.sparkContext.defaultParallelism
         n_blocks = max(-(-n // 8192), int((40 * par) ** 0.5) + 1, 1)
     else:
         n_blocks = max(-(-n // block_rows), 1)
     blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     base = rows.withColumn("blk", blk)
+    bkey = ["bucket"] if bucket else []
     left = base.select(
+        *bkey,
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("vnorm").alias("na"),
@@ -1225,6 +1256,7 @@ def _embedding_dedup_exact(
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("q"),
     )
     right = base.select(
+        *bkey,
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("vnorm").alias("nb"),
@@ -1237,7 +1269,7 @@ def _embedding_dedup_exact(
     # would need q < p keys the left side never emits); same-block pairs
     # meet twice plus self-pairs, cut by the id order filter exactly as
     # the old self-join condition did.
-    cand = left.join(right, ["dim", "p", "q"]).filter(
+    cand = left.join(right, [*bkey, "dim", "p", "q"]).filter(
         (F.col("p") != F.col("q")) | (F.col("id_a") < F.col("id_b"))
     )
     scored_in = cand.select("id_a", "id_b", "va", "vb", "na", "nb")
@@ -1365,32 +1397,36 @@ def semantic_dedup(
         ).persist()
         cents.count()
         assigned = _assign_lists(vecs, F.broadcast(cents))
-    # barrier before the self-join (same reason as embedding_dedup's): the
-    # Arrow assignment scan is the expensive leg, and an AQE broadcast of
-    # one join side would otherwise recompute it for the other. The norm
-    # rides along per ROW (r16, same as embedding_dedup): the inline
-    # cosine recomputed both norms per PAIR inside the quadratic
-    # within-cell region; vector_norm shares the fold order, so the
-    # factored formula is bit-identical.
-    keyed = materialize(
-        assigned.withColumn("vnorm", vector_norm(F.col("v"))),
+    # Within-cell scoring via the shared block-pair Arrow engine (r17;
+    # _blocked_cosine_pairs): the r16 cell-keyed self-join evaluated the
+    # interpreted cosine fold per PAIR — the same disease, and the same
+    # bit-identical dimension-loop cure, as embedding_dedup's exact mode.
+    # k-means cells are the few-LARGE-buckets regime the helper is for.
+    # Its internal materialize doubles as the barrier before the join
+    # (the Arrow assignment scan must not re-run per join leg). Rows the
+    # old join dropped via NULL cosine (NULL-element vectors) or a NULL
+    # id comparison are filtered structurally — same output.
+    rows = (
+        assigned.filter(F.col("id").isNotNull() & (F.size("v") > 0))
+        .select(
+            "id",
+            "v",
+            F.size("v").alias("dim"),
+            vector_norm(F.col("v")).alias("vnorm"),
+            F.col("list_id").alias("bucket"),
+        )
+        .filter(F.col("vnorm").isNotNull() & F.col("bucket").isNotNull())
+    )
+    pairs = _blocked_cosine_pairs(
+        rows,
+        threshold=threshold,
         checkpoint_dir=checkpoint_dir,
+        block_rows=None,
+        bucket=True,
     )
     if cents is not None:
-        cents.unpersist()  # keyed is lineage-cut; the centroid plan is done
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.list_id") == F.col("b.list_id"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cosine_from_norms(
-            F.col("a.v"), F.col("b.v"), F.col("a.vnorm"), F.col("b.vnorm")
-        ).alias("cosine"),
-    )
-    return pairs.filter(F.col("cosine") >= threshold)
+        cents.unpersist()  # pairs is lineage-cut; the centroid plan is done
+    return pairs
 
 
 def connected_components(

@@ -438,7 +438,12 @@ def cms_estimate(
     # cms_rollup re-executed the whole corpus sketch for each — the
     # barrier stores at most groups x depth x width rows, bounded by
     # construction. A caller passing an already-persisted state pays one
-    # cheap re-materialization of kilobytes.
+    # cheap re-materialization of kilobytes. Ordering note (ADVICE r16):
+    # the mixed-parameter validation needs DATA (the collect below), so
+    # an invalid state pays this one materialize job before raising —
+    # validating first would instead execute the state lineage twice on
+    # every VALID call (collect + join), the common path; the barrier
+    # stays first deliberately.
     state = materialize(state)
     spark = state.sparkSession
     gparams = state.select(*group_cols, "depth", "width", "seed").distinct()

@@ -712,11 +712,16 @@ def lttb_downsample(
     n <= n_out). Grouping inside pandas pays that once per PARTITION.
     Memory contract: a whole shuffle partition is buffered as one pandas
     frame (AQE sizes the partitions; the old per-group contract only
-    buffered one stream). Float-typed key caveat: Arrow→pandas maps a
-    SQL NULL key to NaN, so on a float/double key column a NULL-keyed
-    stream and a NaN-keyed stream merge into one group here (Spark's
-    groupBy kept them distinct) — key streams by string/integer ids,
-    which every in-repo caller does — still bounded, and the caller time-filters to
+    buffered one stream) — for corpora with MANY streams per key-hash or
+    a hot key, size the upstream shuffle so one partition's streams fit
+    a worker (spark.sql.shuffle.partitions / AQE advisory size; the
+    operator adds no repartition count of its own so the session's
+    scale-adaptive sizing applies). Float-typed keys: Arrow→pandas maps
+    a SQL NULL key to NaN, which would merge a NULL-keyed stream with a
+    NaN-keyed one, so each float/double key gets a Spark-side isnull
+    INDICATOR column that rides to the pandas groupby (r17) — group
+    identity matches Spark's groupBy (NULL and NaN distinct; all NaNs
+    one group) on every key type. Callers time-filter to
     the render window FIRST at 100 TB (the lake scan prunes), since LTTB
     is inherently sequential per stream (each pick depends on the
     previous one) and a dashboard window is thousands of points, not
@@ -724,14 +729,27 @@ def lttb_downsample(
     only the bucket walk is a Python loop (n_out iterations)."""
     import pandas as pd
 
+    from pyspark.sql.types import DoubleType, FloatType
+
     if n_out < 3:
         # LTTB needs both endpoints plus >= 1 interior pick; silently
         # returning 2 points for n_out=1 would break exact-size contracts
         raise ValueError(f"n_out must be >= 3, got {n_out}")
     out_fields = [*keys, ts, value]
     schema = df.select(*out_fields).schema
+    # one indicator per float/double key: after Arrow→pandas both a SQL
+    # NULL and a real NaN read as NaN, but isnull() distinguishes them
+    # JVM-side (isnull(NaN) is false), so grouping on [indicator, key]
+    # restores Spark's groupBy identity. Non-float keys need none: their
+    # NULLs map to None/NaN in a column that cannot hold a real NaN.
+    float_keys = [
+        k
+        for k in keys
+        if isinstance(df.schema[k].dataType, (FloatType, DoubleType))
+    ]
+    null_flags = {k: f"__isnull_{k}" for k in float_keys}
 
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pick(pdf: pd.DataFrame, ret_fields=out_fields) -> pd.DataFrame:
         import numpy as np
 
         # NULL timestamps are unplottable and NaT kills astype(int64) —
@@ -739,7 +757,7 @@ def lttb_downsample(
         pdf = pdf.dropna(subset=[ts]).sort_values(ts, kind="mergesort")
         n = len(pdf)
         if n <= n_out:
-            return pdf[out_fields]
+            return pdf[ret_fields]
         x = pdf[ts].astype("int64").to_numpy(dtype=np.float64)
         y = pdf[value].to_numpy(dtype=np.float64)
         # bucket boundaries over the interior points (endpoints pinned)
@@ -762,7 +780,7 @@ def lttb_downsample(
             a = lo + int(np.argmax(areas))
             chosen.append(a)
         chosen.append(n - 1)
-        return pdf[out_fields].iloc[chosen]
+        return pdf[ret_fields].iloc[chosen]
 
     if not keys:
         # zero keys = ONE global stream (the old groupBy() semantics):
@@ -781,6 +799,10 @@ def lttb_downsample(
             pick_all, schema
         )
 
+    group_cols = [*(null_flags[k] for k in float_keys), *keys]
+    flag_fields = list(null_flags.values())
+    ret_fields = [*out_fields, *flag_fields]
+
     def pick_partition(batches):
         # a stream's rows can straddle Arrow batches, so the partition is
         # buffered whole before grouping (see the memory contract above);
@@ -793,20 +815,42 @@ def lttb_downsample(
         if pdf.empty:
             return
         picks = [
-            pick(g)
-            for _, g in pdf.groupby(list(keys), dropna=False, sort=False)
+            pick(g, ret_fields)
+            for _, g in pdf.groupby(group_cols, dropna=False, sort=False)
         ]
         # ONE output frame per partition: yielding each stream's picks
         # separately pays an Arrow conversion per stream — the same
         # per-group tax this function exists to remove
         yield pd.concat(picks, ignore_index=True)
 
+    with_flags = df.select(
+        *out_fields,
+        *[F.isnull(F.col(k)).alias(v) for k, v in null_flags.items()],
+    )
+    flagged_schema = with_flags.select(*ret_fields).schema
+    # the flags also ride the OUTPUT: pandas->Arrow nulls a float NaN, so
+    # a NaN-keyed stream would come back NULL-keyed — the flag separates
+    # "was SQL NULL" (keep NULL) from "was NaN" (restore NaN), matching
+    # what Spark's own groupBy would have returned
+    restored = [
+        F.when(F.col(null_flags[k]), F.lit(None))
+        .otherwise(
+            F.coalesce(
+                F.col(k), F.lit(float("nan")).cast(df.schema[k].dataType)
+            )
+        )
+        .alias(k)
+        if k in null_flags
+        else F.col(k)
+        for k in keys
+    ]
     return (
-        df.select(*out_fields)
+        with_flags
         # no explicit partition count: the session's shuffle.partitions /
         # AQE coalescing size it (scale-adaptive, not a local constant)
         .repartition(*[F.col(k) for k in keys])
-        .mapInPandas(pick_partition, schema)
+        .mapInPandas(pick_partition, flagged_schema)
+        .select(*restored, ts, value)
     )
 
 
@@ -1516,7 +1560,7 @@ def correlated_pairs(
             # sigs is already materialized above — re-banding off the
             # checkpoint is cheaper than one more eager barrier per
             # fingerprint block (r16)
-            input_materialized=True,
+            skip_barrier=True,
         ).select("id_a", "id_b")
         cand = block if cand is None else cand.unionByName(block)
         if anticorrelated:

@@ -401,8 +401,8 @@ def test_simhash_dedup_exploded_fingerprints_match_column_spelling(spark):
         assert got["dup_" + key] == fp, key
 
 
-def test_fingerprint_band_pairs_input_materialized_identical(spark):
-    """input_materialized=True (r16: skip the internal barrier when the
+def test_fingerprint_band_pairs_skip_barrier_identical(spark):
+    """skip_barrier=True (r16: skip the internal barrier when the
     caller already cut the lineage) must change the plan only, never the
     candidate set."""
     from pyspark.sql import functions as F
@@ -418,7 +418,7 @@ def test_fingerprint_band_pairs_input_materialized_identical(spark):
     )
     base = fingerprint_band_pairs(df, id_col="id", fp_col="fp")
     fast = fingerprint_band_pairs(
-        materialize(df), id_col="id", fp_col="fp", input_materialized=True
+        materialize(df), id_col="id", fp_col="fp", skip_barrier=True
     )
     # collected compare, not exceptAll: both frames share the source df's
     # attribute ids, which trips Spark's exceptAll attribute dedup

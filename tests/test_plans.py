@@ -266,12 +266,16 @@ def test_quantile_estimate_windows_on_state_only(spark, sf_dir):
 
 
 def test_semantic_dedup_joins_on_cluster_key(spark, sf_dir):
-    """semantic_dedup's only wide op is the list_id-keyed self-join —
-    never a cartesian product over the corpus."""
+    """semantic_dedup's only wide op is the cell-keyed block-pair join
+    (r17: list_id rides as the `bucket` join key of
+    dedup._blocked_cosine_pairs) — never a cartesian product over the
+    corpus, and the pair scoring is the Arrow batch engine, not a
+    per-pair fold."""
     qs = entrymod.queries()
     p = plan_str(qs["semantic_dedup"](spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in p, p
-    assert "list_id" in p, p
+    assert "bucket" in p, p  # the cell key reaches the join
+    assert "MapInArrow" in p, p  # vectorized scorer, not a cosine fold
 
 
 def test_bm25_entry_no_corpus_exchange(spark, sf_dir):

@@ -225,6 +225,43 @@ def test_embedding_dedup_exact_matches_jvm_reference(spark, block_rows):
         assert _norm_rows(new) == _norm_rows(old), f"t={t} blocks={block_rows}"
 
 
+def test_lttb_float_key_null_and_nan_streams_stay_distinct(spark):
+    """On a float/double key column, Spark's groupBy keeps a NULL-keyed
+    stream and a NaN-keyed stream distinct (and merges all NaNs into one
+    group). Arrow→pandas maps SQL NULL to NaN, which merged them before
+    the r17 isnull-indicator fix."""
+    from mortar_parquet_support_spark.operators.timeseries import lttb_downsample
+
+    n = 40
+    rows = []
+    for key, base in ((None, 0.0), (float("nan"), 1000.0), (2.5, 2000.0)):
+        for i in range(n):
+            rows.append((key, i, base + (i % 7)))
+    df = spark.createDataFrame(rows, "k double, t long, v double")
+    out = lttb_downsample(df, ts="t", value="v", keys=("k",), n_out=5)
+    got = out.collect()
+    # three distinct streams, each downsampled to exactly n_out points
+    assert len(got) == 15
+    import math
+
+    by_class = {"null": 0, "nan": 0, "real": 0}
+    for r in got:
+        if r.k is None:
+            by_class["null"] += 1
+        elif math.isnan(r.k):
+            by_class["nan"] += 1
+        else:
+            by_class["real"] += 1
+    assert by_class == {"null": 5, "nan": 5, "real": 5}
+    # per-stream values must come from that stream's own base offset:
+    # a merged NULL/NaN group would leak the other stream's points
+    for r in got:
+        if r.k is None:
+            assert 0.0 <= r.v < 10.0
+        elif math.isnan(r.k):
+            assert 1000.0 <= r.v < 1010.0
+
+
 def test_embedding_dedup_exact_float32_bit_identity(spark):
     # float32 child type: the scorer must cast each element to double
     # BEFORE multiplying (dot_product's per-element cast) — a float32
