@@ -122,23 +122,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # both legs), mmr_rerank (r15-green; knn_sq8/knn_ivf/similarity_join
 # keep ANN). All six incoming re-verified at sf0.001/0.01/0.1 before
 # this landed; every outgoing name stays harness-verified per round.
+# ROUND-17 ROTATION (VERDICT r16 "Next round" #9): six more
+# never-driver-verified family headliners swap in — url_dedup (URL
+# canonicalization + keep rule; canonical_urls is its projection
+# sibling), stream_correlation (the EXACT all-pairs correlation
+# sibling; correlated_pairs' screened path stays windowed),
+# transition_matrix and cohort_retention (event-analytics headliners
+# next to funnel_steps/sessionize), streaming_sessionize (the
+# streaming family's FIRST windowed member — availableNow == batch
+# gaps-and-islands, oracle-checked), embedding_drift (the embedding-
+# space drift headliner; psi_drift keeps the scalar drift leg) — for
+# six strict-subset siblings whose families keep representatives:
+# ngram_jaccard_pairs (dedup keeps dedup_exact/dedup_minhash —
+# whose oracle IS the inverted-index Jaccard — crosscorpus_dedup,
+# semantic_dedup, similarity_join, resolve_duplicates,
+# incremental_dedup), lagged_correlation (lag 0 == pairwise is
+# test-pinned; correlated_pairs + incoming stream_correlation carry
+# the family), cusum_changepoints (seasonal_decompose +
+# time_bucket_rollup/qc_flags keep timeseries), salted_agg (the
+# skew-salting agg variant; tpch_q1/histogram/time_bucket_rollup keep
+# aggregation), hashed_embed (linear_classifier stays and composes
+# the same hashed features), zorder_roundtrip (compact_roundtrip +
+# upsert_roundtrip keep lake maintenance). All six incoming verified
+# at sf0.001/0.01/0.1 before this landed; every outgoing name stays
+# harness-verified per round.
 _WINDOW = [
     "crosscorpus_dedup", "knn_sq8", "bm25_topk", "histogram",
     "semantic_dedup", "hard_negatives", "heavy_hitters",
-    "curation_pipeline", "salted_agg", "bigram_logprob",
+    "curation_pipeline", "url_dedup", "bigram_logprob",
     "build_mixture", "cms_estimate", "validate_expectations",
     "remove_spans",
     "contamination_score", "incremental_dedup", "funnel_steps",
-    "hashed_embed",
+    "stream_correlation",
     "linear_classifier", "apply_cdc", "psi_drift", "qc_flags",
     "weighted_sample", "cluster_assign", "hybrid_rrf", "fuzzy_match",
     "flagship_scan", "semi_join_ids", "sparql_bridges", "tpch_q1",
     "tpch_q3", "correlated_pairs", "lttb_downsample", "dedup_minhash",
     "similarity_join",
     "jsonl_scan", "compact_roundtrip", "range_join", "upsert_roundtrip",
-    "zorder_roundtrip", "seasonal_decompose", "cusum_changepoints",
+    "transition_matrix", "seasonal_decompose", "streaming_sessionize",
     "time_bucket_rollup", "sessionize", "asof_join", "dedup_exact",
-    "ngram_jaccard_pairs", "lagged_correlation", "resolve_duplicates",
+    "cohort_retention", "embedding_drift", "resolve_duplicates",
     "knn_ivf",
 ]
 
