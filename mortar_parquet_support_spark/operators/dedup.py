@@ -707,6 +707,10 @@ def minhash_dedup(
     # times (both legs of the id union + the scoring join); without the cut,
     # each reference re-executes the whole LSH candidate generation. The
     # pair set is the smallest frame in the pipeline — always safe to cache.
+    # LAZY (r17, the bpe_train pattern): jaccard_pairs' very next step is
+    # its broadcast-guard pairs.count(), a single-consumer action that
+    # materializes this checkpoint as a side effect — one fewer eager job
+    # submission per pipeline run, value-unchanged.
     cands = materialize(
         minhash_lsh_candidates(
             df,
@@ -719,6 +723,7 @@ def minhash_dedup(
             checkpoint_dir=checkpoint_dir,
         ),
         checkpoint_dir=checkpoint_dir,
+        eager=False,
     )
     scored = jaccard_pairs(
         df,
@@ -792,6 +797,9 @@ def crosscorpus_dedup(
         bands=bands, shingle_words=shingle_words, seed=seed,
         checkpoint_dir=checkpoint_dir, barrier=False,
     ).alias("b")
+    # lazy, like minhash_dedup's candidate barrier (r17): jaccard_pairs'
+    # broadcast-guard count is the single-consumer next action that
+    # materializes it
     cands = materialize(
         lb.join(
             rb,
@@ -801,6 +809,7 @@ def crosscorpus_dedup(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(),
         checkpoint_dir=checkpoint_dir,
+        eager=False,
     )
     scored = jaccard_pairs(
         left, cands, id_col=id_col, text_col=text_col,
@@ -1460,6 +1469,10 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the OLD label rides the materialized frame (r17): the
+        # convergence check is then a filter replayed off THIS
+        # checkpoint instead of a join of two checkpointed frames —
+        # one cheap scan per round where a join job used to run
         new_labels = (
             labels.join(neighbor_min, "u", "left")
             .select(
@@ -1467,16 +1480,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("__old"),
             )
         )
         new_labels = materialize(new_labels, checkpoint_dir=checkpoint_dir)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
-            .filter(F.col("label") != F.col("old"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        converged = new_labels.filter(
+            F.col("label") != F.col("__old")
+        ).isEmpty()
+        labels = new_labels.drop("__old")
+        if converged:
             break
     else:
         # silently returning intermediate labels would split one true
@@ -1826,8 +1838,10 @@ def similarity_join(
         shingle_words=shingle_words,
     )
     scored = jaccard_pairs(
-        df, materialize(cand), id_col=id_col, text_col=text_col,
-        shingle_words=shingle_words,
+        # lazy candidate barrier: jaccard_pairs' broadcast-guard count is
+        # the single-consumer next action that materializes it (r17)
+        df, materialize(cand, eager=False), id_col=id_col,
+        text_col=text_col, shingle_words=shingle_words,
     )
     return scored.filter(F.col("jaccard") >= F.lit(float(threshold)))
 
