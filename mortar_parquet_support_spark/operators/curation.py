@@ -166,7 +166,11 @@ def contamination_score(
     Returns one row per corpus document: (``id_col``, ``n_grams``,
     ``n_contaminated``, ``contamination``), with ``contamination`` NULL
     when the document has no shingles (NULL/empty/whitespace-only text —
-    overlap is undefined, not zero).
+    overlap is undefined, not zero). CONTRACT: ``id_col`` must be unique
+    (documents are the scoring unit) — duplicated ids have their copies'
+    gram sets UNIONED into one row (r17; the pre-r17 spelling summed the
+    copies' per-copy counts instead, an equally undefined answer to an
+    ill-posed input).
 
     Scale shape: identical to :func:`contaminated_ids` on the eval side
     (distinct benchmark shingles broadcast); the corpus side is one scan

@@ -642,7 +642,14 @@ def jaccard_pairs(
     # cheaper than one more eager checkpoint job (the r16
     # fingerprint_band_pairs lesson).
     hits = (
+        # distinct BEFORE the token fan-out: a caller-supplied duplicate
+        # (id_a, id_b) row would otherwise multiply the per-pair match
+        # count (r17 review repro: jaccard 0.5 instead of 0.2); the
+        # duplicate OUTPUT rows themselves are preserved — the left join
+        # below hands every copy the same (correct) count, exactly like
+        # the array path scoring each copy independently.
         sized.select("id_a", "id_b")
+        .distinct()
         .join(
             tok_a.filter(F.col("tok").isNotNull()).select(
                 F.col("id").alias("id_a"), F.col("tok").alias("_tok")
@@ -1235,23 +1242,48 @@ def _blocked_cosine_pairs(
     :func:`_embedding_dedup_exact`, shared with semantic_dedup's
     within-cell scoring (r17). ``rows`` must already be filtered to
     non-NULL ids and non-NULL-normed, non-empty vectors; with
-    ``bucket=True`` pairs form only within equal ``bucket`` values
-    (FEW-LARGE-cells regime — k-means cells, exact mode's single
-    implicit bucket; a many-small-buckets LSH stays on the plain
-    bucket-equi-join, where per-row block fan-out would be waste)."""
-    # barrier: the frame feeds the count below plus both join legs
-    rows = materialize(rows, checkpoint_dir=checkpoint_dir)
-    n = rows.count()
-    if block_rows is None:
-        # scale-adaptive blocking: enough block pairs to spread over the
-        # cluster (~sqrt(40 * parallelism) blocks floors the key count at
-        # 20x the partition count) while capping the explode fan-out
-        # (n * n_blocks rows) via a block-size floor of 8192 rows. The
-        # choice shapes tasks only — output is blocking-invariant.
-        par = rows.sparkSession.sparkContext.defaultParallelism
-        n_blocks = max(-(-n // 8192), int((40 * par) ** 0.5) + 1, 1)
+    ``bucket=True`` pairs form only within equal ``bucket`` values, and
+    the block count derives from the LARGEST bucket (r17 review), so
+    small-cell corpora degrade to one block per bucket (the plain
+    bucket equi-join shape) instead of a global fan-out."""
+    # barrier: the frame feeds the stats action below plus both join
+    # legs. LAZY (r17 review): the stats aggregate is the single-consumer
+    # first action — it materializes the checkpoint, and the join legs
+    # then read blocks; an eager barrier would be one redundant job.
+    rows = materialize(rows, checkpoint_dir=checkpoint_dir, eager=False)
+    # blocking statistics come from the LARGEST bucket, not the global
+    # row count (r17 review): quadratic work is per bucket, so a global
+    # n_blocks would make every row of a many-small-cells corpus fan out
+    # to ~n_blocks/2 keys for nothing. Without buckets this is one
+    # bucket of size n — the original formula.
+    if bucket:
+        stats = (
+            rows.groupBy("bucket")
+            .count()
+            .agg(
+                F.max("count").alias("_mx"), F.count(F.lit(1)).alias("_nb")
+            )
+            .first()
+        )
+        max_cell = int(stats["_mx"] or 0)
+        n_buckets = max(int(stats["_nb"] or 0), 1)
     else:
-        n_blocks = max(-(-n // block_rows), 1)
+        max_cell = rows.count()
+        n_buckets = 1
+    if block_rows is None:
+        # scale-adaptive blocking: enough (bucket, block-pair) keys to
+        # spread over the cluster (key count ~ n_buckets * n_blocks^2/2,
+        # floored at 20x the partition count) while capping the explode
+        # fan-out (rows * n_blocks) via a block-size floor of 8192 rows.
+        # The choice shapes tasks only — output is blocking-invariant.
+        par = rows.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(
+            -(-max_cell // 8192),
+            int((40 * par / n_buckets) ** 0.5) + 1,
+            1,
+        )
+    else:
+        n_blocks = max(-(-max_cell // block_rows), 1)
     blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     base = rows.withColumn("blk", blk)
     bkey = ["bucket"] if bucket else []

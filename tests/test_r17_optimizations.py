@@ -154,6 +154,24 @@ def test_jaccard_pairs_cross_corpus_matches_reference(spark, verify_path):
     assert _norm_rows(new) == _norm_rows(old)
 
 
+def test_jaccard_pairs_duplicate_pairs_score_like_array_path(spark, verify_path):
+    """A caller-supplied DUPLICATE (id_a, id_b) row must score once per
+    copy with the correct jaccard on BOTH verify paths — the inverted
+    path's pre-review spelling multiplied the match count per copy
+    (review r17: 0.5 instead of 0.2 for a doubled pair)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "id long, _text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 2)], "id_a long, id_b long")
+    got = jaccard_pairs(docs, pairs, id_col="id", text_col="_text").collect()
+    # shingle_words=3: sets are the 3 distinct 3-grams of each doc,
+    # sharing exactly 'a b c' -> jaccard 1/(3+3-1) = 0.2, twice
+    assert sorted((r.id_a, r.id_b, round(r.jaccard, 6)) for r in got) == [
+        (1, 2, 0.2),
+        (1, 2, 0.2),
+    ]
+
+
 def test_jaccard_pairs_prune_below_only_drops_subthreshold(spark, verify_path):
     docs = spark.createDataFrame(EDGE_DOCS, "id long, _text string")
     pairs = spark.createDataFrame(
